@@ -1,24 +1,36 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — times every `SparkEntry.queries` entry on
+  * `SPARK_GRAFT_SF_DIR` (default sf0.1) and prints ONE JSON line:
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  *
+  * Methodology mirrors the reference's stopwatch instrumentation
+  * (`QueryOrchestration.cs:425-439`): one JVM-warmup action first, then each
+  * query is timed end-to-end (plan + execute + collect). `collect()` rather
+  * than `count()` so column pruning cannot skip the projected work; all
+  * query results are small (aggregates / top-k / per-doc stats).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val spark = GraftSession.getOrCreate()
+
+    // JVM/codegen warmup on a trivial plan; does not touch the timed queries.
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).collect().length }
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1 }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    )
     spark.stop()
   }
 }

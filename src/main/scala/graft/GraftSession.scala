@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard configuration.
+  *
+  * Mirrors the reference's fixed runtime knobs (connection-limit tuning at
+  * `Program.cs:16`, UTC timestamps throughout `QueryOrchestration.cs`) as
+  * Spark session conf. Set once here so every entry point (Verify, Bench,
+  * tests) reads identically:
+  *
+  *   - `nanosAsLong`: the `events.ts` column is Parquet TIMESTAMP(NANOS),
+  *     which Spark 4.x rejects outright; with the flag it arrives as
+  *     LongType nanos and [[graft.sources.Tables.events]] normalizes to µs.
+  *   - `shuffle.partitions=32`: matches local[32]; on a real cluster this
+  *     would scale with executor count (AQE coalesces down when small).
+  *   - AQE on: runtime shuffle coalescing + skew-join splitting — the
+  *     100 TB safety net for skewed group/join keys.
+  *   - `outputTimestampType=TIMESTAMP_MICROS`: written results are hashed
+  *     against a DuckDB oracle at µs precision (FIXTURES.md §3).
+  */
+object GraftSession {
+  val defaultCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def builder(master: String = s"local[$defaultCpus]"): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+
+  def getOrCreate(): SparkSession = {
+    val spark = builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

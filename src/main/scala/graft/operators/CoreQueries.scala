@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's seven canonical query shapes (Q1–Q7) plus the two
+  * declared extensions (Q8 exact-dedup count, Q9 star join) — SURVEY.md §2.4.
+  *
+  * Each shape in the reference is a fixed SQL string fanned out per blob with
+  * a hand-rolled client-side final merge (`QueryOrchestration.cs:118-185` and
+  * the per-query methods cited below). Here each is one declarative
+  * DataFrame plan: Catalyst inserts the Partial/Final `HashAggregate` pair
+  * the reference implements by hand, and pushes filters into the Parquet
+  * scan (`PushedFilters` — asserted in PlanShapeSpec).
+  *
+  * Scale notes (100 TB): every query below is a scan → (filter) →
+  * partial-agg → single-exchange → final-agg pipeline, i.e. the minimal
+  * shuffle shape for its semantics; Q6 is shuffle-free; Q9's only large
+  * shuffle is lineitem⋈orders (both sides keyed on orderkey), the dimension
+  * hops stay broadcast.
+  */
+object CoreQueries {
+
+  /** Q1 — TotalCount (`QueryOrchestration.cs:348-369`): global COUNT(*).
+    * Per-file partial counts merged by Catalyst, mirroring the reference's
+    * sum-of-per-blob-counts merge (`QO:364`).
+    */
+  def q1TotalCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).agg(count(lit(1)).as("cnt"))
+
+  /** Q2 — TimeFilterCount (`QO:325-346`): COUNT with timestamp-range
+    * predicate. The `ts > literal` comparison reaches the Parquet row-group
+    * stats (min/max pruning) exactly like the reference pushes its WHERE to
+    * the storage service (`QO:338`).
+    */
+  def q2TimeFilterCount(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .filter(col("ts") > expr("timestamp_ntz'2024-01-15 00:00:00'"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Q3 — FilterCount (`QO:300-323`): COUNT with string-equality predicate
+    * (the reference's `_4='Warning'`, `QO:315`). Dictionary + stats pruning
+    * apply at the Parquet scan.
+    */
+  def q3FilterCount(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .filter(col("event_type") === "error")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Q4 — MinMax (`QO:276-298`): global min & max of the timestamp column.
+    * Min-of-mins / max-of-maxes merge (`QO:292-293`) is Catalyst's
+    * Partial/Final agg.
+    */
+  def q4MinMax(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).agg(min("ts").as("min_ts"), max("ts").as("max_ts"))
+
+  /** Q5 — MaxBy (`QO:242-274`): grouped max (max timestamp per group). The
+    * reference re-groups per-blob maxima client-side (`QO:258-265`); here
+    * that is the Final-mode HashAggregate after one shuffle on the (low
+    * cardinality) group key.
+    */
+  def q5MaxBy(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .groupBy("event_type")
+      .agg(max("ts").as("max_ts"))
+      .orderBy("event_type")
+
+  /** Q6 — PointFilter (`QO:219-240`): full-row select by key equality
+    * (`QO:232`). Highly selective predicate → Parquet stats skip nearly all
+    * row groups; no shuffle at all.
+    */
+  def q6PointFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .filter(col("event_id") === 4242L)
+      .select("event_id", "user_id", "event_type", "props")
+
+  /** Q7 — Distinct (`QO:189-217`): the reference computes distinct values
+    * *via* group-by-count then discards the counts (`QO:202-208`); we keep
+    * the counts (strictly more information, same plan shape).
+    */
+  def q7Distinct(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+
+  /** Q8 — exact-duplicate count over `documents` (extension, SURVEY §2.4):
+    * COUNT(*) − COUNT(DISTINCT text). At 100 TB scale prefer grouping on a
+    * 128-bit fingerprint of the text (see [[Dedup.exactDupRows]]) so the
+    * shuffle carries 16-byte keys instead of whole documents; at test scale
+    * the direct form is the oracle-exact baseline.
+    */
+  def q8DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .agg((count(lit(1)) - countDistinct(col("text"))).as("dup_rows"))
+
+  /** Q9 — star join (extension, SURVEY §2.4): lineitem ⋈ orders ⋈ customer ⋈
+    * nation, grouped count per nation. `nation` (25 rows) is explicitly
+    * broadcast — it is tiny at every scale. `customer` and `orders` are left
+    * to Catalyst/AQE: at test scale they auto-broadcast; at 100 TB they are
+    * large and must shuffle on their keys, which the declarative plan
+    * already does correctly.
+    */
+  def q9StarJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("n_name")
+}

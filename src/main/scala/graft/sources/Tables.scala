@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Folder-of-Parquet table model.
+  *
+  * The reference's sole data abstraction is "the table is the folder": list
+  * every blob under a prefix, drop empty ones, union the contents
+  * (`BlobCollection.cs:15-30`, `QueryOrchestration.cs:459-462`). Spark's
+  * `InMemoryFileIndex` + `FileSourceScanExec` reproduce that wholesale —
+  * `spark.read.parquet(dir)` performs listing, empty-file pruning, and the
+  * per-file scatter the reference hand-rolls with one task per file split.
+  */
+object Tables {
+
+  /** Generic table loader: `<dir>/<name>.parquet` may be a single file or a
+    * folder of parts — Spark treats both as one table.
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The `events` table (mirrors the reference's 7-column log table,
+    * `QueryOrchestration.cs:418-419`). Its `ts` column is Parquet
+    * TIMESTAMP(NANOS); under `spark.sql.legacy.parquet.nanosAsLong=true` it
+    * reads as LongType nanos, which we normalize to TimestampType at µs
+    * (`timestamp_micros(ts div 1000)`) — the precision the DuckDB oracle
+    * compares at. If a future rewrite of the table carries a native
+    * timestamp (e.g. after compaction), pass it through untouched.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      // TIMESTAMP_NTZ: the raw column is isAdjustedToUTC=false in the file,
+      // and the DuckDB oracle reads it as a naive timestamp — keep the same
+      // semantics (and parquet logical type) on our side.
+      case LongType =>
+        raw.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      case _        => raw
+    }
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+}
