@@ -25,7 +25,24 @@ object SparkEntry {
     "q6_point_filter"      -> (CoreQueries.q6PointFilter _),
     "q7_distinct"          -> (CoreQueries.q7Distinct _),
     "q8_dedup_exact"       -> (CoreQueries.q8DedupExact _),
-    "q9_star_join"         -> (CoreQueries.q9StarJoin _)
+    "q9_star_join"         -> (CoreQueries.q9StarJoin _),
+    // text analysis (SURVEY §7 phase D / builder extensions)
+    "d1_token_count"  -> (TextAnalysis.tokenCount _),
+    "d2_text_quality" -> (TextAnalysis.textQuality _),
+    "d3_lang_id"      -> (TextAnalysis.langId _),
+    "d4_fingerprint"  -> (TextAnalysis.fingerprint _),
+    // near-duplicate detection
+    "n1_ngram_jaccard_pairs" -> (Dedup.ngramJaccardPairs _),
+    "n2_minhash_lsh_pairs"   -> (Dedup.minhashLshPairs _),
+    "n3_simhash_pairs"       -> (Dedup.simhashPairs _),
+    "n4_embedding_dup_pairs" -> (Dedup.embeddingDupPairs _),
+    // similarity search
+    "s1_ann_bruteforce" -> ((s: SparkSession, d: String) => Similarity.annBruteForce(s, d)),
+    "s2_ann_lsh"        -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
+    // multimodal metadata surface
+    "m1_payload_meta" -> (Multimodal.payloadMeta _),
+    // streaming façade, batch-equivalent form
+    "w1_window_counts" -> (graft.streaming.EventStream.windowedCountsBatch _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -47,6 +64,62 @@ object SparkEntry {
     "q9_star_join" ->
       ("SELECT n_name, COUNT(*) AS cnt FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey " +
-        "GROUP BY n_name ORDER BY n_name")
+        "GROUP BY n_name ORDER BY n_name"),
+    "d1_token_count" ->
+      "SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents ORDER BY doc_id",
+    "d2_text_quality" ->
+      ("SELECT doc_id, length(text)::BIGINT AS n_chars_m, len(string_split(text, ' '))::BIGINT AS n_tokens, " +
+        "len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct, " +
+        "(length(text) - len(string_split(text, ' ')) + 1) / len(string_split(text, ' ')) AS avg_token_len, " +
+        "len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')) AS distinct_ratio " +
+        "FROM documents ORDER BY doc_id"),
+    "d3_lang_id" -> {
+      val score = TextAnalysis.langMarkers.map { case (l, ws) =>
+        val in = ws.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(string_split(text, ' '), t -> t IN ($in)))::BIGINT AS s_$l"
+      }.mkString(", ")
+      ("WITH scored AS (SELECT doc_id, " + score + " FROM documents) " +
+        "SELECT doc_id, CASE " +
+        "WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en' " +
+        "WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de' " +
+        "WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr' " +
+        "WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS lang_pred, " +
+        "s_en, s_de, s_fr, s_es, s_zh FROM scored ORDER BY doc_id")
+    },
+    "d4_fingerprint" ->
+      "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
+    "n1_ngram_jaccard_pairs" -> ngramJaccardOracle,
+    // MinHash-LSH candidates are exact-verified, and at this corpus's
+    // similarity levels (planted pairs ≥0.95, next natural pair ≤0.14)
+    // P(candidate miss) < 1e-10 — the exact-Jaccard SQL is its oracle.
+    "n2_minhash_lsh_pairs" -> ngramJaccardOracle,
+    "n4_embedding_dup_pairs" ->
+      ("SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM embeddings a JOIN embeddings b " +
+        "ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95 " +
+        "ORDER BY vec_a, vec_b"),
+    "s1_ann_bruteforce" ->
+      ("SELECT rnk, vec_id FROM (SELECT row_number() OVER (ORDER BY " +
+        "list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id) AS rnk, e.vec_id " +
+        "FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q " +
+        "WHERE e.vec_id <> 0) t WHERE rnk <= 10 ORDER BY rnk"),
+    "m1_payload_meta" ->
+      "SELECT doc_id, octet_length(encode(text))::BIGINT AS payload_len FROM documents ORDER BY doc_id",
+    "w1_window_counts" ->
+      ("SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws, event_type, COUNT(*) AS cnt " +
+        "FROM events GROUP BY 1, 2 ORDER BY ws, event_type")
+    // n3_simhash_pairs, s2_ann_lsh: outputs depend on engine-internal
+    // hashing / plane seeds — no SQL oracle; covered by DedupSpec /
+    // SimilaritySpec recall checks (rows-only at the driver gate).
   )
+
+  private val ngramJaccardOracle: String =
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s " +
+      "FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)), " +
+      "cnt AS (SELECT doc_id, count(*) c FROM sh GROUP BY doc_id), " +
+      "p AS (SELECT a.doc_id da, b.doc_id db, count(*) inter FROM sh a " +
+      "JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY da, db) " +
+      "SELECT da AS doc_a, db AS doc_b, inter, ca.c + cb.c - inter AS un " +
+      "FROM p JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id " +
+      "WHERE 5 * inter >= 4 * (ca.c + cb.c - inter) ORDER BY doc_a, doc_b"
 }

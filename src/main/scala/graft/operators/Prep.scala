@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Data-preparation jobs — the reference's second capability
+  * (`DataPreparationOrchestration.cs`).
+  *
+  *   - [[compact]] mirrors O8 (`DP:88-143`): many small files → ~target-size
+  *     snappy Parquet. The reference greedily bin-packs by *input* bytes
+  *     (`DP:120-121`); we match the observable — ≈target-MB output files —
+  *     by sizing the repartition from the listed input bytes. At cluster
+  *     scale this is the same job: listing is driver-side metadata, the
+  *     rewrite is one shuffle-free (round-robin) repartition + write.
+  *   - [[csvGzToParquet]] mirrors O9 (`DP:145-170`): declared-schema CSV.gz →
+  *     snappy Parquet (gzip auto-decoded by the text datasource, like the
+  *     reference's `externaldata … format='csv'` over `.csv.gz` blobs).
+  */
+object Prep {
+
+  final case class CompactionStats(inFiles: Long, inBytes: Long, outFiles: Long)
+
+  /** Rewrite `inDir` (folder-of-parquet) as ≈`targetMb` snappy Parquet files
+    * under `outDir`. Returns (in, out) file counts — the compaction ratio the
+    * reference prints (`DP:71-73`).
+    */
+  def compact(spark: SparkSession, inDir: String, outDir: String, targetMb: Int = 128): CompactionStats = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val in   = new Path(inDir)
+    val fs   = in.getFileSystem(conf)
+    val files = fs.listStatus(in).filter(f => f.isFile && f.getLen > 0) // empty-blob drop, QO:459-462
+    val inBytes = files.map(_.getLen).sum
+    val nOut    = math.max(1, math.ceil(inBytes.toDouble / (targetMb.toLong << 20)).toInt)
+    spark.read
+      .parquet(inDir)
+      .repartition(nOut)
+      .write
+      .mode("overwrite")
+      .option("compression", "snappy")
+      .parquet(outDir)
+    val outFiles = fs.listStatus(new Path(outDir)).count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    CompactionStats(files.length.toLong, inBytes, outFiles.toLong)
+  }
+
+  /** CSV(.gz) → Parquet with a declared (never inferred) schema, matching
+    * the reference's declare-don't-infer stance (`DP:165`).
+    */
+  def csvGzToParquet(
+      spark: SparkSession,
+      inPattern: String,
+      schema: StructType,
+      outDir: String,
+      header: Boolean = false
+  ): Unit =
+    spark.read
+      .schema(schema)
+      .option("header", header.toString)
+      .csv(inPattern)
+      .write
+      .mode("overwrite")
+      .option("compression", "snappy")
+      .parquet(outDir)
+}

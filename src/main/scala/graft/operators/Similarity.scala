@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  *   - [[annBruteForce]]: exact top-k by cosine — broadcast the query vector,
+  *     score every row (codegen'd [[graft.functions.CosineSimilarity]]),
+  *     `TakeOrderedAndProject` does a distributed per-partition top-k +
+  *     driver merge; no shuffle of the corpus. This is the correctness
+  *     baseline and is oracle-checked (rank/id output only — no float
+  *     columns in the result contract).
+  *   - [[annLsh]]: the scale path — 16 random-hyperplane sign bits, banded
+  *     4×4 (multi-probe by band): only vectors sharing ≥1 band bucket with
+  *     the query are scored. At 100 TB the bucket join replaces the full
+  *     scan with a key-equality join whose right side is the (tiny) probe
+  *     set — same plan shape as a partition-pruned point lookup.
+  */
+object Similarity {
+
+  /** Deterministic random hyperplanes (seed fixed — signatures must be
+    * stable across runs/sessions for bucket joins to make sense).
+    */
+  private[operators] def planes(nPlanes: Int = 16, dim: Int = 64): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** S1 — exact brute-force top-k for the query vector `vec_id = 0`.
+    * Output: (rnk, vec_id), rank by cosine desc with id tiebreak.
+    */
+  def annBruteForce(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val q = e.where(col("vec_id") === queryId).select(col("embedding").as("qv"))
+    val scored = e
+      .where(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), expr("cosine_sim(embedding, qv)").as("cos"))
+    // orderBy+limit plans as TakeOrderedAndProject (distributed top-k);
+    // the row_number window then runs on k rows only.
+    scored
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+      .withColumn("rnk", row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .select("rnk", "vec_id")
+  }
+
+  /** S2 — LSH-bucketed ANN: random-hyperplane signatures, 4 bands × 4 bits,
+    * candidates = vectors sharing ≥1 band bucket with the query, then exact
+    * cosine rank over candidates only. Approximate (recall < 1); the
+    * engine-hash-free but plane-dependent output gets a rows-level check
+    * plus a recall spec against [[annBruteForce]].
+    */
+  def annLsh(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    VectorFunctions.register(spark)
+    val e  = Tables.embeddings(spark, dir)
+    val ps = planes()
+    // sign bit per plane via fused dot product (zip_with + aggregate stays
+    // in codegen; 16 planes × dim muls per row, one pass each).
+    val bitCols = ps.zipWithIndex.map { case (p, i) =>
+      val dot = aggregate(
+        zip_with(col("embedding"), typedLit(p.toSeq), (x, y) => x * y),
+        lit(0.0),
+        (acc, v) => acc + v
+      )
+      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    val sig = e.select(col("vec_id"), col("embedding"), bitCols.reduce(_ + _).as("sig"))
+    val bands = sig.select(
+      col("vec_id"),
+      col("embedding"),
+      explode(
+        array((0 until 4).map(b => struct(lit(b).as("band"), expr(s"(sig >> ${4 * b}) & 15").as("bv"))): _*)
+      ).as("bk")
+    ).select(col("vec_id"), col("embedding"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+    val qBands = bands.where(col("vec_id") === queryId).select(
+      col("band").as("qband"), col("bv").as("qbv"), col("embedding").as("qv")
+    )
+    val cand = bands
+      .where(col("vec_id") =!= queryId)
+      .join(broadcast(qBands), col("band") === col("qband") && col("bv") === col("qbv"))
+      .select(col("vec_id"), col("embedding"), col("qv"))
+      .dropDuplicates("vec_id")
+    cand
+      .select(col("vec_id"), expr("cosine_sim(embedding, qv)").as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+      .withColumn("rnk", row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .select("rnk", "vec_id")
+  }
+}

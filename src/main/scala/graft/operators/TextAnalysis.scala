@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the language-ID /
+  * quality-scoring / token-counting / fingerprinting layer a training-data
+  * pipeline runs before dedup. All are narrow (per-row) transformations:
+  * zero shuffles except the final presentation ORDER BY, so they scale
+  * linearly with input splits at any data size and stay inside whole-stage
+  * codegen (pure `functions._`, no UDFs).
+  */
+object TextAnalysis {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** D1 — token count (whitespace tokenization). */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+
+  /** D2 — quality scoring: length / token / type-token-ratio signals.
+    * Ratios are int/int divisions (→ double) computed from identical integer
+    * operands on both engines, so the doubles are bit-identical to the
+    * oracle's.
+    */
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_m"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct")
+      )
+      .withColumn("avg_token_len", (col("n_chars_m") - col("n_tokens") + 1) / col("n_tokens"))
+      .withColumn("distinct_ratio", col("n_distinct") / col("n_tokens"))
+      .orderBy("doc_id")
+
+  /** Marker stopword lists per language for the n-gram/stopword heuristic
+    * language ID. Kept tiny and fixed so the oracle SQL can mirror them.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "is"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "es" -> Seq("el", "los", "las", "una"),
+    "zh" -> Seq("的", "是", "了", "在")
+  )
+
+  /** D3 — heuristic language ID: count marker-stopword hits per language,
+    * pick argmax with fixed precedence (en > de > fr > es > zh). Emits the
+    * per-language scores alongside the prediction so downstream filters can
+    * threshold on confidence.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id") +:
+          langMarkers.map { case (l, ws) =>
+            size(filter(toks, t => t.isInCollection(ws))).cast("long").as(s"s_$l")
+          }: _*
+      )
+    val pred = when(
+      col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
+        col("s_en") >= col("s_es") && col("s_en") >= col("s_zh"),
+      "en"
+    ).when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es") && col("s_de") >= col("s_zh"), "de")
+      .when(col("s_fr") >= col("s_es") && col("s_fr") >= col("s_zh"), "fr")
+      .when(col("s_es") >= col("s_zh"), "es")
+      .otherwise("zh")
+    scored
+      .withColumn("lang_pred", pred)
+      .select("doc_id", "lang_pred", "s_en", "s_de", "s_fr", "s_es", "s_zh")
+      .orderBy("doc_id")
+  }
+
+  /** D4 — document fingerprint: 128-bit content hash (md5 hex). This is the
+    * key the exact-dedup shuffle groups on at scale — 16 bytes instead of
+    * the full document travelling through the exchange.
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.CoreQueries
+import java.time.LocalDateTime
+
+/** Q1–Q9 against values computed independently by DuckDB on sf0.001
+  * (differential testing, mechanizing the reference's dual-engine
+  * methodology — SURVEY §5).
+  */
+class CoreQueriesSpec extends SparkSpec {
+
+  test("q1 total count") {
+    assert(CoreQueries.q1TotalCount(spark, sf0001).head().getLong(0) == 1000L)
+  }
+
+  test("q2 time-filter count") {
+    assert(CoreQueries.q2TimeFilterCount(spark, sf0001).head().getLong(0) == 506L)
+  }
+
+  test("q3 filter count") {
+    assert(CoreQueries.q3FilterCount(spark, sf0001).head().getLong(0) == 201L)
+  }
+
+  test("q4 min/max ts (µs precision)") {
+    val r = CoreQueries.q4MinMax(spark, sf0001).head()
+    assert(r.getAs[LocalDateTime]("min_ts") == LocalDateTime.parse("2024-01-01T00:09:58.778549"))
+    assert(r.getAs[LocalDateTime]("max_ts") == LocalDateTime.parse("2024-01-30T23:26:16.220708"))
+  }
+
+  test("q5 grouped max") {
+    val rows = CoreQueries.q5MaxBy(spark, sf0001).collect()
+    assert(rows.length == 5)
+    assert(rows.head.getString(0) == "click")
+    assert(rows.head.getAs[LocalDateTime]("max_ts") == LocalDateTime.parse("2024-01-30T19:30:58.549781"))
+  }
+
+  test("q6 point filter is a single full row") {
+    // event_id 4242 exists only at sf>=0.01; at sf0.001 use an in-range key.
+    val r = CoreQueries.q6PointFilter(spark, sf001).collect()
+    assert(r.length == 1 && r.head.getLong(0) == 4242L)
+  }
+
+  test("q7 distinct group counts") {
+    val rows = CoreQueries.q7Distinct(spark, sf0001).collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(
+      ("click", 210L), ("error", 201L), ("purchase", 202L), ("signup", 199L), ("view", 188L)
+    ))
+  }
+
+  test("q8 exact-dup count") {
+    assert(CoreQueries.q8DedupExact(spark, sf0001).head().getLong(0) == 0L)
+  }
+
+  test("q9 star join") {
+    val rows = CoreQueries.q9StarJoin(spark, sf0001).collect()
+    assert(rows.length == 25)
+    assert(rows.take(3).map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(
+      ("NATION_0", 142L), ("NATION_1", 215L), ("NATION_10", 356L)
+    ))
+  }
+}

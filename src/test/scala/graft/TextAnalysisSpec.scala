@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.TextAnalysis
+import java.nio.file.Files
+
+/** Unit tests on a tiny declared-content corpus written to a temp parquet
+  * dir (the operators read folder-of-parquet tables, like everything else).
+  */
+class TextAnalysisSpec extends SparkSpec {
+
+  private lazy val tinyDir: String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_text").toString
+    Seq(
+      (1L, "the cat sat", "en", "t", 11L),
+      (2L, "der der der der", "de", "t", 15L),
+      (3L, "le la le la et", "fr", "t", 14L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("token count") {
+    val rows = TextAnalysis.tokenCount(spark, tinyDir).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 3L), (2L, 4L), (3L, 5L)))
+  }
+
+  test("text quality metrics") {
+    val r = TextAnalysis.textQuality(spark, tinyDir).collect()
+    val byId = r.map(x => x.getLong(0) -> x).toMap
+    assert(byId(1L).getAs[Long]("n_chars_m") == 11L)
+    assert(byId(1L).getAs[Long]("n_tokens") == 3L)
+    assert(byId(1L).getAs[Long]("n_distinct") == 3L)
+    assert(byId(1L).getAs[Double]("avg_token_len") == 3.0) // (11-3+1)/3
+    assert(byId(2L).getAs[Long]("n_distinct") == 1L)
+    assert(byId(2L).getAs[Double]("distinct_ratio") == 0.25)
+  }
+
+  test("lang id picks the marker-majority language") {
+    val rows = TextAnalysis.langId(spark, tinyDir).collect()
+    val pred = rows.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred(1L) == "en") // 'the' hit
+    assert(pred(2L) == "de") // 4 'der' hits beat en's 0
+    assert(pred(3L) == "fr")
+  }
+
+  test("fingerprint is the md5 hex of the text") {
+    val fp = TextAnalysis.fingerprint(spark, tinyDir).collect().head.getString(1)
+    // md5("the cat sat")
+    assert(fp == "3ff4497d12bfd4af3accb8ea4577ee24" || fp.length == 32)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = md.digest("the cat sat".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(fp == expect)
+  }
+
+  test("lang id on real corpus is deterministic across runs") {
+    val a = TextAnalysis.langId(spark, sf0001).collect().toSeq
+    val b = TextAnalysis.langId(spark, sf0001).collect().toSeq
+    assert(a == b)
+  }
+}
