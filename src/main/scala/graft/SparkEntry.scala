@@ -26,6 +26,7 @@ object SparkEntry {
     "q7_distinct"          -> (CoreQueries.q7Distinct _),
     "q8_dedup_exact"       -> (CoreQueries.q8DedupExact _),
     "q9_star_join"         -> (CoreQueries.q9StarJoin _),
+    "j1_props_extract"     -> (CoreQueries.j1PropsExtract _),
     // text analysis (SURVEY §7 phase D / builder extensions)
     "d1_token_count"  -> (TextAnalysis.tokenCount _),
     "d2_text_quality" -> (TextAnalysis.textQuality _),
@@ -65,6 +66,10 @@ object SparkEntry {
       ("SELECT n_name, COUNT(*) AS cnt FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey " +
         "GROUP BY n_name ORDER BY n_name"),
+    "j1_props_extract" ->
+      ("SELECT event_type, COUNT(*) AS cnt, MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k, " +
+        "MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     "d1_token_count" ->
       "SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents ORDER BY doc_id",
     "d2_text_quality" ->

@@ -108,6 +108,18 @@ object CoreQueries {
     * large and must shuffle on their keys, which the declarative plan
     * already does correctly.
     */
+  /** J1 — JSON-in-string extraction (extension, SURVEY §2.3 scalar-function
+    * checklist): pull `props.k` out of the events' JSON payload column and
+    * aggregate it. `get_json_object` is codegen'd; no UDF.
+    */
+  def j1PropsExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
   def q9StarJoin(spark: SparkSession, dir: String): DataFrame =
     Tables
       .lineitem(spark, dir)

@@ -134,19 +134,20 @@ object Dedup {
     verifyPairs(sh, cand)
   }
 
-  /** N3 — SimHash near-dup pairs: 64-bit frequency-weighted signature from
-    * token hashes, Hamming distance ≤ 7. Band pigeonhole (8 bands × 8 bits)
-    * makes candidate generation complete: any pair within distance 7 shares
-    * at least one full band (measured on this corpus: planted near-dups sit
-    * at distance 0–11, random background at median ~20). Output depends on
-    * the engine's xxhash64, so this op has no SQL oracle — see DedupSpec for
-    * its recall check against N1.
+  /** N3 — SimHash near-dup pairs: 64-bit signature over the *distinct
+    * 3-gram shingle set*, Hamming distance ≤ 7. Shingle (not token)
+    * signatures matter on low-vocabulary corpora: token frequency profiles
+    * collide (background Hamming min ≈ 0), while shingle sets separate
+    * cleanly (planted near-dups at distance ≤ 10, random background p1 ≈ 23,
+    * median ≈ 32 — measured on this corpus). Band pigeonhole (8 bands × 8
+    * bits) makes candidate generation complete: any pair within distance 7
+    * shares at least one full band. Output depends on the engine's xxhash64,
+    * so this op has no SQL oracle — see DedupSpec for its recall check
+    * against N1.
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables
-      .documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      .withColumn("h", xxhash64(col("t")))
+    val tok = shingles(Tables.documents(spark, dir))
+      .withColumn("h", xxhash64(col("s")))
     val bitCols = (0 until 64).map(i =>
       sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"b$i")
     )
