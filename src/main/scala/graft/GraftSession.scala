@@ -34,6 +34,8 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // static conf; bucketed-table tests and any managed-table DDL land here
+      .config("spark.sql.warehouse.dir", s"${sys.props("java.io.tmpdir")}/graft_warehouse")
 
   def getOrCreate(): SparkSession = {
     val spark = builder().getOrCreate()

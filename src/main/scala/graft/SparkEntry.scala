@@ -27,6 +27,10 @@ object SparkEntry {
     "q8_dedup_exact"       -> (CoreQueries.q8DedupExact _),
     "q9_star_join"         -> (CoreQueries.q9StarJoin _),
     "j1_props_extract"     -> (CoreQueries.j1PropsExtract _),
+    "q10_rollup"           -> (CoreQueries.q10Rollup _),
+    "q12_window_topk"      -> (CoreQueries.q12WindowTopK _),
+    "q13_intersect"        -> (CoreQueries.q13Intersect _),
+    "q14_anti_join"        -> (CoreQueries.q14AntiJoin _),
     // text analysis (SURVEY §7 phase D / builder extensions)
     "d1_token_count"  -> (TextAnalysis.tokenCount _),
     "d2_text_quality" -> (TextAnalysis.textQuality _),
@@ -70,6 +74,21 @@ object SparkEntry {
       ("SELECT event_type, COUNT(*) AS cnt, MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k, " +
         "MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q10_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty, " +
+        "COUNT(*) AS cnt FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"),
+    "q12_window_topk" ->
+      ("SELECT o_orderpriority, rn, o_orderkey FROM (SELECT o_orderpriority, o_orderkey, " +
+        "row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
+        "FROM orders) t WHERE rn <= 3 ORDER BY o_orderpriority, rn"),
+    "q13_intersect" ->
+      ("SELECT c_nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier " +
+        "ORDER BY c_nationkey"),
+    "q14_anti_join" ->
+      ("SELECT c_custkey FROM customer WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT') " +
+        "ORDER BY c_custkey"),
     "d1_token_count" ->
       "SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents ORDER BY doc_id",
     "d2_text_quality" ->

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's seven canonical query shapes (Q1–Q7) plus the two
@@ -108,6 +109,67 @@ object CoreQueries {
     * large and must shuffle on their keys, which the declarative plan
     * already does correctly.
     */
+  /** Q10 — ROLLUP aggregation (extension: the reference has no grouping
+    * sets, SURVEY §2.3; Spark's are native). Measures summed as
+    * DECIMAL(12,2): decimal addition is exact and associative, so the result
+    * is bit-deterministic regardless of partial-aggregation order — the rule
+    * FIXTURES.md §3 imposes on any measure-sum query.
+    */
+  def q10Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("decimal(12,2)")).as("sum_qty"),
+        count(lit(1)).as("cnt")
+      )
+      .orderBy(
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first
+      )
+
+  /** Q12 — ranking window: top-3 orders by totalprice per priority class.
+    * Order key includes o_orderkey so ranking is total (no FP tie wobble);
+    * output carries only keys/ranks, never the double measure.
+    */
+  def q12WindowTopK(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables
+      .orders(spark, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 3)
+      .select("o_orderpriority", "rn", "o_orderkey")
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  /** Q13 — set operation (INTERSECT): nation keys present in both customer
+    * and supplier. The reference's only set op is implicit union of per-blob
+    * results (SURVEY §2.3).
+    */
+  def q13Intersect(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .customer(spark, dir)
+      .select("c_nationkey")
+      .intersect(Tables.supplier(spark, dir).select(col("s_nationkey").as("c_nationkey")))
+      .orderBy("c_nationkey")
+
+  /** Q14 — anti join: customers with no URGENT order (NOT EXISTS). Left-anti
+    * is the shuffle-minimal plan shape; the priority filter is pushed below
+    * the join so the right side shrinks before it shuffles.
+    */
+  def q14AntiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .customer(spark, dir)
+      .join(
+        Tables.orders(spark, dir).where(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"),
+        "left_anti"
+      )
+      .select("c_custkey")
+      .orderBy("c_custkey")
+
   /** J1 — JSON-in-string extraction (extension, SURVEY §2.3 scalar-function
     * checklist): pull `props.k` out of the events' JSON payload column and
     * aggregate it. `get_json_object` is codegen'd; no UDF.

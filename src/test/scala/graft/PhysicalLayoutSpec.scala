@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.Prep
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Proofs for the two storage-layout levers that dominate at 100 TB:
+  * hive partitioning (directory pruning for time-range filters) and
+  * bucketing (shuffle-free co-located joins). These tests assert the
+  * *physical plan*, not just the answer — layout that doesn't change the
+  * plan is wasted I/O.
+  */
+class PhysicalLayoutSpec extends SparkSpec {
+
+  test("day-partitioned events: time filter prunes partitions at planning time") {
+    val out = Files.createTempDirectory("graft_part").toString
+    Prep.partitionEventsByDay(spark, sf0001, out)
+    val df = spark.read
+      .parquet(out)
+      .where(col("day") >= "2024-01-20")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan)
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*day.*"), plan)
+    // and the pruned read still answers correctly
+    val expect = graft.sources.Tables
+      .events(spark, sf0001)
+      .where(to_date(col("ts")) >= "2024-01-20")
+      .count()
+    assert(df.count() == expect)
+  }
+
+  test("bucketed join runs without shuffling either side") {
+    val db = "graft_bk" // lands in the session's graft_warehouse tmp dir
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    try {
+      graft.sources.Tables
+        .lineitem(spark, sf0001)
+        .write
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable(s"$db.lineitem_bk")
+      graft.sources.Tables
+        .orders(spark, sf0001)
+        .write
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable(s"$db.orders_bk")
+      // disable broadcast so the join must pick a non-broadcast strategy;
+      // bucketing then removes both exchanges entirely.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = spark
+          .table(s"$db.lineitem_bk")
+          .join(spark.table(s"$db.orders_bk"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"))
+        joined.collect()
+        val plan = joined.queryExecution.executedPlan.toString
+        val exchangesBeforeJoin = "Exchange hashpartitioning\\((l_orderkey|o_orderkey)".r
+          .findAllIn(plan)
+          .size
+        assert(exchangesBeforeJoin == 0, s"bucketed join still shuffles:\n$plan")
+        assert(plan.contains("SortMergeJoin"), plan)
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    } finally {
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    }
+  }
+}
