@@ -31,6 +31,7 @@ object SparkEntry {
     "q12_window_topk"      -> (CoreQueries.q12WindowTopK _),
     "q13_intersect"        -> (CoreQueries.q13Intersect _),
     "q14_anti_join"        -> (CoreQueries.q14AntiJoin _),
+    "x1_approx_distinct"   -> (CoreQueries.x1ApproxDistinct _),
     // text analysis (SURVEY §7 phase D / builder extensions)
     "d1_token_count"  -> (TextAnalysis.tokenCount _),
     "d2_text_quality" -> (TextAnalysis.textQuality _),

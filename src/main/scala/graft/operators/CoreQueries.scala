@@ -170,6 +170,17 @@ object CoreQueries {
       .select("c_custkey")
       .orderBy("c_custkey")
 
+  /** X1 — HLL sketch distinct count of users (extension: the sketch rung of
+    * the distinct ladder — at 100 TB `COUNT(DISTINCT)` shuffles every key,
+    * `approx_count_distinct` ships a fixed-size HLL buffer per partition).
+    * HLL estimates are engine-specific → no SQL oracle; CoreQueriesSpec
+    * bounds it against the exact count.
+    */
+  def x1ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .agg(approx_count_distinct("user_id", 0.01).as("approx_users"))
+
   /** J1 — JSON-in-string extraction (extension, SURVEY §2.3 scalar-function
     * checklist): pull `props.k` out of the events' JSON payload column and
     * aggregate it. `get_json_object` is codegen'd; no UDF.

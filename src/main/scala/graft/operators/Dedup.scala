@@ -59,26 +59,24 @@ object Dedup {
       .where(col("cnt") > 1)
       .orderBy("fp")
 
-  /** Shared core: given a (doc_id, s) shingle set and a candidate-pair frame
-    * (doc_a, doc_b), compute exact intersection/union sizes and keep pairs
-    * with Jaccard ≥ 4/5 (integer arithmetic — no float threshold wobble).
+  /** Shared core: given per-doc shingle sets (doc_id, ss: array, c: count)
+    * and a candidate-pair frame (doc_a, doc_b), compute exact
+    * intersection/union sizes and keep pairs with Jaccard ≥ 4/5 (integer
+    * arithmetic — no float threshold wobble). One narrow `array_intersect`
+    * per candidate pair instead of re-exploding shingles into a pair join:
+    * candidate count, not shingle count, bounds the work — the property
+    * that keeps verification cheap at 100 TB, where candidates are rare but
+    * shingles are ~100× the corpus.
     */
-  private def verifyPairs(sh: DataFrame, cand: DataFrame): DataFrame = {
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
-    val inter = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("s").as("s2")), "doc_b")
-      .where(col("s") === col("s2"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(cnt.select(col("doc_id").as("doc_a"), col("c").as("ca")), "doc_a")
-      .join(cnt.select(col("doc_id").as("doc_b"), col("c").as("cb")), "doc_b")
+  private def verifyPairs(docSets: DataFrame, cand: DataFrame): DataFrame =
+    cand
+      .join(docSets.select(col("doc_id").as("doc_a"), col("ss").as("ssa"), col("c").as("ca")), "doc_a")
+      .join(docSets.select(col("doc_id").as("doc_b"), col("ss").as("ssb"), col("c").as("cb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ssa"), col("ssb"))).cast("long"))
       .withColumn("un", col("ca") + col("cb") - col("inter"))
       .where(col("inter") * 5 >= col("un") * 4)
       .select("doc_a", "doc_b", "inter", "un")
       .orderBy("doc_a", "doc_b")
-  }
 
   /** N1 — exact n-gram Jaccard near-dup pairs (threshold 0.8) via the
     * inverted-index self-join: only pairs sharing ≥1 shingle are ever
@@ -112,9 +110,13 @@ object Dedup {
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh   = shingles(Tables.documents(spark, dir))
     val rows = MinhashHashes / MinhashBands
-    // 64 seeded min-hashes in one partial-aggregable groupBy.
+    // One groupBy produces everything per-doc: 64 seeded min-hashes (all
+    // partial-aggregable) plus the shingle set + count used by exact
+    // verification — a single shuffle over the shingle stream.
     val minCols = (0 until MinhashHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
-    val sig     = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val aggCols = minCols ++ Seq(collect_set(col("s")).as("ss"), count(lit(1)).as("c"))
+    val perDoc  = sh.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
+    val sig     = perDoc.select(col("doc_id") +: (0 until MinhashHashes).map(i => col(s"h$i")): _*)
     // Band signature = hash of its `rows` member hashes; explode to
     // (doc_id, band, bucket) and self-join on the bucket.
     val bandCols = (0 until MinhashBands).map { b =>
@@ -131,7 +133,7 @@ object Dedup {
       .join(buckets.as("b"), col("a.band") === col("b.band") && col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyPairs(sh, cand)
+    verifyPairs(perDoc.select("doc_id", "ss", "c"), cand)
   }
 
   /** N3 — SimHash near-dup pairs: 64-bit signature over the *distinct

@@ -51,6 +51,13 @@ class CoreQueriesSpec extends SparkSpec {
     assert(CoreQueries.q8DedupExact(spark, sf0001).head().getLong(0) == 0L)
   }
 
+  test("x1 approx distinct within rsd bound of exact") {
+    val approx = CoreQueries.x1ApproxDistinct(spark, sf001).head().getLong(0).toDouble
+    val exact = graft.sources.Tables.events(spark, sf001)
+      .select("user_id").distinct().count().toDouble
+    assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
+  }
+
   test("q9 star join") {
     val rows = CoreQueries.q9StarJoin(spark, sf0001).collect()
     assert(rows.length == 25)
