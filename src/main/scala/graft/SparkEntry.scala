@@ -45,10 +45,12 @@ object SparkEntry {
     // similarity search
     "s1_ann_bruteforce" -> ((s: SparkSession, d: String) => Similarity.annBruteForce(s, d)),
     "s2_ann_lsh"        -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
+    "s3_ann_batch_topk" -> ((s: SparkSession, d: String) => Similarity.annBatchTopK(s, d)),
     // multimodal metadata surface
     "m1_payload_meta" -> (Multimodal.payloadMeta _),
     // streaming façade, batch-equivalent form
-    "w1_window_counts" -> (graft.streaming.EventStream.windowedCountsBatch _)
+    "w1_window_counts" -> (graft.streaming.EventStream.windowedCountsBatch _),
+    "w2_sessionize"    -> (graft.streaming.Sessionize.sessionCountsBatch _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -127,11 +129,21 @@ object SparkEntry {
         "list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id) AS rnk, e.vec_id " +
         "FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q " +
         "WHERE e.vec_id <> 0) t WHERE rnk <= 10 ORDER BY rnk"),
+    "s3_ann_batch_topk" ->
+      ("SELECT query_id, rnk, vec_id FROM (SELECT q.vec_id AS query_id, e.vec_id, " +
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id) AS rnk " +
+        "FROM embeddings e, embeddings q WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id) t " +
+        "WHERE rnk <= 3 ORDER BY query_id, rnk"),
     "m1_payload_meta" ->
       "SELECT doc_id, octet_length(encode(text))::BIGINT AS payload_len FROM documents ORDER BY doc_id",
     "w1_window_counts" ->
       ("SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws, event_type, COUNT(*) AS cnt " +
-        "FROM events GROUP BY 1, 2 ORDER BY ws, event_type")
+        "FROM events GROUP BY 1, 2 ORDER BY ws, event_type"),
+    "w2_sessionize" ->
+      ("WITH x AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events) " +
+        "SELECT user_id, SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)::BIGINT AS n_sessions " +
+        "FROM x GROUP BY user_id ORDER BY user_id")
     // n3_simhash_pairs, s2_ann_lsh: outputs depend on engine-internal
     // hashing / plane seeds — no SQL oracle; covered by DedupSpec /
     // SimilaritySpec recall checks (rows-only at the driver gate).

@@ -50,6 +50,31 @@ object Similarity {
       .select("rnk", "vec_id")
   }
 
+  /** S3 — grouped batch ANN: top-k neighbors for *each* of the first
+    * `nQueries` vectors at once — the production shape (scoring a query
+    * batch against the corpus). Aggregation-based top-k
+    * ([[graft.functions.TopKByScore]]) instead of a ranking window: partial
+    * aggregation keeps ≤k rows per (query, map-partition), so the exchange
+    * carries k·partitions rows per query rather than the whole scored
+    * cross product — the shape that survives a 100 TB corpus.
+    */
+  def annBatchTopK(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 3): DataFrame = {
+    VectorFunctions.register(spark)
+    val e  = Tables.embeddings(spark, dir)
+    val qs = e.where(col("vec_id") < nQueries).select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = e
+      .crossJoin(broadcast(qs))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), expr("cosine_sim(embedding, qv)").as("cos"))
+    val topk = graft.functions.TopK.topKIds(k)
+    scored
+      .groupBy("query_id")
+      .agg(topk(col("vec_id"), col("cos")).as("ids"))
+      .select(col("query_id"), posexplode(col("ids")).as(Seq("pos", "vec_id")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rnk"), col("vec_id"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** S2 — LSH-bucketed ANN: random-hyperplane signatures, 4 bands × 4 bits,
     * candidates = vectors sharing ≥1 band bucket with the query, then exact
     * cosine rank over candidates only. Approximate (recall < 1); the

@@ -39,6 +39,22 @@ class SimilaritySpec extends SparkSpec {
     assert(rnk == (1L to 10L))
   }
 
+  test("s3 grouped top-k agg: query 0's neighbors match s1's top-3") {
+    val s1top3 = Similarity.annBruteForce(spark, sf0001).collect().map(_.getLong(1)).take(3).toSeq
+    val s3 = Similarity
+      .annBatchTopK(spark, sf0001)
+      .collect()
+      .filter(_.getLong(0) == 0L)
+      .sortBy(_.getLong(1))
+      .map(_.getLong(2))
+      .toSeq
+    assert(s3 == s1top3)
+    // and every query id gets exactly k ranked rows
+    val all = Similarity.annBatchTopK(spark, sf0001).collect()
+    assert(all.length == 5 * 3)
+    assert(all.map(_.getLong(0)).distinct.sorted.toSeq == (0L until 5L))
+  }
+
   test("s2 lsh is a plausible approximation of s1 (recall >= 3/10)") {
     val exact = Similarity.annBruteForce(spark, sf0001).collect().map(_.getLong(1)).toSet
     val appr  = Similarity.annLsh(spark, sf0001).collect().map(_.getLong(1)).toSet
