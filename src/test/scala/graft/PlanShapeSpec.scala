@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{CoreQueries, Similarity}
+import org.apache.spark.sql.functions._
 
 /** Plan-shape assertions guarding the §4 parity claims: the reference's
   * physical ideas (predicate pushdown to storage, partial+final aggregation,
@@ -41,6 +42,35 @@ class PlanShapeSpec extends SparkSpec {
     val plan = executedPlan(CoreQueries.q3FilterCount(spark, sf0001))
     // count + filter on event_type must not drag the whole 6-column schema
     assert(plan.contains("ReadSchema: struct<event_type:string>"), plan)
+  }
+
+  test("s3 grouped top-k aggregates partially before the exchange") {
+    val df = graft.operators.Similarity.annBatchTopK(spark, sf0001)
+    df.collect()
+    val plan = executedPlan(df)
+    // Aggregator-based top-k plans as ObjectHashAggregate with a partial
+    // pass before the exchange — the property that bounds shuffle volume.
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("parquet aggregate pushdown: count/min/max answered from footer metadata") {
+    // The reference's entire architecture is 'push the aggregate into the
+    // storage service' (QO:361, QO:289). Spark's DSv2 parquet scan does the
+    // same from row-group metadata when aggregate pushdown is on.
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      val raw = spark.read.parquet(s"$sf0001/orders.parquet")
+      val agg = raw.selectExpr("count(*) AS cnt", "min(o_orderkey) AS min_id", "max(o_orderkey) AS max_id")
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation: [COUNT(*)"), plan)
+      val r = agg.head()
+      assert(r.getLong(0) == 1500L && r.getLong(1) >= 0L && r.getLong(2) > r.getLong(1))
+    } finally {
+      spark.conf.unset("spark.sql.sources.useV1SourceList")
+      spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+    }
   }
 
   test("ann scoring stays in whole-stage codegen (no fallback)") {

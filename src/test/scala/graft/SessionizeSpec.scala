@@ -30,6 +30,43 @@ class SessionizeSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("state carries across real micro-batches (staged file arrival)") {
+    import org.apache.spark.sql.functions._
+    val dir     = java.nio.file.Files.createTempDirectory("graft_sess_mb")
+    val staging = java.nio.file.Files.createTempDirectory("graft_sess_stage")
+    val events  = graft.sources.Tables.events(spark, sf0001)
+    val mid     = "2024-01-15 00:00:00"
+    def stage(cond: org.apache.spark.sql.Column, out: String): Unit = {
+      events.where(cond).coalesce(1).write.mode("overwrite").parquet(s"$staging/$out")
+      java.nio.file.Files.move(
+        java.nio.file.Files.list(staging.resolve(out)).filter(_.toString.endsWith(".parquet")).findFirst.get,
+        dir.resolve(s"$out.parquet")
+      )
+    }
+    // batch 1 (first half of the month) is present at query start…
+    stage(col("ts") < mid, "b1")
+    val q = Sessionize.sessionCountsStateful(spark, dir.toString, "sess_mb_sink")
+    try {
+      q.processAllAvailable()
+      // …then the second half arrives as a separate micro-batch
+      stage(col("ts") >= mid, "b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark
+      .table("sess_mb_sink")
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max("n_sessions").as("n_sessions"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val batch = Sessionize
+      .sessionCountsBatch(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(streamed == batch)
+  }
+
   test("state transition splits on >30min gaps across batches") {
     import Sessionize._
     // simulate two micro-batches via two updateUser calls on carried state
