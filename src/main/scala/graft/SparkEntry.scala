@@ -28,6 +28,7 @@ object SparkEntry {
     "q9_star_join"         -> (CoreQueries.q9StarJoin _),
     "j1_props_extract"     -> (CoreQueries.j1PropsExtract _),
     "q10_rollup"           -> (CoreQueries.q10Rollup _),
+    "q11_pricing_summary"  -> (CoreQueries.q11PricingSummary _),
     "q12_window_topk"      -> (CoreQueries.q12WindowTopK _),
     "q13_intersect"        -> (CoreQueries.q13Intersect _),
     "q14_anti_join"        -> (CoreQueries.q14AntiJoin _),
@@ -81,6 +82,12 @@ object SparkEntry {
       ("SELECT l_returnflag, l_linestatus, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty, " +
         "COUNT(*) AS cnt FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
         "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"),
+    "q11_pricing_summary" ->
+      ("SELECT l_returnflag, l_linestatus, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty, " +
+        "SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_base, " +
+        "SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS sum_disc, " +
+        "COUNT(*) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-06-30 00:00:00' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
     "q12_window_topk" ->
       ("SELECT o_orderpriority, rn, o_orderkey FROM (SELECT o_orderpriority, o_orderkey, " +
         "row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn " +

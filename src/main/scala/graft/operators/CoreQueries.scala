@@ -128,6 +128,26 @@ object CoreQueries {
         col("l_linestatus").asc_nulls_first
       )
 
+  /** Q11 — pricing summary (TPC-H Q1 shape): filtered multi-measure grouped
+    * aggregation over the fact table. All measures cast to DECIMAL before
+    * summing — exact, associative, bit-deterministic under any partial-agg
+    * order (doubles would drift with partition count). The canonical
+    * scan→partial→exchange(6 groups)→final pipeline at any scale.
+    */
+  def q11PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .where(col("l_shipdate") <= expr("timestamp_ntz'1999-06-30 00:00:00'"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("decimal(12,2)")).as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(12,2)")).as("sum_base"),
+        sum(col("l_extendedprice").cast("decimal(12,2)") * (lit(1) - col("l_discount").cast("decimal(12,2)")))
+          .as("sum_disc"),
+        count(lit(1)).as("cnt")
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+
   /** Q12 — ranking window: top-3 orders by totalprice per priority class.
     * Order key includes o_orderkey so ranking is total (no FP tie wobble);
     * output carries only keys/ranks, never the double measure.
