@@ -47,6 +47,8 @@ object SparkEntry {
     "s1_ann_bruteforce" -> ((s: SparkSession, d: String) => Similarity.annBruteForce(s, d)),
     "s2_ann_lsh"        -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
     "s3_ann_batch_topk" -> ((s: SparkSession, d: String) => Similarity.annBatchTopK(s, d)),
+    "s4_ann_ivf"        -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
+    "c1_clean_corpus"   -> ((s: SparkSession, d: String) => Pipeline.cleanCorpus(s, d)),
     // multimodal metadata surface
     "m1_payload_meta" -> (Multimodal.payloadMeta _),
     // streaming façade, batch-equivalent form
@@ -150,10 +152,31 @@ object SparkEntry {
     "w2_sessionize" ->
       ("WITH x AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events) " +
         "SELECT user_id, SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)::BIGINT AS n_sessions " +
-        "FROM x GROUP BY user_id ORDER BY user_id")
-    // n3_simhash_pairs, s2_ann_lsh: outputs depend on engine-internal
-    // hashing / plane seeds — no SQL oracle; covered by DedupSpec /
-    // SimilaritySpec recall checks (rows-only at the driver gate).
+        "FROM x GROUP BY user_id ORDER BY user_id"),
+    "c1_clean_corpus" -> {
+      val langScore = TextAnalysis.langMarkers.map { case (l, ws) =>
+        val in = ws.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(string_split(text, ' '), t -> t IN ($in)))::BIGINT AS s_$l"
+      }.mkString(", ")
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s " +
+        "FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)), " +
+        "cnt AS (SELECT doc_id, count(*) c FROM sh GROUP BY doc_id), " +
+        "p AS (SELECT a.doc_id da, b.doc_id db, count(*) inter FROM sh a " +
+        "JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY da, db), " +
+        "dup AS (SELECT DISTINCT db FROM p JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id " +
+        "WHERE 5 * inter >= 4 * (ca.c + cb.c - inter)), " +
+        "scored AS (SELECT doc_id, " + langScore + " FROM documents), " +
+        "lang AS (SELECT doc_id FROM scored WHERE " +
+        "s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh) " +
+        "SELECT d.doc_id FROM documents d JOIN lang l ON d.doc_id = l.doc_id " +
+        "WHERE len(string_split(d.text, ' ')) >= 20 AND d.doc_id NOT IN (SELECT db FROM dup) " +
+        "ORDER BY d.doc_id")
+    }
+    // n3_simhash_pairs, s2_ann_lsh, s4_ann_ivf: outputs depend on
+    // engine-internal hashing / plane seeds / quantizer state — no SQL
+    // oracle; covered by DedupSpec / SimilaritySpec recall checks
+    // (rows-only at the driver gate).
   )
 
   private val ngramJaccardOracle: String =

@@ -199,7 +199,7 @@ object CoreQueries {
   def x1ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables
       .events(spark, dir)
-      .agg(approx_count_distinct("user_id", 0.01).as("approx_users"))
+      .agg(approx_count_distinct("user_id", 0.02).as("approx_users"))
 
   /** J1 — JSON-in-string extraction (extension, SURVEY §2.3 scalar-function
     * checklist): pull `props.k` out of the events' JSON payload column and

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation: the composition a 100 TB corpus
+  * actually runs — quality filter → language filter → near-dup removal —
+  * expressed as one declarative plan so Catalyst fuses the narrow filters
+  * into the scan and the only wide ops are the dedup machinery's own.
+  *
+  * Keep-rule for near-dup pairs: drop every `doc_b` (the higher id) of a
+  * qualifying pair. For any pair (a,b) with a<b, b is dropped, so no
+  * surviving pair exists — a provable guarantee that needs no union-find.
+  * (Exact pairs (`ngramJaccardPairs`) here for oracle parity; production
+  * swaps in `minhashLshPairs` — same output contract, LSH-bounded cost.)
+  */
+object Pipeline {
+
+  /** C1 — surviving doc_ids after cleaning: ≥ minTokens tokens, predicted
+    * language in `langs`, not a near-duplicate of a lower-id doc.
+    */
+  def cleanCorpus(
+      spark: SparkSession,
+      dir: String,
+      langs: Set[String] = Set("en"),
+      minTokens: Int = 20
+  ): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val quality = TextAnalysis
+      .textQuality(spark, dir)
+      .where(col("n_tokens") >= minTokens)
+      .select("doc_id")
+    val lang = TextAnalysis
+      .langId(spark, dir)
+      .where(col("lang_pred").isin(langs.toSeq: _*))
+      .select("doc_id")
+    val dupB = Dedup
+      .ngramJaccardPairs(spark, dir)
+      .select(col("doc_b").as("doc_id"))
+      .distinct()
+    docs
+      .select("doc_id")
+      .join(quality, "doc_id")
+      .join(lang, "doc_id")
+      .join(dupB, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+}

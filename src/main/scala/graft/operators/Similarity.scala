@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.VectorFunctions
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -73,6 +73,82 @@ object Similarity {
       .select(col("query_id"), posexplode(col("ids")).as(Seq("pos", "vec_id")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rnk"), col("vec_id"))
       .orderBy("query_id", "rnk")
+  }
+
+  /** S4 — IVF-style ANN: coarse quantizer (nClusters centroids, one
+    * distributed Lloyd refinement over deterministic seeds) + probe search
+    * (query scores only the nProbe nearest clusters' members).
+    *
+    * Scale shape: assignment is a narrow map (nClusters cosines per row,
+    * all inside codegen); only C×dim floats ever reach the driver; a query
+    * touches ~nProbe/nClusters of the corpus. The cluster assignment would
+    * be computed once at ingest and stored as a partition column in a real
+    * deployment — then probe search becomes partition pruning.
+    */
+  def annIvf(
+      spark: SparkSession,
+      dir: String,
+      queryId: Long = 0L,
+      k: Int = 10,
+      nClusters: Int = 16,
+      nProbe: Int = 4
+  ): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+
+    def cosTo(centroid: Seq[Float]): Column =
+      call_function("cosine_sim", col("embedding"), typedLit(centroid))
+    // argmax over centroids: array_max on struct(cos, idx) orders by cos
+    // first (lexicographic struct comparison), idx breaks exact ties.
+    def assign(cs: Array[Seq[Float]]): Column =
+      array_max(array(cs.zipWithIndex.map { case (c, i) =>
+        struct(cosTo(c).as("cos"), lit(i).as("idx"))
+      }: _*)).getField("idx")
+
+    // deterministic seeds: the nClusters lowest-id vectors
+    val seeds: Array[Seq[Float]] =
+      e.orderBy("vec_id").limit(nClusters).collect().map(_.getSeq[Float](1))
+    // one Lloyd iteration, computed distributed: mean per (cluster, dim)
+    val dims = seeds.head.length
+    val refinedRows = e
+      .withColumn("cl", assign(seeds))
+      .select(col("cl"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .groupBy("cl", "d")
+      .agg(avg("v").as("m"))
+      .collect()
+    val refined: Array[Seq[Float]] = {
+      val byCluster = refinedRows.groupBy(_.getInt(0))
+      (0 until nClusters).map { c =>
+        byCluster.get(c) match {
+          case Some(rows) =>
+            val m = new Array[Float](dims)
+            rows.foreach(r => m(r.getInt(1)) = r.getDouble(2).toFloat)
+            m.toSeq
+          case None => seeds(c) // empty cluster keeps its seed
+        }
+      }.toArray
+    }
+
+    // probe order for the query vector, computed locally (centroids local)
+    val qv = e.where(col("vec_id") === queryId).select("embedding").head().getSeq[Float](0)
+    def cosLocal(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probes = refined.zipWithIndex
+      .map { case (c, i) => (cosLocal(qv, c), i) }
+      .sortBy { case (c, i) => (-c, i) }
+      .take(nProbe)
+      .map(_._2)
+
+    e.withColumn("cl", assign(refined))
+      .where(col("cl").isin(probes.toIndexedSeq: _*) && col("vec_id") =!= queryId)
+      .select(col("vec_id"), call_function("cosine_sim", col("embedding"), typedLit(qv)).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+      .withColumn("rnk", row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .select("rnk", "vec_id")
   }
 
   /** S2 — LSH-bucketed ANN: random-hyperplane signatures, 4 bands × 4 bits,

@@ -55,6 +55,34 @@ class SimilaritySpec extends SparkSpec {
     assert(all.map(_.getLong(0)).distinct.sorted.toSeq == (0L until 5L))
   }
 
+  test("s4 ivf probe search approximates s1 and never invents neighbors") {
+    val exact = Similarity.annBruteForce(spark, sf0001).collect().map(_.getLong(1)).toSet
+    val ivf   = Similarity.annIvf(spark, sf0001).collect()
+    assert(ivf.length == 10)
+    assert(ivf.map(_.getLong(0)).toSeq == (1L to 10L))
+    val recall = (exact & ivf.map(_.getLong(1)).toSet).size
+    assert(recall >= 2, s"ivf recall too low: $recall/10")
+  }
+
+  test("clean corpus: no surviving near-dup pair, filters actually applied") {
+    val kept = graft.operators.Pipeline.cleanCorpus(spark, sf0001).collect().map(_.getLong(0)).toSet
+    assert(kept.nonEmpty && kept.size < 500)
+    // keep-rule guarantee: for every qualifying pair (a<b), b must be gone
+    val pairs = graft.operators.Dedup
+      .ngramJaccardPairs(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (_, b) => assert(!kept.contains(b), s"near-dup $b survived") }
+    // quality floor: no kept doc under 20 tokens
+    val short = graft.operators.TextAnalysis
+      .tokenCount(spark, sf0001)
+      .where(org.apache.spark.sql.functions.col("n_tokens") < 20)
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert((kept & short).isEmpty)
+  }
+
   test("s2 lsh is a plausible approximation of s1 (recall >= 3/10)") {
     val exact = Similarity.annBruteForce(spark, sf0001).collect().map(_.getLong(1)).toSet
     val appr  = Similarity.annLsh(spark, sf0001).collect().map(_.getLong(1)).toSet
