@@ -81,13 +81,13 @@ object SparkEntry {
         "MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
     "q10_rollup" ->
-      ("SELECT l_returnflag, l_linestatus, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty, " +
+      ("SELECT l_returnflag, l_linestatus, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty, " +
         "COUNT(*) AS cnt FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
         "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"),
     "q11_pricing_summary" ->
-      ("SELECT l_returnflag, l_linestatus, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty, " +
-        "SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_base, " +
-        "SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS sum_disc, " +
+      ("SELECT l_returnflag, l_linestatus, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS sum_disc, " +
         "COUNT(*) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-06-30 00:00:00' " +
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
     "q12_window_topk" ->

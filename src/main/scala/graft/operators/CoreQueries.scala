@@ -120,7 +120,10 @@ object CoreQueries {
       .lineitem(spark, dir)
       .rollup("l_returnflag", "l_linestatus")
       .agg(
-        sum(col("l_quantity").cast("decimal(12,2)")).as("sum_qty"),
+        // pin the result type: engines differ in inferred sum-decimal
+        // precision (Spark 22,2 vs DuckDB 38,2) — same values, but a fixed
+        // declared type keeps the differential schema check trivial
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(18,2)").as("sum_qty"),
         count(lit(1)).as("cnt")
       )
       .orderBy(
@@ -140,9 +143,10 @@ object CoreQueries {
       .where(col("l_shipdate") <= expr("timestamp_ntz'1999-06-30 00:00:00'"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(col("l_quantity").cast("decimal(12,2)")).as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(12,2)")).as("sum_base"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(18,2)").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(12,2)")).cast("decimal(18,2)").as("sum_base"),
         sum(col("l_extendedprice").cast("decimal(12,2)") * (lit(1) - col("l_discount").cast("decimal(12,2)")))
+          .cast("decimal(18,4)")
           .as("sum_disc"),
         count(lit(1)).as("cnt")
       )

@@ -62,4 +62,33 @@ object EventStream {
       .queryName(sinkTable)
       .start()
   }
+
+  /** Append-mode variant: a window's counts are emitted exactly once, when
+    * the watermark passes its end — and events arriving later than the
+    * watermark are *dropped*, the behavior that bounds state on an unbounded
+    * stream. StreamingSpec stages a late event to prove the drop.
+    */
+  def windowedCountsAppendStream(
+      spark: SparkSession,
+      eventsDir: String,
+      sinkTable: String,
+      watermark: String = "1 hour"
+  ): StreamingQuery = {
+    val fileSchema: StructType = spark.read.parquet(eventsDir).schema
+    val raw = spark.readStream.schema(fileSchema).parquet(eventsDir)
+    val events = fileSchema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _        => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").cast("timestamp_ntz").as("ws"), col("event_type"), col("cnt"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sinkTable)
+      .start()
+  }
 }

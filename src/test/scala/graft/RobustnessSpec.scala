@@ -1,0 +1,84 @@
+package graft
+
+import graft.functions.{TopKByScore, VectorFunctions}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Edge-input behavior the sf corpora never exercise but a 100 TB corpus
+  * will: nulls, empties, short documents, degenerate vectors, k larger than
+  * the input. The contract: degrade (null out / drop / return fewer rows),
+  * never throw.
+  */
+class RobustnessSpec extends SparkSpec {
+
+  private lazy val messyDir: String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_messy").toString
+    Seq(
+      (1L, "a normal little document here", "en", "t", 29L),
+      (2L, null.asInstanceOf[String], "en", "t", 0L), // null text
+      (3L, "", "en", "t", 0L),                        // empty text
+      (4L, "two words", "en", "t", 9L)                // below shingle width
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("text analysis tolerates null/empty/short docs") {
+    val tc = graft.operators.TextAnalysis.tokenCount(spark, messyDir).collect()
+    assert(tc.length == 4)
+    val byId = tc.map(r => r.getLong(0) -> r).toMap
+    assert(byId(2L).isNullAt(1))              // null text -> null count
+    assert(byId(3L).getLong(1) == 1L)         // split("") == [""] on both engines
+    assert(graft.operators.TextAnalysis.fingerprint(spark, messyDir).collect().length == 4)
+    assert(graft.operators.TextAnalysis.langId(spark, messyDir).collect().length == 4)
+  }
+
+  test("dedup drops null/short docs instead of throwing") {
+    val pairs = graft.operators.Dedup.ngramJaccardPairs(spark, messyDir).collect()
+    assert(pairs.isEmpty) // no doc reaches shingle width with a partner
+    val sh = graft.operators.Dedup.shingles(
+      spark.read.parquet(s"$messyDir/documents.parquet")
+    ).collect()
+    assert(sh.forall(_.getLong(0) == 1L)) // only the normal doc shingles
+  }
+
+  test("cosine_sim: zero vector scores 0.0, null array scores null") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val df = Seq(
+      (1L, Array(0f, 0f), Array(1f, 1f)),
+      (2L, Array(1f, 0f), Array(1f, 0f))
+    ).toDF("id", "a", "b")
+      .withColumn("c", expr("cosine_sim(a, b)"))
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getDouble(3) == 0.0)
+    assert(rows(1).getDouble(3) == 1.0)
+    val withNull = Seq((1L, null.asInstanceOf[Array[Float]], Array(1f, 1f)))
+      .toDF("id", "a", "b")
+      .withColumn("c", expr("cosine_sim(a, b)"))
+      .collect()
+    assert(withNull(0).isNullAt(3))
+  }
+
+  test("TopKByScore: fewer inputs than k, exact score ties broken by id") {
+    val agg = new TopKByScore(5)
+    val partial = Seq((3L, 1.0), (1L, 1.0), (2L, 2.0)).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(partial) == Seq(2L, 1L, 3L)) // only 3 rows; ties id-asc
+    // merge respects the same total order
+    val other = Seq((9L, 3.0), (8L, 1.0)).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(agg.merge(partial, other)) == Seq(9L, 2L, 1L, 3L, 8L))
+  }
+
+  test("queries on an empty events table return empty/zero, not errors") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_empty").toString
+    Seq.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(graft.operators.CoreQueries.q1TotalCount(spark, dir).head().getLong(0) == 0L)
+    assert(graft.operators.CoreQueries.q5MaxBy(spark, dir).collect().isEmpty)
+    val mm = graft.operators.CoreQueries.q4MinMax(spark, dir).head()
+    assert(mm.isNullAt(0) && mm.isNullAt(1))
+  }
+}

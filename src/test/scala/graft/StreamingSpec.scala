@@ -28,4 +28,48 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
     assert(batch.nonEmpty)
   }
+
+  test("append mode: windows emit once on watermark pass; late events drop") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir     = java.nio.file.Files.createTempDirectory("graft_late")
+    val staging = java.nio.file.Files.createTempDirectory("graft_late_stage")
+    val events  = graft.sources.Tables.events(spark, sf0001)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      df.coalesce(1).write.mode("overwrite").parquet(s"$staging/$name")
+      java.nio.file.Files.move(
+        java.nio.file.Files.list(staging.resolve(name)).filter(_.toString.endsWith(".parquet")).findFirst.get,
+        dir.resolve(s"$name.parquet")
+      )
+    }
+    val mid = "2024-01-16 00:00:00"
+    stage(events.where(col("ts") < mid), "b1")
+    val q = graft.streaming.EventStream.windowedCountsAppendStream(spark, dir.toString, "late_sink")
+    try {
+      q.processAllAvailable() // watermark ≈ max(day15) − 1h
+      // batch 2: the rest of the month PLUS one event 13 days late (day 2) —
+      // far behind the watermark, so it must be dropped from its window
+      val late = Seq((999999L, java.time.LocalDateTime.parse("2024-01-02T12:00:00"), 1L, "error", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      stage(events.where(col("ts") >= mid).unionByName(late), "b2")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val sink = spark.table("late_sink")
+    // every emitted (window, type) appears exactly once (append = emit-once)
+    assert(sink.groupBy("ws", "event_type").count().where(col("count") > 1).count() == 0)
+    // emitted counts equal the batch result WITHOUT the late event: its
+    // window (day 2) had already been finalized when the late row arrived
+    val emitted = sink.collect().map(r => (r.getAs[java.time.LocalDateTime]("ws"), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = graft.streaming.EventStream
+      .windowedCountsBatch(spark, sf0001)
+      .collect()
+      .map(r => (r.getAs[java.time.LocalDateTime]("ws"), r.getString(1)) -> r.getLong(2))
+      .toMap
+    emitted.foreach { case (k, v) => assert(batch(k) == v, s"window $k: emitted $v vs batch ${batch(k)}") }
+    // the day-2 error window must have emitted and must NOT include the late row
+    val day2 = (java.time.LocalDateTime.parse("2024-01-02T00:00:00"), "error")
+    assert(emitted.contains(day2) && emitted(day2) == batch(day2))
+  }
 }
