@@ -9,6 +9,10 @@ package graft
   * query is timed end-to-end (plan + execute + collect). `collect()` rather
   * than `count()` so column pruning cannot skip the projected work; all
   * query results are small (aggregates / top-k / per-doc stats).
+  *
+  * A query that throws is NOT silently folded into the total: it reports
+  * -1 in the queries map and is listed under "failed" — a broken operator
+  * must never read as a fast one.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -20,17 +24,21 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).collect().length }
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1 }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).collect(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
+      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val total  = results.map(_._2).filter(_ >= 0).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":${failed
+          .mkString("[", ",", "]")},"sf":"$sfDir"}"""
     )
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

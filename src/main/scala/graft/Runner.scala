@@ -16,9 +16,12 @@ object Runner {
     val names = if (args.length > 1) args.tail.toSeq else SparkEntry.queries.keys.toSeq.sorted
     val spark = GraftSession.getOrCreate()
 
+    var unknown = 0
     names.foreach { name =>
       SparkEntry.queries.get(name) match {
-        case None => System.err.println(s"unknown query: $name (have: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")
+        case None =>
+          unknown += 1
+          System.err.println(s"unknown query: $name (have: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")
         case Some(fn) =>
           val df    = fn(spark, sfDir)
           val t0    = System.nanoTime()
@@ -32,5 +35,6 @@ object Runner {
       }
     }
     spark.stop()
+    if (unknown > 0) sys.exit(2)
   }
 }

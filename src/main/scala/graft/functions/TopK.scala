@@ -17,19 +17,27 @@ class TopKByScore(k: Int) extends Aggregator[(Long, Double), Array[(Long, Double
 
   override def zero: Array[(Long, Double)] = Array.empty
 
+  // invariant: buffers are always sorted (score desc, id asc) and ≤ k long
+  private def beats(a: (Long, Double), b: (Long, Double)): Boolean =
+    a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+
   private def trim(buf: Array[(Long, Double)]): Array[(Long, Double)] = {
     val sorted = buf.sortBy { case (id, score) => (-score, id) }
     if (sorted.length > k) sorted.take(k) else sorted
   }
 
   override def reduce(buf: Array[(Long, Double)], row: (Long, Double)): Array[(Long, Double)] =
-    trim(buf :+ row)
+    // hot path: a full buffer rejects a non-qualifying row in O(1) — no
+    // allocation, no sort. Rows that do qualify (≤ k·log n of them across a
+    // partition) pay the insert.
+    if (buf.length >= k && !beats(row, buf(buf.length - 1))) buf
+    else trim(buf :+ row)
 
   override def merge(a: Array[(Long, Double)], b: Array[(Long, Double)]): Array[(Long, Double)] =
     trim(a ++ b)
 
   override def finish(buf: Array[(Long, Double)]): Seq[Long] =
-    trim(buf).map(_._1).toSeq
+    buf.map(_._1).toSeq // already sorted/trimmed by construction
 
   override def bufferEncoder: Encoder[Array[(Long, Double)]] =
     Encoders.kryo[Array[(Long, Double)]]

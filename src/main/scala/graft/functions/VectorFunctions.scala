@@ -19,31 +19,40 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Accumulation is float-multiply / double-add, final `dot/(√nx·√ny)` —
   * the same shape DuckDB's `list_cosine_similarity` uses, so rank order
   * agrees with the oracle (outputs expose ranks/ids, never raw floats).
-  * Zero-norm inputs yield 0.0 rather than NaN.
+  * Zero-norm inputs yield 0.0 rather than NaN; mismatched dimensions yield
+  * null rather than a truncated-prefix score.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // Inputs must be array<float>; enforced at bind time rather than via
-  // ExpectsInputTypes (whose AbstractDataType is private[sql]).
-  require(
-    !left.resolved || left.dataType == ArrayType(FloatType) ||
-      left.dataType == ArrayType(FloatType, containsNull = false),
-    s"cosine_sim expects array<float>, got ${if (left.resolved) left.dataType else "?"}"
-  )
+  // Both inputs must be array<float>; enforced at bind time rather than via
+  // ExpectsInputTypes (whose AbstractDataType is private[sql]). getFloat on
+  // a differently-typed ArrayData would reinterpret raw bytes — garbage
+  // scores are worse than an analysis error.
+  private def isFloatArray(e: Expression): Boolean =
+    !e.resolved || e.dataType == ArrayType(FloatType) ||
+      e.dataType == ArrayType(FloatType, containsNull = false)
+  require(isFloatArray(left), s"cosine_sim expects array<float> left, got ${left.dataType}")
+  require(isFloatArray(right), s"cosine_sim expects array<float> right, got ${right.dataType}")
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
 
+  // Dimension mismatch → null (observable degradation a filter can catch),
+  // never a truncated-prefix score that silently corrupts rankings.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
-    while (i < n) {
-      val xi = x.getFloat(i); val yi = y.getFloat(i)
-      dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < n) {
+        val xi = x.getFloat(i); val yi = y.getFloat(i)
+        dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+      }
+      if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
     }
-    if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -61,14 +70,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
         val xi  = ctx.freshName("xi")
         val yi  = ctx.freshName("yi")
         s"""
-        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
-        |for (int $i = 0; $i < $n; $i++) {
-        |  float $xi = $a.getFloat($i); float $yi = $b.getFloat($i);
-        |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+        |int $n = $a.numElements();
+        |if ($n != $b.numElements()) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    float $xi = $a.getFloat($i); float $yi = $b.getFloat($i);
+        |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+        |  }
+        |  ${ev.value} = ($nx == 0.0 || $ny == 0.0)
+        |    ? 0.0 : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
         |}
-        |${ev.value} = ($nx == 0.0 || $ny == 0.0)
-        |  ? 0.0 : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
         |""".stripMargin
       }
     )

@@ -20,8 +20,8 @@ import org.apache.spark.sql.functions._
   *     all-pairs space never materializes; the only wide ops are a 64-agg
   *     groupBy and a self-join on (band, bucket) whose fan-out is the
   *     collision count, with P(miss) = (1−s⁴)¹⁶ ≈ 1e-18 at s=0.98.
-  *   - SimHash ([[simhashPairs]]): 64-bit signature, Hamming ≤ 3 via 4×16-bit
-  *     band pigeonhole (≤3 differing bits ⇒ ≥1 identical band) — candidate
+  *   - SimHash ([[simhashPairs]]): 64-bit signature, Hamming ≤ 7 via 8×8-bit
+  *     band pigeonhole (≤7 differing bits ⇒ ≥1 identical band) — candidate
   *     generation is exact-complete, not probabilistic.
   *   - embedding cosine ([[embeddingDupPairs]]): brute-force pairwise at test
   *     scale; the LSH-bucketed scale path is [[Similarity.annLsh]]'s plan.

@@ -10,9 +10,11 @@ import org.apache.spark.sql.types.StructType
   *   - [[compact]] mirrors O8 (`DP:88-143`): many small files → ~target-size
   *     snappy Parquet. The reference greedily bin-packs by *input* bytes
   *     (`DP:120-121`); we match the observable — ≈target-MB output files —
-  *     by sizing the repartition from the listed input bytes. At cluster
-  *     scale this is the same job: listing is driver-side metadata, the
-  *     rewrite is one shuffle-free (round-robin) repartition + write.
+  *     by sizing the output file count from the listed input bytes. When
+  *     merging down (the compaction case) the rewrite uses `coalesce`,
+  *     which is genuinely shuffle-free (tasks read several input splits
+  *     each); only when *splitting up* does it pay a round-robin
+  *     repartition exchange for even output sizes.
   *   - [[csvGzToParquet]] mirrors O9 (`DP:145-170`): declared-schema CSV.gz →
   *     snappy Parquet (gzip auto-decoded by the text datasource, like the
   *     reference's `externaldata … format='csv'` over `.csv.gz` blobs).
@@ -32,10 +34,12 @@ object Prep {
     val files = fs.listStatus(in).filter(f => f.isFile && f.getLen > 0) // empty-blob drop, QO:459-462
     val inBytes = files.map(_.getLen).sum
     val nOut    = math.max(1, math.ceil(inBytes.toDouble / (targetMb.toLong << 20)).toInt)
-    spark.read
-      .parquet(inDir)
-      .repartition(nOut)
-      .write
+    val df      = spark.read.parquet(inDir)
+    // merge-down (the compaction case) must not shuffle; split-up needs the
+    // round-robin exchange to even out file sizes
+    val sized =
+      if (nOut <= df.rdd.getNumPartitions) df.coalesce(nOut) else df.repartition(nOut)
+    sized.write
       .mode("overwrite")
       .option("compression", "snappy")
       .parquet(outDir)

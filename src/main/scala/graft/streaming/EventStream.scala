@@ -4,64 +4,65 @@ import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types.LongType
 
 /** Structured-Streaming façade over the `events` table (extension — the
   * reference is pure batch, SURVEY §1.1).
   *
-  * The same logical aggregation is exposed twice:
+  * The same logical aggregation is exposed three ways:
   *   - [[windowedCountsBatch]]: tumbling-day counts as a batch DataFrame
   *     (oracle-checked — `window('1 day')` aligns to the epoch exactly like
   *     the oracle's `date_trunc('day', ts)`).
-  *   - [[windowedCountsStream]]: the identical plan over `readStream` with a
-  *     watermark for state eviction. StreamingSpec drives it through the
-  *     streaming engine (file source → memory sink) and asserts
-  *     stream ≡ batch, the invariant that makes the façade trustworthy.
-  *
-  * At scale the stateful agg shuffles on (window, event_type) once per
-  * micro-batch and the 1-hour watermark bounds state size.
+  *   - [[windowedCountsStream]]: complete-mode streaming twin, used by the
+  *     stream≡batch spec. Complete mode retains all window state and the
+  *     memory sink buffers the full result — fine for the differential
+  *     test, NOT the unbounded-stream deployment shape.
+  *   - [[windowedCountsAppendStream]]: the production shape — append mode,
+  *     where the watermark both finalizes windows (emit-once) and evicts
+  *     their state, bounding memory on an unbounded stream. Late events
+  *     behind the watermark are dropped (proven in StreamingSpec).
   */
 object EventStream {
+
+  /** File stream over a directory of event parquet files, with the same
+    * ns→µs `ts` normalization as the batch loader
+    * ([[graft.sources.Tables.events]]) but to TIMESTAMP (instant) — the
+    * event-time type watermarks require. One definition for every streaming
+    * consumer: a schema change in the events table is handled here or
+    * nowhere.
+    */
+  private[graft] def streamingEvents(spark: SparkSession, eventsDir: String): DataFrame = {
+    val fileSchema = spark.read.parquet(eventsDir).schema
+    val raw        = spark.readStream.schema(fileSchema).parquet(eventsDir)
+    fileSchema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _        => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
 
   private def windowed(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
-      .select(col("w.start").as("ws"), col("event_type"), col("cnt"))
+      .select(col("w.start").cast("timestamp_ntz").as("ws"), col("event_type"), col("cnt"))
 
   /** W1 — tumbling 1-day counts per event_type, batch form. */
   def windowedCountsBatch(spark: SparkSession, dir: String): DataFrame =
     windowed(Tables.events(spark, dir)).orderBy("ws", "event_type")
 
-  /** Same plan over a file-source stream; returns the started query writing
-    * to an in-memory table named `sinkTable`. `eventsDir` must be a
-    * *directory* of event parquet files (file stream sources watch
-    * directories — new files arriving are new micro-batch input, which is
-    * exactly the folder-of-parquet table model streaming-ified).
+  /** Complete-mode streaming twin of [[windowedCountsBatch]] writing to an
+    * in-memory table named `sinkTable`. `eventsDir` must be a *directory*
+    * of event parquet files (file stream sources watch directories — new
+    * files arriving are new micro-batch input, the folder-of-parquet table
+    * model streaming-ified).
     */
-  def windowedCountsStream(spark: SparkSession, eventsDir: String, sinkTable: String): StreamingQuery = {
-    // File stream sources need an explicit schema; read it from the footer.
-    val fileSchema: StructType = spark.read.parquet(eventsDir).schema
-    val raw = spark.readStream.schema(fileSchema).parquet(eventsDir)
-    // Watermarks require event time as TIMESTAMP (not NTZ): window on the
-    // instant type, then cast the window bound back to NTZ so the streaming
-    // result is schema-identical to the batch form (session tz is UTC, so
-    // the wall-clock values agree).
-    val events = fileSchema("ts").dataType match {
-      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _        => raw.withColumn("ts", col("ts").cast("timestamp"))
-    }
-    events
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"))
-      .select(col("w.start").cast("timestamp_ntz").as("ws"), col("event_type"), col("cnt"))
+  def windowedCountsStream(spark: SparkSession, eventsDir: String, sinkTable: String): StreamingQuery =
+    windowed(streamingEvents(spark, eventsDir).withWatermark("ts", "1 hour"))
       .writeStream
       .outputMode("complete")
       .format("memory")
       .queryName(sinkTable)
       .start()
-  }
 
   /** Append-mode variant: a window's counts are emitted exactly once, when
     * the watermark passes its end — and events arriving later than the
@@ -73,22 +74,11 @@ object EventStream {
       eventsDir: String,
       sinkTable: String,
       watermark: String = "1 hour"
-  ): StreamingQuery = {
-    val fileSchema: StructType = spark.read.parquet(eventsDir).schema
-    val raw = spark.readStream.schema(fileSchema).parquet(eventsDir)
-    val events = fileSchema("ts").dataType match {
-      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _        => raw.withColumn("ts", col("ts").cast("timestamp"))
-    }
-    events
-      .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"))
-      .select(col("w.start").cast("timestamp_ntz").as("ws"), col("event_type"), col("cnt"))
+  ): StreamingQuery =
+    windowed(streamingEvents(spark, eventsDir).withWatermark("ts", watermark))
       .writeStream
       .outputMode("append")
       .format("memory")
       .queryName(sinkTable)
       .start()
-  }
 }

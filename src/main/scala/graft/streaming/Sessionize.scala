@@ -77,14 +77,10 @@ object Sessionize {
       sinkTable: String
   ): org.apache.spark.sql.streaming.StreamingQuery = {
     import spark.implicits._
-    val fileSchema = spark.read.parquet(eventsDir).schema
-    val raw        = spark.readStream.schema(fileSchema).parquet(eventsDir)
-    val events: Dataset[SessionEvent] = (fileSchema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.select(col("user_id"), expr("ts div 1000").as("tsMicros"))
-      case _ =>
-        raw.select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("tsMicros"))
-    }).as[SessionEvent]
+    val events: Dataset[SessionEvent] = EventStream
+      .streamingEvents(spark, eventsDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"))
+      .as[SessionEvent]
 
     events
       .groupByKey(_.user_id)

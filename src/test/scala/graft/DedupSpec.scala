@@ -65,7 +65,21 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.embeddingDupPairs(spark, sf0001).count() == 0L)
   }
 
-  test("exact dup groups: empty corpus-level, finds a planted dup") {
+  test("exact dup groups: empty on the real corpus, correct on planted dups") {
     assert(Dedup.exactDupRows(spark, sf0001).count() == 0L)
+    // planted: docs 2 and 5 share text with 1 and 4 respectively
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dups").toString
+    Seq(
+      (1L, "same text", "en", "t", 9L),
+      (2L, "same text", "en", "t", 9L),
+      (3L, "unique text", "en", "t", 11L),
+      (4L, "other dup", "en", "t", 9L),
+      (5L, "other dup", "en", "t", 9L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val groups = Dedup.exactDupRows(spark, dir).collect()
+    assert(groups.length == 2)
+    assert(groups.map(r => (r.getLong(1), r.getLong(2))).toSet == Set((2L, 1L), (2L, 4L)))
   }
 }

@@ -59,6 +59,12 @@ class RobustnessSpec extends SparkSpec {
       .withColumn("c", expr("cosine_sim(a, b)"))
       .collect()
     assert(withNull(0).isNullAt(3))
+    // dimension mismatch degrades to null, never a truncated-prefix score
+    val mismatch = Seq((1L, Array(1f, 0f, 0f), Array(1f, 0f)))
+      .toDF("id", "a", "b")
+      .withColumn("c", expr("cosine_sim(a, b)"))
+      .collect()
+    assert(mismatch(0).isNullAt(3))
   }
 
   test("TopKByScore: fewer inputs than k, exact score ties broken by id") {
