@@ -31,15 +31,21 @@ object CoreQueries {
     Tables.events(spark, dir).agg(count(lit(1)).as("cnt"))
 
   /** Q2 — TimeFilterCount (`QO:325-346`): COUNT with timestamp-range
-    * predicate. The `ts > literal` comparison reaches the Parquet row-group
-    * stats (min/max pruning) exactly like the reference pushes its WHERE to
-    * the storage service (`QO:338`).
+    * predicate. The comparison runs against the RAW ts column (nanos long)
+    * with a pre-converted literal, so `GreaterThan(ts, …)` reaches the
+    * Parquet row-group stats — filtering on the normalized
+    * `timestamp_micros(ts div 1000)` would push nothing (verified via
+    * PLANS.md; PlanShapeSpec pins the pushed comparison). Mirrors the
+    * reference pushing its WHERE into the storage service (`QO:338`).
     */
-  def q2TimeFilterCount(spark: SparkSession, dir: String): DataFrame =
-    Tables
-      .events(spark, dir)
-      .filter(col("ts") > expr("timestamp_ntz'2024-01-15 00:00:00'"))
-      .agg(count(lit(1)).as("cnt"))
+  def q2TimeFilterCount(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.eventsRaw(spark, dir)
+    val filtered =
+      if (Tables.eventsTsIsNanos(raw))
+        raw.filter(col("ts") > lit(Tables.nanosLiteral("2024-01-15T00:00:00")))
+      else raw.filter(col("ts") > expr("timestamp_ntz'2024-01-15 00:00:00'"))
+    filtered.agg(count(lit(1)).as("cnt"))
+  }
 
   /** Q3 — FilterCount (`QO:300-323`): COUNT with string-equality predicate
     * (the reference's `_4='Warning'`, `QO:315`). Dictionary + stats pruning
@@ -52,23 +58,38 @@ object CoreQueries {
       .agg(count(lit(1)).as("cnt"))
 
   /** Q4 — MinMax (`QO:276-298`): global min & max of the timestamp column.
-    * Min-of-mins / max-of-maxes merge (`QO:292-293`) is Catalyst's
-    * Partial/Final agg.
+    * Aggregates the RAW nanos column (min/max commute with the monotone
+    * ns→µs conversion) so the scan reads one untransformed int64 — and
+    * normalizes only the two result values. Min-of-mins / max-of-maxes
+    * merge (`QO:292-293`) is Catalyst's Partial/Final agg.
     */
-  def q4MinMax(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir).agg(min("ts").as("min_ts"), max("ts").as("max_ts"))
+  def q4MinMax(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.eventsRaw(spark, dir)
+    if (Tables.eventsTsIsNanos(raw))
+      raw
+        .agg(min("ts").as("mn"), max("ts").as("mx"))
+        .select(
+          expr("cast(timestamp_micros(mn div 1000) as timestamp_ntz)").as("min_ts"),
+          expr("cast(timestamp_micros(mx div 1000) as timestamp_ntz)").as("max_ts")
+        )
+    else raw.agg(min("ts").as("min_ts"), max("ts").as("max_ts"))
+  }
 
   /** Q5 — MaxBy (`QO:242-274`): grouped max (max timestamp per group). The
     * reference re-groups per-blob maxima client-side (`QO:258-265`); here
     * that is the Final-mode HashAggregate after one shuffle on the (low
     * cardinality) group key.
     */
-  def q5MaxBy(spark: SparkSession, dir: String): DataFrame =
-    Tables
-      .events(spark, dir)
-      .groupBy("event_type")
-      .agg(max("ts").as("max_ts"))
-      .orderBy("event_type")
+  def q5MaxBy(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.eventsRaw(spark, dir)
+    if (Tables.eventsTsIsNanos(raw))
+      raw
+        .groupBy("event_type")
+        .agg(max("ts").as("mx")) // aggregate raw nanos; convert 5 results, not 100k rows
+        .select(col("event_type"), expr("cast(timestamp_micros(mx div 1000) as timestamp_ntz)").as("max_ts"))
+        .orderBy("event_type")
+    else raw.groupBy("event_type").agg(max("ts").as("max_ts")).orderBy("event_type")
+  }
 
   /** Q6 — PointFilter (`QO:219-240`): full-row select by key equality
     * (`QO:232`). Highly selective predicate → Parquet stats skip nearly all

@@ -41,6 +41,23 @@ object Tables {
     }
   }
 
+  /** `events` WITHOUT ts normalization — `ts` stays a raw nanos long when
+    * the file carries TIMESTAMP(NANOS). Time-filtering queries use this and
+    * compare against a nanos literal: a predicate on the *raw column* pushes
+    * into the parquet scan (row-group min/max pruning), whereas one on
+    * `timestamp_micros(ts div 1000)` wraps the column in an expression and
+    * prunes nothing. Conversion is monotone, so filters and min/max commute
+    * with it — normalize the (few) result values, not the billions of rows.
+    */
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
+
+  /** Whether this events table carries raw nanos (needs literal conversion). */
+  def eventsTsIsNanos(df: DataFrame): Boolean = df.schema("ts").dataType == LongType
+
+  /** Epoch nanos for a UTC wall-clock instant — the pushable literal. */
+  def nanosLiteral(isoUtc: String): Long =
+    java.time.LocalDateTime.parse(isoUtc).toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000000L
+
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "customer")

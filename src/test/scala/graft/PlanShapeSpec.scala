@@ -15,14 +15,16 @@ class PlanShapeSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
 
   test("q2/q3/q6 push their predicates into the parquet scan") {
-    for (df <- Seq(
-        CoreQueries.q2TimeFilterCount(spark, sf0001),
-        CoreQueries.q3FilterCount(spark, sf0001),
-        CoreQueries.q6PointFilter(spark, sf0001)
-      )) {
+    // the actual comparison must be pushed, not just an IsNotNull residue —
+    // that distinction is what turns row-group stats into skipped I/O
+    val expectations = Seq(
+      CoreQueries.q2TimeFilterCount(spark, sf0001) -> "GreaterThan(ts,",
+      CoreQueries.q3FilterCount(spark, sf0001)     -> "EqualTo(event_type,",
+      CoreQueries.q6PointFilter(spark, sf0001)     -> "EqualTo(event_id,"
+    )
+    for ((df, pushed) <- expectations) {
       val plan = executedPlan(df)
-      assert(plan.contains("PushedFilters: ["), s"no pushed filters in:\n$plan")
-      assert(!plan.matches("(?s).*PushedFilters: \\[\\].*"), s"empty pushed filters in:\n$plan")
+      assert(plan.contains(pushed), s"'$pushed' not pushed in:\n$plan")
     }
   }
 
