@@ -179,6 +179,20 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** User-facing dedup: return `documents` with near-duplicates removed —
+    * for every qualifying pair (a, b) with a < b, the higher id is dropped
+    * (no surviving pair, provably, without union-find). `exact = false`
+    * (default) uses the MinHash+LSH rung — the only one whose cost is
+    * bounded by candidates, hence the 100 TB default; `exact = true` swaps
+    * in the inverted-index exact pairs for oracle-grade runs.
+    */
+  def dropNearDuplicates(spark: SparkSession, dir: String, exact: Boolean = false): DataFrame = {
+    val pairs = if (exact) ngramJaccardPairs(spark, dir) else minhashLshPairs(spark, dir)
+    Tables
+      .documents(spark, dir)
+      .join(pairs.select(col("doc_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+  }
+
   /** N4 — embedding near-dup pairs: cosine ≥ 0.95 over `embeddings`.
     * Brute-force pairwise at test scale (the oracle); the 100 TB path
     * buckets by random-hyperplane LSH first (see [[Similarity.annLsh]]) so

@@ -35,15 +35,11 @@ object Pipeline {
       .langId(spark, dir)
       .where(col("lang_pred").isin(langs.toSeq: _*))
       .select("doc_id")
-    val dupB = Dedup
-      .ngramJaccardPairs(spark, dir)
-      .select(col("doc_b").as("doc_id"))
-      .distinct()
-    docs
+    Dedup
+      .dropNearDuplicates(spark, dir, exact = true) // exact rung: oracle parity
       .select("doc_id")
       .join(quality, "doc_id")
       .join(lang, "doc_id")
-      .join(dupB, Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
   }
 }
