@@ -25,10 +25,17 @@ object ScaleRehearsal {
   private val Stride = 1000000000L
 
   def build(spark: SparkSession, src: String, dst: String, reps: Int): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(dst)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dstPath = new org.apache.hadoop.fs.Path(dst)
+    val fs      = dstPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$dst/_built"))) {
       println(s"[rehearsal] $dst already built, reusing"); return
+    }
+    // no _built marker => any existing data is a partial/failed build; the
+    // append-mode writes below would silently stack duplicate replicas on
+    // top of it, so wipe first (crash-idempotent rebuild)
+    if (fs.exists(dstPath)) {
+      println(s"[rehearsal] removing partial build at $dst")
+      fs.delete(dstPath, true)
     }
     def replicate(table: String)(xform: (DataFrame, Int) => DataFrame): Unit = {
       val base = spark.read.parquet(s"$src/$table.parquet")

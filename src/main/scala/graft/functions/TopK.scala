@@ -14,6 +14,7 @@ import org.apache.spark.sql.expressions.Aggregator
   * emitted id list.
   */
 class TopKByScore(k: Int) extends Aggregator[(Long, Double), Array[(Long, Double)], Seq[Long]] {
+  require(k > 0, s"top-k needs k > 0, got $k")
 
   override def zero: Array[(Long, Double)] = Array.empty
 
@@ -27,14 +28,17 @@ class TopKByScore(k: Int) extends Aggregator[(Long, Double), Array[(Long, Double
   }
 
   override def reduce(buf: Array[(Long, Double)], row: (Long, Double)): Array[(Long, Double)] =
+    // NaN scores are unrankable and, once resident at the buffer tail,
+    // would make every IEEE comparison below return false — drop them here.
+    if (row._2.isNaN) buf
     // hot path: a full buffer rejects a non-qualifying row in O(1) — no
     // allocation, no sort. Rows that do qualify (≤ k·log n of them across a
     // partition) pay the insert.
-    if (buf.length >= k && !beats(row, buf(buf.length - 1))) buf
+    else if (buf.length >= k && !beats(row, buf(buf.length - 1))) buf
     else trim(buf :+ row)
 
   override def merge(a: Array[(Long, Double)], b: Array[(Long, Double)]): Array[(Long, Double)] =
-    trim(a ++ b)
+    trim((a ++ b).filterNot(_._2.isNaN))
 
   override def finish(buf: Array[(Long, Double)]): Seq[Long] =
     buf.map(_._1).toSeq // already sorted/trimmed by construction

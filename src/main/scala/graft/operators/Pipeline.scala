@@ -26,7 +26,6 @@ object Pipeline {
       langs: Set[String] = Set("en"),
       minTokens: Int = 20
   ): DataFrame = {
-    val docs = Tables.documents(spark, dir)
     val quality = TextAnalysis
       .textQuality(spark, dir)
       .where(col("n_tokens") >= minTokens)

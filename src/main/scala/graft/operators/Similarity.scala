@@ -66,6 +66,10 @@ object Similarity {
       .crossJoin(broadcast(qs))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), expr("cosine_sim(embedding, qv)").as("cos"))
+      // cosine_sim yields null on dimension-mismatched embeddings; the
+      // UDAF's tuple encoder has a non-nullable Double, so filter the
+      // degraded rows out instead of crashing the aggregation
+      .where(col("cos").isNotNull)
     val topk = graft.functions.TopK.topKIds(k)
     scored
       .groupBy("query_id")

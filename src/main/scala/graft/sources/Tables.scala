@@ -54,9 +54,14 @@ object Tables {
   /** Whether this events table carries raw nanos (needs literal conversion). */
   def eventsTsIsNanos(df: DataFrame): Boolean = df.schema("ts").dataType == LongType
 
-  /** Epoch nanos for a UTC wall-clock instant — the pushable literal. */
-  def nanosLiteral(isoUtc: String): Long =
-    java.time.LocalDateTime.parse(isoUtc).toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000000L
+  /** Epoch nanos for a UTC wall-clock instant — the pushable literal.
+    * Full nanosecond fidelity (no ms truncation): sub-second literals
+    * must not silently widen a pushed range predicate.
+    */
+  def nanosLiteral(isoUtc: String): Long = {
+    val ldt = java.time.LocalDateTime.parse(isoUtc)
+    ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L + ldt.getNano
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")

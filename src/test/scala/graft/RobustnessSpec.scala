@@ -76,6 +76,14 @@ class RobustnessSpec extends SparkSpec {
     assert(agg.finish(agg.merge(partial, other)) == Seq(9L, 2L, 1L, 3L, 8L))
   }
 
+  test("TopKByScore: NaN scores never enter or poison the buffer") {
+    val agg = new TopKByScore(2)
+    val withNaN = Seq((1L, Double.NaN), (2L, 1.0), (3L, Double.NaN), (4L, 5.0), (5L, 2.0))
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(withNaN) == Seq(4L, 5L)) // NaNs dropped, top-2 intact
+    intercept[IllegalArgumentException](new TopKByScore(0))
+  }
+
   test("queries on an empty events table return empty/zero, not errors") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_empty").toString
