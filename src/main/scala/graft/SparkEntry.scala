@@ -49,6 +49,7 @@ object SparkEntry {
     "s3_ann_batch_topk" -> ((s: SparkSession, d: String) => Similarity.annBatchTopK(s, d)),
     "s4_ann_ivf"        -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "c1_clean_corpus"   -> ((s: SparkSession, d: String) => Pipeline.cleanCorpus(s, d)),
+    "a1_asof_join"      -> (AsOf.purchaseAsofClick _),
     // multimodal metadata surface
     "m1_payload_meta" -> (Multimodal.payloadMeta _),
     // streaming façade, batch-equivalent form
@@ -153,6 +154,11 @@ object SparkEntry {
       ("WITH x AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events) " +
         "SELECT user_id, SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)::BIGINT AS n_sessions " +
         "FROM x GROUP BY user_id ORDER BY user_id"),
+    "a1_asof_join" ->
+      ("SELECT p.event_id AS purchase_id, c.event_id AS click_id " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
+        "ON p.user_id = c.user_id AND p.ts >= c.ts ORDER BY purchase_id"),
     "c1_clean_corpus" -> {
       val langScore = TextAnalysis.langMarkers.map { case (l, ws) =>
         val in = ws.map(w => s"'$w'").mkString(", ")

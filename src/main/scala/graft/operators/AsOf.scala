@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (most-recent-match) join — the time-series operator the reference
+  * lacks entirely (SURVEY §1.1: "no asof, no interval joins") and Spark SQL
+  * has no built-in for.
+  *
+  * Composed from built-ins per the preference order (compose > custom
+  * Expression > custom plan node): tag and UNION both sides, then one
+  * `last(value, ignoreNulls)` running window per key — each left row picks
+  * up the latest right row with `right.ts <= left.ts`.
+  *
+  * Scale shape: ONE shuffle (the window's hash partition on the key) over
+  * left+right, no pairwise anything, state = one running value per key
+  * during the sorted scan. This is the plan an interval self-join would
+  * need a range-join optimizer for, obtained by construction instead.
+  */
+object AsOf {
+
+  /** Generic as-of join: for each row of `left`, attach `rightVal` from the
+    * latest `right` row with the same `key` and `right.ts <= left.ts`
+    * (inclusive). Inner semantics: left rows with no prior right row drop.
+    * `right` must be unique per (key, ts) for deterministic results — true
+    * for event streams keyed at µs/ns precision.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      leftId: String,
+      rightVal: String
+  ): DataFrame = {
+    val l = left.select(
+      col(key),
+      col(ts),
+      lit(1).as("__side"),
+      col(leftId).as("__left_id"),
+      lit(null).cast(right.schema(rightVal).dataType).as("__rv")
+    )
+    val r = right.select(
+      col(key),
+      col(ts),
+      lit(0).as("__side"),
+      lit(null).cast(left.schema(leftId).dataType).as("__left_id"),
+      col(rightVal).as("__rv")
+    )
+    // right rows sort before left rows at equal ts => inclusive (<=) match
+    val w = Window
+      .partitionBy(key)
+      .orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__match", last(col("__rv"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1 && col("__match").isNotNull)
+      .select(col("__left_id").as(leftId), col("__match").as(rightVal), col(key), col(ts))
+  }
+
+  /** A1 — for every purchase event, the most recent prior (or simultaneous)
+    * click by the same user. Oracle: DuckDB's native ASOF JOIN.
+    */
+  def purchaseAsofClick(spark: SparkSession, dir: String): DataFrame = {
+    val events    = Tables.eventsRaw(spark, dir) // raw ts: ordering-equivalent, no per-row conversion
+    val purchases = events.where(col("event_type") === "purchase")
+    val clicks    = events.where(col("event_type") === "click").withColumnRenamed("event_id", "click_id")
+    asofJoin(purchases, clicks, key = "user_id", ts = "ts", leftId = "event_id", rightVal = "click_id")
+      .select(col("event_id").as("purchase_id"), col("click_id"))
+      .orderBy("purchase_id")
+  }
+}

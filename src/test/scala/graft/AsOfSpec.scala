@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.AsOf
+
+class AsOfSpec extends SparkSpec {
+
+  test("asof join on a hand-built fixture: inclusive, most-recent, inner") {
+    import spark.implicits._
+    val left = Seq(
+      (100L, 1L, 10L), // key 1, ts 10 -> matches right ts 10 (inclusive)
+      (101L, 1L, 25L), // key 1, ts 25 -> right ts 20
+      (102L, 2L, 5L),  // key 2, ts 5  -> no prior right row: dropped
+      (103L, 2L, 50L)  // key 2, ts 50 -> right ts 30
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (900L, 1L, 10L),
+      (901L, 1L, 20L),
+      (902L, 2L, 30L)
+    ).toDF("click_id", "user_id", "ts")
+    val got = AsOf
+      .asofJoin(left, right, "user_id", "ts", "event_id", "click_id")
+      .select("event_id", "click_id")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(got == Map(100L -> 900L, 101L -> 901L, 103L -> 902L))
+  }
+
+  test("a1 on real events: every match is the max prior click of that user") {
+    import org.apache.spark.sql.functions._
+    val events = graft.sources.Tables.eventsRaw(spark, sf0001)
+    val got = AsOf.purchaseAsofClick(spark, sf0001)
+    // property check computed independently via a (test-scale) range join
+    val p = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+    val c = events.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id_x"), col("user_id"), col("ts").as("cts"))
+    val expect = p
+      .join(c, Seq("user_id"))
+      .where(col("cts") <= col("pts"))
+      .groupBy("purchase_id")
+      .agg(max(struct(col("cts"), col("click_id_x"))).as("m"))
+      .select(col("purchase_id"), col("m.click_id_x").as("click_id"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+  }
+}
