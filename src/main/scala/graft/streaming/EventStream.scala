@@ -64,6 +64,32 @@ object EventStream {
       .queryName(sinkTable)
       .start()
 
+  /** Streaming parquet sink: append-mode windowed counts written back out
+    * as a folder-of-parquet table via `foreachBatch` — closing the loop of
+    * the engine's own table model (stream a folder in, land a folder out).
+    * `foreachBatch` rather than the built-in parquet sink so each
+    * micro-batch can use the full batch writer (coalesce for file sizing,
+    * dynamic partition overwrite at scale); checkpointing still gives
+    * exactly-once per batch id.
+    */
+  def windowedCountsToParquet(
+      spark: SparkSession,
+      eventsDir: String,
+      outDir: String,
+      checkpointDir: String,
+      watermark: String = "1 hour"
+  ): StreamingQuery =
+    windowed(streamingEvents(spark, eventsDir).withWatermark("ts", watermark))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          batch.coalesce(1).write.mode("append").parquet(outDir)
+        }
+      }
+      .start()
+
   /** Append-mode variant: a window's counts are emitted exactly once, when
     * the watermark passes its end — and events arriving later than the
     * watermark are *dropped*, the behavior that bounds state on an unbounded

@@ -72,4 +72,26 @@ class StreamingSpec extends SparkSpec {
     val day2 = (java.time.LocalDateTime.parse("2024-01-02T00:00:00"), "error")
     assert(emitted.contains(day2) && emitted(day2) == batch(day2))
   }
+
+  test("foreachBatch parquet sink lands a readable folder-of-parquet table") {
+    import org.apache.spark.sql.functions._
+    val in  = java.nio.file.Files.createTempDirectory("graft_sink_in")
+    val out = java.nio.file.Files.createTempDirectory("graft_sink_out")
+    val ckp = java.nio.file.Files.createTempDirectory("graft_sink_ckp")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      in.resolve("part-0.parquet")
+    )
+    val q = graft.streaming.EventStream
+      .windowedCountsToParquet(spark, in.toString, out.toString, ckp.toString)
+    try q.processAllAvailable()
+    finally q.stop()
+    val landed = spark.read.parquet(out.toString)
+    val batch = graft.streaming.EventStream.windowedCountsBatch(spark, sf0001)
+    // append mode: landed windows are the watermark-finalized subset, and
+    // every landed row must agree exactly with the batch computation
+    assert(landed.count() > 0)
+    assert(landed.join(batch, Seq("ws", "event_type")).where(landed("cnt") =!= batch("cnt")).count() == 0)
+    assert(landed.exceptAll(batch).count() == 0)
+  }
 }
