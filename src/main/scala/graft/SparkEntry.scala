@@ -33,6 +33,7 @@ object SparkEntry {
     "q13_intersect"        -> (CoreQueries.q13Intersect _),
     "q14_anti_join"        -> (CoreQueries.q14AntiJoin _),
     "x1_approx_distinct"   -> (CoreQueries.x1ApproxDistinct _),
+    "x2_percentiles"       -> (CoreQueries.x2Percentiles _),
     // text analysis (SURVEY §7 phase D / builder extensions)
     "d1_token_count"  -> (TextAnalysis.tokenCount _),
     "d2_text_quality" -> (TextAnalysis.textQuality _),
@@ -154,6 +155,9 @@ object SparkEntry {
       ("WITH x AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events) " +
         "SELECT user_id, SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)::BIGINT AS n_sessions " +
         "FROM x GROUP BY user_id ORDER BY user_id"),
+    "x2_percentiles" ->
+      ("SELECT event_type, quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.9) AS p90 " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     "a1_asof_join" ->
       ("SELECT p.event_id AS purchase_id, c.event_id AS click_id " +
         "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +

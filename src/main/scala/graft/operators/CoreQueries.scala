@@ -226,6 +226,24 @@ object CoreQueries {
       .events(spark, dir)
       .agg(approx_count_distinct("user_id", 0.02).as("approx_users"))
 
+  /** X2 — exact percentiles per group. Spark's `percentile` and DuckDB's
+    * `quantile_cont` share the linear-interpolation definition (position
+    * p·(n−1)), and the interpolation arithmetic over identical doubles is
+    * bit-deterministic — so unlike the sketch aggregates this one IS
+    * oracle-checkable. At 100 TB exact percentile sorts each group's values
+    * once per partition (TypedImperativeAggregate buffer); the sketch
+    * alternative is `approx_percentile` when groups outgrow memory.
+    */
+  def x2Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90")
+      )
+      .orderBy("event_type")
+
   /** J1 — JSON-in-string extraction (extension, SURVEY §2.3 scalar-function
     * checklist): pull `props.k` out of the events' JSON payload column and
     * aggregate it. `get_json_object` is codegen'd; no UDF.
