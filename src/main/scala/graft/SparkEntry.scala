@@ -51,6 +51,7 @@ object SparkEntry {
     "s4_ann_ivf"        -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "c1_clean_corpus"   -> ((s: SparkSession, d: String) => Pipeline.cleanCorpus(s, d)),
     "a1_asof_join"      -> (AsOf.purchaseAsofClick _),
+    "a2_interval_join"  -> ((s: SparkSession, d: String) => AsOf.intervalPairCount(s, d)),
     // multimodal metadata surface
     "m1_payload_meta" -> (Multimodal.payloadMeta _),
     // streaming façade, batch-equivalent form
@@ -163,6 +164,10 @@ object SparkEntry {
         "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
         "ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
         "ON p.user_id = c.user_id AND p.ts >= c.ts ORDER BY purchase_id"),
+    "a2_interval_join" ->
+      ("SELECT COUNT(*) AS pair_cnt FROM events a JOIN events b " +
+        "ON a.user_id = b.user_id AND a.event_id < b.event_id " +
+        "AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000"),
     "c1_clean_corpus" -> {
       val langScore = TextAnalysis.langMarkers.map { case (l, ws) =>
         val in = ws.map(w => s"'$w'").mkString(", ")

@@ -60,6 +60,42 @@ object AsOf {
       .select(col("__left_id").as(leftId), col("__match").as(rightVal), col(key), col(ts))
   }
 
+  /** A2 — interval self-join, banded: count pairs of events by the same
+    * user within 5 minutes of each other. A naive range join is O(n²) per
+    * user; banding buckets each event into ⌊ts/5min⌋ and joins bucket
+    * b with {b, b+1} — every qualifying pair shares-or-neighbors a bucket
+    * (complete by construction), and the join is a plain equi-join on
+    * (user, bucket) whose fan-out is bounded by bucket occupancy. This is
+    * the interval-join shape Spark lacks an optimizer rule for, obtained
+    * by construction — same trick streaming interval joins use.
+    */
+  def intervalPairCount(spark: SparkSession, dir: String, gapSeconds: Long = 300L): DataFrame = {
+    val events = Tables.eventsRaw(spark, dir)
+    val isNanos = Tables.eventsTsIsNanos(events)
+    val tsMicros =
+      if (isNanos) expr("ts div 1000") else unix_micros(col("ts").cast("timestamp"))
+    val gapMicros = gapSeconds * 1000000L
+    val e = events.select(col("event_id"), col("user_id"), tsMicros.as("tus"))
+      .withColumn("bucket", (col("tus") / gapMicros).cast("long"))
+    // pair orientation is by event_id (not time), so the partner's bucket
+    // can be one below OR one above: |Δts| <= gap ⇒ bucket(b) ∈
+    // {bucket(a)−1, bucket(a), bucket(a)+1} — probe all three (complete)
+    val probe = e.withColumn(
+      "jb",
+      explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1))
+    )
+    val pairs = probe
+      .as("a")
+      .join(e.as("b"), col("a.user_id") === col("b.user_id") && col("a.jb") === col("b.bucket"))
+      .where(
+        col("a.event_id") < col("b.event_id") &&
+          abs(col("a.tus") - col("b.tus")) <= gapMicros
+      )
+      .select(col("a.event_id"), col("b.event_id"))
+      .distinct() // same-bucket pairs seen via both probes
+    pairs.agg(count(lit(1)).as("pair_cnt"))
+  }
+
   /** A1 — for every purchase event, the most recent prior (or simultaneous)
     * click by the same user. Oracle: DuckDB's native ASOF JOIN.
     */

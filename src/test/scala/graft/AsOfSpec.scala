@@ -26,6 +26,18 @@ class AsOfSpec extends SparkSpec {
     assert(got == Map(100L -> 900L, 101L -> 901L, 103L -> 902L))
   }
 
+  test("a2 banded interval join equals the brute-force range join") {
+    import org.apache.spark.sql.functions._
+    val banded = AsOf.intervalPairCount(spark, sf0001).head().getLong(0)
+    val events = graft.sources.Tables.events(spark, sf0001)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts").cast("timestamp")).as("tus"))
+    val brute = events.as("a")
+      .join(events.as("b"), col("a.user_id") === col("b.user_id") && col("a.event_id") < col("b.event_id"))
+      .where(abs(col("a.tus") - col("b.tus")) <= 300000000L)
+      .count()
+    assert(banded == brute && banded > 0)
+  }
+
   test("a1 on real events: every match is the max prior click of that user") {
     import org.apache.spark.sql.functions._
     val events = graft.sources.Tables.eventsRaw(spark, sf0001)
