@@ -70,12 +70,9 @@ object AsOf {
     * by construction — same trick streaming interval joins use.
     */
   def intervalPairCount(spark: SparkSession, dir: String, gapSeconds: Long = 300L): DataFrame = {
-    val events = Tables.eventsRaw(spark, dir)
-    val isNanos = Tables.eventsTsIsNanos(events)
-    val tsMicros =
-      if (isNanos) expr("ts div 1000") else unix_micros(col("ts").cast("timestamp"))
+    val events    = Tables.eventsRaw(spark, dir)
     val gapMicros = gapSeconds * 1000000L
-    val e = events.select(col("event_id"), col("user_id"), tsMicros.as("tus"))
+    val e = events.select(col("event_id"), col("user_id"), Tables.tsMicrosCol(events).as("tus"))
       .withColumn("bucket", (col("tus") / gapMicros).cast("long"))
     // pair orientation is by event_id (not time), so the partner's bucket
     // can be one below OR one above: |Δts| <= gap ⇒ bucket(b) ∈
@@ -92,7 +89,9 @@ object AsOf {
           abs(col("a.tus") - col("b.tus")) <= gapMicros
       )
       .select(col("a.event_id"), col("b.event_id"))
-      .distinct() // same-bucket pairs seen via both probes
+    // no distinct needed: b.bucket is a single value and the three probe
+    // buckets are distinct, so each qualifying pair matches exactly once —
+    // the count stays a cheap partial aggregate with no pair-level shuffle
     pairs.agg(count(lit(1)).as("pair_cnt"))
   }
 

@@ -54,6 +54,15 @@ object Tables {
   /** Whether this events table carries raw nanos (needs literal conversion). */
   def eventsTsIsNanos(df: DataFrame): Boolean = df.schema("ts").dataType == LongType
 
+  /** `ts` as epoch micros regardless of physical encoding — THE single
+    * definition of the µs view for operators that compute on raw time
+    * (interval joins, sessionization). Schema changes are handled here or
+    * nowhere.
+    */
+  def tsMicrosCol(eventsDf: DataFrame): org.apache.spark.sql.Column =
+    if (eventsTsIsNanos(eventsDf)) expr("ts div 1000")
+    else unix_micros(col("ts").cast("timestamp"))
+
   /** Epoch nanos for a UTC wall-clock instant — the pushable literal.
     * Full nanosecond fidelity (no ms truncation): sub-second literals
     * must not silently widen a pushed range predicate.

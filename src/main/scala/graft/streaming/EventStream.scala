@@ -68,9 +68,12 @@ object EventStream {
     * as a folder-of-parquet table via `foreachBatch` — closing the loop of
     * the engine's own table model (stream a folder in, land a folder out).
     * `foreachBatch` rather than the built-in parquet sink so each
-    * micro-batch can use the full batch writer (coalesce for file sizing,
-    * dynamic partition overwrite at scale); checkpointing still gives
-    * exactly-once per batch id.
+    * micro-batch can use the full batch writer (coalesce for file sizing).
+    *
+    * foreachBatch itself is only at-least-once; idempotence comes from
+    * writing each batch to a `batch_id=<id>/` partition with overwrite —
+    * a checkpoint replay of batch N rewrites the same directory instead of
+    * appending duplicates. Readers see `batch_id` as a partition column.
     */
   def windowedCountsToParquet(
       spark: SparkSession,
@@ -84,9 +87,9 @@ object EventStream {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          batch.coalesce(1).write.mode("append").parquet(outDir)
-        }
+        // no emptiness pre-check: that would execute the batch plan twice,
+        // and writing an empty batch is harmless
+        batch.coalesce(1).write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
       .start()
 

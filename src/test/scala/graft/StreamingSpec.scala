@@ -86,7 +86,8 @@ class StreamingSpec extends SparkSpec {
       .windowedCountsToParquet(spark, in.toString, out.toString, ckp.toString)
     try q.processAllAvailable()
     finally q.stop()
-    val landed = spark.read.parquet(out.toString)
+    // batch_id is a partition dir (idempotent replay target) — drop it
+    val landed = spark.read.parquet(out.toString).select("ws", "event_type", "cnt")
     val batch = graft.streaming.EventStream.windowedCountsBatch(spark, sf0001)
     // append mode: landed windows are the watermark-finalized subset, and
     // every landed row must agree exactly with the batch computation
