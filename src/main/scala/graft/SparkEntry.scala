@@ -32,6 +32,8 @@ object SparkEntry {
     "q12_window_topk"      -> (CoreQueries.q12WindowTopK _),
     "q13_intersect"        -> (CoreQueries.q13Intersect _),
     "q14_anti_join"        -> (CoreQueries.q14AntiJoin _),
+    "q15_top_orders"       -> (CoreQueries.q15TopOrders _),
+    "q16_outer_join_count" -> (CoreQueries.q16OuterJoinCount _),
     "x1_approx_distinct"   -> (CoreQueries.x1ApproxDistinct _),
     "x2_percentiles"       -> (CoreQueries.x2Percentiles _),
     // text analysis (SURVEY §7 phase D / builder extensions)
@@ -156,6 +158,12 @@ object SparkEntry {
       ("WITH x AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events) " +
         "SELECT user_id, SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)::BIGINT AS n_sessions " +
         "FROM x GROUP BY user_id ORDER BY user_id"),
+    "q15_top_orders" ->
+      ("SELECT o_orderkey, o_orderpriority FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"),
+    "q16_outer_join_count" ->
+      ("SELECT c_custkey, COUNT(o_orderkey) AS n_orders FROM customer " +
+        "LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey ORDER BY c_custkey"),
     "x2_percentiles" ->
       ("SELECT event_type, quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.9) AS p90 " +
         "FROM events GROUP BY event_type ORDER BY event_type"),

@@ -226,6 +226,28 @@ object CoreQueries {
       .events(spark, dir)
       .agg(approx_count_distinct("user_id", 0.02).as("approx_users"))
 
+  /** Q15 — global top-k with total ordering: plans as
+    * `TakeOrderedAndProject` (per-partition top-k, driver merge of
+    * k·partitions rows) — never a full sort.
+    */
+  def q15TopOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select("o_orderkey", "o_orderpriority")
+
+  /** Q16 — left outer join + aggregate: order count per customer including
+    * zero-order customers (`count(o_orderkey)` skips the unmatched nulls).
+    */
+  def q16OuterJoinCount(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+
   /** X2 — exact percentiles per group. Spark's `percentile` and DuckDB's
     * `quantile_cont` share the linear-interpolation definition (position
     * p·(n−1)), and the interpolation arithmetic over identical doubles is
