@@ -33,6 +33,7 @@ object SparkEntry {
     "q13_intersect"        -> (CoreQueries.q13Intersect _),
     "q14_anti_join"        -> (CoreQueries.q14AntiJoin _),
     "q15_top_orders"       -> (CoreQueries.q15TopOrders _),
+    "q17_predicate_kinds"  -> (CoreQueries.q17PredicateKinds _),
     "q16_outer_join_count" -> (CoreQueries.q16OuterJoinCount _),
     "x1_approx_distinct"   -> (CoreQueries.x1ApproxDistinct _),
     "x2_percentiles"       -> (CoreQueries.x2Percentiles _),
@@ -164,6 +165,10 @@ object SparkEntry {
     "q16_outer_join_count" ->
       ("SELECT c_custkey, COUNT(o_orderkey) AS n_orders FROM customer " +
         "LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey ORDER BY c_custkey"),
+    "q17_predicate_kinds" ->
+      ("SELECT COUNT(*) AS cnt FROM events WHERE event_type IN ('error', 'purchase') " +
+        "AND props LIKE '{\"k\":%' AND regexp_matches(props, '\\d') " +
+        "AND props IS NOT NULL AND (user_id % 2 = 0 OR event_id < 100)"),
     "x2_percentiles" ->
       ("SELECT event_type, quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.9) AS p90 " +
         "FROM events GROUP BY event_type ORDER BY event_type"),

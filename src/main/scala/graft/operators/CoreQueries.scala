@@ -248,6 +248,23 @@ object CoreQueries {
       .agg(count(col("o_orderkey")).as("n_orders"))
       .orderBy("c_custkey")
 
+  /** Q17 — compound scalar predicates: IN-list, LIKE, regexp, IS NOT NULL,
+    * boolean combination (every predicate form SURVEY §2.3 lists as absent
+    * from the reference). IN and LIKE push to the parquet scan; the regexp
+    * evaluates post-scan inside codegen.
+    */
+  def q17PredicateKinds(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .where(
+        col("event_type").isin("error", "purchase") &&
+          col("props").like("{\"k\":%") &&
+          col("props").rlike("\\d") &&
+          col("props").isNotNull &&
+          (col("user_id") % 2 === 0 || col("event_id") < 100)
+      )
+      .agg(count(lit(1)).as("cnt"))
+
   /** X2 — exact percentiles per group. Spark's `percentile` and DuckDB's
     * `quantile_cont` share the linear-interpolation definition (position
     * p·(n−1)), and the interpolation arithmetic over identical doubles is
