@@ -34,6 +34,8 @@ object SparkEntry {
     "q14_anti_join"        -> (CoreQueries.q14AntiJoin _),
     "q15_top_orders"       -> (CoreQueries.q15TopOrders _),
     "q17_predicate_kinds"  -> (CoreQueries.q17PredicateKinds _),
+    "q18_region_rollup"    -> (CoreQueries.q18RegionRollup _),
+    "d5_source_stats"      -> (CoreQueries.d5SourceStats _),
     "q16_outer_join_count" -> (CoreQueries.q16OuterJoinCount _),
     "x1_approx_distinct"   -> (CoreQueries.x1ApproxDistinct _),
     "x2_percentiles"       -> (CoreQueries.x2Percentiles _),
@@ -169,6 +171,13 @@ object SparkEntry {
       ("SELECT COUNT(*) AS cnt FROM events WHERE event_type IN ('error', 'purchase') " +
         "AND props LIKE '{\"k\":%' AND regexp_matches(props, '\\d') " +
         "AND props IS NOT NULL AND (user_id % 2 = 0 OR event_id < 100)"),
+    "q18_region_rollup" ->
+      ("SELECT r_name, COUNT(*) AS cnt, COUNT(DISTINCT n_name) AS n_nations FROM customer " +
+        "JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY r_name ORDER BY r_name"),
+    "d5_source_stats" ->
+      ("SELECT source, lang, COUNT(*) AS cnt, SUM(length(text))::BIGINT AS total_chars " +
+        "FROM documents GROUP BY source, lang ORDER BY source, lang"),
     "x2_percentiles" ->
       ("SELECT event_type, quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.9) AS p90 " +
         "FROM events GROUP BY event_type ORDER BY event_type"),

@@ -265,6 +265,27 @@ object CoreQueries {
       )
       .agg(count(lit(1)).as("cnt"))
 
+  /** Q18 — three-level dimension chain: region → nation → customer counts.
+    * Both dimension hops broadcast (region 5 rows, nation 25) — the only
+    * scan-proportional work is the customer pass.
+    */
+  def q18RegionRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("n_name")).as("n_nations"))
+      .orderBy("r_name")
+
+  /** D5 — corpus composition: doc counts and total chars per (source, lang). */
+  def d5SourceStats(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("cnt"), sum(length(col("text"))).as("total_chars"))
+      .orderBy("source", "lang")
+
   /** X2 — exact percentiles per group. Spark's `percentile` and DuckDB's
     * `quantile_cont` share the linear-interpolation definition (position
     * p·(n−1)), and the interpolation arithmetic over identical doubles is
