@@ -134,17 +134,18 @@ object CoreQueries {
     * sets, SURVEY §2.3; Spark's are native). Measures summed as
     * DECIMAL(12,2): decimal addition is exact and associative, so the result
     * is bit-deterministic regardless of partial-aggregation order — the rule
-    * FIXTURES.md §3 imposes on any measure-sum query.
+    * FIXTURES.md §3 imposes on any measure-sum query. The exact decimal sum
+    * is then emitted as BIGINT minor units (×100 — the fractional part is
+    * exactly representable at scale 2, so the conversion is lossless):
+    * integer columns hash identically across engines, where decimal
+    * *rendering* does not.
     */
   def q10Rollup(spark: SparkSession, dir: String): DataFrame =
     Tables
       .lineitem(spark, dir)
       .rollup("l_returnflag", "l_linestatus")
       .agg(
-        // pin the result type: engines differ in inferred sum-decimal
-        // precision (Spark 22,2 vs DuckDB 38,2) — same values, but a fixed
-        // declared type keeps the differential schema check trivial
-        sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(18,2)").as("sum_qty"),
+        (sum(col("l_quantity").cast("decimal(12,2)")) * 100).cast("long").as("sum_qty_cents"),
         count(lit(1)).as("cnt")
       )
       .orderBy(
@@ -156,7 +157,11 @@ object CoreQueries {
     * aggregation over the fact table. All measures cast to DECIMAL before
     * summing — exact, associative, bit-deterministic under any partial-agg
     * order (doubles would drift with partition count). The canonical
-    * scan→partial→exchange(6 groups)→final pipeline at any scale.
+    * scan→partial→exchange(6 groups)→final pipeline at any scale. Measures
+    * are emitted as BIGINT minor units (×100 for scale-2 sums, ×10000 for
+    * the scale-4 discounted sum — lossless, since the decimal arithmetic is
+    * exact at those scales): integer columns hash identically across
+    * engines, where decimal rendering does not.
     */
   def q11PricingSummary(spark: SparkSession, dir: String): DataFrame =
     Tables
@@ -164,11 +169,11 @@ object CoreQueries {
       .where(col("l_shipdate") <= expr("timestamp_ntz'1999-06-30 00:00:00'"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(18,2)").as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(12,2)")).cast("decimal(18,2)").as("sum_base"),
-        sum(col("l_extendedprice").cast("decimal(12,2)") * (lit(1) - col("l_discount").cast("decimal(12,2)")))
-          .cast("decimal(18,4)")
-          .as("sum_disc"),
+        (sum(col("l_quantity").cast("decimal(12,2)")) * 100).cast("long").as("sum_qty_cents"),
+        (sum(col("l_extendedprice").cast("decimal(12,2)")) * 100).cast("long").as("sum_base_cents"),
+        (sum(col("l_extendedprice").cast("decimal(12,2)") * (lit(1) - col("l_discount").cast("decimal(12,2)"))) * 10000)
+          .cast("long")
+          .as("sum_disc_e4"),
         count(lit(1)).as("cnt")
       )
       .orderBy("l_returnflag", "l_linestatus")

@@ -23,8 +23,11 @@ import org.apache.spark.sql.functions._
   *   - SimHash ([[simhashPairs]]): 64-bit signature, Hamming ≤ 7 via 8×8-bit
   *     band pigeonhole (≤7 differing bits ⇒ ≥1 identical band) — candidate
   *     generation is exact-complete, not probabilistic.
-  *   - embedding cosine ([[embeddingDupPairs]]): brute-force pairwise at test
-  *     scale; the LSH-bucketed scale path is [[Similarity.annLsh]]'s plan.
+  *   - embedding cosine ([[embeddingDupPairs]]): random-hyperplane LSH bands
+  *     → candidate equi-join → exact cosine verification of candidates only —
+  *     the same plan family as [[Similarity.annLsh]], in pairwise form. The
+  *     all-pairs brute force survives only as the spec-level equivalence
+  *     oracle ([[embeddingDupPairsBrute]]).
   */
 object Dedup {
 
@@ -193,14 +196,80 @@ object Dedup {
       .join(pairs.select(col("doc_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
   }
 
-  /** N4 — embedding near-dup pairs: cosine ≥ 0.95 over `embeddings`.
-    * Brute-force pairwise at test scale (the oracle); the 100 TB path
-    * buckets by random-hyperplane LSH first (see [[Similarity.annLsh]]) so
-    * only bucket-mates are scored.
+  /** Band buckets from random-hyperplane sign bits: one 64-bit signature per
+    * vector (`nBands`×`bandBits` seeded hyperplanes, dot-product sign per
+    * plane — fused `zip_with`+`aggregate`, all codegen), exploded to one
+    * (vec_id, band, bucket) row per band. Shared by [[embeddingDupPairs]];
+    * planes come from [[Similarity.planes]] so signatures agree across
+    * operators.
+    */
+  private def hyperplaneBands(df: DataFrame, nBands: Int, bandBits: Int, dim: Int): DataFrame = {
+    require(nBands * bandBits <= 64, "signature must fit one long")
+    val ps = Similarity.planes(nBands * bandBits, dim)
+    val bitCols = ps.zipWithIndex.map { case (p, i) =>
+      val dot = aggregate(
+        zip_with(col("embedding"), typedLit(p.toSeq), (x, y) => x * y),
+        lit(0.0),
+        (acc, v) => acc + v
+      )
+      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    val sig  = df.select(col("vec_id"), bitCols.reduce(_ + _).as("sig"))
+    val mask = (1L << bandBits) - 1
+    sig
+      .select(
+        col("vec_id"),
+        explode(
+          array((0 until nBands).map(b => struct(lit(b).as("band"), expr(s"(sig >> ${bandBits * b}) & $mask").as("bv"))): _*)
+        ).as("bk")
+      )
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+  }
+
+  /** N4 — embedding near-dup pairs: cosine ≥ `threshold` over `embeddings`,
+    * via banded hyperplane LSH. Candidates are pairs sharing ≥1 (band,
+    * bucket); only candidates are cosine-scored, so the all-pairs space
+    * never materializes — the 100 TB shape (at real scale, bits-per-band
+    * grows ~log₂(n) so buckets stay O(1)-sized; 8×8 fits the test corpora).
+    * Recall at the default operating point: a cosine-0.95 pair agrees per
+    * plane w.p. 1−θ/π ≈ 0.899 → P(miss) = (1−0.899⁸)⁸ ≈ 1.2%, and ≈ 8e-6 at
+    * the ≥0.99 similarity where real duplicate embeddings live. Verification
+    * is exact, so output ⊆ brute force always; DedupSpec proves equality on
+    * a planted fixture and [[embeddingDupPairsBrute]] stays as the oracle.
     */
   def embeddingDupPairs(spark: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(spark)
-    val e = Tables.embeddings(spark, dir)
+    embeddingDupPairsOn(Tables.embeddings(spark, dir))
+  }
+
+  /** LSH-bucketed pairwise dedup over any (vec_id, embedding) frame —
+    * requires `cosine_sim` registered on the active session.
+    */
+  def embeddingDupPairsOn(
+      e: DataFrame,
+      threshold: Double = 0.95,
+      nBands: Int = 8,
+      bandBits: Int = 8,
+      dim: Int = 64
+  ): DataFrame = {
+    val bands = hyperplaneBands(e, nBands, bandBits, dim)
+    val cand = bands
+      .as("a")
+      .join(bands.as("b"), col("a.band") === col("b.band") && col("a.bv") === col("b.bv") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
+      .where(expr("cosine_sim(ea, eb)") >= threshold)
+      .select("vec_a", "vec_b")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** All-pairs brute force — O(n²), spec-level equivalence oracle ONLY (the
+    * registered n4 is the LSH-bucketed plan above).
+    */
+  private[graft] def embeddingDupPairsBrute(e: DataFrame, threshold: Double = 0.95): DataFrame =
     e.as("a")
       .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(
@@ -208,8 +277,7 @@ object Dedup {
         col("b.vec_id").as("vec_b"),
         expr("cosine_sim(a.embedding, b.embedding)").as("cos")
       )
-      .where(col("cos") >= 0.95)
+      .where(col("cos") >= threshold)
       .select("vec_a", "vec_b")
       .orderBy("vec_a", "vec_b")
-  }
 }

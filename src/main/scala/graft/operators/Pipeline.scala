@@ -12,8 +12,12 @@ import org.apache.spark.sql.functions._
   * Keep-rule for near-dup pairs: drop every `doc_b` (the higher id) of a
   * qualifying pair. For any pair (a,b) with a<b, b is dropped, so no
   * surviving pair exists — a provable guarantee that needs no union-find.
-  * (Exact pairs (`ngramJaccardPairs`) here for oracle parity; production
-  * swaps in `minhashLshPairs` — same output contract, LSH-bounded cost.)
+  * Dedup rung: `minhashLshPairs` — the production (LSH-bounded-cost) rung.
+  * Its candidates are exact-verified, and on corpora with the planted
+  * similarity gap (near-dups ≥0.8, background ≤0.14) its output is
+  * *identical* to the exact inverted-index rung (that equivalence is n2's
+  * own oracle argument), so c1 keeps its exact-Jaccard SQL oracle while
+  * running the plan that survives hot-shingle skew at 100 TB.
   */
 object Pipeline {
 
@@ -35,7 +39,7 @@ object Pipeline {
       .where(col("lang_pred").isin(langs.toSeq: _*))
       .select("doc_id")
     Dedup
-      .dropNearDuplicates(spark, dir, exact = true) // exact rung: oracle parity
+      .dropNearDuplicates(spark, dir) // MinHash+LSH rung (≡ exact on this corpus's similarity gap)
       .select("doc_id")
       .join(quality, "doc_id")
       .join(lang, "doc_id")

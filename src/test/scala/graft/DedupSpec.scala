@@ -40,25 +40,32 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"simhash recall $recall; missed ${plantedPairs -- found}")
   }
 
-  test("n4 embedding dedup finds planted duplicate vectors") {
+  test("n4 LSH-bucketed dedup == brute force on planted duplicate vectors") {
     import spark.implicits._
     VectorFunctions.register(spark)
-    // planted fixture: 2 is a perturbed copy of 1; 3 is orthogonal-ish
-    val e = Seq(
-      (1L, Array(1.0f, 0.0f, 1.0f, 0.5f)),
-      (2L, Array(0.99f, 0.01f, 1.01f, 0.5f)),
-      (3L, Array(-1.0f, 1.0f, 0.0f, 0.0f))
-    ).toDF("vec_id", "embedding")
-    e.createOrReplaceTempView("dedup_fixture")
-    val pairs = e
-      .as("a")
-      .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .where(expr("cosine_sim(a.embedding, b.embedding)") >= 0.95)
-      .select(col("a.vec_id"), col("b.vec_id"))
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-      .toSet
-    assert(pairs == Set((1L, 2L)))
+    // planted fixture: 40 random 64-dim base vectors (seeded), plus a
+    // slightly-perturbed copy of each of the first 10 (cosine ≥ ~0.99 —
+    // where real duplicate embeddings live); the other 30 stay singletons.
+    val rnd  = new scala.util.Random(7)
+    val base = (0L until 40L).map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val dups = base.take(10).map { case (i, v) =>
+      (i + 1000L, v.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }
+    val e = (base ++ dups).toDF("vec_id", "embedding")
+
+    val lsh   = Dedup.embeddingDupPairsOn(e).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Dedup.embeddingDupPairsBrute(e).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty && brute.forall { case (a, b) => b == a + 1000L })
+    assert(lsh == brute, s"LSH missed ${brute -- lsh}, extra ${lsh -- brute}")
+  }
+
+  test("n4 plan has no broadcast nested-loop join (candidates come from the band equi-join)") {
+    val plan = Dedup
+      .embeddingDupPairs(spark, sf0001)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
   test("n4 on real embeddings is empty (no planted dups, max cosine ~0.51)") {
