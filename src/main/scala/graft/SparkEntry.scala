@@ -39,13 +39,16 @@ object SparkEntry {
     "q16_outer_join_count" -> (CoreQueries.q16OuterJoinCount _),
     "x1_approx_distinct"   -> (CoreQueries.x1ApproxDistinct _),
     "x2_percentiles"       -> (CoreQueries.x2Percentiles _),
+    "x3_approx_percentiles" -> (CoreQueries.x3ApproxPercentiles _),
+    "q3p_positional_filter_count" -> (CoreQueries.q3PositionalFilterCount _),
+    "p1_partitioned_time_count"   -> (CoreQueries.p1PartitionedTimeCount _),
     // text analysis (SURVEY §7 phase D / builder extensions)
     "d1_token_count"  -> (TextAnalysis.tokenCount _),
     "d2_text_quality" -> (TextAnalysis.textQuality _),
     "d3_lang_id"      -> (TextAnalysis.langId _),
     "d4_fingerprint"  -> (TextAnalysis.fingerprint _),
     // near-duplicate detection
-    "n1_ngram_jaccard_pairs" -> (Dedup.ngramJaccardPairs _),
+    "n1_ngram_jaccard_pairs" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
     "n2_minhash_lsh_pairs"   -> (Dedup.minhashLshPairs _),
     "n3_simhash_pairs"       -> (Dedup.simhashPairs _),
     "n4_embedding_dup_pairs" -> (Dedup.embeddingDupPairs _),
@@ -70,6 +73,14 @@ object SparkEntry {
       "SELECT COUNT(*) AS cnt FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'",
     "q3_filter_count" ->
       "SELECT COUNT(*) AS cnt FROM events WHERE event_type = 'error'",
+    // q3p resolves the reference's positional `_4` form to the same plan;
+    // p1 runs q2's predicate against the day-partitioned layout — both are
+    // required to produce the same answers as their by-name/unpartitioned
+    // twins, so they share the oracle shape.
+    "q3p_positional_filter_count" ->
+      "SELECT COUNT(*) AS cnt FROM events WHERE event_type = 'error'",
+    "p1_partitioned_time_count" ->
+      "SELECT COUNT(*) AS cnt FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'",
     "q4_min_max" ->
       "SELECT MIN(ts) AS min_ts, MAX(ts) AS max_ts FROM events",
     "q5_max_by" ->
@@ -213,10 +224,10 @@ object SparkEntry {
         "WHERE len(string_split(d.text, ' ')) >= 20 AND d.doc_id NOT IN (SELECT db FROM dup) " +
         "ORDER BY d.doc_id")
     }
-    // n3_simhash_pairs, s2_ann_lsh, s4_ann_ivf: outputs depend on
-    // engine-internal hashing / plane seeds / quantizer state — no SQL
-    // oracle; covered by DedupSpec / SimilaritySpec recall checks
-    // (rows-only at the driver gate).
+    // n3_simhash_pairs, s2_ann_lsh, s4_ann_ivf, x3_approx_percentiles:
+    // outputs depend on engine-internal hashing / plane seeds / quantizer /
+    // sketch state — no SQL oracle; covered by DedupSpec / SimilaritySpec /
+    // CoreQueriesSpec bound checks (rows-only at the driver gate).
   )
 
   private val ngramJaccardOracle: String =

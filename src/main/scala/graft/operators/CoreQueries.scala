@@ -309,6 +309,42 @@ object CoreQueries {
       )
       .orderBy("event_type")
 
+  /** X3 — approximate percentiles per group: the sketch rung of the
+    * percentile ladder that X2's docstring promises. `approx_percentile`
+    * (Greenwald–Khanna) keeps a bounded-size quantile summary per
+    * (group, partition) and merges summaries — the exchange carries
+    * O(accuracy) state per group instead of every value, which is what
+    * survives groups of 10¹⁰ rows at 100 TB. Sketch contents are
+    * engine-specific → no SQL oracle; CoreQueriesSpec bounds its rank error
+    * against exact X2.
+    */
+  def x3ApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        expr("approx_percentile(value, 0.5, 10000)").as("p50"),
+        expr("approx_percentile(value, 0.9, 10000)").as("p90")
+      )
+      .orderBy("event_type")
+
+  /** Q3P — FilterCount with a POSITIONAL column reference, the reference's
+    * literal predicate form (`_4='Warning'`, `QueryOrchestration.cs:313-315`
+    * — its CSV-over-blob tables have no header, so columns are addressed
+    * 1-based by position). [[positionalCol]] resolves the ordinal against the
+    * schema at plan time; the resulting plan is identical to Q3's (same
+    * pushed filter), which is the point: positional reference is a naming
+    * convenience, not a different operator.
+    */
+  def q3PositionalFilterCount(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.filter(positionalCol(e, 4) === "error").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** `_<n>`-style 1-based positional column reference (`QO:313-315`). */
+  def positionalCol(df: DataFrame, ordinal1Based: Int): org.apache.spark.sql.Column =
+    col(df.columns(ordinal1Based - 1))
+
   /** J1 — JSON-in-string extraction (extension, SURVEY §2.3 scalar-function
     * checklist): pull `props.k` out of the events' JSON payload column and
     * aggregate it. `get_json_object` is codegen'd; no UDF.
@@ -320,6 +356,25 @@ object CoreQueries {
       .groupBy("event_type")
       .agg(count(lit(1)).as("cnt"), min("k").as("min_k"), max("k").as("max_k"))
       .orderBy("event_type")
+
+  /** P1 — Q2's semantics against the day-partitioned physical layout
+    * ([[Prep.dayPartitionedEventsCache]]): the `day >=` predicate prunes at
+    * the DIRECTORY level (`PartitionFilters` in the scan — whole days of a
+    * 100 TB log never touch I/O), the `ts >` predicate trims the boundary
+    * day's rows. Same count as Q2 by construction — which is the point:
+    * P1 proves the layout investment changes the scan, not the answer
+    * (hash-checked against Q2's own oracle SQL).
+    */
+  def p1PartitionedTimeCount(spark: SparkSession, dir: String): DataFrame = {
+    val layout = Prep.dayPartitionedEventsCache(spark, dir)
+    spark.read
+      .parquet(layout)
+      .where(
+        col("day") >= lit(java.sql.Date.valueOf("2024-01-15")) &&
+          col("ts") > expr("timestamp_ntz'2024-01-15 00:00:00'")
+      )
+      .agg(count(lit(1)).as("cnt"))
+  }
 
   def q9StarJoin(spark: SparkSession, dir: String): DataFrame =
     Tables

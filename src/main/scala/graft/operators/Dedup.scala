@@ -81,12 +81,31 @@ object Dedup {
       .select("doc_a", "doc_b", "inter", "un")
       .orderBy("doc_a", "doc_b")
 
+  /** Shingle stream with hot shingles (doc-frequency > `maxDf`) dropped —
+    * the stop-shingle cap that bounds the inverted-index join's fan-out. A
+    * shingle in d docs contributes C(d,2) candidate pairs, so one boilerplate
+    * string shared by 10⁶ documents alone generates ~5·10¹¹ pairs — the
+    * hot-shingle skew SCALE.md flags. Such a shingle also carries no
+    * near-duplication signal (it is corpus-wide background), so dropping it
+    * from BOTH the pair generation and the per-doc set sizes keeps Jaccard
+    * honest over the capped shingle space. The hot set is ≤ |shingles|/maxDf
+    * rows by construction → broadcast anti-join, no extra shuffle of the
+    * stream. Default cap 1000 is ~40× this corpus's max df (25 at sf0.1): at
+    * test scale nothing is dropped and n1's oracle is unchanged.
+    */
+  private[graft] def cappedShingles(docs: DataFrame, n: Int = 3, maxDf: Long = 1000L): DataFrame = {
+    val sh  = shingles(docs, n)
+    val hot = sh.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") > maxDf).select("s")
+    sh.join(broadcast(hot), Seq("s"), "left_anti")
+  }
+
   /** N1 — exact n-gram Jaccard near-dup pairs (threshold 0.8) via the
     * inverted-index self-join: only pairs sharing ≥1 shingle are ever
-    * considered.
+    * considered, and hot shingles are capped out first ([[cappedShingles]])
+    * so no single shingle can explode the join.
     */
-  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(Tables.documents(spark, dir))
+  def ngramJaccardPairs(spark: SparkSession, dir: String, maxShingleDf: Long = 1000L): DataFrame = {
+    val sh = cappedShingles(Tables.documents(spark, dir), maxDf = maxShingleDf)
     val pairs = sh
       .as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))

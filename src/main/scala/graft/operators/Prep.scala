@@ -64,6 +64,58 @@ object Prep {
       .parquet(outDir)
   }
 
+  /** Day-partitioned copy of `inDir`'s events table, built at most once per
+    * input dir (keyed by a digest of the path, `_SUCCESS`-guarded) under the
+    * JVM temp dir, and reused by every later call — the derived-layout cache
+    * a real deployment would maintain at ingest time. Returns the layout
+    * path.
+    */
+  def dayPartitionedEventsCache(spark: SparkSession, inDir: String): String = {
+    val key = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(inDir.getBytes("UTF-8"))
+      .map("%02x".format(_))
+      .mkString
+      .take(12)
+    val out     = new Path(sys.props("java.io.tmpdir"), s"graft_events_byday_$key")
+    val fs      = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val success = new Path(out, "_SUCCESS")
+    if (!fs.exists(success)) partitionEventsByDay(spark, inDir, out.toString)
+    out.toString
+  }
+
+  /** O9 passthrough mode — the reference's behavior when `BlobSizeTarget` is
+    * unset: each `.csv.gz` blob converts 1:1 to one output Parquet part
+    * named by suffix strip (`DataPreparationOrchestration.cs:101-110`).
+    * Blob conversions are independent single-file jobs (the reference runs
+    * them as parallel per-blob copies); empty blobs are dropped as in O10.
+    */
+  def passthroughCsvGz(
+      spark: SparkSession,
+      inDir: String,
+      schema: StructType,
+      outDir: String,
+      header: Boolean = false
+  ): CompactionStats = {
+    val conf  = spark.sparkContext.hadoopConfiguration
+    val in    = new Path(inDir)
+    val fs    = in.getFileSystem(conf)
+    val blobs = fs.listStatus(in).filter(f => f.isFile && f.getLen > 0 && f.getPath.getName.endsWith(".csv.gz"))
+    blobs.foreach { b =>
+      val stripped = b.getPath.getName.dropRight(".csv.gz".length)
+      spark.read
+        .schema(schema)
+        .option("header", header.toString)
+        .csv(b.getPath.toString)
+        .coalesce(1) // 1:1 blob mapping — one part per input blob
+        .write
+        .mode("overwrite")
+        .option("compression", "snappy")
+        .parquet(s"$outDir/$stripped.parquet")
+    }
+    CompactionStats(blobs.length.toLong, blobs.map(_.getLen).sum, blobs.length.toLong)
+  }
+
   /** CSV(.gz) → Parquet with a declared (never inferred) schema, matching
     * the reference's declare-don't-infer stance (`DP:165`).
     */

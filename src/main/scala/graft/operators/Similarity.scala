@@ -3,7 +3,6 @@ package graft.operators
 import graft.functions.VectorFunctions
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
@@ -30,6 +29,29 @@ object Similarity {
     Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Rank a (vec_id, cos) frame: top-k by cosine desc (vec_id tiebreak) →
+    * (rnk, vec_id). `orderBy+limit` plans as `TakeOrderedAndProject`
+    * (distributed per-partition top-k, driver merge); the final ranking then
+    * runs over the ≤k surviving rows as one `array_sort`+`posexplode` — no
+    * partitionless ranking window (which would warn and force a single
+    *-partition WindowExec even for k rows).
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+      .agg(collect_list(struct(col("cos"), col("vec_id"))).as("top"))
+      .select(
+        posexplode(
+          expr(
+            "array_sort(top, (a, b) -> case when a.cos > b.cos then -1 when a.cos < b.cos then 1 " +
+              "when a.vec_id < b.vec_id then -1 when a.vec_id > b.vec_id then 1 else 0 end)"
+          )
+        ).as(Seq("pos", "t"))
+      )
+      .select((col("pos") + 1).cast("long").as("rnk"), col("t.vec_id").as("vec_id"))
+      .orderBy("rnk")
+
   /** S1 — exact brute-force top-k for the query vector `vec_id = 0`.
     * Output: (rnk, vec_id), rank by cosine desc with id tiebreak.
     */
@@ -41,13 +63,7 @@ object Similarity {
       .where(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), expr("cosine_sim(embedding, qv)").as("cos"))
-    // orderBy+limit plans as TakeOrderedAndProject (distributed top-k);
-    // the row_number window then runs on k rows only.
-    scored
-      .orderBy(col("cos").desc, col("vec_id"))
-      .limit(k)
-      .withColumn("rnk", row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
-      .select("rnk", "vec_id")
+    rankTopK(scored, k)
   }
 
   /** S3 — grouped batch ANN: top-k neighbors for *each* of the first
@@ -146,13 +162,12 @@ object Similarity {
       .take(nProbe)
       .map(_._2)
 
-    e.withColumn("cl", assign(refined))
-      .where(col("cl").isin(probes.toIndexedSeq: _*) && col("vec_id") =!= queryId)
-      .select(col("vec_id"), call_function("cosine_sim", col("embedding"), typedLit(qv)).as("cos"))
-      .orderBy(col("cos").desc, col("vec_id"))
-      .limit(k)
-      .withColumn("rnk", row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
-      .select("rnk", "vec_id")
+    rankTopK(
+      e.withColumn("cl", assign(refined))
+        .where(col("cl").isin(probes.toIndexedSeq: _*) && col("vec_id") =!= queryId)
+        .select(col("vec_id"), call_function("cosine_sim", col("embedding"), typedLit(qv)).as("cos")),
+      k
+    )
   }
 
   /** S2 — LSH-bucketed ANN: random-hyperplane signatures, 4 bands × 4 bits,
@@ -191,11 +206,6 @@ object Similarity {
       .join(broadcast(qBands), col("band") === col("qband") && col("bv") === col("qbv"))
       .select(col("vec_id"), col("embedding"), col("qv"))
       .dropDuplicates("vec_id")
-    cand
-      .select(col("vec_id"), expr("cosine_sim(embedding, qv)").as("cos"))
-      .orderBy(col("cos").desc, col("vec_id"))
-      .limit(k)
-      .withColumn("rnk", row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
-      .select("rnk", "vec_id")
+    rankTopK(cand.select(col("vec_id"), expr("cosine_sim(embedding, qv)").as("cos")), k)
   }
 }

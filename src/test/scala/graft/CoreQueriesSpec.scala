@@ -58,6 +58,36 @@ class CoreQueriesSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
   }
 
+  test("x3 approx percentiles within 2% rank error of the true quantile") {
+    val approx = CoreQueries
+      .x3ApproxPercentiles(spark, sf001)
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val vals = graft.sources.Tables
+      .events(spark, sf001)
+      .select("event_type", "value")
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getDouble(1)).sorted }
+    assert(approx.keySet == vals.keySet)
+    for ((t, (p50, p90)) <- approx) {
+      val v = vals(t)
+      def rankOf(x: Double): Double = v.count(_ <= x).toDouble / v.length
+      assert(math.abs(rankOf(p50) - 0.5) <= 0.02, s"$t p50=$p50 rank=${rankOf(p50)}")
+      assert(math.abs(rankOf(p90) - 0.9) <= 0.02, s"$t p90=$p90 rank=${rankOf(p90)}")
+    }
+  }
+
+  test("q3p positional form computes the same count as q3 with the same pushed filter") {
+    assert(
+      CoreQueries.q3PositionalFilterCount(spark, sf0001).head().getLong(0) ==
+        CoreQueries.q3FilterCount(spark, sf0001).head().getLong(0)
+    )
+    val plan = CoreQueries.q3PositionalFilterCount(spark, sf0001).queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(event_type,"), plan)
+  }
+
   test("q9 star join") {
     val rows = CoreQueries.q9StarJoin(spark, sf0001).collect()
     assert(rows.length == 25)

@@ -72,6 +72,30 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.embeddingDupPairs(spark, sf0001).count() == 0L)
   }
 
+  test("n1 stop-shingle cap kills hot-shingle fan-out, keeps true near-dup pairs") {
+    import spark.implicits._
+    // 40 docs share ONE boilerplate shingle (a 40-doc clique = 780 candidate
+    // pairs from that shingle alone — the hot-shingle skew shape); docs
+    // 100/101 are genuine near-dups (Jaccard 8/9).
+    val docs = (0L until 40L).map(i => (i, s"common header line unique$i fill${i}a fill${i}b")) ++ Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota kappa extra")
+    )
+    val df     = docs.toDF("doc_id", "text")
+    val raw    = Dedup.shingles(df)
+    val capped = Dedup.cappedShingles(df, maxDf = 10)
+    assert(raw.where(col("s") === "common header line").count() == 40L)
+    assert(capped.where(col("s") === "common header line").count() == 0L)
+    def candPairs(sh: org.apache.spark.sql.DataFrame): Long =
+      sh.as("a")
+        .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id"))
+        .distinct()
+        .count()
+    assert(candPairs(raw) >= 780L + 1L)  // the clique dominates
+    assert(candPairs(capped) == 1L, "only the true near-dup pair survives the cap")
+  }
+
   test("exact dup groups: empty on the real corpus, correct on planted dups") {
     assert(Dedup.exactDupRows(spark, sf0001).count() == 0L)
     // planted: docs 2 and 5 share text with 1 and 4 respectively

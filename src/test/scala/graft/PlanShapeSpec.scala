@@ -75,6 +75,15 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("p1 prunes day directories (PartitionFilters) and matches q2's answer") {
+    val p1   = CoreQueries.p1PartitionedTimeCount(spark, sf0001)
+    val plan = executedPlan(p1)
+    // directory-level pruning must be visible in the scan — an empty
+    // "PartitionFilters: []" means the layout investment bought nothing
+    assert("PartitionFilters: \\[[^\\]]*day".r.findFirstIn(plan).isDefined, plan)
+    assert(p1.head().getLong(0) == CoreQueries.q2TimeFilterCount(spark, sf0001).head().getLong(0))
+  }
+
   test("ann scoring stays in whole-stage codegen (no fallback)") {
     val df   = Similarity.annBruteForce(spark, sf0001)
     df.collect() // forces codegen; a CompileException fallback would log loudly

@@ -31,6 +31,32 @@ class PrepSpec extends SparkSpec {
     assert(before.exceptAll(after).count() == 0L)
   }
 
+  test("passthrough mode converts blobs 1:1 with .csv.gz suffix strip (DP:101-110)") {
+    val tmp = Files.createTempDirectory("graft_pass").toString
+    import spark.implicits._
+    // two non-empty blobs + one empty blob (must be dropped, QO:459-462)
+    Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name")
+      .coalesce(1).write.option("compression", "gzip").csv(s"$tmp/a")
+    Seq((3L, "gamma")).toDF("id", "name")
+      .coalesce(1).write.option("compression", "gzip").csv(s"$tmp/b")
+    val in = Files.createDirectory(java.nio.file.Paths.get(tmp, "in")).toString
+    def moveBlob(from: String, to: String): Unit = {
+      val f = new java.io.File(from).listFiles().filter(_.getName.endsWith(".csv.gz")).head
+      assert(f.renameTo(new java.io.File(in, to)))
+    }
+    moveBlob(s"$tmp/a", "blob-one.csv.gz")
+    moveBlob(s"$tmp/b", "blob-two.csv.gz")
+    Files.createFile(java.nio.file.Paths.get(in, "empty.csv.gz"))
+    val schema = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
+    val stats  = Prep.passthroughCsvGz(spark, in, schema, s"$tmp/out")
+    assert(stats.inFiles == 2L && stats.outFiles == 2L) // empty blob dropped
+    // 1:1 naming: each output part is the blob name minus the suffix
+    val outNames = new java.io.File(s"$tmp/out").listFiles().map(_.getName).toSet
+    assert(outNames == Set("blob-one.parquet", "blob-two.parquet"))
+    val back = spark.read.parquet(s"$tmp/out/*.parquet")
+    assert(back.count() == 3L)
+  }
+
   test("csv.gz -> parquet conversion with declared schema (O9)") {
     val tmp = Files.createTempDirectory("graft_csv").toString
     import spark.implicits._
