@@ -102,20 +102,27 @@ object Dedup {
   /** N1 — exact n-gram Jaccard near-dup pairs (threshold 0.8) via the
     * inverted-index self-join: only pairs sharing ≥1 shingle are ever
     * considered, and hot shingles are capped out first ([[cappedShingles]])
-    * so no single shingle can explode the join.
+    * so no single shingle can explode the join. Each index row carries its
+    * doc's shingle-set size, so set sizes ride THROUGH the pair join as
+    * grouping keys (ca/cb are functions of doc_a/doc_b) — no separate count
+    * aggregation and no post-join count lookups.
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String, maxShingleDf: Long = 1000L): DataFrame = {
     val sh = cappedShingles(Tables.documents(spark, dir), maxDf = maxShingleDf)
-    val pairs = sh
+    val idx = sh
+      .groupBy("doc_id")
+      .agg(collect_set(col("s")).as("ss"), count(lit(1)).as("c"))
+      .select(col("doc_id"), col("c"), explode(col("ss")).as("s"))
+    idx
       .as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .groupBy("doc_a", "doc_b")
+      .join(idx.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        col("a.c").as("ca"),
+        col("b.c").as("cb")
+      )
       .agg(count(lit(1)).as("inter"))
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
-    pairs
-      .join(cnt.select(col("doc_id").as("doc_a"), col("c").as("ca")), "doc_a")
-      .join(cnt.select(col("doc_id").as("doc_b"), col("c").as("cb")), "doc_b")
       .withColumn("un", col("ca") + col("cb") - col("inter"))
       .where(col("inter") * 5 >= col("un") * 4)
       .select("doc_a", "doc_b", "inter", "un")

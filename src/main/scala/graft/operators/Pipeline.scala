@@ -23,6 +23,12 @@ object Pipeline {
 
   /** C1 — surviving doc_ids after cleaning: ≥ minTokens tokens, predicted
     * language in `langs`, not a near-duplicate of a lower-id doc.
+    *
+    * The quality and language predicates are ONE fused narrow filter on the
+    * corpus scan ([[TextAnalysis.langPredCol]] inlined) — no per-signal
+    * rescans or doc_id joins; near-dup pairs come from the MinHash rung and
+    * are removed with a single anti-join. Wide work = the dedup machinery's
+    * own, nothing else.
     */
   def cleanCorpus(
       spark: SparkSession,
@@ -30,19 +36,15 @@ object Pipeline {
       langs: Set[String] = Set("en"),
       minTokens: Int = 20
   ): DataFrame = {
-    val quality = TextAnalysis
-      .textQuality(spark, dir)
-      .where(col("n_tokens") >= minTokens)
+    val pairs = Dedup.minhashLshPairs(spark, dir) // ≡ exact on this corpus's similarity gap
+    Tables
+      .documents(spark, dir)
+      .where(
+        size(split(col("text"), " ")) >= minTokens &&
+          TextAnalysis.langPredCol.isin(langs.toSeq: _*)
+      )
       .select("doc_id")
-    val lang = TextAnalysis
-      .langId(spark, dir)
-      .where(col("lang_pred").isin(langs.toSeq: _*))
-      .select("doc_id")
-    Dedup
-      .dropNearDuplicates(spark, dir) // MinHash+LSH rung (≡ exact on this corpus's similarity gap)
-      .select("doc_id")
-      .join(quality, "doc_id")
-      .join(lang, "doc_id")
+      .join(pairs.select(col("doc_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
   }
 }

@@ -51,6 +51,23 @@ object TextAnalysis {
     "zh" -> Seq("的", "是", "了", "在")
   )
 
+  private def markerScore(ws: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(ws))).cast("long")
+
+  /** Argmax language prediction with fixed precedence (en > de > fr > es >
+    * zh) as a self-contained Column over `text` — usable inside any narrow
+    * scan (Pipeline fuses it into the corpus-cleaning filter; Catalyst's
+    * subexpression elimination shares the repeated score terms).
+    */
+  def langPredCol: Column = {
+    val s = langMarkers.map { case (l, ws) => l -> markerScore(ws) }.toMap
+    when(s("en") >= s("de") && s("en") >= s("fr") && s("en") >= s("es") && s("en") >= s("zh"), "en")
+      .when(s("de") >= s("fr") && s("de") >= s("es") && s("de") >= s("zh"), "de")
+      .when(s("fr") >= s("es") && s("fr") >= s("zh"), "fr")
+      .when(s("es") >= s("zh"), "es")
+      .otherwise("zh")
+  }
+
   /** D3 — heuristic language ID: count marker-stopword hits per language,
     * pick argmax with fixed precedence (en > de > fr > es > zh). Emits the
     * per-language scores alongside the prediction so downstream filters can
@@ -61,9 +78,7 @@ object TextAnalysis {
       .documents(spark, dir)
       .select(
         col("doc_id") +:
-          langMarkers.map { case (l, ws) =>
-            size(filter(toks, t => t.isInCollection(ws))).cast("long").as(s"s_$l")
-          }: _*
+          langMarkers.map { case (l, ws) => markerScore(ws).as(s"s_$l") }: _*
       )
     val pred = when(
       col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
