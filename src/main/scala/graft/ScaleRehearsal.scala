@@ -58,8 +58,20 @@ object ScaleRehearsal {
       df.withColumn("doc_id", col("doc_id") + lit(i * Stride))
         .withColumn("text", concat(col("text"), lit(s" replica${i}tok")))
     }
-    // dimensions + embeddings pass through unreplicated
-    Seq("customer", "supplier", "part", "nation", "region", "embeddings").foreach { t =>
+    replicate("embeddings") { (df, i) =>
+      // ids offset; replicas i>0 get deterministic per-component noise
+      // (~±1% of a unit gaussian) so each base vector's replicas are
+      // near-dups of each other at cosine ≥~0.99 — n4's positive path at
+      // scale, with pair structure reps²× the base corpus's
+      df.withColumn("vec_id", col("vec_id") + lit(i * Stride))
+        .withColumn(
+          "embedding",
+          if (i == 0) col("embedding")
+          else expr(s"transform(embedding, (x, j) -> float(x + (pmod(hash(vec_id, j, $i), 1000) - 500) / 50000.0))")
+        )
+    }
+    // dimensions pass through unreplicated
+    Seq("customer", "supplier", "part", "nation", "region").foreach { t =>
       spark.read.parquet(s"$src/$t.parquet").write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }
     fs.create(new org.apache.hadoop.fs.Path(s"$dst/_built")).close()
@@ -74,8 +86,10 @@ object ScaleRehearsal {
 
     val headline = Seq(
       "q1_total_count", "q2_time_filter_count", "q4_min_max", "q5_max_by",
-      "q9_star_join", "q11_pricing_summary", "n2_minhash_lsh_pairs",
-      "n3_simhash_pairs", "s1_ann_bruteforce", "s3_ann_batch_topk", "w2_sessionize"
+      "q9_star_join", "q11_pricing_summary", "n1_ngram_jaccard_pairs",
+      "n2_minhash_lsh_pairs", "n3_simhash_pairs", "n4_embedding_dup_pairs",
+      "c1_clean_corpus", "s1_ann_bruteforce", "s3_ann_batch_topk",
+      "w2_sessionize", "p1_partitioned_time_count", "x3_approx_percentiles"
     )
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
     headline.foreach { name =>

@@ -42,6 +42,10 @@ object SparkEntry {
     "x3_approx_percentiles" -> (CoreQueries.x3ApproxPercentiles _),
     "q3p_positional_filter_count" -> (CoreQueries.q3PositionalFilterCount _),
     "p1_partitioned_time_count"   -> (CoreQueries.p1PartitionedTimeCount _),
+    "q19_cube"     -> (CoreQueries.q19Cube _),
+    "q20_pivot"    -> (CoreQueries.q20Pivot _),
+    "q13e_except"  -> (CoreQueries.q13eExcept _),
+    "s5_range_search" -> ((s: SparkSession, d: String) => Similarity.rangeSearch(s, d)),
     // text analysis (SURVEY §7 phase D / builder extensions)
     "d1_token_count"  -> (TextAnalysis.tokenCount _),
     "d2_text_quality" -> (TextAnalysis.textQuality _),
@@ -112,6 +116,25 @@ object SparkEntry {
         "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) * 10000 AS BIGINT) AS sum_disc_e4, " +
         "COUNT(*) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-06-30 00:00:00' " +
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "q19_cube" ->
+      ("SELECT l_returnflag, l_linestatus, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT) AS sum_qty_cents, " +
+        "COUNT(*) AS cnt FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"),
+    "q20_pivot" ->
+      ("SELECT CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "COUNT(*) FILTER (WHERE event_type = 'click') AS click, " +
+        "COUNT(*) FILTER (WHERE event_type = 'error') AS error, " +
+        "COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase, " +
+        "COUNT(*) FILTER (WHERE event_type = 'signup') AS signup, " +
+        "COUNT(*) FILTER (WHERE event_type = 'view') AS \"view\" " + // quoted: VIEW is reserved
+        "FROM events GROUP BY 1 ORDER BY day"),
+    "q13e_except" ->
+      ("SELECT c_custkey FROM customer EXCEPT " +
+        "SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT' " +
+        "ORDER BY c_custkey"),
+    "s5_range_search" ->
+      ("SELECT e.vec_id FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q " +
+        "WHERE e.vec_id <> 0 AND list_cosine_similarity(e.embedding, q.qv) >= 0.30 ORDER BY e.vec_id"),
     "q12_window_topk" ->
       ("SELECT o_orderpriority, rn, o_orderkey FROM (SELECT o_orderpriority, o_orderkey, " +
         "row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn " +

@@ -178,6 +178,60 @@ object CoreQueries {
       )
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** Q19 — CUBE aggregation: all four grouping sets over
+    * (returnflag, linestatus) — the full grouping-sets surface beside Q10's
+    * ROLLUP (SURVEY §2.3 lists grouping sets as absent from the reference;
+    * Spark's are native GROUPING SETS expansion inside one aggregation, not
+    * a union of re-scans). Measures in BIGINT minor units as in Q10/Q11.
+    */
+  def q19Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(
+        (sum(col("l_quantity").cast("decimal(12,2)")) * 100).cast("long").as("sum_qty_cents"),
+        count(lit(1)).as("cnt")
+      )
+      .orderBy(
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first
+      )
+
+  /** Q20 — PIVOT: one row per day, one count column per event type. The
+    * pivot value list is declared (never inferred — inference would scan
+    * twice and make the schema data-dependent, both wrong at 100 TB); a
+    * pivot over K declared values is a single grouped aggregation with K
+    * conditional counts, exactly what the oracle's COUNT(*) FILTER form
+    * computes. Missing combinations are 0, matching SQL FILTER semantics.
+    */
+  def q20Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .withColumn("day", col("ts").cast("date"))
+      .groupBy("day")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na
+      .fill(0L)
+      .orderBy("day")
+
+  /** Q13E — set difference (EXCEPT): customers minus those with an URGENT
+    * order. Completes the set-op family beside Q13's INTERSECT, and is Q14's
+    * NOT-EXISTS expressed as a set op — Catalyst plans both as a left-anti
+    * join, so the answers (and plans) coincide.
+    */
+  def q13eExcept(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .customer(spark, dir)
+      .select("c_custkey")
+      .except(
+        Tables
+          .orders(spark, dir)
+          .where(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("c_custkey"))
+      )
+      .orderBy("c_custkey")
+
   /** Q12 — ranking window: top-3 orders by totalprice per priority class.
     * Order key includes o_orderkey so ranking is total (no FP tie wobble);
     * output carries only keys/ranks, never the double measure.

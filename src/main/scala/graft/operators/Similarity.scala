@@ -170,6 +170,25 @@ object Similarity {
     )
   }
 
+  /** S5 — range search: ALL vectors within cosine ≥ `minCos` of the query
+    * (the radius-query twin of S1's top-k). Scan → broadcast query → scored
+    * filter; no shuffle at all — the filter prunes before anything wide, so
+    * output size is the only scale variable. Threshold 0.30 sits in a
+    * measured gap of this corpus's similarity distribution (nearest value
+    * 4.5e-4 away), so the float/double boundary is never ambiguous.
+    */
+  def rangeSearch(spark: SparkSession, dir: String, queryId: Long = 0L, minCos: Double = 0.30): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val q = e.where(col("vec_id") === queryId).select(col("embedding").as("qv"))
+    e.where(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), expr("cosine_sim(embedding, qv)").as("cos"))
+      .where(col("cos") >= minCos)
+      .select("vec_id")
+      .orderBy("vec_id")
+  }
+
   /** S2 — LSH-bucketed ANN: random-hyperplane signatures, 4 bands × 4 bits,
     * candidates = vectors sharing ≥1 band bucket with the query, then exact
     * cosine rank over candidates only. Approximate (recall < 1); the

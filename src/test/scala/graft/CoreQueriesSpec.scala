@@ -88,6 +88,28 @@ class CoreQueriesSpec extends SparkSpec {
     assert(plan.contains("EqualTo(event_type,"), plan)
   }
 
+  test("q19 cube: grand-total row equals the table count; all 4 grouping sets present") {
+    val rows  = CoreQueries.q19Cube(spark, sf0001).collect()
+    val total = graft.sources.Tables.lineitem(spark, sf0001).count()
+    // NULLS FIRST ordering puts the (null, null) grand total first
+    assert(rows.head.isNullAt(0) && rows.head.isNullAt(1) && rows.head.getLong(3) == total)
+    // cube = rollup's sets plus the (linestatus-only) slice
+    assert(rows.exists(r => r.isNullAt(0) && !r.isNullAt(1)))
+  }
+
+  test("q20 pivot: per-day counts sum back to the table count") {
+    val rows = CoreQueries.q20Pivot(spark, sf0001).collect()
+    val total = rows.map(r => (1 to 5).map(r.getLong(_)).sum).sum
+    assert(total == graft.sources.Tables.events(spark, sf0001).count())
+    assert(rows.length == 30) // events span 2024-01-01..30 at sf0.001
+  }
+
+  test("q13e except == q14 anti-join (NOT EXISTS as a set op)") {
+    val except = CoreQueries.q13eExcept(spark, sf0001).collect().map(_.getLong(0)).toSeq
+    val anti   = CoreQueries.q14AntiJoin(spark, sf0001).collect().map(_.getLong(0)).toSeq
+    assert(except == anti && except.nonEmpty)
+  }
+
   test("q9 star join") {
     val rows = CoreQueries.q9StarJoin(spark, sf0001).collect()
     assert(rows.length == 25)

@@ -96,6 +96,20 @@ class DedupSpec extends SparkSpec {
     assert(candPairs(capped) == 1L, "only the true near-dup pair survives the cap")
   }
 
+  test("s5 range search == brute-force threshold filter") {
+    VectorFunctions.register(spark)
+    val s5 = graft.operators.Similarity.rangeSearch(spark, sf0001).collect().map(_.getLong(0)).toSet
+    val e  = graft.sources.Tables.embeddings(spark, sf0001)
+    val brute = e
+      .where(col("vec_id") =!= 0L)
+      .crossJoin(e.where(col("vec_id") === 0L).select(col("embedding").as("qv")))
+      .where(expr("cosine_sim(embedding, qv)") >= 0.30)
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(s5 == brute && s5.nonEmpty)
+  }
+
   test("exact dup groups: empty on the real corpus, correct on planted dups") {
     assert(Dedup.exactDupRows(spark, sf0001).count() == 0L)
     // planted: docs 2 and 5 share text with 1 and 4 respectively
