@@ -43,6 +43,7 @@ object SparkEntry {
     "q3p_positional_filter_count" -> (CoreQueries.q3PositionalFilterCount _),
     "p1_partitioned_time_count"   -> (CoreQueries.p1PartitionedTimeCount _),
     "q19_cube"     -> (CoreQueries.q19Cube _),
+    "q21_part_brand_revenue" -> (CoreQueries.q21PartBrandRevenue _),
     "q20_pivot"    -> (CoreQueries.q20Pivot _),
     "q13e_except"  -> (CoreQueries.q13eExcept _),
     "s5_range_search" -> ((s: SparkSession, d: String) => Similarity.rangeSearch(s, d)),
@@ -135,6 +136,10 @@ object SparkEntry {
     "s5_range_search" ->
       ("SELECT e.vec_id FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q " +
         "WHERE e.vec_id <> 0 AND list_cosine_similarity(e.embedding, q.qv) >= 0.30 ORDER BY e.vec_id"),
+    "q21_part_brand_revenue" ->
+      ("SELECT p_brand, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) * 10000 AS BIGINT) AS revenue_e4, " +
+        "COUNT(*) AS cnt FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "GROUP BY p_brand ORDER BY p_brand"),
     "q12_window_topk" ->
       ("SELECT o_orderpriority, rn, o_orderkey FROM (SELECT o_orderpriority, o_orderkey, " +
         "row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn " +

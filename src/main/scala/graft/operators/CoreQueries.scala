@@ -430,6 +430,26 @@ object CoreQueries {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Q21 — part-dimension revenue: lineitem ⋈ part, discounted revenue per
+    * brand (completes table coverage — every table the engine serves now has
+    * a registered query). `part` is a mid-size dimension: explicitly
+    * broadcast at test scale; at 100 TB its size class decides (AQE picks
+    * broadcast vs shuffle from runtime stats — the declarative join is
+    * correct either way). Revenue in BIGINT 1e-4 units per the decimal rule.
+    */
+  def q21PartBrandRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        (sum(col("l_extendedprice").cast("decimal(12,2)") * (lit(1) - col("l_discount").cast("decimal(12,2)"))) * 10000)
+          .cast("long")
+          .as("revenue_e4"),
+        count(lit(1)).as("cnt")
+      )
+      .orderBy("p_brand")
+
   def q9StarJoin(spark: SparkSession, dir: String): DataFrame =
     Tables
       .lineitem(spark, dir)

@@ -93,6 +93,34 @@ object EventStream {
       }
       .start()
 
+  /** W3 — streaming ingest dedup: drop events whose `event_id` was already
+    * seen, keeping state only within the watermark horizon
+    * (`dropDuplicatesWithinWatermark`) — the exactly-once-ingest operator an
+    * at-least-once delivery pipeline (every log/queue replay) needs in front
+    * of a training corpus. State is keyed by event_id but EVICTED once the
+    * watermark passes an event's time + interval, so memory is
+    * O(events-in-horizon), not O(stream history) — the property plain
+    * `dropDuplicates` lacks on an unbounded stream. Duplicates arriving
+    * within the horizon are suppressed (StreamingSpec stages a cross-batch
+    * replay to prove it); re-deliveries later than the watermark are by
+    * definition outside the delivery-retry window.
+    */
+  def dedupedEventStream(
+      spark: SparkSession,
+      eventsDir: String,
+      sinkTable: String,
+      watermark: String = "1 hour"
+  ): StreamingQuery =
+    streamingEvents(spark, eventsDir)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+      .select("event_id", "user_id", "event_type")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sinkTable)
+      .start()
+
   /** Append-mode variant: a window's counts are emitted exactly once, when
     * the watermark passes its end — and events arriving later than the
     * watermark are *dropped*, the behavior that bounds state on an unbounded

@@ -73,6 +73,36 @@ class StreamingSpec extends SparkSpec {
     assert(emitted.contains(day2) && emitted(day2) == batch(day2))
   }
 
+  test("streaming dedup suppresses cross-batch replays within the watermark") {
+    import org.apache.spark.sql.functions._
+    val dir     = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
+    val staging = java.nio.file.Files.createTempDirectory("graft_dedup_stage")
+    val events  = graft.sources.Tables.events(spark, sf0001)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      df.coalesce(1).write.mode("overwrite").parquet(s"$staging/$name")
+      java.nio.file.Files.move(
+        java.nio.file.Files.list(staging.resolve(name)).filter(_.toString.endsWith(".parquet")).findFirst.get,
+        dir.resolve(s"$name.parquet")
+      )
+    }
+    // batch 1: the last day of the month; batch 2: an at-least-once delivery
+    // REPLAY of the same rows (same event_ids, same timestamps — within the
+    // watermark horizon, so the dedup state must still remember them)
+    val day = "2024-01-30 00:00:00"
+    stage(events.where(col("ts") >= day), "b1")
+    val q = EventStream.dedupedEventStream(spark, dir.toString, "dedup_sink")
+    try {
+      q.processAllAvailable()
+      stage(events.where(col("ts") >= day), "b2_replay")
+      q.processAllAvailable()
+    } finally q.stop()
+    val sink     = spark.table("dedup_sink")
+    val expected = events.where(col("ts") >= day).count()
+    assert(expected > 0)
+    assert(sink.count() == expected, "replayed rows must be suppressed, originals kept")
+    assert(sink.groupBy("event_id").count().where(col("count") > 1).count() == 0)
+  }
+
   test("foreachBatch parquet sink lands a readable folder-of-parquet table") {
     import org.apache.spark.sql.functions._
     val in  = java.nio.file.Files.createTempDirectory("graft_sink_in")
