@@ -62,6 +62,7 @@ object SparkEntry {
     "s2_ann_lsh"        -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
     "s3_ann_batch_topk" -> ((s: SparkSession, d: String) => Similarity.annBatchTopK(s, d)),
     "s4_ann_ivf"        -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
+    "s6_ann_ivf_partitioned" -> ((s: SparkSession, d: String) => Similarity.annIvfPartitioned(s, d)),
     "c1_clean_corpus"   -> ((s: SparkSession, d: String) => Pipeline.cleanCorpus(s, d)),
     "a1_asof_join"      -> (AsOf.purchaseAsofClick _),
     "a2_interval_join"  -> ((s: SparkSession, d: String) => AsOf.intervalPairCount(s, d)),
@@ -252,10 +253,11 @@ object SparkEntry {
         "WHERE len(string_split(d.text, ' ')) >= 20 AND d.doc_id NOT IN (SELECT db FROM dup) " +
         "ORDER BY d.doc_id")
     }
-    // n3_simhash_pairs, s2_ann_lsh, s4_ann_ivf, x3_approx_percentiles:
-    // outputs depend on engine-internal hashing / plane seeds / quantizer /
-    // sketch state — no SQL oracle; covered by DedupSpec / SimilaritySpec /
-    // CoreQueriesSpec bound checks (rows-only at the driver gate).
+    // n3_simhash_pairs, s2_ann_lsh, s4_ann_ivf, s6_ann_ivf_partitioned,
+    // x3_approx_percentiles: outputs depend on engine-internal hashing /
+    // plane seeds / quantizer / sketch state — no SQL oracle; covered by
+    // DedupSpec / SimilaritySpec / CoreQueriesSpec bound checks (rows-only
+    // at the driver gate; s6 additionally spec-pinned equal to s4).
   )
 
   private val ngramJaccardOracle: String =

@@ -105,6 +105,58 @@ object Similarity {
     * be computed once at ingest and stored as a partition column in a real
     * deployment — then probe search becomes partition pruning.
     */
+  /** Cluster-assignment column: argmax cosine over `cs` via array_max on
+    * struct(cos, idx) — lexicographic struct comparison orders by cos first,
+    * idx breaks exact ties.
+    */
+  private[operators] def assignCol(cs: Array[Seq[Float]]): Column =
+    array_max(array(cs.zipWithIndex.map { case (c, i) =>
+      struct(call_function("cosine_sim", col("embedding"), typedLit(c)).as("cos"), lit(i).as("idx"))
+    }: _*)).getField("idx")
+
+  /** Coarse quantizer: deterministic seeds (the nClusters lowest-id vectors)
+    * + one distributed Lloyd refinement (mean per (cluster, dim) — only
+    * C×dim floats ever reach the driver).
+    */
+  private[operators] def refinedCentroids(e: DataFrame, nClusters: Int): Array[Seq[Float]] = {
+    val seeds: Array[Seq[Float]] =
+      e.orderBy("vec_id").limit(nClusters).collect().map(_.getSeq[Float](1))
+    val dims = seeds.head.length
+    val refinedRows = e
+      .withColumn("cl", assignCol(seeds))
+      .select(col("cl"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .groupBy("cl", "d")
+      .agg(avg("v").as("m"))
+      .collect()
+    val byCluster = refinedRows.groupBy(_.getInt(0))
+    (0 until nClusters).map { c =>
+      byCluster.get(c) match {
+        case Some(rows) =>
+          val m = new Array[Float](dims)
+          rows.foreach(r => m(r.getInt(1)) = r.getDouble(2).toFloat)
+          m.toSeq
+        case None => seeds(c) // empty cluster keeps its seed
+      }
+    }.toArray
+  }
+
+  private def cosLocal(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    for (i <- a.indices) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+    if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** The nProbe cluster ids nearest the query vector (centroids are local —
+    * driver-side coordination over C×dim floats, by design).
+    */
+  private[operators] def probeIds(qv: Seq[Float], centroids: Array[Seq[Float]], nProbe: Int): Seq[Int] =
+    centroids.zipWithIndex
+      .map { case (c, i) => (cosLocal(qv, c), i) }
+      .sortBy { case (c, i) => (-c, i) }
+      .take(nProbe)
+      .map(_._2)
+      .toIndexedSeq
+
   def annIvf(
       spark: SparkSession,
       dir: String,
@@ -114,60 +166,89 @@ object Similarity {
       nProbe: Int = 4
   ): DataFrame = {
     VectorFunctions.register(spark)
-    val e = Tables.embeddings(spark, dir)
-
-    def cosTo(centroid: Seq[Float]): Column =
-      call_function("cosine_sim", col("embedding"), typedLit(centroid))
-    // argmax over centroids: array_max on struct(cos, idx) orders by cos
-    // first (lexicographic struct comparison), idx breaks exact ties.
-    def assign(cs: Array[Seq[Float]]): Column =
-      array_max(array(cs.zipWithIndex.map { case (c, i) =>
-        struct(cosTo(c).as("cos"), lit(i).as("idx"))
-      }: _*)).getField("idx")
-
-    // deterministic seeds: the nClusters lowest-id vectors
-    val seeds: Array[Seq[Float]] =
-      e.orderBy("vec_id").limit(nClusters).collect().map(_.getSeq[Float](1))
-    // one Lloyd iteration, computed distributed: mean per (cluster, dim)
-    val dims = seeds.head.length
-    val refinedRows = e
-      .withColumn("cl", assign(seeds))
-      .select(col("cl"), posexplode(col("embedding")).as(Seq("d", "v")))
-      .groupBy("cl", "d")
-      .agg(avg("v").as("m"))
-      .collect()
-    val refined: Array[Seq[Float]] = {
-      val byCluster = refinedRows.groupBy(_.getInt(0))
-      (0 until nClusters).map { c =>
-        byCluster.get(c) match {
-          case Some(rows) =>
-            val m = new Array[Float](dims)
-            rows.foreach(r => m(r.getInt(1)) = r.getDouble(2).toFloat)
-            m.toSeq
-          case None => seeds(c) // empty cluster keeps its seed
-        }
-      }.toArray
-    }
-
-    // probe order for the query vector, computed locally (centroids local)
-    val qv = e.where(col("vec_id") === queryId).select("embedding").head().getSeq[Float](0)
-    def cosLocal(a: Seq[Float], b: Seq[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      for (i <- a.indices) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
-      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
-    }
-    val probes = refined.zipWithIndex
-      .map { case (c, i) => (cosLocal(qv, c), i) }
-      .sortBy { case (c, i) => (-c, i) }
-      .take(nProbe)
-      .map(_._2)
-
+    val e       = Tables.embeddings(spark, dir)
+    val refined = refinedCentroids(e, nClusters)
+    val qv      = e.where(col("vec_id") === queryId).select("embedding").head().getSeq[Float](0)
+    val probes  = probeIds(qv, refined, nProbe)
     rankTopK(
-      e.withColumn("cl", assign(refined))
-        .where(col("cl").isin(probes.toIndexedSeq: _*) && col("vec_id") =!= queryId)
+      e.withColumn("cl", assignCol(refined))
+        .where(col("cl").isin(probes: _*) && col("vec_id") =!= queryId)
         .select(col("vec_id"), call_function("cosine_sim", col("embedding"), typedLit(qv)).as("cos")),
       k
     )
+  }
+
+  /** S6 — IVF probe search as PARTITION PRUNING: the cluster assignment is
+    * computed once at "ingest" and persisted as a hive partition column
+    * (`cl=<id>/` directories, centroids alongside), so a probe search reads
+    * ONLY the probed clusters' directories — `PartitionFilters` in the scan,
+    * zero I/O for the other (nClusters − nProbe)/nClusters of a 10¹⁰-vector
+    * corpus. This is [[annIvf]]'s docstring promise made physical, the
+    * vector analogue of [[graft.operators.CoreQueries.p1PartitionedTimeCount]].
+    * Same deterministic quantizer as S4 → same results (SimilaritySpec).
+    */
+  def annIvfPartitioned(
+      spark: SparkSession,
+      dir: String,
+      queryId: Long = 0L,
+      k: Int = 10,
+      nClusters: Int = 16,
+      nProbe: Int = 4
+  ): DataFrame = {
+    VectorFunctions.register(spark)
+    val layout    = ivfLayoutCache(spark, dir, nClusters)
+    val centroids = spark.read
+      .parquet(s"$layout/centroids.parquet")
+      .orderBy("cl")
+      .collect()
+      .map(_.getSeq[Float](1))
+    val qv     = Tables.embeddings(spark, dir).where(col("vec_id") === queryId).select("embedding").head().getSeq[Float](0)
+    val probes = probeIds(qv, centroids, nProbe)
+    rankTopK(
+      spark.read
+        .parquet(s"$layout/vectors.parquet")
+        .where(col("cl").isin(probes: _*) && col("vec_id") =!= queryId)
+        .select(col("vec_id"), call_function("cosine_sim", col("embedding"), typedLit(qv)).as("cos")),
+      k
+    )
+  }
+
+  /** Cluster-partitioned embedding layout, built at most once per input dir
+    * (`_SUCCESS`-guarded tmpdir cache, like
+    * [[graft.operators.Prep.dayPartitionedEventsCache]]): vectors written
+    * `partitionBy("cl")`, refined centroids persisted beside them so probe
+    * ordering needs no recompute at query time.
+    */
+  private[operators] def ivfLayoutCache(spark: SparkSession, dir: String, nClusters: Int): String = {
+    import spark.implicits._
+    val key = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(s"$dir#$nClusters".getBytes("UTF-8"))
+      .map("%02x".format(_))
+      .mkString
+      .take(12)
+    val out     = new org.apache.hadoop.fs.Path(sys.props("java.io.tmpdir"), s"graft_ivf_$key")
+    val fs      = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val success = new org.apache.hadoop.fs.Path(out, "_SUCCESS")
+    if (!fs.exists(success)) {
+      val e       = Tables.embeddings(spark, dir)
+      val refined = refinedCentroids(e, nClusters)
+      e.withColumn("cl", assignCol(refined))
+        .write
+        .mode("overwrite")
+        .partitionBy("cl")
+        .parquet(s"$out/vectors.parquet")
+      refined.zipWithIndex
+        .map { case (c, i) => (i, c) }
+        .toSeq
+        .toDF("cl", "centroid")
+        .coalesce(1)
+        .write
+        .mode("overwrite")
+        .parquet(s"$out/centroids.parquet")
+      fs.create(success).close()
+    }
+    out.toString
   }
 
   /** S5 — range search: ALL vectors within cosine ≥ `minCos` of the query

@@ -64,6 +64,16 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 2, s"ivf recall too low: $recall/10")
   }
 
+  test("s6 partitioned ivf == s4's answer, scanning only probed cluster dirs") {
+    val s4 = Similarity.annIvf(spark, sf0001).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val s6df = Similarity.annIvfPartitioned(spark, sf0001)
+    val s6   = s6df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(s6 == s4, s"partitioned layout changed the answer: $s6 vs $s4")
+    // the probe restriction must be DIRECTORY-level pruning, not a row filter
+    val plan = s6df.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cl".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("clean corpus: no surviving near-dup pair, filters actually applied") {
     val kept = graft.operators.Pipeline.cleanCorpus(spark, sf0001).collect().map(_.getLong(0)).toSet
     assert(kept.nonEmpty && kept.size < 500)
