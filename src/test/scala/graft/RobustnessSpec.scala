@@ -84,6 +84,37 @@ class RobustnessSpec extends SparkSpec {
     intercept[IllegalArgumentException](new TopKByScore(0))
   }
 
+  test("LSH embedding dedup tolerates null and zero vectors") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val e = Seq(
+      (1L, Array.fill(64)(0.5f)),
+      (2L, Array.fill(64)(0f)),                 // zero vector: cosine 0 to all
+      (3L, null.asInstanceOf[Array[Float]]),    // null embedding
+      (1001L, Array.fill(64)(0.5001f))          // near-dup of 1
+    ).toDF("vec_id", "embedding")
+    val pairs = graft.operators.Dedup
+      .embeddingDupPairsOn(e)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs == Set((1L, 1001L))) // degenerate rows degrade, never throw
+  }
+
+  test("range search with a missing query id returns empty, not an error") {
+    assert(graft.operators.Similarity.rangeSearch(spark, sf0001, queryId = -1L).collect().isEmpty)
+  }
+
+  test("stop-shingle cap leaves a no-hot-shingle corpus untouched") {
+    import spark.implicits._
+    val docs   = Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta theta")).toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "s").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val raw    = pairs(graft.operators.Dedup.shingles(docs))
+    val capped = pairs(graft.operators.Dedup.cappedShingles(docs))
+    assert(raw == capped && raw.nonEmpty)
+  }
+
   test("queries on an empty events table return empty/zero, not errors") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_empty").toString
