@@ -52,6 +52,7 @@ object SparkEntry {
     "d2_text_quality" -> (TextAnalysis.textQuality _),
     "d3_lang_id"      -> (TextAnalysis.langId _),
     "d4_fingerprint"  -> (TextAnalysis.fingerprint _),
+    "d6_token_stats"  -> (TextAnalysis.tokenStats _),
     // near-duplicate detection
     "n1_ngram_jaccard_pairs" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
     "n2_minhash_lsh_pairs"   -> (Dedup.minhashLshPairs _),
@@ -175,6 +176,14 @@ object SparkEntry {
     },
     "d4_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
+    "d6_token_stats" ->
+      ("SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::BIGINT AS n_bpe_tokens, " +
+        "len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))::BIGINT AS n_punct, " +
+        "len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'is')))::BIGINT AS n_stop, " +
+        "len(string_split(text, ' '))::BIGINT AS n_ws, " +
+        "len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) / len(string_split(text, ' ')) AS punct_ratio, " +
+        "len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'is'))) / len(string_split(text, ' ')) AS stopword_ratio " +
+        "FROM documents ORDER BY doc_id"),
     "n1_ngram_jaccard_pairs" -> ngramJaccardOracle,
     // MinHash-LSH candidates are exact-verified, and at this corpus's
     // similarity levels (planted pairs ≥0.95, next natural pair ≤0.14)

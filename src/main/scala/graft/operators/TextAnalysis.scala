@@ -94,6 +94,32 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** D6 — BPE-ish token stats: subword-style token count (letter runs /
+    * digit runs / single non-alphanumeric — the coarse shape of a byte-pair
+    * pre-tokenizer), punctuation count, and stopword hits, with ratio
+    * columns. The regex avoids `\w`/`\s` classes so Java (Spark) and RE2
+    * (DuckDB) agree by construction; ratios are long/long divisions (→
+    * double) over identical operands, bit-stable across engines. Narrow,
+    * zero-shuffle, codegen'd — like the rest of the text layer.
+    */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val bpe   = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    val punct = "[^A-Za-z0-9 ]"
+    val stops = langMarkers.toMap.apply("en")
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(bpe)).cast("long").as("n_bpe_tokens"),
+        regexp_count(col("text"), lit(punct)).cast("long").as("n_punct"),
+        size(filter(toks, t => t.isInCollection(stops))).cast("long").as("n_stop"),
+        size(toks).cast("long").as("n_ws")
+      )
+      .withColumn("punct_ratio", col("n_punct") / col("n_ws"))
+      .withColumn("stopword_ratio", col("n_stop") / col("n_ws"))
+      .orderBy("doc_id")
+  }
+
   /** D4 — document fingerprint: 128-bit content hash (md5 hex). This is the
     * key the exact-dedup shuffle groups on at scale — 16 bytes instead of
     * the full document travelling through the exchange.
