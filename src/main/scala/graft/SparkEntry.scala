@@ -67,6 +67,8 @@ object SparkEntry {
     "c1_clean_corpus"   -> ((s: SparkSession, d: String) => Pipeline.cleanCorpus(s, d)),
     "a1_asof_join"      -> (AsOf.purchaseAsofClick _),
     "a2_interval_join"  -> ((s: SparkSession, d: String) => AsOf.intervalPairCount(s, d)),
+    "a3_asof_tolerance" -> ((s: SparkSession, d: String) => AsOf.purchaseAsofClickWithin(s, d)),
+    "q22_salted_join_count" -> (CoreQueries.q22SaltedJoinCount _),
     // multimodal metadata surface
     "m1_payload_meta" -> (Multimodal.payloadMeta _),
     // streaming façade, batch-equivalent form
@@ -242,6 +244,16 @@ object SparkEntry {
       ("SELECT COUNT(*) AS pair_cnt FROM events a JOIN events b " +
         "ON a.user_id = b.user_id AND a.event_id < b.event_id " +
         "AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000"),
+    "a3_asof_tolerance" ->
+      ("SELECT p.event_id AS purchase_id, c.event_id AS click_id " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
+        "ON p.user_id = c.user_id AND p.ts >= c.ts " +
+        "WHERE p.ts - c.ts <= INTERVAL 1 HOUR ORDER BY purchase_id"),
+    "q22_salted_join_count" ->
+      ("SELECT o_orderpriority, COUNT(*) AS cnt FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "c1_clean_corpus" -> {
       val langScore = TextAnalysis.langMarkers.map { case (l, ws) =>
         val in = ws.map(w => s"'$w'").mkString(", ")

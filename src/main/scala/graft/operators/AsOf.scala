@@ -106,4 +106,23 @@ object AsOf {
       .select(col("event_id").as("purchase_id"), col("click_id"))
       .orderBy("purchase_id")
   }
+
+  /** A3 — tolerance-bounded as-of: like [[purchaseAsofClick]] but the match
+    * must lie within `toleranceSeconds` BEFORE the purchase (the standard
+    * asof-tolerance semantics: match first, then drop matches older than the
+    * tolerance — not re-match). The matched click's timestamp rides through
+    * the window as a struct payload, so the gap filter needs no second join.
+    */
+  def purchaseAsofClickWithin(spark: SparkSession, dir: String, toleranceSeconds: Long = 3600L): DataFrame = {
+    val events = Tables.eventsRaw(spark, dir)
+    val base   = events.withColumn("tus", Tables.tsMicrosCol(events))
+    val purchases = base.where(col("event_type") === "purchase").select("user_id", "tus", "event_id")
+    val clicks = base
+      .where(col("event_type") === "click")
+      .select(col("user_id"), col("tus"), struct(col("event_id").as("click_id"), col("tus").as("click_tus")).as("click_info"))
+    asofJoin(purchases, clicks, key = "user_id", ts = "tus", leftId = "event_id", rightVal = "click_info")
+      .where(col("tus") - col("click_info.click_tus") <= toleranceSeconds * 1000000L)
+      .select(col("event_id").as("purchase_id"), col("click_info.click_id").as("click_id"))
+      .orderBy("purchase_id")
+  }
 }

@@ -450,6 +450,20 @@ object CoreQueries {
       )
       .orderBy("p_brand")
 
+  /** Q22 — the salted-join machinery at the query surface: lineitem ⋈ orders
+    * through [[Skew.saltedJoin]] (orders replicated saltFactor×, lineitem
+    * deterministically salted), grouped counts per priority. Oracle = the
+    * PLAIN join's SQL — salting must be answer-invariant; the driver hash
+    * gate proves it on every run. At scale this is the manual fallback when
+    * one orderkey outgrows AQE's skew-split thresholds.
+    */
+  def q22SaltedJoinCount(spark: SparkSession, dir: String): DataFrame =
+    Skew
+      .saltedJoin(Tables.lineitem(spark, dir), Tables.orders(spark, dir), "l_orderkey", "o_orderkey")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("o_orderpriority")
+
   def q9StarJoin(spark: SparkSession, dir: String): DataFrame =
     Tables
       .lineitem(spark, dir)
