@@ -89,7 +89,9 @@ object ScaleRehearsal {
       "q9_star_join", "q11_pricing_summary", "n1_ngram_jaccard_pairs",
       "n2_minhash_lsh_pairs", "n3_simhash_pairs", "n4_embedding_dup_pairs",
       "c1_clean_corpus", "s1_ann_bruteforce", "s3_ann_batch_topk",
-      "w2_sessionize", "p1_partitioned_time_count", "x3_approx_percentiles"
+      "s6_ann_ivf_partitioned", "w2_sessionize", "p1_partitioned_time_count",
+      "x3_approx_percentiles", "d6_token_stats", "q21_part_brand_revenue",
+      "a3_asof_tolerance", "q22_salted_join_count"
     )
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
     headline.foreach { name =>
