@@ -382,6 +382,22 @@ object CoreQueries {
       )
       .orderBy("event_type")
 
+  /** X4 — heavy hitters: approximate top-k most frequent users
+    * (`approx_top_k`, a frequent-items sketch). The sketch rung of the
+    * frequency ladder: the exchange carries one bounded-size sketch per
+    * partition instead of every (user, count) pair — the shape that finds
+    * hot keys in a 10¹² row log without a full groupBy. Counts are exact
+    * while distinct keys fit the tracked capacity (true at every test SF —
+    * CoreQueriesSpec pins equality with the exact top-k); sketch internals
+    * are engine-specific → rows-only at the driver gate.
+    */
+  def x4ApproxTopUsers(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    Tables
+      .events(spark, dir)
+      .agg(expr(s"approx_top_k(user_id, $k, 65536)").as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "t")))
+      .select((col("pos") + 1).cast("long").as("rnk"), col("t.item").as("user_id"), col("t.count").as("cnt"))
+
   /** Q3P — FilterCount with a POSITIONAL column reference, the reference's
     * literal predicate form (`_4='Warning'`, `QueryOrchestration.cs:313-315`
     * — its CSV-over-blob tables have no header, so columns are addressed

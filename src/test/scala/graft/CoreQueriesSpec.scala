@@ -79,6 +79,24 @@ class CoreQueriesSpec extends SparkSpec {
     }
   }
 
+  test("x4 approx top-k users: counts exact below sketch capacity, top-k count multiset right") {
+    val got = CoreQueries.x4ApproxTopUsers(spark, sf001).collect()
+    assert(got.length == 5 && got.map(_.getLong(0)).toSeq == (1L to 5L))
+    val exact = graft.sources.Tables
+      .events(spark, sf001)
+      .groupBy("user_id")
+      .count()
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    // every reported count must equal the true count for that user…
+    got.foreach(r => assert(exact(r.getLong(1)) == r.getLong(2), s"user ${r.getLong(1)}"))
+    // …and the reported counts must be the true top-5 count multiset
+    // (item order among equal counts is sketch-internal, so compare counts)
+    val topCounts = exact.values.toSeq.sorted(Ordering[Long].reverse).take(5)
+    assert(got.map(_.getLong(2)).toSeq.sorted(Ordering[Long].reverse) == topCounts)
+  }
+
   test("q3p positional form computes the same count as q3 with the same pushed filter") {
     assert(
       CoreQueries.q3PositionalFilterCount(spark, sf0001).head().getLong(0) ==
