@@ -121,6 +121,44 @@ object EventStream {
       .queryName(sinkTable)
       .start()
 
+  /** W4 — stream-stream join: every purchase paired with ALL of the same
+    * user's clicks from the preceding hour (the streaming twin of A3's
+    * tolerance-bounded correlation, set-valued instead of latest-match).
+    * Both sides are watermarked and the join condition is time-range
+    * bounded, which is what lets Spark EVICT buffered join state once the
+    * watermark passes `pts − bound` — state is O(events in horizon), the
+    * property an unbounded stream-stream join must have. StreamingSpec
+    * proves landed output == the batch join on the same data.
+    */
+  def purchaseClickJoinStream(
+      spark: SparkSession,
+      eventsDir: String,
+      sinkTable: String,
+      watermark: String = "1 hour"
+  ): StreamingQuery = {
+    val ev = streamingEvents(spark, eventsDir)
+    val purchases = ev
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+      .withWatermark("pts", watermark)
+    val clicks = ev
+      .where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cuser"), col("ts").as("cts"))
+      .withWatermark("cts", watermark)
+    purchases
+      .join(
+        clicks,
+        col("user_id") === col("cuser") &&
+          col("cts") <= col("pts") && col("cts") >= col("pts") - expr("interval 1 hour")
+      )
+      .select("purchase_id", "click_id")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sinkTable)
+      .start()
+  }
+
   /** Append-mode variant: a window's counts are emitted exactly once, when
     * the watermark passes its end — and events arriving later than the
     * watermark are *dropped*, the behavior that bounds state on an unbounded

@@ -103,6 +103,33 @@ class StreamingSpec extends SparkSpec {
     assert(sink.groupBy("event_id").count().where(col("count") > 1).count() == 0)
   }
 
+  test("stream-stream time-bounded join == batch join on the same data") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssjoin")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("part-0.parquet")
+    )
+    val q = EventStream.purchaseClickJoinStream(spark, dir.toString, "ssjoin_sink")
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark
+      .table("ssjoin_sink")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val events = graft.sources.Tables.events(spark, sf0001)
+    val p = events.where(col("event_type") === "purchase").select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+    val c = events.where(col("event_type") === "click").select(col("event_id").as("click_id"), col("user_id").as("cuser"), col("ts").as("cts"))
+    val batch = p
+      .join(c, col("user_id") === col("cuser") && col("cts") <= col("pts") && col("cts") >= col("pts") - expr("interval 1 hour"))
+      .select("purchase_id", "click_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("foreachBatch parquet sink lands a readable folder-of-parquet table") {
     import org.apache.spark.sql.functions._
     val in  = java.nio.file.Files.createTempDirectory("graft_sink_in")
