@@ -54,6 +54,7 @@ object SparkEntry {
     "d3_lang_id"      -> (TextAnalysis.langId _),
     "d4_fingerprint"  -> (TextAnalysis.fingerprint _),
     "d6_token_stats"  -> (TextAnalysis.tokenStats _),
+    "d7_normalized_fingerprint" -> (TextAnalysis.normalizedFingerprint _),
     // near-duplicate detection
     "n1_ngram_jaccard_pairs" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
     "n2_minhash_lsh_pairs"   -> (Dedup.minhashLshPairs _),
@@ -186,6 +187,9 @@ object SparkEntry {
         "len(string_split(text, ' '))::BIGINT AS n_ws, " +
         "len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) / len(string_split(text, ' ')) AS punct_ratio, " +
         "len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'is'))) / len(string_split(text, ' ')) AS stopword_ratio " +
+        "FROM documents ORDER BY doc_id"),
+    "d7_normalized_fingerprint" ->
+      ("SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS nfp " +
         "FROM documents ORDER BY doc_id"),
     "n1_ngram_jaccard_pairs" -> ngramJaccardOracle,
     // MinHash-LSH candidates are exact-verified, and at this corpus's

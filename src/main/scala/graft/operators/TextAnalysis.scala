@@ -120,6 +120,27 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Canonical text form for normalization-insensitive dedup: lowercase,
+    * strip non-alphanumerics (keeping spaces), collapse whitespace runs,
+    * trim. Character classes stay dialect-neutral (`[^a-z0-9 ]`, `" +"`) so
+    * Java and RE2 regexes agree; the oracle side needs DuckDB's `'g'` flag
+    * (Spark's `regexp_replace` is global by default).
+    */
+  def normalizedTextCol: Column =
+    trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** D7 — normalized fingerprint: md5 of the canonical form. Grouping on
+    * this catches case/punctuation/whitespace variants that byte-exact
+    * dedup (Q8/D4) misses — the rung between exact and near-dup a
+    * web-scraped corpus needs first. Same 16-byte-shuffle-key scale shape
+    * as [[fingerprint]].
+    */
+  def normalizedFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), md5(normalizedTextCol).as("nfp"))
+      .orderBy("doc_id")
+
   /** D4 — document fingerprint: 128-bit content hash (md5 hex). This is the
     * key the exact-dedup shuffle groups on at scale — 16 bytes instead of
     * the full document travelling through the exchange.

@@ -8,6 +8,27 @@ import java.nio.file.Files
   */
 class TextAnalysisSpec extends SparkSpec {
 
+  test("d7 normalized fingerprint catches case/punct/whitespace variants exact dedup misses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_norm").toString
+    Seq(
+      (1L, "Hello, World!  This is   fine.", "en", "t", 30L),
+      (2L, "hello world this is fine", "en", "t", 24L), // normalized twin of 1
+      (3L, "a genuinely different document", "en", "t", 30L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // byte-exact dedup sees nothing…
+    assert(graft.operators.Dedup.exactDupRows(spark, dir).count() == 0L)
+    // …normalized fingerprints collide exactly where they should
+    val nfp = graft.operators.TextAnalysis
+      .normalizedFingerprint(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(nfp(1L) == nfp(2L) && nfp(1L) != nfp(3L))
+  }
+
   private lazy val tinyDir: String = {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_text").toString
