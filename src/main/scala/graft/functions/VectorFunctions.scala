@@ -92,14 +92,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
 object VectorFunctions {
 
-  /** Register `cosine_sim(a, b)` in the session's function registry so it is
-    * callable from `expr(...)`/SQL — version-stable way to expose a custom
-    * Expression as a Column without internal Column constructors.
+  /** Register the engine's custom expressions (`cosine_sim(a, b)`,
+    * `intersection_size(a, b)`) in the session's function registry so they
+    * are callable from `expr(...)`/SQL — version-stable way to expose a
+    * custom Expression as a Column without internal Column constructors.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
       exprs => CosineSimilarity(exprs(0), exprs(1)),
       "built-in"
     )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "intersection_size",
+      exprs => IntersectionSize(exprs(0), exprs(1)),
+      "built-in"
+    )
+  }
 }

@@ -65,21 +65,26 @@ object Dedup {
   /** Shared core: given per-doc shingle sets (doc_id, ss: array, c: count)
     * and a candidate-pair frame (doc_a, doc_b), compute exact
     * intersection/union sizes and keep pairs with Jaccard ≥ 4/5 (integer
-    * arithmetic — no float threshold wobble). One narrow `array_intersect`
+    * arithmetic — no float threshold wobble). One narrow intersection count
     * per candidate pair instead of re-exploding shingles into a pair join:
     * candidate count, not shingle count, bounds the work — the property
     * that keeps verification cheap at 100 TB, where candidates are rare but
-    * shingles are ~100× the corpus.
+    * shingles are ~100× the corpus. The count is the native
+    * [[graft.functions.IntersectionSize]] expression — hash-probe, no
+    * intersection-array materialization (`size(array_intersect)` would
+    * allocate and copy the overlap per pair just to measure it).
     */
-  private def verifyPairs(docSets: DataFrame, cand: DataFrame): DataFrame =
+  private def verifyPairs(docSets: DataFrame, cand: DataFrame): DataFrame = {
+    VectorFunctions.register(docSets.sparkSession)
     cand
       .join(docSets.select(col("doc_id").as("doc_a"), col("ss").as("ssa"), col("c").as("ca")), "doc_a")
       .join(docSets.select(col("doc_id").as("doc_b"), col("ss").as("ssb"), col("c").as("cb")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("ssa"), col("ssb"))).cast("long"))
+      .withColumn("inter", expr("intersection_size(ssa, ssb)"))
       .withColumn("un", col("ca") + col("cb") - col("inter"))
       .where(col("inter") * 5 >= col("un") * 4)
       .select("doc_a", "doc_b", "inter", "un")
       .orderBy("doc_a", "doc_b")
+  }
 
   /** Shingle stream with hot shingles (doc-frequency > `maxDf`) dropped —
     * the stop-shingle cap that bounds the inverted-index join's fan-out. A
