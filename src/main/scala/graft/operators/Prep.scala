@@ -116,6 +116,28 @@ object Prep {
     CompactionStats(blobs.length.toLong, blobs.map(_.getLen).sum, blobs.length.toLong)
   }
 
+  /** Newline-delimited JSON(.gz) → Parquet with a declared (never inferred)
+    * schema — the second ingest format a log pipeline actually receives.
+    * Same declare-don't-infer stance as [[csvGzToParquet]]: inference would
+    * scan twice and make the table schema data-dependent; rows that don't
+    * parse into the declared schema degrade to nulls (observable, filterable)
+    * rather than failing the job. `.gz` decompression is transparent, as
+    * with CSV.
+    */
+  def jsonToParquet(
+      spark: SparkSession,
+      inPattern: String,
+      schema: StructType,
+      outDir: String
+  ): Unit =
+    spark.read
+      .schema(schema)
+      .json(inPattern)
+      .write
+      .mode("overwrite")
+      .option("compression", "snappy")
+      .parquet(outDir)
+
   /** CSV(.gz) → Parquet with a declared (never inferred) schema, matching
     * the reference's declare-don't-infer stance (`DP:165`).
     */

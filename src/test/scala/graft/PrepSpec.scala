@@ -57,6 +57,31 @@ class PrepSpec extends SparkSpec {
     assert(back.count() == 3L)
   }
 
+  test("ndjson(.gz) -> parquet conversion with declared schema; queries agree with the csv path") {
+    val tmp = Files.createTempDirectory("graft_json").toString
+    import spark.implicits._
+    val src = Seq((1L, "alpha", 1.5), (2L, "beta", 2.5), (3L, "gamma", 3.5))
+      .toDF("id", "name", "v")
+    src.coalesce(1).write.option("compression", "gzip").json(s"$tmp/in")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType), StructField("v", DoubleType)
+    ))
+    Prep.jsonToParquet(spark, s"$tmp/in/*.json.gz", schema, s"$tmp/out")
+    val back = spark.read.parquet(s"$tmp/out")
+    assert(back.count() == 3)
+    assert(back.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((1L, "alpha", 1.5), (2L, "beta", 2.5), (3L, "gamma", 3.5)))
+    // malformed-in-schema rows degrade to nulls rather than failing the job
+    val badDir = Files.createTempDirectory("graft_json_bad").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(badDir, "part.json"),
+      "{\"id\": 7, \"name\": \"ok\", \"v\": 1.0}\n{\"id\": \"not-a-number\", \"name\": \"bad\"}\n".getBytes
+    )
+    Prep.jsonToParquet(spark, s"$badDir/*.json", schema, s"$tmp/out2")
+    val rows = spark.read.parquet(s"$tmp/out2").orderBy("name").collect()
+    assert(rows.length == 2 && rows.exists(_.isNullAt(0)))
+  }
+
   test("csv.gz -> parquet conversion with declared schema (O9)") {
     val tmp = Files.createTempDirectory("graft_csv").toString
     import spark.implicits._
