@@ -142,12 +142,18 @@ object Dedup {
     * similarity levels the result is identical — that is the oracle).
     */
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh   = shingles(Tables.documents(spark, dir))
+    // Hash each shingle string ONCE; the 64 minhash functions then hash the
+    // resulting FIXED-WIDTH long with a per-function seed — variable-length
+    // string hashing happens once per row, not 64× (the classic minhash CPU
+    // fix; affine a·h+b permutations would be cheaper still, but ANSI mode
+    // rejects their intentional mod-2⁶⁴ wraparound). All inside codegen'd
+    // partial aggregation.
+    val sh   = shingles(Tables.documents(spark, dir)).withColumn("h", xxhash64(col("s")))
     val rows = MinhashHashes / MinhashBands
     // One groupBy produces everything per-doc: 64 seeded min-hashes (all
     // partial-aggregable) plus the shingle set + count used by exact
     // verification — a single shuffle over the shingle stream.
-    val minCols = (0 until MinhashHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    val minCols = (0 until MinhashHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"h$i"))
     val aggCols = minCols ++ Seq(collect_set(col("s")).as("ss"), count(lit(1)).as("c"))
     val perDoc  = sh.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
     val sig     = perDoc.select(col("doc_id") +: (0 until MinhashHashes).map(i => col(s"h$i")): _*)
