@@ -115,6 +115,23 @@ class RobustnessSpec extends SparkSpec {
     assert(raw == capped && raw.nonEmpty)
   }
 
+  test("corrupt blob in the folder: loud failure by default, explicit skip knob works") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_corrupt").toString
+    Seq((1L, "fine"), (2L, "also fine")).toDF("id", "name")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/t.parquet")
+    // a garbage file alongside real parts — the failure mode a 100 TB
+    // ingest WILL eventually produce (truncated upload, bitrot)
+    Files.write(java.nio.file.Paths.get(s"$dir/t.parquet", "part-corrupt.parquet"),
+      "this is not parquet".getBytes)
+    // default: fail loudly — silent data loss is never the default
+    intercept[Exception] { spark.read.parquet(s"$dir/t.parquet").count() }
+    // operator-level override: skip and keep the readable parts
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try assert(spark.read.parquet(s"$dir/t.parquet").count() == 2L)
+    finally spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
+  }
+
   test("queries on an empty events table return empty/zero, not errors") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_empty").toString
