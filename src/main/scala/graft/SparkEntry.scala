@@ -60,6 +60,7 @@ object SparkEntry {
     "n2_minhash_lsh_pairs"   -> (Dedup.minhashLshPairs _),
     "n3_simhash_pairs"       -> (Dedup.simhashPairs _),
     "n4_embedding_dup_pairs" -> (Dedup.embeddingDupPairs _),
+    "n5_incremental_dedup"   -> (Dedup.incrementalNearDupPairs _),
     // similarity search
     "s1_ann_bruteforce" -> ((s: SparkSession, d: String) => Similarity.annBruteForce(s, d)),
     "s2_ann_lsh"        -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
@@ -196,6 +197,20 @@ object SparkEntry {
     // similarity levels (planted pairs ≥0.95, next natural pair ≤0.14)
     // P(candidate miss) < 1e-10 — the exact-Jaccard SQL is its oracle.
     "n2_minhash_lsh_pairs" -> ngramJaccardOracle,
+    // incremental rung: same exact-Jaccard oracle restricted to pairs
+    // touching the batch half (doc_a < doc_b and corpus ids precede batch
+    // ids, so "touches batch" ⇔ doc_b ≥ k).
+    "n5_incremental_dedup" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s " +
+        "FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)), " +
+        "cnt AS (SELECT doc_id, count(*) c FROM sh GROUP BY doc_id), " +
+        "p AS (SELECT a.doc_id da, b.doc_id db, count(*) inter FROM sh a " +
+        "JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY da, db), " +
+        "k AS (SELECT (MAX(doc_id) + 1) // 2 AS k FROM documents) " +
+        "SELECT da AS doc_a, db AS doc_b, inter, ca.c + cb.c - inter AS un " +
+        "FROM p JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id, k " +
+        "WHERE 5 * inter >= 4 * (ca.c + cb.c - inter) AND db >= k.k ORDER BY doc_a, doc_b"),
     "n4_embedding_dup_pairs" ->
       ("SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM embeddings a JOIN embeddings b " +
         "ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95 " +

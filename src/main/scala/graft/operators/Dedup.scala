@@ -137,43 +137,110 @@ object Dedup {
   val MinhashHashes = 64
   val MinhashBands  = 16 // 4 rows per band
 
-  /** N2 — MinHash + LSH near-dup pairs, same output contract as
-    * [[ngramJaccardPairs]] (candidates are exact-verified, so at the planted
-    * similarity levels the result is identical — that is the oracle).
+  /** Per-doc MinHash artifacts for any (doc_id, text) frame: the
+    * verification payload `(doc_id, ss, c)` and the band-bucket index
+    * `(doc_id, band, bv)`. One groupBy produces everything — 64 seeded
+    * min-hashes (all partial-aggregable) plus the shingle set + count — a
+    * single shuffle over the shingle stream. Each shingle string is hashed
+    * ONCE; the 64 minhash functions then hash that FIXED-WIDTH long with a
+    * per-function seed (variable-length string hashing once per row, not
+    * 64× — affine a·h+b permutations would be cheaper still, but ANSI mode
+    * rejects their intentional mod-2⁶⁴ wraparound). Shared by the
+    * whole-corpus rung ([[minhashLshPairs]]), the persisted index
+    * ([[minhashIndexCache]]), and the incremental-batch rung
+    * ([[incrementalNearDupPairs]]) — signatures agree by construction.
     */
-  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
-    // Hash each shingle string ONCE; the 64 minhash functions then hash the
-    // resulting FIXED-WIDTH long with a per-function seed — variable-length
-    // string hashing happens once per row, not 64× (the classic minhash CPU
-    // fix; affine a·h+b permutations would be cheaper still, but ANSI mode
-    // rejects their intentional mod-2⁶⁴ wraparound). All inside codegen'd
-    // partial aggregation.
-    val sh   = shingles(Tables.documents(spark, dir)).withColumn("h", xxhash64(col("s")))
-    val rows = MinhashHashes / MinhashBands
-    // One groupBy produces everything per-doc: 64 seeded min-hashes (all
-    // partial-aggregable) plus the shingle set + count used by exact
-    // verification — a single shuffle over the shingle stream.
+  private def minhashArtifacts(docs: DataFrame): (DataFrame, DataFrame) = {
+    val sh      = shingles(docs).withColumn("h", xxhash64(col("s")))
+    val rows    = MinhashHashes / MinhashBands
     val minCols = (0 until MinhashHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"h$i"))
     val aggCols = minCols ++ Seq(collect_set(col("s")).as("ss"), count(lit(1)).as("c"))
     val perDoc  = sh.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
-    val sig     = perDoc.select(col("doc_id") +: (0 until MinhashHashes).map(i => col(s"h$i")): _*)
     // Band signature = hash of its `rows` member hashes; explode to
-    // (doc_id, band, bucket) and self-join on the bucket.
+    // (doc_id, band, bucket).
     val bandCols = (0 until MinhashBands).map { b =>
       struct(
         lit(b).as("band"),
         xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*).as("bv")
       )
     }
-    val buckets = sig
+    val buckets = perDoc
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+    (perDoc.select("doc_id", "ss", "c"), buckets)
+  }
+
+  /** N2 — MinHash + LSH near-dup pairs, same output contract as
+    * [[ngramJaccardPairs]] (candidates are exact-verified, so at the planted
+    * similarity levels the result is identical — that is the oracle).
+    */
+  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val (docSets, buckets) = minhashArtifacts(Tables.documents(spark, dir))
     val cand = buckets
       .as("a")
       .join(buckets.as("b"), col("a.band") === col("b.band") && col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyPairs(perDoc.select("doc_id", "ss", "c"), cand)
+    verifyPairs(docSets, cand)
+  }
+
+  /** Persisted MinHash index for the corpus slice `doc_id < batchStartId`:
+    * band buckets + verification payloads written once to a `_SUCCESS`-
+    * guarded layout cache — the structure a production dedup pipeline
+    * maintains at ingest so that DAILY BATCHES join against the index
+    * instead of re-shingling the whole corpus. Returns the layout path.
+    */
+  private[graft] def minhashIndexCache(spark: SparkSession, dir: String, batchStartId: Long): String = {
+    val key = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(s"$dir#$batchStartId".getBytes("UTF-8"))
+      .map("%02x".format(_))
+      .mkString
+      .take(12)
+    val out     = new org.apache.hadoop.fs.Path(sys.props("java.io.tmpdir"), s"graft_mhidx_$key")
+    val fs      = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val success = new org.apache.hadoop.fs.Path(out, "_SUCCESS")
+    if (!fs.exists(success)) {
+      val corpus             = Tables.documents(spark, dir).where(col("doc_id") < batchStartId)
+      val (docSets, buckets) = minhashArtifacts(corpus)
+      docSets.write.mode("overwrite").parquet(s"$out/docsets.parquet")
+      buckets.write.mode("overwrite").parquet(s"$out/buckets.parquet")
+      fs.create(success).close()
+    }
+    out.toString
+  }
+
+  /** N5 — INCREMENTAL near-dup detection: the second half of the corpus
+    * (doc_id ≥ (max+1)/2) arrives as a "new batch" against the persisted
+    * index of the first half. Reported pairs are those touching the batch
+    * (batch×corpus via an equi-join of fresh batch buckets against the
+    * STORED index, plus batch-internal self-pairs), exact-verified as
+    * always. The corpus is never re-shingled — per-day work scales with the
+    * batch, not corpus size, which is the only shape daily dedup at 100 TB
+    * can take. Oracle: the exact-Jaccard SQL restricted to `doc_b ≥ k`
+    * (valid because doc_a < doc_b and corpus ids precede batch ids).
+    */
+  def incrementalNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val all = Tables.documents(spark, dir)
+    val k   = all.agg(expr("(max(doc_id) + 1) div 2").as("k")).head().getLong(0)
+    val layout        = minhashIndexCache(spark, dir, k)
+    val corpusSets    = spark.read.parquet(s"$layout/docsets.parquet")
+    val corpusBuckets = spark.read.parquet(s"$layout/buckets.parquet")
+    val (batchSets, batchBuckets) = minhashArtifacts(all.where(col("doc_id") >= k))
+    // corpus ids < k ≤ batch ids, so cross pairs are (corpus, batch) —
+    // already in doc_a < doc_b orientation; batch-internal pairs order as
+    // usual. The two candidate sets are disjoint by construction.
+    val crossCand = corpusBuckets
+      .as("a")
+      .join(batchBuckets.as("b"), col("a.band") === col("b.band") && col("a.bv") === col("b.bv"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val selfCand = batchBuckets
+      .as("a")
+      .join(batchBuckets.as("b"), col("a.band") === col("b.band") && col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyPairs(corpusSets.unionByName(batchSets), crossCand.unionByName(selfCand))
   }
 
   /** N3 — SimHash near-dup pairs: 64-bit signature over the *distinct

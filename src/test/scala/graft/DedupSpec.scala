@@ -72,6 +72,15 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.embeddingDupPairs(spark, sf0001).count() == 0L)
   }
 
+  test("n5 incremental dedup finds exactly the planted pairs touching the batch half") {
+    // k = (499+1)/2 = 250 at sf0.001: the index holds docs 0..249, docs
+    // 250..499 arrive as the batch; expected = planted pairs with doc_b >= 250
+    val expected = plantedPairs.filter { case (_, b) => b >= 250L }
+    assert(expected.nonEmpty && expected.size < plantedPairs.size) // both cross and dropped pairs exist
+    val got = pairSet(Dedup.incrementalNearDupPairs(spark, sf0001))
+    assert(got == expected, s"missing ${expected -- got}, extra ${got -- expected}")
+  }
+
   test("n1 stop-shingle cap kills hot-shingle fan-out, keeps true near-dup pairs") {
     import spark.implicits._
     // 40 docs share ONE boilerplate shingle (a 40-doc clique = 780 candidate
