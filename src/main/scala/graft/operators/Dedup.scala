@@ -62,17 +62,22 @@ object Dedup {
       .where(col("cnt") > 1)
       .orderBy("fp")
 
-  /** Shared core: given per-doc shingle sets (doc_id, ss: array, c: count)
-    * and a candidate-pair frame (doc_a, doc_b), compute exact
+  /** Shared core: given per-doc shingle-HASH sets (doc_id, ss: array<long>,
+    * c: count) and a candidate-pair frame (doc_a, doc_b), compute exact
     * intersection/union sizes and keep pairs with Jaccard ≥ 4/5 (integer
     * arithmetic — no float threshold wobble). One narrow intersection count
     * per candidate pair instead of re-exploding shingles into a pair join:
     * candidate count, not shingle count, bounds the work — the property
     * that keeps verification cheap at 100 TB, where candidates are rare but
-    * shingles are ~100× the corpus. The count is the native
-    * [[graft.functions.IntersectionSize]] expression — hash-probe, no
-    * intersection-array materialization (`size(array_intersect)` would
-    * allocate and copy the overlap per pair just to measure it).
+    * shingles are ~100× the corpus. The payload is xxhash64 fingerprints,
+    * not shingle strings: 8 bytes/shingle instead of ~25-byte text through
+    * the dominant dedup exchange (~4× less shuffle volume), with a
+    * collision risk of ~n²/2⁶⁴ per doc pair — immaterial beside MinHash's
+    * own 1e-18 miss probability. The count is the native
+    * [[graft.functions.IntersectionSize]] expression — long-specialized
+    * hash-probe, no intersection-array materialization
+    * (`size(array_intersect)` would allocate and copy the overlap per pair
+    * just to measure it).
     */
   private def verifyPairs(docSets: DataFrame, cand: DataFrame): DataFrame = {
     VectorFunctions.register(docSets.sparkSession)
@@ -110,17 +115,21 @@ object Dedup {
     * so no single shingle can explode the join. Each index row carries its
     * doc's shingle-set size, so set sizes ride THROUGH the pair join as
     * grouping keys (ca/cb are functions of doc_a/doc_b) — no separate count
-    * aggregation and no post-join count lookups.
+    * aggregation and no post-join count lookups. The join key is the
+    * shingle's xxhash64 (8-byte fixed-width) rather than the shingle text:
+    * the inverted index is the single largest shuffle in the exact rung and
+    * longs hash/compare/ship ~4× cheaper than ~25-byte strings.
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String, maxShingleDf: Long = 1000L): DataFrame = {
     val sh = cappedShingles(Tables.documents(spark, dir), maxDf = maxShingleDf)
+      .withColumn("h", xxhash64(col("s")))
     val idx = sh
       .groupBy("doc_id")
-      .agg(collect_set(col("s")).as("ss"), count(lit(1)).as("c"))
-      .select(col("doc_id"), col("c"), explode(col("ss")).as("s"))
+      .agg(collect_set(col("h")).as("hs"), count(lit(1)).as("c"))
+      .select(col("doc_id"), col("c"), explode(col("hs")).as("h"))
     idx
       .as("a")
-      .join(idx.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .join(idx.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(
         col("a.doc_id").as("doc_a"),
         col("b.doc_id").as("doc_b"),
@@ -154,7 +163,11 @@ object Dedup {
     val sh      = shingles(docs).withColumn("h", xxhash64(col("s")))
     val rows    = MinhashHashes / MinhashBands
     val minCols = (0 until MinhashHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"h$i"))
-    val aggCols = minCols ++ Seq(collect_set(col("s")).as("ss"), count(lit(1)).as("c"))
+    // Verification payload = the shingle HASHES, not the strings: longs ride
+    // the exchange at 8 bytes/shingle and IntersectionSize probes them
+    // allocation-free. Exactness is preserved up to xxhash64 collisions
+    // (~n²/2⁶⁴ per pair — noise beside the LSH miss probability).
+    val aggCols = minCols ++ Seq(collect_set(col("h")).as("ss"), count(lit(1)).as("c"))
     val perDoc  = sh.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
     // Band signature = hash of its `rows` member hashes; explode to
     // (doc_id, band, bucket).
@@ -190,10 +203,17 @@ object Dedup {
     * maintains at ingest so that DAILY BATCHES join against the index
     * instead of re-shingling the whole corpus. Returns the layout path.
     */
+  /** Bump whenever the persisted index layout or signature scheme changes
+    * (payload went string→xxhash64 at v2): the version is folded into the
+    * cache key so an index written under an older scheme can never be
+    * silently reused against newer signatures.
+    */
+  private[graft] val MinhashSchemeVersion = 2
+
   private[graft] def minhashIndexCache(spark: SparkSession, dir: String, batchStartId: Long): String = {
     val key = java.security.MessageDigest
       .getInstance("MD5")
-      .digest(s"$dir#$batchStartId".getBytes("UTF-8"))
+      .digest(s"$dir#$batchStartId#v$MinhashSchemeVersion".getBytes("UTF-8"))
       .map("%02x".format(_))
       .mkString
       .take(12)

@@ -50,4 +50,33 @@ class SetFunctionsSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.matches("(?s).*\\*\\(\\d+\\) Project.*intersection_size.*"), plan)
   }
+
+  test("intersection_size == size(array_intersect) on random distinct long arrays") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val rnd = new scala.util.Random(13)
+    // Includes 0 in the value domain: 0 is the open-address empty sentinel,
+    // so its handling is a dedicated code path worth hitting.
+    def randomSet(): Seq[Long] =
+      rnd.shuffle((0L until 60L).toVector).take(rnd.nextInt(40) + 1).distinct
+    val rows = Seq.fill(500)((randomSet(), randomSet())) :+
+      ((Seq.empty[Long], Seq(0L))) :+ ((Seq(0L), Seq(0L, 7L))) :+
+      ((Seq(1L), Seq.empty[Long]))
+    val df = rows
+      .toDF("a", "b")
+      .withColumn("fast", expr("intersection_size(a, b)"))
+      .withColumn("ref", size(array_intersect(col("a"), col("b"))).cast("long"))
+    assert(df.where(col("fast") =!= col("ref")).count() == 0L)
+    assert(df.where(col("fast") > 0).count() > 0L)
+  }
+
+  test("intersection_size rejects mixed string/long inputs at analysis") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val df = Seq((Seq("a"), Seq(1L))).toDF("a", "b")
+    val e  = intercept[org.apache.spark.sql.AnalysisException] {
+      df.selectExpr("intersection_size(a, b)").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("intersection_size"), e.getMessage)
+  }
 }
