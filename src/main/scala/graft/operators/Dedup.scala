@@ -211,23 +211,20 @@ object Dedup {
   private[graft] val MinhashSchemeVersion = 2
 
   private[graft] def minhashIndexCache(spark: SparkSession, dir: String, batchStartId: Long): String = {
-    val key = java.security.MessageDigest
-      .getInstance("MD5")
-      .digest(s"$dir#$batchStartId#v$MinhashSchemeVersion".getBytes("UTF-8"))
-      .map("%02x".format(_))
-      .mkString
-      .take(12)
-    val out     = new org.apache.hadoop.fs.Path(sys.props("java.io.tmpdir"), s"graft_mhidx_$key")
-    val fs      = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val success = new org.apache.hadoop.fs.Path(out, "_SUCCESS")
-    if (!fs.exists(success)) {
+    // Key = scheme version + batch split + CONTENT fingerprint of the source
+    // table — regenerated data under the same path rebuilds the index
+    // instead of silently reusing signatures of data that no longer exists.
+    val key = graft.sources.LayoutCache.contentKey(
+      spark,
+      s"$dir/documents.parquet",
+      s"mhidx-v$MinhashSchemeVersion#$batchStartId"
+    )
+    graft.sources.LayoutCache.getOrBuild(spark, "graft_mhidx", key) { out =>
       val corpus             = Tables.documents(spark, dir).where(col("doc_id") < batchStartId)
       val (docSets, buckets) = minhashArtifacts(corpus)
       docSets.write.mode("overwrite").parquet(s"$out/docsets.parquet")
       buckets.write.mode("overwrite").parquet(s"$out/buckets.parquet")
-      fs.create(success).close()
     }
-    out.toString
   }
 
   /** N5 — INCREMENTAL near-dup detection: the second half of the corpus

@@ -64,24 +64,27 @@ object Prep {
       .parquet(outDir)
   }
 
+  /** Scheme version for the day-partitioned layout, folded into its cache
+    * key (see [[graft.sources.LayoutCache]]).
+    */
+  private[graft] val ByDaySchemeVersion = 1
+
   /** Day-partitioned copy of `inDir`'s events table, built at most once per
-    * input dir (keyed by a digest of the path, `_SUCCESS`-guarded) under the
-    * JVM temp dir, and reused by every later call — the derived-layout cache
-    * a real deployment would maintain at ingest time. Returns the layout
-    * path.
+    * (source content, scheme) — keyed by a content fingerprint of the source
+    * listing, `_SUCCESS`-guarded — under the JVM temp dir, and reused by
+    * every later call: the derived-layout cache a real deployment would
+    * maintain at ingest time. Returns the layout path. The parquet write
+    * commits `_SUCCESS` at the layout root itself, so no separate marker.
     */
   def dayPartitionedEventsCache(spark: SparkSession, inDir: String): String = {
-    val key = java.security.MessageDigest
-      .getInstance("MD5")
-      .digest(inDir.getBytes("UTF-8"))
-      .map("%02x".format(_))
-      .mkString
-      .take(12)
-    val out     = new Path(sys.props("java.io.tmpdir"), s"graft_events_byday_$key")
-    val fs      = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val success = new Path(out, "_SUCCESS")
-    if (!fs.exists(success)) partitionEventsByDay(spark, inDir, out.toString)
-    out.toString
+    val key = graft.sources.LayoutCache.contentKey(
+      spark,
+      s"$inDir/events.parquet",
+      s"byday-v$ByDaySchemeVersion"
+    )
+    graft.sources.LayoutCache.getOrBuild(spark, "graft_events_byday", key, markSuccess = false) {
+      out => partitionEventsByDay(spark, inDir, out)
+    }
   }
 
   /** O9 passthrough mode — the reference's behavior when `BlobSizeTarget` is

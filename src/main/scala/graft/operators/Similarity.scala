@@ -219,18 +219,21 @@ object Similarity {
     * `partitionBy("cl")`, refined centroids persisted beside them so probe
     * ordering needs no recompute at query time.
     */
+  /** Bump whenever the quantizer or layout scheme changes — versioned into
+    * the cache key alongside a content fingerprint of the source table
+    * (see [[graft.sources.LayoutCache]]), so neither regenerated data nor a
+    * changed scheme can silently hit a stale layout.
+    */
+  private[operators] val IvfSchemeVersion = 1
+
   private[operators] def ivfLayoutCache(spark: SparkSession, dir: String, nClusters: Int): String = {
     import spark.implicits._
-    val key = java.security.MessageDigest
-      .getInstance("MD5")
-      .digest(s"$dir#$nClusters".getBytes("UTF-8"))
-      .map("%02x".format(_))
-      .mkString
-      .take(12)
-    val out     = new org.apache.hadoop.fs.Path(sys.props("java.io.tmpdir"), s"graft_ivf_$key")
-    val fs      = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val success = new org.apache.hadoop.fs.Path(out, "_SUCCESS")
-    if (!fs.exists(success)) {
+    val key = graft.sources.LayoutCache.contentKey(
+      spark,
+      s"$dir/embeddings.parquet",
+      s"ivf-v$IvfSchemeVersion#$nClusters"
+    )
+    graft.sources.LayoutCache.getOrBuild(spark, "graft_ivf", key) { out =>
       val e       = Tables.embeddings(spark, dir)
       val refined = refinedCentroids(e, nClusters)
       e.withColumn("cl", assignCol(refined))
@@ -246,9 +249,7 @@ object Similarity {
         .write
         .mode("overwrite")
         .parquet(s"$out/centroids.parquet")
-      fs.create(success).close()
     }
-    out.toString
   }
 
   /** S5 — range search: ALL vectors within cosine ≥ `minCos` of the query

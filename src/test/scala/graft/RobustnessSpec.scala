@@ -132,6 +132,46 @@ class RobustnessSpec extends SparkSpec {
     finally spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
   }
 
+  test("LayoutCache.contentKey tracks file content, not just the path") {
+    val dir = Files.createTempDirectory("graft_key").toString
+    val f   = java.nio.file.Paths.get(dir, "part-00000.parquet")
+    Files.write(f, "version one".getBytes)
+    val k1 = graft.sources.LayoutCache.contentKey(spark, dir, "t-v1")
+    // unchanged listing -> deterministic key
+    assert(graft.sources.LayoutCache.contentKey(spark, dir, "t-v1") == k1)
+    // same file name, different bytes -> different key (length/mtime digest)
+    Files.write(f, "version two, longer".getBytes)
+    val k2 = graft.sources.LayoutCache.contentKey(spark, dir, "t-v1")
+    assert(k2 != k1)
+    // scheme tag is part of the key: same data, new scheme -> new key
+    assert(graft.sources.LayoutCache.contentKey(spark, dir, "t-v2") != k2)
+  }
+
+  test("minhash index cache rebuilds when the corpus is regenerated in place") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_stale").toString
+    def writeDocs(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    writeDocs(Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "an entirely different second document with other words")
+    ))
+    val p1 = graft.operators.Dedup.minhashIndexCache(spark, dir, 2L)
+    assert(spark.read.parquet(s"$p1/docsets.parquet").count() == 2L)
+    // unchanged source -> same layout, no rebuild
+    assert(graft.operators.Dedup.minhashIndexCache(spark, dir, 2L) == p1)
+    // regenerate UNDER THE SAME PATH: doc 1 now falls below shingle width,
+    // so a correct (fresh) index holds 1 docset, a stale one 2
+    writeDocs(Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "two words")
+    ))
+    val p2 = graft.operators.Dedup.minhashIndexCache(spark, dir, 2L)
+    assert(p2 != p1, "regenerated corpus must not reuse the old index layout")
+    assert(spark.read.parquet(s"$p2/docsets.parquet").count() == 1L)
+  }
+
   test("queries on an empty events table return empty/zero, not errors") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_empty").toString
