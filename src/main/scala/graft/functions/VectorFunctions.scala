@@ -98,15 +98,14 @@ object VectorFunctions {
     * custom Expression as a Column without internal Column constructors.
     */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim",
-      exprs => CosineSimilarity(exprs(0), exprs(1)),
-      "built-in"
-    )
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "intersection_size",
-      exprs => IntersectionSize(exprs(0), exprs(1)),
-      "built-in"
-    )
+    val registry = spark.sessionState.functionRegistry
+    // Idempotent: operators call this defensively on every invocation, and
+    // re-registering an existing name logs a "replaced a previously
+    // registered function" warning per call — noise at bench/driver scale.
+    def registerIfAbsent(name: String, builder: Seq[Expression] => Expression): Unit =
+      if (!registry.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        registry.createOrReplaceTempFunction(name, builder, "built-in")
+    registerIfAbsent("cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)))
+    registerIfAbsent("intersection_size", exprs => IntersectionSize(exprs(0), exprs(1)))
   }
 }
