@@ -72,6 +72,7 @@ object SparkEntry {
     "a2_interval_join"  -> ((s: SparkSession, d: String) => AsOf.intervalPairCount(s, d)),
     "a3_asof_tolerance" -> ((s: SparkSession, d: String) => AsOf.purchaseAsofClickWithin(s, d)),
     "q22_salted_join_count" -> (CoreQueries.q22SaltedJoinCount _),
+    "q23_bucketed_star"     -> (CoreQueries.q23BucketedStar _),
     // multimodal metadata surface
     "m1_payload_meta" -> (Multimodal.payloadMeta _),
     // streaming façade, batch-equivalent form
@@ -104,6 +105,12 @@ object SparkEntry {
     "q8_dedup_exact" ->
       "SELECT COUNT(*) - COUNT(DISTINCT text) AS dup_rows FROM documents",
     "q9_star_join" ->
+      ("SELECT n_name, COUNT(*) AS cnt FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY n_name ORDER BY n_name"),
+    // q23 = q9 on the bucketed fact layout — physical layout must be
+    // answer-invariant, so it shares q9's oracle verbatim.
+    "q23_bucketed_star" ->
       ("SELECT n_name, COUNT(*) AS cnt FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey " +
         "GROUP BY n_name ORDER BY n_name"),

@@ -489,4 +489,27 @@ object CoreQueries {
       .groupBy("n_name")
       .agg(count(lit(1)).as("cnt"))
       .orderBy("n_name")
+
+  /** Q23 — q9's star join with the `lineitem ⋈ orders` leg running on the
+    * BUCKETED fact layout ([[graft.sources.BucketedFacts]]): both sides
+    * pre-partitioned and per-bucket sorted on the orderkey, so the big-big
+    * join sort-merges bucket-to-bucket with ZERO Exchange on either fact
+    * side (PhysicalLayoutSpec asserts the plan). The `merge` hint pins the
+    * strategy — a broadcast of `orders` at toy scale would silently bypass
+    * the layout this query exists to exercise, and at real scale orders is
+    * never broadcastable anyway. Oracle: identical to q9 — layout must
+    * never change answers.
+    */
+  def q23BucketedStar(spark: SparkSession, dir: String): DataFrame = {
+    val (l, o) = graft.sources.BucketedFacts.lineitemOrders(spark, dir)
+    spark
+      .table(l)
+      .hint("merge")
+      .join(spark.table(o), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("n_name")
+  }
 }

@@ -68,4 +68,32 @@ class PhysicalLayoutSpec extends SparkSpec {
       spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     }
   }
+
+  private def factExchanges(plan: String): Int =
+    "Exchange hashpartitioning\\((l_orderkey|o_orderkey)".r.findAllIn(plan).size
+
+  test("q23 bucketed star: fact join is a zero-Exchange sort-merge, answers == q9") {
+    val q23  = graft.operators.CoreQueries.q23BucketedStar(spark, sf0001)
+    val rows = q23.collect()
+    val plan = q23.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(factExchanges(plan) == 0, s"bucketed fact join still shuffles:\n$plan")
+    val q9 = graft.operators.CoreQueries.q9StarJoin(spark, sf0001).collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      q9.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
+  test("q23 re-attaches persisted bucket files to a fresh catalog without losing bucketing") {
+    // First call materializes files + catalog entries; dropping the catalog
+    // tables (files survive) simulates a new JVM over a warm /tmp layout.
+    graft.operators.CoreQueries.q23BucketedStar(spark, sf0001).collect()
+    spark.catalog.listTables().collect()
+      .map(_.name)
+      .filter(n => n.startsWith("graft_lineitem_bk_") || n.startsWith("graft_orders_bk_"))
+      .foreach(n => spark.sql(s"DROP TABLE $n"))
+    val q23  = graft.operators.CoreQueries.q23BucketedStar(spark, sf0001)
+    q23.collect()
+    val plan = q23.queryExecution.executedPlan.toString
+    assert(factExchanges(plan) == 0, s"re-attached tables lost bucket metadata:\n$plan")
+  }
 }
