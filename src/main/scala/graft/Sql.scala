@@ -41,6 +41,45 @@ object Sql {
     spark.sql(sql)
   }
 
+  /** Reference-parity persistent DDL: drop-if-exists then CREATE TABLE for
+    * every served table, as NAMED EXTERNAL catalog tables over the
+    * folder-of-parquet locations (the reference's `.drop table … if exists`
+    * + `.create external table` pair, `QueryOrchestration.cs:413-424`).
+    * Unlike [[registerViews]]' session-scoped temp views, these survive in
+    * the metastore and are visible to any catalog client. `events` needs the
+    * nanos→NTZ normalization no bare external table can express, so it is
+    * served as a catalog VIEW over the raw external table — same µs
+    * semantics as the DataFrame loader, persistently.
+    */
+  def createTables(spark: SparkSession, dir: String, database: String = "graft"): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $database")
+    def dropIfExists(name: String): Unit =
+      if (spark.catalog.tableExists(s"$database.$name")) {
+        val isView = spark.catalog.getTable(s"$database.$name").tableType == "VIEW"
+        spark.sql(s"DROP ${if (isView) "VIEW" else "TABLE"} $database.$name")
+      }
+    tableNames.filterNot(_ == "events").foreach { n =>
+      dropIfExists(n)
+      spark.sql(s"CREATE TABLE $database.$n USING parquet LOCATION '$dir/$n.parquet'")
+    }
+    dropIfExists("events")
+    dropIfExists("events_raw")
+    val raw = Tables.eventsRaw(spark, dir)
+    if (Tables.eventsTsIsNanos(raw)) {
+      spark.sql(s"CREATE TABLE $database.events_raw USING parquet LOCATION '$dir/events.parquet'")
+      val cols = raw.schema.fieldNames
+        .map {
+          case "ts" => "cast(timestamp_micros(ts div 1000) as timestamp_ntz) AS ts"
+          case c    => s"`$c`"
+        }
+        .mkString(", ")
+      spark.sql(s"CREATE VIEW $database.events AS SELECT $cols FROM $database.events_raw")
+    } else {
+      spark.sql(s"CREATE TABLE $database.events USING parquet LOCATION '$dir/events.parquet'")
+    }
+    graft.functions.VectorFunctions.register(spark)
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: runMain graft.Sql <sfDir> \"<sql>\"")
     val spark = GraftSession.getOrCreate()

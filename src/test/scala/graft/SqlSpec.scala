@@ -47,6 +47,30 @@ class SqlSpec extends SparkSpec {
     assert(math.abs(selfCos - 1.0) < 1e-6)
   }
 
+  test("catalog DDL: persistent tables ≡ temp views ≡ DataFrame (QO:413-424 parity)") {
+    Sql.createTables(spark, sf0001)
+    // temp views would shadow catalog resolution — drop them so unqualified
+    // names genuinely hit the catalog tables
+    Sql.tableNames.foreach(spark.catalog.dropTempView)
+    spark.catalog.setCurrentDatabase("graft")
+    try {
+      for (name <- Seq("q2_time_filter_count", "q7_distinct", "q9_star_join")) {
+        val viaCatalog = spark.sql(SparkEntry.oracleSql(name)).collect().map(_.toSeq).toSeq
+        val viaDf      = SparkEntry.queries(name)(spark, sf0001).collect().map(_.toSeq).toSeq
+        assert(viaCatalog == viaDf, name)
+      }
+      // the catalog `events` view serves the same normalized NTZ µs surface
+      assert(
+        spark.sql("SELECT ts FROM events").schema("ts").dataType ==
+          org.apache.spark.sql.types.TimestampNTZType
+      )
+      // drop-if-exists makes the DDL re-runnable (reference re-creates on
+      // every run, QO:413-415)
+      Sql.createTables(spark, sf0001)
+      assert(spark.sql("SELECT COUNT(*) AS c FROM events").head().getLong(0) > 0L)
+    } finally spark.catalog.setCurrentDatabase("default")
+  }
+
   test("sql facade pushes predicates like the dataframe path") {
     Sql.registerViews(spark, sf0001)
     val plan = spark
