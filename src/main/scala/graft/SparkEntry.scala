@@ -61,6 +61,7 @@ object SparkEntry {
     "n3_simhash_pairs"       -> (Dedup.simhashPairs _),
     "n4_embedding_dup_pairs" -> (Dedup.embeddingDupPairs _),
     "n5_incremental_dedup"   -> (Dedup.incrementalNearDupPairs _),
+    "n6_dup_clusters"        -> (Dedup.dupClusters _),
     // similarity search
     "s1_ann_bruteforce" -> ((s: SparkSession, d: String) => Similarity.annBruteForce(s, d)),
     "s2_ann_lsh"        -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
@@ -218,6 +219,23 @@ object SparkEntry {
         "SELECT da AS doc_a, db AS doc_b, inter, ca.c + cb.c - inter AS un " +
         "FROM p JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id, k " +
         "WHERE 5 * inter >= 4 * (ca.c + cb.c - inter) AND db >= k.k ORDER BY doc_a, doc_b"),
+    // cluster report over the same pair set: reachability to fixpoint via
+    // WITH RECURSIVE (UNION dedups, so the walk terminates), min reachable
+    // id = cluster label — the declarative twin of min-label propagation.
+    "n6_dup_clusters" ->
+      ("WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s " +
+        "FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)), " +
+        "cnt AS (SELECT doc_id, count(*) c FROM sh GROUP BY doc_id), " +
+        "p AS (SELECT a.doc_id da, b.doc_id db, count(*) inter FROM sh a " +
+        "JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY da, db), " +
+        "good AS (SELECT da, db FROM p JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id " +
+        "WHERE 5 * inter >= 4 * (ca.c + cb.c - inter)), " +
+        "edges AS (SELECT da AS s, db AS d FROM good UNION SELECT db, da FROM good), " +
+        "reach(id, r) AS (SELECT DISTINCT s, s FROM edges " +
+        "UNION SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id) " +
+        "SELECT MIN(r) AS cluster_id, id AS doc_id FROM reach GROUP BY id " +
+        "ORDER BY cluster_id, doc_id"),
     "n4_embedding_dup_pairs" ->
       ("SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM embeddings a JOIN embeddings b " +
         "ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95 " +

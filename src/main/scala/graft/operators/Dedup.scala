@@ -303,6 +303,60 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** N6 — duplicate CLUSTERS: connected components over the near-dup pair
+    * graph, labeled by min doc_id — the curation report a dedup pipeline
+    * actually publishes ("these 7 documents are one group, keep the
+    * representative"), where the raw pair list under-reports transitive
+    * groups (a~b, b~c with a,c dissimilar is ONE cluster of 3). Pairs come
+    * from the MinHash rung, components from [[clustersFromPairs]]. Oracle:
+    * DuckDB `WITH RECURSIVE` reachability over the exact-Jaccard pair set.
+    */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame =
+    clustersFromPairs(minhashLshPairs(spark, dir))
+
+  /** Min-label propagation to fixpoint over an undirected pair graph:
+    * every node starts as its own representative; each round takes the min
+    * of its own and its neighbors' labels. Converges in O(component
+    * diameter) rounds — near-dup clusters are shallow (members are all
+    * mutually similar or chained through few hops), so rounds stay single
+    * digits even when the corpus is huge; each round is one equi-join +
+    * groupBy over the EDGE set (pair count, not corpus count — the same
+    * candidate-bounded quantity that keeps verification cheap).
+    * `localCheckpoint` after each round truncates lineage so the plan
+    * doesn't grow with iterations (at cluster scale this would be a
+    * reliable checkpoint to the DFS); the loop's only driver-side value is
+    * the converged-yet count. A pathological million-hop chain would hit
+    * `maxIter` — pointer-jumping (large-star/small-star) halves diameter
+    * per round and is the asymptotic upgrade if a real corpus ever needed
+    * it.
+    */
+  private[graft] def clustersFromPairs(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val es = pairs.select(col("doc_a").as("s"), col("doc_b").as("d"))
+    val edges = es
+      .unionByName(es.select(col("d").as("s"), col("s").as("d")))
+      .distinct()
+      .localCheckpoint()
+    var labels  = edges.select(col("s").as("id")).distinct().withColumn("rep", col("id")).localCheckpoint()
+    var changed = 1L
+    var iter    = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("d"), col("rep").as("drep")), "d")
+        .groupBy(col("s").as("id"))
+        .agg(min("drep").as("nrep"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("rep"), least(col("rep"), coalesce(col("nrep"), col("rep"))).as("newrep"))
+        .localCheckpoint()
+      changed = next.where(col("newrep") < col("rep")).count()
+      labels = next.select(col("id"), col("newrep").as("rep"))
+      iter += 1
+    }
+    labels
+      .select(col("rep").as("cluster_id"), col("id").as("doc_id"))
+      .orderBy("cluster_id", "doc_id")
+  }
+
   /** User-facing dedup: return `documents` with near-duplicates removed —
     * for every qualifying pair (a, b) with a < b, the higher id is dropped
     * (no surviving pair, provably, without union-find). `exact = false`

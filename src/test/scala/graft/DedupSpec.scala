@@ -40,6 +40,40 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"simhash recall $recall; missed ${plantedPairs -- found}")
   }
 
+  test("n6 clustersFromPairs: min-id labels to fixpoint, multi-hop chains converge") {
+    import spark.implicits._
+    // two components: a 5-node chain (min label needs 4 propagation rounds)
+    // and a triangle; singletons never appear (no pairs -> no rows)
+    val pairs = Seq(
+      (21L, 22L), (22L, 23L), (23L, 24L), (20L, 21L), // chain 20-21-22-23-24
+      (40L, 41L), (41L, 42L), (40L, 42L)              // triangle
+    ).toDF("doc_a", "doc_b")
+    val got = Dedup.clustersFromPairs(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set(
+      (20L, 20L), (20L, 21L), (20L, 22L), (20L, 23L), (20L, 24L),
+      (40L, 40L), (40L, 41L), (40L, 42L)
+    ))
+  }
+
+  test("n6 end-to-end: a~b~c chain with a,c dissimilar is ONE cluster, rep = min id") {
+    import spark.implicits._
+    val words = (0 until 40).map(i => s"w$i")
+    def doc(from: Int) = words.slice(from, from + 30).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_chain").toString
+    // J(a,b) = J(b,c) = 26/30 ≈ 0.87 ≥ 0.8; J(a,c) = 24/32 = 0.75 < 0.8
+    Seq((7L, doc(0)), (8L, doc(2)), (9L, doc(4)))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // the chain link (7,9) must NOT be a pair — clustering, not the pair
+    // rung, is what closes the transitive group
+    val pairs = pairSet(Dedup.minhashLshPairs(spark, dir))
+    assert(pairs == Set((7L, 8L), (8L, 9L)), pairs)
+    val clusters = Dedup.dupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(clusters == Set((7L, 7L), (7L, 8L), (7L, 9L)))
+  }
+
   test("n4 LSH-bucketed dedup == brute force on planted duplicate vectors") {
     import spark.implicits._
     VectorFunctions.register(spark)
