@@ -7,13 +7,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media as opaque `binary` payloads with typed
   * metadata, decoded/featurized per partition.
   *
-  * The decode step itself is STUBBED — this container has no image/audio
-  * codecs — behind [[decodeStub]], a clearly-marked deterministic fake. The
-  * Spark-side plumbing is real: binary column + metadata struct schema,
-  * partition-batched decoding via typed `mapPartitions` (the Scala analogue
-  * of `mapInPandas` batch decoding: one iterator per partition so a real
-  * decoder would amortize codec init per-partition, not per-row), and a
-  * fixed-width feature-vector output schema ready for the ANN operators.
+  * Decoding dispatches on the format tag: netpbm images (PGM/PPM) decode
+  * FOR REAL via the pure-JVM [[decodePnm]] parser; formats needing codecs
+  * this container lacks (JPEG, audio, video) fall to [[decodeStub]], a
+  * clearly-marked deterministic fake. The Spark-side plumbing is real
+  * either way: binary column + metadata struct schema, partition-batched
+  * decoding via typed `mapPartitions` (the Scala analogue of `mapInPandas`
+  * batch decoding: one iterator per partition so a codec instance
+  * amortizes per-partition, not per-row), and a fixed-width feature-vector
+  * output schema ready for the ANN operators.
   */
 object Multimodal {
 
@@ -51,10 +53,10 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** STUB decoder — deterministic fake standing in for an image/audio codec.
-    * A real implementation would decode `payload` with the codec named by
-    * `format`; everything around this call (batching, schema, partitioning)
-    * is production-shaped.
+  /** STUB decoder — deterministic fake standing in for codecs this
+    * container lacks (JPEG, audio, video). Netpbm formats decode for real
+    * via [[decodePnm]]; everything around this call (batching, schema,
+    * partitioning) is production-shaped either way.
     */
   private[operators] def decodeStub(row: MediaRow, dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
@@ -66,6 +68,84 @@ object Multimodal {
     out
   }
 
+  final case class DecodedImage(width: Int, height: Int, gray: Array[Float])
+
+  /** REAL decoder for binary netpbm images — P5 (PGM, grayscale) and P6
+    * (PPM, RGB), maxval ≤ 255 — the one image family a pure JVM can parse
+    * in ~30 lines with no codec library. Header token scan handles
+    * whitespace and `#` comments per the spec; pixels normalize to [0,1]
+    * grayscale (RGB averages its channels). Truncated or malformed
+    * payloads return None — callers degrade observably, never throw.
+    */
+  private[graft] def decodePnm(b: Array[Byte]): Option[DecodedImage] = {
+    if (b.length < 2 || b(0) != 'P' || (b(1) != '5' && b(1) != '6')) return None
+    val rgb = b(1) == '6'
+    var pos = 2
+    def nextInt(): Int = {
+      while (pos < b.length && (b(pos) == '#' || Character.isWhitespace(b(pos)))) {
+        if (b(pos) == '#') while (pos < b.length && b(pos) != '\n') pos += 1
+        else pos += 1
+      }
+      var v = -1
+      while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') {
+        v = math.max(v, 0) * 10 + (b(pos) - '0'); pos += 1
+      }
+      v
+    }
+    val w      = nextInt()
+    val h      = nextInt()
+    val maxVal = nextInt()
+    pos += 1 // exactly one whitespace byte separates maxval from raster
+    if (w <= 0 || h <= 0 || maxVal <= 0 || maxVal > 255) return None
+    val n = w * h
+    if (b.length - pos < (if (rgb) 3 * n else n)) return None
+    val out = new Array[Float](n)
+    var i   = 0
+    while (i < n) {
+      val v =
+        if (rgb) {
+          val o = pos + 3 * i
+          ((b(o) & 0xff) + (b(o + 1) & 0xff) + (b(o + 2) & 0xff)) / 3.0f
+        } else (b(pos + i) & 0xff).toFloat
+      out(i) = v / maxVal
+      i += 1
+    }
+    Some(DecodedImage(w, h, out))
+  }
+
+  /** Mean-pool a pixel stream into `dim` contiguous buckets — the
+    * fixed-width feature contract the ANN operators consume.
+    */
+  private[graft] def poolFeatures(px: Array[Float], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    if (px.isEmpty) return out
+    val counts = new Array[Int](dim)
+    var i      = 0
+    while (i < px.length) {
+      val bkt = (i.toLong * dim / px.length).toInt
+      out(bkt) += px(i); counts(bkt) += 1; i += 1
+    }
+    var j = 0
+    while (j < dim) { if (counts(j) > 0) out(j) /= counts(j); j += 1 }
+    out
+  }
+
+  /** Format-dispatched decode: netpbm payloads decode for real; anything
+    * else hits the disclosed stub. A payload DECLARED netpbm but
+    * undecodable yields all-zero features — an observable degradation a
+    * quality filter can drop, never a stub-fake that would masquerade as a
+    * real decode.
+    */
+  private[graft] def decode(row: MediaRow, dim: Int): Array[Float] =
+    row.format match {
+      case "image/pgm" | "image/ppm" =>
+        decodePnm(row.payload) match {
+          case Some(img) => poolFeatures(img.gray, dim)
+          case None      => new Array[Float](dim)
+        }
+      case _ => decodeStub(row, dim)
+    }
+
   /** Feature extraction over the media table: per-partition iteration (codec
     * init would happen once per partition, here a no-op), fixed-dim float
     * features out. Narrow transformation — scales with splits, no shuffle.
@@ -74,7 +154,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition decoder setup would go here (one codec instance)
-      rows.map(r => MediaFeatures(r.media_id, r.payload.length.toLong, decodeStub(r, dim)))
+      rows.map(r => MediaFeatures(r.media_id, r.payload.length.toLong, decode(r, dim)))
     }
   }
 

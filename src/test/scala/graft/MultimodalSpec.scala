@@ -22,6 +22,44 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.forall(f => meta(f.media_id) == f.payload_len))
   }
 
+  test("PGM decode: planted pixels come back exactly, header comments handled") {
+    val header = "P5\n# a comment\n3 2\n255\n".getBytes("US-ASCII")
+    val pixels = Array[Byte](0, 51, 102, -103, -52, -1) // 0,51,102,153,204,255
+    val img    = Multimodal.decodePnm(header ++ pixels)
+    assert(img.isDefined)
+    val d = img.get
+    assert(d.width == 3 && d.height == 2)
+    assert(d.gray.toSeq == Seq(0f, 51 / 255f, 102 / 255f, 153 / 255f, 204 / 255f, 1f))
+  }
+
+  test("PPM decode: RGB averages to grayscale; maxval scales") {
+    // one pixel (30, 60, 90) at maxval 100 -> mean 60 / 100 = 0.6
+    val bytes = "P6 1 1 100\n".getBytes("US-ASCII") ++ Array[Byte](30, 60, 90)
+    val d     = Multimodal.decodePnm(bytes).get
+    assert(d.width == 1 && d.height == 1 && math.abs(d.gray(0) - 0.6f) < 1e-6f)
+  }
+
+  test("malformed netpbm degrades: truncated raster and bad magic decode to None") {
+    assert(Multimodal.decodePnm("P5 2 2 255\n".getBytes ++ Array[Byte](1, 2)).isEmpty) // short raster
+    assert(Multimodal.decodePnm("JFIF....".getBytes).isEmpty)                          // not netpbm
+    assert(Multimodal.decodePnm("P5 0 2 255\n".getBytes).isEmpty)                      // zero width
+  }
+
+  test("extractFeatures runs the REAL decoder for netpbm rows, stub otherwise") {
+    import spark.implicits._
+    // 4-pixel PGM: values 0,255,255,255 -> dim-2 pooled means (0.5, 1.0)
+    val pgm = "P5 4 1 255\n".getBytes("US-ASCII") ++ Array[Byte](0, -1, -1, -1)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image/pgm", 4, 1, 1, pgm),
+      Multimodal.MediaRow(2L, "image/pgm", 4, 1, 1, "P5 not really".getBytes), // declared but corrupt
+      Multimodal.MediaRow(3L, "fake/raw", 1, 1, 1, Array[Byte](0, 0, 0))       // stub path
+    ).toDS()
+    val f = Multimodal.extractFeatures(rows, dim = 2).collect().sortBy(_.media_id)
+    assert(f(0).features.toSeq == Seq(0.5f, 1.0f))
+    assert(f(1).features.toSeq == Seq(0f, 0f), "corrupt declared-netpbm must zero, not fake")
+    assert(f(2).features.length == 2)
+  }
+
   test("frame sampling emits every stride-th frame") {
     import spark.implicits._
     val m = Seq(
