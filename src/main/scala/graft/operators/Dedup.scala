@@ -79,7 +79,7 @@ object Dedup {
     * (`size(array_intersect)` would allocate and copy the overlap per pair
     * just to measure it).
     */
-  private def verifyPairs(docSets: DataFrame, cand: DataFrame): DataFrame = {
+  private[graft] def verifyPairs(docSets: DataFrame, cand: DataFrame): DataFrame = {
     VectorFunctions.register(docSets.sparkSession)
     cand
       .join(docSets.select(col("doc_id").as("doc_a"), col("ss").as("ssa"), col("c").as("ca")), "doc_a")
@@ -159,7 +159,7 @@ object Dedup {
     * ([[minhashIndexCache]]), and the incremental-batch rung
     * ([[incrementalNearDupPairs]]) — signatures agree by construction.
     */
-  private def minhashArtifacts(docs: DataFrame): (DataFrame, DataFrame) = {
+  private[graft] def minhashArtifacts(docs: DataFrame): (DataFrame, DataFrame) = {
     val sh      = shingles(docs).withColumn("h", xxhash64(col("s")))
     val rows    = MinhashHashes / MinhashBands
     val minCols = (0 until MinhashHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"h$i"))

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming incremental near-dup detection — [[Dedup.incrementalNearDupPairs]]'
+  * batch-vs-persisted-index shape wired into a `foreachBatch` loop, so a
+  * document stream dedups continuously: each micro-batch is MinHashed once,
+  * its artifacts land in a growing on-disk index, and only THEN is it joined
+  * against every earlier batch's stored buckets. No document is ever
+  * re-shingled after its own micro-batch — per-batch cost tracks batch size,
+  * the only shape continuous dedup at 100 TB can take.
+  *
+  * Idempotence follows [[EventStream.windowedCountsToParquet]]'s pattern:
+  * every write (index artifacts AND discovered pairs) goes to a
+  * `batch_id=<id>/` partition with overwrite, so a checkpoint replay of
+  * batch N rewrites the same directories instead of duplicating index rows
+  * or pair reports. Each pair is discovered exactly once — by the batch
+  * that delivers its LATER member (cross pairs join strictly earlier
+  * batches; within-batch pairs are ordered) — so the union over `batch_id`
+  * partitions is the full pair set with no cross-batch duplicates.
+  */
+object DedupStream {
+
+  /** Watch `docsDir` for new document parquet files; maintain the MinHash
+    * index under `indexDir` (`docsets/`, `buckets/` folder-of-parquet
+    * tables partitioned by `batch_id`) and land verified near-dup pairs
+    * under `pairsDir/batch_id=<id>/`.
+    */
+  def incrementalPairsStream(
+      spark: SparkSession,
+      docsDir: String,
+      indexDir: String,
+      pairsDir: String,
+      checkpointDir: String
+  ): StreamingQuery = {
+    val schema = spark.read.parquet(docsDir).schema
+    spark.readStream
+      .schema(schema)
+      .parquet(docsDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, indexDir, pairsDir, batchId)
+      }
+      .start()
+  }
+
+  /** One micro-batch: shingle+MinHash the new documents ONCE, persist their
+    * artifacts, then verify candidates from (stored corpus buckets ⋈ this
+    * batch's buckets) plus the batch's internal collisions. Exposed for the
+    * StreamingSpec differential against the batch-mode n5.
+    */
+  private[graft] def processBatch(
+      batch: DataFrame,
+      indexDir: String,
+      pairsDir: String,
+      batchId: Long
+  ): Unit = {
+    val spark               = batch.sparkSession
+    val (docSets, buckets)  = Dedup.minhashArtifacts(batch.select("doc_id", "text"))
+    // Persist FIRST, then join from what was read back: verification runs
+    // against exactly the stored artifacts, and a replayed batch reuses the
+    // overwrite path end-to-end.
+    docSets.write.mode("overwrite").parquet(s"$indexDir/docsets/batch_id=$batchId")
+    buckets.write.mode("overwrite").parquet(s"$indexDir/buckets/batch_id=$batchId")
+    val allSets    = spark.read.parquet(s"$indexDir/docsets")
+    val allBuckets = spark.read.parquet(s"$indexDir/buckets")
+    val mine       = allBuckets.where(col("batch_id") === batchId)
+    val corpus     = allBuckets.where(col("batch_id") < batchId)
+    // Stream arrival order need not follow doc_id order, so cross pairs
+    // normalize to (least, greatest) — the (doc_a < doc_b) contract the
+    // batch rungs guarantee by construction.
+    val crossCand = corpus
+      .as("a")
+      .join(mine.as("b"), col("a.band") === col("b.band") && col("a.bv") === col("b.bv"))
+      .where(col("a.doc_id") =!= col("b.doc_id"))
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b")
+      )
+      .distinct()
+    val selfCand = mine
+      .as("a")
+      .join(mine.as("b"), col("a.band") === col("b.band") && col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    Dedup
+      .verifyPairs(allSets.select("doc_id", "ss", "c"), crossCand.unionByName(selfCand))
+      .write
+      .mode("overwrite")
+      .parquet(s"$pairsDir/batch_id=$batchId")
+  }
+}

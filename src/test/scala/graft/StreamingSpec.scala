@@ -152,4 +152,53 @@ class StreamingSpec extends SparkSpec {
     assert(landed.join(batch, Seq("ws", "event_type")).where(landed("cnt") =!= batch("cnt")).count() == 0)
     assert(landed.exceptAll(batch).count() == 0)
   }
+
+  test("streaming incremental dedup == batch n5 pairs; batch-1 artifacts never rewritten") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_sdedup")
+    val src  = base.resolve("src"); java.nio.file.Files.createDirectories(src)
+    val stagingDir = base.resolve("stage")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      df.coalesce(1).write.mode("overwrite").parquet(s"$stagingDir/$name")
+      java.nio.file.Files.move(
+        java.nio.file.Files.list(stagingDir.resolve(name)).filter(_.toString.endsWith(".parquet")).findFirst.get,
+        src.resolve(s"$name.parquet")
+      )
+    }
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    stage(docs.where(col("doc_id") < 250), "b1") // n5's corpus half (k = 250 at sf0.001)
+    val q = graft.streaming.DedupStream.incrementalPairsStream(
+      spark, src.toString, s"$base/idx", s"$base/pairs", s"$base/ckpt"
+    )
+    val b0Docsets = java.nio.file.Paths.get(s"$base/idx/docsets/batch_id=0")
+    val mtime0 =
+      try {
+        q.processAllAvailable()
+        java.nio.file.Files.list(b0Docsets)
+          .filter(_.toString.endsWith(".parquet")).findFirst.get
+          .toFile.lastModified()
+      } finally {
+        stage(docs.where(col("doc_id") >= 250), "b2") // the "new day" batch
+        q.processAllAvailable()
+        q.stop()
+      }
+    // batch 1's processing found exactly what batch-mode n5 reports for the
+    // same split: cross pairs against the stored index + batch-internal ones
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "inter", "un").collect().map(_.toSeq).toSet
+    val streamed = rows(spark.read.parquet(s"$base/pairs").where(col("batch_id") === 1))
+    assert(streamed == rows(graft.operators.Dedup.incrementalNearDupPairs(spark, sf0001)))
+    // union over all micro-batches = the full exact pair set, no dup reports
+    val all = spark.read.parquet(s"$base/pairs").select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(all.length == all.distinct.length)
+    assert(all.toSet == graft.operators.Dedup.ngramJaccardPairs(spark, sf0001)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // batch 1 was never re-shingled/rewritten: its stored artifacts are
+    // byte-identical (same file, same mtime) after batch 2 ran
+    val mtimeAfter = java.nio.file.Files.list(b0Docsets)
+      .filter(_.toString.endsWith(".parquet")).findFirst.get
+      .toFile.lastModified()
+    assert(mtimeAfter == mtime0, "batch-0 index artifacts were rewritten by batch 1")
+  }
 }
