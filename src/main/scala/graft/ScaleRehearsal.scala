@@ -77,7 +77,87 @@ object ScaleRehearsal {
     fs.create(new org.apache.hadoop.fs.Path(s"$dst/_built")).close()
   }
 
+  /** Hot-key skew rehearsal — the corpus q22's salting exists for: ~10% of
+    * the (already 10×-replicated) lineitem rows rewritten onto ONE
+    * orderkey, then the q22 aggregation timed three ways with broadcast
+    * disabled (orders is never broadcastable at real scale):
+    *   - plain sort-merge with AQE skew-split OFF — the naive plan, one
+    *     reducer absorbs the hot key;
+    *   - plain with AQE skew-split ON — Spark's built-in runtime answer;
+    *   - [[graft.operators.Skew.saltedJoin]] with skew-split off — the
+    *     manual fallback when a hot key outgrows AQE's split thresholds.
+    * Numbers land in BASELINE.md beside the other rehearsal evidence.
+    */
+  def skewRehearsal(spark: SparkSession, src: String, dst: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dst)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dst/_built"))) {
+      val hotKey = spark.read.parquet(s"$src/orders.parquet").agg(min("o_orderkey")).head().getLong(0)
+      spark.read
+        .parquet(s"$src/lineitem.parquet")
+        .withColumn(
+          "l_orderkey",
+          when(pmod(xxhash64(col("l_orderkey"), col("l_partkey"), col("l_quantity")), lit(10)) < 3, lit(hotKey))
+            .otherwise(col("l_orderkey"))
+        )
+        .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+      spark.read.parquet(s"$src/orders.parquet").write.mode("overwrite").parquet(s"$dst/orders.parquet")
+      fs.create(new org.apache.hadoop.fs.Path(s"$dst/_built")).close()
+      println(s"[skew] built hot-key corpus at $dst (hot orderkey = $hotKey)")
+    }
+    val li  = spark.read.parquet(s"$dst/lineitem.parquet")
+    val ord = spark.read.parquet(s"$dst/orders.parquet")
+    def agg(j: DataFrame): Long = {
+      val t0 = System.nanoTime()
+      j.groupBy("o_orderpriority").agg(count(lit(1)).as("cnt")).collect()
+      (System.nanoTime() - t0) / 1000000L
+    }
+    // Deterministic evidence first: max rows landing on ONE reducer of the
+    // join, plain vs salted — the straggler that wall-clock jitter hides at
+    // toy scale but that decides completion time on a 1000-executor cluster
+    // (reducer load is the quantity salting exists to flatten).
+    def maxReducerRows(j: DataFrame): Long =
+      j.select(spark_partition_id().as("p"))
+        .groupBy("p").agg(count(lit(1)).as("n"))
+        .agg(max("n")).head().getLong(0)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val rows      = li.count()
+      val plainMax  = maxReducerRows(li.join(ord, col("l_orderkey") === col("o_orderkey")))
+      val saltedMax = maxReducerRows(graft.operators.Skew.saltedJoin(li, ord, "l_orderkey", "o_orderkey"))
+      val salted32  = maxReducerRows(graft.operators.Skew.saltedJoin(li, ord, "l_orderkey", "o_orderkey", saltFactor = 32))
+      println(
+        f"[skew] balance over $rows%d joined rows, 32 reducers (ideal ${rows / 32}%d/reducer): " +
+          f"plain max=$plainMax%d (${plainMax * 32.0 / rows}%.1fx ideal)  " +
+          f"salt=8 max=$saltedMax%d (${saltedMax * 32.0 / rows}%.1fx)  " +
+          f"salt=32 max=$salted32%d (${salted32 * 32.0 / rows}%.1fx)"
+      )
+      for (round <- 1 to 3) { // round 1 warms JIT/page cache
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        val plain  = agg(li.join(ord, col("l_orderkey") === col("o_orderkey")))
+        val salted = agg(graft.operators.Skew.saltedJoin(li, ord, "l_orderkey", "o_orderkey"))
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        val aqe = agg(li.join(ord, col("l_orderkey") === col("o_orderkey")))
+        println(f"[skew] round $round: plain(no-AQE-split)=$plain%d ms  salted=$salted%d ms  plain+AQE-split=$aqe%d ms")
+      }
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("skew")) {
+      val spark = GraftSession.getOrCreate()
+      skewRehearsal(
+        spark,
+        args.lift(1).getOrElse("/tmp/graft_sf1ish"),
+        args.lift(2).getOrElse("/tmp/graft_skew")
+      )
+      spark.stop()
+      return
+    }
     val src  = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dst  = args.lift(1).getOrElse("/tmp/graft_sf1ish")
     val reps = args.lift(2).map(_.toInt).getOrElse(10)
