@@ -395,7 +395,17 @@ object CoreQueries {
     Tables
       .events(spark, dir)
       .agg(expr(s"approx_top_k(user_id, $k, 65536)").as("top"))
-      .select(posexplode(col("top")).as(Seq("pos", "t")))
+      // the sketch's emission order among EQUAL counts is internal state —
+      // re-sort the k survivors (count desc, user_id tiebreak) so ranks are
+      // deterministic run to run
+      .select(
+        posexplode(
+          expr(
+            "array_sort(top, (a, b) -> case when a.count > b.count then -1 when a.count < b.count then 1 " +
+              "when a.item < b.item then -1 when a.item > b.item then 1 else 0 end)"
+          )
+        ).as(Seq("pos", "t"))
+      )
       .select((col("pos") + 1).cast("long").as("rnk"), col("t.item").as("user_id"), col("t.count").as("cnt"))
 
   /** Q3P — FilterCount with a POSITIONAL column reference, the reference's

@@ -389,7 +389,14 @@ object Dedup {
       )
       when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
     }
-    val sig  = df.select(col("vec_id"), bitCols.reduce(_ + _).as("sig"))
+    // dimension guard: a null or wrong-width embedding would dot to null on
+    // every plane → signature 0 → EVERY such vector in the same bucket of
+    // every band, an all-pairs blowup among them. Drop them from banding
+    // instead (observable degrade: they appear in no pair, like cosine_sim's
+    // null-on-mismatch stance).
+    val sig = df
+      .where(size(col("embedding")) === dim)
+      .select(col("vec_id"), bitCols.reduce(_ + _).as("sig"))
     val mask = (1L << bandBits) - 1
     sig
       .select(
@@ -407,7 +414,7 @@ object Dedup {
     * never materializes — the 100 TB shape (at real scale, bits-per-band
     * grows ~log₂(n) so buckets stay O(1)-sized; 8×8 fits the test corpora).
     * Recall at the default operating point: a cosine-0.95 pair agrees per
-    * plane w.p. 1−θ/π ≈ 0.899 → P(miss) = (1−0.899⁸)⁸ ≈ 1.2%, and ≈ 8e-6 at
+    * plane w.p. 1−θ/π ≈ 0.899 → P(miss) = (1−0.899⁸)⁸ ≈ 1.2%, and ≈ 8e-5 at
     * the ≥0.99 similarity where real duplicate embeddings live. Verification
     * is exact, so output ⊆ brute force always; DedupSpec proves equality on
     * a planted fixture and [[embeddingDupPairsBrute]] stays as the oracle.

@@ -101,6 +101,26 @@ class RobustnessSpec extends SparkSpec {
     assert(pairs == Set((1L, 1001L))) // degenerate rows degrade, never throw
   }
 
+  test("hyperplane banding drops wrong-dimension vectors instead of co-bucketing them") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    // without the dim guard, every off-width vector dots to null -> sig 0 ->
+    // all of them share every band bucket (candidate blowup); with it they
+    // simply never band
+    val e = Seq(
+      (1L, Array.fill(64)(0.5f)),
+      (1001L, Array.fill(64)(0.5001f)),
+      (2L, Array.fill(32)(0.9f)), // identical 32-dim pair: dropped, not paired
+      (3L, Array.fill(32)(0.9f))
+    ).toDF("vec_id", "embedding")
+    val pairs = graft.operators.Dedup
+      .embeddingDupPairsOn(e)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs == Set((1L, 1001L)))
+  }
+
   test("range search with a missing query id returns empty, not an error") {
     assert(graft.operators.Similarity.rangeSearch(spark, sf0001, queryId = -1L).collect().isEmpty)
   }

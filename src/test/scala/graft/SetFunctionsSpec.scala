@@ -70,6 +70,20 @@ class SetFunctionsSpec extends SparkSpec {
     assert(df.where(col("fast") > 0).count() > 0L)
   }
 
+  test("intersection_size on dup-bearing inputs counts probe-side hits (documented divergence)") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    // array_intersect dedups first (|{a}| = 1); the hash-probe counts every
+    // probe-side hit (3). Dedup callers always pass collect_set outputs, so
+    // the divergence is unreachable there — this pins the documented
+    // contract for anyone reaching for the function on raw arrays.
+    val df = Seq((Seq("a", "a", "b"), Seq("a", "a", "a"))).toDF("a", "b")
+      .withColumn("fast", expr("intersection_size(a, b)"))
+      .withColumn("ref", size(array_intersect(col("a"), col("b"))).cast("long"))
+      .head()
+    assert(df.getLong(2) == 3L && df.getLong(3) == 1L)
+  }
+
   test("intersection_size rejects mixed string/long inputs at analysis") {
     import spark.implicits._
     VectorFunctions.register(spark)
