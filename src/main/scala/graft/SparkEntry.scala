@@ -74,6 +74,11 @@ object SparkEntry {
     "a3_asof_tolerance" -> ((s: SparkSession, d: String) => AsOf.purchaseAsofClickWithin(s, d)),
     "q22_salted_join_count" -> (CoreQueries.q22SaltedJoinCount _),
     "q23_bucketed_star"     -> (CoreQueries.q23BucketedStar _),
+    // corpus curation: global ids, packing, decontamination, mixture sampling
+    "g1_global_ids"     -> (Curation.globalIds _),
+    "p2_sequence_pack"  -> (Curation.sequencePack _),
+    "d8_decontaminate"  -> (Curation.decontaminate _),
+    "d9_mixture_sample" -> (Curation.mixtureSample _),
     // multimodal metadata surface
     "m1_payload_meta" -> (Multimodal.payloadMeta _),
     // streaming façade, batch-equivalent form
@@ -253,6 +258,34 @@ object SparkEntry {
         "WHERE rnk <= 3 ORDER BY query_id, rnk"),
     "m1_payload_meta" ->
       "SELECT doc_id, octet_length(encode(text))::BIGINT AS payload_len FROM documents ORDER BY doc_id",
+    // g1's oracle IS the single-partition window form the operator exists to
+    // avoid — fine at oracle scale, the scale-killer our zipWithIndex plan
+    // replaces.
+    "g1_global_ids" ->
+      ("SELECT (row_number() OVER (ORDER BY source, doc_id) - 1)::BIGINT AS global_id, " +
+        "doc_id, source FROM documents ORDER BY global_id"),
+    "p2_sequence_pack" ->
+      ("SELECT source, doc_id, n_tokens, ((cum - n_tokens) // " + Curation.PackBudget + ")::BIGINT AS pack_id FROM " +
+        "(SELECT source, doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens, " +
+        "SUM(len(string_split(text, ' '))::BIGINT) OVER " +
+        "(PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum " +
+        "FROM documents) t ORDER BY source, doc_id"),
+    "d8_decontaminate" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s " +
+        "FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)), " +
+        "bench AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 50 = 0), " +
+        "train AS (SELECT * FROM sh WHERE doc_id % 50 <> 0) " +
+        "SELECT t.doc_id, COUNT(DISTINCT b.bench_id) AS n_bench_docs, " +
+        "COUNT(DISTINCT t.s) AS n_shared_shingles " +
+        "FROM train t JOIN bench b ON t.s = b.s GROUP BY t.doc_id ORDER BY t.doc_id"),
+    "d9_mixture_sample" -> {
+      val vals = Curation.MixtureRates.map { case (s, t) => s"('$s', '$t')" }.mkString(", ")
+      ("WITH rates(source, thr) AS (VALUES " + vals + ") " +
+        "SELECT d.source, COUNT(*) AS n_total, " +
+        "SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < thr THEN 1 ELSE 0 END)::BIGINT AS n_kept " +
+        "FROM documents d JOIN rates USING (source) GROUP BY d.source ORDER BY d.source")
+    },
     "w1_window_counts" ->
       ("SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws, event_type, COUNT(*) AS cnt " +
         "FROM events GROUP BY 1, 2 ORDER BY ws, event_type"),

@@ -1,0 +1,198 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Corpus-curation operators for a training-data pipeline: stable global ids,
+  * sequence packing, benchmark decontamination, and mixture sampling. These
+  * are the steps that sit between cleaning/dedup ([[Pipeline]], [[Dedup]])
+  * and the trainer's data loader, and each is written in the only shape that
+  * survives 100 TB:
+  *
+  *   - global ids ([[globalIds]]): range-partitioned sort + per-partition
+  *     offsets — never a single-partition `row_number() OVER (ORDER BY …)`.
+  *   - packing ([[sequencePack]]): windowed cumulative sums partitioned by
+  *     source, so no partition ever holds the whole corpus.
+  *   - decontamination ([[decontaminate]]): inverted-index join of 8-byte
+  *     shingle hashes against a BROADCAST benchmark index — eval suites are
+  *     tiny next to the corpus, so the corpus never shuffles at all.
+  *   - mixture sampling ([[mixtureSample]]): a deterministic per-row hash
+  *     threshold — no `rand()`, so retries/recomputations of a partition
+  *     reproduce the same sample (rand() under task retry silently changes
+  *     the output), and the sample is reproducible across runs by anyone
+  *     holding the rate table.
+  *
+  * The reference engine stops at scan/filter/aggregate (`Config/QueryType
+  * .cs:3-12`); everything here is the training-pipeline extension layer the
+  * builder brief asks for on top of that surface.
+  */
+object Curation {
+
+  /** G1 — stable global row ids 0..n−1 in (source, doc_id) order.
+    *
+    * The naive form — `row_number() OVER (ORDER BY source, doc_id)` — is a
+    * single-partition window: the whole corpus funnels through one task, the
+    * definition of a scale-killer. The scalable equivalent is the two-pass
+    * layout Spark's `zipWithIndex` implements over a range-sorted RDD:
+    * `orderBy` range-partitions so partition i's keys all precede partition
+    * i+1's, a count-per-partition pass (one tiny job, O(partitions) driver
+    * state) yields each partition's starting offset, and a narrow map adds
+    * offset + local position. Total cost: one sort shuffle + one narrow
+    * pass — no step ever sees more than one partition of data. This is the
+    * one registered operator that drops to the RDD API, precisely because
+    * "my global position" is per-partition imperative state that no
+    * DataFrame operator expresses without the single-partition window.
+    */
+  def globalIds(spark: SparkSession, dir: String): DataFrame = {
+    val sorted = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .orderBy("source", "doc_id")
+    val schema = StructType(
+      Seq(
+        StructField("global_id", LongType, nullable = false),
+        StructField("doc_id", LongType, nullable = true),
+        StructField("source", StringType, nullable = true)
+      )
+    )
+    val indexed = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      Row(i, r.getLong(0), r.getString(1))
+    }
+    spark.createDataFrame(indexed, schema).orderBy("global_id")
+  }
+
+  /** Context-window token budget for [[sequencePack]] — small enough that
+    * every source yields several packs on the test corpora.
+    */
+  val PackBudget = 512L
+
+  /** P2 — sequence packing: assign each document to the training context
+    * window in which it STARTS when documents are concatenated in
+    * (doc_id) order within each source and chunked every [[PackBudget]]
+    * tokens — the standard "concat and chunk" packing LLM data loaders run.
+    * `pack_id = floor(tokens_before_doc / budget)`, where tokens_before is
+    * a running sum over a window PARTITIONED BY source: each source packs
+    * independently, so the window shuffle spreads across sources and no
+    * partition needs the global corpus order (a global pack stream would be
+    * the same single-partition funnel [[globalIds]] avoids; per-source —
+    * or per-(source, day) at real scale — is how packing parallelizes).
+    * Integer arithmetic only: token counts and the running sum are longs,
+    * `div` is floor division on non-negatives, so the oracle matches bit
+    * for bit.
+    */
+  def sequencePack(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")
+      )
+    val w = Window
+      .partitionBy("source")
+      .orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("pack_id", expr(s"(cum - n_tokens) div $PackBudget"))
+      .select("source", "doc_id", "n_tokens", "pack_id")
+      .orderBy("source", "doc_id")
+  }
+
+  /** Benchmark membership rule for [[decontaminate]]: every 50th document
+    * stands in for the held-out eval suite. Deterministic and
+    * oracle-expressible; in production this is "the benchmark table".
+    */
+  private def isBench = col("doc_id") % 50 === 0
+
+  /** D8 — train/eval decontamination: for every training document, count the
+    * benchmark documents and distinct shingles it shares a 3-gram with —
+    * the contamination report a pipeline runs before shipping a corpus that
+    * might contain its own eval set. Same inverted-index shape as
+    * [[Dedup.ngramJaccardPairs]], with the asymmetry that makes it cheap at
+    * 100 TB: the benchmark side is an eval suite (thousands of docs), so its
+    * hashed shingle index is BROADCAST and the corpus-side shingle stream is
+    * probed in place — a map-side join, zero shuffle of the corpus, with
+    * only the (rare) matching rows aggregated per doc. Join keys are
+    * xxhash64 longs (8 bytes, not ~25-byte shingle text); exact up to
+    * hash collisions (~n²/2⁶⁴ — see [[Dedup.verifyPairs]]).
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup
+      .shingles(Tables.documents(spark, dir))
+      .withColumn("h", xxhash64(col("s")))
+      .select("doc_id", "h")
+    val bench = sh.where(isBench).select(col("h"), col("doc_id").as("bench_id"))
+    sh.where(!isBench)
+      .join(broadcast(bench), "h")
+      .groupBy("doc_id")
+      .agg(
+        countDistinct("bench_id").as("n_bench_docs"),
+        countDistinct("h").as("n_shared_shingles")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** Per-source sampling rates for [[mixtureSample]] as 4-hex-digit
+    * threshold strings: a row is kept iff the first 4 hex chars of
+    * `md5(doc_id)` sort strictly below the threshold, so rate =
+    * threshold/65536 ("zzzz" sorts above every hex digit → keep all).
+    * Thresholds live in a TABLE, not a CASE expression — mixture configs
+    * are data (reweighted per experiment), and a 20-row (or 20k-row) rate
+    * table broadcast-joins for free.
+    */
+  val MixtureRates: Seq[(String, String)] =
+    (0 until 20).map { i =>
+      val thr =
+        if (i < 5) "zzzz" // 100%
+        else if (i < 10) "8000" // 50%
+        else if (i < 15) "4000" // 25%
+        else "1000" // 6.25%
+      (s"src$i", thr)
+    }
+
+  /** D9 — deterministic mixture sampling: downsample each source to its
+    * target rate from [[MixtureRates]] and report achieved counts. The keep
+    * rule hashes the STABLE doc id (`md5`, shared verbatim by the oracle)
+    * against the source's threshold, which buys three properties `rand()`
+    * cannot give at scale: the sample is (1) reproducible across runs and
+    * engines, (2) invariant under task retry and partition recomputation —
+    * Spark WILL recompute partitions after executor loss, and a rand()
+    * sample silently changes under it — and (3) consistent across derived
+    * datasets (any downstream join sees the same kept set). Per-row hash +
+    * broadcast rate join: narrow, zero corpus shuffle before the tiny
+    * per-source aggregate.
+    */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val rates = mixtureRatesDf(spark)
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .join(broadcast(rates), "source")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(substring(md5(col("doc_id").cast("string")), 1, 4) < col("thr"), 1L).otherwise(0L))
+          .as("n_kept")
+      )
+      .orderBy("source")
+  }
+
+  private[graft] def mixtureRatesDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    MixtureRates.toDF("source", "thr")
+  }
+
+  /** Row-level variant of [[mixtureSample]]: the kept documents themselves —
+    * what downstream stages consume. Same keep rule, same determinism.
+    */
+  def mixtureSampleRows(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .join(broadcast(mixtureRatesDf(spark)), "source")
+      .where(substring(md5(col("doc_id").cast("string")), 1, 4) < col("thr"))
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,114 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Curation operators: global ids, sequence packing, decontamination,
+  * mixture sampling. Each case pins the operator against an independent
+  * formulation (window-based ids, per-group replay of the packing rule,
+  * string-shingle overlap, exact hash-threshold recount) on sf0.001.
+  */
+class CurationSpec extends SparkSpec {
+
+  test("g1: ids are a permutation of 0..n-1 in (source, doc_id) order") {
+    val got = Curation.globalIds(spark, sf0001).collect()
+    val n   = got.length
+    assert(n > 0)
+    assert(got.map(_.getLong(0)).toSeq == (0L until n.toLong))
+    // the id order must agree with the lexicographic (source, doc_id) order
+    val keys = got.map(r => (r.getString(2), r.getLong(1)))
+    assert(keys.toSeq == keys.toSeq.sorted)
+    // and agree with the single-partition window formulation it replaces
+    val windowed = spark.read
+      .parquet(s"$sf0001/documents.parquet")
+      .select(
+        (row_number().over(Window.orderBy("source", "doc_id")) - 1).cast("long").as("global_id"),
+        col("doc_id"),
+        col("source")
+      )
+      .orderBy("global_id")
+      .collect()
+    assert(got.toSeq == windowed.toSeq)
+  }
+
+  test("p2: pack assignment replays the concat-and-chunk rule per source") {
+    val rows = Curation.sequencePack(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, docs) =>
+      var cum = 0L
+      docs.sortBy(_.getLong(1)).foreach { r =>
+        val expected = cum / Curation.PackBudget
+        assert(r.getLong(3) == expected, s"doc ${r.getLong(1)}")
+        cum += r.getLong(2)
+      }
+    }
+    // budget chosen so the test corpus actually produces multiple packs
+    assert(rows.map(_.getLong(3)).max >= 2)
+  }
+
+  test("d8: hashed-index counts equal string-shingle overlap counts") {
+    val got = Curation
+      .decontaminate(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    // independent recount over shingle STRINGS (no xxhash64 in the loop)
+    val sh = graft.operators.Dedup
+      .shingles(spark.read.parquet(s"$sf0001/documents.parquet"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bench = sh.filter(_._1 % 50 == 0)
+    val byShingle = bench.groupBy(_._2).map { case (s, rs) => (s, rs.map(_._1).toSet) }
+    val want = sh
+      .filter(_._1 % 50 != 0)
+      .groupBy(_._1)
+      .flatMap { case (id, rs) =>
+        val hits = rs.map(_._2).filter(byShingle.contains)
+        if (hits.isEmpty) None
+        else Some((id, hits.flatMap(byShingle).toSet.size.toLong, hits.toSet.size.toLong))
+      }
+      .toSeq
+      .sortBy(_._1)
+    assert(got.toSeq == want)
+  }
+
+  test("d9: kept counts match an exact recount and land near target rates") {
+    val got = Curation.mixtureSample(spark, sf0001).collect()
+    assert(got.length == 20)
+    val docs = spark.read
+      .parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "source")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val thr = Curation.MixtureRates.toMap
+    got.foreach { r =>
+      val (src, total, kept) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val ids  = docs.filter(_._2 == src)
+      val want = ids.count { case (id, _) =>
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString).substring(0, 4) < thr(src)
+      }
+      assert(total == ids.length)
+      assert(kept == want, s"source $src")
+    }
+    // 100%-rate sources keep everything; 6.25% sources keep strictly less
+    val full = got.filter(r => (0 until 5).map(i => s"src$i").contains(r.getString(0)))
+    assert(full.forall(r => r.getLong(1) == r.getLong(2)))
+    val sparse = got.filter(r => (15 until 20).map(i => s"src$i").contains(r.getString(0)))
+    assert(sparse.forall(r => r.getLong(2) < r.getLong(1) / 2))
+  }
+
+  test("d9 rows: kept set is deterministic across runs and matches summary") {
+    val a = Curation.mixtureSampleRows(spark, sf0001).collect().toSeq
+    val b = Curation.mixtureSampleRows(spark, sf0001).collect().toSeq
+    assert(a == b)
+    val perSource = a.groupBy(_.getString(1)).map { case (s, rs) => (s, rs.length.toLong) }
+    val summary = Curation
+      .mixtureSample(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+      .toMap
+    summary.foreach { case (s, kept) => assert(perSource.getOrElse(s, 0L) == kept) }
+  }
+}
