@@ -74,6 +74,9 @@ object SparkEntry {
     "a3_asof_tolerance" -> ((s: SparkSession, d: String) => AsOf.purchaseAsofClickWithin(s, d)),
     "q22_salted_join_count" -> (CoreQueries.q22SaltedJoinCount _),
     "q23_bucketed_star"     -> (CoreQueries.q23BucketedStar _),
+    "q24_shipping_priority" -> (CoreQueries.q24ShippingPriority _),
+    "q25_local_supplier_volume" -> (CoreQueries.q25LocalSupplierVolume _),
+    "q26_monthly_order_trend"   -> (CoreQueries.q26MonthlyOrderTrend _),
     // corpus curation: global ids, packing, decontamination, mixture sampling
     "g1_global_ids"     -> (Curation.globalIds _),
     "p2_sequence_pack"  -> (Curation.sequencePack _),
@@ -332,6 +335,36 @@ object SparkEntry {
       ("SELECT o_orderpriority, COUNT(*) AS cnt FROM lineitem " +
         "JOIN orders ON l_orderkey = o_orderkey " +
         "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q24_shipping_priority" ->
+      ("SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) * 10000 AS BIGINT) AS revenue_e4 " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "WHERE c_mktsegment = 'BUILDING' " +
+        "AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00' " +
+        "AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00' " +
+        "GROUP BY l_orderkey, CAST(o_orderdate AS DATE) " +
+        "ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10"),
+    "q25_local_supplier_volume" ->
+      ("SELECT n_name, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) * 10000 AS BIGINT) AS revenue_e4, " +
+        "COUNT(*) AS cnt " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA' " +
+        "AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' " +
+        "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' " +
+        "GROUP BY n_name ORDER BY revenue_e4 DESC, n_name"),
+    "q26_monthly_order_trend" ->
+      ("WITH m AS (SELECT o_orderpriority, CAST(date_trunc('month', o_orderdate) AS DATE) AS month, " +
+        "COUNT(*) AS cnt FROM orders GROUP BY 1, 2) " +
+        "SELECT o_orderpriority, month, cnt, CAST(SUM(cnt) OVER w AS BIGINT) AS cum_cnt, " +
+        "CAST(cnt - lag(cnt, 1) OVER w AS BIGINT) AS delta FROM m " +
+        "WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month ROWS UNBOUNDED PRECEDING) " +
+        "ORDER BY o_orderpriority, month"),
     "c1_clean_corpus" -> {
       val langScore = TextAnalysis.langMarkers.map { case (l, ws) =>
         val in = ws.map(w => s"'$w'").mkString(", ")

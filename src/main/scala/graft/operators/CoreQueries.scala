@@ -522,4 +522,102 @@ object CoreQueries {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("n_name")
   }
+
+  /** Q24 — shipping-priority top-k (TPC-H Q3 shape): selective filters on
+    * ALL THREE inputs (segment on customer, date ranges on orders and
+    * lineitem) pushed to the scans, then fact-fact join → grouped revenue →
+    * top 10. What matters at 100 TB: the date predicates prune row groups
+    * before either shuffle; customer is filtered then hashed (a real
+    * customer table outgrows broadcast, so the plan must survive as a
+    * shuffle join — no broadcast hint here, AQE may still pick one at toy
+    * scale); and the final ordering is `TakeOrderedAndProject`, never a
+    * global sort. Revenue in BIGINT e4 minor units as in q11/q21.
+    */
+  def q24ShippingPriority(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .where(col("l_shipdate") > expr("timestamp_ntz'1998-03-15 00:00:00'"))
+      .join(
+        Tables.orders(spark, dir).where(col("o_orderdate") < expr("timestamp_ntz'1998-03-15 00:00:00'")),
+        col("l_orderkey") === col("o_orderkey")
+      )
+      .join(
+        Tables.customer(spark, dir).where(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey")
+      )
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("order_date"))
+      .agg(
+        (sum(col("l_extendedprice").cast("decimal(12,2)") * (lit(1) - col("l_discount").cast("decimal(12,2)"))) * 10000)
+          .cast("long")
+          .as("revenue_e4")
+      )
+      .orderBy(col("revenue_e4").desc, col("l_orderkey"))
+      .limit(10)
+
+  /** Q25 — local-supplier volume (TPC-H Q5 shape): the 6-table chain
+    * lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region with the
+    * `c_nationkey = s_nationkey` locality constraint and a one-year order
+    * window. Join geometry at scale: facts (lineitem/orders) shuffle on
+    * their keys; supplier/nation/region are dims → broadcast (supplier is
+    * 10⁻⁴ of lineitem in TPC-H geometry); the locality predicate rides the
+    * supplier join as an equi-key (s_nationkey = c_nationkey) rather than a
+    * post-join filter, so mismatched rows never materialize. Customer joins
+    * by hash (same non-broadcastable reasoning as q24).
+    */
+  def q25LocalSupplierVolume(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .join(
+        Tables
+          .orders(spark, dir)
+          .where(
+            col("o_orderdate") >= expr("timestamp_ntz'1997-01-01 00:00:00'") &&
+              col("o_orderdate") < expr("timestamp_ntz'1998-01-01 00:00:00'")
+          ),
+        col("l_orderkey") === col("o_orderkey")
+      )
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(
+        broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey")
+      )
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(
+        broadcast(Tables.region(spark, dir)).where(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey")
+      )
+      .groupBy("n_name")
+      .agg(
+        (sum(col("l_extendedprice").cast("decimal(12,2)") * (lit(1) - col("l_discount").cast("decimal(12,2)"))) * 10000)
+          .cast("long")
+          .as("revenue_e4"),
+        count(lit(1)).as("cnt")
+      )
+      .orderBy(col("revenue_e4").desc, col("n_name"))
+
+  /** Q26 — month-over-month order trend per priority: monthly counts, the
+    * running cumulative count, and the delta vs the previous month — the
+    * lag/lead + running-frame window surface beside q12's ranking window.
+    * Both windows are PARTITIONED BY priority: parallelism = partition
+    * count and no task ever sees more than one priority's months (the
+    * unpartitioned running total is the same funnel [[Curation.globalIds]]
+    * documents). The windows run over the already-aggregated monthly frame
+    * (5 priorities × ~80 months), not raw orders — aggregate first, window
+    * over the small result.
+    */
+  def q26MonthlyOrderTrend(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = Tables
+      .orders(spark, dir)
+      .groupBy(
+        col("o_orderpriority"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month")
+      )
+      .agg(count(lit(1)).as("cnt"))
+    val byMonth = Window.partitionBy("o_orderpriority").orderBy("month")
+    monthly
+      .withColumn("cum_cnt", sum("cnt").over(byMonth.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("delta", col("cnt") - lag("cnt", 1).over(byMonth))
+      .orderBy("o_orderpriority", "month")
+  }
 }

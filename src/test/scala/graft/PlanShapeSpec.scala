@@ -84,6 +84,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(p1.head().getLong(0) == CoreQueries.q2TimeFilterCount(spark, sf0001).head().getLong(0))
   }
 
+  test("d8 broadcasts the benchmark shingle index; corpus side never shuffles pre-join") {
+    val df   = graft.operators.Curation.decontaminate(spark, sf0001)
+    val plan = executedPlan(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the corpus side must reach the join without an Exchange: the only
+    // exchanges allowed are the broadcast itself and the post-join
+    // per-doc aggregate / final sort
+    val joinIdx = plan.indexOf("BroadcastHashJoin")
+    val preJoin = plan.substring(joinIdx)
+    assert(!preJoin.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("q24 pushes all three filters to their scans and top-ks without a global sort") {
+    val df   = CoreQueries.q24ShippingPriority(spark, sf0001)
+    val plan = executedPlan(df)
+    assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"), plan)
+    assert(plan.contains("LessThan(o_orderdate,"), plan)
+    assert(plan.contains("GreaterThan(l_shipdate,"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q25 broadcasts every dimension; facts join by hash") {
+    val df   = CoreQueries.q25LocalSupplierVolume(spark, sf0001)
+    val plan = executedPlan(df)
+    // supplier, nation, region all ride broadcast joins
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan)
+  }
+
   test("ann scoring stays in whole-stage codegen (no fallback)") {
     val df   = Similarity.annBruteForce(spark, sf0001)
     df.collect() // forces codegen; a CompileException fallback would log loudly
