@@ -158,6 +158,70 @@ object Multimodal {
     }
   }
 
+  /** Nearest-neighbor resize of a decoded grayscale image — integer source
+    * index per target pixel, no interpolation: deterministic, allocation-
+    * bounded, and exactly reproducible across JVMs (float filter kernels
+    * are not). The standard thumbnail/normalize step between decode and
+    * feature extraction.
+    */
+  private[graft] def resizeNearest(img: DecodedImage, w: Int, h: Int): DecodedImage = {
+    require(w > 0 && h > 0)
+    val out = new Array[Float](w * h)
+    var y = 0
+    while (y < h) {
+      val sy = (y.toLong * img.height / h).toInt
+      var x  = 0
+      while (x < w) {
+        val sx = (x.toLong * img.width / w).toInt
+        out(y * w + x) = img.gray(sy * img.width + sx)
+        x += 1
+      }
+      y += 1
+    }
+    DecodedImage(w, h, out)
+  }
+
+  /** Re-encode a grayscale image as binary PGM (P5, maxval 255) — the
+    * inverse of [[decodePnm]] for the grayscale plane, so resized payloads
+    * stay valid netpbm and round-trip through the same decoder.
+    */
+  private[graft] def encodePgm(img: DecodedImage): Array[Byte] = {
+    val header = s"P5\n${img.width} ${img.height}\n255\n".getBytes("US-ASCII")
+    val out    = new Array[Byte](header.length + img.gray.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < img.gray.length) {
+      val v = math.round(math.min(1.0f, math.max(0.0f, img.gray(i))) * 255.0f)
+      out(header.length + i) = v.toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Resize every decodable netpbm payload to `w`×`h` and re-encode as PGM,
+    * updating the metadata columns to match; undecodable or non-netpbm rows
+    * pass through UNTOUCHED (resize is an enhancement, not a filter — a
+    * quality gate downstream decides what to drop). Same per-partition
+    * batching as [[extractFeatures]]; narrow, shuffle-free.
+    */
+  def resizeMedia(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        r.format match {
+          case "image/pgm" | "image/ppm" =>
+            decodePnm(r.payload) match {
+              case Some(img) =>
+                val resized = resizeNearest(img, w, h)
+                r.copy(format = "image/pgm", width = w, height = h, payload = encodePgm(resized))
+              case None => r
+            }
+          case _ => r
+        }
+      }
+    }
+  }
+
   /** Frame sampling stub: every `stride`-th frame of a multi-frame payload.
     * With the fake 1-frame payloads this is an identity-shaped pass; the
     * operator exists to pin the (media_id, frame_no, frame_payload) output

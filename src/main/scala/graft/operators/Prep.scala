@@ -141,6 +141,22 @@ object Prep {
       .option("compression", "snappy")
       .parquet(outDir)
 
+  /** Folder-of-Parquet → folder-of-ORC rewrite (and [[orcTable]] to read it
+    * back) — the second columnar format a lakehouse serves. Spark's ORC
+    * datasource is built in, so the whole scan/pushdown/pruning surface
+    * (PushedFilters, column pruning, partial aggregation) works identically
+    * over ORC tables; PrepSpec proves content round-trips and that a
+    * predicate still pushes into the ORC scan. Timestamp caveat: ORC has no
+    * nanos physical type, so the events table must be normalized (µs NTZ,
+    * [[graft.sources.Tables.events]]) before an ORC rewrite — which the
+    * DataFrame-in/DataFrame-out contract here makes the caller's explicit
+    * choice rather than a silent truncation.
+    */
+  def toOrc(df: DataFrame, outDir: String): Unit =
+    df.write.mode("overwrite").option("compression", "snappy").orc(outDir)
+
+  def orcTable(spark: SparkSession, dir: String): DataFrame = spark.read.orc(dir)
+
   /** CSV(.gz) → Parquet with a declared (never inferred) schema, matching
     * the reference's declare-don't-infer stance (`DP:165`).
     */

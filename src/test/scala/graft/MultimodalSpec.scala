@@ -60,6 +60,38 @@ class MultimodalSpec extends SparkSpec {
     assert(f(2).features.length == 2)
   }
 
+  test("resize: planted 4x2 PGM downsamples to the expected 2x1 pixels and round-trips") {
+    import spark.implicits._
+    // pixels 0,64,128,255 / 10,20,30,40 — nearest-neighbor 4x2→2x1 picks
+    // row 0 (2*0/1=0? no: sy = y*H/h = 0*2/1 = 0), columns 0 and 2
+    val px  = Array[Byte](0, 64, -128, -1, 10, 20, 30, 40)
+    val pgm = "P5 4 2 255\n".getBytes("US-ASCII") ++ px
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image/pgm", 4, 2, 1, pgm),
+      Multimodal.MediaRow(2L, "image/pgm", 4, 1, 1, "P5 corrupt".getBytes), // undecodable: untouched
+      Multimodal.MediaRow(3L, "fake/raw", 1, 1, 1, Array[Byte](9, 9))       // non-netpbm: untouched
+    ).toDS()
+    val out = Multimodal.resizeMedia(rows, 2, 1).collect().sortBy(_.media_id)
+    assert(out(0).width == 2 && out(0).height == 1 && out(0).format == "image/pgm")
+    val back = Multimodal.decodePnm(out(0).payload).get
+    assert(back.width == 2 && back.height == 1)
+    assert(back.gray.toSeq == Seq(0f, 128 / 255f)) // source pixels (0,0) and (0,2)
+    // pass-through rows are bit-identical
+    assert(out(1).payload.toSeq == "P5 corrupt".getBytes.toSeq && out(1).width == 4)
+    assert(out(2).payload.toSeq == Seq[Byte](9, 9) && out(2).format == "fake/raw")
+  }
+
+  test("resize then decode equals decode then resizeNearest (metadata consistent)") {
+    // 3x3 gradient; resize to 2x2 both ways must agree up to PGM requantization
+    val px  = Array[Byte](0, 30, 60, 90, 120, -106, -76, -46, -16)
+    val pgm = "P5 3 3 255\n".getBytes("US-ASCII") ++ px
+    val direct = Multimodal.resizeNearest(Multimodal.decodePnm(pgm).get, 2, 2)
+    val rt     = Multimodal.decodePnm(Multimodal.encodePgm(direct)).get
+    assert(rt.width == 2 && rt.height == 2)
+    // requantization error ≤ 0.5/255 per pixel
+    direct.gray.zip(rt.gray).foreach { case (a, b) => assert(math.abs(a - b) <= 0.5f / 255f) }
+  }
+
   test("frame sampling emits every stride-th frame") {
     import spark.implicits._
     val m = Seq(

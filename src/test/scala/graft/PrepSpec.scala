@@ -31,6 +31,29 @@ class PrepSpec extends SparkSpec {
     assert(before.exceptAll(after).count() == 0L)
   }
 
+  test("orc rewrite: content round-trips and predicates push into the ORC scan") {
+    val out = Files.createTempDirectory("graft_orc").toString
+    val before = spark.read.parquet(s"$sf0001/documents.parquet")
+    Prep.toOrc(before, s"$out/documents.orc")
+    val after = Prep.orcTable(spark, s"$out/documents.orc")
+    assert(after.count() == before.count())
+    assert(after.exceptAll(before).count() == 0L && before.exceptAll(after).count() == 0L)
+    // the scan surface carries over: an equality predicate reaches the ORC
+    // reader as a pushed filter, same as parquet
+    val q    = after.where(org.apache.spark.sql.functions.col("source") === "src3")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(source,src3)"), plan)
+    assert(q.count() == before.where(org.apache.spark.sql.functions.col("source") === "src3").count())
+    // normalized events (µs NTZ) survive the format hop with answers intact
+    val evOut = Files.createTempDirectory("graft_orc_ev").toString
+    Prep.toOrc(graft.sources.Tables.events(spark, sf0001), s"$evOut/events.orc")
+    val ev = Prep.orcTable(spark, s"$evOut/events.orc")
+    assert(ev.count() == CoreQueries.q1TotalCount(spark, sf0001).head().getLong(0))
+    import org.apache.spark.sql.functions.{max, min}
+    val Seq(a, b) = ev.agg(min("ts"), max("ts")).head().toSeq
+    assert(CoreQueries.q4MinMax(spark, sf0001).head().toSeq == Seq(a, b))
+  }
+
   test("passthrough mode converts blobs 1:1 with .csv.gz suffix strip (DP:101-110)") {
     val tmp = Files.createTempDirectory("graft_pass").toString
     import spark.implicits._
