@@ -82,6 +82,8 @@ object SparkEntry {
     "p2_sequence_pack"  -> (Curation.sequencePack _),
     "d8_decontaminate"  -> (Curation.decontaminate _),
     "d9_mixture_sample" -> (Curation.mixtureSample _),
+    "d10_stratified_sample" -> ((s: SparkSession, d: String) => Curation.stratifiedSample(s, d)),
+    "d11_vocab_topk"        -> ((s: SparkSession, d: String) => TextAnalysis.vocabTopK(s, d)),
     // multimodal metadata surface
     "m1_payload_meta" -> (Multimodal.payloadMeta _),
     // streaming façade, batch-equivalent form
@@ -289,6 +291,13 @@ object SparkEntry {
         "SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < thr THEN 1 ELSE 0 END)::BIGINT AS n_kept " +
         "FROM documents d JOIN rates USING (source) GROUP BY d.source ORDER BY d.source")
     },
+    "d10_stratified_sample" ->
+      ("SELECT source, doc_id, rk FROM (SELECT source, doc_id, " +
+        "row_number() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk " +
+        "FROM documents) t WHERE rk <= 5 ORDER BY source, rk"),
+    "d11_vocab_topk" ->
+      ("SELECT token, COUNT(*) AS cnt FROM (SELECT UNNEST(string_split(text, ' ')) AS token " +
+        "FROM documents) t GROUP BY token ORDER BY cnt DESC, token LIMIT 100"),
     "w1_window_counts" ->
       ("SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws, event_type, COUNT(*) AS cnt " +
         "FROM events GROUP BY 1, 2 ORDER BY ws, event_type"),

@@ -195,4 +195,30 @@ object Curation {
       .where(substring(md5(col("doc_id").cast("string")), 1, 4) < col("thr"))
       .select(col("doc_id"), col("source"))
       .orderBy("doc_id")
+
+  /** D10 — stratified FIXED-SIZE sampling: exactly `k` documents per source
+    * (eval holdouts, human-review batches, per-domain probes want counts,
+    * not rates — [[mixtureSample]]'s complement). The keep rule is "the k
+    * smallest `md5(doc_id)` per source": a deterministic uniform draw with
+    * the same retry/reproducibility properties as d9, expressed as a ranking
+    * window PARTITIONED BY source — parallelism = source count, and the
+    * partial TakeOrdered inside each partition never materializes more than
+    * its own group. (A true reservoir sample is the streaming analogue; over
+    * a static corpus the hash-rank formulation is equivalent and joins/
+    * reruns reproduce it exactly.)
+    */
+  def stratifiedSample(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val ranked = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        row_number()
+          .over(
+            Window.partitionBy("source").orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+          )
+          .as("rk")
+      )
+    ranked.where(col("rk") <= k).select("source", "doc_id", "rk").orderBy("source", "rk")
+  }
 }

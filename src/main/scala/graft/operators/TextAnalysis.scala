@@ -150,4 +150,23 @@ object TextAnalysis {
       .documents(spark, dir)
       .select(col("doc_id"), md5(col("text")).as("fp"))
       .orderBy("doc_id")
+
+  /** D11 — corpus vocabulary top-k: global token frequencies, k most
+    * frequent (tie-broken by token so the cut is deterministic) — the
+    * vocabulary audit run before tokenizer training or quality filtering.
+    * The classic wordcount, in the only shape that matters at 100 TB:
+    * map-side partial aggregation collapses each task's token stream to its
+    * local distinct tokens BEFORE the exchange (the shuffle carries
+    * (token, partial_count), bounded by vocabulary × tasks, not corpus
+    * token count), and the final ordering is `TakeOrderedAndProject` over
+    * per-partition top-k — never a global sort of the vocabulary.
+    */
+  def vocabTopK(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
 }

@@ -99,6 +99,42 @@ class CurationSpec extends SparkSpec {
     assert(sparse.forall(r => r.getLong(2) < r.getLong(1) / 2))
   }
 
+  test("d10: exactly k docs per source, deterministic, hash-rank verified") {
+    val got = Curation.stratifiedSample(spark, sf0001, k = 5).collect()
+    val bySource = got.groupBy(_.getString(0))
+    assert(bySource.size == 20 && bySource.values.forall(_.length == 5))
+    // the selected ids are exactly the 5 smallest md5-hex per source
+    val docs = spark.read
+      .parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "source")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    bySource.foreach { case (src, rows) =>
+      val want = docs
+        .filter(_._2 == src)
+        .map(_._1)
+        .sortBy(id => (org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString), id))
+        .take(5)
+      assert(rows.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq == want.toSeq, s"source $src")
+    }
+  }
+
+  test("d11: vocab top-k matches a local token recount") {
+    // the synthetic corpus has a deliberately tiny vocabulary (~31 tokens) —
+    // sample INSIDE it so the k cut is actually exercised
+    val got = graft.operators.TextAnalysis.vocabTopK(spark, sf0001, k = 20).collect()
+    assert(got.length == 20)
+    val counts = spark.read
+      .parquet(s"$sf0001/documents.parquet")
+      .select("text")
+      .collect()
+      .flatMap(_.getString(0).split(" ", -1))
+      .groupBy(identity)
+      .map { case (t, xs) => (t, xs.length.toLong) }
+    val want = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(20)
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq == want)
+  }
+
   test("d9 rows: kept set is deterministic across runs and matches summary") {
     val a = Curation.mixtureSampleRows(spark, sf0001).collect().toSeq
     val b = Curation.mixtureSampleRows(spark, sf0001).collect().toSeq
