@@ -171,7 +171,9 @@ object ScaleRehearsal {
       "c1_clean_corpus", "s1_ann_bruteforce", "s3_ann_batch_topk",
       "s6_ann_ivf_partitioned", "w2_sessionize", "p1_partitioned_time_count",
       "x3_approx_percentiles", "d6_token_stats", "q21_part_brand_revenue",
-      "a3_asof_tolerance", "q22_salted_join_count", "n5_incremental_dedup"
+      "a3_asof_tolerance", "q22_salted_join_count", "n5_incremental_dedup",
+      "q24_shipping_priority", "q25_local_supplier_volume", "g1_global_ids",
+      "p2_sequence_pack", "d8_decontaminate", "d11_vocab_topk"
     )
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
     headline.foreach { name =>
