@@ -84,6 +84,8 @@ object SparkEntry {
     "d9_mixture_sample" -> (Curation.mixtureSample _),
     "d10_stratified_sample" -> ((s: SparkSession, d: String) => Curation.stratifiedSample(s, d)),
     "d11_vocab_topk"        -> ((s: SparkSession, d: String) => TextAnalysis.vocabTopK(s, d)),
+    "d12_length_deciles"    -> (Curation.lengthDeciles _),
+    "s7_ann_with_metadata"  -> ((s: SparkSession, d: String) => Similarity.annWithMetadata(s, d)),
     // multimodal metadata surface
     "m1_payload_meta" -> (Multimodal.payloadMeta _),
     // streaming façade, batch-equivalent form
@@ -298,6 +300,17 @@ object SparkEntry {
     "d11_vocab_topk" ->
       ("SELECT token, COUNT(*) AS cnt FROM (SELECT UNNEST(string_split(text, ' ')) AS token " +
         "FROM documents) t GROUP BY token ORDER BY cnt DESC, token LIMIT 100"),
+    "d12_length_deciles" ->
+      ("SELECT source, doc_id, n_chars, ntile(10) OVER " +
+        "(PARTITION BY source ORDER BY n_chars DESC, doc_id) AS decile " +
+        "FROM documents ORDER BY source, doc_id"),
+    "s7_ann_with_metadata" ->
+      ("SELECT query_id, rnk, vec_id, source, n_chars FROM " +
+        "(SELECT q.vec_id AS query_id, e.vec_id, " +
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id) AS rnk " +
+        "FROM embeddings e, embeddings q WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id) t " +
+        "JOIN documents d ON t.vec_id = d.doc_id WHERE rnk <= 3 ORDER BY query_id, rnk"),
     "w1_window_counts" ->
       ("SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws, event_type, COUNT(*) AS cnt " +
         "FROM events GROUP BY 1, 2 ORDER BY ws, event_type"),

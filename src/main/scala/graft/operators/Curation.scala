@@ -221,4 +221,24 @@ object Curation {
       )
     ranked.where(col("rk") <= k).select("source", "doc_id", "rk").orderBy("source", "rk")
   }
+
+  /** D12 — per-source length deciles: `ntile(10)` over document length
+    * within each source (tie-broken by doc_id so the cut is deterministic) —
+    * the binning step behind "drop the bottom decile per domain" quality
+    * policies, where a GLOBAL decile would let one verbose domain crowd out
+    * every short-form domain. Window partitioned by source, like p2/d10:
+    * parallelism = source count, nothing global.
+    */
+  def lengthDeciles(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("source"),
+        col("doc_id"),
+        col("n_chars"),
+        ntile(10)
+          .over(Window.partitionBy("source").orderBy(col("n_chars").desc, col("doc_id")))
+          .as("decile")
+      )
+      .orderBy("source", "doc_id")
 }

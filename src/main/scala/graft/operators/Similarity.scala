@@ -309,4 +309,21 @@ object Similarity {
       .dropDuplicates("vec_id")
     rankTopK(cand.select(col("vec_id"), expr("cosine_sim(embedding, qv)").as("cos")), k)
   }
+
+  /** S7 — retrieve-then-enrich: [[annBatchTopK]]'s neighbor ids joined back
+    * to the `documents` row they index (vec_id ≡ doc_id in this corpus) —
+    * the composition every retrieval pipeline ends with, and the join
+    * direction is the whole point at scale: the TOP-K RESULT (queries × k
+    * rows) broadcasts to the big metadata table, never the reverse. The
+    * metadata scan reads only the projected columns (column pruning) and
+    * its probe side never shuffles.
+    */
+  def annWithMetadata(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 3): DataFrame = {
+    val hits = annBatchTopK(spark, dir, nQueries, k)
+    Tables
+      .documents(spark, dir)
+      .join(broadcast(hits), col("doc_id") === col("vec_id"))
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("source"), col("n_chars"))
+      .orderBy("query_id", "rnk")
+  }
 }

@@ -135,6 +135,46 @@ class CurationSpec extends SparkSpec {
     assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq == want)
   }
 
+  test("d12: decile assignment matches a local ntile replay per source") {
+    val got = Curation.lengthDeciles(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    got.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val n      = rows.length
+      val sorted = rows.sortBy(r => (-r.getLong(2), r.getLong(1)))
+      // ntile semantics: first (n % 10) tiles get ceil(n/10), rest floor
+      val base = n / 10
+      val big  = n % 10
+      var idx  = 0
+      (1 to 10).foreach { tile =>
+        val size = base + (if (tile <= big) 1 else 0)
+        (0 until size).foreach { _ =>
+          assert(sorted(idx).getInt(3) == tile, s"row $idx expected tile $tile")
+          idx += 1
+        }
+      }
+      assert(idx == n)
+    }
+  }
+
+  test("s7: ann hits enriched with the matching document's metadata") {
+    val s3 = graft.operators.Similarity
+      .annBatchTopK(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val s7 = graft.operators.Similarity.annWithMetadata(spark, sf0001).collect()
+    assert(s7.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == s3.toSeq)
+    val docs = spark.read
+      .parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "source", "n_chars")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    s7.foreach { r =>
+      val (src, nc) = docs(r.getLong(2))
+      assert(r.getString(3) == src && r.getLong(4) == nc)
+    }
+  }
+
   test("d9 rows: kept set is deterministic across runs and matches summary") {
     val a = Curation.mixtureSampleRows(spark, sf0001).collect().toSeq
     val b = Curation.mixtureSampleRows(spark, sf0001).collect().toSeq

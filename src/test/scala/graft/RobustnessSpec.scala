@@ -203,4 +203,25 @@ class RobustnessSpec extends SparkSpec {
     val mm = graft.operators.CoreQueries.q4MinMax(spark, dir).head()
     assert(mm.isNullAt(0) && mm.isNullAt(1))
   }
+
+  test("schema evolution: a widened blob in the folder reads under mergeSchema with nulls backfilled") {
+    // lakehouse reality: new ingest adds a column; old blobs don't have it.
+    // Default read resolves the union ONLY with mergeSchema (otherwise the
+    // schema is whichever file wins the listing race — pin the knob).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1).write.parquet(s"$dir/t.parquet")
+    // the evolved ingest APPENDS a widened blob into the same folder
+    Seq((3L, "c", 99L)).toDF("id", "v", "extra").coalesce(1).write.mode("append").parquet(s"$dir/t.parquet")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/t.parquet")
+    assert(merged.columns.sorted.toSeq == Seq("extra", "id", "v"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows.length == 3)
+    assert(rows.take(2).forall(_.isNullAt(rows.head.fieldIndex("extra"))), "old rows backfill null")
+    assert(rows(2).getLong(rows(2).fieldIndex("extra")) == 99L)
+    // queries over the evolved folder keep answering: count + filter on the
+    // shared column, and a filter on the NEW column prunes old-file rows
+    assert(merged.where($"v" === "b").count() == 1L)
+    assert(merged.where($"extra".isNotNull).count() == 1L)
+  }
 }
