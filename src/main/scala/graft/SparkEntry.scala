@@ -75,6 +75,7 @@ object SparkEntry {
     "q22_salted_join_count" -> (CoreQueries.q22SaltedJoinCount _),
     "q23_bucketed_star"     -> (CoreQueries.q23BucketedStar _),
     "q24_shipping_priority" -> (CoreQueries.q24ShippingPriority _),
+    "q27_semi_join"         -> (CoreQueries.q27SemiJoin _),
     "q25_local_supplier_volume" -> (CoreQueries.q25LocalSupplierVolume _),
     "q26_monthly_order_trend"   -> (CoreQueries.q26MonthlyOrderTrend _),
     // corpus curation: global ids, packing, decontamination, mixture sampling
@@ -176,6 +177,10 @@ object SparkEntry {
         "ORDER BY c_nationkey"),
     "q14_anti_join" ->
       ("SELECT c_custkey FROM customer WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT') " +
+        "ORDER BY c_custkey"),
+    "q27_semi_join" ->
+      ("SELECT c_custkey FROM customer WHERE EXISTS " +
         "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT') " +
         "ORDER BY c_custkey"),
     "d1_token_count" ->

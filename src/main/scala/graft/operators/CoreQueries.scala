@@ -274,6 +274,24 @@ object CoreQueries {
       .select("c_custkey")
       .orderBy("c_custkey")
 
+  /** Q27 — semi join: customers WITH at least one URGENT order (EXISTS) —
+    * q14's complement, completing the join-type surface (inner/outer/anti/
+    * semi/asof/interval/salted/bucketed). Left-semi short-circuits on first
+    * match and ships only the probe side's key column — at scale this is
+    * strictly cheaper than the inner-join-plus-distinct a naive EXISTS
+    * rewrite would run.
+    */
+  def q27SemiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .customer(spark, dir)
+      .join(
+        Tables.orders(spark, dir).where(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"),
+        "left_semi"
+      )
+      .select("c_custkey")
+      .orderBy("c_custkey")
+
   /** X1 — HLL sketch distinct count of users (extension: the sketch rung of
     * the distinct ladder — at 100 TB `COUNT(DISTINCT)` shuffles every key,
     * `approx_count_distinct` ships a fixed-size HLL buffer per partition).

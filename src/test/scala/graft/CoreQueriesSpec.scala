@@ -135,4 +135,13 @@ class CoreQueriesSpec extends SparkSpec {
       ("NATION_0", 142L), ("NATION_1", 215L), ("NATION_10", 356L)
     ))
   }
+
+  test("q27 semi join complements q14 anti join: disjoint, union = all customers") {
+    val semi = CoreQueries.q27SemiJoin(spark, sf0001).collect().map(_.getLong(0)).toSet
+    val anti = CoreQueries.q14AntiJoin(spark, sf0001).collect().map(_.getLong(0)).toSet
+    assert(semi.nonEmpty && anti.nonEmpty)
+    assert((semi & anti).isEmpty)
+    val all = spark.read.parquet(s"$sf0001/customer.parquet").select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert((semi | anti) == all)
+  }
 }
