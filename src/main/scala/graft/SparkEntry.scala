@@ -385,12 +385,15 @@ object SparkEntry {
         "AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' " +
         "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' " +
         "GROUP BY n_name ORDER BY revenue_e4 DESC, n_name"),
+    // frame spelled only on SUM: Spark rejects an explicit frame on lag()
+    // (DuckDB would tolerate it), and this SQL must parse on BOTH engines
+    // for the SqlSpec three-way differential.
     "q26_monthly_order_trend" ->
       ("WITH m AS (SELECT o_orderpriority, CAST(date_trunc('month', o_orderdate) AS DATE) AS month, " +
         "COUNT(*) AS cnt FROM orders GROUP BY 1, 2) " +
-        "SELECT o_orderpriority, month, cnt, CAST(SUM(cnt) OVER w AS BIGINT) AS cum_cnt, " +
-        "CAST(cnt - lag(cnt, 1) OVER w AS BIGINT) AS delta FROM m " +
-        "WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month ROWS UNBOUNDED PRECEDING) " +
+        "SELECT o_orderpriority, month, cnt, " +
+        "CAST(SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY month ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt, " +
+        "CAST(cnt - lag(cnt, 1) OVER (PARTITION BY o_orderpriority ORDER BY month) AS BIGINT) AS delta FROM m " +
         "ORDER BY o_orderpriority, month"),
     "c1_clean_corpus" -> {
       val langScore = TextAnalysis.langMarkers.map { case (l, ws) =>

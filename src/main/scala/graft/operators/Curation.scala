@@ -61,7 +61,12 @@ object Curation {
     val indexed = sorted.rdd.zipWithIndex.map { case (r, i) =>
       Row(i, r.getLong(0), r.getString(1))
     }
-    spark.createDataFrame(indexed, schema).orderBy("global_id")
+    // Already globally ordered by construction: orderBy range-partitions so
+    // partition i's rows all precede partition i+1's, zipWithIndex numbers
+    // in that same order, and no exchange follows — an explicit orderBy here
+    // would re-shuffle and re-sort the corpus a second time just to restate
+    // an ordering the narrow plan already guarantees.
+    spark.createDataFrame(indexed, schema)
   }
 
   /** Context-window token budget for [[sequencePack]] — small enough that
@@ -153,6 +158,13 @@ object Curation {
       (s"src$i", thr)
     }
 
+  /** The d9 keep rule — THE single definition shared by the summary and
+    * row-level variants (and mirrored verbatim by the oracle SQL): keep iff
+    * the doc's md5 prefix sorts below the source's threshold column.
+    */
+  private def mixtureKeep: org.apache.spark.sql.Column =
+    substring(md5(col("doc_id").cast("string")), 1, 4) < col("thr")
+
   /** D9 — deterministic mixture sampling: downsample each source to its
     * target rate from [[MixtureRates]] and report achieved counts. The keep
     * rule hashes the STABLE doc id (`md5`, shared verbatim by the oracle)
@@ -174,8 +186,7 @@ object Curation {
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_total"),
-        sum(when(substring(md5(col("doc_id").cast("string")), 1, 4) < col("thr"), 1L).otherwise(0L))
-          .as("n_kept")
+        sum(when(mixtureKeep, 1L).otherwise(0L)).as("n_kept")
       )
       .orderBy("source")
   }
@@ -192,7 +203,7 @@ object Curation {
     Tables
       .documents(spark, dir)
       .join(broadcast(mixtureRatesDf(spark)), "source")
-      .where(substring(md5(col("doc_id").cast("string")), 1, 4) < col("thr"))
+      .where(mixtureKeep)
       .select(col("doc_id"), col("source"))
       .orderBy("doc_id")
 
@@ -217,6 +228,7 @@ object Curation {
           .over(
             Window.partitionBy("source").orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
           )
+          .cast("long") // driver gate compares against DuckDB's BIGINT row_number
           .as("rk")
       )
     ranked.where(col("rk") <= k).select("source", "doc_id", "rk").orderBy("source", "rk")
@@ -238,6 +250,7 @@ object Curation {
         col("n_chars"),
         ntile(10)
           .over(Window.partitionBy("source").orderBy(col("n_chars").desc, col("doc_id")))
+          .cast("long") // driver gate compares against DuckDB's BIGINT ntile
           .as("decile")
       )
       .orderBy("source", "doc_id")

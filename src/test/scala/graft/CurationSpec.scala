@@ -115,7 +115,7 @@ class CurationSpec extends SparkSpec {
         .map(_._1)
         .sortBy(id => (org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString), id))
         .take(5)
-      assert(rows.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq == want.toSeq, s"source $src")
+      assert(rows.sortBy(_.getLong(2)).map(_.getLong(1)).toSeq == want.toSeq, s"source $src")
     }
   }
 
@@ -148,7 +148,7 @@ class CurationSpec extends SparkSpec {
       (1 to 10).foreach { tile =>
         val size = base + (if (tile <= big) 1 else 0)
         (0 until size).foreach { _ =>
-          assert(sorted(idx).getInt(3) == tile, s"row $idx expected tile $tile")
+          assert(sorted(idx).getLong(3) == tile.toLong, s"row $idx expected tile $tile")
           idx += 1
         }
       }

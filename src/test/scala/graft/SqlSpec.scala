@@ -22,7 +22,10 @@ class SqlSpec extends SparkSpec {
       "q9_star_join", "q10_rollup", "q11_pricing_summary", "q12_window_topk",
       "q13_intersect", "q13e_except", "q14_anti_join", "q15_top_orders",
       "q16_outer_join_count", "q18_region_rollup", "q19_cube",
-      "q21_part_brand_revenue", "d5_source_stats", "q3p_positional_filter_count"
+      "q21_part_brand_revenue", "d5_source_stats", "q3p_positional_filter_count",
+      "q24_shipping_priority", "q25_local_supplier_volume",
+      "q26_monthly_order_trend", "q27_semi_join", "d12_length_deciles",
+      "g1_global_ids"
     )
     for (name <- ansiShared) {
       val viaDf  = SparkEntry.queries(name)(spark, sf0001).collect().map(_.toSeq).toSeq
