@@ -112,6 +112,19 @@ class PlanShapeSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan)
   }
 
+  test("a1/a3 self-asof reads the events table exactly once (fused tagged scan)") {
+    for (df <- Seq(
+        graft.operators.AsOf.purchaseAsofClick(spark, sf0001),
+        graft.operators.AsOf.purchaseAsofClickWithin(spark, sf0001)
+      )) {
+      val plan  = executedPlan(df)
+      val scans = "Scan parquet".r.findAllIn(plan).size
+      assert(scans == 1, s"expected 1 scan, got $scans:\n$plan")
+      // and the side filter reaches that single scan
+      assert(plan.contains("In(event_type") || plan.contains("event_type IN"), plan)
+    }
+  }
+
   test("ann scoring stays in whole-stage codegen (no fallback)") {
     val df   = Similarity.annBruteForce(spark, sf0001)
     df.collect() // forces codegen; a CompileException fallback would log loudly
