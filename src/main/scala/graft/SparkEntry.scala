@@ -41,6 +41,7 @@ object SparkEntry {
     "x2_percentiles"       -> (CoreQueries.x2Percentiles _),
     "x3_approx_percentiles" -> (CoreQueries.x3ApproxPercentiles _),
     "x4_approx_top_users"   -> ((s: SparkSession, d: String) => CoreQueries.x4ApproxTopUsers(s, d)),
+    "x5_approx_distinct_rollup" -> (CoreQueries.x5ApproxDistinctRollup _),
     "q3p_positional_filter_count" -> (CoreQueries.q3PositionalFilterCount _),
     "p1_partitioned_time_count"   -> (CoreQueries.p1PartitionedTimeCount _),
     "q19_cube"     -> (CoreQueries.q19Cube _),
@@ -416,11 +417,12 @@ object SparkEntry {
         "ORDER BY d.doc_id")
     }
     // n3_simhash_pairs, s2_ann_lsh, s4_ann_ivf, s6_ann_ivf_partitioned,
-    // x3_approx_percentiles, x4_approx_top_users: outputs depend on
-    // engine-internal hashing / plane seeds / quantizer / sketch state — no
-    // SQL oracle; covered by DedupSpec / SimilaritySpec / CoreQueriesSpec
-    // bound checks (rows-only at the driver gate; s6 additionally
-    // spec-pinned equal to s4, x4 spec-pinned exact below sketch capacity).
+    // x3_approx_percentiles, x4_approx_top_users, x5_approx_distinct_rollup:
+    // outputs depend on engine-internal hashing / plane seeds / quantizer /
+    // sketch state — no SQL oracle; covered by DedupSpec / SimilaritySpec /
+    // CoreQueriesSpec bound checks (rows-only at the driver gate; s6
+    // additionally spec-pinned equal to s4, x4 spec-pinned exact below
+    // sketch capacity, x5 bounded per-row against exact distinct).
   )
 
   private val ngramJaccardOracle: String =

@@ -303,6 +303,23 @@ object CoreQueries {
       .events(spark, dir)
       .agg(approx_count_distinct("user_id", 0.02).as("approx_users"))
 
+  /** X5 — grouped + rolled-up HLL distinct users: per-event-type sketches
+    * AND the grand total from ONE aggregation pass. This is the property
+    * that makes sketches the 100 TB answer and exact distinct not: HLL
+    * registers MERGE, so partial sketches combine map-side, the rollup's
+    * total row is a merge of the group sketches rather than a second scan,
+    * and the shuffle carries one fixed-size buffer per (group × task) —
+    * where exact grouped distinct ships every distinct (type, user) pair.
+    * Engine-hash-dependent output ⇒ no SQL oracle; CoreQueriesSpec bounds
+    * every row against its exact twin.
+    */
+  def x5ApproxDistinctRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .rollup("event_type")
+      .agg(approx_count_distinct("user_id", 0.02).as("approx_users"))
+      .orderBy(asc_nulls_first("event_type"))
+
   /** Q15 — global top-k with total ordering: plans as
     * `TakeOrderedAndProject` (per-partition top-k, driver merge of
     * k·partitions rows) — never a full sort.

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.CoreQueries
+import org.apache.spark.sql.functions.countDistinct
 import java.time.LocalDateTime
 
 /** Q1–Q9 against values computed independently by DuckDB on sf0.001
@@ -134,6 +135,28 @@ class CoreQueriesSpec extends SparkSpec {
     assert(rows.take(3).map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(
       ("NATION_0", 142L), ("NATION_1", 215L), ("NATION_10", 356L)
     ))
+  }
+
+  test("x5 rollup sketches: every group and the total within 5% of exact distinct") {
+    val approx = CoreQueries
+      .x5ApproxDistinctRollup(spark, sf0001)
+      .collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1))
+      .toMap
+    val events = graft.sources.Tables.events(spark, sf0001)
+    val exactGroups = events
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n"))
+      .collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1))
+      .toMap
+    val exactTotal = events.select(countDistinct("user_id")).head().getLong(0)
+    val exact      = exactGroups + (None -> exactTotal)
+    assert(approx.keySet == exact.keySet) // 5 types + the rollup total row
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n) <= math.max(1L, (n * 0.05).toLong), s"$k: approx=$a exact=$n")
+    }
   }
 
   test("q27 semi join complements q14 anti join: disjoint, union = all customers") {
