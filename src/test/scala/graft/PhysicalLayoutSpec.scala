@@ -87,6 +87,36 @@ class PhysicalLayoutSpec extends SparkSpec {
     assert(scanZy < scanXy / 2, s"z y-only=$scanZy vs $scanXy")
   }
 
+  test("z-order key algebra: bijective on the quantized grid, per-axis monotone, bounded") {
+    import graft.sources.ZOrder
+    // full 32x32 grid at 5 bits: quantization is (near-)identity, so the
+    // Morton key must be a bijection onto [0, 4^5)
+    val grid = spark
+      .range(1024)
+      .select((col("id") % 32).as("x"), expr("id div 32").as("y"))
+      .withColumn("z", ZOrder.zValue(col("x"), 0, 31, col("y"), 0, 31, bits = 5))
+    val zs = grid.select("z").collect().map(_.getLong(0))
+    assert(zs.distinct.length == 1024, "bijective")
+    assert(zs.min == 0L && zs.max == 1023L, s"bounds ${zs.min}..${zs.max}")
+    // fixed y: z strictly increases with x (bit-spreading is monotone) —
+    // the property that makes range predicates on one axis contiguous-ish
+    // along the curve
+    val fixedY = grid.where(col("y") === 17).orderBy("x").select("z").collect().map(_.getLong(0))
+    assert(fixedY.length == 32 && fixedY.sliding(2).forall(p => p(0) < p(1)), "monotone in x")
+    // out-of-range values clamp instead of corrupting the key
+    val clamped = spark
+      .range(1)
+      .select(ZOrder.zValue(lit(-5), 0, 31, lit(999), 0, 31, bits = 5).as("z"))
+      .head()
+      .getLong(0)
+    val corner = spark
+      .range(1)
+      .select(ZOrder.zValue(lit(0), 0, 31, lit(31), 0, 31, bits = 5).as("z"))
+      .head()
+      .getLong(0)
+    assert(clamped == corner, "clamps to the (min, max) corner")
+  }
+
   test("bucketed join runs without shuffling either side") {
     val db = "graft_bk" // lands in the session's graft_warehouse tmp dir
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
