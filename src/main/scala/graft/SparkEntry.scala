@@ -87,6 +87,7 @@ object SparkEntry {
     "d10_stratified_sample" -> ((s: SparkSession, d: String) => Curation.stratifiedSample(s, d)),
     "d11_vocab_topk"        -> ((s: SparkSession, d: String) => TextAnalysis.vocabTopK(s, d)),
     "d12_length_deciles"    -> (Curation.lengthDeciles _),
+    "t1_keyword_search"     -> ((s: SparkSession, d: String) => TextAnalysis.keywordSearch(s, d)),
     "s7_ann_with_metadata"  -> ((s: SparkSession, d: String) => Similarity.annWithMetadata(s, d)),
     // multimodal metadata surface
     "m1_payload_meta" -> (Multimodal.payloadMeta _),
@@ -310,6 +311,12 @@ object SparkEntry {
       ("SELECT source, doc_id, n_chars, ntile(10) OVER " +
         "(PARTITION BY source ORDER BY n_chars DESC, doc_id) AS decile " +
         "FROM documents ORDER BY source, doc_id"),
+    "t1_keyword_search" -> {
+      val conds = TextAnalysis.KeywordTerms
+        .map(t => s"list_contains(string_split(text, ' '), '$t')")
+        .mkString(" AND ")
+      s"SELECT doc_id FROM documents WHERE $conds ORDER BY doc_id"
+    },
     "s7_ann_with_metadata" ->
       ("SELECT query_id, rnk, vec_id, source, n_chars FROM " +
         "(SELECT q.vec_id AS query_id, e.vec_id, " +

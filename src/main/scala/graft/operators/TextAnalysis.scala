@@ -169,4 +169,34 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token"))
       .limit(k)
+
+  /** Default query terms for [[keywordSearch]] — fixed so the oracle SQL can
+    * mirror them.
+    */
+  val KeywordTerms: Seq[String] = Seq("window", "merge", "dup")
+
+  /** T1 — boolean AND keyword search as posting-list intersection: explode
+    * distinct tokens, keep ONLY postings matching a query term (the `IN`
+    * filter runs before the shuffle, so the exchange carries one row per
+    * (matching doc, matched term) — query-result-proportional, not
+    * corpus-proportional), then a doc qualifies iff it matched every term.
+    * This is the plan shape a persisted inverted index serves at 100 TB
+    * (per-term posting fetch + intersection); built inline here, the index
+    * build and the query fuse into one job. The scan-and-filter form
+    * (`array_contains(...) AND ...`) is the oracle — same answer, but it
+    * reads every document body per query, which is exactly what the
+    * posting shape avoids amortizing at scale.
+    */
+  def keywordSearch(spark: SparkSession, dir: String, terms: Seq[String] = KeywordTerms): DataFrame = {
+    require(terms.nonEmpty)
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(toks)).as("token"))
+      .where(col("token").isInCollection(terms))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nt"))
+      .where(col("nt") === terms.length)
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
 }

@@ -175,6 +175,31 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("t1: posting intersection equals the scan-and-filter baseline") {
+    import org.apache.spark.sql.functions.{array_contains, split => fsplit, col => fcol}
+    val terms = graft.operators.TextAnalysis.KeywordTerms
+    val got = graft.operators.TextAnalysis
+      .keywordSearch(spark, sf0001, terms)
+      .collect()
+      .map(_.getLong(0))
+      .toSeq
+    assert(got.nonEmpty)
+    val scan = spark.read
+      .parquet(s"$sf0001/documents.parquet")
+      .where(terms.map(t => array_contains(fsplit(fcol("text"), " "), t)).reduce(_ && _))
+      .select("doc_id")
+      .collect()
+      .map(_.getLong(0))
+      .sorted
+      .toSeq
+    assert(got == scan)
+    // a term absent from the corpus empties the result (AND semantics)
+    val none = graft.operators.TextAnalysis
+      .keywordSearch(spark, sf0001, terms :+ "zzz_not_a_token")
+      .collect()
+    assert(none.isEmpty)
+  }
+
   test("d9 rows: kept set is deterministic across runs and matches summary") {
     val a = Curation.mixtureSampleRows(spark, sf0001).collect().toSeq
     val b = Curation.mixtureSampleRows(spark, sf0001).collect().toSeq
