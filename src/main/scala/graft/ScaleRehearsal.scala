@@ -173,7 +173,8 @@ object ScaleRehearsal {
       "x3_approx_percentiles", "d6_token_stats", "q21_part_brand_revenue",
       "a3_asof_tolerance", "q22_salted_join_count", "n5_incremental_dedup",
       "q24_shipping_priority", "q25_local_supplier_volume", "g1_global_ids",
-      "p2_sequence_pack", "d8_decontaminate", "d11_vocab_topk"
+      "p2_sequence_pack", "d8_decontaminate", "d11_vocab_topk",
+      "t1_keyword_search", "x5_approx_distinct_rollup", "s7_ann_with_metadata"
     )
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
     headline.foreach { name =>
