@@ -49,15 +49,24 @@ object AsOf {
       lit(null).cast(left.schema(leftId).dataType).as("__left_id"),
       col(rightVal).as("__rv")
     )
-    // right rows sort before left rows at equal ts => inclusive (<=) match
+    runAsofWindow(l.unionByName(r), key, ts)
+      .select(col("__left_id").as(leftId), col("__match").as(rightVal), col(key), col(ts))
+  }
+
+  /** THE as-of matching core, shared by the two-table and fused-self paths
+    * so the semantics cannot diverge: right rows (`__side` 0) sort before
+    * left rows at equal ts ⇒ inclusive (<=) match; running `last` picks the
+    * latest right value; left rows with no prior right drop (inner).
+    * Expects columns `__side`, `__left_id`, `__rv`.
+    */
+  private def runAsofWindow(tagged: DataFrame, key: String, ts: String): DataFrame = {
     val w = Window
       .partitionBy(key)
       .orderBy(col(ts), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r)
+    tagged
       .withColumn("__match", last(col("__rv"), ignoreNulls = true).over(w))
       .where(col("__side") === 1 && col("__match").isNotNull)
-      .select(col("__left_id").as(leftId), col("__match").as(rightVal), col(key), col(ts))
   }
 
   /** Single-scan as-of for the SELF-JOIN case (both sides are row subsets
@@ -84,13 +93,7 @@ object AsOf {
       when(isLeft, leftId).as("__left_id"),
       when(!isLeft, rightVal).as("__rv")
     )
-    val w = Window
-      .partitionBy(key)
-      .orderBy(col(ts), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tagged
-      .withColumn("__match", last(col("__rv"), ignoreNulls = true).over(w))
-      .where(col("__side") === 1 && col("__match").isNotNull)
+    runAsofWindow(tagged, key, ts)
       .select(col("__left_id"), col("__match"), col(key), col(ts))
   }
 

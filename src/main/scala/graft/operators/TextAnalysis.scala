@@ -188,14 +188,17 @@ object TextAnalysis {
     * posting shape avoids amortizing at scale.
     */
   def keywordSearch(spark: SparkSession, dir: String, terms: Seq[String] = KeywordTerms): DataFrame = {
-    require(terms.nonEmpty)
+    // dedup the query: postings are per DISTINCT token, so a repeated term
+    // must count once or the nt === length filter can never be satisfied
+    val ts = terms.distinct
+    require(ts.nonEmpty)
     Tables
       .documents(spark, dir)
       .select(col("doc_id"), explode(array_distinct(toks)).as("token"))
-      .where(col("token").isInCollection(terms))
+      .where(col("token").isInCollection(ts))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("nt"))
-      .where(col("nt") === terms.length)
+      .where(col("nt") === ts.length)
       .select("doc_id")
       .orderBy("doc_id")
   }

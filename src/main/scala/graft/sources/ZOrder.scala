@@ -41,7 +41,9 @@ object ZOrder {
       yMax: Double,
       bits: Int = 16
   ): Column = {
-    require(bits >= 1 && bits <= 31, "bits must fit an int quantizer")
+    // 30 max: levels = 1 << bits must stay a positive Int (1 << 31 wraps
+    // negative and would silently quantize every coordinate to 0)
+    require(bits >= 1 && bits <= 30, "bits must fit a positive int quantizer")
     val levels = 1 << bits
     def quant(c: Column, lo: Double, hi: Double): Column = {
       val scaled = ((c.cast("double") - lit(lo)) / lit(math.max(hi - lo, 1e-300)) * lit(levels)).cast("int")
@@ -81,6 +83,14 @@ object ZOrder {
         max(col(yCol)).cast("double")
       )
       .head()
+    if (stats.isNullAt(0) || stats.isNullAt(2)) {
+      // empty input (or an all-null cluster column): no meaningful curve —
+      // write the data as-is rather than NPE on a null bound. An empty
+      // table round-trips; a non-null-free column is the caller's bug and
+      // still lands queryable.
+      df.write.mode("overwrite").option("compression", "snappy").parquet(outDir)
+      return
+    }
     val z = zValue(
       col(xCol), stats.getDouble(0), stats.getDouble(1),
       col(yCol), stats.getDouble(2), stats.getDouble(3)

@@ -198,6 +198,13 @@ class CurationSpec extends SparkSpec {
       .keywordSearch(spark, sf0001, terms :+ "zzz_not_a_token")
       .collect()
     assert(none.isEmpty)
+    // a repeated term must not change the answer (postings are distinct)
+    val dup = graft.operators.TextAnalysis
+      .keywordSearch(spark, sf0001, terms :+ terms.head)
+      .collect()
+      .map(_.getLong(0))
+      .toSeq
+    assert(dup == got)
   }
 
   test("d9 rows: kept set is deterministic across runs and matches summary") {

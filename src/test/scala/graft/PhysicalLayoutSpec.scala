@@ -115,6 +115,15 @@ class PhysicalLayoutSpec extends SparkSpec {
       .head()
       .getLong(0)
     assert(clamped == corner, "clamps to the (min, max) corner")
+    // 31 bits would wrap the Int quantizer negative — rejected loudly
+    intercept[IllegalArgumentException] {
+      ZOrder.zValue(col("x"), 0, 1, col("y"), 0, 1, bits = 31)
+    }
+    // empty input writes an empty (readable) table instead of NPE on null bounds
+    val emptyOut = Files.createTempDirectory("graft_zempty").toString
+    val empty    = spark.range(0).select(col("id").as("x"), col("id").as("y"))
+    ZOrder.zorderWrite(empty, "x", "y", s"$emptyOut/t")
+    assert(spark.read.parquet(s"$emptyOut/t").count() == 0L)
   }
 
   test("bucketed join runs without shuffling either side") {
