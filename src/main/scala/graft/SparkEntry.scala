@@ -82,6 +82,7 @@ object SparkEntry {
     // corpus curation: global ids, packing, decontamination, mixture sampling
     "g1_global_ids"     -> (Curation.globalIds _),
     "p2_sequence_pack"  -> (Curation.sequencePack _),
+    "p3_chunk_documents" -> ((s: SparkSession, d: String) => Curation.chunkDocuments(s, d)),
     "d8_decontaminate"  -> (Curation.decontaminate _),
     "d9_mixture_sample" -> (Curation.mixtureSample _),
     "d10_stratified_sample" -> ((s: SparkSession, d: String) => Curation.stratifiedSample(s, d)),
@@ -284,6 +285,15 @@ object SparkEntry {
         "SUM(len(string_split(text, ' '))::BIGINT) OVER " +
         "(PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum " +
         "FROM documents) t ORDER BY source, doc_id"),
+    // DuckDB list slice w[a:b] is 1-based inclusive, so w[s+1 : s+32] is the
+    // same 32-token window as Spark's slice(toks, s+1, 32); range(0, len,
+    // stride) and sequence(0, size-1, stride) generate the same start set.
+    "p3_chunk_documents" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents) " +
+        "SELECT doc_id, (s // " + Curation.ChunkStride + ")::BIGINT AS chunk_id, " +
+        "array_to_string(w[s + 1 : s + " + Curation.ChunkTokens + "], ' ') AS chunk_text " +
+        "FROM toks, UNNEST(range(0, len(w), " + Curation.ChunkStride + ")) AS t(s) " +
+        "ORDER BY doc_id, chunk_id"),
     "d8_decontaminate" ->
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
         "sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s " +

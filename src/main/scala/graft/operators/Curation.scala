@@ -234,6 +234,45 @@ object Curation {
     ranked.where(col("rk") <= k).select("source", "doc_id", "rk").orderBy("source", "rk")
   }
 
+  /** Chunk geometry for [[chunkDocuments]]: window of `ChunkTokens` tokens
+    * starting every `ChunkStride` (overlap = 32 − 24 = 8) — the sliding
+    * window an embedding/RAG pipeline feeds its encoder.
+    */
+  val ChunkTokens = 32
+  val ChunkStride = 24
+
+  /** P3 — document chunking: split each document into overlapping
+    * fixed-token windows (start every [[ChunkStride]] tokens, take
+    * [[ChunkTokens]], final windows clamp short) — the step between
+    * cleaning and embedding in a retrieval pipeline, and the p2 packer's
+    * complement (packing concatenates small docs UP to a budget; chunking
+    * cuts large docs DOWN to one). Pure narrow transformation — tokenize,
+    * windowed slices via `transform(sequence(...))`, `posexplode` — zero
+    * shuffles before the presentation sort, so it scales with input splits
+    * like the rest of the text layer.
+    */
+  def chunkDocuments(
+      spark: SparkSession,
+      dir: String,
+      chunk: Int = ChunkTokens,
+      stride: Int = ChunkStride
+  ): DataFrame = {
+    require(chunk > 0 && stride > 0)
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(
+        col("doc_id"),
+        posexplode(
+          expr(
+            s"transform(sequence(0, size(toks) - 1, $stride), s -> concat_ws(' ', slice(toks, s + 1, $chunk)))"
+          )
+        ).as(Seq("chunk_id", "chunk_text"))
+      )
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"), col("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** D12 — per-source length deciles: `ntile(10)` over document length
     * within each source (tie-broken by doc_id so the cut is deterministic) —
     * the binning step behind "drop the bottom decile per domain" quality

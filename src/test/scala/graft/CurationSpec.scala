@@ -135,6 +135,32 @@ class CurationSpec extends SparkSpec {
     assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq == want)
   }
 
+  test("p3: chunking replays the sliding-window rule; overlap and clamping correct") {
+    val rows = Curation
+      .chunkDocuments(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    val texts = spark.read
+      .parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.keySet == texts.keySet, "every doc chunks")
+    byDoc.foreach { case (id, cs) =>
+      val toks = texts(id).split(" ", -1)
+      val want = (0 until toks.length by Curation.ChunkStride).zipWithIndex.map { case (s, i) =>
+        (i.toLong, toks.slice(s, s + Curation.ChunkTokens).mkString(" "))
+      }
+      assert(cs.sortBy(_._2).map(c => (c._2, c._3)).toSeq == want, s"doc $id")
+    }
+    // overlap: consecutive chunks share chunk−stride tokens when full-width
+    val full = rows.filter(_._3.split(" ", -1).length == Curation.ChunkTokens)
+    assert(full.nonEmpty, "corpus has full-width chunks")
+  }
+
   test("d12: decile assignment matches a local ntile replay per source") {
     val got = Curation.lengthDeciles(spark, sf0001).collect()
     assert(got.nonEmpty)
