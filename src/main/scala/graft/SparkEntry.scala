@@ -89,6 +89,7 @@ object SparkEntry {
     "d11_vocab_topk"        -> ((s: SparkSession, d: String) => TextAnalysis.vocabTopK(s, d)),
     "d12_length_deciles"    -> (Curation.lengthDeciles _),
     "t1_keyword_search"     -> ((s: SparkSession, d: String) => TextAnalysis.keywordSearch(s, d)),
+    "d13_redact_pii"        -> (TextAnalysis.redactPiiQuery _),
     "s7_ann_with_metadata"  -> ((s: SparkSession, d: String) => Similarity.annWithMetadata(s, d)),
     // multimodal metadata surface
     "m1_payload_meta" -> (Multimodal.payloadMeta _),
@@ -326,6 +327,16 @@ object SparkEntry {
         .map(t => s"list_contains(string_split(text, ' '), '$t')")
         .mkString(" AND ")
       s"SELECT doc_id FROM documents WHERE $conds ORDER BY doc_id"
+    },
+    "d13_redact_pii" -> {
+      val counts = TextAnalysis.PiiPatterns
+        .map { case (p, _) => s"len(regexp_extract_all(text, '$p'))" }
+        .mkString(" + ")
+      val redacted = TextAnalysis.PiiPatterns.foldLeft("text") { case (e, (p, tag)) =>
+        s"regexp_replace($e, '$p', '$tag', 'g')"
+      }
+      s"SELECT doc_id, ($counts)::BIGINT AS n_pii, md5($redacted) AS fp_redacted " +
+        "FROM documents ORDER BY doc_id"
     },
     "s7_ann_with_metadata" ->
       ("SELECT query_id, rnk, vec_id, source, n_chars FROM " +

@@ -170,6 +170,45 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token"))
       .limit(k)
 
+  /** PII patterns for [[redactPii]] — written without `\w`/`\d`/`\s`
+    * shorthand (like d6's tokenizer) so Java (Spark) and RE2 (DuckDB)
+    * interpret them identically, and without backslashes so the same
+    * literal embeds in both engines' SQL strings.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}" -> "<EMAIL>",
+    "[0-9]{3}-[0-9]{3}-[0-9]{4}"                      -> "<PHONE>",
+    "([0-9]{1,3}[.]){3}[0-9]{1,3}"                    -> "<IP>"
+  )
+
+  /** D13 — PII redaction over any (doc_id, text) frame: replace email /
+    * dashed-phone / IPv4 literals with typed placeholder tags and report
+    * the match count — the scrub a corpus goes through before leaving a
+    * trust boundary. Patterns apply in declared order (email first: its
+    * host part contains dots an IP pattern could otherwise nibble).
+    * Narrow, codegen'd `regexp_replace` chain — no UDF, no shuffle.
+    */
+  def redactPii(df: DataFrame): DataFrame = {
+    val redacted = PiiPatterns.foldLeft(col("text")) { case (c, (p, tag)) =>
+      regexp_replace(c, p, tag)
+    }
+    val counts = PiiPatterns.map { case (p, _) => size(expr(s"regexp_extract_all(text, '$p', 0)")).cast("long") }
+    df.select(
+      col("doc_id"),
+      counts.reduce(_ + _).as("n_pii"),
+      md5(redacted).as("fp_redacted")
+    ).orderBy("doc_id")
+  }
+
+  /** Registered d13 surface: [[redactPii]] over the documents table. The
+    * synthetic corpus carries no PII (n_pii = 0 corpus-wide), so the oracle
+    * proves ENGINE PARITY of the full regex pipeline (counts + redacted
+    * fingerprints hash-equal across Spark and DuckDB); the planted-fixture
+    * spec proves the redaction itself.
+    */
+  def redactPiiQuery(spark: SparkSession, dir: String): DataFrame =
+    redactPii(Tables.documents(spark, dir))
+
   /** Default query terms for [[keywordSearch]] — fixed so the oracle SQL can
     * mirror them.
     */

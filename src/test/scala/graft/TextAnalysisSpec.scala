@@ -1,4 +1,5 @@
 package graft
+// (d13 planted-PII case appended at the bottom of this suite)
 
 import graft.operators.TextAnalysis
 import java.nio.file.Files
@@ -78,5 +79,26 @@ class TextAnalysisSpec extends SparkSpec {
     val a = TextAnalysis.langId(spark, sf0001).collect().toSeq
     val b = TextAnalysis.langId(spark, sf0001).collect().toSeq
     assert(a == b)
+  }
+
+  test("d13: planted PII is redacted with typed tags and counted; clean text untouched") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "contact alice.smith+x@example.co.uk or call 555-123-4567 now"),
+      (2L, "server at 192.168.1.100 and backup at 10.0.0.1 restarted"),
+      (3L, "nothing sensitive here at all"),
+      (4L, "mail bob@host.org from 8.8.8.8 phone 111-222-3333")
+    ).toDF("doc_id", "text")
+    val byId = TextAnalysis.redactPii(rows).collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(byId(1L)._1 == 2L) // email + phone
+    assert(byId(2L)._1 == 2L) // two IPs
+    assert(byId(3L)._1 == 0L)
+    assert(byId(4L)._1 == 3L) // email + ip + phone
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(byId(1L)._2 == md5hex("contact <EMAIL> or call <PHONE> now"))
+    assert(byId(2L)._2 == md5hex("server at <IP> and backup at <IP> restarted"))
+    assert(byId(3L)._2 == md5hex("nothing sensitive here at all"))
+    assert(byId(4L)._2 == md5hex("mail <EMAIL> from <IP> phone <PHONE>"))
   }
 }
