@@ -77,10 +77,11 @@ object ScaleRehearsal {
     fs.create(new org.apache.hadoop.fs.Path(s"$dst/_built")).close()
   }
 
-  /** Hot-key skew rehearsal — the corpus q22's salting exists for: ~10% of
+  /** Hot-key skew rehearsal — the corpus q22's salting exists for: ~30% of
     * the (already 10×-replicated) lineitem rows rewritten onto ONE
-    * orderkey, then the q22 aggregation timed three ways with broadcast
-    * disabled (orders is never broadcastable at real scale):
+    * orderkey (the `< 3` of 10 hash buckets below), then the q22
+    * aggregation timed three ways with broadcast disabled (orders is never
+    * broadcastable at real scale):
     *   - plain sort-merge with AQE skew-split OFF — the naive plan, one
     *     reducer absorbs the hot key;
     *   - plain with AQE skew-split ON — Spark's built-in runtime answer;
@@ -123,10 +124,19 @@ object ScaleRehearsal {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      // balance must be measured with AQE partition COALESCING off too: a
+      // well-balanced salted join produces many small post-shuffle
+      // partitions that AQE merges below its advisory size, so
+      // spark_partition_id() would count merged partitions and overstate
+      // the per-reducer max relative to the fixed 32-reducer ideal. The
+      // wall-clock rounds below re-enable it (coalescing is part of the
+      // plan a real run executes).
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
       val rows      = li.count()
       val plainMax  = maxReducerRows(li.join(ord, col("l_orderkey") === col("o_orderkey")))
       val saltedMax = maxReducerRows(graft.operators.Skew.saltedJoin(li, ord, "l_orderkey", "o_orderkey"))
       val salted32  = maxReducerRows(graft.operators.Skew.saltedJoin(li, ord, "l_orderkey", "o_orderkey", saltFactor = 32))
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
       println(
         f"[skew] balance over $rows%d joined rows, 32 reducers (ideal ${rows / 32}%d/reducer): " +
           f"plain max=$plainMax%d (${plainMax * 32.0 / rows}%.1fx ideal)  " +
@@ -144,6 +154,7 @@ object ScaleRehearsal {
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     }
   }
 

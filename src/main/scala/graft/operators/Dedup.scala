@@ -352,6 +352,12 @@ object Dedup {
       labels = next.select(col("id"), col("newrep").as("rep"))
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"label propagation did not converge in $maxIter rounds ($changed labels still moving): " +
+          "component diameter exceeds the cap — raise maxIter or switch to pointer-jumping " +
+          "(large-star/small-star) for chain-shaped corpora"
+      )
     labels
       .select(col("rep").as("cluster_id"), col("id").as("doc_id"))
       .orderBy("cluster_id", "doc_id")

@@ -97,8 +97,14 @@ object Multimodal {
     val maxVal = nextInt()
     pos += 1 // exactly one whitespace byte separates maxval from raster
     if (w <= 0 || h <= 0 || maxVal <= 0 || maxVal > 255) return None
-    val n = w * h
-    if (b.length - pos < (if (rgb) 3 * n else n)) return None
+    // dimension product in LONG: a malicious 'P5 65536 65536' header would
+    // wrap w*h in Int (to 0 or negative) and either allocate a bogus
+    // empty image or throw — both violate the return-None contract. Any
+    // honest payload's pixel count is also bounded by the byte array, so
+    // the length check below (done in long space) rejects huge headers.
+    val nL = w.toLong * h.toLong
+    if (nL > Int.MaxValue || (b.length - pos).toLong < (if (rgb) 3L * nL else nL)) return None
+    val n = nL.toInt
     val out = new Array[Float](n)
     var i   = 0
     while (i < n) {

@@ -24,21 +24,28 @@ import org.apache.spark.sql.SparkSession
 object LayoutCache {
 
   /** 12-hex digest of `scheme` + the recursive file listing under `src`
-    * (each file contributes name, byte length, and mtime; directories
-    * contribute recursively in sorted order).
+    * (each file contributes its path RELATIVE to `src`, byte length, and
+    * mtime; directories recurse in sorted order). The relative path — not
+    * just the base name — must enter the digest: for a hive-partitioned
+    * source the partition VALUES live in directory names (`day=2024-01-02/
+    * part-0.parquet`), so a partition-directory rename changes every row
+    * while leaving each file's name/length/mtime untouched. Digesting
+    * names only would serve a stale layout for exactly that edit.
     */
   def contentKey(spark: SparkSession, src: String, scheme: String): String = {
     val p  = new Path(src)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val md = java.security.MessageDigest.getInstance("MD5")
     md.update(s"$scheme#$src".getBytes("UTF-8"))
-    def add(path: Path): Unit = {
+    def add(path: Path, rel: String): Unit = {
       val st = fs.getFileStatus(path)
       if (st.isDirectory)
-        fs.listStatus(path).sortBy(_.getPath.getName).foreach(c => add(c.getPath))
-      else md.update(s"${st.getPath.getName}#${st.getLen}#${st.getModificationTime}".getBytes("UTF-8"))
+        fs.listStatus(path)
+          .sortBy(_.getPath.getName)
+          .foreach(c => add(c.getPath, s"$rel/${c.getPath.getName}"))
+      else md.update(s"$rel#${st.getLen}#${st.getModificationTime}".getBytes("UTF-8"))
     }
-    add(p)
+    add(p, "")
     md.digest().map("%02x".format(_)).mkString.take(12)
   }
 

@@ -54,6 +54,13 @@ class DedupSpec extends SparkSpec {
       (20L, 20L), (20L, 21L), (20L, 22L), (20L, 23L), (20L, 24L),
       (40L, 40L), (40L, 41L), (40L, 42L)
     ))
+    // a diameter beyond maxIter must fail LOUDLY — truncated labels split
+    // one component into several cluster_ids, which must never publish as
+    // a clean-looking report
+    val ex = intercept[IllegalStateException] {
+      Dedup.clustersFromPairs(pairs, maxIter = 2).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
   }
 
   test("n6 end-to-end: a~b~c chain with a,c dissimilar is ONE cluster, rep = min id") {

@@ -60,6 +60,16 @@ class MultimodalSpec extends SparkSpec {
     assert(f(2).features.length == 2)
   }
 
+  test("decode: overflowing dimension headers return None, never throw or false-succeed") {
+    // 65536 x 40000 wraps w*h negative in Int; 65536 x 65536 wraps to 0 —
+    // both must hit the return-None contract, not NegativeArraySizeException
+    // or a bogus Some with an empty raster
+    val negWrap  = "P5 65536 40000 255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3)
+    val zeroWrap = "P5 65536 65536 255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3)
+    assert(Multimodal.decodePnm(negWrap).isEmpty)
+    assert(Multimodal.decodePnm(zeroWrap).isEmpty)
+  }
+
   test("resize: planted 4x2 PGM downsamples to the expected 2x1 pixels and round-trips") {
     import spark.implicits._
     // pixels 0,64,128,255 / 10,20,30,40 — nearest-neighbor 4x2→2x1 picks
