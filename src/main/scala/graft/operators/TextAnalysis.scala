@@ -209,6 +209,96 @@ object TextAnalysis {
   def redactPiiQuery(spark: SparkSession, dir: String): DataFrame =
     redactPii(Tables.documents(spark, dir))
 
+  /** D14 — repetition metrics: the Gopher-style boilerplate signals a quality
+    * filter thresholds on. Per document: bigram counts with the duplicated
+    * fraction (`1 − distinct/total` spelled as an exact long/long division),
+    * and the most-frequent-token share. Two plan shapes on purpose:
+    *   - bigram stats are pure narrow array ops (zero shuffle — scales with
+    *     input splits);
+    *   - the token mode needs a per-(doc, token) count, which explodes to the
+    *     token stream BUT map-side partial aggregation collapses each task's
+    *     stream to its local distinct (doc, token) pairs before the exchange,
+    *     so the shuffle is bounded by per-doc vocabulary, not corpus tokens —
+    *     the d11 wordcount shape, keyed per document.
+    * The final doc_id join of the two aggregates shuffles (doc_id, 5 longs) —
+    * row-proportional, never body-proportional. Ratios divide identical long
+    * operands on both engines, so the doubles are bit-stable (d2's rule).
+    */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select(col("doc_id"), toks.as("w"))
+    val bigrams = base.select(
+      col("doc_id"),
+      // guarded: sequence(0, -1) would run DESCENDING for 1-token docs
+      expr(
+        "case when size(w) < 2 then array() " +
+          "else transform(sequence(0, size(w) - 2), i -> concat_ws(' ', slice(w, i + 1, 2))) end"
+      ).as("bg")
+    ).select(
+      col("doc_id"),
+      size(col("bg")).cast("long").as("n_bigrams"),
+      size(array_distinct(col("bg"))).cast("long").as("n_distinct_bigrams")
+    )
+    val mode = base
+      .select(col("doc_id"), explode(col("w")).as("tk"))
+      .groupBy("doc_id", "tk")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max("c").as("max_token_cnt"), sum("c").as("n_tokens"))
+    bigrams
+      .join(mode, "doc_id")
+      .withColumn("dup_bigram_ratio", (col("n_bigrams") - col("n_distinct_bigrams")) / col("n_bigrams"))
+      .withColumn("max_token_ratio", col("max_token_cnt") / col("n_tokens"))
+      .select(
+        "doc_id",
+        "n_bigrams",
+        "n_distinct_bigrams",
+        "dup_bigram_ratio",
+        "max_token_cnt",
+        "max_token_ratio"
+      )
+      .orderBy("doc_id")
+  }
+
+  /** Blocking geometry for [[fuzzyTokenPairs]]: candidate pairs must share
+    * their first character and differ in length by at most `MaxDist` — both
+    * are necessary conditions only within the block (a distance-3 pair CAN
+    * differ in first char; the block is the operator's documented contract,
+    * mirrored verbatim by the oracle, trading that recall for never forming
+    * the vocabulary cross product).
+    */
+  val FuzzyMaxDist = 3
+
+  /** F1 — fuzzy vocabulary matching: pairs of distinct corpus tokens within
+    * Levenshtein distance [[FuzzyMaxDist]], the typo/variant audit behind
+    * spelling normalization. Shape at 100 TB: the corpus first collapses to
+    * its VOCABULARY (the d11 wordcount exchange — bounded by distinct tokens,
+    * not corpus size), and only the vocabulary self-joins, blocked on
+    * (first char, |len| band) so the quadratic term is per-block. The
+    * production upgrade path is a q-gram inverted index (explode character
+    * bigrams, join on shared grams) — same plan family as
+    * [[Dedup.ngramJaccardPairs]] one level down; first-char blocking is its
+    * 1-gram special case and keeps the oracle SQL expressible.
+    * `levenshtein` is a codegen'd built-in on both engines.
+    */
+  def fuzzyTokenPairs(spark: SparkSession, dir: String, maxDist: Int = FuzzyMaxDist): DataFrame = {
+    val vocab = Tables
+      .documents(spark, dir)
+      .select(explode(array_distinct(toks)).as("t"))
+      .distinct()
+      .withColumn("blk", substring(col("t"), 1, 1))
+    vocab
+      .as("a")
+      .join(
+        vocab.as("b"),
+        col("a.blk") === col("b.blk") &&
+          col("a.t") < col("b.t") &&
+          abs(length(col("a.t")) - length(col("b.t"))) <= maxDist
+      )
+      .select(col("a.t").as("tok_a"), col("b.t").as("tok_b"), levenshtein(col("a.t"), col("b.t")).cast("long").as("dist"))
+      .where(col("dist") <= maxDist)
+      .orderBy("tok_a", "tok_b")
+  }
+
   /** Default query terms for [[keywordSearch]] — fixed so the oracle SQL can
     * mirror them.
     */

@@ -167,4 +167,21 @@ class CoreQueriesSpec extends SparkSpec {
     val all = spark.read.parquet(s"$sf0001/customer.parquet").select("c_custkey").collect().map(_.getLong(0)).toSet
     assert((semi | anti) == all)
   }
+
+  test("q28: strictly above the nation average, exact at the boundary") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q28").toString
+    Seq(
+      // nation 1: avg = 200.00 → only the 300.00 customer qualifies (200 is
+      // AT the average, and the rule is strictly above)
+      (11L, 1L, 100.0),
+      (12L, 1L, 200.0),
+      (13L, 1L, 300.0),
+      // nation 2: a single customer equals its own average → excluded
+      (21L, 2L, 50.0)
+    ).toDF("c_custkey", "c_nationkey", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val rows = CoreQueries.q28AboveNationAvg(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((13L, 30000L)))
+  }
 }

@@ -177,4 +177,27 @@ class DedupSpec extends SparkSpec {
     assert(groups.length == 2)
     assert(groups.map(r => (r.getLong(1), r.getLong(2))).toSet == Set((2L, 1L), (2L, 4L)))
   }
+
+  test("n7 shared spans: exactly the windows inside the common run; internal self-repeats excluded") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_spans").toString
+    val run = (1 to 9).map(i => s"c$i").mkString(" ") // 9 common tokens → 2 shared 8-windows
+    Seq(
+      (1L, s"p1 p2 $run s1", "en", "t", 1L),
+      (2L, s"q1 $run r1 r2", "en", "t", 1L),
+      // one 8-token span repeated WITHIN a single doc — df counts documents,
+      // not occurrences, so this must not surface
+      (3L, ((1 to 8).map(i => s"x$i") ++ (1 to 8).map(i => s"x$i")).mkString(" "), "en", "t", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = Set(
+      md5hex((1 to 8).map(i => s"c$i").mkString(" ")),
+      md5hex((2 to 9).map(i => s"c$i").mkString(" "))
+    )
+    val got = Dedup.sharedSpans(spark, dir).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == expected)
+    assert(got.values.forall(_ == 2L))
+  }
 }

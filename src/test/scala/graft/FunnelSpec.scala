@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.Funnel
+import java.sql.Timestamp
+
+/** Planted-user funnel semantics: stage windows anchor at the FIRST
+  * qualifying event of the previous stage, boundaries are inclusive on the
+  * window end, and users who skip a stage never reach later ones.
+  */
+class FunnelSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("w3: stage windows, boundary inclusion, and stage skipping — hand-planted users") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel").toString
+    Seq(
+      // u1: completes the funnel inside both windows
+      (1L, 1L, "signup", ts("2024-01-01 00:00:00")),
+      (2L, 1L, "click", ts("2024-01-01 01:00:00")),
+      (3L, 1L, "purchase", ts("2024-01-01 02:00:00")),
+      // u2: click 25h after signup — outside the window → signup only
+      (4L, 2L, "signup", ts("2024-01-01 00:00:00")),
+      (5L, 2L, "click", ts("2024-01-02 01:00:00")),
+      // u3: clicks in window, purchase 26h after the click → stops at click
+      (6L, 3L, "signup", ts("2024-01-01 00:00:00")),
+      (7L, 3L, "click", ts("2024-01-01 01:00:00")),
+      (8L, 3L, "purchase", ts("2024-01-02 03:00:00")),
+      // u4: no signup — appears nowhere, whatever else it does
+      (9L, 4L, "click", ts("2024-01-01 01:00:00")),
+      (10L, 4L, "purchase", ts("2024-01-01 02:00:00")),
+      // u5: click EXACTLY 24h after signup — window end is inclusive
+      (11L, 5L, "signup", ts("2024-01-01 00:00:00")),
+      (12L, 5L, "click", ts("2024-01-02 00:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val Array(row) = Funnel.funnelStages(spark, dir).collect()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((4L, 3L, 1L)))
+  }
+
+  test("w3: first-touch anchoring — a later in-window click cannot resurrect a dead funnel") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel2").toString
+    Seq(
+      // the FIRST in-window click (01:00) anchors the purchase window; the
+      // purchase lands 30h after it → out, even though a second click at
+      // 20:00 would have put the purchase within ITS 24h window
+      (1L, 1L, "signup", ts("2024-01-01 00:00:00")),
+      (2L, 1L, "click", ts("2024-01-01 01:00:00")),
+      (3L, 1L, "click", ts("2024-01-01 20:00:00")),
+      (4L, 1L, "purchase", ts("2024-01-02 07:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val Array(row) = Funnel.funnelStages(spark, dir).collect()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((1L, 1L, 0L)))
+  }
+}

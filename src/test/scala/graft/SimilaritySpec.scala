@@ -99,4 +99,18 @@ class SimilaritySpec extends SparkSpec {
     assert(appr.size == 10)
     assert((exact & appr).size >= 3, s"recall too low: ${(exact & appr).size}/10")
   }
+
+  test("s8 quantized+rerank is EXACTLY s1: the int8 shortlist never costs a result") {
+    val exact = Similarity.annBruteForce(spark, sf0001).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val quant = Similarity.annQuantized(spark, sf0001).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(quant == exact)
+  }
+
+  test("s8 shortlist containment has headroom: exact top-10 sits inside the int8 top-20") {
+    // tighter-than-production shortlist still reproduces s1 → the default 50
+    // is not sitting on the edge
+    val exact = Similarity.annBruteForce(spark, sf0001).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val tight = Similarity.annQuantized(spark, sf0001, shortlist = 20).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(tight == exact)
+  }
 }

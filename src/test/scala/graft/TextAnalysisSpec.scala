@@ -101,4 +101,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(byId(3L)._2 == md5hex("nothing sensitive here at all"))
     assert(byId(4L)._2 == md5hex("mail <EMAIL> from <IP> phone <PHONE>"))
   }
+
+  test("d14: repetition stats — duplicated bigrams and the token mode, hand-computed") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_rep").toString
+    Seq(
+      (1L, "a a a b", "en", "t", 7L), // bigrams: "a a","a a","a b" → 3 total, 2 distinct
+      (2L, "w x y z", "en", "t", 7L)  // no repetition at all
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val byId = TextAnalysis
+      .repetitionStats(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(byId(1L) == ((3L, 2L, 1.0 / 3.0, 3L, 3.0 / 4.0)))
+    assert(byId(2L) == ((3L, 3L, 0.0, 1L, 1.0 / 4.0)))
+  }
+
+  test("f1: fuzzy pairs find in-block variants and the block excludes cross-first-char pairs") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_fuzzy").toString
+    Seq(
+      (1L, "color colour scan scam cat bat", "en", "t", 30L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = TextAnalysis
+      .fuzzyTokenPairs(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(pairs.contains(("color", "colour", 1L)))
+    assert(pairs.contains(("scam", "scan", 1L)))
+    // "cat"/"bat" is distance 1 but differs in first char → outside the
+    // documented block, by contract
+    assert(!pairs.exists(p => p._1 == "bat" && p._2 == "cat"))
+    // distance bound holds everywhere
+    assert(pairs.forall(_._3 <= TextAnalysis.FuzzyMaxDist))
+  }
 }
