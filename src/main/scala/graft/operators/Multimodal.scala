@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
   * metadata, decoded/featurized per partition.
   *
   * Decoding dispatches on the format tag: netpbm images (PGM/PPM) decode
-  * FOR REAL via the pure-JVM [[decodePnm]] parser; formats needing codecs
+  * FOR REAL via the pure-JVM [[decodePnm]] parser, and uncompressed 24-bit
+  * BMP via [[decodeBmp]]; formats needing codecs
   * this container lacks (JPEG, audio, video) fall to [[decodeStub]], a
   * clearly-marked deterministic fake. The Spark-side plumbing is real
   * either way: binary column + metadata struct schema, partition-batched
@@ -119,6 +120,49 @@ object Multimodal {
     Some(DecodedImage(w, h, out))
   }
 
+  /** REAL decoder for uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB) —
+    * the second image family a pure JVM parses without a codec library.
+    * Little-endian header fields, 4-byte-padded rows, bottom-up raster
+    * unless the height field is negative (top-down per the spec); BGR
+    * channels average to [0,1] grayscale like [[decodePnm]]. All size
+    * arithmetic runs in long space so hostile width/height headers reject
+    * via the return-None contract instead of wrapping into a bogus
+    * allocation; palette, RLE, and 16/32-bpp variants are out of scope and
+    * return None.
+    */
+  private[graft] def decodeBmp(b: Array[Byte]): Option[DecodedImage] = {
+    def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def i32(o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val dataOff = i32(10)
+    val dibSize = i32(14)
+    val w       = i32(18)
+    val hRaw    = i32(22)
+    val topDown = hRaw < 0
+    val h       = math.abs(hRaw.toLong).toInt // abs of Int.MinValue would stay negative in Int
+    val bpp     = u16(28)
+    val comp    = i32(30)
+    if (dibSize < 40 || w <= 0 || hRaw == Int.MinValue || h <= 0 || bpp != 24 || comp != 0) return None
+    val rowBytes = ((3L * w + 3) / 4) * 4
+    val nL       = w.toLong * h.toLong
+    if (nL > Int.MaxValue || dataOff < 54 || dataOff.toLong + rowBytes * h > b.length) return None
+    val out = new Array[Float](nL.toInt)
+    var y   = 0
+    while (y < h) {
+      val srcRow = if (topDown) y else h - 1 - y
+      val base   = dataOff.toLong + srcRow * rowBytes
+      var x      = 0
+      while (x < w) {
+        val o = (base + 3L * x).toInt // bounded by b.length, so Int-safe
+        out(y * w + x) = (((b(o) & 0xff) + (b(o + 1) & 0xff) + (b(o + 2) & 0xff)) / 3.0f) / 255.0f
+        x += 1
+      }
+      y += 1
+    }
+    Some(DecodedImage(w, h, out))
+  }
+
   /** Mean-pool a pixel stream into `dim` contiguous buckets — the
     * fixed-width feature contract the ANN operators consume.
     */
@@ -146,6 +190,11 @@ object Multimodal {
     row.format match {
       case "image/pgm" | "image/ppm" =>
         decodePnm(row.payload) match {
+          case Some(img) => poolFeatures(img.gray, dim)
+          case None      => new Array[Float](dim)
+        }
+      case "image/bmp" =>
+        decodeBmp(row.payload) match {
           case Some(img) => poolFeatures(img.gray, dim)
           case None      => new Array[Float](dim)
         }
@@ -214,15 +263,18 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        r.format match {
-          case "image/pgm" | "image/ppm" =>
-            decodePnm(r.payload) match {
-              case Some(img) =>
-                val resized = resizeNearest(img, w, h)
-                r.copy(format = "image/pgm", width = w, height = h, payload = encodePgm(resized))
-              case None => r
-            }
-          case _ => r
+        val decoded = r.format match {
+          case "image/pgm" | "image/ppm" => decodePnm(r.payload)
+          case "image/bmp"               => decodeBmp(r.payload)
+          case _                         => None
+        }
+        decoded match {
+          // resized output re-encodes as PGM regardless of source format:
+          // the grayscale plane is what survives the pipeline
+          case Some(img) =>
+            val resized = resizeNearest(img, w, h)
+            r.copy(format = "image/pgm", width = w, height = h, payload = encodePgm(resized))
+          case None => r
         }
       }
     }

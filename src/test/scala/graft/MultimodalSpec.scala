@@ -111,4 +111,75 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.getInt(1)).toSeq == Seq(0, 3, 6, 9))
     assert(frames.forall(_.getLong(0) == 7L))
   }
+
+  /** Hand-assembled 24-bit BI_RGB BMP: 54-byte header + 4-byte-padded BGR
+    * rows. `pixelRowsTopDown` lists rows top-first; `height` < 0 writes them
+    * as a top-down raster, positive height flips to the spec's bottom-up
+    * storage.
+    */
+  private def makeBmp(width: Int, height: Int, pixelRowsTopDown: Seq[Seq[(Int, Int, Int)]]): Array[Byte] = {
+    val h        = math.abs(height)
+    val rowBytes = ((3 * width + 3) / 4) * 4
+    val buf      = java.nio.ByteBuffer.allocate(54 + rowBytes * h).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + rowBytes * h).putInt(0).putInt(54)
+    buf.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24).putInt(0)
+    buf.putInt(rowBytes * h).putInt(0).putInt(0).putInt(0).putInt(0)
+    val storageRows = if (height < 0) pixelRowsTopDown else pixelRowsTopDown.reverse
+    storageRows.foreach { row =>
+      row.foreach { case (r, g, b) => buf.put(b.toByte).put(g.toByte).put(r.toByte) }
+      (3 * width until rowBytes).foreach(_ => buf.put(0.toByte))
+    }
+    buf.array()
+  }
+
+  test("BMP decode: bottom-up raster unflips, BGR averages, row padding skipped") {
+    val bmp = makeBmp(
+      2,
+      2,
+      Seq(
+        Seq((30, 20, 10), (0, 0, 0)),   // top row: avg 20, 0
+        Seq((30, 30, 30), (90, 90, 90)) // bottom row: 30, 90
+      )
+    )
+    val img = Multimodal.decodeBmp(bmp).get
+    assert(img.width == 2 && img.height == 2)
+    val expected = Array(20f, 0f, 30f, 90f).map(_ / 255f)
+    img.gray.zip(expected).foreach { case (a, b) => assert(math.abs(a - b) < 1e-6f) }
+  }
+
+  test("BMP decode: negative height means top-down storage, same image back") {
+    val rows = Seq(
+      Seq((30, 20, 10), (0, 0, 0)),
+      Seq((30, 30, 30), (90, 90, 90))
+    )
+    val up   = Multimodal.decodeBmp(makeBmp(2, 2, rows)).get
+    val down = Multimodal.decodeBmp(makeBmp(2, -2, rows)).get
+    assert(up.gray.toSeq == down.gray.toSeq)
+  }
+
+  test("BMP decode: bad magic, truncation, and unsupported bpp all return None") {
+    val good = makeBmp(2, 2, Seq(Seq((1, 1, 1), (2, 2, 2)), Seq((3, 3, 3), (4, 4, 4))))
+    assert(Multimodal.decodeBmp("XY".getBytes ++ good.drop(2)).isEmpty)
+    assert(Multimodal.decodeBmp(good.dropRight(3)).isEmpty)
+    val bpp32 = good.clone(); bpp32(28) = 32
+    assert(Multimodal.decodeBmp(bpp32).isEmpty)
+    // hostile dimensions: width × height wraps Int — must reject, not allocate
+    val huge = good.clone()
+    val bb   = java.nio.ByteBuffer.wrap(huge).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(18, 65536); bb.putInt(22, 65536)
+    assert(Multimodal.decodeBmp(huge).isEmpty)
+  }
+
+  test("BMP rows route to the real decoder and resize re-encodes them as PGM") {
+    import spark.implicits._
+    val bmp = makeBmp(2, 2, Seq(Seq((100, 100, 100), (200, 200, 200)), Seq((10, 10, 10), (50, 50, 50))))
+    val row = Multimodal.MediaRow(5L, "image/bmp", 2, 2, 1, bmp)
+    // decode() must agree with the direct parse, not the stub
+    val viaDispatch = Multimodal.decode(row, 4)
+    val direct      = Multimodal.poolFeatures(Multimodal.decodeBmp(bmp).get.gray, 4)
+    assert(viaDispatch.toSeq == direct.toSeq)
+    val resized = Multimodal.resizeMedia(Seq(row).toDS(), 1, 1).collect().head
+    assert(resized.format == "image/pgm" && resized.width == 1 && resized.height == 1)
+    assert(Multimodal.decodePnm(resized.payload).nonEmpty)
+  }
 }
