@@ -101,7 +101,8 @@ object SparkEntry {
     "m1_payload_meta" -> (Multimodal.payloadMeta _),
     // streaming façade, batch-equivalent form
     "w1_window_counts" -> (graft.streaming.EventStream.windowedCountsBatch _),
-    "w2_sessionize"    -> (graft.streaming.Sessionize.sessionCountsBatch _)
+    "w2_sessionize"    -> (graft.streaming.Sessionize.sessionCountsBatch _),
+    "w4_hopping_counts" -> (graft.streaming.EventStream.hoppingCountsBatch _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -406,6 +407,12 @@ object SparkEntry {
       ("WITH x AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events) " +
         "SELECT user_id, SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)::BIGINT AS n_sessions " +
         "FROM x GROUP BY user_id ORDER BY user_id"),
+    // w4: every event belongs to exactly 2 hopping windows; window starts
+    // reconstructed on the epoch-aligned 12h grid in integer µs.
+    "w4_hopping_counts" ->
+      ("SELECT make_timestamp(((epoch_us(ts) // 43200000000) - j) * 43200000000) AS ws, " +
+        "event_type, COUNT(*) AS cnt FROM events, UNNEST([0, 1]) t(j) " +
+        "GROUP BY 1, 2 ORDER BY ws, event_type"),
     "q15_top_orders" ->
       ("SELECT o_orderkey, o_orderpriority FROM orders " +
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"),

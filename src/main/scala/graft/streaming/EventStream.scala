@@ -50,6 +50,25 @@ object EventStream {
   def windowedCountsBatch(spark: SparkSession, dir: String): DataFrame =
     windowed(Tables.events(spark, dir)).orderBy("ws", "event_type")
 
+  /** W4 — HOPPING-window counts (1-day windows sliding every 12 h): each
+    * event lands in exactly window-size/slide = 2 windows, the overlapping
+    * trend view dashboards want where tumbling windows jitter at the
+    * boundary. Spark's `window(ts, '1 day', '12 hours')` expands each row to
+    * its 2 covering windows BEFORE the aggregation, so the shuffle carries
+    * (window, type) partial counts — ×2 the tumbling exchange, still
+    * window-count-bounded, never event-bounded. Window starts align to the
+    * epoch on the 12 h grid, which is what the oracle mirrors in integer µs
+    * arithmetic (`(epoch_us // 12h − j) · 12h` for j ∈ {0,1}). Same shape
+    * streams under a watermark exactly like [[windowedCountsStream]].
+    */
+  def hoppingCountsBatch(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .groupBy(window(col("ts"), "1 day", "12 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").cast("timestamp_ntz").as("ws"), col("event_type"), col("cnt"))
+      .orderBy("ws", "event_type")
+
   /** Complete-mode streaming twin of [[windowedCountsBatch]] writing to an
     * in-memory table named `sinkTable`. `eventsDir` must be a *directory*
     * of event parquet files (file stream sources watch directories — new

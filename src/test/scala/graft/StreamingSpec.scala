@@ -201,4 +201,35 @@ class StreamingSpec extends SparkSpec {
       .toFile.lastModified()
     assert(mtimeAfter == mtime0, "batch-0 index artifacts were rewritten by batch 1")
   }
+
+  test("w4 hopping windows: planted events land in exactly their 2 covering 12h-grid windows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_hop").toString
+    Seq(
+      (1L, 1L, "click", java.sql.Timestamp.valueOf("2024-01-01 00:30:00")),
+      (2L, 1L, "click", java.sql.Timestamp.valueOf("2024-01-01 13:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.streaming.EventStream
+      .hoppingCountsBatch(spark, dir)
+      .collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0).toString, r.getString(1), r.getLong(2)))
+      .toSeq
+    assert(
+      got == Seq(
+        ("2023-12-31T12:00", "click", 1L), // covers 00:30 only
+        ("2024-01-01T00:00", "click", 2L), // covers both events
+        ("2024-01-01T12:00", "click", 1L)  // covers 13:00 only
+      )
+    )
+  }
+
+  test("w4 on the real corpus: every event is counted exactly twice (size/slide = 2)") {
+    val total  = graft.sources.Tables.events(spark, sf0001).count()
+    val summed = graft.streaming.EventStream
+      .hoppingCountsBatch(spark, sf0001)
+      .agg(org.apache.spark.sql.functions.sum("cnt"))
+      .head().getLong(0)
+    assert(summed == 2 * total)
+  }
 }
