@@ -9,13 +9,6 @@ import org.apache.spark.sql.functions._
   * window of that click". The behavioral-analytics staple the reference's
   * scan/filter/aggregate surface (`Config/QueryType.cs:3-12`) stops short
   * of, built from the same primitives.
-  *
-  * Plan shape at 100 TB: each stage is `filter(event_type) → groupBy(user)
-  * → min(ts)` — the event-type filters push into the parquet scan, every
-  * wide op keys on `user_id`, and consecutive stages join on that same key,
-  * so the stage joins reuse the aggregation's hash partitioning instead of
-  * introducing a new shuffle shape. State per stage is O(users), never
-  * O(events); nothing materializes event pairs.
   */
 object Funnel {
 
@@ -32,10 +25,56 @@ object Funnel {
     * stage n anchors at the earliest event that satisfied stage n−1, the
     * standard first-touch attribution rule. All time arithmetic happens in
     * integer epoch micros on both engines ([[Tables.tsMicrosCol]] here,
-    * `epoch_us` in the oracle), so window-boundary comparisons are exact —
-    * no float or timestamp-precision wobble.
+    * `epoch_us` in the oracle), so window-boundary comparisons are exact.
+    *
+    * Plan shape at 100 TB — ONE events scan, ONE user_id shuffle: the
+    * funnel-relevant event types filter at the scan (pushed), each user's
+    * stage anchors resolve inside a single `groupBy(user_id)` — `min` of
+    * the signup times plus the collected click/purchase time lists — and
+    * the later anchors derive narrowly per user via `filter`+`array_min`
+    * over those lists. The chained-join formulation
+    * ([[funnelStagesChained]]) recomputes the signup subtree once per
+    * downstream stage (3 scans, 3 shuffles); this form trades that for
+    * per-user click/purchase timestamp arrays in the aggregation state —
+    * bounded by a user's own activity (a pathological bot user is the skew
+    * case, the same one sessionization salts around), while the shuffle
+    * payload stays 8 bytes per relevant event.
     */
   def funnelStages(spark: SparkSession, dir: String): DataFrame = {
+    val ev   = Tables.eventsRaw(spark, dir)
+    val base = ev
+      .where(col("event_type").isInCollection(Seq("signup", "click", "purchase")))
+      .select(col("user_id"), col("event_type"), Tables.tsMicrosCol(ev).as("tus"))
+    base
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "signup", col("tus"))).as("s_t"),
+        collect_list(when(col("event_type") === "click", col("tus"))).as("clicks"),
+        collect_list(when(col("event_type") === "purchase", col("tus"))).as("purchases")
+      )
+      .withColumn(
+        "c_t",
+        expr(s"array_min(filter(clicks, t -> t > s_t AND t <= s_t + $WindowMicros))")
+      )
+      .withColumn(
+        "p_t",
+        expr(s"array_min(filter(purchases, t -> t > c_t AND t <= c_t + $WindowMicros))")
+      )
+      .agg(
+        count(col("s_t")).as("n_signup"),
+        count(col("c_t")).as("n_signup_click"),
+        count(col("p_t")).as("n_full_funnel")
+      )
+  }
+
+  /** The chained-join formulation of [[funnelStages]]: each stage is
+    * `filter → groupBy(user) → min(ts)` joined to the previous stage's
+    * anchor. Bounded aggregation state (no per-user arrays) at the cost of
+    * re-scanning and re-shuffling per stage — the right trade when single
+    * users can be pathologically hot. Kept as the differential twin; the
+    * spec pins both forms equal.
+    */
+  private[graft] def funnelStagesChained(spark: SparkSession, dir: String): DataFrame = {
     val ev   = Tables.eventsRaw(spark, dir)
     val base = ev.select(col("user_id"), col("event_type"), Tables.tsMicrosCol(ev).as("tus"))
 

@@ -54,4 +54,10 @@ class FunnelSpec extends SparkSpec {
     val Array(row) = Funnel.funnelStages(spark, dir).collect()
     assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((1L, 1L, 0L)))
   }
+
+  test("w3: single-pass form == chained-join form on the real corpus") {
+    val a = Funnel.funnelStages(spark, sf0001).collect().map(_.toSeq).toSeq
+    val b = Funnel.funnelStagesChained(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
 }

@@ -133,4 +133,28 @@ class PlanShapeSpec extends SparkSpec {
     // projection must sit inside one.
     assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[vec_id.*cosine_sim.*"), plan)
   }
+
+  test("q29 pushes every predicate of the scan-only aggregate (its entire cost model)") {
+    // the default plan printer truncates PushedFilters at 100 chars — widen
+    // it so the assertion sees the full pushed-filter list
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val plan =
+      try executedPlan(CoreQueries.q29DiscountRevenue(spark, sf0001))
+      finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+    for (p <- Seq(
+        "GreaterThanOrEqual(l_shipdate,", "LessThan(l_shipdate,",
+        "GreaterThanOrEqual(l_discount,", "LessThanOrEqual(l_discount,",
+        "LessThan(l_quantity,"
+      ))
+      assert(plan.contains(p), s"'$p' not pushed in:\n$plan")
+    // and partial aggregation before the single-row exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("w3 funnel single-pass form: one events scan, event-type filter pushed") {
+    val plan  = executedPlan(graft.operators.Funnel.funnelStages(spark, sf0001))
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 scan, got $scans:\n$plan")
+    assert(plan.contains("In(event_type") || plan.contains("event_type IN"), plan)
+  }
 }
