@@ -80,6 +80,7 @@ object SparkEntry {
     "q25_local_supplier_volume" -> (CoreQueries.q25LocalSupplierVolume _),
     "q26_monthly_order_trend"   -> (CoreQueries.q26MonthlyOrderTrend _),
     "q28_above_nation_avg"      -> (CoreQueries.q28AboveNationAvg _),
+    "q29_discount_revenue"      -> (CoreQueries.q29DiscountRevenue _),
     "w3_funnel_stages"          -> (Funnel.funnelStages _),
     "s8_ann_quantized"          -> ((s: SparkSession, d: String) => Similarity.annQuantized(s, d)),
     // corpus curation: global ids, packing, decontamination, mixture sampling
@@ -297,6 +298,11 @@ object SparkEntry {
         "n AS (SELECT c_nationkey, SUM(bal_cents) AS tot, COUNT(*) AS cnt FROM b GROUP BY c_nationkey) " +
         "SELECT c_custkey, bal_cents FROM b JOIN n USING (c_nationkey) " +
         "WHERE bal_cents * cnt > tot ORDER BY c_custkey"),
+    "q29_discount_revenue" ->
+      ("SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) * 10000 AS BIGINT) AS revenue_e4, " +
+        "COUNT(*) AS cnt FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' " +
+        "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"),
     "s3_ann_batch_topk" ->
       ("SELECT query_id, rnk, vec_id FROM (SELECT q.vec_id AS query_id, e.vec_id, " +
         "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +

@@ -668,6 +668,31 @@ object CoreQueries {
     * boundary customer between engines. Balances go through DECIMAL(12,2)
     * to cents per the q10/q11 decimal rule.
     */
+  /** Q29 — the TPC-H Q6 shape: revenue delta from discount removal over a
+    * narrow date/discount/quantity slice. The whole query is a SCAN: every
+    * predicate pushes into the parquet reader (range on ship date, range on
+    * discount, bound on quantity — all row-group-prunable min/max shapes),
+    * and what survives aggregates map-side to one partial per task. At
+    * 100 TB this query's cost is I/O after pruning, nothing else — the
+    * purest test that filters actually reach the scan. Revenue follows the
+    * decimal rule: exact DECIMAL product, emitted as BIGINT 1e-4 units.
+    */
+  def q29DiscountRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .where(
+        col("l_shipdate") >= expr("timestamp'1997-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("timestamp'1998-01-01 00:00:00'") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24
+      )
+      .agg(
+        expr(
+          "cast(sum(cast(l_extendedprice as decimal(12,2)) * cast(l_discount as decimal(12,2))) * 10000 as bigint)"
+        ).as("revenue_e4"),
+        count(lit(1)).as("cnt")
+      )
+
   def q28AboveNationAvg(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables
       .customer(spark, dir)

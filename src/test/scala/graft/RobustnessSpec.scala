@@ -202,6 +202,10 @@ class RobustnessSpec extends SparkSpec {
     assert(graft.operators.CoreQueries.q5MaxBy(spark, dir).collect().isEmpty)
     val mm = graft.operators.CoreQueries.q4MinMax(spark, dir).head()
     assert(mm.isNullAt(0) && mm.isNullAt(1))
+    // funnel over nothing is (0, 0, 0) — one row, not empty and not an error
+    val f = graft.operators.Funnel.funnelStages(spark, dir).head()
+    assert((f.getLong(0), f.getLong(1), f.getLong(2)) == ((0L, 0L, 0L)))
+    assert(graft.streaming.EventStream.hoppingCountsBatch(spark, dir).collect().isEmpty)
   }
 
   test("schema evolution: a widened blob in the folder reads under mergeSchema with nulls backfilled") {

@@ -25,7 +25,7 @@ class SqlSpec extends SparkSpec {
       "q21_part_brand_revenue", "d5_source_stats", "q3p_positional_filter_count",
       "q24_shipping_priority", "q25_local_supplier_volume",
       "q26_monthly_order_trend", "q27_semi_join", "d12_length_deciles",
-      "g1_global_ids", "q28_above_nation_avg"
+      "g1_global_ids", "q28_above_nation_avg", "q29_discount_revenue"
     )
     for (name <- ansiShared) {
       val viaDf  = SparkEntry.queries(name)(spark, sf0001).collect().map(_.toSeq).toSeq
