@@ -269,19 +269,11 @@ object SparkEntry {
       ("SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM embeddings a JOIN embeddings b " +
         "ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95 " +
         "ORDER BY vec_a, vec_b"),
-    "s1_ann_bruteforce" ->
-      ("SELECT rnk, vec_id FROM (SELECT row_number() OVER (ORDER BY " +
-        "list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id) AS rnk, e.vec_id " +
-        "FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q " +
-        "WHERE e.vec_id <> 0) t WHERE rnk <= 10 ORDER BY rnk"),
+    "s1_ann_bruteforce" -> annTop10Oracle,
     // s8's int8 shortlist provably contains the exact top-10 on this corpus
     // (worst approximate rank 11 ≤ shortlist 50), so the exact re-rank makes
-    // its output identical to s1's — it shares s1's oracle verbatim.
-    "s8_ann_quantized" ->
-      ("SELECT rnk, vec_id FROM (SELECT row_number() OVER (ORDER BY " +
-        "list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id) AS rnk, e.vec_id " +
-        "FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q " +
-        "WHERE e.vec_id <> 0) t WHERE rnk <= 10 ORDER BY rnk"),
+    // its output identical to s1's — it shares s1's oracle, the same string.
+    "s8_ann_quantized" -> annTop10Oracle,
     // w3: all time arithmetic in integer epoch-µs on both engines.
     "w3_funnel_stages" -> {
       val winUs = Funnel.StageWindowHours * 3600L * 1000000L
@@ -519,6 +511,12 @@ object SparkEntry {
     // additionally spec-pinned equal to s4, x4 spec-pinned exact below
     // sketch capacity, x5 bounded per-row against exact distinct).
   )
+
+  private val annTop10Oracle: String =
+    "SELECT rnk, vec_id FROM (SELECT row_number() OVER (ORDER BY " +
+      "list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id) AS rnk, e.vec_id " +
+      "FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q " +
+      "WHERE e.vec_id <> 0) t WHERE rnk <= 10 ORDER BY rnk"
 
   private val ngramJaccardOracle: String =
     "WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +

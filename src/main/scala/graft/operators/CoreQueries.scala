@@ -656,18 +656,6 @@ object CoreQueries {
       .orderBy("o_orderpriority", "month")
   }
 
-  /** Q28 — customers whose balance exceeds their nation's average: the
-    * correlated-scalar-subquery shape (`WHERE c_acctbal > (SELECT AVG …
-    * WHERE same nation)`), written directly as its decorrelated plan — the
-    * per-nation aggregate (25 rows) broadcast back onto the customer scan,
-    * which is exactly what Catalyst's subquery decorrelation rewrites the
-    * SQL form into. Comparison is exact integer arithmetic
-    * (`bal_cents × n_customers > total_cents`) instead of `bal > avg`: an
-    * average is a ratio, and cross-multiplying keeps every operand a
-    * BIGINT — no float average whose last-ulp rounding could flip a
-    * boundary customer between engines. Balances go through DECIMAL(12,2)
-    * to cents per the q10/q11 decimal rule.
-    */
   /** Q29 — the TPC-H Q6 shape: revenue delta from discount removal over a
     * narrow date/discount/quantity slice. The whole query is a SCAN: every
     * predicate pushes into the parquet reader (range on ship date, range on
@@ -693,6 +681,18 @@ object CoreQueries {
         count(lit(1)).as("cnt")
       )
 
+  /** Q28 — customers whose balance exceeds their nation's average: the
+    * correlated-scalar-subquery shape (`WHERE c_acctbal > (SELECT AVG …
+    * WHERE same nation)`), written directly as its decorrelated plan — the
+    * per-nation aggregate (25 rows) broadcast back onto the customer scan,
+    * which is exactly what Catalyst's subquery decorrelation rewrites the
+    * SQL form into. Comparison is exact integer arithmetic
+    * (`bal_cents × n_customers > total_cents`) instead of `bal > avg`: an
+    * average is a ratio, and cross-multiplying keeps every operand a
+    * BIGINT — no float average whose last-ulp rounding could flip a
+    * boundary customer between engines. Balances go through DECIMAL(12,2)
+    * to cents per the q10/q11 decimal rule.
+    */
   def q28AboveNationAvg(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables
       .customer(spark, dir)

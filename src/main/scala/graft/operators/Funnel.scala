@@ -17,7 +17,13 @@ object Funnel {
     */
   val StageWindowHours = 24L
 
-  private val WindowMicros = StageWindowHours * 3600L * 1000000L
+  private[graft] val WindowMicros = StageWindowHours * 3600L * 1000000L
+
+  /** The funnel's stage event types, in order — THE single definition the
+    * batch operator, the chained twin, and the streaming form all filter on
+    * (the stream ≡ batch spec only holds if they agree).
+    */
+  val StageTypes: Seq[String] = Seq("signup", "click", "purchase")
 
   /** W3 — three-stage funnel signup → click → purchase, each within
     * [[StageWindowHours]] of the previous stage's FIRST qualifying event.
@@ -43,7 +49,7 @@ object Funnel {
   def funnelStages(spark: SparkSession, dir: String): DataFrame = {
     val ev   = Tables.eventsRaw(spark, dir)
     val base = ev
-      .where(col("event_type").isInCollection(Seq("signup", "click", "purchase")))
+      .where(col("event_type").isInCollection(StageTypes))
       .select(col("user_id"), col("event_type"), Tables.tsMicrosCol(ev).as("tus"))
     base
       .groupBy("user_id")

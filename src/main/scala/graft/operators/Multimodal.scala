@@ -180,11 +180,11 @@ object Multimodal {
     out
   }
 
-  /** Format-dispatched decode: netpbm payloads decode for real; anything
-    * else hits the disclosed stub. A payload DECLARED netpbm but
-    * undecodable yields all-zero features — an observable degradation a
-    * quality filter can drop, never a stub-fake that would masquerade as a
-    * real decode.
+  /** Format-dispatched decode: netpbm and 24-bit BMP payloads decode for
+    * real ([[decodePnm]]/[[decodeBmp]]); anything else hits the disclosed
+    * stub. A payload DECLARED a real format but undecodable yields all-zero
+    * features — an observable degradation a quality filter can drop, never
+    * a stub-fake that would masquerade as a real decode.
     */
   private[graft] def decode(row: MediaRow, dim: Int): Array[Float] =
     row.format match {

@@ -223,16 +223,19 @@ object TextAnalysis {
     * The final doc_id join of the two aggregates shuffles (doc_id, 5 longs) —
     * row-proportional, never body-proportional. Ratios divide identical long
     * operands on both engines, so the doubles are bit-stable (d2's rule).
+    * Documents with fewer than 2 tokens have no bigrams and therefore no
+    * repetition signal — they are excluded up front (which also matches the
+    * oracle, whose bigram CTE inner-joins them away, and keeps the ratio
+    * division away from ANSI DIVIDE_BY_ZERO).
     */
   def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir).select(col("doc_id"), toks.as("w"))
+    val base = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), toks.as("w"))
+      .where(size(col("w")) >= 2)
     val bigrams = base.select(
       col("doc_id"),
-      // guarded: sequence(0, -1) would run DESCENDING for 1-token docs
-      expr(
-        "case when size(w) < 2 then array() " +
-          "else transform(sequence(0, size(w) - 2), i -> concat_ws(' ', slice(w, i + 1, 2))) end"
-      ).as("bg")
+      expr("transform(sequence(0, size(w) - 2), i -> concat_ws(' ', slice(w, i + 1, 2)))").as("bg")
     ).select(
       col("doc_id"),
       size(col("bg")).cast("long").as("n_bigrams"),

@@ -112,7 +112,7 @@ object EventStream {
       }
       .start()
 
-  /** W3 — streaming ingest dedup: drop events whose `event_id` was already
+  /** W5 — streaming ingest dedup: drop events whose `event_id` was already
     * seen, keeping state only within the watermark horizon
     * (`dropDuplicatesWithinWatermark`) — the exactly-once-ingest operator an
     * at-least-once delivery pipeline (every log/queue replay) needs in front

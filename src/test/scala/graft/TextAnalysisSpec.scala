@@ -107,7 +107,8 @@ class TextAnalysisSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft_rep").toString
     Seq(
       (1L, "a a a b", "en", "t", 7L), // bigrams: "a a","a a","a b" → 3 total, 2 distinct
-      (2L, "w x y z", "en", "t", 7L)  // no repetition at all
+      (2L, "w x y z", "en", "t", 7L), // no repetition at all
+      (3L, "solo", "en", "t", 4L)     // <2 tokens: no bigrams → excluded, like the oracle
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val byId = TextAnalysis
@@ -117,6 +118,7 @@ class TextAnalysisSpec extends SparkSpec {
       .toMap
     assert(byId(1L) == ((3L, 2L, 1.0 / 3.0, 3L, 3.0 / 4.0)))
     assert(byId(2L) == ((3L, 3L, 0.0, 1L, 1.0 / 4.0)))
+    assert(!byId.contains(3L))
   }
 
   test("f1: fuzzy pairs find in-block variants and the block excludes cross-first-char pairs") {
