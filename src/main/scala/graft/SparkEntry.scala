@@ -95,6 +95,7 @@ object SparkEntry {
     "t1_keyword_search"     -> ((s: SparkSession, d: String) => TextAnalysis.keywordSearch(s, d)),
     "d13_redact_pii"        -> (TextAnalysis.redactPiiQuery _),
     "d14_repetition_stats"  -> (TextAnalysis.repetitionStats _),
+    "d15_top_salient_term"  -> (TextAnalysis.topSalientTerm _),
     "f1_fuzzy_token_pairs"  -> ((s: SparkSession, d: String) => TextAnalysis.fuzzyTokenPairs(s, d)),
     "n7_shared_spans"       -> ((s: SparkSession, d: String) => Dedup.sharedSpans(s, d)),
     "s7_ann_with_metadata"  -> ((s: SparkSession, d: String) => Similarity.annWithMetadata(s, d)),
@@ -377,6 +378,15 @@ object SparkEntry {
         "SELECT bs.doc_id AS doc_id, nb::BIGINT AS n_bigrams, ndb::BIGINT AS n_distinct_bigrams, " +
         "(nb - ndb) / nb AS dup_bigram_ratio, mc::BIGINT AS max_token_cnt, mc / nt AS max_token_ratio " +
         "FROM bs JOIN ms ON bs.doc_id = ms.doc_id ORDER BY doc_id"),
+    "d15_top_salient_term" ->
+      ("WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term), " +
+        "df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), " +
+        "ranked AS (SELECT doc_id, term, tf.tf, df.df, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY tf.tf / df.df DESC, term) AS rn " +
+        "FROM tf JOIN df USING (term)) " +
+        "SELECT doc_id, term AS top_term, tf::BIGINT AS tf, df::BIGINT AS df " +
+        "FROM ranked WHERE rn = 1 ORDER BY doc_id"),
     "f1_fuzzy_token_pairs" ->
       ("WITH v AS (SELECT DISTINCT UNNEST(string_split(text, ' ')) AS t FROM documents) " +
         "SELECT a.t AS tok_a, b.t AS tok_b, levenshtein(a.t, b.t)::BIGINT AS dist " +

@@ -262,6 +262,43 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** D15 — top salient term per document: the term maximizing tf/df (term
+    * frequency over document frequency — tf·idf with the simplest idf,
+    * 1/df), ties broken lexicographically. The keyword-extraction step a
+    * labeling/routing pipeline runs per document.
+    *
+    * Determinism across engines is an arithmetic argument, not luck: with
+    * tf, df < 2²⁶, two DIFFERENT rationals tf₁/df₁ ≠ tf₂/df₂ differ by at
+    * least 1/(df₁·df₂) > 2⁻⁵², which is above double ulp — so IEEE division
+    * is injective on the distinct ratios and both engines sort the same
+    * doubles the same way. (At corpus sizes where df could cross 2²⁶, the
+    * comparison would move to integer cross-multiplication.)
+    *
+    * Scale shape: tf is the doc-keyed wordcount exchange (map-side partials
+    * collapse repeats); df derives FROM tf grouped by term — vocabulary-
+    * bounded, so it BROADCASTS back onto tf; the ranking window partitions
+    * by doc_id (parallelism = documents, no global sort anywhere).
+    */
+  def topSalientTerm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "term")
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy("doc_id").orderBy((col("tf") / col("df")).desc, col("term"))
+        )
+      )
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("term").as("top_term"), col("tf"), col("df"))
+      .orderBy("doc_id")
+  }
+
   /** Blocking geometry for [[fuzzyTokenPairs]]: candidate pairs must share
     * their first character and differ in length by at most `MaxDist` — both
     * are necessary conditions only within the block (a distance-3 pair CAN

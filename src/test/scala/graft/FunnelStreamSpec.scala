@@ -69,4 +69,60 @@ class FunnelStreamSpec extends SparkSpec {
     // a second, earlier signup in a later batch cannot move the anchor
     assert(st.get.sT == 0L)
   }
+
+  /** Pure-Scala reference model of the funnel semantics — independent of
+    * both Spark implementations, for the randomized three-way differential.
+    */
+  private def modelFunnel(events: Seq[(Long, String, Long)], w: Long): (Long, Long, Long) = {
+    var (ns, nc, np) = (0L, 0L, 0L)
+    events.groupBy(_._1).foreach { case (_, evs) =>
+      evs.filter(_._2 == "signup").map(_._3).minOption.foreach { st =>
+        ns += 1
+        evs.filter(e => e._2 == "click" && e._3 > st && e._3 <= st + w).map(_._3).minOption.foreach { ct =>
+          nc += 1
+          if (evs.exists(e => e._2 == "purchase" && e._3 > ct && e._3 <= ct + w)) np += 1
+        }
+      }
+    }
+    (ns, nc, np)
+  }
+
+  test("randomized three-way differential: model == Spark single-pass == streaming fold") {
+    import org.scalacheck.Gen
+    import spark.implicits._
+    val W = graft.operators.Funnel.WindowMicros
+    // hour-grid timestamps over 3 window-widths: boundary hits and ties are
+    // likely by construction, which is where the three forms could diverge
+    val evGen = for {
+      user <- Gen.chooseNum(1L, 5L)
+      typ  <- Gen.oneOf("signup", "click", "purchase", "view", "error")
+      hour <- Gen.chooseNum(0L, 72L)
+    } yield (user, typ, hour * 3600L * 1000000L)
+    val corpusGen = Gen.listOfN(40, evGen)
+    def samples[A](g: Gen[A], n: Int): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(i.toLong)))
+    for ((corpus, i) <- samples(corpusGen, 6).zipWithIndex) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_fprop$i").toString
+      corpus.zipWithIndex.map { case ((u, t, us), j) =>
+        (j.toLong, u, t, new java.sql.Timestamp(us / 1000L))
+      }.toDF("event_id", "user_id", "event_type", "ts")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val model = modelFunnel(corpus, W)
+      val Array(row) = graft.operators.Funnel.funnelStages(spark, dir).collect()
+      assert((row.getLong(0), row.getLong(1), row.getLong(2)) == model, s"spark != model on sample $i: $corpus")
+      // streaming fold, one batch per user (updateUser sorts internally)
+      val stages = corpus.groupBy(_._1).map { case (u, evs) =>
+        val st = new TestGroupState[FunnelStream.FunnelState]
+        FunnelStream
+          .updateUser(u, evs.map(e => FunnelStream.FunnelEvent(u, e._2, e._3)).iterator, st)
+          .toSeq.head.stage
+      }.toSeq
+      val streamed = (
+        stages.count(_ >= 1).toLong,
+        stages.count(_ >= 2).toLong,
+        stages.count(_ >= 3).toLong
+      )
+      assert(streamed == model, s"stream fold != model on sample $i: $corpus")
+    }
+  }
 }

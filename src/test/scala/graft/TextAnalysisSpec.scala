@@ -121,6 +121,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!byId.contains(3L))
   }
 
+  test("d15: top salient term maximizes tf/df; exact tie breaks lexicographically") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_tfidf").toString
+    Seq(
+      (1L, "apple apple banana", "en", "t", 18L), // apple 2/1 beats banana 1/2
+      (2L, "banana cherry", "en", "t", 13L),      // both 1/2 — lexicographic tie
+      (3L, "cherry cherry cherry", "en", "t", 20L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val byId = TextAnalysis
+      .topSalientTerm(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(byId(1L) == (("apple", 2L, 1L)))
+    assert(byId(2L) == (("banana", 1L, 2L)))
+    assert(byId(3L) == (("cherry", 3L, 2L)))
+  }
+
   test("f1: fuzzy pairs find in-block variants and the block excludes cross-first-char pairs") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_fuzzy").toString
