@@ -170,6 +170,32 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeBmp(huge).isEmpty)
   }
 
+  test("decoders never throw on random bytes or corrupted headers (fuzz, fixed seed)") {
+    val rnd  = new scala.util.Random(42)
+    val good = Seq(
+      makeBmp(3, 2, Seq(Seq((9, 9, 9), (8, 8, 8), (7, 7, 7)), Seq((1, 1, 1), (2, 2, 2), (3, 3, 3)))),
+      "P5 3 2 255\n".getBytes("US-ASCII") ++ Array[Byte](0, 1, 2, 3, 4, 5)
+    )
+    // pure noise: both decoders must return (usually None), never throw
+    for (_ <- 1 to 300) {
+      val bs = Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte)
+      Multimodal.decodeBmp(bs)
+      Multimodal.decodePnm(bs)
+    }
+    // corrupted valid payloads: flip 1–4 bytes anywhere (header or raster)
+    for (_ <- 1 to 300; g <- good) {
+      val b = g.clone()
+      for (_ <- 0 to rnd.nextInt(4)) b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      Multimodal.decodeBmp(b)
+      Multimodal.decodePnm(b)
+    }
+    // truncations of valid payloads at every length
+    for (g <- good; n <- 0 until g.length) {
+      Multimodal.decodeBmp(g.take(n))
+      Multimodal.decodePnm(g.take(n))
+    }
+  }
+
   test("BMP rows route to the real decoder and resize re-encodes them as PGM") {
     import spark.implicits._
     val bmp = makeBmp(2, 2, Seq(Seq((100, 100, 100), (200, 200, 200)), Seq((10, 10, 10), (50, 50, 50))))
