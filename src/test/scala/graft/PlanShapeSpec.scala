@@ -157,4 +157,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(scans == 1, s"expected 1 scan, got $scans:\n$plan")
     assert(plan.contains("In(event_type") || plan.contains("event_type IN"), plan)
   }
+
+  test("runtime bloom filter: a selective dim predicate prunes the fact side of a shuffle join") {
+    // The 100 TB lever behind every selective dim ⋈ fact shuffle join:
+    // Spark builds a bloom filter from the FILTERED side at runtime and
+    // applies it to the fact scan, so most fact rows die before the
+    // exchange. Size thresholds are tuned for clusters, not test corpora —
+    // lower the application-side floor so the optimizer engages here.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled"                          -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold"                                     -> "-1" // force the shuffle join shape
+    )
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li  = graft.sources.Tables.lineitem(spark, sf0001)
+      val ord = graft.sources.Tables.orders(spark, sf0001).where(col("o_orderpriority") === "1-URGENT")
+      val j   = li.join(ord, col("l_orderkey") === col("o_orderkey")).groupBy("o_orderpriority").count()
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.toLowerCase.contains("bloom"), s"no runtime bloom filter injected:\n$plan")
+      // and the filtered plan still answers correctly
+      val n = j.collect().map(r => r.getLong(1)).sum
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val n2 = li.join(ord, col("l_orderkey") === col("o_orderkey")).count()
+      assert(n == n2, s"bloom-filtered count $n != plain count $n2")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
