@@ -98,6 +98,7 @@ object SparkEntry {
     "d15_top_salient_term"  -> (TextAnalysis.topSalientTerm _),
     "f1_fuzzy_token_pairs"  -> ((s: SparkSession, d: String) => TextAnalysis.fuzzyTokenPairs(s, d)),
     "n7_shared_spans"       -> ((s: SparkSession, d: String) => Dedup.sharedSpans(s, d)),
+    "d16_span_share"        -> ((s: SparkSession, d: String) => Dedup.spanShareStats(s, d)),
     "s7_ann_with_metadata"  -> ((s: SparkSession, d: String) => Similarity.annWithMetadata(s, d)),
     // multimodal metadata surface
     "m1_payload_meta" -> (Multimodal.payloadMeta _),
@@ -401,6 +402,15 @@ object SparkEntry {
         "FROM toks, UNNEST(range(1, len(w) - " + (Dedup.SpanTokens - 2) + ")) t(s)) " +
         "SELECT span_fp, COUNT(DISTINCT doc_id)::BIGINT AS n_docs FROM sp " +
         "GROUP BY span_fp HAVING COUNT(DISTINCT doc_id) >= 2 ORDER BY span_fp"),
+    "d16_span_share" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
+        "sp AS (SELECT DISTINCT doc_id, md5(array_to_string(w[s : s + " + (Dedup.SpanTokens - 1) + "], ' ')) AS span_fp " +
+        "FROM toks, UNNEST(range(1, len(w) - " + (Dedup.SpanTokens - 2) + ")) t(s)), " +
+        "d AS (SELECT doc_id, span_fp, COUNT(*) OVER (PARTITION BY span_fp) AS nd FROM sp) " +
+        "SELECT doc_id, COUNT(*) AS n_spans, " +
+        "SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared_spans, " +
+        "SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) / COUNT(*) AS shared_ratio " +
+        "FROM d GROUP BY doc_id ORDER BY doc_id"),
     "s7_ann_with_metadata" ->
       ("SELECT query_id, rnk, vec_id, source, n_chars FROM " +
         "(SELECT q.vec_id AS query_id, e.vec_id, " +

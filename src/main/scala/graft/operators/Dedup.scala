@@ -84,8 +84,10 @@ object Dedup {
     * (span-level redaction: probe each doc's spans against this table) wants
     * the fixed-width key, never the span text.
     */
-  def sharedSpans(spark: SparkSession, dir: String, span: Int = SpanTokens): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  /** Per-document DISTINCT span fingerprints — one row per (doc_id,
+    * span_fp), the shared base of [[sharedSpans]] and [[spanShareStats]].
+    */
+  private def docSpans(docs: DataFrame, span: Int): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .where(size(col("toks")) >= span)
@@ -98,10 +100,36 @@ object Dedup {
           )
         ).as("span_fp")
       )
+
+  def sharedSpans(spark: SparkSession, dir: String, span: Int = SpanTokens): DataFrame =
+    docSpans(Tables.documents(spark, dir), span)
       .groupBy("span_fp")
       .agg(countDistinct("doc_id").as("n_docs"))
       .where(col("n_docs") >= 2)
       .orderBy("span_fp")
+
+  /** D16 — per-document shared-span density: how much of each document is
+    * text that appears verbatim elsewhere in the corpus — [[sharedSpans]]
+    * turned around into the per-document signal a quality filter actually
+    * thresholds on ("drop documents that are mostly boilerplate/copies").
+    * Two shuffles, no join: span document-frequency comes from a COUNT
+    * window PARTITIONED BY span_fp over the distinct (doc, span) stream —
+    * the stream shuffles once on the 16-byte span key, once on doc_id for
+    * the per-doc rollup. (The join formulation would shuffle the stream a
+    * third time.) Docs shorter than the span width have no spans and are
+    * absent, like the oracle. Ratio is long/long (d2's bit-stable rule).
+    */
+  def spanShareStats(spark: SparkSession, dir: String, span: Int = SpanTokens): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docSpans(Tables.documents(spark, dir), span)
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy("span_fp")))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared_spans")
+      )
+      .withColumn("shared_ratio", col("n_shared_spans") / col("n_spans"))
+      .orderBy("doc_id")
   }
 
   /** Shared core: given per-doc shingle-HASH sets (doc_id, ss: array<long>,

@@ -199,5 +199,16 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.sharedSpans(spark, dir).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got.keySet == expected)
     assert(got.values.forall(_ == 2L))
+    // d16 turns the same span stream into per-doc density: docs 1/2 have 5
+    // distinct spans each (12 tokens), 2 of them shared; doc 3's 9 windows
+    // collapse to 8 distinct (its halves repeat), none shared
+    val stats = Dedup
+      .spanShareStats(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(stats(1L) == ((5L, 2L, 0.4)))
+    assert(stats(2L) == ((5L, 2L, 0.4)))
+    assert(stats(3L) == ((8L, 0L, 0.0)))
   }
 }
