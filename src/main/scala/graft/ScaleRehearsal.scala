@@ -186,7 +186,8 @@ object ScaleRehearsal {
       "q24_shipping_priority", "q25_local_supplier_volume", "g1_global_ids",
       "p2_sequence_pack", "d8_decontaminate", "d11_vocab_topk",
       "t1_keyword_search", "x5_approx_distinct_rollup", "s7_ann_with_metadata",
-      "d14_repetition_stats", "n7_shared_spans", "d16_span_share", "f1_fuzzy_token_pairs",
+      "d14_repetition_stats", "d15_top_salient_term", "n7_shared_spans",
+      "d16_span_share", "f1_fuzzy_token_pairs",
       "w3_funnel_stages", "w4_hopping_counts", "s8_ann_quantized",
       "q28_above_nation_avg"
     )

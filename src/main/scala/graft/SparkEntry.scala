@@ -394,18 +394,14 @@ object SparkEntry {
         "FROM v a JOIN v b ON substr(a.t, 1, 1) = substr(b.t, 1, 1) AND a.t < b.t " +
         "AND abs(length(a.t) - length(b.t)) <= " + TextAnalysis.FuzzyMaxDist + " " +
         "WHERE levenshtein(a.t, b.t) <= " + TextAnalysis.FuzzyMaxDist + " ORDER BY tok_a, tok_b"),
-    // DuckDB list slice w[s : s+7] is 1-based INCLUSIVE (8 tokens), matching
-    // Spark's slice(toks, s+1, 8); range stops differ by the same convention.
+    // n7/d16 share [[spanCtePrefix]] — ONE definition of the span window on
+    // the oracle side, like docSpans on the Spark side.
     "n7_shared_spans" ->
-      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
-        "sp AS (SELECT DISTINCT doc_id, md5(array_to_string(w[s : s + " + (Dedup.SpanTokens - 1) + "], ' ')) AS span_fp " +
-        "FROM toks, UNNEST(range(1, len(w) - " + (Dedup.SpanTokens - 2) + ")) t(s)) " +
+      (spanCtePrefix +
         "SELECT span_fp, COUNT(DISTINCT doc_id)::BIGINT AS n_docs FROM sp " +
         "GROUP BY span_fp HAVING COUNT(DISTINCT doc_id) >= 2 ORDER BY span_fp"),
     "d16_span_share" ->
-      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
-        "sp AS (SELECT DISTINCT doc_id, md5(array_to_string(w[s : s + " + (Dedup.SpanTokens - 1) + "], ' ')) AS span_fp " +
-        "FROM toks, UNNEST(range(1, len(w) - " + (Dedup.SpanTokens - 2) + ")) t(s)), " +
+      (spanCtePrefix.trim + ", " +
         "d AS (SELECT doc_id, span_fp, COUNT(*) OVER (PARTITION BY span_fp) AS nd FROM sp) " +
         "SELECT doc_id, COUNT(*) AS n_spans, " +
         "SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared_spans, " +
@@ -531,6 +527,15 @@ object SparkEntry {
     // additionally spec-pinned equal to s4, x4 spec-pinned exact below
     // sketch capacity, x5 bounded per-row against exact distinct).
   )
+
+  /** Shared span-window CTEs for the n7/d16 oracles. DuckDB list slice
+    * `w[s : s+7]` is 1-based INCLUSIVE (8 tokens), matching Spark's
+    * `slice(toks, s+1, 8)`; the range stops differ by the same convention.
+    */
+  private val spanCtePrefix: String =
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
+      "sp AS (SELECT DISTINCT doc_id, md5(array_to_string(w[s : s + " + (Dedup.SpanTokens - 1) + "], ' ')) AS span_fp " +
+      "FROM toks, UNNEST(range(1, len(w) - " + (Dedup.SpanTokens - 2) + ")) t(s)) "
 
   private val annTop10Oracle: String =
     "SELECT rnk, vec_id FROM (SELECT row_number() OVER (ORDER BY " +

@@ -68,22 +68,6 @@ object Dedup {
     */
   val SpanTokens = 8
 
-  /** N7 — cross-document repeated spans: every [[SpanTokens]]-token window
-    * (stride 1) that appears verbatim in ≥ 2 distinct documents, with its
-    * document frequency. This is the scalable stand-in for suffix-array
-    * exact-substring dedup (Lee et al., "Deduplicating Training Data Makes
-    * Language Models Better"): a suffix array finds maximal repeats globally
-    * but needs the corpus resident per node; the windowed form ships each
-    * span once as a 16-byte md5 through a single groupBy — shuffle volume =
-    * token count × 16 bytes regardless of document size, map-side partials
-    * collapse within-partition repeats first, and the grouped row count is
-    * bounded by DISTINCT spans, not corpus tokens. `array_distinct` before
-    * the explode keeps a document's internal self-repeats from inflating its
-    * contribution (df counts documents, not occurrences). Output keys are
-    * the md5 fingerprints themselves — at 100 TB the downstream consumer
-    * (span-level redaction: probe each doc's spans against this table) wants
-    * the fixed-width key, never the span text.
-    */
   /** Per-document DISTINCT span fingerprints — one row per (doc_id,
     * span_fp), the shared base of [[sharedSpans]] and [[spanShareStats]].
     */
@@ -101,6 +85,22 @@ object Dedup {
         ).as("span_fp")
       )
 
+  /** N7 — cross-document repeated spans: every [[SpanTokens]]-token window
+    * (stride 1) that appears verbatim in ≥ 2 distinct documents, with its
+    * document frequency. This is the scalable stand-in for suffix-array
+    * exact-substring dedup (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better"): a suffix array finds maximal repeats globally
+    * but needs the corpus resident per node; the windowed form ships each
+    * span once as a 16-byte md5 through a single groupBy — shuffle volume =
+    * token count × 16 bytes regardless of document size, map-side partials
+    * collapse within-partition repeats first, and the grouped row count is
+    * bounded by DISTINCT spans, not corpus tokens. `array_distinct` before
+    * the explode keeps a document's internal self-repeats from inflating its
+    * contribution (df counts documents, not occurrences). Output keys are
+    * the md5 fingerprints themselves — at 100 TB the downstream consumer
+    * (span-level redaction: probe each doc's spans against this table) wants
+    * the fixed-width key, never the span text.
+    */
   def sharedSpans(spark: SparkSession, dir: String, span: Int = SpanTokens): DataFrame =
     docSpans(Tables.documents(spark, dir), span)
       .groupBy("span_fp")
@@ -112,17 +112,23 @@ object Dedup {
     * text that appears verbatim elsewhere in the corpus — [[sharedSpans]]
     * turned around into the per-document signal a quality filter actually
     * thresholds on ("drop documents that are mostly boilerplate/copies").
-    * Two shuffles, no join: span document-frequency comes from a COUNT
-    * window PARTITIONED BY span_fp over the distinct (doc, span) stream —
-    * the stream shuffles once on the 16-byte span key, once on doc_id for
-    * the per-doc rollup. (The join formulation would shuffle the stream a
-    * third time.) Docs shorter than the span width have no spans and are
-    * absent, like the oracle. Ratio is long/long (d2's bit-stable rule).
+    * Span document-frequency comes from a streaming hash AGGREGATE over the
+    * distinct (doc, span) stream, joined back onto it — deliberately NOT a
+    * `COUNT OVER (PARTITION BY span_fp)` window, although that would save
+    * one shuffle of the stream: WindowExec must buffer and sort each span's
+    * whole partition before emitting, and a boilerplate span present in
+    * millions of documents — exactly the rows this operator exists to
+    * measure — becomes one such partition. The aggregate combines map-side
+    * and the join streams hot spans row-by-row against their single df row,
+    * so no per-key buffering exists anywhere at any skew. Docs shorter than
+    * the span width have no spans and are absent, like the oracle. Ratio is
+    * long/long (d2's bit-stable rule).
     */
   def spanShareStats(spark: SparkSession, dir: String, span: Int = SpanTokens): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    docSpans(Tables.documents(spark, dir), span)
-      .withColumn("nd", count(lit(1)).over(Window.partitionBy("span_fp")))
+    val spans = docSpans(Tables.documents(spark, dir), span)
+    val df    = spans.groupBy("span_fp").agg(count(lit(1)).as("nd"))
+    spans
+      .join(df, "span_fp")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_spans"),
