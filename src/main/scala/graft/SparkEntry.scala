@@ -73,6 +73,7 @@ object SparkEntry {
     "a1_asof_join"      -> (AsOf.purchaseAsofClick _),
     "a2_interval_join"  -> ((s: SparkSession, d: String) => AsOf.intervalPairCount(s, d)),
     "a3_asof_tolerance" -> ((s: SparkSession, d: String) => AsOf.purchaseAsofClickWithin(s, d)),
+    "a4_asof_forward"   -> (AsOf.purchaseAsofNextClick _),
     "q22_salted_join_count" -> (CoreQueries.q22SaltedJoinCount _),
     "q23_bucketed_star"     -> (CoreQueries.q23BucketedStar _),
     "q24_shipping_priority" -> (CoreQueries.q24ShippingPriority _),
@@ -452,6 +453,12 @@ object SparkEntry {
         "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
         "ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
         "ON p.user_id = c.user_id AND p.ts >= c.ts ORDER BY purchase_id"),
+    // forward direction flips the ASOF inequality: earliest click >= purchase
+    "a4_asof_forward" ->
+      ("SELECT p.event_id AS purchase_id, c.event_id AS click_id " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
+        "ON p.user_id = c.user_id AND p.ts <= c.ts ORDER BY purchase_id"),
     "a2_interval_join" ->
       ("SELECT COUNT(*) AS pair_cnt FROM events a JOIN events b " +
         "ON a.user_id = b.user_id AND a.event_id < b.event_id " +

@@ -153,6 +153,33 @@ object AsOf {
       .orderBy("purchase_id")
   }
 
+  /** A4 — FORWARD as-of: for every purchase, the EARLIEST click at-or-after
+    * it by the same user (post-conversion behavior lookahead — the mirror
+    * of A1). No new machinery: negating the time column turns "latest right
+    * with ts ≤ left.ts" into "earliest right with ts ≥ left.ts", so the
+    * same [[runAsofWindow]] core serves both directions and the semantics
+    * cannot diverge. Negation happens on the RAW time representation (ns
+    * long, or µs when the table carries native timestamps) — ordering-
+    * equivalent to the oracle's native-timestamp ASOF comparison, no
+    * precision truncation.
+    */
+  def purchaseAsofNextClick(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.eventsRaw(spark, dir)
+    val negTs =
+      if (Tables.eventsTsIsNanos(events)) -col("ts")
+      else -unix_micros(col("ts").cast("timestamp"))
+    asofJoinFusedSelf(
+      events.where(col("event_type").isin("click", "purchase")).withColumn("__negts", negTs),
+      key = "user_id",
+      ts = "__negts",
+      isLeft = col("event_type") === "purchase",
+      leftId = col("event_id"),
+      rightVal = col("event_id")
+    )
+      .select(col("__left_id").as("purchase_id"), col("__match").as("click_id"))
+      .orderBy("purchase_id")
+  }
+
   /** A3 — tolerance-bounded as-of: like [[purchaseAsofClick]] but the match
     * must lie within `toleranceSeconds` BEFORE the purchase (the standard
     * asof-tolerance semantics: match first, then drop matches older than the

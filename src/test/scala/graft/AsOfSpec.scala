@@ -56,4 +56,48 @@ class AsOfSpec extends SparkSpec {
     assert(got.count() > 0)
     assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
   }
+
+  test("a4 forward asof: earliest at-or-after match, inclusive, inner — planted") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft_a4").toString
+    Seq(
+      // user 1: clicks before AND after the purchase — forward picks the after one
+      (1L, 1L, "click", ts("2024-01-01 00:01:00")),
+      (2L, 1L, "purchase", ts("2024-01-01 00:03:00")),
+      (3L, 1L, "click", ts("2024-01-01 00:05:00")),
+      (4L, 1L, "click", ts("2024-01-01 00:07:00")), // later click loses to the earlier one
+      // user 2: click exactly AT the purchase instant — inclusive match
+      (5L, 2L, "purchase", ts("2024-01-01 00:10:00")),
+      (6L, 2L, "click", ts("2024-01-01 00:10:00")),
+      // user 3: only a prior click — forward drops the purchase (inner)
+      (7L, 3L, "click", ts("2024-01-01 00:01:00")),
+      (8L, 3L, "purchase", ts("2024-01-01 00:09:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = AsOf
+      .purchaseAsofNextClick(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(got == Map(2L -> 3L, 5L -> 6L))
+  }
+
+  test("a4 on real events mirrors a1's property with the inequality flipped") {
+    import org.apache.spark.sql.functions._
+    val events = graft.sources.Tables.eventsRaw(spark, sf0001)
+    val got = AsOf.purchaseAsofNextClick(spark, sf0001)
+    val p = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+    val c = events.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id_x"), col("user_id"), col("ts").as("cts"))
+    val expect = p
+      .join(c, Seq("user_id"))
+      .where(col("cts") >= col("pts"))
+      .groupBy("purchase_id")
+      .agg(min(struct(col("cts"), col("click_id_x"))).as("m"))
+      .select(col("purchase_id"), col("m.click_id_x").as("click_id"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+  }
 }
