@@ -61,13 +61,28 @@ object EventStream {
     * arithmetic (`(epoch_us // 12h − j) · 12h` for j ∈ {0,1}). Same shape
     * streams under a watermark exactly like [[windowedCountsStream]].
     */
-  def hoppingCountsBatch(spark: SparkSession, dir: String): DataFrame =
-    Tables
-      .events(spark, dir)
+  private def hopWindowed(events: DataFrame): DataFrame =
+    events
       .groupBy(window(col("ts"), "1 day", "12 hours").as("w"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.start").cast("timestamp_ntz").as("ws"), col("event_type"), col("cnt"))
-      .orderBy("ws", "event_type")
+
+  def hoppingCountsBatch(spark: SparkSession, dir: String): DataFrame =
+    hopWindowed(Tables.events(spark, dir)).orderBy("ws", "event_type")
+
+  /** Streaming twin of [[hoppingCountsBatch]] — the SAME aggregation
+    * ([[hopWindowed]]) under a watermark, complete-mode memory sink for the
+    * stream ≡ batch differential. Hopping state is (windows per slide ×
+    * window count) rows; the watermark finalizes and evicts windows in
+    * append-mode deployments exactly as for tumbling windows.
+    */
+  def hoppingCountsStream(spark: SparkSession, eventsDir: String, sinkTable: String): StreamingQuery =
+    hopWindowed(streamingEvents(spark, eventsDir).withWatermark("ts", "1 hour"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sinkTable)
+      .start()
 
   /** Complete-mode streaming twin of [[windowedCountsBatch]] writing to an
     * in-memory table named `sinkTable`. `eventsDir` must be a *directory*

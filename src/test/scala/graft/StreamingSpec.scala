@@ -224,6 +224,29 @@ class StreamingSpec extends SparkSpec {
     )
   }
 
+  test("w4 streaming hopping counts == batch hopping counts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hopstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("part-0.parquet")
+    )
+    val q = graft.streaming.EventStream.hoppingCountsStream(spark, dir.toString, "hop_sink")
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark
+      .table("hop_sink")
+      .collect()
+      .map(r => (r.get(0).toString, r.getString(1), r.getLong(2)))
+      .toSet
+    val batch = graft.streaming.EventStream
+      .hoppingCountsBatch(spark, sf0001)
+      .collect()
+      .map(r => (r.get(0).toString, r.getString(1), r.getLong(2)))
+      .toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("w4 on the real corpus: every event is counted exactly twice (size/slide = 2)") {
     val total  = graft.sources.Tables.events(spark, sf0001).count()
     val summed = graft.streaming.EventStream
