@@ -106,7 +106,9 @@ object SparkEntry {
     // streaming façade, batch-equivalent form
     "w1_window_counts" -> (graft.streaming.EventStream.windowedCountsBatch _),
     "w2_sessionize"    -> (graft.streaming.Sessionize.sessionCountsBatch _),
-    "w4_hopping_counts" -> (graft.streaming.EventStream.hoppingCountsBatch _)
+    "w4_hopping_counts" -> (graft.streaming.EventStream.hoppingCountsBatch _),
+    "w6_resample_hourly" -> (CoreQueries.w6ResampleHourly _),
+    "dq1_profile_events" -> (Profile.profileEvents _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -422,6 +424,23 @@ object SparkEntry {
       ("WITH x AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events) " +
         "SELECT user_id, SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)::BIGINT AS n_sessions " +
         "FROM x GROUP BY user_id ORDER BY user_id"),
+    // w6: grid = generate_series over the observed bounds × distinct types;
+    // LEFT JOIN + COALESCE supplies the zero cells.
+    "w6_resample_hourly" ->
+      ("WITH e AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) hr, event_type FROM events), " +
+        "c AS (SELECT hr, event_type, COUNT(*) AS cnt FROM e GROUP BY hr, event_type), " +
+        "b AS (SELECT MIN(hr) d0, MAX(hr) d1 FROM e), " +
+        "g AS (SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 HOUR)) AS hr FROM b), " +
+        "t AS (SELECT DISTINCT event_type FROM e) " +
+        "SELECT g.hr AS hr, t.event_type AS event_type, COALESCE(cnt, 0)::BIGINT AS cnt " +
+        "FROM g CROSS JOIN t LEFT JOIN c ON g.hr = c.hr AND t.event_type = c.event_type " +
+        "ORDER BY hr, event_type"),
+    "dq1_profile_events" -> {
+      val branches = Seq("event_id", "ts", "user_id", "event_type", "value", "props").map { c =>
+        s"SELECT '$c' AS col_name, COUNT(*) AS n_rows, COUNT($c) AS n_nonnull, COUNT(DISTINCT $c) AS n_distinct FROM events"
+      }
+      branches.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")
+    },
     // w4: every event belongs to exactly 2 hopping windows; window starts
     // reconstructed on the epoch-aligned 12h grid in integer µs.
     "w4_hopping_counts" ->

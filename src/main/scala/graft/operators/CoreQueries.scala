@@ -681,6 +681,39 @@ object CoreQueries {
         count(lit(1)).as("cnt")
       )
 
+  /** W6 — gap-filled hourly resampling: counts per (hour, event_type) over
+    * the table's full observed range, with ABSENT cells emitted as 0 — the
+    * regularized series a dashboard or anomaly detector consumes (a plain
+    * groupBy silently skips empty hours, which reads as "no data" instead
+    * of "zero events"). The time grid is built INSIDE the plan — min/max
+    * bounds via a 2-value aggregate, `sequence(...)` exploded, cross-joined
+    * with the distinct types — so no driver-side collect manufactures the
+    * calendar; the grid (hours × types) then LEFT-joins the counted cells.
+    * Every input to the join is an aggregate output (cells, hours, types),
+    * orders of magnitude smaller than the event stream — the one full-data
+    * pass is the counting groupBy, which partial-aggregates map-side.
+    */
+  def w6ResampleHourly(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables
+      .events(spark, dir)
+      .select(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+    val counts = e.groupBy("hr", "event_type").agg(count(lit(1)).as("cnt"))
+    val hours = e
+      .agg(min("hr").as("d0"), max("hr").as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 hour)")).as("hr"))
+      // sequence() materializes instants even over NTZ bounds — re-assert
+      // NTZ before the join so the grid keys match the counted cells' type
+      // (and the parquet doesn't carry +00:00 vs the oracle's naive
+      // timestamps, the trap Tables.events exists to close)
+      .select(col("hr").cast("timestamp_ntz").as("hr"))
+    val types = e.select("event_type").distinct()
+    hours
+      .crossJoin(types)
+      .join(counts, Seq("hr", "event_type"), "left")
+      .select(col("hr"), col("event_type"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .orderBy("hr", "event_type")
+  }
+
   /** Q28 — customers whose balance exceeds their nation's average: the
     * correlated-scalar-subquery shape (`WHERE c_acctbal > (SELECT AVG …
     * WHERE same nation)`), written directly as its decorrelated plan — the

@@ -168,6 +168,31 @@ class CoreQueriesSpec extends SparkSpec {
     assert((semi | anti) == all)
   }
 
+  test("w6: gap hours materialize as zero rows; present cells keep their counts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_w6").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq(
+      (1L, 1L, "click", ts("2024-01-01 00:10:00")),
+      (2L, 1L, "click", ts("2024-01-01 00:50:00")),
+      // hour 01:00 has nothing — must appear as 0
+      (3L, 1L, "click", ts("2024-01-01 02:30:00")),
+      (4L, 1L, "view", ts("2024-01-01 02:40:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = CoreQueries
+      .w6ResampleHourly(spark, dir)
+      .collect()
+      // planted table carries instant timestamps (ntz only on the real
+      // nanos corpus) — parse the hour from the rendered form, type-agnostic
+      .map(r => (r.get(0).toString.substring(11, 13).toInt, r.getString(1)) -> r.getLong(2))
+      .toMap
+    // 3 hours (00..02) x 2 types = 6 cells, zeros included
+    assert(got.size == 6)
+    assert(got((0, "click")) == 2L && got((1, "click")) == 0L && got((2, "click")) == 1L)
+    assert(got((0, "view")) == 0L && got((1, "view")) == 0L && got((2, "view")) == 1L)
+  }
+
   test("q28: strictly above the nation average, exact at the boundary") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_q28").toString
