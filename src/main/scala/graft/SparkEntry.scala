@@ -103,12 +103,13 @@ object SparkEntry {
     "s7_ann_with_metadata"  -> ((s: SparkSession, d: String) => Similarity.annWithMetadata(s, d)),
     // multimodal metadata surface
     "m1_payload_meta" -> (Multimodal.payloadMeta _),
+    // batch analytics over events: gap-filled series + table profiling
+    "w6_resample_hourly" -> (CoreQueries.w6ResampleHourly _),
+    "dq1_profile_events" -> (Profile.profileEvents _),
     // streaming façade, batch-equivalent form
     "w1_window_counts" -> (graft.streaming.EventStream.windowedCountsBatch _),
     "w2_sessionize"    -> (graft.streaming.Sessionize.sessionCountsBatch _),
-    "w4_hopping_counts" -> (graft.streaming.EventStream.hoppingCountsBatch _),
-    "w6_resample_hourly" -> (CoreQueries.w6ResampleHourly _),
-    "dq1_profile_events" -> (Profile.profileEvents _)
+    "w4_hopping_counts" -> (graft.streaming.EventStream.hoppingCountsBatch _)
   )
 
   def oracleSql: Map[String, String] = Map(

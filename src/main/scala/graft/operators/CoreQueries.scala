@@ -689,16 +689,26 @@ object CoreQueries {
     * bounds via a 2-value aggregate, `sequence(...)` exploded, cross-joined
     * with the distinct types — so no driver-side collect manufactures the
     * calendar; the grid (hours × types) then LEFT-joins the counted cells.
-    * Every input to the join is an aggregate output (cells, hours, types),
-    * orders of magnitude smaller than the event stream — the one full-data
-    * pass is the counting groupBy, which partial-aggregates map-side.
+    * Plan reality (PlanShapeSpec pins it): Catalyst rewrites the
+    * bounds/types branches — written here over the counted cells — back
+    * into direct scans via `RemoveRedundantAggregates`, so the table is
+    * read three times, BUT each auxiliary scan is column-pruned to its
+    * single column (`ts` for bounds, `event_type` for types) with the
+    * full-width scan only under the counting groupBy. At 100 TB the
+    * refinement is explicitly persisting the counted cells (they are
+    * cell-count-sized) and deriving grid and bounds from the materialized
+    * table — the composition, not the operator, decides that.
     */
   def w6ResampleHourly(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables
       .events(spark, dir)
       .select(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
     val counts = e.groupBy("hr", "event_type").agg(count(lit(1)).as("cnt"))
-    val hours = e
+    // bounds/types written over the counted cells; Catalyst's
+    // RemoveRedundantAggregates rewrites them into direct single-column
+    // scans anyway (see docstring) — keeping this form documents intent and
+    // stays correct under either physical choice
+    val hours = counts
       .agg(min("hr").as("d0"), max("hr").as("d1"))
       .select(explode(expr("sequence(d0, d1, interval 1 hour)")).as("hr"))
       // sequence() materializes instants even over NTZ bounds — re-assert
@@ -706,7 +716,7 @@ object CoreQueries {
       // (and the parquet doesn't carry +00:00 vs the oracle's naive
       // timestamps, the trap Tables.events exists to close)
       .select(col("hr").cast("timestamp_ntz").as("hr"))
-    val types = e.select("event_type").distinct()
+    val types = counts.select("event_type").distinct()
     hours
       .crossJoin(types)
       .join(counts, Seq("hr", "event_type"), "left")

@@ -22,13 +22,20 @@ object Profile {
     * form as its oracle at test scale.
     */
   def profile(df: DataFrame): DataFrame = {
+    // generic entry point ⇒ column names are data, not identifiers: every
+    // reference is backtick-quoted (backticks doubled) so names with
+    // spaces/dots/quotes profile too — bare col("a.b") would resolve as a
+    // struct field access, and bare interpolation into stack() would not
+    // parse; string literals escape quotes/backslashes
+    def strLit(s: String) = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    def ident(s: String)  = "`" + s.replace("`", "``") + "`"
     val cols = df.columns.toSeq
     val aggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"__nn_$c"), countDistinct(col(c)).as(s"__nd_$c"))
+      Seq(count(col(ident(c))).as(s"__nn_$c"), countDistinct(col(ident(c))).as(s"__nd_$c"))
     } :+ count(lit(1)).as("__n")
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val stackArgs = cols
-      .map(c => s"'$c', __nn_$c, __nd_$c")
+      .map(c => s"${strLit(c)}, ${ident(s"__nn_$c")}, ${ident(s"__nd_$c")}")
       .mkString(", ")
     wide
       .select(
@@ -39,7 +46,13 @@ object Profile {
       .orderBy("col_name")
   }
 
-  /** DQ1 — the registered surface: profile of the `events` table. */
+  /** DQ1 — the registered surface: profile of the `events` table, read RAW
+    * ([[Tables.eventsRaw]]): the nanos long is bijective with the file's
+    * TIMESTAMP(NANOS) values, so `n_distinct(ts)` counts at the SAME
+    * precision as the DuckDB oracle's ns timestamps — profiling the
+    * µs-normalized view would undercount whenever two events share a µs
+    * but differ at ns.
+    */
   def profileEvents(spark: SparkSession, dir: String): DataFrame =
-    profile(Tables.events(spark, dir))
+    profile(Tables.eventsRaw(spark, dir))
 }

@@ -158,6 +158,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("In(event_type") || plan.contains("event_type IN"), plan)
   }
 
+  test("w6 auxiliary scans are column-pruned to one column each (bounds=ts, types=event_type)") {
+    // Catalyst rewrites the counts-derived bounds/types branches into direct
+    // scans (RemoveRedundantAggregates) — the guarantee that matters is that
+    // those extra passes read ONE column each, not the full table width
+    val df = CoreQueries.w6ResampleHourly(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<ts:bigint>"), plan)
+    assert(plan.contains("ReadSchema: struct<event_type:string>"), plan)
+    // exactly one scan carries both columns (the counting pass)
+    assert("ReadSchema: struct<ts:bigint,event_type:string>".r.findAllIn(plan).size >= 1, plan)
+  }
+
   test("runtime bloom filter: a selective dim predicate prunes the fact side of a shuffle join") {
     // The 100 TB lever behind every selective dim ⋈ fact shuffle join:
     // Spark builds a bloom filter from the FILTERED side at runtime and

@@ -21,6 +21,18 @@ class ProfileSpec extends SparkSpec {
     assert(rows("tag") == ((4L, 3L, 2L))) // 4 rows, 1 null, distinct {a, b}
   }
 
+  test("dq1 tolerates hostile column names (spaces, dots, quotes, backticks)") {
+    import spark.implicits._
+    val df = Seq((1L, "x"), (2L, "y"))
+      .toDF("a b", "it's.`odd`")
+    val rows = Profile
+      .profile(df)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(3))
+      .toMap
+    assert(rows == Map("a b" -> 2L, "it's.`odd`" -> 2L))
+  }
+
   test("dq1 on real events: keys are unique, types are the known five") {
     val rows = Profile
       .profileEvents(spark, sf0001)
