@@ -189,7 +189,8 @@ object ScaleRehearsal {
       "d14_repetition_stats", "d15_top_salient_term", "n7_shared_spans",
       "d16_span_share", "f1_fuzzy_token_pairs",
       "w3_funnel_stages", "w4_hopping_counts", "s8_ann_quantized",
-      "q28_above_nation_avg", "q29_discount_revenue", "a4_asof_forward"
+      "q28_above_nation_avg", "q29_discount_revenue", "a4_asof_forward",
+      "s9_ann_ivf_quantized"
     )
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
     headline.foreach { name =>

@@ -69,6 +69,7 @@ object SparkEntry {
     "s3_ann_batch_topk" -> ((s: SparkSession, d: String) => Similarity.annBatchTopK(s, d)),
     "s4_ann_ivf"        -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "s6_ann_ivf_partitioned" -> ((s: SparkSession, d: String) => Similarity.annIvfPartitioned(s, d)),
+    "s9_ann_ivf_quantized"   -> ((s: SparkSession, d: String) => Similarity.annIvfQuantized(s, d)),
     "c1_clean_corpus"   -> ((s: SparkSession, d: String) => Pipeline.cleanCorpus(s, d)),
     "a1_asof_join"      -> (AsOf.purchaseAsofClick _),
     "a2_interval_join"  -> ((s: SparkSession, d: String) => AsOf.intervalPairCount(s, d)),
@@ -547,6 +548,7 @@ object SparkEntry {
         "ORDER BY d.doc_id")
     }
     // n3_simhash_pairs, s2_ann_lsh, s4_ann_ivf, s6_ann_ivf_partitioned,
+    // s9_ann_ivf_quantized (spec-pinned ≡ s6),
     // x3_approx_percentiles, x4_approx_top_users, x5_approx_distinct_rollup:
     // outputs depend on engine-internal hashing / plane seeds / quantizer /
     // sketch state — no SQL oracle; covered by DedupSpec / SimilaritySpec /

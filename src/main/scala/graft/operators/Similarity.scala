@@ -252,6 +252,64 @@ object Similarity {
     }
   }
 
+  /** S9 — the composed production ANN stack: IVF partition pruning (s6's
+    * persisted cluster layout — only probed `cl=` directories are read) ×
+    * int8 scalar quantization for the coarse pass (s8's trick — the stored
+    * tinyint copy is the scan-bandwidth lever) × exact float re-rank of the
+    * shortlist. One pruned scan: the coarse scores, the shortlist cut, and
+    * the re-rank all ride the same probed-cluster read (embeddings stay in
+    * the shortlist rows, so nothing is re-fetched). Each ingredient is
+    * already proven in isolation (s6 ≡ s4; s8 ≡ s1); the spec pins the
+    * composition ≡ s6 — quantization costs nothing on top of probe search
+    * at this corpus's margins. Like s4/s6, output depends on the
+    * quantizer's cluster assignment → no SQL oracle; rows-only at the
+    * driver gate plus the equivalence spec.
+    */
+  def annIvfQuantized(
+      spark: SparkSession,
+      dir: String,
+      queryId: Long = 0L,
+      k: Int = 10,
+      nClusters: Int = 16,
+      nProbe: Int = 4,
+      shortlist: Int = QuantShortlist
+  ): DataFrame = {
+    VectorFunctions.register(spark)
+    val layout    = ivfLayoutCache(spark, dir, nClusters)
+    val centroids = spark.read
+      .parquet(s"$layout/centroids.parquet")
+      .orderBy("cl")
+      .collect()
+      .map(_.getSeq[Float](1))
+    val qv     = Tables.embeddings(spark, dir).where(col("vec_id") === queryId).select("embedding").head().getSeq[Float](0)
+    val probes = probeIds(qv, centroids, nProbe)
+    val q8 = expr(
+      "transform(embedding, x -> cast(round(x * 127.0 / " +
+        "greatest(cast(1e-30 as float), array_max(transform(embedding, y -> abs(y))))) as tinyint))"
+    )
+    val qv8 = {
+      val maxAbs = math.max(qv.map(v => math.abs(v.toDouble)).max, 1e-30)
+      qv.map(v => math.round(v * 127.0 / maxAbs).toInt)
+    }
+    val coarse = spark.read
+      .parquet(s"$layout/vectors.parquet")
+      .where(col("cl").isin(probes: _*) && col("vec_id") =!= queryId)
+      .withColumn("q8", q8)
+      .select(
+        col("vec_id"),
+        col("embedding"),
+        expr(s"cosine_sim(cast(q8 as array<float>), ${qv8.mkString("array(", "F, ", "F)")})").as("acos")
+      )
+    rankTopK(
+      coarse
+        .where(col("acos").isNotNull)
+        .orderBy(col("acos").desc, col("vec_id"))
+        .limit(shortlist)
+        .select(col("vec_id"), call_function("cosine_sim", col("embedding"), typedLit(qv)).as("cos")),
+      k
+    )
+  }
+
   /** S5 — range search: ALL vectors within cosine ≥ `minCos` of the query
     * (the radius-query twin of S1's top-k). Scan → broadcast query → scored
     * filter; no shuffle at all — the filter prunes before anything wide, so

@@ -106,6 +106,12 @@ class SimilaritySpec extends SparkSpec {
     assert(quant == exact)
   }
 
+  test("s9 composed stack (IVF pruning x int8 coarse x exact rerank) == s6 probe search") {
+    val s6 = Similarity.annIvfPartitioned(spark, sf0001).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val s9 = Similarity.annIvfQuantized(spark, sf0001).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(s9 == s6)
+  }
+
   test("s8 shortlist containment has headroom: exact top-10 sits inside the int8 top-20") {
     // tighter-than-production shortlist still reproduces s1 → the default 50
     // is not sitting on the edge
