@@ -34,38 +34,57 @@ object Funnel {
     * `epoch_us` in the oracle), so window-boundary comparisons are exact.
     *
     * Plan shape at 100 TB — ONE events scan, ONE user_id shuffle: the
-    * funnel-relevant event types filter at the scan (pushed), each user's
-    * stage anchors resolve inside a single `groupBy(user_id)` — `min` of
-    * the signup times plus the collected click/purchase time lists — and
-    * the later anchors derive narrowly per user via `filter`+`array_min`
-    * over those lists. The chained-join formulation
-    * ([[funnelStagesChained]]) recomputes the signup subtree once per
-    * downstream stage (3 scans, 3 shuffles); this form trades that for
-    * per-user click/purchase timestamp arrays in the aggregation state —
-    * bounded by a user's own activity (a pathological bot user is the skew
-    * case, the same one sessionization salts around), while the shuffle
-    * payload stays 8 bytes per relevant event.
+    * funnel-relevant event types filter at the scan (pushed), then three
+    * chained per-user window minimums over the SAME partitioning resolve
+    * the stage anchors (`s_t` = first signup; `c_t` = first click inside
+    * `s_t`'s window, a predicate on the previous window's result; `p_t`
+    * likewise), and a per-user collapse + global count ride the exchange
+    * already in place. No per-user state is ever collected into a single
+    * row: an earlier formulation aggregated each user's click/purchase
+    * timestamps with `collect_list`, whose buffer is one unspillable array
+    * per user — a bot user with 10⁸ events is a guaranteed executor OOM at
+    * real scale. `WindowExec` holds the same rows in a spillable buffer
+    * (`ExternalAppendOnlyUnsafeRowArray` overflows to disk past its
+    * in-memory threshold), so the pathological user degrades to disk
+    * throughput instead of killing the job, and the result stays EXACT —
+    * the capped-array alternative (keep N earliest clicks) silently breaks
+    * first-touch attribution for any user whose junk pre-signup clicks
+    * crowd out the cap. The chained-join formulation
+    * ([[funnelStagesChained]]) keeps O(1) aggregation state at the cost of
+    * 3 scans + 3 shuffles; the spec pins both forms equal, including on a
+    * planted pathological bot user.
     */
   def funnelStages(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ev   = Tables.eventsRaw(spark, dir)
     val base = ev
       .where(col("event_type").isInCollection(StageTypes))
       .select(col("user_id"), col("event_type"), Tables.tsMicrosCol(ev).as("tus"))
+    val w = Window.partitionBy("user_id")
     base
-      .groupBy("user_id")
-      .agg(
-        min(when(col("event_type") === "signup", col("tus"))).as("s_t"),
-        collect_list(when(col("event_type") === "click", col("tus"))).as("clicks"),
-        collect_list(when(col("event_type") === "purchase", col("tus"))).as("purchases")
-      )
+      .withColumn("s_t", min(when(col("event_type") === "signup", col("tus"))).over(w))
       .withColumn(
         "c_t",
-        expr(s"array_min(filter(clicks, t -> t > s_t AND t <= s_t + $WindowMicros))")
+        min(
+          when(
+            col("event_type") === "click" && col("tus") > col("s_t") && col("tus") <= col("s_t") + WindowMicros,
+            col("tus")
+          )
+        ).over(w)
       )
       .withColumn(
         "p_t",
-        expr(s"array_min(filter(purchases, t -> t > c_t AND t <= c_t + $WindowMicros))")
+        min(
+          when(
+            col("event_type") === "purchase" && col("tus") > col("c_t") && col("tus") <= col("c_t") + WindowMicros,
+            col("tus")
+          )
+        ).over(w)
       )
+      // anchors are constant per user; collapse to one row per user on the
+      // partitioning the windows already established (no new exchange)
+      .groupBy("user_id")
+      .agg(max("s_t").as("s_t"), max("c_t").as("c_t"), max("p_t").as("p_t"))
       .agg(
         count(col("s_t")).as("n_signup"),
         count(col("c_t")).as("n_signup_click"),

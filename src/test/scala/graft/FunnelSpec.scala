@@ -60,4 +60,31 @@ class FunnelSpec extends SparkSpec {
     val b = Funnel.funnelStagesChained(spark, sf0001).collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("w3: planted pathological bot user — pre-signup click flood cannot evict the qualifying click") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel_bot").toString
+    // u1 is a bot: 5000 junk clicks BEFORE its first signup, then one
+    // qualifying click and purchase. Any capped earliest-N click buffer
+    // (N ≤ 5000) would have kept only pre-signup junk and reported a dead
+    // funnel; the exact spill-capable form must still see 1/1/1. u2 is a
+    // control completing normally.
+    val junk = (0 until 5000).map(i => (100L + i, 1L, "click", ts("2024-01-01 00:00:00")))
+    val rows = junk ++ Seq(
+      (10000L, 1L, "signup", ts("2024-01-02 00:00:00")),
+      (10001L, 1L, "click", ts("2024-01-02 01:00:00")),
+      (10002L, 1L, "purchase", ts("2024-01-02 02:00:00")),
+      (10003L, 2L, "signup", ts("2024-01-01 00:00:00")),
+      (10004L, 2L, "click", ts("2024-01-01 01:00:00")),
+      (10005L, 2L, "purchase", ts("2024-01-01 02:00:00"))
+    )
+    rows
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val Array(row) = Funnel.funnelStages(spark, dir).collect()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((2L, 2L, 2L)))
+    // and the bounded-state chained twin agrees on the pathological corpus
+    val Array(chained) = Funnel.funnelStagesChained(spark, dir).collect()
+    assert(row.toSeq == chained.toSeq)
+  }
 }

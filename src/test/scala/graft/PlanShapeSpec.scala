@@ -151,11 +151,17 @@ class PlanShapeSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
   }
 
-  test("w3 funnel single-pass form: one events scan, event-type filter pushed") {
+  test("w3 funnel single-pass form: one events scan, event-type filter pushed, one wide exchange") {
     val plan  = executedPlan(graft.operators.Funnel.funnelStages(spark, sf0001))
     val scans = "Scan parquet".r.findAllIn(plan).size
     assert(scans == 1, s"expected 1 scan, got $scans:\n$plan")
     assert(plan.contains("In(event_type") || plan.contains("event_type IN"), plan)
+    // the three window passes + per-user collapse all reuse ONE user_id
+    // hash exchange; the only other exchange is the single-row final count
+    val userExchanges = "hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(userExchanges == 1, s"expected 1 user_id exchange, got $userExchanges:\n$plan")
+    // and no unspillable per-user array aggregation anywhere in the plan
+    assert(!plan.contains("collect_list"), plan)
   }
 
   test("w6 auxiliary scans are column-pruned to one column each (bounds=ts, types=event_type)") {
