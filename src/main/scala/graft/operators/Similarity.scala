@@ -222,9 +222,21 @@ object Similarity {
   /** Bump whenever the quantizer or layout scheme changes — versioned into
     * the cache key alongside a content fingerprint of the source table
     * (see [[graft.sources.LayoutCache]]), so neither regenerated data nor a
-    * changed scheme can silently hit a stale layout.
+    * changed scheme can silently hit a stale layout. v2 added the stored
+    * `q8` int8 column beside each vector (s9's coarse-pass scan target).
     */
-  private[operators] val IvfSchemeVersion = 1
+  private[operators] val IvfSchemeVersion = 2
+
+  /** Per-vector int8 scalar quantization `q[i] = round(127·x[i]/max|x|)` —
+    * the per-vector scale cancels inside cosine, so approximate ordering
+    * survives. ONE definition shared by the stored layouts ([[sq8LayoutCache]],
+    * [[ivfLayoutCache]]): a layout written by one scheme and probed by
+    * another would silently degrade recall.
+    */
+  private[operators] val q8Col: Column = expr(
+    "transform(embedding, x -> cast(round(x * 127.0 / " +
+      "greatest(cast(1e-30 as float), array_max(transform(embedding, y -> abs(y))))) as tinyint))"
+  )
 
   private[operators] def ivfLayoutCache(spark: SparkSession, dir: String, nClusters: Int): String = {
     import spark.implicits._
@@ -237,6 +249,7 @@ object Similarity {
       val e       = Tables.embeddings(spark, dir)
       val refined = refinedCentroids(e, nClusters)
       e.withColumn("cl", assignCol(refined))
+        .withColumn("q8", q8Col)
         .write
         .mode("overwrite")
         .partitionBy("cl")
@@ -252,14 +265,46 @@ object Similarity {
     }
   }
 
+  /** Bump with any change to the stored scalar-quantized layout. */
+  private[operators] val Sq8SchemeVersion = 1
+
+  /** Persisted `(vec_id, q8)` scalar-quantization layout for [[annQuantized]]
+    * — the int8 copy written ONCE at ingest (content-fingerprinted like
+    * every layout cache), so the coarse pass physically reads 1 byte per
+    * component instead of recomputing int8 from the 4-byte floats it was
+    * supposed to avoid scanning. This is what makes s8's "4× less scan
+    * bandwidth" a property of the plan rather than of the docstring;
+    * PlanShapeSpec asserts the coarse scan's ReadSchema carries only
+    * (vec_id, q8).
+    */
+  private[operators] def sq8LayoutCache(spark: SparkSession, dir: String): String = {
+    val key = graft.sources.LayoutCache.contentKey(
+      spark,
+      s"$dir/embeddings.parquet",
+      s"sq8-v$Sq8SchemeVersion"
+    )
+    graft.sources.LayoutCache.getOrBuild(spark, "graft_sq8", key) { out =>
+      Tables
+        .embeddings(spark, dir)
+        .select(col("vec_id"), q8Col.as("q8"))
+        .write
+        .mode("overwrite")
+        .parquet(s"$out/quant.parquet")
+    }
+  }
+
   /** S9 — the composed production ANN stack: IVF partition pruning (s6's
     * persisted cluster layout — only probed `cl=` directories are read) ×
-    * int8 scalar quantization for the coarse pass (s8's trick — the stored
-    * tinyint copy is the scan-bandwidth lever) × exact float re-rank of the
-    * shortlist. One pruned scan: the coarse scores, the shortlist cut, and
-    * the re-rank all ride the same probed-cluster read (embeddings stay in
-    * the shortlist rows, so nothing is re-fetched). Each ingredient is
-    * already proven in isolation (s6 ≡ s4; s8 ≡ s1); the spec pins the
+    * stored int8 scalar quantization for the coarse pass (the layout's
+    * `q8` column, written at ingest by [[ivfLayoutCache]]) × exact float
+    * re-rank of the shortlist. The coarse pass reads ONLY (vec_id, q8)
+    * from the probed partitions — 1 byte per component off disk instead of
+    * 4 — and the float embeddings are then fetched for just `shortlist`
+    * rows by a broadcast probe against the same pruned partitions
+    * (per-cluster row groups + vec_id min/max stats bound that second read
+    * to the shortlist's row groups). PlanShapeSpec pins both scans'
+    * ReadSchema and the PartitionFilters. Each ingredient is already
+    * proven in isolation (s6 ≡ s4; s8 ≡ s1); the spec pins the
     * composition ≡ s6 — quantization costs nothing on top of probe search
     * at this corpus's margins. Like s4/s6, output depends on the
     * quantizer's cluster assignment → no SQL oracle; rows-only at the
@@ -283,28 +328,31 @@ object Similarity {
       .map(_.getSeq[Float](1))
     val qv     = Tables.embeddings(spark, dir).where(col("vec_id") === queryId).select("embedding").head().getSeq[Float](0)
     val probes = probeIds(qv, centroids, nProbe)
-    val q8 = expr(
-      "transform(embedding, x -> cast(round(x * 127.0 / " +
-        "greatest(cast(1e-30 as float), array_max(transform(embedding, y -> abs(y))))) as tinyint))"
-    )
-    val qv8 = {
-      val maxAbs = math.max(qv.map(v => math.abs(v.toDouble)).max, 1e-30)
-      qv.map(v => math.round(v * 127.0 / maxAbs).toInt)
-    }
-    val coarse = spark.read
+    // the query's own stored signature — quantized by the SAME scheme that
+    // wrote the layout, so coarse scores are self-consistent
+    val qv8 = spark.read
+      .parquet(s"$layout/vectors.parquet")
+      .where(col("vec_id") === queryId)
+      .select("q8")
+      .head()
+      .getSeq[Byte](0)
+      .map(_.toFloat)
+    val short = spark.read
       .parquet(s"$layout/vectors.parquet")
       .where(col("cl").isin(probes: _*) && col("vec_id") =!= queryId)
-      .withColumn("q8", q8)
       .select(
         col("vec_id"),
-        col("embedding"),
-        expr(s"cosine_sim(cast(q8 as array<float>), ${qv8.mkString("array(", "F, ", "F)")})").as("acos")
+        call_function("cosine_sim", expr("cast(q8 as array<float>)"), typedLit(qv8)).as("acos")
       )
+      .where(col("acos").isNotNull)
+      .orderBy(col("acos").desc, col("vec_id"))
+      .limit(shortlist)
+      .select("vec_id")
     rankTopK(
-      coarse
-        .where(col("acos").isNotNull)
-        .orderBy(col("acos").desc, col("vec_id"))
-        .limit(shortlist)
+      spark.read
+        .parquet(s"$layout/vectors.parquet")
+        .where(col("cl").isin(probes: _*))
+        .join(broadcast(short), "vec_id")
         .select(col("vec_id"), call_function("cosine_sim", col("embedding"), typedLit(qv)).as("cos")),
       k
     )
@@ -383,13 +431,13 @@ object Similarity {
     * to [[annBruteForce]] and shares its oracle — an approximate index whose
     * result is still exact is the best kind.
     *
-    * Scale shape: at 100 TB the tinyint copy is a STORED column (4× less
-    * scan bandwidth than float32 — the same reason FAISS SQ8 exists), the
-    * coarse pass reads only (vec_id, q8) with `TakeOrderedAndProject`
-    * doing a distributed per-partition shortlist, and the float embeddings
-    * are touched for just `shortlist` rows via a broadcast semi-join probe.
-    * Here the quantized column is computed inline on the test corpus; the
-    * plan downstream of it is the production plan.
+    * Scale shape: the tinyint copy is a STORED column ([[sq8LayoutCache]],
+    * written once at ingest — 4× less scan bandwidth than float32, the
+    * same reason FAISS SQ8 exists), the coarse pass reads ONLY
+    * (vec_id, q8) — PlanShapeSpec pins the scan's ReadSchema — with
+    * `TakeOrderedAndProject` doing a distributed per-partition shortlist,
+    * and the float embeddings are touched for just `shortlist` rows via a
+    * broadcast semi-join probe.
     */
   def annQuantized(
       spark: SparkSession,
@@ -399,13 +447,10 @@ object Similarity {
       shortlist: Int = QuantShortlist
   ): DataFrame = {
     VectorFunctions.register(spark)
-    val e = Tables.embeddings(spark, dir)
-    val q8Col = expr(
-      "transform(embedding, x -> cast(round(x * 127.0 / " +
-        "greatest(cast(1e-30 as float), array_max(transform(embedding, y -> abs(y))))) as tinyint))"
-    )
-    val quant = e.select(col("vec_id"), q8Col.as("q8"))
-    val qv8   = quant.where(col("vec_id") === queryId).select(col("q8").as("qq8"))
+    val e      = Tables.embeddings(spark, dir)
+    val layout = sq8LayoutCache(spark, dir)
+    val quant  = spark.read.parquet(s"$layout/quant.parquet")
+    val qv8    = quant.where(col("vec_id") === queryId).select(col("q8").as("qq8"))
     val short = quant
       .where(col("vec_id") =!= queryId)
       .crossJoin(broadcast(qv8))

@@ -164,6 +164,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("collect_list"), plan)
   }
 
+  test("s8/s9 coarse pass physically reads only (vec_id, q8) from the stored int8 layout") {
+    // the 4×-bandwidth claim is a plan property: the coarse scan's
+    // ReadSchema must carry the tinyint copy and NOT the float embeddings
+    val s8plan = executedPlan(Similarity.annQuantized(spark, sf0001))
+    assert(s8plan.contains("ReadSchema: struct<vec_id:bigint,q8:array<tinyint>>"), s8plan)
+    val s9plan = executedPlan(Similarity.annIvfQuantized(spark, sf0001))
+    assert(s9plan.contains("ReadSchema: struct<vec_id:bigint,q8:array<tinyint>>"), s9plan)
+    // the float fetch is a separate scan bounded to the shortlist probe,
+    // and both s9 scans stay partition-pruned to the probed clusters
+    assert(s9plan.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"), s9plan)
+    assert("PartitionFilters: \\[[^\\]]*cl".r.findFirstIn(s9plan).isDefined, s9plan)
+  }
+
   test("w6 auxiliary scans are column-pruned to one column each (bounds=ts, types=event_type)") {
     // Catalyst rewrites the counts-derived bounds/types branches into direct
     // scans (RemoveRedundantAggregates) — the guarantee that matters is that
