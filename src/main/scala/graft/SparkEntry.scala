@@ -100,6 +100,7 @@ object SparkEntry {
     "d15_top_salient_term"  -> (TextAnalysis.topSalientTerm _),
     "f1_fuzzy_token_pairs"  -> ((s: SparkSession, d: String) => TextAnalysis.fuzzyTokenPairs(s, d)),
     "n7_shared_spans"       -> ((s: SparkSession, d: String) => Dedup.sharedSpans(s, d)),
+    "n8_redact_shared_spans" -> ((s: SparkSession, d: String) => Dedup.redactSharedSpans(s, d)),
     "d16_span_share"        -> ((s: SparkSession, d: String) => Dedup.spanShareStats(s, d)),
     "s7_ann_with_metadata"  -> ((s: SparkSession, d: String) => Similarity.annWithMetadata(s, d)),
     // multimodal metadata surface
@@ -405,6 +406,24 @@ object SparkEntry {
       (spanCtePrefix +
         "SELECT span_fp, COUNT(DISTINCT doc_id)::BIGINT AS n_docs FROM sp " +
         "GROUP BY span_fp HAVING COUNT(DISTINCT doc_id) >= 2 ORDER BY span_fp"),
+    // n8: positioned spans (NOT per-doc-distinct — masking needs every
+    // start), shared = fps in >= 2 distinct docs, coverage = start..start+7,
+    // redacted text rebuilt token-wise and fingerprinted. Reconstruction is
+    // concat_ws/string_agg over the SPLIT tokens on both engines, so the
+    // whitespace-normalized roundtrip matches even for unmasked docs.
+    "n8_redact_shared_spans" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
+        "sp AS (SELECT doc_id, s, md5(array_to_string(w[s : s + " + (Dedup.SpanTokens - 1) + "], ' ')) AS span_fp " +
+        "FROM toks, UNNEST(range(1, len(w) - " + (Dedup.SpanTokens - 2) + ")) t(s)), " +
+        "sh AS (SELECT span_fp FROM (SELECT span_fp, COUNT(DISTINCT doc_id) nd FROM sp GROUP BY span_fp) q WHERE nd >= 2), " +
+        "st AS (SELECT DISTINCT doc_id, s FROM sp JOIN sh USING (span_fp)), " +
+        "cov AS (SELECT DISTINCT doc_id, s + j AS pos FROM st, UNNEST(range(0, " + Dedup.SpanTokens + ")) t(j)), " +
+        "tok AS (SELECT doc_id, i, w[i] AS t FROM toks, UNNEST(range(1, len(w) + 1)) g(i)), " +
+        "m AS (SELECT tok.doc_id, tok.i, CASE WHEN cov.pos IS NOT NULL THEN '[DUP]' ELSE tok.t END AS t, " +
+        "CASE WHEN cov.pos IS NOT NULL THEN 1 ELSE 0 END AS f " +
+        "FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.i = cov.pos) " +
+        "SELECT doc_id, SUM(f)::BIGINT AS n_masked, md5(string_agg(t, ' ' ORDER BY i)) AS fp_redacted " +
+        "FROM m GROUP BY doc_id ORDER BY doc_id"),
     "d16_span_share" ->
       (spanCtePrefix.trim + ", " +
         "d AS (SELECT doc_id, span_fp, COUNT(*) OVER (PARTITION BY span_fp) AS nd FROM sp) " +

@@ -138,6 +138,66 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** N8 — span-level REDACTION, the downstream consumer [[sharedSpans]]'s
+    * docstring promises: every token covered by a span that appears
+    * verbatim in ≥ 2 distinct documents is masked to `[DUP]`, and each
+    * document reports how much of it was boilerplate plus the fingerprint
+    * of its redacted text (md5, like d13's PII contract — the driver hashes
+    * fingerprints, not megabytes of text). This completes the
+    * suffix-array-substitute dedup story end to end: detect shared spans
+    * (n7), measure their density (d16), and finally REMOVE them from the
+    * training text without dropping whole documents.
+    *
+    * Plan shape at 100 TB: positioned spans (doc_id, start, 16-byte fp)
+    * probe the n7 shared-span table by fp equi-join — exchange volume is
+    * span count × ~24 bytes, never text. Matched starts collapse to one
+    * per-document start array whose size is bounded by the DOCUMENT's own
+    * length (documents are size-bounded units, so unlike a per-user event
+    * history this state cannot grow unboundedly — the w3 lesson applied,
+    * not repeated); coverage flags and the masked rebuild are then narrow
+    * per-row array ops inside codegen. Docs shorter than the span width
+    * carry no spans and pass through with n_masked = 0 and their original
+    * (whitespace-normalized) fingerprint, exactly like the oracle.
+    */
+  def redactSharedSpans(spark: SparkSession, dir: String, span: Int = SpanTokens): DataFrame = {
+    val docs = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // positioned spans (start is 1-based, mirroring DuckDB list slicing)
+    val sp = docs
+      .where(size(col("toks")) >= span)
+      .select(
+        col("doc_id"),
+        explode(
+          expr(
+            s"transform(sequence(1, size(toks) - ${span - 1}), " +
+              s"s -> struct(s AS s, md5(concat_ws(' ', slice(toks, s, $span))) AS span_fp))"
+          )
+        ).as("p")
+      )
+      .select(col("doc_id"), col("p.s").as("s"), col("p.span_fp").as("span_fp"))
+    val starts = sp
+      .join(sharedSpans(spark, dir, span).select("span_fp"), "span_fp")
+      .groupBy("doc_id")
+      .agg(collect_set(col("s")).as("ss"))
+    docs
+      .join(starts, Seq("doc_id"), "left")
+      .withColumn(
+        "flags",
+        expr(
+          s"transform(sequence(1, size(toks)), " +
+            s"i -> coalesce(exists(ss, st -> i >= st AND i <= st + ${span - 1}), false))"
+        )
+      )
+      .select(
+        col("doc_id"),
+        expr("size(filter(flags, f -> f))").cast("long").as("n_masked"),
+        md5(expr("concat_ws(' ', zip_with(toks, flags, (t, f) -> CASE WHEN f THEN '[DUP]' ELSE t END))"))
+          .as("fp_redacted")
+      )
+      .orderBy("doc_id")
+  }
+
   /** Shared core: given per-doc shingle-HASH sets (doc_id, ss: array<long>,
     * c: count) and a candidate-pair frame (doc_a, doc_b), compute exact
     * intersection/union sizes and keep pairs with Jaccard ≥ 4/5 (integer
@@ -384,11 +444,14 @@ object Dedup {
     * actually publishes ("these 7 documents are one group, keep the
     * representative"), where the raw pair list under-reports transitive
     * groups (a~b, b~c with a,c dissimilar is ONE cluster of 3). Pairs come
-    * from the MinHash rung, components from [[clustersFromPairs]]. Oracle:
-    * DuckDB `WITH RECURSIVE` reachability over the exact-Jaccard pair set.
+    * from the MinHash rung, components from [[clustersFromPairsStar]] (the
+    * O(log n)-round star-contraction engine; [[clustersFromPairs]] is the
+    * diameter-bound label-prop twin kept for the spec differential).
+    * Oracle: DuckDB `WITH RECURSIVE` reachability over the exact-Jaccard
+    * pair set.
     */
   def dupClusters(spark: SparkSession, dir: String): DataFrame =
-    clustersFromPairs(minhashLshPairs(spark, dir))
+    clustersFromPairsStar(minhashLshPairs(spark, dir))
 
   /** Min-label propagation to fixpoint over an undirected pair graph:
     * every node starts as its own representative; each round takes the min
@@ -402,9 +465,9 @@ object Dedup {
     * doesn't grow with iterations (at cluster scale this would be a
     * reliable checkpoint to the DFS); the loop's only driver-side value is
     * the converged-yet count. A pathological million-hop chain would hit
-    * `maxIter` — pointer-jumping (large-star/small-star) halves diameter
-    * per round and is the asymptotic upgrade if a real corpus ever needed
-    * it.
+    * `maxIter` — [[clustersFromPairsStar]] is the large-star/small-star
+    * upgrade that contracts such chains in O(log n) rounds, and is what n6
+    * registers; this form stays as its independent spec differential.
     */
   private[graft] def clustersFromPairs(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val es = pairs.select(col("doc_a").as("s"), col("doc_b").as("d"))
@@ -436,6 +499,72 @@ object Dedup {
       )
     labels
       .select(col("rep").as("cluster_id"), col("id").as("doc_id"))
+      .orderBy("cluster_id", "doc_id")
+  }
+
+  /** Large-star/small-star connected components (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") — the same
+    * `(cluster_id = component-min doc_id, doc_id)` contract as
+    * [[clustersFromPairs]], with rounds bounded by O(log n) instead of the
+    * component DIAMETER. Min-label propagation moves a label one hop per
+    * round, so a chain of serial near-copies (each generation copied from
+    * the last — a real shape in scraped corpora) needs diameter rounds and
+    * trips the maxIter guard; the star operations rewire every node
+    * directly to a local minimum each round, contracting chains
+    * exponentially. Each round is two phases over the EDGE set (large-star:
+    * hang each node's larger neighbors off its local min; small-star: hang
+    * the smaller ones), each one join + one groupBy on canonical
+    * (hi → lo) edges; `localCheckpoint` truncates lineage per round as in
+    * the label-prop rung, and the fixpoint test (edge set unchanged) is an
+    * exact symmetric difference, not a hash. This is the registered n6
+    * engine; the label-prop twin stays as the spec differential — both
+    * produce identical output on every graph, which DedupSpec pins on
+    * planted chains, triangles, and seeded random graphs.
+    */
+  private[graft] def clustersFromPairsStar(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    def sym(e: DataFrame): DataFrame =
+      e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    // m(u) = min(Γ(u) ∪ {u}) per node, from a symmetric edge frame
+    def mins(s: DataFrame): DataFrame =
+      s.groupBy("u").agg(min("v").as("mv")).select(col("u"), least(col("u"), col("mv")).as("m"))
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      s.join(mins(s), "u")
+        .where(col("v") > col("u") && col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      val m = mins(s)
+      s.join(m, "u")
+        .where(col("v") < col("u") && col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(m.where(col("u") =!= col("m")).select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"), least(col("doc_a"), col("doc_b")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var iter      = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      converged = next.except(edges).unionByName(edges.except(next)).isEmpty
+      edges = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"star contraction did not converge in $maxIter rounds: " +
+          "edge set still changing — raise maxIter (rounds are O(log n), so this indicates " +
+          "a pathological graph or a bug, not a deep chain)"
+      )
+    val s = sym(edges)
+    mins(s)
+      .select(col("m").as("cluster_id"), col("u").as("doc_id"))
       .orderBy("cluster_id", "doc_id")
   }
 

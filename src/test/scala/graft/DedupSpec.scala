@@ -63,6 +63,42 @@ class DedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("n6 star contraction == label propagation on chains, triangles, and seeded random graphs") {
+    import spark.implicits._
+    val fixed = Seq(
+      (21L, 22L), (22L, 23L), (23L, 24L), (20L, 21L), // chain 20-21-22-23-24
+      (40L, 41L), (41L, 42L), (40L, 42L)              // triangle
+    )
+    val rnd = new scala.util.Random(13)
+    val randomGraphs = (0 until 3).map { g =>
+      // ~60 edges over 40 nodes: mixes multi-node components and stragglers
+      (0 until 60).map { _ =>
+        val a = rnd.nextInt(40).toLong + 100L * g
+        val b = rnd.nextInt(40).toLong + 100L * g
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2)
+    }
+    for (pairs <- randomGraphs :+ fixed) {
+      val df   = pairs.toDF("doc_a", "doc_b")
+      val star = Dedup.clustersFromPairsStar(df).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val prop = Dedup.clustersFromPairs(df).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(star == prop, s"star != label-prop on $pairs")
+    }
+  }
+
+  test("n6 star contraction converges on a 100-hop chain where label propagation cannot") {
+    import spark.implicits._
+    // serial near-copies: each generation pairs only with the previous one.
+    // Label propagation moves the min label ONE hop per round → needs 100
+    // rounds and must throw at the 25-round guard; star contraction rewires
+    // exponentially and must finish well inside it.
+    val chain = (0L until 100L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val ex    = intercept[IllegalStateException](Dedup.clustersFromPairs(chain).collect())
+    assert(ex.getMessage.contains("did not converge"))
+    val star = Dedup.clustersFromPairsStar(chain).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(star.toSet == (0L to 100L).map(i => (0L, i)).toSet)
+  }
+
   test("n6 end-to-end: a~b~c chain with a,c dissimilar is ONE cluster, rep = min id") {
     import spark.implicits._
     val words = (0 until 40).map(i => s"w$i")
@@ -210,5 +246,36 @@ class DedupSpec extends SparkSpec {
     assert(stats(1L) == ((5L, 2L, 0.4)))
     assert(stats(2L) == ((5L, 2L, 0.4)))
     assert(stats(3L) == ((8L, 0L, 0.0)))
+  }
+
+  test("n8 redaction masks exactly the union of shared-span windows; clean and short docs pass through") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_redact").toString
+    val run = (1 to 9).map(i => s"c$i").mkString(" ") // 9-token verbatim overlap
+    val d3  = ((1 to 8).map(i => s"x$i") ++ (1 to 8).map(i => s"x$i")).mkString(" ")
+    Seq(
+      (1L, s"p1 p2 $run s1", "en", "t", 1L),
+      (2L, s"q1 $run r1 r2", "en", "t", 1L),
+      // in-doc self-repeat only → never shared → untouched
+      (3L, d3, "en", "t", 1L),
+      // shorter than the span width → no spans at all → untouched
+      (4L, "short doc only", "en", "t", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val dup = "[DUP]"
+    val got = Dedup
+      .redactSharedSpans(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    // doc 1: shared 8-windows start at 3 and 4 → coverage 3..11 = the 9 run
+    // tokens; the flanks p1 p2 s1 survive
+    assert(got(1L) == ((9L, md5hex((Seq("p1", "p2") ++ Seq.fill(9)(dup) :+ "s1").mkString(" ")))))
+    // doc 2: starts 2,3 → coverage 2..10
+    assert(got(2L) == ((9L, md5hex((Seq("q1") ++ Seq.fill(9)(dup) ++ Seq("r1", "r2")).mkString(" ")))))
+    assert(got(3L) == ((0L, md5hex(d3))))
+    assert(got(4L) == ((0L, md5hex("short doc only"))))
   }
 }
