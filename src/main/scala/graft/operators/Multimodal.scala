@@ -8,15 +8,17 @@ import org.apache.spark.sql.functions._
   * metadata, decoded/featurized per partition.
   *
   * Decoding dispatches on the format tag: netpbm images (PGM/PPM) decode
-  * FOR REAL via the pure-JVM [[decodePnm]] parser, and uncompressed 24-bit
-  * BMP via [[decodeBmp]]; formats needing codecs
-  * this container lacks (JPEG, audio, video) fall to [[decodeStub]], a
-  * clearly-marked deterministic fake. The Spark-side plumbing is real
-  * either way: binary column + metadata struct schema, partition-batched
-  * decoding via typed `mapPartitions` (the Scala analogue of `mapInPandas`
-  * batch decoding: one iterator per partition so a codec instance
-  * amortizes per-partition, not per-row), and a fixed-width feature-vector
-  * output schema ready for the ANN operators.
+  * FOR REAL via the pure-JVM [[decodePnm]] parser, uncompressed 24-bit
+  * BMP via [[decodeBmp]], and compressed formats the JDK ships codecs for
+  * (JPEG, PNG, GIF) via [[decodeImageIo]] (`javax.imageio` — built into
+  * the JRE, no native deps, works offline). Only formats with no JDK
+  * codec at all (audio, video) fall to [[decodeStub]], a clearly-marked
+  * deterministic fake. The Spark-side plumbing is real either way: binary
+  * column + metadata struct schema, partition-batched decoding via typed
+  * `mapPartitions` (the Scala analogue of `mapInPandas` batch decoding:
+  * one iterator per partition so a codec instance amortizes
+  * per-partition, not per-row), and a fixed-width feature-vector output
+  * schema ready for the ANN operators.
   */
 object Multimodal {
 
@@ -54,10 +56,11 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** STUB decoder — deterministic fake standing in for codecs this
-    * container lacks (JPEG, audio, video). Netpbm formats decode for real
-    * via [[decodePnm]]; everything around this call (batching, schema,
-    * partitioning) is production-shaped either way.
+  /** STUB decoder — deterministic fake standing in for codecs the JDK
+    * lacks entirely (audio, video). Every image family decodes for real
+    * ([[decodePnm]]/[[decodeBmp]]/[[decodeImageIo]]); everything around
+    * this call (batching, schema, partitioning) is production-shaped
+    * either way.
     */
   private[operators] def decodeStub(row: MediaRow, dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
@@ -163,6 +166,52 @@ object Multimodal {
     Some(DecodedImage(w, h, out))
   }
 
+  /** Pixel-count ceiling for [[decodeImageIo]] — 16M pixels (a 4096×4096
+    * frame; the bulk-RGB read below is a 64 MB int array at the cap). The
+    * dimensions come from the format HEADER via the reader API *before*
+    * any raster allocation, so a decompression bomb (a 40-byte PNG
+    * declaring 65536×65536) rejects via the return-None contract instead
+    * of an executor OOM — the same hostile-header stance as
+    * [[decodePnm]]/[[decodeBmp]]'s long-space dimension checks.
+    */
+  private[graft] val MaxImagePixels: Long = 1L << 24
+
+  /** REAL decoder for the compressed image formats the JDK bundles codecs
+    * for — JPEG, PNG, GIF (plus whatever else the runtime's ImageIO
+    * service registry offers). Pure `javax.imageio`: no new dependencies,
+    * works offline. Header dimensions are validated against
+    * [[MaxImagePixels]] before the raster is decoded; unreadable,
+    * truncated, or oversized payloads return None per the shared
+    * degrade-observably contract (callers emit zero features, never a
+    * fake). Pixels normalize to [0,1] grayscale by the same per-pixel RGB
+    * average as the hand-rolled decoders.
+    */
+  private[graft] def decodeImageIo(b: Array[Byte]): Option[DecodedImage] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(b))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          if (w <= 0 || h <= 0 || w.toLong * h.toLong > MaxImagePixels) return None
+          val img  = reader.read(0)
+          val rgbs = img.getRGB(0, 0, w, h, null, 0, w)
+          val out  = new Array[Float](w * h)
+          var i = 0
+          while (i < out.length) {
+            val p = rgbs(i)
+            out(i) = ((((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3.0f) / 255.0f
+            i += 1
+          }
+          Some(DecodedImage(w, h, out))
+        } finally reader.dispose()
+      } finally if (iis != null) iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Mean-pool a pixel stream into `dim` contiguous buckets — the
     * fixed-width feature contract the ANN operators consume.
     */
@@ -180,25 +229,30 @@ object Multimodal {
     out
   }
 
-  /** Format-dispatched decode: netpbm and 24-bit BMP payloads decode for
-    * real ([[decodePnm]]/[[decodeBmp]]); anything else hits the disclosed
-    * stub. A payload DECLARED a real format but undecodable yields all-zero
-    * features — an observable degradation a quality filter can drop, never
-    * a stub-fake that would masquerade as a real decode.
+  /** Format-dispatched image parse: netpbm and 24-bit BMP via the
+    * hand-rolled parsers, JPEG/PNG/GIF via the JDK codecs; None for
+    * non-image formats (caller decides stub vs degrade).
+    */
+  private[graft] def parseImage(format: String, payload: Array[Byte]): Option[Option[DecodedImage]] =
+    format match {
+      case "image/pgm" | "image/ppm"                  => Some(decodePnm(payload))
+      case "image/bmp"                                => Some(decodeBmp(payload))
+      case "image/jpeg" | "image/jpg" | "image/png" | "image/gif" => Some(decodeImageIo(payload))
+      case _                                          => None
+    }
+
+  /** Format-dispatched decode: every image family decodes for real
+    * ([[decodePnm]]/[[decodeBmp]]/[[decodeImageIo]]); only non-image media
+    * (audio/video) hits the disclosed stub. A payload DECLARED a real
+    * format but undecodable yields all-zero features — an observable
+    * degradation a quality filter can drop, never a stub-fake that would
+    * masquerade as a real decode.
     */
   private[graft] def decode(row: MediaRow, dim: Int): Array[Float] =
-    row.format match {
-      case "image/pgm" | "image/ppm" =>
-        decodePnm(row.payload) match {
-          case Some(img) => poolFeatures(img.gray, dim)
-          case None      => new Array[Float](dim)
-        }
-      case "image/bmp" =>
-        decodeBmp(row.payload) match {
-          case Some(img) => poolFeatures(img.gray, dim)
-          case None      => new Array[Float](dim)
-        }
-      case _ => decodeStub(row, dim)
+    parseImage(row.format, row.payload) match {
+      case Some(Some(img)) => poolFeatures(img.gray, dim)
+      case Some(None)      => new Array[Float](dim)
+      case None            => decodeStub(row, dim)
     }
 
   /** Feature extraction over the media table: per-partition iteration (codec
@@ -253,21 +307,18 @@ object Multimodal {
     out
   }
 
-  /** Resize every decodable netpbm payload to `w`×`h` and re-encode as PGM,
-    * updating the metadata columns to match; undecodable or non-netpbm rows
-    * pass through UNTOUCHED (resize is an enhancement, not a filter — a
-    * quality gate downstream decides what to drop). Same per-partition
-    * batching as [[extractFeatures]]; narrow, shuffle-free.
+  /** Resize every decodable image payload (netpbm, BMP, JPEG/PNG/GIF) to
+    * `w`×`h` and re-encode as PGM, updating the metadata columns to match;
+    * undecodable or non-image rows pass through UNTOUCHED (resize is an
+    * enhancement, not a filter — a quality gate downstream decides what to
+    * drop). Same per-partition batching as [[extractFeatures]]; narrow,
+    * shuffle-free.
     */
   def resizeMedia(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val decoded = r.format match {
-          case "image/pgm" | "image/ppm" => decodePnm(r.payload)
-          case "image/bmp"               => decodeBmp(r.payload)
-          case _                         => None
-        }
+        val decoded = parseImage(r.format, r.payload).flatten
         decoded match {
           // resized output re-encodes as PGM regardless of source format:
           // the grayscale plane is what survives the pipeline

@@ -196,6 +196,77 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  /** Encode a grayscale pixel grid with the JDK's own writers — the
+    * fixture generator for the ImageIO decode tests (PNG is lossless, so
+    * planted values round-trip exactly; JPEG is lossy by design).
+    */
+  private def encodeWith(fmt: String, w: Int, h: Int, gray: Seq[Int]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = gray(y * w + x)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"JDK has no $fmt writer")
+    bos.toByteArray
+  }
+
+  test("PNG decode via ImageIO: planted grayscale pixels come back exactly (lossless)") {
+    val gray = Seq(0, 51, 102, 153, 204, 255)
+    val png  = encodeWith("png", 3, 2, gray)
+    val img  = Multimodal.decodeImageIo(png).get
+    assert(img.width == 3 && img.height == 2)
+    assert(img.gray.toSeq == gray.map(_ / 255f))
+  }
+
+  test("JPEG decode via ImageIO: dimensions exact, pixels within lossy tolerance") {
+    val gray = Seq.tabulate(64)(i => i * 4) // smooth gradient — JPEG-friendly
+    val jpg  = encodeWith("jpg", 8, 8, gray)
+    val img  = Multimodal.decodeImageIo(jpg).get
+    assert(img.width == 8 && img.height == 8)
+    img.gray.zip(gray.map(_ / 255f)).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 0.1f, s"jpeg drifted: $a vs $b")
+    }
+  }
+
+  test("ImageIO decode: hostile payloads return None — noise, truncations, and a decompression bomb") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 200) {
+      val bs = Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte)
+      Multimodal.decodeImageIo(bs) // must never throw
+    }
+    val png = encodeWith("png", 4, 4, Seq.fill(16)(128))
+    for (n <- 0 until png.length) Multimodal.decodeImageIo(png.take(n))
+    // declared-huge header: rewrite the PNG IHDR dimensions to 65536×65536.
+    // The reader must reject from the HEADER (MaxImagePixels), before any
+    // raster allocation could OOM.
+    val bomb = png.clone()
+    val dimOff = 16 // PNG: 8-byte sig + 4 len + 4 "IHDR" → width at 16, height at 20 (big-endian)
+    for ((v, o) <- Seq((65536, dimOff), (65536, dimOff + 4)); i <- 0 until 4)
+      bomb(o + i) = ((v >> (8 * (3 - i))) & 0xff).toByte
+    assert(Multimodal.decodeImageIo(bomb).isEmpty)
+    assert(4096L * 4096L <= Multimodal.MaxImagePixels, "cap must still admit real 4k frames")
+  }
+
+  test("PNG/JPEG rows route to the ImageIO decoder; corrupt declared-png zeroes; resize re-encodes") {
+    import spark.implicits._
+    val png = encodeWith("png", 4, 1, Seq(0, 255, 255, 255))
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image/png", 4, 1, 1, png),
+      Multimodal.MediaRow(2L, "image/png", 4, 1, 1, Array[Byte](1, 2, 3)), // declared but corrupt
+      Multimodal.MediaRow(3L, "image/jpeg", 8, 8, 1, encodeWith("jpg", 8, 8, Seq.fill(64)(200)))
+    ).toDS()
+    val f = Multimodal.extractFeatures(rows, dim = 2).collect().sortBy(_.media_id)
+    assert(f(0).features.toSeq == Seq(0.5f, 1.0f))
+    assert(f(1).features.toSeq == Seq(0f, 0f), "corrupt declared-png must zero, not stub-fake")
+    assert(f(2).features.forall(v => math.abs(v - 200 / 255f) < 0.1f))
+    val resized = Multimodal.resizeMedia(rows, 2, 1).collect().sortBy(_.media_id)
+    assert(resized(0).format == "image/pgm" && resized(0).width == 2)
+    assert(Multimodal.decodePnm(resized(0).payload).get.gray.toSeq == Seq(0f, 1f))
+    assert(resized(1).payload.toSeq == Seq[Byte](1, 2, 3), "undecodable rows pass through untouched")
+    assert(resized(2).format == "image/pgm" && resized(2).width == 2 && resized(2).height == 1)
+  }
+
   test("BMP rows route to the real decoder and resize re-encodes them as PGM") {
     import spark.implicits._
     val bmp = makeBmp(2, 2, Seq(Seq((100, 100, 100), (200, 200, 200)), Seq((10, 10, 10), (50, 50, 50))))
