@@ -1,39 +1,100 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
+
 /** Reference-style console runner (mirrors `Program.cs` → `QueryOrchestration
   * .RunAsync`): execute named queries from the registry against a data
   * folder, printing each result and its cold/warm timings — the reference's
   * dual-run methodology (`QueryOrchestration.cs:425-439`) where cold is the
   * first action and warm an immediate repeat.
   *
-  * Usage: `runMain graft.Runner <sfDir> [queryName ...]`
-  * (no names → run every registered query).
+  * Like the reference, a run can be driven by a CONFIG FILE instead of
+  * arguments (`Program.cs:44-54` deserializes a YAML `RootConfiguration` of
+  * data folder + query selection, `Config/RootConfiguration.cs:10-23`): a
+  * java-properties file mapping the same three knobs onto the registry —
+  * point the engine at a folder and pick queries without recompiling.
+  *
+  * {{{
+  * # graft.conf
+  * data.dir   = /root/testdata/sf0.01
+  * queries    = q1_total_count, q9_star_join   # omit to run everything
+  * output.dir = /tmp/graft_results             # omit to print to stdout
+  * }}}
+  *
+  * Usage: `runMain graft.Runner --config <file>`
+  *    or: `runMain graft.Runner <sfDir> [queryName ...]`
+  * (no names → run every registered query). With `output.dir` set, each
+  * result lands as `<output.dir>/<query>.parquet` instead of printing —
+  * the batch-job shape, vs the console shape's take(5) preview.
   */
 object Runner {
-  def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: Runner <sfDir> [queryName ...]")
-    val sfDir = args.head
-    val names = if (args.length > 1) args.tail.toSeq else SparkEntry.queries.keys.toSeq.sorted
-    val spark = GraftSession.getOrCreate()
 
+  final case class RunConfig(dataDir: String, queries: Seq[String], outputDir: Option[String])
+
+  /** Parse a java-properties run config. `data.dir` is mandatory; a missing
+    * or empty `queries` list means the whole registry; unknown KEYS are an
+    * error (a typo like `quries=` must not silently run everything).
+    */
+  def loadConfig(path: String): RunConfig = {
+    val props = new java.util.Properties()
+    val in    = new java.io.FileInputStream(path)
+    try props.load(in)
+    finally in.close()
+    val known = Set("data.dir", "queries", "output.dir")
+    val keys  = props.stringPropertyNames()
+    keys.forEach { k =>
+      require(known.contains(k), s"unknown config key '$k' in $path (known: ${known.toSeq.sorted.mkString(", ")})")
+    }
+    val dataDir = Option(props.getProperty("data.dir")).map(_.trim).filter(_.nonEmpty)
+    require(dataDir.isDefined, s"config $path is missing data.dir")
+    val queries = Option(props.getProperty("queries")).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    RunConfig(dataDir.get, queries, Option(props.getProperty("output.dir")).map(_.trim).filter(_.nonEmpty))
+  }
+
+  /** Execute `names` (empty → whole registry) against `dataDir`; returns the
+    * count of unknown query names (0 = clean run). Testable core — `main`
+    * only adds session lifecycle and the exit code.
+    */
+  def run(spark: SparkSession, dataDir: String, names: Seq[String], outputDir: Option[String]): Int = {
+    val toRun   = if (names.nonEmpty) names else SparkEntry.queries.keys.toSeq.sorted
     var unknown = 0
-    names.foreach { name =>
+    toRun.foreach { name =>
       SparkEntry.queries.get(name) match {
         case None =>
           unknown += 1
           System.err.println(s"unknown query: $name (have: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")
         case Some(fn) =>
-          val df    = fn(spark, sfDir)
-          val t0    = System.nanoTime()
-          val rows  = df.collect()
-          val cold  = (System.nanoTime() - t0) / 1e9
-          val t1    = System.nanoTime()
-          fn(spark, sfDir).collect()
-          val warm = (System.nanoTime() - t1) / 1e9
-          println(f"== $name: ${rows.length} rows, cold $cold%.3fs, warm $warm%.3fs")
-          rows.take(5).foreach(r => println(s"   $r"))
+          outputDir match {
+            case Some(out) =>
+              val t0 = System.nanoTime()
+              fn(spark, dataDir).write.mode("overwrite").parquet(s"$out/$name.parquet")
+              println(f"== $name: written to $out/$name.parquet in ${(System.nanoTime() - t0) / 1e9}%.3fs")
+            case None =>
+              val df   = fn(spark, dataDir)
+              val t0   = System.nanoTime()
+              val rows = df.collect()
+              val cold = (System.nanoTime() - t0) / 1e9
+              val t1   = System.nanoTime()
+              fn(spark, dataDir).collect()
+              val warm = (System.nanoTime() - t1) / 1e9
+              println(f"== $name: ${rows.length} rows, cold $cold%.3fs, warm $warm%.3fs")
+              rows.take(5).foreach(r => println(s"   $r"))
+          }
       }
     }
+    unknown
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: Runner --config <file> | Runner <sfDir> [queryName ...]")
+    val cfg =
+      if (args.head == "--config") {
+        require(args.length == 2, "usage: Runner --config <file>")
+        loadConfig(args(1))
+      } else RunConfig(args.head, args.tail.toSeq, None)
+    val spark   = GraftSession.getOrCreate()
+    val unknown = run(spark, cfg.dataDir, cfg.queries, cfg.outputDir)
     spark.stop()
     if (unknown > 0) sys.exit(2)
   }

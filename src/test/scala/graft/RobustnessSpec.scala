@@ -208,6 +208,31 @@ class RobustnessSpec extends SparkSpec {
     assert(graft.streaming.EventStream.hoppingCountsBatch(spark, dir).collect().isEmpty)
   }
 
+  test("config-driven Runner: properties file selects data dir + queries, results land as parquet") {
+    val out = Files.createTempDirectory("graft_runout").toString
+    val cfg = Files.createTempDirectory("graft_cfg").resolve("run.conf")
+    java.nio.file.Files.writeString(
+      cfg,
+      s"data.dir = $sf0001\nqueries = q1_total_count, q7_distinct\noutput.dir = $out\n"
+    )
+    val c = Runner.loadConfig(cfg.toString)
+    assert(c == Runner.RunConfig(sf0001, Seq("q1_total_count", "q7_distinct"), Some(out)))
+    assert(Runner.run(spark, c.dataDir, c.queries, c.outputDir) == 0)
+    val q1 = spark.read.parquet(s"$out/q1_total_count.parquet").collect()
+    assert(q1.length == 1 && q1.head.getLong(0) == 1000L)
+    assert(spark.read.parquet(s"$out/q7_distinct.parquet").count() == 5L)
+    // config hygiene: a missing data.dir and a typo'd key are loud errors,
+    // never a silent run-everything
+    val bad = cfg.getParent.resolve("bad.conf")
+    java.nio.file.Files.writeString(bad, "queries = q1_total_count\n")
+    intercept[IllegalArgumentException](Runner.loadConfig(bad.toString))
+    val typo = cfg.getParent.resolve("typo.conf")
+    java.nio.file.Files.writeString(typo, s"data.dir = $sf0001\nquries = q1_total_count\n")
+    intercept[IllegalArgumentException](Runner.loadConfig(typo.toString))
+    // unknown query NAMES report a nonzero count instead of throwing
+    assert(Runner.run(spark, sf0001, Seq("no_such_query"), None) == 1)
+  }
+
   test("schema evolution: a widened blob in the folder reads under mergeSchema with nulls backfilled") {
     // lakehouse reality: new ingest adds a column; old blobs don't have it.
     // Default read resolves the union ONLY with mergeSchema (otherwise the
