@@ -111,7 +111,13 @@ object SparkEntry {
     // streaming façade, batch-equivalent form
     "w1_window_counts" -> (graft.streaming.EventStream.windowedCountsBatch _),
     "w2_sessionize"    -> (graft.streaming.Sessionize.sessionCountsBatch _),
-    "w4_hopping_counts" -> (graft.streaming.EventStream.hoppingCountsBatch _)
+    "w4_hopping_counts" -> (graft.streaming.EventStream.hoppingCountsBatch _),
+    // round 6: dedup materialization, retention, boundary packing, tf-idf, norm profile
+    "n9_cluster_keep"      -> ((s: SparkSession, d: String) => Dedup.clusterRepresentatives(s, d)),
+    "u1_retention_cohorts" -> ((s: SparkSession, d: String) => Retention.retentionCohorts(s, d)),
+    "p4_pack_spans"        -> (Curation.packSpans _),
+    "t2_tfidf_rank"        -> ((s: SparkSession, d: String) => TextAnalysis.tfidfRank(s, d)),
+    "s10_norm_stats"       -> ((s: SparkSession, d: String) => Similarity.normStats(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -260,19 +266,19 @@ object SparkEntry {
     // WITH RECURSIVE (UNION dedups, so the walk terminates), min reachable
     // id = cluster label — the declarative twin of min-label propagation.
     "n6_dup_clusters" ->
-      ("WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
-        "sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s " +
-        "FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)), " +
-        "cnt AS (SELECT doc_id, count(*) c FROM sh GROUP BY doc_id), " +
-        "p AS (SELECT a.doc_id da, b.doc_id db, count(*) inter FROM sh a " +
-        "JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY da, db), " +
-        "good AS (SELECT da, db FROM p JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id " +
-        "WHERE 5 * inter >= 4 * (ca.c + cb.c - inter)), " +
-        "edges AS (SELECT da AS s, db AS d FROM good UNION SELECT db, da FROM good), " +
-        "reach(id, r) AS (SELECT DISTINCT s, s FROM edges " +
-        "UNION SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id) " +
+      (dupReachCtePrefix +
         "SELECT MIN(r) AS cluster_id, id AS doc_id FROM reach GROUP BY id " +
         "ORDER BY cluster_id, doc_id"),
+    // n9 extends n6's reachability CTE: cluster-per-doc = MIN reachable id,
+    // kept docs = cluster representatives (doc_id = cluster id) + documents
+    // in no cluster at all.
+    "n9_cluster_keep" ->
+      (dupReachCtePrefix +
+        ", cl AS (SELECT id, MIN(r) AS cid FROM reach GROUP BY id), " +
+        "sz AS (SELECT cid, COUNT(*) AS c FROM cl GROUP BY cid) " +
+        "SELECT d.doc_id, COALESCE(sz.c, 1) AS cluster_size FROM documents d " +
+        "LEFT JOIN cl ON d.doc_id = cl.id LEFT JOIN sz ON cl.cid = sz.cid " +
+        "WHERE cl.id IS NULL OR cl.cid = d.doc_id ORDER BY doc_id"),
     "n4_embedding_dup_pairs" ->
       ("SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM embeddings a JOIN embeddings b " +
         "ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95 " +
@@ -565,7 +571,48 @@ object SparkEntry {
         "SELECT d.doc_id FROM documents d JOIN lang l ON d.doc_id = l.doc_id " +
         "WHERE len(string_split(d.text, ' ')) >= 20 AND d.doc_id NOT IN (SELECT db FROM dup) " +
         "ORDER BY d.doc_id")
-    }
+    },
+    // u1: all date arithmetic on CAST(ts AS DATE) of the naive timestamp —
+    // identical day boundaries in both engines.
+    "u1_retention_cohorts" ->
+      ("WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
+        "f AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id) " +
+        "SELECT f.cohort_day, CAST(date_diff('day', f.cohort_day, d.day) AS BIGINT) AS day_offset, " +
+        "COUNT(*) AS n_users FROM d JOIN f USING (user_id) " +
+        s"WHERE date_diff('day', f.cohort_day, d.day) <= ${Retention.MaxOffsetDays} " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+    // p4: integer token offsets and floor division only — bit-exact across
+    // engines; DuckDB range() is end-exclusive hence the +1.
+    "p4_pack_spans" -> {
+      val b = Curation.PackBudget
+      ("WITH t AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), " +
+        "c AS (SELECT doc_id, source, n_tokens, CAST(SUM(n_tokens) OVER " +
+        "(PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t), " +
+        s"e AS (SELECT source, doc_id, cum - n_tokens AS bg, cum, UNNEST(range((cum - n_tokens) // $b, (cum - 1) // $b + 1)) AS pack_id FROM c) " +
+        s"SELECT source, doc_id, CAST(pack_id AS BIGINT) AS pack_id, " +
+        s"CAST(LEAST(cum, (pack_id + 1) * $b) - GREATEST(bg, pack_id * $b) AS BIGINT) AS tokens_in_pack " +
+        "FROM e ORDER BY source, doc_id, pack_id")
+    },
+    // t2: linear scaled-integer IDF (see TextAnalysis.IdfScale scaladoc) —
+    // exact long arithmetic, no transcendental whose ulp could flip a rank.
+    "t2_tfidf_rank" -> {
+      val terms = TextAnalysis.KeywordTerms.distinct.map(t => s"'$t'").mkString(", ")
+      ("WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents), " +
+        s"q AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok WHERE token IN ($terms) GROUP BY doc_id, token), " +
+        "d AS (SELECT token, COUNT(*) AS df FROM q GROUP BY token), " +
+        "n AS (SELECT COUNT(*) AS n_docs FROM documents), " +
+        s"i AS (SELECT token, (n.n_docs * ${TextAnalysis.IdfScale}) // df AS idf_k FROM d, n) " +
+        "SELECT q.doc_id, CAST(SUM(tf * idf_k) AS BIGINT) AS score FROM q JOIN i USING (token) " +
+        "GROUP BY q.doc_id ORDER BY score DESC, doc_id LIMIT 20")
+    },
+    // s10: per-vector norm is a LEFT-TO-RIGHT double fold in both engines —
+    // bit-identical, so MIN/MAX (order-free over identical values) compare
+    // exactly; deliberately no AVG (combine order would differ).
+    "s10_norm_stats" ->
+      ("WITH n AS (SELECT label, sqrt(list_aggregate(list_transform(embedding, " +
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS norm FROM embeddings) " +
+        "SELECT label, COUNT(*) AS n_vecs, MIN(norm) AS min_norm, MAX(norm) AS max_norm " +
+        "FROM n GROUP BY label ORDER BY label")
     // n3_simhash_pairs, s2_ann_lsh, s4_ann_ivf, s6_ann_ivf_partitioned,
     // s9_ann_ivf_quantized (spec-pinned ≡ s6),
     // x3_approx_percentiles, x4_approx_top_users, x5_approx_distinct_rollup:
@@ -590,6 +637,25 @@ object SparkEntry {
       "list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id) AS rnk, e.vec_id " +
       "FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q " +
       "WHERE e.vec_id <> 0) t WHERE rnk <= 10 ORDER BY rnk"
+
+  /** Shared CTE chain for n6/n9: exact 3-gram Jaccard ≥ 0.8 pairs →
+    * symmetric edges → recursive reachability (`reach(id, r)` = r reaches
+    * id). n6 reads components off it directly; n9 appends the
+    * representative/size tail. One text, two consumers — the clustering
+    * oracle and its materialization oracle cannot drift apart.
+    */
+  private val dupReachCtePrefix: String =
+    "WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s " +
+      "FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)), " +
+      "cnt AS (SELECT doc_id, count(*) c FROM sh GROUP BY doc_id), " +
+      "p AS (SELECT a.doc_id da, b.doc_id db, count(*) inter FROM sh a " +
+      "JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY da, db), " +
+      "good AS (SELECT da, db FROM p JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id " +
+      "WHERE 5 * inter >= 4 * (ca.c + cb.c - inter)), " +
+      "edges AS (SELECT da AS s, db AS d FROM good UNION SELECT db, da FROM good), " +
+      "reach(id, r) AS (SELECT DISTINCT s, s FROM edges " +
+      "UNION SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id) "
 
   private val ngramJaccardOracle: String =
     "WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +

@@ -293,4 +293,49 @@ object Curation {
           .as("decile")
       )
       .orderBy("source", "doc_id")
+
+  /** P4 — boundary-spanning packing: the "concat and chunk" stream that
+    * [[sequencePack]] summarizes by start-pack, fully materialized — one
+    * row per (document, pack) with the token count the document contributes
+    * to that pack. A long document crossing pack boundaries yields one row
+    * per pack it touches (`tokens_in_pack` sums back to `n_tokens`); this
+    * is the exact segment layout an LLM loader needs to build attention
+    * masks across packed-document boundaries.
+    *
+    * Same scale shape as p2: the cumulative sum windows per source (no
+    * partition holds the corpus), and the pack-span explode is narrow —
+    * a document spans `⌈n_tokens / budget⌉ + 1` packs at most, so the
+    * fan-out is bounded by corpus tokens / budget, the same cardinality as
+    * the training stream itself. Integer arithmetic throughout (floor
+    * division on non-negative longs), so the oracle matches bit for bit.
+    */
+  def packSpans(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")
+      )
+    val w = Window
+      .partitionBy("source")
+      .orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("begin", col("cum") - col("n_tokens"))
+      .select(
+        col("source"),
+        col("doc_id"),
+        col("begin"),
+        col("cum"),
+        explode(expr(s"sequence(begin div $PackBudget, (cum - 1) div $PackBudget)")).as("pack_id")
+      )
+      .withColumn(
+        "tokens_in_pack",
+        least(col("cum"), (col("pack_id") + lit(1L)) * PackBudget) -
+          greatest(col("begin"), col("pack_id") * PackBudget)
+      )
+      .select("source", "doc_id", "pack_id", "tokens_in_pack")
+      .orderBy("source", "doc_id", "pack_id")
+  }
 }

@@ -453,6 +453,36 @@ object Dedup {
   def dupClusters(spark: SparkSession, dir: String): DataFrame =
     clustersFromPairsStar(minhashLshPairs(spark, dir))
 
+  /** N9 — the deduplicated corpus as a listing: one row per KEPT document
+    * `(doc_id, cluster_size)` — the min-id representative of every near-dup
+    * cluster (size = members it stands for) plus every untouched document
+    * (size 1). This is the materialization step the cluster table exists
+    * for: what a training pipeline actually feeds downstream after n6's
+    * diagnosis. Canonical-by-min-id is deterministic and retry-stable
+    * (no `first()` under a nondeterministic order).
+    *
+    * Scale shape: the cluster frame is bounded by documents *touched by a
+    * candidate pair* (collision-bounded, corpus-independent), and the only
+    * corpus-wide operation is a left-anti join of doc ids against it —
+    * 8-byte keys through the exchange, never text. The representative's
+    * row is recognized by `doc_id === cluster_id` (star contraction labels
+    * components by their min member), so no extra groupBy re-derives it.
+    */
+  def clusterRepresentatives(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dupClusters(spark, dir).select("cluster_id", "doc_id")
+    val sizes    = clusters.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    val reps = clusters
+      .where(col("doc_id") === col("cluster_id"))
+      .join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_size"))
+    val singletons = Tables
+      .documents(spark, dir)
+      .select("doc_id")
+      .join(clusters.select("doc_id"), Seq("doc_id"), "left_anti")
+      .withColumn("cluster_size", lit(1L))
+    reps.unionByName(singletons).orderBy("doc_id")
+  }
+
   /** Min-label propagation to fixpoint over an undirected pair graph:
     * every node starts as its own representative; each round takes the min
     * of its own and its neighbors' labels. Converges in O(component

@@ -487,4 +487,32 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("vec_id"), col("source"), col("n_chars"))
       .orderBy("query_id", "rnk")
   }
+
+  /** S10 — per-label L2-norm profile `(label, n_vecs, min_norm, max_norm)`:
+    * the embedding-health check a pipeline runs before trusting cosine
+    * scores (a zero or exploding norm is a broken encoder batch; per-label
+    * spread flags class-conditional drift). Single partial-aggregable
+    * groupBy over a narrow projection — no shuffle carries a vector, only
+    * (label, norm) pairs, and min/max/count combine map-side.
+    *
+    * Float discipline: the norm is Σx² folded LEFT-TO-RIGHT in double then
+    * `sqrt` — the same IEEE op sequence DuckDB's `list_aggregate('sum')`
+    * over a `list_transform` runs, so per-vector norms are bit-identical
+    * across engines (verified empirically on the corpus), and min/max of
+    * bit-identical doubles is exact. An AVG across vectors would NOT be
+    * (unordered combine ⇒ rounding differs) — which is why the contract is
+    * min/max, not mean.
+    */
+  def normStats(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .embeddings(spark, dir)
+      .select(
+        col("label"),
+        expr(
+          "sqrt(aggregate(embedding, cast(0.0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double)))"
+        ).as("norm")
+      )
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), min("norm").as("min_norm"), max("norm").as("max_norm"))
+      .orderBy("label")
 }

@@ -453,4 +453,48 @@ object TextAnalysis {
       .select("doc_id")
       .orderBy("doc_id")
   }
+
+  /** Scaled-integer IDF weight: `⌊K·N/df⌋` with K = [[IdfScale]]. A
+    * *linear* rarity weight rather than the textbook `ln(N/df)` — chosen so
+    * scoring stays in exact long arithmetic end to end: `ln` is a libm
+    * call whose last-ulp behavior differs between the JVM and DuckDB, and a
+    * ranking oracle must not hinge on transcendental rounding. Linear IDF
+    * preserves the property the ranking needs (rarer term ⇒ strictly larger
+    * weight) and makes the oracle comparison bit-exact.
+    */
+  val IdfScale = 1000L
+
+  /** T2 — TF-IDF relevance ranking: the top-k documents scoring highest on
+    * `Σ_t tf(doc,t) · idf(t)` over the query terms — [[keywordSearch]]
+    * finds the AND-match set, this ranks the soft-match set. The retrieval
+    * primitive behind "give me training docs most about X".
+    *
+    * Scale shape: the term filter lands BEFORE any shuffle — only postings
+    * for the |query| terms (a vanishing fraction of corpus tokens) reach
+    * the tf groupBy, df aggregates the already-tiny tf frame, and the
+    * total-count side is a 1-row broadcast. The final per-doc sum feeds
+    * `TakeOrderedAndProject` (distributed partial top-k, driver merges k
+    * rows) — no global sort. Corpus text never shuffles at any stage.
+    */
+  def tfidfRank(spark: SparkSession, dir: String, terms: Seq[String] = KeywordTerms, k: Int = 20): DataFrame = {
+    val ts = terms.distinct
+    require(ts.nonEmpty)
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(toks).as("token"))
+      .where(col("token").isInCollection(ts))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val idf = tf
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(total))
+      .select(col("token"), expr(s"(n_docs * $IdfScale) div df").as("idf_k"))
+    tf.join(broadcast(idf), "token")
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * col("idf_k")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -245,4 +245,37 @@ class CurationSpec extends SparkSpec {
       .toMap
     summary.foreach { case (s, kept) => assert(perSource.getOrElse(s, 0L) == kept) }
   }
+
+  test("p4: span rows conserve tokens, fill packs exactly, and agree with p2's start pack") {
+    val spans = Curation.packSpans(spark, sf0001).collect()
+    val p2 = Curation
+      .sequencePack(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // per-document conservation: the span rows sum back to n_tokens, and
+    // the doc's FIRST pack is exactly p2's start-pack assignment
+    val bySrcDoc = spans.groupBy(r => (r.getString(0), r.getLong(1)))
+    bySrcDoc.foreach { case (key, rows) =>
+      val (nTokens, startPack) = p2(key)
+      assert(rows.map(_.getLong(3)).sum == nTokens, s"$key token conservation")
+      assert(rows.map(_.getLong(2)).min == startPack, s"$key start pack")
+      // a doc's packs are contiguous
+      val packs = rows.map(_.getLong(2)).sorted
+      assert(packs.zip(packs.tail).forall { case (a, b) => b == a + 1 }, s"$key contiguity")
+    }
+    // per-(source, pack) fill: every pack except the last of its source
+    // carries exactly PackBudget tokens — the "concat and chunk" invariant
+    spans.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      val fill = rows
+        .groupBy(_.getLong(2))
+        .map { case (p, rs) => (p, rs.map(_.getLong(3)).sum) }
+      val last = fill.keys.max
+      fill.foreach { case (p, tot) =>
+        if (p != last) assert(tot == Curation.PackBudget, s"$src pack $p fill")
+        else assert(tot >= 1 && tot <= Curation.PackBudget, s"$src last pack fill")
+      }
+    }
+    assert(spans.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= Curation.PackBudget))
+  }
 }

@@ -278,4 +278,34 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) == ((0L, md5hex(d3))))
     assert(got(4L) == ((0L, md5hex("short doc only"))))
   }
+
+  test("n9: kept set = cluster minima + untouched docs; sizes partition the corpus") {
+    val kept = Dedup
+      .clusterRepresentatives(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val clusters = Dedup
+      .dupClusters(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val docIds = graft.sources.Tables
+      .documents(spark, sf0001)
+      .select("doc_id")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    val clustered = clusters.map(_._2).toSet
+    // exactly the representatives survive from clusters, with their size...
+    clusters.groupBy(_._1).foreach { case (cid, members) =>
+      assert(kept.get(cid).contains(members.length.toLong), s"cluster $cid")
+      assert(cid == members.map(_._2).min, s"cluster $cid labeled by min member")
+      members.map(_._2).filter(_ != cid).foreach(m => assert(!kept.contains(m), s"dropped member $m"))
+    }
+    // ...every untouched doc survives as a singleton...
+    (docIds -- clustered).foreach(d => assert(kept.get(d).contains(1L), s"singleton $d"))
+    // ...and the sizes partition the corpus: nothing lost, nothing counted twice
+    assert(kept.values.sum == docIds.size.toLong)
+    assert(clusters.nonEmpty, "fixture corpus must actually contain near-dup clusters")
+  }
 }

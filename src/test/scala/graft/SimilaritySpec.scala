@@ -119,4 +119,33 @@ class SimilaritySpec extends SparkSpec {
     val tight = Similarity.annQuantized(spark, sf0001, shortlist = 20).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(tight == exact)
   }
+
+  test("s10: norms are exact on planted vectors; counts partition the corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_norms").toString
+    Seq(
+      (0L, Seq(3.0f, 4.0f), 1),   // norm 5
+      (1L, Seq(0.0f, 0.0f), 1),   // norm 0 — the broken-encoder row s10 exists to expose
+      (2L, Seq(1.0f, 0.0f), 2),   // norm 1
+      (3L, Seq(-2.0f, 0.0f), 2),  // norm 2 — sign must not matter
+      (4L, Seq(0.6f, 0.8f), 2)    // unit-ish norm, float rounding exercised
+    ).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity
+      .normStats(spark, dir)
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got(1)._1 == 2L && got(1)._2 == 0.0 && got(1)._3 == 5.0)
+    // (0.6f, 0.8f) is NOT unit in float→double arithmetic: the fold must
+    // reproduce the widened-float sum exactly, a hair above 1.0 — so label
+    // 2's min stays the exact-1.0 vector
+    assert(math.sqrt(0.6f.toDouble * 0.6f.toDouble + 0.8f.toDouble * 0.8f.toDouble) > 1.0)
+    assert(got(2) == ((3L, 1.0, 2.0)))
+    // real corpus: group counts partition the table, min ≤ max everywhere
+    val real = Similarity.normStats(spark, sf0001).collect()
+    val total = graft.sources.Tables.embeddings(spark, sf0001).count()
+    assert(real.map(_.getLong(1)).sum == total)
+    assert(real.forall(r => r.getDouble(2) <= r.getDouble(3)))
+  }
 }

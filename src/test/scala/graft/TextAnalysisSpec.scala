@@ -223,6 +223,55 @@ class TextAnalysisSpec extends SparkSpec {
     // keeps a web-scale vocabulary's hot grams from going quadratic.
   }
 
+  test("t2: tf-idf ranking matches a hand computation; rarity outweighs volume") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tfidf").toString
+    Seq(
+      // df over the 4-doc corpus: merge=1, window=2, dup=1 → idf_k:
+      // merge 4000, window 2000, dup 4000 (K=1000)
+      (1L, "merge merge merge", "en", "t", 1L), // 3·4000 = 12000
+      (2L, "window window window window window window window", "en", "t", 1L), // 7·2000 = 14000
+      (3L, "window dup", "en", "t", 1L), // 2000 + 4000 = 6000
+      (4L, "nothing relevant here", "en", "t", 1L) // no query term → absent
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis
+      .tfidfRank(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq
+    // rare-term doc 1 outranks common-term doc 3 despite fewer hits of the
+    // corpus's most frequent query term; doc 4 never appears
+    assert(got == Seq((2L, 14000L), (1L, 12000L), (3L, 6000L)))
+  }
+
+  test("t2: deterministic ranking on the real corpus — ties break by doc_id, k bounds the result") {
+    val rows = TextAnalysis
+      .tfidfRank(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length <= 20)
+    assert(rows.nonEmpty, "fixture corpus must contain at least one query term")
+    // sorted by (score desc, doc_id asc) exactly
+    val resorted = rows.sortBy { case (id, s) => (-s, id) }.toSeq
+    assert(rows.toSeq == resorted)
+    // local replay: recompute each ranked doc's score from raw text with
+    // test-side arithmetic — pins tf, df, N and the integer idf in one shot
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val texts = docs.select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1))
+    val n = texts.length.toLong
+    def tf(t: String) = texts.map { case (id, tx) => id -> tx.split(" ", -1).count(_ == t).toLong }.toMap
+    val tfs = TextAnalysis.KeywordTerms.distinct.map(t => t -> tf(t)).toMap
+    // a term absent from the corpus has no idf row and contributes nothing
+    val present = tfs.filter(_._2.values.exists(_ > 0)).keys.toSeq
+    val idf = present.map(t => t -> n * TextAnalysis.IdfScale / tfs(t).values.count(_ > 0)).toMap
+    rows.foreach { case (id, score) =>
+      val expect = present.map(t => tfs(t)(id) * idf(t)).sum
+      assert(score == expect, s"doc $id")
+    }
+  }
+
   /** Reference Levenshtein (classic DP) — test-side ground truth, so the
     * superset check does not depend on the engine under test.
     */
