@@ -190,7 +190,10 @@ object ScaleRehearsal {
       "d16_span_share", "f1_fuzzy_token_pairs",
       "w3_funnel_stages", "w4_hopping_counts", "s8_ann_quantized",
       "q28_above_nation_avg", "q29_discount_revenue", "a4_asof_forward",
-      "s9_ann_ivf_quantized"
+      "s9_ann_ivf_quantized",
+      // round 6: cluster materialization + the new analytics/curation ops
+      "n6_dup_clusters", "n8_redact_shared_spans", "n9_cluster_keep",
+      "u1_retention_cohorts", "p4_pack_spans", "t2_tfidf_rank", "s10_norm_stats"
     )
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
     headline.foreach { name =>

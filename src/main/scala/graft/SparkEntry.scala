@@ -117,7 +117,13 @@ object SparkEntry {
     "u1_retention_cohorts" -> ((s: SparkSession, d: String) => Retention.retentionCohorts(s, d)),
     "p4_pack_spans"        -> (Curation.packSpans _),
     "t2_tfidf_rank"        -> ((s: SparkSession, d: String) => TextAnalysis.tfidfRank(s, d)),
-    "s10_norm_stats"       -> ((s: SparkSession, d: String) => Similarity.normStats(s, d))
+    "s10_norm_stats"       -> ((s: SparkSession, d: String) => Similarity.normStats(s, d)),
+    "dq2_profile_documents" -> (Profile.profileDocuments _),
+    "p5_shuffle_order"      -> (Curation.shuffleOrder _),
+    "t3_phrase_search"      -> ((s: SparkSession, d: String) => TextAnalysis.phraseSearch(s, d)),
+    "w7_rolling_active_users" -> ((s: SparkSession, d: String) => Retention.rollingActiveUsers(s, d)),
+    "d17_size_histogram"      -> (Profile.sizeHistogram _),
+    "c2_stage_counts"         -> ((s: SparkSession, d: String) => Pipeline.stageCounts(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -552,26 +558,15 @@ object SparkEntry {
         "CAST(SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY month ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt, " +
         "CAST(cnt - lag(cnt, 1) OVER (PARTITION BY o_orderpriority ORDER BY month) AS BIGINT) AS delta FROM m " +
         "ORDER BY o_orderpriority, month"),
-    "c1_clean_corpus" -> {
-      val langScore = TextAnalysis.langMarkers.map { case (l, ws) =>
-        val in = ws.map(w => s"'$w'").mkString(", ")
-        s"len(list_filter(string_split(text, ' '), t -> t IN ($in)))::BIGINT AS s_$l"
-      }.mkString(", ")
-      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
-        "sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s " +
-        "FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)), " +
-        "cnt AS (SELECT doc_id, count(*) c FROM sh GROUP BY doc_id), " +
-        "p AS (SELECT a.doc_id da, b.doc_id db, count(*) inter FROM sh a " +
-        "JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY da, db), " +
-        "dup AS (SELECT DISTINCT db FROM p JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id " +
-        "WHERE 5 * inter >= 4 * (ca.c + cb.c - inter)), " +
-        "scored AS (SELECT doc_id, " + langScore + " FROM documents), " +
-        "lang AS (SELECT doc_id FROM scored WHERE " +
-        "s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh) " +
-        "SELECT d.doc_id FROM documents d JOIN lang l ON d.doc_id = l.doc_id " +
-        "WHERE len(string_split(d.text, ' ')) >= 20 AND d.doc_id NOT IN (SELECT db FROM dup) " +
-        "ORDER BY d.doc_id")
-    },
+    "c1_clean_corpus" -> cleanCorpusOracle,
+    // c2 restates c1's own CTE chain as stage counts — the yield report and
+    // the pipeline share one oracle definition, like the Spark side reuses
+    // cleanCorpus verbatim.
+    "c2_stage_counts" ->
+      ("SELECT (SELECT COUNT(*) FROM documents) AS n_raw, " +
+        "(SELECT COUNT(*) FROM documents WHERE len(string_split(text, ' ')) >= 20) AS n_quality, " +
+        s"(SELECT COUNT(*) FROM ($langGateOracle) q) AS n_lang, " +
+        s"(SELECT COUNT(*) FROM ($cleanCorpusOracle) c) AS n_clean"),
     // u1: all date arithmetic on CAST(ts AS DATE) of the naive timestamp —
     // identical day boundaries in both engines.
     "u1_retention_cohorts" ->
@@ -612,7 +607,42 @@ object SparkEntry {
       ("WITH n AS (SELECT label, sqrt(list_aggregate(list_transform(embedding, " +
         "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS norm FROM embeddings) " +
         "SELECT label, COUNT(*) AS n_vecs, MIN(norm) AS min_norm, MAX(norm) AS max_norm " +
-        "FROM n GROUP BY label ORDER BY label")
+        "FROM n GROUP BY label ORDER BY label"),
+    "dq2_profile_documents" -> {
+      val branches = Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+        s"SELECT '$c' AS col_name, COUNT(*) AS n_rows, COUNT($c) AS n_nonnull, COUNT(DISTINCT $c) AS n_distinct FROM documents"
+      }
+      branches.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")
+    },
+    // p5's oracle is the single-partition window form the zipWithIndex
+    // layout replaces (same relationship as g1 and its oracle).
+    "p5_shuffle_order" ->
+      ("SELECT (row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1)::BIGINT AS shuffle_pos, " +
+        "doc_id FROM documents ORDER BY shuffle_pos"),
+    "t3_phrase_search" -> {
+      val n = TextAnalysis.PhraseTerms.length
+      val p = TextAnalysis.PhraseTerms.mkString(" ")
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents) " +
+        s"SELECT DISTINCT doc_id FROM toks, UNNEST(range(1, len(w) - ${n - 2})) t(i) " +
+        s"WHERE array_to_string(w[i : i + ${n - 1}], ' ') = '$p' ORDER BY doc_id")
+    },
+    // w7 mirrors the explode-into-served-windows construction exactly
+    // (window anchors = active day + k, cut at the last observed day), so
+    // a >windowDays activity gap yields the same absent anchors on both
+    // sides. All date arithmetic on integer day offsets.
+    "w7_rolling_active_users" ->
+      ("WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events), " +
+        "mx AS (SELECT MAX(CAST(ts AS DATE)) m FROM events), " +
+        s"e AS (SELECT day, user_id, day + k::INTEGER AS d FROM du, UNNEST(range(0, ${Retention.RollingWindowDays})) t(k)), " +
+        "f AS (SELECT e.* FROM e, mx WHERE d <= m) " +
+        "SELECT d AS day, COUNT(DISTINCT CASE WHEN day = d THEN user_id END) AS n_users_1d, " +
+        "COUNT(DISTINCT user_id) AS n_users_7d FROM f GROUP BY d ORDER BY day"),
+    // d17: size_class = length of the binary representation — both engines
+    // define bin() identically on integers, and integer string length is
+    // exact where a float log2 could round differently at powers of two.
+    "d17_size_histogram" ->
+      ("SELECT source, length(bin(n_chars))::BIGINT AS size_class, COUNT(*) AS n_docs " +
+        "FROM documents GROUP BY source, size_class ORDER BY source, size_class")
     // n3_simhash_pairs, s2_ann_lsh, s4_ann_ivf, s6_ann_ivf_partitioned,
     // s9_ann_ivf_quantized (spec-pinned ≡ s6),
     // x3_approx_percentiles, x4_approx_top_users, x5_approx_distinct_rollup:
@@ -637,6 +667,38 @@ object SparkEntry {
       "list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id) AS rnk, e.vec_id " +
       "FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q " +
       "WHERE e.vec_id <> 0) t WHERE rnk <= 10 ORDER BY rnk"
+
+  private val langScoreSql: String = TextAnalysis.langMarkers.map { case (l, ws) =>
+    val in = ws.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(string_split(text, ' '), t -> t IN ($in)))::BIGINT AS s_$l"
+  }.mkString(", ")
+
+  /** c1's quality+language gate (no dedup): the n_lang stage of c2. */
+  private val langGateOracle: String =
+    "WITH scored AS (SELECT doc_id, " + langScoreSql + " FROM documents), " +
+      "lang AS (SELECT doc_id FROM scored WHERE " +
+      "s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh) " +
+      "SELECT d.doc_id FROM documents d JOIN lang l ON d.doc_id = l.doc_id " +
+      "WHERE len(string_split(d.text, ' ')) >= 20"
+
+  /** c1's full chain: quality + language + near-dup removal — shared by the
+    * c1 gate and c2's n_clean stage.
+    */
+  private val cleanCorpusOracle: String =
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s " +
+      "FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)), " +
+      "cnt AS (SELECT doc_id, count(*) c FROM sh GROUP BY doc_id), " +
+      "p AS (SELECT a.doc_id da, b.doc_id db, count(*) inter FROM sh a " +
+      "JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY da, db), " +
+      "dup AS (SELECT DISTINCT db FROM p JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id " +
+      "WHERE 5 * inter >= 4 * (ca.c + cb.c - inter)), " +
+      "scored AS (SELECT doc_id, " + langScoreSql + " FROM documents), " +
+      "lang AS (SELECT doc_id FROM scored WHERE " +
+      "s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh) " +
+      "SELECT d.doc_id FROM documents d JOIN lang l ON d.doc_id = l.doc_id " +
+      "WHERE len(string_split(d.text, ' ')) >= 20 AND d.doc_id NOT IN (SELECT db FROM dup) " +
+      "ORDER BY d.doc_id"
 
   /** Shared CTE chain for n6/n9: exact 3-gram Jaccard ≥ 0.8 pairs →
     * symmetric edges → recursive reachability (`reach(id, r)` = r reaches

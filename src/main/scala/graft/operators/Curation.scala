@@ -46,27 +46,31 @@ object Curation {
     * "my global position" is per-partition imperative state that no
     * DataFrame operator expresses without the single-partition window.
     */
-  def globalIds(spark: SparkSession, dir: String): DataFrame = {
-    val sorted = Tables
-      .documents(spark, dir)
-      .select(col("doc_id"), col("source"))
-      .orderBy("source", "doc_id")
-    val schema = StructType(
-      Seq(
-        StructField("global_id", LongType, nullable = false),
-        StructField("doc_id", LongType, nullable = true),
-        StructField("source", StringType, nullable = true)
-      )
+  def globalIds(spark: SparkSession, dir: String): DataFrame =
+    zipIndexedByOrder(
+      Tables
+        .documents(spark, dir)
+        .select(col("doc_id"), col("source"))
+        .orderBy("source", "doc_id"),
+      "global_id"
     )
-    val indexed = sorted.rdd.zipWithIndex.map { case (r, i) =>
-      Row(i, r.getLong(0), r.getString(1))
-    }
-    // Already globally ordered by construction: orderBy range-partitions so
-    // partition i's rows all precede partition i+1's, zipWithIndex numbers
-    // in that same order, and no exchange follows — an explicit orderBy here
-    // would re-shuffle and re-sort the corpus a second time just to restate
-    // an ordering the narrow plan already guarantees.
-    spark.createDataFrame(indexed, schema)
+
+  /** Prepend a 0-based global position to an ALREADY range-sorted frame via
+    * `zipWithIndex` — the two-pass scalable substitute for a
+    * single-partition `row_number() OVER (ORDER BY …)` that [[globalIds]]'s
+    * scaladoc derives. The result is already globally ordered by
+    * construction: orderBy range-partitions so partition i's rows all
+    * precede partition i+1's, zipWithIndex numbers in that same order, and
+    * no exchange follows — an explicit orderBy here would re-shuffle and
+    * re-sort the corpus a second time just to restate an ordering the
+    * narrow plan already guarantees.
+    */
+  private def zipIndexedByOrder(sorted: DataFrame, posName: String): DataFrame = {
+    val schema = StructType(
+      StructField(posName, LongType, nullable = false) +: sorted.schema.fields.toSeq
+    )
+    val indexed = sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(i +: r.toSeq) }
+    sorted.sparkSession.createDataFrame(indexed, schema)
   }
 
   /** Context-window token budget for [[sequencePack]] — small enough that
@@ -338,4 +342,26 @@ object Curation {
       .select("source", "doc_id", "pack_id", "tokens_in_pack")
       .orderBy("source", "doc_id", "pack_id")
   }
+
+  /** P5 — deterministic global corpus shuffle: every document's position in
+    * a pseudo-random permutation, keyed by `md5(doc_id)`. Training runs
+    * shuffle the corpus exactly once before packing; doing it with `rand()`
+    * makes the epoch unreproducible (and task retries silently reorder —
+    * the same failure mode [[mixtureSample]]'s scaladoc pins), so the
+    * permutation key is a content hash: anyone holding the ids can replay
+    * the exact epoch order. Same two-pass [[zipIndexedByOrder]] layout as
+    * g1 — a range-sort on the hash key spreads uniformly across partitions
+    * (hash keys have no skew by construction), then a narrow zipWithIndex;
+    * no single-partition window anywhere.
+    */
+  def shuffleOrder(spark: SparkSession, dir: String): DataFrame =
+    zipIndexedByOrder(
+      Tables
+        .documents(spark, dir)
+        // doc_id breaks md5 ties; with 128-bit keys a tie never fires, but
+        // determinism must not rest on "collisions are unlikely"
+        .select(md5(col("doc_id").cast("string")).as("hk"), col("doc_id"))
+        .orderBy("hk", "doc_id"),
+      "shuffle_pos"
+    ).select("shuffle_pos", "doc_id")
 }

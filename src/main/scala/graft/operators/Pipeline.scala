@@ -47,4 +47,36 @@ object Pipeline {
       .join(pairs.select(col("doc_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
   }
+
+  /** C2 — the pipeline's yield report: how many documents survive each
+    * stage of [[cleanCorpus]]'s filter chain — `(n_raw, n_quality, n_lang,
+    * n_clean)`, one row. This is the observability number a curation run
+    * publishes ("dedup dropped 4%") and the first thing to check when a
+    * training mix shifts: which stage's yield moved.
+    *
+    * The three narrow stage counts ride ONE conditional aggregation of a
+    * single corpus scan (each stage's predicate nests the previous — the
+    * funnel is monotone by construction); only `n_clean` pays for the dedup
+    * machinery, and it reuses [[cleanCorpus]] verbatim so the report can
+    * never disagree with the pipeline it reports on. The final join of two
+    * 1-row aggregates is a broadcast cross of singletons.
+    */
+  def stageCounts(
+      spark: SparkSession,
+      dir: String,
+      langs: Set[String] = Set("en"),
+      minTokens: Int = 20
+  ): DataFrame = {
+    val qual   = size(split(col("text"), " ")) >= minTokens
+    val langOk = TextAnalysis.langPredCol.isin(langs.toSeq: _*)
+    val narrow = Tables
+      .documents(spark, dir)
+      .agg(
+        count(lit(1)).as("n_raw"),
+        sum(when(qual, 1L).otherwise(0L)).as("n_quality"),
+        sum(when(qual && langOk, 1L).otherwise(0L)).as("n_lang")
+      )
+    val clean = cleanCorpus(spark, dir, langs, minTokens).agg(count(lit(1)).as("n_clean"))
+    narrow.crossJoin(broadcast(clean))
+  }
 }

@@ -55,4 +55,29 @@ object Profile {
     */
   def profileEvents(spark: SparkSession, dir: String): DataFrame =
     profile(Tables.eventsRaw(spark, dir))
+
+  /** DQ2 — [[profile]] of the `documents` table: the corpus-side twin of
+    * dq1, published before a corpus enters the training pipeline (a
+    * distinct-count collapse on `text` is mass duplication; nulls in
+    * `source` break the mixture sampler's rate join). Same one-pass shape.
+    */
+  def profileDocuments(spark: SparkSession, dir: String): DataFrame =
+    profile(Tables.documents(spark, dir))
+
+  /** D17 — log₂-bucketed document-size histogram per source `(source,
+    * size_class, n_docs)`: the shape report behind length-based curation
+    * decisions (a source whose mass sits in 2⁴-char docs is boilerplate; a
+    * fat 2²⁰ tail is concatenation junk). `size_class = ⌊log₂ n_chars⌋ + 1`
+    * — computed as `length(bin(n_chars))`, the binary-representation
+    * length, because both engines define `bin` identically on integers and
+    * integer string length is EXACT: a float `log2` would hash-differ at
+    * powers of two on rounding direction. Single partial-aggregable
+    * groupBy, ~60 distinct keys per source, no meaningful shuffle.
+    */
+  def sizeHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .groupBy(col("source"), length(bin(col("n_chars"))).cast("long").as("size_class"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "size_class")
 }

@@ -47,4 +47,49 @@ object Retention {
       .agg(count(lit(1)).as("n_users"))
       .orderBy("cohort_day", "day_offset")
   }
+
+  /** W7 — daily + trailing-7-day distinct active users `(day, n_users_1d,
+    * n_users_7d)`: the DAU/WAU pair every engagement dashboard leads with.
+    *
+    * Spark has no `COUNT(DISTINCT …) OVER (RANGE …)` (distinct aggregates
+    * are unsupported in window functions). Two scalable escapes exist and
+    * the choice matters: a range-join of the activity frame against a
+    * broadcast day grid LOOKS cheap but a non-equi join is nested-loop —
+    * O(frame × days) comparisons, quadratic in history length. Instead the
+    * log collapses to the distinct (day, user) frame FIRST (one shuffle,
+    * the same partial-aggregable collapse u1 rides), and each collapsed row
+    * EXPLODES into the ≤ `windowDays` window-anchor
+    * days it serves — linear fan-out, equi-keyed groupBy, no join. The
+    * 1-day count rides the same aggregation as a conditional distinct. A
+    * window anchored after the last observed day is cut by a 1-row
+    * broadcast max-day bound (so the curve ends with the data; windows at
+    * corpus start are naturally partial, mirroring a dashboard's ramp-in).
+    */
+  /** Trailing window width for [[rollingActiveUsers]] — THE definition the
+    * oracle's `range(0, N)` must agree with.
+    */
+  val RollingWindowDays = 7
+
+  def rollingActiveUsers(spark: SparkSession, dir: String, windowDays: Int = RollingWindowDays): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val dayUser = events
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val maxDay = events.agg(max(to_date(col("ts"))).as("max_day"))
+    dayUser
+      .select(
+        col("day"),
+        col("user_id"),
+        explode(expr(s"sequence(day, date_add(day, ${windowDays - 1}))")).as("d")
+      )
+      .crossJoin(broadcast(maxDay))
+      .where(col("d") <= col("max_day"))
+      .groupBy("d")
+      .agg(
+        countDistinct(when(col("day") === col("d"), col("user_id"))).as("n_users_1d"),
+        countDistinct(col("user_id")).as("n_users_7d")
+      )
+      .select(col("d").as("day"), col("n_users_1d"), col("n_users_7d"))
+      .orderBy("day")
+  }
 }

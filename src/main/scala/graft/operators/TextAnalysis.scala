@@ -471,12 +471,16 @@ object TextAnalysis {
     *
     * Scale shape: the term filter lands BEFORE any shuffle — only postings
     * for the |query| terms (a vanishing fraction of corpus tokens) reach
-    * the tf groupBy, df aggregates the already-tiny tf frame, and the
-    * total-count side is a 1-row broadcast. The final per-doc sum feeds
-    * `TakeOrderedAndProject` (distributed partial top-k, driver merges k
-    * rows) — no global sort. Corpus text never shuffles at any stage.
+    * the tf groupBy. df comes from a window over the TF FRAME, not a
+    * second aggregation of the corpus: deriving it with `df.groupBy(token)`
+    * reads clean but Catalyst does not share uncached subtrees, so that
+    * form tokenizes the corpus TWICE — the window keeps it to one tokenize
+    * pass plus a column-pruned COUNT(*) for N (1-row broadcast). The final
+    * per-doc sum feeds `TakeOrderedAndProject` (distributed partial top-k,
+    * driver merges k rows) — no global sort. Corpus text never shuffles.
     */
   def tfidfRank(spark: SparkSession, dir: String, terms: Seq[String] = KeywordTerms, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ts = terms.distinct
     require(ts.nonEmpty)
     val docs = Tables.documents(spark, dir)
@@ -486,15 +490,45 @@ object TextAnalysis {
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"))
     val total = docs.agg(count(lit(1)).as("n_docs"))
-    val idf = tf
-      .groupBy("token")
-      .agg(count(lit(1)).as("df"))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
       .crossJoin(broadcast(total))
-      .select(col("token"), expr(s"(n_docs * $IdfScale) div df").as("idf_k"))
-    tf.join(broadcast(idf), "token")
+      .select(col("doc_id"), (col("tf") * expr(s"(n_docs * $IdfScale) div df")).as("contrib"))
       .groupBy("doc_id")
-      .agg(sum(col("tf") * col("idf_k")).as("score"))
+      .agg(sum("contrib").as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** Default phrase for [[phraseSearch]] — present at every test SF. */
+  val PhraseTerms: Seq[String] = Seq("part", "filter")
+
+  /** T3 — exact phrase search: documents containing the query tokens
+    * ADJACENT and in order — [[keywordSearch]]'s AND-match can't tell
+    * "part … filter" from "part filter"; this can. The last member of the
+    * retrieval trio (t1 boolean, t2 ranked, t3 positional).
+    *
+    * Scale shape: a single NARROW pass — `exists` over the token windows
+    * short-circuits per row inside codegen, no Generate blows the corpus up
+    * into shingle rows and nothing shuffles at all (the output sort is the
+    * only exchange, over matching ids). At 100 TB this is a pure scan
+    * problem and the plan is a pure scan; the inverted-index alternative
+    * (position-aware postings) only pays once a *repeated-query* service
+    * amortizes the index build, which is [[Tables]]-layout territory, not a
+    * one-shot operator's.
+    */
+  def phraseSearch(spark: SparkSession, dir: String, phrase: Seq[String] = PhraseTerms): DataFrame = {
+    require(phrase.nonEmpty && phrase.forall(t => !t.contains("'") && !t.contains(" ")))
+    val n = phrase.length
+    val p = phrase.mkString(" ")
+    Tables
+      .documents(spark, dir)
+      .withColumn("w", toks)
+      // the size guard both skips short docs and keeps sequence() ascending
+      // (Spark's sequence(1, 0) is a DESCENDING ramp, not empty)
+      .where(expr(
+        s"size(w) >= $n AND exists(sequence(1, size(w) - ${n - 1}), i -> array_join(slice(w, i, $n), ' ') = '$p')"
+      ))
+      .select("doc_id")
+      .orderBy("doc_id")
   }
 }

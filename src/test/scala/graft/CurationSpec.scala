@@ -278,4 +278,21 @@ class CurationSpec extends SparkSpec {
     }
     assert(spans.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= Curation.PackBudget))
   }
+
+  test("p5: a true permutation, deterministic across runs, matching a local md5 replay") {
+    val a = Curation.shuffleOrder(spark, sf0001).collect().map(r => (r.getLong(0), r.getLong(1)))
+    // positions are exactly 0..n−1, each id exactly once
+    assert(a.map(_._1).sorted.toSeq == (0L until a.length.toLong))
+    assert(a.map(_._2).distinct.length == a.length)
+    // retry/rerun stability — the property rand() cannot give
+    val b = Curation.shuffleOrder(spark, sf0001).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSeq == b.toSeq)
+    // the order is the md5 order, replayed test-side
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = a.map(_._2).sortBy(id => (md5hex(id.toString), id)).toSeq
+    assert(a.sortBy(_._1).map(_._2).toSeq == expect)
+    // and it actually shuffles: not the identity order
+    assert(a.sortBy(_._1).map(_._2).toSeq != a.map(_._2).sorted.toSeq)
+  }
 }

@@ -44,4 +44,46 @@ class ProfileSpec extends SparkSpec {
     assert(rows("event_type")._3 == 5L)
     assert(rows.keySet == Set("event_id", "ts", "user_id", "event_type", "value", "props"))
   }
+
+  test("dq2 on real documents: doc_id unique, text dup count consistent with q8") {
+    val rows = Profile
+      .profileDocuments(spark, sf0001)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rows.keySet == Set("doc_id", "text", "lang", "source", "n_chars"))
+    val (n, nnId, ndId) = rows("doc_id")
+    assert(nnId == n && ndId == n)
+    // the profile's text distinct-count restates q8's exact-dup diagnosis:
+    // n_rows − n_distinct(text) IS the dup_rows the dedup op reports
+    val dupRows = graft.operators.CoreQueries.q8DedupExact(spark, sf0001).head().getLong(0)
+    assert(n - rows("text")._3 == dupRows)
+  }
+
+  test("d17: size classes are exact binary-length buckets; counts partition the corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sizehist").toString
+    // boundary pairs around powers of two — the values a float log2 could
+    // misbucket: 1→1, 2,3→2, 4,7→3, 8→4, 1024→11
+    Seq(
+      (1L, "x", "en", "a", 1L),
+      (2L, "x", "en", "a", 2L),
+      (3L, "x", "en", "a", 3L),
+      (4L, "x", "en", "a", 4L),
+      (5L, "x", "en", "a", 7L),
+      (6L, "x", "en", "b", 8L),
+      (7L, "x", "en", "b", 1024L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Profile
+      .sizeHistogram(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(("a", 1L) -> 1L, ("a", 2L) -> 2L, ("a", 3L) -> 2L, ("b", 4L) -> 1L, ("b", 11L) -> 1L))
+    // real corpus: histogram mass equals the corpus
+    val real  = Profile.sizeHistogram(spark, sf0001).collect()
+    val total = graft.sources.Tables.documents(spark, sf0001).count()
+    assert(real.map(_.getLong(2)).sum == total)
+  }
 }

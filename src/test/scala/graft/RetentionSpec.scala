@@ -45,6 +45,34 @@ class RetentionSpec extends SparkSpec {
     )
   }
 
+  test("w7: rolling window spans gaps, cuts at the last observed day, and counts distinct once") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rolling").toString
+    Seq(
+      (1L, 1L, "click", ts("2024-01-01 01:00:00")),
+      (2L, 2L, "view", ts("2024-01-01 02:00:00")),
+      (3L, 1L, "click", ts("2024-01-02 03:00:00")),
+      (4L, 1L, "click", ts("2024-01-02 04:00:00")), // same user+day twice → once
+      (5L, 3L, "click", ts("2024-01-10 05:00:00"))  // after an 8-day gap
+    ).toDF("event_id", "user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Retention
+      .rollingActiveUsers(spark, dir)
+      .collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got("2024-01-01") == ((2L, 2L)))
+    assert(got("2024-01-02") == ((1L, 2L)))
+    // gap days are still window anchors while served by trailing activity…
+    (3 to 7).foreach(d => assert(got(f"2024-01-0$d%d") == ((0L, 2L)), s"day $d"))
+    assert(got("2024-01-08") == ((0L, 1L))) // 01-01 aged out, only 01-02's user
+    // …but an anchor served by nothing is absent, and the curve cuts at max(day)
+    assert(!got.contains("2024-01-09"))
+    assert(got("2024-01-10") == ((1L, 1L)))
+    assert(!got.contains("2024-01-11"))
+    assert(got.size == 9)
+  }
+
   test("u1: offset-0 dominates every later offset per cohort (real corpus)") {
     val rows = Retention
       .retentionCohorts(spark, sf0001)

@@ -93,6 +93,18 @@ class SimilaritySpec extends SparkSpec {
     assert((kept & short).isEmpty)
   }
 
+  test("c2: stage counts form a monotone funnel that matches independent recounts") {
+    val Array(row) = graft.operators.Pipeline.stageCounts(spark, sf0001).collect()
+    val (nRaw, nQuality, nLang, nClean) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    assert(nRaw >= nQuality && nQuality >= nLang && nLang >= nClean)
+    assert(nRaw == graft.sources.Tables.documents(spark, sf0001).count())
+    // n_clean must equal the pipeline it reports on — not approximately
+    assert(nClean == graft.operators.Pipeline.cleanCorpus(spark, sf0001).count())
+    // every stage actually filters on this corpus, or the report is vacuous
+    assert(nRaw > nQuality && nLang > nClean)
+  }
+
   test("s2 lsh is a plausible approximation of s1 (recall >= 3/10)") {
     val exact = Similarity.annBruteForce(spark, sf0001).collect().map(_.getLong(1)).toSet
     val appr  = Similarity.annLsh(spark, sf0001).collect().map(_.getLong(1)).toSet

@@ -272,6 +272,35 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("t3: phrase match requires adjacency AND order; boundaries and short docs behave") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_phrase").toString
+    Seq(
+      (1L, "part filter runs fast", "en", "t", 1L),   // phrase at start
+      (2L, "we push part filter", "en", "t", 1L),     // phrase at end
+      (3L, "part of the filter", "en", "t", 1L),      // terms present, NOT adjacent
+      (4L, "filter part", "en", "t", 1L),             // adjacent, WRONG order
+      (5L, "part", "en", "t", 1L),                    // shorter than the phrase
+      (6L, "partition filtering", "en", "t", 1L),     // substrings must not match tokens
+      (7L, "a part filter b part filter c", "en", "t", 1L) // repeated → one row
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.phraseSearch(spark, dir).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 2L, 7L))
+  }
+
+  test("t3: on the real corpus, phrase matches are a subset of the AND-match set") {
+    val phraseDocs = TextAnalysis.phraseSearch(spark, sf0001).collect().map(_.getLong(0)).toSet
+    val andDocs = TextAnalysis
+      .keywordSearch(spark, sf0001, TextAnalysis.PhraseTerms)
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(phraseDocs.nonEmpty, "fixture corpus must contain the default phrase")
+    assert(phraseDocs.subsetOf(andDocs))
+    assert((andDocs -- phraseDocs).nonEmpty, "adjacency must actually constrain beyond AND-match")
+  }
+
   /** Reference Levenshtein (classic DP) — test-side ground truth, so the
     * superset check does not depend on the engine under test.
     */
