@@ -123,7 +123,8 @@ object SparkEntry {
     "t3_phrase_search"      -> ((s: SparkSession, d: String) => TextAnalysis.phraseSearch(s, d)),
     "w7_rolling_active_users" -> ((s: SparkSession, d: String) => Retention.rollingActiveUsers(s, d)),
     "d17_size_histogram"      -> (Profile.sizeHistogram _),
-    "c2_stage_counts"         -> ((s: SparkSession, d: String) => Pipeline.stageCounts(s, d))
+    "c2_stage_counts"         -> ((s: SparkSession, d: String) => Pipeline.stageCounts(s, d)),
+    "q30_value_band_join"     -> (CoreQueries.q30ValueBandJoin _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -642,7 +643,15 @@ object SparkEntry {
     // exact where a float log2 could round differently at powers of two.
     "d17_size_histogram" ->
       ("SELECT source, length(bin(n_chars))::BIGINT AS size_class, COUNT(*) AS n_docs " +
-        "FROM documents GROUP BY source, size_class ORDER BY source, size_class")
+        "FROM documents GROUP BY source, size_class ORDER BY source, size_class"),
+    // q30's oracle joins on the range predicate alone — the Spark side's
+    // bucketing must be invisible in the answer (pure candidate routing).
+    "q30_value_band_join" -> {
+      val vals = CoreQueries.ValueBands.map { case (b, lo, hi) => s"('$b', $lo, $hi)" }.mkString(", ")
+      (s"WITH bands(band, lo, hi) AS (VALUES $vals) " +
+        "SELECT band, COUNT(*) AS cnt FROM events e JOIN bands b " +
+        "ON e.value >= b.lo AND e.value < b.hi GROUP BY band ORDER BY band")
+    }
     // n3_simhash_pairs, s2_ann_lsh, s4_ann_ivf, s6_ann_ivf_partitioned,
     // s9_ann_ivf_quantized (spec-pinned ≡ s6),
     // x3_approx_percentiles, x4_approx_top_users, x5_approx_distinct_rollup:

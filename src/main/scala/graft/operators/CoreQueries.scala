@@ -681,6 +681,57 @@ object CoreQueries {
         count(lit(1)).as("cnt")
       )
 
+  /** Value bands for [[q30ValueBandJoin]] — a rate-card-style dimension
+    * with a deliberate overlap ("all") so the operator is a real JOIN (an
+    * event can match several bands), not a disguised CASE expression.
+    */
+  val ValueBands: Seq[(String, Long, Long)] = Seq(
+    ("tiny", 0L, 10L),
+    ("small", 10L, 50L),
+    ("mid", 50L, 150L),
+    ("large", 150L, 300L),
+    ("huge", 300L, 1000L),
+    ("all", 0L, 1000L)
+  )
+
+  /** Q30 — numeric range-band join: count events per value band where
+    * membership is `lo ≤ value < hi` — the rate-card/SLA-tier lookup shape.
+    *
+    * A direct `value BETWEEN lo AND hi` join is non-equi ⇒ nested-loop:
+    * every event compared against every band. Instead each band EXPLODES
+    * into the fixed-width buckets it covers and the join becomes an
+    * EQUI-join on `bucket = floor(value / width)` with the range predicate
+    * left as a residual — a hash probe against only the 1–2 bands sharing
+    * the event's bucket. With this 6-row dimension both plans would
+    * broadcast, but the equi form probes a hash map (BroadcastHashJoin,
+    * plan-asserted) instead of scanning the band list per event, and it is
+    * the construction that survives when the band table is itself large
+    * (same family as a2's banded interval join). Bucketing only routes
+    * candidate pairs — the residual decides membership — so the float
+    * `floor` never has to agree with the oracle, which joins on the range
+    * predicate alone.
+    */
+  def q30ValueBandJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val width = 64L
+    val bands = ValueBands
+      .toDF("band", "lo", "hi")
+      .select(
+        col("band"),
+        col("lo"),
+        col("hi"),
+        explode(expr(s"sequence(lo div $width, hi div $width)")).as("bucket")
+      )
+    Tables
+      .events(spark, dir)
+      .select(col("value"), floor(col("value") / width).cast("long").as("bucket"))
+      .join(broadcast(bands), "bucket")
+      .where(col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("band")
+  }
+
   /** W6 — gap-filled hourly resampling: counts per (hour, event_type) over
     * the table's full observed range, with ABSENT cells emitted as 0 — the
     * regularized series a dashboard or anomaly detector consumes (a plain

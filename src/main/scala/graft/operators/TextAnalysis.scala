@@ -507,27 +507,27 @@ object TextAnalysis {
     * "part … filter" from "part filter"; this can. The last member of the
     * retrieval trio (t1 boolean, t2 ranked, t3 positional).
     *
-    * Scale shape: a single NARROW pass — `exists` over the token windows
-    * short-circuits per row inside codegen, no Generate blows the corpus up
-    * into shingle rows and nothing shuffles at all (the output sort is the
-    * only exchange, over matching ids). At 100 TB this is a pure scan
-    * problem and the plan is a pure scan; the inverted-index alternative
-    * (position-aware postings) only pays once a *repeated-query* service
-    * amortizes the index build, which is [[Tables]]-layout territory, not a
-    * one-shot operator's.
+    * Scale shape: a single NARROW pass — token-adjacency on a single-space
+    * tokenized corpus is EXACTLY substring containment of the padded
+    * phrase in the padded text (` text ` ⊇ ` part filter `), so the
+    * predicate is one codegen'd `contains` per row: no per-window
+    * `slice`+`array_join` string building (an earlier form paid
+    * O(tokens × n) allocations per document — 5× slower at sf0.1), no
+    * Generate, nothing shuffles (the output sort carries only matching
+    * ids). At 100 TB this is a pure scan problem and the plan is a pure
+    * scan; the inverted-index alternative (position-aware postings) only
+    * pays once a *repeated-query* service amortizes the index build. The
+    * padding equivalence assumes the tokenizer's own contract (single-space
+    * separation, the same assumption every `split(text, ' ')` operator
+    * here makes); the shingle-based oracle defines the semantics and would
+    * catch a corpus that violates it.
     */
   def phraseSearch(spark: SparkSession, dir: String, phrase: Seq[String] = PhraseTerms): DataFrame = {
     require(phrase.nonEmpty && phrase.forall(t => !t.contains("'") && !t.contains(" ")))
-    val n = phrase.length
     val p = phrase.mkString(" ")
     Tables
       .documents(spark, dir)
-      .withColumn("w", toks)
-      // the size guard both skips short docs and keeps sequence() ascending
-      // (Spark's sequence(1, 0) is a DESCENDING ramp, not empty)
-      .where(expr(
-        s"size(w) >= $n AND exists(sequence(1, size(w) - ${n - 1}), i -> array_join(slice(w, i, $n), ' ') = '$p')"
-      ))
+      .where(concat(lit(" "), col("text"), lit(" ")).contains(s" $p "))
       .select("doc_id")
       .orderBy("doc_id")
   }

@@ -209,4 +209,27 @@ class CoreQueriesSpec extends SparkSpec {
     val rows = CoreQueries.q28AboveNationAvg(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(rows.toSeq == Seq((13L, 30000L)))
   }
+
+  test("q30: banded equi-join counts match the range semantics, overlap included") {
+    val got = CoreQueries
+      .q30ValueBandJoin(spark, sf0001)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val total = graft.sources.Tables.events(spark, sf0001).count()
+    // "all" overlaps the five disjoint bands: it must count every event,
+    // and the disjoint bands must partition the same total — both facts
+    // fail if bucketing drops or duplicates a candidate pair
+    assert(got("all") == total)
+    assert(Seq("tiny", "small", "mid", "large", "huge").map(got).sum == total)
+    // boundary rule is lo ≤ v < hi: replay locally on the raw values
+    val values = graft.sources.Tables
+      .events(spark, sf0001)
+      .select("value")
+      .collect()
+      .map(_.getDouble(0))
+    CoreQueries.ValueBands.foreach { case (band, lo, hi) =>
+      assert(got(band) == values.count(v => v >= lo && v < hi).toLong, band)
+    }
+  }
 }

@@ -40,6 +40,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q30's band join is an equi hash probe, not a nested loop") {
+    val plan = executedPlan(CoreQueries.q30ValueBandJoin(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q2/q3 read only the columns they need") {
     val plan = executedPlan(CoreQueries.q3FilterCount(spark, sf0001))
     // count + filter on event_type must not drag the whole 6-column schema
