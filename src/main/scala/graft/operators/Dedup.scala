@@ -375,7 +375,10 @@ object Dedup {
     */
   def incrementalNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val all = Tables.documents(spark, dir)
-    val k   = all.agg(expr("(max(doc_id) + 1) div 2").as("k")).head().getLong(0)
+    // coalesce: max(doc_id) is NULL on an empty corpus — k=0 then makes
+    // both halves empty and the operator degrades to an empty pair set
+    // instead of throwing on the null scalar
+    val k = all.agg(expr("coalesce((max(doc_id) + 1) div 2, 0)").as("k")).head().getLong(0)
     val layout        = minhashIndexCache(spark, dir, k)
     val corpusSets    = spark.read.parquet(s"$layout/docsets.parquet")
     val corpusBuckets = spark.read.parquet(s"$layout/buckets.parquet")

@@ -208,6 +208,29 @@ class RobustnessSpec extends SparkSpec {
     assert(graft.streaming.EventStream.hoppingCountsBatch(spark, dir).collect().isEmpty)
   }
 
+  test("every registered query degrades on an ALL-empty dataset — throws are an explicit, documented set") {
+    val dir = Files.createTempDirectory("graft_allempty").toString
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+      "events", "documents", "embeddings").foreach { t =>
+      spark.read
+        .parquet(s"$sf0001/$t.parquet")
+        .limit(0)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    // Layout-building ops that legitimately cannot produce their derived
+    // layout from zero rows (an empty partitioned/clustered write leaves
+    // nothing to re-read). At 100 TB "the corpus is empty" is an upstream
+    // failure these should fail LOUDLY on, not mask — so they stay throws.
+    val exempt = Set("p1_partitioned_time_count", "q23_bucketed_star", "s4_ann_ivf",
+      "s6_ann_ivf_partitioned", "s9_ann_ivf_quantized")
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, dir).collect(); None }
+      catch { case e: Throwable => Some(name -> e.toString.takeWhile(_ != '\n')) }
+    }
+    val unexpected = failures.filterNot { case (n, _) => exempt(n) }
+    assert(unexpected.isEmpty, s"unexpected empty-input failures: $unexpected")
+  }
+
   test("config-driven Runner: properties file selects data dir + queries, results land as parquet") {
     val out = Files.createTempDirectory("graft_runout").toString
     val cfg = Files.createTempDirectory("graft_cfg").resolve("run.conf")
