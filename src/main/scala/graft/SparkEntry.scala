@@ -124,7 +124,10 @@ object SparkEntry {
     "w7_rolling_active_users" -> ((s: SparkSession, d: String) => Retention.rollingActiveUsers(s, d)),
     "d17_size_histogram"      -> (Profile.sizeHistogram _),
     "c2_stage_counts"         -> ((s: SparkSession, d: String) => Pipeline.stageCounts(s, d)),
-    "q30_value_band_join"     -> (CoreQueries.q30ValueBandJoin _)
+    "q30_value_band_join"     -> (CoreQueries.q30ValueBandJoin _),
+    "w8_event_transitions"    -> (CoreQueries.w8EventTransitions _),
+    "d18_source_lang_mix"     -> (TextAnalysis.sourceLangMix _),
+    "dq3_profile_events_approx" -> (Profile.profileEventsApprox _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -651,9 +654,25 @@ object SparkEntry {
       (s"WITH bands(band, lo, hi) AS (VALUES $vals) " +
         "SELECT band, COUNT(*) AS cnt FROM events e JOIN bands b " +
         "ON e.value >= b.lo AND e.value < b.hi GROUP BY band ORDER BY band")
-    }
+    },
+    // w8: the (ts, event_id) double ordering makes the lag deterministic on
+    // same-instant events in both engines.
+    "w8_event_transitions" ->
+      ("WITH x AS (SELECT user_id, event_type, " +
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events) " +
+        "SELECT prev_type, event_type, COUNT(*) AS cnt FROM x WHERE prev_type IS NOT NULL " +
+        "GROUP BY prev_type, event_type ORDER BY prev_type, event_type"),
+    "d18_source_lang_mix" ->
+      ("WITH scored AS (SELECT doc_id, source, " + langScoreSql + " FROM documents) " +
+        "SELECT source, CASE " +
+        "WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en' " +
+        "WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de' " +
+        "WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr' " +
+        "WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS lang_pred, " +
+        "COUNT(*) AS n_docs FROM scored GROUP BY source, lang_pred ORDER BY source, lang_pred")
     // n3_simhash_pairs, s2_ann_lsh, s4_ann_ivf, s6_ann_ivf_partitioned,
-    // s9_ann_ivf_quantized (spec-pinned ≡ s6),
+    // s9_ann_ivf_quantized (spec-pinned ≡ s6), dq3_profile_events_approx
+    // (spec-bounded within 5% of dq1's exact profile),
     // x3_approx_percentiles, x4_approx_top_users, x5_approx_distinct_rollup:
     // outputs depend on engine-internal hashing / plane seeds / quantizer /
     // sketch state — no SQL oracle; covered by DedupSpec / SimilaritySpec /

@@ -732,6 +732,31 @@ object CoreQueries {
       .orderBy("band")
   }
 
+  /** W8 — event-transition matrix: counts of consecutive (prev_type →
+    * event_type) pairs per user journey — the Markov-chain summary behind
+    * "what do users do right after signup". Consecutiveness is defined
+    * per user in (ts, event_id) order; `event_id` breaks timestamp ties so
+    * both engines see ONE deterministic sequence (a bare ts ordering would
+    * make the lag nondeterministic on same-instant events).
+    *
+    * One window shuffle on `user_id` (each user's journey sorts within its
+    * partition — no global order), then a ~|types|² groupBy that collapses
+    * map-side. First events (lag = NULL) are excluded: they have no
+    * transition, and emitting a synthetic "start" state is the consumer's
+    * modeling choice, not the operator's.
+    */
+  def w8EventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("prev_type", "event_type")
+  }
+
   /** W6 — gap-filled hourly resampling: counts per (hour, event_type) over
     * the table's full observed range, with ABSENT cells emitted as 0 — the
     * regularized series a dashboard or anomaly detector consumes (a plain

@@ -64,6 +64,46 @@ object Profile {
   def profileDocuments(spark: SparkSession, dir: String): DataFrame =
     profile(Tables.documents(spark, dir))
 
+  /** DQ3 — [[profile]]'s 100 TB form: `approx_count_distinct` (HLL++)
+    * instead of exact COUNT(DISTINCT). The exact form plans a Catalyst
+    * Expand — one duplicated input stream per distinct aggregate, so
+    * profiling k columns exactly re-streams the table k times through the
+    * exchange; HLL sketches are mergeable partial aggregates, so all k
+    * ride ONE pass with no Expand and the shuffle carries fixed-size
+    * sketch bytes. dq1/dq2 stay the exact oracle rungs at test scale; this
+    * is the rung a 100 TB table actually runs (same rsd=0.02 the x1
+    * operator pins). No SQL oracle — sketch state is engine-internal — so
+    * its gate is the spec bound against the exact twin.
+    */
+  def profileApprox(df: DataFrame): DataFrame = {
+    def strLit(s: String) = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    def ident(s: String)  = "`" + s.replace("`", "``") + "`"
+    val cols = df.columns.toSeq
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(ident(c))).as(s"__nn_$c"),
+        approx_count_distinct(col(ident(c)), 0.02).as(s"__nd_$c")
+      )
+    } :+ count(lit(1)).as("__n")
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols
+      .map(c => s"${strLit(c)}, ${ident(s"__nn_$c")}, ${ident(s"__nd_$c")}")
+      .mkString(", ")
+    wide
+      .select(
+        expr(s"stack(${cols.length}, $stackArgs) as (col_name, n_nonnull, n_distinct_approx)"),
+        col("__n").as("n_rows")
+      )
+      .select("col_name", "n_rows", "n_nonnull", "n_distinct_approx")
+      .orderBy("col_name")
+  }
+
+  /** The registered dq3 surface: approx profile of `events` (raw, like dq1
+    * — same ns-precision distinct semantics to bound against).
+    */
+  def profileEventsApprox(spark: SparkSession, dir: String): DataFrame =
+    profileApprox(Tables.eventsRaw(spark, dir))
+
   /** D17 — log₂-bucketed document-size histogram per source `(source,
     * size_class, n_docs)`: the shape report behind length-based curation
     * decisions (a source whose mass sits in 2⁴-char docs is boilerplate; a

@@ -531,4 +531,22 @@ object TextAnalysis {
       .select("doc_id")
       .orderBy("doc_id")
   }
+
+  /** D18 — language mix per source `(source, lang_pred, n_docs)`: the
+    * composition matrix a mixture designer reads before setting [[Curation
+    * .mixtureSample]] rates (a "web" source that is 40% predicted-zh is a
+    * different mixing decision than a 99%-en one). PREDICTED language
+    * ([[langPredCol]], same single definition d3 and c1 filter on), not the
+    * table's `lang` column — the report must describe what the pipeline's
+    * own classifier will act on. One fused narrow projection + a
+    * sources×languages groupBy that collapses map-side; no join, no second
+    * scan.
+    */
+  def sourceLangMix(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("source"), langPredCol.as("lang_pred"))
+      .groupBy("source", "lang_pred")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "lang_pred")
 }

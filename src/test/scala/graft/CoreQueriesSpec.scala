@@ -210,6 +210,40 @@ class CoreQueriesSpec extends SparkSpec {
     assert(rows.toSeq == Seq((13L, 30000L)))
   }
 
+  test("w8: transitions follow per-user (ts, event_id) order; ties and singletons behave") {
+    import spark.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft_w8").toString
+    Seq(
+      // u1: signup → click → click → purchase
+      (1L, 1L, "signup", ts("2024-01-01 00:00:00")),
+      (2L, 1L, "click", ts("2024-01-01 01:00:00")),
+      (3L, 1L, "click", ts("2024-01-01 02:00:00")),
+      (4L, 1L, "purchase", ts("2024-01-01 03:00:00")),
+      // u2: two events at the SAME instant — event_id must break the tie
+      // (5 before 6), so the one transition is view → click, never reversed
+      (5L, 2L, "view", ts("2024-01-01 00:00:00")),
+      (6L, 2L, "click", ts("2024-01-01 00:00:00")),
+      // u3: a single event has no transition
+      (7L, 3L, "signup", ts("2024-01-01 00:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = CoreQueries
+      .w8EventTransitions(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(
+      got == Map(
+        ("signup", "click") -> 1L,
+        ("click", "click") -> 1L,
+        ("click", "purchase") -> 1L,
+        ("view", "click") -> 1L
+      )
+    )
+    // no cross-user transition: u1's purchase never chains into u2/u3
+  }
+
   test("q30: banded equi-join counts match the range semantics, overlap included") {
     val got = CoreQueries
       .q30ValueBandJoin(spark, sf0001)

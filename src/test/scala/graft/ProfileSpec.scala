@@ -60,6 +60,26 @@ class ProfileSpec extends SparkSpec {
     assert(n - rows("text")._3 == dupRows)
   }
 
+  test("dq3: approx profile keeps counts exact and lands distincts within 5% of dq1") {
+    val exact = Profile
+      .profileEvents(spark, sf0001)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val approx = Profile
+      .profileEventsApprox(spark, sf0001)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (c, (n, nn, ndApprox)) =>
+      val (en, enn, end) = exact(c)
+      // row and non-null counts are NOT sketched — they must be identical
+      assert(n == en && nn == enn, c)
+      assert(math.abs(ndApprox - end) <= math.max(1L, (end * 0.05).toLong), s"$c: $ndApprox vs $end")
+    }
+  }
+
   test("d17: size classes are exact binary-length buckets; counts partition the corpus") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_sizehist").toString

@@ -289,6 +289,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Seq(1L, 2L, 7L))
   }
 
+  test("d18: mix matrix is d3's predictions regrouped by source — same classifier, same counts") {
+    import org.apache.spark.sql.functions.col
+    val mix = TextAnalysis
+      .sourceLangMix(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // recount from d3's per-doc predictions joined to the source column —
+    // an independent path to the same matrix
+    val preds = TextAnalysis
+      .langId(spark, sf0001)
+      .select("doc_id", "lang_pred")
+      .join(graft.sources.Tables.documents(spark, sf0001).select("doc_id", "source"), "doc_id")
+      .collect()
+      .map(r => (r.getString(2), r.getString(1)))
+    val recount = preds.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    assert(mix == recount)
+    assert(mix.values.sum == graft.sources.Tables.documents(spark, sf0001).count())
+  }
+
   test("t3: on the real corpus, phrase matches are a subset of the AND-match set") {
     val phraseDocs = TextAnalysis.phraseSearch(spark, sf0001).collect().map(_.getLong(0)).toSet
     val andDocs = TextAnalysis
