@@ -193,7 +193,11 @@ object ScaleRehearsal {
       "s9_ann_ivf_quantized",
       // round 6: cluster materialization + the new analytics/curation ops
       "n6_dup_clusters", "n8_redact_shared_spans", "n9_cluster_keep",
-      "u1_retention_cohorts", "p4_pack_spans", "t2_tfidf_rank", "s10_norm_stats"
+      "u1_retention_cohorts", "p4_pack_spans", "t2_tfidf_rank", "s10_norm_stats",
+      "t3_phrase_search", "p5_shuffle_order", "q30_value_band_join",
+      "w7_rolling_active_users", "w8_event_transitions", "d17_size_histogram",
+      "d18_source_lang_mix", "dq2_profile_documents", "dq3_profile_events_approx",
+      "c2_stage_counts", "v1_bpe_merges", "v2_bpe_token_count"
     )
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
     headline.foreach { name =>

@@ -127,7 +127,9 @@ object SparkEntry {
     "q30_value_band_join"     -> (CoreQueries.q30ValueBandJoin _),
     "w8_event_transitions"    -> (CoreQueries.w8EventTransitions _),
     "d18_source_lang_mix"     -> (TextAnalysis.sourceLangMix _),
-    "dq3_profile_events_approx" -> (Profile.profileEventsApprox _)
+    "dq3_profile_events_approx" -> (Profile.profileEventsApprox _),
+    "v1_bpe_merges"             -> ((s: SparkSession, d: String) => Bpe.bpeMerges(s, d)),
+    "v2_bpe_token_count"        -> ((s: SparkSession, d: String) => Bpe.bpeTokenCount(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -672,7 +674,9 @@ object SparkEntry {
         "COUNT(*) AS n_docs FROM scored GROUP BY source, lang_pred ORDER BY source, lang_pred")
     // n3_simhash_pairs, s2_ann_lsh, s4_ann_ivf, s6_ann_ivf_partitioned,
     // s9_ann_ivf_quantized (spec-pinned ≡ s6), dq3_profile_events_approx
-    // (spec-bounded within 5% of dq1's exact profile),
+    // (spec-bounded within 5% of dq1's exact profile), v1_bpe_merges
+    // (iterative — no SQL form; BpeSpec replays an independent reference
+    // implementation),
     // x3_approx_percentiles, x4_approx_top_users, x5_approx_distinct_rollup:
     // outputs depend on engine-internal hashing / plane seeds / quantizer /
     // sketch state — no SQL oracle; covered by DedupSpec / SimilaritySpec /

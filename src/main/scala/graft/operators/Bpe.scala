@@ -1,0 +1,155 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding vocabulary induction over the corpus — the tokenizer
+  * -training step of an LLM data pipeline (d6's regex is a BPE-*shaped*
+  * counter; this LEARNS the merges). Classic algorithm: start from
+  * characters, repeatedly merge the most frequent adjacent symbol pair.
+  *
+  * The 100 TB shape is decided in step one: the corpus collapses to the
+  * `(word, freq)` VOCABULARY — the only corpus-wide operation — and every
+  * merge iteration runs on that vocabulary frame, whose size is bounded by
+  * distinct words, not corpus tokens (the same corpus→vocab collapse f1
+  * rides). Each iteration is one explode+groupBy over the vocab plus a
+  * 1-row argmax to the driver; the vocab's symbol arrays are rewritten by a
+  * narrow fold and `localCheckpoint` truncates the growing lineage (the
+  * frame is tiny — vocab rows × symbols). Nothing in the loop ever touches
+  * the corpus again.
+  */
+object Bpe {
+
+  /** Default number of merges — small enough to keep the registered query
+    * sub-second, large enough that late merges build on earlier ones.
+    */
+  val DefaultMerges = 20
+
+  /** Greedy left-to-right application of ONE merge rule (l, r) to a symbol
+    * array: scan the array once, replacing each non-overlapping adjacent
+    * (l, r) with l+r — exactly the textbook BPE apply step ("aaa" under
+    * (a,a) → ["aa","a"], never ["a","aa"] or a cascade). Expressed as a
+    * Catalyst `aggregate` fold so it stays a narrow in-plan expression:
+    * append x unless the accumulator's last element is `l` AND x is `r`
+    * AND that last element was not itself just produced by this rule
+    * (tracked by carrying the previous raw symbol alongside).
+    */
+  private def applyMerge(s: Column, l: String, r: String): Column = {
+    // acc: struct(out: array<string>, justMerged: boolean). justMerged
+    // guards the overlap case l == r ("aaa": after [aa], the trailing "a"
+    // must NOT see last==l and fuse again into "aaa").
+    val zero = struct(
+      array().cast("array<string>").as("out"),
+      lit(false).as("justMerged")
+    )
+    val step = (acc: Column, x: Column) => {
+      val out = acc.getField("out")
+      // size guard FIRST: && short-circuits left-to-right in codegen, and
+      // element_at(out, -1) on an empty array is an ANSI error
+      val canMerge = size(out) > 0 && !acc.getField("justMerged") &&
+        element_at(out, -1) === lit(l) && x === lit(r)
+      when(
+        canMerge,
+        struct(
+          concat(slice(out, lit(1), size(out) - 1), array(lit(l + r))).as("out"),
+          lit(true).as("justMerged")
+        )
+      ).otherwise(
+        struct(concat(out, array(x)).as("out"), lit(false).as("justMerged"))
+      )
+    }
+    aggregate(s, zero, step, acc => acc.getField("out"))
+  }
+
+  /** The corpus collapsed to `(word, freq, s)` where `s` is the word split
+    * into single-character symbols — the frame every merge iteration runs
+    * on.
+    */
+  private[graft] def vocabFrame(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"))
+      // char split can emit a trailing "" (Java split semantics at limit
+      // -1); an empty symbol would fabricate pairs — strip it
+      .withColumn("s", expr("filter(split(word, ''), x -> x != '')"))
+
+  /** V1 — the learned merge table `(merge_rank, left, right, pair_cnt)`:
+    * rank-k row is the k-th most frequent adjacent pair at the time it was
+    * merged (corpus-frequency-weighted), ties broken by (left, right)
+    * lexicographic order so the table is deterministic. No SQL oracle — the
+    * computation is iterative — so its gate is BpeSpec's replay against an
+    * independent reference implementation.
+    */
+  /** The induction loop itself: returns the merge table AND the vocabulary
+    * in its final segmented state (each word as its post-merge symbols) —
+    * [[bpeMerges]] publishes the former, [[bpeTokenCount]] consumes the
+    * latter.
+    */
+  private def learn(
+      spark: SparkSession,
+      dir: String,
+      numMerges: Int
+  ): (Seq[(Int, String, String, Long)], DataFrame) = {
+    var vocab  = vocabFrame(spark, dir).localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var k      = 0
+    var done   = false
+    while (k < numMerges && !done) {
+      val top = vocab
+        // single-symbol words have no pairs — and sequence(1, 0) is a
+        // DESCENDING ramp, not empty, so they must not reach the transform
+        .where(size(col("s")) >= 2)
+        .select(
+          col("freq"),
+          explode(expr("transform(sequence(1, size(s) - 1), i -> struct(s[i-1] AS l, s[i] AS r))")).as("p")
+        )
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .head(1)
+      if (top.isEmpty) done = true // every word is a single symbol
+      else {
+        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        k += 1
+        merges += ((k, l, r, cnt))
+        vocab = vocab.withColumn("s", applyMerge(col("s"), l, r)).localCheckpoint()
+      }
+    }
+    (merges.result(), vocab)
+  }
+
+  /** V1 — see object scaladoc; the registered merge-table surface. */
+  def bpeMerges(spark: SparkSession, dir: String, numMerges: Int = DefaultMerges): DataFrame = {
+    import spark.implicits._
+    learn(spark, dir, numMerges)._1
+      .toDF("merge_rank", "left", "right", "pair_cnt")
+      .select(col("merge_rank").cast("long"), col("left"), col("right"), col("pair_cnt"))
+      .orderBy("merge_rank")
+  }
+
+  /** V2 — per-document BPE token count under the learned vocabulary
+    * `(doc_id, n_bpe_tokens)`: the number the data loader actually budgets
+    * by (d1's whitespace count is the pre-tokenizer proxy). The corpus is
+    * NOT re-segmented word by word: the final vocabulary already carries
+    * each word's post-merge symbol count, so the corpus token stream
+    * equi-joins the BROADCAST `(word → n_subtokens)` table — vocabulary
+    * size is bounded and corpus-independent, the same broadcast-dimension
+    * shape as d8's benchmark index — and sums per document.
+    */
+  def bpeTokenCount(spark: SparkSession, dir: String, numMerges: Int = DefaultMerges): DataFrame = {
+    val perWord = learn(spark, dir, numMerges)._2
+      .select(col("word"), size(col("s")).cast("long").as("n_sub"))
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .join(broadcast(perWord), "word")
+      .groupBy("doc_id")
+      .agg(sum("n_sub").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,128 @@
+package graft
+
+import graft.operators.Bpe
+
+/** BPE merge induction against an independent test-side reference: same
+  * greedy argmax (corpus-frequency-weighted, (left, right) tie-break) and
+  * the same left-to-right non-overlapping apply step.
+  */
+class BpeSpec extends SparkSpec {
+
+  /** Reference BPE: plain-Scala replay, no Spark. */
+  private def referenceMerges(words: Seq[String], numMerges: Int): Seq[(Int, String, String, Long)] = {
+    var vocab = words
+      .filter(_.nonEmpty)
+      .groupBy(identity)
+      .map { case (w, ws) => (w.map(_.toString).toVector, ws.length.toLong) }
+      .toVector
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var k = 0
+    var stop = false
+    while (k < numMerges && !stop) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (s, f) =>
+        s.zip(s.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + f)
+      }
+      if (counts.isEmpty) stop = true
+      else {
+        val ((l, r), cnt) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        k += 1
+        out += ((k, l, r, cnt))
+        vocab = vocab.map { case (s, f) =>
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < s.length) {
+            if (i + 1 < s.length && s(i) == l && s(i + 1) == r) { b += (l + r); i += 2 }
+            else { b += s(i); i += 1 }
+          }
+          (b.result(), f)
+        }
+      }
+    }
+    out.result()
+  }
+
+  private def plantCorpus(texts: Seq[String]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "t", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("v1: merges replay the reference on a corpus with overlap and tie cases") {
+    // "aaaa" exercises the non-overlap rule ((aa)(aa), never a cascade);
+    // equal-count pairs exercise the lexicographic tie-break
+    val texts = Seq(
+      "aaaa aaaa banana banana banana",
+      "low lower lowest low low",
+      "aaaa banana low"
+    )
+    val words = texts.flatMap(_.split(" ").toSeq)
+    val expect = referenceMerges(words, 20)
+    val got = Bpe
+      .bpeMerges(spark, plantCorpus(texts), numMerges = 20)
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
+  test("v1: terminates early when every word is fully merged") {
+    val got = Bpe
+      .bpeMerges(spark, plantCorpus(Seq("ab ab ab")), numMerges = 50)
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)))
+      .toSeq
+    // one merge exhausts the corpus: after (a,b) → "ab", no pairs remain
+    assert(got == Seq(("a", "b")))
+  }
+
+  test("v2: per-doc token counts replay the reference segmentation") {
+    val texts = Seq("aaaa banana low", "banana banana", "lowest lower aaaa")
+    val dir = plantCorpus(texts)
+    val words = texts.flatMap(_.split(" ").toSeq)
+    val merges = referenceMerges(words, 20).map { case (_, l, r, _) => (l, r) }
+    // reference apply: segment each word under the merge list, in order
+    def segment(w: String): Long = {
+      var s = w.map(_.toString).toVector
+      merges.foreach { case (l, r) =>
+        val b = Vector.newBuilder[String]
+        var i = 0
+        while (i < s.length) {
+          if (i + 1 < s.length && s(i) == l && s(i + 1) == r) { b += (l + r); i += 2 }
+          else { b += s(i); i += 1 }
+        }
+        s = b.result()
+      }
+      s.length.toLong
+    }
+    val expect = texts.zipWithIndex.map { case (t, i) =>
+      i.toLong -> t.split(" ").filter(_.nonEmpty).map(segment).sum
+    }.toMap
+    val got = Bpe
+      .bpeTokenCount(spark, dir, numMerges = 20)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(got == expect)
+    // and BPE actually compresses: fewer tokens than characters, more than words
+    val chars = texts.map(_.replace(" ", "").length).sum.toLong
+    assert(got.values.sum < chars)
+    assert(got.values.sum >= texts.map(_.split(" ").length).sum.toLong)
+  }
+
+  test("v1: real-corpus merges are deterministic and build on earlier merges") {
+    val a = Bpe.bpeMerges(spark, sf0001, numMerges = 10).collect().map(_.toSeq).toSeq
+    val b = Bpe.bpeMerges(spark, sf0001, numMerges = 10).collect().map(_.toSeq).toSeq
+    assert(a == b)
+    assert(a.length == 10)
+    // at least one later merge consumes an earlier merge's output symbol —
+    // the "byte pair" actually grows
+    val produced = a.map(r => r(1).toString + r(2).toString).toSet
+    assert(a.exists(r => produced.contains(r(1).toString) || produced.contains(r(2).toString)))
+  }
+}
