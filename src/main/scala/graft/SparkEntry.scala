@@ -129,7 +129,9 @@ object SparkEntry {
     "d18_source_lang_mix"     -> (TextAnalysis.sourceLangMix _),
     "dq3_profile_events_approx" -> (Profile.profileEventsApprox _),
     "v1_bpe_merges"             -> ((s: SparkSession, d: String) => Bpe.bpeMerges(s, d)),
-    "v2_bpe_token_count"        -> ((s: SparkSession, d: String) => Bpe.bpeTokenCount(s, d))
+    "v2_bpe_token_count"        -> ((s: SparkSession, d: String) => Bpe.bpeTokenCount(s, d)),
+    "d19_dedup_rate_by_source"  -> (Profile.dedupRateBySource _),
+    "u2_new_vs_returning"       -> (Retention.newVsReturning _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -657,6 +659,15 @@ object SparkEntry {
         "SELECT band, COUNT(*) AS cnt FROM events e JOIN bands b " +
         "ON e.value >= b.lo AND e.value < b.hi GROUP BY band ORDER BY band")
     },
+    "d19_dedup_rate_by_source" ->
+      ("SELECT source, COUNT(*) AS n_docs, COUNT(*) - COUNT(DISTINCT md5(text)) AS n_exact_dups " +
+        "FROM documents GROUP BY source ORDER BY source"),
+    "u2_new_vs_returning" ->
+      ("WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
+        "f AS (SELECT user_id, MIN(day) AS d0 FROM d GROUP BY user_id) " +
+        "SELECT d.day, SUM(CASE WHEN d.day = f.d0 THEN 1 ELSE 0 END)::BIGINT AS n_new, " +
+        "SUM(CASE WHEN d.day <> f.d0 THEN 1 ELSE 0 END)::BIGINT AS n_returning " +
+        "FROM d JOIN f USING (user_id) GROUP BY d.day ORDER BY d.day"),
     // w8: the (ts, event_id) double ordering makes the lag deterministic on
     // same-instant events in both engines.
     "w8_event_transitions" ->

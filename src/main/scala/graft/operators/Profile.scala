@@ -120,4 +120,21 @@ object Profile {
       .groupBy(col("source"), length(bin(col("n_chars"))).cast("long").as("size_class"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("source", "size_class")
+
+  /** D19 — exact-duplicate rate per source `(source, n_docs, n_exact_dups)`:
+    * q8's corpus-wide dup diagnosis broken out by provenance — the number
+    * that tells a curation run WHICH feed is resubmitting content.
+    * Duplicate keys are md5 fingerprints (d4's definition), so the shuffle
+    * carries 16-byte hashes, never text; one partial-aggregable pass.
+    */
+  def dedupRateBySource(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("source"), md5(col("text")).as("fp"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dups")
+      )
+      .orderBy("source")
 }

@@ -70,6 +70,28 @@ object Retention {
     */
   val RollingWindowDays = 7
 
+  /** U2 — new vs returning daily actives `(day, n_new, n_returning)`:
+    * the growth-accounting split of w7's DAU (how much of today's traffic
+    * is acquisition vs retention). Rides u1's exact shape: ONE user_id
+    * shuffle collapses each user to (first day, distinct-day set) with
+    * calendar-bounded state, then the explode tags each (user, day) as new
+    * (day = cohort day) or returning and a conditional aggregation counts
+    * both sides — the log is scanned once and never re-joined.
+    */
+  def newVsReturning(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy("user_id")
+      .agg(min("day").as("d0"), collect_set("day").as("days"))
+      .select(col("d0"), explode(col("days")).as("day"))
+      .groupBy("day")
+      .agg(
+        sum(when(col("day") === col("d0"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("day") =!= col("d0"), 1L).otherwise(0L)).as("n_returning")
+      )
+      .orderBy("day")
+
   def rollingActiveUsers(spark: SparkSession, dir: String, windowDays: Int = RollingWindowDays): DataFrame = {
     val events = Tables.events(spark, dir)
     val dayUser = events

@@ -115,6 +115,25 @@ class BpeSpec extends SparkSpec {
     assert(got.values.sum >= texts.map(_.split(" ").length).sum.toLong)
   }
 
+  test("v1 property: merges replay the reference on random small corpora") {
+    import org.scalacheck.Gen
+    // tiny alphabet + short words force dense pair collisions and ties —
+    // the regime where argmax ordering and the apply step can diverge
+    val wordGen   = Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val corpusGen = Gen.chooseNum(3, 12).flatMap(n => Gen.listOfN(n, wordGen))
+    (0 until 6).foreach { seed =>
+      val words = corpusGen(Gen.Parameters.default, org.scalacheck.rng.Seed(seed.toLong)).get
+      val texts = words.grouped(4).map(_.mkString(" ")).toSeq
+      val expect = referenceMerges(texts.flatMap(_.split(" ").toSeq).filter(_.nonEmpty), 8)
+      val got = Bpe
+        .bpeMerges(spark, plantCorpus(texts), numMerges = 8)
+        .collect()
+        .map(r => (r.getLong(0).toInt, r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+      assert(got == expect, s"seed $seed corpus $words")
+    }
+  }
+
   test("v1: real-corpus merges are deterministic and build on earlier merges") {
     val a = Bpe.bpeMerges(spark, sf0001, numMerges = 10).collect().map(_.toSeq).toSeq
     val b = Bpe.bpeMerges(spark, sf0001, numMerges = 10).collect().map(_.toSeq).toSeq

@@ -80,6 +80,30 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("d19: planted dups land on the right source; the clean real corpus reports all zeros") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_duprate").toString
+    Seq(
+      (1L, "same text", "en", "feedA", 9L),
+      (2L, "same text", "en", "feedA", 9L), // dup within feedA
+      (3L, "same text", "en", "feedB", 9L), // same text in ANOTHER source is
+      (4L, "other", "en", "feedB", 5L),     //   NOT feedB's dup — rates are per source
+      (5L, "third third", "en", "feedC", 11L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Profile
+      .dedupRateBySource(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == Map("feedA" -> ((2L, 1L)), "feedB" -> ((2L, 0L)), "feedC" -> ((1L, 0L))))
+    // real corpus: no exact dups exist (near-dups only) — the report must
+    // say so for every source, and mass must reconcile
+    val real = Profile.dedupRateBySource(spark, sf001).collect()
+    assert(real.forall(_.getLong(2) == 0L))
+    assert(real.map(_.getLong(1)).sum == graft.sources.Tables.documents(spark, sf001).count())
+  }
+
   test("d17: size classes are exact binary-length buckets; counts partition the corpus") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_sizehist").toString

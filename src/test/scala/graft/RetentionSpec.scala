@@ -73,6 +73,29 @@ class RetentionSpec extends SparkSpec {
     assert(got.size == 9)
   }
 
+  test("u2: new/returning split reconciles with u1 cohorts and w7's daily actives") {
+    val rows = Retention
+      .newVsReturning(spark, sf0001)
+      .collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // n_new per day IS u1's offset-0 cohort size
+    val cohort0 = Retention
+      .retentionCohorts(spark, sf0001)
+      .collect()
+      .collect { case r if r.getLong(1) == 0L => r.getDate(0).toString -> r.getLong(2) }
+      .toMap
+    cohort0.foreach { case (d, n) => assert(rows(d)._1 == n, s"day $d new != cohort size") }
+    // new + returning = w7's n_users_1d on the days w7 reports activity
+    val dau = Retention
+      .rollingActiveUsers(spark, sf0001)
+      .collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1))
+      .toMap
+    rows.foreach { case (d, (nw, rt)) => assert(dau(d) == nw + rt, s"day $d DAU mismatch") }
+    assert(rows.values.exists(_._2 > 0L), "corpus must contain returning users")
+  }
+
   test("u1: offset-0 dominates every later offset per cohort (real corpus)") {
     val rows = Retention
       .retentionCohorts(spark, sf0001)
