@@ -46,6 +46,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("round-6 event reports prune their scans to the columns they use") {
+    // u1/u2: one aggregation pass — the events scan must read ONLY
+    // (ts, user_id); a full-width scan here would drag value/props through
+    // a 100 TB read
+    Seq(
+      graft.operators.Retention.retentionCohorts(spark, sf0001),
+      graft.operators.Retention.newVsReturning(spark, sf0001)
+    ).foreach { df =>
+      val plan = executedPlan(df)
+      assert(plan.contains("ReadSchema: struct<ts:bigint,user_id:bigint>"), plan)
+    }
+    // s10/d17: narrow profile scans
+    val s10 = executedPlan(graft.operators.Similarity.normStats(spark, sf0001))
+    assert(s10.contains("ReadSchema: struct<embedding:array<float>,label:int>"), s10)
+    val d17 = executedPlan(graft.operators.Profile.sizeHistogram(spark, sf0001))
+    assert(d17.contains("ReadSchema: struct<source:string,n_chars:bigint>"), d17)
+  }
+
+  test("t3 is a pure narrow scan: no Generate, one output-sort exchange") {
+    val plan = executedPlan(graft.operators.TextAnalysis.phraseSearch(spark, sf0001))
+    assert(!plan.contains("Generate"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(plan.sliding("Exchange".length).count(_ == "Exchange") == 1, plan)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
+  }
+
   test("q2/q3 read only the columns they need") {
     val plan = executedPlan(CoreQueries.q3FilterCount(spark, sf0001))
     // count + filter on event_type must not drag the whole 6-column schema
