@@ -131,7 +131,8 @@ object SparkEntry {
     "v1_bpe_merges"             -> ((s: SparkSession, d: String) => Bpe.bpeMerges(s, d)),
     "v2_bpe_token_count"        -> ((s: SparkSession, d: String) => Bpe.bpeTokenCount(s, d)),
     "d19_dedup_rate_by_source"  -> (Profile.dedupRateBySource _),
-    "u2_new_vs_returning"       -> (Retention.newVsReturning _)
+    "u2_new_vs_returning"       -> (Retention.newVsReturning _),
+    "a5_nearest_join"           -> (AsOf.purchaseNearestClick _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -662,6 +663,17 @@ object SparkEntry {
     "d19_dedup_rate_by_source" ->
       ("SELECT source, COUNT(*) AS n_docs, COUNT(*) - COUNT(DISTINCT md5(text)) AS n_exact_dups " +
         "FROM documents GROUP BY source ORDER BY source"),
+    // a5: correlated nearest-click per purchase; ORDER BY (|Δt|, direction,
+    // id) restates the backward-on-tie rule declaratively. µs arithmetic on
+    // both engines, like the other asof oracles.
+    "a5_nearest_join" ->
+      ("SELECT p.event_id AS purchase_id, " +
+        "(SELECT c.event_id FROM events c WHERE c.user_id = p.user_id AND c.event_type = 'click' " +
+        "ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)), " +
+        "CASE WHEN epoch_us(c.ts) <= epoch_us(p.ts) THEN 0 ELSE 1 END, c.event_id LIMIT 1) AS click_id " +
+        "FROM events p WHERE p.event_type = 'purchase' " +
+        "AND EXISTS (SELECT 1 FROM events c WHERE c.user_id = p.user_id AND c.event_type = 'click') " +
+        "ORDER BY purchase_id"),
     "u2_new_vs_returning" ->
       ("WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
         "f AS (SELECT user_id, MIN(day) AS d0 FROM d GROUP BY user_id) " +

@@ -180,6 +180,53 @@ object AsOf {
       .orderBy("purchase_id")
   }
 
+  /** A5 — NEAREST-event join: for each purchase, the click minimizing
+    * |Δt| in EITHER direction — the sensor-alignment semantics (a1 is
+    * "most recent before", a4 "earliest after"; a5 composes them). Ties in
+    * |Δt| resolve to the BACKWARD match (the one a1 would give), so the
+    * operator degrades to as-of exactly when gaps are symmetric.
+    *
+    * Built as two passes of the same fused single-scan window core (one
+    * per direction — each is one scan + one user_id window shuffle, the
+    * pinned a1/a4 shape) joined on purchase id: purchase-cardinality keys,
+    * never events. Purchases whose user has no click at all drop, matching
+    * the as-of family's inner semantics; one-sided purchases keep their
+    * only candidate.
+    */
+  def purchaseNearestClick(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.eventsRaw(spark, dir)
+    val base = events
+      .where(col("event_type").isin("click", "purchase"))
+      .withColumn("tus", Tables.tsMicrosCol(events))
+    val leftKey  = struct(col("event_id").as("pid"), col("tus").as("ptus"))
+    val rightVal = struct(col("event_id").as("cid"), col("tus").as("ctus"))
+    val back = asofJoinFusedSelf(base, "user_id", "tus",
+      isLeft = col("event_type") === "purchase", leftId = leftKey, rightVal = rightVal)
+      .select(
+        col("__left_id.pid").as("purchase_id"),
+        col("__match.cid").as("b_id"),
+        (col("__left_id.ptus") - col("__match.ctus")).as("b_gap")
+      )
+    val fwd = asofJoinFusedSelf(base.withColumn("__negts", -col("tus")), "user_id", "__negts",
+      isLeft = col("event_type") === "purchase", leftId = leftKey, rightVal = rightVal)
+      .select(
+        col("__left_id.pid").as("purchase_id"),
+        col("__match.cid").as("f_id"),
+        (col("__match.ctus") - col("__left_id.ptus")).as("f_gap")
+      )
+    back
+      .join(fwd, Seq("purchase_id"), "full_outer")
+      .select(
+        col("purchase_id"),
+        when(col("b_gap").isNull, col("f_id"))
+          .when(col("f_gap").isNull, col("b_id"))
+          .when(col("f_gap") < col("b_gap"), col("f_id"))
+          .otherwise(col("b_id")) // ties (f_gap == b_gap) resolve backward
+          .as("click_id")
+      )
+      .orderBy("purchase_id")
+  }
+
   /** A3 — tolerance-bounded as-of: like [[purchaseAsofClick]] but the match
     * must lie within `toleranceSeconds` BEFORE the purchase (the standard
     * asof-tolerance semantics: match first, then drop matches older than the

@@ -100,4 +100,48 @@ class AsOfSpec extends SparkSpec {
     assert(got.count() > 0)
     assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
   }
+
+  test("a5: nearest picks the closer side, ties go backward, one-sided and no-click behave") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft_a5").toString
+    Seq(
+      // u1: click 2h before and 1h after → forward wins
+      (10L, 1L, "click", ts("2024-01-01 08:00:00")),
+      (11L, 1L, "purchase", ts("2024-01-01 10:00:00")),
+      (12L, 1L, "click", ts("2024-01-01 11:00:00")),
+      // u2: click exactly 1h either side → TIE → backward (id 20)
+      (20L, 2L, "click", ts("2024-01-01 09:00:00")),
+      (21L, 2L, "purchase", ts("2024-01-01 10:00:00")),
+      (22L, 2L, "click", ts("2024-01-01 11:00:00")),
+      // u3: only a forward click exists
+      (31L, 3L, "purchase", ts("2024-01-01 10:00:00")),
+      (32L, 3L, "click", ts("2024-01-01 23:00:00")),
+      // u4: only a backward click exists
+      (40L, 4L, "click", ts("2024-01-01 01:00:00")),
+      (41L, 4L, "purchase", ts("2024-01-01 10:00:00")),
+      // u5: purchase with NO click at all → absent from the result
+      (51L, 5L, "purchase", ts("2024-01-01 10:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = AsOf
+      .purchaseNearestClick(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(got == Map(11L -> 12L, 21L -> 20L, 31L -> 32L, 41L -> 40L))
+  }
+
+  test("a5 composes a1/a4: every nearest match is one of the directional matches") {
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val near = toMap(AsOf.purchaseNearestClick(spark, sf0001))
+    val back = toMap(AsOf.purchaseAsofClick(spark, sf0001))
+    val fwd  = toMap(AsOf.purchaseAsofNextClick(spark, sf0001))
+    assert(near.keySet == (back.keySet ++ fwd.keySet))
+    near.foreach { case (p, c) =>
+      assert(back.get(p).contains(c) || fwd.get(p).contains(c), s"purchase $p")
+    }
+    assert(near.nonEmpty)
+  }
 }
