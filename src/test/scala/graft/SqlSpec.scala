@@ -25,7 +25,10 @@ class SqlSpec extends SparkSpec {
       "q21_part_brand_revenue", "d5_source_stats", "q3p_positional_filter_count",
       "q24_shipping_priority", "q25_local_supplier_volume",
       "q26_monthly_order_trend", "q27_semi_join", "d12_length_deciles",
-      "g1_global_ids", "q28_above_nation_avg", "q29_discount_revenue"
+      "g1_global_ids", "q28_above_nation_avg", "q29_discount_revenue",
+      // round-6 adds whose oracle text parses on both engines
+      "q30_value_band_join", "w8_event_transitions", "d17_size_histogram",
+      "d19_dedup_rate_by_source"
     )
     for (name <- ansiShared) {
       val viaDf  = SparkEntry.queries(name)(spark, sf0001).collect().map(_.toSeq).toSeq
