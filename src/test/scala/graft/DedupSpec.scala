@@ -279,6 +279,21 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) == ((0L, md5hex("short doc only"))))
   }
 
+  test("minhash index cache ≡ inline artifacts, bit for bit") {
+    val inline = Dedup.minhashArtifacts(graft.sources.Tables.documents(spark, sf0001))
+    val cached = Dedup.minhashArtifactsCached(spark, sf0001)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getLong(0), Option(r.getSeq[Long](1)).map(_.sorted.toSeq), r.getLong(2)))
+        .sortBy(_._1)
+        .toSeq
+    assert(canon(cached._1) == canon(inline._1))
+    def canonB(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(canonB(cached._2) == canonB(inline._2))
+    assert(canonB(cached._2).nonEmpty)
+  }
+
   test("n9: kept set = cluster minima + untouched docs; sizes partition the corpus") {
     val kept = Dedup
       .clusterRepresentatives(spark, sf0001)
