@@ -132,7 +132,8 @@ object SparkEntry {
     "v2_bpe_token_count"        -> ((s: SparkSession, d: String) => Bpe.bpeTokenCount(s, d)),
     "d19_dedup_rate_by_source"  -> (Profile.dedupRateBySource _),
     "u2_new_vs_returning"       -> (Retention.newVsReturning _),
-    "a5_nearest_join"           -> (AsOf.purchaseNearestClick _)
+    "a5_nearest_join"           -> (AsOf.purchaseNearestClick _),
+    "w9_gap_histogram"          -> (CoreQueries.w9GapHistogram _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -680,6 +681,13 @@ object SparkEntry {
         "SELECT d.day, SUM(CASE WHEN d.day = f.d0 THEN 1 ELSE 0 END)::BIGINT AS n_new, " +
         "SUM(CASE WHEN d.day <> f.d0 THEN 1 ELSE 0 END)::BIGINT AS n_returning " +
         "FROM d JOIN f USING (user_id) GROUP BY d.day ORDER BY d.day"),
+    // w9: µs gaps via epoch_us, log2 buckets via binary-string length —
+    // both exact integers on both engines (same discipline as w8 + d17).
+    "w9_gap_histogram" ->
+      ("WITH x AS (SELECT user_id, epoch_us(ts) AS tus, event_id FROM events), " +
+        "g AS (SELECT tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS gap FROM x) " +
+        "SELECT CAST(length(bin(gap)) AS BIGINT) AS gap_class, COUNT(*) AS n_gaps " +
+        "FROM g WHERE gap IS NOT NULL GROUP BY gap_class ORDER BY gap_class"),
     // w8: the (ts, event_id) double ordering makes the lag deterministic on
     // same-instant events in both engines.
     "w8_event_transitions" ->

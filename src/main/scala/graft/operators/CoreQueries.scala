@@ -757,6 +757,29 @@ object CoreQueries {
       .orderBy("prev_type", "event_type")
   }
 
+  /** W9 — inter-event gap histogram: the distribution of time between a
+    * user's consecutive events, log₂-bucketed in microseconds
+    * `(gap_class, n_gaps)` — the latency/cadence fingerprint that
+    * separates organic traffic (seconds–hours spread) from bots
+    * (machine-periodic spikes in one bucket). Composes w8's per-user lag
+    * (same (ts, event_id) deterministic ordering) with d17's
+    * binary-length bucketing — exact integer arithmetic end to end, no
+    * float log that could misbucket at power-of-two boundaries. One
+    * user_id window shuffle, then a ~60-key aggregation that collapses
+    * map-side.
+    */
+  def w9GapHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.eventsRaw(spark, dir)
+    val w      = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    events
+      .select(col("user_id"), col("event_id"), Tables.tsMicrosCol(events).as("tus"))
+      .withColumn("gap", col("tus") - lag("tus", 1).over(w))
+      .where(col("gap").isNotNull)
+      .groupBy(length(bin(col("gap"))).cast("long").as("gap_class"))
+      .agg(count(lit(1)).as("n_gaps"))
+      .orderBy("gap_class")
+  }
+
   /** W6 — gap-filled hourly resampling: counts per (hour, event_type) over
     * the table's full observed range, with ABSENT cells emitted as 0 — the
     * regularized series a dashboard or anomaly detector consumes (a plain

@@ -244,6 +244,35 @@ class CoreQueriesSpec extends SparkSpec {
     // no cross-user transition: u1's purchase never chains into u2/u3
   }
 
+  test("w9: gap buckets are exact at power-of-two boundaries; mass = events - users") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime // ms
+    def at(deltaMicros: Long) = new java.sql.Timestamp(base + deltaMicros / 1000)
+    val dir = java.nio.file.Files.createTempDirectory("graft_w9").toString
+    Seq(
+      // u1 gaps in µs: 1 (class 1), 2 (class 2), 4096 (class 13)
+      (1L, 1L, "a", at(0L)),
+      (2L, 1L, "a", at(1000L)),      // ms precision floor: plant ms-multiples
+      (3L, 1L, "a", at(3000L)),      // gap 2000 µs → bin length 11
+      (4L, 1L, "a", at(3000L + 1024000L)), // gap 1024000 µs → class 20
+      // u2: single event → no gap
+      (5L, 2L, "a", at(0L))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = CoreQueries
+      .w9GapHistogram(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    def cls(gapUs: Long) = java.lang.Long.toBinaryString(gapUs).length.toLong
+    assert(got == Map(cls(1000L) -> 1L, cls(2000L) -> 1L, cls(1024000L) -> 1L))
+    // real corpus: every user with n events contributes exactly n-1 gaps
+    val real = CoreQueries.w9GapHistogram(spark, sf0001).collect().map(_.getLong(1)).sum
+    val ev   = graft.sources.Tables.events(spark, sf0001)
+    val expect = ev.count() - ev.select("user_id").distinct().count()
+    assert(real == expect)
+  }
+
   test("q30: banded equi-join counts match the range semantics, overlap included") {
     val got = CoreQueries
       .q30ValueBandJoin(spark, sf0001)
