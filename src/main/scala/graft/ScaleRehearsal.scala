@@ -198,7 +198,8 @@ object ScaleRehearsal {
       "w7_rolling_active_users", "w8_event_transitions", "d17_size_histogram",
       "d18_source_lang_mix", "dq2_profile_documents", "dq3_profile_events_approx",
       "c2_stage_counts", "v1_bpe_merges", "v2_bpe_token_count",
-      "d19_dedup_rate_by_source", "u2_new_vs_returning", "a5_nearest_join"
+      "d19_dedup_rate_by_source", "u2_new_vs_returning", "a5_nearest_join",
+      "w9_gap_histogram"
     )
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
     headline.foreach { name =>
