@@ -231,6 +231,47 @@ class RobustnessSpec extends SparkSpec {
     assert(unexpected.isEmpty, s"unexpected empty-input failures: $unexpected")
   }
 
+  test("every registered query degrades on a dataset with null/empty/short cells") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = Files.createTempDirectory("graft_messyfull").toString
+    // full sf0.001 dataset, with hostile rows APPENDED to the mutable
+    // tables: documents gain null/empty/short text, events gain null
+    // props/value. Appending (not replacing) keeps every operator's normal
+    // path exercised beside the hostile rows.
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "embeddings")
+      .foreach { t =>
+        spark.read.parquet(s"$sf0001/$t.parquet").write.mode("overwrite").parquet(s"$dir/$t.parquet")
+      }
+    graft.sources.Tables
+      .documents(spark, sf0001)
+      .unionByName(
+        Seq(
+          (900001L, null.asInstanceOf[String], "en", "web", 0L),
+          (900002L, "", "en", "web", 0L),
+          (900003L, "solo", "en", "web", 4L)
+        ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      )
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ev = graft.sources.Tables.eventsRaw(spark, sf0001)
+    ev.unionByName(
+      ev.limit(2)
+        .withColumn("event_id", col("event_id") + lit(900000L))
+        .withColumn("props", lit(null).cast("string"))
+        .withColumn("value", lit(null).cast("double"))
+    ).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // same layout-op exemptions as the all-empty sweep: they build derived
+    // layouts and are allowed to be strict about inputs
+    val exempt = Set("p1_partitioned_time_count", "q23_bucketed_star", "s4_ann_ivf",
+      "s6_ann_ivf_partitioned", "s9_ann_ivf_quantized")
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, dir).collect(); None }
+      catch { case e: Throwable => Some(name -> e.toString.takeWhile(_ != '\n')) }
+    }
+    val unexpected = failures.filterNot { case (n, _) => exempt(n) }
+    assert(unexpected.isEmpty, s"unexpected messy-input failures: $unexpected")
+  }
+
   test("config-driven Runner: properties file selects data dir + queries, results land as parquet") {
     val out = Files.createTempDirectory("graft_runout").toString
     val cfg = Files.createTempDirectory("graft_cfg").resolve("run.conf")
