@@ -133,7 +133,8 @@ object SparkEntry {
     "d19_dedup_rate_by_source"  -> (Profile.dedupRateBySource _),
     "u2_new_vs_returning"       -> (Retention.newVsReturning _),
     "a5_nearest_join"           -> (AsOf.purchaseNearestClick _),
-    "w9_gap_histogram"          -> (CoreQueries.w9GapHistogram _)
+    "w9_gap_histogram"          -> (CoreQueries.w9GapHistogram _),
+    "n10_embedding_keep"        -> ((s: SparkSession, d: String) => Dedup.embeddingClusterRepresentatives(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -299,6 +300,21 @@ object SparkEntry {
       ("SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM embeddings a JOIN embeddings b " +
         "ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95 " +
         "ORDER BY vec_a, vec_b"),
+    // n10 = n9's keep contract over n4's edge set: recursive reachability
+    // over the exact-cosine pairs, min reachable id per vector, keep
+    // representatives + untouched vectors.
+    "n10_embedding_keep" ->
+      ("WITH RECURSIVE good AS (SELECT a.vec_id AS va, b.vec_id AS vb FROM embeddings a " +
+        "JOIN embeddings b ON a.vec_id < b.vec_id " +
+        "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95), " +
+        "edges AS (SELECT va AS s, vb AS d FROM good UNION SELECT vb, va FROM good), " +
+        "reach(id, r) AS (SELECT DISTINCT s, s FROM edges " +
+        "UNION SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id), " +
+        "cl AS (SELECT id, MIN(r) AS cid FROM reach GROUP BY id), " +
+        "sz AS (SELECT cid, COUNT(*) AS c FROM cl GROUP BY cid) " +
+        "SELECT v.vec_id, COALESCE(sz.c, 1) AS cluster_size FROM embeddings v " +
+        "LEFT JOIN cl ON v.vec_id = cl.id LEFT JOIN sz ON cl.cid = sz.cid " +
+        "WHERE cl.id IS NULL OR cl.cid = v.vec_id ORDER BY vec_id"),
     "s1_ann_bruteforce" -> annTop10Oracle,
     // s8's int8 shortlist provably contains the exact top-10 on this corpus
     // (worst approximate rank 11 ≤ shortlist 50), so the exact re-rank makes

@@ -629,6 +629,35 @@ object Dedup {
       .orderBy("cluster_id", "doc_id")
   }
 
+  /** N10 — the SEMANTIC keep-list: [[clusterRepresentatives]]'s contract
+    * over the EMBEDDING near-dup graph (n4's hyperplane-banded cosine ≥
+    * 0.95 pairs) instead of the lexical MinHash graph — one row per kept
+    * vector `(vec_id, cluster_size)`. Lexical dedup misses paraphrases
+    * and translations; this is the rung that catches them, and its keep
+    * rule (min-id representative per component, singletons pass) is
+    * deliberately THE SAME as n9's so a pipeline can swap rungs without
+    * changing downstream contracts. Same scale shape too: star
+    * contraction over the collision-bounded pair set, then one anti-join
+    * of 8-byte vec ids.
+    */
+  def embeddingClusterRepresentatives(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = clustersFromPairsStar(
+      embeddingDupPairs(spark, dir)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    ).select(col("cluster_id"), col("doc_id").as("vec_id"))
+    val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    val reps = clusters
+      .where(col("vec_id") === col("cluster_id"))
+      .join(sizes, "cluster_id")
+      .select(col("vec_id"), col("cluster_size"))
+    val singletons = Tables
+      .embeddings(spark, dir)
+      .select("vec_id")
+      .join(clusters.select("vec_id"), Seq("vec_id"), "left_anti")
+      .withColumn("cluster_size", lit(1L))
+    reps.unionByName(singletons).orderBy("vec_id")
+  }
+
   /** User-facing dedup: return `documents` with near-duplicates removed —
     * for every qualifying pair (a, b) with a < b, the higher id is dropped
     * (no surviving pair, provably, without union-find). `exact = false`

@@ -294,6 +294,39 @@ class DedupSpec extends SparkSpec {
     assert(canonB(cached._2).nonEmpty)
   }
 
+  test("n10: semantic keep-list — planted vector dups collapse to min-id reps, real corpus all singletons") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_n10").toString
+    // same planted shape as n4's fixture: 20 seeded base vectors, the
+    // first 5 with a near-copy (cosine ≥ ~0.99) at id+1000, plus labels
+    val rnd  = new scala.util.Random(11)
+    val base = (0L until 20L).map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat), 0))
+    val dups = base.take(5).map { case (i, v, _) =>
+      (i + 1000L, v.map(x => x + 0.02f * rnd.nextGaussian().toFloat), 0)
+    }
+    (base ++ dups)
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val kept = Dedup
+      .embeddingClusterRepresentatives(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    // each planted pair keeps its min id with size 2; the copy is dropped
+    (0L until 5L).foreach { i =>
+      assert(kept.get(i).contains(2L), s"rep $i")
+      assert(!kept.contains(i + 1000L), s"dropped copy ${i + 1000L}")
+    }
+    (5L until 20L).foreach(i => assert(kept.get(i).contains(1L), s"singleton $i"))
+    assert(kept.values.sum == 25L)
+    // real corpus: no cosine-0.95 pairs exist → everything survives as a
+    // singleton, and the keep-list is exactly the vector id set
+    val real  = Dedup.embeddingClusterRepresentatives(spark, sf0001).collect()
+    val total = graft.sources.Tables.embeddings(spark, sf0001).count()
+    assert(real.length.toLong == total && real.forall(_.getLong(1) == 1L))
+  }
+
   test("n9: kept set = cluster minima + untouched docs; sizes partition the corpus") {
     val kept = Dedup
       .clusterRepresentatives(spark, sf0001)
