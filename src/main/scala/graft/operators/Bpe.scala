@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.sources.Tables
+import graft.sources.{LayoutCache, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -122,14 +122,52 @@ object Bpe {
     (merges.result(), vocab)
   }
 
-  /** V1 — see object scaladoc; the registered merge-table surface. */
-  def bpeMerges(spark: SparkSession, dir: String, numMerges: Int = DefaultMerges): DataFrame = {
-    import spark.implicits._
-    learn(spark, dir, numMerges)._1
-      .toDF("merge_rank", "left", "right", "pair_cnt")
-      .select(col("merge_rank").cast("long"), col("left"), col("right"), col("pair_cnt"))
-      .orderBy("merge_rank")
+  /** Bump whenever the persisted layout or the induction itself changes:
+    * the version folds into the cache key so an artifact trained under an
+    * older scheme can never be silently reused by newer readers.
+    */
+  private[graft] val BpeSchemeVersion = 1
+
+  /** The trained tokenizer as a PERSISTED layout — `merges.parquet`
+    * (merge_rank, left, right, pair_cnt) and `vocab.parquet`
+    * (word, n_sub: the word's post-merge symbol count) under a
+    * content-fingerprinted [[graft.sources.LayoutCache]] key. A tokenizer
+    * is trained ONCE and consumed everywhere — exactly the MinHash-index /
+    * sq8 contract: v1 was the only registered component that re-ran a
+    * trainable induction (~2 jobs × 20 merges) on every invocation, and v2
+    * re-ran it AGAIN. Now the induction runs once per (corpus content,
+    * merge count, scheme version); v1 is a layout read, v2 a broadcast
+    * join against it, and regenerating the corpus in place rebuilds the
+    * artifact instead of silently serving a stale vocabulary (the
+    * staleness contract RobustnessSpec pins for every layout).
+    */
+  private[graft] def bpeLayoutCache(spark: SparkSession, dir: String, numMerges: Int): String = {
+    val key = LayoutCache.contentKey(
+      spark,
+      s"$dir/documents.parquet",
+      s"bpe-v$BpeSchemeVersion#$numMerges"
+    )
+    LayoutCache.getOrBuild(spark, "graft_bpe", key) { out =>
+      import spark.implicits._
+      val (merges, vocab) = learn(spark, dir, numMerges)
+      merges
+        .toDF("merge_rank", "left", "right", "pair_cnt")
+        .select(col("merge_rank").cast("long"), col("left"), col("right"), col("pair_cnt"))
+        .write.mode("overwrite").parquet(s"$out/merges.parquet")
+      vocab
+        .select(col("word"), size(col("s")).cast("long").as("n_sub"))
+        .write.mode("overwrite").parquet(s"$out/vocab.parquet")
+    }
   }
+
+  /** V1 — see object scaladoc; the registered merge-table surface. Reads
+    * the persisted layout ([[bpeLayoutCache]]); the induction itself runs
+    * only on a cache miss.
+    */
+  def bpeMerges(spark: SparkSession, dir: String, numMerges: Int = DefaultMerges): DataFrame =
+    spark.read
+      .parquet(s"${bpeLayoutCache(spark, dir, numMerges)}/merges.parquet")
+      .orderBy("merge_rank")
 
   /** V2 — per-document BPE token count under the learned vocabulary
     * `(doc_id, n_bpe_tokens)`: the number the data loader actually budgets
@@ -141,8 +179,8 @@ object Bpe {
     * shape as d8's benchmark index — and sums per document.
     */
   def bpeTokenCount(spark: SparkSession, dir: String, numMerges: Int = DefaultMerges): DataFrame = {
-    val perWord = learn(spark, dir, numMerges)._2
-      .select(col("word"), size(col("s")).cast("long").as("n_sub"))
+    val perWord = spark.read
+      .parquet(s"${bpeLayoutCache(spark, dir, numMerges)}/vocab.parquet")
     Tables
       .documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))

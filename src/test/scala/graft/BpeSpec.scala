@@ -134,6 +134,33 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("bpe layout persists once and rebuilds when the corpus changes in place") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_stale").toString
+    def writeDocs(texts: Seq[String]): Unit =
+      texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    writeDocs(Seq("aaaa aaaa", "aaaa"))
+    val p1 = Bpe.bpeLayoutCache(spark, dir, 5)
+    // unchanged corpus -> same layout path, no re-learn
+    assert(Bpe.bpeLayoutCache(spark, dir, 5) == p1)
+    // merge count is part of the key — a differently-sized vocabulary is a
+    // different artifact, never a truncation of the old one
+    assert(Bpe.bpeLayoutCache(spark, dir, 7) != p1)
+    // regenerate UNDER THE SAME PATH with a different corpus: a stale
+    // layout would still merge (a,a); the fresh one must learn (b,b)
+    writeDocs(Seq("bbbb bbbb", "bbbb"))
+    val p2 = Bpe.bpeLayoutCache(spark, dir, 5)
+    assert(p2 != p1, "regenerated corpus must not reuse the old vocabulary")
+    val top = Bpe.bpeMerges(spark, dir, 5).head()
+    assert((top.getString(1), top.getString(2)) == (("b", "b")))
+    // and v2 consumes the SAME artifact: token counts reflect the new corpus
+    val counts = Bpe.bpeTokenCount(spark, dir, 5).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(0L -> 2L, 1L -> 1L)) // "bbbb" -> 1 symbol after (b,b),(bb,bb)
+  }
+
   test("v1: real-corpus merges are deterministic and build on earlier merges") {
     val a = Bpe.bpeMerges(spark, sf0001, numMerges = 10).collect().map(_.toSeq).toSeq
     val b = Bpe.bpeMerges(spark, sf0001, numMerges = 10).collect().map(_.toSeq).toSeq
