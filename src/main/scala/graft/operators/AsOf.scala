@@ -39,6 +39,7 @@ object AsOf {
       col(key),
       col(ts),
       lit(1).as("__side"),
+      lit(0L).as("__ord"),
       col(leftId).as("__left_id"),
       lit(null).cast(right.schema(rightVal).dataType).as("__rv")
     )
@@ -46,6 +47,7 @@ object AsOf {
       col(key),
       col(ts),
       lit(0).as("__side"),
+      lit(0L).as("__ord"),
       lit(null).cast(left.schema(leftId).dataType).as("__left_id"),
       col(rightVal).as("__rv")
     )
@@ -57,12 +59,22 @@ object AsOf {
     * so the semantics cannot diverge: right rows (`__side` 0) sort before
     * left rows at equal ts ⇒ inclusive (<=) match; running `last` picks the
     * latest right value; left rows with no prior right drop (inner).
-    * Expects columns `__side`, `__left_id`, `__rv`.
+    * Expects columns `__side`, `__ord`, `__left_id`, `__rv`.
+    *
+    * `__ord` makes the ordering TOTAL among right rows that share a
+    * timestamp: without it the window sort is ambiguous at equal (ts,
+    * __side) and `last()` returns whichever same-instant right row the
+    * shuffle happened to place last — nondeterministic across runs and
+    * divergent from an oracle that pins a tie rule. The row with the
+    * MAXIMUM `__ord` sorts last and wins, so callers encode "minimum
+    * event_id on a timestamp tie" (the a5 oracle's rule) as `-event_id`.
+    * Left rows carry a constant: their relative order cannot change any
+    * row's own running `last`.
     */
   private def runAsofWindow(tagged: DataFrame, key: String, ts: String): DataFrame = {
     val w = Window
       .partitionBy(key)
-      .orderBy(col(ts), col("__side"))
+      .orderBy(col(ts), col("__side"), col("__ord"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
       .withColumn("__match", last(col("__rv"), ignoreNulls = true).over(w))
@@ -84,12 +96,14 @@ object AsOf {
       ts: String,
       isLeft: org.apache.spark.sql.Column,
       leftId: org.apache.spark.sql.Column,
-      rightVal: org.apache.spark.sql.Column
+      rightVal: org.apache.spark.sql.Column,
+      rightOrd: org.apache.spark.sql.Column
   ): DataFrame = {
     val tagged = e.select(
       col(key),
       col(ts),
       when(isLeft, 1).otherwise(0).as("__side"),
+      when(isLeft, lit(0L)).otherwise(rightOrd.cast("long")).as("__ord"),
       when(isLeft, leftId).as("__left_id"),
       when(!isLeft, rightVal).as("__rv")
     )
@@ -147,7 +161,8 @@ object AsOf {
       ts = "ts",
       isLeft = col("event_type") === "purchase",
       leftId = col("event_id"),
-      rightVal = col("event_id")
+      rightVal = col("event_id"),
+      rightOrd = -col("event_id") // same-instant clicks: the MIN id wins
     )
       .select(col("__left_id").as("purchase_id"), col("__match").as("click_id"))
       .orderBy("purchase_id")
@@ -174,7 +189,8 @@ object AsOf {
       ts = "__negts",
       isLeft = col("event_type") === "purchase",
       leftId = col("event_id"),
-      rightVal = col("event_id")
+      rightVal = col("event_id"),
+      rightOrd = -col("event_id") // same-instant clicks: the MIN id wins
     )
       .select(col("__left_id").as("purchase_id"), col("__match").as("click_id"))
       .orderBy("purchase_id")
@@ -184,7 +200,11 @@ object AsOf {
     * |Δt| in EITHER direction — the sensor-alignment semantics (a1 is
     * "most recent before", a4 "earliest after"; a5 composes them). Ties in
     * |Δt| resolve to the BACKWARD match (the one a1 would give), so the
-    * operator degrades to as-of exactly when gaps are symmetric.
+    * operator degrades to as-of exactly when gaps are symmetric; WITHIN a
+    * direction, same-instant clicks resolve to the minimum event_id (the
+    * `rightOrd` total-order key), matching the oracle's
+    * `ORDER BY abs(Δ), direction, event_id` rule deterministically rather
+    * than by the accident of shuffle placement.
     *
     * Built as two passes of the same fused single-scan window core (one
     * per direction — each is one scan + one user_id window shuffle, the
@@ -201,14 +221,16 @@ object AsOf {
     val leftKey  = struct(col("event_id").as("pid"), col("tus").as("ptus"))
     val rightVal = struct(col("event_id").as("cid"), col("tus").as("ctus"))
     val back = asofJoinFusedSelf(base, "user_id", "tus",
-      isLeft = col("event_type") === "purchase", leftId = leftKey, rightVal = rightVal)
+      isLeft = col("event_type") === "purchase", leftId = leftKey, rightVal = rightVal,
+      rightOrd = -col("event_id"))
       .select(
         col("__left_id.pid").as("purchase_id"),
         col("__match.cid").as("b_id"),
         (col("__left_id.ptus") - col("__match.ctus")).as("b_gap")
       )
     val fwd = asofJoinFusedSelf(base.withColumn("__negts", -col("tus")), "user_id", "__negts",
-      isLeft = col("event_type") === "purchase", leftId = leftKey, rightVal = rightVal)
+      isLeft = col("event_type") === "purchase", leftId = leftKey, rightVal = rightVal,
+      rightOrd = -col("event_id"))
       .select(
         col("__left_id.pid").as("purchase_id"),
         col("__match.cid").as("f_id"),
@@ -244,7 +266,8 @@ object AsOf {
       ts = "tus",
       isLeft = col("event_type") === "purchase",
       leftId = col("event_id"),
-      rightVal = struct(col("event_id").as("click_id"), col("tus").as("click_tus"))
+      rightVal = struct(col("event_id").as("click_id"), col("tus").as("click_tus")),
+      rightOrd = -col("event_id") // same-instant clicks: the MIN id wins
     )
       .where(col("tus") - col("__match.click_tus") <= toleranceSeconds * 1000000L)
       .select(col("__left_id").as("purchase_id"), col("__match.click_id").as("click_id"))

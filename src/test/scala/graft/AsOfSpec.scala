@@ -132,6 +132,36 @@ class AsOfSpec extends SparkSpec {
     assert(got == Map(11L -> 12L, 21L -> 20L, 31L -> 32L, 41L -> 40L))
   }
 
+  test("same-instant clicks resolve to the MIN event_id in every asof direction") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof_tie").toString
+    // ids deliberately planted larger-first so the file's physical row order
+    // disagrees with the tie rule — only a total window order passes
+    Seq(
+      // u1: TWO clicks at the same instant 1h before the purchase and two
+      // more at the same instant 1h after: backward pair ties on |Δt| with
+      // the forward pair (→ backward direction wins), and within each
+      // direction the same-µs pair must resolve to the min id
+      (6L, 1L, "click", ts("2024-01-01 09:00:00")),
+      (5L, 1L, "click", ts("2024-01-01 09:00:00")),
+      (7L, 1L, "purchase", ts("2024-01-01 10:00:00")),
+      (9L, 1L, "click", ts("2024-01-01 11:00:00")),
+      (8L, 1L, "click", ts("2024-01-01 11:00:00")),
+      // u2: forward-only same-instant pair
+      (11L, 2L, "purchase", ts("2024-01-01 10:00:00")),
+      (13L, 2L, "click", ts("2024-01-01 11:00:00")),
+      (12L, 2L, "click", ts("2024-01-01 11:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(toMap(AsOf.purchaseAsofClick(spark, dir)) == Map(7L -> 5L))
+    assert(toMap(AsOf.purchaseAsofNextClick(spark, dir)) == Map(7L -> 8L, 11L -> 12L))
+    assert(toMap(AsOf.purchaseAsofClickWithin(spark, dir)) == Map(7L -> 5L))
+    assert(toMap(AsOf.purchaseNearestClick(spark, dir)) == Map(7L -> 5L, 11L -> 12L))
+  }
+
   test("a5 composes a1/a4: every nearest match is one of the directional matches") {
     def toMap(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
