@@ -149,8 +149,8 @@ object Dedup {
     * training text without dropping whole documents.
     *
     * Plan shape at 100 TB: positioned spans (doc_id, start, 16-byte fp)
-    * probe the n7 shared-span table by fp equi-join — exchange volume is
-    * span count × ~24 bytes, never text. Matched starts collapse to one
+    * probe the shared-fp set by fp equi-join — exchange volume is span
+    * count × ~24 bytes, never text. Matched starts collapse to one
     * per-document start array whose size is bounded by the DOCUMENT's own
     * length (documents are size-bounded units, so unlike a per-user event
     * history this state cannot grow unboundedly — the w3 lesson applied,
@@ -158,26 +158,61 @@ object Dedup {
     * per-row array ops inside codegen. Docs shorter than the span width
     * carry no spans and pass through with n_masked = 0 and their original
     * (whitespace-normalized) fingerprint, exactly like the oracle.
+    *
+    * The corpus is read ONCE. Catalyst shares no uncached subtree, so the
+    * naive form (probe inline spans against [[sharedSpans]], which
+    * re-derives the same stream) paid the dominant tokenize+explode twice
+    * — and the rebuild join re-scanned the table a third time. Both
+    * exchanges are instead hoisted to where every consumer can reuse them:
+    * the (doc_id, toks) frame repartitions on doc_id (the shuffle the
+    * final left join needs ANYWAY — hoisting it costs nothing new), the
+    * span stream derived from it repartitions on span_fp, and the ≥2-doc
+    * fp set (aggregate, d16's deliberately window-free skew-safe shape)
+    * and the probe join both hang off that one exchange. Spark's exchange
+    * reuse (AQE stage cache) then executes scan, explode, and each
+    * shuffle exactly once — PlanShapeSpec pins one documents scan in the
+    * final adaptive plan.
     */
   def redactSharedSpans(spark: SparkSession, dir: String, span: Int = SpanTokens): DataFrame = {
+    // The explicit isNotNull mirrors the constraint the final left join
+    // would push onto its right branch alone; declared here it reaches
+    // every branch's scan identically, keeping the subtrees reusable.
     val docs = Tables
       .documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-    // positioned spans (start is 1-based, mirroring DuckDB list slicing)
+      .where(col("doc_id").isNotNull)
+      .repartition(col("doc_id"))
+    // positioned spans (start is 1-based, mirroring DuckDB list slicing).
+    // The size guard lives INSIDE the explode expression (short docs emit an
+    // empty array, which explode drops) rather than as a `where`: a Filter
+    // would be pushed below the doc_id exchange on this branch only, making
+    // the two exchange subtrees non-identical and defeating stage reuse.
     val sp = docs
-      .where(size(col("toks")) >= span)
       .select(
         col("doc_id"),
         explode(
           expr(
-            s"transform(sequence(1, size(toks) - ${span - 1}), " +
-              s"s -> struct(s AS s, md5(concat_ws(' ', slice(toks, s, $span))) AS span_fp))"
+            s"if(size(toks) >= $span, transform(sequence(1, size(toks) - ${span - 1}), " +
+              s"s -> struct(s AS s, md5(concat_ws(' ', slice(toks, s, $span))) AS span_fp)), array())"
           )
         ).as("p")
       )
       .select(col("doc_id"), col("p.s").as("s"), col("p.span_fp").as("span_fp"))
+      .repartition(col("span_fp"))
+    // ≥2 distinct docs ⟺ min(doc_id) ≠ max(doc_id): two plain min/max
+    // partials instead of countDistinct's extra dedup aggregate pair.
+    // s_pin (and its tautological s_pin >= 1 — starts are 1-based) is a
+    // column PIN: it keeps `s` referenced on this branch so the column
+    // pruner projects the SAME (doc_id, s, span_fp) under both consumers
+    // of the span_fp exchange, keeping the subtrees identical for reuse
+    // (8 bytes/row through an exchange that must carry s anyway).
+    val shared = sp
+      .groupBy("span_fp")
+      .agg(min("doc_id").as("d_min"), max("doc_id").as("d_max"), min("s").as("s_pin"))
+      .where(col("d_min") =!= col("d_max") && col("s_pin") >= 1)
+      .select("span_fp")
     val starts = sp
-      .join(sharedSpans(spark, dir, span).select("span_fp"), "span_fp")
+      .join(shared, "span_fp")
       .groupBy("doc_id")
       .agg(collect_set(col("s")).as("ss"))
     docs

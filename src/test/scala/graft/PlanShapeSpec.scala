@@ -157,6 +157,21 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("n8 reads documents exactly once: hoisted exchanges are reused, not recomputed") {
+    val df = graft.operators.Dedup.redactSharedSpans(spark, sf0001)
+    df.collect() // AQE reuses stages at runtime; the FINAL plan shows it
+    // AdaptiveSparkPlan prints final plan then "== Initial Plan ==" (which
+    // never shows runtime stage reuse) — assert on the final section only
+    val plan  = executedPlan(df).split("== Initial Plan ==")(0)
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 documents scan, got $scans:\n$plan")
+    // the span explode (the dominant map cost) must also appear once, and
+    // both hoisted exchanges must actually be reused
+    val explodes = "Generate explode".r.findAllIn(plan).size
+    assert(explodes == 1, s"expected 1 span explode, got $explodes:\n$plan")
+    assert("ReusedExchange".r.findAllIn(plan).size >= 2, plan)
+  }
+
   test("ann scoring stays in whole-stage codegen (no fallback)") {
     val df   = Similarity.annBruteForce(spark, sf0001)
     df.collect() // forces codegen; a CompileException fallback would log loudly
