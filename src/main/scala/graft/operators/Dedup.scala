@@ -125,8 +125,16 @@ object Dedup {
     * long/long (d2's bit-stable rule).
     */
   def spanShareStats(spark: SparkSession, dir: String, span: Int = SpanTokens): DataFrame = {
-    val spans = docSpans(Tables.documents(spark, dir), span)
-    val df    = spans.groupBy("span_fp").agg(count(lit(1)).as("nd"))
+    // One scan + one explode: the span stream repartitions on span_fp once
+    // and BOTH consumers (the df aggregate and the join-back probe) hang
+    // off that exchange — without the explicit repartition, Catalyst
+    // re-derives the stream per branch and the corpus pays the explode
+    // twice (n8's lesson, applied here). count(doc_id) ≡ count(*) on this
+    // stream (doc_id is never null) but keeps the aggregate referencing
+    // the same columns the probe needs, so the pruner cannot specialize
+    // the exchange subtrees apart.
+    val spans = docSpans(Tables.documents(spark, dir), span).repartition(col("span_fp"))
+    val df    = spans.groupBy("span_fp").agg(count(col("doc_id")).as("nd"))
     spans
       .join(df, "span_fp")
       .groupBy("doc_id")

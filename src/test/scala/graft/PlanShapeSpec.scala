@@ -172,6 +172,16 @@ class PlanShapeSpec extends SparkSpec {
     assert("ReusedExchange".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("d16 span-share reads documents exactly once (shared span_fp exchange)") {
+    val df = graft.operators.Dedup.spanShareStats(spark, sf0001)
+    df.collect()
+    val plan  = executedPlan(df).split("== Initial Plan ==")(0)
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 documents scan, got $scans:\n$plan")
+    assert("Generate explode".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("ReusedExchange"), plan)
+  }
+
   test("ann scoring stays in whole-stage codegen (no fallback)") {
     val df   = Similarity.annBruteForce(spark, sf0001)
     df.collect() // forces codegen; a CompileException fallback would log loudly
