@@ -2,7 +2,10 @@ package graft
 
 /** Benchmark main — times every `SparkEntry.queries` entry on
   * `SPARK_GRAFT_SF_DIR` (default sf0.1) and prints ONE JSON line:
-  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`,
+  * which it also writes to `SPARK_GRAFT_BENCH_OUT` (default
+  * `BENCH_FULL.json`) so the full per-query record survives any stdout
+  * truncation.
   *
   * Methodology mirrors the reference's stopwatch instrumentation
   * (`QueryOrchestration.cs:425-439`): one JVM-warmup action first, then each
@@ -34,10 +37,16 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total  = results.map(_._2).filter(_ >= 0).sum
-    println(
+    val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":${failed
           .mkString("[", ",", "]")},"sf":"$sfDir"}"""
-    )
+    println(json)
+    // Also WRITE the line: stdout capture has twice truncated the per-query
+    // record (BENCH_r05/r06.json were tail fragments) — the round's
+    // performance evidence must not depend on a pipe. Overridable so a
+    // sweep can keep multiple records side by side.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -10,6 +10,9 @@ object Verify {
     val (sfDir, outDir, only) = args match {
       case Array(s, o)    => (s, o, None)
       case Array(s, o, q) => (s, o, Some(q.split(",").toSet))
+      case _ =>
+        System.err.println("usage: Verify <sfDir> <outDir> [query1,query2,...]")
+        sys.exit(2) // : Nothing — unifies the match without a dummy value
     }
     val spark = GraftSession.getOrCreate()
     new java.io.File(outDir).mkdirs()

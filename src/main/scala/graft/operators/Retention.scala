@@ -59,11 +59,20 @@ object Retention {
     * log collapses to the distinct (day, user) frame FIRST (one shuffle,
     * the same partial-aggregable collapse u1 rides), and each collapsed row
     * EXPLODES into the ≤ `windowDays` window-anchor
-    * days it serves — linear fan-out, equi-keyed groupBy, no join. The
-    * 1-day count rides the same aggregation as a conditional distinct. A
+    * days it serves — linear fan-out, equi-keyed groupBy, no join. A
     * window anchored after the last observed day is cut by a 1-row
     * broadcast max-day bound (so the curve ends with the data; windows at
     * corpus start are naturally partial, mirroring a dashboard's ramp-in).
+    *
+    * The counting is two distinct-free aggregations, NOT two
+    * `countDistinct`s over the exploded frame: multiple distinct
+    * aggregates plan a Catalyst Expand that restreams the (already
+    * windowDays×-exploded) frame once per distinct — the k×-restream cost
+    * dq3's scaladoc documents. Collapsing to (anchor day, user) first
+    * (partial-aggregable, map-side combinable) leaves a frame of at most
+    * users × days rows whose second pass needs no distinct at all: the row
+    * itself is the distinct user, and "active on the anchor day" rides
+    * along as a max'd flag.
     */
   /** Trailing window width for [[rollingActiveUsers]] — THE definition the
     * oracle's `range(0, N)` must agree with.
@@ -106,11 +115,10 @@ object Retention {
       )
       .crossJoin(broadcast(maxDay))
       .where(col("d") <= col("max_day"))
+      .groupBy("d", "user_id")
+      .agg(max(when(col("day") === col("d"), 1L).otherwise(0L)).as("on_d"))
       .groupBy("d")
-      .agg(
-        countDistinct(when(col("day") === col("d"), col("user_id"))).as("n_users_1d"),
-        countDistinct(col("user_id")).as("n_users_7d")
-      )
+      .agg(sum("on_d").as("n_users_1d"), count(lit(1)).as("n_users_7d"))
       .select(col("d").as("day"), col("n_users_1d"), col("n_users_7d"))
       .orderBy("day")
   }

@@ -16,7 +16,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * event_id) key; the cross-batch contract is the usual one (in-order
   * arrival per user, what a watermark-delayed replay provides — the spec
   * models it by splitting journeys mid-stream and asserting stream ≡
-  * batch).
+  * batch). The contract is ENFORCED, not assumed: an event ordering
+  * at-or-before the saved state key is a late arrival and is dropped
+  * rather than emitting a wrong-direction transition (spec-pinned).
   */
 object TransitionStream {
 
@@ -31,7 +33,15 @@ object TransitionStream {
       events: Iterator[TypedEvent],
       state: GroupState[LastEvent]
   ): Iterator[Transition] = {
-    val evs = events.toArray.sortBy(e => (e.tsMicros, e.event_id))
+    // The saved (tsMicros, event_id) key GUARDS the in-order contract: an
+    // event arriving in a later micro-batch but ordering at-or-before the
+    // state would emit a wrong-direction transition and regress the state.
+    // Such late arrivals are dropped — the same watermark-violation stance
+    // as Spark's own late-row handling (skip, never corrupt state).
+    val stateKey = state.getOption.map(l => (l.tsMicros, l.event_id))
+    val evs = events.toArray
+      .filter(e => stateKey.forall { case (ts, id) => e.tsMicros > ts || (e.tsMicros == ts && e.event_id > id) })
+      .sortBy(e => (e.tsMicros, e.event_id))
     if (evs.isEmpty) Iterator.empty
     else {
       val out  = Seq.newBuilder[Transition]

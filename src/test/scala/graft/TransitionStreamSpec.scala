@@ -70,4 +70,29 @@ class TransitionStreamSpec extends SparkSpec {
     assert(updateUser(1L, Iterator.empty, st).isEmpty)
     assert(st.get == LastEvent("purchase", 200L, 7L))
   }
+
+  test("late arrivals ordering at-or-before the saved state are dropped, not applied") {
+    import TransitionStream._
+    val st = new TestGroupState[LastEvent]
+    assert(updateUser(1L, Iterator(TypedEvent(1L, "click", 200L, 7L)), st).isEmpty)
+    assert(st.get == LastEvent("click", 200L, 7L))
+    // strictly earlier ts, same ts with smaller id, and the state's own
+    // (ts, id) — all late; none may emit or regress the state
+    val late = Iterator(
+      TypedEvent(1L, "view", 100L, 3L),
+      TypedEvent(1L, "view", 200L, 6L),
+      TypedEvent(1L, "view", 200L, 7L)
+    )
+    assert(updateUser(1L, late, st).isEmpty)
+    assert(st.get == LastEvent("click", 200L, 7L))
+    // a mixed batch applies only the in-order suffix: the late row neither
+    // emits nor perturbs the transition the fresh row produces
+    val out = updateUser(
+      1L,
+      Iterator(TypedEvent(1L, "view", 150L, 4L), TypedEvent(1L, "purchase", 300L, 9L)),
+      st
+    ).toSeq
+    assert(out == Seq(Transition("click", "purchase")))
+    assert(st.get == LastEvent("purchase", 300L, 9L))
+  }
 }
