@@ -19,7 +19,15 @@ import org.apache.spark.sql.SparkSession
   * data.dir   = /root/testdata/sf0.01
   * queries    = q1_total_count, q9_star_join   # omit to run everything
   * output.dir = /tmp/graft_results             # omit to print to stdout
+  * conf.graft.ann.nprobe = 8                   # any conf.* key → session conf
+  * conf.graft.minhash.bands = 32
   * }}}
+  *
+  * `conf.*` keys are applied to the SparkSession conf before any query
+  * builds, so the [[GraftConf]] tuning knobs (probe width, LSH banding,
+  * shingle/span granularity, BPE merge count — see README's knob table)
+  * are reachable from a config file without recompiling, mirroring how
+  * the reference exposes engine options through its YAML root config.
   *
   * Usage: `runMain graft.Runner --config <file>`
   *    or: `runMain graft.Runner <sfDir> [queryName ...]`
@@ -29,11 +37,17 @@ import org.apache.spark.sql.SparkSession
   */
 object Runner {
 
-  final case class RunConfig(dataDir: String, queries: Seq[String], outputDir: Option[String])
+  final case class RunConfig(
+      dataDir: String,
+      queries: Seq[String],
+      outputDir: Option[String],
+      conf: Map[String, String] = Map.empty
+  )
 
   /** Parse a java-properties run config. `data.dir` is mandatory; a missing
     * or empty `queries` list means the whole registry; unknown KEYS are an
     * error (a typo like `quries=` must not silently run everything).
+    * `conf.<spark-or-graft-key>` entries pass through to the session conf.
     */
   def loadConfig(path: String): RunConfig = {
     val props = new java.util.Properties()
@@ -43,13 +57,23 @@ object Runner {
     val known = Set("data.dir", "queries", "output.dir")
     val keys  = props.stringPropertyNames()
     keys.forEach { k =>
-      require(known.contains(k), s"unknown config key '$k' in $path (known: ${known.toSeq.sorted.mkString(", ")})")
+      require(
+        known.contains(k) || k.startsWith("conf."),
+        s"unknown config key '$k' in $path (known: ${known.toSeq.sorted.mkString(", ")}, conf.*)"
+      )
     }
     val dataDir = Option(props.getProperty("data.dir")).map(_.trim).filter(_.nonEmpty)
     require(dataDir.isDefined, s"config $path is missing data.dir")
     val queries = Option(props.getProperty("queries")).toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
-    RunConfig(dataDir.get, queries, Option(props.getProperty("output.dir")).map(_.trim).filter(_.nonEmpty))
+    val conf = {
+      import scala.jdk.CollectionConverters._
+      keys.asScala.toSeq
+        .filter(_.startsWith("conf."))
+        .map(k => k.stripPrefix("conf.") -> props.getProperty(k).trim)
+        .toMap
+    }
+    RunConfig(dataDir.get, queries, Option(props.getProperty("output.dir")).map(_.trim).filter(_.nonEmpty), conf)
   }
 
   /** Execute `names` (empty → whole registry) against `dataDir`; returns the
@@ -93,7 +117,8 @@ object Runner {
         require(args.length == 2, "usage: Runner --config <file>")
         loadConfig(args(1))
       } else RunConfig(args.head, args.tail.toSeq, None)
-    val spark   = GraftSession.getOrCreate()
+    val spark = GraftSession.getOrCreate()
+    cfg.conf.foreach { case (k, v) => spark.conf.set(k, v) }
     val unknown = run(spark, cfg.dataDir, cfg.queries, cfg.outputDir)
     spark.stop()
     if (unknown > 0) sys.exit(2)

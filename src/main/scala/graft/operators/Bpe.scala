@@ -164,10 +164,16 @@ object Bpe {
     * the persisted layout ([[bpeLayoutCache]]); the induction itself runs
     * only on a cache miss.
     */
-  def bpeMerges(spark: SparkSession, dir: String, numMerges: Int = DefaultMerges): DataFrame =
+  def bpeMerges(spark: SparkSession, dir: String,
+      numMerges: Int = -1 // -1 = the graft.bpe.merges session knob (DefaultMerges unset)
+  ): DataFrame =
     spark.read
-      .parquet(s"${bpeLayoutCache(spark, dir, numMerges)}/merges.parquet")
+      .parquet(s"${bpeLayoutCache(spark, dir, resolveMerges(spark, numMerges))}/merges.parquet")
       .orderBy("merge_rank")
+
+  /** -1 → the `graft.bpe.merges` session knob ([[DefaultMerges]] unset). */
+  private def resolveMerges(spark: SparkSession, m: Int): Int =
+    if (m > 0) m else graft.GraftConf.int(spark, "bpe.merges", DefaultMerges)
 
   /** V2 — per-document BPE token count under the learned vocabulary
     * `(doc_id, n_bpe_tokens)`: the number the data loader actually budgets
@@ -178,9 +184,11 @@ object Bpe {
     * size is bounded and corpus-independent, the same broadcast-dimension
     * shape as d8's benchmark index — and sums per document.
     */
-  def bpeTokenCount(spark: SparkSession, dir: String, numMerges: Int = DefaultMerges): DataFrame = {
+  def bpeTokenCount(spark: SparkSession, dir: String,
+      numMerges: Int = -1 // -1 = the graft.bpe.merges session knob
+  ): DataFrame = {
     val perWord = spark.read
-      .parquet(s"${bpeLayoutCache(spark, dir, numMerges)}/vocab.parquet")
+      .parquet(s"${bpeLayoutCache(spark, dir, resolveMerges(spark, numMerges))}/vocab.parquet")
     Tables
       .documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))

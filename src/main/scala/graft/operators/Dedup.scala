@@ -31,23 +31,34 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Tokenize → distinct 3-word shingles, one row per (doc_id, shingle).
+  /** Tokenize → distinct `n`-word shingles, one row per (doc_id, shingle).
     * This is the inverted-index base for both exact Jaccard and MinHash.
+    * `n` defaults to the `graft.shingle.n` session knob (3 unset).
     */
-  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+  def shingles(
+      docs: DataFrame,
+      n: Int = -1 // -1 = the graft.shingle.n session knob (3 unset)
+  ): DataFrame = {
+    val nn       = if (n > 0) n else graft.GraftConf.int(docs.sparkSession, "shingle.n", 3)
     val withToks = docs.withColumn("toks", split(col("text"), " "))
     withToks
-      .where(size(col("toks")) >= n)
+      .where(size(col("toks")) >= nn)
       .select(
         col("doc_id"),
         explode(
           expr(
-            s"array_distinct(transform(sequence(0, size(toks)-$n), " +
-              s"i -> concat_ws(' ', ${(0 until n).map(j => s"toks[i+$j]").mkString(", ")})))"
+            s"array_distinct(transform(sequence(0, size(toks)-$nn), " +
+              s"i -> concat_ws(' ', ${(0 until nn).map(j => s"toks[i+$j]").mkString(", ")})))"
           )
         ).as("s")
       )
   }
+
+  /** The resolved shingle width — what [[shingles]] will actually use; the
+    * value the persisted minhash layouts fold into their cache keys.
+    */
+  private def shingleN(spark: SparkSession): Int =
+    graft.GraftConf.int(spark, "shingle.n", 3)
 
   /** Exact duplicate groups: fingerprint → group → keep groups of size > 1.
     * The scale-correct form of Q8: the exchange carries (16-byte fp, id),
@@ -67,6 +78,10 @@ object Dedup {
     * every planted near-dup pair shares spans.
     */
   val SpanTokens = 8
+
+  /** -1 → the `graft.span.tokens` session knob ([[SpanTokens]] unset). */
+  private def resolveSpan(spark: SparkSession, span: Int): Int =
+    if (span > 0) span else graft.GraftConf.int(spark, "span.tokens", SpanTokens)
 
   /** Per-document DISTINCT span fingerprints — one row per (doc_id,
     * span_fp), the shared base of [[sharedSpans]] and [[spanShareStats]].
@@ -101,7 +116,12 @@ object Dedup {
     * (span-level redaction: probe each doc's spans against this table) wants
     * the fixed-width key, never the span text.
     */
-  def sharedSpans(spark: SparkSession, dir: String, span: Int = SpanTokens): DataFrame =
+  def sharedSpans(spark: SparkSession, dir: String,
+      span: Int = -1 // -1 = the graft.span.tokens session knob (SpanTokens unset)
+  ): DataFrame =
+    sharedSpansW(spark, dir, resolveSpan(spark, span))
+
+  private def sharedSpansW(spark: SparkSession, dir: String, span: Int): DataFrame =
     docSpans(Tables.documents(spark, dir), span)
       .groupBy("span_fp")
       .agg(countDistinct("doc_id").as("n_docs"))
@@ -124,7 +144,10 @@ object Dedup {
     * the span width have no spans and are absent, like the oracle. Ratio is
     * long/long (d2's bit-stable rule).
     */
-  def spanShareStats(spark: SparkSession, dir: String, span: Int = SpanTokens): DataFrame = {
+  def spanShareStats(spark: SparkSession, dir: String,
+      span0: Int = -1 // -1 = the graft.span.tokens session knob
+  ): DataFrame = {
+    val span = resolveSpan(spark, span0)
     // One scan + one explode: the span stream repartitions on span_fp once
     // and BOTH consumers (the df aggregate and the join-back probe) hang
     // off that exchange — without the explicit repartition, Catalyst
@@ -181,7 +204,10 @@ object Dedup {
     * shuffle exactly once — PlanShapeSpec pins one documents scan in the
     * final adaptive plan.
     */
-  def redactSharedSpans(spark: SparkSession, dir: String, span: Int = SpanTokens): DataFrame = {
+  def redactSharedSpans(spark: SparkSession, dir: String,
+      span0: Int = -1 // -1 = the graft.span.tokens session knob
+  ): DataFrame = {
+    val span = resolveSpan(spark, span0)
     // The explicit isNotNull mirrors the constraint the final left join
     // would push onto its right branch alone; declared here it reaches
     // every branch's scan identically, keeping the subtrees reusable.
@@ -299,8 +325,12 @@ object Dedup {
     * the inverted index is the single largest shuffle in the exact rung and
     * longs hash/compare/ship ~4× cheaper than ~25-byte strings.
     */
-  def ngramJaccardPairs(spark: SparkSession, dir: String, maxShingleDf: Long = 1000L): DataFrame = {
-    val sh = cappedShingles(Tables.documents(spark, dir), maxDf = maxShingleDf)
+  def ngramJaccardPairs(spark: SparkSession, dir: String,
+      maxShingleDf: Long = -1L // -1 = the graft.jaccard.max_shingle_df session knob (1000 unset)
+  ): DataFrame = {
+    val maxDf = if (maxShingleDf >= 0) maxShingleDf
+      else graft.GraftConf.int(spark, "jaccard.max_shingle_df", 1000).toLong
+    val sh = cappedShingles(Tables.documents(spark, dir), maxDf = maxDf)
       .withColumn("h", xxhash64(col("s")))
     val idx = sh
       .groupBy("doc_id")
@@ -325,6 +355,18 @@ object Dedup {
   val MinhashHashes = 64
   val MinhashBands  = 16 // 4 rows per band
 
+  /** Resolved (nHashes, nBands) from the `graft.minhash.hashes` /
+    * `graft.minhash.bands` session knobs — the LSH operating point
+    * (P(candidate) = 1−(1−s^rows)^bands). Validated here because an
+    * uneven split would silently drop hashes from the last band.
+    */
+  private def minhashShape(spark: SparkSession): (Int, Int) = {
+    val h = graft.GraftConf.int(spark, "minhash.hashes", MinhashHashes)
+    val b = graft.GraftConf.int(spark, "minhash.bands", MinhashBands)
+    require(h > 0 && b > 0 && h % b == 0, s"graft.minhash.hashes=$h must divide evenly into graft.minhash.bands=$b")
+    (h, b)
+  }
+
   /** Per-doc MinHash artifacts for any (doc_id, text) frame: the
     * verification payload `(doc_id, ss, c)` and the band-bucket index
     * `(doc_id, band, bv)`. One groupBy produces everything — 64 seeded
@@ -339,9 +381,10 @@ object Dedup {
     * ([[incrementalNearDupPairs]]) — signatures agree by construction.
     */
   private[graft] def minhashArtifacts(docs: DataFrame): (DataFrame, DataFrame) = {
+    val (nHashes, nBands) = minhashShape(docs.sparkSession)
     val sh      = shingles(docs).withColumn("h", xxhash64(col("s")))
-    val rows    = MinhashHashes / MinhashBands
-    val minCols = (0 until MinhashHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"h$i"))
+    val rows    = nHashes / nBands
+    val minCols = (0 until nHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"h$i"))
     // Verification payload = the shingle HASHES, not the strings: longs ride
     // the exchange at 8 bytes/shingle and IntersectionSize probes them
     // allocation-free. Exactness is preserved up to xxhash64 collisions
@@ -350,7 +393,7 @@ object Dedup {
     val perDoc  = sh.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
     // Band signature = hash of its `rows` member hashes; explode to
     // (doc_id, band, bucket).
-    val bandCols = (0 until MinhashBands).map { b =>
+    val bandCols = (0 until nBands).map { b =>
       struct(
         lit(b).as("band"),
         xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*).as("bv")
@@ -381,10 +424,13 @@ object Dedup {
     * DedupSpec pins.
     */
   private[graft] def minhashArtifactsCached(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val (h, b) = minhashShape(spark)
+    // knob values fold into the key: signatures built at one operating
+    // point must never be served to a session tuned to another
     val key = graft.sources.LayoutCache.contentKey(
       spark,
       s"$dir/documents.parquet",
-      s"mhfull-v$MinhashSchemeVersion"
+      s"mhfull-v$MinhashSchemeVersion#h$h#b$b#n${shingleN(spark)}"
     )
     val layout = graft.sources.LayoutCache.getOrBuild(spark, "graft_mhfull", key) { out =>
       val (docSets, buckets) = minhashArtifacts(Tables.documents(spark, dir))
@@ -418,13 +464,15 @@ object Dedup {
   private[graft] val MinhashSchemeVersion = 2
 
   private[graft] def minhashIndexCache(spark: SparkSession, dir: String, batchStartId: Long): String = {
-    // Key = scheme version + batch split + CONTENT fingerprint of the source
-    // table — regenerated data under the same path rebuilds the index
-    // instead of silently reusing signatures of data that no longer exists.
+    // Key = scheme version + knob operating point + batch split + CONTENT
+    // fingerprint of the source table — regenerated data under the same
+    // path rebuilds the index instead of silently reusing signatures of
+    // data that no longer exists.
+    val (h, b) = minhashShape(spark)
     val key = graft.sources.LayoutCache.contentKey(
       spark,
       s"$dir/documents.parquet",
-      s"mhidx-v$MinhashSchemeVersion#$batchStartId"
+      s"mhidx-v$MinhashSchemeVersion#h$h#b$b#n${shingleN(spark)}#$batchStartId"
     )
     graft.sources.LayoutCache.getOrBuild(spark, "graft_mhidx", key) { out =>
       val corpus             = Tables.documents(spark, dir).where(col("doc_id") < batchStartId)
@@ -765,7 +813,12 @@ object Dedup {
     */
   def embeddingDupPairs(spark: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(spark)
-    embeddingDupPairsOn(Tables.embeddings(spark, dir))
+    embeddingDupPairsOn(
+      Tables.embeddings(spark, dir),
+      threshold = graft.GraftConf.double(spark, "embdup.threshold", 0.95),
+      nBands = graft.GraftConf.int(spark, "embdup.bands", 8),
+      bandBits = graft.GraftConf.int(spark, "embdup.band_bits", 8)
+    )
   }
 
   /** LSH-bucketed pairwise dedup over any (vec_id, embedding) frame —

@@ -157,19 +157,32 @@ object Similarity {
       .map(_._2)
       .toIndexedSeq
 
+  /** Resolved (nClusters, nProbe) from the `graft.ann.nclusters` /
+    * `graft.ann.nprobe` session knobs — the IVF recall/cost operating
+    * point. Probing more clusters than exist is a config error, not a
+    * silent full scan.
+    */
+  private def resolveIvfKnobs(spark: SparkSession, nClusters: Int, nProbe: Int): (Int, Int) = {
+    val nc = if (nClusters > 0) nClusters else graft.GraftConf.int(spark, "ann.nclusters", 16)
+    val np = if (nProbe > 0) nProbe else graft.GraftConf.int(spark, "ann.nprobe", 4)
+    require(np <= nc, s"graft.ann.nprobe=$np cannot exceed graft.ann.nclusters=$nc")
+    (nc, np)
+  }
+
   def annIvf(
       spark: SparkSession,
       dir: String,
       queryId: Long = 0L,
       k: Int = 10,
-      nClusters: Int = 16,
-      nProbe: Int = 4
+      nClusters: Int = -1, // -1 = the graft.ann.nclusters session knob (16 unset)
+      nProbe: Int = -1     // -1 = the graft.ann.nprobe session knob (4 unset)
   ): DataFrame = {
     VectorFunctions.register(spark)
+    val (nc, np) = resolveIvfKnobs(spark, nClusters, nProbe)
     val e       = Tables.embeddings(spark, dir)
-    val refined = refinedCentroids(e, nClusters)
+    val refined = refinedCentroids(e, nc)
     val qv      = e.where(col("vec_id") === queryId).select("embedding").head().getSeq[Float](0)
-    val probes  = probeIds(qv, refined, nProbe)
+    val probes  = probeIds(qv, refined, np)
     rankTopK(
       e.withColumn("cl", assignCol(refined))
         .where(col("cl").isin(probes: _*) && col("vec_id") =!= queryId)
@@ -192,18 +205,19 @@ object Similarity {
       dir: String,
       queryId: Long = 0L,
       k: Int = 10,
-      nClusters: Int = 16,
-      nProbe: Int = 4
+      nClusters: Int = -1, // -1 = the graft.ann.nclusters session knob (16 unset)
+      nProbe: Int = -1     // -1 = the graft.ann.nprobe session knob (4 unset)
   ): DataFrame = {
     VectorFunctions.register(spark)
-    val layout    = ivfLayoutCache(spark, dir, nClusters)
+    val (nc, np) = resolveIvfKnobs(spark, nClusters, nProbe)
+    val layout    = ivfLayoutCache(spark, dir, nc)
     val centroids = spark.read
       .parquet(s"$layout/centroids.parquet")
       .orderBy("cl")
       .collect()
       .map(_.getSeq[Float](1))
     val qv     = Tables.embeddings(spark, dir).where(col("vec_id") === queryId).select("embedding").head().getSeq[Float](0)
-    val probes = probeIds(qv, centroids, nProbe)
+    val probes = probeIds(qv, centroids, np)
     rankTopK(
       spark.read
         .parquet(s"$layout/vectors.parquet")
@@ -315,19 +329,20 @@ object Similarity {
       dir: String,
       queryId: Long = 0L,
       k: Int = 10,
-      nClusters: Int = 16,
-      nProbe: Int = 4,
+      nClusters: Int = -1, // -1 = the graft.ann.nclusters session knob (16 unset)
+      nProbe: Int = -1,    // -1 = the graft.ann.nprobe session knob (4 unset)
       shortlist: Int = QuantShortlist
   ): DataFrame = {
     VectorFunctions.register(spark)
-    val layout    = ivfLayoutCache(spark, dir, nClusters)
+    val (nc, np)  = resolveIvfKnobs(spark, nClusters, nProbe)
+    val layout    = ivfLayoutCache(spark, dir, nc)
     val centroids = spark.read
       .parquet(s"$layout/centroids.parquet")
       .orderBy("cl")
       .collect()
       .map(_.getSeq[Float](1))
     val qv     = Tables.embeddings(spark, dir).where(col("vec_id") === queryId).select("embedding").head().getSeq[Float](0)
-    val probes = probeIds(qv, centroids, nProbe)
+    val probes = probeIds(qv, centroids, np)
     // the query's own stored signature — quantized by the SAME scheme that
     // wrote the layout, so coarse scores are self-consistent
     val qv8 = spark.read
