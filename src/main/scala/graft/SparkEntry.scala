@@ -134,7 +134,9 @@ object SparkEntry {
     "u2_new_vs_returning"       -> (Retention.newVsReturning _),
     "a5_nearest_join"           -> (AsOf.purchaseNearestClick _),
     "w9_gap_histogram"          -> (CoreQueries.w9GapHistogram _),
-    "n10_embedding_keep"        -> ((s: SparkSession, d: String) => Dedup.embeddingClusterRepresentatives(s, d))
+    "n10_embedding_keep"        -> ((s: SparkSession, d: String) => Dedup.embeddingClusterRepresentatives(s, d)),
+    // round 7: maximal shared segments (suffix-array-style repeat extraction)
+    "n11_max_shared_segments"   -> ((s: SparkSession, d: String) => Dedup.maxSharedSegments(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -462,6 +464,20 @@ object SparkEntry {
         "FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.i = cov.pos) " +
         "SELECT doc_id, SUM(f)::BIGINT AS n_masked, md5(string_agg(t, ' ' ORDER BY i)) AS fp_redacted " +
         "FROM m GROUP BY doc_id ORDER BY doc_id"),
+    // n11: the same positioned-span CTEs as n8, then classic gaps-and-
+    // islands (s - row_number) to merge consecutive shared starts into one
+    // maximal segment, fingerprinted by slicing the original token list.
+    "n11_max_shared_segments" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
+        "sp AS (SELECT doc_id, s, md5(array_to_string(w[s : s + " + (Dedup.SpanTokens - 1) + "], ' ')) AS span_fp " +
+        "FROM toks, UNNEST(range(1, len(w) - " + (Dedup.SpanTokens - 2) + ")) t(s)), " +
+        "sh AS (SELECT span_fp FROM (SELECT span_fp, COUNT(DISTINCT doc_id) nd FROM sp GROUP BY span_fp) q WHERE nd >= 2), " +
+        "st AS (SELECT DISTINCT doc_id, s FROM sp JOIN sh USING (span_fp)), " +
+        "isl AS (SELECT doc_id, s, s - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) AS grp FROM st), " +
+        "seg AS (SELECT doc_id, MIN(s) AS s0, MAX(s) AS s1 FROM isl GROUP BY doc_id, grp) " +
+        "SELECT seg.doc_id, s0::BIGINT AS start_pos, (s1 - s0 + " + Dedup.SpanTokens + ")::BIGINT AS n_tokens, " +
+        "md5(array_to_string(w[s0 : s1 + " + (Dedup.SpanTokens - 1) + "], ' ')) AS seg_fp " +
+        "FROM seg JOIN toks ON seg.doc_id = toks.doc_id ORDER BY seg.doc_id, start_pos"),
     "d16_span_share" ->
       (spanCtePrefix.trim + ", " +
         "d AS (SELECT doc_id, span_fp, COUNT(*) OVER (PARTITION BY span_fp) AS nd FROM sp) " +

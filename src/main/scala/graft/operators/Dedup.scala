@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.VectorFunctions
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents` / `embeddings` — the core of a
@@ -204,23 +205,31 @@ object Dedup {
     * shuffle exactly once — PlanShapeSpec pins one documents scan in the
     * final adaptive plan.
     */
-  def redactSharedSpans(spark: SparkSession, dir: String,
-      span0: Int = -1 // -1 = the graft.span.tokens session knob
-  ): DataFrame = {
-    val span = resolveSpan(spark, span0)
-    // The explicit isNotNull mirrors the constraint the final left join
-    // would push onto its right branch alone; declared here it reaches
-    // every branch's scan identically, keeping the subtrees reusable.
+  /** The one-scan span machinery shared by [[redactSharedSpans]] and
+    * [[maxSharedSegments]]: the repartitioned (doc_id, toks) frame and the
+    * stream of 1-based start positions whose span appears in ≥ 2 distinct
+    * documents.
+    *
+    * The explicit isNotNull mirrors the constraint a downstream join
+    * would push onto one branch alone; declared here it reaches every
+    * branch's scan identically, keeping the subtrees reusable. The size
+    * guard lives INSIDE the explode expression (short docs emit an empty
+    * array, which explode drops) rather than as a `where`: a Filter would
+    * be pushed below the doc_id exchange on the span branch only, making
+    * the two exchange subtrees non-identical and defeating stage reuse.
+    * Spans are 1-based, mirroring DuckDB list slicing. ≥2 distinct docs ⟺
+    * min(doc_id) ≠ max(doc_id): two plain min/max partials instead of
+    * countDistinct's extra dedup aggregate pair; s_pin (and its
+    * tautological s_pin ≥ 1 — starts are 1-based) keeps `s` referenced on
+    * the aggregate branch so the column pruner projects the SAME (doc_id,
+    * s, span_fp) under both consumers of the span_fp exchange.
+    */
+  private def docsAndSharedStarts(spark: SparkSession, dir: String, span: Int): (DataFrame, DataFrame) = {
     val docs = Tables
       .documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .where(col("doc_id").isNotNull)
       .repartition(col("doc_id"))
-    // positioned spans (start is 1-based, mirroring DuckDB list slicing).
-    // The size guard lives INSIDE the explode expression (short docs emit an
-    // empty array, which explode drops) rather than as a `where`: a Filter
-    // would be pushed below the doc_id exchange on this branch only, making
-    // the two exchange subtrees non-identical and defeating stage reuse.
     val sp = docs
       .select(
         col("doc_id"),
@@ -233,20 +242,20 @@ object Dedup {
       )
       .select(col("doc_id"), col("p.s").as("s"), col("p.span_fp").as("span_fp"))
       .repartition(col("span_fp"))
-    // ≥2 distinct docs ⟺ min(doc_id) ≠ max(doc_id): two plain min/max
-    // partials instead of countDistinct's extra dedup aggregate pair.
-    // s_pin (and its tautological s_pin >= 1 — starts are 1-based) is a
-    // column PIN: it keeps `s` referenced on this branch so the column
-    // pruner projects the SAME (doc_id, s, span_fp) under both consumers
-    // of the span_fp exchange, keeping the subtrees identical for reuse
-    // (8 bytes/row through an exchange that must carry s anyway).
     val shared = sp
       .groupBy("span_fp")
       .agg(min("doc_id").as("d_min"), max("doc_id").as("d_max"), min("s").as("s_pin"))
       .where(col("d_min") =!= col("d_max") && col("s_pin") >= 1)
       .select("span_fp")
-    val starts = sp
-      .join(shared, "span_fp")
+    (docs, sp.join(shared, "span_fp").select("doc_id", "s"))
+  }
+
+  def redactSharedSpans(spark: SparkSession, dir: String,
+      span0: Int = -1 // -1 = the graft.span.tokens session knob
+  ): DataFrame = {
+    val span          = resolveSpan(spark, span0)
+    val (docs, hits)  = docsAndSharedStarts(spark, dir, span)
+    val starts = hits
       .groupBy("doc_id")
       .agg(collect_set(col("s")).as("ss"))
     docs
@@ -265,6 +274,48 @@ object Dedup {
           .as("fp_redacted")
       )
       .orderBy("doc_id")
+  }
+
+  /** N11 — MAXIMAL shared segments: each maximal run of tokens covered by
+    * shared [[SpanTokens]]-windows, reported ONCE as `(doc_id, start_pos,
+    * n_tokens, seg_fp)` — the repeat-extraction step n7's fixed-width
+    * windows cannot express (a 50-token copied paragraph is 43 overlapping
+    * n7 rows; here it is one segment of length 50, fingerprinted whole).
+    * Precisely: consecutive shared start positions form gaps-and-islands
+    * (`s − row_number()` grouping — the classic trick), an island [s₀, s₁]
+    * covers tokens [s₀, s₁+span−1], and `seg_fp` is the md5 of that exact
+    * token slice. This is the COVERAGE-union semantics, deliberately: two
+    * overlapping repeats (against different partner docs) merge into one
+    * reported segment, which is what a boilerplate-extraction pipeline
+    * wants — the suffix-array notion of per-occurrence-set maximal repeats
+    * (Lee et al.) would split them and requires global occurrence lists.
+    *
+    * Scale shape: [[docsAndSharedStarts]]'s one-scan machinery, then one
+    * per-document window whose partitions are bounded by the DOCUMENT's
+    * own span count (the w3-approved bound — never corpus-wide), one
+    * (doc_id, grp) aggregate that needs no new exchange (doc_id
+    * partitioning already clusters it), and a final slice join that reuses
+    * the same hoisted docs exchange. Oracle: the same gaps-and-islands in
+    * DuckDB SQL.
+    */
+  def maxSharedSegments(spark: SparkSession, dir: String,
+      span0: Int = -1 // -1 = the graft.span.tokens session knob
+  ): DataFrame = {
+    val span         = resolveSpan(spark, span0)
+    val (docs, hits) = docsAndSharedStarts(spark, dir, span)
+    val islands = hits
+      .withColumn("grp", col("s") - row_number().over(Window.partitionBy("doc_id").orderBy("s")))
+      .groupBy("doc_id", "grp")
+      .agg(min("s").as("s0"), max("s").as("s1")) // ints — slice() wants int args
+    islands
+      .join(docs, "doc_id")
+      .select(
+        col("doc_id"),
+        col("s0").cast("long").as("start_pos"),
+        (col("s1") - col("s0") + span).cast("long").as("n_tokens"),
+        md5(expr(s"concat_ws(' ', slice(toks, s0, s1 - s0 + $span))")).as("seg_fp")
+      )
+      .orderBy("doc_id", "start_pos")
   }
 
   /** Shared core: given per-doc shingle-HASH sets (doc_id, ss: array<long>,

@@ -279,6 +279,59 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) == ((0L, md5hex("short doc only"))))
   }
 
+  test("n11 maximal segments: one row per repeat (not k windows), disjoint repeats split") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_maxseg").toString
+    val a12 = (1 to 12).map(i => s"a$i").mkString(" ") // 12-token copied run
+    val b8  = (1 to 8).map(i => s"b$i").mkString(" ")
+    val c8  = (1 to 8).map(i => s"c$i").mkString(" ")
+    Seq(
+      // 12-token shared prefix → 5 overlapping shared windows → ONE segment
+      (1L, s"$a12 u1 u2", "en", "t", 1L),
+      (2L, s"$a12 v1 v2", "en", "t", 1L),
+      // two disjoint 8-token repeats separated by differing gaps → TWO segments
+      (3L, s"$b8 g1 g2 g3 $c8", "en", "t", 1L),
+      (4L, s"$b8 h1 h2 h3 $c8", "en", "t", 1L),
+      // unique long doc → absent
+      (5L, (1 to 20).map(i => s"z$i").mkString(" "), "en", "t", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = Dedup
+      .maxSharedSegments(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 1L, 12L, md5hex(a12)),
+      (2L, 1L, 12L, md5hex(a12)),
+      (3L, 1L, 8L, md5hex(b8)),
+      (3L, 12L, 8L, md5hex(c8)),
+      (4L, 1L, 8L, md5hex(b8)),
+      (4L, 12L, 8L, md5hex(c8))
+    ))
+  }
+
+  test("n11 reconciles with n8: per-doc segment lengths sum to the masked token count") {
+    import org.apache.spark.sql.functions._
+    val segSum = Dedup
+      .maxSharedSegments(spark, sf0001)
+      .groupBy("doc_id")
+      .agg(sum("n_tokens").as("n"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val masked = Dedup
+      .redactSharedSpans(spark, sf0001)
+      .where(col("n_masked") > 0)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(segSum == masked)
+    assert(segSum.nonEmpty, "real corpus should contain at least one shared segment")
+  }
+
   test("minhash index cache ≡ inline artifacts, bit for bit") {
     val inline = Dedup.minhashArtifacts(graft.sources.Tables.documents(spark, sf0001))
     val cached = Dedup.minhashArtifactsCached(spark, sf0001)
