@@ -158,7 +158,109 @@ object ScaleRehearsal {
     }
   }
 
+  /** 100× dedup-family rehearsal: the n-family's collision bounds (band
+    * width, stop-shingle cap, star-contraction rounds) checked one order of
+    * magnitude past the 10× corpus, on a corpus whose DUPLICATE STRUCTURE
+    * is realistic at scale — a constant dup RATE, not reps-sized clusters.
+    * Replica i of doc d is a NEAR-dup of its base only when (d + i) mod 50
+    * = 0 (≈2% of replicas, forming ~2-member clusters per base doc);
+    * every other replica gets each token suffixed with its replica index,
+    * which rewrites every shingle and makes it similar to nothing. A
+    * degenerate alternative (all replicas near-dups, the 10× corpus's
+    * rule) would manufacture reps²-sized cliques — C(100,2) ≈ 5k pairs per
+    * base doc, ~2.5e8 candidates — which no real corpus exhibits and no
+    * candidate-bounded design should be judged on.
+    *
+    * Records (→ BASELINE.md): max shingle df vs the 1000 stop-shingle cap,
+    * band-bucket collision profile (max bucket size, candidate count),
+    * verified-pair count (collision efficiency = candidates/verified),
+    * star-contraction rounds with per-round edge counts, cluster count and
+    * max cluster size, wall time per stage.
+    */
+  def dedupRehearsal(spark: SparkSession, src: String, dst: String, reps: Int): Unit = {
+    import graft.operators.Dedup
+    val fs = new org.apache.hadoop.fs.Path(dst).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dst/_built"))) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(dst))) fs.delete(new org.apache.hadoop.fs.Path(dst), true)
+      val base = spark.read.parquet(s"$src/documents.parquet")
+      (0 until reps).foreach { i =>
+        base
+          .withColumn("doc_id", col("doc_id") + lit(i * Stride))
+          .withColumn(
+            "text",
+            when(pmod(col("doc_id") + lit(i), lit(50)) === 0, concat(col("text"), lit(s" rep$i")))
+              .otherwise(expr(s"array_join(transform(split(text, ' '), t -> concat(t, '_$i')), ' ')"))
+          )
+          .coalesce(1)
+          .write.mode("append").parquet(s"$dst/documents.parquet")
+      }
+      fs.create(new org.apache.hadoop.fs.Path(s"$dst/_built")).close()
+      println(s"[dedup100] built ${reps}x documents at $dst")
+    }
+    val docs  = spark.read.parquet(s"$dst/documents.parquet")
+    val nDocs = docs.count()
+    def timed[A](label: String)(body: => A): A = {
+      val t0 = System.nanoTime(); val a = body
+      println(f"[dedup100] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.1f s"); a
+    }
+    val maxDf = timed("shingle df profile") {
+      Dedup.shingles(docs).groupBy("s").agg(count(lit(1)).as("df")).agg(max("df")).head().getLong(0)
+    }
+    println(f"[dedup100] n_docs=$nDocs%d max_shingle_df=$maxDf%d (stop-shingle cap 1000, margin ${1000.0 / maxDf}%.1fx)")
+    // signatures once to parquet (the persisted-index shape), stages read back
+    val art = s"$dst/_artifacts"
+    timed("minhash signatures") {
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$art/_SUCCESS_ART"))) {
+        val (ds, bk) = Dedup.minhashArtifacts(docs)
+        ds.write.mode("overwrite").parquet(s"$art/docsets.parquet")
+        bk.write.mode("overwrite").parquet(s"$art/buckets.parquet")
+        fs.create(new org.apache.hadoop.fs.Path(s"$art/_SUCCESS_ART")).close()
+      }
+    }
+    val buckets = spark.read.parquet(s"$art/buckets.parquet")
+    val docSets = spark.read.parquet(s"$art/docsets.parquet")
+    val maxBucket = timed("bucket profile") {
+      buckets.groupBy("band", "bv").agg(count(lit(1)).as("n")).agg(max("n")).head().getLong(0)
+    }
+    val cand = buckets
+      .as("a")
+      .join(buckets.as("b"), col("a.band") === col("b.band") && col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .localCheckpoint()
+    val nCand     = timed("candidate generation")(cand.count())
+    val verified  = Dedup.verifyPairs(docSets, cand).localCheckpoint()
+    val nVerified = timed("exact verification")(verified.count())
+    println(
+      f"[dedup100] max_bucket=$maxBucket%d candidates=$nCand%d verified=$nVerified%d " +
+        f"(collision efficiency ${nVerified * 100.0 / math.max(nCand, 1)}%.1f%%)"
+    )
+    val clusters = timed("star contraction") {
+      Dedup
+        .clustersFromPairsStar(
+          verified.select("doc_a", "doc_b"),
+          onRound = Some((r, e) => println(s"[dedup100]   round $r: $e edges"))
+        )
+        .localCheckpoint()
+    }
+    val nClusters = clusters.select("cluster_id").distinct().count()
+    val maxCluster =
+      clusters.groupBy("cluster_id").agg(count(lit(1)).as("n")).agg(max("n")).head().getLong(0)
+    println(s"[dedup100] clusters=$nClusters max_cluster_size=$maxCluster")
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("dedup100")) {
+      val spark = GraftSession.getOrCreate()
+      dedupRehearsal(
+        spark,
+        args.lift(1).getOrElse("/root/testdata/sf0.1"),
+        args.lift(2).getOrElse("/tmp/graft_dedup100"),
+        args.lift(3).map(_.toInt).getOrElse(100)
+      )
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("skew")) {
       val spark = GraftSession.getOrCreate()
       skewRehearsal(

@@ -724,7 +724,11 @@ object Dedup {
     * produce identical output on every graph, which DedupSpec pins on
     * planted chains, triangles, and seeded random graphs.
     */
-  private[graft] def clustersFromPairsStar(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  private[graft] def clustersFromPairsStar(
+      pairs: DataFrame,
+      maxIter: Int = 25,
+      onRound: Option[(Int, Long) => Unit] = None // (round, |edges|) — rehearsal instrumentation; None = no extra count job
+  ): DataFrame = {
     def sym(e: DataFrame): DataFrame =
       e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
     // m(u) = min(Γ(u) ∪ {u}) per node, from a symmetric edge frame
@@ -758,6 +762,7 @@ object Dedup {
       converged = next.except(edges).unionByName(edges.except(next)).isEmpty
       edges = next
       iter += 1
+      onRound.foreach(f => f(iter, edges.count()))
     }
     if (!converged)
       throw new IllegalStateException(

@@ -9,11 +9,12 @@ import org.apache.spark.sql.functions._
   *
   * Decoding dispatches on the format tag: netpbm images (PGM/PPM) decode
   * FOR REAL via the pure-JVM [[decodePnm]] parser, uncompressed 24-bit
-  * BMP via [[decodeBmp]], and compressed formats the JDK ships codecs for
+  * BMP via [[decodeBmp]], compressed formats the JDK ships codecs for
   * (JPEG, PNG, GIF) via [[decodeImageIo]] (`javax.imageio` — built into
-  * the JRE, no native deps, works offline). Only formats with no JDK
-  * codec at all (audio, video) fall to [[decodeStub]], a clearly-marked
-  * deterministic fake. The Spark-side plumbing is real either way: binary
+  * the JRE, no native deps, works offline), and RIFF/WAVE PCM audio via
+  * the hand-rolled [[decodeWav]]. Only formats with no JDK codec at all
+  * (compressed audio, video containers) fall to [[decodeStub]], a
+  * clearly-marked deterministic fake. The Spark-side plumbing is real either way: binary
   * column + metadata struct schema, partition-batched decoding via typed
   * `mapPartitions` (the Scala analogue of `mapInPandas` batch decoding:
   * one iterator per partition so a codec instance amortizes
@@ -57,10 +58,11 @@ object Multimodal {
   }
 
   /** STUB decoder — deterministic fake standing in for codecs the JDK
-    * lacks entirely (audio, video). Every image family decodes for real
-    * ([[decodePnm]]/[[decodeBmp]]/[[decodeImageIo]]); everything around
-    * this call (batching, schema, partitioning) is production-shaped
-    * either way.
+    * lacks entirely (compressed audio, video containers). Every image
+    * family decodes for real ([[decodePnm]]/[[decodeBmp]]/
+    * [[decodeImageIo]]), as does WAV PCM audio ([[decodeWav]]);
+    * everything around this call (batching, schema, partitioning) is
+    * production-shaped either way.
     */
   private[operators] def decodeStub(row: MediaRow, dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
@@ -212,6 +214,69 @@ object Multimodal {
       } finally if (iis != null) iis.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  final case class DecodedAudio(sampleRate: Int, channels: Int, samples: Array[Float])
+
+  /** REAL decoder for RIFF/WAVE PCM audio (16-bit signed or 8-bit
+    * unsigned, any channel count) — the audio family a pure JVM parses
+    * without a codec library, closing the "audio is a stub" gap the same
+    * way netpbm/BMP closed images. Chunk scan honors the RIFF contract
+    * (little-endian sizes, word-aligned chunks, `fmt ` before `data`);
+    * channels average to one mono stream normalized to [−1, 1], the same
+    * collapse-to-one-plane convention as the image decoders' grayscale.
+    * All size arithmetic runs in long space and every chunk bound is
+    * checked against the actual byte array, so hostile headers (a 40-byte
+    * payload declaring a 2 GB data chunk) reject via the shared
+    * return-None contract instead of allocating or throwing. Compressed
+    * codecs (MP3/AAC/OGG) have no JDK decoder and stay with the disclosed
+    * stub, as video does.
+    */
+  private[graft] def decodeWav(b: Array[Byte]): Option[DecodedAudio] = {
+    def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def i32(o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    def tag(o: Int, s: String): Boolean = (0 until 4).forall(i => b(o + i) == s.charAt(i).toByte)
+    if (b.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var pos                                     = 12L
+    var fmtOk                                   = false
+    var channels, rate, bits                    = 0
+    var samples: Array[Float]                   = null
+    while (pos + 8 <= b.length && samples == null) {
+      val p  = pos.toInt
+      val sz = i32(p + 4).toLong & 0xffffffffL // RIFF sizes are unsigned
+      if (pos + 8 + sz > b.length) return None // truncated or hostile chunk
+      if (tag(p, "fmt ") && sz >= 16) {
+        val audioFormat = u16(p + 8)
+        channels = u16(p + 10)
+        rate = i32(p + 12)
+        bits = u16(p + 22) // fmt data +14: bitsPerSample
+        fmtOk = audioFormat == 1 && channels > 0 && rate > 0 && (bits == 8 || bits == 16)
+      } else if (tag(p, "data")) {
+        if (!fmtOk) return None
+        val frameBytes = (bits / 8) * channels
+        val n          = (sz / frameBytes).toInt
+        val out        = new Array[Float](n)
+        var f          = 0
+        while (f < n) {
+          val base = p + 8 + f * frameBytes
+          var acc  = 0.0f
+          var c    = 0
+          while (c < channels) {
+            acc += (if (bits == 16) {
+                      val o = base + 2 * c
+                      ((b(o) & 0xff) | (b(o + 1) << 8)).toShort / 32768.0f
+                    } else ((b(base + c) & 0xff) - 128) / 128.0f)
+            c += 1
+          }
+          out(f) = acc / channels
+          f += 1
+        }
+        samples = out
+      }
+      pos += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    if (samples == null) None else Some(DecodedAudio(rate, channels, samples))
+  }
+
   /** Mean-pool a pixel stream into `dim` contiguous buckets — the
     * fixed-width feature contract the ANN operators consume.
     */
@@ -242,17 +307,25 @@ object Multimodal {
     }
 
   /** Format-dispatched decode: every image family decodes for real
-    * ([[decodePnm]]/[[decodeBmp]]/[[decodeImageIo]]); only non-image media
-    * (audio/video) hits the disclosed stub. A payload DECLARED a real
-    * format but undecodable yields all-zero features — an observable
-    * degradation a quality filter can drop, never a stub-fake that would
-    * masquerade as a real decode.
+    * ([[decodePnm]]/[[decodeBmp]]/[[decodeImageIo]]) and WAV PCM audio via
+    * [[decodeWav]] (features = the pooled amplitude ENVELOPE — |sample|
+    * mean per bucket — since a mean of signed samples converges to zero);
+    * only media with no JDK codec at all (compressed audio, video) hits
+    * the disclosed stub. A payload DECLARED a real format but undecodable
+    * yields all-zero features — an observable degradation a quality
+    * filter can drop, never a stub-fake that would masquerade as a real
+    * decode.
     */
   private[graft] def decode(row: MediaRow, dim: Int): Array[Float] =
     parseImage(row.format, row.payload) match {
       case Some(Some(img)) => poolFeatures(img.gray, dim)
       case Some(None)      => new Array[Float](dim)
-      case None            => decodeStub(row, dim)
+      case None if row.format == "audio/wav" =>
+        decodeWav(row.payload) match {
+          case Some(a) => poolFeatures(a.samples.map(math.abs), dim)
+          case None    => new Array[Float](dim)
+        }
+      case None => decodeStub(row, dim)
     }
 
   /** Feature extraction over the media table: per-partition iteration (codec

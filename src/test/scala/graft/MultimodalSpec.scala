@@ -181,6 +181,7 @@ class MultimodalSpec extends SparkSpec {
       val bs = Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte)
       Multimodal.decodeBmp(bs)
       Multimodal.decodePnm(bs)
+      Multimodal.decodeWav(bs)
     }
     // corrupted valid payloads: flip 1–4 bytes anywhere (header or raster)
     for (_ <- 1 to 300; g <- good) {
@@ -193,6 +194,7 @@ class MultimodalSpec extends SparkSpec {
     for (g <- good; n <- 0 until g.length) {
       Multimodal.decodeBmp(g.take(n))
       Multimodal.decodePnm(g.take(n))
+      Multimodal.decodeWav(g.take(n))
     }
   }
 
@@ -278,5 +280,69 @@ class MultimodalSpec extends SparkSpec {
     val resized = Multimodal.resizeMedia(Seq(row).toDS(), 1, 1).collect().head
     assert(resized.format == "image/pgm" && resized.width == 1 && resized.height == 1)
     assert(Multimodal.decodePnm(resized.payload).nonEmpty)
+  }
+
+  /** Hand-built RIFF/WAVE PCM payload — the inverse of decodeWav, kept
+    * test-side so the decoder is checked against the spec, not itself.
+    */
+  private def encodeWav(rate: Int, channels: Int, bits: Int, frames: Array[Array[Int]]): Array[Byte] = {
+    val bytesPer  = bits / 8
+    val dataBytes = frames.length * channels * bytesPer
+    val bb = java.nio.ByteBuffer
+      .allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes).put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * channels * bytesPer).putShort((channels * bytesPer).toShort).putShort(bits.toShort)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    frames.foreach(f =>
+      f.foreach(s => if (bits == 16) bb.putShort(s.toShort) else bb.put(s.toByte))
+    )
+    bb.array()
+  }
+
+  test("WAV PCM decode: 16-bit stereo averages channels, 8-bit mono normalizes") {
+    // 16-bit stereo: frames average to mono in [-1, 1]
+    val wav16 = encodeWav(8000, 2, 16, Array(Array(16384, -16384), Array(32767, 32767), Array(0, -32768)))
+    val a     = Multimodal.decodeWav(wav16).get
+    assert(a.sampleRate == 8000 && a.channels == 2 && a.samples.length == 3)
+    assert(a.samples(0) == 0.0f)
+    assert(math.abs(a.samples(1) - 32767f / 32768f) < 1e-6)
+    assert(a.samples(2) == -0.5f)
+    // 8-bit unsigned mono: 128 → 0, 255 → ~1, 0 → -1
+    val wav8 = encodeWav(4000, 1, 8, Array(Array(128), Array(255), Array(0)))
+    val b    = Multimodal.decodeWav(wav8).get
+    assert(b.samples.toSeq == Seq(0.0f, 127f / 128f, -1.0f))
+  }
+
+  test("WAV decode rejects hostile and truncated payloads via return-None") {
+    val good = encodeWav(8000, 1, 16, Array(Array(100), Array(-100)))
+    assert(Multimodal.decodeWav(good).nonEmpty)
+    // declared data chunk far beyond the actual bytes → None, no allocation
+    val hostile = good.clone()
+    hostile(40) = 0xff.toByte; hostile(41) = 0xff.toByte
+    hostile(42) = 0xff.toByte; hostile(43) = 0x7f.toByte
+    assert(Multimodal.decodeWav(hostile).isEmpty)
+    assert(Multimodal.decodeWav(good.take(30)).isEmpty)       // truncated mid-header
+    assert(Multimodal.decodeWav("RIFFxxxx".getBytes).isEmpty) // not WAVE
+    // float PCM (format 3) has no JDK-free decoder → None, not garbage
+    val floatFmt = good.clone(); floatFmt(20) = 3
+    assert(Multimodal.decodeWav(floatFmt).isEmpty)
+  }
+
+  test("audio/wav rows route to the real decoder; envelope features are non-trivial") {
+    import spark.implicits._
+    val wav = encodeWav(8000, 1, 16, Array.tabulate(64)(i => Array(if (i < 32) 0 else 16384)))
+    val row = Multimodal.MediaRow(1L, "audio/wav", 0, 0, 1, wav)
+    val viaDispatch = Multimodal.decode(row, 4)
+    // first half silent, second half loud — the envelope sees the step
+    assert(viaDispatch(0) == 0.0f && viaDispatch(3) > 0.4f)
+    // corrupt declared-wav degrades to zero features, never the stub fake
+    val corrupt = Multimodal.decode(row.copy(payload = wav.take(20)), 4)
+    assert(corrupt.toSeq == Seq(0.0f, 0.0f, 0.0f, 0.0f))
+    // and the Dataset path carries it end to end
+    val feats = Multimodal.extractFeatures(Seq(row).toDS(), dim = 4).collect().head
+    assert(feats.features.toSeq == viaDispatch.toSeq)
   }
 }
