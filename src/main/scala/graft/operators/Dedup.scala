@@ -491,7 +491,38 @@ object Dedup {
     (spark.read.parquet(s"$layout/docsets.parquet"), spark.read.parquet(s"$layout/buckets.parquet"))
   }
 
+  /** Bump when the pair derivation (candidate generation or verification
+    * rule) changes; folded into the pair layout's cache key alongside the
+    * signature scheme version.
+    */
+  private[graft] val MinhashPairsSchemeVersion = 1
+
+  /** The registered n2 surface reads a PERSISTED pair table: after the
+    * signature layout (round 6), this is the second materialization step
+    * a production dedup pipeline performs at ingest — the pair/cluster
+    * graph is published ONCE and every consumer (n2's listing, n6's
+    * clusters, n9's keep-list, c1/c2's pipeline) reads it, instead of
+    * each re-running the candidate join + exact verification. Same
+    * staleness contract as every layout: corpus content fingerprint +
+    * signature & pair scheme versions + the knob operating point, so a
+    * regenerated corpus or retuned banding rebuilds rather than serving
+    * stale pairs. [[minhashLshPairsLive]] stays as the live path the
+    * layout is built from (and the spec's bit-equality differential).
+    */
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val (h, b) = minhashShape(spark)
+    val key = graft.sources.LayoutCache.contentKey(
+      spark,
+      s"$dir/documents.parquet",
+      s"mhpairs-v$MinhashPairsSchemeVersion#mh-v$MinhashSchemeVersion#h$h#b$b#n${shingleN(spark)}"
+    )
+    val layout = graft.sources.LayoutCache.getOrBuild(spark, "graft_mhpairs", key) { out =>
+      minhashLshPairsLive(spark, dir).write.mode("overwrite").parquet(s"$out/pairs.parquet")
+    }
+    spark.read.parquet(s"$layout/pairs.parquet").orderBy("doc_a", "doc_b")
+  }
+
+  private[graft] def minhashLshPairsLive(spark: SparkSession, dir: String): DataFrame = {
     val (docSets, buckets) = minhashArtifactsCached(spark, dir)
     val cand = buckets
       .as("a")
@@ -581,8 +612,15 @@ object Dedup {
     * against N1.
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val tok = shingles(Tables.documents(spark, dir))
-      .withColumn("h", xxhash64(col("s")))
+    // The per-doc shingle-hash SETS the persisted minhash layout already
+    // stores (docsets.ss = collect_set(xxhash64(shingle))) are exactly
+    // simhash's input stream — exploding them back is bit-identical to
+    // re-shingling the corpus (both are distinct-per-doc xxhash64 values)
+    // and skips the dominant tokenize+shingle pass entirely. n3 therefore
+    // rides the same ingest-time artifact as n2/n5/n6/n9/c1/c2 instead of
+    // being the one rung that re-reads text.
+    val tok = minhashArtifactsCached(spark, dir)._1
+      .select(col("doc_id"), explode(col("ss")).as("h"))
     val bitCols = (0 until 64).map(i =>
       sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"b$i")
     )
@@ -623,8 +661,31 @@ object Dedup {
     * Oracle: DuckDB `WITH RECURSIVE` reachability over the exact-Jaccard
     * pair set.
     */
-  def dupClusters(spark: SparkSession, dir: String): DataFrame =
-    clustersFromPairsStar(minhashLshPairs(spark, dir))
+  /** Bump when the component derivation changes; folds into the cluster
+    * layout's cache key with the pair scheme it derives from.
+    */
+  private[graft] val ClustersSchemeVersion = 1
+
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    // The third ingest-time materialization rung (signatures → pairs →
+    // CLUSTERS): star contraction runs once per corpus version and the
+    // component table lands as a layout — n6 is a read, n9 a read + two
+    // narrow joins, instead of each paying the iterative contraction's
+    // driver-synchronized rounds per query. Key carries the full
+    // derivation chain (signature scheme + knobs + pair scheme + cluster
+    // scheme), so retuning any upstream knob rebuilds the chain.
+    val (h, b) = minhashShape(spark)
+    val key = graft.sources.LayoutCache.contentKey(
+      spark,
+      s"$dir/documents.parquet",
+      s"mhclusters-v$ClustersSchemeVersion#p-v$MinhashPairsSchemeVersion#mh-v$MinhashSchemeVersion#h$h#b$b#n${shingleN(spark)}"
+    )
+    val layout = graft.sources.LayoutCache.getOrBuild(spark, "graft_mhclusters", key) { out =>
+      clustersFromPairsStar(minhashLshPairs(spark, dir))
+        .write.mode("overwrite").parquet(s"$out/clusters.parquet")
+    }
+    spark.read.parquet(s"$layout/clusters.parquet").orderBy("cluster_id", "doc_id")
+  }
 
   /** N9 — the deduplicated corpus as a listing: one row per KEPT document
     * `(doc_id, cluster_size)` — the min-id representative of every near-dup
@@ -867,14 +928,34 @@ object Dedup {
     * is exact, so output ⊆ brute force always; DedupSpec proves equality on
     * a planted fixture and [[embeddingDupPairsBrute]] stays as the oracle.
     */
+  /** Bump when the embedding pair derivation changes (plane scheme,
+    * verification rule); folded into the pair layout's cache key.
+    */
+  private[graft] val EmbPairsSchemeVersion = 1
+
+  /** Like [[minhashLshPairs]], the registered n4 surface reads a
+    * PERSISTED pair table — the banded-LSH candidate join + exact cosine
+    * verification run once per (embeddings content, threshold, banding)
+    * and land as a layout every consumer (n4's listing, n10's semantic
+    * keep-list) reads. The hyperplane directions are deterministic
+    * ([[Similarity.planes]]), so the cached pairs are bit-identical to
+    * the live computation, which the spec pins.
+    */
   def embeddingDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    VectorFunctions.register(spark)
-    embeddingDupPairsOn(
-      Tables.embeddings(spark, dir),
-      threshold = graft.GraftConf.double(spark, "embdup.threshold", 0.95),
-      nBands = graft.GraftConf.int(spark, "embdup.bands", 8),
-      bandBits = graft.GraftConf.int(spark, "embdup.band_bits", 8)
+    val t  = graft.GraftConf.double(spark, "embdup.threshold", 0.95)
+    val nb = graft.GraftConf.int(spark, "embdup.bands", 8)
+    val bb = graft.GraftConf.int(spark, "embdup.band_bits", 8)
+    val key = graft.sources.LayoutCache.contentKey(
+      spark,
+      s"$dir/embeddings.parquet",
+      s"embpairs-v$EmbPairsSchemeVersion#t$t#b${nb}x$bb"
     )
+    val layout = graft.sources.LayoutCache.getOrBuild(spark, "graft_embpairs", key) { out =>
+      VectorFunctions.register(spark)
+      embeddingDupPairsOn(Tables.embeddings(spark, dir), threshold = t, nBands = nb, bandBits = bb)
+        .write.mode("overwrite").parquet(s"$out/pairs.parquet")
+    }
+    spark.read.parquet(s"$layout/pairs.parquet").orderBy("vec_a", "vec_b")
   }
 
   /** LSH-bucketed pairwise dedup over any (vec_id, embedding) frame —

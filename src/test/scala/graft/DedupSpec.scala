@@ -380,6 +380,47 @@ class DedupSpec extends SparkSpec {
     assert(real.length.toLong == total && real.forall(_.getLong(1) == 1L))
   }
 
+  test("pair layouts ≡ the live computation, and rebuild when the corpus changes in place") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_pairs_stale").toString
+    // 20-token shared run + one differing tail token → Jaccard 18/20 = 0.9
+    val run = (1 to 20).map(i => s"t$i").mkString(" ")
+    def writeDocs(suffix: String): Unit =
+      Seq((0L, s"$run a$suffix"), (1L, s"$run b$suffix"), (2L, (1 to 14).map(i => s"u$i$suffix").mkString(" ")))
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    writeDocs("v1")
+    val cached = Dedup.minhashLshPairs(spark, dir).collect().map(_.toSeq).toSeq
+    val live = Dedup
+      .minhashLshPairsLive(spark, dir)
+      .orderBy("doc_a", "doc_b")
+      .collect().map(_.toSeq).toSeq
+    assert(cached == live && cached.nonEmpty, "persisted pair table must equal the live derivation")
+    // regenerate UNDER THE SAME PATH with no near-dups: a stale layout
+    // would still report the old pair
+    Seq((0L, (1 to 14).map(i => s"x$i").mkString(" ")), (1L, (1 to 14).map(i => s"y$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(Dedup.minhashLshPairs(spark, dir).count() == 0L)
+    // n4's layout: planted identical vectors pair up; perturbing the table
+    // in place rebuilds (pair disappears), never serves the stale layout
+    graft.functions.VectorFunctions.register(spark)
+    val edir = java.nio.file.Files.createTempDirectory("graft_embpairs_stale").toString
+    val rnd  = new scala.util.Random(7)
+    val v    = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val w    = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def writeVecs(second: Array[Float]): Unit =
+      Seq((0L, v, 0), (1L, second, 0))
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$edir/embeddings.parquet")
+    writeVecs(v.map(x => x + 0.001f))
+    val p1 = Dedup.embeddingDupPairs(spark, edir).collect()
+    assert(p1.length == 1 && p1.head.getLong(0) == 0L && p1.head.getLong(1) == 1L)
+    writeVecs(w) // unrelated vector: cosine ~0 → no pair in a FRESH layout
+    assert(Dedup.embeddingDupPairs(spark, edir).where(col("vec_a") === 0L).count() == 0L)
+  }
+
   test("n9: kept set = cluster minima + untouched docs; sizes partition the corpus") {
     val kept = Dedup
       .clusterRepresentatives(spark, sf0001)
