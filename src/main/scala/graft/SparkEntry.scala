@@ -136,7 +136,9 @@ object SparkEntry {
     "w9_gap_histogram"          -> (CoreQueries.w9GapHistogram _),
     "n10_embedding_keep"        -> ((s: SparkSession, d: String) => Dedup.embeddingClusterRepresentatives(s, d)),
     // round 7: maximal shared segments (suffix-array-style repeat extraction)
-    "n11_max_shared_segments"   -> ((s: SparkSession, d: String) => Dedup.maxSharedSegments(s, d))
+    "n11_max_shared_segments"   -> ((s: SparkSession, d: String) => Dedup.maxSharedSegments(s, d)),
+    // round 7: a1 over the user-bucketed events layout (exchange-free window)
+    "a6_asof_bucketed"          -> (AsOf.purchaseAsofClickBucketed _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -543,6 +545,12 @@ object SparkEntry {
       ("SELECT event_type, quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.9) AS p90 " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
     "a1_asof_join" ->
+      ("SELECT p.event_id AS purchase_id, c.event_id AS click_id " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
+        "ON p.user_id = c.user_id AND p.ts >= c.ts ORDER BY purchase_id"),
+    // a6 = a1 over the bucketed layout: same semantics, same oracle text
+    "a6_asof_bucketed" ->
       ("SELECT p.event_id AS purchase_id, c.event_id AS click_id " +
         "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
         "ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c " +

@@ -153,8 +153,21 @@ object AsOf {
     * unioned (2× the table read at 100 TB). The generic two-table
     * [[asofJoin]] remains for genuinely distinct inputs.
     */
-  def purchaseAsofClick(spark: SparkSession, dir: String): DataFrame = {
-    val events = Tables.eventsRaw(spark, dir) // raw ts: ordering-equivalent, no per-row conversion
+  def purchaseAsofClick(spark: SparkSession, dir: String): DataFrame =
+    purchaseAsofClickOn(Tables.eventsRaw(spark, dir)) // raw ts: ordering-equivalent, no per-row conversion
+
+  /** A6 — a1 over the USER-BUCKETED events layout
+    * ([[graft.sources.BucketedFacts.eventsByUser]]): identical semantics
+    * and oracle, but the scan itself reports HashPartitioning(user_id),
+    * so the as-of window runs with ZERO exchange — the full-log shuffle
+    * that dominates every per-user operator at 100 TB is paid once at
+    * ingest instead of per query. PlanShapeSpec asserts the exchange-free
+    * plan; the a1 twin pins result equality.
+    */
+  def purchaseAsofClickBucketed(spark: SparkSession, dir: String): DataFrame =
+    purchaseAsofClickOn(spark.table(graft.sources.BucketedFacts.eventsByUser(spark, dir)))
+
+  private def purchaseAsofClickOn(events: DataFrame): DataFrame =
     asofJoinFusedSelf(
       events.where(col("event_type").isin("click", "purchase")),
       key = "user_id",
@@ -166,7 +179,6 @@ object AsOf {
     )
       .select(col("__left_id").as("purchase_id"), col("__match").as("click_id"))
       .orderBy("purchase_id")
-  }
 
   /** A4 — FORWARD as-of: for every purchase, the EARLIEST click at-or-after
     * it by the same user (post-conversion behavior lookahead — the mirror

@@ -40,6 +40,23 @@ object BucketedFacts {
     )
   }
 
+  /** Catalog table name for `events` bucketed on `user_id` (per-bucket
+    * sorted by (user_id, ts)) — the layout the per-user operator family
+    * (as-of joins a1–a5, sessionize, funnel, transitions, retention)
+    * wants: every one of them opens with a hash partition on user_id
+    * over the FULL event log, which at 100 TB is a terabyte exchange per
+    * query. Bucketing pays it once at ingest; a bucketed scan reports
+    * HashPartitioning(user_id) and the window/aggregate runs with ZERO
+    * Exchange (the within-partition sort remains, as it must). The raw
+    * `ts` column is preserved as stored (nanos long or native timestamp),
+    * so ordering semantics are identical to the plain-table path.
+    */
+  def eventsByUser(spark: SparkSession, dir: String, nBuckets: Int = 8): String = {
+    val scheme = s"bk-v$BucketSchemeVersion#u$nBuckets"
+    val key    = LayoutCache.contentKey(spark, s"$dir/events.parquet", scheme)
+    attach(spark, s"graft_events_bku_$key", Tables.eventsRaw(spark, dir), "user_id", nBuckets, sortCols = Seq("user_id", "ts"))
+  }
+
   /** Ensure catalog table `name` exists: reuse the already-registered table,
     * re-attach persisted bucket files via DDL, or write them (bucketed,
     * per-bucket sorted) if absent. The key in `name` fingerprints source
@@ -50,21 +67,23 @@ object BucketedFacts {
       name: String,
       src: DataFrame,
       bucketCol: String,
-      nBuckets: Int
+      nBuckets: Int,
+      sortCols: Seq[String] = Seq.empty
   ): String = {
+    val sort = if (sortCols.nonEmpty) sortCols else Seq(bucketCol)
     if (!spark.catalog.tableExists(name)) {
       val out = new Path(sys.props("java.io.tmpdir"), name)
       val fs  = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(new Path(out, "_SUCCESS"))) {
         spark.sql(
           s"CREATE TABLE $name (${src.schema.toDDL}) USING parquet " +
-            s"CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO $nBuckets BUCKETS " +
+            s"CLUSTERED BY ($bucketCol) SORTED BY (${sort.mkString(", ")}) INTO $nBuckets BUCKETS " +
             s"LOCATION '$out'"
         )
       } else {
         src.write
           .bucketBy(nBuckets, bucketCol)
-          .sortBy(bucketCol)
+          .sortBy(sort.head, sort.tail: _*)
           .option("path", out.toString)
           .mode("overwrite")
           .saveAsTable(name)

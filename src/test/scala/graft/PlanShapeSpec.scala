@@ -182,6 +182,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("ReusedExchange"), plan)
   }
 
+  test("a6 bucketed as-of runs its window with ZERO hash exchange, and equals a1") {
+    val a6 = graft.operators.AsOf.purchaseAsofClickBucketed(spark, sf0001)
+    a6.collect()
+    val plan = executedPlan(a6).split("== Initial Plan ==")(0)
+    // the bucketed scan satisfies the window's distribution; the only
+    // allowed exchange is the final orderBy's range partitioning
+    assert(
+      !plan.contains("Exchange hashpartitioning"),
+      s"window should ride the bucket partitioning:\n$plan"
+    )
+    assert(plan.contains("Bucketed: true"), plan)
+    val a1 = graft.operators.AsOf.purchaseAsofClick(spark, sf0001)
+    assert(a6.exceptAll(a1).isEmpty && a1.exceptAll(a6).isEmpty)
+    assert(a6.count() > 0)
+  }
+
   test("ann scoring stays in whole-stage codegen (no fallback)") {
     val df   = Similarity.annBruteForce(spark, sf0001)
     df.collect() // forces codegen; a CompileException fallback would log loudly
