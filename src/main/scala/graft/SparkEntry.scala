@@ -138,7 +138,9 @@ object SparkEntry {
     // round 7: maximal shared segments (suffix-array-style repeat extraction)
     "n11_max_shared_segments"   -> ((s: SparkSession, d: String) => Dedup.maxSharedSegments(s, d)),
     // round 7: a1 over the user-bucketed events layout (exchange-free window)
-    "a6_asof_bucketed"          -> (AsOf.purchaseAsofClickBucketed _)
+    "a6_asof_bucketed"          -> (AsOf.purchaseAsofClickBucketed _),
+    // round 7: incremental cluster maintenance (prior clusters + delta pairs)
+    "n12_incremental_clusters"  -> ((s: SparkSession, d: String) => Dedup.incrementalDupClusters(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -287,6 +289,11 @@ object SparkEntry {
     // WITH RECURSIVE (UNION dedups, so the walk terminates), min reachable
     // id = cluster label — the declarative twin of min-label propagation.
     "n6_dup_clusters" ->
+      (dupReachCtePrefix +
+        "SELECT MIN(r) AS cluster_id, id AS doc_id FROM reach GROUP BY id " +
+        "ORDER BY cluster_id, doc_id"),
+    // n12 must equal the full recompute — n6's oracle verbatim
+    "n12_incremental_clusters" ->
       (dupReachCtePrefix +
         "SELECT MIN(r) AS cluster_id, id AS doc_id FROM reach GROUP BY id " +
         "ORDER BY cluster_id, doc_id"),

@@ -600,6 +600,54 @@ object Dedup {
     verifyPairs(corpusSets.unionByName(batchSets), crossCand.unionByName(selfCand))
   }
 
+  /** N12 — INCREMENTAL cluster maintenance: the full-corpus duplicate
+    * cluster table after the daily batch arrives (n5's setting: docs ≥
+    * (max+1)/2 are "new"), computed WITHOUT re-pairing the corpus —
+    * from the prior half-corpus cluster table (a persisted layout, what
+    * a production pipeline maintains at ingest) plus only the
+    * batch-touching delta pairs [[incrementalNearDupPairs]] finds
+    * against the stored signature index. Star contraction over (prior
+    * cluster edges ∪ delta pairs) yields exactly the from-scratch
+    * components: a cluster table IS a spanning star of its component,
+    * and adding edges to a contracted graph preserves connectivity — so
+    * n12 ≡ n6's full recompute, which is the oracle (same recursive-CTE
+    * SQL) and the spec differential. Per-day cost scales with the batch
+    * and the prior CLUSTER table (collision-bounded), never corpus size.
+    */
+  def incrementalDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val all = Tables.documents(spark, dir)
+    val k   = all.agg(expr("coalesce((max(doc_id) + 1) div 2, 0)").as("k")).head().getLong(0)
+    // prior cluster table: contraction of the index half's pairs, persisted
+    // like every ingest-time artifact (keyed on the same scheme chain as
+    // the index it derives from)
+    val (h, b) = minhashShape(spark)
+    val key = graft.sources.LayoutCache.contentKey(
+      spark,
+      s"$dir/documents.parquet",
+      s"mhclusters-half-v$ClustersSchemeVersion#p-v$MinhashPairsSchemeVersion#mh-v$MinhashSchemeVersion#h$h#b$b#n${shingleN(spark)}#$k"
+    )
+    val priorLayout = graft.sources.LayoutCache.getOrBuild(spark, "graft_mhclusters_half", key) { out =>
+      val idx           = minhashIndexCache(spark, dir, k)
+      val corpusSets    = spark.read.parquet(s"$idx/docsets.parquet")
+      val corpusBuckets = spark.read.parquet(s"$idx/buckets.parquet")
+      val cand = corpusBuckets
+        .as("a")
+        .join(
+          corpusBuckets.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id")
+        )
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      clustersFromPairsStar(verifyPairs(corpusSets, cand))
+        .write.mode("overwrite").parquet(s"$out/clusters.parquet")
+    }
+    val prior = spark.read
+      .parquet(s"$priorLayout/clusters.parquet")
+      .select(col("cluster_id").as("doc_a"), col("doc_id").as("doc_b"))
+    val delta = incrementalNearDupPairs(spark, dir).select("doc_a", "doc_b")
+    clustersFromPairsStar(prior.unionByName(delta))
+  }
+
   /** N3 — SimHash near-dup pairs: 64-bit signature over the *distinct
     * 3-gram shingle set*, Hamming distance ≤ 7. Shingle (not token)
     * signatures matter on low-vocabulary corpora: token frequency profiles

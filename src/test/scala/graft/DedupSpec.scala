@@ -421,6 +421,32 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.embeddingDupPairs(spark, edir).where(col("vec_a") === 0L).count() == 0L)
   }
 
+  test("n12 incremental clusters == n6 full recompute; cross-half chains merge") {
+    import spark.implicits._
+    // real corpus: the incremental derivation must be indistinguishable
+    // from the from-scratch contraction
+    val full = Dedup.dupClusters(spark, sf0001).collect().map(_.toSeq).toSeq
+    val incr = Dedup.incrementalDupClusters(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(incr == full && full.nonEmpty)
+    // planted: a near-dup CHAIN spanning the index/batch split (0 ~ 1 in
+    // the index half; 1 ~ 10 crosses; 10 ~ 11 batch-internal) must come
+    // out as ONE cluster labeled by the index-half minimum — the case a
+    // per-batch fold without the prior cluster table gets wrong
+    val dir = java.nio.file.Files.createTempDirectory("graft_n12").toString
+    val run = (1 to 20).map(i => s"c$i").mkString(" ")
+    Seq(
+      (0L, s"$run a0"), (1L, s"$run a1"),            // index half (k = 6)
+      (2L, (1 to 22).map(i => s"x$i").mkString(" ")), // unrelated filler
+      (10L, s"$run a2"), (11L, s"$run a3")            // batch half
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup
+      .incrementalDupClusters(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(got == Set((0L, 0L), (0L, 1L), (0L, 10L), (0L, 11L)))
+  }
+
   test("n9: kept set = cluster minima + untouched docs; sizes partition the corpus") {
     val kept = Dedup
       .clusterRepresentatives(spark, sf0001)
