@@ -140,7 +140,9 @@ object SparkEntry {
     // round 7: a1 over the user-bucketed events layout (exchange-free window)
     "a6_asof_bucketed"          -> (AsOf.purchaseAsofClickBucketed _),
     // round 7: incremental cluster maintenance (prior clusters + delta pairs)
-    "n12_incremental_clusters"  -> ((s: SparkSession, d: String) => Dedup.incrementalDupClusters(s, d))
+    "n12_incremental_clusters"  -> ((s: SparkSession, d: String) => Dedup.incrementalDupClusters(s, d)),
+    // round 7: hourly rate anomalies (trailing-median alert rule)
+    "w10_hourly_anomalies"      -> (CoreQueries.w10HourlyAnomalies _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -728,6 +730,15 @@ object SparkEntry {
         "SELECT d.day, SUM(CASE WHEN d.day = f.d0 THEN 1 ELSE 0 END)::BIGINT AS n_new, " +
         "SUM(CASE WHEN d.day <> f.d0 THEN 1 ELSE 0 END)::BIGINT AS n_returning " +
         "FROM d JOIN f USING (user_id) GROUP BY d.day ORDER BY d.day"),
+    // w10: trailing 7-OBSERVED-hour median as the exact 4th order statistic
+    // (list_sort[4] / sort_array[4]) compared in integer space — no float
+    // percentile interpolation to diverge cross-engine.
+    "w10_hourly_anomalies" ->
+      ("WITH h AS (SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS cnt FROM events GROUP BY 1), " +
+        "w AS (SELECT hour, cnt, " +
+        "list(cnt) OVER (ORDER BY hour ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS wc FROM h) " +
+        "SELECT hour, cnt, list_sort(wc)[4] AS med FROM w " +
+        "WHERE len(wc) = 7 AND cnt > 2 * list_sort(wc)[4] ORDER BY hour"),
     // w9: µs gaps via epoch_us, log2 buckets via binary-string length —
     // both exact integers on both engines (same discipline as w8 + d17).
     "w9_gap_histogram" ->

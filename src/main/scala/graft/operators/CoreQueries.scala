@@ -768,6 +768,40 @@ object CoreQueries {
     * user_id window shuffle, then a ~60-key aggregation that collapses
     * map-side.
     */
+  /** W10 — hourly rate-anomaly detection: hours whose event count
+    * exceeds 2× the median of the trailing 7 FULLY-OBSERVED hours — the
+    * alerting rule an ops dashboard runs over w6's regularized series.
+    * Median (not mean) so a single prior spike cannot mask a new one;
+    * the trailing frame excludes the current row (an hour must not
+    * suppress its own alert) and the first 7 hours emit nothing (no
+    * baseline yet), both matching the oracle.
+    *
+    * Exactness discipline: the hourly series collapses to (hour, cnt)
+    * first — at most time-range/3600 rows, so the subsequent GLOBAL
+    * 7-row window runs on a frame orders of magnitude below the event
+    * count (the single-partition window is bounded by the calendar, not
+    * the log; a year is 8,760 rows). The median of 7 longs is taken as
+    * the exact 4th order statistic (`sort_array(collect_list)[4]`) and
+    * compared in integer space (`cnt > 2*med`) — no float percentile
+    * interpolation to diverge cross-engine (the w9/d17 discipline).
+    */
+  def w10HourlyAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables
+      .events(spark, dir)
+      // ntz cast: the driver hashes output columns, and a with-timezone
+      // hour would schema-mismatch the oracle's plain timestamp
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy("hour").rowsBetween(-7, -1)
+    hourly
+      .withColumn("window_cnts", collect_list(col("cnt")).over(w))
+      .where(size(col("window_cnts")) === 7)
+      .withColumn("med", element_at(sort_array(col("window_cnts")), 4))
+      .where(col("cnt") > col("med") * 2)
+      .select(col("hour"), col("cnt"), col("med"))
+      .orderBy("hour")
+  }
+
   def w9GapHistogram(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.eventsRaw(spark, dir)
     val w      = Window.partitionBy("user_id").orderBy("tus", "event_id")

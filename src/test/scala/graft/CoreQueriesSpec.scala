@@ -244,6 +244,29 @@ class CoreQueriesSpec extends SparkSpec {
     // no cross-user transition: u1's purchase never chains into u2/u3
   }
 
+  test("w10: spike over 2x trailing median flags; warmup hours and median-masking don't") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_w10").toString
+    def at(hour: Int, i: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $hour%02d:00:00").toInstant.plusSeconds(i.toLong)
+    // hours 0..6: 3 events each (baseline, also the no-baseline warmup);
+    // hour 7: 7 events (> 2*3 → FLAGS); hour 8: 5 events (median of
+    // trailing 7 is still 3 — the single prior spike must not mask via a
+    // mean — but 5 <= 6 → no flag); hour 9: 2 events (no flag)
+    val rows = for {
+      (h, n) <- (0 to 6).map(h => (h, 3)) ++ Seq((7, 7), (8, 5), (9, 2))
+      i      <- 0 until n
+    } yield (h.toLong * 100 + i, 1L, "a", java.sql.Timestamp.from(at(h, i)))
+    rows.toDF("event_id", "user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = CoreQueries
+      .w10HourlyAnomalies(spark, dir)
+      .collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0).toString, r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got == Seq(("2024-01-01T07:00", 7L, 3L)))
+  }
+
   test("w9: gap buckets are exact at power-of-two boundaries; mass = events - users") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime // ms
