@@ -142,7 +142,9 @@ object SparkEntry {
     // round 7: incremental cluster maintenance (prior clusters + delta pairs)
     "n12_incremental_clusters"  -> ((s: SparkSession, d: String) => Dedup.incrementalDupClusters(s, d)),
     // round 7: hourly rate anomalies (trailing-median alert rule)
-    "w10_hourly_anomalies"      -> (CoreQueries.w10HourlyAnomalies _)
+    "w10_hourly_anomalies"      -> (CoreQueries.w10HourlyAnomalies _),
+    // round 7: BM25 ranking (no SQL oracle: ln-scored; replay-spec gated)
+    "t4_bm25_rank"              -> ((s: SparkSession, d: String) => TextAnalysis.bm25Rank(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -499,6 +499,64 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** BM25 length-normalization parameters — the standard Robertson/Lucene
+    * operating point.
+    */
+  val Bm25K1 = 1.2
+  val Bm25B  = 0.75
+
+  /** T4 — BM25 ranking, completing the retrieval ladder (t1 boolean, t2
+    * tf-idf, t3 positional, t4 the scorer production search actually
+    * runs): per-term idf = ln(1 + (N−df+0.5)/(df+0.5)) (Lucene's
+    * non-negative form) with tf saturation (k1) and document-length
+    * normalization (b, against the corpus mean length).
+    *
+    * Plan shape mirrors t2's single-tokenize discipline: per-doc length
+    * rides ALONGSIDE the term explode (size(tk) selected before the
+    * filtered explode), so tf, dl, and df (window over the tf frame) all
+    * come from ONE tokenize pass; N and avgdl are a 1-row broadcast whose
+    * scan is column-pruned to `text`. Scores are doubles (ln is
+    * transcendental), so like every float-scored op the ranking has no
+    * SQL oracle — the gate is an independent plain-Scala replay spec on a
+    * planted fixture plus the real corpus. Output is (rnk, doc_id) with
+    * the doc-id tie-break making the ranking total; the float never
+    * leaves the engine.
+    */
+  def bm25Rank(spark: SparkSession, dir: String, terms: Seq[String] = KeywordTerms, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ts = terms.distinct
+    require(ts.nonEmpty && ts.forall(t => !t.contains("'") && !t.contains(" ")))
+    val docs   = Tables.documents(spark, dir)
+    val inList = ts.map(t => s"'$t'").mkString(", ")
+    val tf = docs
+      .select(col("doc_id"), toks.as("tk"))
+      .select(
+        col("doc_id"),
+        size(col("tk")).as("dl"),
+        explode(expr(s"filter(tk, t -> t IN ($inList))")).as("token")
+      )
+      .groupBy("doc_id", "dl", "token")
+      .agg(count(lit(1)).as("tf"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), avg(size(toks)).as("avgdl"))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn(
+        "contrib",
+        col("idf") * col("tf") * (lit(Bm25K1) + 1.0) /
+          (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
+      )
+      .groupBy("doc_id")
+      .agg(sum("contrib").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .select(
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long").as("rnk"),
+        col("doc_id")
+      )
+      .orderBy("rnk")
+  }
+
   /** Default phrase for [[phraseSearch]] — present at every test SF. */
   val PhraseTerms: Seq[String] = Seq("part", "filter")
 

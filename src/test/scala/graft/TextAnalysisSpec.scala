@@ -272,6 +272,78 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  /** Independent plain-Scala BM25 — the reference the engine is replayed
+    * against (same double math in the same JVM, so the comparison is
+    * exact, not tolerance-based).
+    */
+  private def referenceBm25(
+      docs: Seq[(Long, String)],
+      terms: Seq[String],
+      k: Int
+  ): Seq[(Long, Long)] = {
+    val ts     = terms.distinct
+    val split  = docs.map { case (id, t) => id -> t.split(" ").toSeq }
+    val n      = docs.length.toLong
+    val avgdl  = split.map(_._2.length.toLong).sum.toDouble / n
+    val dfs    = ts.map(t => t -> split.count(_._2.contains(t)).toLong).toMap
+    val scored = split.flatMap { case (id, tk) =>
+      val s = ts.map { t =>
+        val tf = tk.count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else {
+          val df  = dfs(t).toDouble
+          val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+          idf * tf * (TextAnalysis.Bm25K1 + 1.0) /
+            (tf + TextAnalysis.Bm25K1 * (1.0 - TextAnalysis.Bm25B + TextAnalysis.Bm25B * tk.length / avgdl))
+        }
+      }.sum
+      if (s > 0) Some(id -> s) else None
+    }
+    scored.sortBy { case (id, s) => (-s, id) }.take(k).zipWithIndex.map { case ((id, _), i) => (i + 1L, id) }
+  }
+
+  test("t4: BM25 replays the reference on a fixture where saturation and length-norm both matter") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25").toString
+    val fixture = Seq(
+      // doc 0: 'merge' ONCE in a short doc — length-norm favors it
+      (0L, "merge alpha beta"),
+      // doc 1: 'merge' five times in a long doc — tf saturates (k1)
+      (1L, ("merge " * 5 + "x " * 40).trim),
+      // doc 2: the rare term 'dup' once — idf outweighs the common term
+      (2L, "dup " + ("y " * 10).trim),
+      // doc 3: common term 'window' in many docs → low idf
+      (3L, "window a"), (4L, "window b"), (5L, "window c"),
+      (6L, "nothing relevant here at all")
+    )
+    fixture.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val expect = referenceBm25(fixture, TextAnalysis.KeywordTerms, 20)
+    val got = TextAnalysis
+      .bm25Rank(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq
+    assert(got == expect)
+    assert(got.map(_._2).toSet == Set(0L, 1L, 2L, 3L, 4L, 5L)) // doc 6 scores 0 and is absent
+  }
+
+  test("t4: real-corpus BM25 replays the reference and is deterministic") {
+    val docs = graft.sources.Tables
+      .documents(spark, sf0001)
+      .select("doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .toSeq
+    val expect = referenceBm25(docs, TextAnalysis.KeywordTerms, 20)
+    val got = TextAnalysis
+      .bm25Rank(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq
+    assert(got == expect)
+    assert(got.nonEmpty && got.map(_._1) == (1L to got.length))
+  }
+
   test("t3: phrase match requires adjacency AND order; boundaries and short docs behave") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_phrase").toString
