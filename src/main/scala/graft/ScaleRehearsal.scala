@@ -301,7 +301,10 @@ object ScaleRehearsal {
       "d18_source_lang_mix", "dq2_profile_documents", "dq3_profile_events_approx",
       "c2_stage_counts", "v1_bpe_merges", "v2_bpe_token_count",
       "d19_dedup_rate_by_source", "u2_new_vs_returning", "a5_nearest_join",
-      "w9_gap_histogram"
+      "w9_gap_histogram",
+      // round 7: segments, bucketed as-of, incremental clusters, anomalies, BM25
+      "n11_max_shared_segments", "a6_asof_bucketed", "n12_incremental_clusters",
+      "w10_hourly_anomalies", "t4_bm25_rank"
     )
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
     headline.foreach { name =>
