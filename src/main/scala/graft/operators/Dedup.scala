@@ -613,6 +613,12 @@ object Dedup {
     * n12 ≡ n6's full recompute, which is the oracle (same recursive-CTE
     * SQL) and the spec differential. Per-day cost scales with the batch
     * and the prior CLUSTER table (collision-bounded), never corpus size.
+    * The updated table is itself persisted as the fourth materialization
+    * rung (signatures → pairs → clusters → MAINTAINED clusters): the
+    * incremental union+contraction runs once per corpus version inside
+    * the layout builder, and the registered query reads the result — the
+    * same ingest-time contract as n6, because tomorrow's increment starts
+    * from today's table.
     */
   def incrementalDupClusters(spark: SparkSession, dir: String): DataFrame = {
     val all = Tables.documents(spark, dir)
@@ -641,11 +647,27 @@ object Dedup {
       clustersFromPairsStar(verifyPairs(corpusSets, cand))
         .write.mode("overwrite").parquet(s"$out/clusters.parquet")
     }
-    val prior = spark.read
-      .parquet(s"$priorLayout/clusters.parquet")
-      .select(col("cluster_id").as("doc_a"), col("doc_id").as("doc_b"))
-    val delta = incrementalNearDupPairs(spark, dir).select("doc_a", "doc_b")
-    clustersFromPairsStar(prior.unionByName(delta))
+    // The updated full-corpus cluster table is itself the maintained
+    // ingest artifact (the whole point of incremental maintenance is that
+    // the NEXT day starts from it), so it lands as a layout like n6's:
+    // the builder runs the incremental union+contraction once per corpus
+    // version, and the registered query is a read. The key chains the
+    // prior-half scheme plus the batch boundary, so regenerating the
+    // corpus or retuning any upstream knob rebuilds the whole derivation.
+    val incrKey = graft.sources.LayoutCache.contentKey(
+      spark,
+      s"$dir/documents.parquet",
+      s"mhclusters-incr-v$ClustersSchemeVersion#p-v$MinhashPairsSchemeVersion#mh-v$MinhashSchemeVersion#h$h#b$b#n${shingleN(spark)}#$k"
+    )
+    val layout = graft.sources.LayoutCache.getOrBuild(spark, "graft_mhclusters_incr", incrKey) { out =>
+      val prior = spark.read
+        .parquet(s"$priorLayout/clusters.parquet")
+        .select(col("cluster_id").as("doc_a"), col("doc_id").as("doc_b"))
+      val delta = incrementalNearDupPairs(spark, dir).select("doc_a", "doc_b")
+      clustersFromPairsStar(prior.unionByName(delta))
+        .write.mode("overwrite").parquet(s"$out/clusters.parquet")
+    }
+    spark.read.parquet(s"$layout/clusters.parquet").orderBy("cluster_id", "doc_id")
   }
 
   /** N3 — SimHash near-dup pairs: 64-bit signature over the *distinct
