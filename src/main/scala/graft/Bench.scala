@@ -29,14 +29,17 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     Seq("events", "documents", "embeddings", "lineitem", "orders").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).collect()
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () } // fatal JVM errors must abort, not mislead
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).collect(); true }
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] $name failed: $e"); false
+        }
       (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results

@@ -22,9 +22,28 @@ object GraftConf {
 
   /** Integer knob: `graft.<key>`, falling back to `default` when unset. */
   def int(spark: SparkSession, key: String, default: Int): Int =
-    spark.conf.getOption(s"graft.$key").map(_.trim.toInt).getOrElse(default)
+    parsed(spark, key, default, _.toInt)
 
   /** Double knob: `graft.<key>`, falling back to `default` when unset. */
   def double(spark: SparkSession, key: String, default: Double): Double =
-    spark.conf.getOption(s"graft.$key").map(_.trim.toDouble).getOrElse(default)
+    parsed(spark, key, default, _.toDouble)
+
+  /** String knob: `graft.<key>`, falling back to `default` when unset. */
+  def string(spark: SparkSession, key: String, default: String): String =
+    spark.conf.getOption(s"graft.$key").map(_.trim).getOrElse(default)
+
+  // A malformed value must name the key it came from — a bare
+  // NumberFormatException("four") from deep inside an operator is
+  // undiagnosable when a config file sets a dozen graft.* knobs.
+  private def parsed[A](spark: SparkSession, key: String, default: A, f: String => A): A =
+    spark.conf.getOption(s"graft.$key") match {
+      case None => default
+      case Some(raw) =>
+        try f(raw.trim)
+        catch {
+          case e: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"malformed session knob graft.$key='$raw': ${e.getMessage}", e)
+        }
+    }
 }

@@ -117,8 +117,14 @@ object Runner {
         require(args.length == 2, "usage: Runner --config <file>")
         loadConfig(args(1))
       } else RunConfig(args.head, args.tail.toSeq, None)
-    val spark = GraftSession.getOrCreate()
-    cfg.conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    // conf.* entries go on the BUILDER, not `spark.conf.set` after creation:
+    // static SQL confs (spark.sql.extensions, warehouse dir, ...) are
+    // rejected or silently ignored once the session exists, and the config
+    // file promises "any conf.* key".
+    val b = GraftSession.builder()
+    cfg.conf.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
     val unknown = run(spark, cfg.dataDir, cfg.queries, cfg.outputDir)
     spark.stop()
     if (unknown > 0) sys.exit(2)

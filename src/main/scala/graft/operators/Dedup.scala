@@ -40,7 +40,8 @@ object Dedup {
       docs: DataFrame,
       n: Int = -1 // -1 = the graft.shingle.n session knob (3 unset)
   ): DataFrame = {
-    val nn       = if (n > 0) n else graft.GraftConf.int(docs.sparkSession, "shingle.n", 3)
+    val nn = if (n > 0) n else graft.GraftConf.int(docs.sparkSession, "shingle.n", 3)
+    require(nn >= 1, s"graft.shingle.n=$nn must be >= 1")
     val withToks = docs.withColumn("toks", split(col("text"), " "))
     withToks
       .where(size(col("toks")) >= nn)
@@ -81,8 +82,11 @@ object Dedup {
   val SpanTokens = 8
 
   /** -1 → the `graft.span.tokens` session knob ([[SpanTokens]] unset). */
-  private def resolveSpan(spark: SparkSession, span: Int): Int =
-    if (span > 0) span else graft.GraftConf.int(spark, "span.tokens", SpanTokens)
+  private def resolveSpan(spark: SparkSession, span: Int): Int = {
+    val s = if (span > 0) span else graft.GraftConf.int(spark, "span.tokens", SpanTokens)
+    require(s >= 1, s"graft.span.tokens=$s must be >= 1")
+    s
+  }
 
   /** Per-document DISTINCT span fingerprints — one row per (doc_id,
     * span_fp), the shared base of [[sharedSpans]] and [[spanShareStats]].
@@ -414,7 +418,7 @@ object Dedup {
   private def minhashShape(spark: SparkSession): (Int, Int) = {
     val h = graft.GraftConf.int(spark, "minhash.hashes", MinhashHashes)
     val b = graft.GraftConf.int(spark, "minhash.bands", MinhashBands)
-    require(h > 0 && b > 0 && h % b == 0, s"graft.minhash.hashes=$h must divide evenly into graft.minhash.bands=$b")
+    require(h > 0 && b > 0 && h % b == 0, s"graft.minhash.bands=$b must divide graft.minhash.hashes=$h evenly")
     (h, b)
   }
 

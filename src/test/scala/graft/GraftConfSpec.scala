@@ -75,6 +75,24 @@ class GraftConfSpec extends SparkSpec {
     }
   }
 
+  test("invalid knob values fail loudly, naming the knob") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b c d")).toDF("doc_id", "text")
+    withConf("graft.shingle.n" -> "0") {
+      val e = intercept[IllegalArgumentException] { Dedup.shingles(docs).collect() }
+      assert(e.getMessage.contains("graft.shingle.n"))
+    }
+    withConf("graft.span.tokens" -> "0") {
+      val e = intercept[IllegalArgumentException] { Dedup.sharedSpans(spark, sf0001).collect() }
+      assert(e.getMessage.contains("graft.span.tokens"))
+    }
+    // a malformed value names the key and the raw text, not a bare NumberFormatException
+    withConf("graft.ann.nprobe" -> "four") {
+      val e = intercept[IllegalArgumentException] { GraftConf.int(spark, "ann.nprobe", 4) }
+      assert(e.getMessage.contains("graft.ann.nprobe") && e.getMessage.contains("four"))
+    }
+  }
+
   test("Runner config files pass conf.* keys through to the session") {
     val f = java.nio.file.Files.createTempFile("graft_conf", ".properties")
     java.nio.file.Files.writeString(
