@@ -36,6 +36,9 @@ object GraftSession {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // static conf; bucketed-table tests and any managed-table DDL land here
       .config("spark.sql.warehouse.dir", s"${sys.props("java.io.tmpdir")}/graft_warehouse")
+      // derived-layout root (LayoutCache); env override so a driver run can
+      // redirect ingest artifacts without touching code or config files
+      .config("graft.layout.dir", sys.env.getOrElse("SPARK_GRAFT_LAYOUT_DIR", sys.props("java.io.tmpdir")))
 
   def getOrCreate(): SparkSession = {
     val spark = builder().getOrCreate()

@@ -72,7 +72,7 @@ object BucketedFacts {
   ): String = {
     val sort = if (sortCols.nonEmpty) sortCols else Seq(bucketCol)
     if (!spark.catalog.tableExists(name)) {
-      val out = new Path(sys.props("java.io.tmpdir"), name)
+      val out = new Path(LayoutCache.root(spark), name)
       val fs  = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(new Path(out, "_SUCCESS"))) {
         spark.sql(
