@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.{Bpe, Dedup, Prep, Similarity}
+import graft.sources.{BucketedFacts, LayoutCache}
+import org.apache.spark.sql.SparkSession
+
+/** The registry of ingest-time derived layouts — every content-fingerprinted
+  * artifact the query registry reads ([[graft.sources.LayoutCache]] caches:
+  * MinHash signatures/pairs/clusters, embedding pair tables, IVF and int8
+  * vector copies, the BPE merge table, the day-partitioned events copy, and
+  * the bucketed fact/event tables).
+  *
+  * [[buildAll]] exists for one reason: a benchmark (or a fresh deployment)
+  * must be able to force every layout in an EXPLICIT, separately-timed phase
+  * instead of paying builds invisibly inside whichever query happens to run
+  * first — the reference's cold/warm split (`QueryOrchestration.cs:425-439`)
+  * applied at the layout level. Each forcer calls the same operator entry
+  * points the queries use, at the session's knob operating points, so the
+  * cache keys are identical to what the query phase will look up.
+  */
+object Layouts {
+
+  final case class LayoutReport(
+      name: String,
+      built: Boolean,
+      buildSecs: Double,       // seconds inside build closures (0 when reused)
+      artifacts: Seq[String]   // layout dir/table names actually built
+  )
+
+  /** Forcing actions, one per layout family. Constructing the DataFrame is
+    * enough — [[LayoutCache.getOrBuild]] writes eagerly — but cheap actions
+    * (a `head()` for a batch boundary) are part of some entry points.
+    */
+  private def forcers(spark: SparkSession, dir: String): Seq[(String, () => Unit)] = Seq(
+    "minhash_signatures" -> (() => { Dedup.minhashArtifactsCached(spark, dir); () }),
+    "minhash_pairs"      -> (() => { Dedup.minhashLshPairs(spark, dir); () }),
+    "minhash_batch_index" -> (() => { Dedup.incrementalNearDupPairs(spark, dir); () }),
+    "dup_clusters"       -> (() => { Dedup.dupClusters(spark, dir); () }),
+    "dup_clusters_incr"  -> (() => { Dedup.incrementalDupClusters(spark, dir); () }),
+    "embedding_pairs"    -> (() => { Dedup.embeddingDupPairs(spark, dir); () }),
+    "ivf_vectors"        -> (() => { Similarity.annIvfPartitioned(spark, dir); () }),
+    "sq8_vectors"        -> (() => { Similarity.annQuantized(spark, dir); () }),
+    "bpe_merges"         -> (() => { Bpe.bpeMerges(spark, dir); () }),
+    "events_by_day"      -> (() => { Prep.dayPartitionedEventsCache(spark, dir); () }),
+    "bucketed_facts"     -> (() => { BucketedFacts.lineitemOrders(spark, dir); () }),
+    "bucketed_events"    -> (() => { BucketedFacts.eventsByUser(spark, dir); () })
+  )
+
+  /** Force every layout for `dir`, attributing [[LayoutCache]] build events
+    * to the forcer that triggered them. A reused layout reports
+    * `built = false, buildSecs = 0`.
+    */
+  def buildAll(spark: SparkSession, dir: String): Seq[LayoutReport] = {
+    LayoutCache.drainBuildLog() // start attribution from a clean slate
+    forcers(spark, dir).map { case (name, force) =>
+      force()
+      val events = LayoutCache.drainBuildLog()
+      LayoutReport(name, events.nonEmpty, events.map(_._2).sum, events.map(_._1))
+    }
+  }
+}

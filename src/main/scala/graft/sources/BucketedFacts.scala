@@ -81,12 +81,15 @@ object BucketedFacts {
             s"LOCATION '$out'"
         )
       } else {
+        val t0 = System.nanoTime()
         src.write
           .bucketBy(nBuckets, bucketCol)
           .sortBy(sort.head, sort.tail: _*)
           .option("path", out.toString)
           .mode("overwrite")
           .saveAsTable(name)
+        // re-attach and in-catalog reuse are free; only the data write counts
+        LayoutCache.recordBuild(name, (System.nanoTime() - t0) / 1e9)
       }
     }
     name

@@ -43,6 +43,20 @@ object LayoutCache {
   def root(spark: SparkSession): String =
     graft.GraftConf.string(spark, "layout.dir", sys.props("java.io.tmpdir"))
 
+  // In-process record of layout BUILDS (name -> seconds inside the build
+  // closure). [[graft.Bench]] drains this to report, per bench run, which
+  // layouts were built vs reused and what each build cost — the round-7
+  // lesson that a bench number is unexplainable when in-band layout builds
+  // are invisible.
+  private val buildLog = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+
+  private[graft] def recordBuild(name: String, secs: Double): Unit =
+    buildLog.synchronized { buildLog += (name -> secs); () }
+
+  /** Return and clear the build events recorded since the last drain. */
+  def drainBuildLog(): Seq[(String, Double)] =
+    buildLog.synchronized { val r = buildLog.toList; buildLog.clear(); r }
+
   /** 12-hex digest of `scheme` + the recursive file listing under `src`
     * (each file contributes its path RELATIVE to `src`, byte length, and
     * mtime; directories recurse in sorted order). The relative path — not
@@ -87,8 +101,10 @@ object LayoutCache {
       // best-effort: a filesystem that refuses setTimes degrades to FIFO
       Try(fs.setTimes(success, System.currentTimeMillis(), -1))
     } else {
+      val t0 = System.nanoTime()
       build(out.toString)
       if (markSuccess) fs.create(success).close()
+      recordBuild(s"${prefix}_$key", (System.nanoTime() - t0) / 1e9)
       sweepPrefix(spark, prefix)
     }
     out.toString
