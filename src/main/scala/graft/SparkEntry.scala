@@ -649,6 +649,22 @@ object SparkEntry {
         s"CAST(LEAST(cum, (pack_id + 1) * $b) - GREATEST(bg, pack_id * $b) AS BIGINT) AS tokens_in_pack " +
         "FROM e ORDER BY source, doc_id, pack_id")
     },
+    // t4: BM25 replayed with the SAME contrib expression string the engine
+    // compiles (TextAnalysis.Bm25ContribSql); the ranking key is the score
+    // quantized to 1e-6, so the ≤ulp cross-engine ln() difference cannot
+    // flip a rank — only (rnk, doc_id) integers are hashed.
+    "t4_bm25_rank" -> {
+      val terms = TextAnalysis.KeywordTerms.distinct.map(t => s"'$t'").mkString(", ")
+      ("WITH tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl, " +
+        "UNNEST(string_split(text, ' ')) AS token FROM documents), " +
+        s"tf AS (SELECT doc_id, dl, token, COUNT(*) AS tf FROM tok WHERE token IN ($terms) GROUP BY doc_id, dl, token), " +
+        "d AS (SELECT *, COUNT(*) OVER (PARTITION BY token) AS df FROM tf), " +
+        "st AS (SELECT COUNT(*) AS n_docs, AVG(len(string_split(text, ' '))) AS avgdl FROM documents), " +
+        s"sc AS (SELECT doc_id, SUM(${TextAnalysis.Bm25ContribSql}) AS score FROM d, st GROUP BY doc_id), " +
+        "q AS (SELECT doc_id, CAST(round(score * 1000000.0) AS BIGINT) AS qs FROM sc) " +
+        "SELECT CAST(row_number() OVER (ORDER BY qs DESC, doc_id) AS BIGINT) AS rnk, doc_id FROM q " +
+        "ORDER BY qs DESC, doc_id LIMIT 20")
+    },
     // t2: linear scaled-integer IDF (see TextAnalysis.IdfScale scaladoc) —
     // exact long arithmetic, no transcendental whose ulp could flip a rank.
     "t2_tfidf_rank" -> {

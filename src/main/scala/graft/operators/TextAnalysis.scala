@@ -505,6 +505,20 @@ object TextAnalysis {
   val Bm25K1 = 1.2
   val Bm25B  = 0.75
 
+  /** Per-term BM25 contribution as ONE SQL expression string, used verbatim
+    * by the Spark plan AND the DuckDB oracle. Bit-level cross-engine parity
+    * argument: every input is integer-exact (`tf`, `df`, `dl`, `n_docs`;
+    * `avgdl` is an exact integer sum divided once), every `*`/`/`/`+` is
+    * IEEE-correctly-rounded on identical inputs IN THE SAME TREE SHAPE
+    * (hence one shared string, not two hand-matched copies), and the only
+    * transcendental — `ln`, ≤1 ulp apart between engines — is absorbed by
+    * the 1e-6 score quantization in [[bm25Rank]]. Constants are decimal
+    * literals so both parsers bind the same doubles (`2.2` the parsed
+    * literal, never `1.2 + 1.0` whose sum is a different double).
+    */
+  val Bm25ContribSql: String =
+    "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+
   /** T4 — BM25 ranking, completing the retrieval ladder (t1 boolean, t2
     * tf-idf, t3 positional, t4 the scorer production search actually
     * runs): per-term idf = ln(1 + (N−df+0.5)/(df+0.5)) (Lucene's
@@ -515,12 +529,16 @@ object TextAnalysis {
     * rides ALONGSIDE the term explode (size(tk) selected before the
     * filtered explode), so tf, dl, and df (window over the tf frame) all
     * come from ONE tokenize pass; N and avgdl are a 1-row broadcast whose
-    * scan is column-pruned to `text`. Scores are doubles (ln is
-    * transcendental), so like every float-scored op the ranking has no
-    * SQL oracle — the gate is an independent plain-Scala replay spec on a
-    * planted fixture plus the real corpus. Output is (rnk, doc_id) with
-    * the doc-id tie-break making the ranking total; the float never
-    * leaves the engine.
+    * scan is column-pruned to `text`.
+    *
+    * The RANKING KEY is the score quantized to 1e-6 (`round(score * 1e6)`
+    * as a long), ties broken by doc_id — the d15 injectivity discipline
+    * applied to a transcendental: the raw double never leaves the engine,
+    * and the ≤few-ulp (~1e-15) cross-engine `ln` discrepancy cannot flip a
+    * rank unless a score sits within 1e-15 of a 1e-6 rounding boundary.
+    * That makes t4 ORACLE-CHECKABLE (DuckDB replays [[Bm25ContribSql]]
+    * verbatim) on top of the independent plain-Scala replay spec; scores
+    * 1e-6 apart ranking by doc_id is part of t4's documented contract.
     */
   def bm25Rank(spark: SparkSession, dir: String, terms: Seq[String] = KeywordTerms, k: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -540,18 +558,14 @@ object TextAnalysis {
     val stats = docs.agg(count(lit(1)).as("n_docs"), avg(size(toks)).as("avgdl"))
     tf.withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
       .crossJoin(broadcast(stats))
-      .withColumn("idf", log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
-      .withColumn(
-        "contrib",
-        col("idf") * col("tf") * (lit(Bm25K1) + 1.0) /
-          (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
-      )
+      .withColumn("contrib", expr(Bm25ContribSql))
       .groupBy("doc_id")
       .agg(sum("contrib").as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
+      .withColumn("qs", expr("CAST(round(score * 1000000.0) AS BIGINT)"))
+      .orderBy(col("qs").desc, col("doc_id"))
       .limit(k)
       .select(
-        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long").as("rnk"),
+        row_number().over(Window.orderBy(col("qs").desc, col("doc_id"))).cast("long").as("rnk"),
         col("doc_id")
       )
       .orderBy("rnk")
