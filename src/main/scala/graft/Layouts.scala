@@ -38,6 +38,7 @@ object Layouts {
     "dup_clusters"       -> (() => { Dedup.dupClusters(spark, dir); () }),
     "dup_clusters_incr"  -> (() => { Dedup.incrementalDupClusters(spark, dir); () }),
     "embedding_pairs"    -> (() => { Dedup.embeddingDupPairs(spark, dir); () }),
+    "embedding_pairs_planted" -> (() => { Dedup.embeddingDupPairsPlanted(spark, dir); () }),
     "ivf_vectors"        -> (() => { Similarity.annIvfPartitioned(spark, dir); () }),
     "sq8_vectors"        -> (() => { Similarity.annQuantized(spark, dir); () }),
     "bpe_merges"         -> (() => { Bpe.bpeMerges(spark, dir); () }),

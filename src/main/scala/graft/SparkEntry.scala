@@ -60,7 +60,8 @@ object SparkEntry {
     "n1_ngram_jaccard_pairs" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
     "n2_minhash_lsh_pairs"   -> (Dedup.minhashLshPairs _),
     "n3_simhash_pairs"       -> (Dedup.simhashPairs _),
-    "n4_embedding_dup_pairs" -> (Dedup.embeddingDupPairs _),
+    "n4_embedding_dup_pairs"         -> (Dedup.embeddingDupPairs _),
+    "n4p_embedding_dup_pairs_planted" -> (Dedup.embeddingDupPairsPlanted _),
     "n5_incremental_dedup"   -> (Dedup.incrementalNearDupPairs _),
     "n6_dup_clusters"        -> (Dedup.dupClusters _),
     // similarity search
@@ -313,6 +314,16 @@ object SparkEntry {
         "WHERE cl.id IS NULL OR cl.cid = d.doc_id ORDER BY doc_id"),
     "n4_embedding_dup_pairs" ->
       ("SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM embeddings a JOIN embeddings b " +
+        "ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95 " +
+        "ORDER BY vec_a, vec_b"),
+    // n4p: same brute-force oracle over corpus ∪ the committed fixture —
+    // the oracle reads the identical file the engine unions in, so the
+    // hash-checked path proves positive matches (planted cosines ≈ 0.9996,
+    // three decades above any float discrepancy at the 0.95 boundary).
+    "n4p_embedding_dup_pairs_planted" ->
+      ("WITH allv AS (SELECT vec_id, embedding FROM embeddings UNION ALL " +
+        "SELECT vec_id, embedding FROM read_parquet('/root/repo/fixtures/embdup/embeddings.parquet/*.parquet')) " +
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM allv a JOIN allv b " +
         "ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95 " +
         "ORDER BY vec_a, vec_b"),
     // n10 = n9's keep contract over n4's edge set: recursive reachability

@@ -1032,6 +1032,40 @@ object Dedup {
     spark.read.parquet(s"$layout/pairs.parquet").orderBy("vec_a", "vec_b")
   }
 
+  /** Default location of the committed planted-positive fixture
+    * ([[graft.FixtureGen]]); override via `graft.fixtures.dir`.
+    */
+  private def fixturesDir(spark: SparkSession): String =
+    graft.GraftConf.string(spark, "fixtures.dir", "/root/repo/fixtures")
+
+  /** N4P — [[embeddingDupPairs]] with the committed near-dup fixture
+    * (`fixtures/embdup`, ids ≥ 1e6) unioned into the corpus. The testdata
+    * corpora contain no pair above the threshold at any SF, so plain n4's
+    * oracle row is vacuously green (0 rows); this twin makes the
+    * hash-checked path prove MATCHES — the DuckDB oracle reads the same
+    * fixture file via `read_parquet` and brute-forces the union. Persisted
+    * like n4, keyed on BOTH the corpus and fixture content.
+    */
+  def embeddingDupPairsPlanted(spark: SparkSession, dir: String): DataFrame = {
+    val t   = graft.GraftConf.double(spark, "embdup.threshold", 0.95)
+    val nb  = graft.GraftConf.int(spark, "embdup.bands", 8)
+    val bb  = graft.GraftConf.int(spark, "embdup.band_bits", 8)
+    val fx  = s"${fixturesDir(spark)}/embdup/embeddings.parquet"
+    val fxKey = graft.sources.LayoutCache.contentKey(spark, fx, "fx")
+    val key = graft.sources.LayoutCache.contentKey(
+      spark,
+      s"$dir/embeddings.parquet",
+      s"embpairsp-v$EmbPairsSchemeVersion#t$t#b${nb}x$bb#$fxKey"
+    )
+    val layout = graft.sources.LayoutCache.getOrBuild(spark, "graft_embpairsp", key) { out =>
+      VectorFunctions.register(spark)
+      val e = Tables.embeddings(spark, dir).unionByName(spark.read.parquet(fx))
+      embeddingDupPairsOn(e, threshold = t, nBands = nb, bandBits = bb)
+        .write.mode("overwrite").parquet(s"$out/pairs.parquet")
+    }
+    spark.read.parquet(s"$layout/pairs.parquet").orderBy("vec_a", "vec_b")
+  }
+
   /** LSH-bucketed pairwise dedup over any (vec_id, embedding) frame —
     * requires `cosine_sim` registered on the active session.
     */

@@ -149,6 +149,16 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.embeddingDupPairs(spark, sf0001).count() == 0L)
   }
 
+  test("n4p surfaces exactly the committed fixture's 6 planted pairs over the real corpus") {
+    val pairs = Dedup
+      .embeddingDupPairsPlanted(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    // FixtureGen plants consecutive-id pairs (1000000,1000001) .. (1000010,1000011)
+    assert(pairs == (0 until 6).map(i => (1000000L + 2 * i, 1000001L + 2 * i)).toSet, s"got $pairs")
+  }
+
   test("n5 incremental dedup finds exactly the planted pairs touching the batch half") {
     // k = (499+1)/2 = 250 at sf0.001: the index holds docs 0..249, docs
     // 250..499 arrive as the batch; expected = planted pairs with doc_b >= 250
