@@ -177,26 +177,37 @@ object ScaleRehearsal {
     * star-contraction rounds with per-round edge counts, cluster count and
     * max cluster size, wall time per stage.
     */
+  /** Constant-dup-rate replicated documents corpus shared by the dedup100
+    * and spans100 rehearsals: replica i of doc d is a near-dup of its base
+    * only when (d + i) mod 50 = 0 (≈2%); every other replica has each token
+    * suffixed with the replica index, so its shingles/spans are similar to
+    * nothing outside its own replica — the span-share and duplicate RATES
+    * stay constant as the corpus grows, the realistic 100 TB shape.
+    */
+  private def ensureReplicatedDocs(spark: SparkSession, src: String, dst: String, reps: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dst).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dst/_built"))) return
+    if (fs.exists(new org.apache.hadoop.fs.Path(dst))) fs.delete(new org.apache.hadoop.fs.Path(dst), true)
+    val base = spark.read.parquet(s"$src/documents.parquet")
+    (0 until reps).foreach { i =>
+      base
+        .withColumn("doc_id", col("doc_id") + lit(i * Stride))
+        .withColumn(
+          "text",
+          when(pmod(col("doc_id") + lit(i), lit(50)) === 0, concat(col("text"), lit(s" rep$i")))
+            .otherwise(expr(s"array_join(transform(split(text, ' '), t -> concat(t, '_$i')), ' ')"))
+        )
+        .coalesce(1)
+        .write.mode("append").parquet(s"$dst/documents.parquet")
+    }
+    fs.create(new org.apache.hadoop.fs.Path(s"$dst/_built")).close()
+    println(s"[rehearsal] built ${reps}x documents at $dst")
+  }
+
   def dedupRehearsal(spark: SparkSession, src: String, dst: String, reps: Int): Unit = {
     import graft.operators.Dedup
     val fs = new org.apache.hadoop.fs.Path(dst).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dst/_built"))) {
-      if (fs.exists(new org.apache.hadoop.fs.Path(dst))) fs.delete(new org.apache.hadoop.fs.Path(dst), true)
-      val base = spark.read.parquet(s"$src/documents.parquet")
-      (0 until reps).foreach { i =>
-        base
-          .withColumn("doc_id", col("doc_id") + lit(i * Stride))
-          .withColumn(
-            "text",
-            when(pmod(col("doc_id") + lit(i), lit(50)) === 0, concat(col("text"), lit(s" rep$i")))
-              .otherwise(expr(s"array_join(transform(split(text, ' '), t -> concat(t, '_$i')), ' ')"))
-          )
-          .coalesce(1)
-          .write.mode("append").parquet(s"$dst/documents.parquet")
-      }
-      fs.create(new org.apache.hadoop.fs.Path(s"$dst/_built")).close()
-      println(s"[dedup100] built ${reps}x documents at $dst")
-    }
+    ensureReplicatedDocs(spark, src, dst, reps)
     val docs  = spark.read.parquet(s"$dst/documents.parquet")
     val nDocs = docs.count()
     def timed[A](label: String)(body: => A): A = {
@@ -249,7 +260,125 @@ object ScaleRehearsal {
     println(s"[dedup100] clusters=$nClusters max_cluster_size=$maxCluster")
   }
 
+  /** Aggregated shuffle/spill bytes across completed stages — the metrics
+    * a rehearsal records as scale evidence (wall time alone doesn't show
+    * WHERE the bytes went or whether memory pressure forced spills).
+    */
+  private class PhaseMetrics extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    val shuffleWrite = new AtomicLong
+    val spillMem     = new AtomicLong
+    val spillDisk    = new AtomicLong
+    override def onStageCompleted(
+        s: org.apache.spark.scheduler.SparkListenerStageCompleted
+    ): Unit = {
+      val m = s.stageInfo.taskMetrics
+      if (m != null) {
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spillMem.addAndGet(m.memoryBytesSpilled)
+        spillDisk.addAndGet(m.diskBytesSpilled)
+        ()
+      }
+    }
+    def snapshot: (Long, Long, Long) = (shuffleWrite.get, spillMem.get, spillDisk.get)
+  }
+
+  /** 100× SPAN-family rehearsal (verdict r7 #6): the explode path
+    * (n7/n8/d16/n11) on the constant-rate replicated corpus, recording
+    * span-stream volume, per-stage shuffle bytes, and wall time. The span
+    * stream is token-linear, so the expectation to check is ~reps× volume
+    * and ~reps× shuffle with no superlinear blowup (the island/groupBy
+    * machinery is span-stream-linear by design).
+    */
+  def spansRehearsal(spark: SparkSession, src: String, dst: String, reps: Int): Unit = {
+    import graft.operators.Dedup
+    ensureReplicatedDocs(spark, src, dst, reps)
+    val docs   = spark.read.parquet(s"$dst/documents.parquet")
+    val nDocs  = docs.count()
+    val tokens = docs.agg(sum(size(split(col("text"), " ")))).head().getLong(0)
+    println(f"[spans100] n_docs=$nDocs%d token_stream=$tokens%d (span stream ≈ tokens - 7·docs)")
+    val pm = new PhaseMetrics
+    spark.sparkContext.addSparkListener(pm)
+    def timed(label: String)(body: => Long): Unit = {
+      val (w0, s0, d0) = pm.snapshot
+      val t0           = System.nanoTime()
+      val rows         = body
+      val secs         = (System.nanoTime() - t0) / 1e9
+      // brief settle so the listener has drained this phase's stage events
+      Thread.sleep(200)
+      val (w1, _, _) = pm.snapshot
+      println(
+        f"[spans100] $label%-24s rows=$rows%-9d $secs%7.1f s  shuffle=${(w1 - w0) / 1048576.0}%9.1f MiB" +
+          (if (s0 != pm.snapshot._2) " SPILLED" else "")
+      )
+    }
+    timed("n7_shared_spans")(Dedup.sharedSpans(spark, dst).count())
+    // n8: a bare count() lets Catalyst prune the flags/md5 projection (and
+    // with it most of the redaction work) — aggregate over the OUTPUT
+    // columns so the measured time is the redaction, not a row count
+    timed("n8_redact_shared_spans") {
+      Dedup
+        .redactSharedSpans(spark, dst)
+        .agg(sum(col("n_masked")).as("m"), count(col("fp_redacted")).as("c"))
+        .head()
+        .getLong(1)
+    }
+    timed("d16_span_share")(Dedup.spanShareStats(spark, dst).count())
+    timed("n11_max_shared_segments")(Dedup.maxSharedSegments(spark, dst).count())
+  }
+
+  /** Memory-pressure rehearsal (verdict r7 #3): the span family + the plain
+    * decimal aggregates on the 10× corpus under a CONSTRAINED heap (run
+    * with SPARK_DRIVER_MEM=4g — build.sbt passes it to -Xmx), recording
+    * wall time and spill bytes. The claim to check: bounded degradation
+    * and zero OOM when the working set outgrows memory, because every
+    * operator in the set is spillable (sort/hash-agg/window), never
+    * driver-materializing.
+    */
+  def pressureRehearsal(spark: SparkSession, dir: String): Unit = {
+    val heapMb = Runtime.getRuntime.maxMemory() / 1048576
+    println(s"[pressure] heap=${heapMb}MiB corpus=$dir")
+    val pm = new PhaseMetrics
+    spark.sparkContext.addSparkListener(pm)
+    val names = Seq(
+      "n7_shared_spans", "n8_redact_shared_spans", "d16_span_share",
+      "n11_max_shared_segments", "q10_rollup", "q11_pricing_summary"
+    )
+    spark.range(1000000).selectExpr("sum(id)").collect() // warmup
+    for (round <- 1 to 2) { // round 1 warms page cache/JIT; round 2 is the record
+      names.foreach { name =>
+        val (_, m0, d0) = pm.snapshot
+        val t0          = System.nanoTime()
+        val rows        = SparkEntry.queries(name)(spark, dir).collect().length
+        val secs        = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(200)
+        val (_, m1, d1) = pm.snapshot
+        println(
+          f"[pressure] round $round $name%-24s rows=$rows%-8d $secs%7.1f s  " +
+            f"spill_mem=${(m1 - m0) / 1048576}%d MiB spill_disk=${(d1 - d0) / 1048576}%d MiB"
+        )
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("spans100")) {
+      val spark = GraftSession.getOrCreate()
+      spansRehearsal(
+        spark,
+        args.lift(1).getOrElse("/root/testdata/sf0.1"),
+        args.lift(2).getOrElse("/tmp/graft_dedup100"),
+        args.lift(3).map(_.toInt).getOrElse(100)
+      )
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("pressure")) {
+      val spark = GraftSession.getOrCreate()
+      pressureRehearsal(spark, args.lift(1).getOrElse("/tmp/graft_sf1ish"))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("dedup100")) {
       val spark = GraftSession.getOrCreate()
       dedupRehearsal(
