@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   * BMP via [[decodeBmp]], compressed formats the JDK ships codecs for
   * (JPEG, PNG, GIF) via [[decodeImageIo]] (`javax.imageio` — built into
   * the JRE, no native deps, works offline), and RIFF/WAVE PCM audio via
-  * the hand-rolled [[decodeWav]]. Only formats with no JDK codec at all
-  * (compressed audio, video containers) fall to [[decodeStub]], a
+  * the hand-rolled [[decodeWav]]. Compressed audio and MP4 video DEMUX
+  * for real too ([[parseMp3]] walks MPEG audio frames, [[parseMp4]] walks
+  * the ISO-BMFF box tree — frame counts, durations, track tables); only
+  * the codec SAMPLE SYNTHESIS (MDCT/H.26x) falls to [[decodeStub]], a
   * clearly-marked deterministic fake. The Spark-side plumbing is real either way: binary
   * column + metadata struct schema, partition-batched decoding via typed
   * `mapPartitions` (the Scala analogue of `mapInPandas` batch decoding:
@@ -418,6 +420,239 @@ object Multimodal {
         explode(expr(s"sequence(0, n_frames - 1, $stride)")).as("frame_no"),
         col("payload").as("frame_payload")
       )
+  }
+
+  // ── Compressed-media DEMUX (real container/frame parsing; only the
+  //    codec's sample synthesis remains behind the disclosed stub) ──────
+
+  final case class Mp3Meta(
+      version: String,   // "1" | "2" | "2.5"
+      layer: Int,        // 1..3
+      bitrateKbps: Int,  // first frame's
+      sampleRate: Int,
+      channels: Int,
+      nFrames: Int,
+      durationMs: Long
+  )
+
+  private val Mp3BitrateV1 = Array(
+    // layer index 1..3 → kbps table, index 1..14 (0 = free, 15 = invalid)
+    Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448), // L1
+    Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),    // L2
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)      // L3
+  )
+  private val Mp3BitrateV2 = Array(
+    Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256), // L1
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),      // L2
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)       // L3
+  )
+
+  /** REAL MPEG-audio (MP3/MP2/MP1) frame walker: skips a leading ID3v2 tag
+    * (syncsafe size), then parses each 4-byte frame header — sync, version,
+    * layer, bitrate/samplerate indices, padding — computes the frame length
+    * from the standard tables, and steps frame to frame. Yields frame
+    * count, duration (frames × samples-per-frame / rate), and the stream
+    * parameters: the demux layer of an audio pipeline (what sampling,
+    * deduplication by duration, and stats need), all pure JVM. The MDCT
+    * sample DECODE is the part that stays behind [[decodeStub]] — that
+    * line is disclosed, not blurred. Malformed/truncated input → None;
+    * a valid prefix with trailing garbage ≥ one frame counts what it saw.
+    */
+  private[graft] def parseMp3(b: Array[Byte]): Option[Mp3Meta] = {
+    var pos = 0
+    // ID3v2 header: "ID3" ver(2) flags(1) syncsafe-size(4)
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val sz = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) | ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      pos = 10 + sz
+      if (pos < 0 || pos > b.length) return None
+    }
+    var nFrames            = 0
+    var samplesAccum       = 0L
+    var first: Option[Mp3Meta] = None
+    var ok                 = true
+    while (ok && pos + 4 <= b.length) {
+      val h0 = b(pos) & 0xff; val h1 = b(pos + 1) & 0xff
+      if (h0 != 0xff || (h1 & 0xe0) != 0xe0) ok = false
+      else {
+        val verBits   = (h1 >> 3) & 0x3 // 00=2.5, 10=2, 11=1 (01 reserved)
+        val layerBits = (h1 >> 1) & 0x3 // 01=III, 10=II, 11=I (00 reserved)
+        if (verBits == 1 || layerBits == 0) return None
+        val layer   = 4 - layerBits // 1..3
+        val h2      = b(pos + 2) & 0xff
+        val brIdx   = (h2 >> 4) & 0xf
+        val srIdx   = (h2 >> 2) & 0x3
+        val padding = (h2 >> 1) & 0x1
+        if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None // free/invalid
+        val v1      = verBits == 3
+        val kbps    = (if (v1) Mp3BitrateV1 else Mp3BitrateV2)(layer - 1)(brIdx)
+        val srBase  = Array(44100, 48000, 32000)(srIdx)
+        val rate    = verBits match {
+          case 3 => srBase     // MPEG1
+          case 2 => srBase / 2 // MPEG2
+          case _ => srBase / 4 // MPEG2.5
+        }
+        val samplesPerFrame = layer match {
+          case 1 => 384
+          case 2 => 1152
+          case _ => if (v1) 1152 else 576
+        }
+        val frameLen =
+          if (layer == 1) (12 * kbps * 1000 / rate + padding) * 4
+          else samplesPerFrame / 8 * kbps * 1000 / rate + padding
+        if (frameLen <= 4 || pos + frameLen > b.length) ok = false
+        else {
+          if (first.isEmpty) {
+            val mono = ((b(pos + 3) & 0xff) >> 6) == 3
+            val ver  = verBits match { case 3 => "1"; case 2 => "2"; case _ => "2.5" }
+            first = Some(Mp3Meta(ver, layer, kbps, rate, if (mono) 1 else 2, 0, 0L))
+          }
+          nFrames += 1
+          samplesAccum += samplesPerFrame
+          pos += frameLen
+        }
+      }
+    }
+    first.collect {
+      case m if nFrames > 0 =>
+        m.copy(nFrames = nFrames, durationMs = samplesAccum * 1000L / m.sampleRate)
+    }
+  }
+
+  final case class Mp4Track(handler: String, timescale: Long, durationMs: Long, nSamples: Long)
+  final case class Mp4Meta(brand: String, durationMs: Long, tracks: Seq[Mp4Track])
+
+  /** REAL MP4 / ISO-BMFF box parser: walks the `[size][type]` box tree
+    * (64-bit largesize supported), recursing into moov/trak/mdia/minf/stbl,
+    * and extracts the movie duration (mvhd v0/v1), and per track the
+    * handler type (vide/soun), media timescale + duration (mdhd) and
+    * sample count (stsz) — the demux layer video frame-sampling plumbing
+    * needs (sample counts and timing come from the container, no codec
+    * involved). The codec payload decode stays behind the disclosed stub.
+    * Hostile/truncated structures → None, never a throw or an overrun.
+    */
+  private[graft] def parseMp4(b: Array[Byte]): Option[Mp4Meta] = {
+    def u32(o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) | ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+    def typ(o: Int): String = new String(b, o + 4, 4, "US-ASCII")
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+
+    var brand                        = ""
+    var movieDurMs                   = 0L
+    val tracks                       = scala.collection.mutable.ArrayBuffer.empty[Mp4Track]
+    var tHandler                     = ""; var tScale = 0L; var tDurMs = 0L; var tSamples = 0L
+    var sawFtyp                      = false
+
+    def flushTrack(): Unit = if (tScale > 0 || tSamples > 0 || tHandler.nonEmpty) {
+      tracks += Mp4Track(tHandler, tScale, tDurMs, tSamples)
+      tHandler = ""; tScale = 0L; tDurMs = 0L; tSamples = 0L
+    }
+
+    def walk(start: Int, end: Int): Boolean = {
+      var pos = start
+      while (pos + 8 <= end) {
+        var size   = u32(pos)
+        var hdr    = 8
+        if (size == 1) {
+          if (pos + 16 > end) return false
+          size = u64(pos + 8); hdr = 16
+        } else if (size == 0) size = (end - pos).toLong // box extends to end
+        if (size < hdr || pos + size > end) return false
+        val t    = typ(pos)
+        val body = pos + hdr
+        t match {
+          case "ftyp" =>
+            if (size < hdr + 4) return false
+            brand = typ(body - 4); sawFtyp = true // major_brand is body's first 4 bytes
+          case "mvhd" =>
+            if (size < hdr + 20) return false
+            val ver = b(body) & 0xff
+            val (ts, dur) =
+              if (ver == 1) (u32(body + 20), u64(body + 24)) else (u32(body + 12), u32(body + 16))
+            if (ts > 0) movieDurMs = dur * 1000L / ts
+          case "mdhd" =>
+            if (size < hdr + 20) return false
+            val ver = b(body) & 0xff
+            val (ts, dur) =
+              if (ver == 1) (u32(body + 20), u64(body + 24)) else (u32(body + 12), u32(body + 16))
+            tScale = ts
+            if (ts > 0) tDurMs = dur * 1000L / ts
+          case "hdlr" =>
+            if (size < hdr + 12) return false
+            tHandler = typ(body + 4) // handler_type at body+8, typ reads o+4
+          case "stsz" =>
+            if (size < hdr + 12) return false
+            tSamples = u32(body + 8) // sample_count
+          case "trak" =>
+            if (!walk(body, pos + size.toInt)) return false
+            flushTrack()
+          case c if containers.contains(c) =>
+            if (!walk(body, pos + size.toInt)) return false
+          case _ => () // leaf box we don't need — skip
+        }
+        if (size > Int.MaxValue) return false
+        pos += size.toInt
+      }
+      pos == end || pos >= end - 7 // trailing sub-8-byte slack tolerated
+    }
+
+    if (b.length < 8 || !walk(0, b.length) || !sawFtyp) None
+    else Some(Mp4Meta(brand, movieDurMs, tracks.toSeq))
+  }
+
+  /** Demux metadata per media row, format-dispatched across EVERY family
+    * the engine handles: real image decode dims, WAV sample counts, MP3
+    * frame walks, MP4 box trees. Output schema is the fixed media-catalog
+    * row a curation pipeline joins against (kind, ok flag, dims, duration,
+    * frames/samples, track count). Narrow mapPartitions, shuffle-free —
+    * the same batch shape as [[extractFeatures]].
+    */
+  final case class MediaDemux(
+      media_id: Long,
+      kind: String, // image | audio | video | other
+      ok: Boolean,
+      width: Int,
+      height: Int,
+      sample_rate: Int,
+      duration_ms: Long,
+      n_frames: Long,
+      n_tracks: Int
+  )
+
+  def mediaDemux(media: Dataset[MediaRow]): Dataset[MediaDemux] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        parseImage(r.format, r.payload) match {
+          case Some(img) =>
+            MediaDemux(r.media_id, "image", img.isDefined, img.map(_.width).getOrElse(0),
+              img.map(_.height).getOrElse(0), 0, 0L, 1L, 1)
+          case None =>
+            r.format match {
+              case "audio/wav" =>
+                val a = decodeWav(r.payload)
+                MediaDemux(r.media_id, "audio", a.isDefined, 0, 0,
+                  a.map(_.sampleRate).getOrElse(0),
+                  a.map(x => x.samples.length / math.max(x.channels, 1) * 1000L /
+                    math.max(x.sampleRate, 1)).getOrElse(0L),
+                  a.map(_.samples.length.toLong).getOrElse(0L), 1)
+              case "audio/mpeg" | "audio/mp3" =>
+                val m = parseMp3(r.payload)
+                MediaDemux(r.media_id, "audio", m.isDefined, 0, 0,
+                  m.map(_.sampleRate).getOrElse(0), m.map(_.durationMs).getOrElse(0L),
+                  m.map(_.nFrames.toLong).getOrElse(0L), 1)
+              case "video/mp4" =>
+                val m = parseMp4(r.payload)
+                val vid = m.flatMap(_.tracks.find(_.handler == "vide"))
+                MediaDemux(r.media_id, "video", m.isDefined, 0, 0, 0,
+                  m.map(_.durationMs).getOrElse(0L),
+                  vid.map(_.nSamples).getOrElse(0L), m.map(_.tracks.length).getOrElse(0))
+              case _ =>
+                MediaDemux(r.media_id, "other", ok = false, 0, 0, 0, 0L, r.n_frames.toLong, 0)
+            }
+        }
+      }
+    }
   }
 
   /** M1 — metadata projection used as the oracle-checked query surface for

@@ -345,4 +345,127 @@ class MultimodalSpec extends SparkSpec {
     val feats = Multimodal.extractFeatures(Seq(row).toDS(), dim = 4).collect().head
     assert(feats.features.toSeq == viaDispatch.toSeq)
   }
+
+  // ── compressed-media demux ──────────────────────────────────────────
+
+  /** Hand-encode one MPEG1 Layer III 128kbps/44100 mono frame (417 bytes
+    * + padding bit 0): header 0xFF 0xFB 0x90 0xC0, zero payload.
+    */
+  private def mp3Frame(padding: Int = 0): Array[Byte] = {
+    val len = 144 * 128000 / 44100 + padding // 417 or 418
+    val f   = new Array[Byte](len)
+    f(0) = 0xff.toByte
+    f(1) = 0xfb.toByte // MPEG1, Layer III, no CRC
+    f(2) = (0x90 | (padding << 1)).toByte // bitrate idx 9 = 128k, sr idx 0 = 44100
+    f(3) = 0xc0.toByte // mono
+    f
+  }
+
+  test("MP3 frame walk: frames counted, duration from samples/rate, ID3v2 skipped") {
+    val frames  = Array.fill(38)(mp3Frame()).flatten // ~1 second
+    val id3     = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 10) ++ new Array[Byte](10)
+    val m       = Multimodal.parseMp3(id3 ++ frames).get
+    assert(m.version == "1" && m.layer == 3 && m.bitrateKbps == 128)
+    assert(m.sampleRate == 44100 && m.channels == 1 && m.nFrames == 38)
+    assert(m.durationMs == 38L * 1152 * 1000 / 44100) // 992 ms
+    // padding bit lengthens a frame by one byte without desyncing the walk
+    val padded = mp3Frame(1) ++ mp3Frame(0)
+    assert(Multimodal.parseMp3(padded).get.nFrames == 2)
+  }
+
+  test("MP3 walk: hostile input returns None; trailing garbage keeps the valid prefix") {
+    assert(Multimodal.parseMp3(Array[Byte](1, 2, 3, 4)).isEmpty)
+    assert(Multimodal.parseMp3(new Array[Byte](0)).isEmpty)
+    val truncated = mp3Frame().take(100)
+    assert(Multimodal.parseMp3(truncated).isEmpty) // first frame incomplete
+    val garbageTail = mp3Frame() ++ Array[Byte](0x13, 0x37)
+    assert(Multimodal.parseMp3(garbageTail).get.nFrames == 1)
+    // reserved version bits / invalid bitrate index reject cleanly
+    val badVer = mp3Frame(); badVer(1) = 0xeb.toByte // version bits 01 = reserved
+    assert(Multimodal.parseMp3(badVer).isEmpty)
+    val freeBr = mp3Frame(); freeBr(2) = 0x00
+    assert(Multimodal.parseMp3(freeBr).isEmpty)
+  }
+
+  /** Minimal ISO-BMFF builders: box(type, payload) with 32-bit size. */
+  private def box(t: String, payload: Array[Byte]): Array[Byte] = {
+    val size = 8 + payload.length
+    val out  = java.nio.ByteBuffer.allocate(size)
+    out.putInt(size).put(t.getBytes("US-ASCII")).put(payload)
+    out.array()
+  }
+  private def u32be(vs: Long*): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 * vs.length)
+    vs.foreach(v => bb.putInt(v.toInt))
+    bb.array()
+  }
+
+  test("MP4 box walk: brand, movie duration, per-track handler/timescale/samples") {
+    val ftyp = box("ftyp", "isom".getBytes ++ u32be(0) ++ "isom".getBytes)
+    val mvhd = box("mvhd", u32be(0) ++ u32be(0, 0) ++ u32be(1000, 2500) ++ new Array[Byte](80))
+    def trak(handler: String, timescale: Long, dur: Long, samples: Long) = {
+      val mdhd = box("mdhd", u32be(0) ++ u32be(0, 0) ++ u32be(timescale, dur) ++ u32be(0))
+      val hdlr = box("hdlr", u32be(0, 0) ++ handler.getBytes("US-ASCII") ++ new Array[Byte](13))
+      val stsz = box("stsz", u32be(0, 0, samples))
+      val stbl = box("stbl", stsz)
+      val minf = box("minf", stbl)
+      box("trak", box("mdia", mdhd ++ hdlr ++ minf))
+    }
+    val payload = ftyp ++ box("moov", mvhd ++ trak("vide", 30, 75, 75L) ++ trak("soun", 44100, 110250, 108L))
+    val m = Multimodal.parseMp4(payload).get
+    assert(m.brand == "isom" && m.durationMs == 2500L)
+    assert(m.tracks.length == 2)
+    val vid = m.tracks.find(_.handler == "vide").get
+    assert(vid.timescale == 30L && vid.durationMs == 2500L && vid.nSamples == 75L)
+    val aud = m.tracks.find(_.handler == "soun").get
+    assert(aud.durationMs == 2500L && aud.nSamples == 108L)
+  }
+
+  test("MP4 walk: truncated/hostile boxes return None, never overrun") {
+    assert(Multimodal.parseMp4(new Array[Byte](4)).isEmpty)
+    val ftyp = box("ftyp", "isom".getBytes ++ u32be(0))
+    // declared size beyond the buffer
+    val lying = ftyp.clone(); lying(3) = 0x7f.toByte
+    assert(Multimodal.parseMp4(lying).isEmpty)
+    // no ftyp at all -> not an MP4
+    assert(Multimodal.parseMp4(box("moov", new Array[Byte](0))).isEmpty)
+    // random bytes (fixed seed) never throw
+    val rnd = new scala.util.Random(11)
+    (0 until 200).foreach { _ =>
+      val junk = Array.fill(rnd.nextInt(64) + 4)(rnd.nextInt(256).toByte)
+      Multimodal.parseMp4(junk) // must not throw
+      Multimodal.parseMp3(junk)
+    }
+  }
+
+  test("mediaDemux dispatches every family: image dims, wav/mp3 audio, mp4 video") {
+    import spark.implicits._
+    val pgm = "P5 2 2 255 ".getBytes("US-ASCII") ++ Array[Byte](0, 50, 100, (200 & 0xff).toByte)
+    val wav = {
+      // 4 samples, 8-bit mono 8000Hz — reuse the encoder-shaped bytes from the WAV spec
+      val data = Array[Byte](0, 64, 127.toByte, 255.toByte)
+      val bb = java.nio.ByteBuffer.allocate(44 + data.length).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + data.length).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1).putInt(8000).putInt(8000).putShort(1).putShort(8)
+      bb.put("data".getBytes).putInt(data.length).put(data)
+      bb.array()
+    }
+    val mp3  = Array.fill(5)(mp3Frame()).flatten
+    val ftyp = box("ftyp", "isom".getBytes ++ u32be(0))
+    val mvhd = box("mvhd", u32be(0) ++ u32be(0, 0) ++ u32be(1000, 7000) ++ new Array[Byte](80))
+    val mp4  = ftyp ++ box("moov", mvhd)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image/pgm", 2, 2, 1, pgm),
+      Multimodal.MediaRow(2L, "audio/wav", 0, 0, 1, wav),
+      Multimodal.MediaRow(3L, "audio/mpeg", 0, 0, 1, mp3),
+      Multimodal.MediaRow(4L, "video/mp4", 0, 0, 1, mp4),
+      Multimodal.MediaRow(5L, "video/mp4", 0, 0, 1, Array[Byte](9, 9, 9, 9))
+    )
+    val got = Multimodal.mediaDemux(rows.toDS()).collect().map(d => d.media_id -> d).toMap
+    assert(got(1L).kind == "image" && got(1L).ok && got(1L).width == 2 && got(1L).height == 2)
+    assert(got(2L).kind == "audio" && got(2L).ok && got(2L).sample_rate == 8000 && got(2L).duration_ms == 0L) // 4 samples < 1ms
+    assert(got(3L).kind == "audio" && got(3L).ok && got(3L).n_frames == 5L && got(3L).duration_ms == 5L * 1152 * 1000 / 44100)
+    assert(got(4L).kind == "video" && got(4L).ok && got(4L).duration_ms == 7000L)
+    assert(got(5L).kind == "video" && !got(5L).ok)
+  }
 }
