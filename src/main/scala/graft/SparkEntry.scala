@@ -60,6 +60,7 @@ object SparkEntry {
     "n1_ngram_jaccard_pairs" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
     "n2_minhash_lsh_pairs"   -> (Dedup.minhashLshPairs _),
     "n3_simhash_pairs"       -> (Dedup.simhashPairs _),
+    "n13_frequent_ngrams"            -> ((s: SparkSession, d: String) => Dedup.frequentNgrams(s, d)),
     "n4_embedding_dup_pairs"         -> (Dedup.embeddingDupPairs _),
     "n4p_embedding_dup_pairs_planted" -> (Dedup.embeddingDupPairsPlanted _),
     "n5_incremental_dedup"   -> (Dedup.incrementalNearDupPairs _),
@@ -316,6 +317,16 @@ object SparkEntry {
       ("SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM embeddings a JOIN embeddings b " +
         "ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95 " +
         "ORDER BY vec_a, vec_b"),
+    // n13: lateral unnest over widths mirrors the engine's single-scan
+    // width unroll; pure integer df arithmetic, text-deterministic ties.
+    "n13_frequent_ngrams" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
+        "g AS (SELECT DISTINCT doc_id, n, array_to_string(w[i:i+n-1], ' ') AS gram " +
+        "FROM tok, UNNEST(range(2, 8)) AS tn(n), UNNEST(range(1, len(w) - n + 2)) AS ti(i)), " +
+        "d AS (SELECT CAST(n AS BIGINT) AS n, gram, COUNT(*) AS df FROM g GROUP BY 1, 2), " +
+        "r AS (SELECT n, gram, df, row_number() OVER (PARTITION BY n ORDER BY df DESC, gram) AS rnk " +
+        "FROM d WHERE df >= 3) " +
+        "SELECT n, gram, df FROM r WHERE rnk <= 10 ORDER BY n, df DESC, gram"),
     // n4p: same brute-force oracle over corpus ∪ the committed fixture —
     // the oracle reads the identical file the engine unions in, so the
     // hash-checked path proves positive matches (planted cosines ≈ 0.9996,

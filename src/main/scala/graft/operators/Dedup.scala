@@ -322,6 +322,59 @@ object Dedup {
       .orderBy("doc_id", "start_pos")
   }
 
+  /** N13 — frequent sub-span n-grams: the repeats n11 is blind to by
+    * construction (its maximal segments start at the [[SpanTokens]]-token
+    * window width; a 2–7-token catchphrase repeated across documents never
+    * forms a shared span). Mines every n-gram of width `minN..maxN`, keeps
+    * those appearing in ≥ `minDf` distinct documents, and reports the
+    * top-`k` per width by (df desc, gram) — the boilerplate/catchphrase
+    * census a curation pipeline reads before deciding redaction width.
+    *
+    * Scale shape: ONE corpus scan — widths unroll inside a single
+    * `flatten(transform(...))` projection (six separate scans would read
+    * the corpus six times; Catalyst shares nothing across them), per-doc
+    * `array_distinct` makes df a plain count, and the groupBy is
+    * partial-aggregable (map-side combine collapses within-split repeats
+    * before the exchange). The shuffle carries gram TEXT, not a
+    * fingerprint, because the output is the text itself — bounded by the
+    * distinct-gram stream, which the minDf filter cannot shrink (filters
+    * apply post-agg) but map-side combine already compacts. Top-k per
+    * width is a 6-partition window over the already-aggregated frame.
+    * Oracle: the same mining in DuckDB (lateral unnest over widths).
+    */
+  def frequentNgrams(
+      spark: SparkSession,
+      dir: String,
+      minN: Int = 2,
+      maxN: Int = 7,
+      minDf: Int = 3,
+      k: Int = 10
+  ): DataFrame = {
+    require(minN >= 1 && maxN >= minN && minDf >= 1 && k >= 1)
+    val grams = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(
+        col("doc_id"),
+        explode(
+          expr(
+            s"flatten(transform(filter(sequence($minN, $maxN), n -> size(toks) >= n), " +
+              "n -> array_distinct(transform(sequence(0, size(toks) - n), " +
+              "i -> named_struct('n', n, 'gram', concat_ws(' ', slice(toks, i + 1, n)))))))"
+          )
+        ).as("g")
+      )
+      .select(col("g.n").cast("long").as("n"), col("g.gram").as("gram"))
+    grams
+      .groupBy("n", "gram")
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+      .withColumn("rnk", row_number().over(Window.partitionBy("n").orderBy(col("df").desc, col("gram"))))
+      .where(col("rnk") <= k)
+      .drop("rnk")
+      .orderBy(col("n"), col("df").desc, col("gram"))
+  }
+
   /** Shared core: given per-doc shingle-HASH sets (doc_id, ss: array<long>,
     * c: count) and a candidate-pair frame (doc_a, doc_b), compute exact
     * intersection/union sizes and keep pairs with Jaccard ≥ 4/5 (integer

@@ -149,6 +149,32 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.embeddingDupPairs(spark, sf0001).count() == 0L)
   }
 
+  test("n13 mines planted sub-span catchphrases; minDf excludes rare grams") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_n13").toString
+    // "buy gold now" planted in 3 docs (df 3); "sell it later" in only 2
+    // (below minDf 3); filler tokens unique per doc so nothing else repeats
+    Seq(
+      (0L, "a0 b0 buy gold now c0 d0"),
+      (1L, "a1 buy gold now b1 sell it later c1"),
+      (2L, "buy gold now a2 sell it later b2"),
+      (3L, "a3 b3 c3 d3 e3 f3 g3")
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Dedup
+      .frequentNgrams(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSet == Set((2L, "buy gold", 3L), (2L, "gold now", 3L), (3L, "buy gold now", 3L)), s"got ${got.toSeq}")
+    // the df-2 phrase appears once minDf is lowered, and nothing wider than
+    // the phrase itself ever qualifies
+    val loose = graft.operators.Dedup
+      .frequentNgrams(spark, dir, minDf = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(loose.contains((3L, "sell it later", 2L)) && !loose.exists(_._1 > 3L))
+  }
+
   test("n4p surfaces exactly the committed fixture's 6 planted pairs over the real corpus") {
     val pairs = Dedup
       .embeddingDupPairsPlanted(spark, sf0001)
