@@ -146,7 +146,8 @@ object SparkEntry {
     // round 7: hourly rate anomalies (trailing-median alert rule)
     "w10_hourly_anomalies"      -> (CoreQueries.w10HourlyAnomalies _),
     // round 7: BM25 ranking (no SQL oracle: ln-scored; replay-spec gated)
-    "t4_bm25_rank"              -> ((s: SparkSession, d: String) => TextAnalysis.bm25Rank(s, d))
+    "t4_bm25_rank"              -> ((s: SparkSession, d: String) => TextAnalysis.bm25Rank(s, d)),
+    "v3_bigram_lm_score"        -> ((s: SparkSession, d: String) => TextAnalysis.bigramLmScore(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -671,6 +672,16 @@ object SparkEntry {
         s"CAST(LEAST(cum, (pack_id + 1) * $b) - GREATEST(bg, pack_id * $b) AS BIGINT) AS tokens_in_pack " +
         "FROM e ORDER BY source, doc_id, pack_id")
     },
+    // v3: add-one bigram LM replayed with the engine's own contrib string
+    // (TextAnalysis.BigramLmSql); score quantized to 1e-6 -> only integers
+    // hashed, per the t4 discipline.
+    "v3_bigram_lm_score" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
+        "bi AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM tok, UNNEST(range(1, len(w))) t(i) WHERE len(w) >= 2), " +
+        "c AS (SELECT *, COUNT(*) OVER (PARTITION BY w1, w2) AS cb, COUNT(*) OVER (PARTITION BY w1) AS cu FROM bi), " +
+        "v AS (SELECT COUNT(DISTINCT tt.token) AS vv FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents) tt), " +
+        s"s AS (SELECT doc_id, AVG(${TextAnalysis.BigramLmSql}) AS score FROM c, v GROUP BY doc_id) " +
+        "SELECT doc_id, CAST(round(score * 1000000.0) AS BIGINT) AS lm_q FROM s ORDER BY doc_id"),
     // t4: BM25 replayed with the SAME contrib expression string the engine
     // compiles (TextAnalysis.Bm25ContribSql); the ranking key is the score
     // quantized to 1e-6, so the ≤ulp cross-engine ln() difference cannot

@@ -571,6 +571,56 @@ object TextAnalysis {
       .orderBy("rnk")
   }
 
+  /** Per-bigram add-one-smoothed log-probability — ONE shared SQL string
+    * for both engines (the [[Bm25ContribSql]] discipline): `cb` = corpus
+    * occurrences of the bigram, `cu` = occurrences of its context (first
+    * token), `vv` = vocabulary size. All integer-exact inputs; the `ln`
+    * ulp gap is absorbed by v3's 1e-6 score quantization.
+    */
+  val BigramLmSql: String = "ln((cb + 1.0) / (cu + vv))"
+
+  /** V3 — bigram language-model quality score: each document's mean
+    * add-one-smoothed bigram log-probability under the CORPUS's own bigram
+    * statistics — the classic perplexity-proxy quality signal (a doc whose
+    * transitions the corpus has never seen scores low; natural prose
+    * scores high), the third rung of the vocabulary family after v1/v2's
+    * BPE. Output is `(doc_id, lm_q)` with the score quantized to 1e-6 as
+    * a long — ln never reaches the hash, same contract as t4.
+    *
+    * Scale shape: ONE tokenize pass for training AND scoring — the bigram
+    * stream carries doc_id, and both count tables are WINDOWS over it
+    * (COUNT over (w1,w2) and over (w1)), not separate aggregations that
+    * would re-tokenize the corpus (Catalyst shares nothing). Window state
+    * is a running count per partition — spillable, bounded by partition.
+    * The vocabulary size is a 1-row broadcast from a second column-pruned
+    * scan (the t2/N discipline). Per-doc reduction is a plain
+    * partial-aggregable avg.
+    */
+  def bigramLmScore(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val bi = docs
+      .select(col("doc_id"), toks.as("tk"))
+      .where(size(col("tk")) >= 2)
+      .select(
+        col("doc_id"),
+        explode(
+          expr("transform(sequence(0, size(tk) - 2), i -> named_struct('w1', tk[i], 'w2', tk[i+1]))")
+        ).as("b")
+      )
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val vocab = docs
+      .select(explode(toks).as("t"))
+      .agg(count_distinct(col("t")).as("vv"))
+    bi.withColumn("cb", count(lit(1)).over(Window.partitionBy("w1", "w2")))
+      .withColumn("cu", count(lit(1)).over(Window.partitionBy("w1")))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(avg(expr(BigramLmSql)).as("score"))
+      .select(col("doc_id"), expr("CAST(round(score * 1000000.0) AS BIGINT)").as("lm_q"))
+      .orderBy("doc_id")
+  }
+
   /** Default phrase for [[phraseSearch]] — present at every test SF. */
   val PhraseTerms: Seq[String] = Seq("part", "filter")
 

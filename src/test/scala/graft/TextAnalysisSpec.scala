@@ -407,4 +407,30 @@ class TextAnalysisSpec extends SparkSpec {
       )
     d(a.length)(b.length)
   }
+
+  test("v3 bigram LM: hand-computed smoothed log-probs; fluent beats unseen transitions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_v3").toString
+    // corpus: "a b" x3 establishes a->b as the dominant transition;
+    // doc 3 repeats it, doc 4 uses transitions never seen elsewhere
+    Seq(
+      (0L, "a b"),
+      (1L, "a b"),
+      (2L, "a b"),
+      (3L, "a b"),
+      (4L, "x y")
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextAnalysis
+      .bigramLmScore(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    // V = 4 distinct tokens {a,b,x,y}; c(a,b)=4, c(a)=4 -> ln(5/8)
+    // c(x,y)=1, c(x)=1 -> ln(2/5)
+    def q(d: Double): Long = math.round(d * 1e6)
+    assert(got(0L) == q(math.log(5.0 / 8.0)), s"got ${got(0L)}")
+    assert(got(4L) == q(math.log(2.0 / 5.0)))
+    assert(got(0L) > got(4L), "corpus-typical transitions must outscore unseen ones")
+    assert(got.size == 5)
+  }
 }
