@@ -12,6 +12,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
+  /** Shared by d8 and its bloom-pruned twin d20 — identical output contract. */
+  private val DecontaminateSql: String =
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s " +
+      "FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)), " +
+      "bench AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 50 = 0), " +
+      "train AS (SELECT * FROM sh WHERE doc_id % 50 <> 0) " +
+      "SELECT t.doc_id, COUNT(DISTINCT b.bench_id) AS n_bench_docs, " +
+      "COUNT(DISTINCT t.s) AS n_shared_shingles " +
+      "FROM train t JOIN bench b ON t.s = b.s GROUP BY t.doc_id ORDER BY t.doc_id"
+
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     CoreQueries.q9StarJoin(spark, "/root/testdata/sf0.001")
@@ -92,6 +104,7 @@ object SparkEntry {
     "p2_sequence_pack"  -> (Curation.sequencePack _),
     "p3_chunk_documents" -> ((s: SparkSession, d: String) => Curation.chunkDocuments(s, d)),
     "d8_decontaminate"  -> (Curation.decontaminate _),
+    "d20_decontaminate_bloom" -> (Curation.decontaminateBloom _),
     "d9_mixture_sample" -> (Curation.mixtureSample _),
     "d10_stratified_sample" -> ((s: SparkSession, d: String) => Curation.stratifiedSample(s, d)),
     "d11_vocab_topk"        -> ((s: SparkSession, d: String) => TextAnalysis.vocabTopK(s, d)),
@@ -408,15 +421,10 @@ object SparkEntry {
         "array_to_string(w[s + 1 : s + " + Curation.ChunkTokens + "], ' ') AS chunk_text " +
         "FROM toks, UNNEST(range(0, len(w), " + Curation.ChunkStride + ")) AS t(s) " +
         "ORDER BY doc_id, chunk_id"),
-    "d8_decontaminate" ->
-      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
-        "sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s " +
-        "FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)), " +
-        "bench AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 50 = 0), " +
-        "train AS (SELECT * FROM sh WHERE doc_id % 50 <> 0) " +
-        "SELECT t.doc_id, COUNT(DISTINCT b.bench_id) AS n_bench_docs, " +
-        "COUNT(DISTINCT t.s) AS n_shared_shingles " +
-        "FROM train t JOIN bench b ON t.s = b.s GROUP BY t.doc_id ORDER BY t.doc_id"),
+    "d8_decontaminate" -> DecontaminateSql,
+    // d20 is d8's bloom-pruned twin: the bloom is a pre-filter, never a
+    // truth source, so the exact report (and its oracle) is UNCHANGED.
+    "d20_decontaminate_bloom" -> DecontaminateSql,
     "d9_mixture_sample" -> {
       val vals = Curation.MixtureRates.map { case (s, t) => s"('$s', '$t')" }.mkString(", ")
       ("WITH rates(source, thr) AS (VALUES " + vals + ") " +

@@ -144,6 +144,47 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** D20 — [[decontaminate]]'s Bloom-pruned twin, the shape the exact
+    * report takes when the corpus is 100 TB: the benchmark shingle set is
+    * aggregated into a Bloom filter (Spark's own `bloom_filter_agg`,
+    * registered by [[graft.functions.SketchFunctions]] — a few BITS per
+    * entry instead of an 8-byte join key), and the corpus shingle stream is
+    * pruned by a codegen'd `might_contain` probe BEFORE any join machinery
+    * runs — the ~all-clean token stream drops map-side with zero state,
+    * and only bloom survivors (true matches + the fpp tail) reach the
+    * broadcast join that confirms exactly and attributes bench_ids.
+    * OUTPUT IS IDENTICAL TO d8 — the bloom is a pre-filter, never a
+    * truth source, so false positives cost a probe and change nothing —
+    * and d20 shares d8's oracle. Bloom sizing: `graft.bloom.bits_per_item`
+    * (default 20 ≈ 0.01% fpp) over the counted bench stream; the filter
+    * rides into the plan as a literal binary (one driver pull, bounded by
+    * the bench suite's size like the ANN centroid pulls).
+    */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.SketchFunctions.register(spark)
+    val sh = Dedup
+      .shingles(Tables.documents(spark, dir))
+      .withColumn("h", xxhash64(col("s")))
+      .select("doc_id", "h")
+    val bench       = sh.where(isBench).select(col("h"), col("doc_id").as("bench_id"))
+    val bitsPerItem = graft.GraftConf.int(spark, "bloom.bits_per_item", 20)
+    val nItems      = math.max(bench.count(), 1L)
+    val nBits       = math.max(1024L, nItems * bitsPerItem)
+    val bf = bench
+      .agg(call_function("bloom_filter_agg", col("h"), lit(nItems), lit(nBits)).as("bf"))
+      .head()
+      .getAs[Array[Byte]](0)
+    sh.where(!isBench)
+      .where(call_function("might_contain", lit(bf), col("h")))
+      .join(broadcast(bench), "h")
+      .groupBy("doc_id")
+      .agg(
+        countDistinct("bench_id").as("n_bench_docs"),
+        countDistinct("h").as("n_shared_shingles")
+      )
+      .orderBy("doc_id")
+  }
+
   /** Per-source sampling rates for [[mixtureSample]] as 4-hex-digit
     * threshold strings: a row is kept iff the first 4 hex chars of
     * `md5(doc_id)` sort strictly below the threshold, so rate =

@@ -295,4 +295,13 @@ class CurationSpec extends SparkSpec {
     // and it actually shuffles: not the identity order
     assert(a.sortBy(_._1).map(_._2).toSeq != a.map(_._2).sorted.toSeq)
   }
+
+  test("d20 bloom decontamination == d8 exactly; plan probes the bloom before joining") {
+    val d8 = graft.operators.Curation.decontaminate(spark, sf0001).collect().map(_.toSeq).toSeq
+    val d20 = graft.operators.Curation.decontaminateBloom(spark, sf0001)
+    val plan = d20.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"no bloom probe in plan:\n${plan.take(1500)}")
+    assert(d20.collect().map(_.toSeq).toSeq == d8)
+    assert(d8.nonEmpty)
+  }
 }
