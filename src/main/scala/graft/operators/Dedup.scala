@@ -330,16 +330,20 @@ object Dedup {
     * top-`k` per width by (df desc, gram) — the boilerplate/catchphrase
     * census a curation pipeline reads before deciding redaction width.
     *
-    * Scale shape: ONE corpus scan — widths unroll inside a single
-    * `flatten(transform(...))` projection (six separate scans would read
-    * the corpus six times; Catalyst shares nothing across them), per-doc
-    * `array_distinct` makes df a plain count, and the groupBy is
-    * partial-aggregable (map-side combine collapses within-split repeats
-    * before the exchange). The shuffle carries gram TEXT, not a
-    * fingerprint, because the output is the text itself — bounded by the
-    * distinct-gram stream, which the minDf filter cannot shrink (filters
-    * apply post-agg) but map-side combine already compacts. Top-k per
-    * width is a 6-partition window over the already-aggregated frame.
+    * Scale shape — the span-family fingerprint discipline, kept INSIDE
+    * whole-stage codegen: a position explode plus one fixed `xxhash64`
+    * column per width (an `array(...)` of plain expressions, exploded) —
+    * NOT `flatten(transform(...))` lambdas, which run interpreted
+    * (HigherOrderFunction has no codegen) and measured ~6 s/scan at sf0.1
+    * where this shape is scan-cost-free. The width tag is hashed INTO the
+    * fingerprint, so the counting exchange carries `(h, doc_id)` longs —
+    * never gram text — and df is a partial-aggregable distinct-doc count.
+    * Text is materialized for df ≥ minDf SURVIVORS only: one occurrence
+    * per surviving gram (min (doc_id, pos), deterministic) joins back to
+    * its document and slices the token range — O(survivors) string work
+    * total. The top-k-per-width window (text tie-break) runs over that
+    * small frame. Hash collisions merge gram families with probability
+    * ~g²/2⁶⁴ (immaterial beside [[verifyPairs]]'s identical trade).
     * Oracle: the same mining in DuckDB (lateral unnest over widths).
     */
   def frequentNgrams(
@@ -350,28 +354,39 @@ object Dedup {
       minDf: Int = 3,
       k: Int = 10
   ): DataFrame = {
-    require(minN >= 1 && maxN >= minN && minDf >= 1 && k >= 1)
-    val grams = Tables
+    require(minN >= 2 && maxN >= minN && minDf >= 1 && k >= 1)
+    def positions = Tables
       .documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(
-        col("doc_id"),
-        explode(
-          expr(
-            s"flatten(transform(filter(sequence($minN, $maxN), n -> size(toks) >= n), " +
-              "n -> array_distinct(transform(sequence(0, size(toks) - n), " +
-              "i -> named_struct('n', n, 'gram', concat_ws(' ', slice(toks, i + 1, n)))))))"
-          )
-        ).as("g")
-      )
-      .select(col("g.n").cast("long").as("n"), col("g.gram").as("gram"))
-    grams
-      .groupBy("n", "gram")
-      .agg(count(lit(1)).as("df"))
+      .where(size(col("toks")) >= minN)
+      .select(col("doc_id"), col("toks"), explode(expr(s"sequence(0, size(toks) - $minN)")).as("i"))
+    def hashOf(n: Int): String = {
+      val toks = (0 until n).map(j => s"toks[i + $j]").mkString(", ")
+      // width folded into the hash; guard keeps windows inside the doc
+      s"IF(i + ${n - 1} < size(toks), named_struct('n', ${n}L, 'h', xxhash64($n, $toks)), NULL)"
+    }
+    val widths = (minN to maxN).map(hashOf).mkString(", ")
+    def occ = positions
+      .select(col("doc_id"), col("i"), explode(expr(s"array($widths)")).as("g"))
+      .where(col("g").isNotNull)
+      .select(col("doc_id"), col("i"), col("g.n").as("n"), col("g.h").as("h"))
+    val freq = occ
+      .groupBy("h")
+      .agg(countDistinct("doc_id").as("df"))
       .where(col("df") >= minDf)
+    val firstOcc = occ
+      .join(broadcast(freq), "h")
+      .groupBy("h", "n", "df")
+      .agg(min(struct(col("doc_id"), col("i"))).as("loc"))
+    val recovered = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .join(broadcast(firstOcc), col("doc_id") === col("loc.doc_id"))
+      .select(col("n"), expr("concat_ws(' ', slice(toks, loc.i + 1, n))").as("gram"), col("df"))
+    recovered
       .withColumn("rnk", row_number().over(Window.partitionBy("n").orderBy(col("df").desc, col("gram"))))
       .where(col("rnk") <= k)
-      .drop("rnk")
+      .select(col("n"), col("gram"), col("df"))
       .orderBy(col("n"), col("df").desc, col("gram"))
   }
 
