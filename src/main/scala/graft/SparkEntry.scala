@@ -160,7 +160,8 @@ object SparkEntry {
     "w10_hourly_anomalies"      -> (CoreQueries.w10HourlyAnomalies _),
     // round 7: BM25 ranking (no SQL oracle: ln-scored; replay-spec gated)
     "t4_bm25_rank"              -> ((s: SparkSession, d: String) => TextAnalysis.bm25Rank(s, d)),
-    "v3_bigram_lm_score"        -> ((s: SparkSession, d: String) => TextAnalysis.bigramLmScore(s, d))
+    "v3_bigram_lm_score"        -> ((s: SparkSession, d: String) => TextAnalysis.bigramLmScore(s, d)),
+    "m2_media_demux"            -> (Multimodal.mediaDemuxQuery _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -680,6 +681,22 @@ object SparkEntry {
         s"CAST(LEAST(cum, (pack_id + 1) * $b) - GREATEST(bg, pack_id * $b) AS BIGINT) AS tokens_in_pack " +
         "FROM e ORDER BY source, doc_id, pack_id")
     },
+    // m2: the synthetic corpus makes every demux field a pure function of
+    // (doc_id, n_chars), so the oracle predicts the REAL parsers' output
+    // from documents-column arithmetic — no binary parsing oracle-side.
+    "m2_media_demux" ->
+      ("SELECT doc_id, " +
+        "CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' WHEN 2 THEN 'audio' ELSE 'video' END AS kind, " +
+        "TRUE AS ok, " +
+        "CASE WHEN doc_id % 4 = 0 THEN doc_id % 14 + 2 ELSE 0 END AS width, " +
+        "CASE WHEN doc_id % 4 = 0 THEN doc_id % 10 + 1 ELSE 0 END AS height, " +
+        "CASE WHEN doc_id % 4 = 1 THEN 8000 WHEN doc_id % 4 = 2 THEN 44100 ELSE 0 END AS sample_rate, " +
+        "CASE WHEN doc_id % 4 = 1 THEN (LEAST(GREATEST(n_chars, 1), 64) * 1000) // 8000 " +
+        "WHEN doc_id % 4 = 2 THEN (LEAST(n_chars // 10 + 1, 5) * 1152 * 1000) // 44100 " +
+        "WHEN doc_id % 4 = 3 THEN (n_chars % 100) * 10 ELSE 0 END AS duration_ms, " +
+        "CASE WHEN doc_id % 4 = 0 THEN 1 WHEN doc_id % 4 = 1 THEN LEAST(GREATEST(n_chars, 1), 64) " +
+        "WHEN doc_id % 4 = 2 THEN LEAST(n_chars // 10 + 1, 5) ELSE LEAST(n_chars, 50) END AS n_frames, " +
+        "1 AS n_tracks FROM documents ORDER BY doc_id"),
     // v3: add-one bigram LM replayed with the engine's own contrib string
     // (TextAnalysis.BigramLmSql); score quantized to 1e-6 -> only integers
     // hashed, per the t4 discipline.

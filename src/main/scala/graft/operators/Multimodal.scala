@@ -655,6 +655,88 @@ object Multimodal {
     }
   }
 
+  /** Deterministic synthetic media corpus for [[mediaDemuxQuery]]: each
+    * document becomes a VALID payload of one of the four media families
+    * (by doc_id mod 4 — binary PGM, RIFF/WAVE PCM, MPEG1-LIII frames,
+    * ISO-BMFF MP4), with every size parameter a pure function of
+    * (doc_id, n_chars). That is the point: the DuckDB oracle predicts the
+    * demux output from the SAME arithmetic on the `documents` columns —
+    * no binary parsing oracle-side — so the REAL decoders/demuxers sit
+    * inside the hash-checked path: a parser that misreads a header
+    * byte, a frame length, or a box offset breaks the driver gate, not
+    * just a unit spec.
+    */
+  def syntheticMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) => synthRow(id, nChars) }
+  }
+
+  private[graft] def synthRow(id: Long, nChars: Long): MediaRow = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def box(t: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(t.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    def u32(vs: Long*): Array[Byte] = {
+      val bb = ByteBuffer.allocate(4 * vs.length); vs.foreach(v => bb.putInt(v.toInt)); bb.array()
+    }
+    (id % 4) match {
+      case 0 => // binary PGM, dims from doc_id, raster bytes synthetic
+        val w      = (id % 14 + 2).toInt
+        val h      = (id % 10 + 1).toInt
+        val header = s"P5\n$w $h\n255\n".getBytes("US-ASCII")
+        val raster = Array.tabulate(w * h)(i => ((i * 31 + id) % 256).toByte)
+        MediaRow(id, "image/pgm", w, h, 1, header ++ raster)
+      case 1 => // 8-bit mono 8000 Hz WAV, sample count from n_chars
+        val n    = math.min(math.max(nChars, 1L), 64L).toInt
+        val data = Array.tabulate(n)(i => ((i * 7 + id) % 256).toByte)
+        val bb   = ByteBuffer.allocate(44 + n).order(ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes).putInt(36 + n).put("WAVE".getBytes)
+        bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+          .putInt(8000).putInt(8000).putShort(1).putShort(8)
+        bb.put("data".getBytes).putInt(n).put(data)
+        MediaRow(id, "audio/wav", 0, 0, 1, bb.array())
+      case 2 => // MPEG1 Layer III 128 kbps / 44100 mono frames, count from n_chars
+        val nf    = math.min(nChars / 10 + 1, 5L).toInt
+        val frame = new Array[Byte](417)
+        frame(0) = 0xff.toByte; frame(1) = 0xfb.toByte; frame(2) = 0x90.toByte; frame(3) = 0xc0.toByte
+        MediaRow(id, "audio/mpeg", 0, 0, nf, Array.fill(nf)(frame).flatten)
+      case _ => // MP4: one video track, duration/samples from n_chars
+        val durMs   = (nChars % 100) * 10
+        val samples = math.min(nChars, 50L)
+        val ftyp    = box("ftyp", "isom".getBytes ++ u32(0) ++ "isom".getBytes)
+        val mvhd    = box("mvhd", u32(0, 0, 0, 1000, durMs) ++ new Array[Byte](80))
+        val mdhd    = box("mdhd", u32(0, 0, 0, 1000, durMs, 0))
+        val hdlr    = box("hdlr", u32(0, 0) ++ "vide".getBytes("US-ASCII") ++ new Array[Byte](13))
+        val stsz    = box("stsz", u32(0, 1, samples))
+        val trak    = box("trak", box("mdia", mdhd ++ hdlr ++ box("minf", box("stbl", stsz))))
+        MediaRow(id, "video/mp4", 0, 0, 1, ftyp ++ box("moov", mvhd ++ trak))
+    }
+  }
+
+  /** M2 — the demux catalog over the synthetic corpus, the oracle-checked
+    * registry surface for EVERY real parser in this file (PGM dims, WAV
+    * rate/samples, MP3 frame walk, MP4 box tree). See [[syntheticMedia]]
+    * for why the oracle needs no binary parsing.
+    */
+  def mediaDemuxQuery(spark: SparkSession, dir: String): DataFrame =
+    mediaDemux(syntheticMedia(spark, dir))
+      .toDF()
+      .select(
+        col("media_id").as("doc_id"),
+        col("kind"), col("ok"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("duration_ms"), col("n_frames"),
+        col("n_tracks").cast("long").as("n_tracks")
+      )
+      .orderBy("doc_id")
+
   /** M1 — metadata projection used as the oracle-checked query surface for
     * the multimodal path: byte length of each payload.
     */

@@ -468,4 +468,22 @@ class MultimodalSpec extends SparkSpec {
     assert(got(4L).kind == "video" && got(4L).ok && got(4L).duration_ms == 7000L)
     assert(got(5L).kind == "video" && !got(5L).ok)
   }
+
+  test("m2 synthetic corpus: every family's synthRow round-trips through its real parser") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.synthRow(4L, 37L),  // image/pgm: w=6, h=5
+      Multimodal.synthRow(5L, 37L),  // wav: 37 samples
+      Multimodal.synthRow(6L, 37L),  // mp3: 37/10+1 = 4 frames
+      Multimodal.synthRow(7L, 137L)  // mp4: dur (137%100)*10 = 370ms, 50 samples
+    )
+    val got = Multimodal.mediaDemux(rows.toDS()).collect().map(d => d.media_id -> d).toMap
+    assert(got(4L).kind == "image" && got(4L).ok && got(4L).width == 6 && got(4L).height == 5)
+    assert(got(5L).kind == "audio" && got(5L).ok && got(5L).sample_rate == 8000 && got(5L).n_frames == 37L
+      && got(5L).duration_ms == 37L * 1000 / 8000)
+    assert(got(6L).kind == "audio" && got(6L).ok && got(6L).n_frames == 4L
+      && got(6L).duration_ms == 4L * 1152 * 1000 / 44100)
+    assert(got(7L).kind == "video" && got(7L).ok && got(7L).duration_ms == 370L && got(7L).n_frames == 50L
+      && got(7L).n_tracks == 1)
+  }
 }
