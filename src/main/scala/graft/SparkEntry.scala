@@ -84,6 +84,7 @@ object SparkEntry {
     "s4_ann_ivf"        -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "s6_ann_ivf_partitioned" -> ((s: SparkSession, d: String) => Similarity.annIvfPartitioned(s, d)),
     "s9_ann_ivf_quantized"   -> ((s: SparkSession, d: String) => Similarity.annIvfQuantized(s, d)),
+    "s11_ann_ivf_filtered"   -> ((s: SparkSession, d: String) => Similarity.annIvfFiltered(s, d, label = 1)),
     "c1_clean_corpus"   -> ((s: SparkSession, d: String) => Pipeline.cleanCorpus(s, d)),
     "a1_asof_join"      -> (AsOf.purchaseAsofClick _),
     "a2_interval_join"  -> ((s: SparkSession, d: String) => AsOf.intervalPairCount(s, d)),

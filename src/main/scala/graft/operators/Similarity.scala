@@ -227,6 +227,51 @@ object Similarity {
     )
   }
 
+  /** S11 — FILTERED ANN over the IVF layout: top-k among vectors matching a
+    * metadata predicate (`label = ?`), the vector-database operation
+    * production retrieval actually runs (RAG with a tenant/language/split
+    * filter). The composition matters at 100 TB: the predicate lands IN
+    * the probed scan — directory-level `PartitionFilters` (cl IN probes)
+    * × row-group `PushedFilters` (EqualTo(label)) — so unprobed clusters
+    * cost zero I/O and non-matching row groups drop on min/max stats
+    * BEFORE any vector is decoded, rather than scoring everything and
+    * filtering after (post-filter ANN, the classic recall trap). The
+    * standard filtered-search caveat applies and is the knob's job:
+    * selective filters thin each probed cluster, so widen
+    * `graft.ann.nprobe` with filter selectivity (the spec demonstrates
+    * probe-widening recovering the filtered-brute answer). No SQL oracle
+    * (cluster assignment is engine-internal, like s4/s6/s9); the gate is
+    * the ≡ filtered-brute-force-over-probed-clusters equivalence spec
+    * plus the plan asserts.
+    */
+  def annIvfFiltered(
+      spark: SparkSession,
+      dir: String,
+      queryId: Long = 0L,
+      k: Int = 10,
+      label: Int = 0,
+      nClusters: Int = -1, // -1 = the graft.ann.nclusters session knob (16 unset)
+      nProbe: Int = -1     // -1 = the graft.ann.nprobe session knob (4 unset)
+  ): DataFrame = {
+    VectorFunctions.register(spark)
+    val (nc, np) = resolveIvfKnobs(spark, nClusters, nProbe)
+    val layout    = ivfLayoutCache(spark, dir, nc)
+    val centroids = spark.read
+      .parquet(s"$layout/centroids.parquet")
+      .orderBy("cl")
+      .collect()
+      .map(_.getSeq[Float](1))
+    val qv     = Tables.embeddings(spark, dir).where(col("vec_id") === queryId).select("embedding").head().getSeq[Float](0)
+    val probes = probeIds(qv, centroids, np)
+    rankTopK(
+      spark.read
+        .parquet(s"$layout/vectors.parquet")
+        .where(col("cl").isin(probes: _*) && col("label") === label && col("vec_id") =!= queryId)
+        .select(col("vec_id"), call_function("cosine_sim", col("embedding"), typedLit(qv)).as("cos")),
+      k
+    )
+  }
+
   /** Cluster-partitioned embedding layout, built at most once per input dir
     * (`_SUCCESS`-guarded tmpdir cache, like
     * [[graft.operators.Prep.dayPartitionedEventsCache]]): vectors written

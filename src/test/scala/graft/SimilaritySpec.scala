@@ -160,4 +160,36 @@ class SimilaritySpec extends SparkSpec {
     assert(real.map(_.getLong(1)).sum == total)
     assert(real.forall(r => r.getDouble(2) <= r.getDouble(3)))
   }
+
+  test("s11 filtered ANN: label pushdown inside the probed scan; full-probe == filtered brute") {
+    import org.apache.spark.sql.functions.col
+    val lbl = 1
+    // independent filtered brute force: local cosine over the collected corpus
+    val rows = graft.sources.Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+    val qv = rows.find(_._1 == 0L).get._2
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = rows
+      .filter(r => r._1 != 0L && r._3 == lbl)
+      .map(r => (r._1, cos(r._2, qv)))
+      .sortBy { case (id, c) => (-c, id) }
+      .take(10).zipWithIndex.map { case ((id, _), i) => (i + 1L, id) }.toSeq
+    // probing EVERY cluster makes the IVF path exhaustive -> must equal brute
+    val full = Similarity.annIvfFiltered(spark, sf0001, label = lbl, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(full == expected, s"full-probe filtered ANN != filtered brute:\n$full\n$expected")
+    // default probes: the predicate must land in the SCAN, not a post-filter
+    val s11df = Similarity.annIvfFiltered(spark, sf0001, label = lbl)
+    val plan  = s11df.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cl".r.findFirstIn(plan).isDefined, plan.take(1200))
+    assert(plan.contains("EqualTo(label,"), s"label not pushed to parquet:\n${plan.take(1200)}")
+    val got = s11df.collect().map(_.getLong(1)).toSet
+    val labelled = rows.filter(_._3 == lbl).map(_._1).toSet
+    assert(got.size == 10 && got.subsetOf(labelled))
+  }
 }
