@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Bpe, Dedup, Prep, Similarity}
+import graft.operators.{Bpe, Dedup, Prep, Similarity, TextAnalysis}
 import graft.sources.{BucketedFacts, LayoutCache}
 import org.apache.spark.sql.SparkSession
 
@@ -42,6 +42,8 @@ object Layouts {
     "ivf_vectors"        -> (() => { Similarity.annIvfPartitioned(spark, dir); () }),
     "sq8_vectors"        -> (() => { Similarity.annQuantized(spark, dir); () }),
     "bpe_merges"         -> (() => { Bpe.bpeMerges(spark, dir); () }),
+    "bpe_incremental"    -> (() => { Bpe.bpeMergesIncremental(spark, dir); () }),
+    "text_postings"      -> (() => { TextAnalysis.postingsLayoutCache(spark, dir); () }),
     "events_by_day"      -> (() => { Prep.dayPartitionedEventsCache(spark, dir); () }),
     "bucketed_facts"     -> (() => { BucketedFacts.lineitemOrders(spark, dir); () }),
     "bucketed_events"    -> (() => { BucketedFacts.eventsByUser(spark, dir); () })

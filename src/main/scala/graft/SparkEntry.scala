@@ -162,7 +162,16 @@ object SparkEntry {
     // round 7: BM25 ranking (no SQL oracle: ln-scored; replay-spec gated)
     "t4_bm25_rank"              -> ((s: SparkSession, d: String) => TextAnalysis.bm25Rank(s, d)),
     "v3_bigram_lm_score"        -> ((s: SparkSession, d: String) => TextAnalysis.bigramLmScore(s, d)),
-    "m2_media_demux"            -> (Multimodal.mediaDemuxQuery _)
+    "m2_media_demux"            -> (Multimodal.mediaDemuxQuery _),
+    // round 8: hybrid sparse∪dense retrieval (RRF of t4's BM25 and s1's
+    // cosine ranking — ranks are integers, so the fusion oracles exactly)
+    "t5_hybrid_rrf"             -> ((s: SparkSession, d: String) => TextAnalysis.hybridRrfRank(s, d)),
+    // round 8: incremental tokenizer retrain from the maintained word-count
+    // layout (no oracle: iterative like v1; spec-pinned bit-equal to v1)
+    "v4_bpe_merges_incremental" -> ((s: SparkSession, d: String) => Bpe.bpeMergesIncremental(s, d)),
+    // round 8: BM25 over the persisted inverted-index layout — t4's exact
+    // contract (and oracle), corpus never touched at query time
+    "t6_bm25_indexed"           -> ((s: SparkSession, d: String) => TextAnalysis.bm25RankIndexed(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -712,15 +721,32 @@ object SparkEntry {
     // compiles (TextAnalysis.Bm25ContribSql); the ranking key is the score
     // quantized to 1e-6, so the ≤ulp cross-engine ln() difference cannot
     // flip a rank — only (rnk, doc_id) integers are hashed.
-    "t4_bm25_rank" -> {
+    "t4_bm25_rank" -> bm25Oracle,
+    // t6: the SAME ranking contract computed from the persisted postings
+    // layout — identical (tf, df, dl, n_docs, avgdl) values through the
+    // same contrib expression, so t4's oracle applies verbatim
+    "t6_bm25_indexed" -> bm25Oracle,
+    // t5: both sub-rankings replayed to RrfDepth with their own shared
+    // expression strings (Bm25ContribSql / list_cosine_similarity), then
+    // fused with the SAME RrfFuseSql string the engine compiles. Only
+    // integer ranks cross between the stages, so the fused doubles are
+    // bit-identical; 1e-9 quantization is defensive headroom.
+    "t5_hybrid_rrf" -> {
       val terms = TextAnalysis.KeywordTerms.distinct.map(t => s"'$t'").mkString(", ")
+      val depth = TextAnalysis.RrfDepth
       ("WITH tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl, " +
-        "UNNEST(string_split(text, ' ')) AS token FROM documents), " +
+        "UNNEST(string_split(text, ' ')) AS token FROM documents WHERE doc_id <> 0), " +
         s"tf AS (SELECT doc_id, dl, token, COUNT(*) AS tf FROM tok WHERE token IN ($terms) GROUP BY doc_id, dl, token), " +
         "d AS (SELECT *, COUNT(*) OVER (PARTITION BY token) AS df FROM tf), " +
-        "st AS (SELECT COUNT(*) AS n_docs, AVG(len(string_split(text, ' '))) AS avgdl FROM documents), " +
+        "st AS (SELECT COUNT(*) AS n_docs, AVG(len(string_split(text, ' '))) AS avgdl FROM documents WHERE doc_id <> 0), " +
         s"sc AS (SELECT doc_id, SUM(${TextAnalysis.Bm25ContribSql}) AS score FROM d, st GROUP BY doc_id), " +
-        "q AS (SELECT doc_id, CAST(round(score * 1000000.0) AS BIGINT) AS qs FROM sc) " +
+        "lq AS (SELECT doc_id, CAST(round(score * 1000000.0) AS BIGINT) AS qs FROM sc), " +
+        s"lexr AS (SELECT CAST(row_number() OVER (ORDER BY qs DESC, doc_id) AS BIGINT) AS lex_rnk, doc_id FROM lq ORDER BY qs DESC, doc_id LIMIT $depth), " +
+        "semr AS (SELECT rnk AS sem_rnk, vec_id AS doc_id FROM (SELECT row_number() OVER (ORDER BY " +
+        "list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id) AS rnk, e.vec_id " +
+        s"FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q WHERE e.vec_id <> 0) t WHERE rnk <= $depth), " +
+        "f AS (SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, l.lex_rnk, s.sem_rnk FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id), " +
+        s"q AS (SELECT doc_id, CAST(round((${TextAnalysis.RrfFuseSql}) * 1000000000.0) AS BIGINT) AS qs FROM f) " +
         "SELECT CAST(row_number() OVER (ORDER BY qs DESC, doc_id) AS BIGINT) AS rnk, doc_id FROM q " +
         "ORDER BY qs DESC, doc_id LIMIT 20")
     },
@@ -842,7 +868,8 @@ object SparkEntry {
     // s9_ann_ivf_quantized (spec-pinned ≡ s6), dq3_profile_events_approx
     // (spec-bounded within 5% of dq1's exact profile), v1_bpe_merges
     // (iterative — no SQL form; BpeSpec replays an independent reference
-    // implementation),
+    // implementation), v4_bpe_merges_incremental (same obstacle; BpeSpec
+    // pins it bit-equal to v1's full retrain AND to the reference replay),
     // x3_approx_percentiles, x4_approx_top_users, x5_approx_distinct_rollup:
     // outputs depend on engine-internal hashing / plane seeds / quantizer /
     // sketch state — no SQL oracle; covered by DedupSpec / SimilaritySpec /
@@ -859,6 +886,23 @@ object SparkEntry {
     "WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
       "sp AS (SELECT DISTINCT doc_id, md5(array_to_string(w[s : s + " + (Dedup.SpanTokens - 1) + "], ' ')) AS span_fp " +
       "FROM toks, UNNEST(range(1, len(w) - " + (Dedup.SpanTokens - 2) + ")) t(s)) "
+
+  /** t4/t6's shared BM25 oracle — the engine's Bm25ContribSql replayed on
+    * DuckDB's own tokenize; the ranking key is the 1e-6-quantized score, so
+    * the ≤ulp cross-engine ln() difference cannot flip a rank.
+    */
+  private val bm25Oracle: String = {
+    val terms = TextAnalysis.KeywordTerms.distinct.map(t => s"'$t'").mkString(", ")
+    ("WITH tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl, " +
+      "UNNEST(string_split(text, ' ')) AS token FROM documents), " +
+      s"tf AS (SELECT doc_id, dl, token, COUNT(*) AS tf FROM tok WHERE token IN ($terms) GROUP BY doc_id, dl, token), " +
+      "d AS (SELECT *, COUNT(*) OVER (PARTITION BY token) AS df FROM tf), " +
+      "st AS (SELECT COUNT(*) AS n_docs, AVG(len(string_split(text, ' '))) AS avgdl FROM documents), " +
+      s"sc AS (SELECT doc_id, SUM(${TextAnalysis.Bm25ContribSql}) AS score FROM d, st GROUP BY doc_id), " +
+      "q AS (SELECT doc_id, CAST(round(score * 1000000.0) AS BIGINT) AS qs FROM sc) " +
+      "SELECT CAST(row_number() OVER (ORDER BY qs DESC, doc_id) AS BIGINT) AS rnk, doc_id FROM q " +
+      "ORDER BY qs DESC, doc_id LIMIT 20")
+  }
 
   private val annTop10Oracle: String =
     "SELECT rnk, vec_id FROM (SELECT row_number() OVER (ORDER BY " +

