@@ -40,6 +40,7 @@ object Layouts {
     "embedding_pairs"    -> (() => { Dedup.embeddingDupPairs(spark, dir); () }),
     "embedding_pairs_planted" -> (() => { Dedup.embeddingDupPairsPlanted(spark, dir); () }),
     "ivf_vectors"        -> (() => { Similarity.annIvfPartitioned(spark, dir); () }),
+    "ivf_incremental"    -> (() => { Similarity.annIvfIncremental(spark, dir); () }),
     "sq8_vectors"        -> (() => { Similarity.annQuantized(spark, dir); () }),
     "bpe_merges"         -> (() => { Bpe.bpeMerges(spark, dir); () }),
     "bpe_incremental"    -> (() => { Bpe.bpeMergesIncremental(spark, dir); () }),

@@ -171,7 +171,11 @@ object SparkEntry {
     "v4_bpe_merges_incremental" -> ((s: SparkSession, d: String) => Bpe.bpeMergesIncremental(s, d)),
     // round 8: BM25 over the persisted inverted-index layout — t4's exact
     // contract (and oracle), corpus never touched at query time
-    "t6_bm25_indexed"           -> ((s: SparkSession, d: String) => TextAnalysis.bm25RankIndexed(s, d))
+    "t6_bm25_indexed"           -> ((s: SparkSession, d: String) => TextAnalysis.bm25RankIndexed(s, d)),
+    // round 8: probe search over the maintained (base + delta) IVF index
+    // (no oracle: engine-internal assignment like s4/s6; spec-pinned
+    // complete vs s1 at full probe)
+    "s12_ann_ivf_incremental"   -> ((s: SparkSession, d: String) => Similarity.annIvfIncremental(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -222,7 +222,8 @@ class RobustnessSpec extends SparkSpec {
     // nothing to re-read). At 100 TB "the corpus is empty" is an upstream
     // failure these should fail LOUDLY on, not mask — so they stay throws.
     val exempt = Set("p1_partitioned_time_count", "q23_bucketed_star", "s4_ann_ivf",
-      "s6_ann_ivf_partitioned", "s9_ann_ivf_quantized", "s11_ann_ivf_filtered")
+      "s6_ann_ivf_partitioned", "s9_ann_ivf_quantized", "s11_ann_ivf_filtered",
+      "s12_ann_ivf_incremental")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try { fn(spark, dir).collect(); None }
       catch { case e: Throwable => Some(name -> e.toString.takeWhile(_ != '\n')) }

@@ -192,4 +192,41 @@ class SimilaritySpec extends SparkSpec {
     val labelled = rows.filter(_._3 == lbl).map(_._1).toSet
     assert(got.size == 10 && got.subsetOf(labelled))
   }
+
+  test("s12 incremental IVF: full probe == s1 brute force (maintenance loses and duplicates nothing)") {
+    // with every cluster probed, the maintained base+delta index is
+    // exhaustive — any vector dropped, duplicated, or mis-unioned during
+    // maintenance would break exact equality with the brute-force ranking
+    val brute = Similarity.annBruteForce(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val full = Similarity.annIvfIncremental(spark, sf0001, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(full == brute, s"full-probe incremental != brute:\n$full\n$brute")
+  }
+
+  test("s12: delta vectors carry exactly the assignment the frozen base centroids dictate") {
+    import org.apache.spark.sql.functions.col
+    val e     = graft.sources.Tables.embeddings(spark, sf0001)
+    val split = e.agg(org.apache.spark.sql.functions.expr("(max(vec_id) + 1) div 2")).head().getLong(0)
+    val base  = Similarity.ivfBaseLayoutCache(spark, sf0001, 16, split)
+    val delta = Similarity.ivfDeltaLayoutCache(spark, sf0001, 16, split)
+    val cs = spark.read.parquet(s"$base/centroids.parquet")
+      .orderBy("cl").collect().map(_.getSeq[Float](1))
+    // re-run the SAME in-engine assignment expression over the batch slice
+    graft.functions.VectorFunctions.register(spark)
+    val expected = e.where(col("vec_id") >= split)
+      .withColumn("cl", Similarity.assignCol(cs))
+      .select("vec_id", "cl").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val stored = spark.read.parquet(s"$delta/vectors.parquet")
+      .select("vec_id", "cl").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(stored == expected)
+    assert(stored.nonEmpty, "sf0.001 must have a non-empty batch half")
+    // and the delta segment holds ONLY batch vectors; base holds the rest
+    val baseIds = spark.read.parquet(s"$base/vectors.parquet")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(stored.keySet.forall(_ >= split) && baseIds.forall(_ < split))
+    assert((baseIds ++ stored.keySet) == e.select("vec_id").collect().map(_.getLong(0)).toSet)
+  }
 }
