@@ -45,6 +45,7 @@ object Layouts {
     "bpe_merges"         -> (() => { Bpe.bpeMerges(spark, dir); () }),
     "bpe_incremental"    -> (() => { Bpe.bpeMergesIncremental(spark, dir); () }),
     "text_postings"      -> (() => { TextAnalysis.postingsLayoutCache(spark, dir); () }),
+    "lm_scores"          -> (() => { TextAnalysis.lmScoreLayoutCache(spark, dir); () }),
     "events_by_day"      -> (() => { Prep.dayPartitionedEventsCache(spark, dir); () }),
     "bucketed_facts"     -> (() => { BucketedFacts.lineitemOrders(spark, dir); () }),
     "bucketed_events"    -> (() => { BucketedFacts.eventsByUser(spark, dir); () })

@@ -175,7 +175,10 @@ object SparkEntry {
     // round 8: probe search over the maintained (base + delta) IVF index
     // (no oracle: engine-internal assignment like s4/s6; spec-pinned
     // complete vs s1 at full probe)
-    "s12_ann_ivf_incremental"   -> ((s: SparkSession, d: String) => Similarity.annIvfIncremental(s, d))
+    "s12_ann_ivf_incremental"   -> ((s: SparkSession, d: String) => Similarity.annIvfIncremental(s, d)),
+    // round 8: perplexity-filter stage — bottom quartile by v3's LM score
+    // dropped, both passes over the persisted score layout
+    "d21_lm_quality_keep"       -> ((s: SparkSession, d: String) => TextAnalysis.lmQualityKeep(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -715,12 +718,14 @@ object SparkEntry {
     // (TextAnalysis.BigramLmSql); score quantized to 1e-6 -> only integers
     // hashed, per the t4 discipline.
     "v3_bigram_lm_score" ->
-      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
-        "bi AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM tok, UNNEST(range(1, len(w))) t(i) WHERE len(w) >= 2), " +
-        "c AS (SELECT *, COUNT(*) OVER (PARTITION BY w1, w2) AS cb, COUNT(*) OVER (PARTITION BY w1) AS cu FROM bi), " +
-        "v AS (SELECT COUNT(DISTINCT tt.token) AS vv FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents) tt), " +
-        s"s AS (SELECT doc_id, AVG(${TextAnalysis.BigramLmSql}) AS score FROM c, v GROUP BY doc_id) " +
-        "SELECT doc_id, CAST(round(score * 1000000.0) AS BIGINT) AS lm_q FROM s ORDER BY doc_id"),
+      s"$lmScoreCte SELECT doc_id, lm_q FROM q ORDER BY doc_id",
+    // d21: the same score CTE, cut at the exact 25th percentile — Spark
+    // `percentile` ≡ DuckDB `quantile_cont` (the x2 parity); quantized-long
+    // scores mean a boundary doc exists only where both engines are
+    // integer-exact
+    "d21_lm_quality_keep" ->
+      (s"$lmScoreCte, c AS (SELECT quantile_cont(lm_q, 0.25) AS c FROM q) " +
+        "SELECT doc_id, lm_q FROM q, c WHERE lm_q >= c.c ORDER BY doc_id"),
     // t4: BM25 replayed with the SAME contrib expression string the engine
     // compiles (TextAnalysis.Bm25ContribSql); the ranking key is the score
     // quantized to 1e-6, so the ≤ulp cross-engine ln() difference cannot
@@ -890,6 +895,17 @@ object SparkEntry {
     "WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
       "sp AS (SELECT DISTINCT doc_id, md5(array_to_string(w[s : s + " + (Dedup.SpanTokens - 1) + "], ' ')) AS span_fp " +
       "FROM toks, UNNEST(range(1, len(w) - " + (Dedup.SpanTokens - 2) + ")) t(s)) "
+
+  /** v3/d21's shared score CTE — the engine's BigramLmSql replayed on
+    * DuckDB's own tokenize; `q` carries the 1e-6-quantized per-doc score.
+    */
+  private val lmScoreCte: String =
+    "WITH tok AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
+      "bi AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM tok, UNNEST(range(1, len(w))) t(i) WHERE len(w) >= 2), " +
+      "cc AS (SELECT *, COUNT(*) OVER (PARTITION BY w1, w2) AS cb, COUNT(*) OVER (PARTITION BY w1) AS cu FROM bi), " +
+      "v AS (SELECT COUNT(DISTINCT tt.token) AS vv FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents) tt), " +
+      s"s AS (SELECT doc_id, AVG(${TextAnalysis.BigramLmSql}) AS score FROM cc, v GROUP BY doc_id), " +
+      "q AS (SELECT doc_id, CAST(round(score * 1000000.0) AS BIGINT) AS lm_q FROM s)"
 
   /** t4/t6's shared BM25 oracle — the engine's Bm25ContribSql replayed on
     * DuckDB's own tokenize; the ranking key is the 1e-6-quantized score, so

@@ -501,4 +501,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("In(token, ["), plan)
     assert(!plan.contains("documents.parquet"), s"query must not touch the corpus:\n$plan")
   }
+
+  test("d21: quartile cut replays plain-Scala interpolated percentile over v3's scores") {
+    for (d <- Seq(sf0001)) {
+      val scores = TextAnalysis.bigramLmScore(spark, d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(scores.size >= 8)
+      // Spark `percentile`: linear interpolation at rank 0.25*(n-1)
+      val sorted = scores.values.toSeq.sorted
+      val pos    = 0.25 * (sorted.length - 1)
+      val (lo, f) = (pos.toInt, pos - pos.toInt)
+      val cut = sorted(lo) + f * (sorted(math.min(lo + 1, sorted.length - 1)) - sorted(lo))
+      val expect = scores.filter { case (_, q) => q >= cut }.keySet
+      val got = TextAnalysis.lmQualityKeep(spark, d).collect().map(_.getLong(0)).toSet
+      assert(got == expect, s"missing ${expect -- got}, extra ${got -- expect}")
+      // the gate has teeth: it drops SOMETHING and keeps at least 3/4
+      assert(got.size < scores.size && got.size * 4 >= scores.size * 3)
+      val dropped = scores.keySet -- got
+      assert(dropped.forall(id => scores(id) < cut))
+    }
+  }
 }
