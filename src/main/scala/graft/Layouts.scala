@@ -46,6 +46,7 @@ object Layouts {
     "bpe_incremental"    -> (() => { Bpe.bpeMergesIncremental(spark, dir); () }),
     "text_postings"      -> (() => { TextAnalysis.postingsLayoutCache(spark, dir); () }),
     "lm_scores"          -> (() => { TextAnalysis.lmScoreLayoutCache(spark, dir); () }),
+    "postings_incremental" -> (() => { TextAnalysis.bm25RankIncremental(spark, dir); () }),
     "events_by_day"      -> (() => { Prep.dayPartitionedEventsCache(spark, dir); () }),
     "bucketed_facts"     -> (() => { BucketedFacts.lineitemOrders(spark, dir); () }),
     "bucketed_events"    -> (() => { BucketedFacts.eventsByUser(spark, dir); () })

@@ -361,7 +361,37 @@ object ScaleRehearsal {
     }
   }
 
+  /** Round-8 index-layout rehearsal: ingest (layout build) vs query cost
+    * for the postings / maintained-postings / LM-score families at the 10×
+    * corpus, with t4's corpus scan as the un-indexed comparator. Layouts
+    * are content-keyed, so the first timing of each family is its COLD
+    * build+query and the second its warm query.
+    */
+  def indexRehearsal(spark: SparkSession, dir: String): Unit = {
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[index10] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+    }
+    import operators.TextAnalysis
+    time("t4 corpus-scan BM25 (un-indexed comparator)")(TextAnalysis.bm25Rank(spark, dir).collect())
+    time("t6 cold: postings build + query")(TextAnalysis.bm25RankIndexed(spark, dir).collect())
+    time("t6 warm query")(TextAnalysis.bm25RankIndexed(spark, dir).collect())
+    time("t7 cold: base+delta build + query")(TextAnalysis.bm25RankIncremental(spark, dir).collect())
+    time("t7 warm query")(TextAnalysis.bm25RankIncremental(spark, dir).collect())
+    time("v3 cold: score layout build + read")(TextAnalysis.bigramLmScore(spark, dir).collect())
+    time("v3 warm read")(TextAnalysis.bigramLmScore(spark, dir).collect())
+    time("d21 quartile gate (warm layout)")(TextAnalysis.lmQualityKeep(spark, dir).collect())
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("index10")) {
+      val spark = GraftSession.getOrCreate()
+      val dst   = args.lift(1).getOrElse("/tmp/graft_sf1ish")
+      build(spark, args.lift(2).getOrElse("/root/testdata/sf0.1"), dst, 10)
+      indexRehearsal(spark, dst)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("spans100")) {
       val spark = GraftSession.getOrCreate()
       spansRehearsal(

@@ -178,7 +178,10 @@ object SparkEntry {
     "s12_ann_ivf_incremental"   -> ((s: SparkSession, d: String) => Similarity.annIvfIncremental(s, d)),
     // round 8: perplexity-filter stage — bottom quartile by v3's LM score
     // dropped, both passes over the persisted score layout
-    "d21_lm_quality_keep"       -> ((s: SparkSession, d: String) => TextAnalysis.lmQualityKeep(s, d))
+    "d21_lm_quality_keep"       -> ((s: SparkSession, d: String) => TextAnalysis.lmQualityKeep(s, d)),
+    // round 8: BM25 over the MAINTAINED (base + delta) postings index —
+    // exact maintenance, t4's contract and oracle verbatim
+    "t7_bm25_incremental"       -> ((s: SparkSession, d: String) => TextAnalysis.bm25RankIncremental(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -735,6 +738,9 @@ object SparkEntry {
     // layout — identical (tf, df, dl, n_docs, avgdl) values through the
     // same contrib expression, so t4's oracle applies verbatim
     "t6_bm25_indexed" -> bm25Oracle,
+    // t7: exact maintenance — disjoint per-segment tf rows, query-time df,
+    // additive stats — so t4's oracle applies verbatim here too
+    "t7_bm25_incremental" -> bm25Oracle,
     // t5: both sub-rankings replayed to RrfDepth with their own shared
     // expression strings (Bm25ContribSql / list_cosine_similarity), then
     // fused with the SAME RrfFuseSql string the engine compiles. Only

@@ -624,6 +624,124 @@ object TextAnalysis {
     }
   }
 
+  /** Bump with any change to the incremental (base + delta) postings
+    * scheme.
+    */
+  private[graft] val PostingsIncrSchemeVersion = 1
+
+  /** One postings segment for a document slice: `(token, doc_id, tf, dl)`
+    * token-clustered — NO df column: unlike [[postingsLayoutCache]]'s
+    * denormalized df, a maintained index computes df at query time over
+    * the term-filtered union (a window over ≤ query-term posting rows),
+    * because df is the one postings statistic a delta segment would
+    * invalidate on every base row.
+    */
+  private def postingsSegment(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), size(col("tk")).as("dl"), explode(col("tk")).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy("doc_id", "dl", "token")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Additive corpus statistics for a slice: `(n_docs, n_dl, sum_dl)` —
+    * counts and a sum, never an average, so base + delta combine exactly
+    * (t4's avgdl = sum_dl / n_dl, one division on exact longs, n_dl
+    * counted separately because avg skips null-text docs while n_docs
+    * does not).
+    */
+  private def postingsStats(docs: DataFrame): DataFrame =
+    docs.agg(
+      count(lit(1)).as("n_docs"),
+      count(size(toks)).as("n_dl"),
+      sum(size(toks)).as("sum_dl")
+    )
+
+  private[graft] def postingsBaseLayoutCache(spark: SparkSession, dir: String, batchStartId: Long): String = {
+    val key = LayoutCache.contentKey(
+      spark,
+      s"$dir/documents.parquet",
+      s"postbase-v$PostingsIncrSchemeVersion#$batchStartId"
+    )
+    LayoutCache.getOrBuild(spark, "graft_postbase", key) { out =>
+      val docs = Tables.documents(spark, dir).where(col("doc_id") < batchStartId)
+      postingsSegment(docs)
+        .repartition(col("token")).sortWithinPartitions("token")
+        .write.mode("overwrite").parquet(s"$out/postings.parquet")
+      postingsStats(docs).write.mode("overwrite").parquet(s"$out/stats.parquet")
+    }
+  }
+
+  private[graft] def postingsDeltaLayoutCache(spark: SparkSession, dir: String, batchStartId: Long): String = {
+    val key = LayoutCache.contentKey(
+      spark,
+      s"$dir/documents.parquet",
+      s"postdelta-v$PostingsIncrSchemeVersion#$batchStartId"
+    )
+    LayoutCache.getOrBuild(spark, "graft_postdelta", key) { out =>
+      val docs = Tables.documents(spark, dir).where(col("doc_id") >= batchStartId)
+      postingsSegment(docs)
+        .repartition(col("token")).sortWithinPartitions("token")
+        .write.mode("overwrite").parquet(s"$out/postings.parquet")
+      postingsStats(docs).write.mode("overwrite").parquet(s"$out/stats.parquet")
+    }
+  }
+
+  /** T7 — BM25 over the MAINTAINED inverted index: the daily batch (n5's
+    * id split) lands as its own token-clustered postings segment plus an
+    * additive stats row; the base segment is never re-tokenized or
+    * rewritten — the sealed+delta shape of s12 applied to text retrieval,
+    * closing the maintenance matrix's last family (pairs n5, clusters
+    * n12, tokenizer v4, vectors s12, postings t7).
+    *
+    * Maintenance is EXACT, not approximate: per-(doc, token) tf rows are
+    * disjoint across segments, df is a query-time window over the
+    * term-filtered union (≤ query-term posting rows — the one statistic a
+    * delta invalidates is the one never stored), and the corpus stats
+    * combine as sums of longs. The result is bit-equal to t4's corpus
+    * scan — same quantized-rank contract, t4's ORACLE applies verbatim —
+    * while query I/O stays ∝ the query terms' posting lists in BOTH
+    * segments (pushed token IN-list on each side of the union).
+    */
+  def bm25RankIncremental(spark: SparkSession, dir: String, terms: Seq[String] = KeywordTerms, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ts = terms.distinct
+    require(ts.nonEmpty && ts.forall(t => !t.contains("'") && !t.contains(" ")))
+    val split = Tables
+      .documents(spark, dir)
+      .agg(expr("coalesce((max(doc_id) + 1) div 2, 0)").as("k"))
+      .head().getLong(0)
+    val base  = postingsBaseLayoutCache(spark, dir, split)
+    val delta = postingsDeltaLayoutCache(spark, dir, split)
+    val p = spark.read.parquet(s"$base/postings.parquet")
+      .unionByName(spark.read.parquet(s"$delta/postings.parquet"))
+      .where(col("token").isInCollection(ts))
+    val stats = spark.read.parquet(s"$base/stats.parquet")
+      .unionByName(spark.read.parquet(s"$delta/stats.parquet"))
+      .agg(sum("n_docs").as("n_docs"), sum("n_dl").as("n_dl"), sum("sum_dl").as("sum_dl"))
+      // one division on exact longs = t4's avg; the guard keeps an empty
+      // corpus a degradation (null, like t4's avg) instead of an ANSI
+      // divide-by-zero
+      .select(
+        col("n_docs"),
+        when(col("n_dl") === 0, lit(null).cast("double"))
+          .otherwise(col("sum_dl").cast("double") / col("n_dl")).as("avgdl")
+      )
+    p.withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib", expr(Bm25ContribSql))
+      .groupBy("doc_id")
+      .agg(sum("contrib").as("score"))
+      .withColumn("qs", expr("CAST(round(score * 1000000.0) AS BIGINT)"))
+      .orderBy(col("qs").desc, col("doc_id"))
+      .limit(k)
+      .select(
+        row_number().over(Window.orderBy(col("qs").desc, col("doc_id"))).cast("long").as("rnk"),
+        col("doc_id")
+      )
+      .orderBy("rnk")
+  }
+
   /** T6 — BM25 over the persisted inverted index ([[postingsLayoutCache]]):
     * the SAME ranking as t4 — same quantized-score contract, same
     * [[Bm25ContribSql]] expression on identical `(tf, df, dl, n_docs,

@@ -490,6 +490,25 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("t7: maintained (base+delta) index equals the corpus scan; segments partition the postings") {
+    for (d <- Seq(sf0001)) {
+      val scan = TextAnalysis.bm25Rank(spark, d).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val incr = TextAnalysis.bm25RankIncremental(spark, d).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(incr == scan, s"maintained-index/scan divergence on $d")
+      assert(incr.nonEmpty)
+    }
+    // segment partition property: base holds only ids < split, delta only
+    // ids >= split, and together they cover every posting exactly once
+    import org.apache.spark.sql.functions.col
+    val docs  = graft.sources.Tables.documents(spark, sf0001)
+    val split = docs.agg(org.apache.spark.sql.functions.expr("(max(doc_id) + 1) div 2")).head().getLong(0)
+    val base  = spark.read.parquet(s"${TextAnalysis.postingsBaseLayoutCache(spark, sf0001, split)}/postings.parquet")
+    val delta = spark.read.parquet(s"${TextAnalysis.postingsDeltaLayoutCache(spark, sf0001, split)}/postings.parquet")
+    assert(base.where(col("doc_id") >= split).isEmpty && delta.where(col("doc_id") < split).isEmpty)
+    assert(base.count() + delta.count() ==
+      base.unionByName(delta).select("doc_id", "token").distinct().count())
+  }
+
   test("t6: the term filter is PUSHED into the postings scan (no corpus table in the plan)") {
     spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
     val plan =
