@@ -181,7 +181,9 @@ object SparkEntry {
     "d21_lm_quality_keep"       -> ((s: SparkSession, d: String) => TextAnalysis.lmQualityKeep(s, d)),
     // round 8: BM25 over the MAINTAINED (base + delta) postings index —
     // exact maintenance, t4's contract and oracle verbatim
-    "t7_bm25_incremental"       -> ((s: SparkSession, d: String) => TextAnalysis.bm25RankIncremental(s, d))
+    "t7_bm25_incremental"       -> ((s: SparkSession, d: String) => TextAnalysis.bm25RankIncremental(s, d)),
+    // round 8: docs<->embeddings referential audit (one full-outer id join)
+    "dq4_modality_coverage"     -> (Profile.modalityCoverage _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -741,6 +743,11 @@ object SparkEntry {
     // t7: exact maintenance — disjoint per-segment tf rows, query-time df,
     // additive stats — so t4's oracle applies verbatim here too
     "t7_bm25_incremental" -> bm25Oracle,
+    "dq4_modality_coverage" ->
+      ("SELECT (SELECT COUNT(*) FROM documents) AS n_docs, " +
+        "(SELECT COUNT(*) FROM embeddings) AS n_vecs, " +
+        "(SELECT COUNT(*) FROM documents d WHERE NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)) AS n_docs_no_vec, " +
+        "(SELECT COUNT(*) FROM embeddings e WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)) AS n_vecs_no_doc"),
     // t5: both sub-rankings replayed to RrfDepth with their own shared
     // expression strings (Bm25ContribSql / list_cosine_similarity), then
     // fused with the SAME RrfFuseSql string the engine compiles. Only

@@ -64,6 +64,33 @@ object Profile {
   def profileDocuments(spark: SparkSession, dir: String): DataFrame =
     profile(Tables.documents(spark, dir))
 
+  /** DQ4 — cross-modality coverage: the docs↔embeddings referential audit
+    * a multimodal pipeline publishes before training (a doc without an
+    * embedding silently drops out of every semantic stage — n4, n10, the
+    * s-family, t5;
+    * an embedding without a doc is a stale or mis-keyed vector that would
+    * resurface deleted content in retrieval). One row:
+    * `(n_docs, n_vecs, n_docs_no_vec, n_vecs_no_doc)`.
+    *
+    * Scale shape: ONE full-outer hash join on the 8-byte id — both sides
+    * column-pruned to their key, neither text nor vector payloads ever
+    * move — then all four counts ride a single partial-aggregable pass
+    * over the joined id stream (two anti-joins + two counts would read
+    * both tables twice and join twice). Exact SQL oracle.
+    */
+  def modalityCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id")).withColumn("d", lit(1))
+    val vecs = Tables.embeddings(spark, dir).select(col("vec_id")).withColumn("v", lit(1))
+    docs
+      .join(vecs, docs("doc_id") === vecs("vec_id"), "full_outer")
+      .agg(
+        count("d").as("n_docs"),
+        count("v").as("n_vecs"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_docs_no_vec"),
+        sum(when(col("d").isNull, 1L).otherwise(0L)).as("n_vecs_no_doc")
+      )
+  }
+
   /** DQ3 — [[profile]]'s 100 TB form: `approx_count_distinct` (HLL++)
     * instead of exact COUNT(DISTINCT). The exact form plans a Catalyst
     * Expand — one duplicated input stream per distinct aggregate, so

@@ -130,4 +130,29 @@ class ProfileSpec extends SparkSpec {
     val total = graft.sources.Tables.documents(spark, sf0001).count()
     assert(real.map(_.getLong(2)).sum == total)
   }
+
+  test("dq4: planted orphans on both sides land in the right coverage cells") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.typedLit
+    val dir = java.nio.file.Files.createTempDirectory("graft_dq4").toString
+    // docs 1..4; embeddings for 1,2,9,10 -> two docs uncovered, two vectors orphaned
+    Seq(
+      (1L, "a", "en", "t", 1L), (2L, "b", "en", "t", 1L),
+      (3L, "c", "en", "t", 1L), (4L, "d", "en", "t", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq(1L, 2L, 9L, 10L)
+      .toDF("vec_id")
+      .withColumn("embedding", typedLit(Seq(1.0f, 0.0f)))
+      .withColumn("label", org.apache.spark.sql.functions.lit(0))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = Profile.modalityCoverage(spark, dir).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((4L, 4L, 2L, 2L)))
+    // real corpus: counts reconcile with the tables and orphans are complements
+    val real = Profile.modalityCoverage(spark, sf0001).head()
+    val nd   = graft.sources.Tables.documents(spark, sf0001).count()
+    val nv   = graft.sources.Tables.embeddings(spark, sf0001).count()
+    assert(real.getLong(0) == nd && real.getLong(1) == nv)
+    assert(real.getLong(2) <= nd && real.getLong(3) <= nv)
+  }
 }
