@@ -385,9 +385,14 @@ object ScaleRehearsal {
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("index10")) {
+      // arg order matches every other two-dir subcommand: [srcSfDir] [dstDir]
       val spark = GraftSession.getOrCreate()
-      val dst   = args.lift(1).getOrElse("/tmp/graft_sf1ish")
-      build(spark, args.lift(2).getOrElse("/root/testdata/sf0.1"), dst, 10)
+      val src   = args.lift(1).getOrElse("/root/testdata/sf0.1")
+      val dst   = args.lift(2).getOrElse("/tmp/graft_sf1ish")
+      // build() wipes a markerless dst — a swapped invocation must fail
+      // loudly, never delete the source corpus
+      require(dst != src && !src.startsWith(dst), s"dst $dst would clobber src $src")
+      build(spark, src, dst, 10)
       indexRehearsal(spark, dst)
       spark.stop()
       return

@@ -86,8 +86,11 @@ object Profile {
       .agg(
         count("d").as("n_docs"),
         count("v").as("n_vecs"),
-        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_docs_no_vec"),
-        sum(when(col("d").isNull, 1L).otherwise(0L)).as("n_vecs_no_doc")
+        // count(when), not sum(when): sum over ZERO rows (both tables
+        // empty) is NULL, which breaks the four-counts contract and the
+        // oracle's 0s; count is never null
+        count(when(col("v").isNull, lit(1))).as("n_docs_no_vec"),
+        count(when(col("d").isNull, lit(1))).as("n_vecs_no_doc")
       )
   }
 

@@ -307,25 +307,37 @@ object Similarity {
     graft.sources.LayoutCache.getOrBuild(spark, "graft_ivf", key) { out =>
       val e       = Tables.embeddings(spark, dir)
       val refined = refinedCentroids(e, nClusters)
-      e.withColumn("cl", assignCol(refined))
-        .withColumn("q8", q8Col)
-        .write
-        .mode("overwrite")
-        .partitionBy("cl")
-        .parquet(s"$out/vectors.parquet")
-      refined.zipWithIndex
-        .map { case (c, i) => (i, c) }
-        .toSeq
-        .toDF("cl", "centroid")
-        .coalesce(1)
-        .write
-        .mode("overwrite")
-        .parquet(s"$out/centroids.parquet")
+      // q8 stored here because s9's coarse pass reads it; the s12 segments
+      // below have no quantized reader and skip it
+      writeIvfSegment(e, refined, out, withQ8 = true)
+      writeCentroids(spark, refined, out)
     }
   }
 
-  /** Bump with any change to the incremental (base + delta) IVF scheme. */
-  private[operators] val IvfIncrSchemeVersion = 1
+  /** Shared IVF segment write: assign and cluster-partition one vector
+    * slice (ONE definition so a scheme change cannot diverge the s4/s6/s9
+    * layout from s12's frozen-centroid segments).
+    */
+  private def writeIvfSegment(e: DataFrame, cs: Array[Seq[Float]], out: String, withQ8: Boolean): Unit = {
+    val assigned = e.withColumn("cl", assignCol(cs))
+    (if (withQ8) assigned.withColumn("q8", q8Col) else assigned)
+      .write.mode("overwrite").partitionBy("cl").parquet(s"$out/vectors.parquet")
+  }
+
+  private def writeCentroids(spark: SparkSession, cs: Array[Seq[Float]], out: String): Unit = {
+    import spark.implicits._
+    cs.zipWithIndex
+      .map { case (c, i) => (i, c) }
+      .toSeq
+      .toDF("cl", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$out/centroids.parquet")
+  }
+
+  /** Bump with any change to the incremental (base + delta) IVF scheme.
+    * v2 dropped the unread q8 column from the s12 segments.
+    */
+  private[operators] val IvfIncrSchemeVersion = 2
 
   /** The MAINTAINED coarse quantizer: an IVF layout trained and assigned on
     * the base slice `vec_id < batchStartId` only — the artifact a daily
@@ -343,15 +355,8 @@ object Similarity {
     graft.sources.LayoutCache.getOrBuild(spark, "graft_ivfbase", key) { out =>
       val e       = Tables.embeddings(spark, dir).where(col("vec_id") < batchStartId)
       val refined = refinedCentroids(e, nClusters)
-      e.withColumn("cl", assignCol(refined))
-        .withColumn("q8", q8Col)
-        .write.mode("overwrite").partitionBy("cl").parquet(s"$out/vectors.parquet")
-      refined.zipWithIndex
-        .map { case (c, i) => (i, c) }
-        .toSeq
-        .toDF("cl", "centroid")
-        .coalesce(1)
-        .write.mode("overwrite").parquet(s"$out/centroids.parquet")
+      writeIvfSegment(e, refined, out, withQ8 = false)
+      writeCentroids(spark, refined, out)
     }
   }
 
@@ -376,12 +381,10 @@ object Similarity {
         .orderBy("cl")
         .collect()
         .map(_.getSeq[Float](1))
-      Tables
-        .embeddings(spark, dir)
-        .where(col("vec_id") >= batchStartId)
-        .withColumn("cl", assignCol(centroids))
-        .withColumn("q8", q8Col)
-        .write.mode("overwrite").partitionBy("cl").parquet(s"$out/vectors.parquet")
+      writeIvfSegment(
+        Tables.embeddings(spark, dir).where(col("vec_id") >= batchStartId),
+        centroids, out, withQ8 = false
+      )
     }
   }
 

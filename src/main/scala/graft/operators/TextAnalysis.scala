@@ -545,7 +545,7 @@ object TextAnalysis {
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ts = terms.distinct
-    require(ts.nonEmpty && ts.forall(t => !t.contains("'") && !t.contains(" ")))
+    require(ts.nonEmpty && ts.forall(t => t.nonEmpty && !t.contains("'") && !t.contains(" ")), s"terms must be non-empty, quote-free, space-free: $ts")
     val base   = Tables.documents(spark, dir)
     val docs   = if (excludeId >= 0) base.where(col("doc_id") =!= excludeId) else base
     val inList = ts.map(t => s"'$t'").mkString(", ")
@@ -706,7 +706,7 @@ object TextAnalysis {
   def bm25RankIncremental(spark: SparkSession, dir: String, terms: Seq[String] = KeywordTerms, k: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ts = terms.distinct
-    require(ts.nonEmpty && ts.forall(t => !t.contains("'") && !t.contains(" ")))
+    require(ts.nonEmpty && ts.forall(t => t.nonEmpty && !t.contains("'") && !t.contains(" ")), s"terms must be non-empty, quote-free, space-free: $ts")
     val split = Tables
       .documents(spark, dir)
       .agg(expr("coalesce((max(doc_id) + 1) div 2, 0)").as("k"))
@@ -757,7 +757,7 @@ object TextAnalysis {
   def bm25RankIndexed(spark: SparkSession, dir: String, terms: Seq[String] = KeywordTerms, k: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ts = terms.distinct
-    require(ts.nonEmpty && ts.forall(t => !t.contains("'") && !t.contains(" ")))
+    require(ts.nonEmpty && ts.forall(t => t.nonEmpty && !t.contains("'") && !t.contains(" ")), s"terms must be non-empty, quote-free, space-free: $ts")
     val layout = postingsLayoutCache(spark, dir)
     val p = spark.read
       .parquet(s"$layout/postings.parquet")
@@ -792,7 +792,7 @@ object TextAnalysis {
     * a requirement.
     */
   val RrfFuseSql: String =
-    "coalesce(1.0 / (60.0 + lex_rnk), 0.0) + coalesce(1.0 / (60.0 + sem_rnk), 0.0)"
+    s"coalesce(1.0 / ($RrfK.0 + lex_rnk), 0.0) + coalesce(1.0 / ($RrfK.0 + sem_rnk), 0.0)"
 
   /** T5 — hybrid retrieval: reciprocal-rank fusion of the lexical ranking
     * (t4's BM25 over the query terms) and the semantic ranking (s1's exact
