@@ -846,12 +846,12 @@ object TextAnalysis {
     * BPE. Output is `(doc_id, lm_q)` with the score quantized to 1e-6 as
     * a long — ln never reaches the hash, same contract as t4.
     *
-    * Scale shape: ONE tokenize pass for training AND scoring — the bigram
-    * stream carries doc_id, and both count tables are WINDOWS over it
-    * (COUNT over (w1,w2) and over (w1)), not separate aggregations that
-    * would re-tokenize the corpus (Catalyst shares nothing). Window state
-    * is a running count per partition — spillable, bounded by partition.
-    * The vocabulary size is a 1-row broadcast from a second column-pruned
+    * Scale shape: train-then-score against the PERSISTED model (see
+    * [[lmScoreLayoutCache]]) — the bigram stream folds to a vocab²-bounded
+    * count table via a partial-aggregable groupBy (map-side combine; no
+    * corpus-length window sort), and scoring joins each doc's bigrams
+    * against that frozen table ([[scoreDocsAgainst]], broadcast when it
+    * fits). The vocabulary size is a 1-row broadcast from a column-pruned
     * scan (the t2/N discipline). Per-doc reduction is a plain
     * partial-aggregable avg.
     */
@@ -860,16 +860,31 @@ object TextAnalysis {
       .parquet(s"${lmScoreLayoutCache(spark, dir)}/scores.parquet")
       .orderBy("doc_id")
 
-  /** Bump with any change to the stored LM-score scheme. */
-  private[graft] val LmScoreSchemeVersion = 1
+  /** Bump with any change to the stored LM-score scheme.
+    * v2: the layout also persists the MODEL (`model.parquet` = bigram
+    * counts `(w1, w2, cb)`, `vocab.parquet` = 1-row `(vv)`), and scores
+    * are computed by [[scoreDocsAgainst]] — the same join-form scorer the
+    * streaming gate uses — instead of corpus-wide windows.
+    */
+  private[graft] val LmScoreSchemeVersion = 2
 
-  /** v3's per-document scores as a PERSISTED layout `(doc_id, lm_q)` —
-    * the corpus-trained signal is an ingest artifact (the BPE/postings
-    * contract): scored once per corpus version, consumed by v3 (a layout
-    * read) and d21's quartile cut (which reads the doc-count-sized score
-    * table TWICE — cutoff then filter — without re-tokenizing the corpus
-    * either time; Catalyst shares no uncached subtrees, so the
-    * compute-twice form would pay two full tokenize passes).
+  /** v3's scores AND the trained model as a PERSISTED layout — the
+    * corpus-trained signal is an ingest artifact (the BPE/postings
+    * contract): trained once per corpus version, consumed by v3 (a layout
+    * read), d21's quartile cut (which reads the doc-count-sized score
+    * table twice — cutoff then filter — without re-tokenizing the corpus
+    * either time), and [[graft.streaming.QualityGateStream]] (which scores
+    * NEW documents against the frozen `model.parquet`/`vocab.parquet`
+    * without ever touching the training corpus).
+    *
+    * Build shape: one tokenize pass folds the bigram stream to the
+    * vocab²-bounded count table (partial-aggregable groupBy — no
+    * corpus-length window sort), one pass folds the vocabulary size, and
+    * one pass scores every document against the just-written stats via
+    * [[scoreDocsAgainst]]. The intermediate shuffles are model-sized, not
+    * corpus-sized; scoring joins broadcast the model when it fits (AQE
+    * decides) and hash-join on `(w1, w2)` when a 100 TB corpus's bigram
+    * vocabulary outgrows broadcast.
     */
   private[graft] def lmScoreLayoutCache(spark: SparkSession, dir: String): String = {
     val key = LayoutCache.contentKey(
@@ -878,10 +893,38 @@ object TextAnalysis {
       s"lmq-v$LmScoreSchemeVersion"
     )
     LayoutCache.getOrBuild(spark, "graft_lmq", key) { out =>
-      bigramLmScoreCompute(spark, dir)
-        .write.mode("overwrite").parquet(s"$out/scores.parquet")
+      val docs = Tables.documents(spark, dir)
+      bigramStream(docs)
+        .groupBy("w1", "w2")
+        .agg(count(lit(1)).as("cb"))
+        .write.mode("overwrite").parquet(s"$out/model.parquet")
+      docs
+        .select(explode(toks).as("t"))
+        .agg(count_distinct(col("t")).as("vv"))
+        .write.mode("overwrite").parquet(s"$out/vocab.parquet")
+      scoreDocsAgainst(
+        docs,
+        spark.read.parquet(s"$out/model.parquet"),
+        spark.read.parquet(s"$out/vocab.parquet")
+      ).write.mode("overwrite").parquet(s"$out/scores.parquet")
     }
   }
+
+  /** The frozen LM artifacts for `dir`'s corpus: (bigram counts, vocab). */
+  private[graft] def lmModel(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val layout = lmScoreLayoutCache(spark, dir)
+    (spark.read.parquet(s"$layout/model.parquet"), spark.read.parquet(s"$layout/vocab.parquet"))
+  }
+
+  /** The frozen d21 gate cutoff: the corpus's exact 25th percentile of
+    * `lm_q` (one collect of a one-row aggregate over the score layout).
+    */
+  private[graft] def lmCutoff(spark: SparkSession, dir: String): Double =
+    spark.read
+      .parquet(s"${lmScoreLayoutCache(spark, dir)}/scores.parquet")
+      .agg(expr("percentile(lm_q, 0.25)").as("c"))
+      .head()
+      .getDouble(0)
 
   /** D21 — model-based quality gate: keep documents whose v3 bigram-LM
     * score sits at or above the corpus's exact 25th percentile — "drop the
@@ -910,13 +953,13 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** The in-band v3 computation (see [[bigramLmScore]]'s scaladoc for the
-    * one-tokenize-pass plan shape); runs only on a layout-cache miss.
+  /** `(doc_id, text)` → the exploded bigram stream `(doc_id, w1, w2)`.
+    * Docs with fewer than two tokens contribute nothing — they carry no
+    * transition evidence, so they have no LM score (and d21's gate,
+    * which keeps only SCORED docs, drops them; spec-pinned).
     */
-  private def bigramLmScoreCompute(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir)
-    val bi = docs
+  private def bigramStream(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), toks.as("tk"))
       .where(size(col("tk")) >= 2)
       .select(
@@ -926,11 +969,21 @@ object TextAnalysis {
         ).as("b")
       )
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val vocab = docs
-      .select(explode(toks).as("t"))
-      .agg(count_distinct(col("t")).as("vv"))
-    bi.withColumn("cb", count(lit(1)).over(Window.partitionBy("w1", "w2")))
-      .withColumn("cu", count(lit(1)).over(Window.partitionBy("w1")))
+
+  /** Score arbitrary documents against a FROZEN bigram model — the single
+    * scorer behind v3's build AND the streaming quality gate, so the two
+    * cannot diverge. `cu` (context count) is derived from the bigram table
+    * (`Σ_w2 cb(w1, w2)` — exact long arithmetic); an unseen bigram scores
+    * `ln(1 / (cu + vv))` and an unseen context `ln(1 / vv)`, the standard
+    * add-one-smoothing extension to out-of-corpus text. Left joins keep
+    * every bigram row; the model side broadcasts when it fits.
+    */
+  private[graft] def scoreDocsAgainst(docs: DataFrame, model: DataFrame, vocab: DataFrame): DataFrame = {
+    val contexts = model.groupBy("w1").agg(sum("cb").as("cu"))
+    bigramStream(docs)
+      .join(model, Seq("w1", "w2"), "left")
+      .join(contexts, Seq("w1"), "left")
+      .na.fill(0L, Seq("cb", "cu"))
       .crossJoin(broadcast(vocab))
       .groupBy("doc_id")
       .agg(avg(expr(BigramLmSql)).as("score"))
