@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Bpe, Dedup, Prep, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Dedup, Multimodal, Prep, Similarity, TextAnalysis}
 import graft.sources.{BucketedFacts, LayoutCache}
 import org.apache.spark.sql.SparkSession
 
@@ -47,6 +47,7 @@ object Layouts {
     "text_postings"      -> (() => { TextAnalysis.postingsLayoutCache(spark, dir); () }),
     "lm_scores"          -> (() => { TextAnalysis.lmScoreLayoutCache(spark, dir); () }),
     "postings_incremental" -> (() => { TextAnalysis.bm25RankIncremental(spark, dir); () }),
+    "media_catalog_base" -> (() => { Multimodal.mediaDemuxIncremental(spark, dir); () }),
     "events_by_day"      -> (() => { Prep.dayPartitionedEventsCache(spark, dir); () }),
     "bucketed_facts"     -> (() => { BucketedFacts.lineitemOrders(spark, dir); () }),
     "bucketed_events"    -> (() => { BucketedFacts.eventsByUser(spark, dir); () })

@@ -183,7 +183,11 @@ object SparkEntry {
     // exact maintenance, t4's contract and oracle verbatim
     "t7_bm25_incremental"       -> ((s: SparkSession, d: String) => TextAnalysis.bm25RankIncremental(s, d)),
     // round 8: docs<->embeddings referential audit (one full-outer id join)
-    "dq4_modality_coverage"     -> (Profile.modalityCoverage _)
+    "dq4_modality_coverage"     -> (Profile.modalityCoverage _),
+    // round 8: the MAINTAINED media catalog (sealed base segment + delta
+    // demux of the new slice) — per-payload rows are disjoint across
+    // segments, so maintenance is exact and m2's oracle applies verbatim
+    "m3_media_demux_incremental" -> (Multimodal.mediaDemuxIncremental _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -707,6 +711,21 @@ object SparkEntry {
     // (doc_id, n_chars), so the oracle predicts the REAL parsers' output
     // from documents-column arithmetic — no binary parsing oracle-side.
     "m2_media_demux" ->
+      ("SELECT doc_id, " +
+        "CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' WHEN 2 THEN 'audio' ELSE 'video' END AS kind, " +
+        "TRUE AS ok, " +
+        "CASE WHEN doc_id % 4 = 0 THEN doc_id % 14 + 2 ELSE 0 END AS width, " +
+        "CASE WHEN doc_id % 4 = 0 THEN doc_id % 10 + 1 ELSE 0 END AS height, " +
+        "CASE WHEN doc_id % 4 = 1 THEN 8000 WHEN doc_id % 4 = 2 THEN 44100 ELSE 0 END AS sample_rate, " +
+        "CASE WHEN doc_id % 4 = 1 THEN (LEAST(GREATEST(n_chars, 1), 64) * 1000) // 8000 " +
+        "WHEN doc_id % 4 = 2 THEN (LEAST(n_chars // 10 + 1, 5) * 1152 * 1000) // 44100 " +
+        "WHEN doc_id % 4 = 3 THEN (n_chars % 100) * 10 ELSE 0 END AS duration_ms, " +
+        "CASE WHEN doc_id % 4 = 0 THEN 1 WHEN doc_id % 4 = 1 THEN LEAST(GREATEST(n_chars, 1), 64) " +
+        "WHEN doc_id % 4 = 2 THEN LEAST(n_chars // 10 + 1, 5) ELSE LEAST(n_chars, 50) END AS n_frames, " +
+        "1 AS n_tracks FROM documents ORDER BY doc_id"),
+    // m3 = m2 over the maintained (base + delta) catalog — segment layout
+    // must be answer-invariant, so it shares m2's oracle verbatim.
+    "m3_media_demux_incremental" ->
       ("SELECT doc_id, " +
         "CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' WHEN 2 THEN 'audio' ELSE 'video' END AS kind, " +
         "TRUE AS ok, " +

@@ -486,4 +486,21 @@ class MultimodalSpec extends SparkSpec {
     assert(got(7L).kind == "video" && got(7L).ok && got(7L).duration_ms == 370L && got(7L).n_frames == 50L
       && got(7L).n_tracks == 1)
   }
+
+  test("m3 maintained catalog == m2 full recompute; base segment never re-demuxed") {
+    val full = Multimodal.mediaDemuxQuery(spark, sf0001).collect().map(_.toSeq).toSeq
+    val incr = Multimodal.mediaDemuxIncremental(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(full.nonEmpty && incr == full)
+    // the sealed base segment is reused, not rebuilt, on a second increment
+    val split = graft.sources.Tables.documents(spark, sf0001)
+      .agg(org.apache.spark.sql.functions.expr("coalesce((max(doc_id) + 1) div 2, 0)").as("k"))
+      .head().getLong(0)
+    val baseDir = java.nio.file.Paths.get(
+      Multimodal.mediaCatalogBaseCache(spark, sf0001, split), "catalog.parquet")
+    def mtime = java.nio.file.Files.list(baseDir)
+      .filter(_.toString.endsWith(".parquet")).findFirst.get.toFile.lastModified()
+    val m0 = mtime
+    Multimodal.mediaDemuxIncremental(spark, sf0001).collect()
+    assert(mtime == m0, "base catalog segment was rewritten by an increment")
+  }
 }
