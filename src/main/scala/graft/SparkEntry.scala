@@ -187,7 +187,10 @@ object SparkEntry {
     // round 8: the MAINTAINED media catalog (sealed base segment + delta
     // demux of the new slice) — per-payload rows are disjoint across
     // segments, so maintenance is exact and m2's oracle applies verbatim
-    "m3_media_demux_incremental" -> (Multimodal.mediaDemuxIncremental _)
+    "m3_media_demux_incremental" -> (Multimodal.mediaDemuxIncremental _),
+    // round 8: semantic decontamination — nearest benchmark vector +
+    // above-threshold count per training vector (integer-only output)
+    "d22_decontaminate_semantic" -> ((s: SparkSession, d: String) => Curation.decontaminateSemantic(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -723,6 +726,7 @@ object SparkEntry {
         "CASE WHEN doc_id % 4 = 0 THEN 1 WHEN doc_id % 4 = 1 THEN LEAST(GREATEST(n_chars, 1), 64) " +
         "WHEN doc_id % 4 = 2 THEN LEAST(n_chars // 10 + 1, 5) ELSE LEAST(n_chars, 50) END AS n_frames, " +
         "1 AS n_tracks FROM documents ORDER BY doc_id"),
+    "d22_decontaminate_semantic" -> d22Oracle,
     // m3 = m2 over the maintained (base + delta) catalog — segment layout
     // must be answer-invariant, so it shares m2's oracle verbatim.
     "m3_media_demux_incremental" ->
@@ -955,6 +959,18 @@ object SparkEntry {
       "SELECT CAST(row_number() OVER (ORDER BY qs DESC, doc_id) AS BIGINT) AS rnk, doc_id FROM q " +
       "ORDER BY qs DESC, doc_id LIMIT 20")
   }
+
+  // d22: both engines accumulate the dot/norm folds left-to-right in double
+  // over the same float arrays (the n4/s1 parity), so cosine compares and
+  // the per-vector argmax agree; output is integer-only.
+  private val d22Oracle: String =
+    "WITH b AS (SELECT vec_id AS bench_id, embedding AS bv FROM embeddings WHERE vec_id % 50 = 0), " +
+      "s AS (SELECT e.vec_id, b.bench_id, list_cosine_similarity(e.embedding, b.bv) AS c " +
+      "FROM embeddings e, b WHERE e.vec_id % 50 <> 0) " +
+      "SELECT vec_id, bench_id AS nearest_bench_id, n_close FROM (" +
+      "SELECT vec_id, bench_id, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, bench_id) AS rnk, " +
+      "CAST(SUM(CASE WHEN c >= 0.5 THEN 1 ELSE 0 END) OVER (PARTITION BY vec_id) AS BIGINT) AS n_close " +
+      "FROM s) t WHERE rnk = 1 ORDER BY vec_id"
 
   private val annTop10Oracle: String =
     "SELECT rnk, vec_id FROM (SELECT row_number() OVER (ORDER BY " +

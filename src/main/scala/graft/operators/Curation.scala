@@ -185,6 +185,45 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** D22 — SEMANTIC decontamination: d8/d20 catch verbatim n-gram overlap;
+    * this catches the paraphrased leak those cannot see — for every
+    * training vector, the nearest BENCHMARK vector by cosine and how many
+    * benchmark vectors sit at/above `threshold`. A training doc whose
+    * embedding is close to an eval item is contaminated even when no
+    * 3-gram survives the paraphrase.
+    *
+    * Same asymmetry as d8, in vector space: the benchmark side is an eval
+    * suite (thousands of vectors), so it BROADCASTS and the corpus is
+    * scored in place by the codegen'd `cosine_sim` — a map-side nested
+    * loop, zero shuffle of the corpus. The per-doc reduction is a plain
+    * partial-aggregable struct-max + conditional count: each training
+    * row's |bench| scored copies collapse map-side to ONE skinny row
+    * (vec_id, argmax, n_close) before the exchange. When an eval suite
+    * outgrows broadcast, the n4 banded-LSH pair join is the documented
+    * escape hatch (candidates-only scoring, same verification math).
+    *
+    * Output is integer-only (ids and a count — floats never reach the
+    * hash); the argmax tie breaks to the smallest bench id via the
+    * struct's lexicographic max over `(c, -bench_id)`.
+    */
+  def decontaminateSemantic(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val bench = e
+      .where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("bv"))
+    e.where(col("vec_id") % 50 =!= 0)
+      .crossJoin(broadcast(bench))
+      .select(col("vec_id"), col("bench_id"), expr("cosine_sim(embedding, bv)").as("c"))
+      .groupBy("vec_id")
+      .agg(
+        max(struct(col("c"), (-col("bench_id")).as("nb"))).as("m"),
+        sum(when(col("c") >= threshold, 1L).otherwise(0L)).as("n_close")
+      )
+      .select(col("vec_id"), (-col("m.nb")).as("nearest_bench_id"), col("n_close"))
+      .orderBy("vec_id")
+  }
+
   /** Per-source sampling rates for [[mixtureSample]] as 4-hex-digit
     * threshold strings: a row is kept iff the first 4 hex chars of
     * `md5(doc_id)` sort strictly below the threshold, so rate =

@@ -304,4 +304,43 @@ class CurationSpec extends SparkSpec {
     assert(d20.collect().map(_.toSeq).toSeq == d8)
     assert(d8.nonEmpty)
   }
+
+  test("d22: planted geometry — identical vector wins argmax, count honors the threshold, ties break low") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_semdecon").toString
+    // bench = ids 0, 50 (the %50 rule); 4-dim hand-checkable geometry
+    val v0 = Array(1f, 0f, 0f, 0f)
+    val v50 = Array(0f, 1f, 0f, 0f)
+    Seq(
+      (0L, v0, 0), (50L, v50, 0),
+      (1L, Array(0f, 1f, 0f, 0f), 0),   // = v50: cos(b50)=1, cos(b0)=0 → nearest 50, n_close 1
+      (2L, Array(0f, 0f, 1f, 0f), 0),   // ⊥ both: cos 0 each → tie at 0 → nearest = min id 0, n_close 0
+      (3L, Array(1f, 1f, 0f, 0f), 0),   // cos 1/√2 ≈ .707 to both → tie above τ → nearest 0, n_close 2
+      (4L, Array(-1f, 0f, 0f, 0f), 0)   // cos(b0) = −1, cos(b50) = 0 → nearest 50, n_close 0
+    ).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.operators.Curation.decontaminateSemantic(spark, dir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> (50L, 1L), 2L -> (0L, 0L), 3L -> (0L, 2L), 4L -> (50L, 0L)))
+  }
+
+  test("d22: full plain-Scala replay on the real corpus (same fold order, same tie rule)") {
+    val vecs = graft.sources.Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); nx += a(i) * a(i); ny += b(i) * b(i); i += 1 }
+      if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val bench = vecs.filter(_._1 % 50 == 0)
+    val expect = vecs.filter(_._1 % 50 != 0).map { case (id, v) =>
+      val scored = bench.toSeq.map { case (bid, bv) => (bid, cos(v, bv)) }
+      val nearest = scored.minBy { case (bid, c) => (-c, bid) }._1
+      (id, nearest, scored.count(_._2 >= 0.5).toLong)
+    }.toSeq.sortBy(_._1)
+    val got = graft.operators.Curation.decontaminateSemantic(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty && got == expect)
+  }
 }
