@@ -190,7 +190,16 @@ object SparkEntry {
     "m3_media_demux_incremental" -> (Multimodal.mediaDemuxIncremental _),
     // round 8: semantic decontamination — nearest benchmark vector +
     // above-threshold count per training vector (integer-only output)
-    "d22_decontaminate_semantic" -> ((s: SparkSession, d: String) => Curation.decontaminateSemantic(s, d))
+    "d22_decontaminate_semantic" -> ((s: SparkSession, d: String) => Curation.decontaminateSemantic(s, d)),
+    // round 8: leakage-safe holdout split — hash the n6 cluster key, not
+    // the doc id, so near-dup clusters never straddle train/eval
+    "d23_split_by_cluster" -> (Curation.splitByCluster _),
+    // round 8: epoch-weighted mixture expansion (the up-sampling half of
+    // mixture construction; d9 is the down-sampling half)
+    "d24_mixture_epochs" -> (Curation.mixtureEpochs _),
+    // round 8: per-doc contamination-share verdict over ALL training docs
+    // (d8 reports the contaminated; d25 is the shipping keep/drop gate)
+    "d25_contamination_gate" -> (Curation.contaminationGate _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -727,6 +736,44 @@ object SparkEntry {
         "WHEN doc_id % 4 = 2 THEN LEAST(n_chars // 10 + 1, 5) ELSE LEAST(n_chars, 50) END AS n_frames, " +
         "1 AS n_tracks FROM documents ORDER BY doc_id"),
     "d22_decontaminate_semantic" -> d22Oracle,
+    // d23: reachability CTE (n6's) gives each pair-touched doc its min
+    // reachable id = the engine's star-contraction cluster label; split
+    // rule shares the engine's md5-prefix threshold verbatim (d9 style).
+    "d23_split_by_cluster" ->
+      (dupReachCtePrefix +
+        ", cl AS (SELECT id, MIN(r) AS cid FROM reach GROUP BY id) " +
+        "SELECT d.doc_id, COALESCE(cl.cid, d.doc_id) AS cluster_key, " +
+        "CASE WHEN substring(md5(CAST(COALESCE(cl.cid, d.doc_id) AS VARCHAR)), 1, 1) < '4' " +
+        "THEN 'holdout' ELSE 'train' END AS split " +
+        "FROM documents d LEFT JOIN cl ON d.doc_id = cl.id ORDER BY doc_id"),
+    // d24: lateral unnest over the same VALUES factor table the engine
+    // broadcasts; epoch is BIGINT both sides, md5 hex lowercase both sides.
+    "d24_mixture_epochs" ->
+      ("WITH f AS (SELECT * FROM (VALUES " +
+        graft.operators.Curation.EpochFactors
+          .map { case (s, r) => s"('$s', $r)" }
+          .mkString(", ") +
+        ") AS t(source, reps)), " +
+        "e AS (SELECT d.doc_id, d.source, CAST(ti.e AS BIGINT) AS epoch " +
+        "FROM documents d JOIN f ON d.source = f.source, UNNEST(range(f.reps)) AS ti(e)) " +
+        "SELECT doc_id, source, epoch, " +
+        "md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)) AS shuffle_key " +
+        "FROM e ORDER BY doc_id, epoch"),
+    // d25: d8's shingle convention (distinct 3-grams, docs with <3 tokens
+    // absent), COUNT(bench.s) so both hit and total are BIGINT; verdict is
+    // integer cross-multiplication shared with the engine.
+    "d25_contamination_gate" -> {
+      val num = graft.operators.Curation.ContaminationShareNum
+      val den = graft.operators.Curation.ContaminationShareDen
+      "WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s " +
+        "FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)), " +
+        "bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0), " +
+        "g AS (SELECT sh.doc_id, COUNT(*) AS n_shingles, COUNT(bench.s) AS n_hit " +
+        "FROM sh LEFT JOIN bench ON sh.s = bench.s WHERE sh.doc_id % 50 <> 0 GROUP BY sh.doc_id) " +
+        s"SELECT doc_id, n_shingles, n_hit, CASE WHEN n_hit * $den >= n_shingles * $num " +
+        "THEN 'drop' ELSE 'keep' END AS verdict FROM g ORDER BY doc_id"
+    },
     // m3 = m2 over the maintained (base + delta) catalog — segment layout
     // must be answer-invariant, so it shares m2's oracle verbatim.
     "m3_media_demux_incremental" ->

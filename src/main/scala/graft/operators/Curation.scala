@@ -444,4 +444,157 @@ object Curation {
         .orderBy("hk", "doc_id"),
       "shuffle_pos"
     ).select("shuffle_pos", "doc_id")
+
+  /** D23 — LEAKAGE-SAFE holdout split: assign every document to
+    * train/holdout by hashing its near-dup CLUSTER key, not its own id.
+    *
+    * Splitting by `md5(doc_id)` — the obvious rule, and what d9/d10 do for
+    * *sampling* — is wrong for a train/eval split: two near-duplicate
+    * documents hash independently, land on opposite sides, and the eval set
+    * silently contains paraphrases of training rows (the leak d22 exists to
+    * detect, created by the splitter itself). The fix is to hash one key
+    * per near-dup cluster: `cluster_key = min-id representative` from the
+    * persisted n6 cluster table for clustered docs, the doc's own id for
+    * untouched docs. Every member of a cluster shares the key, so the whole
+    * cluster lands on one side — by construction, not by audit.
+    *
+    * Split rule: first hex char of `md5(cluster_key)` < '4' → holdout
+    * (4/16 = 25% expected mass), shared verbatim with the oracle like d9's
+    * threshold rule, with the same retry/rerun determinism.
+    *
+    * Scale shape: the cluster table is a layout read bounded by
+    * pair-touched docs (collision-bounded, not corpus-bounded); the only
+    * corpus-wide work is one 8-byte left join against it plus a narrow
+    * hash projection. Nothing new shuffles the corpus: this is a read +
+    * one equi-join, the floor cost of any per-doc derivation.
+    */
+  def splitByCluster(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = Dedup
+      .dupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    Tables
+      .documents(spark, dir)
+      .select("doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_key", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn(
+        "split",
+        when(substring(md5(col("cluster_key").cast("string")), 1, 1) < "4", "holdout")
+          .otherwise("train")
+      )
+      .select("doc_id", "cluster_key", "split")
+      .orderBy("doc_id")
+  }
+
+  /** Contamination-share policy threshold for [[contaminationGate]]: drop a
+    * document when at least half of its distinct shingles appear in the
+    * benchmark (2·hits ≥ total). Integer arithmetic — no float ratio ever
+    * reaches the output or the decision.
+    */
+  val ContaminationShareNum = 1
+  val ContaminationShareDen = 2
+
+  /** D25 — contamination-FRACTION gate: the per-document keep/drop decision
+    * d8's report feeds. d8 lists contaminated docs and what they matched;
+    * the shipping pipeline needs a verdict for EVERY training document —
+    * "what fraction of this doc's distinct 3-grams appear anywhere in the
+    * benchmark, and does that cross the removal threshold?" (the n-gram
+    * overlap-share policy used for eval decontamination, cf. the GPT-3/PaLM
+    * appendix methodology — applied here at [[ContaminationShareNum]]/
+    * [[ContaminationShareDen]]).
+    *
+    * Same 100 TB asymmetry as d8: the benchmark shingle-hash set BROADCASTS
+    * (deduped to bare 8-byte hashes — attribution is d8's job, membership is
+    * enough here), the corpus shingle stream probes it in place via a
+    * left broadcast join, and one per-doc aggregate produces
+    * `(n_shingles, n_hit)`. The verdict is integer cross-multiplication, so
+    * the oracle matches bit for bit; exact up to xxhash64 collisions like
+    * the whole shingle family ([[Dedup.verifyPairs]]).
+    */
+  def contaminationGate(spark: SparkSession, dir: String): DataFrame = {
+    // shingles are already distinct per doc (array_distinct inside
+    // Dedup.shingles) — no extra exchange needed on the corpus side
+    val sh = Dedup
+      .shingles(Tables.documents(spark, dir))
+      .withColumn("h", xxhash64(col("s")))
+      .select("doc_id", "h")
+    val bench = sh.where(isBench).select("h").distinct().withColumn("hit", lit(1L))
+    sh.where(!isBench)
+      .join(broadcast(bench), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit")
+      )
+      .withColumn(
+        "verdict",
+        when(
+          col("n_hit") * ContaminationShareDen >= col("n_shingles") * ContaminationShareNum,
+          "drop"
+        ).otherwise("keep")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** Per-source epoch repeat factors for [[mixtureEpochs]]: how many times
+    * each source's documents appear per training epoch. Like
+    * [[MixtureRates]] this is DATA (a broadcastable table, reweighted per
+    * experiment), not code. All factors ≥ 1 — `sequence(0, r-1)` with r=0
+    * would produce a DESCENDING ramp, not an empty array (Spark semantics),
+    * so a source dropped from the mixture is expressed by omitting its row,
+    * never by a zero factor (enforced in [[mixtureEpochsDf]]).
+    */
+  val EpochFactors: Seq[(String, Int)] =
+    (0 until 20).map { i =>
+      val reps =
+        if (i < 5) 4 // high-quality sources oversampled 4×
+        else if (i < 10) 2
+        else 1
+      (s"src$i", reps)
+    }
+
+  /** D24 — epoch-weighted mixture EXPANSION: the up-sampling half of
+    * mixture construction ([[mixtureSample]] is the down-sampling half).
+    * Data-mixture recipes repeat high-quality sources several times per
+    * epoch (e.g. Wikipedia at 3–5× web weight in published LLM mixtures);
+    * this op materializes that recipe as the actual training stream: one
+    * row per (document, epoch-copy), each with a deterministic shuffle key
+    * so copies of the same document scatter across the epoch instead of
+    * training back-to-back.
+    *
+    * Scale shape: broadcast join against the factor table, then a narrow
+    * `explode(sequence(...))` whose fan-out IS the output cardinality (the
+    * training stream itself) — no shuffle beyond the final presentation
+    * sort, which a real pipeline replaces with [[shuffleOrder]]'s
+    * range-sort + zipWithIndex to get positions without a single-partition
+    * window. The shuffle key hashes (doc_id, epoch) so it is retry-stable
+    * and replayable by anyone holding the ids, like every sampling rule in
+    * this file.
+    */
+  def mixtureEpochs(spark: SparkSession, dir: String): DataFrame = {
+    val factors = mixtureEpochsDf(spark)
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .join(broadcast(factors), "source")
+      .select(
+        col("doc_id"),
+        col("source"),
+        explode(expr("sequence(0L, cast(reps as long) - 1)")).as("epoch")
+      )
+      .withColumn(
+        "shuffle_key",
+        md5(concat(col("doc_id").cast("string"), lit(":"), col("epoch").cast("string")))
+      )
+      .orderBy("doc_id", "epoch")
+  }
+
+  private[graft] def mixtureEpochsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    require(
+      EpochFactors.forall(_._2 >= 1),
+      "epoch repeat factors must be >= 1 (omit a source to drop it; sequence(0, -1) is a descending ramp, not empty)"
+    )
+    EpochFactors.toDF("source", "reps")
+  }
 }

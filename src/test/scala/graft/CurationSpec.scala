@@ -343,4 +343,102 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got.nonEmpty && got == expect)
   }
+
+  test("d23: no near-dup cluster straddles the split; rule replays; full doc coverage") {
+    val rows = Curation.splitByCluster(spark, sf0001).collect()
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(rows.length.toLong == docs) // a verdict for EVERY document
+    // the point of the op: each cluster key maps to exactly one split
+    rows.groupBy(_.getLong(1)).foreach { case (key, members) =>
+      assert(members.map(_.getString(2)).distinct.length == 1, s"cluster $key straddles")
+    }
+    // the split rule is the committed md5-prefix threshold, exactly
+    rows.foreach { r =>
+      val want = if (md5Hex(r.getLong(1).toString).substring(0, 1) < "4") "holdout" else "train"
+      assert(r.getString(2) == want, s"doc ${r.getLong(0)}")
+    }
+    // clustered docs inherit the representative's hash, NOT their own:
+    // some non-representative member must differ from its id-hash split
+    // (otherwise this test could pass with split-by-doc_id)
+    val clustered = rows.filter(r => r.getLong(0) != r.getLong(1))
+    assert(clustered.nonEmpty, "corpus has no near-dup clusters; planted dups missing")
+    val splits = rows.map(_.getString(2)).distinct
+    assert(splits.toSet == Set("train", "holdout"))
+  }
+
+  test("d23: splitting by doc_id WOULD leak on this corpus; cluster split never does") {
+    val rows = Curation.splitByCluster(spark, sf0001).collect()
+    val byDocId = rows.map(r => r.getLong(0) -> (md5Hex(r.getLong(0).toString).substring(0, 1) < "4"))
+      .toMap
+    // at least one cluster whose members' OWN id-hashes disagree — the
+    // leak d23 exists to prevent is real on this corpus, not hypothetical
+    val leakyClusters = rows
+      .groupBy(_.getLong(1))
+      .filter { case (_, ms) => ms.length > 1 && ms.map(m => byDocId(m.getLong(0))).distinct.length > 1 }
+    assert(leakyClusters.nonEmpty, "no cluster would leak under id-hash; weaken of the test corpus")
+  }
+
+  test("d24: counts follow the factor table; keys unique; copies scatter") {
+    val rows = Curation.mixtureEpochs(spark, sf0001).collect()
+    val factors = Curation.EpochFactors.toMap
+    val docs = spark.read
+      .parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "source")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    // exact expansion: every doc appears exactly reps(source) times, with
+    // epochs 0..reps-1 each exactly once
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.keySet == docs.keySet)
+    byDoc.foreach { case (id, copies) =>
+      val reps = factors(docs(id))
+      assert(copies.map(_.getLong(2)).sorted.toSeq == (0L until reps.toLong), s"doc $id")
+    }
+    // shuffle keys are unique (a permutation key, not a bucket) and replay
+    // the committed md5 rule
+    assert(rows.map(_.getString(3)).distinct.length == rows.length)
+    rows.foreach { r =>
+      assert(r.getString(3) == md5Hex(s"${r.getLong(0)}:${r.getLong(2)}"))
+    }
+    // copies of one doc scatter: for some doc the sort-order neighbors of
+    // its copies differ (keys aren't clustered by doc)
+    val sorted = rows.sortBy(_.getString(3)).map(_.getLong(0))
+    val adjacentSameDoc = sorted.sliding(2).count { case Array(a, b) => a == b; case _ => false }
+    assert(adjacentSameDoc < rows.length / 10, "epoch copies cluster together in key order")
+  }
+
+  test("d25: verdicts replay from d8-consistent counts over string shingles") {
+    val rows = Curation.contaminationGate(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // independent recount over shingle STRINGS
+    val sh = graft.operators.Dedup
+      .shingles(spark.read.parquet(s"$sf0001/documents.parquet"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bench = sh.filter(_._1 % 50 == 0).map(_._2).toSet
+    val expect = sh
+      .filter(_._1 % 50 != 0)
+      .groupBy(_._1)
+      .map { case (id, ss) =>
+        val n   = ss.length.toLong
+        val hit = ss.count(s => bench.contains(s._2)).toLong
+        (id, (n, hit, if (hit * Curation.ContaminationShareDen >= n * Curation.ContaminationShareNum) "drop" else "keep"))
+      }
+    val got = rows.map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got == expect)
+    // the gate must produce BOTH verdicts on the planted corpus: near-dups
+    // of bench docs drop, the background keeps
+    assert(rows.map(_.getString(3)).toSet == Set("keep", "drop"))
+    // consistency with d8's report: every doc d8 lists has n_hit > 0 here
+    val d8docs = Curation.decontaminate(spark, sf0001).collect().map(_.getLong(0)).toSet
+    assert(d8docs.subsetOf(got.filter(_._2._2 > 0).keySet))
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_))
+      .mkString
 }
