@@ -221,7 +221,7 @@ class RobustnessSpec extends SparkSpec {
     // layout from zero rows (an empty partitioned/clustered write leaves
     // nothing to re-read). At 100 TB "the corpus is empty" is an upstream
     // failure these should fail LOUDLY on, not mask — so they stay throws.
-    val exempt = Set("p1_partitioned_time_count", "q23_bucketed_star", "s4_ann_ivf",
+    val exempt = Set("p1_partitioned_time_count", "s4_ann_ivf",
       "s6_ann_ivf_partitioned", "s9_ann_ivf_quantized", "s11_ann_ivf_filtered",
       "s12_ann_ivf_incremental")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -230,6 +230,10 @@ class RobustnessSpec extends SparkSpec {
     }
     val unexpected = failures.filterNot { case (n, _) => exempt(n) }
     assert(unexpected.isEmpty, s"unexpected empty-input failures: $unexpected")
+    // the exemption list must not go stale: every exempted op still throws
+    // here, or it has learned to degrade and must leave the list
+    val stale = exempt -- failures.map(_._1).toSet
+    assert(stale.isEmpty, s"exempted ops that no longer fail on empty input: $stale")
   }
 
   test("every registered query degrades on a dataset with null/empty/short cells") {
@@ -261,16 +265,16 @@ class RobustnessSpec extends SparkSpec {
         .withColumn("props", lit(null).cast("string"))
         .withColumn("value", lit(null).cast("double"))
     ).write.mode("overwrite").parquet(s"$dir/events.parquet")
-    // same layout-op exemptions as the all-empty sweep: they build derived
-    // layouts and are allowed to be strict about inputs
-    val exempt = Set("p1_partitioned_time_count", "q23_bucketed_star", "s4_ann_ivf",
-      "s6_ann_ivf_partitioned", "s9_ann_ivf_quantized")
+    // NO exemptions: with real rows present (hostile rows are appended,
+    // not substituted), every operator — layout builders included — must
+    // tolerate null/empty/short cells. The round-8 staleness audit showed
+    // the old layout-op exemption set (p1, q23, s4, s6, s9) had gone
+    // entirely stale; an empty set keeps it that way.
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try { fn(spark, dir).collect(); None }
       catch { case e: Throwable => Some(name -> e.toString.takeWhile(_ != '\n')) }
     }
-    val unexpected = failures.filterNot { case (n, _) => exempt(n) }
-    assert(unexpected.isEmpty, s"unexpected messy-input failures: $unexpected")
+    assert(failures.isEmpty, s"unexpected messy-input failures: $failures")
   }
 
   test("config-driven Runner: properties file selects data dir + queries, results land as parquet") {
