@@ -518,9 +518,30 @@ object Curation {
       .shingles(Tables.documents(spark, dir))
       .withColumn("h", xxhash64(col("s")))
       .select("doc_id", "h")
-    val bench = sh.where(isBench).select("h").distinct().withColumn("hit", lit(1L))
-    sh.where(!isBench)
-      .join(broadcast(bench), Seq("h"), "left")
+    gateAgainst(sh.where(!isBench), benchShingleHashes(spark, dir)).orderBy("doc_id")
+  }
+
+  /** The frozen benchmark-side artifact of the contamination gate: the
+    * distinct 8-byte shingle hashes of the eval suite. Resolved once and
+    * shared by batch d25 and [[graft.streaming.DecontaminationStream]]
+    * (one definition, zero drift).
+    */
+  private[graft] def benchShingleHashes(spark: SparkSession, dir: String): DataFrame =
+    Dedup
+      .shingles(Tables.documents(spark, dir).where(isBench))
+      .withColumn("h", xxhash64(col("s")))
+      .select("h")
+      .distinct()
+      .withColumn("hit", lit(1L))
+
+  /** The d25 verdict rule over a `(doc_id, h)` shingle-hash stream and a
+    * `(h, hit)` benchmark set — THE single definition batch and stream
+    * share. Broadcast membership probe + one per-doc aggregate + integer
+    * cross-multiplication; no float ratio anywhere.
+    */
+  private[graft] def gateAgainst(docShingles: DataFrame, benchHashes: DataFrame): DataFrame =
+    docShingles
+      .join(broadcast(benchHashes), Seq("h"), "left")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_shingles"),
@@ -533,8 +554,6 @@ object Curation {
           "drop"
         ).otherwise("keep")
       )
-      .orderBy("doc_id")
-  }
 
   /** Per-source epoch repeat factors for [[mixtureEpochs]]: how many times
     * each source's documents appear per training epoch. Like
