@@ -42,6 +42,8 @@ object Layouts {
     "ivf_vectors"        -> (() => { Similarity.annIvfPartitioned(spark, dir); () }),
     "ivf_incremental"    -> (() => { Similarity.annIvfIncremental(spark, dir); () }),
     "sq8_vectors"        -> (() => { Similarity.annQuantized(spark, dir); () }),
+    "span_artifacts"     -> (() => { Dedup.spanArtifacts(spark, dir); () }),
+    "gram_census"        -> (() => { Dedup.gramCensusCached(spark, dir, 2, 7, 3); () }),
     "bpe_merges"         -> (() => { Bpe.bpeMerges(spark, dir); () }),
     "bpe_incremental"    -> (() => { Bpe.bpeMergesIncremental(spark, dir); () }),
     "text_postings"      -> (() => { TextAnalysis.postingsLayoutCache(spark, dir); () }),

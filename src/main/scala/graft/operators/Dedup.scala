@@ -120,9 +120,23 @@ object Dedup {
     * the md5 fingerprints themselves — at 100 TB the downstream consumer
     * (span-level redaction: probe each doc's spans against this table) wants
     * the fixed-width key, never the span text.
+    *
+    * The public entry reads the `shared/` table of the persisted
+    * [[spanArtifactsCached]] layout (built once per corpus version, shared
+    * with d16/n8/n11); [[sharedSpansLive]] is the underlying computation.
     */
   def sharedSpans(spark: SparkSession, dir: String,
       span: Int = -1 // -1 = the graft.span.tokens session knob (SpanTokens unset)
+  ): DataFrame = {
+    val w = resolveSpan(spark, span)
+    spark.read.parquet(s"${spanArtifactsCached(spark, dir, w)}/shared").orderBy("span_fp")
+  }
+
+  /** The live (layout-free) form of [[sharedSpans]] — the computation the
+    * span-artifact build runs; kept as the spec-level equivalence oracle.
+    */
+  private[graft] def sharedSpansLive(spark: SparkSession, dir: String,
+      span: Int = -1
   ): DataFrame =
     sharedSpansW(spark, dir, resolveSpan(spark, span))
 
@@ -151,6 +165,19 @@ object Dedup {
     */
   def spanShareStats(spark: SparkSession, dir: String,
       span0: Int = -1 // -1 = the graft.span.tokens session knob
+  ): DataFrame = {
+    val span = resolveSpan(spark, span0)
+    spark.read
+      .parquet(s"${spanArtifactsCached(spark, dir, span)}/docstats")
+      .withColumn("shared_ratio", col("n_shared_spans") / col("n_spans"))
+      .orderBy("doc_id")
+  }
+
+  /** Live (layout-free) form of [[spanShareStats]] — the build-path shape
+    * whose one-scan/reused-exchange discipline PlanShapeSpec pins.
+    */
+  private[graft] def spanShareStatsLive(spark: SparkSession, dir: String,
+      span0: Int = -1
   ): DataFrame = {
     val span = resolveSpan(spark, span0)
     // One scan + one explode: the span stream repartitions on span_fp once
@@ -254,14 +281,118 @@ object Dedup {
     (docs, sp.join(shared, "span_fp").select("doc_id", "s"))
   }
 
+  /** The persisted span-artifact layout — the span family's rung on the
+    * materialization chain (MinHash has signatures → pairs → clusters; spans
+    * have this). One ingest-time build runs the tokenize + window-md5 pass
+    * the corpus would otherwise pay on EVERY n7/d16/n8/n11 query and stores
+    * the three things those queries actually consume, each far smaller than
+    * the positioned span stream itself (which stays transient shuffle data,
+    * never landed):
+    *
+    *   - `shared/`   (span_fp, n_docs): spans in ≥ 2 distinct docs — n7's
+    *     output table; size ∝ DISTINCT duplicated spans, not corpus tokens.
+    *   - `starts/`   (doc_id, s): positioned occurrences of shared spans —
+    *     n8's mask set and n11's island input; size ∝ duplicated text.
+    *   - `docstats/` (doc_id, n_spans, n_shared_spans): per-doc distinct
+    *     span counts — d16's density input; one row per document.
+    *
+    * Content-fingerprinted key ([[graft.sources.LayoutCache]]): corpus edits
+    * and span-width knob changes force a rebuild; a stale span table can
+    * never silently serve fresh data. The build pays one corpus scan — the
+    * positioned stream persists across its three consumers (at cluster
+    * scale this is the checkpoint a real ingest would write) — and the cost
+    * lands in the bench's layout phase, visible per-build, instead of
+    * hiding inside whichever span query runs first.
+    */
+  private[graft] def spanArtifactsCached(spark: SparkSession, dir: String, span: Int): String = {
+    val key = graft.sources.LayoutCache
+      .contentKey(spark, s"$dir/documents.parquet", s"spans:v1:w=$span")
+    graft.sources.LayoutCache.getOrBuild(spark, "graft_spans", key) { out =>
+      val sp = Tables
+        .documents(spark, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .where(col("doc_id").isNotNull)
+        .select(
+          col("doc_id"),
+          explode(
+            expr(
+              s"if(size(toks) >= $span, transform(sequence(1, size(toks) - ${span - 1}), " +
+                s"s -> struct(s AS s, md5(concat_ws(' ', slice(toks, s, $span))) AS span_fp)), array())"
+            )
+          ).as("p")
+        )
+        .select(col("doc_id"), col("p.s").as("s"), col("p.span_fp").as("span_fp"))
+        .repartition(col("span_fp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val dfAll = sp
+          .groupBy("span_fp")
+          .agg(countDistinct("doc_id").as("n_docs"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val shared = dfAll.where(col("n_docs") >= 2)
+          shared.write.parquet(s"$out/shared")
+          sp.join(shared.select("span_fp"), "span_fp")
+            .select("doc_id", "s")
+            .write
+            .parquet(s"$out/starts")
+          // d16's distinct-per-doc census: n_spans counts DISTINCT spans in
+          // the doc; a span is shared iff its corpus df (distinct docs) ≥ 2.
+          sp.select("doc_id", "span_fp")
+            .distinct()
+            .join(dfAll, "span_fp")
+            .groupBy("doc_id")
+            .agg(
+              count(lit(1)).as("n_spans"),
+              sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared_spans")
+            )
+            .write
+            .parquet(s"$out/docstats")
+        } finally { dfAll.unpersist(); () }
+      } finally { sp.unpersist(); () }
+    }
+  }
+
+  /** Force the span-artifact layout at the session's knob operating point —
+    * the [[graft.Layouts]] forcer entry.
+    */
+  def spanArtifacts(spark: SparkSession, dir: String): String =
+    spanArtifactsCached(spark, dir, resolveSpan(spark, -1))
+
   def redactSharedSpans(spark: SparkSession, dir: String,
       span0: Int = -1 // -1 = the graft.span.tokens session knob
+  ): DataFrame = {
+    val span = resolveSpan(spark, span0)
+    val docs = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(col("doc_id").isNotNull)
+    val starts = spark.read
+      .parquet(s"${spanArtifactsCached(spark, dir, span)}/starts")
+      .groupBy("doc_id")
+      .agg(collect_set(col("s")).as("ss"))
+    redactFrom(docs, starts, span)
+  }
+
+  /** Live (layout-free) form of [[redactSharedSpans]] — the one-scan
+    * hoisted-exchange build shape; spec-level equivalence oracle.
+    */
+  private[graft] def redactSharedSpansLive(spark: SparkSession, dir: String,
+      span0: Int = -1
   ): DataFrame = {
     val span          = resolveSpan(spark, span0)
     val (docs, hits)  = docsAndSharedStarts(spark, dir, span)
     val starts = hits
       .groupBy("doc_id")
       .agg(collect_set(col("s")).as("ss"))
+    redactFrom(docs, starts, span)
+  }
+
+  /** Masked rebuild shared by the layout-backed and live redaction paths:
+    * left-join per-doc shared starts onto (doc_id, toks), flag covered
+    * positions, count and fingerprint the masked text.
+    */
+  private def redactFrom(docs: DataFrame, starts: DataFrame, span: Int): DataFrame =
     docs
       .join(starts, Seq("doc_id"), "left")
       .withColumn(
@@ -278,7 +409,6 @@ object Dedup {
           .as("fp_redacted")
       )
       .orderBy("doc_id")
-  }
 
   /** N11 — MAXIMAL shared segments: each maximal run of tokens covered by
     * shared [[SpanTokens]]-windows, reported ONCE as `(doc_id, start_pos,
@@ -305,8 +435,31 @@ object Dedup {
   def maxSharedSegments(spark: SparkSession, dir: String,
       span0: Int = -1 // -1 = the graft.span.tokens session knob
   ): DataFrame = {
+    val span = resolveSpan(spark, span0)
+    val docs = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(col("doc_id").isNotNull)
+    val hits =
+      spark.read.parquet(s"${spanArtifactsCached(spark, dir, span)}/starts")
+    segmentsFrom(docs, hits, span)
+  }
+
+  /** Live (layout-free) form of [[maxSharedSegments]] — the one-scan build
+    * shape; spec-level equivalence oracle.
+    */
+  private[graft] def maxSharedSegmentsLive(spark: SparkSession, dir: String,
+      span0: Int = -1
+  ): DataFrame = {
     val span         = resolveSpan(spark, span0)
     val (docs, hits) = docsAndSharedStarts(spark, dir, span)
+    segmentsFrom(docs, hits, span)
+  }
+
+  /** Gaps-and-islands merge shared by the layout-backed and live segment
+    * paths: shared starts → maximal islands → whole-segment fingerprints.
+    */
+  private def segmentsFrom(docs: DataFrame, hits: DataFrame, span: Int): DataFrame = {
     val islands = hits
       .withColumn("grp", col("s") - row_number().over(Window.partitionBy("doc_id").orderBy("s")))
       .groupBy("doc_id", "grp")
@@ -355,6 +508,66 @@ object Dedup {
       k: Int = 10
   ): DataFrame = {
     require(minN >= 2 && maxN >= minN && minDf >= 1 && k >= 1)
+    // The census (every df ≥ minDf gram with its recovered text) is a
+    // persisted layout — survivors are few, the mining pass is the whole
+    // cost, and k is a read-time knob (any k reuses one census).
+    val lay = gramCensusCached(spark, dir, minN, maxN, minDf)
+    spark.read
+      .parquet(lay)
+      .withColumn("rnk", row_number().over(Window.partitionBy("n").orderBy(col("df").desc, col("gram"))))
+      .where(col("rnk") <= k)
+      .select(col("n"), col("gram"), col("df"))
+      .orderBy(col("n"), col("df").desc, col("gram"))
+  }
+
+  /** The persisted gram census behind [[frequentNgrams]]: all grams of
+    * width `minN..maxN` in ≥ `minDf` distinct documents, with recovered
+    * text — `(n, gram, df)`. Mining parameters are part of the key; `k` is
+    * not (top-k is a read-time window over the small survivor set).
+    */
+  private[graft] def gramCensusCached(
+      spark: SparkSession,
+      dir: String,
+      minN: Int,
+      maxN: Int,
+      minDf: Int
+  ): String = {
+    val key = graft.sources.LayoutCache.contentKey(
+      spark,
+      s"$dir/documents.parquet",
+      s"gramdf:v1:minN=$minN:maxN=$maxN:minDf=$minDf"
+    )
+    graft.sources.LayoutCache.getOrBuild(spark, "graft_gramdf", key, markSuccess = false) { out =>
+      gramCensusLive(spark, dir, minN, maxN, minDf).write.parquet(out)
+    }
+  }
+
+  /** Live (layout-free) census mining — the build path and the spec-level
+    * equivalence oracle for [[frequentNgrams]].
+    */
+  private[graft] def frequentNgramsLive(
+      spark: SparkSession,
+      dir: String,
+      minN: Int = 2,
+      maxN: Int = 7,
+      minDf: Int = 3,
+      k: Int = 10
+  ): DataFrame = {
+    require(minN >= 2 && maxN >= minN && minDf >= 1 && k >= 1)
+    gramCensusLive(spark, dir, minN, maxN, minDf)
+      .withColumn("rnk", row_number().over(Window.partitionBy("n").orderBy(col("df").desc, col("gram"))))
+      .where(col("rnk") <= k)
+      .select(col("n"), col("gram"), col("df"))
+      .orderBy(col("n"), col("df").desc, col("gram"))
+  }
+
+  private def gramCensusLive(
+      spark: SparkSession,
+      dir: String,
+      minN: Int,
+      maxN: Int,
+      minDf: Int
+  ): DataFrame = {
     def positions = Tables
       .documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -384,10 +597,6 @@ object Dedup {
       .join(broadcast(firstOcc), col("doc_id") === col("loc.doc_id"))
       .select(col("n"), expr("concat_ws(' ', slice(toks, loc.i + 1, n))").as("gram"), col("df"))
     recovered
-      .withColumn("rnk", row_number().over(Window.partitionBy("n").orderBy(col("df").desc, col("gram"))))
-      .where(col("rnk") <= k)
-      .select(col("n"), col("gram"), col("df"))
-      .orderBy(col("n"), col("df").desc, col("gram"))
   }
 
   /** Shared core: given per-doc shingle-HASH sets (doc_id, ss: array<long>,

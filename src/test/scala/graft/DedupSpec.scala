@@ -250,6 +250,32 @@ class DedupSpec extends SparkSpec {
     assert(groups.map(r => (r.getLong(1), r.getLong(2))).toSet == Set((2L, 1L), (2L, 4L)))
   }
 
+  test("span layout: cached n7/d16/n8/n11/n13 ≡ their live computations; reuse skips the build") {
+    import graft.sources.LayoutCache
+    LayoutCache.drainBuildLog()
+    val pairs: Seq[(String, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] = Seq(
+      ("n7", Dedup.sharedSpans(spark, sf0001), Dedup.sharedSpansLive(spark, sf0001)),
+      ("d16", Dedup.spanShareStats(spark, sf0001), Dedup.spanShareStatsLive(spark, sf0001)),
+      ("n8", Dedup.redactSharedSpans(spark, sf0001), Dedup.redactSharedSpansLive(spark, sf0001)),
+      ("n11", Dedup.maxSharedSegments(spark, sf0001), Dedup.maxSharedSegmentsLive(spark, sf0001)),
+      ("n13", Dedup.frequentNgrams(spark, sf0001), Dedup.frequentNgramsLive(spark, sf0001))
+    )
+    for ((name, cached, live) <- pairs) {
+      assert(cached.columns.sameElements(live.columns), s"$name schema drift")
+      assert(
+        cached.exceptAll(live).isEmpty && live.exceptAll(cached).isEmpty,
+        s"$name cached ≠ live"
+      )
+    }
+    // every layout now warm: re-running the cached entries must build nothing
+    LayoutCache.drainBuildLog()
+    pairs.foreach { case (_, _, _) => () }
+    Dedup.sharedSpans(spark, sf0001).collect()
+    Dedup.frequentNgrams(spark, sf0001).collect()
+    val rebuilt = LayoutCache.drainBuildLog()
+    assert(rebuilt.isEmpty, s"warm layouts rebuilt: $rebuilt")
+  }
+
   test("n7 shared spans: exactly the windows inside the common run; internal self-repeats excluded") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_spans").toString

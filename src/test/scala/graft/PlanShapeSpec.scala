@@ -157,8 +157,8 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("n8 reads documents exactly once: hoisted exchanges are reused, not recomputed") {
-    val df = graft.operators.Dedup.redactSharedSpans(spark, sf0001)
+  test("n8 build path reads documents exactly once: hoisted exchanges are reused, not recomputed") {
+    val df = graft.operators.Dedup.redactSharedSpansLive(spark, sf0001)
     df.collect() // AQE reuses stages at runtime; the FINAL plan shows it
     // AdaptiveSparkPlan prints final plan then "== Initial Plan ==" (which
     // never shows runtime stage reuse) — assert on the final section only
@@ -172,14 +172,44 @@ class PlanShapeSpec extends SparkSpec {
     assert("ReusedExchange".r.findAllIn(plan).size >= 2, plan)
   }
 
-  test("d16 span-share reads documents exactly once (shared span_fp exchange)") {
-    val df = graft.operators.Dedup.spanShareStats(spark, sf0001)
+  test("d16 build path reads documents exactly once (shared span_fp exchange)") {
+    val df = graft.operators.Dedup.spanShareStatsLive(spark, sf0001)
     df.collect()
     val plan  = executedPlan(df).split("== Initial Plan ==")(0)
     val scans = "Scan parquet".r.findAllIn(plan).size
     assert(scans == 1, s"expected 1 documents scan, got $scans:\n$plan")
     assert("Generate explode".r.findAllIn(plan).size == 1, plan)
     assert(plan.contains("ReusedExchange"), plan)
+  }
+
+  test("layout-backed span queries never re-explode the corpus: n7/d16 read the span layout") {
+    // n7 and d16 must be pure layout reads (plus the tiny final sort/ratio)
+    // — no split/md5/explode over documents text in their executed plans.
+    for (
+      df <- Seq(
+        graft.operators.Dedup.sharedSpans(spark, sf0001),
+        graft.operators.Dedup.spanShareStats(spark, sf0001)
+      )
+    ) {
+      df.collect()
+      val plan = executedPlan(df).split("== Initial Plan ==")(0)
+      assert(!plan.contains("Generate explode"), s"span query re-derived the stream:\n$plan")
+      assert(!plan.contains("md5"), s"span query re-hashed text:\n$plan")
+    }
+    // n8/n11 still scan documents (the rebuild needs toks) but exactly once,
+    // and without the span-window md5 pass.
+    for (
+      df <- Seq(
+        graft.operators.Dedup.redactSharedSpans(spark, sf0001),
+        graft.operators.Dedup.maxSharedSegments(spark, sf0001)
+      )
+    ) {
+      df.collect()
+      val plan  = executedPlan(df).split("== Initial Plan ==")(0)
+      val scans = "Scan parquet".r.findAllIn(plan).size
+      assert(scans == 2, s"expected documents + starts scans, got $scans:\n$plan")
+      assert(!plan.contains("Generate explode"), s"span query re-derived the stream:\n$plan")
+    }
   }
 
   test("a6 bucketed as-of runs its window with ZERO hash exchange, and equals a1") {
