@@ -73,8 +73,14 @@ object Bench {
         "\"" + r.name + "\":{\"built\":" + r.built + ",\"secs\":" + f"${r.buildSecs}%.3f" + "}"
       )
       .mkString("{", ",", "}")
+    // Explicit cold/warm tag so the headline `value` is never compared
+    // across incompatible runs (ADVICE r8): "warm" = zero layout builds,
+    // i.e. the query section measured reused layouts only; anything else
+    // is "cold" and its total includes no build time either — builds live
+    // exclusively in layout_phase_secs — but page/OS cache state differs.
+    val mode = if (layouts.exists(_.built)) "cold" else "warm"
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":${failed
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","mode":"$mode","queries":$qs,"failed":${failed
           .mkString("[", ",", "]")},"layout_phase_secs":$layoutPhaseSecs%.3f,"layouts":$layoutJson,"late_builds":$lateBuilds,"sf":"$sfDir"}"""
     println(json)
     // Also WRITE the line: stdout capture has twice truncated the per-query

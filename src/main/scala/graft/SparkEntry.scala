@@ -85,6 +85,8 @@ object SparkEntry {
     "s6_ann_ivf_partitioned" -> ((s: SparkSession, d: String) => Similarity.annIvfPartitioned(s, d)),
     "s9_ann_ivf_quantized"   -> ((s: SparkSession, d: String) => Similarity.annIvfQuantized(s, d)),
     "s11_ann_ivf_filtered"   -> ((s: SparkSession, d: String) => Similarity.annIvfFiltered(s, d, label = 1)),
+    "s13_knn_join"           -> ((s: SparkSession, d: String) => Similarity.knnJoin(s, d)),
+    "s14_knn_join_ivf"       -> ((s: SparkSession, d: String) => Similarity.knnJoinIvf(s, d)),
     "c1_clean_corpus"   -> ((s: SparkSession, d: String) => Pipeline.cleanCorpus(s, d)),
     "a1_asof_join"      -> (AsOf.purchaseAsofClick _),
     "a2_interval_join"  -> ((s: SparkSession, d: String) => AsOf.intervalPairCount(s, d)),
@@ -437,6 +439,16 @@ object SparkEntry {
         "list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id) AS rnk " +
         "FROM embeddings e, embeddings q WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id) t " +
         "WHERE rnk <= 3 ORDER BY query_id, rnk"),
+    // s13's oracle is s3's window shape with the query filter dropped: every
+    // vector is a query. Rank/id contract only — no float columns reach the
+    // hash, and the per-pair cosine is the same left-to-right double fold on
+    // both engines (s1/s3's established parity argument).
+    "s13_knn_join" ->
+      ("SELECT vec_id, rnk, nbr_id FROM (SELECT a.vec_id, b.vec_id AS nbr_id, " +
+        "row_number() OVER (PARTITION BY a.vec_id ORDER BY " +
+        "list_cosine_similarity(b.embedding, a.embedding) DESC, b.vec_id) AS rnk " +
+        "FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id) t " +
+        "WHERE rnk <= 3 ORDER BY vec_id, rnk"),
     "m1_payload_meta" ->
       "SELECT doc_id, octet_length(encode(text))::BIGINT AS payload_len FROM documents ORDER BY doc_id",
     // g1's oracle IS the single-partition window form the operator exists to

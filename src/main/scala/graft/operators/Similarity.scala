@@ -651,6 +651,116 @@ object Similarity {
     )
   }
 
+  /** S13 — corpus-wide kNN SELF-JOIN (brute rung): the top-k cosine
+    * neighbors of EVERY vector at once — the all-pairs operation behind
+    * kNN-graph construction (semantic clustering seeds, graph-based dedup,
+    * diversity sampling). Distinct from s1/s3 (a handful of query vectors):
+    * here the query set IS the corpus, so the scored relation is O(n²) and
+    * this rung is — like n1 for the MinHash family — the *labeled
+    * exact-oracle baseline*, not the production path ([[knnJoinIvf]] is).
+    *
+    * Plan shape: one side broadcasts (corpus vectors as the build side),
+    * scoring stays inside codegen (`cosine_sim` is a codegen'd Catalyst
+    * expression), and [[graft.functions.TopKByScore]] keeps ≤ k rows per
+    * (vec_id, map partition) through the exchange — the cross product is
+    * never shuffled, only k·partitions rows per vector. Oracle-checked
+    * (rank/id contract, no float columns), sharing s3's window-SQL shape
+    * with the query filter dropped.
+    */
+  def knnJoin(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    VectorFunctions.register(spark)
+    val e    = Tables.embeddings(spark, dir)
+    val nbrs = e.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb"))
+    val scored = e
+      .crossJoin(broadcast(nbrs))
+      .where(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"), expr("cosine_sim(embedding, nbr_emb)").as("cos"))
+      .where(col("cos").isNotNull) // dimension-mismatch degrades to null; unrankable
+    val topk = graft.functions.TopK.topKIds(k)
+    scored
+      .groupBy("vec_id")
+      .agg(topk(col("nbr_id"), col("cos")).as("ids"))
+      .select(col("vec_id"), posexplode(col("ids")).as(Seq("pos", "nbr_id")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rnk"), col("nbr_id"))
+      .orderBy("vec_id", "rnk")
+  }
+
+  /** The nProbe nearest cluster ids per row, computed IN-ENGINE against the
+    * broadcast centroid array: score all nClusters centroids (codegen'd
+    * `cosine_sim`), sort struct(cos desc, idx asc), keep the first nProbe
+    * idx values. The distributed twin of the driver-side [[probeIds]] —
+    * same ordering contract, but evaluated per ROW so a corpus-wide probe
+    * assignment never touches the driver.
+    */
+  private def probeIdsCol(cs: Array[Seq[Float]], nProbe: Int): Column = {
+    val scored = array(cs.zipWithIndex.map { case (c, i) =>
+      struct(call_function("cosine_sim", col("embedding"), typedLit(c)).as("cos"), lit(i).as("idx"))
+    }: _*)
+    val sorted = array_sort(
+      scored,
+      (a, b) =>
+        when(a.getField("cos") > b.getField("cos"), lit(-1))
+          .when(a.getField("cos") < b.getField("cos"), lit(1))
+          .when(a.getField("idx") < b.getField("idx"), lit(-1))
+          .when(a.getField("idx") > b.getField("idx"), lit(1))
+          .otherwise(lit(0))
+    )
+    transform(slice(sorted, 1, nProbe), s => s.getField("idx"))
+  }
+
+  /** S14 — kNN self-join over the IVF layout (production rung): each vector
+    * scores only the members of its nProbe nearest clusters, so the scored
+    * relation shrinks from n² to n·(nProbe/nClusters)·avg-cluster-size —
+    * the factor-(nClusters/nProbe) saving that makes a kNN graph buildable
+    * at 10¹⁰ vectors, compounding with the layout's directory partitioning
+    * (the probe join key `cl` is the partition column, so co-candidates are
+    * colocated by one shuffle whose per-task width is a cluster — the IVF
+    * balance contract). Multi-probe is the recall lever: a true neighbor in
+    * an unprobed cluster is invisible, the recall/cost operating point
+    * SimilaritySpec measures against [[knnJoin]] at the default 4/16 knobs;
+    * with nClusters=1 the output is IDENTICAL to the brute rung (the
+    * completeness invariant, same shape as s12's all-probes gate). A
+    * (query, neighbor) pair arises at most once — a neighbor lives in
+    * exactly one cluster — so no dedup step is needed. Like s4/s6/s9:
+    * cluster assignment is engine-internal → no SQL oracle; rows-only at
+    * the driver gate plus the equivalence + recall specs.
+    */
+  def knnJoinIvf(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 3,
+      nClusters: Int = -1, // -1 = the graft.ann.nclusters session knob (16 unset)
+      nProbe: Int = -1     // -1 = the graft.ann.nprobe session knob (4 unset)
+  ): DataFrame = {
+    VectorFunctions.register(spark)
+    val (nc, np) = resolveIvfKnobs(spark, nClusters, nProbe)
+    val layout   = ivfLayoutCache(spark, dir, nc)
+    val centroids = spark.read
+      .parquet(s"$layout/centroids.parquet")
+      .orderBy("cl")
+      .collect()
+      .map(_.getSeq[Float](1))
+    val v = spark.read
+      .parquet(s"$layout/vectors.parquet")
+      .select(col("cl"), col("vec_id"), col("embedding"))
+    // query side: np rows per vector, one per probed cluster
+    val queries = v
+      .select(col("vec_id"), col("embedding"), explode(probeIdsCol(centroids, np)).as("cl"))
+    val nbrs = v.select(col("cl"), col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb"))
+    val scored = queries
+      .join(nbrs, "cl")
+      .where(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"), expr("cosine_sim(embedding, nbr_emb)").as("cos"))
+      .where(col("cos").isNotNull)
+    val topk = graft.functions.TopK.topKIds(k)
+    scored
+      .groupBy("vec_id")
+      .agg(topk(col("nbr_id"), col("cos")).as("ids"))
+      .select(col("vec_id"), posexplode(col("ids")).as(Seq("pos", "nbr_id")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rnk"), col("nbr_id"))
+      .orderBy("vec_id", "rnk")
+  }
+
   /** S7 — retrieve-then-enrich: [[annBatchTopK]]'s neighbor ids joined back
     * to the `documents` row they index (vec_id ≡ doc_id in this corpus) —
     * the composition every retrieval pipeline ends with, and the join
