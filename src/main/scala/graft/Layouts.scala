@@ -35,6 +35,7 @@ object Layouts {
     "minhash_signatures" -> (() => { Dedup.minhashArtifactsCached(spark, dir); () }),
     "minhash_pairs"      -> (() => { Dedup.minhashLshPairs(spark, dir); () }),
     "minhash_batch_index" -> (() => { Dedup.incrementalNearDupPairs(spark, dir); () }),
+    "simhash_pairs"      -> (() => { Dedup.simhashPairs(spark, dir); () }),
     "dup_clusters"       -> (() => { Dedup.dupClusters(spark, dir); () }),
     "dup_clusters_incr"  -> (() => { Dedup.incrementalDupClusters(spark, dir); () }),
     "embedding_pairs"    -> (() => { Dedup.embeddingDupPairs(spark, dir); () }),

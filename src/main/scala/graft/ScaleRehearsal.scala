@@ -45,8 +45,15 @@ object ScaleRehearsal {
       println(s"[rehearsal] $table x$reps written")
     }
     replicate("events") { (df, i) =>
+      // the raw ts column is LongType nanos OR a native (µs) timestamp
+      // depending on the source file's logical type — same dual contract
+      // as Tables.events
+      val shifted = df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => col("ts") + lit(i * 86400L * 1000000000L) // +i days in ns
+        case _                                   => col("ts") + expr(s"INTERVAL $i DAYS")
+      }
       df.withColumn("event_id", col("event_id") + lit(i * Stride))
-        .withColumn("ts", col("ts") + lit(i * 86400L * 1000000000L)) // +i days in ns
+        .withColumn("ts", shifted)
     }
     replicate("lineitem") { (df, i) =>
       df.withColumn("l_orderkey", col("l_orderkey") + lit(i * Stride))
@@ -383,7 +390,46 @@ object ScaleRehearsal {
     time("d21 quartile gate (warm layout)")(TextAnalysis.lmQualityKeep(spark, dir).collect())
   }
 
+  /** kNN-join rehearsal: the s13/s14 family at 10× vectors (20k × 64d —
+    * 4·10⁸ scored pairs on the brute rung). Records the three numbers that
+    * matter for the family's scale story: the brute rung's quadratic cost,
+    * the IVF rung's cold (layout build + query) and warm costs, and
+    * recall@3 of the probe-bounded candidates against the brute truth at
+    * the default 4/16 operating point — evidence the nProbe/nClusters
+    * knobs, not corpus size, set the recall/cost trade. Numbers land in
+    * BASELINE.md beside the other rehearsal evidence.
+    */
+  def knnRehearsal(spark: SparkSession, dir: String): Unit = {
+    import operators.Similarity
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[knn10] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+    }
+    val brute = time("s13 brute kNN join (quadratic comparator)")(
+      Similarity.knnJoin(spark, dir).collect()
+    )
+    val cold = time("s14 IVF kNN join cold (layout build + query)")(
+      Similarity.knnJoinIvf(spark, dir).collect()
+    )
+    time("s14 IVF kNN join warm")(Similarity.knnJoinIvf(spark, dir).collect())
+    val truth = brute.groupBy(_.getLong(0)).map { case (id, rs) => id -> rs.map(_.getLong(2)).toSet }
+    val got   = cold.groupBy(_.getLong(0)).map { case (id, rs) => id -> rs.map(_.getLong(2)).toSet }
+    val hits  = got.map { case (id, nbrs) => (truth.getOrElse(id, Set.empty[Long]) & nbrs).size }.sum
+    val total = truth.valuesIterator.map(_.size).sum
+    println(f"[knn10] s14 recall@3 vs brute: $hits/$total = ${hits.toDouble / total}%.3f over ${truth.size} vectors")
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("knn10")) {
+      val spark = GraftSession.getOrCreate()
+      val src   = args.lift(1).getOrElse("/root/testdata/sf0.1")
+      val dst   = args.lift(2).getOrElse("/tmp/graft_sf1ish")
+      require(dst != src && !src.startsWith(dst), s"dst $dst would clobber src $src")
+      build(spark, src, dst, 10)
+      knnRehearsal(spark, dst)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("index10")) {
       // arg order matches every other two-dir subcommand: [srcSfDir] [dstDir]
       val spark = GraftSession.getOrCreate()

@@ -171,6 +171,10 @@ object SparkEntry {
     // round 8: incremental tokenizer retrain from the maintained word-count
     // layout (no oracle: iterative like v1; spec-pinned bit-equal to v1)
     "v4_bpe_merges_incremental" -> ((s: SparkSession, d: String) => Bpe.bpeMergesIncremental(s, d)),
+    // round 9: corpus-wide BPE encode under the learned vocabulary (no
+    // oracle: the segmentation is the iterative induction's output, like
+    // v1/v2; BpeSpec replays the reference and pins the count column ≡ v2)
+    "v5_bpe_encode"             -> ((s: SparkSession, d: String) => Bpe.bpeEncode(s, d)),
     // round 8: BM25 over the persisted inverted-index layout — t4's exact
     // contract (and oracle), corpus never touched at query time
     "t6_bm25_indexed"           -> ((s: SparkSession, d: String) => TextAnalysis.bm25RankIndexed(s, d)),

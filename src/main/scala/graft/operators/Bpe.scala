@@ -151,7 +151,7 @@ object Bpe {
     * the version folds into the cache key so an artifact trained under an
     * older scheme can never be silently reused by newer readers.
     */
-  private[graft] val BpeSchemeVersion = 1
+  private[graft] val BpeSchemeVersion = 2 // v2: vocab.parquet gains `subs`, the word's post-merge symbols
 
   /** The trained tokenizer as a PERSISTED layout — `merges.parquet`
     * (merge_rank, left, right, pair_cnt) and `vocab.parquet`
@@ -180,7 +180,7 @@ object Bpe {
         .select(col("merge_rank").cast("long"), col("left"), col("right"), col("pair_cnt"))
         .write.mode("overwrite").parquet(s"$out/merges.parquet")
       vocab
-        .select(col("word"), size(col("s")).cast("long").as("n_sub"))
+        .select(col("word"), col("s").as("subs"), size(col("s")).cast("long").as("n_sub"))
         .write.mode("overwrite").parquet(s"$out/vocab.parquet")
     }
   }
@@ -221,6 +221,42 @@ object Bpe {
       .join(broadcast(perWord), "word")
       .groupBy("doc_id")
       .agg(sum("n_sub").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** V5 — per-document BPE ENCODE `(doc_id, n_bpe_tokens, bpe_text)`: each
+    * document re-expressed as its subtoken sequence under the learned
+    * vocabulary — the corpus-wide operation a training pipeline actually
+    * runs after induction (v1 learns, v5 applies). Same scale shape as v2:
+    * the corpus is never re-segmented word by word — the persisted
+    * vocabulary carries each word's post-merge SYMBOLS (`subs`), so the
+    * token stream equi-joins the broadcast `(word → subs)` table and each
+    * document's sequence reassembles in word order via an in-group sort of
+    * `(pos, subs)` structs (distinct positions ⇒ the struct sort is total;
+    * no ranking window, no corpus shuffle beyond the one doc_id exchange).
+    * `bpe_text` joins subtokens with spaces — a deterministic, hash-friendly
+    * serialization of the sequence. No SQL oracle (the segmentation is the
+    * iterative induction's output, like v1/v2); BpeSpec replays the
+    * reference segmentation and pins v5's count column ≡ v2.
+    */
+  def bpeEncode(spark: SparkSession, dir: String,
+      numMerges: Int = -1 // -1 = the graft.bpe.merges session knob
+  ): DataFrame = {
+    val perWord = spark.read
+      .parquet(s"${bpeLayoutCache(spark, dir, resolveMerges(spark, numMerges))}/vocab.parquet")
+      .select("word", "subs")
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .where(length(col("word")) > 0)
+      .join(broadcast(perWord), "word")
+      .groupBy("doc_id")
+      .agg(flatten(expr("transform(array_sort(collect_list(struct(pos, subs))), x -> x.subs)")).as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_bpe_tokens"),
+        concat_ws(" ", col("toks")).as("bpe_text")
+      )
       .orderBy("doc_id")
   }
 

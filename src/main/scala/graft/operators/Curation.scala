@@ -128,11 +128,23 @@ object Curation {
     * xxhash64 longs (8 bytes, not ~25-byte shingle text); exact up to
     * hash collisions (~n²/2⁶⁴ — see [[Dedup.verifyPairs]]).
     */
+  /** The distinct per-doc shingle-hash stream `(doc_id, h)`, exploded from
+    * the persisted MinHash artifact's shingle sets
+    * ([[Dedup.minhashArtifactsCached]] stores `ss = collect_set(xxhash64(s))`)
+    * — the same one-tokenize-for-the-family move n3 makes. d8/d20 only see
+    * `h` through a join plus `countDistinct`, so the distinct stream is
+    * output-equivalent to re-shingling the corpus and skips the dominant
+    * tokenize+shingle scan: at 100 TB the contamination report reads the
+    * dedup family's ingest artifact instead of the corpus text.
+    */
+  private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
+    Dedup
+      .minhashArtifactsCached(spark, dir)
+      ._1
+      .select(col("doc_id"), explode(col("ss")).as("h"))
+
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup
-      .shingles(Tables.documents(spark, dir))
-      .withColumn("h", xxhash64(col("s")))
-      .select("doc_id", "h")
+    val sh    = shingleHashes(spark, dir)
     val bench = sh.where(isBench).select(col("h"), col("doc_id").as("bench_id"))
     sh.where(!isBench)
       .join(broadcast(bench), "h")
@@ -162,10 +174,7 @@ object Curation {
     */
   def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.SketchFunctions.register(spark)
-    val sh = Dedup
-      .shingles(Tables.documents(spark, dir))
-      .withColumn("h", xxhash64(col("s")))
-      .select("doc_id", "h")
+    val sh          = shingleHashes(spark, dir)
     val bench       = sh.where(isBench).select(col("h"), col("doc_id").as("bench_id"))
     val bitsPerItem = graft.GraftConf.int(spark, "bloom.bits_per_item", 20)
     val nItems      = math.max(bench.count(), 1L)

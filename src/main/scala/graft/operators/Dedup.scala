@@ -962,7 +962,32 @@ object Dedup {
     * so this op has no SQL oracle — see DedupSpec for its recall check
     * against N1.
     */
+  /** Bump when the signature derivation or banding scheme changes; folds
+    * into the simhash pair layout's cache key. The key deliberately
+    * EXCLUDES the minhash h/b knobs: the signature depends only on the
+    * per-doc shingle-hash sets (scheme + shingle width), so retuning the
+    * LSH banding must not rebuild simhash pairs.
+    */
+  private[graft] val SimhashSchemeVersion = 1
+
+  /** The registered n3 surface reads a PERSISTED pair table — the same
+    * ingest-once materialization contract as n2's pair layout (pairs are
+    * published per corpus version; every query is a read). Built from
+    * [[simhashPairsLive]], which DedupSpec pins bit-equal.
+    */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val key = graft.sources.LayoutCache.contentKey(
+      spark,
+      s"$dir/documents.parquet",
+      s"simhash-v$SimhashSchemeVersion#mh-v$MinhashSchemeVersion#n${shingleN(spark)}"
+    )
+    val layout = graft.sources.LayoutCache.getOrBuild(spark, "graft_shpairs", key) { out =>
+      simhashPairsLive(spark, dir).write.mode("overwrite").parquet(s"$out/pairs.parquet")
+    }
+    spark.read.parquet(s"$layout/pairs.parquet").orderBy("doc_a", "doc_b")
+  }
+
+  private[graft] def simhashPairsLive(spark: SparkSession, dir: String): DataFrame = {
     // The per-doc shingle-hash SETS the persisted minhash layout already
     // stores (docsets.ss = collect_set(xxhash64(shingle))) are exactly
     // simhash's input stream — exploding them back is bit-identical to

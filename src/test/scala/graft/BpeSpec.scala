@@ -115,6 +115,40 @@ class BpeSpec extends SparkSpec {
     assert(got.values.sum >= texts.map(_.split(" ").length).sum.toLong)
   }
 
+  test("v5: per-doc encode replays the reference segmentation, in word order") {
+    val texts = Seq("aaaa banana low", "banana banana", "lowest lower aaaa")
+    val dir   = plantCorpus(texts)
+    val words = texts.flatMap(_.split(" ").toSeq)
+    val merges = referenceMerges(words, 20).map { case (_, l, r, _) => (l, r) }
+    def segment(w: String): Vector[String] = {
+      var s = w.map(_.toString).toVector
+      merges.foreach { case (l, r) =>
+        val b = Vector.newBuilder[String]
+        var i = 0
+        while (i < s.length) {
+          if (i + 1 < s.length && s(i) == l && s(i + 1) == r) { b += (l + r); i += 2 }
+          else { b += s(i); i += 1 }
+        }
+        s = b.result()
+      }
+      s
+    }
+    val expect = texts.zipWithIndex.map { case (t, i) =>
+      val toks = t.split(" ").filter(_.nonEmpty).toVector.flatMap(segment)
+      i.toLong -> ((toks.length.toLong, toks.mkString(" ")))
+    }.toMap
+    val got = Bpe
+      .bpeEncode(spark, dir, numMerges = 20)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(got == expect)
+    // internal consistency: v5's count column is exactly v2's token count
+    val v2 = Bpe.bpeTokenCount(spark, dir, numMerges = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.view.mapValues(_._1).toMap == v2)
+  }
+
   test("v1 property: merges replay the reference on random small corpora") {
     import org.scalacheck.Gen
     // tiny alphabet + short words force dense pair collisions and ties —

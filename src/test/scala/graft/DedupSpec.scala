@@ -258,7 +258,8 @@ class DedupSpec extends SparkSpec {
       ("d16", Dedup.spanShareStats(spark, sf0001), Dedup.spanShareStatsLive(spark, sf0001)),
       ("n8", Dedup.redactSharedSpans(spark, sf0001), Dedup.redactSharedSpansLive(spark, sf0001)),
       ("n11", Dedup.maxSharedSegments(spark, sf0001), Dedup.maxSharedSegmentsLive(spark, sf0001)),
-      ("n13", Dedup.frequentNgrams(spark, sf0001), Dedup.frequentNgramsLive(spark, sf0001))
+      ("n13", Dedup.frequentNgrams(spark, sf0001), Dedup.frequentNgramsLive(spark, sf0001)),
+      ("n3", Dedup.simhashPairs(spark, sf0001), Dedup.simhashPairsLive(spark, sf0001))
     )
     for ((name, cached, live) <- pairs) {
       assert(cached.columns.sameElements(live.columns), s"$name schema drift")

@@ -55,7 +55,12 @@ class PlanShapeSpec extends SparkSpec {
       graft.operators.Retention.newVsReturning(spark, sf0001)
     ).foreach { df =>
       val plan = executedPlan(df)
-      assert(plan.contains("ReadSchema: struct<ts:bigint,user_id:bigint>"), plan)
+      // ts reads as bigint (legacy nanos-as-long files) or timestamp_ntz
+      // (µs files) depending on the testdata vintage — prune is what matters
+      assert(
+        "ReadSchema: struct<ts:(bigint|timestamp_ntz),user_id:bigint>".r.findFirstIn(plan).isDefined,
+        plan
+      )
     }
     // s10/d17: narrow profile scans
     val s10 = executedPlan(graft.operators.Similarity.normStats(spark, sf0001))
@@ -287,10 +292,12 @@ class PlanShapeSpec extends SparkSpec {
     val df = CoreQueries.w6ResampleHourly(spark, sf0001)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("ReadSchema: struct<ts:bigint>"), plan)
+    // ts reads as bigint (legacy nanos-as-long files) or timestamp_ntz (µs
+    // files) depending on the testdata vintage — prune is what matters
+    assert("ReadSchema: struct<ts:(bigint|timestamp_ntz)>".r.findFirstIn(plan).isDefined, plan)
     assert(plan.contains("ReadSchema: struct<event_type:string>"), plan)
     // exactly one scan carries both columns (the counting pass)
-    assert("ReadSchema: struct<ts:bigint,event_type:string>".r.findAllIn(plan).size >= 1, plan)
+    assert("ReadSchema: struct<ts:(bigint|timestamp_ntz),event_type:string>".r.findFirstIn(plan).isDefined, plan)
   }
 
   test("runtime bloom filter: a selective dim predicate prunes the fact side of a shuffle join") {
@@ -321,5 +328,32 @@ class PlanShapeSpec extends SparkSpec {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None)    => spark.conf.unset(k)
     }
+  }
+
+  test("s13 knn join: corpus broadcasts once, top-k aggregates partially, corpus never shuffles scored") {
+    val df = Similarity.knnJoin(spark, sf0001)
+    df.collect()
+    val plan = executedPlan(df)
+    // the neighbor side rides a broadcast nested-loop (the labeled brute
+    // rung's cross product) — never a shuffled cartesian
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // and the per-vector top-k collapses map-side before the exchange
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("s14 knn join: candidates come from an equi hash join on cl, not any nested loop") {
+    val df = Similarity.knnJoinIvf(spark, sf0001)
+    df.collect()
+    val plan = executedPlan(df)
+    // probe-bounded candidate generation must be a key-equality join on the
+    // cluster id — the shape whose per-task width is one cluster at 100 TB
+    assert(
+      plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin") ||
+        plan.contains("BroadcastHashJoin"),
+      plan
+    )
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"), plan)
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
   }
 }

@@ -223,7 +223,7 @@ class RobustnessSpec extends SparkSpec {
     // failure these should fail LOUDLY on, not mask — so they stay throws.
     val exempt = Set("p1_partitioned_time_count", "s4_ann_ivf",
       "s6_ann_ivf_partitioned", "s9_ann_ivf_quantized", "s11_ann_ivf_filtered",
-      "s12_ann_ivf_incremental")
+      "s12_ann_ivf_incremental", "s14_knn_join_ivf")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try { fn(spark, dir).collect(); None }
       catch { case e: Throwable => Some(name -> e.toString.takeWhile(_ != '\n')) }
