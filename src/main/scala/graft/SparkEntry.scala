@@ -138,6 +138,9 @@ object SparkEntry {
     "s10_norm_stats"       -> ((s: SparkSession, d: String) => Similarity.normStats(s, d)),
     "dq2_profile_documents" -> (Profile.profileDocuments _),
     "p5_shuffle_order"      -> (Curation.shuffleOrder _),
+    // round 9: quality-quartile curriculum order (v3 score layout + d21's
+    // percentile parity + p5's retry-stable intra-phase shuffle key)
+    "p6_curriculum_order"   -> (Curation.curriculumOrder _),
     "t3_phrase_search"      -> ((s: SparkSession, d: String) => TextAnalysis.phraseSearch(s, d)),
     "w7_rolling_active_users" -> ((s: SparkSession, d: String) => Retention.rollingActiveUsers(s, d)),
     "d17_size_histogram"      -> (Profile.sizeHistogram _),
@@ -817,6 +820,16 @@ object SparkEntry {
     "d21_lm_quality_keep" ->
       (s"$lmScoreCte, c AS (SELECT quantile_cont(lm_q, 0.25) AS c FROM q) " +
         "SELECT doc_id, lm_q FROM q, c WHERE lm_q >= c.c ORDER BY doc_id"),
+    // p6: the same score CTE with THREE quantile cutoffs (d21's percentile
+    // parity), phase by cutoff comparison, intra-phase order by the shared
+    // md5 rule — integers and hex strings only in the hashed output
+    "p6_curriculum_order" ->
+      (s"$lmScoreCte, c AS (SELECT quantile_cont(lm_q, 0.75) AS c75, " +
+        "quantile_cont(lm_q, 0.5) AS c50, quantile_cont(lm_q, 0.25) AS c25 FROM q) " +
+        "SELECT CASE WHEN lm_q >= c.c75 THEN 1 WHEN lm_q >= c.c50 THEN 2 " +
+        "WHEN lm_q >= c.c25 THEN 3 ELSE 4 END AS phase, doc_id, " +
+        "md5(CAST(doc_id AS VARCHAR) || '#curriculum') AS order_key " +
+        "FROM q, c ORDER BY phase, order_key, doc_id"),
     // t4: BM25 replayed with the SAME contrib expression string the engine
     // compiles (TextAnalysis.Bm25ContribSql); the ranking key is the score
     // quantized to 1e-6, so the ≤ulp cross-engine ln() difference cannot

@@ -454,6 +454,42 @@ object Curation {
       "shuffle_pos"
     ).select("shuffle_pos", "doc_id")
 
+  /** P6 — CURRICULUM order: the epoch order a staged ("easy/clean first")
+    * training run feeds the loader — documents bucketed into quality
+    * quartiles by their LM score (phase 1 = best quarter), then
+    * pseudo-randomly shuffled WITHIN each phase by a content hash (p5's
+    * retry-stable rule — `rand()` would unreproduce the epoch). Composes
+    * two proven pieces: the persisted v3 score layout (the corpus is never
+    * re-tokenized; the score table is doc-count-sized) and d21's
+    * `percentile` ≡ `quantile_cont` cross-engine parity, extended to three
+    * cutoffs. Phase assignment is a narrow map against three broadcast
+    * cutoffs — no global ranking window, no single-partition anything; the
+    * only wide op is the final order-by, which range-partitions on
+    * (phase, hash) like every sorted output. Docs with < 2 tokens carry no
+    * LM score and are absent, the d21 contract.
+    */
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    val scores = spark.read
+      .parquet(s"${TextAnalysis.lmScoreLayoutCache(spark, dir)}/scores.parquet")
+    val cuts = scores.agg(
+      expr("percentile(lm_q, 0.75)").as("c75"),
+      expr("percentile(lm_q, 0.5)").as("c50"),
+      expr("percentile(lm_q, 0.25)").as("c25")
+    )
+    scores
+      .crossJoin(broadcast(cuts))
+      .select(
+        when(col("lm_q") >= col("c75"), 1)
+          .when(col("lm_q") >= col("c50"), 2)
+          .when(col("lm_q") >= col("c25"), 3)
+          .otherwise(4)
+          .as("phase"),
+        col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit("#curriculum"))).as("order_key")
+      )
+      .orderBy("phase", "order_key", "doc_id")
+  }
+
   /** D23 — LEAKAGE-SAFE holdout split: assign every document to
     * train/holdout by hashing its near-dup CLUSTER key, not its own id.
     *

@@ -408,6 +408,39 @@ class CurationSpec extends SparkSpec {
     assert(adjacentSameDoc < rows.length / 10, "epoch copies cluster together in key order")
   }
 
+  test("p6: phases quarter the scored corpus best-first; intra-phase order replays the md5 rule") {
+    val rows = Curation.curriculumOrder(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    // exactly the scored docs appear (d21's contract: < 2 tokens → no score)
+    val scored = graft.operators.TextAnalysis.bigramLmScore(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(_._2).toSet == scored.keySet)
+    // phases partition into (near-)quarters, phase 1 holds the best scores:
+    // every phase-1 score >= every phase-4 score, monotone across phases
+    val byPhase = rows.groupBy(_._1).view.mapValues(_.map(v => scored(v._2))).toMap
+    assert(byPhase.keySet == Set(1, 2, 3, 4))
+    for (p <- 1 to 3)
+      assert(byPhase(p).min >= byPhase(p + 1).max,
+        s"phase $p scores must dominate phase ${p + 1}")
+    val sizes = byPhase.view.mapValues(_.size).toMap
+    val n     = rows.length
+    sizes.values.foreach(s => assert(math.abs(s - n / 4.0) <= n / 8.0 + 2, s"lopsided phases: $sizes"))
+    // intra-phase order is exactly the md5(doc_id#curriculum) permutation
+    rows.groupBy(_._1).foreach { case (_, ph) =>
+      val got = ph.map(_._2).toSeq
+      val expect = ph.sortBy(v => (v._3, v._2)).map(_._2).toSeq
+      assert(got == expect, "output order must follow (order_key, doc_id) within a phase")
+    }
+    // and the key column replays Scala-side md5
+    rows.take(20).foreach { case (_, id, key) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id#curriculum".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(key == md)
+    }
+  }
+
   test("d25: verdicts replay from d8-consistent counts over string shingles") {
     val rows = Curation.contaminationGate(spark, sf0001).collect()
     assert(rows.nonEmpty)
