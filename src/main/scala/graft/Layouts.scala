@@ -43,6 +43,7 @@ object Layouts {
     "ivf_vectors"        -> (() => { Similarity.annIvfPartitioned(spark, dir); () }),
     "ivf_incremental"    -> (() => { Similarity.annIvfIncremental(spark, dir); () }),
     "sq8_vectors"        -> (() => { Similarity.annQuantized(spark, dir); () }),
+    "knn_graph"          -> (() => { Similarity.knnGraphLayoutCache(spark, dir, 3); () }),
     "span_artifacts"     -> (() => { Dedup.spanArtifacts(spark, dir); () }),
     "gram_census"        -> (() => { Dedup.gramCensusCached(spark, dir, 2, 7, 3); () }),
     "bpe_merges"         -> (() => { Bpe.bpeMerges(spark, dir); () }),

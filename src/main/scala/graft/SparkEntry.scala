@@ -87,6 +87,7 @@ object SparkEntry {
     "s11_ann_ivf_filtered"   -> ((s: SparkSession, d: String) => Similarity.annIvfFiltered(s, d, label = 1)),
     "s13_knn_join"           -> ((s: SparkSession, d: String) => Similarity.knnJoin(s, d)),
     "s14_knn_join_ivf"       -> ((s: SparkSession, d: String) => Similarity.knnJoinIvf(s, d)),
+    "s15_mutual_knn_pairs"   -> ((s: SparkSession, d: String) => Similarity.mutualKnnPairs(s, d)),
     "c1_clean_corpus"   -> ((s: SparkSession, d: String) => Pipeline.cleanCorpus(s, d)),
     "a1_asof_join"      -> (AsOf.purchaseAsofClick _),
     "a2_interval_join"  -> ((s: SparkSession, d: String) => AsOf.intervalPairCount(s, d)),
@@ -456,6 +457,17 @@ object SparkEntry {
         "list_cosine_similarity(b.embedding, a.embedding) DESC, b.vec_id) AS rnk " +
         "FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id) t " +
         "WHERE rnk <= 3 ORDER BY vec_id, rnk"),
+    // s15: s13's ranked CTE joined to its own reverse — mutual edges only,
+    // one orientation (a < b); the persisted edge layout is built from the
+    // exact rung so the derived graph oracles fully
+    "s15_mutual_knn_pairs" ->
+      ("WITH r AS (SELECT a.vec_id AS va, b.vec_id AS vb, row_number() OVER " +
+        "(PARTITION BY a.vec_id ORDER BY list_cosine_similarity(b.embedding, a.embedding) DESC, b.vec_id) AS rnk " +
+        "FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id), " +
+        "e AS (SELECT va, vb FROM r WHERE rnk <= 3) " +
+        "SELECT e1.va AS vec_id_a, e1.vb AS vec_id_b FROM e e1 " +
+        "JOIN e e2 ON e1.va = e2.vb AND e1.vb = e2.va " +
+        "WHERE e1.va < e1.vb ORDER BY vec_id_a, vec_id_b"),
     "m1_payload_meta" ->
       "SELECT doc_id, octet_length(encode(text))::BIGINT AS payload_len FROM documents ORDER BY doc_id",
     // g1's oracle IS the single-partition window form the operator exists to

@@ -761,6 +761,53 @@ object Similarity {
       .orderBy("vec_id", "rnk")
   }
 
+  /** Bump with any change to the stored kNN-graph scheme. */
+  private[operators] val KnnGraphSchemeVersion = 1
+
+  /** The kNN GRAPH as a persisted layout — s13's directed top-k edge list
+    * `(vec_id, rnk, nbr_id)` materialized once per corpus version, the
+    * vector analogue of the MinHash family's signatures→PAIRS rung: graph
+    * consumers (mutual-edge mining, cluster seeding, diversity walks) read
+    * an edge table instead of each re-running the scoring pass. Built from
+    * the EXACT brute rung, so everything derived downstream keeps a SQL
+    * oracle; the build cost is the documented quadratic (paid once at
+    * ingest — [[knnJoinIvf]] is the sub-quadratic build alternative when
+    * approximate recall suffices, same output contract at full probe).
+    */
+  private[graft] def knnGraphLayoutCache(spark: SparkSession, dir: String, k: Int): String = {
+    val key = graft.sources.LayoutCache.contentKey(
+      spark,
+      s"$dir/embeddings.parquet",
+      s"knng-v$KnnGraphSchemeVersion#$k"
+    )
+    graft.sources.LayoutCache.getOrBuild(spark, "graft_knng", key) { out =>
+      knnJoin(spark, dir, k).write.mode("overwrite").parquet(s"$out/edges.parquet")
+    }
+  }
+
+  /** S15 — MUTUAL kNN pairs: edges (a, b) where each vector is in the
+    * other's top-k — the standard symmetrization that turns a directed kNN
+    * graph into the undirected graph clustering/community detection runs on
+    * (one-sided neighbors are hub artifacts; mutuality is the cheap, robust
+    * filter). A read + one self equi-join of the persisted edge layout —
+    * two scans of a (n·k)-row table and an 8-byte-pair hash join; the
+    * scored pass is never re-run. Each qualifying pair emerges exactly once
+    * (the join matches (a,b) with its unique reverse, and `a < b` keeps one
+    * orientation). Oracle: the all-pairs window CTE joined to its own
+    * reverse.
+    */
+  def mutualKnnPairs(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val layout = knnGraphLayoutCache(spark, dir, k)
+    val e = spark.read
+      .parquet(s"$layout/edges.parquet")
+      .select(col("vec_id").as("a"), col("nbr_id").as("b"))
+    val rev = e.select(col("b").as("a"), col("a").as("b"))
+    e.join(rev, Seq("a", "b"))
+      .where(col("a") < col("b"))
+      .select(col("a").as("vec_id_a"), col("b").as("vec_id_b"))
+      .orderBy("vec_id_a", "vec_id_b")
+  }
+
   /** S7 — retrieve-then-enrich: [[annBatchTopK]]'s neighbor ids joined back
     * to the `documents` row they index (vec_id ≡ doc_id in this corpus) —
     * the composition every retrieval pipeline ends with, and the join

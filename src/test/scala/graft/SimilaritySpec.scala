@@ -275,6 +275,24 @@ class SimilaritySpec extends SparkSpec {
     assert(one == brute, "single-cluster kNN join must equal the brute rung")
   }
 
+  test("s15 mutual pairs replay from s13's edges; symmetric, one orientation, layout-backed") {
+    val edges = Similarity.knnJoin(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val expect = edges.collect {
+      case (a, b) if a < b && edges.contains((b, a)) => (a, b)
+    }
+    val got = Similarity.mutualKnnPairs(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.toSet == expect, s"missing ${expect -- got.toSet}, extra ${got.toSet -- expect}")
+    assert(got == got.sorted, "output must be ordered by (vec_id_a, vec_id_b)")
+    assert(got.forall { case (a, b) => a < b })
+    assert(got.nonEmpty, "sf0.001 must contain at least one mutual pair")
+    // warm layout: re-running builds nothing
+    graft.sources.LayoutCache.drainBuildLog()
+    Similarity.mutualKnnPairs(spark, sf0001).collect()
+    assert(graft.sources.LayoutCache.drainBuildLog().isEmpty, "warm kNN-graph layout rebuilt")
+  }
+
   test("s14 knn join at default clusters: bounded output, no self-pairs, useful recall") {
     val expected = knnAllPairsScala(sf0001, 3)
     val got = Similarity
