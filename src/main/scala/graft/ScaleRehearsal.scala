@@ -514,7 +514,18 @@ object ScaleRehearsal {
       "w9_gap_histogram",
       // round 7: segments, bucketed as-of, incremental clusters, anomalies, BM25
       "n11_max_shared_segments", "a6_asof_bucketed", "n12_incremental_clusters",
-      "w10_hourly_anomalies", "t4_bm25_rank"
+      "w10_hourly_anomalies", "t4_bm25_rank",
+      // round 8: indexed/incremental retrieval, gates, mixture machinery
+      "t5_hybrid_rrf", "t6_bm25_indexed", "t7_bm25_incremental",
+      "v4_bpe_merges_incremental", "d20_decontaminate_bloom",
+      "d21_lm_quality_keep", "d22_decontaminate_semantic",
+      "d23_split_by_cluster", "d24_mixture_epochs", "d25_contamination_gate",
+      "s11_ann_ivf_filtered", "s12_ann_ivf_incremental", "m2_media_demux",
+      "dq4_modality_coverage", "n13_frequent_ngrams", "v3_bigram_lm_score",
+      // round 9: kNN-join family (s13's quadratic rung lives in `knn10`,
+      // not here), BPE encode, curriculum order
+      "s14_knn_join_ivf", "s15_mutual_knn_pairs", "v5_bpe_encode",
+      "p6_curriculum_order"
     )
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
     headline.foreach { name =>
