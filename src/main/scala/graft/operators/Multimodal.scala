@@ -218,19 +218,47 @@ object Multimodal {
 
   final case class DecodedAudio(sampleRate: Int, channels: Int, samples: Array[Float])
 
-  /** REAL decoder for RIFF/WAVE PCM audio (16-bit signed or 8-bit
-    * unsigned, any channel count) — the audio family a pure JVM parses
-    * without a codec library, closing the "audio is a stub" gap the same
-    * way netpbm/BMP closed images. Chunk scan honors the RIFF contract
-    * (little-endian sizes, word-aligned chunks, `fmt ` before `data`);
-    * channels average to one mono stream normalized to [−1, 1], the same
-    * collapse-to-one-plane convention as the image decoders' grayscale.
-    * All size arithmetic runs in long space and every chunk bound is
-    * checked against the actual byte array, so hostile headers (a 40-byte
-    * payload declaring a 2 GB data chunk) reject via the shared
-    * return-None contract instead of allocating or throwing. Compressed
-    * codecs (MP3/AAC/OGG) have no JDK decoder and stay with the disclosed
-    * stub, as video does.
+  /** ITU-T G.711 µ-law byte → linear 16-bit sample (the public-standard
+    * expansion: complement, mantissa<<3 + bias, shift by segment, sign
+    * from the complemented byte). Anchors: 0xFF → 0, 0x00 → −32124,
+    * 0x80 → +32124.
+    */
+  private[graft] def ulawToLinear(uIn: Int): Int = {
+    val u = ~uIn & 0xff
+    var t = ((u & 0x0f) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** ITU-T G.711 A-law byte → linear 16-bit sample (XOR 0x55, segment
+    * expansion). Anchors: 0x55 → −8, 0xD5 → +8, 0x2A → −32256,
+    * 0xAA → +32256.
+    */
+  private[graft] def alawToLinear(aIn: Int): Int = {
+    val a   = (aIn ^ 0x55) & 0xff
+    val seg = (a & 0x70) >> 4
+    var t   = (a & 0x0f) << 4
+    if (seg == 0) t += 8
+    else { t += 0x108; if (seg > 1) t <<= seg - 1 }
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** REAL decoder for RIFF/WAVE audio — linear PCM (8-bit unsigned,
+    * 16/24/32-bit signed), IEEE float32 (format 3), and the G.711
+    * telephony codecs (A-law format 6, µ-law format 7, via
+    * [[alawToLinear]]/[[ulawToLinear]]) — every WAV family a pure JVM
+    * decodes without a codec library, closing the "audio is a stub" gap
+    * the same way netpbm/BMP closed images. Chunk scan honors the RIFF
+    * contract (little-endian sizes, word-aligned chunks, `fmt ` before
+    * `data`); channels average to one mono stream normalized to [−1, 1],
+    * the same collapse-to-one-plane convention as the image decoders'
+    * grayscale. All size arithmetic runs in long space and every chunk
+    * bound is checked against the actual byte array, so hostile headers
+    * (a 40-byte payload declaring a 2 GB data chunk) reject via the
+    * shared return-None contract instead of allocating or throwing.
+    * Perceptually-compressed codecs (MP3/AAC/OGG) have no JDK decoder and
+    * stay with the disclosed stub, as video sample synthesis does (the
+    * DEMUX layers are real — [[parseMp3]]/[[parseMp4]]).
     */
   private[graft] def decodeWav(b: Array[Byte]): Option[DecodedAudio] = {
     def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
@@ -240,18 +268,23 @@ object Multimodal {
     if (b.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
     var pos                                     = 12L
     var fmtOk                                   = false
-    var channels, rate, bits                    = 0
+    var fmtCode, channels, rate, bits           = 0
     var samples: Array[Float]                   = null
     while (pos + 8 <= b.length && samples == null) {
       val p  = pos.toInt
       val sz = i32(p + 4).toLong & 0xffffffffL // RIFF sizes are unsigned
       if (pos + 8 + sz > b.length) return None // truncated or hostile chunk
       if (tag(p, "fmt ") && sz >= 16) {
-        val audioFormat = u16(p + 8)
+        fmtCode = u16(p + 8)
         channels = u16(p + 10)
         rate = i32(p + 12)
         bits = u16(p + 22) // fmt data +14: bitsPerSample
-        fmtOk = audioFormat == 1 && channels > 0 && rate > 0 && (bits == 8 || bits == 16)
+        fmtOk = channels > 0 && rate > 0 && (fmtCode match {
+          case 1     => bits == 8 || bits == 16 || bits == 24 || bits == 32 // linear PCM
+          case 3     => bits == 32                                          // IEEE float
+          case 6 | 7 => bits == 8                                           // G.711 A-law / µ-law
+          case _     => false
+        })
       } else if (tag(p, "data")) {
         if (!fmtOk) return None
         val frameBytes = (bits / 8) * channels
@@ -263,10 +296,17 @@ object Multimodal {
           var acc  = 0.0f
           var c    = 0
           while (c < channels) {
-            acc += (if (bits == 16) {
-                      val o = base + 2 * c
-                      ((b(o) & 0xff) | (b(o + 1) << 8)).toShort / 32768.0f
-                    } else ((b(base + c) & 0xff) - 128) / 128.0f)
+            val o = base + (bits / 8) * c
+            acc += ((fmtCode, bits) match {
+              case (1, 8)  => ((b(o) & 0xff) - 128) / 128.0f
+              case (1, 16) => ((b(o) & 0xff) | (b(o + 1) << 8)).toShort / 32768.0f
+              case (1, 24) =>
+                (((b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | (b(o + 2) << 16)) << 8 >> 8) / 8388608.0f
+              case (1, 32) => i32(o) / 2147483648.0f
+              case (3, _)  => java.lang.Float.intBitsToFloat(i32(o))
+              case (6, _)  => alawToLinear(b(o) & 0xff) / 32768.0f
+              case _       => ulawToLinear(b(o) & 0xff) / 32768.0f
+            })
             c += 1
           }
           out(f) = acc / channels

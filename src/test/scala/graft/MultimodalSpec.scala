@@ -285,7 +285,8 @@ class MultimodalSpec extends SparkSpec {
   /** Hand-built RIFF/WAVE PCM payload — the inverse of decodeWav, kept
     * test-side so the decoder is checked against the spec, not itself.
     */
-  private def encodeWav(rate: Int, channels: Int, bits: Int, frames: Array[Array[Int]]): Array[Byte] = {
+  private def encodeWav(
+      rate: Int, channels: Int, bits: Int, frames: Array[Array[Int]], fmtCode: Int = 1): Array[Byte] = {
     val bytesPer  = bits / 8
     val dataBytes = frames.length * channels * bytesPer
     val bb = java.nio.ByteBuffer
@@ -293,11 +294,16 @@ class MultimodalSpec extends SparkSpec {
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes).put("WAVE".getBytes("US-ASCII"))
     bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
-      .putShort(1).putShort(channels.toShort).putInt(rate)
+      .putShort(fmtCode.toShort).putShort(channels.toShort).putInt(rate)
       .putInt(rate * channels * bytesPer).putShort((channels * bytesPer).toShort).putShort(bits.toShort)
     bb.put("data".getBytes("US-ASCII")).putInt(dataBytes)
     frames.foreach(f =>
-      f.foreach(s => if (bits == 16) bb.putShort(s.toShort) else bb.put(s.toByte))
+      f.foreach { s =>
+        if (bits == 8) bb.put(s.toByte)
+        else if (bits == 16) bb.putShort(s.toShort)
+        else if (bits == 24) { bb.put(s.toByte).put((s >> 8).toByte).put((s >> 16).toByte) }
+        else bb.putInt(s) // 32-bit PCM, or float32 passed as raw IEEE bits
+      }
     )
     bb.array()
   }
@@ -316,6 +322,28 @@ class MultimodalSpec extends SparkSpec {
     assert(b.samples.toSeq == Seq(0.0f, 127f / 128f, -1.0f))
   }
 
+  test("WAV G.711 decode hits the published ITU anchor values; float32/24/32-bit PCM round-trip") {
+    // µ-law (format 7): published expansion anchors
+    val ulaw = encodeWav(8000, 1, 8, Array(Array(0xff), Array(0x7f), Array(0x00), Array(0x80)), fmtCode = 7)
+    val u    = Multimodal.decodeWav(ulaw).get
+    assert(u.samples.toSeq == Seq(0.0f, 0.0f, -32124f / 32768f, 32124f / 32768f))
+    // A-law (format 6): published expansion anchors
+    val alaw = encodeWav(8000, 1, 8, Array(Array(0x55), Array(0xd5), Array(0x2a), Array(0xaa)), fmtCode = 6)
+    val a    = Multimodal.decodeWav(alaw).get
+    assert(a.samples.toSeq == Seq(-8f / 32768f, 8f / 32768f, -32256f / 32768f, 32256f / 32768f))
+    // IEEE float32 (format 3): raw bit patterns decode to the exact floats
+    val fbits = Array(0.25f, -1.0f, 0.0f).map(java.lang.Float.floatToIntBits)
+    val fwav  = encodeWav(16000, 1, 32, fbits.map(Array(_)), fmtCode = 3)
+    assert(Multimodal.decodeWav(fwav).get.samples.toSeq == Seq(0.25f, -1.0f, 0.0f))
+    // 24-bit PCM: full-scale and negative mid-scale sign-extend correctly
+    val w24 = encodeWav(8000, 1, 24, Array(Array(8388607), Array(-4194304), Array(0)))
+    val s24 = Multimodal.decodeWav(w24).get.samples
+    assert(math.abs(s24(0) - 8388607f / 8388608f) < 1e-6 && s24(1) == -0.5f && s24(2) == 0.0f)
+    // 32-bit PCM
+    val w32 = encodeWav(8000, 1, 32, Array(Array(Int.MinValue), Array(1073741824)))
+    assert(Multimodal.decodeWav(w32).get.samples.toSeq == Seq(-1.0f, 0.5f))
+  }
+
   test("WAV decode rejects hostile and truncated payloads via return-None") {
     val good = encodeWav(8000, 1, 16, Array(Array(100), Array(-100)))
     assert(Multimodal.decodeWav(good).nonEmpty)
@@ -326,7 +354,7 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeWav(hostile).isEmpty)
     assert(Multimodal.decodeWav(good.take(30)).isEmpty)       // truncated mid-header
     assert(Multimodal.decodeWav("RIFFxxxx".getBytes).isEmpty) // not WAVE
-    // float PCM (format 3) has no JDK-free decoder → None, not garbage
+    // format 3 (IEEE float) declaring a 16-bit width is malformed → None
     val floatFmt = good.clone(); floatFmt(20) = 3
     assert(Multimodal.decodeWav(floatFmt).isEmpty)
   }
