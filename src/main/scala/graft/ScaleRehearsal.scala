@@ -349,7 +349,10 @@ object ScaleRehearsal {
     spark.sparkContext.addSparkListener(pm)
     val names = Seq(
       "n7_shared_spans", "n8_redact_shared_spans", "d16_span_share",
-      "n11_max_shared_segments", "q10_rollup", "q11_pricing_summary"
+      "n11_max_shared_segments", "q10_rollup", "q11_pricing_summary",
+      // round 9: the kNN family's memory profile — s13's scored stream
+      // through the bounded TopK buffers, s14's per-cluster hash join
+      "s13_knn_join", "s14_knn_join_ivf"
     )
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
     for (round <- 1 to 2) { // round 1 warms page cache/JIT; round 2 is the record
