@@ -216,6 +216,52 @@ object Multimodal {
       } finally if (iis != null) iis.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** REAL multi-frame decode via the ImageIO sequence API — container
+    * formats whose bundled JDK reader exposes multiple images (animated
+    * GIF being the universal one) yield EVERY frame as a [[DecodedImage]];
+    * single-frame formats yield a 1-element seq. The same
+    * hostile-header stance as [[decodeImageIo]]: per-frame dimensions are
+    * validated against [[MaxImagePixels]] from the header before any
+    * raster is allocated, and the TOTAL pixel budget across frames is
+    * capped by the same bound (a 10,000-frame GIF bomb rejects instead of
+    * materializing), all under the shared return-None contract.
+    */
+  private[graft] def decodeFrames(b: Array[Byte]): Option[Vector[DecodedImage]] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(b))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, false, true) // seekForwardOnly=false: getNumImages needs scans
+          val n = reader.getNumImages(true)
+          if (n <= 0) return None
+          val out         = Vector.newBuilder[DecodedImage]
+          var totalPixels = 0L
+          var i           = 0
+          while (i < n) {
+            val w = reader.getWidth(i)
+            val h = reader.getHeight(i)
+            totalPixels += w.toLong * h.toLong
+            if (w <= 0 || h <= 0 || totalPixels > MaxImagePixels) return None
+            val img  = reader.read(i)
+            val rgbs = img.getRGB(0, 0, w, h, null, 0, w)
+            val gray = new Array[Float](w * h)
+            var j = 0
+            while (j < gray.length) {
+              val p = rgbs(j)
+              gray(j) = ((((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3.0f) / 255.0f
+              j += 1
+            }
+            out += DecodedImage(w, h, gray)
+            i += 1
+          }
+          Some(out.result())
+        } finally reader.dispose()
+      } finally if (iis != null) iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   final case class DecodedAudio(sampleRate: Int, channels: Int, samples: Array[Float])
 
   /** ITU-T G.711 µ-law byte → linear 16-bit sample (the public-standard
@@ -446,20 +492,34 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling stub: every `stride`-th frame of a multi-frame payload.
-    * With the fake 1-frame payloads this is an identity-shaped pass; the
-    * operator exists to pin the (media_id, frame_no, frame_payload) output
-    * contract.
+  final case class SampledFrame(media_id: Long, frame_no: Int, frame_payload: Array[Byte])
+
+  /** Frame sampling — every `stride`-th frame, REAL where the payload is a
+    * JDK-decodable multi-frame container: an animated GIF's frames are
+    * individually decoded ([[decodeFrames]]) and each sampled frame lands
+    * as its own PGM payload — actual per-frame pixels, not the container
+    * repeated. Payloads without a multi-frame reader keep the
+    * metadata-level enumeration (declared `n_frames` stepped by `stride`,
+    * container payload carried through — the demux-only contract video
+    * stays on until a codec exists). Typed `mapPartitions`-style flatMap,
+    * the per-partition batch shape every decoder here uses; output schema
+    * `(media_id, frame_no, frame_payload)` is unchanged.
     */
   def sampleFrames(media: Dataset[MediaRow], stride: Int = 2): DataFrame = {
     require(stride > 0)
+    import media.sparkSession.implicits._
     media
+      .flatMap { r =>
+        decodeFrames(r.payload) match {
+          case Some(frames) if frames.length > 1 =>
+            Range(0, frames.length, stride)
+              .map(i => SampledFrame(r.media_id, i, encodePgm(frames(i))))
+          case _ =>
+            Range(0, math.max(r.n_frames, 0), stride)
+              .map(i => SampledFrame(r.media_id, i, r.payload))
+        }
+      }
       .toDF()
-      .select(
-        col("media_id"),
-        explode(expr(s"sequence(0, n_frames - 1, $stride)")).as("frame_no"),
-        col("payload").as("frame_payload")
-      )
   }
 
   // ── Compressed-media DEMUX (real container/frame parsing; only the

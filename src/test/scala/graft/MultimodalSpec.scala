@@ -112,6 +112,40 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.getLong(0) == 7L))
   }
 
+  /** Animated GIF via the ImageIO sequence writer — test-side encoder so
+    * the multi-frame decoder is checked against the JDK's own writer, not
+    * itself.
+    */
+  private def makeAnimatedGif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    val baos   = new java.io.ByteArrayOutputStream()
+    val ios    = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach(f => writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    baos.toByteArray
+  }
+
+  test("frame sampling decodes REAL animated-GIF frames; each sampled payload is that frame's pixels") {
+    import spark.implicits._
+    def grayFrame(v: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 2; x <- 0 until 2) img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      img
+    }
+    val gif = makeAnimatedGif(Seq(grayFrame(0), grayFrame(85), grayFrame(170), grayFrame(255)))
+    assert(Multimodal.decodeFrames(gif).get.length == 4)
+    val m   = Seq(Multimodal.MediaRow(9L, "image/gif", 2, 2, 4, gif)).toDS()
+    val out = Multimodal.sampleFrames(m, stride = 2).collect().sortBy(_.getInt(1))
+    assert(out.map(_.getInt(1)).toSeq == Seq(0, 2))
+    // the sampled payloads are per-frame PGMs carrying that frame's gray level
+    val f0 = Multimodal.decodePnm(out(0).getAs[Array[Byte]](2)).get
+    val f2 = Multimodal.decodePnm(out(1).getAs[Array[Byte]](2)).get
+    assert(f0.width == 2 && f0.height == 2 && f0.gray.forall(_ == 0.0f))
+    assert(f2.gray.forall(g => math.abs(g - 170f / 255f) <= 1.5f / 255f), f2.gray.toSeq)
+  }
+
   /** Hand-assembled 24-bit BI_RGB BMP: 54-byte header + 4-byte-padded BGR
     * rows. `pixelRowsTopDown` lists rows top-first; `height` < 0 writes them
     * as a top-down raster, positive height flips to the spec's bottom-up
