@@ -210,12 +210,13 @@ class MultimodalSpec extends SparkSpec {
       makeBmp(3, 2, Seq(Seq((9, 9, 9), (8, 8, 8), (7, 7, 7)), Seq((1, 1, 1), (2, 2, 2), (3, 3, 3)))),
       "P5 3 2 255\n".getBytes("US-ASCII") ++ Array[Byte](0, 1, 2, 3, 4, 5)
     )
-    // pure noise: both decoders must return (usually None), never throw
+    // pure noise: every decoder must return (usually None), never throw
     for (_ <- 1 to 300) {
       val bs = Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte)
       Multimodal.decodeBmp(bs)
       Multimodal.decodePnm(bs)
       Multimodal.decodeWav(bs)
+      Multimodal.decodeFrames(bs)
     }
     // corrupted valid payloads: flip 1–4 bytes anywhere (header or raster)
     for (_ <- 1 to 300; g <- good) {
