@@ -44,6 +44,7 @@ object Layouts {
     "ivf_incremental"    -> (() => { Similarity.annIvfIncremental(spark, dir); () }),
     "sq8_vectors"        -> (() => { Similarity.annQuantized(spark, dir); () }),
     "knn_graph"          -> (() => { Similarity.knnGraphLayoutCache(spark, dir, 3); () }),
+    "knn_clusters"       -> (() => { Similarity.mutualKnnClusters(spark, dir); () }),
     "span_artifacts"     -> (() => { Dedup.spanArtifacts(spark, dir); () }),
     "gram_census"        -> (() => { Dedup.gramCensusCached(spark, dir, 2, 7, 3); () }),
     "bpe_merges"         -> (() => { Bpe.bpeMerges(spark, dir); () }),

@@ -88,6 +88,7 @@ object SparkEntry {
     "s13_knn_join"           -> ((s: SparkSession, d: String) => Similarity.knnJoin(s, d)),
     "s14_knn_join_ivf"       -> ((s: SparkSession, d: String) => Similarity.knnJoinIvf(s, d)),
     "s15_mutual_knn_pairs"   -> ((s: SparkSession, d: String) => Similarity.mutualKnnPairs(s, d)),
+    "s16_mutual_knn_clusters" -> ((s: SparkSession, d: String) => Similarity.mutualKnnClusters(s, d)),
     "c1_clean_corpus"   -> ((s: SparkSession, d: String) => Pipeline.cleanCorpus(s, d)),
     "a1_asof_join"      -> (AsOf.purchaseAsofClick _),
     "a2_interval_join"  -> ((s: SparkSession, d: String) => AsOf.intervalPairCount(s, d)),
@@ -468,6 +469,19 @@ object SparkEntry {
         "SELECT e1.va AS vec_id_a, e1.vb AS vec_id_b FROM e e1 " +
         "JOIN e e2 ON e1.va = e2.vb AND e1.vb = e2.va " +
         "WHERE e1.va < e1.vb ORDER BY vec_id_a, vec_id_b"),
+    // s16: n6's recursive-reachability oracle over the mutual-kNN edges —
+    // component per vector = MIN reachable id
+    "s16_mutual_knn_clusters" ->
+      ("WITH RECURSIVE r AS (SELECT a.vec_id AS va, b.vec_id AS vb, row_number() OVER " +
+        "(PARTITION BY a.vec_id ORDER BY list_cosine_similarity(b.embedding, a.embedding) DESC, b.vec_id) AS rnk " +
+        "FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id), " +
+        "e AS (SELECT va, vb FROM r WHERE rnk <= 3), " +
+        "m AS (SELECT e1.va, e1.vb FROM e e1 JOIN e e2 ON e1.va = e2.vb AND e1.vb = e2.va WHERE e1.va < e1.vb), " +
+        "edges AS (SELECT va AS s, vb AS d FROM m UNION SELECT vb, va FROM m), " +
+        "reach(id, rt) AS (SELECT DISTINCT s, s FROM edges " +
+        "UNION SELECT e.s, reach.rt FROM edges e JOIN reach ON e.d = reach.id) " +
+        "SELECT MIN(rt) AS cluster_id, id AS vec_id FROM reach GROUP BY id " +
+        "ORDER BY cluster_id, vec_id"),
     "m1_payload_meta" ->
       "SELECT doc_id, octet_length(encode(text))::BIGINT AS payload_len FROM documents ORDER BY doc_id",
     // g1's oracle IS the single-partition window form the operator exists to

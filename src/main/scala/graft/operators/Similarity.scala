@@ -808,6 +808,41 @@ object Similarity {
       .orderBy("vec_id_a", "vec_id_b")
   }
 
+  /** Bump with any change to the kNN cluster derivation; chains with the
+    * kNN-graph scheme in the layout key.
+    */
+  private[operators] val KnnClustersSchemeVersion = 1
+
+  /** S16 — SEMANTIC duplicate clusters: connected components over the
+    * mutual-kNN edge set, labeled by min vec_id — the embedding-space
+    * analogue of n6's lexical cluster table, and the grouping a diversity
+    * sampler or cluster-aware split consumes (mutual-kNN communities are
+    * the standard cheap proxy for "these documents say the same thing").
+    * Same engine (the O(log n)-round star contraction,
+    * [[graft.operators.Dedup.clustersFromPairsStar]]), same
+    * materialization contract (the cluster table persists once per corpus
+    * version on top of the persisted edge layout — fourth rung of the
+    * vector family: vectors → kNN edges → mutual pairs → clusters), and
+    * the same oracle shape (recursive reachability over the mutual edge
+    * CTE). Only vectors touched by a mutual pair appear, n6's contract.
+    */
+  def mutualKnnClusters(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val key = graft.sources.LayoutCache.contentKey(
+      spark,
+      s"$dir/embeddings.parquet",
+      s"knncl-v$KnnClustersSchemeVersion#knng-v$KnnGraphSchemeVersion#$k"
+    )
+    val layout = graft.sources.LayoutCache.getOrBuild(spark, "graft_knncl", key) { out =>
+      val pairs = mutualKnnPairs(spark, dir, k)
+        .select(col("vec_id_a").as("doc_a"), col("vec_id_b").as("doc_b"))
+      Dedup
+        .clustersFromPairsStar(pairs)
+        .select(col("cluster_id"), col("doc_id").as("vec_id"))
+        .write.mode("overwrite").parquet(s"$out/clusters.parquet")
+    }
+    spark.read.parquet(s"$layout/clusters.parquet").orderBy("cluster_id", "vec_id")
+  }
+
   /** S7 — retrieve-then-enrich: [[annBatchTopK]]'s neighbor ids joined back
     * to the `documents` row they index (vec_id ≡ doc_id in this corpus) —
     * the composition every retrieval pipeline ends with, and the join

@@ -293,6 +293,32 @@ class SimilaritySpec extends SparkSpec {
     assert(graft.sources.LayoutCache.drainBuildLog().isEmpty, "warm kNN-graph layout rebuilt")
   }
 
+  test("s16 clusters == independent union-find over s15's mutual edges, labeled by min member") {
+    val edges = Similarity.mutualKnnPairs(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // independent union-find (path-halving) over the collected edge list
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) { parent(r) = parent.getOrElse(parent(r), parent(r)); r = parent(r) }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = parent.keys.map(v => v -> find(v)).toMap
+    val got = Similarity.mutualKnnClusters(spark, sf0001)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(got == expect, s"cluster labels diverge: ${got.toSet -- expect.toSet} vs ${expect.toSet -- got.toSet}")
+    assert(got.nonEmpty)
+    // labels are component minima: every cluster_id is a member of its own cluster
+    got.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keySet.min == cid, s"cluster $cid not labeled by its min member")
+    }
+  }
+
   test("s14 knn join at default clusters: bounded output, no self-pairs, useful recall") {
     val expected = knnAllPairsScala(sf0001, 3)
     val got = Similarity
