@@ -20,6 +20,16 @@ package graft
   * A query that throws is NOT silently folded into the total: it reports
   * -1 in the queries map and is listed under "failed" — a broken operator
   * must never read as a fast one.
+  *
+  * Each query is timed `Reps` (3) times and the `queries` map reports the
+  * per-query MEDIAN; the parallel `spread` map carries `{med,min,max}`.
+  * Rationale: the committed single-shot record diverged ~1.5x from
+  * reproducible numbers twice (r7, r9) under co-tenant load, concentrated
+  * in whichever queries happened to collide with the noise. A median of
+  * three absorbs one bad interval, and a recorded max >> med flags the
+  * remaining outliers as environmental rather than structural. The
+  * reference applies the same repeat-and-compare methodology across its
+  * cold/warm run pairs (`QueryOrchestration.cs:425-439`).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -47,20 +57,39 @@ object Bench {
     val layouts = Layouts.buildAll(spark, sfDir)
     val layoutPhaseSecs = (System.nanoTime() - lt0) / 1e9
 
+    val Reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
+    // (name, median, min, max); a first-rep failure records (-1,-1,-1) and
+    // skips the remaining reps — a broken operator costs one attempt, not
+    // three, and still reads as failed.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).collect(); true }
-        catch {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val times =
+        try {
+          val first = once()
+          first +: (2 to Reps).map(_ => once())
+        } catch {
           case scala.util.control.NonFatal(e) =>
-            System.err.println(s"[bench] $name failed: $e"); false
+            System.err.println(s"[bench] $name failed: $e"); Seq.empty[Double]
         }
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      if (times.isEmpty) (name, -1.0, -1.0, -1.0)
+      else {
+        val sorted = times.sorted
+        (name, sorted(sorted.size / 2), sorted.head, sorted.last)
+      }
     }
     val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, med, _, _) => "\"" + k + "\":" + f"$med%.3f" }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val spreadJson = results
+      .map { case (k, med, mn, mx) =>
+        "\"" + k + "\":{" + f""""med":$med%.3f,"min":$mn%.3f,"max":$mx%.3f}"""
+      }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, med, _, _) if med < 0 => "\"" + k + "\"" }
     val total  = results.map(_._2).filter(_ >= 0).sum
     // A build event DURING the query section means a layout the pre-build
     // phase missed — report it rather than let it hide in a query's time.
@@ -80,7 +109,7 @@ object Bench {
     // exclusively in layout_phase_secs — but page/OS cache state differs.
     val mode = if (layouts.exists(_.built)) "cold" else "warm"
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","mode":"$mode","queries":$qs,"failed":${failed
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","mode":"$mode","reps":$Reps,"queries":$qs,"spread":$spreadJson,"failed":${failed
           .mkString("[", ",", "]")},"layout_phase_secs":$layoutPhaseSecs%.3f,"layouts":$layoutJson,"late_builds":$lateBuilds,"sf":"$sfDir"}"""
     println(json)
     // Also WRITE the line: stdout capture has twice truncated the per-query
@@ -89,6 +118,10 @@ object Bench {
     // sweep can keep multiple records side by side.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    // Sentinel-prefixed repeat as the FINAL stdout line: any tail-capture of
+    // >=1 line now yields the complete record (BENCH_r09.json recorded
+    // `parsed: null` because the capture truncated the bare line above).
+    println("BENCHJSON " + json)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
