@@ -42,6 +42,7 @@ object Layouts {
     "embedding_pairs_planted" -> (() => { Dedup.embeddingDupPairsPlanted(spark, dir); () }),
     "ivf_vectors"        -> (() => { Similarity.annIvfPartitioned(spark, dir); () }),
     "ivf_incremental"    -> (() => { Similarity.annIvfIncremental(spark, dir); () }),
+    "ivf_planted"        -> (() => { Similarity.annIvfFilteredPlanted(spark, dir); () }),
     "sq8_vectors"        -> (() => { Similarity.annQuantized(spark, dir); () }),
     "knn_graph"          -> (() => { Similarity.knnGraphLayoutCache(spark, dir, 3); () }),
     "knn_clusters"       -> (() => { Similarity.mutualKnnClusters(spark, dir); () }),

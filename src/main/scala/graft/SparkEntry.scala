@@ -80,11 +80,13 @@ object SparkEntry {
     // similarity search
     "s1_ann_bruteforce" -> ((s: SparkSession, d: String) => Similarity.annBruteForce(s, d)),
     "s2_ann_lsh"        -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
+    "s2p_ann_lsh_planted" -> ((s: SparkSession, d: String) => Similarity.annLshPlanted(s, d)),
     "s3_ann_batch_topk" -> ((s: SparkSession, d: String) => Similarity.annBatchTopK(s, d)),
     "s4_ann_ivf"        -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "s6_ann_ivf_partitioned" -> ((s: SparkSession, d: String) => Similarity.annIvfPartitioned(s, d)),
     "s9_ann_ivf_quantized"   -> ((s: SparkSession, d: String) => Similarity.annIvfQuantized(s, d)),
     "s11_ann_ivf_filtered"   -> ((s: SparkSession, d: String) => Similarity.annIvfFiltered(s, d, label = 1)),
+    "s11p_ann_ivf_filtered_planted" -> ((s: SparkSession, d: String) => Similarity.annIvfFilteredPlanted(s, d)),
     "s13_knn_join"           -> ((s: SparkSession, d: String) => Similarity.knnJoin(s, d)),
     "s14_knn_join_ivf"       -> ((s: SparkSession, d: String) => Similarity.knnJoinIvf(s, d)),
     "s15_mutual_knn_pairs"   -> ((s: SparkSession, d: String) => Similarity.mutualKnnPairs(s, d)),
@@ -421,6 +423,28 @@ object SparkEntry {
     // (worst approximate rank 11 ≤ shortlist 50), so the exact re-rank makes
     // its output identical to s1's — it shares s1's oracle, the same string.
     "s8_ann_quantized" -> annTop10Oracle,
+    // s2p/s11p: exact brute force over corpus ∪ the committed annplant
+    // fixture — the oracle reads the identical file the engine unions in
+    // (the n4p pattern), so the hash-checked path proves positive
+    // approximate-index matches. Rank/id contract only; planted cosine gaps
+    // ≥ 2.6e-4, three decades above float/double discrepancy.
+    "s2p_ann_lsh_planted" ->
+      ("WITH allv AS (SELECT vec_id, embedding FROM embeddings UNION ALL " +
+        "SELECT vec_id, embedding FROM read_parquet('/root/repo/fixtures/annplant/embeddings.parquet/*.parquet')), " +
+        "q AS (SELECT embedding AS qv FROM allv WHERE vec_id = 2000000) " +
+        "SELECT rnk, vec_id FROM (SELECT row_number() OVER (ORDER BY " +
+        "list_cosine_similarity(a.embedding, q.qv) DESC, a.vec_id) AS rnk, a.vec_id " +
+        "FROM allv a, q WHERE a.vec_id <> 2000000) t WHERE rnk <= 5 ORDER BY rnk"),
+    // s11p additionally filters label = 7 BEFORE ranking: the two closest
+    // planted neighbors carry label 8, so a post-filter or unfiltered
+    // engine cannot match this oracle.
+    "s11p_ann_ivf_filtered_planted" ->
+      ("WITH allv AS (SELECT vec_id, embedding, label FROM embeddings UNION ALL " +
+        "SELECT vec_id, embedding, label FROM read_parquet('/root/repo/fixtures/annplant/embeddings.parquet/*.parquet')), " +
+        "q AS (SELECT embedding AS qv FROM allv WHERE vec_id = 2000000) " +
+        "SELECT rnk, vec_id FROM (SELECT row_number() OVER (ORDER BY " +
+        "list_cosine_similarity(a.embedding, q.qv) DESC, a.vec_id) AS rnk, a.vec_id " +
+        "FROM allv a, q WHERE a.vec_id <> 2000000 AND a.label = 7) t WHERE rnk <= 3 ORDER BY rnk"),
     // w3: all time arithmetic in integer epoch-µs on both engines.
     "w3_funnel_stages" -> {
       val winUs = Funnel.StageWindowHours * 3600L * 1000000L
@@ -1011,7 +1035,9 @@ object SparkEntry {
         "WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr' " +
         "WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS lang_pred, " +
         "COUNT(*) AS n_docs FROM scored GROUP BY source, lang_pred ORDER BY source, lang_pred")
-    // n3_simhash_pairs, s2_ann_lsh, s4_ann_ivf, s6_ann_ivf_partitioned,
+    // n3_simhash_pairs, s2_ann_lsh (planted twin s2p fully oracle-checked),
+    // s11_ann_ivf_filtered (planted twin s11p fully oracle-checked),
+    // s4_ann_ivf, s6_ann_ivf_partitioned,
     // s9_ann_ivf_quantized (spec-pinned ≡ s6), dq3_profile_events_approx
     // (spec-bounded within 5% of dq1's exact profile), v1_bpe_merges
     // (iterative — no SQL form; BpeSpec replays an independent reference

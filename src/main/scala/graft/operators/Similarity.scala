@@ -129,7 +129,10 @@ object Similarity {
       .agg(avg("v").as("m"))
       .collect()
     val byCluster = refinedRows.groupBy(_.getInt(0))
-    (0 until nClusters).map { c =>
+    // a corpus smaller than nClusters yields one cluster per vector rather
+    // than indexing past the seed array (the planted twin's empty-corpus
+    // degradation: union = fixture only)
+    (0 until seeds.length.min(nClusters)).map { c =>
       byCluster.get(c) match {
         case Some(rows) =>
           val m = new Array[Float](dims)
@@ -565,7 +568,14 @@ object Similarity {
     */
   def annLsh(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
     VectorFunctions.register(spark)
-    val e  = Tables.embeddings(spark, dir)
+    annLshOn(Tables.embeddings(spark, dir), queryId, k)
+  }
+
+  /** [[annLsh]] core over an arbitrary embeddings frame (the planted twin
+    * unions the committed fixture in; `cosine_sim` must already be
+    * registered).
+    */
+  private def annLshOn(e: DataFrame, queryId: Long, k: Int): DataFrame = {
     val ps = planes()
     // sign bit per plane via fused dot product (zip_with + aggregate stays
     // in codegen; 16 planes × dim muls per row, one pass each).
@@ -594,6 +604,98 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("qv"))
       .dropDuplicates("vec_id")
     rankTopK(cand.select(col("vec_id"), expr("cosine_sim(embedding, qv)").as("cos")), k)
+  }
+
+  /** Id of the planted ANN query vector in `fixtures/annplant`
+    * ([[graft.FixtureGen.annPlant]]); ids ≥ 2e6 collide with no SF corpus
+    * and no other fixture.
+    */
+  private[graft] val PlantedQueryId = 2000000L
+
+  private def annPlantFixture(spark: SparkSession): String =
+    graft.GraftConf.string(spark, "fixtures.dir", "/root/repo/fixtures") + "/annplant/embeddings.parquet"
+
+  /** S2P — [[annLsh]] with the committed graded-neighbor fixture
+    * (`fixtures/annplant`) unioned into the corpus. Plain s2's top-10 is
+    * plane-dependent over background vectors (candidate recall < 1 ⇒ no SQL
+    * oracle); the planted twin's top-5 is exactly the five fixture
+    * neighbors — cosines 0.9935–0.9999, a decade above any background pair,
+    * so each must BOTH reach the LSH candidate set (worst per-neighbor
+    * band-miss probability < 1e-3, and deterministic given the committed
+    * fixture + fixed planes) AND rank identically to exact brute force.
+    * The DuckDB oracle brute-forces the same union via `read_parquet`, so
+    * the hash-checked path proves POSITIVE approximate-index matches — the
+    * n4p pattern applied to the ANN family.
+    */
+  def annLshPlanted(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir).unionByName(spark.read.parquet(annPlantFixture(spark)))
+    annLshOn(e, PlantedQueryId, k)
+  }
+
+  /** IVF layout over corpus ∪ the ANN planted fixture — [[ivfLayoutCache]]'s
+    * build keyed on BOTH contents (the n4p layout-key pattern), so neither a
+    * regenerated corpus nor a regenerated fixture can hit a stale layout.
+    * No q8 column: the planted twin has no quantized reader.
+    */
+  private[operators] def ivfPlantedLayoutCache(spark: SparkSession, dir: String, nClusters: Int): String = {
+    val fx    = annPlantFixture(spark)
+    val fxKey = graft.sources.LayoutCache.contentKey(spark, fx, "fx")
+    val key = graft.sources.LayoutCache.contentKey(
+      spark,
+      s"$dir/embeddings.parquet",
+      s"ivfp-v$IvfSchemeVersion#$nClusters#$fxKey"
+    )
+    graft.sources.LayoutCache.getOrBuild(spark, "graft_ivfp", key) { out =>
+      val e       = Tables.embeddings(spark, dir).unionByName(spark.read.parquet(fx))
+      val refined = refinedCentroids(e, nClusters)
+      writeIvfSegment(e, refined, out, withQ8 = false)
+      writeCentroids(spark, refined, out)
+    }
+  }
+
+  /** S11P — [[annIvfFiltered]] over corpus ∪ the planted fixture, filter
+    * `label = 7`, k = 3. The fixture's two CLOSEST neighbors carry label 8,
+    * so the correct answer (the three label-7 neighbors at overall ranks
+    * 3–5) is reachable only if the predicate composes BEFORE the top-k —
+    * a post-filter of the unfiltered top-3 would return one row, and an
+    * unfiltered search would return the distractors. The DuckDB oracle is
+    * filtered brute force over the same union, which also gates probe
+    * completeness: if the nProbe clusters missed a planted neighbor the
+    * hash would diverge. Plain s11 stays no-oracle (cluster assignment is
+    * engine-internal); this twin pins its END-TO-END contract on a known
+    * positive.
+    */
+  def annIvfFilteredPlanted(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 3,
+      label: Int = 7,
+      nClusters: Int = -1, // -1 = the graft.ann.nclusters session knob (16 unset)
+      nProbe: Int = -1     // -1 = the graft.ann.nprobe session knob (4 unset)
+  ): DataFrame = {
+    VectorFunctions.register(spark)
+    val (nc, np) = resolveIvfKnobs(spark, nClusters, nProbe)
+    val layout    = ivfPlantedLayoutCache(spark, dir, nc)
+    val centroids = spark.read
+      .parquet(s"$layout/centroids.parquet")
+      .orderBy("cl")
+      .collect()
+      .map(_.getSeq[Float](1))
+    val qv = spark.read
+      .parquet(annPlantFixture(spark))
+      .where(col("vec_id") === PlantedQueryId)
+      .select("embedding")
+      .head()
+      .getSeq[Float](0)
+    val probes = probeIds(qv, centroids, np)
+    rankTopK(
+      spark.read
+        .parquet(s"$layout/vectors.parquet")
+        .where(col("cl").isin(probes: _*) && col("label") === label && col("vec_id") =!= PlantedQueryId)
+        .select(col("vec_id"), call_function("cosine_sim", col("embedding"), typedLit(qv)).as("cos")),
+      k
+    )
   }
 
   /** Shortlist size for [[annQuantized]] — measured headroom: the exact

@@ -193,6 +193,24 @@ class SimilaritySpec extends SparkSpec {
     assert(got.size == 10 && got.subsetOf(labelled))
   }
 
+  test("s2p planted LSH: top-5 is exactly the graded fixture neighbors, in cosine order") {
+    // expectation comes from the committed fixture design (graded jitter →
+    // strictly decreasing cosines 0.9999 … 0.9935, all a decade above any
+    // background pair), not from the engine — every neighbor must survive
+    // banding AND rank exactly as brute force would
+    val got = Similarity.annLshPlanted(spark, sf0001).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2000001L), (2L, 2000002L), (3L, 2000003L), (4L, 2000004L), (5L, 2000005L)))
+  }
+
+  test("s11p planted filtered IVF: label filter composes BEFORE top-k (distractors excluded)") {
+    // the two closest planted neighbors carry label 8: a post-filter of the
+    // unfiltered top-3 would return one row, an unfiltered search would
+    // return the distractors — only filter-then-rank yields ranks 1..3 on
+    // the three label-7 neighbors
+    val got = Similarity.annIvfFilteredPlanted(spark, sf0001).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2000003L), (2L, 2000004L), (3L, 2000005L)))
+  }
+
   test("s12 incremental IVF: full probe == s1 brute force (maintenance loses and duplicates nothing)") {
     // with every cluster probed, the maintained base+delta index is
     // exhaustive — any vector dropped, duplicated, or mis-unioned during
