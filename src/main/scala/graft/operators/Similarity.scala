@@ -447,6 +447,41 @@ object Similarity {
     )
   }
 
+  /** Probe search over a sealed base layout + a STREAM-appended delta
+    * directory ([[graft.streaming.VectorIndexStream]]'s segments,
+    * `batch_id=<id>/cl=<c>/`) — [[annIvfIncremental]]'s query side with the
+    * single batch delta replaced by the union over every streamed segment.
+    * `cl` is a partition column on both sides, so the probe IN-list prunes
+    * directories within each `batch_id=` segment as well as on the base.
+    */
+  private[graft] def probeSearchStreamed(
+      spark: SparkSession,
+      baseLayout: String,
+      deltaDir: String,
+      qv: Seq[Float],
+      queryId: Long,
+      k: Int,
+      nProbe: Int
+  ): DataFrame = {
+    VectorFunctions.register(spark)
+    val centroids = spark.read
+      .parquet(s"$baseLayout/centroids.parquet")
+      .orderBy("cl")
+      .collect()
+      .map(_.getSeq[Float](1))
+    val probes = probeIds(qv, centroids, nProbe)
+    val segs = spark.read
+      .parquet(s"$baseLayout/vectors.parquet")
+      .select("vec_id", "embedding", "cl")
+      .unionByName(spark.read.parquet(deltaDir).select("vec_id", "embedding", "cl"))
+    rankTopK(
+      segs
+        .where(col("cl").isin(probes: _*) && col("vec_id") =!= queryId)
+        .select(col("vec_id"), call_function("cosine_sim", col("embedding"), typedLit(qv)).as("cos")),
+      k
+    )
+  }
+
   /** Bump with any change to the stored scalar-quantized layout. */
   private[operators] val Sq8SchemeVersion = 1
 

@@ -202,6 +202,73 @@ class StreamingSpec extends SparkSpec {
     assert(mtimeAfter == mtime0, "batch-0 index artifacts were rewritten by batch 1")
   }
 
+  test("streaming vector-index maintenance == batch s12 delta; sealed segments never rewritten; idempotent replay") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val base = java.nio.file.Files.createTempDirectory("graft_svec")
+    val src  = base.resolve("src"); java.nio.file.Files.createDirectories(src)
+    val stagingDir = base.resolve("stage")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      df.coalesce(1).write.mode("overwrite").parquet(s"$stagingDir/$name")
+      java.nio.file.Files.move(
+        java.nio.file.Files.list(stagingDir.resolve(name)).filter(_.toString.endsWith(".parquet")).findFirst.get,
+        src.resolve(s"$name.parquet")
+      )
+    }
+    // s12's maintenance split at sf0.001: base = vec_id < 250, batch = rest
+    val split      = 250L
+    val vecs       = graft.sources.Tables.embeddings(spark, sf0001)
+    val baseLayout = Similarity.ivfBaseLayoutCache(spark, sf0001, 16, split)
+    val deltaDir   = s"$base/delta"
+    // the batch half arrives as TWO staged micro-batches at an arbitrary cut
+    stage(vecs.where(col("vec_id") >= split && col("vec_id") < 375), "b1")
+    val q = graft.streaming.VectorIndexStream.deltaSegmentsStream(
+      spark, src.toString, baseLayout, deltaDir, s"$base/ckpt"
+    )
+    val b0Seg = java.nio.file.Paths.get(s"$deltaDir/batch_id=0")
+    def firstParquetMtime(p: java.nio.file.Path): Long = {
+      val it = java.nio.file.Files.walk(p).filter(_.toString.endsWith(".parquet")).findFirst.get
+      it.toFile.lastModified()
+    }
+    val mtime0 =
+      try {
+        q.processAllAvailable()
+        firstParquetMtime(b0Seg)
+      } finally {
+        stage(vecs.where(col("vec_id") >= 375), "b2")
+        q.processAllAvailable()
+        q.stop()
+      }
+    // streamed segments carry exactly the assignments the frozen centroids
+    // dictate — the batch-mode s12 delta over the same half, bit-equal on
+    // (vec_id, cl)
+    def asg(df: org.apache.spark.sql.DataFrame): Set[(Long, Int)] =
+      df.select(col("vec_id"), col("cl").cast("int")).collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val streamed   = asg(spark.read.parquet(deltaDir))
+    val batchDelta = asg(
+      spark.read.parquet(s"${Similarity.ivfDeltaLayoutCache(spark, sf0001, 16, split)}/vectors.parquet")
+    )
+    assert(streamed == batchDelta && streamed.nonEmpty)
+    // batch 0's segment is sealed: byte-identical (same file, same mtime)
+    // after batch 1 ran
+    assert(firstParquetMtime(b0Seg) == mtime0, "batch-0 delta segment was rewritten by batch 1")
+    // checkpoint-replay idempotence: re-processing batch 0's input under the
+    // same batch_id rewrites the same directory — no duplicated vectors
+    graft.streaming.VectorIndexStream.processBatch(
+      vecs.where(col("vec_id") >= split && col("vec_id") < 375), baseLayout, deltaDir, 0L
+    )
+    assert(asg(spark.read.parquet(deltaDir)) == streamed)
+    // query side: with every cluster probed, base + streamed delta is
+    // exhaustive — must equal s1's brute-force ranking exactly
+    val qv = vecs.where(col("vec_id") === 0L).select("embedding").head().getSeq[Float](0)
+    val got = Similarity
+      .probeSearchStreamed(spark, baseLayout, deltaDir, qv, queryId = 0L, k = 10, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val brute = Similarity.annBruteForce(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == brute)
+  }
+
   test("w4 hopping windows: planted events land in exactly their 2 covering 12h-grid windows") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_hop").toString
