@@ -155,7 +155,8 @@ object Bpe {
 
   /** The trained tokenizer as a PERSISTED layout — `merges.parquet`
     * (merge_rank, left, right, pair_cnt) and `vocab.parquet`
-    * (word, n_sub: the word's post-merge symbol count) under a
+    * (word, subs: the word's post-merge symbol array — v5's encode source —
+    * and n_sub, its length) under a
     * content-fingerprinted [[graft.sources.LayoutCache]] key. A tokenizer
     * is trained ONCE and consumed everywhere — exactly the MinHash-index /
     * sq8 contract: v1 was the only registered component that re-ran a

@@ -216,14 +216,36 @@ object Multimodal {
       } finally if (iis != null) iis.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Cheap container-signature gate for the multi-frame decode path: GIF
+    * (`GIF87a`/`GIF89a`) is the only bundled-JDK multi-frame format the
+    * corpus carries, so single-frame payloads (JPEG/PNG — the common case)
+    * skip [[decodeFrames]] entirely instead of paying a full raster decode
+    * just to discard it (ADVICE r9).
+    */
+  private[graft] def isGifSignature(b: Array[Byte]): Boolean =
+    b.length >= 6 && b(0) == 'G'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte && b(3) == '8'.toByte
+
   /** REAL multi-frame decode via the ImageIO sequence API — container
     * formats whose bundled JDK reader exposes multiple images (animated
     * GIF being the universal one) yield EVERY frame as a [[DecodedImage]];
-    * single-frame formats yield a 1-element seq. The same
-    * hostile-header stance as [[decodeImageIo]]: per-frame dimensions are
-    * validated against [[MaxImagePixels]] from the header before any
-    * raster is allocated, and the TOTAL pixel budget across frames is
-    * capped by the same bound (a 10,000-frame GIF bomb rejects instead of
+    * single-frame formats yield a 1-element seq.
+    *
+    * GIF frames are COMPOSITED against the logical screen: optimized GIFs
+    * store later frames as delta rectangles at an (x, y) offset with a
+    * per-frame disposal method, so the raw raster is a partial patch, not
+    * the frame a viewer shows. Each emitted frame is the full logical
+    * screen after drawing the patch (transparent pixels leave the prior
+    * content visible), then disposal applies: `none`/`doNotDispose` keep
+    * the canvas, `restoreToBackgroundColor` clears the patch rect,
+    * `restoreToPrevious` reverts it. Undrawn/cleared canvas reads as
+    * black. Non-GIF multi-frame readers (none bundled in the corpus's
+    * formats) keep the raw per-image rasters.
+    *
+    * The same hostile-header stance as [[decodeImageIo]]: per-frame
+    * dimensions are validated against [[MaxImagePixels]] from the header
+    * before any raster is allocated, and BOTH the total source raster
+    * budget and the total composited output budget (n × screen) are capped
+    * by the same bound (a 10,000-frame GIF bomb rejects instead of
     * materializing), all under the shared return-None contract.
     */
   private[graft] def decodeFrames(b: Array[Byte]): Option[Vector[DecodedImage]] =
@@ -237,30 +259,106 @@ object Multimodal {
           reader.setInput(iis, false, true) // seekForwardOnly=false: getNumImages needs scans
           val n = reader.getNumImages(true)
           if (n <= 0) return None
-          val out         = Vector.newBuilder[DecodedImage]
-          var totalPixels = 0L
-          var i           = 0
-          while (i < n) {
-            val w = reader.getWidth(i)
-            val h = reader.getHeight(i)
-            totalPixels += w.toLong * h.toLong
-            if (w <= 0 || h <= 0 || totalPixels > MaxImagePixels) return None
-            val img  = reader.read(i)
-            val rgbs = img.getRGB(0, 0, w, h, null, 0, w)
-            val gray = new Array[Float](w * h)
-            var j = 0
-            while (j < gray.length) {
-              val p = rgbs(j)
-              gray(j) = ((((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3.0f) / 255.0f
-              j += 1
+          val isGif = reader.getFormatName.equalsIgnoreCase("gif")
+          // logical screen for compositing; frame-0 dims when absent
+          var sw = 0
+          var sh = 0
+          if (isGif) {
+            val sm = reader.getStreamMetadata
+            if (sm != null) {
+              val tree = sm.getAsTree("javax_imageio_gif_stream_1.0").asInstanceOf[org.w3c.dom.Element]
+              val lsd  = tree.getElementsByTagName("LogicalScreenDescriptor")
+              if (lsd.getLength > 0) {
+                val e = lsd.item(0).asInstanceOf[org.w3c.dom.Element]
+                sw = e.getAttribute("logicalScreenWidth").toInt
+                sh = e.getAttribute("logicalScreenHeight").toInt
+              }
             }
-            out += DecodedImage(w, h, gray)
-            i += 1
+            if (sw <= 0 || sh <= 0) { sw = reader.getWidth(0); sh = reader.getHeight(0) }
+            if (sw <= 0 || sh <= 0 || n.toLong * sw * sh > MaxImagePixels) return None
           }
-          Some(out.result())
+          val canvas =
+            if (isGif) new java.awt.image.BufferedImage(sw, sh, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+            else null
+          val g = if (isGif) canvas.createGraphics() else null
+          try {
+            val out         = Vector.newBuilder[DecodedImage]
+            var totalPixels = 0L
+            var i           = 0
+            while (i < n) {
+              val w = reader.getWidth(i)
+              val h = reader.getHeight(i)
+              totalPixels += w.toLong * h.toLong
+              if (w <= 0 || h <= 0 || totalPixels > MaxImagePixels) return None
+              val img = reader.read(i)
+              if (!isGif) {
+                out += toGray(img.getRGB(0, 0, w, h, null, 0, w), w, h)
+              } else {
+                val (left, top, disposal) = gifFrameGeometry(reader, i)
+                val prev =
+                  if (disposal == "restoreToPrevious")
+                    canvas.getRGB(0, 0, sw, sh, null, 0, sw)
+                  else null
+                g.drawImage(img, left, top, null)
+                out += toGray(canvas.getRGB(0, 0, sw, sh, null, 0, sw), sw, sh)
+                disposal match {
+                  case "restoreToBackgroundColor" =>
+                    g.setComposite(java.awt.AlphaComposite.Clear)
+                    g.fillRect(left, top, w, h)
+                    g.setComposite(java.awt.AlphaComposite.SrcOver)
+                  case "restoreToPrevious" =>
+                    canvas.setRGB(0, 0, sw, sh, prev, 0, sw)
+                  case _ => () // none / doNotDispose: canvas persists
+                }
+              }
+              i += 1
+            }
+            Some(out.result())
+          } finally if (g != null) g.dispose()
         } finally reader.dispose()
       } finally if (iis != null) iis.close()
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** ARGB pixel array → grayscale [[DecodedImage]] (alpha ignored:
+    * transparent canvas is transparent-BLACK, the documented composite
+    * background).
+    */
+  private def toGray(rgbs: Array[Int], w: Int, h: Int): DecodedImage = {
+    val gray = new Array[Float](w * h)
+    var j = 0
+    while (j < gray.length) {
+      val p = rgbs(j)
+      gray(j) = ((((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3.0f) / 255.0f
+      j += 1
+    }
+    DecodedImage(w, h, gray)
+  }
+
+  /** Frame i's (left, top, disposalMethod) from the GIF image metadata tree
+    * (`ImageDescriptor` position attributes + `GraphicControlExtension`
+    * disposal); (0, 0, "none") when a node is absent.
+    */
+  private def gifFrameGeometry(reader: javax.imageio.ImageReader, i: Int): (Int, Int, String) = {
+    var left     = 0
+    var top      = 0
+    var disposal = "none"
+    val md       = reader.getImageMetadata(i)
+    if (md != null) {
+      val tree = md.getAsTree("javax_imageio_gif_image_1.0").asInstanceOf[org.w3c.dom.Element]
+      val desc = tree.getElementsByTagName("ImageDescriptor")
+      if (desc.getLength > 0) {
+        val e = desc.item(0).asInstanceOf[org.w3c.dom.Element]
+        left = e.getAttribute("imageLeftPosition").toInt
+        top = e.getAttribute("imageTopPosition").toInt
+      }
+      val gce = tree.getElementsByTagName("GraphicControlExtension")
+      if (gce.getLength > 0) {
+        val d = gce.item(0).asInstanceOf[org.w3c.dom.Element].getAttribute("disposalMethod")
+        if (d.nonEmpty) disposal = d
+      }
+    }
+    (left, top, disposal)
+  }
 
   final case class DecodedAudio(sampleRate: Int, channels: Int, samples: Array[Float])
 
@@ -510,7 +608,11 @@ object Multimodal {
     import media.sparkSession.implicits._
     media
       .flatMap { r =>
-        decodeFrames(r.payload) match {
+        // signature-gated: only GIF payloads can be multi-frame here, so
+        // JPEG/PNG (the common case) never pay a raster decode that would
+        // be discarded by the single-frame fallback (ADVICE r9)
+        val multi = if (isGifSignature(r.payload)) decodeFrames(r.payload) else None
+        multi match {
           case Some(frames) if frames.length > 1 =>
             Range(0, frames.length, stride)
               .map(i => SampledFrame(r.media_id, i, encodePgm(frames(i))))

@@ -116,15 +116,59 @@ class MultimodalSpec extends SparkSpec {
     * the multi-frame decoder is checked against the JDK's own writer, not
     * itself.
     */
-  private def makeAnimatedGif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+  private def makeAnimatedGif(
+      frames: Seq[java.awt.image.BufferedImage],
+      offsets: Seq[(Int, Int)] = Seq.empty
+  ): Array[Byte] = {
     val baos   = new java.io.ByteArrayOutputStream()
     val ios    = javax.imageio.ImageIO.createImageOutputStream(baos)
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
     writer.setOutput(ios)
     writer.prepareWriteSequence(null)
-    frames.foreach(f => writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+    frames.zipWithIndex.foreach { case (f, i) =>
+      val meta =
+        if (offsets.isEmpty) null
+        else {
+          // per-frame ImageDescriptor offsets — the delta-rectangle form
+          // optimized GIF encoders emit
+          val ts   = javax.imageio.ImageTypeSpecifier.createFromRenderedImage(f)
+          val m    = writer.getDefaultImageMetadata(ts, null)
+          val fmt  = "javax_imageio_gif_image_1.0"
+          val root = m.getAsTree(fmt).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          val d    = root.getElementsByTagName("ImageDescriptor").item(0)
+            .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          d.setAttribute("imageLeftPosition", offsets(i)._1.toString)
+          d.setAttribute("imageTopPosition", offsets(i)._2.toString)
+          m.setFromTree(fmt, root)
+          m
+        }
+      writer.writeToSequence(new javax.imageio.IIOImage(f, null, meta), null)
+    }
     writer.endWriteSequence(); writer.dispose(); ios.close()
     baos.toByteArray
+  }
+
+  test("optimized-GIF delta frames composite against the logical screen (offset patch keeps prior content)") {
+    def solid(w: Int, h: Int, v: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      img
+    }
+    // frame 0 fills the 4x4 screen; frame 1 is a 2x2 patch stored at (2,2) —
+    // the raw raster would read as a 2x2 image, the composited frame as the
+    // full screen with only that quadrant updated
+    val gif    = makeAnimatedGif(Seq(solid(4, 4, 100), solid(2, 2, 200)), offsets = Seq((0, 0), (2, 2)))
+    val frames = Multimodal.decodeFrames(gif).get
+    assert(frames.length == 2)
+    assert(frames.forall(f => f.width == 4 && f.height == 4), frames.map(f => (f.width, f.height)))
+    val f1 = frames(1)
+    def px(x: Int, y: Int): Float = f1.gray(y * 4 + x)
+    assert(math.abs(px(3, 3) - 200f / 255f) <= 1.5f / 255f, f1.gray.toSeq)
+    assert(math.abs(px(2, 2) - 200f / 255f) <= 1.5f / 255f)
+    // outside the patch rect, frame 0's pixels persist (disposal none)
+    Seq((0, 0), (3, 0), (0, 3), (1, 1)).foreach { case (x, y) =>
+      assert(math.abs(px(x, y) - 100f / 255f) <= 1.5f / 255f, s"($x,$y) = ${px(x, y)}")
+    }
   }
 
   test("frame sampling decodes REAL animated-GIF frames; each sampled payload is that frame's pixels") {
