@@ -201,6 +201,7 @@ object SparkEntry {
     // demux of the new slice) — per-payload rows are disjoint across
     // segments, so maintenance is exact and m2's oracle applies verbatim
     "m3_media_demux_incremental" -> (Multimodal.mediaDemuxIncremental _),
+    "m4_mp4_frames"              -> (Multimodal.mp4FrameQuery _),
     // round 8: semantic decontamination — nearest benchmark vector +
     // above-threshold count per training vector (integer-only output)
     "d22_decontaminate_semantic" -> ((s: SparkSession, d: String) => Curation.decontaminateSemantic(s, d)),
@@ -795,8 +796,8 @@ object SparkEntry {
       ("SELECT doc_id, " +
         "CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' WHEN 2 THEN 'audio' ELSE 'video' END AS kind, " +
         "TRUE AS ok, " +
-        "CASE WHEN doc_id % 4 = 0 THEN doc_id % 14 + 2 ELSE 0 END AS width, " +
-        "CASE WHEN doc_id % 4 = 0 THEN doc_id % 10 + 1 ELSE 0 END AS height, " +
+        "CASE WHEN doc_id % 4 = 0 OR doc_id % 4 = 3 THEN doc_id % 14 + 2 ELSE 0 END AS width, " +
+        "CASE WHEN doc_id % 4 = 0 THEN doc_id % 10 + 1 WHEN doc_id % 4 = 3 THEN doc_id % 10 + 2 ELSE 0 END AS height, " +
         "CASE WHEN doc_id % 4 = 1 THEN 8000 WHEN doc_id % 4 = 2 THEN 44100 ELSE 0 END AS sample_rate, " +
         "CASE WHEN doc_id % 4 = 1 THEN (LEAST(GREATEST(n_chars, 1), 64) * 1000) // 8000 " +
         "WHEN doc_id % 4 = 2 THEN (LEAST(n_chars // 10 + 1, 5) * 1152 * 1000) // 44100 " +
@@ -804,6 +805,21 @@ object SparkEntry {
         "CASE WHEN doc_id % 4 = 0 THEN 1 WHEN doc_id % 4 = 1 THEN LEAST(GREATEST(n_chars, 1), 64) " +
         "WHEN doc_id % 4 = 2 THEN LEAST(n_chars // 10 + 1, 5) ELSE LEAST(n_chars, 50) END AS n_frames, " +
         "1 AS n_tracks FROM documents ORDER BY doc_id"),
+    // m4: the synthetic-media contract applied to I-frame extraction — every
+    // column, including the extracted-payload byte sum, is (doc_id, n_chars)
+    // arithmetic (sample i: (i%5)+1 bytes of value (i*13+doc_id)%256, sync
+    // every 4th), so the stco/stsc/stsz/stss resolution sits inside the
+    // hash-checked path.
+    "m4_mp4_frames" ->
+      ("WITH v AS (SELECT doc_id, LEAST(n_chars, 50) AS s FROM documents WHERE doc_id % 4 = 3), " +
+        "f AS (SELECT doc_id, i FROM v, UNNEST(range(s)) AS t(i)) " +
+        "SELECT v.doc_id, (v.doc_id % 14 + 2)::BIGINT AS width, (v.doc_id % 10 + 2)::BIGINT AS height, " +
+        "v.s::BIGINT AS n_samples, " +
+        "COALESCE(SUM(CASE WHEN f.i % 4 = 0 THEN 1 ELSE 0 END), 0)::BIGINT AS n_sync, " +
+        "COALESCE(SUM(CASE WHEN f.i % 4 = 0 THEN (f.i % 5) + 1 ELSE 0 END), 0)::BIGINT AS sync_bytes, " +
+        "COALESCE(SUM(CASE WHEN f.i % 4 = 0 THEN ((f.i % 5) + 1) * ((f.i * 13 + v.doc_id) % 256) ELSE 0 END), 0)::BIGINT AS sync_byte_sum " +
+        "FROM v LEFT JOIN f ON v.doc_id = f.doc_id " +
+        "GROUP BY v.doc_id, v.s ORDER BY v.doc_id"),
     "d22_decontaminate_semantic" -> d22Oracle,
     // d23: reachability CTE (n6's) gives each pair-touched doc its min
     // reachable id = the engine's star-contraction cluster label; split
@@ -849,8 +865,8 @@ object SparkEntry {
       ("SELECT doc_id, " +
         "CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' WHEN 2 THEN 'audio' ELSE 'video' END AS kind, " +
         "TRUE AS ok, " +
-        "CASE WHEN doc_id % 4 = 0 THEN doc_id % 14 + 2 ELSE 0 END AS width, " +
-        "CASE WHEN doc_id % 4 = 0 THEN doc_id % 10 + 1 ELSE 0 END AS height, " +
+        "CASE WHEN doc_id % 4 = 0 OR doc_id % 4 = 3 THEN doc_id % 14 + 2 ELSE 0 END AS width, " +
+        "CASE WHEN doc_id % 4 = 0 THEN doc_id % 10 + 1 WHEN doc_id % 4 = 3 THEN doc_id % 10 + 2 ELSE 0 END AS height, " +
         "CASE WHEN doc_id % 4 = 1 THEN 8000 WHEN doc_id % 4 = 2 THEN 44100 ELSE 0 END AS sample_rate, " +
         "CASE WHEN doc_id % 4 = 1 THEN (LEAST(GREATEST(n_chars, 1), 64) * 1000) // 8000 " +
         "WHEN doc_id % 4 = 2 THEN (LEAST(n_chars // 10 + 1, 5) * 1152 * 1000) // 44100 " +

@@ -720,17 +720,30 @@ object Multimodal {
     }
   }
 
-  final case class Mp4Track(handler: String, timescale: Long, durationMs: Long, nSamples: Long)
-  final case class Mp4Meta(brand: String, durationMs: Long, tracks: Seq[Mp4Track])
+  final case class Mp4Track(
+      handler: String, timescale: Long, durationMs: Long, nSamples: Long,
+      width: Int = 0, height: Int = 0)
+  /** One addressable sample of the video track: absolute file offset + byte
+    * size from the stco/stsc/stsz walk, sync (I-frame) flag from stss
+    * (absent stss ⇒ every sample is sync, per ISO 14496-12 §8.6.2).
+    */
+  final case class Mp4Sample(offset: Long, size: Long, sync: Boolean)
+  final case class Mp4Meta(
+      brand: String, durationMs: Long, tracks: Seq[Mp4Track],
+      videoSamples: Seq[Mp4Sample] = Nil)
 
   /** REAL MP4 / ISO-BMFF box parser: walks the `[size][type]` box tree
     * (64-bit largesize supported), recursing into moov/trak/mdia/minf/stbl,
     * and extracts the movie duration (mvhd v0/v1), and per track the
-    * handler type (vide/soun), media timescale + duration (mdhd) and
-    * sample count (stsz) — the demux layer video frame-sampling plumbing
-    * needs (sample counts and timing come from the container, no codec
-    * involved). The codec payload decode stays behind the disclosed stub.
-    * Hostile/truncated structures → None, never a throw or an overrun.
+    * handler type (vide/soun), media timescale + duration (mdhd), track
+    * dimensions (tkhd, 16.16 fixed point) and sample count (stsz). For the
+    * FIRST video track the full sample table is resolved — per-sample sizes
+    * (stsz), chunk offsets (stco), sample-to-chunk runs (stsc) and sync
+    * flags (stss) combine into absolute `(offset, size, sync)` addresses
+    * ([[Mp4Sample]]) — so I-frame payloads are extractable from the
+    * container with no codec involved; the codec payload decode itself
+    * stays behind the disclosed stub. Hostile/truncated structures → None,
+    * never a throw or an overrun.
     */
   private[graft] def parseMp4(b: Array[Byte]): Option[Mp4Meta] = {
     def u32(o: Int): Long =
@@ -743,11 +756,53 @@ object Multimodal {
     var movieDurMs                   = 0L
     val tracks                       = scala.collection.mutable.ArrayBuffer.empty[Mp4Track]
     var tHandler                     = ""; var tScale = 0L; var tDurMs = 0L; var tSamples = 0L
+    var tW                           = 0; var tH = 0
+    var tSizes: Array[Long]          = null // per-sample sizes (null = uniform tUniform)
+    var tUniform                     = 0L
+    var tChunkOffs: Array[Long]      = null
+    var tStsc: Array[(Long, Long)]   = null // (first_chunk, samples_per_chunk)
+    var tSync: Array[Long]           = null // 1-indexed sync sample numbers
+    var videoSamples: Seq[Mp4Sample] = Nil
     var sawFtyp                      = false
 
-    def flushTrack(): Unit = if (tScale > 0 || tSamples > 0 || tHandler.nonEmpty) {
-      tracks += Mp4Track(tHandler, tScale, tDurMs, tSamples)
-      tHandler = ""; tScale = 0L; tDurMs = 0L; tSamples = 0L
+    /** stco/stsc/stsz/stss → absolute per-sample addresses (first video
+      * track only). Chunks take their samples-per-chunk from the stsc run
+      * in force; samples are laid out back-to-back within each chunk.
+      */
+    def resolveSamples(): Seq[Mp4Sample] = {
+      if (tChunkOffs == null || tStsc == null || tStsc.isEmpty) return Nil
+      val n =
+        if (tSizes != null) tSizes.length
+        else if (tUniform > 0 && tSamples > 0 && tSamples <= Int.MaxValue) tSamples.toInt
+        else return Nil // per-entry sizes declared but table unresolvable
+      val syncSet = if (tSync == null) null else tSync.toSet
+      val out     = scala.collection.mutable.ArrayBuffer.empty[Mp4Sample]
+      var sample  = 0
+      var chunk   = 0
+      while (chunk < tChunkOffs.length && sample < n) {
+        // samples-per-chunk = last stsc entry whose first_chunk ≤ this chunk
+        var spc = tStsc.head._2
+        var e   = 0
+        while (e < tStsc.length && tStsc(e)._1 <= chunk + 1) { spc = tStsc(e)._2; e += 1 }
+        var off = tChunkOffs(chunk)
+        var j   = 0L
+        while (j < spc && sample < n) {
+          val sz = if (tSizes != null) tSizes(sample) else tUniform
+          out += Mp4Sample(off, sz, syncSet == null || syncSet.contains(sample + 1L))
+          off += sz; sample += 1; j += 1
+        }
+        chunk += 1
+      }
+      out.toSeq
+    }
+
+    def flushTrack(): Unit = {
+      if (tScale > 0 || tSamples > 0 || tHandler.nonEmpty) {
+        tracks += Mp4Track(tHandler, tScale, tDurMs, tSamples, tW, tH)
+        if (tHandler == "vide" && videoSamples.isEmpty) videoSamples = resolveSamples()
+      }
+      tHandler = ""; tScale = 0L; tDurMs = 0L; tSamples = 0L; tW = 0; tH = 0
+      tSizes = null; tUniform = 0L; tChunkOffs = null; tStsc = null; tSync = null
     }
 
     def walk(start: Int, end: Int): Boolean = {
@@ -782,9 +837,40 @@ object Multimodal {
           case "hdlr" =>
             if (size < hdr + 12) return false
             tHandler = typ(body + 4) // handler_type at body+8, typ reads o+4
+          case "tkhd" =>
+            // v0 fixed layout: width/height as 16.16 at body+76/+80
+            if (size >= hdr + 84 && (b(body) & 0xff) == 0) {
+              tW = (u32(body + 76) >> 16).toInt
+              tH = (u32(body + 80) >> 16).toInt
+            }
+          // Sample-table boxes degrade LENIENTLY: a declared entry count
+          // that does not fit inside the box keeps the header-level
+          // metadata (e.g. stsz's sample_count) but skips the table — the
+          // sample index is then unresolvable (no addressing, no frame
+          // extraction) without rejecting the whole container. Truncated
+          // tables can never overrun: entries are read only when the full
+          // declared span fits.
           case "stsz" =>
             if (size < hdr + 12) return false
+            tUniform = u32(body + 4)
             tSamples = u32(body + 8) // sample_count
+            if (tUniform == 0 && tSamples <= (size - hdr - 12) / 4)
+              tSizes = Array.tabulate(tSamples.toInt)(i => u32(body + 12 + 4 * i))
+          case "stco" =>
+            if (size < hdr + 8) return false
+            val n = u32(body + 4)
+            if (n <= (size - hdr - 8) / 4)
+              tChunkOffs = Array.tabulate(n.toInt)(i => u32(body + 8 + 4 * i))
+          case "stsc" =>
+            if (size < hdr + 8) return false
+            val n = u32(body + 4)
+            if (n <= (size - hdr - 8) / 12)
+              tStsc = Array.tabulate(n.toInt)(i => (u32(body + 8 + 12 * i), u32(body + 12 + 12 * i)))
+          case "stss" =>
+            if (size < hdr + 8) return false
+            val n = u32(body + 4)
+            if (n <= (size - hdr - 8) / 4)
+              tSync = Array.tabulate(n.toInt)(i => u32(body + 8 + 4 * i))
           case "trak" =>
             if (!walk(body, pos + size.toInt)) return false
             flushTrack()
@@ -799,8 +885,24 @@ object Multimodal {
     }
 
     if (b.length < 8 || !walk(0, b.length) || !sawFtyp) None
-    else Some(Mp4Meta(brand, movieDurMs, tracks.toSeq))
+    else Some(Mp4Meta(brand, movieDurMs, tracks.toSeq, videoSamples))
   }
+
+  /** I-FRAME extraction from an MP4 payload: every sync sample's bytes,
+    * sliced at the stco/stsc/stsz-resolved address. Out-of-bounds addresses
+    * (hostile or truncated files) are skipped, never overrun. Frame numbers
+    * are the track's 1-indexed sample numbers, so a consumer can correlate
+    * with stss directly.
+    */
+  private[graft] def mp4SyncFrames(b: Array[Byte]): Seq[(Int, Array[Byte])] =
+    parseMp4(b) match {
+      case None => Nil
+      case Some(m) =>
+        m.videoSamples.zipWithIndex.collect {
+          case (s, i) if s.sync && s.offset >= 0 && s.size >= 0 && s.offset + s.size <= b.length =>
+            (i + 1, java.util.Arrays.copyOfRange(b, s.offset.toInt, (s.offset + s.size).toInt))
+        }
+    }
 
   /** Demux metadata per media row, format-dispatched across EVERY family
     * the engine handles: real image decode dims, WAV sample counts, MP3
@@ -846,7 +948,8 @@ object Multimodal {
               case "video/mp4" =>
                 val m = parseMp4(r.payload)
                 val vid = m.flatMap(_.tracks.find(_.handler == "vide"))
-                MediaDemux(r.media_id, "video", m.isDefined, 0, 0, 0,
+                MediaDemux(r.media_id, "video", m.isDefined,
+                  vid.map(_.width).getOrElse(0), vid.map(_.height).getOrElse(0), 0,
                   m.map(_.durationMs).getOrElse(0L),
                   vid.map(_.nSamples).getOrElse(0L), m.map(_.tracks.length).getOrElse(0))
               case _ =>
@@ -920,16 +1023,42 @@ object Multimodal {
         val frame = new Array[Byte](417)
         frame(0) = 0xff.toByte; frame(1) = 0xfb.toByte; frame(2) = 0x90.toByte; frame(3) = 0xc0.toByte
         MediaRow(id, "audio/mpeg", 0, 0, nf, Array.fill(nf)(frame).flatten)
-      case _ => // MP4: one video track, duration/samples from n_chars
+      case _ => // MP4: one video track with a REAL sample table + mdat payload
         val durMs   = (nChars % 100) * 10
-        val samples = math.min(nChars, 50L)
-        val ftyp    = box("ftyp", "isom".getBytes ++ u32(0) ++ "isom".getBytes)
-        val mvhd    = box("mvhd", u32(0, 0, 0, 1000, durMs) ++ new Array[Byte](80))
-        val mdhd    = box("mdhd", u32(0, 0, 0, 1000, durMs, 0))
-        val hdlr    = box("hdlr", u32(0, 0) ++ "vide".getBytes("US-ASCII") ++ new Array[Byte](13))
-        val stsz    = box("stsz", u32(0, 1, samples))
-        val trak    = box("trak", box("mdia", mdhd ++ hdlr ++ box("minf", box("stbl", stsz))))
-        MediaRow(id, "video/mp4", 0, 0, 1, ftyp ++ box("moov", mvhd ++ trak))
+        val samples = math.min(nChars, 50L).toInt
+        val w       = (id % 14 + 2).toInt
+        val h       = (id % 10 + 2).toInt
+        // per-sample size (i%5)+1 bytes, every byte of sample i is
+        // ((i*13+id)%256), sync (I-frame) every 4th sample — all pure
+        // (doc_id, n_chars) arithmetic so the m4 oracle predicts the
+        // extracted-payload byte sums with no binary parsing
+        val sizes = Array.tabulate(samples)(i => (i % 5) + 1)
+        val data  = Array.concat(Array.tabulate(samples) { i =>
+          Array.fill(sizes(i))(((i * 13 + id) % 256).toByte)
+        }: _*)
+        val syncNums = (0 until samples by 4).map(i => i + 1L) // 1-indexed
+        val ftyp     = box("ftyp", "isom".getBytes ++ u32(0) ++ "isom".getBytes)
+        def buildMoov(chunkOffset: Long): Array[Byte] = {
+          val mvhd = box("mvhd", u32(0, 0, 0, 1000, durMs) ++ new Array[Byte](80))
+          val tkhd = box(
+            "tkhd",
+            u32(0, 0, 0, 1, 0, durMs) ++ new Array[Byte](52) ++ u32(w.toLong << 16, h.toLong << 16)
+          )
+          val mdhd  = box("mdhd", u32(0, 0, 0, 1000, durMs, 0))
+          val hdlr  = box("hdlr", u32(0, 0) ++ "vide".getBytes("US-ASCII") ++ new Array[Byte](13))
+          val stsz  = box("stsz", u32((Seq(0L, 0L, samples.toLong) ++ sizes.map(_.toLong)): _*))
+          val stsc  = box("stsc", u32(0, 1, 1, samples, 1)) // one chunk run: all samples
+          val stco  = box("stco", u32(0, 1, chunkOffset))
+          val stss  = box("stss", u32((Seq(0L, syncNums.length.toLong) ++ syncNums): _*))
+          val stbl  = box("stbl", stsz ++ stsc ++ stco ++ stss)
+          val trak  = box("trak", tkhd ++ box("mdia", mdhd ++ hdlr ++ box("minf", stbl)))
+          box("moov", mvhd ++ trak)
+        }
+        // two-pass: moov's size is offset-independent, so build once to
+        // measure, once with the real mdat body offset
+        val moovLen = buildMoov(0L).length
+        val moov    = buildMoov(ftyp.length + moovLen + 8L)
+        MediaRow(id, "video/mp4", w, h, samples, ftyp ++ moov ++ box("mdat", data))
     }
   }
 
@@ -957,8 +1086,57 @@ object Multimodal {
         col("n_tracks").cast("long").as("n_tracks")
       )
 
-  /** Bump with any change to the stored media-catalog scheme. */
-  private[graft] val MediaCatSchemeVersion = 1
+  final case class Mp4FrameStats(
+      doc_id: Long,
+      width: Long,
+      height: Long,
+      n_samples: Long,
+      n_sync: Long,
+      sync_bytes: Long,
+      sync_byte_sum: Long
+  )
+
+  /** M4 — I-FRAME extraction stats over the synthetic MP4 slice: per video
+    * payload, the track dims (tkhd), sample count, sync-sample count and
+    * byte size (stss × stsz), and the SUM OF THE EXTRACTED I-FRAME PAYLOAD
+    * BYTES (unsigned) — the last column is the point: it is computable only
+    * by actually slicing mdat at the stco/stsc/stsz-resolved addresses
+    * ([[mp4SyncFrames]]), so a parser that misresolves any table breaks the
+    * driver's hash gate, not just a unit spec. The DuckDB oracle predicts
+    * every column from (doc_id, n_chars) arithmetic ([[syntheticMedia]]'s
+    * contract — no binary parsing oracle-side). The id-slice predicate
+    * pushes into the documents scan; per-payload work is a narrow
+    * mapPartitions, shuffle-free — frame extraction at 100 TB is a map over
+    * payload splits, exactly this shape.
+    */
+  def mp4FrameQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    syntheticMediaWhere(spark, dir, col("doc_id") % 4 === 3)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val m      = parseMp4(r.payload).getOrElse(Mp4Meta("", 0L, Nil))
+          val vid    = m.tracks.find(_.handler == "vide")
+          val frames = mp4SyncFrames(r.payload)
+          Mp4FrameStats(
+            r.media_id,
+            vid.map(_.width.toLong).getOrElse(0L),
+            vid.map(_.height.toLong).getOrElse(0L),
+            m.videoSamples.length.toLong,
+            frames.length.toLong,
+            frames.map(_._2.length.toLong).sum,
+            frames.map(_._2.map(_ & 0xff).map(_.toLong).sum).sum
+          )
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Bump with any change to the stored media-catalog scheme. v2: the
+    * synthetic MP4 corpus gained tkhd dims + a real sample table + mdat,
+    * so catalogs built from the v1 corpus must not be reused.
+    */
+  private[graft] val MediaCatSchemeVersion = 2
 
   /** The SEALED base-slice media catalog: demux rows for `doc_id <
     * batchStartId`, persisted once per corpus version. Decode/demux is the

@@ -528,6 +528,72 @@ class MultimodalSpec extends SparkSpec {
     assert(aud.durationMs == 2500L && aud.nSamples == 108L)
   }
 
+  test("MP4 sample table: stco/stsc/stsz/stss resolve to absolute addresses; I-frame payloads slice mdat") {
+    // two chunks: chunk 1 carries 2 samples, chunk 2 carries the remaining 1
+    // (stsc runs), per-sample sizes 3/1/2, samples 1 and 3 are sync — the
+    // payload bytes prove address arithmetic end-to-end
+    val ftyp  = box("ftyp", "isom".getBytes ++ u32be(0) ++ "isom".getBytes)
+    val mdat  = Array[Byte](10, 11, 12, 20, 30, 31) // s1=10,11,12  s2=20  s3=30,31
+    def moovFor(c1: Long, c2: Long): Array[Byte] = {
+      val tkhd = box("tkhd", u32be(0, 0, 0, 1, 0, 1000) ++ new Array[Byte](52) ++ u32be(64L << 16, 48L << 16))
+      val mdhd = box("mdhd", u32be(0, 0, 0, 1000, 1000, 0))
+      val hdlr = box("hdlr", u32be(0, 0) ++ "vide".getBytes ++ new Array[Byte](13))
+      val stsz = box("stsz", u32be(0, 0, 3, 3, 1, 2))
+      val stsc = box("stsc", u32be(0, 2, 1, 2, 1, 2, 1, 1)) // chunk1: 2 samples, chunk2+: 1
+      val stco = box("stco", u32be(0, 2, c1, c2))
+      val stss = box("stss", u32be(0, 2, 1, 3))
+      val stbl = box("stbl", stsz ++ stsc ++ stco ++ stss)
+      val mvhd = box("mvhd", u32be(0, 0, 0, 1000, 1000) ++ new Array[Byte](80))
+      box("moov", mvhd ++ box("trak", tkhd ++ box("mdia", mdhd ++ hdlr ++ box("minf", stbl))))
+    }
+    val moovLen = moovFor(0, 0).length
+    val base    = ftyp.length + moovLen + 8 // mdat body start
+    val payload = ftyp ++ moovFor(base, base + 4) ++ box("mdat", mdat)
+    val m       = Multimodal.parseMp4(payload).get
+    val vid     = m.tracks.find(_.handler == "vide").get
+    assert(vid.width == 64 && vid.height == 48)
+    assert(m.videoSamples.map(s => (s.offset - base, s.size, s.sync)) ==
+      Seq((0L, 3L, true), (3L, 1L, false), (4L, 2L, true)))
+    val frames = Multimodal.mp4SyncFrames(payload)
+    assert(frames.map(_._1) == Seq(1, 3))
+    assert(frames(0)._2.toSeq == Seq[Byte](10, 11, 12))
+    assert(frames(1)._2.toSeq == Seq[Byte](30, 31))
+    // absent stss ⇒ every sample is sync (ISO 14496-12 §8.6.2)
+    def moovNoStss(c1: Long, c2: Long): Array[Byte] = {
+      val tkhd = box("tkhd", u32be(0, 0, 0, 1, 0, 1000) ++ new Array[Byte](52) ++ u32be(64L << 16, 48L << 16))
+      val mdhd = box("mdhd", u32be(0, 0, 0, 1000, 1000, 0))
+      val hdlr = box("hdlr", u32be(0, 0) ++ "vide".getBytes ++ new Array[Byte](13))
+      val stsz = box("stsz", u32be(0, 0, 3, 3, 1, 2))
+      val stsc = box("stsc", u32be(0, 2, 1, 2, 1, 2, 1, 1))
+      val stco = box("stco", u32be(0, 2, c1, c2))
+      val mvhd = box("mvhd", u32be(0, 0, 0, 1000, 1000) ++ new Array[Byte](80))
+      box("moov", mvhd ++ box("trak", tkhd ++ box("mdia", mdhd ++ hdlr ++ box("minf", box("stbl", stsz ++ stsc ++ stco)))))
+    }
+    val mLen2 = moovNoStss(0, 0).length
+    val base2 = ftyp.length + mLen2 + 8
+    val p2    = ftyp ++ moovNoStss(base2, base2 + 4) ++ box("mdat", mdat)
+    assert(Multimodal.mp4SyncFrames(p2).map(_._1) == Seq(1, 2, 3))
+    // out-of-bounds chunk offsets: index resolves, extraction skips (no overrun)
+    val p3 = ftyp ++ moovFor(100000, 100004) ++ box("mdat", mdat)
+    assert(Multimodal.mp4SyncFrames(p3).isEmpty)
+  }
+
+  test("m4 synthetic mp4: sync-frame payload bytes match the (doc_id, n_chars) arithmetic") {
+    // one synthetic row checked against hand arithmetic: doc_id=7, n_chars=23
+    // → samples 23, sizes (i%5)+1, sync every 4th, bytes (i*13+7)%256
+    val r = Multimodal.synthRow(7L, 23L)
+    assert(r.format == "video/mp4" && r.width == 9 && r.height == 9)
+    val frames = Multimodal.mp4SyncFrames(r.payload)
+    val expIdx = (0 until 23 by 4)
+    assert(frames.map(_._1) == expIdx.map(_ + 1))
+    expIdx.zip(frames).foreach { case (i, (_, bytes)) =>
+      assert(bytes.length == (i % 5) + 1, s"sample $i size")
+      assert(bytes.forall(_ == ((i * 13 + 7) % 256).toByte), s"sample $i content")
+    }
+    val meta = Multimodal.parseMp4(r.payload).get
+    assert(meta.videoSamples.length == 23 && meta.tracks.head.nSamples == 23)
+  }
+
   test("MP4 walk: truncated/hostile boxes return None, never overrun") {
     assert(Multimodal.parseMp4(new Array[Byte](4)).isEmpty)
     val ftyp = box("ftyp", "isom".getBytes ++ u32be(0))
