@@ -165,6 +165,82 @@ object ScaleRehearsal {
     }
   }
 
+  /** Per-task shuffle-read balance across a measured phase: max vs mean
+    * bytes over tasks that read any shuffle — the straggler factor that
+    * decides completion time on a real cluster (a stage is as slow as its
+    * fattest reducer, which wall-clock totals hide at local scale).
+    */
+  private class TaskBalance extends org.apache.spark.scheduler.SparkListener {
+    private val lock          = new Object
+    private var mx            = 0L
+    private var sum           = 0L
+    private var n             = 0L
+    override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        val r = m.shuffleReadMetrics.totalBytesRead
+        if (r > 0) lock.synchronized { mx = math.max(mx, r); sum += r; n += 1 }
+      }
+    }
+    def reset(): Unit = lock.synchronized { mx = 0; sum = 0; n = 0 }
+    /** (max, mean, taskCount) over shuffle-reading tasks since reset. */
+    def stats: (Long, Long, Long) = lock.synchronized { (mx, if (n > 0) sum / n else 0L, n) }
+  }
+
+  /** No-broadcast TPC-H join rehearsal (verdict r9 #7): the multi-table
+    * join chains on the 10× corpus with BOTH broadcast paths disabled —
+    * the planner threshold and AQE's runtime sort-merge→broadcast
+    * conversion — i.e. the pure sort-merge world a 100 TB deployment hits
+    * when dimension tables outgrow executor memory. Run under
+    * `SPARK_DRIVER_MEM=4g` for the constrained-heap variant (the skew/
+    * pressure precedent). Records per query: wall, shuffle bytes, spill,
+    * and per-task reducer balance ([[TaskBalance]]). The claim to check:
+    * every chain completes with bounded spill and near-ideal reducer
+    * balance (the join keys are unskewed, so sort-merge partitions
+    * evenly) — the plans degrade from broadcast to exchange+sort, never
+    * to failure.
+    */
+  def tpchNoBroadcastRehearsal(spark: SparkSession, src: String, dst: String): Unit = {
+    build(spark, src, dst, 10)
+    val heapMb = Runtime.getRuntime.maxMemory() / 1048576
+    println(s"[tpchnb] heap=${heapMb}MiB corpus=$dst (broadcast disabled: planner + AQE conversion)")
+    val pm = new PhaseMetrics
+    val tb = new TaskBalance
+    spark.sparkContext.addSparkListener(pm)
+    spark.sparkContext.addSparkListener(tb)
+    val names = Seq(
+      "q9_star_join", "q10_rollup", "q21_part_brand_revenue",
+      "q23_bucketed_star", "q24_shipping_priority",
+      "q25_local_supplier_volume", "q26_monthly_order_trend",
+      "q28_above_nation_avg"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.range(1000000).selectExpr("sum(id)").collect() // warmup
+      for (round <- 1 to 2) { // round 1 warms page cache/JIT; round 2 is the record
+        names.foreach { name =>
+          tb.reset()
+          val (w0, m0, d0) = pm.snapshot
+          val t0           = System.nanoTime()
+          val rows         = SparkEntry.queries(name)(spark, dst).collect().length
+          val secs         = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(200) // let the listeners drain this phase's events
+          val (w1, m1, d1)   = pm.snapshot
+          val (mx, mean, nt) = tb.stats
+          println(
+            f"[tpchnb] round $round $name%-26s rows=$rows%-7d $secs%7.1f s  " +
+              f"shuffle=${(w1 - w0) / 1048576.0}%8.1f MiB  spill_mem=${(m1 - m0) / 1048576}%d MiB  spill_disk=${(d1 - d0) / 1048576}%d MiB  " +
+              f"reducer max/mean=${if (mean > 0) mx.toDouble / mean else 0.0}%.1fx over $nt%d tasks"
+          )
+        }
+      }
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   /** 100× dedup-family rehearsal: the n-family's collision bounds (band
     * width, stop-shingle cap, star-contraction rounds) checked one order of
     * magnitude past the 10× corpus, on a corpus whose DUPLICATE STRUCTURE
@@ -422,7 +498,117 @@ object ScaleRehearsal {
     println(f"[knn10] s14 recall@3 vs brute: $hits/$total = ${hits.toDouble / total}%.3f over ${truth.size} vectors")
   }
 
+  /** Embeddings-only replicated corpus for [[knn100Rehearsal]] — build()'s
+    * embeddings rule (ids offset, replicas i>0 jittered ±1% so each base
+    * vector's family is mutually near-dup) without paying for the other
+    * tables at 100×.
+    */
+  private def ensureReplicatedVecs(spark: SparkSession, src: String, dst: String, reps: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dst).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dst/_built"))) return
+    if (fs.exists(new org.apache.hadoop.fs.Path(dst))) fs.delete(new org.apache.hadoop.fs.Path(dst), true)
+    val base = spark.read.parquet(s"$src/embeddings.parquet")
+    (0 until reps).foreach { i =>
+      base
+        .withColumn("vec_id", col("vec_id") + lit(i * Stride))
+        .withColumn(
+          "embedding",
+          if (i == 0) col("embedding")
+          else expr(s"transform(embedding, (x, j) -> float(x + (pmod(hash(vec_id, j, $i), 1000) - 500) / 50000.0))")
+        )
+        .coalesce(1)
+        .write.mode("append").parquet(s"$dst/embeddings.parquet")
+    }
+    fs.create(new org.apache.hadoop.fs.Path(s"$dst/_built")).close()
+    println(s"[rehearsal] built ${reps}x embeddings at $dst")
+  }
+
+  /** 100× kNN rehearsal (verdict r9 #2): s14 corpus-wide at 200k vectors,
+    * ground truth from a SAMPLED brute pass — the full brute rung would be
+    * ~4·10¹⁰ scored pairs, the quadratic this family exists to avoid, so
+    * ~500 base-replica queries give the recall denominator at 1/400th the
+    * cost. Records wall/shuffle/spill per phase, recall@3 of the
+    * corpus-wide IVF pass against the sample, and the per-vector
+    * s14 : brute cost ratio (the structural number that widens linearly
+    * with corpus size). Knobs encode the scale lesson: clusters grow ~√n
+    * (256 at 200k, vs the 16 default at 2k), keeping per-cluster width —
+    * and with it both probe cost and the cl-join's per-task width — at
+    * O(√n), so total scoring is n^1.5, never n².
+    */
+  def knn100Rehearsal(spark: SparkSession, src: String, dst: String, reps: Int): Unit = {
+    import operators.Similarity
+    ensureReplicatedVecs(spark, src, dst, reps)
+    graft.functions.VectorFunctions.register(spark)
+    val pm = new PhaseMetrics
+    spark.sparkContext.addSparkListener(pm)
+    val e = graft.sources.Tables.embeddings(spark, dst)
+    val n = e.count()
+    val k  = 3
+    val nc = 256
+    val np = 8
+    println(s"[knn100] n_vectors=$n k=$k nClusters=$nc nProbe=$np")
+    def timed[A](label: String)(body: => A): (A, Double) = {
+      val (w0, _, d0) = pm.snapshot
+      val t0          = System.nanoTime()
+      val r           = body
+      val secs        = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(200) // let the listener drain this phase's stage events
+      val (w1, _, d1) = pm.snapshot
+      println(
+        f"[knn100] $label%-44s $secs%8.1f s  shuffle=${(w1 - w0) / 1048576.0}%9.1f MiB  spill_disk=${(d1 - d0) / 1048576}%d MiB"
+      )
+      (r, secs)
+    }
+    // 500 queries from the unjittered base replica, spread across families
+    val queries = e
+      .where(col("vec_id") < 2000 && col("vec_id") % 4 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val nQueries = queries.count()
+    val topk     = graft.functions.TopK.topKIds(k)
+    val (truthRows, bruteSecs) = timed(s"brute SAMPLE ($nQueries queries x corpus)") {
+      e.crossJoin(broadcast(queries))
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), expr("cosine_sim(embedding, qv)").as("cos"))
+        .where(col("cos").isNotNull)
+        .groupBy("query_id")
+        .agg(topk(col("vec_id"), col("cos")).as("ids"))
+        .collect()
+    }
+    val (cold, _) = timed("s14 COLD (layout build + corpus-wide query)") {
+      Similarity.knnJoinIvf(spark, dst, k, nClusters = nc, nProbe = np).collect()
+    }
+    val (_, warmSecs) = timed("s14 WARM (corpus-wide query)") {
+      Similarity.knnJoinIvf(spark, dst, k, nClusters = nc, nProbe = np).collect()
+    }
+    val truth = truthRows.map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val got = cold
+      .groupBy(_.getLong(0))
+      .collect { case (id, rs) if truth.contains(id) => id -> rs.map(_.getLong(2)).toSet }
+    val hits        = got.map { case (id, nbrs) => (truth(id) & nbrs).size }.sum
+    val total       = truth.valuesIterator.map(_.size).sum
+    val perVecBrute = bruteSecs / math.max(nQueries, 1)
+    val perVecS14   = warmSecs / math.max(n, 1)
+    println(
+      f"[knn100] recall@$k vs sample: $hits/$total = ${hits.toDouble / total}%.3f over ${truth.size} queries"
+    )
+    println(
+      f"[knn100] per-vector cost: brute=${perVecBrute * 1000}%.2f ms  s14=${perVecS14 * 1000}%.2f ms  " +
+        f"ratio=${perVecBrute / perVecS14}%.1fx  (full-brute extrapolation ${perVecBrute * n}%.0f s vs s14 warm $warmSecs%.1f s)"
+    )
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("knn100")) {
+      val spark = GraftSession.getOrCreate()
+      knn100Rehearsal(
+        spark,
+        args.lift(1).getOrElse("/root/testdata/sf0.1"),
+        args.lift(2).getOrElse("/tmp/graft_knn100"),
+        args.lift(3).map(_.toInt).getOrElse(100)
+      )
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("knn10")) {
       val spark = GraftSession.getOrCreate()
       val src   = args.lift(1).getOrElse("/root/testdata/sf0.1")
@@ -454,6 +640,15 @@ object ScaleRehearsal {
         args.lift(2).getOrElse("/tmp/graft_dedup100"),
         args.lift(3).map(_.toInt).getOrElse(100)
       )
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("tpchnb")) {
+      val spark = GraftSession.getOrCreate()
+      val src   = args.lift(1).getOrElse("/root/testdata/sf0.1")
+      val dst   = args.lift(2).getOrElse("/tmp/graft_sf1ish")
+      require(dst != src && !src.startsWith(dst), s"dst $dst would clobber src $src")
+      tpchNoBroadcastRehearsal(spark, src, dst)
       spark.stop()
       return
     }

@@ -107,5 +107,32 @@ object VectorFunctions {
         registry.createOrReplaceTempFunction(name, builder, "built-in")
     registerIfAbsent("cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)))
     registerIfAbsent("intersection_size", exprs => IntersectionSize(exprs(0), exprs(1)))
+    // nearest_centroids(embedding, <matrix literal>, <nProbe literal>): the
+    // matrix and probe width are plan-time constants (centroids are a
+    // driver-side artifact of C×dim floats by design), destructured from
+    // their Literals here so the expression holds them as reference
+    // objects rather than a C-wide expression tree (see NearestCentroids).
+    registerIfAbsent(
+      "nearest_centroids",
+      exprs => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.catalyst.util.ArrayData
+        import org.apache.spark.sql.types.IntegerType
+        val matrix = exprs(1) match {
+          case Literal(v: ArrayData, ArrayType(ArrayType(FloatType, _), _)) =>
+            v.toObjectArray(ArrayType(FloatType)).map(_.asInstanceOf[ArrayData].toFloatArray())
+          case other =>
+            throw new IllegalArgumentException(
+              s"nearest_centroids: centroid matrix must be an array<array<float>> literal, got $other"
+            )
+        }
+        val np = exprs(2) match {
+          case Literal(v: Int, IntegerType) => v
+          case other =>
+            throw new IllegalArgumentException(s"nearest_centroids: nProbe must be an int literal, got $other")
+        }
+        NearestCentroids(exprs(0), matrix, np)
+      }
+    )
   }
 }

@@ -105,14 +105,27 @@ object Similarity {
     * be computed once at ingest and stored as a partition column in a real
     * deployment — then probe search becomes partition pruning.
     */
-  /** Cluster-assignment column: argmax cosine over `cs` via array_max on
-    * struct(cos, idx) — lexicographic struct comparison orders by cos first,
-    * idx breaks exact ties.
+  /** The nProbe nearest centroid ids per row via the compiled
+    * [[graft.functions.NearestCentroids]] scan — ONE expression holding the
+    * centroid matrix as a reference object, so the plan stays inside
+    * whole-stage codegen at ANY cluster count (the literal-per-centroid
+    * formulation this replaced fell out of codegen past ~128 clusters —
+    * knn100 rehearsal finding; √n-scaled deployments need thousands).
+    * Ordering: cosine desc, index asc on exact ties.
+    */
+  private[graft] def nearestCentroidsCol(cs: Array[Seq[Float]], nProbe: Int): Column =
+    call_function(
+      "nearest_centroids",
+      col("embedding"),
+      typedLit(cs.map(_.toSeq).toSeq),
+      lit(nProbe)
+    )
+
+  /** Cluster-assignment column: the nearest centroid's index (cosine
+    * argmax, smallest index on exact float ties).
     */
   private[graft] def assignCol(cs: Array[Seq[Float]]): Column =
-    array_max(array(cs.zipWithIndex.map { case (c, i) =>
-      struct(call_function("cosine_sim", col("embedding"), typedLit(c)).as("cos"), lit(i).as("idx"))
-    }: _*)).getField("idx")
+    element_at(nearestCentroidsCol(cs, 1), 1)
 
   /** Coarse quantizer: deterministic seeds (the nClusters lowest-id vectors)
     * + one distributed Lloyd refinement (mean per (cluster, dim) — only
@@ -285,9 +298,12 @@ object Similarity {
     * the cache key alongside a content fingerprint of the source table
     * (see [[graft.sources.LayoutCache]]), so neither regenerated data nor a
     * changed scheme can silently hit a stale layout. v2 added the stored
-    * `q8` int8 column beside each vector (s9's coarse-pass scan target).
+    * `q8` int8 column beside each vector (s9's coarse-pass scan target);
+    * v3 switched assignment to the compiled [[graft.functions.NearestCentroids]]
+    * scan, whose exact-tie rule is smallest-index (the struct-max
+    * formulation it replaced kept the largest).
     */
-  private[operators] val IvfSchemeVersion = 2
+  private[operators] val IvfSchemeVersion = 3
 
   /** Per-vector int8 scalar quantization `q[i] = round(127·x[i]/max|x|)` —
     * the per-vector scale cancels inside cosine, so approximate ordering
@@ -338,9 +354,11 @@ object Similarity {
   }
 
   /** Bump with any change to the incremental (base + delta) IVF scheme.
-    * v2 dropped the unread q8 column from the s12 segments.
+    * v2 dropped the unread q8 column from the s12 segments; v3 tracks the
+    * main scheme's switch to the compiled assignment scan (tie rule:
+    * smallest index).
     */
-  private[operators] val IvfIncrSchemeVersion = 2
+  private[operators] val IvfIncrSchemeVersion = 3
 
   /** The MAINTAINED coarse quantizer: an IVF layout trained and assigned on
     * the base slice `vec_id < batchStartId` only — the artifact a daily
@@ -822,28 +840,14 @@ object Similarity {
       .orderBy("vec_id", "rnk")
   }
 
-  /** The nProbe nearest cluster ids per row, computed IN-ENGINE against the
-    * broadcast centroid array: score all nClusters centroids (codegen'd
-    * `cosine_sim`), sort struct(cos desc, idx asc), keep the first nProbe
-    * idx values. The distributed twin of the driver-side [[probeIds]] —
-    * same ordering contract, but evaluated per ROW so a corpus-wide probe
-    * assignment never touches the driver.
+  /** The nProbe nearest cluster ids per row, computed IN-ENGINE — the
+    * distributed twin of the driver-side [[probeIds]], same ordering
+    * contract (cos desc, idx asc), evaluated per ROW so a corpus-wide
+    * probe assignment never touches the driver. One compiled loop
+    * ([[nearestCentroidsCol]]), not a per-centroid expression tree.
     */
-  private def probeIdsCol(cs: Array[Seq[Float]], nProbe: Int): Column = {
-    val scored = array(cs.zipWithIndex.map { case (c, i) =>
-      struct(call_function("cosine_sim", col("embedding"), typedLit(c)).as("cos"), lit(i).as("idx"))
-    }: _*)
-    val sorted = array_sort(
-      scored,
-      (a, b) =>
-        when(a.getField("cos") > b.getField("cos"), lit(-1))
-          .when(a.getField("cos") < b.getField("cos"), lit(1))
-          .when(a.getField("idx") < b.getField("idx"), lit(-1))
-          .when(a.getField("idx") > b.getField("idx"), lit(1))
-          .otherwise(lit(0))
-    )
-    transform(slice(sorted, 1, nProbe), s => s.getField("idx"))
-  }
+  private def probeIdsCol(cs: Array[Seq[Float]], nProbe: Int): Column =
+    nearestCentroidsCol(cs, nProbe)
 
   /** S14 — kNN self-join over the IVF layout (production rung): each vector
     * scores only the members of its nProbe nearest clusters, so the scored

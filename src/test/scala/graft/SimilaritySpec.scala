@@ -193,6 +193,50 @@ class SimilaritySpec extends SparkSpec {
     assert(got.size == 10 && got.subsetOf(labelled))
   }
 
+  test("nearest_centroids: compiled scan == independent ranking; zero vectors, clamp, mismatch; codegen survives 256 clusters") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode}
+    graft.functions.VectorFunctions.register(spark)
+    val rnd  = new scala.util.Random(7)
+    val vecs = Seq.tabulate(50)(i => (i.toLong, Seq.fill(8)(rnd.nextGaussian().toFloat))) :+
+      ((50L, Seq.fill(8)(0.0f))) // zero-norm row: cos 0.0 to everything → index order
+    val df = vecs.toDF("vec_id", "embedding")
+    val cs: Array[Seq[Float]] = Array.fill(12)(Seq.fill(8)(rnd.nextGaussian().toFloat))
+    def cosD(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val got = df
+      .select(col("vec_id"), Similarity.nearestCentroidsCol(cs, 3).as("p"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq)
+      .toMap
+    vecs.foreach { case (id, v) =>
+      val exp = cs.zipWithIndex
+        .map { case (c, i) => (cosD(v, c), i) }
+        .sortBy { case (cd, i) => (-cd, i) }
+        .take(3).map(_._2).toSeq
+      assert(got(id) == exp, s"vec $id")
+    }
+    assert(got(50L) == Seq(0, 1, 2)) // all-ties → smallest indices first
+    // nProbe beyond C clamps to C (the slice contract of the old formulation)
+    val clamped = df.limit(1).select(Similarity.nearestCentroidsCol(cs, 99)).head().getSeq[Int](0)
+    assert(clamped.length == 12 && clamped.toSet == (0 until 12).toSet)
+    // dimension-mismatched centroid → null, never a truncated score
+    val bad = (cs.toSeq :+ Seq.fill(9)(1.0f)).toArray
+    assert(df.limit(1).select(Similarity.nearestCentroidsCol(bad, 2)).head().isNullAt(0))
+    // the point of the expression: codegen must COMPILE at √n-scale cluster
+    // counts (fallback=false turns a Janino overflow into a test failure —
+    // the literal-tree formulation this replaced dies here at 256)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val cs256 = Array.fill(256)(Seq.fill(8)(rnd.nextGaussian().toFloat))
+      val n     = df.select(explode(Similarity.nearestCentroidsCol(cs256, 4))).count()
+      assert(n == vecs.length * 4L)
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("s2p planted LSH: top-5 is exactly the graded fixture neighbors, in cosine order") {
     // expectation comes from the committed fixture design (graded jitter →
     // strictly decreasing cosines 0.9999 … 0.9935, all a decade above any
