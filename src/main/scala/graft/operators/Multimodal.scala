@@ -592,15 +592,29 @@ object Multimodal {
 
   final case class SampledFrame(media_id: Long, frame_no: Int, frame_payload: Array[Byte])
 
-  /** Frame sampling — every `stride`-th frame, REAL where the payload is a
-    * JDK-decodable multi-frame container: an animated GIF's frames are
-    * individually decoded ([[decodeFrames]]) and each sampled frame lands
-    * as its own PGM payload — actual per-frame pixels, not the container
-    * repeated. Payloads without a multi-frame reader keep the
-    * metadata-level enumeration (declared `n_frames` stepped by `stride`,
-    * container payload carried through — the demux-only contract video
-    * stays on until a codec exists). Typed `mapPartitions`-style flatMap,
-    * the per-partition batch shape every decoder here uses; output schema
+  /** `ftyp` at bytes 4–8 — the ISO-BMFF signature gate for the MP4 frame
+    * path, same role as [[isGifSignature]] for the raster path.
+    */
+  private[graft] def isMp4Signature(b: Array[Byte]): Boolean =
+    b.length >= 8 && b(4) == 'f'.toByte && b(5) == 't'.toByte && b(6) == 'y'.toByte && b(7) == 'p'.toByte
+
+  /** Frame sampling — every `stride`-th frame, REAL where the container
+    * yields frames without a codec:
+    *   - animated GIF: frames individually decoded and COMPOSITED
+    *     ([[decodeFrames]]); each sampled frame lands as its own PGM
+    *     payload — actual per-frame pixels, not the container repeated;
+    *   - MP4: the sync (I-frame) samples resolved through the
+    *     stco/stsc/stsz/stss tables ([[mp4SyncFrames]]); every `stride`-th
+    *     sync sample lands as its own payload of that frame's mdat bytes
+    *     (codec bitstream, not pixels — frame PAYLOAD extraction is the
+    *     demux layer's job, pixel decode stays behind the disclosed stub),
+    *     `frame_no` = the track's 0-based sample index.
+    * Both paths are signature-gated so single-frame payloads (JPEG/PNG —
+    * the common case) never pay a decode that the fallback would discard
+    * (ADVICE r9). Everything else keeps the metadata-level enumeration
+    * (declared `n_frames` stepped by `stride`, container payload carried
+    * through). Typed `mapPartitions`-style flatMap, the per-partition
+    * batch shape every decoder here uses; output schema
     * `(media_id, frame_no, frame_payload)` is unchanged.
     */
   def sampleFrames(media: Dataset[MediaRow], stride: Int = 2): DataFrame = {
@@ -608,14 +622,20 @@ object Multimodal {
     import media.sparkSession.implicits._
     media
       .flatMap { r =>
-        // signature-gated: only GIF payloads can be multi-frame here, so
-        // JPEG/PNG (the common case) never pay a raster decode that would
-        // be discarded by the single-frame fallback (ADVICE r9)
-        val multi = if (isGifSignature(r.payload)) decodeFrames(r.payload) else None
-        multi match {
-          case Some(frames) if frames.length > 1 =>
+        val gifFrames =
+          if (isGifSignature(r.payload)) decodeFrames(r.payload).filter(_.length > 1) else None
+        val mp4Frames =
+          if (gifFrames.isEmpty && isMp4Signature(r.payload)) Some(mp4SyncFrames(r.payload)).filter(_.nonEmpty)
+          else None
+        (gifFrames, mp4Frames) match {
+          case (Some(frames), _) =>
             Range(0, frames.length, stride)
               .map(i => SampledFrame(r.media_id, i, encodePgm(frames(i))))
+          case (_, Some(syncs)) =>
+            syncs.zipWithIndex.collect {
+              case ((sampleNo, bytes), j) if j % stride == 0 =>
+                SampledFrame(r.media_id, sampleNo - 1, bytes)
+            }
           case _ =>
             Range(0, math.max(r.n_frames, 0), stride)
               .map(i => SampledFrame(r.media_id, i, r.payload))

@@ -578,6 +578,25 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.mp4SyncFrames(p3).isEmpty)
   }
 
+  test("frame sampling emits REAL MP4 I-frame payloads (stride over the sync list, mdat bytes)") {
+    import spark.implicits._
+    // doc_id=7, n_chars=23 → 23 samples, sync at 0,4,8,12,16,20 (6 syncs);
+    // stride 2 keeps syncs 0,8,16 — payload = that sample's mdat bytes
+    val r   = Multimodal.synthRow(7L, 23L)
+    val m   = Seq(r).toDS()
+    val out = Multimodal.sampleFrames(m, stride = 2).collect().sortBy(_.getInt(1))
+    assert(out.map(_.getInt(1)).toSeq == Seq(0, 8, 16))
+    out.foreach { row =>
+      val i     = row.getInt(1)
+      val bytes = row.getAs[Array[Byte]](2)
+      assert(bytes.length == (i % 5) + 1, s"sample $i size")
+      assert(bytes.forall(_ == ((i * 13 + 7) % 256).toByte), s"sample $i content")
+    }
+    // a video row whose payload is NOT parseable keeps the metadata fallback
+    val fake = Seq(Multimodal.MediaRow(8L, "fake/video", 4, 4, 6, Array[Byte](1, 2, 3))).toDS()
+    assert(Multimodal.sampleFrames(fake, stride = 3).collect().map(_.getInt(1)).toSeq == Seq(0, 3))
+  }
+
   test("m4 synthetic mp4: sync-frame payload bytes match the (doc_id, n_chars) arithmetic") {
     // one synthetic row checked against hand arithmetic: doc_id=7, n_chars=23
     // → samples 23, sizes (i%5)+1, sync every 4th, bytes (i*13+7)%256
