@@ -33,6 +33,16 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ObjectHashAggregate (every TypedImperativeAggregate — the TopK
+      // family) falls back to SORT-BASED aggregation after this many
+      // distinct keys per partition; the 128 default forces a full sort of
+      // the scored stream the bounded TopK buffers exist to avoid (a kNN
+      // join's partial agg sees ~n/partitions keys — 6k+ at sf0.1, far
+      // past 128). 2^21 keys × a k-entry buffer each stays well inside an
+      // executor heap while keeping the hash path for every realistic
+      // group count. (knn100 rehearsal finding: the 17.6 GiB spill was
+      // this sort, not the aggregation.)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2097152")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // static conf; bucketed-table tests and any managed-table DDL land here
       .config("spark.sql.warehouse.dir", s"${sys.props("java.io.tmpdir")}/graft_warehouse")
