@@ -723,7 +723,10 @@ object ScaleRehearsal {
       // round 9: kNN-join family (s13's quadratic rung lives in `knn10`,
       // not here), BPE encode, curriculum order
       "s14_knn_join_ivf", "s15_mutual_knn_pairs", "v5_bpe_encode",
-      "p6_curriculum_order"
+      "p6_curriculum_order",
+      // round 10: semantic clusters, planted-positive ANN twins, MP4 frames
+      "s16_mutual_knn_clusters", "s2p_ann_lsh_planted",
+      "s11p_ann_ivf_filtered_planted", "m4_mp4_frames"
     )
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
     headline.foreach { name =>
