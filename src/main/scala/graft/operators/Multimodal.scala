@@ -1091,10 +1091,11 @@ object Multimodal {
     catalogRows(mediaDemux(syntheticMedia(spark, dir))).orderBy("doc_id")
 
   /** The fixed media-catalog projection shared by m2, the sealed base
-    * segment, and m3's delta pass — one definition so the maintained
-    * catalog's schema cannot drift from the recompute's.
+    * segment, m3's delta pass, and the streaming twin
+    * ([[graft.streaming.MediaCatalogStream]]) — one definition so no
+    * maintained catalog's schema can drift from the recompute's.
     */
-  private def catalogRows(demux: Dataset[MediaDemux]): DataFrame =
+  private[graft] def catalogRows(demux: Dataset[MediaDemux]): DataFrame =
     demux
       .toDF()
       .select(

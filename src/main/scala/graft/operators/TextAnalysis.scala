@@ -636,7 +636,7 @@ object TextAnalysis {
     * because df is the one postings statistic a delta segment would
     * invalidate on every base row.
     */
-  private def postingsSegment(docs: DataFrame): DataFrame =
+  private[graft] def postingsSegment(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), toks.as("tk"))
       .select(col("doc_id"), size(col("tk")).as("dl"), explode(col("tk")).as("token"))
@@ -650,7 +650,7 @@ object TextAnalysis {
     * counted separately because avg skips null-text docs while n_docs
     * does not).
     */
-  private def postingsStats(docs: DataFrame): DataFrame =
+  private[graft] def postingsStats(docs: DataFrame): DataFrame =
     docs.agg(
       count(lit(1)).as("n_docs"),
       count(size(toks)).as("n_dl"),
@@ -713,11 +713,27 @@ object TextAnalysis {
       .head().getLong(0)
     val base  = postingsBaseLayoutCache(spark, dir, split)
     val delta = postingsDeltaLayoutCache(spark, dir, split)
-    val p = spark.read.parquet(s"$base/postings.parquet")
-      .unionByName(spark.read.parquet(s"$delta/postings.parquet"))
-      .where(col("token").isInCollection(ts))
-    val stats = spark.read.parquet(s"$base/stats.parquet")
-      .unionByName(spark.read.parquet(s"$delta/stats.parquet"))
+    bm25OverSegments(
+      spark.read.parquet(s"$base/postings.parquet")
+        .unionByName(spark.read.parquet(s"$delta/postings.parquet"))
+        .where(col("token").isInCollection(ts)),
+      spark.read.parquet(s"$base/stats.parquet")
+        .unionByName(spark.read.parquet(s"$delta/stats.parquet")),
+      k
+    )
+  }
+
+  /** The segment-index BM25 tail shared by t7 and the streaming twin
+    * ([[graft.streaming.PostingsStream]]): df as a query-time window over
+    * the already-term-filtered posting union (≤ query-term rows — the one
+    * statistic segments invalidate is the one never stored), segment stats
+    * combined as sums of exact longs, then t4's contrib/quantize/rank
+    * contract. One definition so no maintained index can rank differently
+    * from the recompute.
+    */
+  private[graft] def bm25OverSegments(termFiltered: DataFrame, rawStats: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = rawStats
       .agg(sum("n_docs").as("n_docs"), sum("n_dl").as("n_dl"), sum("sum_dl").as("sum_dl"))
       // one division on exact longs = t4's avg; the guard keeps an empty
       // corpus a degradation (null, like t4's avg) instead of an ANSI
@@ -727,7 +743,8 @@ object TextAnalysis {
         when(col("n_dl") === 0, lit(null).cast("double"))
           .otherwise(col("sum_dl").cast("double") / col("n_dl")).as("avgdl")
       )
-    p.withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
+    termFiltered
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
       .crossJoin(broadcast(stats))
       .withColumn("contrib", expr(Bm25ContribSql))
       .groupBy("doc_id")

@@ -269,6 +269,93 @@ class StreamingSpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("streaming media catalog == batch m2 recompute; sealed segments never rewritten; idempotent replay") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Multimodal
+    val base = java.nio.file.Files.createTempDirectory("graft_smedia")
+    val src  = base.resolve("src"); java.nio.file.Files.createDirectories(src)
+    val stagingDir = base.resolve("stage")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      df.coalesce(1).write.mode("overwrite").parquet(s"$stagingDir/$name")
+      java.nio.file.Files.move(
+        java.nio.file.Files.list(stagingDir.resolve(name)).filter(_.toString.endsWith(".parquet")).findFirst.get,
+        src.resolve(s"$name.parquet")
+      )
+    }
+    val media  = Multimodal.syntheticMedia(spark, sf0001).toDF()
+    val catDir = s"$base/cat"
+    stage(media.where(col("media_id") < 250), "b1")
+    val q = graft.streaming.MediaCatalogStream.catalogStream(spark, src.toString, catDir, s"$base/ckpt")
+    val b0Seg = java.nio.file.Paths.get(s"$catDir/batch_id=0")
+    def firstParquetMtime(p: java.nio.file.Path): Long =
+      java.nio.file.Files.walk(p).filter(_.toString.endsWith(".parquet")).findFirst.get.toFile.lastModified()
+    val mtime0 =
+      try {
+        q.processAllAvailable()
+        firstParquetMtime(b0Seg)
+      } finally {
+        stage(media.where(col("media_id") >= 250), "b2")
+        q.processAllAvailable()
+        q.stop()
+      }
+    // union over segments == the batch m2 recompute, row for row (catalog
+    // rows are per-payload and disjoint across segments — maintenance is
+    // exact by construction, and the stream must inherit that)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "kind", "ok", "width", "height", "sample_rate", "duration_ms", "n_frames", "n_tracks")
+        .collect().map(_.toSeq).toSet
+    val streamed = rows(spark.read.parquet(catDir))
+    assert(streamed == rows(Multimodal.mediaDemuxQuery(spark, sf0001)) && streamed.nonEmpty)
+    // batch 0's segment is sealed: no payload in it was re-parsed by batch 1
+    assert(firstParquetMtime(b0Seg) == mtime0, "batch-0 catalog segment was rewritten by batch 1")
+    // checkpoint-replay idempotence: re-processing batch 0's input under the
+    // same batch_id rewrites the same directory — no duplicated rows
+    graft.streaming.MediaCatalogStream.processBatch(media.where(col("media_id") < 250), catDir, 0L)
+    assert(rows(spark.read.parquet(catDir)) == streamed)
+  }
+
+  test("streaming postings maintenance: bm25 over streamed segments == t4 corpus scan; sealed; idempotent") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    val base = java.nio.file.Files.createTempDirectory("graft_spost")
+    val src  = base.resolve("src"); java.nio.file.Files.createDirectories(src)
+    val stagingDir = base.resolve("stage")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      df.coalesce(1).write.mode("overwrite").parquet(s"$stagingDir/$name")
+      java.nio.file.Files.move(
+        java.nio.file.Files.list(stagingDir.resolve(name)).filter(_.toString.endsWith(".parquet")).findFirst.get,
+        src.resolve(s"$name.parquet")
+      )
+    }
+    val docs     = graft.sources.Tables.documents(spark, sf0001)
+    val indexDir = s"$base/idx"
+    stage(docs.where(col("doc_id") < 250), "b1")
+    val q = graft.streaming.PostingsStream.postingsStream(spark, src.toString, indexDir, s"$base/ckpt")
+    val b0Seg = java.nio.file.Paths.get(s"$indexDir/postings/batch_id=0")
+    def firstParquetMtime(p: java.nio.file.Path): Long =
+      java.nio.file.Files.walk(p).filter(_.toString.endsWith(".parquet")).findFirst.get.toFile.lastModified()
+    val mtime0 =
+      try {
+        q.processAllAvailable()
+        firstParquetMtime(b0Seg)
+      } finally {
+        stage(docs.where(col("doc_id") >= 250), "b2")
+        q.processAllAvailable()
+        q.stop()
+      }
+    // ranking over the streamed index is BIT-EQUAL to t4's corpus scan —
+    // the t7 exactness contract carried to N streamed segments
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val streamed = pairs(graft.streaming.PostingsStream.bm25RankStreamed(spark, indexDir))
+    assert(streamed == pairs(TextAnalysis.bm25Rank(spark, sf0001)) && streamed.nonEmpty)
+    // batch 0's segment is sealed: no document in it was re-tokenized
+    assert(firstParquetMtime(b0Seg) == mtime0, "batch-0 postings segment was rewritten by batch 1")
+    // checkpoint-replay idempotence: same batch_id rewrites, never doubles
+    graft.streaming.PostingsStream.processBatch(docs.where(col("doc_id") < 250), indexDir, 0L)
+    assert(pairs(graft.streaming.PostingsStream.bm25RankStreamed(spark, indexDir)) == streamed)
+  }
+
   test("w4 hopping windows: planted events land in exactly their 2 covering 12h-grid windows") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_hop").toString
