@@ -70,7 +70,7 @@ object Bpe {
     * counts bit-for-bit — unlike merge tables themselves, which are a
     * greedy sequential function of the counts and never compose.
     */
-  private def wordCounts(docs: DataFrame): DataFrame =
+  private[graft] def wordCounts(docs: DataFrame): DataFrame =
     docs
       .select(explode(split(col("text"), " ")).as("word"))
       .where(length(col("word")) > 0)
@@ -293,21 +293,33 @@ object Bpe {
       s"bpei-v$BpeSchemeVersion#$numMerges#$k"
     )
     LayoutCache.getOrBuild(spark, "graft_bpei", key) { out =>
-      import spark.implicits._
       val base  = spark.read.parquet(s"${wordCountCache(spark, dir, k)}/words.parquet")
       val batch = wordCounts(all.where(col("doc_id") >= k))
       // additive count merge — bit-exact vs a full-corpus recount, which
       // is what makes the retrain ≡ v1 (BpeSpec pins the equality)
-      val merged = symbolize(
-        base.unionByName(batch).groupBy("word").agg(sum("freq").as("freq"))
-      )
-      val (merges, _) = learnFromVocab(merged, numMerges)
-      merges
-        .toDF("merge_rank", "left", "right", "pair_cnt")
-        .select(col("merge_rank").cast("long"), col("left"), col("right"), col("pair_cnt"))
+      trainFromCounts(spark, base.unionByName(batch), numMerges)
         .write.mode("overwrite").parquet(s"$out/merges.parquet")
     }
   }
+
+  /** Retrain the merge table from an arbitrary (word, freq) frame — words
+    * may repeat across count segments (summed here, which is exactly why
+    * segment maintenance is bit-exact: counts are additive longs). Shared
+    * by [[bpeIncrementalCache]] (base + one batch) and the streaming twin
+    * ([[graft.streaming.TokenizerStream]], N streamed segments) — one
+    * definition so no maintained tokenizer can train differently from the
+    * full recompute.
+    */
+  private[graft] def trainFromCounts(spark: SparkSession, counts: DataFrame, numMerges: Int): DataFrame = {
+    import spark.implicits._
+    val merged      = symbolize(counts.groupBy("word").agg(sum("freq").as("freq")))
+    val (merges, _) = learnFromVocab(merged, numMerges)
+    merges
+      .toDF("merge_rank", "left", "right", "pair_cnt")
+      .select(col("merge_rank").cast("long"), col("left"), col("right"), col("pair_cnt"))
+  }
+
+  private[graft] def resolveMergesKnob(spark: SparkSession, m: Int): Int = resolveMerges(spark, m)
 
   /** V4 — INCREMENTAL tokenizer training: the merge table re-derived after
     * the daily batch (n5's split: docs ≥ (max+1)/2) from the MAINTAINED

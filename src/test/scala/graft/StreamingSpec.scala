@@ -356,6 +356,48 @@ class StreamingSpec extends SparkSpec {
     assert(pairs(graft.streaming.PostingsStream.bm25RankStreamed(spark, indexDir)) == streamed)
   }
 
+  test("streaming tokenizer counts: retrain from streamed segments == v1 full retrain; sealed; idempotent") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_stok")
+    val src  = base.resolve("src"); java.nio.file.Files.createDirectories(src)
+    val stagingDir = base.resolve("stage")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      df.coalesce(1).write.mode("overwrite").parquet(s"$stagingDir/$name")
+      java.nio.file.Files.move(
+        java.nio.file.Files.list(stagingDir.resolve(name)).filter(_.toString.endsWith(".parquet")).findFirst.get,
+        src.resolve(s"$name.parquet")
+      )
+    }
+    val docs      = graft.sources.Tables.documents(spark, sf0001)
+    val countsDir = s"$base/counts"
+    stage(docs.where(col("doc_id") < 250), "b1")
+    val q = graft.streaming.TokenizerStream.wordCountStream(spark, src.toString, countsDir, s"$base/ckpt")
+    val b0Seg = java.nio.file.Paths.get(s"$countsDir/batch_id=0")
+    def firstParquetMtime(p: java.nio.file.Path): Long =
+      java.nio.file.Files.walk(p).filter(_.toString.endsWith(".parquet")).findFirst.get.toFile.lastModified()
+    val mtime0 =
+      try {
+        q.processAllAvailable()
+        firstParquetMtime(b0Seg)
+      } finally {
+        stage(docs.where(col("doc_id") >= 250), "b2")
+        q.processAllAvailable()
+        q.stop()
+      }
+    // counts are additive longs, so the retrain over streamed segments is
+    // BIT-EQUAL to v1's full retrain on the same corpus — v4's exactness
+    // argument carried to N streamed segments
+    def table(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val streamed = table(graft.streaming.TokenizerStream.mergesFromStream(spark, countsDir))
+    assert(streamed == table(graft.operators.Bpe.bpeMerges(spark, sf0001)) && streamed.nonEmpty)
+    // batch 0's segment is sealed: no document in it was re-tokenized
+    assert(firstParquetMtime(b0Seg) == mtime0, "batch-0 count segment was rewritten by batch 1")
+    // checkpoint-replay idempotence: same batch_id rewrites, never doubles
+    graft.streaming.TokenizerStream.processBatch(docs.where(col("doc_id") < 250), countsDir, 0L)
+    assert(table(graft.streaming.TokenizerStream.mergesFromStream(spark, countsDir)) == streamed)
+  }
+
   test("w4 hopping windows: planted events land in exactly their 2 covering 12h-grid windows") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_hop").toString
