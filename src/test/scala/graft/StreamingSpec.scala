@@ -398,6 +398,44 @@ class StreamingSpec extends SparkSpec {
     assert(table(graft.streaming.TokenizerStream.mergesFromStream(spark, countsDir)) == streamed)
   }
 
+  test("streaming cluster maintenance: final snapshot == n6 full recompute; idempotent replay") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_sclus")
+    val src  = base.resolve("src"); java.nio.file.Files.createDirectories(src)
+    val stagingDir = base.resolve("stage")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      df.coalesce(1).write.mode("overwrite").parquet(s"$stagingDir/$name")
+      java.nio.file.Files.move(
+        java.nio.file.Files.list(stagingDir.resolve(name)).filter(_.toString.endsWith(".parquet")).findFirst.get,
+        src.resolve(s"$name.parquet")
+      )
+    }
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    stage(docs.where(col("doc_id") < 250), "b1")
+    val q = graft.streaming.ClusterStream.clustersStream(
+      spark, src.toString, s"$base/idx", s"$base/pairs", s"$base/clusters", s"$base/ckpt"
+    )
+    try {
+      q.processAllAvailable()
+      stage(docs.where(col("doc_id") >= 250), "b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    // snapshot N = components over every pair discovered through batch N;
+    // the final snapshot must equal the from-scratch n6 recompute (the
+    // n12 ≡ n6 exactness argument, one snapshot per micro-batch)
+    def table(df: org.apache.spark.sql.DataFrame) =
+      df.select("cluster_id", "doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamed = table(spark.read.parquet(s"$base/clusters/batch_id=1"))
+    assert(streamed == table(graft.operators.Dedup.dupClusters(spark, sf0001)) && streamed.nonEmpty)
+    // checkpoint-replay idempotence: re-processing batch 1 from the
+    // persisted prior snapshot + idempotently-rewritten pairs reproduces
+    // the same snapshot
+    graft.streaming.ClusterStream.processBatch(
+      docs.where(col("doc_id") >= 250), s"$base/idx", s"$base/pairs", s"$base/clusters", 1L
+    )
+    assert(table(spark.read.parquet(s"$base/clusters/batch_id=1")) == streamed)
+  }
+
   test("w4 hopping windows: planted events land in exactly their 2 covering 12h-grid windows") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_hop").toString
