@@ -597,7 +597,50 @@ object ScaleRehearsal {
     )
   }
 
+  /** Streaming-maintenance throughput rehearsal: [[graft.streaming.DedupStream]]'s
+    * per-batch unit driven over the 10× documents corpus in `nBatches`
+    * equal hash-slices, recording per-batch wall, discovered pairs, and
+    * shuffle — the claim to check is that per-batch cost tracks the BATCH
+    * (plus the bounded bucket join against the growing stored index), not
+    * the cumulative corpus: the curve should be near-flat while the index
+    * grows `nBatches`×, because no document is ever re-shingled after its
+    * own batch and cross-candidates come only from band-bucket collisions.
+    */
+  def streamRehearsal(spark: SparkSession, src: String, dst: String, reps: Int, nBatches: Int = 5): Unit = {
+    ensureReplicatedDocs(spark, src, dst, reps)
+    val pm = new PhaseMetrics
+    spark.sparkContext.addSparkListener(pm)
+    val docs  = spark.read.parquet(s"$dst/documents.parquet")
+    val base  = java.nio.file.Files.createTempDirectory("graft_stream10").toString
+    val total = docs.count()
+    println(s"[stream10] n_docs=$total in $nBatches hash-sliced micro-batches (index grows, batches don't)")
+    (0 until nBatches).foreach { i =>
+      val slice        = docs.where(pmod(xxhash64(col("doc_id")), lit(nBatches)) === i)
+      val (w0, _, _)   = pm.snapshot
+      val t0           = System.nanoTime()
+      graft.streaming.DedupStream.processBatch(slice, s"$base/idx", s"$base/pairs", i.toLong)
+      val secs         = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(200)
+      val (w1, _, _) = pm.snapshot
+      val pairs      = spark.read.parquet(s"$base/pairs/batch_id=$i").count()
+      println(
+        f"[stream10] batch $i%d: docs=${slice.count()}%-7d pairs=$pairs%-6d $secs%6.1f s  shuffle=${(w1 - w0) / 1048576.0}%8.1f MiB"
+      )
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("stream10")) {
+      val spark = GraftSession.getOrCreate()
+      streamRehearsal(
+        spark,
+        args.lift(1).getOrElse("/root/testdata/sf0.1"),
+        args.lift(2).getOrElse("/tmp/graft_stream_docs"),
+        args.lift(3).map(_.toInt).getOrElse(10)
+      )
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("knn100")) {
       val spark = GraftSession.getOrCreate()
       knn100Rehearsal(
