@@ -40,11 +40,56 @@ object FixtureGen {
       .write
       .mode("overwrite")
       .parquet(s"$out/embeddings.parquet")
-    annPlant(spark, new java.io.File(out).getParent match {
-      case null => "fixtures/annplant"
-      case p    => s"$p/annplant"
-    })
+    val parent = new java.io.File(out).getParent match {
+      case null => "fixtures"
+      case p    => p
+    }
+    annPlant(spark, s"$parent/annplant")
+    simDup(spark, s"$parent/simdup")
     spark.stop()
+  }
+
+  /** The SimHash planted-positive fixture (`fixtures/simdup`) behind
+    * `n3p_simhash_pairs_planted`: three groups of IDENTICAL-text documents
+    * (sizes 2/3/2 → exactly 5 expected pairs at Hamming distance 0) plus
+    * three singletons, each document drawn from its own disjoint synthetic
+    * vocabulary (`g<k>w<j>` tokens that no testdata corpus contains), so
+    * cross-group and fixture-vs-corpus shingle sets are DISJOINT and their
+    * 64-bit SimHash signatures land at background Hamming distance (~32,
+    * measured ≥ 16 in DedupSpec) — far above the ≤ 7 pair threshold.
+    * Identical text ⇒ identical shingle set ⇒ identical signature is
+    * hash-function-independent, which is what lets the twin carry a full
+    * DuckDB oracle (text-equality pairs) while n3 itself stays no-oracle.
+    * Ids from 3,000,000: disjoint from every SF's doc_ids and the other
+    * fixtures' id ranges.
+    */
+  def simDup(spark: SparkSession, out: String): Unit = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815)
+    // one disjoint 60-token vocabulary per text; 120 tokens per document
+    def text(group: Int): String = {
+      val vocab = Array.tabulate(60)(j => s"g${group}w${j}x${rnd.nextInt(100000)}")
+      Array.fill(120)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    val groupSizes = Seq(2, 3, 2)
+    val rows       = scala.collection.mutable.Buffer.empty[(Long, String, String, String, Long)]
+    var id         = 3000000L
+    groupSizes.zipWithIndex.foreach { case (sz, g) =>
+      val t = text(g)
+      (0 until sz).foreach { _ =>
+        rows += ((id, t, "xx", "planted", t.length.toLong)); id += 1
+      }
+    }
+    (0 until 3).foreach { k =>
+      val t = text(100 + k)
+      rows += ((id, t, "xx", "planted", t.length.toLong)); id += 1
+    }
+    rows.toSeq
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$out/documents.parquet")
   }
 
   /** The ANN planted-positive fixture (`fixtures/annplant`) behind

@@ -36,6 +36,7 @@ object Layouts {
     "minhash_pairs"      -> (() => { Dedup.minhashLshPairs(spark, dir); () }),
     "minhash_batch_index" -> (() => { Dedup.incrementalNearDupPairs(spark, dir); () }),
     "simhash_pairs"      -> (() => { Dedup.simhashPairs(spark, dir); () }),
+    "simhash_pairs_planted" -> (() => { Dedup.simhashPairsPlanted(spark, dir); () }),
     "dup_clusters"       -> (() => { Dedup.dupClusters(spark, dir); () }),
     "dup_clusters_incr"  -> (() => { Dedup.incrementalDupClusters(spark, dir); () }),
     "embedding_pairs"    -> (() => { Dedup.embeddingDupPairs(spark, dir); () }),

@@ -72,6 +72,7 @@ object SparkEntry {
     "n1_ngram_jaccard_pairs" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
     "n2_minhash_lsh_pairs"   -> (Dedup.minhashLshPairs _),
     "n3_simhash_pairs"       -> (Dedup.simhashPairs _),
+    "n3p_simhash_pairs_planted" -> (Dedup.simhashPairsPlanted _),
     "n13_frequent_ngrams"            -> ((s: SparkSession, d: String) => Dedup.frequentNgrams(s, d)),
     "n4_embedding_dup_pairs"         -> (Dedup.embeddingDupPairs _),
     "n4p_embedding_dup_pairs_planted" -> (Dedup.embeddingDupPairsPlanted _),
@@ -394,6 +395,16 @@ object SparkEntry {
         "r AS (SELECT n, gram, df, row_number() OVER (PARTITION BY n ORDER BY df DESC, gram) AS rnk " +
         "FROM d WHERE df >= 3) " +
         "SELECT n, gram, df FROM r WHERE rnk <= 10 ORDER BY n, df DESC, gram"),
+    // n3p: the deterministic sub-surface of SimHash — identical text ⇒
+    // identical signature ⇒ Hamming 0 under ANY hash function, so the
+    // planted pairs are exactly the fixture's text-equality pairs (5 rows,
+    // hash-checked matches; fixture vocabularies are disjoint from every
+    // corpus, DedupSpec pins the ≥20-bit separation margin).
+    "n3p_simhash_pairs_planted" ->
+      ("WITH fx AS (SELECT doc_id, text FROM read_parquet('/root/repo/fixtures/simdup/documents.parquet/*.parquet')) " +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(0 AS BIGINT) AS dist " +
+        "FROM fx a JOIN fx b ON a.text = b.text AND a.doc_id < b.doc_id " +
+        "ORDER BY doc_a, doc_b"),
     // n4p: same brute-force oracle over corpus ∪ the committed fixture —
     // the oracle reads the identical file the engine unions in, so the
     // hash-checked path proves positive matches (planted cosines ≈ 0.9996,

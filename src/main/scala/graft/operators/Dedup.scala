@@ -987,6 +987,48 @@ object Dedup {
     spark.read.parquet(s"$layout/pairs.parquet").orderBy("doc_a", "doc_b")
   }
 
+  /** First doc_id of the simdup planted fixture — pairs at or above it are
+    * fixture-internal (both sides planted, since doc_a < doc_b).
+    */
+  private[graft] val SimdupPlantedBase = 3000000L
+
+  /** N3P — [[simhashPairs]]'s plan over corpus ∪ the committed
+    * identical-text fixture (`fixtures/simdup`, ids ≥ 3,000,000), restricted
+    * to the planted pairs. n3 itself has no SQL oracle because its output
+    * rides the engine's xxhash64: which *near*-dup corpus pairs land within
+    * Hamming 7 depends on the hash function. The planted sub-surface does
+    * not — identical text ⇒ identical shingle set ⇒ identical signature ⇒
+    * distance 0 under ANY hash — so this twin carries a full DuckDB oracle
+    * (text-equality pairs over the fixture, hash-checked with rows > 0) and
+    * proves the whole production pipeline (shingle → signature → band
+    * pigeonhole → collision join → Hamming verify) emits real matches
+    * end-to-end. The planted-range restriction is the honest boundary of
+    * determinism: fixture vocabularies are disjoint from each other and
+    * from every corpus (DedupSpec measures cross distances ≥ 16 ≫ 7), so
+    * the planted pair set is exactly the 5 identical-text pairs.
+    * Persisted like n3, keyed on BOTH corpus and fixture content.
+    */
+  def simhashPairsPlanted(spark: SparkSession, dir: String): DataFrame = {
+    val fx    = s"${fixturesDir(spark)}/simdup/documents.parquet"
+    val fxKey = graft.sources.LayoutCache.contentKey(spark, fx, "fx")
+    val key = graft.sources.LayoutCache.contentKey(
+      spark,
+      s"$dir/documents.parquet",
+      s"simhashp-v$SimhashSchemeVersion#mh-v$MinhashSchemeVersion#n${shingleN(spark)}#$fxKey"
+    )
+    val layout = graft.sources.LayoutCache.getOrBuild(spark, "graft_shpairsp", key) { out =>
+      val docs = Tables
+        .documents(spark, dir)
+        .select("doc_id", "text")
+        .unionByName(spark.read.parquet(fx).select("doc_id", "text"))
+      val tok = shingles(docs).select(col("doc_id"), xxhash64(col("s")).as("h")).distinct()
+      simhashPairsFromHashes(tok)
+        .where(col("doc_a") >= SimdupPlantedBase)
+        .write.mode("overwrite").parquet(s"$out/pairs.parquet")
+    }
+    spark.read.parquet(s"$layout/pairs.parquet").orderBy("doc_a", "doc_b")
+  }
+
   private[graft] def simhashPairsLive(spark: SparkSession, dir: String): DataFrame = {
     // The per-doc shingle-hash SETS the persisted minhash layout already
     // stores (docsets.ss = collect_set(xxhash64(shingle))) are exactly
@@ -997,17 +1039,17 @@ object Dedup {
     // being the one rung that re-reads text.
     val tok = minhashArtifactsCached(spark, dir)._1
       .select(col("doc_id"), explode(col("ss")).as("h"))
-    val bitCols = (0 until 64).map(i =>
-      sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"b$i")
-    )
-    val sums = tok.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
-    val sig = sums.select(
-      col("doc_id"),
-      (0 until 64)
-        .map(i => when(col(s"b$i") > 0, expr(s"shiftleft(cast(1 as bigint), $i)")).otherwise(lit(0L)))
-        .reduce(_ bitwiseOR _)
-        .as("sig")
-    )
+    simhashPairsFromHashes(tok)
+  }
+
+  /** SimHash signature → 8×8 band pigeonhole → Hamming-verified pairs over
+    * any `(doc_id, h)` stream of DISTINCT per-doc shingle hashes — the body
+    * shared by the corpus surface ([[simhashPairsLive]], which feeds it the
+    * persisted docsets) and the planted twin ([[simhashPairsPlanted]], which
+    * feeds it corpus ∪ fixture shingles).
+    */
+  private[graft] def simhashPairsFromHashes(tok: DataFrame): DataFrame = {
+    val sig   = simhashSignaturesFromHashes(tok)
     val bands = sig.select(
       col("doc_id"),
       col("sig"),
@@ -1024,6 +1066,23 @@ object Dedup {
       .where(col("dist") <= 7)
       .select("doc_a", "doc_b", "dist")
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** `(doc_id, sig)` — the 64-bit SimHash signature stage alone, shared by
+    * [[simhashPairsFromHashes]] and DedupSpec's separation-margin checks.
+    */
+  private[graft] def simhashSignaturesFromHashes(tok: DataFrame): DataFrame = {
+    val bitCols = (0 until 64).map(i =>
+      sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"b$i")
+    )
+    val sums = tok.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+    sums.select(
+      col("doc_id"),
+      (0 until 64)
+        .map(i => when(col(s"b$i") > 0, expr(s"shiftleft(cast(1 as bigint), $i)")).otherwise(lit(0L)))
+        .reduce(_ bitwiseOR _)
+        .as("sig")
+    )
   }
 
   /** N6 — duplicate CLUSTERS: connected components over the near-dup pair

@@ -40,6 +40,49 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"simhash recall $recall; missed ${plantedPairs -- found}")
   }
 
+  test("n3p planted simhash: exactly the fixture's identical-text pairs, all at distance 0") {
+    val expected = Set(
+      (3000000L, 3000001L),                                           // group 0 (size 2)
+      (3000002L, 3000003L), (3000002L, 3000004L), (3000003L, 3000004L), // group 1 (size 3)
+      (3000005L, 3000006L)                                            // group 2 (size 2)
+    )
+    val got = Dedup.simhashPairsPlanted(spark, sf0001).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+    assert(got.forall(_.getLong(2) == 0L), "identical text must hash to identical signatures")
+  }
+
+  test("n3p separation: fixture signatures sit >= 16 bits from each other and from the corpus") {
+    // The oracle's validity argument: the planted pair set is deterministic
+    // because every NON-identical-text distance involving a fixture doc is
+    // far above the <=7 threshold (disjoint synthetic vocabularies =>
+    // independent signatures => background Hamming ~32; realized min 19
+    // at sf0.001, asserted with margin).
+    val fx = spark.read.parquet("/root/repo/fixtures/simdup/documents.parquet")
+    val union = graft.sources.Tables
+      .documents(spark, sf0001)
+      .select("doc_id", "text")
+      .unionByName(fx.select("doc_id", "text"))
+    val tok  = Dedup.shingles(union).select(col("doc_id"), xxhash64(col("s")).as("h")).distinct()
+    val sigs = Dedup.simhashSignaturesFromHashes(tok)
+    val fxSigs = sigs.where(col("doc_id") >= 3000000L).as("a")
+    val minCross = fxSigs
+      .crossJoin(sigs.as("b"))
+      .where(col("a.doc_id") =!= col("b.doc_id")) // fixture-vs-ANY, either orientation
+      .join(
+        union.select(col("doc_id").as("a_id"), col("text").as("ta")),
+        col("a.doc_id") === col("a_id")
+      )
+      .join(
+        union.select(col("doc_id").as("b_id"), col("text").as("tb")),
+        col("b.doc_id") === col("b_id")
+      )
+      .where(col("ta") =!= col("tb"))
+      .agg(min(expr("bit_count(a.sig ^ b.sig)")))
+      .head()
+      .getInt(0)
+    assert(minCross >= 16, s"min non-identical distance involving a fixture doc = $minCross")
+  }
+
   test("n6 clustersFromPairs: min-id labels to fixpoint, multi-hop chains converge") {
     import spark.implicits._
     // two components: a 5-node chain (min label needs 4 propagation rounds)
