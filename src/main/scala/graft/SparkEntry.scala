@@ -137,6 +137,7 @@ object SparkEntry {
     "w4_hopping_counts" -> (graft.streaming.EventStream.hoppingCountsBatch _),
     // round 6: dedup materialization, retention, boundary packing, tf-idf, norm profile
     "n9_cluster_keep"      -> ((s: SparkSession, d: String) => Dedup.clusterRepresentatives(s, d)),
+    "n14_quality_keep"     -> ((s: SparkSession, d: String) => Dedup.qualityClusterRepresentatives(s, d)),
     "u1_retention_cohorts" -> ((s: SparkSession, d: String) => Retention.retentionCohorts(s, d)),
     "p4_pack_spans"        -> (Curation.packSpans _),
     "t2_tfidf_rank"        -> ((s: SparkSession, d: String) => TextAnalysis.tfidfRank(s, d)),
@@ -381,6 +382,21 @@ object SparkEntry {
         "SELECT d.doc_id, COALESCE(sz.c, 1) AS cluster_size FROM documents d " +
         "LEFT JOIN cl ON d.doc_id = cl.id LEFT JOIN sz ON cl.cid = sz.cid " +
         "WHERE cl.id IS NULL OR cl.cid = d.doc_id ORDER BY doc_id"),
+    // n14 = n9 with the keep rule swapped to quality-argmax: the oracle
+    // replays cluster derivation AND the per-cluster argmax (most tokens,
+    // tie -> min doc_id) so the selection rule itself is hash-checked.
+    "n14_quality_keep" ->
+      (dupReachCtePrefix +
+        ", cl AS (SELECT id, MIN(r) AS cid FROM reach GROUP BY id), " +
+        "m AS (SELECT cl.cid, cl.id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS nt " +
+        "FROM cl JOIN documents d ON d.doc_id = cl.id), " +
+        "best AS (SELECT cid, id, nt, COUNT(*) OVER (PARTITION BY cid) AS csz, " +
+        "row_number() OVER (PARTITION BY cid ORDER BY nt DESC, id) AS rk FROM m) " +
+        "SELECT id AS doc_id, csz AS cluster_size, nt AS n_toks FROM best WHERE rk = 1 " +
+        "UNION ALL " +
+        "SELECT d.doc_id, CAST(1 AS BIGINT), CAST(len(string_split(d.text, ' ')) AS BIGINT) " +
+        "FROM documents d WHERE d.doc_id NOT IN (SELECT id FROM cl) " +
+        "ORDER BY doc_id"),
     "n4_embedding_dup_pairs" ->
       ("SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM embeddings a JOIN embeddings b " +
         "ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95 " +

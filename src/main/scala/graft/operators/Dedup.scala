@@ -1152,6 +1152,48 @@ object Dedup {
     reps.unionByName(singletons).orderBy("doc_id")
   }
 
+  /** N14 — QUALITY-weighted representative selection: for every near-dup
+    * cluster keep the member with the most tokens (tie → min doc_id), plus
+    * every untouched document — `(doc_id, cluster_size, n_toks)`. n9's
+    * min-id rule is deterministic but content-blind; real curation keeps
+    * the member that retains the most content (near-dup groups are usually
+    * a superset document plus its truncations/mutations), so the keep rule
+    * is an argmax over a quality signal. Token count is the signal here
+    * because it is SQL-expressible — the DuckDB oracle replays cluster
+    * derivation (recursive reachability over exact-Jaccard pairs) AND the
+    * argmax, keeping the whole operator hash-checked end-to-end; swapping
+    * in another per-doc score (e.g. v3's LM score layout) changes one join.
+    *
+    * Scale shape: identical to n9 — the argmax is a `max(struct)` partial
+    * aggregate over the collision-bounded cluster frame (never a window
+    * over the corpus), the token counts it needs ride a narrow projection
+    * joined to that bounded frame, and the corpus-wide work is one
+    * left-anti join of 8-byte ids.
+    */
+  def qualityClusterRepresentatives(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dupClusters(spark, dir).select("cluster_id", "doc_id")
+    val toks = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_toks"))
+    val best = clusters
+      .join(toks, "doc_id")
+      .groupBy("cluster_id")
+      .agg(
+        count(lit(1)).as("cluster_size"),
+        // argmax n_toks, tie-break min doc_id: max over (n_toks, -doc_id)
+        max(struct(col("n_toks"), (-col("doc_id")).as("neg_id"))).as("m")
+      )
+      .select(
+        (-col("m.neg_id")).as("doc_id"),
+        col("cluster_size"),
+        col("m.n_toks").as("n_toks")
+      )
+    val singletons = toks
+      .join(clusters.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(1L).as("cluster_size"), col("n_toks"))
+    best.unionByName(singletons).orderBy("doc_id")
+  }
+
   /** Min-label propagation to fixpoint over an undirected pair graph:
     * every node starts as its own representative; each round takes the min
     * of its own and its neighbors' labels. Converges in O(component

@@ -293,6 +293,38 @@ class DedupSpec extends SparkSpec {
     assert(groups.map(r => (r.getLong(1), r.getLong(2))).toSet == Set((2L, 1L), (2L, 4L)))
   }
 
+  test("n14 quality keep: argmax-token representative (not min id); ties break to min id") {
+    import spark.implicits._
+    val dir  = java.nio.file.Files.createTempDirectory("graft_n14").toString
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val dbl  = base + " " + base // same shingle set + 2 seam shingles: J = 38/40 = 0.95, but 80 tokens
+    val tie  = (1 to 30).map(i => s"t$i").mkString(" ")
+    val solo = (1 to 25).map(i => s"u$i").mkString(" ")
+    Seq(
+      (10L, base, "en", "t", 1L),
+      (11L, dbl, "en", "t", 1L),
+      (20L, tie, "en", "t", 1L),
+      (21L, tie, "en", "t", 1L),
+      (30L, solo, "en", "t", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup
+      .qualityClusterRepresentatives(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // cluster {10,11}: 11 wins on tokens despite the higher id;
+    // cluster {20,21}: tie on tokens -> min id 20; 30 is untouched.
+    assert(got == Set((11L, 2L, 80L), (20L, 2L, 30L), (30L, 1L, 25L)))
+    // n9's min-id rule keeps 10 on the same corpus — the rules genuinely differ
+    val n9 = Dedup
+      .clusterRepresentatives(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(n9 == Set((10L, 2L), (20L, 2L), (30L, 1L)))
+  }
+
   test("span layout: cached n7/d16/n8/n11/n13 ≡ their live computations; reuse skips the build") {
     import graft.sources.LayoutCache
     LayoutCache.drainBuildLog()
