@@ -469,6 +469,54 @@ object ScaleRehearsal {
     time("d21 quartile gate (warm layout)")(TextAnalysis.lmQualityKeep(spark, dir).collect())
   }
 
+  /** 100× TEXT-index rehearsal: the postings/BM25/LM-score families on the
+    * constant-dup-rate replicated corpus (the same 500k-doc corpus dedup100
+    * and spans100 use). The claims to check at this scale: (a) the postings
+    * BUILD is one tokenize pass, token-linear like the span family; (b) the
+    * warm indexed query reads posting lists + corpus stats, so its cost
+    * tracks the query terms' document frequency, NOT the corpus (the
+    * replicated corpus suffixes replica tokens, so the query terms' df
+    * stays near the base corpus's — exactly the selective-term shape a real
+    * query has); (c) the corpus-scan comparator t4 pays the full 100×
+    * tokenize every run. Reports df so (b) is measurable, plus per-phase
+    * shuffle and spill.
+    */
+  def textRehearsal(spark: SparkSession, src: String, dst: String, reps: Int): Unit = {
+    import graft.operators.TextAnalysis
+    ensureReplicatedDocs(spark, src, dst, reps)
+    val docs   = spark.read.parquet(s"$dst/documents.parquet")
+    val nDocs  = docs.count()
+    val tokens = docs.agg(sum(size(split(col("text"), " ")))).head().getLong(0)
+    val df = docs
+      .select(explode(array_distinct(split(col("text"), " "))).as("t"))
+      .where(col("t").isin(TextAnalysis.KeywordTerms: _*))
+      .groupBy("t").agg(count(lit(1)).as("df"))
+      .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
+    println(f"[text100] n_docs=$nDocs%d token_stream=$tokens%d query_term_df: $df")
+    val pm = new PhaseMetrics
+    spark.sparkContext.addSparkListener(pm)
+    def timed(label: String)(body: => Long): Unit = {
+      val (w0, _, d0) = pm.snapshot
+      val t0          = System.nanoTime()
+      val rows        = body
+      val secs        = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(200)
+      val (w1, _, d1) = pm.snapshot
+      println(
+        f"[text100] $label%-40s rows=$rows%-7d $secs%7.1f s  " +
+          f"shuffle=${(w1 - w0) / 1048576.0}%9.1f MiB  spill_disk=${(d1 - d0) / 1048576}%d MiB"
+      )
+    }
+    timed("t4 corpus-scan BM25 (un-indexed)")(TextAnalysis.bm25Rank(spark, dst).count())
+    timed("t6 cold: postings build + query")(TextAnalysis.bm25RankIndexed(spark, dst).count())
+    timed("t6 warm indexed query")(TextAnalysis.bm25RankIndexed(spark, dst).count())
+    timed("t7 cold: base+delta build + query")(TextAnalysis.bm25RankIncremental(spark, dst).count())
+    timed("t7 warm incremental query")(TextAnalysis.bm25RankIncremental(spark, dst).count())
+    timed("v3 cold: LM train + score layout")(TextAnalysis.bigramLmScore(spark, dst).count())
+    timed("v3 warm score read")(TextAnalysis.bigramLmScore(spark, dst).count())
+    timed("d21 quartile gate (warm layout)")(TextAnalysis.lmQualityKeep(spark, dst).count())
+  }
+
   /** kNN-join rehearsal: the s13/s14 family at 10× vectors (20k × 64d —
     * 4·10⁸ scored pairs on the brute rung). Records the three numbers that
     * matter for the family's scale story: the brute rung's quadratic cost,
@@ -672,6 +720,17 @@ object ScaleRehearsal {
       require(dst != src && !src.startsWith(dst), s"dst $dst would clobber src $src")
       build(spark, src, dst, 10)
       indexRehearsal(spark, dst)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("text100")) {
+      val spark = GraftSession.getOrCreate()
+      textRehearsal(
+        spark,
+        args.lift(1).getOrElse("/root/testdata/sf0.1"),
+        args.lift(2).getOrElse("/tmp/graft_dedup100"),
+        args.lift(3).map(_.toInt).getOrElse(100)
+      )
       spark.stop()
       return
     }
