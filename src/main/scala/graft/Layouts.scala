@@ -52,6 +52,7 @@ object Layouts {
     "bpe_merges"         -> (() => { Bpe.bpeMerges(spark, dir); () }),
     "bpe_incremental"    -> (() => { Bpe.bpeMergesIncremental(spark, dir); () }),
     "text_postings"      -> (() => { TextAnalysis.postingsLayoutCache(spark, dir); () }),
+    "text_trigrams"      -> (() => { TextAnalysis.trigramLayoutCache(spark, dir); () }),
     "lm_scores"          -> (() => { TextAnalysis.lmScoreLayoutCache(spark, dir); () }),
     "postings_incremental" -> (() => { TextAnalysis.bm25RankIncremental(spark, dir); () }),
     "media_catalog_base" -> (() => { Multimodal.mediaDemuxIncremental(spark, dir); () }),

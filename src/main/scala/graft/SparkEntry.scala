@@ -215,7 +215,24 @@ object SparkEntry {
     "d24_mixture_epochs" -> (Curation.mixtureEpochs _),
     // round 8: per-doc contamination-share verdict over ALL training docs
     // (d8 reports the contaminated; d25 is the shipping keep/drop gate)
-    "d25_contamination_gate" -> (Curation.contaminationGate _)
+    "d25_contamination_gate" -> (Curation.contaminationGate _),
+    // round 10: the hard TPC-H decorrelation shapes — Q13 (agg-of-agg over
+    // an outer join), Q17 (correlated per-part average, cross-multiplied),
+    // Q18 (IN over a grouped HAVING), Q21 (EXISTS ∧ NOT EXISTS, both
+    // order-correlated), Q20 (nested-IN semi-join ladder)
+    "q31_customer_order_distribution" -> (CoreQueries.q31CustomerOrderDistribution _),
+    "q32_small_qty_revenue"           -> (CoreQueries.q32SmallQuantityRevenue _),
+    "q33_large_orders"                -> (CoreQueries.q33LargeOrders _),
+    "q34_waiting_suppliers"           -> (CoreQueries.q34WaitingSuppliers _),
+    "q35_excess_shipments"            -> (CoreQueries.q35ExcessShipments _),
+    "q36_late_shipment_priority"      -> (CoreQueries.q36LateShipmentPriority _),
+    "q37_dormant_rich_customers"      -> (CoreQueries.q37DormantRichCustomers _),
+    // round 10: corpus novelty + cross-source overlap audit
+    "n15_novelty_scores"  -> (Dedup.noveltyScores _),
+    "d26_source_affinity" -> (Profile.sourceAffinity _),
+    // round 10: substring search off the persisted char-trigram index —
+    // the retrieval rung below tokens (t1) and token phrases (t3)
+    "t8_substring_search" -> ((s: SparkSession, d: String) => TextAnalysis.substringSearch(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1077,7 +1094,100 @@ object SparkEntry {
         "WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de' " +
         "WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr' " +
         "WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS lang_pred, " +
-        "COUNT(*) AS n_docs FROM scored GROUP BY source, lang_pred ORDER BY source, lang_pred")
+        "COUNT(*) AS n_docs FROM scored GROUP BY source, lang_pred ORDER BY source, lang_pred"),
+    // q31 (TPC-H Q13): the priority predicate must sit in the JOIN
+    // condition — as a WHERE it would erase the zero-order bucket.
+    "q31_customer_order_distribution" ->
+      ("SELECT c_count, COUNT(*) AS custdist FROM (" +
+        "SELECT c_custkey, COUNT(o_orderkey) AS c_count FROM customer " +
+        "LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT' " +
+        "GROUP BY c_custkey) t GROUP BY c_count ORDER BY custdist DESC, c_count DESC"),
+    // q32 (TPC-H Q17): 20%-of-average via BIGINT cross-multiplication
+    // (5·qty·n < Σqty) — no float average to flip a boundary row.
+    "q32_small_qty_revenue" ->
+      ("WITH lp AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty, l_extendedprice " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_brand = 'Brand#4'), " +
+        "st AS (SELECT l_partkey, COUNT(*) AS n, SUM(qty) AS s FROM lp GROUP BY 1) " +
+        "SELECT CAST(SUM(CAST(lp.l_extendedprice AS DECIMAL(12,2)) * 10000) AS BIGINT) AS revenue_e4, " +
+        "COUNT(*) AS cnt FROM lp JOIN st USING (l_partkey) WHERE 5 * lp.qty * st.n < st.s"),
+    // q33 (TPC-H Q18): grouped-HAVING membership; (total_qty, o_orderkey)
+    // is a total order so the LIMIT cut is deterministic in both engines.
+    "q33_large_orders" ->
+      ("SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date, total_qty " +
+        "FROM (SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS total_qty " +
+        "FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS BIGINT)) > 250) t " +
+        "JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey " +
+        "ORDER BY total_qty DESC, o_orderkey LIMIT 100"),
+    // q34 (TPC-H Q21): both quantified predicates decorrelate to per-order
+    // supplier counts; grouping is by suppkey (pre-name-join) in both
+    // engines so a name collision could never merge two suppliers.
+    "q34_waiting_suppliers" ->
+      ("WITH fl AS (SELECT l_orderkey, l_suppkey, " +
+        "(l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_orderstatus = 'F'), " +
+        "po AS (SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS nsupp, " +
+        "COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS nlate FROM fl GROUP BY 1), " +
+        "w AS (SELECT fl.l_suppkey, COUNT(*) AS numwait FROM fl JOIN po USING (l_orderkey) " +
+        "WHERE fl.late AND po.nsupp > 1 AND po.nlate = 1 GROUP BY 1) " +
+        "SELECT s_name, numwait FROM w JOIN supplier ON l_suppkey = s_suppkey " +
+        "ORDER BY numwait DESC, s_name LIMIT 100"),
+    // q36 (TPC-H Q12): two CASE counts in one pass — COUNT(CASE) keeps
+    // both columns BIGINT on both engines.
+    "q36_late_shipment_priority" ->
+      ("SELECT l_returnflag, " +
+        "COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count, " +
+        "COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // q37 (TPC-H Q22): global positive-balance average by BIGINT
+    // cross-multiplication + NOT EXISTS as an anti join.
+    "q37_dormant_rich_customers" ->
+      ("WITH c AS (SELECT c_custkey, c_nationkey, " +
+        "CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal_cents FROM customer), " +
+        "g AS (SELECT SUM(bal_cents) AS total_cents, COUNT(*) AS n_pos FROM c WHERE bal_cents > 0) " +
+        "SELECT c_nationkey, COUNT(*) AS numcust, " +
+        "CAST(SUM(bal_cents) AS BIGINT) AS total_bal_cents FROM c, g " +
+        "WHERE bal_cents * n_pos > total_cents " +
+        "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00') " +
+        "GROUP BY c_nationkey ORDER BY c_nationkey"),
+    // q35 (TPC-H Q20): nested IN = two semi-join memberships.
+    "q35_excess_shipments" ->
+      ("SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN (" +
+        "SELECT l_suppkey FROM lineitem WHERE l_partkey IN " +
+        "(SELECT p_partkey FROM part WHERE p_type = 'PROMO') " +
+        "AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' " +
+        "GROUP BY l_suppkey, l_partkey HAVING SUM(CAST(l_quantity AS BIGINT)) > 50) " +
+        "ORDER BY s_suppkey"),
+    // n15: d8's shingle convention; counts via COUNT(CASE …) so both
+    // columns are BIGINT on both engines (DuckDB SUM(int) would widen).
+    "n15_novelty_scores" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s " +
+        "FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)), " +
+        "f AS (SELECT s, MIN(doc_id) AS fd FROM sh GROUP BY 1) " +
+        "SELECT doc_id, COUNT(*) AS n_shingles, " +
+        "COUNT(CASE WHEN fd < doc_id THEN 1 END) AS n_seen_before " +
+        "FROM sh JOIN f USING (s) GROUP BY doc_id ORDER BY doc_id"),
+    // d26: source-keyed variant of the same shingle convention; integer
+    // intersection + set sizes only (Jaccard division left to consumers).
+    "d26_source_affinity" ->
+      ("WITH toks AS (SELECT source, string_split(text, ' ') w FROM documents), " +
+        "sh AS (SELECT DISTINCT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s " +
+        "FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)), " +
+        "sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY 1), " +
+        "inter AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter " +
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source GROUP BY 1, 2) " +
+        "SELECT src_a, src_b, inter, sa.n AS n_a, sb.n AS n_b FROM inter " +
+        "JOIN sizes sa ON src_a = sa.source JOIN sizes sb ON src_b = sb.source " +
+        "ORDER BY src_a, src_b"),
+    // t8: the trigram index is an over-approximation + exact verify, so
+    // plain `contains` IS the semantic contract.
+    "t8_substring_search" ->
+      ("SELECT doc_id FROM documents WHERE contains(text, '" +
+        graft.operators.TextAnalysis.SubstringPattern + "') ORDER BY doc_id")
     // n3_simhash_pairs, s2_ann_lsh (planted twin s2p fully oracle-checked),
     // s11_ann_ivf_filtered (planted twin s11p fully oracle-checked),
     // s4_ann_ivf, s6_ann_ivf_partitioned,

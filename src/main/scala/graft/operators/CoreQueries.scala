@@ -885,4 +885,252 @@ object CoreQueries {
       .select("c_custkey", "bal_cents")
       .orderBy("c_custkey")
   }
+
+  /** Q31 — customer order distribution (TPC-H Q13 shape): how many
+    * customers placed 0, 1, 2, … qualifying orders. The signature
+    * difficulty is the AGGREGATE-OF-AGGREGATE over an OUTER join: the
+    * zero-order customers exist only because the join is LEFT (an inner
+    * join silently drops them and the 0-bucket vanishes), and the
+    * order-priority predicate must live IN the join condition — as a WHERE
+    * it would turn the outer join back into an inner one.
+    *
+    * Scale shape: orders filters at the scan, then shuffles on custkey;
+    * the first aggregate groups on the SAME key, so Catalyst reuses the
+    * join's hash partitioning (no second exchange for the per-customer
+    * count). The second aggregate's domain is |distinct order counts| —
+    * tens of rows — and collapses map-side.
+    */
+  def q31CustomerOrderDistribution(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .customer(spark, dir)
+      .select("c_custkey")
+      .join(
+        Tables
+          .orders(spark, dir)
+          .where(col("o_orderpriority") =!= "1-URGENT")
+          .select("o_custkey", "o_orderkey"),
+        col("c_custkey") === col("o_custkey"),
+        "left"
+      )
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** Q32 — small-quantity-order revenue (TPC-H Q17 shape): revenue from
+    * lineitems whose quantity is below 20% of the average quantity for
+    * their part, over one brand. The reference correlated form
+    * (`WHERE l_quantity < (SELECT 0.2*avg(l_quantity) WHERE same part)`)
+    * decorrelates into per-part statistics joined back onto the same rows —
+    * here a single window over `l_partkey`, so the matched slice is scanned
+    * ONCE (an agg+self-join would scan it twice). The fraction compares by
+    * cross-multiplication in BIGINT (`5·qty·n < Σqty`, the q28 discipline):
+    * no float average whose last-ulp rounding could flip a boundary row
+    * between engines.
+    *
+    * Scale shape: the brand predicate prunes `part` to ~5%, which
+    * broadcasts; the lineitem scan prunes to matching parts via the
+    * broadcast hash semi-probe before the single partkey shuffle.
+    */
+  def q32SmallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val lp = Tables
+      .lineitem(spark, dir)
+      .join(
+        broadcast(Tables.part(spark, dir).where(col("p_brand") === "Brand#4").select("p_partkey")),
+        col("l_partkey") === col("p_partkey")
+      )
+      .select(
+        col("l_partkey"),
+        col("l_quantity").cast("long").as("qty"),
+        col("l_extendedprice")
+      )
+    val byPart = Window.partitionBy("l_partkey")
+    lp.withColumn("n", count(lit(1)).over(byPart))
+      .withColumn("s", sum("qty").over(byPart))
+      .where(col("qty") * 5 * col("n") < col("s"))
+      .agg(
+        expr("cast(sum(cast(l_extendedprice as decimal(12,2)) * 10000) as bigint)").as("revenue_e4"),
+        count(lit(1)).as("cnt")
+      )
+  }
+
+  /** Q33 — large-volume orders (TPC-H Q18 shape): orders whose total
+    * quantity exceeds a threshold, with their customer. The reference form
+    * is `o_orderkey IN (SELECT l_orderkey … HAVING sum > 250)`; the
+    * scale-correct plan aggregates lineitem FIRST (partial map-side sums →
+    * one orderkey shuffle), filters to the surviving hundreds of orders,
+    * and only then joins orders and customer — the filtered aggregate is
+    * broadcastable, so the two dimension joins never shuffle the facts
+    * again. Joining before aggregating would drag customer names through
+    * the lineitem shuffle. Quantities sum in BIGINT; top-100 by
+    * (total_qty, orderkey) is `TakeOrderedAndProject`, never a global sort.
+    */
+  def q33LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables
+      .lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .where(col("total_qty") > 250)
+    big
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(
+        col("c_name"),
+        col("c_custkey"),
+        col("o_orderkey"),
+        col("o_orderdate").cast("date").as("order_date"),
+        col("total_qty")
+      )
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** Q34 — suppliers who kept orders waiting (TPC-H Q21 shape): for
+    * finalized multi-supplier orders, count per supplier the late lines
+    * where that supplier was the ONLY late one. The reference form is the
+    * hardest correlation in TPC-H — an EXISTS (another supplier on the
+    * order) AND a NOT EXISTS (another LATE supplier on the order) both
+    * correlated to the outer row. Decorrelated: both quantified predicates
+    * are per-ORDER facts, so one window over `l_orderkey` computes
+    * |suppliers| and |late suppliers| and the pair of subqueries becomes
+    * two integer comparisons. "Late" adapts TPC-H's receipt-vs-commit to
+    * this schema: shipped more than 90 days after the order date.
+    *
+    * Scale shape: one orderkey shuffle for the lineitem⋈orders join, the
+    * window reuses that partitioning (no second exchange), then a
+    * supplier-count aggregation whose domain is |suppliers| and a
+    * broadcast name join. `collect_set` over the window is bounded by
+    * lines-per-order (≤13 here, single digits in any real order table).
+    */
+  def q34WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val lo = Tables
+      .lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(
+        Tables
+          .orders(spark, dir)
+          .where(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey")
+      )
+      .select(
+        col("l_orderkey"),
+        col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("interval 90 days")).as("late")
+      )
+    val byOrder = Window.partitionBy("l_orderkey")
+    lo.withColumn("n_supp", size(collect_set(col("l_suppkey")).over(byOrder)))
+      .withColumn("n_late_supp", size(collect_set(when(col("late"), col("l_suppkey"))).over(byOrder)))
+      .where(col("late") && col("n_supp") > 1 && col("n_late_supp") === 1)
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select("s_name", "numwait")
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  /** Q35 — suppliers with excess shipments of one part type (TPC-H Q20
+    * shape): the nested-IN ladder `s_suppkey IN (SELECT … WHERE l_partkey
+    * IN (SELECT …) GROUP BY supp, part HAVING sum(qty) > 50)`. Written as
+    * its decorrelated plan: the part-type predicate prunes `part` at the
+    * scan and broadcasts as a LEFT SEMI probe (lineitem keeps only
+    * qualifying parts without widening its rows), the date range prunes
+    * the lineitem scan, the (supp, part) aggregate collapses map-side,
+    * and the surviving supplier keys semi-join `supplier`. Both IN
+    * memberships are semi joins — no duplicate-inflating inner join
+    * anywhere, which is the classic Q20 rewrite mistake.
+    */
+  /** Q36 — late-shipment priority split (TPC-H Q12 shape): for lineitems
+    * shipped late (>90 days after the order date), per return flag, how
+    * many belong to urgent/high-priority orders vs the rest — the
+    * conditional-aggregation-over-a-join shape (`SUM(CASE WHEN …)` twice
+    * in one pass). Both counts come from ONE fact-fact join and ONE
+    * aggregation: splitting into two filtered queries would scan and
+    * shuffle the join twice for what a CASE computes per row. The
+    * lateness predicate is a row-local timestamp comparison evaluated at
+    * the join (no pre-aggregation can capture it); the ~3-key groupBy
+    * collapses map-side.
+    */
+  def q36LateShipmentPriority(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables
+      .lineitem(spark, dir)
+      .select("l_orderkey", "l_shipdate", "l_returnflag")
+      .join(
+        Tables.orders(spark, dir).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey")
+      )
+      .where(col("l_shipdate") > col("o_orderdate") + expr("interval 90 days"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(when(urgent, lit(1))).as("high_line_count"),
+        count(when(!urgent, lit(1))).as("low_line_count")
+      )
+      .orderBy("l_returnflag")
+  }
+
+  /** Q37 — dormant rich customers (TPC-H Q22 shape): customers whose
+    * balance exceeds the average over POSITIVE balances yet who placed no
+    * RECENT order (none since 2000-01-01 — this synthetic corpus has
+    * every customer ordering at least once over its 6½ years, so TPC-H's
+    * literal never-ordered set is empty and the recency window restores
+    * the shape's teeth), grouped by nation. Composes the two quantified
+    * predicates TPC-H saves for last: a global scalar subquery (the
+    * average — one 1-row broadcast, compared by BIGINT
+    * cross-multiplication per the q28 rule) and a NOT EXISTS (a LEFT ANTI
+    * join against the distinct recent-order custkeys). The anti join's
+    * right side is date-pruned at the scan and custkey-distinct BEFORE
+    * the join — anti joins don't inflate, but the distinct means the
+    * build side is |recent customers|, not |recent orders|.
+    */
+  def q37DormantRichCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables
+      .customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        col("c_nationkey"),
+        expr("cast(cast(c_acctbal as decimal(12,2)) * 100 as bigint)").as("bal_cents")
+      )
+    val global = c.where(col("bal_cents") > 0).agg(sum("bal_cents").as("total_cents"), count(lit(1)).as("n_pos"))
+    c.crossJoin(broadcast(global))
+      .where(col("bal_cents") * col("n_pos") > col("total_cents"))
+      .join(
+        Tables
+          .orders(spark, dir)
+          .where(col("o_orderdate") >= expr("timestamp_ntz'2000-01-01 00:00:00'"))
+          .select(col("o_custkey"))
+          .distinct(),
+        col("c_custkey") === col("o_custkey"),
+        "left_anti"
+      )
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"), sum("bal_cents").as("total_bal_cents"))
+      .orderBy("c_nationkey")
+  }
+
+  def q35ExcessShipments(spark: SparkSession, dir: String): DataFrame = {
+    val qualified = Tables
+      .lineitem(spark, dir)
+      .where(
+        col("l_shipdate") >= expr("timestamp_ntz'1997-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("timestamp_ntz'1998-01-01 00:00:00'")
+      )
+      .join(
+        broadcast(Tables.part(spark, dir).where(col("p_type") === "PROMO").select("p_partkey")),
+        col("l_partkey") === col("p_partkey"),
+        "left_semi"
+      )
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum(col("l_quantity").cast("long")).as("qty"))
+      .where(col("qty") > 50)
+      .select("l_suppkey")
+      .distinct()
+    Tables
+      .supplier(spark, dir)
+      .join(qualified, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+  }
 }

@@ -39,6 +39,19 @@ object Dedup {
   def shingles(
       docs: DataFrame,
       n: Int = -1 // -1 = the graft.shingle.n session knob (3 unset)
+  ): DataFrame = shinglesKeyed(docs, "doc_id", n)
+
+  /** [[shingles]] with a caller-chosen key column — the SAME tokenization
+    * contract (split on single space, width-`n` word windows,
+    * within-row distinct) keyed by e.g. `source` instead of `doc_id`, so
+    * corpus-level set operators ([[Profile.sourceAffinity]]) never
+    * re-derive the shingle definition. The key rides the explode — no
+    * join back to the document table to recover it.
+    */
+  def shinglesKeyed(
+      docs: DataFrame,
+      key: String,
+      n: Int = -1
   ): DataFrame = {
     val nn = if (n > 0) n else graft.GraftConf.int(docs.sparkSession, "shingle.n", 3)
     require(nn >= 1, s"graft.shingle.n=$nn must be >= 1")
@@ -46,7 +59,7 @@ object Dedup {
     withToks
       .where(size(col("toks")) >= nn)
       .select(
-        col("doc_id"),
+        col(key),
         explode(
           expr(
             s"array_distinct(transform(sequence(0, size(toks)-$nn), " +
@@ -1507,4 +1520,34 @@ object Dedup {
       .where(col("cos") >= threshold)
       .select("vec_a", "vec_b")
       .orderBy("vec_a", "vec_b")
+
+  /** N15 — per-document novelty profile `(doc_id, n_shingles,
+    * n_seen_before)`: of a document's distinct shingles, how many already
+    * appeared in an EARLIER document (smaller doc_id — the corpus's
+    * arrival order). `n_seen_before / n_shingles` is the redundancy
+    * fraction a curation pipeline thresholds to drop documents that add
+    * nothing new — the streaming-order generalization of pairwise dedup
+    * (a doc can be 90% stale without any single near-duplicate partner,
+    * e.g. a mashup of many earlier docs, which no pairwise rung catches).
+    *
+    * Scale shape: first-seen is `min(doc_id)` OVER the shingle partition —
+    * ONE shuffle on the shingle key (the same inverted-index exchange every
+    * n-family op pays), with the per-doc rollup reusing nothing heavier
+    * than a doc_id aggregation. Counting is `count(when(...))` — integers
+    * end to end, and the oracle counts the same CASE. No pair join
+    * anywhere: cost is linear in the shingle stream regardless of how
+    * duplicated the corpus is — this is the operator to reach for when
+    * n1/n2's pair tables are the expensive part.
+    */
+  def noveltyScores(spark: SparkSession, dir: String): DataFrame = {
+    val sh      = shingles(Tables.documents(spark, dir))
+    val byShingle = Window.partitionBy("s")
+    sh.withColumn("first_doc", min("doc_id").over(byShingle))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        count(when(col("first_doc") < col("doc_id"), lit(1))).as("n_seen_before")
+      )
+      .orderBy("doc_id")
+  }
 }

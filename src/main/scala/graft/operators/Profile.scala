@@ -167,4 +167,56 @@ object Profile {
         (count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dups")
       )
       .orderBy("source")
+
+  /** D26 — source-affinity matrix `(src_a, src_b, inter, n_a, n_b)`: for
+    * every pair of document sources that share at least one shingle, the
+    * exact shingle-set intersection size plus both set sizes — the
+    * cross-feed overlap audit that tells a mixture designer WHICH corpora
+    * are rebottling each other's content (Jaccard = inter/(n_a+n_b−inter),
+    * left to the consumer so the output stays integer-only and
+    * hash-comparable).
+    *
+    * Scale shape: per-shingle source SET first (`collect_set` over one
+    * shingle-key shuffle — the same inverted-index exchange as n1/n15,
+    * bounded per row by |sources|), then pairs are emitted MAP-SIDE from
+    * each set by an index-windowed double `transform` and count-collapsed.
+    * Never a shingle-level self-join: that plan squares every hot
+    * shingle's row count before aggregating, while this one's output is
+    * exactly Σ_s C(|sources(s)|, 2) ≤ C(|S|, 2) per shingle — with
+    * source counts in the tens to hundreds the pair stream is at most a
+    * small constant times the shingle stream. (If |S| itself were huge,
+    * the right rung is per-source MinHash signatures — the n2-over-n1
+    * argument applied one level up.) Set sizes fall out of the SAME
+    * per-shingle aggregate (explode + count), so the corpus is tokenized
+    * exactly once.
+    */
+  def sourceAffinity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val perShingle = Dedup
+      .shinglesKeyed(docs.select("source", "text"), "source")
+      .groupBy("s")
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+    val sizes = perShingle
+      .select(explode(col("srcs")).as("source"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"))
+    val inter = perShingle
+      .where(size(col("srcs")) > 1)
+      .select(
+        explode(
+          expr(
+            "flatten(transform(srcs, (a, i) -> " +
+              "transform(slice(srcs, i + 2, size(srcs)), b -> named_struct('src_a', a, 'src_b', b))))"
+          )
+        ).as("p")
+      )
+      .select(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("n_b"))), "src_b")
+      .select("src_a", "src_b", "inter", "n_a", "n_b")
+      .orderBy("src_a", "src_b")
+  }
 }

@@ -1058,4 +1058,83 @@ object TextAnalysis {
       .groupBy("source", "lang_pred")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("source", "lang_pred")
+
+  /** Bump whenever the trigram layout or its build changes. */
+  private[graft] val TrigramSchemeVersion = 1
+
+  /** Character-trigram inverted index as a persisted layout —
+    * `trigrams.parquet` `(g, doc_id)`, one row per distinct 3-char gram
+    * per document, g-clustered on disk (the [[postingsLayoutCache]] write
+    * discipline) so a gram lookup prunes on row-group min/max. This is the
+    * index behind SUBSTRING search — the classic trigram-index design
+    * (PostgreSQL `pg_trgm`, Google Code Search): any occurrence of a
+    * pattern P with |P| ≥ 3 must contain every 3-gram of P, so the index
+    * over-approximates and exact verification confirms.
+    */
+  private[graft] def trigramLayoutCache(spark: SparkSession, dir: String): String = {
+    val key = LayoutCache.contentKey(
+      spark,
+      s"$dir/documents.parquet",
+      s"trigrams-v$TrigramSchemeVersion"
+    )
+    LayoutCache.getOrBuild(spark, "graft_trigrams", key) { out =>
+      Tables
+        .documents(spark, dir)
+        .where(length(col("text")) >= 3)
+        .select(
+          col("doc_id"),
+          explode(
+            expr("array_distinct(transform(sequence(0, length(text) - 3), i -> substring(text, i + 1, 3)))")
+          ).as("g")
+        )
+        .repartition(col("g"))
+        .sortWithinPartitions("g")
+        .write
+        .mode("overwrite")
+        .parquet(s"$out/trigrams.parquet")
+    }
+  }
+
+  /** Default t8 pattern — a substring crossing three token boundaries, so
+    * neither t1 (single tokens) nor t3 (token-aligned phrase) could answer
+    * it: substring match is character-level and boundary-free.
+    */
+  val SubstringPattern = "scan slow fast"
+
+  /** T8 — substring search over the corpus: documents whose text contains
+    * an ARBITRARY character pattern, served from the persisted trigram
+    * index. Two-phase, like every honest trigram engine: (1) candidate
+    * pruning — docs carrying ALL of the pattern's distinct 3-grams, a
+    * counted semi-intersection over gram-posting rows (the t1 AND-shape
+    * one level below tokens); (2) exact verification — `contains` runs
+    * ONLY on the candidates, probed out of a broadcast hash join before
+    * the predicate evaluates, so the corpus-wide scan does cheap hash
+    * lookups instead of |corpus| string searches.
+    *
+    * Scale shape: phase-1 I/O is the matched grams' posting lists (the
+    * g-clustered layout prunes everything else); the candidate set — in
+    * any selective search a vanishing fraction of the corpus — is all
+    * that reaches the string verify. A pattern shorter than 3 chars has
+    * no trigram and would degenerate to a full scan; the operator
+    * requires |P| ≥ 3 rather than silently degrading.
+    */
+  def substringSearch(spark: SparkSession, dir: String, pattern: String = SubstringPattern): DataFrame = {
+    require(pattern.length >= 3, "substring search needs a pattern of at least 3 chars")
+    val grams  = pattern.sliding(3).toSeq.distinct
+    val layout = trigramLayoutCache(spark, dir)
+    val cand = spark.read
+      .parquet(s"$layout/trigrams.parquet")
+      .where(col("g").isInCollection(grams))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("ng"))
+      .where(col("ng") === grams.length)
+      .select("doc_id")
+    Tables
+      .documents(spark, dir)
+      .select("doc_id", "text")
+      .join(broadcast(cand), "doc_id")
+      .where(col("text").contains(pattern))
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
 }

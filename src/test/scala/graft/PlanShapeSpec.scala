@@ -356,4 +356,46 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"), plan)
     assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
   }
+
+  test("q31 keeps the outer join outer (zero bucket) and pushes the priority filter") {
+    val df = CoreQueries.q31CustomerOrderDistribution(spark, sf0001)
+    df.collect()
+    val plan = executedPlan(df)
+    assert(plan.contains("LeftOuter") || plan.contains("RightOuter"), plan)
+    // the predicate lives on the orders scan, not post-join (where it would
+    // silently erase the zero bucket)
+    assert(plan.contains("Not(EqualTo(o_orderpriority"), plan)
+  }
+
+  test("q33 aggregates lineitem before any dimension join and top-ks without a global sort") {
+    val df = CoreQueries.q33LargeOrders(spark, sf0001)
+    df.collect()
+    val plan = executedPlan(df)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // partial+final over lineitem: the HAVING filter runs on aggregated
+    // rows, so orders/customer join a hundreds-row side
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("q35's nested-IN ladder is two semi joins — nothing duplicate-inflating") {
+    val df = CoreQueries.q35ExcessShipments(spark, sf0001)
+    df.collect()
+    val plan = executedPlan(df)
+    assert("LeftSemi".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"), plan)
+    // both date bounds push to the lineitem scan
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate") && plan.contains("LessThan(l_shipdate"), plan)
+  }
+
+  test("t8 candidate phase reads the trigram layout with the gram IN-list pushed; corpus untouched there") {
+    val df = graft.operators.TextAnalysis.substringSearch(spark, sf0001)
+    df.collect()
+    val plan =
+      try {
+        spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+        executedPlan(df)
+      } finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert(plan.contains("In(g, ["), s"gram IN-list not pushed:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }

@@ -489,4 +489,55 @@ class StreamingSpec extends SparkSpec {
       .head().getLong(0)
     assert(summed == 2 * total)
   }
+
+  test("streaming novelty gate == batch n15; first-seen index sealed; idempotent replay") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_snovel")
+    val src  = base.resolve("src"); java.nio.file.Files.createDirectories(src)
+    val stagingDir = base.resolve("stage")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      df.coalesce(1).write.mode("overwrite").parquet(s"$stagingDir/$name")
+      java.nio.file.Files.move(
+        java.nio.file.Files.list(stagingDir.resolve(name)).filter(_.toString.endsWith(".parquet")).findFirst.get,
+        src.resolve(s"$name.parquet")
+      )
+    }
+    val docs     = graft.sources.Tables.documents(spark, sf0001)
+    val indexDir = s"$base/idx"
+    val outDir   = s"$base/novelty"
+    // doc_id-ordered cuts: stream arrival order == the batch operator's
+    // doc_id order, the precondition for bit-equality with n15
+    stage(docs.where(col("doc_id") < 200), "b1")
+    val q = graft.streaming.NoveltyStream.noveltyStream(spark, src.toString, indexDir, outDir, s"$base/ckpt")
+    val b0Seg = java.nio.file.Paths.get(s"$indexDir/firsts/batch_id=0")
+    def firstParquetMtime(p: java.nio.file.Path): Long =
+      java.nio.file.Files.walk(p).filter(_.toString.endsWith(".parquet")).findFirst.get.toFile.lastModified()
+    val mtime0 =
+      try {
+        q.processAllAvailable()
+        firstParquetMtime(b0Seg)
+      } finally {
+        stage(docs.where(col("doc_id") >= 200 && col("doc_id") < 350), "b2")
+        q.processAllAvailable()
+        stage(docs.where(col("doc_id") >= 350), "b3")
+        q.processAllAvailable()
+        q.stop()
+      }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getAs[Long]("n_shingles"), r.getAs[Long]("n_seen_before"))).toSeq
+    val streamed = rows(graft.streaming.NoveltyStream.noveltyFromStream(spark, outDir))
+    val batch    = rows(graft.operators.Dedup.noveltyScores(spark, sf0001))
+    assert(streamed == batch && streamed.nonEmpty)
+    // stale shingles never re-enter the index: the stored first-seen rows
+    // are exactly the distinct-shingle census of the whole corpus
+    val indexed = spark.read.parquet(s"$indexDir/firsts").count()
+    val census  = graft.operators.Dedup.shingles(docs).select("s").distinct().count()
+    assert(indexed == census, "index must hold each shingle exactly once")
+    // batch 0's segment is sealed after later batches ran
+    assert(firstParquetMtime(b0Seg) == mtime0, "batch-0 first-seen segment was rewritten")
+    // checkpoint-replay idempotence: same batch_id rewrites, never doubles
+    graft.streaming.NoveltyStream.processBatch(docs.where(col("doc_id") < 200), indexDir, outDir, 0L)
+    assert(rows(graft.streaming.NoveltyStream.noveltyFromStream(spark, outDir)) == streamed)
+    assert(spark.read.parquet(s"$indexDir/firsts").count() == indexed)
+  }
 }

@@ -539,4 +539,37 @@ class TextAnalysisSpec extends SparkSpec {
       assert(dropped.forall(id => scores(id) < cut))
     }
   }
+
+  test("t8: substring search == plain contains scan; second query reuses the trigram layout") {
+    import org.apache.spark.sql.functions._
+    val got = TextAnalysis.substringSearch(spark, sf0001).collect().map(_.getLong(0)).toSeq
+    val scan = graft.sources.Tables
+      .documents(spark, sf0001)
+      .where(col("text").contains(TextAnalysis.SubstringPattern))
+      .select("doc_id")
+      .orderBy("doc_id")
+      .collect()
+      .map(_.getLong(0))
+      .toSeq
+    assert(got == scan && got.nonEmpty)
+    graft.sources.LayoutCache.drainBuildLog()
+    TextAnalysis.substringSearch(spark, sf0001).collect()
+    assert(graft.sources.LayoutCache.drainBuildLog().isEmpty, "second query must reuse the trigram layout")
+  }
+
+  test("t8: verify phase rejects a doc carrying every trigram but not the contiguous pattern") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_t8").toString
+    // "abc dx def" contains all five 3-grams of "abc def"
+    // ({abc, 'bc ', 'c d', ' de', def}) yet NOT the pattern itself — only
+    // the exact-verify phase can exclude it. Doc 2 matches mid-token
+    // (substring semantics are boundary-free). Doc 3 is an exact hit.
+    Seq(
+      (1L, "zz abc dx def zz"),
+      (2L, "xxabc defyy"),
+      (3L, "abc def")
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.substringSearch(spark, dir, "abc def").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L, 3L))
+  }
 }

@@ -1,0 +1,243 @@
+package graft
+
+import graft.operators.{CoreQueries, Dedup, Profile}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-10 decorrelation shapes (q31–q35: TPC-H Q13/Q17/Q18/Q21/Q20) plus
+  * the corpus novelty (n15) and source-affinity (d26) operators. Each query
+  * carries a full DuckDB oracle at the driver gate; these specs pin the
+  * SEMANTIC invariants a hash compare can't articulate — the outer-join
+  * zero bucket, plan-equivalence against an independently-shaped twin, and
+  * planted fixtures with hand-computable answers.
+  */
+class TpchShapesSpec extends SparkSpec {
+
+  test("q31: distribution accounts for every customer, and the zero bucket is the outer join's work") {
+    val dist = CoreQueries.q31CustomerOrderDistribution(spark, sf001).collect()
+    val nCustomers = Tables.customer(spark, sf001).count()
+    assert(dist.map(_.getLong(1)).sum == nCustomers, "Σ custdist must equal |customer|")
+    // the zero bucket = customers with no non-urgent order — recomputed by anti join
+    val zero = dist.find(_.getLong(0) == 0L).map(_.getLong(1)).getOrElse(0L)
+    val expectedZero = Tables
+      .customer(spark, sf001)
+      .join(
+        Tables.orders(spark, sf001).where(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"),
+        "left_anti"
+      )
+      .count()
+    assert(zero == expectedZero)
+    // an INNER join would erase exactly that bucket — the Q13 signature
+    assert(zero > 0, "fixture must exercise the outer-join bucket")
+  }
+
+  test("q32: window form ≡ independently-shaped agg+join twin") {
+    val got = CoreQueries.q32SmallQuantityRevenue(spark, sf001).head()
+    val lp = Tables
+      .lineitem(spark, sf001)
+      .join(
+        Tables.part(spark, sf001).where(col("p_brand") === "Brand#4").select("p_partkey"),
+        col("l_partkey") === col("p_partkey")
+      )
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"), col("l_extendedprice"))
+    val st = lp.groupBy("l_partkey").agg(count(lit(1)).as("n"), sum("qty").as("s"))
+    val twin = lp
+      .join(st, "l_partkey")
+      .where(col("qty") * 5 * col("n") < col("s"))
+      .agg(
+        expr("cast(sum(cast(l_extendedprice as decimal(12,2)) * 10000) as bigint)").as("revenue_e4"),
+        count(lit(1)).as("cnt")
+      )
+      .head()
+    assert(got.getAs[Long]("revenue_e4") == twin.getAs[Long]("revenue_e4"))
+    assert(got.getAs[Long]("cnt") == twin.getAs[Long]("cnt"))
+    assert(got.getAs[Long]("cnt") > 0, "boundary rule must keep some rows at sf0.01")
+  }
+
+  test("q33: every kept order exceeds the threshold and the cut is the qty order") {
+    val rows = CoreQueries.q33LargeOrders(spark, sf001).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    assert(rows.forall(_.getAs[Long]("total_qty") > 250L))
+    val qtys = rows.map(_.getAs[Long]("total_qty"))
+    assert(qtys.zip(qtys.tail).forall { case (a, b) => a >= b }, "descending by total_qty")
+    // spot-recompute the top order's quantity straight off lineitem
+    val top = rows.head
+    val recount = Tables
+      .lineitem(spark, sf001)
+      .where(col("l_orderkey") === top.getAs[Long]("o_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")))
+      .head()
+      .getLong(0)
+    assert(recount == top.getAs[Long]("total_qty"))
+  }
+
+  test("q34: window decorrelation ≡ plain-Scala correlated replay (sf0.001)") {
+    // independent replay of the EXISTS ∧ NOT EXISTS semantics, driver-side,
+    // at the small sf where a correlated loop is cheap
+    val lo = Tables
+      .lineitem(spark, sf0001)
+      .join(
+        Tables.orders(spark, sf0001).where(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey")
+      )
+      .select(
+        col("l_orderkey"),
+        col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("interval 90 days")).as("late")
+      )
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byOrder = lo.groupBy(_._1)
+    val numwait = lo
+      .filter { case (ok, sk, late) =>
+        val lines = byOrder(ok)
+        val otherSupp = lines.exists(_._2 != sk) // EXISTS
+        val otherLate = lines.exists(l => l._2 != sk && l._3) // NOT EXISTS, negated
+        late && otherSupp && !otherLate
+      }
+      .groupBy(_._2)
+      .view
+      .mapValues(_.size.toLong)
+      .toMap
+    val names = Tables
+      .supplier(spark, sf0001)
+      .collect()
+      .map(r => (r.getAs[Long]("s_suppkey"), r.getAs[String]("s_name")))
+      .toMap
+    val expected = numwait.toSeq
+      .map { case (sk, n) => (names(sk), n) }
+      .sortBy { case (name, n) => (-n, name) }
+      .take(100)
+    val got = CoreQueries
+      .q34WaitingSuppliers(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture must produce waiting suppliers")
+  }
+
+  test("q35: membership is exactly the grouped-HAVING set, and non-members are excluded") {
+    val got = CoreQueries.q35ExcessShipments(spark, sf001).collect().map(_.getAs[Long]("s_suppkey")).toSet
+    val qualifying = Tables
+      .lineitem(spark, sf001)
+      .where(
+        col("l_shipdate") >= expr("timestamp_ntz'1997-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("timestamp_ntz'1998-01-01 00:00:00'")
+      )
+      .join(
+        Tables.part(spark, sf001).where(col("p_type") === "PROMO").select("p_partkey"),
+        col("l_partkey") === col("p_partkey")
+      ) // inner join twin — duplicate-safe only because it feeds a grouped agg
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum(col("l_quantity").cast("long")).as("qty"))
+      .where(col("qty") > 50)
+      .select("l_suppkey")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(got == qualifying)
+    assert(got.nonEmpty)
+    val all = Tables.supplier(spark, sf001).count()
+    assert(got.size < all, "threshold must actually exclude suppliers")
+  }
+
+  test("q36: the two CASE counts partition the late-shipped join exactly") {
+    val rows = CoreQueries.q36LateShipmentPriority(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(r => r.getAs[Long]("high_line_count") + r.getAs[Long]("low_line_count")).sum
+    val recount = Tables
+      .lineitem(spark, sf001)
+      .join(Tables.orders(spark, sf001), col("l_orderkey") === col("o_orderkey"))
+      .where(col("l_shipdate") > col("o_orderdate") + expr("interval 90 days"))
+      .count()
+    assert(total == recount, "high + low must partition the late-shipped set")
+    assert(rows.forall(r => r.getAs[Long]("high_line_count") > 0 && r.getAs[Long]("low_line_count") > 0))
+  }
+
+  test("q37: plain-Scala replay of both quantified predicates (sf0.001)") {
+    val custs = Tables
+      .customer(spark, sf0001)
+      .selectExpr("c_custkey", "c_nationkey", "cast(cast(c_acctbal as decimal(12,2)) * 100 as bigint) as bal_cents")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val pos   = custs.map(_._3).filter(_ > 0)
+    val total = pos.sum; val n = pos.length
+    val recent = Tables
+      .orders(spark, sf0001)
+      .where(col("o_orderdate") >= expr("timestamp_ntz'2000-01-01 00:00:00'"))
+      .select("o_custkey")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    val expected = custs
+      .filter { case (ck, _, bal) => bal * n > total && !recent.contains(ck) }
+      .groupBy(_._2)
+      .map { case (nk, cs) => (nk, cs.length.toLong, cs.map(_._3).sum) }
+      .toSeq
+      .sortBy(_._1)
+    val got = CoreQueries
+      .q37DormantRichCustomers(spark, sf0001)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("n15: planted corpus — novelty counts by hand") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_n15").toString
+    // doc 1: 4 distinct shingles, all first-seen. doc 2 repeats doc 1
+    // verbatim (all 4 stale). doc 3 shares a 3-token suffix overlap plus
+    // fresh content. doc 4 is too short for any shingle (absent from output).
+    Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f"),
+      (3L, "d e f g h"),
+      (4L, "x y")
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup
+      .noveltyScores(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_shingles"), r.getAs[Long]("n_seen_before")))
+      .toSeq
+    // doc1: {abc,bcd,cde,def} all new; doc2: same 4, all seen; doc3:
+    // {def,efg,fgh} — def seen (doc1), 2 new
+    assert(got == Seq((1L, 4L, 0L), (2L, 4L, 4L), (3L, 3L, 1L)))
+  }
+
+  test("d26: planted sources — intersection and sizes by hand, symmetric bound holds") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_d26").toString
+    // srcA and srcB share exactly the shingle "c d e"; srcC is disjoint
+    Seq(
+      (1L, "a b c d e", "srcA"),
+      (2L, "c d e f g", "srcB"),
+      (3L, "p q r s", "srcC")
+    ).toDF("doc_id", "text", "source").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Profile.sourceAffinity(spark, dir).collect()
+    assert(rows.length == 1, "only the overlapping pair appears")
+    val r = rows.head
+    assert(r.getAs[String]("src_a") == "srcA" && r.getAs[String]("src_b") == "srcB")
+    assert(r.getAs[Long]("inter") == 1L && r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
+  }
+
+  test("d26: corpus run — inter ≤ min(n_a, n_b), sizes match the shingle census, ordering canonical") {
+    val rows = Profile.sourceAffinity(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("inter") <= math.min(r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))))
+    assert(rows.forall(r => r.getAs[String]("src_a") < r.getAs[String]("src_b")), "pairs canonically ordered")
+    // n_a agrees with an independent per-source distinct-shingle census
+    val census = Dedup
+      .shinglesKeyed(Tables.documents(spark, sf001).select("source", "text"), "source")
+      .distinct()
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toMap
+    assert(rows.forall(r => census(r.getAs[String]("src_a")) == r.getAs[Long]("n_a")))
+    assert(rows.forall(r => census(r.getAs[String]("src_b")) == r.getAs[Long]("n_b")))
+  }
+}
