@@ -828,7 +828,15 @@ object ScaleRehearsal {
       "p6_curriculum_order",
       // round 10: semantic clusters, planted-positive ANN twins, MP4 frames
       "s16_mutual_knn_clusters", "s2p_ann_lsh_planted",
-      "s11p_ann_ivf_filtered_planted", "m4_mp4_frames"
+      "s11p_ann_ivf_filtered_planted", "m4_mp4_frames",
+      // round 10 extensions: TPC-H decorrelation family, novelty/affinity,
+      // trigram substring search, vocab growth, novelty gate
+      "q31_customer_order_distribution", "q32_small_qty_revenue",
+      "q33_large_orders", "q34_waiting_suppliers", "q35_excess_shipments",
+      "q36_late_shipment_priority", "q37_dormant_rich_customers",
+      "q38_priority_late_orders", "q39_market_share",
+      "n15_novelty_scores", "d26_source_affinity", "d27_vocab_growth",
+      "d28_novelty_gate", "t8_substring_search"
     )
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
     headline.foreach { name =>

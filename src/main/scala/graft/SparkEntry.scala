@@ -227,12 +227,18 @@ object SparkEntry {
     "q35_excess_shipments"            -> (CoreQueries.q35ExcessShipments _),
     "q36_late_shipment_priority"      -> (CoreQueries.q36LateShipmentPriority _),
     "q37_dormant_rich_customers"      -> (CoreQueries.q37DormantRichCustomers _),
+    "q38_priority_late_orders"        -> (CoreQueries.q38PriorityLateOrders _),
+    "q39_market_share"                -> (CoreQueries.q39MarketShare _),
+    // round 10: the novelty KEEP/DROP curation gate over n15's profile
+    "d28_novelty_gate"                -> (Dedup.noveltyGate _),
     // round 10: corpus novelty + cross-source overlap audit
     "n15_novelty_scores"  -> (Dedup.noveltyScores _),
     "d26_source_affinity" -> (Profile.sourceAffinity _),
     // round 10: substring search off the persisted char-trigram index —
     // the retrieval rung below tokens (t1) and token phrases (t3)
-    "t8_substring_search" -> ((s: SparkSession, d: String) => TextAnalysis.substringSearch(s, d))
+    "t8_substring_search" -> ((s: SparkSession, d: String) => TextAnalysis.substringSearch(s, d)),
+    // round 10: Heaps-law vocabulary growth over doc_id-ordered deciles
+    "d27_vocab_growth" -> (Profile.vocabGrowth _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1152,6 +1158,52 @@ object SparkEntry {
         "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
         "AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00') " +
         "GROUP BY c_nationkey ORDER BY c_nationkey"),
+    // q38 (TPC-H Q4): EXISTS with an outer-column lateness predicate —
+    // DuckDB keeps the correlated form; the engine's distinct IS the
+    // EXISTS.
+    "q38_priority_late_orders" ->
+      ("SELECT o_orderpriority, COUNT(*) AS order_count FROM orders o " +
+        "WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00' " +
+        "AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00' " +
+        "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o.o_orderkey " +
+        "AND l_shipdate > o.o_orderdate + INTERVAL 90 DAY) " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    // q39 (TPC-H Q8): numerator/denominator as exact e4 BIGINTs — the
+    // market-share ratio is the consumer's division, never a hashed float.
+    "q39_market_share" ->
+      ("SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year, " +
+        "CAST(SUM(CASE WHEN sn.n_name = 'NATION_1' " +
+        "THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) " +
+        "ELSE CAST(0 AS DECIMAL(12,2)) END) * 10000 AS BIGINT) AS nation_e4, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) * 10000 AS BIGINT) AS total_e4 " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation cn ON c_nationkey = cn.n_nationkey " +
+        "JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'AMERICA' " +
+        "JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY' " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation sn ON s_nationkey = sn.n_nationkey " +
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' " +
+        "GROUP BY o_year ORDER BY o_year"),
+    // d28: n15's CTE + the published Num/Den cross-multiplication; docs
+    // too short to shingle carry (0,0) and keep.
+    "d28_novelty_gate" -> {
+      val num = graft.operators.Dedup.NoveltyGateNum
+      val den = graft.operators.Dedup.NoveltyGateDen
+      "WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s " +
+        "FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)), " +
+        "f AS (SELECT s, MIN(doc_id) AS fd FROM sh GROUP BY 1), " +
+        "nv AS (SELECT doc_id, COUNT(*) AS n_shingles, " +
+        "COUNT(CASE WHEN fd < doc_id THEN 1 END) AS n_seen_before " +
+        "FROM sh JOIN f USING (s) GROUP BY doc_id) " +
+        "SELECT d.doc_id, COALESCE(nv.n_shingles, 0) AS n_shingles, " +
+        "COALESCE(nv.n_seen_before, 0) AS n_seen_before, " +
+        s"CASE WHEN COALESCE(nv.n_seen_before, 0) * $den >= COALESCE(nv.n_shingles, 0) * $num " +
+        "AND COALESCE(nv.n_shingles, 0) > 0 THEN 'drop' ELSE 'keep' END AS verdict " +
+        "FROM documents d LEFT JOIN nv ON d.doc_id = nv.doc_id ORDER BY d.doc_id"
+    },
     // q35 (TPC-H Q20): nested IN = two semi-join memberships.
     "q35_excess_shipments" ->
       ("SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN (" +
@@ -1187,7 +1239,22 @@ object SparkEntry {
     // plain `contains` IS the semantic contract.
     "t8_substring_search" ->
       ("SELECT doc_id FROM documents WHERE contains(text, '" +
-        graft.operators.TextAnalysis.SubstringPattern + "') ORDER BY doc_id")
+        graft.operators.TextAnalysis.SubstringPattern + "') ORDER BY doc_id"),
+    // d27: rank-based deciles by integer arithmetic ((rank-1)*10 // n, the
+    // same floor division both engines define on BIGINT), d11's
+    // tokenization convention, COUNT-only columns.
+    "d27_vocab_growth" ->
+      ("WITH d AS (SELECT doc_id, text, " +
+        "(CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) * 10) " +
+        "// (SELECT COUNT(*) FROM documents) AS decile FROM documents), " +
+        "tk AS (SELECT decile, UNNEST(string_split(text, ' ')) AS token FROM d), " +
+        "fst AS (SELECT token, MIN(decile) AS first_decile FROM tk GROUP BY token), " +
+        "npd AS (SELECT first_decile, COUNT(*) AS n_new_tokens FROM fst GROUP BY first_decile), " +
+        "dpd AS (SELECT decile, COUNT(*) AS n_docs FROM d GROUP BY decile) " +
+        "SELECT dpd.decile, dpd.n_docs, COALESCE(npd.n_new_tokens, 0) AS n_new_tokens, " +
+        "CAST(SUM(COALESCE(npd.n_new_tokens, 0)) OVER (ORDER BY dpd.decile " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab " +
+        "FROM dpd LEFT JOIN npd ON dpd.decile = npd.first_decile ORDER BY dpd.decile")
     // n3_simhash_pairs, s2_ann_lsh (planted twin s2p fully oracle-checked),
     // s11_ann_ivf_filtered (planted twin s11p fully oracle-checked),
     // s4_ann_ivf, s6_ann_ivf_partitioned,

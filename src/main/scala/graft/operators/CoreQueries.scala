@@ -1110,6 +1110,92 @@ object CoreQueries {
       .orderBy("c_nationkey")
   }
 
+  /** Q38 — late-order priority census (TPC-H Q4 shape): per order
+    * priority, how many orders in one quarter had AT LEAST ONE late
+    * lineitem. TPC-H writes it as a correlated EXISTS; here the lateness
+    * predicate references the OUTER row's order date (this schema has no
+    * per-line commit date), so the decorrelation is join → row-local
+    * lateness filter → `distinct` on the order key — the distinct IS the
+    * EXISTS (an order with five late lines counts once). The quarter
+    * predicate prunes the orders scan; the distinct runs on (orderkey,
+    * priority) pairs already co-partitioned by the join, and the final
+    * ~5-key census collapses map-side.
+    */
+  def q38PriorityLateOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(spark, dir)
+      .where(
+        col("o_orderdate") >= expr("timestamp_ntz'1997-07-01 00:00:00'") &&
+          col("o_orderdate") < expr("timestamp_ntz'1997-10-01 00:00:00'")
+      )
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      .join(
+        Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate"),
+        col("o_orderkey") === col("l_orderkey")
+      )
+      .where(col("l_shipdate") > col("o_orderdate") + expr("interval 90 days"))
+      .select("o_orderkey", "o_orderpriority")
+      .distinct()
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+
+  /** Q39 — supplier-nation market share (TPC-H Q8 shape): per order year,
+    * the revenue a chosen supplier nation captured within one region's
+    * ECONOMY-part orders — the deepest join chain in the registry
+    * (lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region on the demand side,
+    * ⋈ part on the product side, ⋈ supplier ⋈ nation again on the supply
+    * side — nation plays two roles). TPC-H outputs `mkt_share`, a ratio;
+    * this emits numerator and denominator as exact BIGINT e4 sums and
+    * leaves the division to the consumer — the one CASE-gated sum and the
+    * total come from the SAME aggregation pass (q36's discipline).
+    *
+    * Join geometry at scale: facts shuffle once on orderkey; customer
+    * hashes; part, supplier, and both nation roles broadcast (dims);
+    * the region and part-type predicates prune their broadcasts before
+    * they ship. A second query per numerator would re-run the whole
+    * chain — the CASE keeps it one pass.
+    */
+  def q39MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.nation(spark, dir)
+    val demandNations = nation
+      .join(
+        broadcast(Tables.region(spark, dir)).where(col("r_name") === "AMERICA"),
+        col("n_regionkey") === col("r_regionkey")
+      )
+      .select(col("n_nationkey").as("cust_nationkey"))
+    val supplyNations = nation.select(col("n_nationkey").as("supp_nationkey"), col("n_name").as("supp_nation"))
+    Tables
+      .lineitem(spark, dir)
+      .join(
+        Tables
+          .orders(spark, dir)
+          .where(
+            col("o_orderdate") >= expr("timestamp_ntz'1996-01-01 00:00:00'") &&
+              col("o_orderdate") < expr("timestamp_ntz'1998-01-01 00:00:00'")
+          ),
+        col("l_orderkey") === col("o_orderkey")
+      )
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(demandNations), col("c_nationkey") === col("cust_nationkey"))
+      .join(
+        broadcast(Tables.part(spark, dir).where(col("p_type") === "ECONOMY").select("p_partkey")),
+        col("l_partkey") === col("p_partkey")
+      )
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(supplyNations), col("s_nationkey") === col("supp_nationkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        expr(
+          "cast(sum(case when supp_nation = 'NATION_1' then cast(l_extendedprice as decimal(12,2)) * (1 - cast(l_discount as decimal(12,2))) else cast(0 as decimal(12,2)) end) * 10000 as bigint)"
+        ).as("nation_e4"),
+        expr(
+          "cast(sum(cast(l_extendedprice as decimal(12,2)) * (1 - cast(l_discount as decimal(12,2)))) * 10000 as bigint)"
+        ).as("total_e4")
+      )
+      .orderBy("o_year")
+  }
+
   def q35ExcessShipments(spark: SparkSession, dir: String): DataFrame = {
     val qualified = Tables
       .lineitem(spark, dir)

@@ -65,7 +65,7 @@ object Curation {
     * re-sort the corpus a second time just to restate an ordering the
     * narrow plan already guarantees.
     */
-  private def zipIndexedByOrder(sorted: DataFrame, posName: String): DataFrame = {
+  private[operators] def zipIndexedByOrder(sorted: DataFrame, posName: String): DataFrame = {
     val schema = StructType(
       StructField(posName, LongType, nullable = false) +: sorted.schema.fields.toSeq
     )

@@ -1550,4 +1550,39 @@ object Dedup {
       )
       .orderBy("doc_id")
   }
+
+  /** D28 drop rule — drop a document when at least `Num/Den` (4/5 = 80%) of
+    * its shingles already appeared in earlier documents. Published as
+    * integers so the oracle replays the identical cross-multiplication
+    * (the [[graft.operators.Curation.ContaminationShareNum]] discipline).
+    */
+  val NoveltyGateNum = 4L
+  val NoveltyGateDen = 5L
+
+  /** D28 — the novelty KEEP/DROP gate: [[noveltyScores]] turned into the
+    * shipping curation verdict, one row per document. Drop iff
+    * `n_seen_before · Den ≥ n_shingles · Num` — exact integer
+    * cross-multiplication, no stale-fraction float. Documents too short to
+    * shingle (absent from n15) carry zero evidence of redundancy and KEEP
+    * — a gate must never drop what it could not measure (the d25
+    * convention). Cost is n15 plus one broadcast join back onto the
+    * (doc_id-only) corpus key set; the verdict column is computed
+    * map-side.
+    */
+  def noveltyGate(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select("doc_id")
+      .join(noveltyScores(spark, dir), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_seen_before"), lit(0L)).as("n_seen_before")
+      )
+      .withColumn(
+        "verdict",
+        when(col("n_seen_before") * NoveltyGateDen >= col("n_shingles") * NoveltyGateNum && col("n_shingles") > 0, "drop")
+          .otherwise("keep")
+      )
+      .orderBy("doc_id")
 }

@@ -168,6 +168,51 @@ object Profile {
       )
       .orderBy("source")
 
+  /** D27 — vocabulary growth curve `(decile, n_docs, n_new_tokens,
+    * cum_vocab)`: how many NEVER-BEFORE-SEEN tokens each tenth of the
+    * corpus (in doc_id order) contributes, plus the running vocabulary
+    * size — the Heaps-law diagnostic that tells a tokenizer-training run
+    * whether more data still buys vocabulary (sub-linear growth flattens
+    * when a feed goes stale or repetitive).
+    *
+    * Scale shape: the decile boundary is RANK-based, computed with the
+    * [[Curation.globalIds]] machinery — range-sort + `zipWithIndex`, never
+    * a single-partition `row_number` window over the corpus; the bucket is
+    * then pure integer arithmetic `(ordinal·10) div n` (n arrives as a
+    * 1-row broadcast). First-seen per token is one `min(bucket)`
+    * aggregation over the token stream (the n15 inverted-index exchange
+    * at token granularity), the per-decile rollup is 10 rows, and the
+    * cumulative sum is a 10-row window — nothing wider than the token
+    * stream's one shuffle ever moves.
+    */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val ordered = Curation
+      .zipIndexedByOrder(docs.orderBy("doc_id"), "ordinal")
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+      .select(expr("(ordinal * 10) div n").as("decile"), col("doc_id"), col("text"))
+    val toks = ordered.select(col("decile"), explode(split(col("text"), " ")).as("token"))
+    val newPerDecile = toks
+      .groupBy("token")
+      .agg(min("decile").as("first_decile"))
+      .groupBy("first_decile")
+      .agg(count(lit(1)).as("n_new_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("decile")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    ordered
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"))
+      .join(newPerDecile, col("decile") === col("first_decile"), "left")
+      .select(
+        col("decile"),
+        col("n_docs"),
+        coalesce(col("n_new_tokens"), lit(0L)).as("n_new_tokens")
+      )
+      .withColumn("cum_vocab", sum("n_new_tokens").over(w))
+      .orderBy("decile")
+  }
+
   /** D26 — source-affinity matrix `(src_a, src_b, inter, n_a, n_b)`: for
     * every pair of document sources that share at least one shingle, the
     * exact shingle-set intersection size plus both set sizes — the

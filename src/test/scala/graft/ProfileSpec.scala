@@ -155,4 +155,50 @@ class ProfileSpec extends SparkSpec {
     assert(real.getLong(0) == nd && real.getLong(1) == nv)
     assert(real.getLong(2) <= nd && real.getLong(3) <= nv)
   }
+
+  test("d27: planted growth curve — new-token counts per decile by hand") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_d27").toString
+    // 10 docs → deciles are single docs. Doc k carries token "shared"
+    // (new only at doc 0) plus k-specific fresh tokens: doc 0 also brings
+    // 'a'; doc 5 brings 'f1 f2'; everything else repeats doc 0.
+    val texts = (0L until 10L).map { k =>
+      val extra = k match {
+        case 0 => "a"
+        case 5 => "f1 f2"
+        case _ => "a"
+      }
+      (k, s"shared $extra")
+    }
+    texts.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Profile
+      .vocabGrowth(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_docs"), r.getAs[Long]("n_new_tokens"), r.getAs[Long]("cum_vocab")))
+      .toSeq
+    val expected = (0L until 10L).map { d =>
+      val nw = d match { case 0 => 2L; case 5 => 2L; case _ => 0L }
+      val cum = if (d < 5) 2L else 4L
+      (d, 1L, nw, cum)
+    }
+    assert(got == expected)
+  }
+
+  test("d27: corpus run — totals reconcile with the distinct-token census") {
+    import org.apache.spark.sql.functions._
+    val rows = Profile.vocabGrowth(spark, sf0001).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L until 10L), "all ten deciles present")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == graft.sources.Tables.documents(spark, sf0001).count())
+    val vocab = graft.sources.Tables
+      .documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .agg(countDistinct("t"))
+      .head()
+      .getLong(0)
+    assert(rows.map(_.getAs[Long]("n_new_tokens")).sum == vocab)
+    assert(rows.last.getAs[Long]("cum_vocab") == vocab)
+    // growth is monotone and decile 0 dominates (everything is new there)
+    val news = rows.map(_.getAs[Long]("n_new_tokens"))
+    assert(news.head == news.max)
+  }
 }

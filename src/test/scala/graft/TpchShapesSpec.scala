@@ -185,6 +185,111 @@ class TpchShapesSpec extends SparkSpec {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("q38: the distinct IS the EXISTS — multi-late orders count once") {
+    val rows  = CoreQueries.q38PriorityLateOrders(spark, sf001).collect()
+    val total = rows.map(_.getAs[Long]("order_count")).sum
+    // recount: distinct orders with >=1 late line inside the quarter
+    val recount = Tables
+      .orders(spark, sf001)
+      .where(
+        col("o_orderdate") >= expr("timestamp_ntz'1997-07-01 00:00:00'") &&
+          col("o_orderdate") < expr("timestamp_ntz'1997-10-01 00:00:00'")
+      )
+      .join(Tables.lineitem(spark, sf001), col("o_orderkey") === col("l_orderkey"))
+      .where(col("l_shipdate") > col("o_orderdate") + expr("interval 90 days"))
+      .select(countDistinct("o_orderkey"))
+      .head()
+      .getLong(0)
+    assert(total == recount && rows.nonEmpty)
+    // and strictly fewer than the late LINE count — EXISTS semantics bite
+    val lateLines = Tables
+      .orders(spark, sf001)
+      .where(
+        col("o_orderdate") >= expr("timestamp_ntz'1997-07-01 00:00:00'") &&
+          col("o_orderdate") < expr("timestamp_ntz'1997-10-01 00:00:00'")
+      )
+      .join(Tables.lineitem(spark, sf001), col("o_orderkey") === col("l_orderkey"))
+      .where(col("l_shipdate") > col("o_orderdate") + expr("interval 90 days"))
+      .count()
+    assert(total < lateLines)
+  }
+
+  test("q39: one-pass CASE sums ≡ two independently filtered chains; share bounded") {
+    val rows = CoreQueries.q39MarketShare(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("nation_e4") <= r.getAs[Long]("total_e4")))
+    assert(rows.exists(_.getAs[Long]("nation_e4") > 0L), "numerator must be non-vacuous at sf0.01")
+    // independent twin: run the chain filtered to the subject nation only
+    // and compare against the CASE numerator
+    val twin = {
+      val nation = Tables.nation(spark, sf001)
+      val demand = nation
+        .join(
+          Tables.region(spark, sf001).where(col("r_name") === "AMERICA"),
+          col("n_regionkey") === col("r_regionkey")
+        )
+        .select(col("n_nationkey").as("cust_nationkey"))
+      Tables
+        .lineitem(spark, sf001)
+        .join(
+          Tables
+            .orders(spark, sf001)
+            .where(
+              col("o_orderdate") >= expr("timestamp_ntz'1996-01-01 00:00:00'") &&
+                col("o_orderdate") < expr("timestamp_ntz'1998-01-01 00:00:00'")
+            ),
+          col("l_orderkey") === col("o_orderkey")
+        )
+        .join(Tables.customer(spark, sf001), col("o_custkey") === col("c_custkey"))
+        .join(demand, col("c_nationkey") === col("cust_nationkey"))
+        .join(
+          Tables.part(spark, sf001).where(col("p_type") === "ECONOMY").select("p_partkey"),
+          col("l_partkey") === col("p_partkey")
+        )
+        .join(Tables.supplier(spark, sf001), col("l_suppkey") === col("s_suppkey"))
+        .join(
+          Tables.nation(spark, sf001).where(col("n_name") === "NATION_1").select(col("n_nationkey").as("sn")),
+          col("s_nationkey") === col("sn")
+        )
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          expr(
+            "cast(sum(cast(l_extendedprice as decimal(12,2)) * (1 - cast(l_discount as decimal(12,2)))) * 10000 as bigint)"
+          ).as("numer")
+        )
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1)))
+        .toMap
+    }
+    rows.foreach { r =>
+      assert(twin.getOrElse(r.getInt(0), 0L) == r.getAs[Long]("nation_e4"))
+    }
+  }
+
+  test("d28: verdicts replay n15's profile; short docs keep") {
+    import spark.implicits._
+    val gate = Dedup.noveltyGate(spark, sf001).collect()
+    assert(gate.length == Tables.documents(spark, sf001).count(), "one verdict per document")
+    val novelty = Dedup
+      .noveltyScores(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_seen_before"))))
+      .toMap
+    gate.foreach { r =>
+      val (ns, nb) = novelty.getOrElse(r.getLong(0), (0L, 0L))
+      assert(r.getAs[Long]("n_shingles") == ns && r.getAs[Long]("n_seen_before") == nb)
+      val drop = ns > 0 && nb * Dedup.NoveltyGateDen >= ns * Dedup.NoveltyGateNum
+      assert(r.getAs[String]("verdict") == (if (drop) "drop" else "keep"))
+    }
+    assert(gate.exists(_.getAs[String]("verdict") == "drop"), "the corpus's exact dups must drop")
+    // planted short doc: no shingles → keep
+    val dir = java.nio.file.Files.createTempDirectory("graft_d28").toString
+    Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "xy")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val small = Dedup.noveltyGate(spark, dir).collect().map(r => (r.getLong(0), r.getAs[String]("verdict"))).toSeq
+    assert(small == Seq((1L, "keep"), (2L, "drop"), (3L, "keep")))
+  }
+
   test("n15: planted corpus — novelty counts by hand") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_n15").toString
