@@ -238,7 +238,10 @@ object SparkEntry {
     // the retrieval rung below tokens (t1) and token phrases (t3)
     "t8_substring_search" -> ((s: SparkSession, d: String) => TextAnalysis.substringSearch(s, d)),
     // round 10: Heaps-law vocabulary growth over doc_id-ordered deciles
-    "d27_vocab_growth" -> (Profile.vocabGrowth _)
+    "d27_vocab_growth" -> (Profile.vocabGrowth _),
+    // round 10: MaxScore-pruned BM25 over the postings layout — t6's
+    // exact contract at a fraction of the aggregated postings
+    "t9_bm25_pruned" -> ((s: SparkSession, d: String) => TextAnalysis.bm25RankPruned(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -958,6 +961,9 @@ object SparkEntry {
     // t7: exact maintenance — disjoint per-segment tf rows, query-time df,
     // additive stats — so t4's oracle applies verbatim here too
     "t7_bm25_incremental" -> bm25Oracle,
+    // t9: MaxScore pruning is SAFE (upper-bound argument + quantization
+    // margin), so the ranking contract — and t4's oracle — hold verbatim
+    "t9_bm25_pruned" -> bm25Oracle,
     "dq4_modality_coverage" ->
       ("SELECT (SELECT COUNT(*) FROM documents) AS n_docs, " +
         "(SELECT COUNT(*) FROM embeddings) AS n_vecs, " +

@@ -1059,6 +1059,116 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("source", "lang_pred")
 
+  /** T9 pruning margin in quantized-score units: a pruned document's
+    * score upper bound must sit at least 2 µ-units below the threshold so
+    * the 1e-6 quantization in the ranking key can never round a pruned
+    * doc up into a tie it would then win on doc_id.
+    */
+  private val PruneMarginQ = 2e-6
+
+  /** The (candidates, essential-term, threshold) decomposition behind
+    * [[bm25RankPruned]], exposed so the spec can assert the pruning
+    * actually bites on a skewed fixture. `contribs` must carry
+    * (token, doc_id, contrib). Returns the essential term set, the
+    * threshold θ (k-th best single-term contribution on the top term, or
+    * -∞ when that term has fewer than k postings), and the number of
+    * DISTINCT matched docs pruned away.
+    */
+  private[graft] def maxScorePlan(
+      contribs: DataFrame,
+      ts: Seq[String],
+      k: Int
+  ): (DataFrame, Seq[String], Double) = {
+    // per-term upper bounds: ≤|query| rows — a bounded driver pull, the
+    // centroid-array precedent
+    val ubs = contribs
+      .groupBy("token")
+      .agg(max("contrib").as("ub"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .sortBy(-_._2)
+    val theta: Double =
+      if (ubs.isEmpty) Double.NegativeInfinity
+      else {
+        val top = contribs
+          .where(col("token") === ubs.head._1)
+          .orderBy(col("contrib").desc)
+          .limit(k)
+          .collect()
+          .map(_.getAs[Double]("contrib"))
+        if (top.length < k) Double.NegativeInfinity else top.last
+      }
+    // non-essential = the maximal low-ub suffix whose ub SUM cannot reach
+    // θ (with the quantization margin): a doc matching only those terms is
+    // provably outside the top k
+    var acc = 0.0
+    val nonEssential = ubs.reverse.takeWhile { case (_, ub) =>
+      acc += ub; acc < theta - PruneMarginQ
+    }.map(_._1).toSet
+    val essential = ts.filterNot(nonEssential)
+    val cand = contribs
+      .where(col("token").isInCollection(essential))
+      .select("doc_id")
+      .distinct()
+    (cand, essential, theta)
+  }
+
+  /** T9 — BM25 top-k with MaxScore-style SAFE pruning over the persisted
+    * postings layout: t6's exact contract (and oracle, verbatim) at a
+    * fraction of the scored postings when term selectivities are skewed.
+    * The classic document-at-a-time MaxScore (Turtle & Flood 1995; the
+    * WAND family) re-expressed set-at-a-time for a distributed plan:
+    *
+    *  1. score threshold θ = the k-th best SINGLE-TERM contribution on
+    *     the highest-impact term — a lower bound on the final k-th score
+    *     (those k docs can only gain from their other terms);
+    *  2. per-term upper bounds (the max realized contribution) split the
+    *     query into essential terms and a non-essential tail whose
+    *     bounds SUM below θ: a document matching only tail terms cannot
+    *     reach the top k, so candidates = docs with ≥1 essential posting
+    *     (one semi join);
+    *  3. exact scoring — over ALL their postings, so scores are
+    *     bit-identical to t6 — runs on candidates only.
+    *
+    * The common-term posting lists still stream through the candidate
+    * semi join, but they no longer enter the per-doc aggregation for
+    * non-candidates — on a skewed query (one rare + several stopword-ish
+    * terms) the aggregated stream shrinks from Σ|postings| to roughly
+    * |rare postings| × terms. Safety under the quantized ranking key:
+    * pruning requires the bound to sit [[PruneMarginQ]] BELOW θ, so a
+    * pruned doc can never round up into a winnable tie. Driver pulls are
+    * |query| upper bounds + k threshold values — bounded, never corpus-
+    * shaped. Degenerate cases (fewer than k postings on the top term)
+    * disable pruning rather than risk it.
+    */
+  def bm25RankPruned(spark: SparkSession, dir: String, terms: Seq[String] = KeywordTerms, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ts = terms.distinct
+    require(ts.nonEmpty && ts.forall(t => t.nonEmpty && !t.contains("'") && !t.contains(" ")), s"terms must be non-empty, quote-free, space-free: $ts")
+    val layout = postingsLayoutCache(spark, dir)
+    val p = spark.read
+      .parquet(s"$layout/postings.parquet")
+      .where(col("token").isInCollection(ts))
+    val stats = spark.read.parquet(s"$layout/stats.parquet")
+    val contribs = p
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib", expr(Bm25ContribSql))
+      .select("token", "doc_id", "contrib")
+    val (cand, _, _) = maxScorePlan(contribs, ts, k)
+    contribs
+      .join(cand, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id")
+      .agg(sum("contrib").as("score"))
+      .withColumn("qs", expr("CAST(round(score * 1000000.0) AS BIGINT)"))
+      .orderBy(col("qs").desc, col("doc_id"))
+      .limit(k)
+      .select(
+        row_number().over(Window.orderBy(col("qs").desc, col("doc_id"))).cast("long").as("rnk"),
+        col("doc_id")
+      )
+      .orderBy("rnk")
+  }
+
   /** Bump whenever the trigram layout or its build changes. */
   private[graft] val TrigramSchemeVersion = 1
 

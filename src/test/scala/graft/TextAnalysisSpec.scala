@@ -557,6 +557,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(graft.sources.LayoutCache.drainBuildLog().isEmpty, "second query must reuse the trigram layout")
   }
 
+  test("t9: MaxScore-pruned BM25 == t4 corpus scan and t6 indexed form on the real corpus") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val pruned = pairs(TextAnalysis.bm25RankPruned(spark, sf0001))
+    assert(pruned == pairs(TextAnalysis.bm25Rank(spark, sf0001)) && pruned.nonEmpty)
+    assert(pruned == pairs(TextAnalysis.bm25RankIndexed(spark, sf0001)))
+  }
+
+  test("t9: on a skewed fixture the stopword term goes non-essential and only-stopword docs are pruned") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_t9").toString
+    // 5 docs carry the rare term 'aardvark' (high idf); 40 docs carry only
+    // the ubiquitous 'the'. With k=3, θ = 3rd-best aardvark contribution,
+    // and ub('the') cannot reach it → 'the'-only docs never aggregate.
+    val docs =
+      (0L until 5L).map(i => (i, "aardvark aardvark the filler" + i)) ++
+        (5L until 45L).map(i => (i, s"the just the usual the stuff$i"))
+    docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ts = Seq("aardvark", "the")
+    val layout   = TextAnalysis.postingsLayoutCache(spark, dir)
+    val p        = spark.read.parquet(s"$layout/postings.parquet").where(col("token").isInCollection(ts))
+    val stats    = spark.read.parquet(s"$layout/stats.parquet")
+    val contribs = p
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib", expr(TextAnalysis.Bm25ContribSql))
+      .select("token", "doc_id", "contrib")
+    val (cand, essential, theta) = TextAnalysis.maxScorePlan(contribs, ts, 3)
+    assert(essential == Seq("aardvark"), s"'the' must be non-essential (θ=$theta)")
+    assert(cand.count() == 5, "only the rare-term docs survive as candidates")
+    // and the pruned ranking still equals the unpruned scan exactly
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(
+      pairs(TextAnalysis.bm25RankPruned(spark, dir, ts, k = 3)) ==
+        pairs(TextAnalysis.bm25Rank(spark, dir, ts, k = 3))
+    )
+  }
+
   test("t8: verify phase rejects a doc carrying every trigram but not the contiguous pattern") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_t8").toString
