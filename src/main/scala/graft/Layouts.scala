@@ -53,6 +53,7 @@ object Layouts {
     "bpe_incremental"    -> (() => { Bpe.bpeMergesIncremental(spark, dir); () }),
     "text_postings"      -> (() => { TextAnalysis.postingsLayoutCache(spark, dir); () }),
     "text_trigrams"      -> (() => { TextAnalysis.trigramLayoutCache(spark, dir); () }),
+    "trigram_incremental" -> (() => { TextAnalysis.substringSearchIncremental(spark, dir); () }),
     "lm_scores"          -> (() => { TextAnalysis.lmScoreLayoutCache(spark, dir); () }),
     "postings_incremental" -> (() => { TextAnalysis.bm25RankIncremental(spark, dir); () }),
     "media_catalog_base" -> (() => { Multimodal.mediaDemuxIncremental(spark, dir); () }),

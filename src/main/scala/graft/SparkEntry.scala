@@ -241,7 +241,10 @@ object SparkEntry {
     "d27_vocab_growth" -> (Profile.vocabGrowth _),
     // round 10: MaxScore-pruned BM25 over the postings layout — t6's
     // exact contract at a fraction of the aggregated postings
-    "t9_bm25_pruned" -> ((s: SparkSession, d: String) => TextAnalysis.bm25RankPruned(s, d))
+    "t9_bm25_pruned" -> ((s: SparkSession, d: String) => TextAnalysis.bm25RankPruned(s, d)),
+    // round 10: substring search over the MAINTAINED (base+delta) trigram
+    // index — exact maintenance, t8's contract and oracle verbatim
+    "t10_substring_incremental" -> ((s: SparkSession, d: String) => TextAnalysis.substringSearchIncremental(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1244,6 +1247,12 @@ object SparkEntry {
     // t8: the trigram index is an over-approximation + exact verify, so
     // plain `contains` IS the semantic contract.
     "t8_substring_search" ->
+      ("SELECT doc_id FROM documents WHERE contains(text, '" +
+        graft.operators.TextAnalysis.SubstringPattern + "') ORDER BY doc_id"),
+    // t10 = t8 over the maintained (base + delta) trigram index — a doc's
+    // gram rows never straddle segments, so maintenance is exact and t8's
+    // oracle applies verbatim.
+    "t10_substring_incremental" ->
       ("SELECT doc_id FROM documents WHERE contains(text, '" +
         graft.operators.TextAnalysis.SubstringPattern + "') ORDER BY doc_id"),
     // d27: rank-based deciles by integer arithmetic ((rank-1)*10 // n, the

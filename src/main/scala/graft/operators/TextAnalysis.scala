@@ -1181,6 +1181,23 @@ object TextAnalysis {
     * pattern P with |P| ≥ 3 must contain every 3-gram of P, so the index
     * over-approximates and exact verification confirms.
     */
+  /** One trigram segment for a document slice — `(doc_id, g)`, one row
+    * per distinct 3-char gram per doc. A document's gram rows live
+    * entirely inside its own segment (segments split on doc_id), so the
+    * per-doc all-grams count over a segment UNION is exact — the property
+    * that makes trigram maintenance trivial where postings maintenance
+    * needed query-time df.
+    */
+  private[graft] def trigramSegment(docs: DataFrame): DataFrame =
+    docs
+      .where(length(col("text")) >= 3)
+      .select(
+        col("doc_id"),
+        explode(
+          expr("array_distinct(transform(sequence(0, length(text) - 3), i -> substring(text, i + 1, 3)))")
+        ).as("g")
+      )
+
   private[graft] def trigramLayoutCache(spark: SparkSession, dir: String): String = {
     val key = LayoutCache.contentKey(
       spark,
@@ -1188,20 +1205,41 @@ object TextAnalysis {
       s"trigrams-v$TrigramSchemeVersion"
     )
     LayoutCache.getOrBuild(spark, "graft_trigrams", key) { out =>
-      Tables
-        .documents(spark, dir)
-        .where(length(col("text")) >= 3)
-        .select(
-          col("doc_id"),
-          explode(
-            expr("array_distinct(transform(sequence(0, length(text) - 3), i -> substring(text, i + 1, 3)))")
-          ).as("g")
-        )
+      trigramSegment(Tables.documents(spark, dir))
         .repartition(col("g"))
         .sortWithinPartitions("g")
         .write
         .mode("overwrite")
         .parquet(s"$out/trigrams.parquet")
+    }
+  }
+
+  /** Bump with any change to the incremental trigram scheme. */
+  private[graft] val TrigramIncrSchemeVersion = 1
+
+  private[graft] def trigramBaseLayoutCache(spark: SparkSession, dir: String, batchStartId: Long): String = {
+    val key = LayoutCache.contentKey(
+      spark,
+      s"$dir/documents.parquet",
+      s"tribase-v$TrigramIncrSchemeVersion#$batchStartId"
+    )
+    LayoutCache.getOrBuild(spark, "graft_tribase", key) { out =>
+      trigramSegment(Tables.documents(spark, dir).where(col("doc_id") < batchStartId))
+        .repartition(col("g")).sortWithinPartitions("g")
+        .write.mode("overwrite").parquet(s"$out/trigrams.parquet")
+    }
+  }
+
+  private[graft] def trigramDeltaLayoutCache(spark: SparkSession, dir: String, batchStartId: Long): String = {
+    val key = LayoutCache.contentKey(
+      spark,
+      s"$dir/documents.parquet",
+      s"tridelta-v$TrigramIncrSchemeVersion#$batchStartId"
+    )
+    LayoutCache.getOrBuild(spark, "graft_tridelta", key) { out =>
+      trigramSegment(Tables.documents(spark, dir).where(col("doc_id") >= batchStartId))
+        .repartition(col("g")).sortWithinPartitions("g")
+        .write.mode("overwrite").parquet(s"$out/trigrams.parquet")
     }
   }
 
@@ -1229,11 +1267,23 @@ object TextAnalysis {
     * requires |P| ≥ 3 rather than silently degrading.
     */
   def substringSearch(spark: SparkSession, dir: String, pattern: String = SubstringPattern): DataFrame = {
-    require(pattern.length >= 3, "substring search needs a pattern of at least 3 chars")
-    val grams  = pattern.sliding(3).toSeq.distinct
     val layout = trigramLayoutCache(spark, dir)
-    val cand = spark.read
-      .parquet(s"$layout/trigrams.parquet")
+    substringOverTrigrams(spark, dir, spark.read.parquet(s"$layout/trigrams.parquet"), pattern)
+  }
+
+  /** The candidate-intersection + exact-verify tail shared by t8 and t10 —
+    * one definition so the maintained index can never answer differently
+    * from the monolithic one.
+    */
+  private[graft] def substringOverTrigrams(
+      spark: SparkSession,
+      dir: String,
+      trigrams: DataFrame,
+      pattern: String
+  ): DataFrame = {
+    require(pattern.length >= 3, "substring search needs a pattern of at least 3 chars")
+    val grams = pattern.sliding(3).toSeq.distinct
+    val cand = trigrams
       .where(col("g").isInCollection(grams))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("ng"))
@@ -1246,5 +1296,31 @@ object TextAnalysis {
       .where(col("text").contains(pattern))
       .select("doc_id")
       .orderBy("doc_id")
+  }
+
+  /** T10 — substring search over the MAINTAINED (base + delta) trigram
+    * index: the daily batch (n5's id split) lands as its own g-clustered
+    * segment; the base is never re-grammed or rewritten — the sealed+delta
+    * shape (s12/t7/m3) applied to the trigram family. Maintenance is
+    * trivially exact: a doc's gram rows live entirely in its own segment,
+    * so the per-doc all-grams count over the union needs no query-time
+    * statistic at all (contrast t7's df) and t8's contract — and oracle —
+    * apply verbatim. Query I/O stays the matched grams' posting rows on
+    * EACH side of the union (pushed IN-list on both segment scans).
+    */
+  def substringSearchIncremental(spark: SparkSession, dir: String, pattern: String = SubstringPattern): DataFrame = {
+    val split = Tables
+      .documents(spark, dir)
+      .agg(expr("coalesce((max(doc_id) + 1) div 2, 0)").as("k"))
+      .head().getLong(0)
+    val base  = trigramBaseLayoutCache(spark, dir, split)
+    val delta = trigramDeltaLayoutCache(spark, dir, split)
+    substringOverTrigrams(
+      spark,
+      dir,
+      spark.read.parquet(s"$base/trigrams.parquet")
+        .unionByName(spark.read.parquet(s"$delta/trigrams.parquet")),
+      pattern
+    )
   }
 }

@@ -596,6 +596,25 @@ class TextAnalysisSpec extends SparkSpec {
     )
   }
 
+  test("t10: maintained (base+delta) trigram index == t8; segments partition the grams; base reused") {
+    import org.apache.spark.sql.functions._
+    def ids(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.getLong(0)).toSeq
+    val incr = ids(TextAnalysis.substringSearchIncremental(spark, sf0001))
+    assert(incr == ids(TextAnalysis.substringSearch(spark, sf0001)) && incr.nonEmpty)
+    // segments split cleanly on the id boundary — no doc's grams straddle
+    val split = graft.sources.Tables
+      .documents(spark, sf0001)
+      .agg(expr("(max(doc_id) + 1) div 2")).head().getLong(0)
+    val base  = TextAnalysis.trigramBaseLayoutCache(spark, sf0001, split)
+    val delta = TextAnalysis.trigramDeltaLayoutCache(spark, sf0001, split)
+    assert(spark.read.parquet(s"$base/trigrams.parquet").where(col("doc_id") >= split).count() == 0)
+    assert(spark.read.parquet(s"$delta/trigrams.parquet").where(col("doc_id") < split).count() == 0)
+    // warm path: a second query builds nothing
+    graft.sources.LayoutCache.drainBuildLog()
+    TextAnalysis.substringSearchIncremental(spark, sf0001).collect()
+    assert(graft.sources.LayoutCache.drainBuildLog().isEmpty, "second t10 query must reuse both segments")
+  }
+
   test("t8: verify phase rejects a doc carrying every trigram but not the contiguous pattern") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_t8").toString
