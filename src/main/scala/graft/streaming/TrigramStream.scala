@@ -1,0 +1,83 @@
+package graft.streaming
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming trigram-index maintenance —
+  * [[TextAnalysis.substringSearchIncremental]]'s sealed-segment shape wired
+  * into a `foreachBatch` loop, so a document stream keeps the SUBSTRING
+  * index current continuously: each micro-batch is grammed ONCE into its
+  * own g-clustered segment. No document is ever re-grammed after its own
+  * micro-batch — per-batch cost tracks batch size — and the maintained
+  * search stays EXACT with no query-time statistic at all (t10's argument
+  * at N segments): a doc's gram rows live entirely inside its own
+  * segment, so the all-grams candidate count over the union is the same
+  * count the monolithic index produces. The eighth streaming-maintenance
+  * family, and the one where exactness is cheapest.
+  *
+  * Idempotence follows the shared pattern: segments land in
+  * `batch_id=<id>/` partitions with overwrite, so a checkpoint replay of
+  * batch N rewrites its own directory instead of double-counting grams —
+  * a duplicate gram row would inflate `ng` past the all-grams threshold
+  * and silently DROP matches, which is why the replay property is load-
+  * bearing here, not cosmetic.
+  */
+object TrigramStream {
+
+  /** Watch `docsDir` for new document parquet files; maintain g-clustered
+    * trigram segments under `indexDir/trigrams/batch_id=<id>/`.
+    */
+  def trigramStream(
+      spark: SparkSession,
+      docsDir: String,
+      indexDir: String,
+      checkpointDir: String
+  ): StreamingQuery = {
+    val schema = spark.read.parquet(docsDir).schema
+    spark.readStream
+      .schema(schema)
+      .parquet(docsDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, indexDir, batchId)
+      }
+      .start()
+  }
+
+  /** One micro-batch: the SAME segment builder every batch surface uses
+    * ([[TextAnalysis.trigramSegment]] — one definition, so a streamed
+    * segment can never gram differently from the batch delta builder),
+    * landed as this batch's own partition. Exposed for the StreamingSpec
+    * differential against t8's monolithic index.
+    */
+  private[graft] def processBatch(batch: DataFrame, indexDir: String, batchId: Long): Unit = {
+    TextAnalysis
+      .trigramSegment(batch)
+      .repartition(col("g"))
+      .sortWithinPartitions("g")
+      .write.mode("overwrite").parquet(s"$indexDir/trigrams/batch_id=$batchId")
+  }
+
+  /** Substring search over the STREAM-MAINTAINED index: the shared
+    * candidate+verify tail over the union of every streamed segment —
+    * identical answers to t8's monolithic index over the same documents.
+    * The gram IN-list pushes into each `batch_id=` partition's g-clustered
+    * row groups; `dir` supplies the document table the exact verify reads.
+    */
+  def substringSearchStreamed(
+      spark: SparkSession,
+      dir: String,
+      indexDir: String,
+      pattern: String = TextAnalysis.SubstringPattern
+  ): DataFrame =
+    TextAnalysis.substringOverTrigrams(
+      spark,
+      dir,
+      spark.read.parquet(s"$indexDir/trigrams"),
+      pattern
+    )
+}

@@ -490,6 +490,45 @@ class StreamingSpec extends SparkSpec {
     assert(summed == 2 * total)
   }
 
+  test("streaming trigram maintenance: substring search over streamed segments == t8; sealed; idempotent") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_strig")
+    val src  = base.resolve("src"); java.nio.file.Files.createDirectories(src)
+    val stagingDir = base.resolve("stage")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      df.coalesce(1).write.mode("overwrite").parquet(s"$stagingDir/$name")
+      java.nio.file.Files.move(
+        java.nio.file.Files.list(stagingDir.resolve(name)).filter(_.toString.endsWith(".parquet")).findFirst.get,
+        src.resolve(s"$name.parquet")
+      )
+    }
+    val docs     = graft.sources.Tables.documents(spark, sf0001)
+    val indexDir = s"$base/idx"
+    stage(docs.where(col("doc_id") < 250), "b1")
+    val q = graft.streaming.TrigramStream.trigramStream(spark, src.toString, indexDir, s"$base/ckpt")
+    val b0Seg = java.nio.file.Paths.get(s"$indexDir/trigrams/batch_id=0")
+    def firstParquetMtime(p: java.nio.file.Path): Long =
+      java.nio.file.Files.walk(p).filter(_.toString.endsWith(".parquet")).findFirst.get.toFile.lastModified()
+    val mtime0 =
+      try {
+        q.processAllAvailable()
+        firstParquetMtime(b0Seg)
+      } finally {
+        stage(docs.where(col("doc_id") >= 250), "b2")
+        q.processAllAvailable()
+        q.stop()
+      }
+    def ids(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.getLong(0)).toSeq
+    val streamed = ids(graft.streaming.TrigramStream.substringSearchStreamed(spark, sf0001, indexDir))
+    assert(streamed == ids(graft.operators.TextAnalysis.substringSearch(spark, sf0001)) && streamed.nonEmpty)
+    // batch 0's segment is sealed after batch 1 ran
+    assert(firstParquetMtime(b0Seg) == mtime0, "batch-0 trigram segment was rewritten")
+    // checkpoint-replay idempotence — load-bearing here: a duplicated gram
+    // row would inflate ng past the all-grams bar and DROP matches
+    graft.streaming.TrigramStream.processBatch(docs.where(col("doc_id") < 250), indexDir, 0L)
+    assert(ids(graft.streaming.TrigramStream.substringSearchStreamed(spark, sf0001, indexDir)) == streamed)
+  }
+
   test("streaming novelty gate == batch n15; first-seen index sealed; idempotent replay") {
     import org.apache.spark.sql.functions._
     val base = java.nio.file.Files.createTempDirectory("graft_snovel")
