@@ -45,6 +45,8 @@ object Layouts {
     "ivf_incremental"    -> (() => { Similarity.annIvfIncremental(spark, dir); () }),
     "ivf_planted"        -> (() => { Similarity.annIvfFilteredPlanted(spark, dir); () }),
     "sq8_vectors"        -> (() => { Similarity.annQuantized(spark, dir); () }),
+    "pq_vectors"         -> (() => { Similarity.annPq(spark, dir); () }),
+    "pq_planted"         -> (() => { Similarity.annPqPlanted(spark, dir); () }),
     "knn_graph"          -> (() => { Similarity.knnGraphLayoutCache(spark, dir, 3); () }),
     "knn_clusters"       -> (() => { Similarity.mutualKnnClusters(spark, dir); () }),
     "span_artifacts"     -> (() => { Dedup.spanArtifacts(spark, dir); () }),

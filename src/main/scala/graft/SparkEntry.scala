@@ -244,7 +244,16 @@ object SparkEntry {
     "t9_bm25_pruned" -> ((s: SparkSession, d: String) => TextAnalysis.bm25RankPruned(s, d)),
     // round 10: substring search over the MAINTAINED (base+delta) trigram
     // index — exact maintenance, t8's contract and oracle verbatim
-    "t10_substring_incremental" -> ((s: SparkSession, d: String) => TextAnalysis.substringSearchIncremental(s, d))
+    "t10_substring_incremental" -> ((s: SparkSession, d: String) => TextAnalysis.substringSearchIncremental(s, d)),
+    // round 10: product quantization — the 8-byte-code rung of the
+    // quantization ladder (s8 = SQ8). No oracle: ADC reconstruction error
+    // is data-dependent and CAN reorder near-tied background vectors
+    // (measured: recall@10 = 8/10 at the default shortlist on the sf0.1
+    // corpus, whose cosine gaps are PQ-hostile random noise) — spec-gated
+    // ≡ s1 at shortlist ≥ corpus plus a recall floor, with the planted
+    // twin s17p carrying the full positive-match oracle.
+    "s17_ann_pq"          -> ((s: SparkSession, d: String) => Similarity.annPq(s, d)),
+    "s17p_ann_pq_planted" -> ((s: SparkSession, d: String) => Similarity.annPqPlanted(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -480,6 +489,19 @@ object SparkEntry {
     // (worst approximate rank 11 ≤ shortlist 50), so the exact re-rank makes
     // its output identical to s1's — it shares s1's oracle, the same string.
     "s8_ann_quantized" -> annTop10Oracle,
+    // s17: PQ shortlist + exact re-rank — same containment contract as s8
+    // s17p: the PQ twin of s2p — the five planted neighbors sit a decade
+    // above the background in cosine, so ADC reconstruction error (which
+    // CAN reorder near-tied background vectors — s17 is no-oracle for
+    // exactly that reason) cannot push them out of the shortlist, and the
+    // exact re-rank restores their true order.
+    "s17p_ann_pq_planted" ->
+      ("WITH allv AS (SELECT vec_id, embedding FROM embeddings UNION ALL " +
+        "SELECT vec_id, embedding FROM read_parquet('/root/repo/fixtures/annplant/embeddings.parquet/*.parquet')), " +
+        "q AS (SELECT embedding AS qv FROM allv WHERE vec_id = 2000000) " +
+        "SELECT rnk, vec_id FROM (SELECT row_number() OVER (ORDER BY " +
+        "list_cosine_similarity(a.embedding, q.qv) DESC, a.vec_id) AS rnk, a.vec_id " +
+        "FROM allv a, q WHERE a.vec_id <> 2000000) t WHERE rnk <= 5 ORDER BY rnk"),
     // s2p/s11p: exact brute force over corpus ∪ the committed annplant
     // fixture — the oracle reads the identical file the engine unions in
     // (the n4p pattern), so the hash-checked path proves positive
@@ -1272,6 +1294,8 @@ object SparkEntry {
         "FROM dpd LEFT JOIN npd ON dpd.decile = npd.first_decile ORDER BY dpd.decile")
     // n3_simhash_pairs, s2_ann_lsh (planted twin s2p fully oracle-checked),
     // s11_ann_ivf_filtered (planted twin s11p fully oracle-checked),
+    // s17_ann_pq (planted twin s17p fully oracle-checked; ADC error is
+    // data-dependent on near-tied background cosines),
     // s4_ann_ivf, s6_ann_ivf_partitioned,
     // s9_ann_ivf_quantized (spec-pinned ≡ s6), dq3_profile_events_approx
     // (spec-bounded within 5% of dq1's exact profile), v1_bpe_merges

@@ -1028,4 +1028,235 @@ object Similarity {
       .groupBy("label")
       .agg(count(lit(1)).as("n_vecs"), min("norm").as("min_norm"), max("norm").as("max_norm"))
       .orderBy("label")
+
+  // ————————————————————————————— s17: product quantization ——————————————
+
+  /** Bump with any change to the PQ scheme or its training. */
+  private[operators] val PqSchemeVersion = 1
+
+  /** PQ geometry (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011): the 64-dim embedding splits into
+    * [[PqSubspaces]] contiguous 8-dim subvectors, each quantized against
+    * its own [[PqCodewords]]-entry codebook → an 8-BYTE code per vector
+    * where SQ8 (s8) stores 64 bytes. Shortlist width for the exact
+    * re-rank follows s8's discipline.
+    */
+  val PqSubspaces = 8
+  val PqCodewords = 32
+  val PqShortlist = 200
+
+  /** Per-subspace codebooks: deterministic seeds (the K lowest-id
+    * vectors' subvectors) + one distributed L2 Lloyd refinement — the
+    * [[refinedCentroids]] discipline with the PQ-correct metric. Only
+    * M×K×subDim floats ever reach the driver.
+    */
+  private[operators] def pqCodebooks(e: DataFrame, m: Int, kw: Int): Array[Array[Seq[Float]]] = {
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sub = dim / m
+    (0 until m).toArray.map { s =>
+      val sv = e.select(col("vec_id"), expr(s"slice(embedding, ${s * sub + 1}, $sub)").as("sv"))
+      val seeds: Array[Seq[Float]] =
+        sv.orderBy("vec_id").limit(kw).collect().map(_.getSeq[Float](1))
+      val assigned = sv.withColumn("code", pqAssignCol(seeds))
+      val refined = assigned
+        .select(col("code"), posexplode(col("sv")).as(Seq("d", "v")))
+        .groupBy("code", "d")
+        .agg(avg("v").as("m"))
+        .collect()
+      val byCode = refined.groupBy(_.getInt(0))
+      (0 until seeds.length).map { c =>
+        byCode.get(c) match {
+          case Some(rows) =>
+            val arr = new Array[Float](sub)
+            rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2).toFloat)
+            arr.toSeq
+          case None => seeds(c) // empty cell keeps its seed
+        }
+      }.toArray
+    }
+  }
+
+  /** The nearest-codeword index (L2, first-min tie-break → smallest
+    * codeword on exact ties) over an `sv` subvector column, against a
+    * literal codebook — builtin SQL (transform + aggregate) so the
+    * K×subDim multiply-adds stay inside whole-stage codegen. L2, not
+    * cosine: the ADC score approximates a DOT product
+    * (`dot(q_s, x_s) ≈ dot(q_s, c)`), and minimizing ‖x_s − c‖ bounds
+    * that error by ‖q_s‖·‖x_s − c‖, while a direction-only quantizer
+    * would let magnitude error through unbounded.
+    */
+  private def pqAssignCol(cb: Array[Seq[Float]]): Column = {
+    val cbSql = cb
+      .map(c => "array(" + c.map(v => s"cast($v as double)").mkString(",") + ")")
+      .mkString("array(", ",", ")")
+    expr(
+      s"cast(array_position(transform($cbSql, c -> aggregate(zip_with(sv, c, (a, b) -> " +
+        "(cast(a as double) - b) * (cast(a as double) - b)), cast(0.0 as double), (s, x) -> s + x)), " +
+        s"array_min(transform($cbSql, c -> aggregate(zip_with(sv, c, (a, b) -> " +
+        "(cast(a as double) - b) * (cast(a as double) - b)), cast(0.0 as double), (s, x) -> s + x)))) - 1 as int)"
+    )
+  }
+
+  /** Persisted PQ layout: `pq.parquet` `(vec_id, codes array<int> length
+    * M, norm double)` — 8 small ints + one norm per vector, the bytes the
+    * coarse pass reads — plus `codebooks.parquet` `(s, j, cw)` so a query
+    * (or a later session) rebuilds its ADC table from the layout alone.
+    */
+  private def buildPqLayout(spark: SparkSession, e: DataFrame, out: String): Unit = {
+    val cbs = pqCodebooks(e, PqSubspaces, PqCodewords)
+    val sub = cbs.head.head.length
+    // one narrow map: M assignments per row, each against its own book
+    var withCodes = e
+    (0 until PqSubspaces).foreach { s =>
+      withCodes = withCodes
+        .withColumn("sv", expr(s"slice(embedding, ${s * sub + 1}, $sub)"))
+        .withColumn(s"c$s", pqAssignCol(cbs(s)))
+        .drop("sv")
+    }
+    withCodes
+      .select(
+        col("vec_id"),
+        array((0 until PqSubspaces).map(s => col(s"c$s")): _*).as("codes"),
+        expr(
+          "sqrt(aggregate(embedding, cast(0.0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double)))"
+        ).as("norm")
+      )
+      .write.mode("overwrite").parquet(s"$out/pq.parquet")
+    val rows = for {
+      s <- cbs.indices
+      j <- cbs(s).indices
+    } yield (s, j, cbs(s)(j))
+    import spark.implicits._
+    rows.toDF("s", "j", "cw").write.mode("overwrite").parquet(s"$out/codebooks.parquet")
+  }
+
+  private[graft] def pqLayoutCache(spark: SparkSession, dir: String): String = {
+    val key = graft.sources.LayoutCache.contentKey(
+      spark,
+      s"$dir/embeddings.parquet",
+      s"pq-v$PqSchemeVersion#$PqSubspaces#$PqCodewords"
+    )
+    graft.sources.LayoutCache.getOrBuild(spark, "graft_pq", key) { out =>
+      buildPqLayout(spark, Tables.embeddings(spark, dir), out)
+    }
+  }
+
+  /** PQ layout over corpus ∪ the ANN planted fixture, keyed on BOTH
+    * contents (the ivfPlantedLayoutCache pattern).
+    */
+  private[operators] def pqPlantedLayoutCache(spark: SparkSession, dir: String): String = {
+    val fx    = annPlantFixture(spark)
+    val fxKey = graft.sources.LayoutCache.contentKey(spark, fx, "fx")
+    val key = graft.sources.LayoutCache.contentKey(
+      spark,
+      s"$dir/embeddings.parquet",
+      s"pqp-v$PqSchemeVersion#$PqSubspaces#$PqCodewords#$fxKey"
+    )
+    graft.sources.LayoutCache.getOrBuild(spark, "graft_pqp", key) { out =>
+      val e = Tables
+        .embeddings(spark, dir)
+        .select("vec_id", "embedding")
+        .unionByName(spark.read.parquet(fx).select("vec_id", "embedding"))
+      buildPqLayout(spark, e, out)
+    }
+  }
+
+  /** S17 — product-quantized ANN: the third rung of the quantization
+    * ladder (float s1 → int8 SQ8 s8 → 8-byte PQ codes), the memory shape
+    * that keeps a BILLION-vector coarse pass in RAM (8 B + norm per
+    * vector ≈ 16 B vs SQ8's 64 B vs float's 256 B). Asymmetric distance
+    * computation: the query stays FLOAT, and `dot(q, x) ≈ Σ_s
+    * table[s][code_s(x)]` where the M×K table of exact subspace dots is
+    * built driver-side (tiny) and rides into codegen as a literal —
+    * scoring a vector is M array lookups + M adds, no multiplies at all.
+    * Cosine needs norms: the exact per-vector norm is STORED (the one
+    * scalar PQ cannot reconstruct), so the ADC score divides by
+    * `‖q‖·norm` and approximation error lives only in the numerator.
+    * The shortlist then re-ranks EXACTLY from the float embeddings.
+    *
+    * Contract honesty vs s8: SQ8's per-component error is small enough
+    * that its shortlist provably contains the true top-k on this corpus
+    * (s8 is fully oracled); PQ's reconstruction error is coarser and
+    * data-dependent — on near-tied random background cosines it CAN
+    * reorder the shortlist boundary (measured: recall@10 = 8/10 at
+    * sf0.1's 2000 vectors) — so s17 carries specs (≡ s1 at shortlist ≥
+    * corpus, a recall floor at the default) rather than a false
+    * exactness oracle, and the planted twin [[annPqPlanted]] carries the
+    * full positive-match oracle where the geometry supports one.
+    */
+  def annPq(
+      spark: SparkSession,
+      dir: String,
+      queryId: Long = 0L,
+      k: Int = 10,
+      shortlist: Int = PqShortlist
+  ): DataFrame =
+    annPqOver(spark, Tables.embeddings(spark, dir), pqLayoutCache(spark, dir), queryId, k, shortlist)
+
+  /** S17P — [[annPq]] over corpus ∪ the committed graded-neighbor fixture
+    * (`fixtures/annplant`), the s2p pattern for the PQ rung: the five
+    * planted neighbors sit a cosine DECADE above the background, so ADC
+    * reconstruction error — which reorders near-tied background vectors
+    * and is why plain s17 carries no oracle — cannot push them out of the
+    * shortlist, and the exact re-rank restores their true order. The
+    * DuckDB oracle brute-forces the same union, so the hash-checked path
+    * proves POSITIVE matches through the quantized index.
+    */
+  def annPqPlanted(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = Tables
+      .embeddings(spark, dir)
+      .select("vec_id", "embedding")
+      .unionByName(spark.read.parquet(annPlantFixture(spark)).select("vec_id", "embedding"))
+    annPqOver(spark, e, pqPlantedLayoutCache(spark, dir), PlantedQueryId, k, PqShortlist)
+  }
+
+  private def annPqOver(
+      spark: SparkSession,
+      e: DataFrame,
+      layout: String,
+      queryId: Long,
+      k: Int,
+      shortlist: Int
+  ): DataFrame = {
+    VectorFunctions.register(spark)
+    val codes  = spark.read.parquet(s"$layout/pq.parquet")
+    val cbRows = spark.read.parquet(s"$layout/codebooks.parquet").collect()
+    val cbs: Array[Array[Seq[Float]]] = {
+      val m = cbRows.map(_.getInt(0)).max + 1
+      val arr = Array.ofDim[Seq[Float]](m, cbRows.map(_.getInt(1)).max + 1)
+      cbRows.foreach(r => arr(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2))
+      arr
+    }
+    val qv = e.where(col("vec_id") === queryId).select("embedding").head().getSeq[Float](0)
+    val sub = qv.length / cbs.length
+    val qnorm = math.sqrt(qv.map(v => v.toDouble * v).sum)
+    // ADC table: exact subspace dots between the float query and every
+    // codeword — M×K doubles, driver-built, literal in the plan
+    val table: Seq[Seq[Double]] = cbs.toIndexedSeq.zipWithIndex.map { case (book, s) =>
+      val qs = qv.slice(s * sub, (s + 1) * sub)
+      book.toIndexedSeq.map(c => qs.zip(c).map { case (a, b) => a.toDouble * b }.sum)
+    }
+    val tblSql = table
+      .map(row => "array(" + row.map(v => s"cast($v as double)").mkString(",") + ")")
+      .mkString("array(", ",", ")")
+    val short = codes
+      .where(col("vec_id") =!= queryId && col("norm") > 0)
+      .select(
+        col("vec_id"),
+        (expr(
+          s"aggregate(zip_with(codes, $tblSql, (c, t) -> element_at(t, c + 1)), cast(0.0 as double), (a, x) -> a + x)"
+        ) / (col("norm") * qnorm)).as("acos")
+      )
+      .orderBy(col("acos").desc, col("vec_id"))
+      .limit(shortlist)
+      .select("vec_id")
+    val q = e.where(col("vec_id") === queryId).select(col("embedding").as("qv"))
+    rankTopK(
+      e.join(broadcast(short), "vec_id")
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), expr("cosine_sim(embedding, qv)").as("cos")),
+      k
+    )
+  }
 }

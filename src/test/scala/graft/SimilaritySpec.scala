@@ -124,6 +124,65 @@ class SimilaritySpec extends SparkSpec {
     assert(s9 == s6)
   }
 
+  test("s17 re-rank is structurally exact: shortlist >= corpus reproduces s1 bit-for-bit") {
+    val exact = Similarity.annBruteForce(spark, sf0001).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val pq = Similarity
+      .annPq(spark, sf0001, shortlist = 100000) // ≥ corpus → containment by construction
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pq == exact)
+  }
+
+  test("s17 default shortlist holds a recall floor; codes and codebooks are well-formed and reused") {
+    import org.apache.spark.sql.functions._
+    // the ADC shortlist is approximate (that is WHY s17 is no-oracle) —
+    // but it must stay a good approximation: recall@10 ≥ 8/10 here
+    val exact = Similarity.annBruteForce(spark, sf0001).collect().map(_.getLong(1)).toSet
+    val deflt = Similarity.annPq(spark, sf0001).collect().map(_.getLong(1)).toSet
+    assert((exact & deflt).size >= 8, s"PQ recall too low: ${(exact & deflt).size}/10")
+    val layout = Similarity.pqLayoutCache(spark, sf0001)
+    val codes  = spark.read.parquet(s"$layout/pq.parquet")
+    val n      = graft.sources.Tables.embeddings(spark, sf0001).count()
+    assert(codes.count() == n, "one code row per vector")
+    // every code indexes inside its book; M codes per vector
+    assert(codes.where(size(col("codes")) =!= Similarity.PqSubspaces).count() == 0)
+    assert(
+      codes.where(expr(s"exists(codes, c -> c < 0 OR c >= ${Similarity.PqCodewords})")).count() == 0,
+      "codes must index inside the codebook"
+    )
+    val books = spark.read.parquet(s"$layout/codebooks.parquet")
+    assert(books.count() == Similarity.PqSubspaces.toLong * Similarity.PqCodewords)
+    // warm path: a second query builds nothing
+    graft.sources.LayoutCache.drainBuildLog()
+    Similarity.annPq(spark, sf0001).collect()
+    assert(graft.sources.LayoutCache.drainBuildLog().isEmpty, "second s17 query must reuse the PQ layout")
+  }
+
+  test("s17p planted twin: the five planted neighbors rank exactly through the PQ index") {
+    val got = Similarity.annPqPlanted(spark, sf0001).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // brute force over the same union is the contract (the driver oracle
+    // replays it in DuckDB; this is the in-engine differential)
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables
+      .embeddings(spark, sf0001)
+      .select("vec_id", "embedding")
+      .unionByName(
+        spark.read.parquet("/root/repo/fixtures/annplant/embeddings.parquet").select("vec_id", "embedding")
+      )
+    graft.functions.VectorFunctions.register(spark)
+    val q = e.where(col("vec_id") === 2000000L).select(col("embedding").as("qv"))
+    val brute = e
+      .where(col("vec_id") =!= 2000000L)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), expr("cosine_sim(embedding, qv)").as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got.map(_._2) == brute && got.map(_._1) == (1L to 5L))
+    // all five planted ids (2000001–2000005) must be the answer — a
+    // vacuous background result cannot satisfy this
+    assert(got.map(_._2).forall(_ >= 2000001L))
+  }
+
   test("s8 shortlist containment has headroom: exact top-10 sits inside the int8 top-20") {
     // tighter-than-production shortlist still reproduces s1 → the default 50
     // is not sitting on the edge
