@@ -654,6 +654,58 @@ object ScaleRehearsal {
     * grows `nBatches`×, because no document is ever re-shingled after its
     * own batch and cross-candidates come only from band-bucket collisions.
     */
+  /** Streaming-novelty rehearsal: feed the replicated corpus to
+    * [[graft.streaming.NoveltyStream]] in micro-batches and record, per
+    * batch, wall/shuffle AND the first-seen index growth. The claim under
+    * test is the operator's core scale property: the index grows by the
+    * NOVEL fraction only — on a replicated corpus the later batches are
+    * mostly stale, so index appends should collapse toward zero while
+    * per-batch scoring cost stays flat (the redundant bulk a crawl stream
+    * carries is exactly what must not accrete state).
+    */
+  def noveltyStreamRehearsal(spark: SparkSession, src: String, dst: String, reps: Int, nBatches: Int = 5): Unit = {
+    // VERBATIM replication (not ensureReplicatedDocs, whose per-replica
+    // token suffixes deliberately make replicas lexically novel for the
+    // dedup rehearsals): replica i keeps the text and shifts the id, so
+    // later arrivals are pure content repetition — the crawl-recrawl shape
+    // this operator exists for.
+    val fs = new org.apache.hadoop.fs.Path(dst).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dst/_built"))) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(dst))) fs.delete(new org.apache.hadoop.fs.Path(dst), true)
+      val baseDocs = spark.read.parquet(s"$src/documents.parquet")
+      (0 until reps).foreach { i =>
+        baseDocs
+          .withColumn("doc_id", col("doc_id") + lit(i * Stride))
+          .coalesce(1)
+          .write.mode("append").parquet(s"$dst/documents.parquet")
+      }
+      fs.create(new org.apache.hadoop.fs.Path(s"$dst/_built")).close()
+    }
+    val pm = new PhaseMetrics
+    spark.sparkContext.addSparkListener(pm)
+    val docs  = spark.read.parquet(s"$dst/documents.parquet")
+    val base  = java.nio.file.Files.createTempDirectory("graft_novelty10").toString
+    val total = docs.count()
+    println(s"[novelty10] n_docs=$total in $nBatches replica-sliced micro-batches (ids stride-encoded)")
+    (0 until nBatches).foreach { i =>
+      // replica-ordered slices: arrival order = replication order
+      val slice = docs.where(expr(s"((doc_id div $Stride) * $nBatches) div $reps") === i)
+      val (w0, _, _) = pm.snapshot
+      val t0         = System.nanoTime()
+      graft.streaming.NoveltyStream.processBatch(slice, s"$base/idx", s"$base/novelty", i.toLong)
+      val secs       = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(200)
+      val (w1, _, _) = pm.snapshot
+      val appended   = spark.read.parquet(s"$base/idx/firsts/batch_id=$i").count()
+      val scored     = spark.read.parquet(s"$base/novelty/batch_id=$i").count()
+      println(
+        f"[novelty10] batch $i%d: docs=${slice.count()}%-7d scored=$scored%-7d index_appends=$appended%-8d $secs%6.1f s  shuffle=${(w1 - w0) / 1048576.0}%8.1f MiB"
+      )
+    }
+    val idx = spark.read.parquet(s"$base/idx/firsts").count()
+    println(s"[novelty10] final index rows=$idx (= distinct shingles of the whole corpus — each stored once)")
+  }
+
   def streamRehearsal(spark: SparkSession, src: String, dst: String, reps: Int, nBatches: Int = 5): Unit = {
     ensureReplicatedDocs(spark, src, dst, reps)
     val pm = new PhaseMetrics
@@ -681,6 +733,17 @@ object ScaleRehearsal {
     if (args.headOption.contains("stream10")) {
       val spark = GraftSession.getOrCreate()
       streamRehearsal(
+        spark,
+        args.lift(1).getOrElse("/root/testdata/sf0.1"),
+        args.lift(2).getOrElse("/tmp/graft_stream_docs"),
+        args.lift(3).map(_.toInt).getOrElse(10)
+      )
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("novelty10")) {
+      val spark = GraftSession.getOrCreate()
+      noveltyStreamRehearsal(
         spark,
         args.lift(1).getOrElse("/root/testdata/sf0.1"),
         args.lift(2).getOrElse("/tmp/graft_stream_docs"),
