@@ -229,6 +229,14 @@ object SparkEntry {
     "q37_dormant_rich_customers"      -> (CoreQueries.q37DormantRichCustomers _),
     "q38_priority_late_orders"        -> (CoreQueries.q38PriorityLateOrders _),
     "q39_market_share"                -> (CoreQueries.q39MarketShare _),
+    // round 10 close: the remaining partsupp-free TPC-H shapes — Q10
+    // (returned items), Q16 (supplier diversity w/ NOT IN), Q7 (two-nation
+    // disjunctive trade), Q19 (OR-of-ANDs residual), Q14 (promo share)
+    "q40_returned_item_revenue"       -> (CoreQueries.q40ReturnedItemRevenue _),
+    "q41_supplier_diversity"          -> (CoreQueries.q41SupplierDiversity _),
+    "q42_trade_volume"                -> (CoreQueries.q42TradeVolume _),
+    "q43_disjunctive_revenue"         -> (CoreQueries.q43DisjunctiveRevenue _),
+    "q44_promo_revenue"               -> (CoreQueries.q44PromoRevenue _),
     // round 10: the novelty KEEP/DROP curation gate over n15's profile
     "d28_novelty_gate"                -> (Dedup.noveltyGate _),
     // round 10: corpus novelty + cross-source overlap audit
@@ -1189,6 +1197,52 @@ object SparkEntry {
         "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
         "AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00') " +
         "GROUP BY c_nationkey ORDER BY c_nationkey"),
+    // q40 (TPC-H Q10): aggregate-then-join; top-20 on (revenue, custkey).
+    "q40_returned_item_revenue" ->
+      ("SELECT c_custkey, c_name, n_name, revenue_e4 FROM (" +
+        "SELECT o_custkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(12,2)))) * 10000 AS BIGINT) AS revenue_e4 " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' " +
+        "AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00' GROUP BY o_custkey) r " +
+        "JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey " +
+        "ORDER BY revenue_e4 DESC, c_custkey LIMIT 20"),
+    // q41 (TPC-H Q16 adapted): NOT IN = anti join; COUNT(DISTINCT) census.
+    "q41_supplier_diversity" ->
+      ("SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE p_brand <> 'Brand#4' AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29) " +
+        "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) " +
+        "GROUP BY p_brand, p_size ORDER BY supplier_cnt DESC, p_brand, p_size"),
+    // q42 (TPC-H Q7): both directions of one nation pair, per ship year.
+    "q42_trade_volume" ->
+      ("SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, " +
+        "CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS yr, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) * 10000 AS BIGINT) AS revenue_e4 " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation sn ON s_nationkey = sn.n_nationkey JOIN nation cn ON c_nationkey = cn.n_nationkey " +
+        "WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2') OR " +
+        "(sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')) " +
+        "AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' " +
+        "GROUP BY supp_nation, cust_nation, yr ORDER BY supp_nation, cust_nation, yr"),
+    // q43 (TPC-H Q19): the OR-of-ANDs residual over one equi join.
+    "q43_disjunctive_revenue" ->
+      ("SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) * 10000 AS BIGINT) AS revenue_e4, " +
+        "COUNT(*) AS cnt FROM lineitem JOIN part ON l_partkey = p_partkey WHERE " +
+        "(p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21) OR " +
+        "(p_brand = 'Brand#9' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30) OR " +
+        "(p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)"),
+    // q44 (TPC-H Q14): numerator/denominator as exact e4 BIGINTs.
+    "q44_promo_revenue" ->
+      ("SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' " +
+        "THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) " +
+        "ELSE CAST(0 AS DECIMAL(12,2)) END) * 10000 AS BIGINT) AS promo_e4, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) * 10000 AS BIGINT) AS total_e4 " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'"),
     // q38 (TPC-H Q4): EXISTS with an outer-column lateness predicate —
     // DuckDB keeps the correlated form; the engine's distinct IS the
     // EXISTS.

@@ -1196,6 +1196,165 @@ object CoreQueries {
       .orderBy("o_year")
   }
 
+  /** Q40 — returned-item reporting (TPC-H Q10 shape): top-20 customers by
+    * revenue lost to returns in one quarter. Both selective predicates
+    * (return flag, order-date quarter) push to their scans BEFORE the
+    * fact-fact join, customer/nation join after the revenue aggregation
+    * has collapsed the stream to one row per customer — the q33 rewrite
+    * discipline: dimension attributes never ride the big shuffle. Top-20
+    * is `TakeOrderedAndProject` on (revenue, custkey).
+    */
+  def q40ReturnedItemRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables
+      .lineitem(spark, dir)
+      .where(col("l_returnflag") === "R")
+      .join(
+        Tables
+          .orders(spark, dir)
+          .where(
+            col("o_orderdate") >= expr("timestamp_ntz'1997-01-01 00:00:00'") &&
+              col("o_orderdate") < expr("timestamp_ntz'1997-04-01 00:00:00'")
+          ),
+        col("l_orderkey") === col("o_orderkey")
+      )
+      .groupBy("o_custkey")
+      .agg(
+        (sum(col("l_extendedprice").cast("decimal(12,2)") * (lit(1) - col("l_discount").cast("decimal(12,2)"))) * 10000)
+          .cast("long")
+          .as("revenue_e4")
+      )
+    perCust
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Q41 — supplier diversity census (TPC-H Q16 shape, adapted to this
+    * schema's lack of partsupp): per (brand, size) over a size IN-list,
+    * how many DISTINCT suppliers shipped such parts — excluding one brand
+    * and a blacklist via NOT IN (here: suppliers with negative balance).
+    * The NOT IN decorrelates to a LEFT ANTI join against the (tiny,
+    * scan-pruned) blacklist; supplier identity flows as a bare key, and
+    * the count-distinct collapses partial-aggregate style on
+    * (brand, size, suppkey) before the final census.
+    */
+  def q41SupplierDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey")
+      .join(
+        broadcast(
+          Tables
+            .part(spark, dir)
+            .where(col("p_brand") =!= "Brand#4" && col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+            .select("p_partkey", "p_brand", "p_size")
+        ),
+        col("l_partkey") === col("p_partkey")
+      )
+      .join(
+        broadcast(Tables.supplier(spark, dir).where(col("s_acctbal") < 0).select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"),
+        "left_anti"
+      )
+      .groupBy("p_brand", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+
+  /** Q42 — two-nation trade volume (TPC-H Q7 shape): revenue shipped
+    * between one nation PAIR, in both directions, per year. Nation joins
+    * TWICE (supplier side and customer side) and the pair constraint is
+    * the signature DISJUNCTIVE join predicate — (A→B) OR (B→A) — which
+    * must stay a residual on equi joins, never degrade the join itself to
+    * a nested loop: both nation lookups are broadcast equi joins on the
+    * keys, and the OR filters the 2×2 name combinations after. The ship-
+    * date range prunes the lineitem scan.
+    */
+  def q42TradeVolume(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.nation(spark, dir)
+    Tables
+      .lineitem(spark, dir)
+      .where(
+        col("l_shipdate") >= expr("timestamp_ntz'1996-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("timestamp_ntz'1998-01-01 00:00:00'")
+      )
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_nationkey"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")), col("l_suppkey") === col("s_suppkey"))
+      .join(
+        broadcast(nation.select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("snk")
+      )
+      .join(
+        broadcast(nation.select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("cnk")
+      )
+      .where(
+        (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1")
+      )
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("yr"))
+      .agg(
+        (sum(col("l_extendedprice").cast("decimal(12,2)") * (lit(1) - col("l_discount").cast("decimal(12,2)"))) * 10000)
+          .cast("long")
+          .as("revenue_e4")
+      )
+      .orderBy("supp_nation", "cust_nation", "yr")
+  }
+
+  /** Q43 — disjunctive-predicate revenue (TPC-H Q19 shape): three OR'd
+    * (brand ∧ size-range ∧ quantity-range) clauses over a lineitem⋈part
+    * join. The plan discipline: the JOIN stays a plain equi hash probe on
+    * partkey (broadcast — part is a dim) with the whole OR as a residual;
+    * the per-clause brand/size conjuncts additionally union into a
+    * scan-level filter on `part` (any row matching NO clause's brand can
+    * be dropped before the join — the OR-pushdown Catalyst derives as
+    * `p_brand IN (...)`). Revenue in exact e4, plus the matched-line
+    * count.
+    */
+  def q43DisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val clause1 = col("p_brand") === "Brand#4" && col("p_size").between(1, 15) && col("l_quantity").between(1, 21)
+    val clause2 = col("p_brand") === "Brand#9" && col("p_size").between(1, 25) && col("l_quantity").between(10, 30)
+    val clause3 = col("p_brand") === "Brand#19" && col("p_size").between(1, 35) && col("l_quantity").between(20, 40)
+    Tables
+      .lineitem(spark, dir)
+      .join(
+        broadcast(Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey")
+      )
+      .where(clause1 || clause2 || clause3)
+      .agg(
+        (sum(col("l_extendedprice").cast("decimal(12,2)") * (lit(1) - col("l_discount").cast("decimal(12,2)"))) * 10000)
+          .cast("long")
+          .as("revenue_e4"),
+        count(lit(1)).as("cnt")
+      )
+  }
+
+  /** Q44 — promotion revenue share (TPC-H Q14 shape): of one month's
+    * shipped revenue, how much came from PROMO parts. TPC-H outputs the
+    * percentage; this emits numerator and denominator as exact e4 BIGINTs
+    * from ONE CASE-gated pass (the q36/q39 discipline — two filtered
+    * queries would join the month's lineitems against part twice).
+    */
+  def q44PromoRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .where(
+        col("l_shipdate") >= expr("timestamp_ntz'1997-06-01 00:00:00'") &&
+          col("l_shipdate") < expr("timestamp_ntz'1997-07-01 00:00:00'")
+      )
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_type")), col("l_partkey") === col("p_partkey"))
+      .agg(
+        expr(
+          "cast(sum(case when p_type = 'PROMO' then cast(l_extendedprice as decimal(12,2)) * (1 - cast(l_discount as decimal(12,2))) else cast(0 as decimal(12,2)) end) * 10000 as bigint)"
+        ).as("promo_e4"),
+        expr(
+          "cast(sum(cast(l_extendedprice as decimal(12,2)) * (1 - cast(l_discount as decimal(12,2)))) * 10000 as bigint)"
+        ).as("total_e4")
+      )
+
   def q35ExcessShipments(spark: SparkSession, dir: String): DataFrame = {
     val qualified = Tables
       .lineitem(spark, dir)

@@ -290,6 +290,110 @@ class TpchShapesSpec extends SparkSpec {
     assert(small == Seq((1L, "keep"), (2L, "drop"), (3L, "keep")))
   }
 
+  test("q40: top-20 is revenue-ordered and a sampled customer's revenue recounts") {
+    val rows = CoreQueries.q40ReturnedItemRevenue(spark, sf001).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val revs = rows.map(_.getAs[Long]("revenue_e4"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+    val top = rows.head
+    val recount = Tables
+      .lineitem(spark, sf001)
+      .where(col("l_returnflag") === "R")
+      .join(
+        Tables
+          .orders(spark, sf001)
+          .where(
+            col("o_orderdate") >= expr("timestamp_ntz'1997-01-01 00:00:00'") &&
+              col("o_orderdate") < expr("timestamp_ntz'1997-04-01 00:00:00'")
+          )
+          .where(col("o_custkey") === top.getAs[Long]("c_custkey")),
+        col("l_orderkey") === col("o_orderkey")
+      )
+      .agg(
+        (sum(col("l_extendedprice").cast("decimal(12,2)") * (lit(1) - col("l_discount").cast("decimal(12,2)"))) * 10000)
+          .cast("long")
+      )
+      .head().getLong(0)
+    assert(recount == top.getAs[Long]("revenue_e4"))
+  }
+
+  test("q41: the NOT-IN blacklist has teeth — adding it back changes the census") {
+    val withBlacklist = CoreQueries.q41SupplierDiversity(spark, sf001).collect()
+      .map(r => ((r.getString(0), r.getInt(1)), r.getAs[Long]("supplier_cnt"))).toMap
+    // twin without the anti join: counts can only grow
+    val without = Tables
+      .lineitem(spark, sf001)
+      .select("l_partkey", "l_suppkey")
+      .join(
+        Tables
+          .part(spark, sf001)
+          .where(col("p_brand") =!= "Brand#4" && col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+          .select("p_partkey", "p_brand", "p_size"),
+        col("l_partkey") === col("p_partkey")
+      )
+      .groupBy("p_brand", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("cnt"))
+      .collect()
+      .map(r => ((r.getString(0), r.getInt(1)), r.getAs[Long]("cnt"))).toMap
+    assert(withBlacklist.forall { case (k, c) => c <= without(k) })
+    assert(withBlacklist.exists { case (k, c) => c < without(k) }, "blacklist must exclude something")
+  }
+
+  test("q42: both trade directions present; totals match a direction-agnostic recount") {
+    val rows = CoreQueries.q42TradeVolume(spark, sf001).collect()
+    val dirs = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(dirs == Set(("NATION_1", "NATION_2"), ("NATION_2", "NATION_1")))
+    assert(rows.map(_.getAs[Int]("yr")).toSet == Set(1996, 1997))
+  }
+
+  test("q43: the OR residual equals the union of the three separately-filtered clauses") {
+    val combined = CoreQueries.q43DisjunctiveRevenue(spark, sf001).head()
+    val base = Tables
+      .lineitem(spark, sf001)
+      .join(Tables.part(spark, sf001).select("p_partkey", "p_brand", "p_size"), col("l_partkey") === col("p_partkey"))
+    val clauses = Seq(
+      col("p_brand") === "Brand#4" && col("p_size").between(1, 15) && col("l_quantity").between(1, 21),
+      col("p_brand") === "Brand#9" && col("p_size").between(1, 25) && col("l_quantity").between(10, 30),
+      col("p_brand") === "Brand#19" && col("p_size").between(1, 35) && col("l_quantity").between(20, 40)
+    )
+    // clauses are brand-disjoint, so counts/revenues ADD exactly
+    val parts = clauses.map { c =>
+      val r = base
+        .where(c)
+        .agg(
+          (sum(col("l_extendedprice").cast("decimal(12,2)") * (lit(1) - col("l_discount").cast("decimal(12,2)"))) * 10000)
+            .cast("long").as("rev"),
+          count(lit(1)).as("n")
+        )
+        .head()
+      (Option(r.getAs[Long]("rev")).getOrElse(0L), r.getAs[Long]("n"))
+    }
+    assert(parts.map(_._2).sum == combined.getAs[Long]("cnt"))
+    assert(parts.map(_._1).sum == combined.getAs[Long]("revenue_e4"))
+    assert(combined.getAs[Long]("cnt") > 0)
+  }
+
+  test("q44: promo share is bounded and the CASE pass equals two filtered aggregates") {
+    val r = CoreQueries.q44PromoRevenue(spark, sf001).head()
+    val promo = r.getAs[Long]("promo_e4"); val total = r.getAs[Long]("total_e4")
+    assert(promo > 0 && promo < total)
+    val month = Tables
+      .lineitem(spark, sf001)
+      .where(
+        col("l_shipdate") >= expr("timestamp_ntz'1997-06-01 00:00:00'") &&
+          col("l_shipdate") < expr("timestamp_ntz'1997-07-01 00:00:00'")
+      )
+      .join(Tables.part(spark, sf001).select("p_partkey", "p_type"), col("l_partkey") === col("p_partkey"))
+    def rev(df: org.apache.spark.sql.DataFrame) = df
+      .agg(
+        (sum(col("l_extendedprice").cast("decimal(12,2)") * (lit(1) - col("l_discount").cast("decimal(12,2)"))) * 10000)
+          .cast("long")
+      )
+      .head().getLong(0)
+    assert(rev(month.where(col("p_type") === "PROMO")) == promo)
+    assert(rev(month) == total)
+  }
+
   test("n15: planted corpus — novelty counts by hand") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_n15").toString
