@@ -387,6 +387,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("GreaterThanOrEqual(l_shipdate") && plan.contains("LessThan(l_shipdate"), plan)
   }
 
+  test("q40 top-ks without a global sort and joins dimensions after the per-customer collapse") {
+    val df = CoreQueries.q40ReturnedItemRevenue(spark, sf0001)
+    df.collect()
+    val plan = executedPlan(df)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // both selective predicates pushed to their scans
+    assert(plan.contains("EqualTo(l_returnflag,R)"), plan)
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate") && plan.contains("LessThan(o_orderdate"), plan)
+  }
+
+  test("q41's NOT IN runs as an anti join, never a nested loop") {
+    val df = CoreQueries.q41SupplierDiversity(spark, sf0001)
+    df.collect()
+    val plan = executedPlan(df)
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"), plan)
+    // the blacklist side is pruned at its scan
+    assert(plan.contains("LessThan(s_acctbal,0"), plan)
+  }
+
+  test("q43's OR-of-ANDs stays a residual on ONE equi hash probe") {
+    val df = CoreQueries.q43DisjunctiveRevenue(spark, sf0001)
+    df.collect()
+    val plan = executedPlan(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q42's pair disjunction never degrades the nation joins to a nested loop") {
+    val df = CoreQueries.q42TradeVolume(spark, sf0001)
+    df.collect()
+    val plan = executedPlan(df)
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"), plan)
+    // the ship-date range is pushed to the lineitem scan
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate") && plan.contains("LessThan(l_shipdate"), plan)
+  }
+
   test("t8 candidate phase reads the trigram layout with the gram IN-list pushed; corpus untouched there") {
     val df = graft.operators.TextAnalysis.substringSearch(spark, sf0001)
     df.collect()
