@@ -261,7 +261,11 @@ object SparkEntry {
     // ≡ s1 at shortlist ≥ corpus plus a recall floor, with the planted
     // twin s17p carrying the full positive-match oracle.
     "s17_ann_pq"          -> ((s: SparkSession, d: String) => Similarity.annPq(s, d)),
-    "s17p_ann_pq_planted" -> ((s: SparkSession, d: String) => Similarity.annPqPlanted(s, d))
+    "s17p_ann_pq_planted" -> ((s: SparkSession, d: String) => Similarity.annPqPlanted(s, d)),
+    // round 10: the composed IVF×PQ stack (no oracle: both stages are
+    // quantizer state, the s9/s17 argument; spec-pinned ≡ s17 at full
+    // probe) — completes the composition matrix beside s9's IVF×SQ8
+    "s18_ann_ivf_pq"      -> ((s: SparkSession, d: String) => Similarity.annIvfPq(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1350,6 +1354,8 @@ object SparkEntry {
     // s11_ann_ivf_filtered (planted twin s11p fully oracle-checked),
     // s17_ann_pq (planted twin s17p fully oracle-checked; ADC error is
     // data-dependent on near-tied background cosines),
+    // s18_ann_ivf_pq (spec-pinned ≡ s17 at full probe — the s9 ≡ s6
+    // composition argument),
     // s4_ann_ivf, s6_ann_ivf_partitioned,
     // s9_ann_ivf_quantized (spec-pinned ≡ s6), dq3_profile_events_approx
     // (spec-bounded within 5% of dq1's exact profile), v1_bpe_merges

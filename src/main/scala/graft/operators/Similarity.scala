@@ -1211,16 +1211,61 @@ object Similarity {
     annPqOver(spark, e, pqPlantedLayoutCache(spark, dir), PlantedQueryId, k, PqShortlist)
   }
 
+  /** S18 — the composed IVF×PQ stack (the architecture billion-scale
+    * vector engines ship as "IVFPQ"): IVF partition pruning picks the
+    * probed clusters (directory-level `cl=` pruning on the s6 layout,
+    * reading ONLY vec_id from them), PQ's 8-byte ADC pass scores just
+    * those candidates off the code table, and the exact float re-rank
+    * runs on the shortlist. Beside s9 (IVF×SQ8) this completes the
+    * composition matrix: per-query cost is nProbe/nClusters of the
+    * CODE table (16 B/vector), touching float vectors only for the
+    * shortlist. No SQL oracle — both stages are engine-internal
+    * quantizer state (the s4/s9/s17 argument) — and the gate is the
+    * ≡ s17-at-full-probe spec: with every cluster probed the candidate
+    * set is the whole corpus, so the stack must reproduce the plain PQ
+    * rung bit-for-bit.
+    */
+  def annIvfPq(
+      spark: SparkSession,
+      dir: String,
+      queryId: Long = 0L,
+      k: Int = 10,
+      nClusters: Int = -1,
+      nProbe: Int = -1,
+      shortlist: Int = PqShortlist
+  ): DataFrame = {
+    VectorFunctions.register(spark)
+    val (nc, np) = resolveIvfKnobs(spark, nClusters, nProbe)
+    val ivf = ivfLayoutCache(spark, dir, nc)
+    val centroids = spark.read
+      .parquet(s"$ivf/centroids.parquet")
+      .orderBy("cl")
+      .collect()
+      .map(_.getSeq[Float](1))
+    val qv = Tables.embeddings(spark, dir).where(col("vec_id") === queryId).select("embedding").head().getSeq[Float](0)
+    val probes = probeIds(qv, centroids, np)
+    val cand = spark.read
+      .parquet(s"$ivf/vectors.parquet")
+      .where(col("cl").isin(probes: _*))
+      .select("vec_id")
+    annPqOver(spark, Tables.embeddings(spark, dir), pqLayoutCache(spark, dir), queryId, k, shortlist, Some(cand))
+  }
+
   private def annPqOver(
       spark: SparkSession,
       e: DataFrame,
       layout: String,
       queryId: Long,
       k: Int,
-      shortlist: Int
+      shortlist: Int,
+      candidates: Option[DataFrame] = None
   ): DataFrame = {
     VectorFunctions.register(spark)
-    val codes  = spark.read.parquet(s"$layout/pq.parquet")
+    val allCodes = spark.read.parquet(s"$layout/pq.parquet")
+    val codes = candidates match {
+      case Some(c) => allCodes.join(c, Seq("vec_id"), "left_semi")
+      case None    => allCodes
+    }
     val cbRows = spark.read.parquet(s"$layout/codebooks.parquet").collect()
     val cbs: Array[Array[Seq[Float]]] = {
       val m = cbRows.map(_.getInt(0)).max + 1

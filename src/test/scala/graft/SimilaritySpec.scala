@@ -157,6 +157,23 @@ class SimilaritySpec extends SparkSpec {
     assert(graft.sources.LayoutCache.drainBuildLog().isEmpty, "second s17 query must reuse the PQ layout")
   }
 
+  test("s18 IVF×PQ at full probe == plain s17: the composition loses nothing when nothing is pruned") {
+    val nc = 16
+    val full = Similarity
+      .annIvfPq(spark, sf0001, nClusters = nc, nProbe = nc)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val pq = Similarity.annPq(spark, sf0001).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(full == pq && full.nonEmpty)
+  }
+
+  test("s18 at default knobs: probed-candidate recall stays useful") {
+    val exact = Similarity.annBruteForce(spark, sf0001).collect().map(_.getLong(1)).toSet
+    val got   = Similarity.annIvfPq(spark, sf0001).collect().map(_.getLong(1)).toSet
+    assert(got.size == 10)
+    // two stacked approximations (probe recall × ADC recall): floor at half
+    assert((exact & got).size >= 5, s"IVF×PQ recall too low: ${(exact & got).size}/10")
+  }
+
   test("s17p planted twin: the five planted neighbors rank exactly through the PQ index") {
     val got = Similarity.annPqPlanted(spark, sf0001).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     // brute force over the same union is the contract (the driver oracle
