@@ -60,6 +60,7 @@ object Layouts {
     "postings_incremental" -> (() => { TextAnalysis.bm25RankIncremental(spark, dir); () }),
     "media_catalog_base" -> (() => { Multimodal.mediaDemuxIncremental(spark, dir); () }),
     "events_by_day"      -> (() => { Prep.dayPartitionedEventsCache(spark, dir); () }),
+    "events_zorder"      -> (() => { Prep.zorderEventsCache(spark, dir); () }),
     "bucketed_facts"     -> (() => { BucketedFacts.lineitemOrders(spark, dir); () }),
     "bucketed_events"    -> (() => { BucketedFacts.eventsByUser(spark, dir); () })
   )

@@ -56,6 +56,7 @@ object SparkEntry {
     "x5_approx_distinct_rollup" -> (CoreQueries.x5ApproxDistinctRollup _),
     "q3p_positional_filter_count" -> (CoreQueries.q3PositionalFilterCount _),
     "p1_partitioned_time_count"   -> (CoreQueries.p1PartitionedTimeCount _),
+    "z1_zorder_range"             -> (CoreQueries.z1ZorderRange _),
     "q19_cube"     -> (CoreQueries.q19Cube _),
     "q21_part_brand_revenue" -> (CoreQueries.q21PartBrandRevenue _),
     "q20_pivot"    -> (CoreQueries.q20Pivot _),
@@ -253,6 +254,8 @@ object SparkEntry {
     // round 10: substring search over the MAINTAINED (base+delta) trigram
     // index — exact maintenance, t8's contract and oracle verbatim
     "t10_substring_incremental" -> ((s: SparkSession, d: String) => TextAnalysis.substringSearchIncremental(s, d)),
+    "t11_ql_rank" -> ((s: SparkSession, d: String) => TextAnalysis.qlRank(s, d)),
+    "g2_dup_pagerank" -> ((s: SparkSession, d: String) => Dedup.dupPagerank(s, d)),
     // round 10: product quantization — the 8-byte-code rung of the
     // quantization ladder (s8 = SQ8). No oracle: ADC reconstruction error
     // is data-dependent and CAN reorder near-tied background vectors
@@ -282,6 +285,12 @@ object SparkEntry {
       "SELECT COUNT(*) AS cnt FROM events WHERE event_type = 'error'",
     "p1_partitioned_time_count" ->
       "SELECT COUNT(*) AS cnt FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'",
+    "z1_zorder_range" ->
+      ("SELECT event_type, COUNT(*) AS cnt, " +
+        "SUM(CAST(round(value * 1000000.0) AS BIGINT)) AS value_e6 " +
+        "FROM events WHERE user_id BETWEEN 40 AND 90 " +
+        "AND ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-17 00:00:00' " +
+        "GROUP BY event_type ORDER BY event_type"),
     "q4_min_max" ->
       "SELECT MIN(ts) AS min_ts, MAX(ts) AS max_ts FROM events",
     "q5_max_by" ->
@@ -392,6 +401,7 @@ object SparkEntry {
       ("SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS nfp " +
         "FROM documents ORDER BY doc_id"),
     "n1_ngram_jaccard_pairs" -> ngramJaccardOracle,
+    "g2_dup_pagerank" -> dupPagerankOracle,
     // MinHash-LSH candidates are exact-verified, and at this corpus's
     // similarity levels (planted pairs ≥0.95, next natural pair ≤0.14)
     // P(candidate miss) < 1e-10 — the exact-Jaccard SQL is its oracle.
@@ -1001,6 +1011,10 @@ object SparkEntry {
     // t9: MaxScore pruning is SAFE (upper-bound argument + quantization
     // margin), so the ranking contract — and t4's oracle — hold verbatim
     "t9_bm25_pruned" -> bm25Oracle,
+    // t11: the Dirichlet QL decomposition replayed with the engine's own
+    // shared expression strings (QlContribSql / qlLenSql) — the t4 parity
+    // argument verbatim (integer-exact tf/cf/ctot, ln under 1e-6 quantization)
+    "t11_ql_rank" -> qlOracle,
     "dq4_modality_coverage" ->
       ("SELECT (SELECT COUNT(*) FROM documents) AS n_docs, " +
         "(SELECT COUNT(*) FROM embeddings) AS n_vecs, " +
@@ -1394,6 +1408,20 @@ object SparkEntry {
     * DuckDB's own tokenize; the ranking key is the 1e-6-quantized score, so
     * the ≤ulp cross-engine ln() difference cannot flip a rank.
     */
+  private val qlOracle: String = {
+    val terms = TextAnalysis.KeywordTerms.distinct
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    ("WITH tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl, " +
+      "UNNEST(string_split(text, ' ')) AS token FROM documents), " +
+      s"tf AS (SELECT doc_id, dl, token, COUNT(*) AS tf FROM tok WHERE token IN ($inList) GROUP BY doc_id, dl, token), " +
+      "d AS (SELECT *, SUM(tf) OVER (PARTITION BY token) AS cf FROM tf), " +
+      "st AS (SELECT SUM(len(string_split(text, ' '))) AS ctot FROM documents), " +
+      s"sc AS (SELECT doc_id, dl, SUM(${TextAnalysis.QlContribSql}) AS msum FROM d, st GROUP BY doc_id, dl), " +
+      s"q AS (SELECT doc_id, CAST(round((msum + ${TextAnalysis.qlLenSql(terms.length)}) * 1000000.0) AS BIGINT) AS qs FROM sc) " +
+      "SELECT CAST(row_number() OVER (ORDER BY qs DESC, doc_id) AS BIGINT) AS rnk, doc_id FROM q " +
+      "ORDER BY qs DESC, doc_id LIMIT 20")
+  }
+
   private val bm25Oracle: String = {
     val terms = TextAnalysis.KeywordTerms.distinct.map(t => s"'$t'").mkString(", ")
     ("WITH tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl, " +
@@ -1475,6 +1503,35 @@ object SparkEntry {
       "edges AS (SELECT da AS s, db AS d FROM good UNION SELECT db, da FROM good), " +
       "reach(id, r) AS (SELECT DISTINCT s, s FROM edges " +
       "UNION SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id) "
+
+  // g2: the engine's integer fixed-point recurrence replayed literally —
+  // every step is BIGINT division/addition, so there is no float to drift
+  // and the 3-iteration ranks are bit-equal by construction. The pair graph
+  // is the same exact-Jaccard derivation n1/n2 are checked against.
+  private val dupPagerankOracle: String = {
+    val S = "1000000000000"
+    val T = "150000000000"
+    val prefix =
+      "WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s " +
+        "FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)), " +
+        "cnt AS (SELECT doc_id, count(*) c FROM sh GROUP BY doc_id), " +
+        "p AS (SELECT a.doc_id da, b.doc_id db, count(*) inter FROM sh a " +
+        "JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY da, db), " +
+        "good AS (SELECT da, db FROM p JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id " +
+        "WHERE 5 * inter >= 4 * (ca.c + cb.c - inter)), " +
+        "edges AS (SELECT da AS s, db AS d FROM good UNION ALL SELECT db, da FROM good), " +
+        "deg AS (SELECT s, COUNT(*) AS dg FROM edges GROUP BY s), " +
+        "nn AS (SELECT COUNT(*) AS n FROM deg), " +
+        s"r0 AS (SELECT deg.s, deg.dg, $S // nn.n AS r FROM deg CROSS JOIN nn)"
+    val iterations = (1 to 3).map { i =>
+      s"c$i AS (SELECT e.d, SUM((r.r * 85) // (100 * r.dg)) AS cs " +
+        s"FROM r${i - 1} r JOIN edges e ON r.s = e.s GROUP BY e.d), " +
+        s"r$i AS (SELECT deg.s, deg.dg, $T // nn.n + c$i.cs AS r " +
+        s"FROM deg CROSS JOIN nn JOIN c$i ON c$i.d = deg.s)"
+    }.mkString(", ")
+    s"$prefix, $iterations SELECT s AS doc_id, CAST(r AS BIGINT) AS pr FROM r3 ORDER BY doc_id"
+  }
 
   private val ngramJaccardOracle: String =
     "WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +

@@ -491,6 +491,38 @@ object CoreQueries {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Z1 — rectangle scan over the z-ordered events layout
+    * ([[Prep.zorderEventsCache]]): a user-cohort × time-window predicate,
+    * the 2-dim filter shape neither a time partition nor a user sort can
+    * serve alone. Both predicates are on plain stored columns, so they push
+    * into the parquet scan (PlanShapeSpec pins `PushedFilters` carries
+    * both), and the Morton clustering makes each row group's user_id AND ts
+    * min/max tight — at 100 TB the scan touches only row groups whose
+    * (user, time) square intersects the query rectangle. Results are
+    * layout-independent (same rows, different physical order), so the
+    * DuckDB oracle runs the identical predicate on the unclustered table.
+    * `value` aggregates under the e6-quantized-long contract.
+    */
+  def z1ZorderRange(spark: SparkSession, dir: String): DataFrame = {
+    val layout = Prep.zorderEventsCache(spark, dir)
+    spark.read
+      .parquet(layout)
+      .where(
+        col("user_id").between(lit(40), lit(90)) &&
+          col("ts") >= expr("timestamp_ntz'2024-01-08 00:00:00'") &&
+          col("ts") < expr("timestamp_ntz'2024-01-17 00:00:00'")
+      )
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("cnt"),
+        // per-row e6 quantization BEFORE the sum: integer addition is
+        // order-independent, so the hash compare is immune to the layout's
+        // different physical row order (a float sum would drift in the ulps)
+        sum(round(col("value") * 1000000).cast("long")).as("value_e6")
+      )
+      .orderBy("event_type")
+  }
+
   /** Q21 — part-dimension revenue: lineitem ⋈ part, discounted revenue per
     * brand (completes table coverage — every table the engine serves now has
     * a registered query). `part` is a mid-size dimension: explicitly

@@ -1135,6 +1135,55 @@ object Dedup {
     spark.read.parquet(s"$layout/clusters.parquet").orderBy("cluster_id", "doc_id")
   }
 
+  /** G2 — fixed-point PageRank over the near-duplicate pair graph: which
+    * documents are the HUBS of duplicated content (template pages, shared
+    * boilerplate anchors) rather than merely members of some cluster. Three
+    * power-method iterations with damping 0.85 over the symmetrized
+    * verified-pair graph (the n2 production rung, whose pair set is itself
+    * oracle-checked), initialized uniform.
+    *
+    * ALL arithmetic is 1e-12 fixed-point BIGINT: r₀ = S div N, per-edge
+    * contribution (r·85) div (100·deg), teleport (0.15·S) div N — integer
+    * division at every step, so the result is bit-identical regardless of
+    * summation order or engine (the e4-decimal rule applied to an iterative
+    * computation; a float PageRank would drift in the ulps across engines
+    * and across partitionings of the same engine). That makes an ITERATIVE
+    * GRAPH computation fully DuckDB-oracle-checkable.
+    *
+    * Scale shape: the loop unrolls into a static `iters`-deep join chain —
+    * the standard Pregel-as-joins form. Each iteration shuffles the edge
+    * table once on src and once on dst (both bounded by the verified pair
+    * set, which is collision-bounded — never all-pairs), and the node frame
+    * rides along at one row per paired document. No driver-side state: N is
+    * a broadcast 1-row aggregate, and iteration count is fixed (rank
+    * diagnosis, not convergence detection — the same contract as n13's
+    * fixed census depth).
+    */
+  def dupPagerank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val S = 1000000000000L // 1e12 fixed-point scale
+    val T = 150000000000L  // 0.15 * S: total teleport mass per node share
+    val pairs = minhashLshPairs(spark, dir).select("doc_a", "doc_b")
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg   = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = deg.crossJoin(broadcast(deg.agg(count(lit(1)).as("n"))))
+    var ranks = nodes.withColumn("r", expr(s"${S}L div n")) // (src, deg, n, r)
+    for (_ <- 1 to iters) {
+      val contrib = ranks
+        .withColumn("c", expr("(r * 85L) div (100L * deg)"))
+        .select(col("src"), col("c"))
+        .join(edges, "src")
+        .groupBy(col("dst"))
+        .agg(sum("c").as("in_sum"))
+      // symmetric graph: every node has in-degree = deg ≥ 1, so inner join
+      ranks = nodes
+        .join(contrib, nodes("src") === contrib("dst"))
+        .select(nodes("src"), nodes("deg"), nodes("n"), (expr(s"${T}L div n") + col("in_sum")).as("r"))
+    }
+    ranks.select(col("src").as("doc_id"), col("r").as("pr")).orderBy("doc_id")
+  }
+
   /** N9 — the deduplicated corpus as a listing: one row per KEPT document
     * `(doc_id, cluster_size)` — the min-id representative of every near-dup
     * cluster (size = members it stands for) plus every untouched document

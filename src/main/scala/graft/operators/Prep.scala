@@ -87,6 +87,43 @@ object Prep {
     }
   }
 
+  /** Scheme version for the z-ordered layout, folded into its cache key. */
+  private[graft] val ZOrderSchemeVersion = 1
+
+  /** Z-ordered (Morton-clustered) copy of `inDir`'s events table on
+    * (user_id, event time) — the layout answer when the workload filters on
+    * TWO independent dimensions at once (a user-cohort × time-window
+    * rectangle). The day-partitioned layout ([[dayPartitionedEventsCache]])
+    * serves pure time ranges with directory pruning but scatters any given
+    * user across every day; a user_id sort would do the reverse. The Morton
+    * curve bounds each row group to a small (user, time) square so BOTH
+    * columns' row-group min/max stay tight and a conjunctive rectangle
+    * predicate skips most of the file (PhysicalLayoutSpec measures the
+    * skip on all three layouts; see `sources/ZOrder.scala`).
+    *
+    * The copy carries `ts_us` (epoch µs long — [[graft.sources.Tables
+    * .tsMicrosCol]], the single µs definition) purely as the curve's y
+    * coordinate; queries keep filtering the plain `ts`/`user_id` columns,
+    * which are monotone in the curve coordinates, so their min/max are
+    * exactly as tight as the quantized keys'. At 100 TB the build is one
+    * range shuffle amortized across every future rectangle scan — same
+    * cost class as any sorted ingest layout.
+    */
+  def zorderEventsCache(spark: SparkSession, inDir: String): String = {
+    val key = graft.sources.LayoutCache.contentKey(
+      spark,
+      s"$inDir/events.parquet",
+      s"zorder-v$ZOrderSchemeVersion"
+    )
+    graft.sources.LayoutCache.getOrBuild(spark, "graft_events_zorder", key, markSuccess = false) { out =>
+      val events = graft.sources.Tables.events(spark, inDir)
+      val withUs = events.withColumn("ts_us", graft.sources.Tables.tsMicrosCol(events))
+      // 16 files ≈ one per 2 cores locally; at cluster scale nFiles tracks
+      // input bytes / target file size like compact() does.
+      graft.sources.ZOrder.zorderWrite(withUs, "user_id", "ts_us", out, nFiles = 16)
+    }
+  }
+
   /** O9 passthrough mode — the reference's behavior when `BlobSizeTarget` is
     * unset: each `.csv.gz` blob converts 1:1 to one output Parquet part
     * named by suffix strip (`DataPreparationOrchestration.cs:101-110`).

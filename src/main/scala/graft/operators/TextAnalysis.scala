@@ -1188,6 +1188,83 @@ object TextAnalysis {
     * that makes trigram maintenance trivial where postings maintenance
     * needed query-time df.
     */
+  /** Dirichlet smoothing mass for [[qlRank]] — a decimal literal so both
+    * engines' parsers bind the identical double (the [[Bm25ContribSql]]
+    * constant discipline).
+    */
+  val QlMu = 1000.0
+
+  /** Per-matched-term query-likelihood contribution as ONE SQL expression
+    * string shared verbatim by the Spark plan and the DuckDB oracle (the
+    * [[Bm25ContribSql]] cross-engine parity argument: integer-exact inputs
+    * — `tf`, `cf`, `ctot` — identical tree shape, the single `ln` absorbed
+    * by 1e-6 quantization). This is the matched-term half of the standard
+    * Dirichlet decomposition; the doc-length half lives in [[QlLenSql]].
+    */
+  val QlContribSql: String =
+    "ln(1.0 + tf * ctot / (1000.0 * cf))"
+
+  /** Doc-length half of the Dirichlet score: `-|q| * ln(dl + µ)`, with the
+    * query-term count interpolated as an integer literal. The doc-
+    * independent `Σ_t ln(µ·cf_t/ctot)` constant is DROPPED in both engines
+    * (it shifts every candidate's score equally, so the ranking contract —
+    * the only output — is unchanged, and parity holds because both engines
+    * drop it).
+    */
+  def qlLenSql(nTerms: Int): String =
+    s"-$nTerms.0 * ln(dl + 1000.0)"
+
+  /** T11 — Dirichlet-smoothed query-likelihood ranking, the second classic
+    * probabilistic ranker alongside BM25 (t4): score(d) =
+    * Σ_{t∈q} ln((tf + µ·cf_t/ctot) / (dl + µ)), decomposed as
+    * Σ_{matched} ln(1 + tf·ctot/(µ·cf)) − |q|·ln(dl + µ) plus a dropped
+    * doc-independent constant, so only MATCHED posting rows are scored —
+    * the same candidates-with-≥1-term discipline as the whole t-family.
+    *
+    * Plan shape is t4's single-tokenize pass: dl rides alongside the
+    * filtered explode; `cf` (collection term frequency) is a window sum
+    * over the tf frame exactly where t4's `df` is a window count; `ctot`
+    * (total corpus tokens) is a 1-row broadcast column-pruned to `text`.
+    * At 100 TB the cost profile is identical to t4 — one corpus scan, a
+    * per-token shuffle bounded by query-term postings, a broadcast stat —
+    * and the indexed/incremental variants (t6/t7) would serve it from the
+    * same postings layout since (tf, dl, cf, ctot) are all derivable from
+    * posting rows. Output is the quantized-rank contract (rnk, doc_id).
+    */
+  def qlRank(spark: SparkSession, dir: String, terms: Seq[String] = KeywordTerms, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ts = terms.distinct
+    require(ts.nonEmpty && ts.forall(t => t.nonEmpty && !t.contains("'") && !t.contains(" ")), s"terms must be non-empty, quote-free, space-free: $ts")
+    val docs   = Tables.documents(spark, dir)
+    val inList = ts.map(t => s"'$t'").mkString(", ")
+    val tf = docs
+      .select(col("doc_id"), toks.as("tk"))
+      .select(
+        col("doc_id"),
+        size(col("tk")).as("dl"),
+        explode(expr(s"filter(tk, t -> t IN ($inList))")).as("token")
+      )
+      .groupBy("doc_id", "dl", "token")
+      .agg(count(lit(1)).as("tf"))
+    // ctot uses the raw split length (dl's own definition) so the collection
+    // model and the per-doc lengths count the same token universe
+    val stats = docs.agg(sum(size(toks)).as("ctot"))
+    tf.withColumn("cf", sum(col("tf")).over(Window.partitionBy("token")))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib", expr(QlContribSql))
+      .groupBy("doc_id", "dl")
+      .agg(sum("contrib").as("msum"))
+      .withColumn("score", col("msum") + expr(qlLenSql(ts.length)))
+      .withColumn("qs", expr("CAST(round(score * 1000000.0) AS BIGINT)"))
+      .orderBy(col("qs").desc, col("doc_id"))
+      .limit(k)
+      .select(
+        row_number().over(Window.orderBy(col("qs").desc, col("doc_id"))).cast("long").as("rnk"),
+        col("doc_id")
+      )
+      .orderBy("rnk")
+  }
+
   private[graft] def trigramSegment(docs: DataFrame): DataFrame =
     docs
       .where(length(col("text")) >= 3)
