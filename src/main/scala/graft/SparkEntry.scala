@@ -287,7 +287,7 @@ object SparkEntry {
       "SELECT COUNT(*) AS cnt FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'",
     "z1_zorder_range" ->
       ("SELECT event_type, COUNT(*) AS cnt, " +
-        "SUM(CAST(round(value * 1000000.0) AS BIGINT)) AS value_e6 " +
+        "CAST(SUM(CAST(round(value * 1000000.0) AS BIGINT)) AS BIGINT) AS value_e6 " +
         "FROM events WHERE user_id BETWEEN 40 AND 90 " +
         "AND ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-17 00:00:00' " +
         "GROUP BY event_type ORDER BY event_type"),
@@ -1177,7 +1177,7 @@ object SparkEntry {
     // is a total order so the LIMIT cut is deterministic in both engines.
     "q33_large_orders" ->
       ("SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date, total_qty " +
-        "FROM (SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS total_qty " +
+        "FROM (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty " +
         "FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS BIGINT)) > 250) t " +
         "JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey " +
         "ORDER BY total_qty DESC, o_orderkey LIMIT 100"),
@@ -1524,13 +1524,14 @@ object SparkEntry {
         "deg AS (SELECT s, COUNT(*) AS dg FROM edges GROUP BY s), " +
         "nn AS (SELECT COUNT(*) AS n FROM deg), " +
         s"r0 AS (SELECT deg.s, deg.dg, $S // nn.n AS r FROM deg CROSS JOIN nn)"
-    val iterations = (1 to 3).map { i =>
+    val nIters = Dedup.DupPagerankIters
+    val iterations = (1 to nIters).map { i =>
       s"c$i AS (SELECT e.d, SUM((r.r * 85) // (100 * r.dg)) AS cs " +
         s"FROM r${i - 1} r JOIN edges e ON r.s = e.s GROUP BY e.d), " +
         s"r$i AS (SELECT deg.s, deg.dg, $T // nn.n + c$i.cs AS r " +
         s"FROM deg CROSS JOIN nn JOIN c$i ON c$i.d = deg.s)"
     }.mkString(", ")
-    s"$prefix, $iterations SELECT s AS doc_id, CAST(r AS BIGINT) AS pr FROM r3 ORDER BY doc_id"
+    s"$prefix, $iterations SELECT s AS doc_id, CAST(r AS BIGINT) AS pr FROM r$nIters ORDER BY doc_id"
   }
 
   private val ngramJaccardOracle: String =

@@ -1159,7 +1159,14 @@ object Dedup {
     * diagnosis, not convergence detection — the same contract as n13's
     * fixed census depth).
     */
-  def dupPagerank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+  /** Iteration depth shared by [[dupPagerank]] and the registered DuckDB
+    * oracle (`SparkEntry.dupPagerankOracle` unrolls exactly this many CTE
+    * steps from the same constant) — the two stay in lock-step by
+    * construction rather than by convention.
+    */
+  val DupPagerankIters: Int = 3
+
+  def dupPagerank(spark: SparkSession, dir: String, iters: Int = DupPagerankIters): DataFrame = {
     val S = 1000000000000L // 1e12 fixed-point scale
     val T = 150000000000L  // 0.15 * S: total teleport mass per node share
     val pairs = minhashLshPairs(spark, dir).select("doc_a", "doc_b")

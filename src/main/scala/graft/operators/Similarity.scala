@@ -689,7 +689,9 @@ object Similarity {
   /** IVF layout over corpus ∪ the ANN planted fixture — [[ivfLayoutCache]]'s
     * build keyed on BOTH contents (the n4p layout-key pattern), so neither a
     * regenerated corpus nor a regenerated fixture can hit a stale layout.
-    * No q8 column: the planted twin has no quantized reader.
+    * Carries the stored `q8` column like the production layout, so the
+    * quantized planted twin (s9p) coarse-scans the same bytes-per-vector
+    * shape s9 does.
     */
   private[operators] def ivfPlantedLayoutCache(spark: SparkSession, dir: String, nClusters: Int): String = {
     val fx    = annPlantFixture(spark)
@@ -697,12 +699,12 @@ object Similarity {
     val key = graft.sources.LayoutCache.contentKey(
       spark,
       s"$dir/embeddings.parquet",
-      s"ivfp-v$IvfSchemeVersion#$nClusters#$fxKey"
+      s"ivfp-v$IvfSchemeVersion-q8#$nClusters#$fxKey"
     )
     graft.sources.LayoutCache.getOrBuild(spark, "graft_ivfp", key) { out =>
       val e       = Tables.embeddings(spark, dir).unionByName(spark.read.parquet(fx))
       val refined = refinedCentroids(e, nClusters)
-      writeIvfSegment(e, refined, out, withQ8 = false)
+      writeIvfSegment(e, refined, out, withQ8 = true)
       writeCentroids(spark, refined, out)
     }
   }
@@ -749,6 +751,300 @@ object Similarity {
         .select(col("vec_id"), call_function("cosine_sim", col("embedding"), typedLit(qv)).as("cos")),
       k
     )
+  }
+
+  /** S4P — [[annIvf]] (inline quantizer + probe search) over corpus ∪ the
+    * planted fixture, query = the planted id, k = 5: the five graded
+    * neighbors sit a cosine decade above any background pair, so they land
+    * in the query's own cluster neighborhood and the probe set must surface
+    * all five in exact brute-force order — a full positive-match oracle
+    * through the REAL index path (plain s4 stays no-oracle because
+    * background candidates' survival is cluster-assignment-dependent).
+    */
+  def annIvfPlanted(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 5,
+      nClusters: Int = -1, // -1 = the graft.ann.nclusters session knob (16 unset)
+      nProbe: Int = -1     // -1 = the graft.ann.nprobe session knob (4 unset)
+  ): DataFrame = {
+    VectorFunctions.register(spark)
+    val (nc, np) = resolveIvfKnobs(spark, nClusters, nProbe)
+    val e = Tables
+      .embeddings(spark, dir)
+      .select("vec_id", "embedding")
+      .unionByName(spark.read.parquet(annPlantFixture(spark)).select("vec_id", "embedding"))
+    val refined = refinedCentroids(e, nc)
+    val qv      = e.where(col("vec_id") === PlantedQueryId).select("embedding").head().getSeq[Float](0)
+    val probes  = probeIds(qv, refined, np)
+    rankTopK(
+      e.withColumn("cl", assignCol(refined))
+        .where(col("cl").isin(probes: _*) && col("vec_id") =!= PlantedQueryId)
+        .select(col("vec_id"), call_function("cosine_sim", col("embedding"), typedLit(qv)).as("cos")),
+      k
+    )
+  }
+
+  /** S6P — [[annIvfPartitioned]] over the persisted planted layout
+    * ([[ivfPlantedLayoutCache]]): the probe search reads ONLY the probed
+    * `cl=` directories, and the hash-checked answer (the five planted
+    * neighbors in brute-force order) proves directory pruning did not
+    * prune away a true match — the partition-pruning rung's own
+    * positive-match oracle, not inherited from s4p's inline path.
+    */
+  def annIvfPartitionedPlanted(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 5,
+      nClusters: Int = -1, // -1 = the graft.ann.nclusters session knob (16 unset)
+      nProbe: Int = -1     // -1 = the graft.ann.nprobe session knob (4 unset)
+  ): DataFrame = {
+    VectorFunctions.register(spark)
+    val (nc, np) = resolveIvfKnobs(spark, nClusters, nProbe)
+    val layout    = ivfPlantedLayoutCache(spark, dir, nc)
+    val centroids = spark.read
+      .parquet(s"$layout/centroids.parquet")
+      .orderBy("cl")
+      .collect()
+      .map(_.getSeq[Float](1))
+    val qv = spark.read
+      .parquet(annPlantFixture(spark))
+      .where(col("vec_id") === PlantedQueryId)
+      .select("embedding")
+      .head()
+      .getSeq[Float](0)
+    val probes = probeIds(qv, centroids, np)
+    rankTopK(
+      spark.read
+        .parquet(s"$layout/vectors.parquet")
+        .where(col("cl").isin(probes: _*) && col("vec_id") =!= PlantedQueryId)
+        .select(col("vec_id"), call_function("cosine_sim", col("embedding"), typedLit(qv)).as("cos")),
+      k
+    )
+  }
+
+  /** S9P — the composed IVF×SQ8 stack ([[annIvfQuantized]]) over the
+    * planted layout: int8 coarse pass over the probed directories,
+    * float re-rank of the shortlist. The planted cosine gaps (≥ 2.6e-4
+    * after re-rank, a decade above background BEFORE it) mean the five
+    * true neighbors must survive BOTH the directory pruning and the
+    * quantized shortlist cut for the hash to match — the full production
+    * stack proven on a known positive.
+    */
+  def annIvfQuantizedPlanted(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 5,
+      nClusters: Int = -1, // -1 = the graft.ann.nclusters session knob (16 unset)
+      nProbe: Int = -1,    // -1 = the graft.ann.nprobe session knob (4 unset)
+      shortlist: Int = QuantShortlist
+  ): DataFrame = {
+    VectorFunctions.register(spark)
+    val (nc, np)  = resolveIvfKnobs(spark, nClusters, nProbe)
+    val layout    = ivfPlantedLayoutCache(spark, dir, nc)
+    val centroids = spark.read
+      .parquet(s"$layout/centroids.parquet")
+      .orderBy("cl")
+      .collect()
+      .map(_.getSeq[Float](1))
+    val qv = spark.read
+      .parquet(annPlantFixture(spark))
+      .where(col("vec_id") === PlantedQueryId)
+      .select("embedding")
+      .head()
+      .getSeq[Float](0)
+    val probes = probeIds(qv, centroids, np)
+    val qv8 = spark.read
+      .parquet(s"$layout/vectors.parquet")
+      .where(col("vec_id") === PlantedQueryId)
+      .select("q8")
+      .head()
+      .getSeq[Byte](0)
+      .map(_.toFloat)
+    val short = spark.read
+      .parquet(s"$layout/vectors.parquet")
+      .where(col("cl").isin(probes: _*) && col("vec_id") =!= PlantedQueryId)
+      .select(
+        col("vec_id"),
+        call_function("cosine_sim", expr("cast(q8 as array<float>)"), typedLit(qv8)).as("acos")
+      )
+      .where(col("acos").isNotNull)
+      .orderBy(col("acos").desc, col("vec_id"))
+      .limit(shortlist)
+      .select("vec_id")
+    rankTopK(
+      spark.read
+        .parquet(s"$layout/vectors.parquet")
+        .where(col("cl").isin(probes: _*))
+        .join(broadcast(short), "vec_id")
+        .select(col("vec_id"), call_function("cosine_sim", col("embedding"), typedLit(qv)).as("cos")),
+      k
+    )
+  }
+
+  /** Planted DELTA segment for [[annIvfIncrementalPlanted]]: the fixture's
+    * six vectors assigned to the PRODUCTION corpus layout's frozen
+    * centroids and written as their own cluster-partitioned segment — the
+    * exact artifact a maintenance batch containing the planted vectors
+    * would produce. Keyed on corpus content, fixture content, and scheme
+    * version (the n4p layout-key pattern).
+    */
+  private[operators] def ivfPlantedDeltaLayoutCache(spark: SparkSession, dir: String, nClusters: Int): String = {
+    val fx    = annPlantFixture(spark)
+    val fxKey = graft.sources.LayoutCache.contentKey(spark, fx, "fx")
+    val key = graft.sources.LayoutCache.contentKey(
+      spark,
+      s"$dir/embeddings.parquet",
+      s"ivfpdelta-v$IvfSchemeVersion#$nClusters#$fxKey"
+    )
+    graft.sources.LayoutCache.getOrBuild(spark, "graft_ivfpdelta", key) { out =>
+      val base = ivfLayoutCache(spark, dir, nClusters)
+      val centroids = spark.read
+        .parquet(s"$base/centroids.parquet")
+        .orderBy("cl")
+        .collect()
+        .map(_.getSeq[Float](1))
+      writeIvfSegment(
+        spark.read.parquet(fx).select("vec_id", "embedding"),
+        centroids, out, withQ8 = false
+      )
+      writeCentroids(spark, centroids, out)
+    }
+  }
+
+  /** S12P — the incremental rung's planted twin, and the sharpest test in
+    * the family: the base is the UNMODIFIED production corpus layout
+    * ([[ivfLayoutCache]]) and every planted vector — query AND all five
+    * true neighbors — arrives exclusively through the delta segment
+    * ([[ivfPlantedDeltaLayoutCache]], fixture assigned to the frozen
+    * corpus centroids). The oracle answer is the five planted neighbors,
+    * so a maintenance path that lost, duplicated, or mis-assigned batch
+    * vectors could not hash-match: the query proves NEW vectors become
+    * findable through the maintained index, not merely that old ones
+    * stay findable (s12 stays no-oracle for the same background-survival
+    * reason as s4).
+    */
+  def annIvfIncrementalPlanted(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 5,
+      nClusters: Int = -1, // -1 = the graft.ann.nclusters session knob (16 unset)
+      nProbe: Int = -1     // -1 = the graft.ann.nprobe session knob (4 unset)
+  ): DataFrame = {
+    VectorFunctions.register(spark)
+    val (nc, np) = resolveIvfKnobs(spark, nClusters, nProbe)
+    val base  = ivfLayoutCache(spark, dir, nc)
+    val delta = ivfPlantedDeltaLayoutCache(spark, dir, nc)
+    val centroids = spark.read
+      .parquet(s"$base/centroids.parquet")
+      .orderBy("cl")
+      .collect()
+      .map(_.getSeq[Float](1))
+    val qv = spark.read
+      .parquet(annPlantFixture(spark))
+      .where(col("vec_id") === PlantedQueryId)
+      .select("embedding")
+      .head()
+      .getSeq[Float](0)
+    val probes = probeIds(qv, centroids, np)
+    val segs = spark.read
+      .parquet(s"$base/vectors.parquet")
+      .select("vec_id", "embedding", "cl")
+      .unionByName(
+        spark.read.parquet(s"$delta/vectors.parquet").select("vec_id", "embedding", "cl")
+      )
+    rankTopK(
+      segs
+        .where(col("cl").isin(probes: _*) && col("vec_id") =!= PlantedQueryId)
+        .select(col("vec_id"), call_function("cosine_sim", col("embedding"), typedLit(qv)).as("cos")),
+      k
+    )
+  }
+
+  /** S14P — [[knnJoinIvf]] over the planted layout, output restricted to
+    * the six planted QUERY rows: each planted vector's true top-3 are
+    * other planted vectors (mutual cosines a decade above background), so
+    * the per-vector probe join must both find them (they live in the
+    * query vector's own cluster neighborhood) and rank them in exact
+    * order. This oracles the kNN-GRAPH path — per-row probe assignment,
+    * the cl-key join, the TopK aggregate — which the single-query twins
+    * never execute (plain s14 stays no-oracle: background queries' kth
+    * neighbor may sit in an unprobed cluster).
+    */
+  def knnJoinIvfPlanted(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 3,
+      nClusters: Int = -1, // -1 = the graft.ann.nclusters session knob (16 unset)
+      nProbe: Int = -1     // -1 = the graft.ann.nprobe session knob (4 unset)
+  ): DataFrame = {
+    VectorFunctions.register(spark)
+    val (nc, np) = resolveIvfKnobs(spark, nClusters, nProbe)
+    val layout   = ivfPlantedLayoutCache(spark, dir, nc)
+    val centroids = spark.read
+      .parquet(s"$layout/centroids.parquet")
+      .orderBy("cl")
+      .collect()
+      .map(_.getSeq[Float](1))
+    val v = spark.read
+      .parquet(s"$layout/vectors.parquet")
+      .select(col("cl"), col("vec_id"), col("embedding"))
+    // the planted-query restriction lands BEFORE the probe join, so the
+    // scored relation is 6 query rows × their probed clusters, not the
+    // whole corpus's kNN graph
+    val queries = v
+      .where(col("vec_id") >= PlantedQueryId)
+      .select(col("vec_id"), col("embedding"), explode(probeIdsCol(centroids, np)).as("cl"))
+    val nbrs = v.select(col("cl"), col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb"))
+    val scored = queries
+      .join(nbrs, "cl")
+      .where(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"), expr("cosine_sim(embedding, nbr_emb)").as("cos"))
+      .where(col("cos").isNotNull)
+    val topk = graft.functions.TopK.topKIds(k)
+    scored
+      .groupBy("vec_id")
+      .agg(topk(col("nbr_id"), col("cos")).as("ids"))
+      .select(col("vec_id"), posexplode(col("ids")).as(Seq("pos", "nbr_id")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rnk"), col("nbr_id"))
+      .orderBy("vec_id", "rnk")
+  }
+
+  /** S18P — the composed IVF×PQ stack ([[annIvfPq]]) on the planted
+    * union: directory pruning on [[ivfPlantedLayoutCache]] picks the
+    * candidates, the 8-byte ADC pass scores them off
+    * [[pqPlantedLayoutCache]]'s code table, and the float re-rank orders
+    * the shortlist. Hash-green means the five planted neighbors survived
+    * ALL THREE stages — probe, code-table cut, re-rank — closing the
+    * planted matrix over every composed rung.
+    */
+  def annIvfPqPlanted(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 5,
+      nClusters: Int = -1,
+      nProbe: Int = -1,
+      shortlist: Int = PqShortlist
+  ): DataFrame = {
+    VectorFunctions.register(spark)
+    val (nc, np) = resolveIvfKnobs(spark, nClusters, nProbe)
+    val ivf = ivfPlantedLayoutCache(spark, dir, nc)
+    val centroids = spark.read
+      .parquet(s"$ivf/centroids.parquet")
+      .orderBy("cl")
+      .collect()
+      .map(_.getSeq[Float](1))
+    val e = Tables
+      .embeddings(spark, dir)
+      .select("vec_id", "embedding")
+      .unionByName(spark.read.parquet(annPlantFixture(spark)).select("vec_id", "embedding"))
+    val qv     = e.where(col("vec_id") === PlantedQueryId).select("embedding").head().getSeq[Float](0)
+    val probes = probeIds(qv, centroids, np)
+    val cand = spark.read
+      .parquet(s"$ivf/vectors.parquet")
+      .where(col("cl").isin(probes: _*))
+      .select("vec_id")
+    annPqOver(spark, e, pqPlantedLayoutCache(spark, dir), PlantedQueryId, k, shortlist, Some(cand))
   }
 
   /** Shortlist size for [[annQuantized]] — measured headroom: the exact

@@ -1198,11 +1198,16 @@ object TextAnalysis {
     * string shared verbatim by the Spark plan and the DuckDB oracle (the
     * [[Bm25ContribSql]] cross-engine parity argument: integer-exact inputs
     * — `tf`, `cf`, `ctot` — identical tree shape, the single `ln` absorbed
-    * by 1e-6 quantization). This is the matched-term half of the standard
-    * Dirichlet decomposition; the doc-length half lives in [[QlLenSql]].
+    * by 1e-6 quantization). `tf` is cast to DOUBLE before the multiply so
+    * `tf * ctot` never runs as BIGINT×BIGINT: at corpus scale (ctot ~1e13
+    * tokens) a high-tf document would silently wrap Spark's int64 while
+    * DuckDB widened to HUGEINT, breaking parity undetected — the double
+    * product is the identical (and safe) tree in both engines. This is the
+    * matched-term half of the standard Dirichlet decomposition; the
+    * doc-length half lives in [[QlLenSql]].
     */
   val QlContribSql: String =
-    "ln(1.0 + tf * ctot / (1000.0 * cf))"
+    "ln(1.0 + CAST(tf AS DOUBLE) * ctot / (1000.0 * cf))"
 
   /** Doc-length half of the Dirichlet score: `-|q| * ln(dl + µ)`, with the
     * query-term count interpolated as an integer literal. The doc-

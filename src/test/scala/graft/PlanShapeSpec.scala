@@ -259,6 +259,21 @@ class PlanShapeSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("z1 pushes BOTH rectangle predicates into the z-ordered layout scan") {
+    // the z-order layout's whole value proposition is that user_id AND ts
+    // row-group stats are simultaneously tight — which only pays off if
+    // both predicates actually reach the parquet reader as pushed filters
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val plan =
+      try executedPlan(CoreQueries.z1ZorderRange(spark, sf0001))
+      finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+    for (p <- Seq(
+        "GreaterThanOrEqual(user_id,40)", "LessThanOrEqual(user_id,90)",
+        "GreaterThanOrEqual(ts,", "LessThan(ts,"
+      ))
+      assert(plan.contains(p), s"'$p' not pushed in:\n$plan")
+  }
+
   test("w3 funnel single-pass form: one events scan, event-type filter pushed, one wide exchange") {
     val plan  = executedPlan(graft.operators.Funnel.funnelStages(spark, sf0001))
     val scans = "Scan parquet".r.findAllIn(plan).size
