@@ -85,12 +85,18 @@ object SparkEntry {
     "s2p_ann_lsh_planted" -> ((s: SparkSession, d: String) => Similarity.annLshPlanted(s, d)),
     "s3_ann_batch_topk" -> ((s: SparkSession, d: String) => Similarity.annBatchTopK(s, d)),
     "s4_ann_ivf"        -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
+    "s4p_ann_ivf_planted" -> ((s: SparkSession, d: String) => Similarity.annIvfPlanted(s, d)),
     "s6_ann_ivf_partitioned" -> ((s: SparkSession, d: String) => Similarity.annIvfPartitioned(s, d)),
+    "s6p_ann_ivf_partitioned_planted" -> ((s: SparkSession, d: String) => Similarity.annIvfPartitionedPlanted(s, d)),
     "s9_ann_ivf_quantized"   -> ((s: SparkSession, d: String) => Similarity.annIvfQuantized(s, d)),
+    "s9p_ann_ivf_quantized_planted" -> ((s: SparkSession, d: String) => Similarity.annIvfQuantizedPlanted(s, d)),
     "s11_ann_ivf_filtered"   -> ((s: SparkSession, d: String) => Similarity.annIvfFiltered(s, d, label = 1)),
     "s11p_ann_ivf_filtered_planted" -> ((s: SparkSession, d: String) => Similarity.annIvfFilteredPlanted(s, d)),
+    "s12p_ann_ivf_incremental_planted" -> ((s: SparkSession, d: String) => Similarity.annIvfIncrementalPlanted(s, d)),
     "s13_knn_join"           -> ((s: SparkSession, d: String) => Similarity.knnJoin(s, d)),
     "s14_knn_join_ivf"       -> ((s: SparkSession, d: String) => Similarity.knnJoinIvf(s, d)),
+    "s14p_knn_join_ivf_planted" -> ((s: SparkSession, d: String) => Similarity.knnJoinIvfPlanted(s, d)),
+    "s18p_ann_ivf_pq_planted" -> ((s: SparkSession, d: String) => Similarity.annIvfPqPlanted(s, d)),
     "s15_mutual_knn_pairs"   -> ((s: SparkSession, d: String) => Similarity.mutualKnnPairs(s, d)),
     "s16_mutual_knn_clusters" -> ((s: SparkSession, d: String) => Similarity.mutualKnnClusters(s, d)),
     "c1_clean_corpus"   -> ((s: SparkSession, d: String) => Pipeline.cleanCorpus(s, d)),
@@ -517,25 +523,32 @@ object SparkEntry {
     // CAN reorder near-tied background vectors — s17 is no-oracle for
     // exactly that reason) cannot push them out of the shortlist, and the
     // exact re-rank restores their true order.
-    "s17p_ann_pq_planted" ->
+    "s17p_ann_pq_planted" -> plantedTop5Oracle,
+    // s2p + every s*p single-query twin: exact brute force over corpus ∪
+    // the committed annplant fixture — the oracle reads the identical file
+    // the engine unions in (the n4p pattern), so the hash-checked path
+    // proves positive approximate-index matches THROUGH each rung's real
+    // index path (LSH buckets for s2p, inline IVF for s4p, the persisted
+    // cl= layout for s6p, IVF×SQ8 for s9p, the base+delta maintained index
+    // for s12p, IVF×PQ for s18p). Rank/id contract only; planted cosine
+    // gaps ≥ 2.6e-4, three decades above float/double discrepancy.
+    "s2p_ann_lsh_planted"              -> plantedTop5Oracle,
+    "s4p_ann_ivf_planted"              -> plantedTop5Oracle,
+    "s6p_ann_ivf_partitioned_planted"  -> plantedTop5Oracle,
+    "s9p_ann_ivf_quantized_planted"    -> plantedTop5Oracle,
+    "s12p_ann_ivf_incremental_planted" -> plantedTop5Oracle,
+    "s18p_ann_ivf_pq_planted"          -> plantedTop5Oracle,
+    // s14p: the kNN-GRAPH twin — brute-force per-query top-3 restricted to
+    // the six planted query rows, each of whose true neighbors are other
+    // planted vectors (mutual cosines a decade above background), so the
+    // probe join must surface and rank them exactly.
+    "s14p_knn_join_ivf_planted" ->
       ("WITH allv AS (SELECT vec_id, embedding FROM embeddings UNION ALL " +
-        "SELECT vec_id, embedding FROM read_parquet('/root/repo/fixtures/annplant/embeddings.parquet/*.parquet')), " +
-        "q AS (SELECT embedding AS qv FROM allv WHERE vec_id = 2000000) " +
-        "SELECT rnk, vec_id FROM (SELECT row_number() OVER (ORDER BY " +
-        "list_cosine_similarity(a.embedding, q.qv) DESC, a.vec_id) AS rnk, a.vec_id " +
-        "FROM allv a, q WHERE a.vec_id <> 2000000) t WHERE rnk <= 5 ORDER BY rnk"),
-    // s2p/s11p: exact brute force over corpus ∪ the committed annplant
-    // fixture — the oracle reads the identical file the engine unions in
-    // (the n4p pattern), so the hash-checked path proves positive
-    // approximate-index matches. Rank/id contract only; planted cosine gaps
-    // ≥ 2.6e-4, three decades above float/double discrepancy.
-    "s2p_ann_lsh_planted" ->
-      ("WITH allv AS (SELECT vec_id, embedding FROM embeddings UNION ALL " +
-        "SELECT vec_id, embedding FROM read_parquet('/root/repo/fixtures/annplant/embeddings.parquet/*.parquet')), " +
-        "q AS (SELECT embedding AS qv FROM allv WHERE vec_id = 2000000) " +
-        "SELECT rnk, vec_id FROM (SELECT row_number() OVER (ORDER BY " +
-        "list_cosine_similarity(a.embedding, q.qv) DESC, a.vec_id) AS rnk, a.vec_id " +
-        "FROM allv a, q WHERE a.vec_id <> 2000000) t WHERE rnk <= 5 ORDER BY rnk"),
+        "SELECT vec_id, embedding FROM read_parquet('/root/repo/fixtures/annplant/embeddings.parquet/*.parquet')) " +
+        "SELECT vec_id, rnk, nbr_id FROM (SELECT a.vec_id, row_number() OVER " +
+        "(PARTITION BY a.vec_id ORDER BY list_cosine_similarity(b.embedding, a.embedding) DESC, b.vec_id) AS rnk, " +
+        "b.vec_id AS nbr_id FROM allv a JOIN allv b ON a.vec_id <> b.vec_id " +
+        "WHERE a.vec_id >= 2000000) t WHERE rnk <= 3 ORDER BY vec_id, rnk"),
     // s11p additionally filters label = 7 BEFORE ranking: the two closest
     // planted neighbors carry label 8, so a post-filter or unfiltered
     // engine cannot match this oracle.
@@ -1446,6 +1459,18 @@ object SparkEntry {
       "SELECT vec_id, bench_id, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, bench_id) AS rnk, " +
       "CAST(SUM(CASE WHEN c >= 0.5 THEN 1 ELSE 0 END) OVER (PARTITION BY vec_id) AS BIGINT) AS n_close " +
       "FROM s) t WHERE rnk = 1 ORDER BY vec_id"
+
+  // Exact brute-force top-5 for the planted query over corpus ∪ the
+  // committed annplant fixture — ONE string shared by every single-query
+  // planted twin (s2p/s4p/s6p/s9p/s12p/s17p/s18p): the answer contract is
+  // identical, only the engine's index path differs.
+  private val plantedTop5Oracle: String =
+    "WITH allv AS (SELECT vec_id, embedding FROM embeddings UNION ALL " +
+      "SELECT vec_id, embedding FROM read_parquet('/root/repo/fixtures/annplant/embeddings.parquet/*.parquet')), " +
+      "q AS (SELECT embedding AS qv FROM allv WHERE vec_id = 2000000) " +
+      "SELECT rnk, vec_id FROM (SELECT row_number() OVER (ORDER BY " +
+      "list_cosine_similarity(a.embedding, q.qv) DESC, a.vec_id) AS rnk, a.vec_id " +
+      "FROM allv a, q WHERE a.vec_id <> 2000000) t WHERE rnk <= 5 ORDER BY rnk"
 
   private val annTop10Oracle: String =
     "SELECT rnk, vec_id FROM (SELECT row_number() OVER (ORDER BY " +

@@ -331,6 +331,58 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq((1L, 2000003L), (2L, 2000004L), (3L, 2000005L)))
   }
 
+  test("s4p/s6p/s9p/s12p/s18p planted twins: every composed rung returns exactly the graded fixture neighbors") {
+    // one expectation, fixed by the committed fixture design (graded jitter
+    // → strictly decreasing cosines, a decade above background), met five
+    // separate ways: inline IVF, the persisted cl= layout, IVF×SQ8,
+    // the base+delta maintained index, and IVF×PQ — each must both FIND
+    // the planted neighbors through its real index path and rank them in
+    // exact brute-force order
+    val want = Seq((1L, 2000001L), (2L, 2000002L), (3L, 2000003L), (4L, 2000004L), (5L, 2000005L))
+    val rungs = Seq(
+      "s4p"  -> Similarity.annIvfPlanted(spark, sf0001),
+      "s6p"  -> Similarity.annIvfPartitionedPlanted(spark, sf0001),
+      "s9p"  -> Similarity.annIvfQuantizedPlanted(spark, sf0001),
+      "s12p" -> Similarity.annIvfIncrementalPlanted(spark, sf0001),
+      "s18p" -> Similarity.annIvfPqPlanted(spark, sf0001)
+    )
+    for ((name, df) <- rungs) {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == want, s"$name returned $got")
+    }
+  }
+
+  test("s14p planted kNN join: each planted vector's top-3 are other planted vectors, brute-force ranked") {
+    import org.apache.spark.sql.functions._
+    val got = Similarity.knnJoinIvfPlanted(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // six planted queries × k=3, no background query leaks in
+    assert(got.map(_._1).distinct.sorted == (2000000L to 2000005L), s"queries: ${got.map(_._1).distinct.toSeq}")
+    assert(got.size == 18)
+    // every ranked neighbor is itself planted (mutual cosines a decade
+    // above background make any corpus id here a probe/rank bug)
+    assert(got.forall(_._3 >= 2000000L), s"background neighbor leaked: $got")
+    // and the ranking is exact: brute-force per-query top-3 over the union
+    val e = graft.sources.Tables
+      .embeddings(spark, sf0001)
+      .select("vec_id", "embedding")
+      .unionByName(
+        spark.read.parquet("fixtures/annplant/embeddings.parquet").select("vec_id", "embedding")
+      )
+    graft.functions.VectorFunctions.register(spark)
+    val brute = e.where(col("vec_id") >= 2000000L)
+      .crossJoin(e.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb")))
+      .where(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"), expr("cosine_sim(embedding, nbr_emb)").as("cos"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id"))))
+      .where(col("rnk") <= 3)
+      .select("vec_id", "rnk", "nbr_id")
+      .orderBy("vec_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2))).toSeq
+    assert(got == brute)
+  }
+
   test("s12 incremental IVF: full probe == s1 brute force (maintenance loses and duplicates nothing)") {
     // with every cluster probed, the maintained base+delta index is
     // exhaustive — any vector dropped, duplicated, or mis-unioned during
