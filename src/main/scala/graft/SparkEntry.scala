@@ -1376,25 +1376,29 @@ object SparkEntry {
         "SELECT dpd.decile, dpd.n_docs, COALESCE(npd.n_new_tokens, 0) AS n_new_tokens, " +
         "CAST(SUM(COALESCE(npd.n_new_tokens, 0)) OVER (ORDER BY dpd.decile " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab " +
-        "FROM dpd LEFT JOIN npd ON dpd.decile = npd.first_decile ORDER BY dpd.decile")
-    // n3_simhash_pairs, s2_ann_lsh (planted twin s2p fully oracle-checked),
-    // s11_ann_ivf_filtered (planted twin s11p fully oracle-checked),
-    // s17_ann_pq (planted twin s17p fully oracle-checked; ADC error is
-    // data-dependent on near-tied background cosines),
-    // s18_ann_ivf_pq (spec-pinned ≡ s17 at full probe — the s9 ≡ s6
-    // composition argument),
-    // s4_ann_ivf, s6_ann_ivf_partitioned,
-    // s9_ann_ivf_quantized (spec-pinned ≡ s6), dq3_profile_events_approx
-    // (spec-bounded within 5% of dq1's exact profile), v1_bpe_merges
-    // (iterative — no SQL form; BpeSpec replays an independent reference
-    // implementation), v4_bpe_merges_incremental (same obstacle; BpeSpec
-    // pins it bit-equal to v1's full retrain AND to the reference replay),
-    // x3_approx_percentiles, x4_approx_top_users, x5_approx_distinct_rollup:
-    // outputs depend on engine-internal hashing / plane seeds / quantizer /
-    // sketch state — no SQL oracle; covered by DedupSpec / SimilaritySpec /
-    // CoreQueriesSpec bound checks (rows-only at the driver gate; s6
-    // additionally spec-pinned equal to s4, x4 spec-pinned exact below
-    // sketch capacity, x5 bounded per-row against exact distinct).
+        "FROM dpd LEFT JOIN npd ON dpd.decile = npd.first_decile ORDER BY dpd.decile"),
+    // v1/v2/v4/v5: the BPE induction IS oracle-checked — unrolled into
+    // fixed-depth DuckDB SQL (see bpeMergesOracle below), v4 sharing v1's
+    // string under the additive-counts bit-equality contract.
+    "v1_bpe_merges"             -> bpeMergesOracle,
+    "v4_bpe_merges_incremental" -> bpeMergesOracle,
+    "v2_bpe_token_count"        -> bpeTokenCountOracle,
+    "v5_bpe_encode"             -> bpeEncodeOracle,
+    // Still no-oracle (outputs depend on engine-internal hashing / plane
+    // seeds / quantizer / sketch state), each with a planted oracle twin
+    // or an equivalence spec:
+    // n3_simhash_pairs (twin n3p), s2_ann_lsh (twin s2p),
+    // s4_ann_ivf (twin s4p), s6_ann_ivf_partitioned (twin s6p; spec ≡ s4),
+    // s9_ann_ivf_quantized (twin s9p; spec ≡ s6),
+    // s11_ann_ivf_filtered (twin s11p),
+    // s12_ann_ivf_incremental (twin s12p; spec ≡ s1 at full probe),
+    // s14_knn_join_ivf (twin s14p; spec ≡ s13 at nClusters=1),
+    // s17_ann_pq (twin s17p; ADC error is data-dependent on near-tied
+    // background cosines), s18_ann_ivf_pq (twin s18p; spec ≡ s17 at full
+    // probe), dq3_profile_events_approx (spec-bounded within 5% of dq1's
+    // exact profile), x3_approx_percentiles, x4_approx_top_users
+    // (spec-pinned exact below sketch capacity), x5_approx_distinct_rollup
+    // (bounded per-row against exact distinct).
   )
 
   /** Shared span-window CTEs for the n7/d16 oracles. DuckDB list slice
@@ -1528,6 +1532,71 @@ object SparkEntry {
       "edges AS (SELECT da AS s, db AS d FROM good UNION SELECT db, da FROM good), " +
       "reach(id, r) AS (SELECT DISTINCT s, s FROM edges " +
       "UNION SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id) "
+
+  // v1/v2/v4/v5: the BPE induction unrolled into pure DuckDB SQL —
+  // Bpe.DefaultMerges materialized CTE rounds (the dupPagerank fixed-depth
+  // pattern applied to tokenizer training), giving the iterative v-family a
+  // TRUE cross-engine oracle. Each round recomputes the weighted adjacent-
+  // pair counts over the vocabulary and applies the argmax merge (ties by
+  // (l, r) — both engines' binary string order). The vocabulary state is a
+  // sentinel-delimited string '|c1|c2|…|' ('|' provably absent from the
+  // corpus alphabet), so the textbook greedy left-to-right non-overlapping
+  // apply step IS SQL replace(): replace('|a|a|a|', '|a|a|', '|aa|') →
+  // '|aa|a|', exactly the engine's justMerged-guarded Catalyst fold.
+  // MATERIALIZED is load-bearing: v_{i-1} is referenced twice per round, so
+  // an inlining CTE planner would otherwise expand 2^N plans.
+  private def bpeVocabCtes(n: Int): String = {
+    val prefix =
+      "WITH w AS (SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) WHERE len(w) > 0 GROUP BY w), " +
+        "v0 AS MATERIALIZED (SELECT word, freq, '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS s FROM w)"
+    val rounds = (1 to n).map { i =>
+      s"p$i AS (SELECT sy[j] AS l, sy[j+1] AS r, CAST(SUM(freq) AS BIGINT) AS cnt FROM " +
+        s"(SELECT freq, list_filter(string_split(s, '|'), x -> x <> '') AS sy FROM v${i - 1}), " +
+        s"UNNEST(range(1, len(sy))) AS t(j) GROUP BY l, r), " +
+        s"t$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1), " +
+        s"v$i AS MATERIALIZED (SELECT word, freq, " +
+        s"replace(s, '|' || t$i.l || '|' || t$i.r || '|', '|' || t$i.l || t$i.r || '|') AS s " +
+        s"FROM v${i - 1} CROSS JOIN t$i)"
+    }.mkString(", ")
+    s"$prefix, $rounds"
+  }
+
+  // v1 (and v4, whose incremental retrain is bit-identical by the additive-
+  // counts contract): the merge table itself.
+  private val bpeMergesOracle: String = {
+    val n = graft.operators.Bpe.DefaultMerges
+    val rows = (1 to n)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS merge_rank, l AS \"left\", r AS \"right\", cnt AS pair_cnt FROM t$i")
+      .mkString(" UNION ALL ")
+    s"${bpeVocabCtes(n)} SELECT * FROM ($rows) ORDER BY merge_rank"
+  }
+
+  // v2: per-document token count under the learned vocabulary — the final
+  // round's segmentation state joined back to the corpus word stream.
+  private val bpeTokenCountOracle: String = {
+    val n = graft.operators.Bpe.DefaultMerges
+    s"${bpeVocabCtes(n)}, " +
+      s"nsub AS (SELECT word, CAST(len(list_filter(string_split(s, '|'), x -> x <> '')) AS BIGINT) AS ns FROM v$n) " +
+      "SELECT doc_id, CAST(SUM(ns) AS BIGINT) AS n_bpe_tokens FROM " +
+      "(SELECT doc_id, w FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) WHERE len(w) > 0) d " +
+      "JOIN nsub ON d.w = nsub.word GROUP BY doc_id ORDER BY doc_id"
+  }
+
+  // v5: the full encode — per-document subtoken sequence in word order
+  // (string_agg ORDER BY position ≡ the engine's in-group struct sort).
+  private val bpeEncodeOracle: String = {
+    val n = graft.operators.Bpe.DefaultMerges
+    s"${bpeVocabCtes(n)}, " +
+      s"sub AS (SELECT word, replace(trim(s, '|'), '|', ' ') AS subs_txt, " +
+      s"CAST(len(list_filter(string_split(s, '|'), x -> x <> '')) AS BIGINT) AS ns FROM v$n), " +
+      "dw AS (SELECT doc_id, i AS pos, wl[i] AS w FROM " +
+      "(SELECT doc_id, string_split(text, ' ') AS wl FROM documents), UNNEST(range(1, len(wl) + 1)) AS t(i) " +
+      "WHERE len(wl[i]) > 0) " +
+      "SELECT doc_id, CAST(SUM(ns) AS BIGINT) AS n_bpe_tokens, " +
+      "string_agg(subs_txt, ' ' ORDER BY pos) AS bpe_text " +
+      "FROM dw JOIN sub ON dw.w = sub.word GROUP BY doc_id ORDER BY doc_id"
+  }
 
   // g2: the engine's integer fixed-point recurrence replayed literally —
   // every step is BIGINT division/addition, so there is no float to drift

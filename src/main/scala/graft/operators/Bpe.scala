@@ -95,9 +95,11 @@ object Bpe {
   /** V1 — the learned merge table `(merge_rank, left, right, pair_cnt)`:
     * rank-k row is the k-th most frequent adjacent pair at the time it was
     * merged (corpus-frequency-weighted), ties broken by (left, right)
-    * lexicographic order so the table is deterministic. No SQL oracle — the
-    * computation is iterative — so its gate is BpeSpec's replay against an
-    * independent reference implementation.
+    * lexicographic order so the table is deterministic. Oracle-checked:
+    * the fixed-depth induction unrolls into DuckDB SQL (one materialized
+    * CTE round per merge — `SparkEntry.bpeMergesOracle`), giving a true
+    * cross-engine differential on top of BpeSpec's replay against the
+    * independent plain-Scala reference.
     */
   /** The induction loop itself: returns the merge table AND the vocabulary
     * in its final segmented state (each word as its post-merge symbols) —
@@ -236,9 +238,10 @@ object Bpe {
     * `(pos, subs)` structs (distinct positions ⇒ the struct sort is total;
     * no ranking window, no corpus shuffle beyond the one doc_id exchange).
     * `bpe_text` joins subtokens with spaces — a deterministic, hash-friendly
-    * serialization of the sequence. No SQL oracle (the segmentation is the
-    * iterative induction's output, like v1/v2); BpeSpec replays the
-    * reference segmentation and pins v5's count column ≡ v2.
+    * serialization of the sequence. Oracle-checked via the unrolled
+    * induction SQL (`SparkEntry.bpeEncodeOracle` re-encodes the corpus from
+    * the final CTE round's segmentation state); BpeSpec additionally
+    * replays the reference segmentation and pins v5's count column ≡ v2.
     */
   def bpeEncode(spark: SparkSession, dir: String,
       numMerges: Int = -1 // -1 = the graft.bpe.merges session knob
@@ -329,9 +332,11 @@ object Bpe {
     * historical corpus is never re-tokenized: per-day cost is one batch
     * scan plus the induction over the (bounded, distinct-word-sized)
     * vocabulary frame. The same shape real tokenizer trainers use at scale
-    * (train on a word-frequency dictionary, not the raw corpus). No SQL
-    * oracle (iterative, like v1); BpeSpec pins exact equality with v1's
-    * merge table and with the plain-Scala reference.
+    * (train on a word-frequency dictionary, not the raw corpus).
+    * Oracle-checked: shares v1's unrolled-induction SQL string — the
+    * additive-counts argument above says the answers are bit-identical, so
+    * one oracle serves both; BpeSpec additionally pins exact equality with
+    * v1's merge table and with the plain-Scala reference.
     */
   def bpeMergesIncremental(spark: SparkSession, dir: String,
       numMerges: Int = -1 // -1 = the graft.bpe.merges session knob
