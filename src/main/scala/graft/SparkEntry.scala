@@ -244,6 +244,15 @@ object SparkEntry {
     "q42_trade_volume"                -> (CoreQueries.q42TradeVolume _),
     "q43_disjunctive_revenue"         -> (CoreQueries.q43DisjunctiveRevenue _),
     "q44_promo_revenue"               -> (CoreQueries.q44PromoRevenue _),
+    // round 11: the partsupp-dependent TPC-H canon over the DERIVED
+    // integer-exact partsupp (Tables.partsupp) — Q2 (min-cost supplier),
+    // Q11 (important stock), Q15 (top supplier), full Q9 (product profit),
+    // full Q20 (excess availability)
+    "q45_min_cost_supplier"           -> (CoreQueries.q45MinCostSupplier _),
+    "q46_important_stock"             -> (CoreQueries.q46ImportantStock _),
+    "q47_top_supplier"                -> (CoreQueries.q47TopSupplier _),
+    "q48_product_profit"              -> (CoreQueries.q48ProductProfit _),
+    "q49_excess_availability"         -> (CoreQueries.q49ExcessAvailability _),
     // round 10: the novelty KEEP/DROP curation gate over n15's profile
     "d28_novelty_gate"                -> (Dedup.noveltyGate _),
     // round 10: corpus novelty + cross-source overlap audit
@@ -1384,6 +1393,12 @@ object SparkEntry {
     "v4_bpe_merges_incremental" -> bpeMergesOracle,
     "v2_bpe_token_count"        -> bpeTokenCountOracle,
     "v5_bpe_encode"             -> bpeEncodeOracle,
+    // round 11: the partsupp-dependent TPC-H canon over the derived table.
+    "q45_min_cost_supplier"   -> q45Oracle,
+    "q46_important_stock"     -> q46Oracle,
+    "q47_top_supplier"        -> q47Oracle,
+    "q48_product_profit"      -> q48Oracle,
+    "q49_excess_availability" -> q49Oracle,
     // Still no-oracle (outputs depend on engine-internal hashing / plane
     // seeds / quantizer / sketch state), each with a planted oracle twin
     // or an equivalence spec:
@@ -1532,6 +1547,85 @@ object SparkEntry {
       "edges AS (SELECT da AS s, db AS d FROM good UNION SELECT db, da FROM good), " +
       "reach(id, r) AS (SELECT DISTINCT s, s FROM edges " +
       "UNION SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id) "
+
+  // The derived partsupp as a DuckDB CTE — formulas generated from the
+  // SAME constants Tables.partsupp compiles into its Columns, so the two
+  // engines derive the identical integer table (cost in cents).
+  private val partsuppCte: String = {
+    val pp = graft.sources.Tables.PartSuppPerPart
+    s"ps0 AS (SELECT p_partkey, i, (p_partkey * $pp + i) % (SELECT COUNT(*) FROM supplier) AS sk " +
+      s"FROM part, UNNEST(range(0, $pp)) AS t(i)), " +
+      "psup AS (SELECT p_partkey AS ps_partkey, sk AS ps_suppkey, " +
+      s"(p_partkey * 47 + sk * 31 + i * 7) % ${graft.sources.Tables.AvailQtyMod} + 1 AS ps_availqty, " +
+      s"(p_partkey * 13 + sk * 7 + i * 3) % ${graft.sources.Tables.CostCentsMod} + ${graft.sources.Tables.CostCentsMin} AS ps_cost_cents FROM ps0)"
+  }
+
+  // q45 (TPC-H Q2): min-cost decorrelated to aggregate-and-rejoin; the
+  // LIMIT cut is total-ordered by (acctbal, n_name, s_name, p_partkey).
+  private val q45Oracle: String =
+    s"WITH $partsuppCte, " +
+      "es AS (SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier " +
+      "JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
+      "WHERE r_name = 'EUROPE'), " +
+      "el AS (SELECT ps_partkey, ps_cost_cents, s_name, s_acctbal, n_name FROM psup " +
+      "JOIN es ON ps_suppkey = s_suppkey JOIN part ON ps_partkey = p_partkey " +
+      "WHERE p_size <= 10 AND p_type = 'STANDARD'), " +
+      "mc AS (SELECT ps_partkey, MIN(ps_cost_cents) AS m FROM el GROUP BY 1) " +
+      "SELECT CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_e2, s_name, n_name, " +
+      "el.ps_partkey AS p_partkey, ps_cost_cents AS cost_c " +
+      "FROM el JOIN mc ON el.ps_partkey = mc.ps_partkey AND el.ps_cost_cents = mc.m " +
+      "ORDER BY acctbal_e2 DESC, n_name, s_name, p_partkey LIMIT 100"
+
+  // q46 (TPC-H Q11): scale-free integer threshold `value × nparts >
+  // K × total` — never a float fraction — globals as scalar subqueries.
+  private val q46Oracle: String =
+    s"WITH $partsuppCte, " +
+      "ns AS (SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey " +
+      "WHERE n_name = 'NATION_3'), " +
+      "v AS (SELECT ps_partkey, CAST(SUM(ps_cost_cents * ps_availqty) AS BIGINT) AS stock_value_c " +
+      "FROM psup JOIN ns ON ps_suppkey = s_suppkey GROUP BY 1) " +
+      "SELECT ps_partkey, stock_value_c FROM v WHERE stock_value_c * (SELECT COUNT(*) FROM v) > " +
+      s"(SELECT CAST(SUM(stock_value_c) AS BIGINT) FROM v) * ${CoreQueries.Q46MeanMultiple} " +
+      "ORDER BY stock_value_c DESC, ps_partkey"
+
+  // q47 (TPC-H Q15): revenue view + max-equality on exact e4 BIGINTs.
+  private val q47Oracle: String =
+    "WITH rev AS (SELECT l_suppkey, " +
+      "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) * 10000 AS BIGINT) AS total_revenue_e4 " +
+      "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' " +
+      "AND l_shipdate < TIMESTAMP '1998-04-01 00:00:00' GROUP BY 1) " +
+      "SELECT s_suppkey, s_name, total_revenue_e4 FROM supplier JOIN rev ON s_suppkey = l_suppkey " +
+      "WHERE total_revenue_e4 = (SELECT MAX(total_revenue_e4) FROM rev) ORDER BY s_suppkey"
+
+  // q48 (TPC-H Q9 full): per-row exact BIGINT profit (e4 revenue minus
+  // cents×100×qty) so group sums are order-independent in both engines.
+  private val q48Oracle: String =
+    s"WITH $partsuppCte " +
+      "SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year, " +
+      "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS BIGINT) " +
+      "- ps_cost_cents * 100 * CAST(l_quantity AS BIGINT)) AS BIGINT) AS profit_e4 " +
+      "FROM lineitem JOIN psup ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey " +
+      "JOIN part ON l_partkey = p_partkey " +
+      "JOIN orders ON l_orderkey = o_orderkey " +
+      "JOIN supplier ON l_suppkey = s_suppkey " +
+      "JOIN nation ON s_nationkey = n_nationkey " +
+      "WHERE p_name LIKE '%red%' " +
+      "GROUP BY 1, 2 ORDER BY nation, o_year DESC"
+
+  // q49 (TPC-H Q20 full): the nested-IN ladder with the real availability
+  // comparison, integers throughout (2×availqty > Σqty).
+  private val q49Oracle: String =
+    s"WITH $partsuppCte, " +
+      "sh AS (SELECT l_partkey, l_suppkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty " +
+      "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' " +
+      "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' " +
+      "AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%') GROUP BY 1, 2), " +
+      "ex AS (SELECT DISTINCT ps_suppkey FROM psup JOIN sh ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey " +
+      "WHERE ps_availqty * 2 > qty) " +
+      "SELECT s_suppkey, s_name FROM supplier " +
+      "WHERE s_nationkey IN (SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey " +
+      "WHERE r_name = 'EUROPE') " +
+      "AND s_suppkey IN (SELECT ps_suppkey FROM ex) ORDER BY s_suppkey"
 
   // v1/v2/v4/v5: the BPE induction unrolled into pure DuckDB SQL —
   // Bpe.DefaultMerges materialized CTE rounds (the dupPagerank fixed-depth

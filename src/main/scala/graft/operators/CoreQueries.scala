@@ -1387,6 +1387,197 @@ object CoreQueries {
         ).as("total_e4")
       )
 
+  /** Q45 — min-cost supplier per part (TPC-H Q2 shape): for one (size,
+    * type) slice of `part`, the cheapest catalog supplier within one
+    * region, full supplier detail, top-100 by account balance. Uses the
+    * DERIVED `partsupp` ([[graft.sources.Tables.partsupp]]) — integer
+    * arithmetic end to end (cost in cents, balance e2-quantized), so the
+    * correlated-MIN subquery TPC-H writes decorrelates into an exact
+    * aggregate-and-rejoin. Scale shape: partsupp is 4 rows per part —
+    * dim-sized — so EVERYTHING here broadcasts; the only wide object in
+    * the plan is the final 100-row sort, and (s_name, p_partkey) gives
+    * the LIMIT cut a total order.
+    */
+  def q45MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val regionSuppliers = Tables
+      .supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(
+        broadcast(Tables.region(spark, dir).where(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey")
+      )
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val eligible = Tables
+      .partsupp(spark, dir)
+      .join(
+        broadcast(Tables.part(spark, dir).where(col("p_size") <= 10 && col("p_type") === "STANDARD").select("p_partkey")),
+        col("ps_partkey") === col("p_partkey"),
+        "left_semi"
+      )
+      .join(broadcast(regionSuppliers), col("ps_suppkey") === col("s_suppkey"))
+    val minCost = eligible.groupBy("ps_partkey").agg(min("ps_cost_cents").as("min_cents"))
+    eligible
+      .join(broadcast(minCost), Seq("ps_partkey"))
+      .where(col("ps_cost_cents") === col("min_cents"))
+      .select(
+        expr("cast(round(s_acctbal * 100) as bigint)").as("acctbal_e2"),
+        col("s_name"),
+        col("n_name"),
+        col("ps_partkey").as("p_partkey"),
+        col("ps_cost_cents").as("cost_c")
+      )
+      .orderBy(col("acctbal_e2").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** Q46 — important stock identification (TPC-H Q11 shape): per part, the
+    * total stock value (`cost × availqty`, integer cents) held by one
+    * nation's suppliers, keeping parts whose value exceeds
+    * [[Q46MeanMultiple]]× the nation's MEAN per-part value. TPC-H's fixed
+    * fraction is SF-coupled (it returns nothing once the catalog outgrows
+    * it); the mean-relative cut `value × nparts > K × total` is scale-free
+    * and still a pure INTEGER comparison — never a float fraction — so the
+    * cut is bit-deterministic in both engines. The global (total, count)
+    * decorrelates to a 1-row broadcast aggregate (the q37 global-scalar
+    * pattern). Scale shape: partsupp is dim-sized; this query never
+    * touches a fact table.
+    */
+  val Q46MeanMultiple = 2L
+
+  def q46ImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    val natSupp = Tables
+      .supplier(spark, dir)
+      .join(
+        broadcast(Tables.nation(spark, dir).where(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey")
+      )
+      .select("s_suppkey")
+    val values = Tables
+      .partsupp(spark, dir)
+      .join(broadcast(natSupp), col("ps_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("ps_partkey")
+      .agg(sum(col("ps_cost_cents") * col("ps_availqty")).as("stock_value_c"))
+    values
+      .crossJoin(broadcast(values.agg(sum("stock_value_c").as("total_c"), count(lit(1)).as("nparts"))))
+      .where(col("stock_value_c") * col("nparts") > col("total_c") * Q46MeanMultiple)
+      .select(col("ps_partkey"), col("stock_value_c"))
+      .orderBy(col("stock_value_c").desc, col("ps_partkey"))
+  }
+
+  /** Q47 — top supplier by quarterly revenue (TPC-H Q15 shape): the
+    * revenue view over one ship-quarter of lineitem, then the supplier(s)
+    * whose revenue EQUALS the maximum — TPC-H's correlated `= (SELECT
+    * MAX…)` as a 1-row broadcast max against the aggregated view (built
+    * once, not once per branch). Revenue is the exact e4 BIGINT, so the
+    * max-equality is never a float comparison and a genuine tie would
+    * return both rows in both engines. One lineitem scan (date-pruned),
+    * one suppkey exchange; supplier broadcasts.
+    */
+  def q47TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables
+      .lineitem(spark, dir)
+      .where(
+        col("l_shipdate") >= expr("timestamp_ntz'1998-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("timestamp_ntz'1998-04-01 00:00:00'")
+      )
+      .groupBy("l_suppkey")
+      .agg(
+        (sum(col("l_extendedprice").cast("decimal(12,2)") * (lit(1) - col("l_discount").cast("decimal(12,2)"))) * 10000)
+          .cast("long")
+          .as("total_revenue_e4")
+      )
+    rev
+      .crossJoin(broadcast(rev.agg(max("total_revenue_e4").as("max_rev"))))
+      .where(col("total_revenue_e4") === col("max_rev"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")), col("l_suppkey") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "total_revenue_e4")
+      .orderBy("s_suppkey")
+  }
+
+  /** Q48 — product type profit (TPC-H Q9, now the FULL shape): per
+    * (supplier nation, order year), profit = revenue − supply cost × qty
+    * over lineitems of one part-name family whose (part, supplier) pair
+    * exists in the derived catalog. Adaptation disclosed: the testdata's
+    * `l_suppkey` was generated independently of the derived partsupp, so
+    * the pair join keeps the catalog-consistent subset (≈ 4/|supplier| of
+    * the family's lineitems) rather than TPC-H's all-of-them — a
+    * deterministic slice both engines compute identically. Profit is a
+    * PER-ROW exact BIGINT (e4 revenue minus cents×100×qty) summed as
+    * integers, so group totals are order-independent. Scale shape: one
+    * fact scan; part/partsupp/supplier/nation all broadcast; orders joins
+    * on its key; the (nation, year) aggregate collapses map-side.
+    */
+  def q48ProductProfit(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .join(
+        broadcast(Tables.part(spark, dir).where(col("p_name").like("%red%")).select("p_partkey")),
+        col("l_partkey") === col("p_partkey"),
+        "left_semi"
+      )
+      .join(
+        broadcast(Tables.partsupp(spark, dir)),
+        col("l_partkey") === col("ps_partkey") && col("l_suppkey") === col("ps_suppkey")
+      )
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(
+        col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        (expr("cast(cast(l_extendedprice as decimal(12,2)) * (1 - cast(l_discount as decimal(12,2))) * 10000 as bigint)")
+          - col("ps_cost_cents") * 100L * col("l_quantity").cast("long")).as("amount_e4")
+      )
+      .groupBy("nation", "o_year")
+      .agg(sum("amount_e4").as("profit_e4"))
+      .orderBy(col("nation"), col("o_year").desc)
+
+  /** Q49 — excess availability (TPC-H Q20, now the FULL shape with
+    * `ps_availqty`): suppliers in one REGION (adapted from TPC-H's single
+    * nation — the smallest testdata SF has nations with zero suppliers, a
+    * region is populated at every SF) holding more than half their
+    * shipped volume of one part-name family in stock — the nested-IN
+    * ladder decorrelated exactly as [[q35ExcessShipments]] (semi joins
+    * throughout, no duplicate-inflating inner join), but with the
+    * availability comparison TPC-H actually specifies: `2 × availqty >
+    * Σ qty`, held in integers on both engines. The shipped aggregate is
+    * the only fact-table term; everything else is dim-sized.
+    */
+  def q49ExcessAvailability(spark: SparkSession, dir: String): DataFrame = {
+    val shipped = Tables
+      .lineitem(spark, dir)
+      .where(
+        col("l_shipdate") >= expr("timestamp_ntz'1997-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("timestamp_ntz'1998-01-01 00:00:00'")
+      )
+      .join(
+        broadcast(Tables.part(spark, dir).where(col("p_name").like("small%")).select("p_partkey")),
+        col("l_partkey") === col("p_partkey"),
+        "left_semi"
+      )
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("l_quantity").cast("long")).as("qty"))
+    val excess = Tables
+      .partsupp(spark, dir)
+      .join(shipped, col("ps_partkey") === col("l_partkey") && col("ps_suppkey") === col("l_suppkey"))
+      .where(col("ps_availqty") * 2L > col("qty"))
+      .select("ps_suppkey")
+      .distinct()
+    val regionNations = Tables
+      .nation(spark, dir)
+      .join(
+        broadcast(Tables.region(spark, dir).where(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey")
+      )
+      .select("n_nationkey")
+    Tables
+      .supplier(spark, dir)
+      .join(broadcast(regionNations), col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .join(excess, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+  }
+
   def q35ExcessShipments(spark: SparkSession, dir: String): DataFrame = {
     val qualified = Tables
       .lineitem(spark, dir)

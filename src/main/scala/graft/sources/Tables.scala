@@ -81,4 +81,49 @@ object Tables {
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** `partsupp` derivation constants, shared verbatim by [[partsupp]] and
+    * the DuckDB oracle CTE (`SparkEntry.partsuppCte`) — the QlContribSql
+    * one-definition discipline applied to a whole table.
+    */
+  val PartSuppPerPart  = 4     // suppliers per part (the TPC-H cardinality)
+  val AvailQtyMod      = 9999L // availqty ∈ [1, 9999]
+  val CostCentsMod     = 99901L
+  val CostCentsMin     = 100L  // supplycost ∈ [1.00, 1000.00] dollars, held in cents
+
+  /** The TPC-H `partsupp` table, DERIVED deterministically from the stored
+    * `part` and `supplier` tables (the testdata schema ships without it):
+    * each part gets [[PartSuppPerPart]] suppliers at consecutive staggered
+    * keys `(p_partkey·4 + i) mod S` — distinct for any supplier count
+    * S ≥ 4 — with availqty and supplycost as integer hash mixes of the key
+    * pair. ALL columns are integer arithmetic over BIGINT (cost lives in
+    * CENTS), so the DuckDB oracle's identical formulas reproduce the table
+    * bit-for-bit — the derived-table analogue of the e4-decimal rule, which
+    * is what lets the partsupp-dependent TPC-H canon (Q2/Q9/Q11/Q20) carry
+    * full hash oracles. Scale shape: 4 rows per part from a narrow
+    * projection of `part` (a flatMap-free explode over a 4-literal
+    * sequence), never materialized — at 100 TB it would be written once at
+    * ingest like any layout, but its generation cost is a rounding error
+    * next to one lineitem scan.
+    */
+  def partsupp(spark: SparkSession, dir: String): DataFrame = {
+    // supplier count: one tiny-table aggregate to the driver — the same
+    // C-sized coordination budget the IVF centroid reads use
+    val s = supplier(spark, dir).count()
+    part(spark, dir)
+      .select(col("p_partkey"))
+      .select(col("p_partkey"), explode(expr(s"sequence(0, ${PartSuppPerPart - 1})")).as("i0"))
+      .select(col("p_partkey"), col("i0").cast("long").as("i"))
+      .select(
+        col("p_partkey").as("ps_partkey"),
+        ((col("p_partkey") * PartSuppPerPart + col("i")) % s).as("ps_suppkey"),
+        col("i")
+      )
+      .select(
+        col("ps_partkey"),
+        col("ps_suppkey"),
+        ((col("ps_partkey") * 47L + col("ps_suppkey") * 31L + col("i") * 7L) % AvailQtyMod + 1L).as("ps_availqty"),
+        ((col("ps_partkey") * 13L + col("ps_suppkey") * 7L + col("i") * 3L) % CostCentsMod + CostCentsMin).as("ps_cost_cents")
+      )
+  }
 }

@@ -449,4 +449,140 @@ class TpchShapesSpec extends SparkSpec {
     assert(rows.forall(r => census(r.getAs[String]("src_a")) == r.getAs[Long]("n_a")))
     assert(rows.forall(r => census(r.getAs[String]("src_b")) == r.getAs[Long]("n_b")))
   }
+
+  test("partsupp: a well-formed derived catalog at every SF (PK, per-part fanout, value ranges)") {
+    for (d <- Seq(sf0001, sf001)) {
+      val ps = Tables.partsupp(spark, d).collect()
+      val s  = Tables.supplier(spark, d).count()
+      val nP = Tables.part(spark, d).count()
+      assert(ps.length == nP * Tables.PartSuppPerPart)
+      // (partkey, suppkey) is a primary key — the consecutive-stagger
+      // formula guarantees distinct suppliers per part for S ≥ 4
+      assert(ps.map(r => (r.getLong(0), r.getLong(1))).distinct.length == ps.length)
+      assert(ps.forall(r => r.getLong(1) >= 0 && r.getLong(1) < s))
+      assert(ps.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= Tables.AvailQtyMod))
+      assert(ps.forall(r =>
+        r.getLong(3) >= Tables.CostCentsMin && r.getLong(3) < Tables.CostCentsMod + Tables.CostCentsMin))
+    }
+  }
+
+  test("q45: each kept row's cost is the true regional minimum for its part, and the sort is total") {
+    val rows = CoreQueries.q45MinCostSupplier(spark, sf001).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    // independent min per part over the same eligible frame
+    val mins = Tables
+      .partsupp(spark, sf001)
+      .join(
+        Tables.part(spark, sf001).where(col("p_size") <= 10 && col("p_type") === "STANDARD").select("p_partkey"),
+        col("ps_partkey") === col("p_partkey")
+      )
+      .join(Tables.supplier(spark, sf001), col("ps_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(spark, sf001), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sf001).where(col("r_name") === "EUROPE"), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("ps_partkey")
+      .agg(min("ps_cost_cents").as("m"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(rows.forall(r => mins(r.getAs[Long]("p_partkey")) == r.getAs[Long]("cost_c")))
+    // (s_name, p_partkey) appears at most once → the LIMIT cut is total
+    val keys = rows.map(r => (r.getAs[String]("s_name"), r.getAs[Long]("p_partkey")))
+    assert(keys.distinct.length == keys.length)
+  }
+
+  test("q46: the mean-relative cut keeps exactly the above-K×mean parts") {
+    val rows  = CoreQueries.q46ImportantStock(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val all = Tables
+      .partsupp(spark, sf001)
+      .join(
+        Tables.supplier(spark, sf001)
+          .join(Tables.nation(spark, sf001).where(col("n_name") === "NATION_3"), col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey"),
+        col("ps_suppkey") === col("s_suppkey")
+      )
+      .groupBy("ps_partkey")
+      .agg(sum(col("ps_cost_cents") * col("ps_availqty")).as("v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val total = all.values.sum
+    val kept  = all.filter { case (_, v) => v * all.size > total * CoreQueries.Q46MeanMultiple }
+    assert(rows.map(_.getLong(0)).toSet == kept.keySet)
+    assert(rows.forall(r => kept(r.getLong(0)) == r.getAs[Long]("stock_value_c")))
+  }
+
+  test("q47: the winner's revenue equals the independently recomputed quarter maximum") {
+    val rows = CoreQueries.q47TopSupplier(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val rev = Tables
+      .lineitem(spark, sf001)
+      .where(
+        col("l_shipdate") >= expr("timestamp_ntz'1998-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("timestamp_ntz'1998-04-01 00:00:00'")
+      )
+      .groupBy("l_suppkey")
+      .agg(
+        expr("cast(sum(cast(l_extendedprice as decimal(12,2)) * (1 - cast(l_discount as decimal(12,2)))) * 10000 as bigint)")
+          .as("r")
+      )
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val mx = rev.values.max
+    assert(rows.forall(_.getAs[Long]("total_revenue_e4") == mx))
+    assert(rows.map(_.getAs[Long]("s_suppkey")).toSet == rev.filter(_._2 == mx).keySet)
+  }
+
+  test("q48: grouped profit recounts as separate revenue and cost aggregates (one sampled group)") {
+    val rows = CoreQueries.q48ProductProfit(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val top = rows.head
+    val base = Tables
+      .lineitem(spark, sf001)
+      .join(Tables.part(spark, sf001).where(col("p_name").like("%red%")).select("p_partkey"), col("l_partkey") === col("p_partkey"))
+      .join(Tables.partsupp(spark, sf001), col("l_partkey") === col("ps_partkey") && col("l_suppkey") === col("ps_suppkey"))
+      .join(Tables.orders(spark, sf001).select("o_orderkey", "o_orderdate"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, sf001).select("s_suppkey", "s_nationkey"), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(spark, sf001), col("s_nationkey") === col("n_nationkey"))
+      .where(col("n_name") === top.getAs[String]("nation") &&
+        year(col("o_orderdate")) === top.getAs[Long]("o_year").toInt)
+    val rev = base
+      .agg(expr("cast(sum(cast(l_extendedprice as decimal(12,2)) * (1 - cast(l_discount as decimal(12,2))) * 10000) as bigint)"))
+      .head().getLong(0)
+    val cost = base.agg(sum(col("ps_cost_cents") * 100L * col("l_quantity").cast("long"))).head().getLong(0)
+    assert(top.getAs[Long]("profit_e4") == rev - cost)
+  }
+
+  test("q49: every kept supplier is regional and holds at least one genuinely excess pair") {
+    val rows = CoreQueries.q49ExcessAvailability(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val regional = Tables
+      .supplier(spark, sf001)
+      .join(Tables.nation(spark, sf001), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sf001).where(col("r_name") === "EUROPE"), col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => regional(r.getAs[Long]("s_suppkey"))))
+    // replay the excess rule for one kept supplier
+    val sk = rows.head.getAs[Long]("s_suppkey")
+    val shipped = Tables
+      .lineitem(spark, sf001)
+      .where(
+        col("l_shipdate") >= expr("timestamp_ntz'1997-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("timestamp_ntz'1998-01-01 00:00:00'") && col("l_suppkey") === sk
+      )
+      .join(Tables.part(spark, sf001).where(col("p_name").like("small%")).select("p_partkey"), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey")
+      .agg(sum(col("l_quantity").cast("long")).as("qty"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val avail = Tables
+      .partsupp(spark, sf001)
+      .where(col("ps_suppkey") === sk)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(2))
+      .toMap
+    assert(shipped.exists { case (pk, qty) => avail.get(pk).exists(_ * 2 > qty) })
+  }
 }
