@@ -28,7 +28,17 @@ class SqlSpec extends SparkSpec {
       "g1_global_ids", "q28_above_nation_avg", "q29_discount_revenue",
       // round-6 adds whose oracle text parses on both engines
       "q30_value_band_join", "w8_event_transitions", "d17_size_histogram",
-      "d19_dedup_rate_by_source"
+      "d19_dedup_rate_by_source",
+      // the TPC-H canon (q31–q44 + q47): the oracles most likely to be
+      // hand-typed by a SQL user — all parse on both engines, so the
+      // three-way differential (DataFrame ≡ Spark SQL ≡ DuckDB) covers
+      // them end to end. q45/q46/q48/q49 stay out: their partsupp CTE uses
+      // DuckDB's UNNEST(range()) generator syntax.
+      "q31_customer_order_distribution", "q32_small_qty_revenue", "q33_large_orders",
+      "q34_waiting_suppliers", "q35_excess_shipments", "q36_late_shipment_priority",
+      "q37_dormant_rich_customers", "q38_priority_late_orders", "q39_market_share",
+      "q40_returned_item_revenue", "q41_supplier_diversity", "q42_trade_volume",
+      "q43_disjunctive_revenue", "q44_promo_revenue", "q47_top_supplier"
     )
     for (name <- ansiShared) {
       val viaDf  = SparkEntry.queries(name)(spark, sf0001).collect().map(_.toSeq).toSeq
