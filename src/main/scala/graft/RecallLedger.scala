@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.SparkSession
+
+/** Measures the ANN family's recall@10 against exact brute force across its
+  * tuning knobs (IVF probe width, quantized-shortlist size) — the operating-
+  * point ledger BASELINE.md publishes so a user picks (recall, cost) from
+  * measured data rather than folklore. The exact reference ranking is
+  * recomputed HERE, driver-side from the raw embeddings (independent of
+  * every index path being graded, including `cosine_sim` itself).
+  *
+  * Usage: `runMain graft.RecallLedger <sfDir>` — prints the markdown table.
+  */
+object RecallLedger {
+
+  /** Query ids sampled evenly across the corpus — fixed so the ledger and
+    * the spec pinning it grade the same set.
+    */
+  private[graft] def queryIds(n: Long, count: Int = 20): Seq[Long] =
+    (0 until count).map(i => i * (n / count))
+
+  /** Exact top-k neighbor ids per query, driver-side double-precision
+    * cosine with the (cos desc, vec_id asc) tie rule every rung shares.
+    */
+  private[graft] def exactTopK(
+      embs: Map[Long, Array[Float]],
+      qids: Seq[Long],
+      k: Int
+  ): Map[Long, Set[Long]] = {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    qids.map { q =>
+      val qv = embs(q)
+      val top = embs.iterator
+        .filter(_._1 != q)
+        .map { case (id, v) => (cos(qv, v), id) }
+        .toSeq
+        .sortBy { case (c, id) => (-c, id) }
+        .take(k)
+        .map(_._2)
+        .toSet
+      q -> top
+    }.toMap
+  }
+
+  /** Mean recall@k of `rung` over the query set: |approx ∩ exact| / k. */
+  private def meanRecall(
+      spark: SparkSession,
+      exact: Map[Long, Set[Long]],
+      k: Int,
+      rung: Long => org.apache.spark.sql.DataFrame
+  ): Double = {
+    val per = exact.keys.toSeq.sorted.map { q =>
+      val got = rung(q).collect().map(_.getLong(1)).toSet
+      (exact(q) & got).size.toDouble / k
+    }
+    per.sum / per.size
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir   = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = GraftSession.getOrCreate()
+    val k     = 10
+    val embs = graft.sources.Tables
+      .embeddings(spark, dir)
+      .select("vec_id", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .toMap
+    val qids  = queryIds(embs.size.toLong)
+    val exact = exactTopK(embs, qids, k)
+    println(s"# ANN recall@$k ledger — ${qids.size} queries, corpus ${embs.size} vectors ($dir)")
+    println()
+    println("| rung | knob | recall@10 |")
+    println("|---|---|---|")
+    def row(rung: String, knob: String, r: Double): Unit =
+      println(f"| $rung | $knob | ${r}%.3f |")
+    row("s2 LSH (16 planes, 4×4 bands)", "fixed", meanRecall(spark, exact, k, q => Similarity.annLsh(spark, dir, q, k)))
+    for (np <- Seq(1, 2, 4, 8, 16))
+      row("s4/s6 IVF (16 clusters)", s"nprobe=$np",
+        meanRecall(spark, exact, k, q => Similarity.annIvfPartitioned(spark, dir, q, k, 16, np)))
+    for (np <- Seq(1, 2, 4, 8, 16))
+      row("s9 IVF×SQ8 (shortlist 50)", s"nprobe=$np",
+        meanRecall(spark, exact, k, q => Similarity.annIvfQuantized(spark, dir, q, k, 16, np)))
+    for (sl <- Seq(10, 20, 50, 100))
+      row("s17 PQ (8×32 codebooks)", s"shortlist=$sl",
+        meanRecall(spark, exact, k, q => Similarity.annPq(spark, dir, q, k, sl)))
+    for (np <- Seq(1, 2, 4, 8, 16))
+      row("s18 IVF×PQ (shortlist 50)", s"nprobe=$np",
+        meanRecall(spark, exact, k, q => Similarity.annIvfPq(spark, dir, q, k, 16, np)))
+    spark.stop()
+  }
+}

@@ -899,7 +899,20 @@ object ScaleRehearsal {
       "q36_late_shipment_priority", "q37_dormant_rich_customers",
       "q38_priority_late_orders", "q39_market_share",
       "n15_novelty_scores", "d26_source_affinity", "d27_vocab_growth",
-      "d28_novelty_gate", "t8_substring_search"
+      "d28_novelty_gate", "t8_substring_search",
+      // round 11: the fourth-wave TPC-H close (q40–q44), the partsupp
+      // canon (q45–q49), pruned/indexed retrieval rungs, the PQ ladder,
+      // the planted-twin matrix, and the dup-graph PageRank
+      "q40_returned_item_revenue", "q41_supplier_diversity",
+      "q42_trade_volume", "q43_disjunctive_revenue", "q44_promo_revenue",
+      "q45_min_cost_supplier", "q46_important_stock", "q47_top_supplier",
+      "q48_product_profit", "q49_excess_availability",
+      "t9_bm25_pruned", "t10_substring_incremental", "t11_ql_rank",
+      "s17_ann_pq", "s17p_ann_pq_planted", "s18_ann_ivf_pq",
+      "s4p_ann_ivf_planted", "s6p_ann_ivf_partitioned_planted",
+      "s9p_ann_ivf_quantized_planted", "s12p_ann_ivf_incremental_planted",
+      "s14p_knn_join_ivf_planted", "s18p_ann_ivf_pq_planted",
+      "g2_dup_pagerank"
     )
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
     headline.foreach { name =>

@@ -383,6 +383,34 @@ class SimilaritySpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("recall ledger structure: monotone in nprobe, full probe exact, SQ8 shortlist lossless") {
+    // pins the BASELINE.md ledger's structural rows over the same
+    // evenly-sampled query protocol (5 queries at the spec SF — the table's
+    // absolute numbers are the committed RecallLedger run's artifacts)
+    val embs = graft.sources.Tables
+      .embeddings(spark, sf0001)
+      .select("vec_id", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .toMap
+    val qids  = graft.RecallLedger.queryIds(embs.size.toLong, 5)
+    val exact = graft.RecallLedger.exactTopK(embs, qids, 10)
+    def recall(rung: Long => org.apache.spark.sql.DataFrame): Double =
+      qids.map { q =>
+        val got = rung(q).collect().map(_.getLong(1)).toSet
+        (exact(q) & got).size.toDouble / 10
+      }.sum / qids.size
+    val byProbe = Seq(1, 4, 16).map(np =>
+      np -> recall(q => Similarity.annIvfPartitioned(spark, sf0001, q, 10, 16, np)))
+    // monotone non-decreasing in probe width; full probe IS brute force
+    assert(byProbe.sliding(2).forall { case Seq((_, a), (_, b)) => b >= a }, byProbe)
+    assert(byProbe.last._2 == 1.0, byProbe)
+    // the SQ8 coarse pass costs nothing at the default shortlist
+    val sq8 = recall(q => Similarity.annIvfQuantized(spark, sf0001, q, 10, 16, 4))
+    val ivf = byProbe.find(_._1 == 4).get._2
+    assert(sq8 == ivf, s"SQ8 $sq8 vs IVF $ivf")
+  }
+
   test("s12 incremental IVF: full probe == s1 brute force (maintenance loses and duplicates nothing)") {
     // with every cluster probed, the maintained base+delta index is
     // exhaustive — any vector dropped, duplicated, or mis-unioned during
