@@ -557,7 +557,7 @@ object SparkEntry {
         "SELECT vec_id, rnk, nbr_id FROM (SELECT a.vec_id, row_number() OVER " +
         "(PARTITION BY a.vec_id ORDER BY list_cosine_similarity(b.embedding, a.embedding) DESC, b.vec_id) AS rnk, " +
         "b.vec_id AS nbr_id FROM allv a JOIN allv b ON a.vec_id <> b.vec_id " +
-        "WHERE a.vec_id >= 2000000) t WHERE rnk <= 3 ORDER BY vec_id, rnk"),
+        "WHERE a.vec_id BETWEEN 2000000 AND 2000005) t WHERE rnk <= 3 ORDER BY vec_id, rnk"),
     // s11p additionally filters label = 7 BEFORE ranking: the two closest
     // planted neighbors carry label 8, so a post-filter or unfiltered
     // engine cannot match this oracle.

@@ -991,9 +991,13 @@ object Similarity {
       .select(col("cl"), col("vec_id"), col("embedding"))
     // the planted-query restriction lands BEFORE the probe join, so the
     // scored relation is 6 query rows × their probed clusters, not the
-    // whole corpus's kNN graph
+    // whole corpus's kNN graph. The filter is an exact id RANGE, not
+    // `>= PlantedQueryId`: replicated rehearsal corpora (ScaleRehearsal's
+    // +1e9-stride copies) carry ids past 2e6, and an open-ended filter
+    // would silently promote them to query rows (measured: 54k rows at
+    // the 10× sweep before this bound).
     val queries = v
-      .where(col("vec_id") >= PlantedQueryId)
+      .where(col("vec_id").between(PlantedQueryId, PlantedQueryId + 5))
       .select(col("vec_id"), col("embedding"), explode(probeIdsCol(centroids, np)).as("cl"))
     val nbrs = v.select(col("cl"), col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb"))
     val scored = queries
