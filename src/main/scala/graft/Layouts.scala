@@ -44,6 +44,7 @@ object Layouts {
     "ivf_vectors"        -> (() => { Similarity.annIvfPartitioned(spark, dir); () }),
     "ivf_incremental"    -> (() => { Similarity.annIvfIncremental(spark, dir); () }),
     "ivf_planted"        -> (() => { Similarity.annIvfFilteredPlanted(spark, dir); () }),
+    "ivf_planted_delta"  -> (() => { Similarity.annIvfIncrementalPlanted(spark, dir); () }),
     "sq8_vectors"        -> (() => { Similarity.annQuantized(spark, dir); () }),
     "pq_vectors"         -> (() => { Similarity.annPq(spark, dir); () }),
     "pq_planted"         -> (() => { Similarity.annPqPlanted(spark, dir); () }),

@@ -227,10 +227,15 @@ class RobustnessSpec extends SparkSpec {
     // s18 composes the IVF directory with the PQ codebooks, so it inherits
     // BOTH training-on-zero-rows failures and stays a throw for the same
     // reason s4/s17 do.
+    // s12p shares s12's exemption: its BASE layout is trained on the corpus
+    // alone (the whole point — the fixture arrives only through the delta),
+    // so zero corpus rows is the same train-on-nothing upstream failure.
+    // The other planted twins stay OUT: their union layouts include the
+    // committed fixture, which keeps them answerable.
     val exempt = Set("p1_partitioned_time_count", "s4_ann_ivf",
       "s6_ann_ivf_partitioned", "s9_ann_ivf_quantized", "s11_ann_ivf_filtered",
-      "s12_ann_ivf_incremental", "s14_knn_join_ivf", "s17_ann_pq",
-      "s18_ann_ivf_pq")
+      "s12_ann_ivf_incremental", "s12p_ann_ivf_incremental_planted",
+      "s14_knn_join_ivf", "s17_ann_pq", "s18_ann_ivf_pq")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try { fn(spark, dir).collect(); None }
       catch { case e: Throwable => Some(name -> e.toString.takeWhile(_ != '\n')) }
