@@ -1467,13 +1467,16 @@ object CoreQueries {
   /** Q47 — top supplier by quarterly revenue (TPC-H Q15 shape): the
     * revenue view over one ship-quarter of lineitem, then the supplier(s)
     * whose revenue EQUALS the maximum — TPC-H's correlated `= (SELECT
-    * MAX…)` as a 1-row broadcast max against the aggregated view (built
-    * once, not once per branch). Revenue is the exact e4 BIGINT, so the
-    * max-equality is never a float comparison and a genuine tie would
-    * return both rows in both engines. One lineitem scan (date-pruned),
-    * one suppkey exchange; supplier broadcasts.
+    * MAX…)` as a global max WINDOW over the aggregated view, so lineitem
+    * is physically scanned ONCE (a broadcast-max crossJoin re-plans the
+    * view per branch — two scans; PlanShapeSpec pins the single scan).
+    * The unpartitioned window is safe here because it runs over the
+    * per-supplier AGGREGATE — a dim-sized frame — never the fact table.
+    * Revenue is the exact e4 BIGINT, so the max-equality is never a float
+    * comparison and a genuine tie would return both rows in both engines.
     */
   def q47TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val rev = Tables
       .lineitem(spark, dir)
       .where(
@@ -1487,7 +1490,7 @@ object CoreQueries {
           .as("total_revenue_e4")
       )
     rev
-      .crossJoin(broadcast(rev.agg(max("total_revenue_e4").as("max_rev"))))
+      .withColumn("max_rev", max("total_revenue_e4").over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .where(col("total_revenue_e4") === col("max_rev"))
       .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")), col("l_suppkey") === col("s_suppkey"))
       .select("s_suppkey", "s_name", "total_revenue_e4")

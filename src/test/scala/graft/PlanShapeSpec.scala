@@ -439,6 +439,57 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("GreaterThanOrEqual(l_shipdate") && plan.contains("LessThan(l_shipdate"), plan)
   }
 
+  test("q45/q46 never touch a fact table — the derived partsupp keeps the whole plan dim-sized") {
+    for (df <- Seq(CoreQueries.q45MinCostSupplier(spark, sf0001), CoreQueries.q46ImportantStock(spark, sf0001))) {
+      df.collect()
+      val plan = executedPlan(df)
+      assert(!plan.contains("lineitem.parquet") && !plan.contains("orders.parquet") &&
+        !plan.contains("events"), plan)
+      assert(plan.contains("BroadcastHashJoin"), plan)
+    }
+  }
+
+  test("q45's LIMIT plans as a distributed top-k, not a global sort") {
+    val df = CoreQueries.q45MinCostSupplier(spark, sf0001)
+    df.collect()
+    assert(executedPlan(df).contains("TakeOrderedAndProject"), executedPlan(df))
+  }
+
+  // AQE plan strings repeat every node under "== Initial Plan ==" — scan
+  // counts must grade the FINAL section only or each scan double-counts.
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    val s = executedPlan(df)
+    val cut = s.indexOf("== Initial Plan ==")
+    if (cut >= 0) s.substring(0, cut) else s
+  }
+
+  test("q47/q49 prune their single lineitem scan with both pushed date bounds") {
+    for (df <- Seq(CoreQueries.q47TopSupplier(spark, sf0001), CoreQueries.q49ExcessAvailability(spark, sf0001))) {
+      df.collect()
+      val plan = finalPlan(df)
+      assert("Scan parquet .*lineitem".r.findAllIn(plan).size == 1, plan)
+      assert(plan.contains("GreaterThanOrEqual(l_shipdate") && plan.contains("LessThan(l_shipdate"), plan)
+    }
+  }
+
+  test("q49's quantified memberships stay semi joins — no duplicate-inflating inner join") {
+    val df = CoreQueries.q49ExcessAvailability(spark, sf0001)
+    df.collect()
+    val plan = executedPlan(df)
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q48 scans each fact once and broadcasts every dimension side") {
+    val df = CoreQueries.q48ProductProfit(spark, sf0001)
+    df.collect()
+    val plan = finalPlan(df)
+    assert("Scan parquet .*lineitem".r.findAllIn(plan).size == 1, plan)
+    assert("Scan parquet .*orders".r.findAllIn(plan).size == 1, plan)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 4, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("t8 candidate phase reads the trigram layout with the gram IN-list pushed; corpus untouched there") {
     val df = graft.operators.TextAnalysis.substringSearch(spark, sf0001)
     df.collect()
