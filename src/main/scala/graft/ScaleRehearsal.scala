@@ -912,6 +912,7 @@ object ScaleRehearsal {
       "s4p_ann_ivf_planted", "s6p_ann_ivf_partitioned_planted",
       "s9p_ann_ivf_quantized_planted", "s12p_ann_ivf_incremental_planted",
       "s14p_knn_join_ivf_planted", "s18p_ann_ivf_pq_planted",
+      "s19_ann_ivf_pq_filtered", "s19p_ann_ivf_pq_filtered_planted",
       "g2_dup_pagerank"
     )
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup

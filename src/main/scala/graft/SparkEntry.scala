@@ -97,6 +97,8 @@ object SparkEntry {
     "s14_knn_join_ivf"       -> ((s: SparkSession, d: String) => Similarity.knnJoinIvf(s, d)),
     "s14p_knn_join_ivf_planted" -> ((s: SparkSession, d: String) => Similarity.knnJoinIvfPlanted(s, d)),
     "s18p_ann_ivf_pq_planted" -> ((s: SparkSession, d: String) => Similarity.annIvfPqPlanted(s, d)),
+    "s19_ann_ivf_pq_filtered" -> ((s: SparkSession, d: String) => Similarity.annIvfPqFiltered(s, d, label = 1)),
+    "s19p_ann_ivf_pq_filtered_planted" -> ((s: SparkSession, d: String) => Similarity.annIvfPqFilteredPlanted(s, d)),
     "s15_mutual_knn_pairs"   -> ((s: SparkSession, d: String) => Similarity.mutualKnnPairs(s, d)),
     "s16_mutual_knn_clusters" -> ((s: SparkSession, d: String) => Similarity.mutualKnnClusters(s, d)),
     "c1_clean_corpus"   -> ((s: SparkSession, d: String) => Pipeline.cleanCorpus(s, d)),
@@ -562,6 +564,16 @@ object SparkEntry {
     // planted neighbors carry label 8, so a post-filter or unfiltered
     // engine cannot match this oracle.
     "s11p_ann_ivf_filtered_planted" ->
+      ("WITH allv AS (SELECT vec_id, embedding, label FROM embeddings UNION ALL " +
+        "SELECT vec_id, embedding, label FROM read_parquet('/root/repo/fixtures/annplant/embeddings.parquet/*.parquet')), " +
+        "q AS (SELECT embedding AS qv FROM allv WHERE vec_id = 2000000) " +
+        "SELECT rnk, vec_id FROM (SELECT row_number() OVER (ORDER BY " +
+        "list_cosine_similarity(a.embedding, q.qv) DESC, a.vec_id) AS rnk, a.vec_id " +
+        "FROM allv a, q WHERE a.vec_id <> 2000000 AND a.label = 7) t WHERE rnk <= 3 ORDER BY rnk"),
+    // s19p shares s11p's filtered-brute oracle verbatim: same answer
+    // contract (the three label-7 neighbors), different index path
+    // (filter composed through the IVF×PQ stack instead of plain IVF).
+    "s19p_ann_ivf_pq_filtered_planted" ->
       ("WITH allv AS (SELECT vec_id, embedding, label FROM embeddings UNION ALL " +
         "SELECT vec_id, embedding, label FROM read_parquet('/root/repo/fixtures/annplant/embeddings.parquet/*.parquet')), " +
         "q AS (SELECT embedding AS qv FROM allv WHERE vec_id = 2000000) " +
@@ -1410,7 +1422,9 @@ object SparkEntry {
     // s14_knn_join_ivf (twin s14p; spec ≡ s13 at nClusters=1),
     // s17_ann_pq (twin s17p; ADC error is data-dependent on near-tied
     // background cosines), s18_ann_ivf_pq (twin s18p; spec ≡ s17 at full
-    // probe), dq3_profile_events_approx (spec-bounded within 5% of dq1's
+    // probe), s19_ann_ivf_pq_filtered (twin s19p; spec ≡ filtered brute at
+    // full probe + corpus-wide shortlist),
+    // dq3_profile_events_approx (spec-bounded within 5% of dq1's
     // exact profile), x3_approx_percentiles, x4_approx_top_users
     // (spec-pinned exact below sketch capacity), x5_approx_distinct_rollup
     // (bounded per-row against exact distinct).

@@ -1551,6 +1551,90 @@ object Similarity {
     annPqOver(spark, Tables.embeddings(spark, dir), pqLayoutCache(spark, dir), queryId, k, shortlist, Some(cand))
   }
 
+  /** S19 — FILTERED IVF×PQ: the metadata-filtered production retrieval
+    * shape (s11) composed through the quantized stack (s18) — the query a
+    * RAG deployment with tenant/language/split predicates actually runs
+    * against a billion-vector PQ index. The predicate composes BEFORE the
+    * ADC shortlist: candidates come from the IVF layout's probed `cl=`
+    * directories with the label equality pushed into that scan
+    * (PartitionFilters × PushedFilters, the s11 argument), and only those
+    * vec_ids enter the code-table pass — so the shortlist is k-of-the-
+    * FILTERED-set, never a post-filter of the unfiltered top-k (the
+    * classic filtered-ANN recall trap, provably absent via the planted
+    * twin). Per-query cost: (nProbe/nClusters)·|codes| minus the filter's
+    * selectivity, floats only for the shortlist. No SQL oracle (quantizer
+    * state, the family contract); gates are the ≡-filtered-brute spec at
+    * degenerate knobs and [[annIvfPqFilteredPlanted]]'s full oracle.
+    */
+  def annIvfPqFiltered(
+      spark: SparkSession,
+      dir: String,
+      queryId: Long = 0L,
+      k: Int = 10,
+      label: Int = 0,
+      nClusters: Int = -1, // -1 = the graft.ann.nclusters session knob (16 unset)
+      nProbe: Int = -1,    // -1 = the graft.ann.nprobe session knob (4 unset)
+      shortlist: Int = PqShortlist
+  ): DataFrame = {
+    VectorFunctions.register(spark)
+    val (nc, np) = resolveIvfKnobs(spark, nClusters, nProbe)
+    val ivf = ivfLayoutCache(spark, dir, nc)
+    val centroids = spark.read
+      .parquet(s"$ivf/centroids.parquet")
+      .orderBy("cl")
+      .collect()
+      .map(_.getSeq[Float](1))
+    val qv = Tables.embeddings(spark, dir).where(col("vec_id") === queryId).select("embedding").head().getSeq[Float](0)
+    val probes = probeIds(qv, centroids, np)
+    val cand = spark.read
+      .parquet(s"$ivf/vectors.parquet")
+      .where(col("cl").isin(probes: _*) && col("label") === label && col("vec_id") =!= queryId)
+      .select("vec_id")
+    annPqOver(spark, Tables.embeddings(spark, dir), pqLayoutCache(spark, dir), queryId, k, shortlist, Some(cand))
+  }
+
+  /** S19P — [[annIvfPqFiltered]]'s planted twin over the union layouts:
+    * filter `label = 7`, k = 3. The fixture's two CLOSEST neighbors carry
+    * label 8, so the oracle answer (the three label-7 neighbors) is
+    * reachable only if the predicate lands BEFORE the ADC shortlist — a
+    * post-filtered quantized top-3 would return the distractors' survivors
+    * — proving the s11p composition contract through the PQ stack.
+    */
+  def annIvfPqFilteredPlanted(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 3,
+      label: Int = 7,
+      nClusters: Int = -1,
+      nProbe: Int = -1,
+      shortlist: Int = PqShortlist
+  ): DataFrame = {
+    VectorFunctions.register(spark)
+    val (nc, np) = resolveIvfKnobs(spark, nClusters, nProbe)
+    val ivf = ivfPlantedLayoutCache(spark, dir, nc)
+    val centroids = spark.read
+      .parquet(s"$ivf/centroids.parquet")
+      .orderBy("cl")
+      .collect()
+      .map(_.getSeq[Float](1))
+    val qv = spark.read
+      .parquet(annPlantFixture(spark))
+      .where(col("vec_id") === PlantedQueryId)
+      .select("embedding")
+      .head()
+      .getSeq[Float](0)
+    val probes = probeIds(qv, centroids, np)
+    val cand = spark.read
+      .parquet(s"$ivf/vectors.parquet")
+      .where(col("cl").isin(probes: _*) && col("label") === label && col("vec_id") =!= PlantedQueryId)
+      .select("vec_id")
+    val e = Tables
+      .embeddings(spark, dir)
+      .select("vec_id", "embedding")
+      .unionByName(spark.read.parquet(annPlantFixture(spark)).select("vec_id", "embedding"))
+    annPqOver(spark, e, pqPlantedLayoutCache(spark, dir), PlantedQueryId, k, shortlist, Some(cand))
+  }
+
   private def annPqOver(
       spark: SparkSession,
       e: DataFrame,

@@ -235,7 +235,8 @@ class RobustnessSpec extends SparkSpec {
     val exempt = Set("p1_partitioned_time_count", "s4_ann_ivf",
       "s6_ann_ivf_partitioned", "s9_ann_ivf_quantized", "s11_ann_ivf_filtered",
       "s12_ann_ivf_incremental", "s12p_ann_ivf_incremental_planted",
-      "s14_knn_join_ivf", "s17_ann_pq", "s18_ann_ivf_pq")
+      "s14_knn_join_ivf", "s17_ann_pq", "s18_ann_ivf_pq",
+      "s19_ann_ivf_pq_filtered")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try { fn(spark, dir).collect(); None }
       catch { case e: Throwable => Some(name -> e.toString.takeWhile(_ != '\n')) }

@@ -383,6 +383,33 @@ class SimilaritySpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("s19p planted filtered IVF×PQ: the label filter composes BEFORE the ADC shortlist") {
+    // the two closest planted neighbors carry label 8 — only
+    // filter-then-quantized-rank yields ranks 1..3 on the label-7 trio
+    // (the s11p contract proven through the PQ stack)
+    val got = Similarity.annIvfPqFilteredPlanted(spark, sf0001).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2000003L), (2L, 2000004L), (3L, 2000005L)))
+  }
+
+  test("s19 at full probe + corpus-wide shortlist == filtered brute force (nothing pruned, nothing lost)") {
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorFunctions.register(spark)
+    val n = graft.sources.Tables.embeddings(spark, sf0001).count().toInt
+    val got = Similarity
+      .annIvfPqFiltered(spark, sf0001, queryId = 0L, k = 10, label = 1, nClusters = 16, nProbe = 16, shortlist = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+    val q = e.where(col("vec_id") === 0L).select(col("embedding").as("qv"))
+    val brute = e
+      .where(col("vec_id") =!= 0L && col("label") === 1)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), expr("cosine_sim(embedding, qv)").as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got.map(_._2) == brute && got.map(_._1) == (1L to brute.length))
+  }
+
   test("recall ledger structure: monotone in nprobe, full probe exact, SQ8 shortlist lossless") {
     // pins the BASELINE.md ledger's structural rows over the same
     // evenly-sampled query protocol (5 queries at the spec SF — the table's
