@@ -119,6 +119,8 @@ object SparkEntry {
     // corpus curation: global ids, packing, decontamination, mixture sampling
     "g1_global_ids"     -> (Curation.globalIds _),
     "p2_sequence_pack"  -> (Curation.sequencePack _),
+    "p7_length_bucketed_batches" -> (Curation.lengthBucketedBatches _),
+    "d30_token_budget_mixture"   -> (Curation.tokenBudgetMixture _),
     "p3_chunk_documents" -> ((s: SparkSession, d: String) => Curation.chunkDocuments(s, d)),
     "d8_decontaminate"  -> (Curation.decontaminate _),
     "d20_decontaminate_bloom" -> (Curation.decontaminateBloom _),
@@ -655,6 +657,23 @@ object SparkEntry {
         "SUM(len(string_split(text, ' '))::BIGINT) OVER " +
         "(PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum " +
         "FROM documents) t ORDER BY source, doc_id"),
+    // d30: p2's running-sum window with the budget cut applied — the greedy
+    // doc_id-prefix selection is a pure function of (corpus, budget).
+    "d30_token_budget_mixture" ->
+      ("SELECT source, doc_id, n_tokens, cum_tokens FROM " +
+        "(SELECT source, doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens, " +
+        "SUM(len(string_split(text, ' '))::BIGINT) OVER " +
+        "(PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens " +
+        s"FROM documents) t WHERE cum_tokens <= ${Curation.MixtureBudgetTokens} ORDER BY source, doc_id"),
+    // p7: the per-band batch cut and its padding ledger, all integers.
+    "p7_length_bucketed_batches" ->
+      ("SELECT bucket, batch_id, COUNT(*)::BIGINT AS n_docs, MAX(n_tokens) AS max_tokens, " +
+        "CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT) AS pad_waste FROM " +
+        "(SELECT bucket, ((row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1) // " +
+        s"${Curation.BatchDocs})::BIGINT AS batch_id, n_tokens FROM " +
+        "(SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens, " +
+        s"(len(string_split(text, ' '))::BIGINT // ${Curation.BucketTokens})::BIGINT AS bucket " +
+        "FROM documents) a) b GROUP BY bucket, batch_id ORDER BY bucket, batch_id"),
     // DuckDB list slice w[a:b] is 1-based inclusive, so w[s+1 : s+32] is the
     // same 32-token window as Spark's slice(toks, s+1, 32); range(0, len,
     // stride) and sequence(0, size-1, stride) generate the same start set.

@@ -110,6 +110,75 @@ object Curation {
       .orderBy("source", "doc_id")
   }
 
+  /** Per-source token budget for [[tokenBudgetMixture]] — below every test
+    * source's total (~1.3–14k tokens), so the cut bites at every SF.
+    */
+  val MixtureBudgetTokens = 800L
+
+  /** D30 — token-budget mixture selection: keep each source's doc_id-prefix
+    * whose RUNNING token total stays within the per-source budget — the
+    * "mix by tokens, not documents" rule an actual pre-training recipe
+    * specifies (a source's contribution is measured in tokens a model will
+    * see; doc-count sampling like d9/d10 over-weights short-doc sources).
+    * Greedy prefix in doc_id order is the deterministic contract: the
+    * selection is a pure function of (corpus, budget) with no RNG, so the
+    * DuckDB oracle replays it bit-for-bit from the same cumulative-sum
+    * window. Same scale shape as [[sequencePack]]: the window is
+    * PARTITIONED BY source (per-source budgets are independent), so the
+    * one shuffle spreads across sources and nothing ever needs the global
+    * corpus order. Integer arithmetic only.
+    */
+  def tokenBudgetMixture(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")
+      )
+    val w = Window
+      .partitionBy("source")
+      .orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.withColumn("cum_tokens", sum("n_tokens").over(w))
+      .where(col("cum_tokens") <= MixtureBudgetTokens)
+      .select("source", "doc_id", "n_tokens", "cum_tokens")
+      .orderBy("source", "doc_id")
+  }
+
+  /** Token band width and batch size for [[lengthBucketedBatches]]. */
+  val BucketTokens = 16L
+  val BatchDocs    = 8L
+
+  /** P7 — length-bucketed batching with padding-waste accounting: assign
+    * each document to a token-length band (`n_tokens div 16`), order each
+    * band by doc_id, and cut fixed [[BatchDocs]]-document batches — the
+    * batching rule serving/training loaders use so a batch pads every
+    * member only up to its LONGEST member instead of the corpus maximum.
+    * The output is the per-batch ledger `(bucket, batch_id, n_docs,
+    * max_tokens, pad_waste)` where `pad_waste = n_docs·max − Σtokens` is
+    * exactly the padding the bucketing exists to minimize — the number a
+    * pipeline inspects to pick the band width. In-band position comes from
+    * a window PARTITIONED BY bucket (bounded band count × independent
+    * shuffles — never the [[globalIds]] single-partition funnel; at real
+    * scale the band key would extend to (bucket, day) exactly like p2's
+    * source). All integers → the oracle replays the cut bit-for-bit.
+    */
+  def lengthBucketedBatches(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr(s"n_tokens div $BucketTokens"))
+    t.withColumn("batch_id", expr(s"(row_number() over (partition by bucket order by doc_id) - 1) div $BatchDocs"))
+      .groupBy("bucket", "batch_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max("n_tokens").as("max_tokens"),
+        (count(lit(1)) * max("n_tokens") - sum("n_tokens")).as("pad_waste")
+      )
+      .orderBy("bucket", "batch_id")
+  }
+
   /** Benchmark membership rule for [[decontaminate]]: every 50th document
     * stands in for the held-out eval suite. Deterministic and
     * oracle-expressible; in production this is "the benchmark table".

@@ -441,6 +441,55 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("d30: each source keeps exactly the longest doc_id-prefix within budget, nothing else") {
+    val got = Curation.tokenBudgetMixture(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    // independent replay: per-source driver-side greedy prefix over d1's
+    // token counts in doc_id order
+    val toks = graft.sources.Tables
+      .documents(spark, sf0001)
+      .select(col("source"), col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = toks
+      .groupBy(_._1)
+      .toSeq
+      .flatMap { case (src, rows) =>
+        var cum = 0L
+        rows.sortBy(_._2).takeWhile { case (_, _, n) => cum += n; cum <= Curation.MixtureBudgetTokens }
+          .map { case (_, id, _) => (src, id) }
+      }
+      .toSet
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSet == want)
+    // the cut genuinely bites: at least one source dropped at least one doc
+    assert(got.length < toks.length)
+    // cum_tokens is the true running sum (spot-check via per-row n_tokens)
+    val bySrc = got.groupBy(_.getString(0))
+    for ((_, rows) <- bySrc) {
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(2)).sum == sorted.last.getLong(3))
+    }
+  }
+
+  test("p7: batches cut every 8 docs per band, padding ledger recounts, corpus fully accounted") {
+    val got = Curation.lengthBucketedBatches(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    val nDocs = graft.sources.Tables.documents(spark, sf0001).count()
+    assert(got.map(_.getLong(2)).sum == nDocs, "every document lands in exactly one batch")
+    // every batch is full (8) except possibly the last of each band
+    for ((_, rows) <- got.groupBy(_.getLong(0))) {
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.init.forall(_.getLong(2) == Curation.BatchDocs))
+      assert(sorted.last.getLong(2) <= Curation.BatchDocs)
+      // batch ids are consecutive from 0
+      assert(sorted.map(_.getLong(1)).toSeq == (0L until sorted.length.toLong))
+    }
+    // the band invariant: a batch's longest member still lies in its band,
+    // so intra-batch padding is bounded by the band width
+    assert(got.forall(r => r.getLong(3) / Curation.BucketTokens == r.getLong(0)))
+    assert(got.forall(r => r.getLong(4) >= 0 && r.getLong(4) < Curation.BatchDocs * Curation.BucketTokens))
+  }
+
   test("d25: verdicts replay from d8-consistent counts over string shingles") {
     val rows = Curation.contaminationGate(spark, sf0001).collect()
     assert(rows.nonEmpty)
