@@ -913,7 +913,8 @@ object ScaleRehearsal {
       "s9p_ann_ivf_quantized_planted", "s12p_ann_ivf_incremental_planted",
       "s14p_knn_join_ivf_planted", "s18p_ann_ivf_pq_planted",
       "s19_ann_ivf_pq_filtered", "s19p_ann_ivf_pq_filtered_planted",
-      "g2_dup_pagerank", "d30_token_budget_mixture", "p7_length_bucketed_batches"
+      "g2_dup_pagerank", "d30_token_budget_mixture", "p7_length_bucketed_batches",
+      "t12_proximity_rank"
     )
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
     headline.foreach { name =>

@@ -274,6 +274,7 @@ object SparkEntry {
     // index — exact maintenance, t8's contract and oracle verbatim
     "t10_substring_incremental" -> ((s: SparkSession, d: String) => TextAnalysis.substringSearchIncremental(s, d)),
     "t11_ql_rank" -> ((s: SparkSession, d: String) => TextAnalysis.qlRank(s, d)),
+    "t12_proximity_rank" -> ((s: SparkSession, d: String) => TextAnalysis.proximityRank(s, d)),
     "g2_dup_pagerank" -> ((s: SparkSession, d: String) => Dedup.dupPagerank(s, d)),
     // round 10: product quantization — the 8-byte-code rung of the
     // quantization ladder (s8 = SQ8). No oracle: ADC reconstruction error
@@ -674,6 +675,18 @@ object SparkEntry {
         "(SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens, " +
         s"(len(string_split(text, ' '))::BIGINT // ${Curation.BucketTokens})::BIGINT AS bucket " +
         "FROM documents) a) b GROUP BY bucket, batch_id ORDER BY bucket, batch_id"),
+    // t12: integer proximity over per-term position lists — DuckDB's
+    // (x, i) lambda is 1-based where Spark's is 0-based, which cancels
+    // inside |x − y|; doc_id breaks ties so the ordering is total.
+    "t12_proximity_rank" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "p AS (SELECT doc_id, " +
+        "list_filter(list_transform(w, (x, i) -> CASE WHEN x = 'part' THEN i ELSE -1 END), v -> v >= 0) AS pa, " +
+        "list_filter(list_transform(w, (x, i) -> CASE WHEN x = 'filter' THEN i ELSE -1 END), v -> v >= 0) AS pb " +
+        "FROM t) " +
+        "SELECT doc_id, len(pa)::BIGINT AS n_a, len(pb)::BIGINT AS n_b, " +
+        "list_min(list_transform(pa, x -> list_min(list_transform(pb, y -> abs(x - y)))))::BIGINT AS min_dist " +
+        "FROM p WHERE len(pa) > 0 AND len(pb) > 0 ORDER BY min_dist, doc_id"),
     // DuckDB list slice w[a:b] is 1-based inclusive, so w[s+1 : s+32] is the
     // same 32-token window as Spark's slice(toks, s+1, 32); range(0, len,
     // stride) and sequence(0, size-1, stride) generate the same start set.

@@ -1041,6 +1041,49 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** T12 — proximity ranking: documents containing BOTH query terms,
+    * ranked by the minimum token distance between any occurrence pair —
+    * the relevance signal between t1's boolean AND (any distance) and
+    * t3's exact phrase (distance 1, in order). A search service surfaces
+    * "part … filter" with the words three tokens apart above a document
+    * where they're paragraphs apart; this is that ranking, with
+    * (n_a, n_b) occurrence counts alongside.
+    *
+    * Scale shape: the t3 argument again — a pure NARROW pass. Each term's
+    * position list and the min cross-pair distance are higher-order
+    * expressions (`transform`/`filter`/`aggregate`) inside whole-stage
+    * codegen; per-row cost is O(n_a·n_b) on the (tiny) occurrence lists,
+    * nothing shuffles, and the output sort carries only matching ids. At
+    * 100 TB this stays a scan problem with a scan plan; a position-aware
+    * postings layout is the amortization for a repeated-query service
+    * (the t6-vs-t4 trade), not a batch scorer. All integers (0- vs
+    * 1-based indexing cancels inside |x−y|) → the DuckDB oracle replays
+    * the ranking bit-for-bit.
+    */
+  def proximityRank(
+      spark: SparkSession,
+      dir: String,
+      termA: String = PhraseTerms.head,
+      termB: String = PhraseTerms(1)
+  ): DataFrame = {
+    require(Seq(termA, termB).forall(t => t.nonEmpty && !t.contains("'") && !t.contains(" ")))
+    def positions(term: String) =
+      expr(s"filter(transform(split(text, ' '), (w, i) -> case when w = '$term' then i else -1 end), x -> x >= 0)")
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), positions(termA).as("pa"), positions(termB).as("pb"))
+      .where(size(col("pa")) > 0 && size(col("pb")) > 0)
+      .select(
+        col("doc_id"),
+        size(col("pa")).cast("long").as("n_a"),
+        size(col("pb")).cast("long").as("n_b"),
+        expr(
+          "aggregate(pa, 2147483647, (acc, x) -> least(acc, aggregate(pb, 2147483647, (a2, y) -> least(a2, abs(x - y)))))"
+        ).cast("long").as("min_dist")
+      )
+      .orderBy("min_dist", "doc_id")
+  }
+
   /** D18 — language mix per source `(source, lang_pred, n_docs)`: the
     * composition matrix a mixture designer reads before setting [[Curation
     * .mixtureSample]] rates (a "web" source that is 40% predicted-zh is a

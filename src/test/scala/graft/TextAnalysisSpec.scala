@@ -361,6 +361,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Seq(1L, 2L, 7L))
   }
 
+  test("t12: min distances by hand on a planted fixture; counts and order-insensitivity pinned") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_prox").toString
+    Seq(
+      (1L, "part filter runs fast", "en", "t", 1L),          // adjacent in order → 1
+      (2L, "filter then comes part", "en", "t", 1L),         // reversed, 3 apart → 3
+      (3L, "part of the long pipeline filter", "en", "t", 1L), // 5 apart → 5
+      (4L, "part a filter b part filter", "en", "t", 1L),    // best pair adjacent → 1, n_a=2 n_b=2
+      (5L, "part only", "en", "t", 1L),                      // missing term b → absent
+      (6L, "filter only", "en", "t", 1L)                     // missing term a → absent
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.proximityRank(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((1L, 1L, 1L, 1L), (4L, 2L, 2L, 1L), (2L, 1L, 1L, 3L), (3L, 1L, 1L, 5L)))
+  }
+
+  test("t12: on the real corpus, phrase matches rank at distance 1 and the match set is exactly t1's AND set") {
+    val prox = TextAnalysis.proximityRank(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val phraseDocs = TextAnalysis.phraseSearch(spark, sf0001).collect().map(_.getLong(0)).toSet
+    assert(phraseDocs.nonEmpty && phraseDocs.forall(d => prox(d) == 1L))
+    val andDocs = TextAnalysis
+      .keywordSearch(spark, sf0001, TextAnalysis.PhraseTerms)
+      .collect().map(_.getLong(0)).toSet
+    assert(prox.keySet == andDocs, "proximity match set must equal the boolean AND set")
+  }
+
   test("d18: mix matrix is d3's predictions regrouped by source — same classifier, same counts") {
     import org.apache.spark.sql.functions.col
     val mix = TextAnalysis
