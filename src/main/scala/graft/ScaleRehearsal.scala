@@ -914,7 +914,7 @@ object ScaleRehearsal {
       "s14p_knn_join_ivf_planted", "s18p_ann_ivf_pq_planted",
       "s19_ann_ivf_pq_filtered", "s19p_ann_ivf_pq_filtered_planted",
       "g2_dup_pagerank", "d30_token_budget_mixture", "p7_length_bucketed_batches",
-      "t12_proximity_rank"
+      "t12_proximity_rank", "m5_patch_grid"
     )
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
     headline.foreach { name =>

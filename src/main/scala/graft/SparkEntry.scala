@@ -215,6 +215,7 @@ object SparkEntry {
     // segments, so maintenance is exact and m2's oracle applies verbatim
     "m3_media_demux_incremental" -> (Multimodal.mediaDemuxIncremental _),
     "m4_mp4_frames"              -> (Multimodal.mp4FrameQuery _),
+    "m5_patch_grid"              -> (Multimodal.patchGridQuery _),
     // round 8: semantic decontamination — nearest benchmark vector +
     // above-threshold count per training vector (integer-only output)
     "d22_decontaminate_semantic" -> ((s: SparkSession, d: String) => Curation.decontaminateSemantic(s, d)),
@@ -675,6 +676,19 @@ object SparkEntry {
         "(SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens, " +
         s"(len(string_split(text, ' '))::BIGINT // ${Curation.BucketTokens})::BIGINT AS bucket " +
         "FROM documents) a) b GROUP BY bucket, batch_id ORDER BY bucket, batch_id"),
+    // m5: the patch ledger regenerated RELATIONALLY — synthetic PGM pixels
+    // are pure doc_id arithmetic and resizeNearest's index map is integer
+    // division, so the oracle rebuilds every pixel of every patch and the
+    // hash checks the raster decode path end to end.
+    "m5_patch_grid" ->
+      ("WITH d AS (SELECT doc_id AS id, (doc_id % 14 + 2)::BIGINT AS w, (doc_id % 10 + 1)::BIGINT AS h " +
+        "FROM documents WHERE doc_id % 4 = 0), " +
+        "g AS (SELECT id, ty, tx, " +
+        "((((ty * h // 32) * w + (tx * w // 32)) * 31 + id) % 256) AS px " +
+        "FROM d, UNNEST(range(0, 32)) AS a(ty), UNNEST(range(0, 32)) AS b(tx)) " +
+        "SELECT id AS media_id, (ty // 16)::BIGINT AS patch_row, (tx // 16)::BIGINT AS patch_col, " +
+        "CAST(SUM(px) AS BIGINT) AS px_sum, CAST(MIN(px) AS BIGINT) AS px_min, CAST(MAX(px) AS BIGINT) AS px_max " +
+        "FROM g GROUP BY 1, 2, 3 ORDER BY media_id, patch_row, patch_col"),
     // t12: integer proximity over per-term position lists — DuckDB's
     // (x, i) lambda is 1-based where Spark's is 0-based, which cancels
     // inside |x − y|; doc_id breaks ties so the ordering is total.

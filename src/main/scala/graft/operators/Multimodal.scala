@@ -1082,6 +1082,85 @@ object Multimodal {
     }
   }
 
+  final case class PatchRow(
+      media_id: Long,
+      patch_row: Long,
+      patch_col: Long,
+      px_sum: Long,
+      px_min: Long,
+      px_max: Long
+  )
+
+  /** Canonical canvas and patch side for [[patchGrid]] — 32² canvas cut
+    * into 16² patches (a 2×2 grid), the ViT preprocessing shape scaled to
+    * the test payloads.
+    */
+  val PatchCanvas = 32
+  val PatchSize   = 16
+
+  /** M5 — ViT-style patch extraction: decode → nearest-resize to the
+    * [[PatchCanvas]]² canvas → cut [[PatchSize]]² patches → per-patch
+    * INTEGER pixel ledger `(px_sum, px_min, px_max)` over the 0–255 byte
+    * plane. This is the image half of "tokenize the modality": a vision
+    * loader consumes exactly this grid (patch embeddings start from these
+    * pixels), and the integer ledger is the deterministic audit of each
+    * patch's content. Per-row work is a narrow `mapPartitions` decode
+    * (binary parsing has no Catalyst expression form — the m-family
+    * contract); nothing shuffles but the output sort.
+    *
+    * Uniquely for a raster op, m5 carries a FULL DuckDB oracle: the
+    * synthetic corpus's PGM pixels are pure doc_id arithmetic
+    * (`synthRow`: byte(i) = (i·31 + id) mod 256, dims from id), and
+    * [[resizeNearest]]'s index map (`sy = ty·h div 32`) plus the patch
+    * cut are integer expressions — so the oracle regenerates every pixel
+    * of every patch relationally and the hash checks the DECODE PATH
+    * end-to-end, pixels included (m2 checks headers; this checks rasters).
+    * The byte recovery `round(gray·255)` is exact: gray = v/255f with
+    * float error ≪ the rounding margin.
+    */
+  def patchGrid(media: Dataset[MediaRow]): Dataset[PatchRow] = {
+    import media.sparkSession.implicits._
+    val canvas = PatchCanvas
+    val side   = PatchSize
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        parseImage(r.format, r.payload).flatten match {
+          case Some(img) =>
+            val c = resizeNearest(img, canvas, canvas)
+            val n = canvas / side
+            for { pr <- 0 until n; pc <- 0 until n } yield {
+              var sum = 0L
+              var mn  = 255L
+              var mx  = 0L
+              var y   = pr * side
+              while (y < (pr + 1) * side) {
+                var x = pc * side
+                while (x < (pc + 1) * side) {
+                  val b = math.round(c.gray(y * canvas + x) * 255f).toLong
+                  sum += b
+                  if (b < mn) mn = b
+                  if (b > mx) mx = b
+                  x += 1
+                }
+                y += 1
+              }
+              PatchRow(r.media_id, pr.toLong, pc.toLong, sum, mn, mx)
+            }
+          case None => Seq.empty[PatchRow]
+        }
+      }
+    }
+  }
+
+  /** M5's registry surface: the patch ledger over the synthetic corpus's
+    * decodable images (the PGM quarter; WAV/MP3/MP4 payloads are not
+    * rasters and emit no patches).
+    */
+  def patchGridQuery(spark: SparkSession, dir: String): DataFrame =
+    patchGrid(syntheticMedia(spark, dir))
+      .toDF()
+      .orderBy("media_id", "patch_row", "patch_col")
+
   /** M2 — the demux catalog over the synthetic corpus, the oracle-checked
     * registry surface for EVERY real parser in this file (PGM dims, WAV
     * rate/samples, MP3 frame walk, MP4 box tree). See [[syntheticMedia]]

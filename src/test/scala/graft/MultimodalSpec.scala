@@ -91,6 +91,24 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2).payload.toSeq == Seq[Byte](9, 9) && out(2).format == "fake/raw")
   }
 
+  test("m5: patch ledger by hand on a planted 2x2 checkerboard; non-rasters emit nothing") {
+    import spark.implicits._
+    // 2×2 raster [0 255 / 0 255] upsamples to a 32² canvas whose left half
+    // is 0 and right half is 255 — the four 16² patches are therefore
+    // (sum, min, max) = (0,0,0), (65280,255,255), (0,0,0), (65280,255,255)
+    val pgm = "P5 2 2 255\n".getBytes("US-ASCII") ++ Array[Byte](0, -1, 0, -1)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image/pgm", 2, 2, 1, pgm),
+      Multimodal.MediaRow(2L, "audio/wav", 0, 0, 1, Array[Byte](1, 2, 3)), // not a raster
+      Multimodal.MediaRow(3L, "image/pgm", 2, 2, 1, "P5 corrupt".getBytes) // undecodable
+    ).toDS()
+    val got = Multimodal.patchGrid(rows).collect().sortBy(r => (r.patch_row, r.patch_col))
+    assert(got.forall(_.media_id == 1L), "only the decodable raster emits patches")
+    assert(got.map(r => (r.patch_row, r.patch_col, r.px_sum, r.px_min, r.px_max)).toSeq ==
+      Seq((0L, 0L, 0L, 0L, 0L), (0L, 1L, 65280L, 255L, 255L),
+          (1L, 0L, 0L, 0L, 0L), (1L, 1L, 65280L, 255L, 255L)))
+  }
+
   test("resize then decode equals decode then resizeNearest (metadata consistent)") {
     // 3x3 gradient; resize to 2x2 both ways must agree up to PGM requantization
     val px  = Array[Byte](0, 30, 60, 90, 120, -106, -76, -46, -16)
