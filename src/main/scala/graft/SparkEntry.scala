@@ -216,6 +216,7 @@ object SparkEntry {
     "m3_media_demux_incremental" -> (Multimodal.mediaDemuxIncremental _),
     "m4_mp4_frames"              -> (Multimodal.mp4FrameQuery _),
     "m5_patch_grid"              -> (Multimodal.patchGridQuery _),
+    "m6_audio_frame_energy"      -> (Multimodal.audioFrameEnergyQuery _),
     // round 8: semantic decontamination — nearest benchmark vector +
     // above-threshold count per training vector (integer-only output)
     "d22_decontaminate_semantic" -> ((s: SparkSession, d: String) => Curation.decontaminateSemantic(s, d)),
@@ -689,6 +690,21 @@ object SparkEntry {
         "SELECT id AS media_id, (ty // 16)::BIGINT AS patch_row, (tx // 16)::BIGINT AS patch_col, " +
         "CAST(SUM(px) AS BIGINT) AS px_sum, CAST(MIN(px) AS BIGINT) AS px_min, CAST(MAX(px) AS BIGINT) AS px_max " +
         "FROM g GROUP BY 1, 2, 3 ORDER BY media_id, patch_row, patch_col"),
+    // m6: the frame-energy ledger regenerated RELATIONALLY — the WAV
+    // quarter's 8-bit samples are pure (doc_id, n_chars) arithmetic
+    // (raw = (i*7+id)%256, n = clamp(n_chars,1,64)) and the decode
+    // `(raw-128)/128f` round-trips exactly through round(·128), so the
+    // oracle rebuilds every sample of every frame and the hash checks
+    // the RIFF parse + PCM decode + framing end to end, float-free.
+    "m6_audio_frame_energy" ->
+      ("WITH d AS (SELECT doc_id AS id, LEAST(GREATEST(n_chars, 1), 64) AS n " +
+        "FROM documents WHERE doc_id % 4 = 1), " +
+        "s AS (SELECT id, (i // " + Multimodal.AudioFrameSamples + ")::BIGINT AS frame_id, " +
+        "((i * 7 + id) % 256) - 128 AS v FROM d, UNNEST(range(0, n)) AS t(i)) " +
+        "SELECT id AS media_id, frame_id, COUNT(*)::BIGINT AS n_samples, " +
+        "CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs, CAST(SUM(v * v) AS BIGINT) AS sum_sq, " +
+        "CAST(MAX(ABS(v)) AS BIGINT) AS peak " +
+        "FROM s GROUP BY id, frame_id ORDER BY media_id, frame_id"),
     // t12: integer proximity over per-term position lists — DuckDB's
     // (x, i) lambda is 1-based where Spark's is 0-based, which cancels
     // inside |x − y|; doc_id breaks ties so the ordering is total.

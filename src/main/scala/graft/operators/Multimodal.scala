@@ -1161,6 +1161,83 @@ object Multimodal {
       .toDF()
       .orderBy("media_id", "patch_row", "patch_col")
 
+  final case class AudioFrameRow(
+      media_id: Long,
+      frame_id: Long,
+      n_samples: Long,
+      sum_abs: Long,
+      sum_sq: Long,
+      peak: Long
+  )
+
+  /** Samples per analysis frame for [[audioFrameEnergy]] — a short-time
+    * window (8 samples = 1 ms at the synthetic corpus's 8 kHz), the
+    * front end of every VAD / silence-trim / loudness-normalization stage
+    * a speech-training pipeline runs before feature extraction.
+    */
+  val AudioFrameSamples: Int = 8
+
+  /** M6 — short-time frame energy over decoded PCM: cut each audio
+    * stream into non-overlapping [[AudioFrameSamples]]-sample frames and
+    * emit per-frame Σ|v|, Σv² and peak |v| in INTEGER quantization units
+    * (v = round(sample·128) ∈ [−128, 128]). Integers rather than float
+    * RMS on purpose: for 8-bit PCM the decode `(raw−128)/128f` is exact
+    * in binary floating point, so `round(·128)` recovers `raw−128`
+    * losslessly and the whole ledger is hashable cross-engine — the same
+    * no-floats-in-the-oracle discipline as [[patchGrid]]'s pixel sums.
+    *
+    * Scale shape: embarrassingly parallel `mapPartitions` over payload
+    * rows (decode is per-row, no shuffle); the final ORDER BY in the
+    * registry surface is presentation-only. At 100 TB this is a
+    * map-only pass whose cost is the payload scan itself.
+    *
+    * Reference anchor: the reference stores blobs and queries metadata
+    * only (`StorageQueryConsole/Config/QueryType.cs:3-12` has no media
+    * ops) — this extends the engine to the audio-curation surface the
+    * survey's LLM-pipeline mandate calls for.
+    */
+  def audioFrameEnergy(media: Dataset[MediaRow]): Dataset[AudioFrameRow] = {
+    import media.sparkSession.implicits._
+    val frame = AudioFrameSamples
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val decoded = r.format match {
+          case "audio/wav" => decodeWav(r.payload)
+          case _           => None
+        }
+        decoded match {
+          case Some(a) =>
+            a.samples.iterator.zipWithIndex
+              .map { case (s, i) => (i / frame, math.round(s * 128f).toLong) }
+              .toSeq
+              .groupBy(_._1)
+              .toSeq
+              .map { case (fid, vs) =>
+                val xs = vs.map(_._2)
+                AudioFrameRow(
+                  r.media_id,
+                  fid.toLong,
+                  xs.length.toLong,
+                  xs.map(math.abs).sum,
+                  xs.map(v => v * v).sum,
+                  xs.map(math.abs).max
+                )
+              }
+          case None => Seq.empty[AudioFrameRow]
+        }
+      }
+    }
+  }
+
+  /** M6's registry surface: the frame-energy ledger over the synthetic
+    * corpus's WAV quarter (`doc_id % 4 == 1`); the slice predicate lands
+    * before the typed map so the documents scan prunes to that quarter.
+    */
+  def audioFrameEnergyQuery(spark: SparkSession, dir: String): DataFrame =
+    audioFrameEnergy(syntheticMediaWhere(spark, dir, col("doc_id") % 4 === 1))
+      .toDF()
+      .orderBy("media_id", "frame_id")
+
   /** M2 — the demux catalog over the synthetic corpus, the oracle-checked
     * registry surface for EVERY real parser in this file (PGM dims, WAV
     * rate/samples, MP3 frame walk, MP4 box tree). See [[syntheticMedia]]

@@ -109,6 +109,24 @@ class MultimodalSpec extends SparkSpec {
           (1L, 0L, 0L, 0L, 0L), (1L, 1L, 65280L, 255L, 255L)))
   }
 
+  test("m6: frame-energy ledger by hand on a planted 10-sample WAV; partial tail frame kept") {
+    import spark.implicits._
+    // 8-bit mono raws [128,129,127,200,0,255,64,192,130,126] decode to
+    // v = raw-128 = [0,1,-1,72,-128,127,-64,64,2,-2]; frame size 8 cuts
+    // an 8-sample head frame and a 2-sample tail frame.
+    val raws = Array(128, 129, 127, 200, 0, 255, 64, 192, 130, 126)
+    val wav  = encodeWav(8000, 1, 8, raws.map(Array(_)))
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "audio/wav", 0, 0, 1, wav),
+      Multimodal.MediaRow(2L, "image/pgm", 2, 2, 1, "P5 2 2 255\n".getBytes ++ Array[Byte](0, 0, 0, 0)),
+      Multimodal.MediaRow(3L, "audio/wav", 0, 0, 1, "RIFFjunk".getBytes) // undecodable
+    ).toDS()
+    val got = Multimodal.audioFrameEnergy(rows).collect().sortBy(_.frame_id)
+    assert(got.forall(_.media_id == 1L), "only the decodable WAV emits frames")
+    assert(got.map(r => (r.frame_id, r.n_samples, r.sum_abs, r.sum_sq, r.peak)).toSeq ==
+      Seq((0L, 8L, 457L, 45891L, 128L), (1L, 2L, 4L, 8L, 2L)))
+  }
+
   test("resize then decode equals decode then resizeNearest (metadata consistent)") {
     // 3x3 gradient; resize to 2x2 both ways must agree up to PGM requantization
     val px  = Array[Byte](0, 30, 60, 90, 120, -106, -76, -46, -16)
