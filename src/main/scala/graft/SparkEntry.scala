@@ -277,6 +277,7 @@ object SparkEntry {
     "t10_substring_incremental" -> ((s: SparkSession, d: String) => TextAnalysis.substringSearchIncremental(s, d)),
     "t11_ql_rank" -> ((s: SparkSession, d: String) => TextAnalysis.qlRank(s, d)),
     "t12_proximity_rank" -> ((s: SparkSession, d: String) => TextAnalysis.proximityRank(s, d)),
+    "t13_kwic_snippet"   -> ((s: SparkSession, d: String) => TextAnalysis.kwicSnippet(s, d)),
     "g2_dup_pagerank" -> ((s: SparkSession, d: String) => Dedup.dupPagerank(s, d)),
     // round 10: product quantization — the 8-byte-code rung of the
     // quantization ladder (s8 = SQ8). No oracle: ADC reconstruction error
@@ -717,6 +718,16 @@ object SparkEntry {
         "SELECT doc_id, len(pa)::BIGINT AS n_a, len(pb)::BIGINT AS n_b, " +
         "list_min(list_transform(pa, x -> list_min(list_transform(pb, y -> abs(x - y)))))::BIGINT AS min_dist " +
         "FROM p WHERE len(pa) > 0 AND len(pb) > 0 ORDER BY min_dist, doc_id"),
+    // t13: both engines' first-occurrence positions are 1-based
+    // (array_position / list_position) and both slice operators truncate
+    // at the array ends, so the KWIC window expression is shared verbatim;
+    // COALESCE guards DuckDB's NULL-on-absent against Spark's 0.
+    "t13_kwic_snippet" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "p AS (SELECT doc_id, w, list_position(w, '" + TextAnalysis.PhraseTerms.head + "') AS pos FROM t) " +
+        "SELECT doc_id, pos::BIGINT AS pos, " +
+        s"array_to_string(w[GREATEST(pos - ${TextAnalysis.SnippetContext}, 1) : pos + ${TextAnalysis.SnippetContext}], ' ') AS snippet " +
+        "FROM p WHERE COALESCE(pos, 0) > 0 ORDER BY doc_id"),
     // DuckDB list slice w[a:b] is 1-based inclusive, so w[s+1 : s+32] is the
     // same 32-token window as Spark's slice(toks, s+1, 32); range(0, len,
     // stride) and sequence(0, size-1, stride) generate the same start set.

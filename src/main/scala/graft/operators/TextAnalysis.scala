@@ -1433,6 +1433,51 @@ object TextAnalysis {
     * apply verbatim. Query I/O stays the matched grams' posting rows on
     * EACH side of the union (pushed IN-list on both segment scans).
     */
+  /** Context tokens kept on each side of the hit by [[kwicSnippet]]. */
+  val SnippetContext: Int = 2
+
+  /** T13 — KWIC (keyword-in-context) snippet extraction: for every
+    * document containing the term, the 1-based position of its FIRST
+    * occurrence plus the ±[[SnippetContext]]-token window around it,
+    * space-joined. This is the "show the match" surface every search
+    * stack puts next to a ranked list (t1/t4's doc ids alone are not a
+    * result page), and in a curation pipeline it is the human-audit
+    * sample extractor for filter hits.
+    *
+    * Pure per-row narrow ops — split / array_position / slice — inside
+    * whole-stage codegen, no shuffle, no explode: the window is cut from
+    * the token array in place rather than re-joining positions, so cost
+    * is one pass over `text` regardless of document length. `slice`
+    * truncates at both array ends exactly like the oracle's 1-based
+    * list slicing, so edge hits (pos ≤ context, pos near the tail) are
+    * covered by the same expression, not special-cased.
+    */
+  def kwicSnippet(spark: SparkSession, dir: String, term: String = PhraseTerms.head): DataFrame = {
+    require(term.nonEmpty && !term.contains("'") && !term.contains(" "))
+    val ctx = SnippetContext
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        split(col("text"), " ").as("w"),
+        array_position(split(col("text"), " "), term).as("pos")
+      )
+      .where(col("pos") > 0)
+      .select(
+        col("doc_id"),
+        col("pos"),
+        array_join(
+          slice(
+            col("w"),
+            greatest(col("pos") - ctx, lit(1L)).cast("int"),
+            (col("pos") + ctx - greatest(col("pos") - ctx, lit(1L)) + 1L).cast("int")
+          ),
+          " "
+        ).as("snippet")
+      )
+      .orderBy("doc_id")
+  }
+
   def substringSearchIncremental(spark: SparkSession, dir: String, pattern: String = SubstringPattern): DataFrame = {
     val split = Tables
       .documents(spark, dir)

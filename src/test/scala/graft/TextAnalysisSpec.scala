@@ -378,6 +378,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Seq((1L, 1L, 1L, 1L), (4L, 2L, 2L, 1L), (2L, 1L, 1L, 3L), (3L, 1L, 1L, 5L)))
   }
 
+  test("t13: KWIC windows by hand — head hit, mid hit, tail hit, first-of-many, absent term") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kwic").toString
+    Seq(
+      (1L, "part starts this document here", "en", "t", 1L),  // pos 1: left edge truncates
+      (2L, "a b part c d e", "en", "t", 1L),                   // pos 3: full ±2 window
+      (3L, "tail words end in part", "en", "t", 1L),           // pos 5: right edge truncates
+      (4L, "x part y part z", "en", "t", 1L),                  // two hits: FIRST occurrence wins
+      (5L, "no match here", "en", "t", 1L)                     // absent → no row
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.kwicSnippet(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq(
+      (1L, 1L, "part starts this"),
+      (2L, 3L, "a b part c d"),
+      (3L, 5L, "end in part"),
+      (4L, 2L, "x part y part")
+    ))
+  }
+
   test("t12: on the real corpus, phrase matches rank at distance 1 and the match set is exactly t1's AND set") {
     val prox = TextAnalysis.proximityRank(spark, sf0001)
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
