@@ -131,6 +131,7 @@ object SparkEntry {
     "t1_keyword_search"     -> ((s: SparkSession, d: String) => TextAnalysis.keywordSearch(s, d)),
     "d13_redact_pii"        -> (TextAnalysis.redactPiiQuery _),
     "d14_repetition_stats"  -> (TextAnalysis.repetitionStats _),
+    "d31_trim_repeated_ngrams" -> (TextAnalysis.trimRepeatedNgrams _),
     "d15_top_salient_term"  -> (TextAnalysis.topSalientTerm _),
     "f1_fuzzy_token_pairs"  -> ((s: SparkSession, d: String) => TextAnalysis.fuzzyTokenPairs(s, d)),
     "n7_shared_spans"       -> ((s: SparkSession, d: String) => Dedup.sharedSpans(s, d)),
@@ -718,6 +719,27 @@ object SparkEntry {
         "SELECT doc_id, len(pa)::BIGINT AS n_a, len(pb)::BIGINT AS n_b, " +
         "list_min(list_transform(pa, x -> list_min(list_transform(pb, y -> abs(x - y)))))::BIGINT AS min_dist " +
         "FROM p WHERE len(pa) > 0 AND len(pb) > 0 ORDER BY min_dist, doc_id"),
+    // d31: the trim ledger rebuilt relationally — 0-based positions on
+    // both sides (range(0,len) vs posexplode), first occurrence = MIN(pos)
+    // per (doc, gram), coverage = the union of each duplicate start's
+    // 3-position span; string_agg(... ORDER BY pos) reassembles the
+    // trimmed text in token order exactly like Spark's array_sort over
+    // (pos, tok) structs, and md5 agrees byte-for-byte across engines.
+    "d31_trim_repeated_ngrams" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "tk AS (SELECT doc_id, i AS pos, w[i + 1] AS tok FROM d, UNNEST(range(0, len(w))) t(i)), " +
+        "g AS (SELECT doc_id, i AS pos, w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS gr " +
+        s"FROM d, UNNEST(range(0, len(w) - ${TextAnalysis.TrimGramTokens - 1})) t(i)), " +
+        "f AS (SELECT doc_id, gr, MIN(pos) AS first_pos FROM g GROUP BY doc_id, gr), " +
+        "dup AS (SELECT g.doc_id, g.pos FROM g JOIN f USING (doc_id, gr) WHERE g.pos > f.first_pos), " +
+        s"cov AS (SELECT DISTINCT doc_id, pos + o AS cpos FROM dup, UNNEST(range(0, ${TextAnalysis.TrimGramTokens})) t(o)), " +
+        "kept AS (SELECT tk.doc_id, tk.pos, tk.tok FROM tk LEFT JOIN cov " +
+        "ON tk.doc_id = cov.doc_id AND tk.pos = cov.cpos WHERE cov.cpos IS NULL), " +
+        "ka AS (SELECT doc_id, COUNT(*)::BIGINT AS n_kept, " +
+        "md5(string_agg(tok, ' ' ORDER BY pos)) AS fp_trimmed FROM kept GROUP BY doc_id), " +
+        "tot AS (SELECT doc_id, COUNT(*)::BIGINT AS n_tokens FROM tk GROUP BY doc_id) " +
+        "SELECT doc_id, n_tokens, n_kept, n_tokens - n_kept AS n_dropped, fp_trimmed " +
+        "FROM tot JOIN ka USING (doc_id) ORDER BY doc_id"),
     // t13: both engines' first-occurrence positions are 1-based
     // (array_position / list_position) and both slice operators truncate
     // at the array ends, so the KWIC window expression is shared verbatim;

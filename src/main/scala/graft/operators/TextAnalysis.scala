@@ -228,6 +228,83 @@ object TextAnalysis {
     * oracle, whose bigram CTE inner-joins them away, and keeps the ratio
     * division away from ANSI DIVIDE_BY_ZERO).
     */
+  /** N-gram width for [[trimRepeatedNgrams]] — 3-token spans, the
+    * smallest width at which natural repetition (function words) stops
+    * dominating and boilerplate repetition starts.
+    */
+  val TrimGramTokens: Int = 3
+
+  /** D31 — intra-document repeated-n-gram TRIM, the Gopher/RefinedWeb
+    * repetition rule as a transformation rather than d14's statistics:
+    * every token covered by a [[TrimGramTokens]]-gram whose exact text
+    * already occurred EARLIER in the same document is dropped, and the
+    * surviving tokens (in original order) are fingerprinted. Emits the
+    * full ledger a curation pipeline audits: tokens in, tokens kept,
+    * tokens dropped, md5 of the trimmed text.
+    *
+    * Deterministic by construction — "earlier" is the minimum start
+    * position per (doc, gram), so the first occurrence always survives
+    * and the output is a pure function of the text.
+    *
+    * Scale shape: gram construction is narrow (per-row transform over
+    * the token array); duplicate detection is one window keyed
+    * (doc_id, gram) — hash-partitioned, linear in the gram stream, never
+    * an all-pairs join; the keep-list is a left-anti join keyed
+    * (doc_id, pos). Every shuffle key contains doc_id, so skew is
+    * bounded by the largest single document, not by corpus-wide term
+    * frequencies.
+    */
+  def trimRepeatedNgrams(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = TrimGramTokens
+    val base = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), toks.as("w"))
+    val tokensE = base.select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tok")))
+    val grams = base
+      .where(size(col("w")) >= n)
+      .select(
+        col("doc_id"),
+        posexplode(
+          expr(s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))")
+        ).as(Seq("pos", "gr"))
+      )
+    val firstPos = Window.partitionBy("doc_id", "gr")
+    val covered = grams
+      .withColumn("first_pos", min("pos").over(firstPos))
+      .where(col("pos") > col("first_pos"))
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (n - 1))).as("cpos"))
+      .distinct()
+    val kept = tokensE.join(
+      covered,
+      tokensE("doc_id") === covered("doc_id") && col("pos") === col("cpos"),
+      "left_anti"
+    )
+    val keptAgg = kept
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        md5(
+          array_join(
+            transform(array_sort(collect_list(struct(col("pos"), col("tok")))), x => x.getField("tok")),
+            " "
+          )
+        ).as("fp_trimmed")
+      )
+    tokensE
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"))
+      .join(keptAgg, "doc_id") // kept is never empty: a gram's first occurrence survives
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("n_kept"),
+        (col("n_tokens") - col("n_kept")).as("n_dropped"),
+        col("fp_trimmed")
+      )
+      .orderBy("doc_id")
+  }
+
   def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables
       .documents(spark, dir)

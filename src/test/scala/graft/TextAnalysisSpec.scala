@@ -378,6 +378,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Seq((1L, 1L, 1L, 1L), (4L, 2L, 2L, 1L), (2L, 1L, 1L, 3L), (3L, 1L, 1L, 5L)))
   }
 
+  test("d31: repeated-3-gram trim by hand — dup span dropped, short doc untouched, run-of-one-token collapses") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val dir = java.nio.file.Files.createTempDirectory("graft_trim").toString
+    Seq(
+      // grams: 0:"a b c" 1:"b c a" 2:"c a b" 3:"a b c"(dup) 4:"b c d" →
+      // covered {3,4,5}, kept (a b c, d)
+      (1L, "a b c a b c d", "en", "t", 13L),
+      (2L, "x y", "en", "t", 3L), // no 3-grams → everything survives
+      // grams 0..2 all "r r r": dups {1,2} cover {1,2,3,4}; only pos 0 survives
+      (3L, "r r r r r", "en", "t", 9L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.trimRepeatedNgrams(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSeq
+    assert(got == Seq(
+      (1L, 7L, 4L, 3L, md5hex("a b c d")),
+      (2L, 2L, 2L, 0L, md5hex("x y")),
+      (3L, 5L, 1L, 4L, md5hex("r"))
+    ))
+  }
+
   test("t13: KWIC windows by hand — head hit, mid hit, tail hit, first-of-many, absent term") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_kwic").toString
