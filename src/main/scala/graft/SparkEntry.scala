@@ -260,6 +260,7 @@ object SparkEntry {
     "q47_top_supplier"                -> (CoreQueries.q47TopSupplier _),
     "q48_product_profit"              -> (CoreQueries.q48ProductProfit _),
     "q49_excess_availability"         -> (CoreQueries.q49ExcessAvailability _),
+    "q50_bloom_prefilter_join"        -> (CoreQueries.q50BloomPrefilterJoin _),
     // round 10: the novelty KEEP/DROP curation gate over n15's profile
     "d28_novelty_gate"                -> (Dedup.noveltyGate _),
     // round 10: corpus novelty + cross-source overlap audit
@@ -1506,6 +1507,14 @@ object SparkEntry {
     "q47_top_supplier"        -> q47Oracle,
     "q48_product_profit"      -> q48Oracle,
     "q49_excess_availability" -> q49Oracle,
+    // q50: the bloom is a pre-filter, never a truth source — the oracle is
+    // the PLAIN semi join (exactly d8/d20's shared-oracle discipline).
+    "q50_bloom_prefilter_join" ->
+      ("SELECT l_suppkey, COUNT(*)::BIGINT AS n_items, " +
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty FROM lineitem " +
+        "WHERE l_suppkey IN (SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA') " +
+        "GROUP BY l_suppkey ORDER BY l_suppkey"),
     // Still no-oracle (outputs depend on engine-internal hashing / plane
     // seeds / quantizer / sketch state), each with a planted oracle twin
     // or an equivalence spec:

@@ -1604,4 +1604,62 @@ object CoreQueries {
       .select("s_suppkey", "s_name")
       .orderBy("s_suppkey")
   }
+
+  /** Q50 — Bloom-PREFILTERED fact↔dim semi join: per-supplier shipment
+    * volume restricted to one region's suppliers, with the fact scan
+    * pre-filtered by a Bloom filter built from the dim keys (Spark's own
+    * `bloom_filter_agg` / `might_contain` Catalyst expressions,
+    * registered by [[graft.functions.SketchFunctions]]) BEFORE the join.
+    *
+    * The bloom is a pre-filter, never a truth source — survivors still
+    * pass the exact semi join, so the output is identical to the plain
+    * join and the oracle is the plain ANSI semi join. That is the d20
+    * decontamination pattern applied to the TPC-H star: at 100 TB the
+    * payoff is shuffle reduction when the dim is too large to broadcast
+    * (no BroadcastHashJoin available) yet its key set still fits a few
+    * MB of bloom bits — fact rows that cannot match are dropped at the
+    * scan, so the join exchange moves only ~selectivity of the fact
+    * stream plus the fpp tail. Locally the dim IS broadcast (100
+    * suppliers), making the bloom pure overhead-measurement; the sizing
+    * (20 bits/key ⇒ fpp ≈ 6e-5) and the filter→join composition are
+    * what this query pins. Spark's AQE runtime bloom
+    * (`spark.sql.optimizer.runtime.bloomFilter.enabled`) does this
+    * implicitly when statistics line up; q50 is the EXPLICIT form a
+    * pipeline reaches for when it knows the key set (e.g. a curated
+    * allow-list) before the optimizer does.
+    */
+  def q50BloomPrefilterJoin(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.SketchFunctions.register(spark)
+    val dim = Tables
+      .supplier(spark, dir)
+      .join(
+        broadcast(
+          Tables
+            .nation(spark, dir)
+            .join(
+              broadcast(Tables.region(spark, dir).where(col("r_name") === "ASIA")),
+              col("n_regionkey") === col("r_regionkey")
+            )
+            .select("n_nationkey")
+        ),
+        col("s_nationkey") === col("n_nationkey")
+      )
+      .select("s_suppkey")
+    val nItems = math.max(dim.count(), 1L)
+    val nBits  = math.max(1024L, nItems * 20L)
+    val bf = dim
+      .agg(call_function("bloom_filter_agg", col("s_suppkey"), lit(nItems), lit(nBits)).as("bf"))
+      .head()
+      .getAs[Array[Byte]](0)
+    Tables
+      .lineitem(spark, dir)
+      .where(call_function("might_contain", lit(bf), col("l_suppkey")))
+      .join(broadcast(dim), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("l_suppkey")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).cast("long").as("sum_qty")
+      )
+      .orderBy("l_suppkey")
+  }
 }

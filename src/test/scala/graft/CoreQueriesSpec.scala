@@ -318,4 +318,31 @@ class CoreQueriesSpec extends SparkSpec {
       assert(got(band) == values.count(v => v >= lo && v < hi).toLong, band)
     }
   }
+
+  test("q50: bloom prefilter is invisible in the output (identical to the plain semi join) and visible in the plan") {
+    import org.apache.spark.sql.functions._
+    val got = CoreQueries.q50BloomPrefilterJoin(spark, sf0001)
+    // plain-join twin, no bloom: same dim, same agg
+    val dim = graft.sources.Tables
+      .supplier(spark, sf0001)
+      .join(
+        graft.sources.Tables.nation(spark, sf0001)
+          .join(graft.sources.Tables.region(spark, sf0001).where(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey"),
+        col("s_nationkey") === col("n_nationkey")
+      )
+      .select("s_suppkey")
+    val plain = graft.sources.Tables
+      .lineitem(spark, sf0001)
+      .join(dim, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_items"), sum(col("l_quantity").cast("long")).cast("long").as("sum_qty"))
+      .orderBy("l_suppkey")
+    assert(got.collect().toSeq == plain.collect().toSeq)
+    assert(got.count() > 0)
+    // the prefilter must sit in the physical plan (scan-side), not be optimized away
+    val physical = got.queryExecution.executedPlan.toString
+    assert(physical.contains("might_contain"), "bloom prefilter missing from the physical plan")
+  }
 }
