@@ -218,6 +218,7 @@ object SparkEntry {
     "m4_mp4_frames"              -> (Multimodal.mp4FrameQuery _),
     "m5_patch_grid"              -> (Multimodal.patchGridQuery _),
     "m6_audio_frame_energy"      -> (Multimodal.audioFrameEnergyQuery _),
+    "m7_audio_activity_segments" -> (Multimodal.audioActivitySegments _),
     // round 8: semantic decontamination — nearest benchmark vector +
     // above-threshold count per training vector (integer-only output)
     "d22_decontaminate_semantic" -> ((s: SparkSession, d: String) => Curation.decontaminateSemantic(s, d)),
@@ -708,6 +709,24 @@ object SparkEntry {
         "CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs, CAST(SUM(v * v) AS BIGINT) AS sum_sq, " +
         "CAST(MAX(ABS(v)) AS BIGINT) AS peak " +
         "FROM s GROUP BY id, frame_id ORDER BY media_id, frame_id"),
+    // m7: m6's relational frame rebuild extended by the gaps-and-islands
+    // pair (lag-flip → running-sum segment ids); IS DISTINCT FROM makes
+    // the first row of each recording open its own segment exactly like
+    // Spark's isNull || =!= disjunction.
+    "m7_audio_activity_segments" ->
+      ("WITH d AS (SELECT doc_id AS id, LEAST(GREATEST(n_chars, 1), 64) AS n " +
+        "FROM documents WHERE doc_id % 4 = 1), " +
+        "s AS (SELECT id, (i // " + Multimodal.AudioFrameSamples + ")::BIGINT AS frame_id, " +
+        "((i * 7 + id) % 256) - 128 AS v FROM d, UNNEST(range(0, n)) AS t(i)), " +
+        "fr AS (SELECT id AS media_id, frame_id, SUM(ABS(v)) AS sum_abs FROM s GROUP BY id, frame_id), " +
+        s"a AS (SELECT media_id, frame_id, (CASE WHEN sum_abs >= ${Multimodal.VadSumAbsThreshold} THEN 1 ELSE 0 END)::BIGINT AS active FROM fr), " +
+        "c AS (SELECT media_id, frame_id, active, CASE WHEN lag(active) OVER " +
+        "(PARTITION BY media_id ORDER BY frame_id) IS DISTINCT FROM active THEN 1 ELSE 0 END AS chg FROM a), " +
+        "g AS (SELECT media_id, frame_id, active, SUM(chg) OVER " +
+        "(PARTITION BY media_id ORDER BY frame_id ROWS UNBOUNDED PRECEDING) - 1 AS seg_id FROM c) " +
+        "SELECT media_id, seg_id::BIGINT AS seg_id, active, COUNT(*)::BIGINT AS n_frames, " +
+        "MIN(frame_id) AS start_frame, MAX(frame_id) AS end_frame " +
+        "FROM g GROUP BY media_id, seg_id, active ORDER BY media_id, seg_id"),
     // t12: integer proximity over per-term position lists — DuckDB's
     // (x, i) lambda is 1-based where Spark's is 0-based, which cancels
     // inside |x − y|; doc_id breaks ties so the ordering is total.

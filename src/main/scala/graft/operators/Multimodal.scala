@@ -1238,6 +1238,55 @@ object Multimodal {
       .toDF()
       .orderBy("media_id", "frame_id")
 
+  /** Activity threshold for [[audioActivitySegments]], in the same
+    * quantization units as [[AudioFrameSamples]]-sample `sum_abs`: with
+    * 8-bit samples roughly uniform over the code space, E[Σ|v|] ≈ 8·64 =
+    * 512, so 512 splits the synthetic corpus into a genuine mix of
+    * active and silent frames rather than a degenerate all-one class.
+    */
+  val VadSumAbsThreshold: Long = 512L
+
+  /** M7 — voice-activity segmentation: classify each [[audioFrameEnergy]]
+    * frame active/silent by `sum_abs ≥` [[VadSumAbsThreshold]], then
+    * collapse consecutive same-class frames into segments
+    * (gaps-and-islands: a segment opens where the class flips). Emits per
+    * segment its class, length and frame span — the silence-trim /
+    * utterance-split front end an ASR-training pipeline runs before
+    * feature extraction, and the audio twin of [[graft.operators.Funnel]]'s
+    * event sessionization.
+    *
+    * Scale shape: the decode pass is map-only ([[audioFrameEnergy]]);
+    * the two window functions and the final aggregate are all keyed by
+    * media_id, so the only exchange is one hash partition on media_id
+    * and per-key state is bounded by a single recording's frame count.
+    */
+  def audioActivitySegments(spark: SparkSession, dir: String): DataFrame =
+    activitySegmentsOf(audioFrameEnergy(syntheticMediaWhere(spark, dir, col("doc_id") % 4 === 1)))
+
+  /** The segment collapse alone, over any frame-energy ledger — split out
+    * so specs can drive it with hand-built recordings.
+    */
+  private[graft] def activitySegmentsOf(frames: Dataset[AudioFrameRow]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("media_id").orderBy("frame_id")
+    frames
+      .toDF()
+      .withColumn("active", (col("sum_abs") >= VadSumAbsThreshold).cast("long"))
+      .withColumn(
+        "chg",
+        when(lag("active", 1).over(w).isNull || lag("active", 1).over(w) =!= col("active"), 1L)
+          .otherwise(0L)
+      )
+      .withColumn("seg_id", sum("chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1L)
+      .groupBy("media_id", "seg_id", "active")
+      .agg(
+        count(lit(1)).as("n_frames"),
+        min("frame_id").as("start_frame"),
+        max("frame_id").as("end_frame")
+      )
+      .orderBy("media_id", "seg_id")
+  }
+
   /** M2 — the demux catalog over the synthetic corpus, the oracle-checked
     * registry surface for EVERY real parser in this file (PGM dims, WAV
     * rate/samples, MP3 frame walk, MP4 box tree). See [[syntheticMedia]]

@@ -127,6 +127,27 @@ class MultimodalSpec extends SparkSpec {
       Seq((0L, 8L, 457L, 45891L, 128L), (1L, 2L, 4L, 8L, 2L)))
   }
 
+  test("m7: silent/active runs collapse into segments; boundary frame opens a new one") {
+    import spark.implicits._
+    // recording 1: frame 0 all-midscale (v=0, silent), frames 1-2 at the
+    // rails (sum_abs 1024 / 1016, both >= 512) → segments [silent 0-0],
+    // [active 1-2]; recording 2: one silent frame → a single segment.
+    val raws1 = Array.fill(8)(128) ++ Array.fill(8)(0) ++ Array.fill(8)(255)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "audio/wav", 0, 0, 1, encodeWav(8000, 1, 8, raws1.map(Array(_)))),
+      Multimodal.MediaRow(2L, "audio/wav", 0, 0, 1, encodeWav(8000, 1, 8, Array.fill(8)(128).map(Array(_))))
+    ).toDS()
+    val got = Multimodal.activitySegmentsOf(Multimodal.audioFrameEnergy(rows))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, 1L, 0L, 0L),
+      (1L, 1L, 1L, 2L, 1L, 2L),
+      (2L, 0L, 0L, 1L, 0L, 0L)
+    ))
+  }
+
   test("resize then decode equals decode then resizeNearest (metadata consistent)") {
     // 3x3 gradient; resize to 2x2 both ways must agree up to PGM requantization
     val px  = Array[Byte](0, 30, 60, 90, 120, -106, -76, -46, -16)
