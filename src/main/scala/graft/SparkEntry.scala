@@ -171,6 +171,7 @@ object SparkEntry {
     "v2_bpe_token_count"        -> ((s: SparkSession, d: String) => Bpe.bpeTokenCount(s, d)),
     "d19_dedup_rate_by_source"  -> (Profile.dedupRateBySource _),
     "u2_new_vs_returning"       -> (Retention.newVsReturning _),
+    "u3_rfm_segments"           -> (Retention.rfmSegments _),
     "a5_nearest_join"           -> (AsOf.purchaseNearestClick _),
     "w9_gap_histogram"          -> (CoreQueries.w9GapHistogram _),
     "n10_embedding_keep"        -> ((s: SparkSession, d: String) => Dedup.embeddingClusterRepresentatives(s, d)),
@@ -1276,6 +1277,27 @@ object SparkEntry {
         "SELECT d.day, SUM(CASE WHEN d.day = f.d0 THEN 1 ELSE 0 END)::BIGINT AS n_new, " +
         "SUM(CASE WHEN d.day <> f.d0 THEN 1 ELSE 0 END)::BIGINT AS n_returning " +
         "FROM d JOIN f USING (user_id) GROUP BY d.day ORDER BY d.day"),
+    // u3: Spark percentile and DuckDB quantile_cont share the (n-1)*p
+    // interpolation (parity x2 established); buckets come from strict >
+    // against those cut-points, never ntile, so ties sit in the lower
+    // bucket identically on both engines. DuckDB lists are 1-based where
+    // Spark's bracket indexing is 0-based — rq[1] here is rq[0] there.
+    "u3_rfm_segments" ->
+      ("WITH cust AS (SELECT o_custkey AS custkey, MAX(o_orderdate) AS last_order, " +
+        "COUNT(*)::BIGINT AS n_orders, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS monetary_cents " +
+        "FROM orders GROUP BY o_custkey), " +
+        "mx AS (SELECT MAX(o_orderdate) AS d_max FROM orders), " +
+        "base AS (SELECT custkey, date_diff('day', last_order::DATE, d_max::DATE)::BIGINT AS recency_days, " +
+        "n_orders, monetary_cents FROM cust, mx), " +
+        "cuts AS (SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS rq, " +
+        "quantile_cont(n_orders, [0.25, 0.5, 0.75]) AS fq, " +
+        "quantile_cont(monetary_cents, [0.25, 0.5, 0.75]) AS mq FROM base) " +
+        "SELECT custkey, recency_days, n_orders, monetary_cents, " +
+        "CAST(1 + (CASE WHEN recency_days > rq[1] THEN 1 ELSE 0 END) + (CASE WHEN recency_days > rq[2] THEN 1 ELSE 0 END) + (CASE WHEN recency_days > rq[3] THEN 1 ELSE 0 END) AS BIGINT) AS r_bucket, " +
+        "CAST(1 + (CASE WHEN n_orders > fq[1] THEN 1 ELSE 0 END) + (CASE WHEN n_orders > fq[2] THEN 1 ELSE 0 END) + (CASE WHEN n_orders > fq[3] THEN 1 ELSE 0 END) AS BIGINT) AS f_bucket, " +
+        "CAST(1 + (CASE WHEN monetary_cents > mq[1] THEN 1 ELSE 0 END) + (CASE WHEN monetary_cents > mq[2] THEN 1 ELSE 0 END) + (CASE WHEN monetary_cents > mq[3] THEN 1 ELSE 0 END) AS BIGINT) AS m_bucket " +
+        "FROM base, cuts ORDER BY custkey"),
     // w10: trailing 7-OBSERVED-hour median as the exact 4th order statistic
     // (list_sort[4] / sort_array[4]) compared in integer space — no float
     // percentile interpolation to diverge cross-engine.

@@ -122,4 +122,63 @@ object Retention {
       .select(col("d").as("day"), col("n_users_1d"), col("n_users_7d"))
       .orderBy("day")
   }
+
+  /** U3 — RFM segmentation of the order book: per customer the classic
+    * recency (days since last order, measured from the corpus's max order
+    * date), frequency (order count) and monetary (lifetime spend in
+    * cents) triple, each quartile-bucketed 1–4.
+    *
+    * The bucketing is deliberately NOT `ntile` — a global ntile is a
+    * single-partition window over every customer (the exact scale smell
+    * this repo pins plans against). Instead: one customer-key shuffle
+    * aggregates the triple, one scalar aggregate computes the three
+    * quartile cut-points per dimension (`percentile` is an aggregate, not
+    * a sort), and bucket assignment is a broadcast-join + map-side
+    * comparison `1 + Σ (v > qᵢ)`. At 10⁸ customers nothing in the plan
+    * exceeds one hash exchange; ties sit deterministically in the lower
+    * bucket on both engines (strict `>` against identical interpolated
+    * cut-points — Spark `percentile` and DuckDB `quantile_cont` share the
+    * (n−1)·p linear-interpolation definition, the parity x2 established).
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val cust = o
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(
+        max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("n_orders"),
+        (sum(col("o_totalprice").cast("decimal(12,2)")) * 100).cast("long").as("monetary_cents")
+      )
+    val dmax = o.agg(max(col("o_orderdate")).as("d_max"))
+    val base = cust
+      .crossJoin(broadcast(dmax))
+      .withColumn(
+        "recency_days",
+        datediff(col("d_max").cast("date"), col("last_order").cast("date")).cast("long")
+      )
+      .select("custkey", "recency_days", "n_orders", "monetary_cents")
+    val cuts = base.agg(
+      expr("percentile(recency_days, array(0.25D, 0.5D, 0.75D))").as("rq"),
+      expr("percentile(n_orders, array(0.25D, 0.5D, 0.75D))").as("fq"),
+      expr("percentile(monetary_cents, array(0.25D, 0.5D, 0.75D))").as("mq")
+    )
+    def bucket(v: String, q: String) =
+      expr(
+        s"CAST(1 + (CASE WHEN $v > $q[0] THEN 1 ELSE 0 END) " +
+          s"+ (CASE WHEN $v > $q[1] THEN 1 ELSE 0 END) " +
+          s"+ (CASE WHEN $v > $q[2] THEN 1 ELSE 0 END) AS BIGINT)"
+      )
+    base
+      .crossJoin(broadcast(cuts))
+      .select(
+        col("custkey"),
+        col("recency_days"),
+        col("n_orders"),
+        col("monetary_cents"),
+        bucket("recency_days", "rq").as("r_bucket"),
+        bucket("n_orders", "fq").as("f_bucket"),
+        bucket("monetary_cents", "mq").as("m_bucket")
+      )
+      .orderBy("custkey")
+  }
 }

@@ -96,6 +96,48 @@ class RetentionSpec extends SparkSpec {
     assert(rows.values.exists(_._2 > 0L), "corpus must contain returning users")
   }
 
+  test("u3: RFM quartile buckets by hand — four customers land 1..4 on every axis") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rfm").toString
+    def order(k: Long, cust: Long, price: Double, date: String) =
+      (k, cust, "O", price, ts(date + " 00:00:00"), "1-URGENT")
+    Seq(
+      order(1L, 1L, 10.0, "2024-01-31"),                                  // r=0  f=1 m=1000
+      order(2L, 2L, 20.0, "2024-01-21"), order(3L, 2L, 20.0, "2024-01-11"), // r=10 f=2 m=4000
+      order(4L, 3L, 30.0, "2024-01-11"), order(5L, 3L, 30.0, "2024-01-05"),
+      order(6L, 3L, 30.0, "2024-01-02"),                                  // r=20 f=3 m=9000
+      order(7L, 4L, 40.0, "2024-01-01"), order(8L, 4L, 40.0, "2024-01-01"),
+      order(9L, 4L, 40.0, "2024-01-01"), order(10L, 4L, 40.0, "2024-01-01") // r=30 f=4 m=16000
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Retention.rfmSegments(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toSeq
+    // distinct values on every axis → the interpolated quartile cut-points
+    // fall strictly between adjacent values and each customer gets its rank
+    assert(got == Seq(
+      (1L, 0L, 1L, 1000L, 1L, 1L, 1L),
+      (2L, 10L, 2L, 4000L, 2L, 2L, 2L),
+      (3L, 20L, 3L, 9000L, 3L, 3L, 3L),
+      (4L, 30L, 4L, 16000L, 4L, 4L, 4L)
+    ))
+  }
+
+  test("u3: real corpus — buckets stay in 1..4 and are monotone in their measure") {
+    val rows = Retention.rfmSegments(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, _, _, rb, fb, mb) => Seq(rb, fb, mb).forall(b => b >= 1 && b <= 4) })
+    // bucket order must follow value order on each axis
+    def monotone(pairs: Seq[(Long, Long)]): Boolean =
+      pairs.sortBy(_._1).sliding(2).forall { case Seq((_, b1), (_, b2)) => b1 <= b2; case _ => true }
+    assert(monotone(rows.map(r => (r._1, r._4)).toSeq), "recency buckets")
+    assert(monotone(rows.map(r => (r._2, r._5)).toSeq), "frequency buckets")
+    assert(monotone(rows.map(r => (r._3, r._6)).toSeq), "monetary buckets")
+  }
+
   test("u1: offset-0 dominates every later offset per cohort (real corpus)") {
     val rows = Retention
       .retentionCohorts(spark, sf0001)
