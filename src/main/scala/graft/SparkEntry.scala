@@ -282,6 +282,7 @@ object SparkEntry {
     "t11_ql_rank" -> ((s: SparkSession, d: String) => TextAnalysis.qlRank(s, d)),
     "t12_proximity_rank" -> ((s: SparkSession, d: String) => TextAnalysis.proximityRank(s, d)),
     "t13_kwic_snippet"   -> ((s: SparkSession, d: String) => TextAnalysis.kwicSnippet(s, d)),
+    "t14_term_cooccurrence" -> ((s: SparkSession, d: String) => TextAnalysis.termCooccurrence(s, d)),
     "g2_dup_pagerank" -> ((s: SparkSession, d: String) => Dedup.dupPagerank(s, d)),
     // round 10: product quantization — the 8-byte-code rung of the
     // quantization ladder (s8 = SQ8). No oracle: ADC reconstruction error
@@ -740,6 +741,20 @@ object SparkEntry {
         "SELECT doc_id, len(pa)::BIGINT AS n_a, len(pb)::BIGINT AS n_b, " +
         "list_min(list_transform(pa, x -> list_min(list_transform(pb, y -> abs(x - y)))))::BIGINT AS min_dist " +
         "FROM p WHERE len(pa) > 0 AND len(pb) > 0 ORDER BY min_dist, doc_id"),
+    // t14: document-level co-occurrence — list_distinct collapses each
+    // doc's token multiset exactly like array_distinct before counting,
+    // and the (n_docs_both DESC, token) order is total so LIMIT is stable.
+    "t14_term_cooccurrence" -> {
+      val seed = TextAnalysis.KeywordTerms.head
+      ("WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w FROM documents), " +
+        s"b AS (SELECT UNNEST(w) AS token FROM d WHERE list_contains(w, '$seed')), " +
+        "bt AS (SELECT token, COUNT(*)::BIGINT AS n_docs_both FROM b " +
+        s"WHERE token <> '$seed' GROUP BY token), " +
+        "df AS (SELECT token, COUNT(*)::BIGINT AS n_docs_term FROM " +
+        "(SELECT UNNEST(w) AS token FROM d) t GROUP BY token) " +
+        "SELECT token, n_docs_both, n_docs_term FROM bt JOIN df USING (token) " +
+        s"ORDER BY n_docs_both DESC, token LIMIT ${TextAnalysis.CooccurK}")
+    },
     // d31: the trim ledger rebuilt relationally — 0-based positions on
     // both sides (range(0,len) vs posexplode), first occurrence = MIN(pos)
     // per (doc, gram), coverage = the union of each duplicate start's

@@ -1555,6 +1555,47 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Result width for [[termCooccurrence]]. */
+  val CooccurK: Int = 30
+
+  /** T14 — document-level term co-occurrence with a seed term: for every
+    * other token, in how many documents it appears alongside the seed
+    * (`n_docs_both`) next to its global document frequency
+    * (`n_docs_term`), top-[[CooccurK]] by co-occurrence. This is the
+    * statistics table behind pseudo-relevance-feedback query expansion
+    * (t5's RRF fuses rankings; t14 is where the expansion CANDIDATES come
+    * from) and a distributional-similarity primitive.
+    *
+    * Integer counts only — no PMI logs in the emitted surface, so the
+    * contract hashes cross-engine; a consumer derives lift/PMI from the
+    * two counts plus the corpus size. Scale shape: two token-keyed
+    * aggregations over `array_distinct`-collapsed token sets (each linear
+    * in the token stream, map-side combinable), one token-keyed join of
+    * token-cardinality tables, and a TakeOrdered top-k — no document
+    * pair-join anywhere, so hot terms cost their posting length, never
+    * its square.
+    */
+  def termCooccurrence(spark: SparkSession, dir: String, seed: String = KeywordTerms.head): DataFrame = {
+    require(seed.nonEmpty && !seed.contains("'") && !seed.contains(" "))
+    val docTokens = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), array_distinct(toks).as("w"))
+    val both = docTokens
+      .where(array_contains(col("w"), seed))
+      .select(explode(col("w")).as("token"))
+      .where(col("token") =!= seed)
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_docs_both"))
+    val df = docTokens
+      .select(explode(col("w")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_docs_term"))
+    both
+      .join(df, "token")
+      .orderBy(col("n_docs_both").desc, col("token"))
+      .limit(CooccurK)
+  }
+
   def substringSearchIncremental(spark: SparkSession, dir: String, pattern: String = SubstringPattern): DataFrame = {
     val split = Tables
       .documents(spark, dir)

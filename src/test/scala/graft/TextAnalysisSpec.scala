@@ -402,6 +402,22 @@ class TextAnalysisSpec extends SparkSpec {
     ))
   }
 
+  test("t14: co-occurrence counts by hand — doc-level dedup, seed excluded, df covers non-seed docs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cooc").toString
+    Seq(
+      (1L, "window scan scan fast", "en", "t", 1L),  // scan counted once per doc
+      (2L, "window fast", "en", "t", 1L),
+      (3L, "scan fast", "en", "t", 1L),              // no seed: df only
+      (4L, "window window slow", "en", "t", 1L)      // repeated seed still one doc
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.termCooccurrence(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // order: n_docs_both desc, then token asc
+    assert(got == Seq(("fast", 2L, 3L), ("scan", 1L, 2L), ("slow", 1L, 1L)))
+  }
+
   test("t13: KWIC windows by hand — head hit, mid hit, tail hit, first-of-many, absent term") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_kwic").toString
