@@ -156,6 +156,7 @@ object SparkEntry {
     "s10_norm_stats"       -> ((s: SparkSession, d: String) => Similarity.normStats(s, d)),
     "dq2_profile_documents" -> (Profile.profileDocuments _),
     "p5_shuffle_order"      -> (Curation.shuffleOrder _),
+    "p8_block_shuffle_order" -> (Curation.blockShuffleOrder _),
     // round 9: quality-quartile curriculum order (v3 score layout + d21's
     // percentile parity + p5's retry-stable intra-phase shuffle key)
     "p6_curriculum_order"   -> (Curation.curriculumOrder _),
@@ -220,6 +221,7 @@ object SparkEntry {
     "m5_patch_grid"              -> (Multimodal.patchGridQuery _),
     "m6_audio_frame_energy"      -> (Multimodal.audioFrameEnergyQuery _),
     "m7_audio_activity_segments" -> (Multimodal.audioActivitySegments _),
+    "m8_image_histogram"         -> (Multimodal.imageHistogramQuery _),
     // round 8: semantic decontamination — nearest benchmark vector +
     // above-threshold count per training vector (integer-only output)
     "d22_decontaminate_semantic" -> ((s: SparkSession, d: String) => Curation.decontaminateSemantic(s, d)),
@@ -729,6 +731,16 @@ object SparkEntry {
         "SELECT media_id, seg_id::BIGINT AS seg_id, active, COUNT(*)::BIGINT AS n_frames, " +
         "MIN(frame_id) AS start_frame, MAX(frame_id) AS end_frame " +
         "FROM g GROUP BY media_id, seg_id, active ORDER BY media_id, seg_id"),
+    // m8: sparse 16-bin histogram regenerated from the same pixel
+    // arithmetic as m5 — bin = code >> 4 is integer division by 16, and
+    // zero bins never appear on either side (GROUP BY emits no empties,
+    // matching the Scala counts(bin) > 0 guard).
+    "m8_image_histogram" ->
+      ("WITH d AS (SELECT doc_id AS id, (doc_id % 14 + 2)::BIGINT * (doc_id % 10 + 1)::BIGINT AS n " +
+        "FROM documents WHERE doc_id % 4 = 0), " +
+        "p AS (SELECT id, ((i * 31 + id) % 256) // 16 AS bin FROM d, UNNEST(range(0, n)) AS t(i)) " +
+        "SELECT id AS media_id, bin::BIGINT AS bin, COUNT(*)::BIGINT AS n_px " +
+        "FROM p GROUP BY id, bin ORDER BY media_id, bin"),
     // t12: integer proximity over per-term position lists — DuckDB's
     // (x, i) lambda is 1-based where Spark's is 0-based, which cancels
     // inside |x − y|; doc_id breaks ties so the ordering is total.
@@ -1240,6 +1252,14 @@ object SparkEntry {
     "p5_shuffle_order" ->
       ("SELECT (row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1)::BIGINT AS shuffle_pos, " +
         "doc_id FROM documents ORDER BY shuffle_pos"),
+    // p8: p5's hash rule inside doc_id-div blocks; both engines' integer
+    // division floors non-negative ids identically.
+    "p8_block_shuffle_order" ->
+      (s"SELECT ((doc_id // ${Curation.ShuffleBlockDocs}) * ${Curation.ShuffleBlockDocs} + " +
+        s"row_number() OVER (PARTITION BY doc_id // ${Curation.ShuffleBlockDocs} " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1)::BIGINT AS epoch_pos, " +
+        s"(doc_id // ${Curation.ShuffleBlockDocs})::BIGINT AS block_id, doc_id " +
+        "FROM documents ORDER BY epoch_pos"),
     "t3_phrase_search" -> {
       val n = TextAnalysis.PhraseTerms.length
       val p = TextAnalysis.PhraseTerms.mkString(" ")

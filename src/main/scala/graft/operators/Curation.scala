@@ -512,6 +512,41 @@ object Curation {
     * (hash keys have no skew by construction), then a narrow zipWithIndex;
     * no single-partition window anywhere.
     */
+  /** Block width for [[blockShuffleOrder]] — the loader's shuffle-buffer
+    * size in documents.
+    */
+  val ShuffleBlockDocs = 64L
+
+  /** P8 — BLOCK-LOCAL shuffle order: p5's epoch permutation with
+    * displacement bounded to [[ShuffleBlockDocs]], the semantics of a
+    * streaming loader's fixed shuffle buffer (each doc moves only within
+    * its block). Same retry-stable content-hash rule as p5 — `rand()`
+    * would unreproduce the epoch — but where p5's global order is a full
+    * range-partition sort of the corpus EVERY epoch, p8's window is
+    * partitioned by block: per-key state is ≤ block docs, and on a
+    * doc_id-partitioned layout whose files align with block boundaries
+    * the whole permutation is map-side — no cross-block movement at all.
+    * That is the 100 TB trade a real data loader makes: bounded-memory
+    * approximate shuffling instead of a corpus-wide sort.
+    */
+  def blockShuffleOrder(spark: SparkSession, dir: String): DataFrame = {
+    val b = ShuffleBlockDocs
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        expr(s"doc_id div $b").as("block_id"),
+        md5(col("doc_id").cast("string")).as("hk")
+      )
+      .withColumn(
+        "epoch_pos",
+        col("block_id") * b +
+          row_number().over(Window.partitionBy("block_id").orderBy("hk", "doc_id")).cast("long") - 1L
+      )
+      .select("epoch_pos", "block_id", "doc_id")
+      .orderBy("epoch_pos")
+  }
+
   def shuffleOrder(spark: SparkSession, dir: String): DataFrame =
     zipIndexedByOrder(
       Tables

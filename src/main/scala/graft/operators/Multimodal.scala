@@ -1238,6 +1238,58 @@ object Multimodal {
       .toDF()
       .orderBy("media_id", "frame_id")
 
+  final case class HistogramRow(media_id: Long, bin: Long, n_px: Long)
+
+  /** Intensity bins for [[imageHistogram]] — 16 equal-width bins over the
+    * 8-bit code space (bin = byte >> 4).
+    */
+  val HistogramBins: Int = 16
+
+  /** M8 — per-image intensity histogram over the decodable rasters:
+    * every pixel requantized to its 8-bit code and bucketed into
+    * [[HistogramBins]] equal-width bins. The image-statistics front end
+    * of visual curation — exposure/contrast outlier filtering, flat-image
+    * drops, and the cheap first key for histogram-equality near-dup
+    * blocking — and, like [[patchGrid]], a pure map-only pass: decode and
+    * bucket per row, one optional explode, no shuffle before the final
+    * per-media aggregate keyed media_id.
+    *
+    * Zero-count bins are NOT emitted (the contract is the sparse
+    * histogram); a consumer densifies against `range(16)` if it needs
+    * the full vector.
+    */
+  def imageHistogram(media: Dataset[MediaRow]): Dataset[HistogramRow] = {
+    import media.sparkSession.implicits._
+    // bin = code >> shift, where 2^shift = 256 / HistogramBins
+    val shift = Integer.numberOfTrailingZeros(256 / HistogramBins)
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        parseImage(r.format, r.payload).flatten match {
+          case Some(img) =>
+            val counts = new Array[Long](HistogramBins)
+            var i = 0
+            while (i < img.gray.length) {
+              val b = math.round(img.gray(i) * 255f).toInt & 0xff
+              counts(b >> shift) += 1
+              i += 1
+            }
+            (0 until HistogramBins).collect {
+              case bin if counts(bin) > 0 => HistogramRow(r.media_id, bin.toLong, counts(bin))
+            }
+          case None => Seq.empty[HistogramRow]
+        }
+      }
+    }
+  }
+
+  /** M8's registry surface: the sparse histogram ledger over the
+    * synthetic corpus's PGM quarter.
+    */
+  def imageHistogramQuery(spark: SparkSession, dir: String): DataFrame =
+    imageHistogram(syntheticMediaWhere(spark, dir, col("doc_id") % 4 === 0))
+      .toDF()
+      .orderBy("media_id", "bin")
+
   /** Activity threshold for [[audioActivitySegments]], in the same
     * quantization units as [[AudioFrameSamples]]-sample `sum_abs`: with
     * 8-bit samples roughly uniform over the code space, E[Σ|v|] ≈ 8·64 =

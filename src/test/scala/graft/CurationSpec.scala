@@ -296,6 +296,26 @@ class CurationSpec extends SparkSpec {
     assert(a.sortBy(_._1).map(_._2).toSeq != a.map(_._2).sorted.toSeq)
   }
 
+  test("p8: a within-block permutation — displacement bounded, blocks dense, order is the md5 order per block") {
+    val b = Curation.ShuffleBlockDocs
+    val rows = Curation.blockShuffleOrder(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // every doc stays inside its own block: pos div B == id div B == block_id
+    assert(rows.forall { case (pos, blk, id) => pos / b == blk && id / b == blk })
+    // positions are a permutation (dense ids ⇒ dense positions)
+    assert(rows.map(_._1).sorted.toSeq == rows.map(_._3).sorted.toSeq)
+    // per-block order replays the md5 rule locally
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    rows.groupBy(_._2).foreach { case (_, blockRows) =>
+      val gotOrder = blockRows.sortBy(_._1).map(_._3).toSeq
+      assert(gotOrder == blockRows.map(_._3).sortBy(id => (md5hex(id.toString), id)).toSeq)
+    }
+    // it shuffles within at least one block (not the identity)
+    assert(rows.sortBy(_._1).map(_._3).toSeq != rows.map(_._3).sorted.toSeq)
+  }
+
   test("d20 bloom decontamination == d8 exactly; plan probes the bloom before joining") {
     val d8 = graft.operators.Curation.decontaminate(spark, sf0001).collect().map(_.toSeq).toSeq
     val d20 = graft.operators.Curation.decontaminateBloom(spark, sf0001)

@@ -148,6 +148,20 @@ class MultimodalSpec extends SparkSpec {
     ))
   }
 
+  test("m8: histogram by hand — bin edges at code>>4, sparse bins omitted, non-rasters silent") {
+    import spark.implicits._
+    // pixels 0,15 → bin 0; 16 → bin 1; 255,255 → bin 15: sparse ledger
+    // {0:2, 1:1, 15:2}, bins 2..14 absent
+    val pgm = "P5 5 1 255\n".getBytes("US-ASCII") ++ Array[Byte](0, 15, 16, -1, -1)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image/pgm", 5, 1, 1, pgm),
+      Multimodal.MediaRow(2L, "audio/wav", 0, 0, 1, Array[Byte](1, 2, 3))
+    ).toDS()
+    val got = Multimodal.imageHistogram(rows).collect().sortBy(_.bin)
+    assert(got.forall(_.media_id == 1L))
+    assert(got.map(r => (r.bin, r.n_px)).toSeq == Seq((0L, 2L), (1L, 1L), (15L, 2L)))
+  }
+
   test("resize then decode equals decode then resizeNearest (metadata consistent)") {
     // 3x3 gradient; resize to 2x2 both ways must agree up to PGM requantization
     val px  = Array[Byte](0, 30, 60, 90, 120, -106, -76, -46, -16)
