@@ -12,6 +12,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
+  /** Shared by t3 (corpus scan) and t15 (positional index) — same phrase
+    * contract through different access paths.
+    */
+  private val phraseOracle: String = {
+    val n = graft.operators.TextAnalysis.PhraseTerms.length
+    val p = graft.operators.TextAnalysis.PhraseTerms.mkString(" ")
+    ("WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents) " +
+      s"SELECT DISTINCT doc_id FROM toks, UNNEST(range(1, len(w) - ${n - 2})) t(i) " +
+      s"WHERE array_to_string(w[i : i + ${n - 1}], ' ') = '$p' ORDER BY doc_id")
+  }
+
   /** Shared by d8 and its bloom-pruned twin d20 — identical output contract. */
   private val DecontaminateSql: String =
     "WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
@@ -285,6 +296,7 @@ object SparkEntry {
     "t12_proximity_rank" -> ((s: SparkSession, d: String) => TextAnalysis.proximityRank(s, d)),
     "t13_kwic_snippet"   -> ((s: SparkSession, d: String) => TextAnalysis.kwicSnippet(s, d)),
     "t14_term_cooccurrence" -> ((s: SparkSession, d: String) => TextAnalysis.termCooccurrence(s, d)),
+    "t15_phrase_indexed" -> ((s: SparkSession, d: String) => TextAnalysis.phraseSearchIndexed(s, d)),
     "g2_dup_pagerank" -> ((s: SparkSession, d: String) => Dedup.dupPagerank(s, d)),
     // round 10: product quantization — the 8-byte-code rung of the
     // quantization ladder (s8 = SQ8). No oracle: ADC reconstruction error
@@ -1260,13 +1272,10 @@ object SparkEntry {
         "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1)::BIGINT AS epoch_pos, " +
         s"(doc_id // ${Curation.ShuffleBlockDocs})::BIGINT AS block_id, doc_id " +
         "FROM documents ORDER BY epoch_pos"),
-    "t3_phrase_search" -> {
-      val n = TextAnalysis.PhraseTerms.length
-      val p = TextAnalysis.PhraseTerms.mkString(" ")
-      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents) " +
-        s"SELECT DISTINCT doc_id FROM toks, UNNEST(range(1, len(w) - ${n - 2})) t(i) " +
-        s"WHERE array_to_string(w[i : i + ${n - 1}], ' ') = '$p' ORDER BY doc_id")
-    },
+    "t3_phrase_search" -> phraseOracle,
+    // t15 answers t3's contract from the positional index — the index is
+    // an access path, not a semantics change, so the oracle is shared.
+    "t15_phrase_indexed" -> phraseOracle,
     // w7 mirrors the explode-into-served-windows construction exactly
     // (window anchors = active day + k, cut at the last observed day), so
     // a >windowDays activity gap yields the same absent anchors on both

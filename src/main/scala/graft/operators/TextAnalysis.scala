@@ -1596,6 +1596,56 @@ object TextAnalysis {
       .limit(CooccurK)
   }
 
+  private[graft] val PositionsSchemeVersion = 1
+
+  /** Positional inverted index: per (doc, token) the sorted 0-based
+    * position list — the layout phrase and proximity queries run against
+    * when re-scanning raw text is off the table. Token-clustered on disk
+    * like [[postingsLayoutCache]] so a query's term filter prunes to its
+    * posting rows; content-keyed so corpus edits rebuild exactly once.
+    */
+  private[graft] def positionsLayoutCache(spark: SparkSession, dir: String): String = {
+    val key = LayoutCache.contentKey(
+      spark,
+      s"$dir/documents.parquet",
+      s"positions-v$PositionsSchemeVersion"
+    )
+    LayoutCache.getOrBuild(spark, "graft_positions", key) { out =>
+      Tables
+        .documents(spark, dir)
+        .select(col("doc_id"), posexplode(toks).as(Seq("pos", "token")))
+        .where(length(col("token")) > 0)
+        .groupBy("doc_id", "token")
+        .agg(sort_array(collect_list(col("pos"))).as("positions"))
+        .repartition(col("token"))
+        .sortWithinPartitions("token")
+        .write.mode("overwrite").parquet(s"$out/positions.parquet")
+    }
+  }
+
+  /** T15 — phrase search OVER THE POSITIONAL INDEX: t3's contract (docs
+    * where the phrase terms are adjacent in order) answered from
+    * [[positionsLayoutCache]] instead of a corpus re-scan — the t6-vs-t4
+    * / t10-vs-t8 division of labor applied to phrases. Adjacency is
+    * `arrays_overlap(pa + 1, pb)` over the two terms' position lists: a
+    * narrow expression per candidate doc, no posexplode at query time.
+    * Query I/O is the two matched tokens' posting rows (equality filters
+    * pushed into the token-clustered scan); the only shuffle is the
+    * doc_id equi-join of two already-tiny posting slices. Same answer as
+    * t3 by construction — the oracle string is shared verbatim.
+    */
+  def phraseSearchIndexed(spark: SparkSession, dir: String, phrase: Seq[String] = PhraseTerms): DataFrame = {
+    require(phrase.length == 2 && phrase.forall(t => t.nonEmpty && !t.contains("'") && !t.contains(" ")))
+    val layout = positionsLayoutCache(spark, dir)
+    val p      = spark.read.parquet(s"$layout/positions.parquet")
+    val pa     = p.where(col("token") === phrase(0)).select(col("doc_id"), col("positions").as("pa"))
+    val pb     = p.where(col("token") === phrase(1)).select(col("doc_id"), col("positions").as("pb"))
+    pa.join(pb, "doc_id")
+      .where(arrays_overlap(expr("transform(pa, x -> x + 1)"), col("pb")))
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   def substringSearchIncremental(spark: SparkSession, dir: String, pattern: String = SubstringPattern): DataFrame = {
     val split = Tables
       .documents(spark, dir)

@@ -402,6 +402,25 @@ class TextAnalysisSpec extends SparkSpec {
     ))
   }
 
+  test("t15: positional-index phrase search — adjacency in order only, and t15 == t3 on the real corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_posidx").toString
+    Seq(
+      (1L, "part filter runs", "en", "t", 1L),       // adjacent in order → hit
+      (2L, "filter part", "en", "t", 1L),            // reversed → miss
+      (3L, "part x filter", "en", "t", 1L),          // gap → miss
+      (4L, "a part filter b part filter", "en", "t", 1L), // multiple hits, one row
+      (5L, "part only", "en", "t", 1L)               // missing term → miss
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.phraseSearchIndexed(spark, dir).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 4L))
+    // index path ≡ corpus scan on the real corpus
+    val viaIndex = TextAnalysis.phraseSearchIndexed(spark, sf0001).collect().map(_.getLong(0)).toSeq
+    val viaScan  = TextAnalysis.phraseSearch(spark, sf0001).collect().map(_.getLong(0)).toSeq
+    assert(viaIndex == viaScan && viaIndex.nonEmpty)
+  }
+
   test("t14: co-occurrence counts by hand — doc-level dedup, seed excluded, df covers non-seed docs") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_cooc").toString
