@@ -55,6 +55,7 @@ object Layouts {
     "bpe_merges"         -> (() => { Bpe.bpeMerges(spark, dir); () }),
     "bpe_incremental"    -> (() => { Bpe.bpeMergesIncremental(spark, dir); () }),
     "text_postings"      -> (() => { TextAnalysis.postingsLayoutCache(spark, dir); () }),
+    "text_positions"     -> (() => { TextAnalysis.positionsLayoutCache(spark, dir); () }),
     "text_trigrams"      -> (() => { TextAnalysis.trigramLayoutCache(spark, dir); () }),
     "trigram_incremental" -> (() => { TextAnalysis.substringSearchIncremental(spark, dir); () }),
     "lm_scores"          -> (() => { TextAnalysis.lmScoreLayoutCache(spark, dir); () }),

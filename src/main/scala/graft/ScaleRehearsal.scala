@@ -914,7 +914,13 @@ object ScaleRehearsal {
       "s14p_knn_join_ivf_planted", "s18p_ann_ivf_pq_planted",
       "s19_ann_ivf_pq_filtered", "s19p_ann_ivf_pq_filtered_planted",
       "g2_dup_pagerank", "d30_token_budget_mixture", "p7_length_bucketed_batches",
-      "t12_proximity_rank", "m5_patch_grid"
+      "t12_proximity_rank", "m5_patch_grid",
+      // round 11 second wave: audio pair, retrieval surfaces, repetition
+      // trim, RFM, block shuffle, bloom-prefiltered join, image histograms
+      "m6_audio_frame_energy", "m7_audio_activity_segments",
+      "m8_image_histogram", "t13_kwic_snippet", "t14_term_cooccurrence",
+      "t15_phrase_indexed", "d31_trim_repeated_ngrams", "u3_rfm_segments",
+      "p8_block_shuffle_order", "q50_bloom_prefilter_join"
     )
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
     headline.foreach { name =>

@@ -224,6 +224,7 @@ object SparkEntry {
     "t7_bm25_incremental"       -> ((s: SparkSession, d: String) => TextAnalysis.bm25RankIncremental(s, d)),
     // round 8: docs<->embeddings referential audit (one full-outer id join)
     "dq4_modality_coverage"     -> (Profile.modalityCoverage _),
+    "dq5_drift_profile"         -> (Profile.driftProfile _),
     // round 8: the MAINTAINED media catalog (sealed base segment + delta
     // demux of the new slice) — per-payload rows are disjoint across
     // segments, so maintenance is exact and m2's oracle applies verbatim
@@ -765,6 +766,25 @@ object SparkEntry {
         "SELECT doc_id, len(pa)::BIGINT AS n_a, len(pb)::BIGINT AS n_b, " +
         "list_min(list_transform(pa, x -> list_min(list_transform(pb, y -> abs(x - y)))))::BIGINT AS min_dist " +
         "FROM p WHERE len(pa) > 0 AND len(pb) > 0 ORDER BY min_dist, doc_id"),
+    // dq5: the same (max+1) div 2 seal point as every incremental twin;
+    // NOT IN against the old vocabulary is safe (tokens are never NULL
+    // after the length guard both engines share via string_split).
+    "dq5_drift_profile" ->
+      ("WITH mx AS (SELECT COALESCE((MAX(doc_id) + 1) // 2, 0) AS k FROM documents), " +
+        "d AS (SELECT source, doc_id, string_split(text, ' ') AS w, doc_id >= k AS is_new FROM documents, mx), " +
+        "vol AS (SELECT source, " +
+        "SUM(CASE WHEN NOT is_new THEN 1 ELSE 0 END)::BIGINT AS n_docs_old, " +
+        "SUM(CASE WHEN is_new THEN 1 ELSE 0 END)::BIGINT AS n_docs_new, " +
+        "SUM(CASE WHEN NOT is_new THEN len(w) ELSE 0 END)::BIGINT AS n_tokens_old, " +
+        "SUM(CASE WHEN is_new THEN len(w) ELSE 0 END)::BIGINT AS n_tokens_new " +
+        "FROM d GROUP BY source), " +
+        "ov AS (SELECT DISTINCT UNNEST(w) AS token FROM d WHERE NOT is_new), " +
+        "nt AS (SELECT source, COUNT(DISTINCT token)::BIGINT AS n_new_tokens FROM " +
+        "(SELECT DISTINCT source, UNNEST(w) AS token FROM d WHERE is_new) s " +
+        "WHERE token NOT IN (SELECT token FROM ov) GROUP BY source) " +
+        "SELECT source, n_docs_old, n_docs_new, n_tokens_old, n_tokens_new, " +
+        "COALESCE(n_new_tokens, 0) AS n_new_tokens " +
+        "FROM vol LEFT JOIN nt USING (source) ORDER BY source"),
     // t14: document-level co-occurrence — list_distinct collapses each
     // doc's token multiset exactly like array_distinct before counting,
     // and the (n_docs_both DESC, token) order is total so LIMIT is stable.

@@ -235,6 +235,65 @@ object Profile {
     * per-shingle aggregate (explode + count), so the corpus is tokenized
     * exactly once.
     */
+  /** DQ5 — corpus DRIFT profile between the old and new halves of the
+    * corpus (split at `(max(doc_id)+1) div 2`, the same seal point every
+    * incremental twin uses): per source, document and token volumes on
+    * each side plus `n_new_tokens` — distinct tokens this source's new
+    * half introduces that the ENTIRE old corpus (all sources) never
+    * contained. The crawl-over-crawl monitoring table a pipeline alerts
+    * on: volume collapse, length drift and vocabulary churn are the three
+    * canonical drift signals, and the cross-source old-vocab reference
+    * distinguishes genuinely new language from tokens merely migrating
+    * between sources.
+    *
+    * Scale shape: two source-keyed aggregates over the doc stream plus
+    * one token-keyed anti join (new half's (source, token) distinct set
+    * against the old vocabulary — linear in the token stream, map-side
+    * combinable); the old-vocab side is the corpus vocabulary, a
+    * token-cardinality table, never the token stream itself.
+    */
+  def driftProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .documents(spark, dir)
+      .select(col("source"), col("doc_id"), split(col("text"), " ").as("w"))
+    val split0 = Tables
+      .documents(spark, dir)
+      .agg(expr("coalesce((max(doc_id) + 1) div 2, 0)").as("k"))
+      .head()
+      .getLong(0)
+    val tagged = docs.withColumn("is_new", col("doc_id") >= split0)
+    val volumes = tagged
+      .groupBy("source")
+      .agg(
+        sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_docs_old"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("n_docs_new"),
+        sum(when(!col("is_new"), size(col("w")).cast("long")).otherwise(0L)).as("n_tokens_old"),
+        sum(when(col("is_new"), size(col("w")).cast("long")).otherwise(0L)).as("n_tokens_new")
+      )
+    val oldVocab = tagged
+      .where(!col("is_new"))
+      .select(explode(array_distinct(col("w"))).as("token"))
+      .distinct()
+    val newTokens = tagged
+      .where(col("is_new"))
+      .select(col("source"), explode(array_distinct(col("w"))).as("token"))
+      .distinct()
+      .join(oldVocab, Seq("token"), "left_anti")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_new_tokens"))
+    volumes
+      .join(newTokens, Seq("source"), "left")
+      .select(
+        col("source"),
+        col("n_docs_old"),
+        col("n_docs_new"),
+        col("n_tokens_old"),
+        col("n_tokens_new"),
+        coalesce(col("n_new_tokens"), lit(0L)).as("n_new_tokens")
+      )
+      .orderBy("source")
+  }
+
   def sourceAffinity(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val perShingle = Dedup

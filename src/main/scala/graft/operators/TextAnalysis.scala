@@ -1611,16 +1611,39 @@ object TextAnalysis {
       s"positions-v$PositionsSchemeVersion"
     )
     LayoutCache.getOrBuild(spark, "graft_positions", key) { out =>
-      Tables
-        .documents(spark, dir)
-        .select(col("doc_id"), posexplode(toks).as(Seq("pos", "token")))
-        .where(length(col("token")) > 0)
-        .groupBy("doc_id", "token")
-        .agg(sort_array(collect_list(col("pos"))).as("positions"))
+      positionsSegment(Tables.documents(spark, dir))
         .repartition(col("token"))
         .sortWithinPartitions("token")
         .write.mode("overwrite").parquet(s"$out/positions.parquet")
     }
+  }
+
+  /** The positional-postings builder alone — `(doc_id, token, positions)`
+    * for one document set. ONE definition shared by the batch layout
+    * ([[positionsLayoutCache]]) and the streaming maintenance twin
+    * ([[graft.streaming.PositionsStream]]), so a streamed segment can
+    * never tokenize or position differently from the batch build.
+    */
+  private[graft] def positionsSegment(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "token")))
+      .where(length(col("token")) > 0)
+      .groupBy("doc_id", "token")
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+
+  /** The phrase-adjacency tail over any positional-postings frame —
+    * shared by t15's batch path and the stream-maintained index (each
+    * doc's position rows live in exactly one segment, so a union of
+    * segments feeds the same join unchanged).
+    */
+  private[graft] def phraseOverPositions(positions: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.length == 2 && phrase.forall(t => t.nonEmpty && !t.contains("'") && !t.contains(" ")))
+    val pa = positions.where(col("token") === phrase(0)).select(col("doc_id"), col("positions").as("pa"))
+    val pb = positions.where(col("token") === phrase(1)).select(col("doc_id"), col("positions").as("pb"))
+    pa.join(pb, "doc_id")
+      .where(arrays_overlap(expr("transform(pa, x -> x + 1)"), col("pb")))
+      .select("doc_id")
+      .orderBy("doc_id")
   }
 
   /** T15 — phrase search OVER THE POSITIONAL INDEX: t3's contract (docs
@@ -1635,15 +1658,8 @@ object TextAnalysis {
     * t3 by construction — the oracle string is shared verbatim.
     */
   def phraseSearchIndexed(spark: SparkSession, dir: String, phrase: Seq[String] = PhraseTerms): DataFrame = {
-    require(phrase.length == 2 && phrase.forall(t => t.nonEmpty && !t.contains("'") && !t.contains(" ")))
     val layout = positionsLayoutCache(spark, dir)
-    val p      = spark.read.parquet(s"$layout/positions.parquet")
-    val pa     = p.where(col("token") === phrase(0)).select(col("doc_id"), col("positions").as("pa"))
-    val pb     = p.where(col("token") === phrase(1)).select(col("doc_id"), col("positions").as("pb"))
-    pa.join(pb, "doc_id")
-      .where(arrays_overlap(expr("transform(pa, x -> x + 1)"), col("pb")))
-      .select("doc_id")
-      .orderBy("doc_id")
+    phraseOverPositions(spark.read.parquet(s"$layout/positions.parquet"), phrase)
   }
 
   def substringSearchIncremental(spark: SparkSession, dir: String, pattern: String = SubstringPattern): DataFrame = {

@@ -201,4 +201,27 @@ class ProfileSpec extends SparkSpec {
     val news = rows.map(_.getAs[Long]("n_new_tokens"))
     assert(news.head == news.max)
   }
+
+  test("dq5: drift ledger by hand — migrated tokens are not new, new vocab counts once per source") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    Seq(
+      // old half (ids < (3+1) div 2 = 2)
+      (0L, "alpha beta", "en", "A", 1L),
+      (1L, "gamma", "en", "B", 1L),
+      // new half: delta/epsilon genuinely new; alpha repeats in-source,
+      // beta migrates A→B (present in the OLD corpus, so not new)
+      (2L, "alpha delta", "en", "A", 1L),
+      (3L, "beta epsilon epsilon", "en", "B", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Profile.driftProfile(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSeq
+    assert(got == Seq(
+      ("A", 1L, 1L, 2L, 2L, 1L), // delta
+      ("B", 1L, 1L, 1L, 3L, 1L)  // epsilon (twice in text, once in vocab)
+    ))
+  }
 }

@@ -356,6 +356,47 @@ class StreamingSpec extends SparkSpec {
     assert(pairs(graft.streaming.PostingsStream.bm25RankStreamed(spark, indexDir)) == streamed)
   }
 
+  test("streaming positions maintenance: phrase over streamed segments == t3 corpus scan; sealed; idempotent") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    val base = java.nio.file.Files.createTempDirectory("graft_spos")
+    val src  = base.resolve("src"); java.nio.file.Files.createDirectories(src)
+    val stagingDir = base.resolve("stage")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      df.coalesce(1).write.mode("overwrite").parquet(s"$stagingDir/$name")
+      java.nio.file.Files.move(
+        java.nio.file.Files.list(stagingDir.resolve(name)).filter(_.toString.endsWith(".parquet")).findFirst.get,
+        src.resolve(s"$name.parquet")
+      )
+    }
+    val docs     = graft.sources.Tables.documents(spark, sf0001)
+    val indexDir = s"$base/idx"
+    stage(docs.where(col("doc_id") < 250), "b1")
+    val q = graft.streaming.PositionsStream.positionsStream(spark, src.toString, indexDir, s"$base/ckpt")
+    val b0Seg = java.nio.file.Paths.get(s"$indexDir/positions/batch_id=0")
+    def firstParquetMtime(p: java.nio.file.Path): Long =
+      java.nio.file.Files.walk(p).filter(_.toString.endsWith(".parquet")).findFirst.get.toFile.lastModified()
+    val mtime0 =
+      try {
+        q.processAllAvailable()
+        firstParquetMtime(b0Seg)
+      } finally {
+        stage(docs.where(col("doc_id") >= 250), "b2")
+        q.processAllAvailable()
+        q.stop()
+      }
+    // phrase search over the streamed index == the t3 corpus scan (the
+    // disjoint-segment argument: each doc's position rows live once)
+    def ids(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.getLong(0)).toSeq
+    val streamed = ids(graft.streaming.PositionsStream.phraseSearchStreamed(spark, indexDir))
+    assert(streamed == ids(TextAnalysis.phraseSearch(spark, sf0001)) && streamed.nonEmpty)
+    // batch 0's segment is sealed: batch 1 never re-indexed it
+    assert(firstParquetMtime(b0Seg) == mtime0, "batch-0 positions segment was rewritten by batch 1")
+    // checkpoint-replay idempotence: same batch_id rewrites, never doubles
+    graft.streaming.PositionsStream.processBatch(docs.where(col("doc_id") < 250), indexDir, 0L)
+    assert(ids(graft.streaming.PositionsStream.phraseSearchStreamed(spark, indexDir)) == streamed)
+  }
+
   test("streaming tokenizer counts: retrain from streamed segments == v1 full retrain; sealed; idempotent") {
     import org.apache.spark.sql.functions._
     val base = java.nio.file.Files.createTempDirectory("graft_stok")
