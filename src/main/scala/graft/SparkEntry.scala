@@ -143,6 +143,7 @@ object SparkEntry {
     "d13_redact_pii"        -> (TextAnalysis.redactPiiQuery _),
     "d14_repetition_stats"  -> (TextAnalysis.repetitionStats _),
     "d31_trim_repeated_ngrams" -> (TextAnalysis.trimRepeatedNgrams _),
+    "d32_substring_decontaminate" -> (Curation.substringDecontaminate _),
     "d15_top_salient_term"  -> (TextAnalysis.topSalientTerm _),
     "f1_fuzzy_token_pairs"  -> ((s: SparkSession, d: String) => TextAnalysis.fuzzyTokenPairs(s, d)),
     "n7_shared_spans"       -> ((s: SparkSession, d: String) => Dedup.sharedSpans(s, d)),
@@ -840,6 +841,15 @@ object SparkEntry {
         "FROM toks, UNNEST(range(0, len(w), " + Curation.ChunkStride + ")) AS t(s) " +
         "ORDER BY doc_id, chunk_id"),
     "d8_decontaminate" -> DecontaminateSql,
+    // d32: the trigram candidate pass is a pre-filter, never a truth
+    // source — the oracle is the direct contains join (d20's discipline).
+    "d32_substring_decontaminate" ->
+      (s"WITH n AS (SELECT doc_id AS bench_id, substr(text, 1, ${Curation.NeedleChars}) AS needle " +
+        "FROM documents WHERE doc_id % 50 = 0 AND length(substr(text, 1, " +
+        s"${Curation.NeedleChars})) >= 3) " +
+        "SELECT t.doc_id, COUNT(DISTINCT bench_id)::BIGINT AS n_bench_needles " +
+        "FROM documents t, n WHERE t.doc_id % 50 <> 0 AND contains(t.text, n.needle) " +
+        "GROUP BY t.doc_id ORDER BY t.doc_id"),
     // d20 is d8's bloom-pruned twin: the bloom is a pre-filter, never a
     // truth source, so the exact report (and its oracle) is UNCHANGED.
     "d20_decontaminate_bloom" -> DecontaminateSql,

@@ -185,6 +185,60 @@ object Curation {
     */
   private def isBench = col("doc_id") % 50 === 0
 
+  /** Needle width (characters) for [[substringDecontaminate]]. */
+  val NeedleChars = 24
+
+  /** D32 — SUBSTRING-level decontamination: the stricter, character-exact
+    * contamination check next to d8's token-shingle overlap (the
+    * distinction eval-suite reports draw between "n-gram overlap" and
+    * "verbatim inclusion"). Each benchmark document contributes one
+    * [[NeedleChars]]-char needle (its prefix); a training document is
+    * flagged per benchmark needle it contains VERBATIM.
+    *
+    * The engine side is t8's trigram index generalized from one pattern
+    * to a pattern TABLE: every needle's distinct character trigrams join
+    * the gram-keyed postings in ONE batched join (cost = Σ posting
+    * lengths of the needles' grams — never needles × corpus), a
+    * per-(doc, needle) gram-count check keeps only docs carrying ALL of
+    * a needle's grams, and the exact `contains` verify touches candidate
+    * text only. At a benchmark suite of 10⁵ needles against 100 TB this
+    * is the difference between a scan per needle and one indexed join —
+    * the same argument that makes t8 viable, amortized across the suite.
+    * The trigram filter is a PRE-FILTER, never a truth source (d20's
+    * discipline): the oracle is the direct contains join.
+    */
+  def substringDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val needles = docs
+      .where(isBench)
+      .select(col("doc_id").as("bench_id"), substring(col("text"), 1, NeedleChars).as("needle"))
+      .where(length(col("needle")) >= 3)
+    val ngrams = needles.select(
+      col("bench_id"),
+      explode(
+        expr("array_distinct(transform(sequence(0, length(needle) - 3), i -> substring(needle, i + 1, 3)))")
+      ).as("g")
+    )
+    val ngCount = ngrams.groupBy("bench_id").agg(count(lit(1)).as("n_g"))
+    val tri = spark.read
+      .parquet(s"${TextAnalysis.trigramLayoutCache(spark, dir)}/trigrams.parquet")
+      .where(col("doc_id") % 50 =!= 0)
+    val cand = tri
+      .join(ngrams, "g")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("ng"))
+      .join(broadcast(ngCount), "bench_id")
+      .where(col("ng") === col("n_g"))
+      .select("doc_id", "bench_id")
+    cand
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .join(broadcast(needles), "bench_id")
+      .where(col("text").contains(col("needle")))
+      .groupBy("doc_id")
+      .agg(countDistinct("bench_id").as("n_bench_needles"))
+      .orderBy("doc_id")
+  }
+
   /** D8 — train/eval decontamination: for every training document, count the
     * benchmark documents and distinct shingles it shares a 3-gram with —
     * the contamination report a pipeline runs before shipping a corpus that

@@ -316,6 +316,28 @@ class CurationSpec extends SparkSpec {
     assert(rows.sortBy(_._1).map(_._3).toSeq != rows.map(_._3).sorted.toSeq)
   }
 
+  test("d32: verbatim inclusion flags; all-trigrams-but-scrambled passes the pre-filter yet fails verify") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_subdecon").toString
+    // bench doc 0's needle = its 24-char prefix: "the quick brown fox jump"
+    val needle = "the quick brown fox jump"
+    assert(needle.length == Curation.NeedleChars)
+    // doc 2 carries EVERY trigram of the needle (two overlapping halves,
+    // reordered) but never the contiguous needle — the candidate the
+    // trigram pre-filter admits and the exact contains verify must reject
+    val scrambled = needle.substring(12) + "ZZZ" + needle.substring(0, 14)
+    Seq(
+      (0L, needle + "s over the lazy dog", "en", "bench", 1L),
+      (1L, "PRE " + needle + "s END", "en", "t", 1L),
+      (2L, scrambled, "en", "t", 1L),
+      (3L, "nothing related here at all", "en", "t", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Curation.substringDecontaminate(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L)))
+  }
+
   test("d20 bloom decontamination == d8 exactly; plan probes the bloom before joining") {
     val d8 = graft.operators.Curation.decontaminate(spark, sf0001).collect().map(_.toSeq).toSeq
     val d20 = graft.operators.Curation.decontaminateBloom(spark, sf0001)

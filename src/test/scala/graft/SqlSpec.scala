@@ -38,7 +38,11 @@ class SqlSpec extends SparkSpec {
       "q34_waiting_suppliers", "q35_excess_shipments", "q36_late_shipment_priority",
       "q37_dormant_rich_customers", "q38_priority_late_orders", "q39_market_share",
       "q40_returned_item_revenue", "q41_supplier_diversity", "q42_trade_volume",
-      "q43_disjunctive_revenue", "q44_promo_revenue", "q47_top_supplier"
+      "q43_disjunctive_revenue", "q44_promo_revenue", "q47_top_supplier",
+      // round-11 second wave: q50's plain-semi-join oracle and u3's bucket
+      // arithmetic both parse on Spark 4 (:: cast is shared syntax since
+      // 3.4); u3 stays out only for quantile_cont/list-literal syntax.
+      "q50_bloom_prefilter_join"
     )
     for (name <- ansiShared) {
       val viaDf  = SparkEntry.queries(name)(spark, sf0001).collect().map(_.toSeq).toSeq
