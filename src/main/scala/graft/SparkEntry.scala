@@ -82,6 +82,7 @@ object SparkEntry {
     "d7_normalized_fingerprint" -> (TextAnalysis.normalizedFingerprint _),
     // near-duplicate detection
     "n1_ngram_jaccard_pairs" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
+    "n16_containment_pairs"  -> ((s: SparkSession, d: String) => Dedup.ngramContainmentPairs(s, d)),
     "n2_minhash_lsh_pairs"   -> (Dedup.minhashLshPairs _),
     "n3_simhash_pairs"       -> (Dedup.simhashPairs _),
     "n3p_simhash_pairs_planted" -> (Dedup.simhashPairsPlanted _),
@@ -445,6 +446,18 @@ object SparkEntry {
       ("SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS nfp " +
         "FROM documents ORDER BY doc_id"),
     "n1_ngram_jaccard_pairs" -> ngramJaccardOracle,
+    // n16: n1's pair core with the asymmetric normalization — same
+    // hash-invariant intersection counts, containment gate on min(|A|,|B|).
+    "n16_containment_pairs" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s " +
+        "FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)), " +
+        "cnt AS (SELECT doc_id, count(*) c FROM sh GROUP BY doc_id), " +
+        "p AS (SELECT a.doc_id da, b.doc_id db, count(*) inter FROM sh a " +
+        "JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY da, db) " +
+        "SELECT da AS doc_a, db AS doc_b, inter, LEAST(ca.c, cb.c) AS c_small " +
+        "FROM p JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id " +
+        "WHERE 5 * inter >= 4 * LEAST(ca.c, cb.c) ORDER BY doc_a, doc_b"),
     "g2_dup_pagerank" -> dupPagerankOracle,
     // MinHash-LSH candidates are exact-verified, and at this corpus's
     // similarity levels (planted pairs ≥0.95, next natural pair ≤0.14)

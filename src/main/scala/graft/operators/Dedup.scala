@@ -675,6 +675,20 @@ object Dedup {
   ): DataFrame = {
     val maxDf = if (maxShingleDf >= 0) maxShingleDf
       else graft.GraftConf.int(spark, "jaccard.max_shingle_df", 1000).toLong
+    shinglePairCounts(spark, dir, maxDf)
+      .withColumn("un", col("ca") + col("cb") - col("inter"))
+      .where(col("inter") * 5 >= col("un") * 4)
+      .select("doc_a", "doc_b", "inter", "un")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The shared exact pair-intersection core behind [[ngramJaccardPairs]]
+    * and [[ngramContainmentPairs]] — per candidate pair the distinct-
+    * shingle intersection plus both documents' shingle cardinalities.
+    * Intersection counts are hash-invariant (distinct 64-bit hashes per
+    * doc), which is why both consumers stay DuckDB-oracle-checkable.
+    */
+  private def shinglePairCounts(spark: SparkSession, dir: String, maxDf: Long): DataFrame = {
     val sh = cappedShingles(Tables.documents(spark, dir), maxDf = maxDf)
       .withColumn("h", xxhash64(col("s")))
     val idx = sh
@@ -691,9 +705,32 @@ object Dedup {
         col("b.c").as("cb")
       )
       .agg(count(lit(1)).as("inter"))
-      .withColumn("un", col("ca") + col("cb") - col("inter"))
-      .where(col("inter") * 5 >= col("un") * 4)
-      .select("doc_a", "doc_b", "inter", "un")
+  }
+
+  /** N16 — CONTAINMENT near-dup pairs: the asymmetric twin of n1, scoring
+    * `|A∩B| / min(|A|, |B|)` instead of Jaccard. The case this catches
+    * that Jaccard structurally cannot: a short document embedded verbatim
+    * in a much longer one (quotation, concatenation, boilerplate wrapper)
+    * has containment ≈ 1 while Jaccard ≈ |A|/|B| → 0 — so a Jaccard-only
+    * dedup keeps the duplicate. Threshold 0.8 on the smaller side,
+    * integer cross-multiplied like every ratio gate here.
+    *
+    * Same exact inverted-index core as n1 (one shingle-keyed shuffle,
+    * candidate pairs only from co-occurring shingles, hot-shingle df cap)
+    * — and the same scale label: this is the exact-oracle rung; at corpus
+    * scale the banded-LSH rung (n2) generates candidates and this
+    * containment score replaces the Jaccard verify where subset-dups
+    * matter.
+    */
+  def ngramContainmentPairs(spark: SparkSession, dir: String,
+      maxShingleDf: Long = -1L
+  ): DataFrame = {
+    val maxDf = if (maxShingleDf >= 0) maxShingleDf
+      else graft.GraftConf.int(spark, "jaccard.max_shingle_df", 1000).toLong
+    shinglePairCounts(spark, dir, maxDf)
+      .withColumn("c_small", least(col("ca"), col("cb")))
+      .where(col("inter") * 5 >= col("c_small") * 4)
+      .select("doc_a", "doc_b", "inter", "c_small")
       .orderBy("doc_a", "doc_b")
   }
 

@@ -24,6 +24,25 @@ class DedupSpec extends SparkSpec {
     assert(pairSet(Dedup.ngramJaccardPairs(spark, sf0001)) == plantedPairs)
   }
 
+  test("n16: subset-dup (short doc inside long) is a containment hit that Jaccard structurally misses") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_contain").toString
+    // doc 1 = 6 tokens (4 shingles), doc 2 = doc 1 verbatim inside 30
+    // tokens (28 shingles): containment = 4/4 = 1.0, Jaccard = 4/28 ≈ 0.14
+    val short0 = "alpha beta gamma delta epsilon zeta"
+    val filler = (1 to 24).map(i => s"w$i").mkString(" ")
+    Seq(
+      (1L, short0, "en", "t", 1L),
+      (2L, short0 + " " + filler, "en", "t", 1L),
+      (3L, "totally unrelated content here now", "en", "t", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cont = Dedup.ngramContainmentPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(cont == Seq((1L, 2L, 4L, 4L)))
+    assert(Dedup.ngramJaccardPairs(spark, dir).count() == 0L, "Jaccard must miss the subset dup")
+  }
+
   test("n2 minhash-lsh reproduces the exact result at planted similarity levels") {
     val n1 = Dedup.ngramJaccardPairs(spark, sf0001).collect().map(_.toSeq).toSeq
     val n2 = Dedup.minhashLshPairs(spark, sf0001).collect().map(_.toSeq).toSeq
