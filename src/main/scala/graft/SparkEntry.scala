@@ -301,6 +301,7 @@ object SparkEntry {
     "t14_term_cooccurrence" -> ((s: SparkSession, d: String) => TextAnalysis.termCooccurrence(s, d)),
     "t15_phrase_indexed" -> ((s: SparkSession, d: String) => TextAnalysis.phraseSearchIndexed(s, d)),
     "g2_dup_pagerank" -> ((s: SparkSession, d: String) => Dedup.dupPagerank(s, d)),
+    "g3_label_propagation" -> ((s: SparkSession, d: String) => Dedup.labelPropagation(s, d)),
     // round 10: product quantization — the 8-byte-code rung of the
     // quantization ladder (s8 = SQ8). No oracle: ADC reconstruction error
     // is data-dependent and CAN reorder near-tied background vectors
@@ -459,6 +460,7 @@ object SparkEntry {
         "FROM p JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id " +
         "WHERE 5 * inter >= 4 * LEAST(ca.c, cb.c) ORDER BY doc_a, doc_b"),
     "g2_dup_pagerank" -> dupPagerankOracle,
+    "g3_label_propagation" -> labelPropOracle,
     // MinHash-LSH candidates are exact-verified, and at this corpus's
     // similarity levels (planted pairs ≥0.95, next natural pair ≤0.14)
     // P(candidate miss) < 1e-10 — the exact-Jaccard SQL is its oracle.
@@ -1942,6 +1944,31 @@ object SparkEntry {
   // every step is BIGINT division/addition, so there is no float to drift
   // and the 3-iteration ranks are bit-equal by construction. The pair graph
   // is the same exact-Jaccard derivation n1/n2 are checked against.
+  /** g3's oracle — the same edge derivation as g2's, with
+    * [[graft.operators.Dedup.LabelPropIters]] min-label rounds unrolled
+    * (the fixed-iteration discipline: the oracle replays exactly the
+    * contract's k synchronized rounds).
+    */
+  private val labelPropOracle: String = {
+    val prefix =
+      "WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s " +
+        "FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)), " +
+        "cnt AS (SELECT doc_id, count(*) c FROM sh GROUP BY doc_id), " +
+        "p AS (SELECT a.doc_id da, b.doc_id db, count(*) inter FROM sh a " +
+        "JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY da, db), " +
+        "good AS (SELECT da, db FROM p JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id " +
+        "WHERE 5 * inter >= 4 * (ca.c + cb.c - inter)), " +
+        "edges AS (SELECT da AS s, db AS d FROM good UNION ALL SELECT db, da FROM good), " +
+        "l0 AS (SELECT DISTINCT s, s AS lbl FROM edges)"
+    val nIters = Dedup.LabelPropIters
+    val iterations = (1 to nIters).map { i =>
+      s"m$i AS (SELECT e.d, MIN(l.lbl) AS mn FROM l${i - 1} l JOIN edges e ON l.s = e.s GROUP BY e.d), " +
+        s"l$i AS (SELECT l.s, LEAST(l.lbl, m$i.mn) AS lbl FROM l${i - 1} l JOIN m$i ON m$i.d = l.s)"
+    }.mkString(", ")
+    s"$prefix, $iterations SELECT s AS doc_id, lbl AS label FROM l$nIters ORDER BY doc_id"
+  }
+
   private val dupPagerankOracle: String = {
     val S = "1000000000000"
     val T = "150000000000"

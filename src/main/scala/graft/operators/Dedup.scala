@@ -1203,6 +1203,53 @@ object Dedup {
     */
   val DupPagerankIters: Int = 3
 
+  /** Synchronized rounds for [[labelPropagation]] — part of the CONTRACT
+    * (the oracle unrolls exactly this many), like [[DupPagerankIters]].
+    */
+  val LabelPropIters = 3
+
+  /** G3 — min-label propagation over the near-dup graph: every node
+    * starts as its own label; each synchronized round every node takes
+    * the minimum of its label and its neighbors' previous-round labels.
+    * After k rounds a node's label is the minimum doc_id within ≤ k hops
+    * — i.e. n6's connected components RESTRICTED to a fixed frontier,
+    * which is precisely the trade a 100 TB dedup graph forces: component
+    * chains longer than k are rare in near-dup graphs (they indicate
+    * template families, which n6's full closure handles), while k
+    * bounded rounds mean k bounded shuffles with no iterate-to-
+    * convergence driver loop. Partial convergence at the committed k is
+    * the CONTRACT, not an approximation defect — the oracle unrolls the
+    * same k rounds (g2's fixed-iteration discipline), and the spec pins
+    * a chain where k rounds are insufficient by design.
+    */
+  def labelPropagation(spark: SparkSession, dir: String, iters: Int = LabelPropIters): DataFrame = {
+    val pairs = minhashLshPairs(spark, dir).select("doc_a", "doc_b")
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    propagateLabels(edges, iters)
+      .select(col("src").as("doc_id"), col("lbl").as("label"))
+      .orderBy("doc_id")
+  }
+
+  /** The propagation core over any symmetric (src, dst) edge frame —
+    * split out so specs can drive hand-built graphs. Every node in a
+    * pair graph has ≥ 1 neighbor, so the per-round join is inner.
+    */
+  private[graft] def propagateLabels(edges: DataFrame, iters: Int): DataFrame = {
+    var labels = edges.select(col("src")).distinct().withColumn("lbl", col("src"))
+    for (_ <- 1 to iters) {
+      val nbrMin = labels
+        .join(edges, "src")
+        .groupBy(col("dst"))
+        .agg(min("lbl").as("mn"))
+      labels = labels
+        .join(nbrMin, labels("src") === nbrMin("dst"))
+        .select(labels("src"), least(col("lbl"), col("mn")).as("lbl"))
+    }
+    labels
+  }
+
   def dupPagerank(spark: SparkSession, dir: String, iters: Int = DupPagerankIters): DataFrame = {
     val S = 1000000000000L // 1e12 fixed-point scale
     val T = 150000000000L  // 0.15 * S: total teleport mass per node share

@@ -43,6 +43,28 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.ngramJaccardPairs(spark, dir).count() == 0L, "Jaccard must miss the subset dup")
   }
 
+  test("g3: min-label propagation — 3 rounds reach exactly 3 hops on a chain; labels refine n6 components") {
+    import spark.implicits._
+    // path 0-1-2-3-4-5: after 3 synchronized rounds node k holds
+    // max(0, k-3) — the designed partial convergence at the contract's k
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (path ++ path.map(_.swap)).toDF("src", "dst")
+    val got = Dedup.propagateLabels(edges, Dedup.LabelPropIters)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got == Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L), (5L, 2L)))
+    // real corpus: equal g3 labels never straddle two n6 components (a
+    // label reaches only nodes connected to its origin)
+    val labels = Dedup.labelPropagation(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val comp = Dedup.dupClusters(spark, sf0001)
+      .select("doc_id", "cluster_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.nonEmpty)
+    labels.groupBy(_._2).values.foreach { members =>
+      assert(members.keys.map(comp).toSet.size == 1, "one label across two components")
+    }
+  }
+
   test("n2 minhash-lsh reproduces the exact result at planted similarity levels") {
     val n1 = Dedup.ngramJaccardPairs(spark, sf0001).collect().map(_.toSeq).toSeq
     val n2 = Dedup.minhashLshPairs(spark, sf0001).collect().map(_.toSeq).toSeq
