@@ -170,6 +170,7 @@ object SparkEntry {
     "dq2_profile_documents" -> (Profile.profileDocuments _),
     "p5_shuffle_order"      -> (Curation.shuffleOrder _),
     "p8_block_shuffle_order" -> (Curation.blockShuffleOrder _),
+    "p9_source_interleave"  -> (Curation.sourceInterleaveOrder _),
     // round 9: quality-quartile curriculum order (v3 score layout + d21's
     // percentile parity + p5's retry-stable intra-phase shuffle key)
     "p6_curriculum_order"   -> (Curation.curriculumOrder _),
@@ -1309,6 +1310,14 @@ object SparkEntry {
     "p5_shuffle_order" ->
       ("SELECT (row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1)::BIGINT AS shuffle_pos, " +
         "doc_id FROM documents ORDER BY shuffle_pos"),
+    // p9: per-source ranks by the p5 hash rule, then a dense ordinal over
+    // (rank, source) — (rank, source) is unique (rank is per-source), so
+    // the global row_number needs no further tiebreak.
+    "p9_source_interleave" ->
+      ("WITH r AS (SELECT source, doc_id, row_number() OVER " +
+        "(PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM documents) " +
+        "SELECT (row_number() OVER (ORDER BY rk, source) - 1)::BIGINT AS epoch_pos, source, doc_id " +
+        "FROM r ORDER BY epoch_pos"),
     // p8: p5's hash rule inside doc_id-div blocks; both engines' integer
     // division floors non-negative ids identically.
     "p8_block_shuffle_order" ->

@@ -601,6 +601,34 @@ object Curation {
       .orderBy("epoch_pos")
   }
 
+  /** P9 — SOURCE-INTERLEAVED epoch order: documents ranked within their
+    * source by the p5 content-hash rule, then emitted round-robin across
+    * sources (global order = (rank, source)) — the batch-diversity
+    * guarantee a mixture trainer wants: consecutive loader positions
+    * cycle through every still-live source instead of running a hot
+    * source dry first. Deterministic and retry-stable like p5/p8 (no
+    * `rand()`), and the mixture proportions over any prefix track d9's
+    * targets as closely as a deterministic order can.
+    *
+    * Scale shape: the per-source rank window is source-keyed (skew bound
+    * = the largest single source); the dense `epoch_pos` then costs one
+    * range-partition sort on (rank, source) — the same total-order cost
+    * p5 pays, inherent to emitting a dense ordinal. A consumer that can
+    * accept the (rank, source) composite key as its order skips that
+    * final sort entirely.
+    */
+  def sourceInterleaveOrder(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = Tables
+      .documents(spark, dir)
+      .select(col("source"), col("doc_id"), md5(col("doc_id").cast("string")).as("hk"))
+      .withColumn(
+        "rk",
+        row_number().over(Window.partitionBy("source").orderBy("hk", "doc_id")).cast("long")
+      )
+    zipIndexedByOrder(ranked.orderBy("rk", "source"), "epoch_pos")
+      .select("epoch_pos", "source", "doc_id")
+  }
+
   def shuffleOrder(spark: SparkSession, dir: String): DataFrame =
     zipIndexedByOrder(
       Tables

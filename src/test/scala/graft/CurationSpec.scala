@@ -338,6 +338,29 @@ class CurationSpec extends SparkSpec {
     assert(got == Seq((1L, 1L)))
   }
 
+  test("p9: round-robin across live sources; per-source order is the md5 rank; permutation") {
+    val rows = Curation.sourceInterleaveOrder(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    // permutation of the corpus
+    assert(rows.map(_._3).distinct.length == rows.length)
+    // while every source is live, each window of n_sources positions
+    // carries each source exactly once (round-robin batch diversity)
+    val bySource = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    val nSources = bySource.size
+    val liveRounds = bySource.values.min
+    rows.take(liveRounds * nSources).grouped(nSources).foreach { w =>
+      assert(w.map(_._2).toSet.size == nSources, s"window not diverse: ${w.map(_._2).toSeq}")
+    }
+    // per-source relative order replays the p5 md5 rule
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    rows.groupBy(_._2).values.foreach { src =>
+      val inEpoch = src.sortBy(_._1).map(_._3).toSeq
+      assert(inEpoch == src.map(_._3).sortBy(id => (md5hex(id.toString), id)).toSeq)
+    }
+  }
+
   test("d20 bloom decontamination == d8 exactly; plan probes the bloom before joining") {
     val d8 = graft.operators.Curation.decontaminate(spark, sf0001).collect().map(_.toSeq).toSeq
     val d20 = graft.operators.Curation.decontaminateBloom(spark, sf0001)
