@@ -114,6 +114,7 @@ object SparkEntry {
     "s15_mutual_knn_pairs"   -> ((s: SparkSession, d: String) => Similarity.mutualKnnPairs(s, d)),
     "s16_mutual_knn_clusters" -> ((s: SparkSession, d: String) => Similarity.mutualKnnClusters(s, d)),
     "c1_clean_corpus"   -> ((s: SparkSession, d: String) => Pipeline.cleanCorpus(s, d)),
+    "c3_token_yield"    -> ((s: SparkSession, d: String) => Pipeline.tokenYield(s, d)),
     "a1_asof_join"      -> (AsOf.purchaseAsofClick _),
     "a2_interval_join"  -> ((s: SparkSession, d: String) => AsOf.intervalPairCount(s, d)),
     "a3_asof_tolerance" -> ((s: SparkSession, d: String) => AsOf.purchaseAsofClickWithin(s, d)),
@@ -1095,6 +1096,16 @@ object SparkEntry {
         "CAST(cnt - lag(cnt, 1) OVER (PARTITION BY o_orderpriority ORDER BY month) AS BIGINT) AS delta FROM m " +
         "ORDER BY o_orderpriority, month"),
     "c1_clean_corpus" -> cleanCorpusOracle,
+    // c3: the same survivor CTE as c1 (one definition both sides), joined
+    // back for the per-source doc/token yield.
+    "c3_token_yield" ->
+      (cleanSurvivorsCte +
+        " SELECT d.source, COUNT(*)::BIGINT AS n_docs_raw, " +
+        "SUM(len(string_split(d.text, ' ')))::BIGINT AS n_tokens_raw, " +
+        "SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_docs_clean, " +
+        "SUM(CASE WHEN c.doc_id IS NOT NULL THEN len(string_split(d.text, ' ')) ELSE 0 END)::BIGINT AS n_tokens_clean " +
+        "FROM documents d LEFT JOIN clean c ON d.doc_id = c.doc_id " +
+        "GROUP BY d.source ORDER BY d.source"),
     // c2 restates c1's own CTE chain as stage counts — the yield report and
     // the pipeline share one oracle definition, like the Spark side reuses
     // cleanCorpus verbatim.
@@ -1770,7 +1781,12 @@ object SparkEntry {
   /** c1's full chain: quality + language + near-dup removal — shared by the
     * c1 gate and c2's n_clean stage.
     */
-  private val cleanCorpusOracle: String =
+  /** The c1 survivor set as a reusable CTE prefix (ends with `clean`) —
+    * shared by c1's id-list oracle and c3's per-source yield oracle, one
+    * survivor definition on the oracle side matching the one
+    * `Pipeline.cleanCorpus` on the engine side.
+    */
+  private lazy val cleanSurvivorsCte: String =
     "WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
       "sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s " +
       "FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)), " +
@@ -1781,10 +1797,12 @@ object SparkEntry {
       "WHERE 5 * inter >= 4 * (ca.c + cb.c - inter)), " +
       "scored AS (SELECT doc_id, " + langScoreSql + " FROM documents), " +
       "lang AS (SELECT doc_id FROM scored WHERE " +
-      "s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh) " +
-      "SELECT d.doc_id FROM documents d JOIN lang l ON d.doc_id = l.doc_id " +
-      "WHERE len(string_split(d.text, ' ')) >= 20 AND d.doc_id NOT IN (SELECT db FROM dup) " +
-      "ORDER BY d.doc_id"
+      "s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh), " +
+      "clean AS (SELECT d.doc_id FROM documents d JOIN lang l ON d.doc_id = l.doc_id " +
+      "WHERE len(string_split(d.text, ' ')) >= 20 AND d.doc_id NOT IN (SELECT db FROM dup))"
+
+  private lazy val cleanCorpusOracle: String =
+    s"$cleanSurvivorsCte SELECT doc_id FROM clean ORDER BY doc_id"
 
   /** Shared CTE chain for n6/n9: exact 3-gram Jaccard ≥ 0.8 pairs →
     * symmetric edges → recursive reachability (`reach(id, r)` = r reaches

@@ -61,6 +61,37 @@ object Pipeline {
     * never disagree with the pipeline it reports on. The final join of two
     * 1-row aggregates is a broadcast cross of singletons.
     */
+  /** C3 — per-source TOKEN yield through the cleaning funnel: documents
+    * and tokens raw vs surviving [[cleanCorpus]], by source — the
+    * "effective dataset size" table a dataset card publishes (training
+    * mixes are budgeted in tokens, not documents, and yield differs per
+    * source because quality/dedup losses do). Reuses [[cleanCorpus]]
+    * verbatim (one definition — the card can never disagree with the
+    * pipeline), adds one left join against the survivor id-list and one
+    * source-keyed aggregate; the token counting rides the same corpus
+    * scan that funnels the filters.
+    */
+  def tokenYield(
+      spark: SparkSession,
+      dir: String,
+      langs: Set[String] = Set("en"),
+      minTokens: Int = 20
+  ): DataFrame = {
+    val clean = cleanCorpus(spark, dir, langs, minTokens).withColumn("is_clean", lit(1L))
+    Tables
+      .documents(spark, dir)
+      .select(col("source"), col("doc_id"), size(split(col("text"), " ")).cast("long").as("ntok"))
+      .join(clean, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs_raw"),
+        sum(col("ntok")).as("n_tokens_raw"),
+        sum(when(col("is_clean").isNotNull, 1L).otherwise(0L)).as("n_docs_clean"),
+        sum(when(col("is_clean").isNotNull, col("ntok")).otherwise(0L)).as("n_tokens_clean")
+      )
+      .orderBy("source")
+  }
+
   def stageCounts(
       spark: SparkSession,
       dir: String,

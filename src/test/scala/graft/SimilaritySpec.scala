@@ -105,6 +105,24 @@ class SimilaritySpec extends SparkSpec {
     assert(nRaw > nQuality && nLang > nClean)
   }
 
+  test("c3: per-source token yield reconciles with c1 survivors and c2 totals") {
+    val rows = graft.operators.Pipeline.tokenYield(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // per-source yields are bounded and consistent
+    rows.foreach { case (_, dr, tr, dc, tc) =>
+      assert(dc <= dr && tc <= tr)
+      assert((dc == 0) == (tc == 0), "doc/token yields must vanish together")
+    }
+    // totals reconcile with the pipeline the table reports on
+    assert(rows.map(_._4).sum == graft.operators.Pipeline.cleanCorpus(spark, sf0001).count())
+    assert(rows.map(_._2).sum == graft.sources.Tables.documents(spark, sf0001).count())
+    // token yield actually differs across sources on this corpus (the
+    // reason the table is per-source at all)
+    val ratios = rows.map { case (_, _, tr, _, tc) => tc.toDouble / tr }
+    assert(ratios.max - ratios.min > 0.01)
+  }
+
   test("s2 lsh is a plausible approximation of s1 (recall >= 3/10)") {
     val exact = Similarity.annBruteForce(spark, sf0001).collect().map(_.getLong(1)).toSet
     val appr  = Similarity.annLsh(spark, sf0001).collect().map(_.getLong(1)).toSet
