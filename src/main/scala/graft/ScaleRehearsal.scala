@@ -428,7 +428,17 @@ object ScaleRehearsal {
       "n11_max_shared_segments", "q10_rollup", "q11_pricing_summary",
       // round 9: the kNN family's memory profile — s13's scored stream
       // through the bounded TopK buffers, s14's per-cluster hash join
-      "s13_knn_join", "s14_knn_join_ivf"
+      "s13_knn_join", "s14_knn_join_ivf",
+      // round 11 second wave: the widest new shuffles — d31's (doc, gram)
+      // window + anti join, d32's gram-keyed candidate join, g3's three
+      // propagation rounds, and the PRODUCTION dedup rung n2 (banded
+      // LSH). The exact pair rungs (n1/n16) stay out by design: on this
+      // rehearsal corpus every replica is a 0.97-Jaccard near-dup of 9
+      // others, so the exact candidate stream is ~10× a natural corpus's
+      // and OOMs a 4 GiB heap (measured — the banded rung exists for
+      // precisely this density; the exact rungs are the oracle rungs).
+      "d31_trim_repeated_ngrams", "n2_minhash_lsh_pairs",
+      "d32_substring_decontaminate", "g3_label_propagation"
     )
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
     for (round <- 1 to 2) { // round 1 warms page cache/JIT; round 2 is the record

@@ -188,6 +188,13 @@ object Curation {
   /** Needle width (characters) for [[substringDecontaminate]]. */
   val NeedleChars = 24
 
+  /** Rarest grams probed per needle by [[substringDecontaminate]]'s
+    * candidate join — any subset of a needle's grams admits a superset
+    * of true matches, so this bounds join volume without touching
+    * exactness (the contains verify is the truth source).
+    */
+  val NeedleProbeGrams = 4
+
   /** D32 — SUBSTRING-level decontamination: the stricter, character-exact
     * contamination check next to d8's token-shingle overlap (the
     * distinction eval-suite reports draw between "n-gram overlap" and
@@ -219,15 +226,38 @@ object Curation {
         expr("array_distinct(transform(sequence(0, length(needle) - 3), i -> substring(needle, i + 1, 3)))")
       ).as("g")
     )
-    val ngCount = ngrams.groupBy("bench_id").agg(count(lit(1)).as("n_g"))
     val tri = spark.read
       .parquet(s"${TextAnalysis.trigramLayoutCache(spark, dir)}/trigrams.parquet")
       .where(col("doc_id") % 50 =!= 0)
+    // Rarest-K gram selection (classic multi-pattern optimization): the
+    // candidate join need not use EVERY gram of a needle — any subset
+    // still yields a superset of true matches (the contains verify keeps
+    // exactness), so probe only each needle's [[NeedleProbeGrams]]
+    // lowest-df grams. Join volume drops from Σ df(all grams) to
+    // Σ df(rarest K): on real text rare trigrams have tiny df and the
+    // batched join stays near-linear in the needle count. (Grams absent
+    // from the corpus keep df = 0 — cheapest possible probes, correctly
+    // yielding zero candidates.)
+    val dfByGram = tri.groupBy("g").agg(count(lit(1)).as("df"))
+    val rarest = ngrams
+      .join(dfByGram, Seq("g"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn(
+        "rk",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("bench_id")
+            .orderBy(col("df"), col("g"))
+        )
+      )
+      .where(col("rk") <= NeedleProbeGrams)
+      .select("bench_id", "g")
+    val probeCount = rarest.groupBy("bench_id").agg(count(lit(1)).as("n_g"))
     val cand = tri
-      .join(ngrams, "g")
+      .join(rarest, "g")
       .groupBy("doc_id", "bench_id")
       .agg(count(lit(1)).as("ng"))
-      .join(broadcast(ngCount), "bench_id")
+      .join(broadcast(probeCount), "bench_id")
       .where(col("ng") === col("n_g"))
       .select("doc_id", "bench_id")
     cand

@@ -691,10 +691,14 @@ object Dedup {
   private def shinglePairCounts(spark: SparkSession, dir: String, maxDf: Long): DataFrame = {
     val sh = cappedShingles(Tables.documents(spark, dir), maxDf = maxDf)
       .withColumn("h", xxhash64(col("s")))
-    val idx = sh
-      .groupBy("doc_id")
-      .agg(collect_set(col("h")).as("hs"), count(lit(1)).as("c"))
-      .select(col("doc_id"), col("c"), explode(col("hs")).as("h"))
+    // Flat distinct + count join rather than collect_set + explode: the
+    // array form holds every doc's full hash set in ObjectHashAggregate
+    // state at once (~2 GiB at the 10× rehearsal — measured OOM at a
+    // 4 GiB heap), while this shape is all flat, spillable
+    // HashAggregates and one doc-keyed join of a doc-cardinality table.
+    val dh  = sh.select("doc_id", "h").distinct()
+    val cnt = dh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val idx = dh.join(cnt, "doc_id").select(col("doc_id"), col("c"), col("h"))
     idx
       .as("a")
       .join(idx.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
