@@ -281,6 +281,7 @@ object SparkEntry {
     "q48_product_profit"              -> (CoreQueries.q48ProductProfit _),
     "q49_excess_availability"         -> (CoreQueries.q49ExcessAvailability _),
     "q50_bloom_prefilter_join"        -> (CoreQueries.q50BloomPrefilterJoin _),
+    "q51_supplier_busy_days"          -> (CoreQueries.q51SupplierBusyDays _),
     // round 10: the novelty KEEP/DROP curation gate over n15's profile
     "d28_novelty_gate"                -> (Dedup.noveltyGate _),
     // round 10: corpus novelty + cross-source overlap audit
@@ -1657,6 +1658,21 @@ object SparkEntry {
     "q47_top_supplier"        -> q47Oracle,
     "q48_product_profit"      -> q48Oracle,
     "q49_excess_availability" -> q49Oracle,
+    // q51: the same island construction in DuckDB's window dialect; both
+    // engines' running max over "ROWS ... AND 1 PRECEDING" and inclusive
+    // day arithmetic agree exactly on dates.
+    "q51_supplier_busy_days" ->
+      ("WITH iv AS (SELECT l_suppkey, o_orderdate::DATE AS d0, l_shipdate::DATE AS d1 " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
+        "m AS (SELECT l_suppkey, d0, d1, MAX(d1) OVER (PARTITION BY l_suppkey ORDER BY d0, d1 " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max FROM iv), " +
+        "f AS (SELECT l_suppkey, d0, d1, CASE WHEN prev_max IS NULL OR d0 > prev_max THEN 1 ELSE 0 END AS opens FROM m), " +
+        "g AS (SELECT l_suppkey, d0, d1, SUM(opens) OVER (PARTITION BY l_suppkey ORDER BY d0, d1 " +
+        "ROWS UNBOUNDED PRECEDING) AS island FROM f), " +
+        "isl AS (SELECT l_suppkey, island, MIN(d0) AS s, MAX(d1) AS e FROM g GROUP BY l_suppkey, island) " +
+        "SELECT l_suppkey, COUNT(*)::BIGINT AS n_busy_periods, " +
+        "CAST(SUM(date_diff('day', s, e) + 1) AS BIGINT) AS busy_days " +
+        "FROM isl GROUP BY l_suppkey ORDER BY l_suppkey"),
     // q50: the bloom is a pre-filter, never a truth source — the oracle is
     // the PLAIN semi join (exactly d8/d20's shared-oracle discipline).
     "q50_bloom_prefilter_join" ->

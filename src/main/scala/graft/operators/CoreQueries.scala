@@ -1628,6 +1628,54 @@ object CoreQueries {
     * pipeline reaches for when it knows the key set (e.g. a curated
     * allow-list) before the optimizer does.
     */
+  /** Q51 — supplier BUSY DAYS: per supplier, merge the overlapping
+    * [order date, ship date] intervals of its lineitems and total the
+    * covered days — the canonical overlapping-interval-union shape
+    * (time-in-state, utilization, on-call coverage) that naive
+    * `SUM(end - start)` double-counts. The merge is the relational
+    * island construction: order intervals by start within supplier,
+    * running `max(end)` over all PRECEDING rows, an island opens where
+    * `start` clears that running maximum, and a running sum of the open
+    * flags numbers the islands. Deterministic regardless of tie order
+    * (the running max is order-insensitive among equal starts).
+    *
+    * Scale shape: both windows and the two aggregates are keyed by
+    * l_suppkey — one hash exchange, per-key state bounded by one
+    * supplier's lineitems, no self-join (the O(n²) overlap join this
+    * shape tempts). Fine at 100 TB wherever a single key's interval
+    * count fits a partition, the same bound every per-entity window in
+    * this repo carries.
+    */
+  def q51SupplierBusyDays(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val iv = Tables
+      .lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(
+        col("l_suppkey"),
+        col("o_orderdate").cast("date").as("d0"),
+        col("l_shipdate").cast("date").as("d1")
+      )
+    val wOrd = Window.partitionBy("l_suppkey").orderBy("d0", "d1")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    iv
+      .withColumn("prev_max", max("d1").over(wRun))
+      .withColumn(
+        "opens",
+        when(col("prev_max").isNull || col("d0") > col("prev_max"), 1L).otherwise(0L)
+      )
+      .withColumn("island", sum("opens").over(wCum))
+      .groupBy("l_suppkey", "island")
+      .agg(min("d0").as("s"), max("d1").as("e"))
+      .groupBy("l_suppkey")
+      .agg(
+        count(lit(1)).as("n_busy_periods"),
+        sum(datediff(col("e"), col("s")) + 1).cast("long").as("busy_days")
+      )
+      .orderBy("l_suppkey")
+  }
+
   def q50BloomPrefilterJoin(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.SketchFunctions.register(spark)
     val dim = Tables

@@ -319,6 +319,29 @@ class CoreQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q51: interval union by hand — nested absorbed, touching merges, gap splits, inclusive days") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val dir = java.nio.file.Files.createTempDirectory("graft_busy").toString
+    Seq( // (l_orderkey, l_suppkey, l_shipdate)
+      (101L, 1L, ts("2024-01-10")), // [01-01, 01-10]
+      (102L, 1L, ts("2024-01-08")), // [01-05, 01-08] nested → absorbed
+      (103L, 1L, ts("2024-01-12")), // [01-10, 01-12] touches → same island
+      (104L, 1L, ts("2024-02-03")), // [02-01, 02-03] gap → new island
+      (105L, 2L, ts("2024-03-01"))  // single zero-length interval → 1 day
+    ).toDF("l_orderkey", "l_suppkey", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq(
+      (101L, ts("2024-01-01")), (102L, ts("2024-01-05")), (103L, ts("2024-01-10")),
+      (104L, ts("2024-02-01")), (105L, ts("2024-03-01"))
+    ).toDF("o_orderkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = CoreQueries.q51SupplierBusyDays(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // supplier 1: [01-01..01-12] = 12 days + [02-01..02-03] = 3 days
+    assert(got == Seq((1L, 2L, 15L), (2L, 1L, 1L)))
+  }
+
   test("q50: bloom prefilter is invisible in the output (identical to the plain semi join) and visible in the plan") {
     import org.apache.spark.sql.functions._
     val got = CoreQueries.q50BloomPrefilterJoin(spark, sf0001)
