@@ -115,6 +115,7 @@ object SparkEntry {
     "s16_mutual_knn_clusters" -> ((s: SparkSession, d: String) => Similarity.mutualKnnClusters(s, d)),
     "c1_clean_corpus"   -> ((s: SparkSession, d: String) => Pipeline.cleanCorpus(s, d)),
     "c3_token_yield"    -> ((s: SparkSession, d: String) => Pipeline.tokenYield(s, d)),
+    "d33_drop_reasons"  -> ((s: SparkSession, d: String) => Pipeline.dropReasons(s, d)),
     "a1_asof_join"      -> (AsOf.purchaseAsofClick _),
     "a2_interval_join"  -> ((s: SparkSession, d: String) => AsOf.intervalPairCount(s, d)),
     "a3_asof_tolerance" -> ((s: SparkSession, d: String) => AsOf.purchaseAsofClickWithin(s, d)),
@@ -1097,6 +1098,23 @@ object SparkEntry {
         "CAST(cnt - lag(cnt, 1) OVER (PARTITION BY o_orderpriority ORDER BY month) AS BIGINT) AS delta FROM m " +
         "ORDER BY o_orderpriority, month"),
     "c1_clean_corpus" -> cleanCorpusOracle,
+    // d33: c1's CTE pieces (sh/dup/lang) extended by d8's contamination
+    // set — reasons are independent bits evaluated on EVERY doc, and the
+    // kept bit is their conjunction.
+    "d33_drop_reasons" ->
+      (cleanSurvivorsCte +
+        ", cont AS (SELECT DISTINCT t.doc_id FROM sh t JOIN sh b ON t.s = b.s AND b.doc_id % 50 = 0 " +
+        "WHERE t.doc_id % 50 <> 0) " +
+        "SELECT d.doc_id, " +
+        "(CASE WHEN len(string_split(d.text, ' ')) < 20 THEN 1 ELSE 0 END)::BIGINT AS too_short, " +
+        "(CASE WHEN l.doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS wrong_lang, " +
+        "(CASE WHEN du.db IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS near_dup, " +
+        "(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS contaminated, " +
+        "(CASE WHEN len(string_split(d.text, ' ')) >= 20 AND l.doc_id IS NOT NULL " +
+        "AND du.db IS NULL AND c.doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS kept " +
+        "FROM documents d LEFT JOIN lang l ON d.doc_id = l.doc_id " +
+        "LEFT JOIN dup du ON d.doc_id = du.db LEFT JOIN cont c ON d.doc_id = c.doc_id " +
+        "ORDER BY d.doc_id"),
     // c3: the same survivor CTE as c1 (one definition both sides), joined
     // back for the per-source doc/token yield.
     "c3_token_yield" ->

@@ -92,6 +92,62 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** D33 — per-document DROP-REASON ledger: for every document, which
+    * gates fire — too short, wrong language (c1's rules), near-duplicate
+    * of a lower id (c1's keep rule), shares benchmark shingles (d8's
+    * contamination definition) — and the resulting extended keep bit
+    * (c1's funnel PLUS decontamination). This is the audit table a
+    * curation run ships next to its keep-list: "why did my document
+    * disappear" answered per doc, and drop-reason marginals answered by
+    * one aggregation over it. Reasons are INDEPENDENT bits, not a
+    * funnel: a doc can be both short and contaminated, and the marginals
+    * only reconcile when every gate is evaluated on every doc.
+    *
+    * All four gates reuse the single existing definition of their rule
+    * (langPredCol, minhashLshPairs, decontaminate) — the ledger can
+    * never disagree with the pipeline it explains; the engine side is
+    * three left joins of id-lists onto one corpus scan.
+    */
+  def dropReasons(
+      spark: SparkSession,
+      dir: String,
+      langs: Set[String] = Set("en"),
+      minTokens: Int = 20
+  ): DataFrame = {
+    val dup = Dedup
+      .minhashLshPairs(spark, dir)
+      .select(col("doc_b").as("doc_id"))
+      .distinct()
+      .withColumn("is_dup", lit(1L))
+    val cont = Curation
+      .decontaminate(spark, dir)
+      .select("doc_id")
+      .distinct()
+      .withColumn("is_cont", lit(1L))
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        (size(split(col("text"), " ")) < minTokens).cast("long").as("too_short"),
+        (!TextAnalysis.langPredCol.isin(langs.toSeq: _*)).cast("long").as("wrong_lang")
+      )
+      .join(dup, Seq("doc_id"), "left")
+      .join(cont, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("too_short"),
+        col("wrong_lang"),
+        coalesce(col("is_dup"), lit(0L)).as("near_dup"),
+        coalesce(col("is_cont"), lit(0L)).as("contaminated"),
+        when(
+          col("too_short") === 0L && col("wrong_lang") === 0L &&
+            coalesce(col("is_dup"), lit(0L)) === 0L && coalesce(col("is_cont"), lit(0L)) === 0L,
+          1L
+        ).otherwise(0L).as("kept")
+      )
+      .orderBy("doc_id")
+  }
+
   def stageCounts(
       spark: SparkSession,
       dir: String,

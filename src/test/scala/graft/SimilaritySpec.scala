@@ -123,6 +123,26 @@ class SimilaritySpec extends SparkSpec {
     assert(ratios.max - ratios.min > 0.01)
   }
 
+  test("d33: drop reasons reconcile with the operators they cite; kept = c1 minus contamination") {
+    val rows = graft.operators.Pipeline.dropReasons(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.length == graft.sources.Tables.documents(spark, sf0001).count())
+    // kept is exactly the conjunction of the four bits
+    rows.foreach { case (_, ts_, wl, nd, ct, kept) =>
+      assert(kept == (if (ts_ == 0 && wl == 0 && nd == 0 && ct == 0) 1L else 0L))
+    }
+    // near-dup marginal == the dedup rung's drop set; contamination == d8's flag set
+    val ndIds = rows.filter(_._4 == 1).map(_._1).toSet
+    assert(ndIds == graft.operators.Dedup.minhashLshPairs(spark, sf0001)
+      .select("doc_b").collect().map(_.getLong(0)).toSet)
+    val ctIds = rows.filter(_._5 == 1).map(_._1).toSet
+    assert(ctIds == graft.operators.Curation.decontaminate(spark, sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet)
+    // kept set == c1 survivors minus the contaminated (the extended gate)
+    val c1 = graft.operators.Pipeline.cleanCorpus(spark, sf0001).collect().map(_.getLong(0)).toSet
+    assert(rows.filter(_._6 == 1).map(_._1).toSet == (c1 -- ctIds))
+  }
+
   test("s2 lsh is a plausible approximation of s1 (recall >= 3/10)") {
     val exact = Similarity.annBruteForce(spark, sf0001).collect().map(_.getLong(1)).toSet
     val appr  = Similarity.annLsh(spark, sf0001).collect().map(_.getLong(1)).toSet
