@@ -930,7 +930,11 @@ object ScaleRehearsal {
       "m6_audio_frame_energy", "m7_audio_activity_segments",
       "m8_image_histogram", "t13_kwic_snippet", "t14_term_cooccurrence",
       "t15_phrase_indexed", "d31_trim_repeated_ngrams", "u3_rfm_segments",
-      "p8_block_shuffle_order", "q50_bloom_prefilter_join"
+      "p8_block_shuffle_order", "q50_bloom_prefilter_join",
+      // round 11 third wave
+      "dq5_drift_profile", "n16_containment_pairs", "g3_label_propagation",
+      "p9_source_interleave", "c3_token_yield", "d32_substring_decontaminate",
+      "d33_drop_reasons", "q51_supplier_busy_days"
     )
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
     headline.foreach { name =>
