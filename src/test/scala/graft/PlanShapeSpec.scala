@@ -490,6 +490,47 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("t15 pushes the term equality filters into the token-clustered positions scan") {
+    val df = graft.operators.TextAnalysis.phraseSearchIndexed(spark, sf0001)
+    df.collect()
+    val plan =
+      try {
+        spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+        executedPlan(df)
+      } finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+    // both terms' equality predicates must reach their layout scans — the
+    // docstring's "query I/O = the two matched tokens' posting rows" claim
+    graft.operators.TextAnalysis.PhraseTerms.take(2).foreach { t =>
+      assert(plan.contains(s"EqualTo(token,$t)"), s"'$t' filter not pushed:\n$plan")
+    }
+  }
+
+  // AQE's executedPlan.toString elides materialized stage subtrees; the
+  // formatted explain (what PLANS.md records) prints the full final tree.
+  private def formattedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+  }
+
+  test("u3 buckets without a single-partition window (the global-ntile trap)") {
+    val plan = formattedPlan(graft.operators.Retention.rfmSegments(spark, sf0001))
+    // the quartile cut-points are a scalar aggregate broadcast back, never
+    // a Window over SinglePartition — the docstring's core claim
+    assert(!plan.contains("Window"), s"unexpected window node:\n$plan")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("q51's island windows and aggregates all key on l_suppkey — no overlap self-join") {
+    val plan = formattedPlan(CoreQueries.q51SupplierBusyDays(spark, sf0001))
+    assert(plan.contains("Window"), plan)
+    // no self-join of the interval frame: exactly one lineitem scan
+    // (formatted mode puts the path on the scan's Location detail line)
+    assert("Location.*lineitem".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("t8 candidate phase reads the trigram layout with the gram IN-list pushed; corpus untouched there") {
     val df = graft.operators.TextAnalysis.substringSearch(spark, sf0001)
     df.collect()
