@@ -531,6 +531,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("m7's windows and aggregate all hash-partition on media_id — never a single partition") {
+    val plan = formattedPlan(graft.operators.Multimodal.audioActivitySegments(spark, sf0001))
+    assert(plan.contains("hashpartitioning(media_id"), plan)
+    // the segment windows must be keyed — a partition-less window here
+    // would serialize every recording through one task
+    assert(!plan.contains("SinglePartition"), s"single-partition stage found:\n$plan")
+  }
+
   test("t8 candidate phase reads the trigram layout with the gram IN-list pushed; corpus untouched there") {
     val df = graft.operators.TextAnalysis.substringSearch(spark, sf0001)
     df.collect()
