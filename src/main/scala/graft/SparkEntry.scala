@@ -704,7 +704,7 @@ object SparkEntry {
     // d30: p2's running-sum window with the budget cut applied — the greedy
     // doc_id-prefix selection is a pure function of (corpus, budget).
     "d30_token_budget_mixture" ->
-      ("SELECT source, doc_id, n_tokens, cum_tokens FROM " +
+      ("SELECT source, doc_id, n_tokens, cum_tokens::BIGINT AS cum_tokens FROM " +
         "(SELECT source, doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens, " +
         "SUM(len(string_split(text, ' '))::BIGINT) OVER " +
         "(PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens " +
