@@ -65,6 +65,13 @@ object SparkEntry {
     "x3_approx_percentiles" -> (CoreQueries.x3ApproxPercentiles _),
     "x4_approx_top_users"   -> ((s: SparkSession, d: String) => CoreQueries.x4ApproxTopUsers(s, d)),
     "x5_approx_distinct_rollup" -> (CoreQueries.x5ApproxDistinctRollup _),
+    // bounded companions: the sketch family's spec gates lifted into the
+    // registry as hash-oracleable (exact…, within_bound) rows
+    "x1b_approx_distinct_bound"        -> (SketchBounds.x1bApproxDistinctBound _),
+    "x3b_approx_percentiles_bound"     -> (SketchBounds.x3bApproxPercentilesBound _),
+    "x4b_approx_top_users_bound"       -> (SketchBounds.x4bApproxTopUsersBound _),
+    "x5b_approx_distinct_rollup_bound" -> (SketchBounds.x5bApproxDistinctRollupBound _),
+    "dq3b_profile_events_bound"        -> (SketchBounds.dq3bProfileEventsBound _),
     "q3p_positional_filter_count" -> (CoreQueries.q3PositionalFilterCount _),
     "p1_partitioned_time_count"   -> (CoreQueries.p1PartitionedTimeCount _),
     "z1_zorder_range"             -> (CoreQueries.z1ZorderRange _),
@@ -1033,6 +1040,28 @@ object SparkEntry {
     "x2_percentiles" ->
       ("SELECT event_type, quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.9) AS p90 " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+    // sketch bounded companions: exact columns are plain relational
+    // results; the within_bound booleans are asserted TRUE — the sketch's
+    // documented error gate, evaluated in-engine, adjudicated by hash.
+    "x1b_approx_distinct_bound" ->
+      "SELECT COUNT(DISTINCT user_id)::BIGINT AS exact_users, TRUE AS within_bound FROM events",
+    "x5b_approx_distinct_rollup_bound" ->
+      ("SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS exact_users, TRUE AS within_bound " +
+        "FROM events GROUP BY ROLLUP(event_type) ORDER BY event_type ASC NULLS FIRST"),
+    "x3b_approx_percentiles_bound" ->
+      ("SELECT event_type, quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.9) AS p90, " +
+        "TRUE AS p50_within, TRUE AS p90_within FROM events GROUP BY event_type ORDER BY event_type"),
+    "x4b_approx_top_users_bound" ->
+      ("SELECT row_number() OVER (ORDER BY cnt DESC, user_id)::BIGINT AS rnk, user_id, cnt, " +
+        "TRUE AS within_bound FROM (SELECT user_id, COUNT(*)::BIGINT AS cnt FROM events " +
+        "GROUP BY user_id) ORDER BY rnk LIMIT 5"),
+    "dq3b_profile_events_bound" -> {
+      val branches = Seq("event_id", "ts", "user_id", "event_type", "value", "props").map { c =>
+        s"SELECT '$c' AS col_name, COUNT(*) AS n_rows, COUNT($c) AS n_nonnull, " +
+          s"COUNT(DISTINCT $c) AS n_distinct, TRUE AS within_bound FROM events"
+      }
+      branches.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")
+    },
     "a1_asof_join" ->
       ("SELECT p.event_id AS purchase_id, c.event_id AS click_id " +
         "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
