@@ -1437,8 +1437,9 @@ object SparkEntry {
     // u3: Spark percentile and DuckDB quantile_cont share the (n-1)*p
     // interpolation (parity x2 established); buckets come from strict >
     // against those cut-points, never ntile, so ties sit in the lower
-    // bucket identically on both engines. DuckDB lists are 1-based where
+    // count identically on both engines. DuckDB lists are 1-based where
     // Spark's bracket indexing is 0-based — rq[1] here is rq[0] there.
+    // r_bucket is INVERTED per RFM convention (4 = most recent quartile).
     "u3_rfm_segments" ->
       ("WITH cust AS (SELECT o_custkey AS custkey, MAX(o_orderdate) AS last_order, " +
         "COUNT(*)::BIGINT AS n_orders, " +
@@ -1451,7 +1452,7 @@ object SparkEntry {
         "quantile_cont(n_orders, [0.25, 0.5, 0.75]) AS fq, " +
         "quantile_cont(monetary_cents, [0.25, 0.5, 0.75]) AS mq FROM base) " +
         "SELECT custkey, recency_days, n_orders, monetary_cents, " +
-        "CAST(1 + (CASE WHEN recency_days > rq[1] THEN 1 ELSE 0 END) + (CASE WHEN recency_days > rq[2] THEN 1 ELSE 0 END) + (CASE WHEN recency_days > rq[3] THEN 1 ELSE 0 END) AS BIGINT) AS r_bucket, " +
+        "CAST(4 - (CASE WHEN recency_days > rq[1] THEN 1 ELSE 0 END) - (CASE WHEN recency_days > rq[2] THEN 1 ELSE 0 END) - (CASE WHEN recency_days > rq[3] THEN 1 ELSE 0 END) AS BIGINT) AS r_bucket, " +
         "CAST(1 + (CASE WHEN n_orders > fq[1] THEN 1 ELSE 0 END) + (CASE WHEN n_orders > fq[2] THEN 1 ELSE 0 END) + (CASE WHEN n_orders > fq[3] THEN 1 ELSE 0 END) AS BIGINT) AS f_bucket, " +
         "CAST(1 + (CASE WHEN monetary_cents > mq[1] THEN 1 ELSE 0 END) + (CASE WHEN monetary_cents > mq[2] THEN 1 ELSE 0 END) + (CASE WHEN monetary_cents > mq[3] THEN 1 ELSE 0 END) AS BIGINT) AS m_bucket " +
         "FROM base, cuts ORDER BY custkey"),

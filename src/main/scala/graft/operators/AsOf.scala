@@ -120,7 +120,17 @@ object AsOf {
     * the interval-join shape Spark lacks an optimizer rule for, obtained
     * by construction — same trick streaming interval joins use.
     */
-  def intervalPairCount(spark: SparkSession, dir: String, gapSeconds: Long = 300L): DataFrame = {
+  def intervalPairCount(spark: SparkSession, dir: String, gapSeconds: Long = 300L): DataFrame =
+    // no distinct needed: b.bucket is a single value and the three probe
+    // buckets are distinct, so each qualifying pair matches exactly once —
+    // the count stays a cheap partial aggregate with no pair-level shuffle
+    intervalPairs(spark, dir, gapSeconds).agg(count(lit(1)).as("pair_cnt"))
+
+  /** The pair ENUMERATION under a2's banded join — one definition for the
+    * count above and for the stream-stream twin's differential
+    * ([[graft.streaming.IntervalJoinStream]]).
+    */
+  def intervalPairs(spark: SparkSession, dir: String, gapSeconds: Long = 300L): DataFrame = {
     val events    = Tables.eventsRaw(spark, dir)
     val gapMicros = gapSeconds * 1000000L
     val e = events.select(col("event_id"), col("user_id"), Tables.tsMicrosCol(events).as("tus"))
@@ -139,11 +149,8 @@ object AsOf {
         col("a.event_id") < col("b.event_id") &&
           abs(col("a.tus") - col("b.tus")) <= gapMicros
       )
-      .select(col("a.event_id"), col("b.event_id"))
-    // no distinct needed: b.bucket is a single value and the three probe
-    // buckets are distinct, so each qualifying pair matches exactly once —
-    // the count stays a cheap partial aggregate with no pair-level shuffle
-    pairs.agg(count(lit(1)).as("pair_cnt"))
+      .select(col("a.event_id").as("a_event_id"), col("b.event_id").as("b_event_id"))
+    pairs
   }
 
   /** A1 — for every purchase event, the most recent prior (or simultaneous)

@@ -1693,16 +1693,23 @@ object CoreQueries {
         col("s_nationkey") === col("n_nationkey")
       )
       .select("s_suppkey")
-    val nItems = math.max(dim.count(), 1L)
-    val nBits  = math.max(1024L, nItems * 20L)
-    val bf = dim
+    // ONE materialization of the dim side (bounded: one region's suppliers —
+    // the same size argument that makes it the broadcast side). The key
+    // array feeds nItems, the bloom build and the semi-join probe; the
+    // previous shape re-ran the supplier⋈nation⋈region scan for each.
+    import spark.implicits._
+    val keys: Array[Long] = dim.as[Long].collect()
+    val nItems            = math.max(keys.length.toLong, 1L)
+    val nBits             = math.max(1024L, nItems * 20L)
+    val dimLocal          = keys.toSeq.toDF("s_suppkey")
+    val bf = dimLocal
       .agg(call_function("bloom_filter_agg", col("s_suppkey"), lit(nItems), lit(nBits)).as("bf"))
       .head()
       .getAs[Array[Byte]](0)
     Tables
       .lineitem(spark, dir)
       .where(call_function("might_contain", lit(bf), col("l_suppkey")))
-      .join(broadcast(dim), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .join(broadcast(dimLocal), col("l_suppkey") === col("s_suppkey"), "left_semi")
       .groupBy("l_suppkey")
       .agg(
         count(lit(1)).as("n_items"),

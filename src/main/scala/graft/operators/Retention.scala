@@ -136,9 +136,15 @@ object Retention {
     * a sort), and bucket assignment is a broadcast-join + map-side
     * comparison `1 + Σ (v > qᵢ)`. At 10⁸ customers nothing in the plan
     * exceeds one hash exchange; ties sit deterministically in the lower
-    * bucket on both engines (strict `>` against identical interpolated
+    * count on both engines (strict `>` against identical interpolated
     * cut-points — Spark `percentile` and DuckDB `quantile_cont` share the
     * (n−1)·p linear-interpolation definition, the parity x2 established).
+    *
+    * Bucket orientation follows RFM convention: ALL three buckets grow
+    * with customer value — `r_bucket` is 4 for the MOST RECENT quartile
+    * (recency is a "days since" measure, so its comparison is inverted:
+    * `4 − Σ (recency_days > qᵢ)`), while `f_bucket`/`m_bucket` are 4 for
+    * the most frequent / highest-spending quartile.
     */
   def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
@@ -168,6 +174,14 @@ object Retention {
           s"+ (CASE WHEN $v > $q[1] THEN 1 ELSE 0 END) " +
           s"+ (CASE WHEN $v > $q[2] THEN 1 ELSE 0 END) AS BIGINT)"
       )
+    // Recency scores INVERTED (4 = most recent): same strict-> tie rule,
+    // subtracted from 4 instead of added to 1.
+    def bucketInv(v: String, q: String) =
+      expr(
+        s"CAST(4 - (CASE WHEN $v > $q[0] THEN 1 ELSE 0 END) " +
+          s"- (CASE WHEN $v > $q[1] THEN 1 ELSE 0 END) " +
+          s"- (CASE WHEN $v > $q[2] THEN 1 ELSE 0 END) AS BIGINT)"
+      )
     base
       .crossJoin(broadcast(cuts))
       .select(
@@ -175,7 +189,7 @@ object Retention {
         col("recency_days"),
         col("n_orders"),
         col("monetary_cents"),
-        bucket("recency_days", "rq").as("r_bucket"),
+        bucketInv("recency_days", "rq").as("r_bucket"),
         bucket("n_orders", "fq").as("f_bucket"),
         bucket("monetary_cents", "mq").as("m_bucket")
       )

@@ -3,11 +3,26 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Key-salting for skewed joins — the manual fallback when AQE's runtime
-  * skew-split (`spark.sql.adaptive.skewJoin`, on by default in
-  * [[graft.GraftSession]]) can't help, e.g. a single hot key larger than any
-  * split threshold, or a non-AQE environment.
+/** Key-salting for skewed shuffles — the manual fallback where AQE's
+  * runtime skew-split (`spark.sql.adaptive.skewJoin`, on by default in
+  * [[graft.GraftSession]]) cannot reach. The MEASURED rule (SkewSpec pins
+  * each branch with reducer-balance evidence):
   *
+  *  - skewed JOIN → AQE alone suffices: it splits the hot partition at
+  *    runtime and replicates the matching build rows (`skew=true` in the
+  *    final plan). The salted rewrite is a portability fallback (non-AQE
+  *    engines), not a necessity.
+  *  - skewed ALGEBRAIC aggregate (count/sum/min/max/avg) → nothing needed:
+  *    partial aggregation emits one row per key per mapper, absorbing any
+  *    key skew before the shuffle.
+  *  - skewed HOLISTIC aggregate (collect_list-shaped state) → AQE cannot
+  *    split it (correctness co-locates the whole key) and partial
+  *    aggregation reduces nothing; salting the BUILD stage over
+  *    `(key, salt)` is the remaining lever. The final per-key merge still
+  *    co-locates — when that merge itself is the bottleneck, the fix is a
+  *    flatter state shape, not more salt (the flat-pair-core precedent).
+  *
+
   * `left ⋈ right on key` becomes
   * `left × salt ⋈ (right + rand-salt) on (key, salt)`: the hot key's rows
   * scatter over `saltFactor` reducers instead of melting one. The replicated

@@ -4,6 +4,7 @@ import graft.operators.Dedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
 
 /** Streaming duplicate-CLUSTER maintenance — n12's incremental contraction
   * ([[Dedup.incrementalDupClusters]]) wired into the [[DedupStream]] loop:
@@ -37,9 +38,10 @@ object ClusterStream {
       indexDir: String,
       pairsDir: String,
       clustersDir: String,
-      checkpointDir: String
+      checkpointDir: String,
+      sourceSchema: Option[StructType] = None
   ): StreamingQuery = {
-    val schema = spark.read.parquet(docsDir).schema
+    val schema = StreamSource.schemaFor(spark, docsDir, sourceSchema)
     spark.readStream
       .schema(schema)
       .parquet(docsDir)

@@ -4,6 +4,7 @@ import graft.operators.{Curation, Dedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
 
 /** Streaming twin of the d25 contamination gate
   * ([[graft.operators.Curation.contaminationGate]]): benchmark
@@ -39,10 +40,11 @@ object DecontaminationStream {
       corpusDir: String,
       docsDir: String,
       outDir: String,
-      checkpointDir: String
+      checkpointDir: String,
+      sourceSchema: Option[StructType] = None
   ): StreamingQuery = {
     val bench  = Curation.benchShingleHashes(spark, corpusDir)
-    val schema = spark.read.parquet(docsDir).schema
+    val schema = StreamSource.schemaFor(spark, docsDir, sourceSchema)
     spark.readStream
       .schema(schema)
       .parquet(docsDir)

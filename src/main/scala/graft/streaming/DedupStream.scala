@@ -4,6 +4,7 @@ import graft.operators.Dedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
 
 /** Streaming incremental near-dup detection — [[Dedup.incrementalNearDupPairs]]'
   * batch-vs-persisted-index shape wired into a `foreachBatch` loop, so a
@@ -34,9 +35,10 @@ object DedupStream {
       docsDir: String,
       indexDir: String,
       pairsDir: String,
-      checkpointDir: String
+      checkpointDir: String,
+      sourceSchema: Option[StructType] = None
   ): StreamingQuery = {
-    val schema = spark.read.parquet(docsDir).schema
+    val schema = StreamSource.schemaFor(spark, docsDir, sourceSchema)
     spark.readStream
       .schema(schema)
       .parquet(docsDir)

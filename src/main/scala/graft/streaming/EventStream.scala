@@ -3,6 +3,7 @@ package graft.streaming
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.LongType
 
@@ -31,8 +32,12 @@ object EventStream {
     * consumer: a schema change in the events table is handled here or
     * nowhere.
     */
-  private[graft] def streamingEvents(spark: SparkSession, eventsDir: String): DataFrame = {
-    val fileSchema = spark.read.parquet(eventsDir).schema
+  private[graft] def streamingEvents(
+      spark: SparkSession,
+      eventsDir: String,
+      sourceSchema: Option[StructType] = None
+  ): DataFrame = {
+    val fileSchema = StreamSource.schemaFor(spark, eventsDir, sourceSchema)
     val raw        = spark.readStream.schema(fileSchema).parquet(eventsDir)
     fileSchema("ts").dataType match {
       case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

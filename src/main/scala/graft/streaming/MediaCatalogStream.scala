@@ -3,6 +3,7 @@ package graft.streaming
 import graft.operators.Multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
 
 /** Streaming media-catalog maintenance — [[Multimodal.mediaDemuxIncremental]]'s
   * sealed-segment shape wired into a `foreachBatch` loop, so a media-payload
@@ -31,9 +32,10 @@ object MediaCatalogStream {
       spark: SparkSession,
       mediaDir: String,
       catalogDir: String,
-      checkpointDir: String
+      checkpointDir: String,
+      sourceSchema: Option[StructType] = None
   ): StreamingQuery = {
-    val schema = spark.read.parquet(mediaDir).schema
+    val schema = StreamSource.schemaFor(spark, mediaDir, sourceSchema)
     spark.readStream
       .schema(schema)
       .parquet(mediaDir)

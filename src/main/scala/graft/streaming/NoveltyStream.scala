@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
 
 /** Streaming novelty gate — [[Dedup.noveltyScores]]' first-seen semantics
   * wired into a `foreachBatch` loop, so a document stream is scored for
@@ -42,9 +43,10 @@ object NoveltyStream {
       docsDir: String,
       indexDir: String,
       outDir: String,
-      checkpointDir: String
+      checkpointDir: String,
+      sourceSchema: Option[StructType] = None
   ): StreamingQuery = {
-    val schema = spark.read.parquet(docsDir).schema
+    val schema = StreamSource.schemaFor(spark, docsDir, sourceSchema)
     spark.readStream
       .schema(schema)
       .parquet(docsDir)

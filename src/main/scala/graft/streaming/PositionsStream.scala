@@ -4,6 +4,7 @@ import graft.operators.TextAnalysis
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
 
 /** Streaming POSITIONAL-index maintenance — the ninth maintained-artifact
   * family, mirroring [[PostingsStream]] for t15's positions layout: each
@@ -29,9 +30,10 @@ object PositionsStream {
       spark: SparkSession,
       docsDir: String,
       indexDir: String,
-      checkpointDir: String
+      checkpointDir: String,
+      sourceSchema: Option[StructType] = None
   ): StreamingQuery = {
-    val schema = spark.read.parquet(docsDir).schema
+    val schema = StreamSource.schemaFor(spark, docsDir, sourceSchema)
     spark.readStream
       .schema(schema)
       .parquet(docsDir)

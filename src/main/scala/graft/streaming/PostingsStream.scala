@@ -4,6 +4,7 @@ import graft.operators.TextAnalysis
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
 
 /** Streaming inverted-index maintenance — [[TextAnalysis.bm25RankIncremental]]'s
   * sealed-segment shape wired into a `foreachBatch` loop, so a document
@@ -35,9 +36,10 @@ object PostingsStream {
       spark: SparkSession,
       docsDir: String,
       indexDir: String,
-      checkpointDir: String
+      checkpointDir: String,
+      sourceSchema: Option[StructType] = None
   ): StreamingQuery = {
-    val schema = spark.read.parquet(docsDir).schema
+    val schema = StreamSource.schemaFor(spark, docsDir, sourceSchema)
     spark.readStream
       .schema(schema)
       .parquet(docsDir)

@@ -4,6 +4,7 @@ import graft.operators.TextAnalysis
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
 
 /** Streaming twin of the d21 LM-quality gate
   * ([[graft.operators.TextAnalysis.lmQualityKeep]]): the
@@ -38,11 +39,12 @@ object QualityGateStream {
       corpusDir: String,
       docsDir: String,
       keptDir: String,
-      checkpointDir: String
+      checkpointDir: String,
+      sourceSchema: Option[StructType] = None
   ): StreamingQuery = {
     val (model, vocab) = TextAnalysis.lmModel(spark, corpusDir)
     val cutoff         = TextAnalysis.lmCutoff(spark, corpusDir)
-    val schema         = spark.read.parquet(docsDir).schema
+    val schema = StreamSource.schemaFor(spark, docsDir, sourceSchema)
     spark.readStream
       .schema(schema)
       .parquet(docsDir)

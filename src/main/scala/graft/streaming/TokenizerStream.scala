@@ -3,6 +3,7 @@ package graft.streaming
 import graft.operators.Bpe
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
 
 /** Streaming tokenizer-count maintenance — v4's maintained-word-count rung
   * ([[Bpe.bpeMergesIncremental]]) wired into a `foreachBatch` loop: each
@@ -33,9 +34,10 @@ object TokenizerStream {
       spark: SparkSession,
       docsDir: String,
       countsDir: String,
-      checkpointDir: String
+      checkpointDir: String,
+      sourceSchema: Option[StructType] = None
   ): StreamingQuery = {
-    val schema = spark.read.parquet(docsDir).schema
+    val schema = StreamSource.schemaFor(spark, docsDir, sourceSchema)
     spark.readStream
       .schema(schema)
       .parquet(docsDir)

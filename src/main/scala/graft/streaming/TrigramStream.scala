@@ -4,6 +4,7 @@ import graft.operators.TextAnalysis
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
 
 /** Streaming trigram-index maintenance —
   * [[TextAnalysis.substringSearchIncremental]]'s sealed-segment shape wired
@@ -33,9 +34,10 @@ object TrigramStream {
       spark: SparkSession,
       docsDir: String,
       indexDir: String,
-      checkpointDir: String
+      checkpointDir: String,
+      sourceSchema: Option[StructType] = None
   ): StreamingQuery = {
-    val schema = spark.read.parquet(docsDir).schema
+    val schema = StreamSource.schemaFor(spark, docsDir, sourceSchema)
     spark.readStream
       .schema(schema)
       .parquet(docsDir)

@@ -3,6 +3,7 @@ package graft.streaming
 import graft.operators.Similarity
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
 
 /** Streaming vector-index maintenance — [[Similarity.annIvfIncremental]]'s
   * sealed-base + delta-segment shape wired into a `foreachBatch` loop, so an
@@ -42,9 +43,10 @@ object VectorIndexStream {
       vecsDir: String,
       baseLayout: String,
       deltaDir: String,
-      checkpointDir: String
+      checkpointDir: String,
+      sourceSchema: Option[StructType] = None
   ): StreamingQuery = {
-    val schema = spark.read.parquet(vecsDir).schema
+    val schema = StreamSource.schemaFor(spark, vecsDir, sourceSchema)
     spark.readStream
       .schema(schema)
       .parquet(vecsDir)

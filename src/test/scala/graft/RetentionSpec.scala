@@ -115,12 +115,13 @@ class RetentionSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
       .toSeq
     // distinct values on every axis → the interpolated quartile cut-points
-    // fall strictly between adjacent values and each customer gets its rank
+    // fall strictly between adjacent values and each customer gets its rank;
+    // r_bucket is inverted per RFM convention (most recent scores 4)
     assert(got == Seq(
-      (1L, 0L, 1L, 1000L, 1L, 1L, 1L),
-      (2L, 10L, 2L, 4000L, 2L, 2L, 2L),
-      (3L, 20L, 3L, 9000L, 3L, 3L, 3L),
-      (4L, 30L, 4L, 16000L, 4L, 4L, 4L)
+      (1L, 0L, 1L, 1000L, 4L, 1L, 1L),
+      (2L, 10L, 2L, 4000L, 3L, 2L, 2L),
+      (3L, 20L, 3L, 9000L, 2L, 3L, 3L),
+      (4L, 30L, 4L, 16000L, 1L, 4L, 4L)
     ))
   }
 
@@ -130,10 +131,11 @@ class RetentionSpec extends SparkSpec {
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
     assert(rows.nonEmpty)
     assert(rows.forall { case (_, _, _, rb, fb, mb) => Seq(rb, fb, mb).forall(b => b >= 1 && b <= 4) })
-    // bucket order must follow value order on each axis
+    // bucket order must follow value order on each axis — except recency,
+    // whose score is inverted (staler customers score LOWER)
     def monotone(pairs: Seq[(Long, Long)]): Boolean =
       pairs.sortBy(_._1).sliding(2).forall { case Seq((_, b1), (_, b2)) => b1 <= b2; case _ => true }
-    assert(monotone(rows.map(r => (r._1, r._4)).toSeq), "recency buckets")
+    assert(monotone(rows.map(r => (r._1, -r._4)).toSeq), "recency buckets")
     assert(monotone(rows.map(r => (r._2, r._5)).toSeq), "frequency buckets")
     assert(monotone(rows.map(r => (r._3, r._6)).toSeq), "monetary buckets")
   }
