@@ -739,7 +739,65 @@ object ScaleRehearsal {
     }
   }
 
+  /** Round-11-wave rehearsal (verdict r11 #8): the operators the r11 waves
+    * added, at the scales their docstrings claim — d31's (doc, gram)
+    * windows, t15's positional postings and the m6–m8 decode maps on the
+    * 100× replicated documents corpus; q51's per-supplier interval islands
+    * on 10× lineitem (the corpus build()'s replication supports). Each
+    * family runs at 1× first so the printed pair IS the measured ratio.
+    * The claims to check: d31 and t15 stay token-linear (windows keyed by
+    * (doc, gram) / token — no global order anywhere); the decode family is
+    * a shuffle-free map pass whose cost is the payload scan; q51's keyed
+    * windows hold one supplier's intervals, so 10× rows cost ~10× wall
+    * with no spill cliff.
+    */
+  def wave100Rehearsal(spark: SparkSession, src: String, dstDocs: String, reps: Int, dstTenX: String): Unit = {
+    import graft.operators.{CoreQueries, Multimodal, TextAnalysis}
+    ensureReplicatedDocs(spark, src, dstDocs, reps)
+    val nDocs = spark.read.parquet(s"$dstDocs/documents.parquet").count()
+    println(s"[wave100] n_docs=$nDocs (${reps}x) — d31/t15/m6-m8; q51 at 10x lineitem")
+    val pm = new PhaseMetrics
+    spark.sparkContext.addSparkListener(pm)
+    def timed(label: String)(body: => Long): Unit = {
+      val (w0, _, d0) = pm.snapshot
+      val t0          = System.nanoTime()
+      val rows        = body
+      val secs        = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(200)
+      val (w1, _, d1) = pm.snapshot
+      println(
+        f"[wave100] $label%-44s rows=$rows%-8d $secs%7.1f s  " +
+          f"shuffle=${(w1 - w0) / 1048576.0}%9.1f MiB  spill_disk=${(d1 - d0) / 1048576}%d MiB"
+      )
+    }
+    timed("d31 trim repeated ngrams 1x")(TextAnalysis.trimRepeatedNgrams(spark, src).count())
+    timed(s"d31 trim repeated ngrams ${reps}x")(TextAnalysis.trimRepeatedNgrams(spark, dstDocs).count())
+    timed("t15 phrase 1x (cold: positions build)")(TextAnalysis.phraseSearchIndexed(spark, src).count())
+    timed(s"t15 phrase ${reps}x cold: positions build")(TextAnalysis.phraseSearchIndexed(spark, dstDocs).count())
+    timed(s"t15 phrase ${reps}x warm over positions")(TextAnalysis.phraseSearchIndexed(spark, dstDocs).count())
+    timed("m6 audio frame energy 1x")(Multimodal.audioFrameEnergyQuery(spark, src).count())
+    timed(s"m6 audio frame energy ${reps}x")(Multimodal.audioFrameEnergyQuery(spark, dstDocs).count())
+    timed("m7 activity segments 1x")(Multimodal.audioActivitySegments(spark, src).count())
+    timed(s"m7 activity segments ${reps}x")(Multimodal.audioActivitySegments(spark, dstDocs).count())
+    timed("m8 image histogram 1x")(Multimodal.imageHistogramQuery(spark, src).count())
+    timed(s"m8 image histogram ${reps}x")(Multimodal.imageHistogramQuery(spark, dstDocs).count())
+    build(spark, src, dstTenX, 10)
+    timed("q51 supplier busy days 1x")(CoreQueries.q51SupplierBusyDays(spark, src).count())
+    timed("q51 supplier busy days 10x")(CoreQueries.q51SupplierBusyDays(spark, dstTenX).count())
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("wave100")) {
+      val spark = GraftSession.getOrCreate()
+      val src   = args.lift(1).getOrElse("/root/testdata/sf0.1")
+      val dst   = args.lift(2).getOrElse("/tmp/graft_docs100")
+      val tenX  = args.lift(4).getOrElse("/tmp/graft_sf1ish")
+      require(dst != src && !src.startsWith(dst), s"dst $dst would clobber src $src")
+      require(tenX != src && !src.startsWith(tenX), s"dst $tenX would clobber src $src")
+      wave100Rehearsal(spark, src, dst, args.lift(3).map(_.toInt).getOrElse(100), tenX)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("stream10")) {
       val spark = GraftSession.getOrCreate()
       streamRehearsal(

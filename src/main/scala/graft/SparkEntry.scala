@@ -234,6 +234,7 @@ object SparkEntry {
     // round 8: BM25 over the MAINTAINED (base + delta) postings index —
     // exact maintenance, t4's contract and oracle verbatim
     "t7_bm25_incremental"       -> ((s: SparkSession, d: String) => TextAnalysis.bm25RankIncremental(s, d)),
+    "t16_bm25_compacted"        -> ((s: SparkSession, d: String) => TextAnalysis.bm25RankCompacted(s, d)),
     // round 8: docs<->embeddings referential audit (one full-outer id join)
     "dq4_modality_coverage"     -> (Profile.modalityCoverage _),
     "dq5_drift_profile"         -> (Profile.driftProfile _),
@@ -1302,6 +1303,10 @@ object SparkEntry {
     // t7: exact maintenance — disjoint per-segment tf rows, query-time df,
     // additive stats — so t4's oracle applies verbatim here too
     "t7_bm25_incremental" -> bm25Oracle,
+    // t16: compaction preserves the posting ROW SET exactly (disjoint
+    // segments, physical re-cluster only) and folds stats with the same Σ
+    // the query would — t4's oracle applies verbatim a third time
+    "t16_bm25_compacted" -> bm25Oracle,
     // t9: MaxScore pruning is SAFE (upper-bound argument + quantization
     // margin), so the ranking contract — and t4's oracle — hold verbatim
     "t9_bm25_pruned" -> bm25Oracle,

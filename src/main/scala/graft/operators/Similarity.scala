@@ -127,33 +127,189 @@ object Similarity {
   private[graft] def assignCol(cs: Array[Seq[Float]]): Column =
     element_at(nearestCentroidsCol(cs, 1), 1)
 
-  /** Coarse quantizer: deterministic seeds (the nClusters lowest-id vectors)
-    * + one distributed Lloyd refinement (mean per (cluster, dim) — only
-    * C×dim floats ever reach the driver).
+  /** Coarse quantizer: k-means|| seeding (Bahmani et al., VLDB'12) +
+    * distributed Lloyd iterated to movement-epsilon. Every stage keeps the
+    * driver bound at O(candidates × dim) floats — candidates ≤
+    * `1 + rounds × 4·oversample·k`, never corpus rows:
+    *
+    *  1. first seed = the vector minimizing `xxhash64(vec_id)` (the
+    *     deterministic stand-in for a uniform pick — no RNG anywhere: the
+    *     only run-to-run variation left is float-sum association in the
+    *     distributed cost normalizer and Lloyd means, the same epsilon
+    *     every distributed trainer carries);
+    *  2. `rounds` cost-proportional sampling passes: each vector joins the
+    *     candidate set with probability `min(1, ℓ·cost(x)/Σcost)` where
+    *     `cost(x) = 1 − max cos(x, C)` and ℓ = oversample·k, the accept
+    *     draw again derived from `xxhash64(vec_id, round)`;
+    *  3. candidates are weighted by corpus attendance (one assignment
+    *     pass) and reduced to k on the driver: weighted farthest-point
+    *     picks the k spread-out heavy candidates, then weighted Lloyd
+    *     over the candidate set polishes them — O(|cand|·k·dim), driver;
+    *  4. distributed Lloyd (assign + mean per (cluster, dim)) repeats
+    *     until the largest centroid movement `1 − cos(old, new)` drops
+    *     below `graft.ann.kmeans.epsilon` or `graft.ann.kmeans.maxiters`
+    *     passes — each iteration is one narrow-map job, only C×dim floats
+    *     ever reach the driver.
+    *
+    * Replaces the lowest-id-seed + single-Lloyd-round trainer (adequate
+    * for index MECHANICS, underpowered on clustered data — r11 verdict
+    * watch item): on real clustered corpora the seeds no longer all land
+    * in whatever cluster owns the low ids, which is what lifted the
+    * low-nprobe recall curve (BASELINE.md ledger).
     */
-  private[operators] def refinedCentroids(e: DataFrame, nClusters: Int): Array[Seq[Float]] = {
-    val seeds: Array[Seq[Float]] =
-      e.orderBy("vec_id").limit(nClusters).collect().map(_.getSeq[Float](1))
-    val dims = seeds.head.length
-    val refinedRows = e
-      .withColumn("cl", assignCol(seeds))
+  private[graft] def refinedCentroids(e: DataFrame, nClusters: Int): Array[Seq[Float]] = {
+    val spark    = e.sparkSession
+    val maxIters = graft.GraftConf.int(spark, "ann.kmeans.maxiters", 8)
+    val eps      = graft.GraftConf.double(spark, "ann.kmeans.epsilon", 1e-4)
+    require(maxIters >= 1, s"graft.ann.kmeans.maxiters=$maxIters must be >= 1")
+    require(eps > 0, s"graft.ann.kmeans.epsilon=$eps must be > 0")
+    var cs       = kmeansParSeeds(e, nClusters)
+    var iter     = 0
+    var moved    = Double.MaxValue
+    while (iter < maxIters && moved >= eps) {
+      val next = lloydStep(e, cs)
+      moved = cs.zip(next).map { case (a, b) => 1.0 - cosLocal(a, b) }.max
+      cs = next
+      iter += 1
+    }
+    cs
+  }
+
+  /** One distributed Lloyd step: assign to the nearest centroid, mean per
+    * (cluster, dim). An empty cluster keeps its previous centroid.
+    */
+  private[graft] def lloydStep(e: DataFrame, cs: Array[Seq[Float]]): Array[Seq[Float]] = {
+    val dims = cs.head.length
+    val rows = e
+      .withColumn("cl", assignCol(cs))
       .select(col("cl"), posexplode(col("embedding")).as(Seq("d", "v")))
       .groupBy("cl", "d")
       .agg(avg("v").as("m"))
       .collect()
-    val byCluster = refinedRows.groupBy(_.getInt(0))
-    // a corpus smaller than nClusters yields one cluster per vector rather
-    // than indexing past the seed array (the planted twin's empty-corpus
-    // degradation: union = fixture only)
-    (0 until seeds.length.min(nClusters)).map { c =>
+    val byCluster = rows.groupBy(_.getInt(0))
+    cs.indices.map { c =>
       byCluster.get(c) match {
-        case Some(rows) =>
+        case Some(rs) =>
           val m = new Array[Float](dims)
-          rows.foreach(r => m(r.getInt(1)) = r.getDouble(2).toFloat)
+          rs.foreach(r => m(r.getInt(1)) = r.getDouble(2).toFloat)
           m.toSeq
-        case None => seeds(c) // empty cluster keeps its seed
+        case None => cs(c)
       }
     }.toArray
+  }
+
+  /** k-means|| candidate harvest + driver-side weighted reduction to k.
+    * A corpus with ≤ k distinct vectors degrades to one centroid per
+    * vector (the planted twin's tiny-fixture contract).
+    */
+  private[graft] def kmeansParSeeds(e: DataFrame, k: Int): Array[Seq[Float]] = {
+    val spark      = e.sparkSession
+    val rounds     = graft.GraftConf.int(spark, "ann.kmeans.rounds", 3)
+    val oversample = graft.GraftConf.int(spark, "ann.kmeans.oversample", 2)
+    require(rounds >= 1, s"graft.ann.kmeans.rounds=$rounds must be >= 1")
+    require(oversample >= 1, s"graft.ann.kmeans.oversample=$oversample must be >= 1")
+    val l          = math.max(1, oversample * k)
+    VectorFunctions.register(spark)
+    val first = e
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(1)
+      .select("embedding")
+      .collect()
+      .map(_.getSeq[Float](0))
+    val cand = scala.collection.mutable.ArrayBuffer[Seq[Float]](first.toIndexedSeq: _*)
+    var r    = 1
+    while (r <= rounds && cand.nonEmpty) {
+      val candLit = typedLit(cand.map(_.toSeq).toSeq)
+      val cost = greatest(
+        lit(0.0),
+        lit(1.0) - array_max(transform(candLit, c => call_function("cosine_sim", col("embedding"), c)))
+      )
+      val withCost = e.select(col("vec_id"), col("embedding"), cost.as("cost"))
+      val total    = withCost.agg(sum("cost")).head().getDouble(0)
+      if (total <= 0) r = rounds // every vector coincides with a candidate
+      else {
+        // deterministic uniform draw in [0,1) from (vec_id, round)
+        val u = pmod(xxhash64(col("vec_id"), lit(r)), lit(1L << 40)).cast("double") / lit((1L << 40).toDouble)
+        val picked = withCost
+          .where(u < least(lit(1.0), lit(l.toDouble) * col("cost") / lit(total)))
+          .orderBy("vec_id")
+          .limit(4 * l) // hard driver bound against a degenerate cost surface
+          .select("embedding")
+          .collect()
+          .map(_.getSeq[Float](0))
+        cand ++= picked
+      }
+      r += 1
+    }
+    val distinctCand = cand.distinct.toArray
+    if (distinctCand.length <= k) return distinctCand
+    // weight by corpus attendance, then reduce on the driver
+    val wRows = e
+      .withColumn("cl", assignCol(distinctCand))
+      .groupBy("cl")
+      .agg(count(lit(1)).as("w"))
+      .collect()
+    val w = Array.fill(distinctCand.length)(0L)
+    wRows.foreach(r0 => w(r0.getInt(0)) = r0.getLong(1))
+    weightedReduce(distinctCand, w, k)
+  }
+
+  /** Deterministic driver-side reduction of weighted candidates to k:
+    * weighted farthest-point seeding (pick the heaviest, then repeatedly
+    * the candidate maximizing `weight × (1 − max cos to chosen)`, ties to
+    * the smaller index), polished by weighted Lloyd over the candidates.
+    */
+  private[graft] def weightedReduce(
+      cand: Array[Seq[Float]],
+      w: Array[Long],
+      k: Int
+  ): Array[Seq[Float]] = {
+    val n      = cand.length
+    val chosen = scala.collection.mutable.ArrayBuffer[Int](w.indices.maxBy(i => (w(i), -i)))
+    val best   = Array.fill(n)(-1.0) // max cos to any chosen centroid
+    while (chosen.size < k) {
+      val last = chosen.last
+      var i    = 0
+      while (i < n) { best(i) = math.max(best(i), cosLocal(cand(i), cand(last))); i += 1 }
+      var pick  = -1
+      var score = -1.0
+      i = 0
+      while (i < n) {
+        if (!chosen.contains(i)) {
+          val s = w(i).toDouble * math.max(0.0, 1.0 - best(i))
+          if (s > score) { score = s; pick = i }
+        }
+        i += 1
+      }
+      if (pick < 0) return cand.indices.take(k).map(cand).toArray // all identical
+      chosen += pick
+    }
+    var centers = chosen.map(cand).toArray
+    // weighted Lloyd over the candidate set (driver, O(|cand|·k·dim))
+    for (_ <- 1 to 4) {
+      val dims  = centers.head.length
+      val sums  = Array.fill(centers.length)(new Array[Double](dims))
+      val masses = Array.fill(centers.length)(0L)
+      var i = 0
+      while (i < n) {
+        var bi = 0; var bc = -2.0
+        var c  = 0
+        while (c < centers.length) {
+          val s = cosLocal(cand(i), centers(c))
+          if (s > bc) { bc = s; bi = c }
+          c += 1
+        }
+        var d = 0
+        while (d < dims) { sums(bi)(d) += cand(i)(d).toDouble * w(i); d += 1 }
+        masses(bi) += w(i)
+        i += 1
+      }
+      centers = centers.indices.map { c =>
+        if (masses(c) == 0) centers(c)
+        else sums(c).map(v => (v / masses(c)).toFloat).toSeq
+      }.toArray
+    }
+    centers
   }
 
   private def cosLocal(a: Seq[Float], b: Seq[Float]): Double = {
@@ -301,9 +457,12 @@ object Similarity {
     * `q8` int8 column beside each vector (s9's coarse-pass scan target);
     * v3 switched assignment to the compiled [[graft.functions.NearestCentroids]]
     * scan, whose exact-tie rule is smallest-index (the struct-max
-    * formulation it replaced kept the largest).
+    * formulation it replaced kept the largest); v4 replaced the
+    * lowest-id-seed single-Lloyd trainer with k-means|| + iterate-to-
+    * epsilon ([[refinedCentroids]]) — different centroids, so every stored
+    * assignment must rebuild.
     */
-  private[operators] val IvfSchemeVersion = 3
+  private[operators] val IvfSchemeVersion = 4
 
   /** Per-vector int8 scalar quantization `q[i] = round(127·x[i]/max|x|)` —
     * the per-vector scale cancels inside cosine, so approximate ordering
@@ -356,9 +515,10 @@ object Similarity {
   /** Bump with any change to the incremental (base + delta) IVF scheme.
     * v2 dropped the unread q8 column from the s12 segments; v3 tracks the
     * main scheme's switch to the compiled assignment scan (tie rule:
-    * smallest index).
+    * smallest index); v4 tracks the k-means|| trainer (frozen base
+    * centroids change, so base AND delta segments rebuild together).
     */
-  private[operators] val IvfIncrSchemeVersion = 3
+  private[operators] val IvfIncrSchemeVersion = 4
 
   /** The MAINTAINED coarse quantizer: an IVF layout trained and assigned on
     * the base slice `vec_id < batchStartId` only — the artifact a daily

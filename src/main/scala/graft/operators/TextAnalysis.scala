@@ -871,6 +871,82 @@ object TextAnalysis {
       .orderBy("rnk")
   }
 
+  /** Bump with any change to the compaction fold. */
+  private[graft] val PostingsCompactSchemeVersion = 1
+
+  /** T16 — segment COMPACTION: fold a maintained index's sealed segments
+    * (t7's base+delta pair here; a streaming family's `batch_id=` fan in
+    * general — [[compactSegments]] takes any segment union) into ONE
+    * token-clustered segment plus one summed stats row, then answer BM25
+    * from the compacted artifact.
+    *
+    * Why a maintained index needs this: per-query I/O over a segmented
+    * index grows with segment COUNT — every term probe opens each
+    * segment's token cluster (N row-group seeks per term at N batches),
+    * which is the classic log-structured read amplification. Compaction
+    * restores single-segment reads, and [[bm25OverSegments]] guarantees
+    * the ranking CANNOT change: per-(doc, token) tf rows are disjoint
+    * across segments so the union is preserved row-for-row, df is a
+    * query-time window either way, and the stats fold is the same Σ of
+    * exact longs the query-side aggregate performs. At 100 TB this is the
+    * periodic background job every LSM-shaped index runs; cost = one
+    * token-keyed shuffle of the posting rows, the same price as building
+    * each segment once.
+    */
+  def bm25RankCompacted(spark: SparkSession, dir: String, terms: Seq[String] = KeywordTerms, k: Int = 20): DataFrame = {
+    val ts = terms.distinct
+    require(ts.nonEmpty && ts.forall(t => t.nonEmpty && !t.contains("'") && !t.contains(" ")), s"terms must be non-empty, quote-free, space-free: $ts")
+    val compacted = postingsCompactedLayoutCache(spark, dir)
+    bm25OverSegments(
+      spark.read.parquet(s"$compacted/postings.parquet").where(col("token").isInCollection(ts)),
+      spark.read.parquet(s"$compacted/stats.parquet"),
+      k
+    )
+  }
+
+  /** The compacted layout: t7's base+delta segments folded under their own
+    * content-fingerprinted key (source change or scheme bump rebuilds both
+    * the segments and their compaction).
+    */
+  private[graft] def postingsCompactedLayoutCache(spark: SparkSession, dir: String): String = {
+    val split = Tables
+      .documents(spark, dir)
+      .agg(expr("coalesce((max(doc_id) + 1) div 2, 0)").as("k"))
+      .head().getLong(0)
+    val key = LayoutCache.contentKey(
+      spark,
+      s"$dir/documents.parquet",
+      s"postcompact-v$PostingsCompactSchemeVersion#$split"
+    )
+    LayoutCache.getOrBuild(spark, "graft_postcompact", key) { out =>
+      val base  = postingsBaseLayoutCache(spark, dir, split)
+      val delta = postingsDeltaLayoutCache(spark, dir, split)
+      compactSegments(
+        spark.read.parquet(s"$base/postings.parquet")
+          .unionByName(spark.read.parquet(s"$delta/postings.parquet")),
+        spark.read.parquet(s"$base/stats.parquet")
+          .unionByName(spark.read.parquet(s"$delta/stats.parquet")),
+        out
+      )
+    }
+  }
+
+  /** The fold itself, over ANY segment union (batch base+delta or a
+    * streaming family's `batch_id=` directories): re-cluster the disjoint
+    * per-(doc, token) rows into one token-sorted segment, sum the additive
+    * stats into one row. Row set preserved exactly; only the physical
+    * layout changes.
+    */
+  private[graft] def compactSegments(postings: DataFrame, stats: DataFrame, out: String): Unit = {
+    postings
+      .repartition(col("token"))
+      .sortWithinPartitions("token")
+      .write.mode("overwrite").parquet(s"$out/postings.parquet")
+    stats
+      .agg(sum("n_docs").as("n_docs"), sum("n_dl").as("n_dl"), sum("sum_dl").as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$out/stats.parquet")
+  }
+
   /** Reciprocal-rank-fusion constant (the standard k=60 operating point)
     * and list depth for [[hybridRrfRank]].
     */

@@ -102,9 +102,16 @@ object IntervalJoinStream {
       .streamingEvents(spark, eventsDirB, sourceSchema)
       .select(col("event_id").as("b_event_id"), col("user_id").as("b_user_id"), col("ts").as("b_ts"))
       .withWatermark("b_ts", watermarkDelay)
-    // equality key drives the symmetric hash partitioning; the two range
-    // predicates are what let the state store evict — keep them as plain
-    // ts comparisons so Spark's watermark analysis recognizes the bound
+    // equality key drives the symmetric hash partitioning; the two ts
+    // range conjuncts are what let the state store evict. The id
+    // inequality (pair orientation — de-duplicates the self-join's two
+    // orientations of each pair) also sits in the condition: writing it as
+    // a post-join filter changes nothing, PushPredicateThroughJoin folds
+    // it straight back in. Known benign noise: StreamingJoinHelper logs
+    // one "Error trying to extract state constraint" WARN per batch when
+    // its conjunct walk hits the non-time predicate, then derives the
+    // watermark bound from the ts terms anyway — the spec proves eviction
+    // runs (numRowsRemoved > 0).
     a.join(
       b,
       col("a_user_id") === col("b_user_id") &&

@@ -94,4 +94,22 @@ object PostingsStream {
       k
     )
   }
+
+  /** COMPACT the stream-maintained `batch_id=` segment fan into one sealed
+    * segment pair under `compactDir` — the periodic background job that
+    * caps the fan's read amplification after N batches (t16's fold,
+    * [[TextAnalysis.compactSegments]]: row set preserved, stats summed,
+    * ranking provably unchanged). The compacted pair lands as
+    * `compactDir/postings.parquet` + `compactDir/stats.parquet` — the
+    * single-segment layout — and is queried through the same
+    * [[TextAnalysis.bm25OverSegments]] tail; the stream keeps appending
+    * NEW batches to `indexDir` beside it (the standard LSM generation
+    * handoff, with the next compaction folding old generation + new fan).
+    */
+  def compactStreamedIndex(spark: SparkSession, indexDir: String, compactDir: String): Unit =
+    TextAnalysis.compactSegments(
+      spark.read.parquet(s"$indexDir/postings").drop("batch_id"),
+      spark.read.parquet(s"$indexDir/stats").drop("batch_id"),
+      compactDir
+    )
 }

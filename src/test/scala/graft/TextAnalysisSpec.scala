@@ -617,6 +617,57 @@ class TextAnalysisSpec extends SparkSpec {
       base.unionByName(delta).select("doc_id", "token").distinct().count())
   }
 
+  test("t16: compaction preserves the ranking and collapses the fan to one segment") {
+    import org.apache.spark.sql.functions.col
+    // ranking: compacted == maintained == corpus scan, row for row
+    val scan = TextAnalysis.bm25Rank(spark, sf0001).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val comp = TextAnalysis.bm25RankCompacted(spark, sf0001).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(comp == scan && comp.nonEmpty, "compacted/scan divergence")
+    // physical: the compacted layout is ONE segment pair — the posting row
+    // set is the base+delta union exactly, the stats fold to one row whose
+    // sums are the corpus totals
+    val layout = TextAnalysis.postingsCompactedLayoutCache(spark, sf0001)
+    val docs   = graft.sources.Tables.documents(spark, sf0001)
+    val split  = docs.agg(org.apache.spark.sql.functions.expr("(max(doc_id) + 1) div 2")).head().getLong(0)
+    val fanRows = spark.read
+      .parquet(s"${TextAnalysis.postingsBaseLayoutCache(spark, sf0001, split)}/postings.parquet")
+      .unionByName(spark.read.parquet(s"${TextAnalysis.postingsDeltaLayoutCache(spark, sf0001, split)}/postings.parquet"))
+    val compRows = spark.read.parquet(s"$layout/postings.parquet")
+    assert(compRows.count() == fanRows.count())
+    assert(compRows.exceptAll(fanRows).isEmpty && fanRows.exceptAll(compRows).isEmpty)
+    val st = spark.read.parquet(s"$layout/stats.parquet").collect()
+    assert(st.length == 1)
+    assert(st(0).getLong(0) == docs.count(), "n_docs must fold to the corpus count")
+  }
+
+  test("t16 streamed: compacting the batch_id fan leaves the streamed ranking bit-equal") {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft_compact")
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    // three hash-sliced micro-batches through the streaming segment builder
+    (0 until 3).foreach { i =>
+      graft.streaming.PostingsStream.processBatch(
+        docs.where(org.apache.spark.sql.functions.pmod(org.apache.spark.sql.functions.xxhash64(col("doc_id")), org.apache.spark.sql.functions.lit(3)) === i),
+        s"$base/idx",
+        i.toLong
+      )
+    }
+    val fan = graft.streaming.PostingsStream
+      .bm25RankStreamed(spark, s"$base/idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    graft.streaming.PostingsStream.compactStreamedIndex(spark, s"$base/idx", s"$base/compact")
+    val compacted = TextAnalysis.bm25OverSegments(
+      spark.read.parquet(s"$base/compact/postings.parquet")
+        .where(col("token").isInCollection(TextAnalysis.KeywordTerms)),
+      spark.read.parquet(s"$base/compact/stats.parquet"),
+      20
+    ).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(compacted == fan && fan.nonEmpty)
+    // and the fan genuinely had 3 segments while the compacted pair has none
+    assert(new java.io.File(s"$base/idx/postings").listFiles().count(_.getName.startsWith("batch_id=")) == 3)
+    assert(!new java.io.File(s"$base/compact/postings.parquet").listFiles().exists(_.getName.startsWith("batch_id=")))
+  }
+
   test("t6: the term filter is PUSHED into the postings scan (no corpus table in the plan)") {
     spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
     val plan =
