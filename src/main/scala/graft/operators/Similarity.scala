@@ -660,6 +660,62 @@ object Similarity {
     )
   }
 
+  /** COMPACT the maintained vector index's generations (sealed base +
+    * delta segments) into ONE base-shaped layout: vectors re-clustered
+    * under `cl=` partitions, the FROZEN centroids carried over unchanged.
+    * Compaction is a physical fold, never a retrain — every stored
+    * assignment is already against these centroids, so retraining here
+    * would silently shift membership and break the sealed-segment
+    * exactness argument (s12's contract). After the fold, probe cost
+    * returns to one partition-pruned scan instead of base + N delta
+    * reads — the vector-index instance of t16's LSM generation handoff,
+    * with the stream appending new deltas beside the new generation.
+    */
+  private[graft] def compactVectorIndex(
+      spark: SparkSession,
+      baseLayout: String,
+      deltaVectorsDir: String,
+      out: String
+  ): Unit = {
+    spark.read
+      .parquet(s"$baseLayout/vectors.parquet")
+      .select("vec_id", "embedding", "cl")
+      .unionByName(spark.read.parquet(deltaVectorsDir).select("vec_id", "embedding", "cl"))
+      .write.mode("overwrite").partitionBy("cl").parquet(s"$out/vectors.parquet")
+    spark.read
+      .parquet(s"$baseLayout/centroids.parquet")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$out/centroids.parquet")
+  }
+
+  /** Probe search over a SINGLE base-shaped layout (a compacted
+    * generation, or any base with no delta yet) — the one-segment tail
+    * [[probeSearchStreamed]] generalizes.
+    */
+  private[graft] def probeSearchLayout(
+      spark: SparkSession,
+      layout: String,
+      qv: Seq[Float],
+      queryId: Long,
+      k: Int,
+      nProbe: Int
+  ): DataFrame = {
+    VectorFunctions.register(spark)
+    val centroids = spark.read
+      .parquet(s"$layout/centroids.parquet")
+      .orderBy("cl")
+      .collect()
+      .map(_.getSeq[Float](1))
+    val probes = probeIds(qv, centroids, nProbe)
+    rankTopK(
+      spark.read
+        .parquet(s"$layout/vectors.parquet")
+        .where(col("cl").isin(probes: _*) && col("vec_id") =!= queryId)
+        .select(col("vec_id"), call_function("cosine_sim", col("embedding"), typedLit(qv)).as("cos")),
+      k
+    )
+  }
+
   /** Bump with any change to the stored scalar-quantized layout. */
   private[operators] val Sq8SchemeVersion = 1
 

@@ -70,4 +70,20 @@ object PositionsStream {
       spark.read.parquet(s"$indexDir/positions"),
       phrase
     )
+
+  /** COMPACT the `batch_id=` positions fan into one token-clustered
+    * segment at `compactDir/positions.parquet` — t16's fold for the
+    * positional family (simpler even: positions carry no additive stats
+    * to sum). Row set preserved exactly (a document's position rows live
+    * in one segment), so [[TextAnalysis.phraseOverPositions]] over the
+    * compacted segment answers identically while term probes drop from N
+    * row-group seeks back to one.
+    */
+  def compactStreamedPositions(spark: SparkSession, indexDir: String, compactDir: String): Unit =
+    spark.read
+      .parquet(s"$indexDir/positions")
+      .drop("batch_id")
+      .repartition(col("token"))
+      .sortWithinPartitions("token")
+      .write.mode("overwrite").parquet(s"$compactDir/positions.parquet")
 }

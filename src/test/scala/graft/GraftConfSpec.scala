@@ -91,6 +91,21 @@ class GraftConfSpec extends SparkSpec {
       val e = intercept[IllegalArgumentException] { GraftConf.int(spark, "ann.nprobe", 4) }
       assert(e.getMessage.contains("graft.ann.nprobe") && e.getMessage.contains("four"))
     }
+    // the k-means trainer knobs carry the same discipline
+    import org.apache.spark.sql.functions.col
+    val vecs = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    withConf("graft.ann.kmeans.maxiters" -> "0") {
+      val e = intercept[IllegalArgumentException] {
+        graft.operators.Similarity.refinedCentroids(vecs, 2)
+      }
+      assert(e.getMessage.contains("graft.ann.kmeans.maxiters"))
+    }
+    withConf("graft.ann.kmeans.rounds" -> "0") {
+      val e = intercept[IllegalArgumentException] {
+        graft.operators.Similarity.kmeansParSeeds(vecs.select(col("vec_id"), col("embedding")), 2)
+      }
+      assert(e.getMessage.contains("graft.ann.kmeans.rounds"))
+    }
   }
 
   test("Runner config files pass conf.* keys through to the session") {

@@ -513,6 +513,33 @@ class SimilaritySpec extends SparkSpec {
     assert((baseIds ++ stored.keySet) == e.select("vec_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("vector-index compaction: frozen centroids, exact row fold, full probe == brute") {
+    import org.apache.spark.sql.functions.col
+    val e     = graft.sources.Tables.embeddings(spark, sf0001)
+    val split = e.agg(org.apache.spark.sql.functions.expr("(max(vec_id) + 1) div 2")).head().getLong(0)
+    val base  = Similarity.ivfBaseLayoutCache(spark, sf0001, 16, split)
+    val delta = Similarity.ivfDeltaLayoutCache(spark, sf0001, 16, split)
+    val out   = java.nio.file.Files.createTempDirectory("graft_veccompact").toString
+    Similarity.compactVectorIndex(spark, base, s"$delta/vectors.parquet", out)
+    // row fold is exact: every (vec_id, cl) of base+delta, nothing else
+    def asg(p: String): Set[(Long, Int)] = spark.read.parquet(p)
+      .select(col("vec_id"), col("cl").cast("int")).collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val folded = asg(s"$out/vectors.parquet")
+    assert(folded == (asg(s"$base/vectors.parquet") ++ asg(s"$delta/vectors.parquet")) && folded.nonEmpty)
+    // centroids carried over unchanged — compaction never retrains
+    def cents(p: String) = spark.read.parquet(s"$p/centroids.parquet").orderBy("cl").collect().map(_.getSeq[Float](1)).toSeq
+    assert(cents(out) == cents(base))
+    // the compacted generation is cluster-partitioned like any base
+    assert(new java.io.File(s"$out/vectors.parquet").listFiles().exists(_.getName.startsWith("cl=")))
+    // and answers exactly at full probe: == brute force
+    val qv = e.where(col("vec_id") === 0L).select("embedding").head().getSeq[Float](0)
+    val got = Similarity.probeSearchLayout(spark, out, qv, queryId = 0L, k = 10, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val brute = Similarity.annBruteForce(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == brute)
+  }
+
   /** Independent all-pairs kNN in plain Scala double math (no Spark
     * expressions): the reference answer for the s13/s14 kNN-join family.
     */

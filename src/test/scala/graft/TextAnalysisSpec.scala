@@ -668,11 +668,48 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!new java.io.File(s"$base/compact/postings.parquet").listFiles().exists(_.getName.startsWith("batch_id=")))
   }
 
+  test("streamed positions compaction: phrase over the compacted segment == fan == corpus scan") {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val base = java.nio.file.Files.createTempDirectory("graft_poscompact")
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    (0 until 3).foreach { i =>
+      graft.streaming.PositionsStream.processBatch(
+        docs.where(pmod(xxhash64(col("doc_id")), lit(3)) === i),
+        s"$base/idx",
+        i.toLong
+      )
+    }
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] = df.collect().map(_.getLong(0)).toSeq
+    val fan = ids(graft.streaming.PositionsStream.phraseSearchStreamed(spark, s"$base/idx"))
+    graft.streaming.PositionsStream.compactStreamedPositions(spark, s"$base/idx", s"$base/compact")
+    val compacted = ids(
+      TextAnalysis.phraseOverPositions(
+        spark.read.parquet(s"$base/compact/positions.parquet"),
+        TextAnalysis.PhraseTerms
+      )
+    )
+    val scan = ids(TextAnalysis.phraseSearch(spark, sf0001))
+    assert(compacted == fan && fan == scan && scan.nonEmpty)
+    assert(!new java.io.File(s"$base/compact/positions.parquet").listFiles().exists(_.getName.startsWith("batch_id=")))
+  }
+
   test("t6: the term filter is PUSHED into the postings scan (no corpus table in the plan)") {
     spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
     val plan =
       try {
         val df = TextAnalysis.bm25RankIndexed(spark, sf0001)
+        df.collect()
+        df.queryExecution.executedPlan.toString
+      } finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert(plan.contains("PushedFilters") && plan.contains("In(token, ["), plan)
+    assert(!plan.contains("documents.parquet"), s"query must not touch the corpus:\n$plan")
+  }
+
+  test("t16: the term filter is PUSHED into the compacted-segment scan too") {
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val plan =
+      try {
+        val df = TextAnalysis.bm25RankCompacted(spark, sf0001)
         df.collect()
         df.queryExecution.executedPlan.toString
       } finally spark.conf.unset("spark.sql.maxMetadataStringLength")
