@@ -235,6 +235,7 @@ object SparkEntry {
     // exact maintenance, t4's contract and oracle verbatim
     "t7_bm25_incremental"       -> ((s: SparkSession, d: String) => TextAnalysis.bm25RankIncremental(s, d)),
     "t16_bm25_compacted"        -> ((s: SparkSession, d: String) => TextAnalysis.bm25RankCompacted(s, d)),
+    "t17_bm25_tombstoned"       -> ((s: SparkSession, d: String) => TextAnalysis.bm25RankTombstoned(s, d)),
     // round 8: docs<->embeddings referential audit (one full-outer id join)
     "dq4_modality_coverage"     -> (Profile.modalityCoverage _),
     "dq5_drift_profile"         -> (Profile.driftProfile _),
@@ -1307,6 +1308,9 @@ object SparkEntry {
     // segments, physical re-cluster only) and folds stats with the same Σ
     // the query would — t4's oracle applies verbatim a third time
     "t16_bm25_compacted" -> bm25Oracle,
+    // t17: tombstone masking == a from-scratch index over the survivors
+    // (see bm25TombstonedOracle)
+    "t17_bm25_tombstoned" -> bm25TombstonedOracle,
     // t9: MaxScore pruning is SAFE (upper-bound argument + quantization
     // margin), so the ranking contract — and t4's oracle — hold verbatim
     "t9_bm25_pruned" -> bm25Oracle,
@@ -1791,18 +1795,32 @@ object SparkEntry {
       "ORDER BY qs DESC, doc_id LIMIT 20")
   }
 
-  private val bm25Oracle: String = {
+  /** The BM25 ranking oracle over an arbitrary document relation — the
+    * corpus for t4/t6/t7/t16, the tombstone-survivor slice for t17.
+    */
+  private def bm25OracleOver(docsRel: String): String = {
     val terms = TextAnalysis.KeywordTerms.distinct.map(t => s"'$t'").mkString(", ")
-    ("WITH tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl, " +
-      "UNNEST(string_split(text, ' ')) AS token FROM documents), " +
+    (s"WITH docs AS ($docsRel), " +
+      "tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl, " +
+      "UNNEST(string_split(text, ' ')) AS token FROM docs), " +
       s"tf AS (SELECT doc_id, dl, token, COUNT(*) AS tf FROM tok WHERE token IN ($terms) GROUP BY doc_id, dl, token), " +
       "d AS (SELECT *, COUNT(*) OVER (PARTITION BY token) AS df FROM tf), " +
-      "st AS (SELECT COUNT(*) AS n_docs, AVG(len(string_split(text, ' '))) AS avgdl FROM documents), " +
+      "st AS (SELECT COUNT(*) AS n_docs, AVG(len(string_split(text, ' '))) AS avgdl FROM docs), " +
       s"sc AS (SELECT doc_id, SUM(${TextAnalysis.Bm25ContribSql}) AS score FROM d, st GROUP BY doc_id), " +
       "q AS (SELECT doc_id, CAST(round(score * 1000000.0) AS BIGINT) AS qs FROM sc) " +
       "SELECT CAST(row_number() OVER (ORDER BY qs DESC, doc_id) AS BIGINT) AS rnk, doc_id FROM q " +
       "ORDER BY qs DESC, doc_id LIMIT 20")
   }
+
+  private val bm25Oracle: String = bm25OracleOver("SELECT * FROM documents")
+
+  /** t17: the SAME ranking contract over the takedown survivors — a
+    * from-scratch index over `documents` minus the tombstone rule IS the
+    * masked maintained index's answer (df shrinks with deleted carriers,
+    * stats subtract exactly).
+    */
+  private val bm25TombstonedOracle: String =
+    bm25OracleOver("SELECT * FROM documents WHERE NOT (doc_id % 10 = 3)")
 
   // d22: both engines accumulate the dot/norm folds left-to-right in double
   // over the same float arrays (the n4/s1 parity), so cosine compares and

@@ -716,6 +716,67 @@ object Similarity {
     )
   }
 
+  /** Tombstoned probe search — the vector half of t17's deletion
+    * lifecycle: a `(vec_id)` takedown ledger masks deleted vectors out of
+    * the probed scan by broadcast anti join (the ledger is takedown-sized;
+    * the corpus-side stream never shuffles for it). Top-k then ranks over
+    * survivors only — identical to an index rebuilt without them, because
+    * ANN state is per-row (no corpus statistics to correct, simpler than
+    * BM25's negation row).
+    */
+  private[graft] def probeSearchLayoutTombstoned(
+      spark: SparkSession,
+      layout: String,
+      ledger: DataFrame,
+      qv: Seq[Float],
+      queryId: Long,
+      k: Int,
+      nProbe: Int
+  ): DataFrame = {
+    VectorFunctions.register(spark)
+    val centroids = spark.read
+      .parquet(s"$layout/centroids.parquet")
+      .orderBy("cl")
+      .collect()
+      .map(_.getSeq[Float](1))
+    val probes = probeIds(qv, centroids, nProbe)
+    rankTopK(
+      spark.read
+        .parquet(s"$layout/vectors.parquet")
+        .where(col("cl").isin(probes: _*) && col("vec_id") =!= queryId)
+        .join(broadcast(ledger.select("vec_id")), Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), call_function("cosine_sim", col("embedding"), typedLit(qv)).as("cos")),
+      k
+    )
+  }
+
+  /** The PURGING generation fold: [[compactVectorIndex]] that also drops
+    * the ledger's vectors physically — after it runs, probes need no mask
+    * and the ledger retires. Centroids stay FROZEN even though their
+    * training set shrank: assignments of the survivors are already against
+    * them and remain valid; re-training belongs to a scheduled re-index,
+    * never to erasure (which must not move other vectors between
+    * clusters).
+    */
+  private[graft] def compactVectorIndexPurged(
+      spark: SparkSession,
+      baseLayout: String,
+      deltaVectorsDir: String,
+      ledger: DataFrame,
+      out: String
+  ): Unit = {
+    spark.read
+      .parquet(s"$baseLayout/vectors.parquet")
+      .select("vec_id", "embedding", "cl")
+      .unionByName(spark.read.parquet(deltaVectorsDir).select("vec_id", "embedding", "cl"))
+      .join(broadcast(ledger.select("vec_id")), Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").partitionBy("cl").parquet(s"$out/vectors.parquet")
+    spark.read
+      .parquet(s"$baseLayout/centroids.parquet")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$out/centroids.parquet")
+  }
+
   /** Bump with any change to the stored scalar-quantized layout. */
   private[operators] val Sq8SchemeVersion = 1
 

@@ -947,6 +947,94 @@ object TextAnalysis {
       .write.mode("overwrite").parquet(s"$out/stats.parquet")
   }
 
+  // -------------------------------------------------------------------
+  // Deletion lifecycle for the maintained index (t17): the sealed-segment
+  // families are append-only by construction — a takedown (opt-out, DMCA,
+  // PII erasure) cannot rewrite a sealed segment. The LSM answer, in two
+  // stages: a TOMBSTONE ledger masks deleted documents at query time, and
+  // the next compaction PURGES them physically, retiring the ledger.
+  // -------------------------------------------------------------------
+
+  /** The registry rung's takedown rule — every `doc_id ≡ 3 (mod 10)` is
+    * tombstoned. A fixed rule (rather than an external input) keeps the
+    * rung DuckDB-oracle-checkable; production passes its own ledger into
+    * the same machinery. The ledger stores `(doc_id, dl)` — the document
+    * length is captured AT DELETE TIME (takedown requests arrive with the
+    * document in hand), so the stats correction below never needs to
+    * rescan the corpus for documents that may already be gone.
+    */
+  private[graft] def tombstoneLedger(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .where(pmod(col("doc_id"), lit(10)) === 3)
+      .select(col("doc_id"), size(toks).as("dl"))
+
+  /** The ledger's corpus-stats correction as ONE NEGATIVE stats row — fed
+    * into the same Σ fold every stats consumer runs, so deletion needs no
+    * new merge semantics anywhere: n_docs/n_dl/sum_dl just go down by the
+    * deleted documents' contributions. (n_dl counts non-null dl like the
+    * segment builder's `count(size(toks))`; sums coalesce so an empty
+    * ledger contributes an exact zero row.)
+    */
+  private def ledgerNegation(ledger: DataFrame): DataFrame =
+    ledger.agg(
+      (-count(lit(1))).as("n_docs"),
+      (-count(col("dl"))).as("n_dl"),
+      (-coalesce(sum("dl"), lit(0L))).as("sum_dl")
+    )
+
+  /** T17 — BM25 over the maintained (base+delta) index WITH TOMBSTONES:
+    * deleted documents are masked by a broadcast anti join on the ledger
+    * (takedown sets are tiny next to the corpus — the corpus-side stream
+    * never shuffles for it) and the corpus stats absorb [[ledgerNegation]]
+    * through the ordinary fold. Exactness: dropping a document's posting
+    * rows removes exactly its tf contributions, df is computed at query
+    * time over the FILTERED union (so a term's df correctly shrinks when
+    * its only carriers are deleted), and the stats subtraction is exact
+    * long arithmetic — the ranking equals a from-scratch index over the
+    * surviving corpus, which is what the shared oracle checks.
+    */
+  def bm25RankTombstoned(spark: SparkSession, dir: String, terms: Seq[String] = KeywordTerms, k: Int = 20): DataFrame = {
+    val ts = terms.distinct
+    require(ts.nonEmpty && ts.forall(t => t.nonEmpty && !t.contains("'") && !t.contains(" ")), s"terms must be non-empty, quote-free, space-free: $ts")
+    val split = Tables
+      .documents(spark, dir)
+      .agg(expr("coalesce((max(doc_id) + 1) div 2, 0)").as("k"))
+      .head().getLong(0)
+    val base   = postingsBaseLayoutCache(spark, dir, split)
+    val delta  = postingsDeltaLayoutCache(spark, dir, split)
+    val ledger = tombstoneLedger(spark, dir)
+    bm25OverSegments(
+      spark.read.parquet(s"$base/postings.parquet")
+        .unionByName(spark.read.parquet(s"$delta/postings.parquet"))
+        .where(col("token").isInCollection(ts))
+        .join(broadcast(ledger.select("doc_id")), Seq("doc_id"), "left_anti"),
+      spark.read.parquet(s"$base/stats.parquet")
+        .unionByName(spark.read.parquet(s"$delta/stats.parquet"))
+        .unionByName(ledgerNegation(ledger)),
+      k
+    )
+  }
+
+  /** The PURGING compaction: t16's fold that also physically drops the
+    * ledger's documents and writes the subtracted stats — after it runs,
+    * queries need no tombstone mask and the ledger retires. Append →
+    * tombstone → purge is the complete LSM deletion lifecycle; at 100 TB
+    * the purge rides the compaction the index runs anyway, so erasure
+    * costs no extra pass.
+    */
+  private[graft] def compactSegmentsPurged(
+      postings: DataFrame,
+      stats: DataFrame,
+      ledger: DataFrame,
+      out: String
+  ): Unit =
+    compactSegments(
+      postings.join(broadcast(ledger.select("doc_id")), Seq("doc_id"), "left_anti"),
+      stats.unionByName(ledgerNegation(ledger)),
+      out
+    )
+
   /** Reciprocal-rank-fusion constant (the standard k=60 operating point)
     * and list depth for [[hybridRrfRank]].
     */

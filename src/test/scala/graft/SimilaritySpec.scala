@@ -540,6 +540,41 @@ class SimilaritySpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("vector deletion lifecycle: tombstone mask == survivor-corpus brute; purge retires the ledger") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val e      = graft.sources.Tables.embeddings(spark, sf0001)
+    val split  = e.agg(org.apache.spark.sql.functions.expr("(max(vec_id) + 1) div 2")).head().getLong(0)
+    val base   = Similarity.ivfBaseLayoutCache(spark, sf0001, 16, split)
+    val delta  = Similarity.ivfDeltaLayoutCache(spark, sf0001, 16, split)
+    val ledger = e.where(pmod(col("vec_id"), lit(10)) === 3).select("vec_id")
+    // one compacted (un-purged) generation to probe through
+    val gen = java.nio.file.Files.createTempDirectory("graft_vtomb_gen").toString
+    Similarity.compactVectorIndex(spark, base, s"$delta/vectors.parquet", gen)
+    // ground truth: brute force over a physical survivor corpus
+    val survivorsDir = java.nio.file.Files.createTempDirectory("graft_vtomb_truth").toString
+    e.where(pmod(col("vec_id"), lit(10)) =!= 3)
+      .write.mode("overwrite").parquet(s"$survivorsDir/embeddings.parquet")
+    def ranks(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val truth = ranks(Similarity.annBruteForce(spark, survivorsDir))
+    val qv    = e.where(col("vec_id") === 0L).select("embedding").head().getSeq[Float](0)
+    val masked = ranks(
+      Similarity.probeSearchLayoutTombstoned(spark, gen, ledger, qv, queryId = 0L, k = 10, nProbe = 16)
+    )
+    assert(masked == truth && truth.nonEmpty)
+    assert(masked.forall(_._2 % 10 != 3), "a tombstoned id must never rank")
+    val bruteFull = ranks(Similarity.annBruteForce(spark, sf0001))
+    if (bruteFull.exists(_._2 % 10 == 3))
+      assert(masked != bruteFull, "deleting a ranked neighbor must change the answer")
+    // purge: the new generation answers without a mask, rows physically gone
+    val purged = java.nio.file.Files.createTempDirectory("graft_vtomb_purged").toString
+    Similarity.compactVectorIndexPurged(spark, base, s"$delta/vectors.parquet", ledger, purged)
+    assert(ranks(Similarity.probeSearchLayout(spark, purged, qv, queryId = 0L, k = 10, nProbe = 16)) == truth)
+    assert(
+      spark.read.parquet(s"$purged/vectors.parquet").where(pmod(col("vec_id"), lit(10)) === 3).isEmpty
+    )
+  }
+
   /** Independent all-pairs kNN in plain Scala double math (no Spark
     * expressions): the reference answer for the s13/s14 kNN-join family.
     */

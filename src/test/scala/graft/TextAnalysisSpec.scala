@@ -668,6 +668,60 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!new java.io.File(s"$base/compact/postings.parquet").listFiles().exists(_.getName.startsWith("batch_id=")))
   }
 
+  test("t17: tombstone mask == from-scratch index over the survivors; purge retires the ledger") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    // ground truth: bm25 over a physical copy of the corpus with the
+    // tombstoned docs actually absent
+    val survivorsDir = java.nio.file.Files.createTempDirectory("graft_tomb_truth").toString
+    graft.sources.Tables.documents(spark, sf0001)
+      .where(pmod(col("doc_id"), lit(10)) =!= 3)
+      .write.mode("overwrite").parquet(s"$survivorsDir/documents.parquet")
+    def ranks(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val truth  = ranks(TextAnalysis.bm25Rank(spark, survivorsDir))
+    val masked = ranks(TextAnalysis.bm25RankTombstoned(spark, sf0001))
+    assert(masked == truth && truth.nonEmpty, "tombstone mask must equal the survivor-corpus index")
+    // the mask genuinely changed the answer vs the undeleted index
+    assert(masked != ranks(TextAnalysis.bm25Rank(spark, sf0001)), "fixture must tombstone at least one ranked doc")
+    // purge: compaction drops the rows physically and the un-masked query
+    // over the purged generation answers identically — ledger retired
+    val docs  = graft.sources.Tables.documents(spark, sf0001)
+    val split = docs.agg(org.apache.spark.sql.functions.expr("(max(doc_id) + 1) div 2")).head().getLong(0)
+    val base  = TextAnalysis.postingsBaseLayoutCache(spark, sf0001, split)
+    val delta = TextAnalysis.postingsDeltaLayoutCache(spark, sf0001, split)
+    val out   = java.nio.file.Files.createTempDirectory("graft_tomb_purge").toString
+    TextAnalysis.compactSegmentsPurged(
+      spark.read.parquet(s"$base/postings.parquet").unionByName(spark.read.parquet(s"$delta/postings.parquet")),
+      spark.read.parquet(s"$base/stats.parquet").unionByName(spark.read.parquet(s"$delta/stats.parquet")),
+      TextAnalysis.tombstoneLedger(spark, sf0001),
+      out
+    )
+    val purged = ranks(
+      TextAnalysis.bm25OverSegments(
+        spark.read.parquet(s"$out/postings.parquet").where(col("token").isInCollection(TextAnalysis.KeywordTerms)),
+        spark.read.parquet(s"$out/stats.parquet"),
+        20
+      )
+    )
+    assert(purged == truth, "purged generation must answer without any mask")
+    assert(
+      spark.read.parquet(s"$out/postings.parquet").where(pmod(col("doc_id"), lit(10)) === 3).isEmpty,
+      "purge must physically drop tombstoned postings"
+    )
+    // an empty ledger makes the purge the plain t16 fold (exact zero row)
+    val out2 = java.nio.file.Files.createTempDirectory("graft_tomb_empty").toString
+    TextAnalysis.compactSegmentsPurged(
+      spark.read.parquet(s"$base/postings.parquet").unionByName(spark.read.parquet(s"$delta/postings.parquet")),
+      spark.read.parquet(s"$base/stats.parquet").unionByName(spark.read.parquet(s"$delta/stats.parquet")),
+      TextAnalysis.tombstoneLedger(spark, sf0001).where(lit(false)),
+      out2
+    )
+    assert(
+      spark.read.parquet(s"$out2/stats.parquet").collect()(0).getLong(0) == docs.count(),
+      "empty ledger must subtract exactly zero"
+    )
+  }
+
   test("streamed positions compaction: phrase over the compacted segment == fan == corpus scan") {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     val base = java.nio.file.Files.createTempDirectory("graft_poscompact")
