@@ -976,7 +976,7 @@ object TextAnalysis {
     * segment builder's `count(size(toks))`; sums coalesce so an empty
     * ledger contributes an exact zero row.)
     */
-  private def ledgerNegation(ledger: DataFrame): DataFrame =
+  private[graft] def ledgerNegation(ledger: DataFrame): DataFrame =
     ledger.agg(
       (-count(lit(1))).as("n_docs"),
       (-count(col("dl"))).as("n_dl"),
