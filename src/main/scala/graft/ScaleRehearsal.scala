@@ -786,7 +786,52 @@ object ScaleRehearsal {
     timed("q51 supplier busy days 10x")(CoreQueries.q51SupplierBusyDays(spark, dstTenX).count())
   }
 
+  /** Deletion-lifecycle + sequence-export rehearsal (round 12): t16's
+    * compaction fold and t17's tombstone mask on the 100× documents
+    * corpus; u4's per-user sequences on 10× events. Claims: the fold is
+    * one token-keyed shuffle (cost ≈ one segment build, not N); the mask
+    * adds a broadcast anti join + one stats row to the query (≈ free);
+    * u4's per-key state is one user's events — 10× rows ⇒ ~10× wall, no
+    * cliff.
+    */
+  def lifecycleRehearsal(spark: SparkSession, src: String, dstDocs: String, reps: Int, dstTenX: String): Unit = {
+    import graft.operators.{Retention, TextAnalysis}
+    ensureReplicatedDocs(spark, src, dstDocs, reps)
+    build(spark, src, dstTenX, 10)
+    val pm = new PhaseMetrics
+    spark.sparkContext.addSparkListener(pm)
+    def timed(label: String)(body: => Long): Unit = {
+      val (w0, _, d0) = pm.snapshot
+      val t0          = System.nanoTime()
+      val rows        = body
+      val secs        = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(200)
+      val (w1, _, d1) = pm.snapshot
+      println(
+        f"[lifecycle] $label%-44s rows=$rows%-8d $secs%7.1f s  " +
+          f"shuffle=${(w1 - w0) / 1048576.0}%9.1f MiB  spill_disk=${(d1 - d0) / 1048576}%d MiB"
+      )
+    }
+    timed("t7 maintained (base+delta) build+query 100x")(TextAnalysis.bm25RankIncremental(spark, dstDocs).count())
+    timed("t16 compaction fold + query 100x (cold)")(TextAnalysis.bm25RankCompacted(spark, dstDocs).count())
+    timed("t16 compacted query 100x (warm)")(TextAnalysis.bm25RankCompacted(spark, dstDocs).count())
+    timed("t17 tombstone-masked query 100x")(TextAnalysis.bm25RankTombstoned(spark, dstDocs).count())
+    timed("u4 user sequences 1x")(Retention.userEventSequences(spark, src).count())
+    timed("u4 user sequences 10x events")(Retention.userEventSequences(spark, dstTenX).count())
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("lifecycle100")) {
+      val spark = GraftSession.getOrCreate()
+      val src   = args.lift(1).getOrElse("/root/testdata/sf0.1")
+      val dst   = args.lift(2).getOrElse("/tmp/graft_docs100")
+      val tenX  = args.lift(4).getOrElse("/tmp/graft_sf1ish")
+      require(dst != src && !src.startsWith(dst), s"dst $dst would clobber src $src")
+      require(tenX != src && !src.startsWith(tenX), s"dst $tenX would clobber src $src")
+      lifecycleRehearsal(spark, src, dst, args.lift(3).map(_.toInt).getOrElse(100), tenX)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("wave100")) {
       val spark = GraftSession.getOrCreate()
       val src   = args.lift(1).getOrElse("/root/testdata/sf0.1")

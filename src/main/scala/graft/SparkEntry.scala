@@ -196,6 +196,7 @@ object SparkEntry {
     "d19_dedup_rate_by_source"  -> (Profile.dedupRateBySource _),
     "u2_new_vs_returning"       -> (Retention.newVsReturning _),
     "u3_rfm_segments"           -> (Retention.rfmSegments _),
+    "u4_user_event_sequences"   -> (Retention.userEventSequences _),
     "a5_nearest_join"           -> (AsOf.purchaseNearestClick _),
     "w9_gap_histogram"          -> (CoreQueries.w9GapHistogram _),
     "n10_embedding_keep"        -> ((s: SparkSession, d: String) => Dedup.embeddingClusterRepresentatives(s, d)),
@@ -1449,6 +1450,9 @@ object SparkEntry {
     // count identically on both engines. DuckDB lists are 1-based where
     // Spark's bracket indexing is 0-based — rq[1] here is rq[0] there.
     // r_bucket is INVERTED per RFM convention (4 = most recent quartile).
+    // u4: STRING_AGG with ORDER BY (ts, event_id) == the engine's
+    // array_sort(struct(ts, event_id, ...)) — both are the same total
+    // order, so the joined strings match byte for byte.
     "u3_rfm_segments" ->
       ("WITH cust AS (SELECT o_custkey AS custkey, MAX(o_orderdate) AS last_order, " +
         "COUNT(*)::BIGINT AS n_orders, " +
@@ -1465,6 +1469,10 @@ object SparkEntry {
         "CAST(1 + (CASE WHEN n_orders > fq[1] THEN 1 ELSE 0 END) + (CASE WHEN n_orders > fq[2] THEN 1 ELSE 0 END) + (CASE WHEN n_orders > fq[3] THEN 1 ELSE 0 END) AS BIGINT) AS f_bucket, " +
         "CAST(1 + (CASE WHEN monetary_cents > mq[1] THEN 1 ELSE 0 END) + (CASE WHEN monetary_cents > mq[2] THEN 1 ELSE 0 END) + (CASE WHEN monetary_cents > mq[3] THEN 1 ELSE 0 END) AS BIGINT) AS m_bucket " +
         "FROM base, cuts ORDER BY custkey"),
+    "u4_user_event_sequences" ->
+      ("SELECT user_id, COUNT(*)::BIGINT AS n_events, " +
+        "STRING_AGG(event_type, ' ' ORDER BY ts, event_id) AS seq " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
     // w10: trailing 7-OBSERVED-hour median as the exact 4th order statistic
     // (list_sort[4] / sort_array[4]) compared in integer space — no float
     // percentile interpolation to diverge cross-engine.

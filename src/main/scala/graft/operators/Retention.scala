@@ -123,6 +123,34 @@ object Retention {
       .orderBy("day")
   }
 
+  /** U4 — per-user EVENT SEQUENCES: each user's full event-type history as
+    * one space-joined string in (ts, event_id) order, plus its length —
+    * the behavioral-sequence export a session-LM / next-action-model
+    * training run consumes (and the batch twin of the per-user fold the
+    * streaming families keep incrementally). Determinism: the collected
+    * structs sort by (ts, event_id, event_type), a total order — same-
+    * instant events never reorder across runs or engines.
+    *
+    * Scale shape: ONE user-keyed hash exchange; per-key state is that
+    * user's events (the per-entity bound every u/w operator carries — a
+    * user's lifetime event count, not the corpus). collect_list here is
+    * the POINT of the operator (the sequence IS the output), not
+    * aggregation state smuggling — the output row count equals the user
+    * count and each row is one training example.
+    */
+  def userEventSequences(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        array_join(
+          expr("transform(array_sort(collect_list(struct(ts, event_id, event_type))), x -> x.event_type)"),
+          " "
+        ).as("seq")
+      )
+      .orderBy("user_id")
+
   /** U3 — RFM segmentation of the order book: per customer the classic
     * recency (days since last order, measured from the corpus's max order
     * date), frequency (order count) and monetary (lifetime spend in

@@ -158,21 +158,47 @@ object Similarity {
     * low-nprobe recall curve (BASELINE.md ledger).
     */
   private[graft] def refinedCentroids(e: DataFrame, nClusters: Int): Array[Seq[Float]] = {
-    val spark    = e.sparkSession
-    val maxIters = graft.GraftConf.int(spark, "ann.kmeans.maxiters", 8)
-    val eps      = graft.GraftConf.double(spark, "ann.kmeans.epsilon", 1e-4)
+    val spark     = e.sparkSession
+    val maxIters  = graft.GraftConf.int(spark, "ann.kmeans.maxiters", 8)
+    val eps       = graft.GraftConf.double(spark, "ann.kmeans.epsilon", 1e-4)
+    val sampleCap = graft.GraftConf.int(spark, "ann.kmeans.sample", 1 << 20)
     require(maxIters >= 1, s"graft.ann.kmeans.maxiters=$maxIters must be >= 1")
     require(eps > 0, s"graft.ann.kmeans.epsilon=$eps must be > 0")
-    var cs       = kmeansParSeeds(e, nClusters)
+    require(sampleCap >= 1, s"graft.ann.kmeans.sample=$sampleCap must be >= 1")
+    // TRAIN on a hash-capped slice, ASSIGN everything: at 100 TB the
+    // quantizer cannot Lloyd the full corpus maxIters times, and doesn't
+    // need to — C centroids are estimated as well from ~1M vectors as from
+    // 10^11 (standard IVF practice). The slice is a deterministic
+    // xxhash64 thinning (no RNG, reproducible); below the cap it is the
+    // whole corpus, so small-SF behavior is unchanged. Assignment of every
+    // vector against the trained centroids stays where it always was: in
+    // the callers' full-corpus scan.
+    val train    = trainingSlice(e, sampleCap)
+    var cs       = kmeansParSeeds(train, nClusters)
     var iter     = 0
     var moved    = Double.MaxValue
     while (iter < maxIters && moved >= eps) {
-      val next = lloydStep(e, cs)
+      val next = lloydStep(train, cs)
       moved = cs.zip(next).map { case (a, b) => 1.0 - cosLocal(a, b) }.max
       cs = next
       iter += 1
     }
     cs
+  }
+
+  /** Deterministic ~`cap`-row training slice: keep rows whose
+    * `xxhash64(vec_id) mod 2^20` falls under the thinning ratio. One
+    * count action; the cap is approximate (hash-uniform expectation),
+    * which is all quantizer training needs.
+    */
+  private def trainingSlice(e: DataFrame, cap: Int): DataFrame = {
+    val n = e.count()
+    if (n <= cap) e
+    else {
+      val num  = 1L << 20
+      val keep = math.max(1L, (cap.toDouble / n * num).toLong)
+      e.where(pmod(xxhash64(col("vec_id")), lit(num)) < keep)
+    }
   }
 
   /** One distributed Lloyd step: assign to the nearest centroid, mean per

@@ -101,6 +101,25 @@ class KmeansSpec extends SparkSpec {
     )
   }
 
+  test("sample-capped training still finds every planted cluster (the 100 TB path)") {
+    val e = graft.sources.Tables.embeddings(spark, clusteredDir)
+    spark.conf.set("graft.ann.kmeans.sample", "128")
+    val cs =
+      try Similarity.refinedCentroids(e, 8)
+      finally spark.conf.unset("graft.ann.kmeans.sample")
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val trueCenters = (0 until 8).map { c =>
+      val v = Array.fill(64)(0.0f); v(8 * c) = 1.0f; v.toSeq
+    }
+    // training on the 128-row hash slice (of 320) must still own all 8
+    // clusters — centroid quality needs a sample, never the corpus
+    assert(cs.map(c => trueCenters.indices.maxBy(t => cos(c, trueCenters(t)))).toSet == (0 until 8).toSet)
+  }
+
   test("tiny corpus degrades to one centroid per distinct vector") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_km_tiny").toString

@@ -140,6 +140,27 @@ class RetentionSpec extends SparkSpec {
     assert(monotone(rows.map(r => (r._3, r._6)).toSeq), "monetary buckets")
   }
 
+  test("u4: sequences come out in (ts, event_id) order — same-instant ties by id; lengths reconcile") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_useq").toString
+    // user 1: out-of-insertion-order rows + a same-instant tie (ids 4 < 5)
+    Seq(
+      (5L, 1L, "purchase", ts("2024-01-02 00:00:00")),
+      (4L, 1L, "click", ts("2024-01-02 00:00:00")),
+      (1L, 1L, "view", ts("2024-01-01 00:00:00")),
+      (9L, 2L, "view", ts("2024-01-03 00:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Retention.userEventSequences(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq((1L, 3L, "view click purchase"), (2L, 1L, "view")))
+    // real corpus: row per user, n_events reconciles with the raw count
+    val rows  = Retention.userEventSequences(spark, sf0001).collect()
+    val total = graft.sources.Tables.events(spark, sf0001).count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    assert(rows.forall(r => r.getString(2).split(" ").length.toLong == r.getLong(1)))
+  }
+
   test("u1: offset-0 dominates every later offset per cohort (real corpus)") {
     val rows = Retention
       .retentionCohorts(spark, sf0001)
