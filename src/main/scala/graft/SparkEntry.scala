@@ -112,6 +112,7 @@ object SparkEntry {
     "s11_ann_ivf_filtered"   -> ((s: SparkSession, d: String) => Similarity.annIvfFiltered(s, d, label = 1)),
     "s11p_ann_ivf_filtered_planted" -> ((s: SparkSession, d: String) => Similarity.annIvfFilteredPlanted(s, d)),
     "s12p_ann_ivf_incremental_planted" -> ((s: SparkSession, d: String) => Similarity.annIvfIncrementalPlanted(s, d)),
+    "s20p_ann_ivf_compacted_planted"   -> ((s: SparkSession, d: String) => Similarity.annIvfCompactedPlanted(s, d)),
     "s13_knn_join"           -> ((s: SparkSession, d: String) => Similarity.knnJoin(s, d)),
     "s14_knn_join_ivf"       -> ((s: SparkSession, d: String) => Similarity.knnJoinIvf(s, d)),
     "s14p_knn_join_ivf_planted" -> ((s: SparkSession, d: String) => Similarity.knnJoinIvfPlanted(s, d)),
@@ -604,6 +605,9 @@ object SparkEntry {
     "s6p_ann_ivf_partitioned_planted"  -> plantedTop5Oracle,
     "s9p_ann_ivf_quantized_planted"    -> plantedTop5Oracle,
     "s12p_ann_ivf_incremental_planted" -> plantedTop5Oracle,
+    // s20p: the compacted GENERATION (s12p's pair folded) must answer the
+    // planted query identically — the handoff itself, hash-adjudicated
+    "s20p_ann_ivf_compacted_planted"   -> plantedTop5Oracle,
     "s18p_ann_ivf_pq_planted"          -> plantedTop5Oracle,
     // s14p: the kNN-GRAPH twin — brute-force per-query top-3 restricted to
     // the six planted query rows, each of whose true neighbors are other

@@ -742,6 +742,45 @@ object Similarity {
     )
   }
 
+  /** Bump with any change to the compacted-generation scheme. */
+  private[operators] val IvfCompactSchemeVersion = 1
+
+  /** s20p — the COMPACTED generation through the planted oracle: s12p's
+    * base + planted-delta pair folded by [[compactVectorIndex]] under its
+    * own content-fingerprinted key, then probed like any base layout.
+    * This puts the generation handoff itself on the correctness board:
+    * the compacted artifact must answer the planted query exactly as the
+    * segmented pair does (both share the brute-force top-5 oracle over
+    * corpus ∪ fixture).
+    */
+  def annIvfCompactedPlanted(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 5,
+      nClusters: Int = -1, // -1 = the graft.ann.nclusters session knob (16 unset)
+      nProbe: Int = -1     // -1 = the graft.ann.nprobe session knob (4 unset)
+  ): DataFrame = {
+    VectorFunctions.register(spark)
+    val (nc, np) = resolveIvfKnobs(spark, nClusters, nProbe)
+    val base     = ivfLayoutCache(spark, dir, nc)
+    val delta    = ivfPlantedDeltaLayoutCache(spark, dir, nc)
+    val key = graft.sources.LayoutCache.contentKey(
+      spark,
+      s"$dir/embeddings.parquet",
+      s"ivfcompact-v$IvfCompactSchemeVersion-base$IvfSchemeVersion#$nc"
+    )
+    val layout = graft.sources.LayoutCache.getOrBuild(spark, "graft_ivfcompact", key) { out =>
+      compactVectorIndex(spark, base, s"$delta/vectors.parquet", out)
+    }
+    val qv = spark.read
+      .parquet(annPlantFixture(spark))
+      .where(col("vec_id") === PlantedQueryId)
+      .select("embedding")
+      .head()
+      .getSeq[Float](0)
+    probeSearchLayout(spark, layout, qv, PlantedQueryId, k, np)
+  }
+
   /** Tombstoned probe search — the vector half of t17's deletion
     * lifecycle: a `(vec_id)` takedown ledger masks deleted vectors out of
     * the probed scan by broadcast anti join (the ledger is takedown-sized;

@@ -232,9 +232,13 @@ class RobustnessSpec extends SparkSpec {
     // so zero corpus rows is the same train-on-nothing upstream failure.
     // The other planted twins stay OUT: their union layouts include the
     // committed fixture, which keeps them answerable.
+    // s20p inherits s12p's exemption: its base layout (the fold input) is
+    // trained on the corpus alone, so zero corpus rows is the same
+    // train-on-nothing upstream failure.
     val exempt = Set("p1_partitioned_time_count", "s4_ann_ivf",
       "s6_ann_ivf_partitioned", "s9_ann_ivf_quantized", "s11_ann_ivf_filtered",
       "s12_ann_ivf_incremental", "s12p_ann_ivf_incremental_planted",
+      "s20p_ann_ivf_compacted_planted",
       "s14_knn_join_ivf", "s17_ann_pq", "s18_ann_ivf_pq",
       "s19_ann_ivf_pq_filtered")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

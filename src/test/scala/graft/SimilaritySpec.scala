@@ -540,6 +540,14 @@ class SimilaritySpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("s20p: the compacted planted generation answers exactly as the segmented pair (s12p)") {
+    def ranks(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val segmented = ranks(Similarity.annIvfIncrementalPlanted(spark, sf0001))
+    val compacted = ranks(Similarity.annIvfCompactedPlanted(spark, sf0001))
+    assert(compacted == segmented && segmented.nonEmpty)
+  }
+
   test("vector deletion lifecycle: tombstone mask == survivor-corpus brute; purge retires the ledger") {
     import org.apache.spark.sql.functions.{col, lit, pmod}
     val e      = graft.sources.Tables.embeddings(spark, sf0001)
