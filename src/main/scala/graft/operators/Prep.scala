@@ -178,6 +178,36 @@ object Prep {
       .option("compression", "snappy")
       .parquet(outDir)
 
+  /** Folder-of-Parquet → gzip'd JSONL export — the interchange format
+    * LLM-training corpora actually ship in (one JSON object per line,
+    * `.json.gz` parts). The inverse of [[jsonToParquet]]: together they
+    * close the round trip a dataset makes leaving and re-entering the
+    * parquet estate. Distributed columnar→row encode, one file per
+    * partition; pre-size partitions with `repartition(n)` upstream when
+    * shard count matters (WebDataset-style loaders want even shards).
+    */
+  def toJsonlGz(df: DataFrame, outDir: String): Unit =
+    df.write.mode("overwrite").option("compression", "gzip").json(outDir)
+
+  /** Read a JSONL(.gz) export back with its declared schema — same
+    * never-infer discipline as [[jsonToParquet]] (inference re-reads the
+    * corpus and can widen types silently).
+    */
+  def jsonlTable(spark: SparkSession, dir: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(dir)
+
+  /** Read a folder whose parquet files span SCHEMA GENERATIONS (columns
+    * added over time — every long-lived ingest hits this): `mergeSchema`
+    * unions the file footers' schemas, with rows from old files carrying
+    * null in the added columns. Spark reads this correctly but only on
+    * request (the flag costs a footer pass per file), so the engine makes
+    * the choice EXPLICIT here rather than letting callers discover the
+    * silently-dropped column the default would give when the newest file
+    * lacks it.
+    */
+  def evolvedTable(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dir)
+
   /** Folder-of-Parquet → folder-of-ORC rewrite (and [[orcTable]] to read it
     * back) — the second columnar format a lakehouse serves. Spark's ORC
     * datasource is built in, so the whole scan/pushdown/pruning surface

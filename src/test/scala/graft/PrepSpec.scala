@@ -118,4 +118,36 @@ class PrepSpec extends SparkSpec {
     assert(back.count() == 2)
     assert(back.orderBy("id").collect().map(_.getString(1)).toSeq == Seq("alpha", "beta"))
   }
+
+  test("jsonl.gz export round-trips the documents table exactly (parquet -> jsonl.gz -> parquet)") {
+    val tmp  = Files.createTempDirectory("graft_jsonl").toString
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    Prep.toJsonlGz(docs, s"$tmp/export")
+    // parts are genuinely gzip'd jsonl
+    val parts = new java.io.File(s"$tmp/export").listFiles().filter(_.getName.endsWith(".json.gz"))
+    assert(parts.nonEmpty, "export must land .json.gz parts")
+    val back = Prep.jsonlTable(spark, s"$tmp/export", docs.schema)
+    assert(back.count() == docs.count())
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+  }
+
+  test("schema evolution: mergeSchema unions generations; the default silently drops the added column") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_evolve").toString
+    // generation 1: (id, text); generation 2 adds lang
+    Seq((1L, "old row")).toDF("id", "text")
+      .write.mode("append").parquet(s"$tmp/t")
+    Seq((2L, "new row", "en")).toDF("id", "text", "lang")
+      .write.mode("append").parquet(s"$tmp/t")
+    val merged = Prep.evolvedTable(spark, s"$tmp/t")
+    assert(merged.columns.toSet == Set("id", "text", "lang"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("lang")), "old generation must carry null in the added column")
+    assert(rows(1).getString(rows(1).fieldIndex("lang")) == "en")
+    // the documented hazard: a plain read takes ONE footer's schema, so the
+    // added column may be entirely absent — the reason evolvedTable exists
+    val plain = spark.read.parquet(s"$tmp/t")
+    assert(plain.columns.length <= 3)
+  }
 }
