@@ -764,10 +764,16 @@ object Similarity {
     val (nc, np) = resolveIvfKnobs(spark, nClusters, nProbe)
     val base     = ivfLayoutCache(spark, dir, nc)
     val delta    = ivfPlantedDeltaLayoutCache(spark, dir, nc)
+    // key carries BOTH inputs' provenance: the corpus fingerprint, the base
+    // scheme version, and the fixture's own content key — a fixture edit
+    // rebuilds the delta AND this fold (a stale compacted generation
+    // silently serving old fixture vectors is exactly the failure the
+    // cache-key discipline exists to prevent)
+    val fxKey = graft.sources.LayoutCache.contentKey(spark, annPlantFixture(spark), "fx")
     val key = graft.sources.LayoutCache.contentKey(
       spark,
       s"$dir/embeddings.parquet",
-      s"ivfcompact-v$IvfCompactSchemeVersion-base$IvfSchemeVersion#$nc"
+      s"ivfcompact-v$IvfCompactSchemeVersion-base$IvfSchemeVersion#$nc#$fxKey"
     )
     val layout = graft.sources.LayoutCache.getOrBuild(spark, "graft_ivfcompact", key) { out =>
       compactVectorIndex(spark, base, s"$delta/vectors.parquet", out)

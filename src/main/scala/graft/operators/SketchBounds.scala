@@ -72,10 +72,15 @@ object SketchBounds {
     * `quantile_cont`) plus booleans that x3's estimates sit within rank
     * 0.5±0.02 / 0.9±0.02 of the group's value distribution. Rank of the
     * estimate is computed relationally — broadcast the 5-row sketch result
-    * back onto events and average `value <= estimate` — so the companion is
-    * two scans of events (one for the sketch, one for rank+exact), no
-    * collect. The GK sketch guarantees ε=1/accuracy=10⁻⁴ rank error;
-    * the 0.02 gate is 200× slack — deterministically true.
+    * back onto events and average BOTH `value < estimate` and
+    * `value <= estimate` — so the companion is two scans of events (one
+    * for the sketch, one for rank+exact), no collect. TIES: a repeated
+    * value occupies the whole rank interval [P(<v), P(≤v)], so the gate
+    * asks whether that interval INTERSECTS p±0.02 (`r_lt ≤ p+ε ∧
+    * r_le ≥ p−ε`) — a one-sided `|P(≤v) − p| ≤ ε` would flag a perfectly
+    * correct estimate red whenever one value carries more than 2ε of the
+    * mass. The GK sketch guarantees ε=1/accuracy=10⁻⁴ rank error; the
+    * 0.02 gate is 200× slack — deterministically true.
     */
   def x3bApproxPercentilesBound(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
@@ -87,15 +92,17 @@ object SketchBounds {
       .agg(
         expr("percentile(value, 0.5)").as("p50"),
         expr("percentile(value, 0.9)").as("p90"),
-        avg((col("value") <= col("a50")).cast("double")).as("r50"),
-        avg((col("value") <= col("a90")).cast("double")).as("r90")
+        avg((col("value") < col("a50")).cast("double")).as("r50lt"),
+        avg((col("value") <= col("a50")).cast("double")).as("r50le"),
+        avg((col("value") < col("a90")).cast("double")).as("r90lt"),
+        avg((col("value") <= col("a90")).cast("double")).as("r90le")
       )
       .select(
         col("event_type"),
         col("p50"),
         col("p90"),
-        (abs(col("r50") - 0.5) <= 0.02).as("p50_within"),
-        (abs(col("r90") - 0.9) <= 0.02).as("p90_within")
+        (col("r50lt") <= 0.52 && col("r50le") >= 0.48).as("p50_within"),
+        (col("r90lt") <= 0.92 && col("r90le") >= 0.88).as("p90_within")
       )
       .orderBy("event_type")
   }

@@ -913,10 +913,13 @@ object TextAnalysis {
       .documents(spark, dir)
       .agg(expr("coalesce((max(doc_id) + 1) div 2, 0)").as("k"))
       .head().getLong(0)
+    // the fold's key must track its INPUTS' scheme: a segment-scheme bump
+    // rebuilds base/delta, and this tag makes the compaction rebuild with
+    // them instead of serving the stale pre-bump fold
     val key = LayoutCache.contentKey(
       spark,
       s"$dir/documents.parquet",
-      s"postcompact-v$PostingsCompactSchemeVersion#$split"
+      s"postcompact-v$PostingsCompactSchemeVersion-seg$PostingsIncrSchemeVersion#$split"
     )
     LayoutCache.getOrBuild(spark, "graft_postcompact", key) { out =>
       val base  = postingsBaseLayoutCache(spark, dir, split)

@@ -34,10 +34,14 @@ import org.apache.spark.sql.types.StructType
   */
 object IntervalJoinStream {
 
-  /** Two event streams (typically the same directory watched twice — the
-    * self-pair shape of a2 — or an event stream against a late-arriving
-    * enrichment stream) joined within ±`gapSeconds`. Emits
-    * `(a_event_id, b_event_id)` pairs to an append-mode memory sink.
+  /** The SELF-PAIR shape of a2: two watches over the same event feed,
+    * joined within ±`gapSeconds`, each unordered pair emitted once via
+    * the `a_event_id < b_event_id` orientation. That orientation is what
+    * makes this a self-join twin — pointing A and B at DISTINCT streams
+    * would silently drop the matches whose left id happens to be larger;
+    * for genuine two-stream enrichment use [[intervalEnrichStream]],
+    * which carries no id constraint. Emits `(a_event_id, b_event_id)`
+    * pairs to an append-mode memory sink.
     */
   def intervalPairStream(
       spark: SparkSession,

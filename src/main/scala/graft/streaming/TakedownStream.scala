@@ -22,6 +22,17 @@ import org.apache.spark.sql.types.StructType
   * the LEDGER keeps them (sealed segments are never rewritten), and the
   * query side de-duplicates by doc_id before both the mask and the stats
   * negation — deleting twice must subtract once.
+  *
+  * ADMISSION CONTRACT: a ledger entry must reference a document that IS
+  * in the index, with its true `dl` — the stats negation trusts both. A
+  * request for a never-ingested id (or one re-submitted AFTER a purge
+  * already dropped it) would mask nothing yet still subtract, skewing
+  * idf/avgdl for every query. Production enforces this where requests
+  * are admitted (validate against the catalog; retire the ledger with
+  * each purge — the [[TextAnalysis.compactSegmentsPurged]] contract);
+  * the engine keeps the check out of the per-query path on purpose — a
+  * corpus-wide doc-id probe per search to re-verify the ledger would
+  * cost more than the mask itself.
   */
 object TakedownStream {
 
