@@ -1450,8 +1450,10 @@ object SparkEntry {
         "FROM d JOIN f USING (user_id) GROUP BY d.day ORDER BY d.day"),
     // u3: Spark percentile and DuckDB quantile_cont share the (n-1)*p
     // interpolation (parity x2 established); buckets come from strict >
-    // against those cut-points, never ntile, so ties sit in the lower
-    // count identically on both engines. DuckDB lists are 1-based where
+    // against those cut-points, never ntile, so f/m ties sit in the lower
+    // bucket identically on both engines (the inverted r_bucket puts
+    // cut-point ties in the HIGHER score — same strict-> rule, flipped
+    // sign). DuckDB lists are 1-based where
     // Spark's bracket indexing is 0-based — rq[1] here is rq[0] there.
     // r_bucket is INVERTED per RFM convention (4 = most recent quartile).
     // u4: STRING_AGG with ORDER BY (ts, event_id) == the engine's

@@ -163,10 +163,15 @@ object Retention {
     * quartile cut-points per dimension (`percentile` is an aggregate, not
     * a sort), and bucket assignment is a broadcast-join + map-side
     * comparison `1 + Σ (v > qᵢ)`. At 10⁸ customers nothing in the plan
-    * exceeds one hash exchange; ties sit deterministically in the lower
-    * count on both engines (strict `>` against identical interpolated
-    * cut-points — Spark `percentile` and DuckDB `quantile_cont` share the
-    * (n−1)·p linear-interpolation definition, the parity x2 established).
+    * exceeds one hash exchange; for f/m, ties sit deterministically in
+    * the lower bucket on both engines (strict `>` against identical
+    * interpolated cut-points — Spark `percentile` and DuckDB
+    * `quantile_cont` share the (n−1)·p linear-interpolation definition,
+    * the parity x2 established). The inverted recency bucket flips that
+    * rule: `4 − Σ (recency_days > qᵢ)` means a value equal to a
+    * cut-point is NOT subtracted, so recency cut-point ties land in the
+    * HIGHER score — identically on both engines, for the same strict-`>`
+    * reason.
     *
     * Bucket orientation follows RFM convention: ALL three buckets grow
     * with customer value — `r_bucket` is 4 for the MOST RECENT quartile

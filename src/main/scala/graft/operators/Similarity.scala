@@ -173,7 +173,13 @@ object Similarity {
     // whole corpus, so small-SF behavior is unchanged. Assignment of every
     // vector against the trained centroids stays where it always was: in
     // the callers' full-corpus scan.
-    val train    = trainingSlice(e, sampleCap)
+    // ONE count action serves double duty: the non-empty guard (an empty
+    // embeddings input fails HERE with a clear message, not as an opaque
+    // NoSuchElementException inside the Lloyd loop) and the thinning
+    // decision below the cap — there is no separate "extra" scan.
+    val n = e.count()
+    require(n > 0, "quantizer training requires a non-empty embeddings input")
+    val train    = trainingSlice(e, sampleCap, n)
     var cs       = kmeansParSeeds(train, nClusters)
     var iter     = 0
     var moved    = Double.MaxValue
@@ -187,12 +193,12 @@ object Similarity {
   }
 
   /** Deterministic ~`cap`-row training slice: keep rows whose
-    * `xxhash64(vec_id) mod 2^20` falls under the thinning ratio. One
-    * count action; the cap is approximate (hash-uniform expectation),
-    * which is all quantizer training needs.
+    * `xxhash64(vec_id) mod 2^20` falls under the thinning ratio. The
+    * caller supplies the corpus count (it already needed one for the
+    * non-empty guard — no second scan here); the cap is approximate
+    * (hash-uniform expectation), which is all quantizer training needs.
     */
-  private def trainingSlice(e: DataFrame, cap: Int): DataFrame = {
-    val n = e.count()
+  private def trainingSlice(e: DataFrame, cap: Int, n: Long): DataFrame = {
     if (n <= cap) e
     else {
       val num  = 1L << 20

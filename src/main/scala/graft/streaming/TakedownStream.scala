@@ -68,12 +68,27 @@ object TakedownStream {
   /** The stream-maintained ledger, de-duplicated for query use (smallest
     * dl wins deterministically on conflicting resubmissions — any single
     * row per doc_id is correct, determinism is for the specs).
+    *
+    * Deployment ordering: queries may arrive BEFORE the first takedown
+    * batch lands (the stream exists, the directory doesn't yet) — the
+    * same gap [[StreamSource]] closes for stream starts. An absent or
+    * segment-less ledger directory degrades to an empty ledger, so the
+    * ranking is simply the unmasked index instead of a schema-inference
+    * failure.
     */
-  private[graft] def ledger(spark: SparkSession, ledgerDir: String): DataFrame =
-    spark.read
-      .parquet(ledgerDir)
-      .groupBy("doc_id")
-      .agg(min("dl").as("dl"))
+  private[graft] def ledger(spark: SparkSession, ledgerDir: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(ledgerDir)
+    val fs   = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasSegments =
+      fs.exists(path) && fs.listStatus(path).exists(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+    val raw =
+      if (hasSegments) spark.read.parquet(ledgerDir).select(col("doc_id").cast("long"), col("dl").cast("long"))
+      else {
+        import spark.implicits._
+        spark.emptyDataset[(Long, Long)].toDF("doc_id", "dl")
+      }
+    raw.groupBy("doc_id").agg(min("dl").as("dl"))
+  }
 
   /** BM25 over the STREAM-MAINTAINED postings index masked by the
     * STREAM-MAINTAINED ledger — t17's query shape with both artifacts

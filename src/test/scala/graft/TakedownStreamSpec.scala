@@ -14,6 +14,27 @@ class TakedownStreamSpec extends SparkSpec {
   private def ranks(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
     df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
 
+  test("pre-first-takedown queries degrade to the unmasked index (absent or segment-less ledger dir)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_takedown_empty")
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    PostingsStream.processBatch(docs, s"$base/idx", 0L)
+    val unmasked = ranks(
+      TextAnalysis.bm25OverSegments(
+        spark.read.parquet(s"$base/idx/postings").where(col("token").isInCollection(TextAnalysis.KeywordTerms)),
+        spark.read.parquet(s"$base/idx/stats").select("n_docs", "n_dl", "sum_dl"),
+        20
+      )
+    )
+    // ledger dir does not exist yet — the deployment-ordering case where a
+    // query lands before the first takedown batch
+    val beforeAny = ranks(TakedownStream.bm25RankStreamedTombstoned(spark, s"$base/idx", s"$base/ledger"))
+    assert(beforeAny == unmasked && unmasked.nonEmpty, "absent ledger must mean unmasked ranking")
+    // and the dir-exists-but-no-segments case (stream started, nothing landed)
+    java.nio.file.Files.createDirectories(base.resolve("ledger"))
+    val stillEmpty = ranks(TakedownStream.bm25RankStreamedTombstoned(spark, s"$base/idx", s"$base/ledger"))
+    assert(stillEmpty == unmasked, "segment-less ledger must mean unmasked ranking")
+  }
+
   test("streamed takedowns: masked ranking == survivor rebuild; duplicates subtract once; sealed + idempotent") {
     val base = java.nio.file.Files.createTempDirectory("graft_takedown")
     val docs = graft.sources.Tables.documents(spark, sf0001)
