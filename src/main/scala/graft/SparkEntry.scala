@@ -250,6 +250,11 @@ object SparkEntry {
     "m6_audio_frame_energy"      -> (Multimodal.audioFrameEnergyQuery _),
     "m7_audio_activity_segments" -> (Multimodal.audioActivitySegments _),
     "m8_image_histogram"         -> (Multimodal.imageHistogramQuery _),
+    // round 13: perceptual image dedup — per-raster 64-bit dHash ledger
+    // (m9) and the banded-Hamming near-dup pair rung over it (n17); both
+    // fully DuckDB-oracled because the hash is pure pixel arithmetic
+    "m9_image_dhash"        -> (Multimodal.imageDhashQuery _),
+    "n17_image_dhash_pairs" -> (Dedup.imageDhashPairs _),
     // round 8: semantic decontamination — nearest benchmark vector +
     // above-threshold count per training vector (integer-only output)
     "d22_decontaminate_semantic" -> ((s: SparkSession, d: String) => Curation.decontaminateSemantic(s, d)),
@@ -788,6 +793,32 @@ object SparkEntry {
         "p AS (SELECT id, ((i * 31 + id) % 256) // 16 AS bin FROM d, UNNEST(range(0, n)) AS t(i)) " +
         "SELECT id AS media_id, bin::BIGINT AS bin, COUNT(*)::BIGINT AS n_px " +
         "FROM p GROUP BY id, bin ORDER BY media_id, bin"),
+    // m9: the dHash grid regenerated relationally — nearest-resize to 9×8
+    // is the integer index map sy = r·h div 8 / sx = c·w div 9 over m5's
+    // pixel formula, bit k = r·8+c set iff grid(r,c) > grid(r,c+1), and
+    // the 64 bits pack into two 32-bit BIGINT halves so neither engine
+    // shifts into the sign bit. Shares m5's byte-exactness argument.
+    "m9_image_dhash" ->
+      (DhashGridCte +
+        "SELECT id AS media_id, " +
+        "SUM(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END)::BIGINT AS hash_hi, " +
+        "SUM(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END)::BIGINT AS hash_lo " +
+        "FROM bits GROUP BY id ORDER BY media_id"),
+    // n17: the oracle brute-forces the pair join over the rebuilt hashes
+    // (exact at oracle scale); the engine's banded candidate generation is
+    // exact-complete below Hamming 8 by the pigeonhole argument, so both
+    // sides emit the identical pair set.
+    "n17_image_dhash_pairs" ->
+      (DhashGridCte +
+        ", hashes AS (SELECT id, " +
+        "SUM(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END)::BIGINT AS hash_hi, " +
+        "SUM(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END)::BIGINT AS hash_lo " +
+        "FROM bits GROUP BY id) " +
+        "SELECT a.id AS media_a, b.id AS media_b, " +
+        "(bit_count(xor(a.hash_hi, b.hash_hi)) + bit_count(xor(a.hash_lo, b.hash_lo)))::BIGINT AS dist " +
+        "FROM hashes a JOIN hashes b ON a.id < b.id " +
+        s"WHERE bit_count(xor(a.hash_hi, b.hash_hi)) + bit_count(xor(a.hash_lo, b.hash_lo)) <= ${Dedup.DhashHammingMax} " +
+        "ORDER BY media_a, media_b"),
     // t12: integer proximity over per-term position lists — DuckDB's
     // (x, i) lambda is 1-based where Spark's is 0-based, which cancels
     // inside |x − y|; doc_id breaks ties so the ordering is total.
@@ -1775,6 +1806,20 @@ object SparkEntry {
     * `w[s : s+7]` is 1-based INCLUSIVE (8 tokens), matching Spark's
     * `slice(toks, s+1, 8)`; the range stops differ by the same convention.
     */
+  /** Shared CTE prefix for the m9/n17 oracles: the PGM quarter's pixels
+    * nearest-resized to the 9×8 dHash grid, reduced to the 64 horizontal
+    * difference bits — all integer arithmetic over `documents` columns
+    * (px(i) = (i·31+id) mod 256; sy = r·h div 8, sx = c·w div 9).
+    */
+  private val DhashGridCte: String =
+    "WITH d AS (SELECT doc_id AS id, (doc_id % 14 + 2)::BIGINT AS w, (doc_id % 10 + 1)::BIGINT AS h " +
+      "FROM documents WHERE doc_id % 4 = 0), " +
+      "g AS (SELECT id, r, c, ((((r * h // 8) * w + (c * w // 9)) * 31 + id) % 256) AS px " +
+      "FROM d, UNNEST(range(0, 8)) AS a(r), UNNEST(range(0, 9)) AS b(c)), " +
+      "bits AS (SELECT g1.id, CASE WHEN g1.px > g2.px THEN 1 ELSE 0 END AS bit, " +
+      "(g1.r * 8 + g1.c)::BIGINT AS k " +
+      "FROM g g1 JOIN g g2 ON g1.id = g2.id AND g1.r = g2.r AND g2.c = g1.c + 1 WHERE g1.c < 8) "
+
   private val spanCtePrefix: String =
     "WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
       "sp AS (SELECT DISTINCT doc_id, md5(array_to_string(w[s : s + " + (Dedup.SpanTokens - 1) + "], ' ')) AS span_fp " +

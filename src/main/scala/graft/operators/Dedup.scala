@@ -1650,6 +1650,73 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Hamming radius for [[imageDhashPairs]] — ≤ 7 so the 8×8-bit band
+    * pigeonhole (≤ 7 differing bits ⇒ ≥ 1 identical band) makes candidate
+    * generation exact-complete, the same bound n3's SimHash rung rides.
+    */
+  val DhashHammingMax: Int = 7
+
+  /** N17 — image near-dup pairs by perceptual hash: every decodable
+    * raster's 64-bit dHash ([[Multimodal.imageDhash]]) banded into 8×8-bit
+    * keys, candidates from band-bucket collisions only, exact Hamming
+    * verification of candidates — the SimHash plan family applied to the
+    * IMAGE modality. This closes the dedup ladder's multimodal gap: n1–n16
+    * dedup text and embeddings; n17 dedups rasters through the real decode
+    * path (re-encoded or resampled copies collapse to nearby dHashes).
+    *
+    * Unlike n3 (whose signature rides the engine's xxhash64), the dHash is
+    * pure pixel arithmetic — band keys are substrings OF THE HASH ITSELF —
+    * so the whole rung carries a full DuckDB oracle: the oracle rebuilds
+    * every grid cell relationally from the PGM quarter's pixel formula and
+    * brute-forces the pair join at oracle scale. No planted twin needed;
+    * the production path IS the hash-checked path.
+    *
+    * Scale: the only wide ops are the dHash output sort and the band-key
+    * self-join; nothing is ever all-pairs. The synthetic corpus is the
+    * adversarial case — its rasters are tiny (≤ 15×10), so upsampling to
+    * the 9×8 grid collapses many images to few distinct hashes and the
+    * band buckets run hot; real photo corpora give near-uniform dHashes
+    * and proportionally small buckets. A df-style bucket cap (drop buckets
+    * above k, the [[cappedShingles]] hygiene) is the documented production
+    * knob when a corpus degenerates — left off here so the rung stays
+    * exactly the oracle's semantics.
+    */
+  def imageDhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val h = graft.operators.Multimodal
+      .imageDhash(graft.operators.Multimodal.syntheticMediaWhere(spark, dir, col("doc_id") % 4 === 0))
+      .toDF()
+    // bands 0–3 slice hash_lo (bits 0–31), bands 4–7 slice hash_hi; the
+    // 32-bit halves never carry a sign bit, so >> & 255 is portable.
+    val bands = h.select(
+      col("media_id"),
+      col("hash_hi"),
+      col("hash_lo"),
+      explode(array((0 until 8).map { k =>
+        val src = if (k < 4) col("hash_lo") else col("hash_hi")
+        struct(lit(k).as("band"), shiftright(src, (k % 4) * 8).bitwiseAND(lit(255L)).as("bv"))
+      }: _*)).as("bk")
+    ).select(col("media_id"), col("hash_hi"), col("hash_lo"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+    bands
+      .as("a")
+      .join(
+        bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") && col("a.media_id") < col("b.media_id")
+      )
+      .select(
+        col("a.media_id").as("media_a"),
+        col("b.media_id").as("media_b"),
+        col("a.hash_hi").as("ha_hi"),
+        col("a.hash_lo").as("ha_lo"),
+        col("b.hash_hi").as("hb_hi"),
+        col("b.hash_lo").as("hb_lo")
+      )
+      .distinct()
+      .withColumn("dist", (expr("bit_count(ha_hi ^ hb_hi)") + expr("bit_count(ha_lo ^ hb_lo)")).cast("long"))
+      .where(col("dist") <= DhashHammingMax)
+      .select("media_a", "media_b", "dist")
+      .orderBy("media_a", "media_b")
+  }
+
   /** All-pairs brute force — O(n²), spec-level equivalence oracle ONLY (the
     * registered n4 is the LSH-bucketed plan above).
     */

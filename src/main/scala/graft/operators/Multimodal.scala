@@ -1290,6 +1290,69 @@ object Multimodal {
       .toDF()
       .orderBy("media_id", "bin")
 
+  final case class DhashRow(media_id: Long, hash_hi: Long, hash_lo: Long)
+
+  /** dHash grid: 8 rows × 9 columns of nearest-resized luma, compared
+    * horizontally-adjacent → 8×8 = 64 difference bits. The standard
+    * difference-hash shape (Krawetz's dHash; 9-wide so every row yields
+    * exactly 8 comparisons).
+    */
+  val DhashRows: Int = 8
+  val DhashCols: Int = 9
+
+  /** M9 — perceptual difference hash (dHash) per decodable raster: decode
+    * → nearest-resize to the [[DhashCols]]×[[DhashRows]] luma grid →
+    * bit k (k = r·8+c) set iff grid(r,c) > grid(r,c+1). The 64 bits are
+    * emitted as TWO 32-bit-packed BIGINTs (`hash_hi` = bits 32–63,
+    * `hash_lo` = bits 0–31) so neither engine ever shifts into the sign
+    * bit — the same dodge the minhash family uses for portable integer
+    * emission. This is the image analogue of d4's text fingerprint: the
+    * content-addressed key image dedup groups by, robust to re-encoding
+    * and resampling because both hash sides pass through the same
+    * fixed-grid resize.
+    *
+    * Map-only: decode + resize + 64 integer comparisons per row, no
+    * shuffle before the output sort. The byte recovery `round(gray·255)`
+    * is exact (the [[patchGrid]] argument), so the comparison is integer
+    * `>` on both engines and the DuckDB oracle regenerates every grid
+    * cell relationally from the PGM quarter's pixel arithmetic — the
+    * decode path, resize index map, and bit packing are all inside the
+    * hash-checked contract.
+    */
+  def imageDhash(media: Dataset[MediaRow]): Dataset[DhashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        parseImage(r.format, r.payload).flatten.map { img =>
+          val g  = resizeNearest(img, DhashCols, DhashRows)
+          var hi = 0L
+          var lo = 0L
+          var rr = 0
+          while (rr < DhashRows) {
+            var cc = 0
+            while (cc < DhashCols - 1) {
+              val a = math.round(g.gray(rr * DhashCols + cc) * 255f).toInt
+              val b = math.round(g.gray(rr * DhashCols + cc + 1) * 255f).toInt
+              if (a > b) {
+                val k = rr * (DhashCols - 1) + cc
+                if (k >= 32) hi |= 1L << (k - 32) else lo |= 1L << k
+              }
+              cc += 1
+            }
+            rr += 1
+          }
+          DhashRow(r.media_id, hi, lo)
+        }
+      }
+    }
+  }
+
+  /** M9's registry surface: the dHash ledger over the PGM quarter. */
+  def imageDhashQuery(spark: SparkSession, dir: String): DataFrame =
+    imageDhash(syntheticMediaWhere(spark, dir, col("doc_id") % 4 === 0))
+      .toDF()
+      .orderBy("media_id")
+
   /** Activity threshold for [[audioActivitySegments]], in the same
     * quantization units as [[AudioFrameSamples]]-sample `sum_abs`: with
     * 8-bit samples roughly uniform over the code space, E[Σ|v|] ≈ 8·64 =

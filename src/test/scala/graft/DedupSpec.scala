@@ -655,4 +655,39 @@ class DedupSpec extends SparkSpec {
     assert(kept.values.sum == docIds.size.toLong)
     assert(clusters.nonEmpty, "fixture corpus must actually contain near-dup clusters")
   }
+
+  test("n17: banded dHash pairs == brute force over the same hash set; non-empty at sf0.001") {
+    val banded = Dedup
+      .imageDhashPairs(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val h = graft.operators.Multimodal
+      .imageDhash(graft.operators.Multimodal.syntheticMediaWhere(
+        spark, sf0001, org.apache.spark.sql.functions.col("doc_id") % 4 === 0))
+      .collect()
+      .map(r => (r.media_id, r.hash_hi, r.hash_lo))
+    val brute = (for {
+      a <- h; b <- h if a._1 < b._1
+      d = java.lang.Long.bitCount(a._2 ^ b._2) + java.lang.Long.bitCount(a._3 ^ b._3)
+      if d <= Dedup.DhashHammingMax
+    } yield (a._1, b._1, d.toLong)).toSet
+    assert(banded == brute, "band pigeonhole must be exact-complete at Hamming <= 7")
+    assert(banded.nonEmpty, "the synthetic corpus must contain dHash near-dups")
+    assert(banded.exists(_._3 == 0L), "and exact perceptual dups")
+  }
+
+  test("n17 pigeonhole: any 64-bit pair within Hamming 7 shares an 8-bit band (randomized)") {
+    val rnd = new scala.util.Random(13)
+    (0 until 2000).foreach { _ =>
+      val a    = rnd.nextLong()
+      val nBit = rnd.nextInt(8) // 0..7 flips
+      val b    = (0 until nBit).foldLeft(a)((v, _) => v ^ (1L << rnd.nextInt(64)))
+      val ham  = java.lang.Long.bitCount(a ^ b)
+      if (ham <= 7) {
+        val shares = (0 until 8).exists(k => ((a >>> (8 * k)) & 255L) == ((b >>> (8 * k)) & 255L))
+        assert(shares, s"pair at Hamming $ham must share a band: $a $b")
+      }
+    }
+  }
 }

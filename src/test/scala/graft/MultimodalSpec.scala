@@ -109,6 +109,50 @@ class MultimodalSpec extends SparkSpec {
           (1L, 0L, 0L, 0L, 0L), (1L, 1L, 65280L, 255L, 255L)))
   }
 
+  test("m9: dHash by hand — monotone gradients hit the all-zero/all-one hashes; copies collide; non-rasters silent") {
+    import spark.implicits._
+    // 9×8 rasters exactly at grid size, so resizeNearest is the identity:
+    // left-to-right increasing ⇒ no g(c) > g(c+1) ⇒ hash (0, 0);
+    // decreasing ⇒ all 64 bits set ⇒ both 32-bit halves = 0xFFFFFFFF.
+    val inc = "P5 9 8 255\n".getBytes("US-ASCII") ++
+      Array.tabulate(72)(i => (i % 9 * 10).toByte)
+    val dec = "P5 9 8 255\n".getBytes("US-ASCII") ++
+      Array.tabulate(72)(i => (80 - i % 9 * 10).toByte)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image/pgm", 9, 8, 1, inc),
+      Multimodal.MediaRow(2L, "image/pgm", 9, 8, 1, dec),
+      Multimodal.MediaRow(3L, "image/pgm", 9, 8, 1, inc.clone()),           // exact copy of 1
+      Multimodal.MediaRow(4L, "audio/wav", 0, 0, 1, Array[Byte](1, 2, 3)), // not a raster
+      Multimodal.MediaRow(5L, "image/pgm", 9, 8, 1, "P5 corrupt".getBytes) // undecodable
+    ).toDS()
+    val got = Multimodal.imageDhash(rows).collect().sortBy(_.media_id)
+    assert(got.map(_.media_id).toSeq == Seq(1L, 2L, 3L), "only decodable rasters hash")
+    val byId = got.map(r => r.media_id -> (r.hash_hi, r.hash_lo)).toMap
+    assert(byId(1L) == (0L, 0L))
+    assert(byId(2L) == (0xffffffffL, 0xffffffffL))
+    assert(byId(3L) == byId(1L), "identical payloads collide exactly")
+  }
+
+  test("m9: dHash is resample-robust — a 2x nearest upscale of the same image hashes identically") {
+    import spark.implicits._
+    // the whole point of a perceptual hash: re-encoded/resampled copies
+    // collapse. A k× nearest-neighbor upscale passes through the fixed
+    // 9×8 grid to the same samples (floor(c·kw/9)/k = floor(c·w/9) holds
+    // for k·w multiples), so the dHash is bit-identical.
+    val w = 9; val h = 8
+    val base = Array.tabulate(w * h)(i => ((i * 53 + 11) % 256).toByte)
+    val up = Array.tabulate(w * 2 * h * 2) { i =>
+      val y = i / (w * 2) / 2; val x = i % (w * 2) / 2
+      base(y * w + x)
+    }
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image/pgm", w, h, 1, s"P5 $w $h 255\n".getBytes("US-ASCII") ++ base),
+      Multimodal.MediaRow(2L, "image/pgm", w * 2, h * 2, 1, s"P5 ${w * 2} ${h * 2} 255\n".getBytes("US-ASCII") ++ up)
+    ).toDS()
+    val got = Multimodal.imageDhash(rows).collect().sortBy(_.media_id)
+    assert(got.length == 2 && (got(0).hash_hi, got(0).hash_lo) == (got(1).hash_hi, got(1).hash_lo))
+  }
+
   test("m6: frame-energy ledger by hand on a planted 10-sample WAV; partial tail frame kept") {
     import spark.implicits._
     // 8-bit mono raws [128,129,127,200,0,255,64,192,130,126] decode to
