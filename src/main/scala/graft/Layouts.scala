@@ -63,6 +63,7 @@ object Layouts {
     "media_catalog_base" -> (() => { Multimodal.mediaDemuxIncremental(spark, dir); () }),
     "events_by_day"      -> (() => { Prep.dayPartitionedEventsCache(spark, dir); () }),
     "events_zorder"      -> (() => { Prep.zorderEventsCache(spark, dir); () }),
+    "events_bloom_manifest" -> (() => { graft.sources.BloomManifest.eventsManifestCache(spark, dir); () }),
     "bucketed_facts"     -> (() => { BucketedFacts.lineitemOrders(spark, dir); () }),
     "bucketed_events"    -> (() => { BucketedFacts.eventsByUser(spark, dir); () })
   )

@@ -75,6 +75,10 @@ object SparkEntry {
     "q3p_positional_filter_count" -> (CoreQueries.q3PositionalFilterCount _),
     "p1_partitioned_time_count"   -> (CoreQueries.p1PartitionedTimeCount _),
     "z1_zorder_range"             -> (CoreQueries.z1ZorderRange _),
+    // round 13: file-skipping bloom manifest — the reference's PointFilter
+    // served by probing per-file blooms and reading only candidate files;
+    // oracle = the plain point-filter SQL (answer-invariance, q23 pattern)
+    "z2_bloom_pruned_point" -> ((s: SparkSession, d: String) => graft.sources.BloomManifest.pointLookupBloomPruned(s, d)),
     "q19_cube"     -> (CoreQueries.q19Cube _),
     "q21_part_brand_revenue" -> (CoreQueries.q21PartBrandRevenue _),
     "q20_pivot"    -> (CoreQueries.q20Pivot _),
@@ -357,6 +361,12 @@ object SparkEntry {
         "FROM events WHERE user_id BETWEEN 40 AND 90 " +
         "AND ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-17 00:00:00' " +
         "GROUP BY event_type ORDER BY event_type"),
+    // z2: answer-invariance — the bloom-pruned lookup over the rewritten
+    // layout must equal the plain point filter over the original table
+    // (no false negatives by construction; false positives only cost an
+    // extra file read, never a row)
+    "z2_bloom_pruned_point" ->
+      "SELECT event_id, user_id, event_type, props FROM events WHERE event_id = 4242",
     "q4_min_max" ->
       "SELECT MIN(ts) AS min_ts, MAX(ts) AS max_ts FROM events",
     "q5_max_by" ->

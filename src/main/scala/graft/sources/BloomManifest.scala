@@ -1,0 +1,135 @@
+package graft.sources
+
+import graft.functions.SketchFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Per-file Bloom-filter manifest — file-level data skipping for point
+  * lookups on a column the physical layout does NOT cluster.
+  *
+  * Row-group min/max stats (and their layout-side amplifiers: the sorted,
+  * day-partitioned and z-ordered copies) prune RANGE predicates on the
+  * clustering columns, but a point probe on a scattered high-cardinality
+  * key (`event_id` over a ts-clustered log) matches every file's min/max
+  * span and degrades to a full-table scan. The lakehouse answer (Delta/
+  * Iceberg bloom indexes, ClickHouse bloom skip indexes) is a side
+  * manifest: one Bloom filter of the key column PER DATA FILE, consulted
+  * before the scan so only files that might contain the key are read.
+  * At 100 TB / 1 GiB files that is ~10⁵ manifest rows of ~100 KiB each —
+  * a table 10⁴× smaller than the data it prunes, rebuilt incrementally
+  * per ingest batch (the [[graft.streaming.ManifestStream]] family).
+  *
+  * Two probe paths, chosen by where the bloom can live:
+  *   - the MANIFEST probe here runs DISTRIBUTED: blooms stay a binary
+  *     column, each partition deserializes its rows and tests the key
+  *     (`mapPartitions` — bloom wire-format decode is binary codec work
+  *     with no Catalyst expression form, the m-family contract). Only
+  *     surviving file NAMES reach the driver: expected 1 + fpp·nFiles,
+  *     worst case the file list itself — the same bounded driver pull as
+  *     any file-index listing.
+  *   - Spark's own `might_contain` expression stays the right tool when
+  *     the bloom is a single foldable literal (the q50/d20 row-level
+  *     prefilter); it requires a constant bloom and cannot probe a column.
+  *
+  * No false negatives, by construction: a key's file always survives its
+  * own bloom, so the pruned read returns exactly the full scan's rows —
+  * which is what z2's oracle (the plain point-filter SQL over the
+  * original table) hash-checks, and the spec asserts the pruning itself.
+  */
+object BloomManifest {
+
+  private[graft] val SchemeVersion = 1
+
+  /** Bits per expected item — ~10 bits/key ≈ 1% false-positive rate, the
+    * standard skipping-index operating point (a false positive costs one
+    * extra file read, never a wrong answer).
+    */
+  private val BitsPerItem = 10L
+
+  /** Build (or reuse) the manifest layout for `events`: the table
+    * rewritten as `nFiles` ts-range files (the realistic log layout — the
+    * probe key `event_id` is scattered, so file min/max cannot prune it)
+    * plus `manifest.parquet` = one (file, bloom) row per data file.
+    */
+  def eventsManifestCache(spark: SparkSession, dir: String, nFiles: Int = 16): String = {
+    val key = LayoutCache.contentKey(
+      spark,
+      s"$dir/events.parquet",
+      s"bloommanifest-v$SchemeVersion#f$nFiles#b$BitsPerItem"
+    )
+    LayoutCache.getOrBuild(spark, "graft_bloommanifest", key) { out =>
+      val e = Tables.events(spark, dir)
+      e.repartitionByRange(nFiles, col("ts"))
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(s"$out/data")
+      writeManifestFor(spark, s"$out/data", s"$out/manifest.parquet", e.count() / nFiles + 1)
+    }
+  }
+
+  /** One (file, bloom) row per parquet file under `dataDir` — the shared
+    * manifest writer (batch layout build above; per-segment incremental
+    * build in [[graft.streaming.ManifestStream]]). `expectedPerFile` sizes
+    * the blooms; the aggregation is Spark's own codegen'd
+    * `bloom_filter_agg`, grouped by `input_file_name` so each file's keys
+    * fold into its own filter without any shuffle wider than #files.
+    */
+  private[graft] def writeManifestFor(
+      spark: SparkSession,
+      dataDir: String,
+      manifestOut: String,
+      expectedPerFile: Long
+  ): Unit = {
+    SketchFunctions.register(spark)
+    val items = math.max(expectedPerFile, 64L)
+    spark.read
+      .parquet(dataDir)
+      .select(input_file_name().as("file"), col("event_id"))
+      .groupBy("file")
+      .agg(call_function("bloom_filter_agg", col("event_id"), lit(items), lit(items * BitsPerItem)).as("bloom"))
+      .write.mode("overwrite").parquet(manifestOut)
+  }
+
+  /** Distributed manifest probe: the data files whose bloom might contain
+    * `key`. Returns only the surviving names (driver bound documented in
+    * the object doc). An absent manifest (nothing ingested yet) yields no
+    * candidates — the deployment-ordering degrade, not an error.
+    */
+  private[graft] def candidateFiles(spark: SparkSession, manifestDir: String, key: Long): Seq[String] = {
+    import spark.implicits._
+    val path = new org.apache.hadoop.fs.Path(manifestDir)
+    val fs   = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path) || (fs.getFileStatus(path).isDirectory && fs.listStatus(path).isEmpty))
+      return Seq.empty
+    spark.read
+      .parquet(manifestDir)
+      .select(col("file"), col("bloom"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.collect {
+          case (file, bytes)
+              if BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes)).mightContainLong(key) =>
+            file
+        }
+      }
+      .collect()
+      .toSeq
+      .sorted
+  }
+
+  /** Z2 — the reference's PointFilter (`QueryOrchestration.cs:232`) served
+    * through the manifest: probe blooms, read ONLY candidate files, apply
+    * the exact predicate. Bit-identical to the full scan (no false
+    * negatives); the scan reads ~1 file instead of all `nFiles`.
+    */
+  def pointLookupBloomPruned(spark: SparkSession, dir: String, key: Long = 4242L): DataFrame = {
+    val layout = eventsManifestCache(spark, dir)
+    val cands  = candidateFiles(spark, s"$layout/manifest.parquet", key)
+    val data =
+      if (cands.isEmpty) spark.read.parquet(s"$layout/data").where(lit(false))
+      else spark.read.parquet(cands: _*)
+    data
+      .filter(col("event_id") === key)
+      .select("event_id", "user_id", "event_type", "props")
+  }
+}
