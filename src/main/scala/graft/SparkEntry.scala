@@ -311,6 +311,9 @@ object SparkEntry {
     // round 10: substring search off the persisted char-trigram index —
     // the retrieval rung below tokens (t1) and token phrases (t3)
     "t8_substring_search" -> ((s: SparkSession, d: String) => TextAnalysis.substringSearch(s, d)),
+    // round 13: corpus-grep — regex over the trigram index (required
+    // literal runs prune candidates; the regex verifies candidates only)
+    "t18_regex_search" -> ((s: SparkSession, d: String) => TextAnalysis.regexSearch(s, d)),
     // round 10: Heaps-law vocabulary growth over doc_id-ordered deciles
     "d27_vocab_growth" -> (Profile.vocabGrowth _),
     // round 10: MaxScore-pruned BM25 over the postings layout — t6's
@@ -1736,6 +1739,12 @@ object SparkEntry {
     "t8_substring_search" ->
       ("SELECT doc_id FROM documents WHERE contains(text, '" +
         graft.operators.TextAnalysis.SubstringPattern + "') ORDER BY doc_id"),
+    // t18: the oracle is the scan-and-filter form — Java regex (Spark
+    // rlike) and RE2 (DuckDB regexp_matches) agree on the restricted
+    // subset the planner accepts, and both are unanchored finds
+    "t18_regex_search" ->
+      ("SELECT doc_id FROM documents WHERE regexp_matches(text, '" +
+        graft.operators.TextAnalysis.RegexPattern + "') ORDER BY doc_id"),
     // t10 = t8 over the maintained (base + delta) trigram index — a doc's
     // gram rows never straddle segments, so maintenance is exact and t8's
     // oracle applies verbatim.

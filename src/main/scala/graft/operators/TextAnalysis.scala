@@ -1667,6 +1667,85 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Default t18 pattern — two required literal runs bridged by a
+    * character class + quantifier, so neither t8 (single contiguous
+    * substring) nor any token-aligned rung could answer it.
+    */
+  val RegexPattern = "scan [a-z]+ fast"
+
+  /** Literal runs a regex match MUST contain as contiguous substrings,
+    * extracted conservatively from the restricted subset (literals,
+    * character classes, `.`, `*`, `+`, `?`, `^`, `$` — no `\`, `|`, `(`,
+    * `{`, whose plans would need real alternation/group analysis; the
+    * operator `require`s them absent rather than planning wrong grams).
+    * Rules: a class or `.` breaks the current run; `*`/`?` make the
+    * preceding char optional, so it is popped AND the run breaks; `+`
+    * guarantees the preceding char at least once, so it stays but the
+    * run still breaks (chars after a quantifier are not contiguous with
+    * it); anchors just break.
+    */
+  private[graft] def requiredLiteralRuns(pattern: String): Seq[String] = {
+    require(
+      !Seq('\\', '|', '(', ')', '{', '}').exists(pattern.contains(_)),
+      s"regexSearch plans the restricted subset only (no \\ | ( ) { }): $pattern"
+    )
+    val runs = scala.collection.mutable.ArrayBuffer(new StringBuilder)
+    def break(): Unit = if (runs.last.nonEmpty) runs += new StringBuilder
+    var i = 0
+    while (i < pattern.length) {
+      pattern(i) match {
+        case '[' =>
+          break()
+          i += 1
+          if (i < pattern.length && pattern(i) == '^') i += 1
+          if (i < pattern.length && pattern(i) == ']') i += 1 // leading ] is a member
+          while (i < pattern.length && pattern(i) != ']') i += 1
+        case '*' | '?' =>
+          if (runs.last.nonEmpty) runs.last.setLength(runs.last.length - 1)
+          break()
+        case '+'             => break()
+        case '.' | '^' | '$' => break()
+        case c               => runs.last += c
+      }
+      i += 1
+    }
+    runs.map(_.toString).filter(_.nonEmpty).toSeq
+  }
+
+  /** T18 — regex search over the trigram index (the Google-Code-Search
+    * design: Cox, "Regular Expression Matching with a Trigram Index").
+    * The pattern's required literal runs ([[requiredLiteralRuns]]) each
+    * contribute their 3-grams as mandatory index probes — any match
+    * contains every run, hence every trigram of every run — then the
+    * real regex runs ONLY on the candidate intersection, broadcast-probed
+    * exactly like t8. This is corpus-grep at scale: phase-1 I/O is the
+    * required grams' posting rows, and the per-row `rlike` — the cost a
+    * naive engine pays |corpus| times — touches candidates only.
+    *
+    * A pattern with no literal run of ≥ 3 chars has no index handle and
+    * would silently degrade to the full scan; the operator `require`s
+    * one instead (t8's degradation boundary, verbatim).
+    */
+  def regexSearch(spark: SparkSession, dir: String, pattern: String = RegexPattern): DataFrame = {
+    val grams = requiredLiteralRuns(pattern).filter(_.length >= 3).flatMap(_.sliding(3)).distinct
+    require(grams.nonEmpty, s"regexSearch needs a literal run of >= 3 chars to prune with: $pattern")
+    val layout = trigramLayoutCache(spark, dir)
+    val cand = spark.read
+      .parquet(s"$layout/trigrams.parquet")
+      .where(col("g").isInCollection(grams))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("ng"))
+      .where(col("ng") === grams.length)
+      .select("doc_id")
+    Tables
+      .documents(spark, dir)
+      .select("doc_id", "text")
+      .join(broadcast(cand), "doc_id")
+      .where(col("text").rlike(pattern))
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   /** T10 — substring search over the MAINTAINED (base + delta) trigram
     * index: the daily batch (n5's id split) lands as its own g-clustered
     * segment; the base is never re-grammed or rewritten — the sealed+delta

@@ -880,4 +880,48 @@ class TextAnalysisSpec extends SparkSpec {
     val got = TextAnalysis.substringSearch(spark, dir, "abc def").collect().map(_.getLong(0)).toSeq
     assert(got == Seq(2L, 3L))
   }
+
+  test("t18: required literal runs extracted conservatively from the restricted regex subset") {
+    assert(TextAnalysis.requiredLiteralRuns("scan [a-z]+ fast") == Seq("scan ", " fast"))
+    // '*' and '?' make the preceding char optional — it is popped
+    assert(TextAnalysis.requiredLiteralRuns("ab*c d") == Seq("a", "c d"))
+    assert(TextAnalysis.requiredLiteralRuns("[abc]def?g") == Seq("de", "g"))
+    // '+' keeps its atom (guaranteed at least once) but still breaks the run
+    assert(TextAnalysis.requiredLiteralRuns("x+yz") == Seq("x", "yz"))
+    // '.' and anchors break; class with leading ^ or ] handled
+    assert(TextAnalysis.requiredLiteralRuns("^abc.def$") == Seq("abc", "def"))
+    assert(TextAnalysis.requiredLiteralRuns("a[^x]b[]x]c") == Seq("a", "b", "c"))
+    // out-of-subset metacharacters are rejected, not mis-planned
+    intercept[IllegalArgumentException](TextAnalysis.regexSearch(spark, sf0001, "a|b"))
+    intercept[IllegalArgumentException](TextAnalysis.regexSearch(spark, sf0001, "(abc)+"))
+    // no literal run long enough to probe the index with
+    intercept[IllegalArgumentException](TextAnalysis.regexSearch(spark, sf0001, "ab[0-9]*"))
+  }
+
+  test("t18: trigram-pruned regex search == full rlike scan; non-empty; index layout reused") {
+    val got = TextAnalysis.regexSearch(spark, sf0001).collect().map(_.getLong(0)).toSeq
+    val want = graft.sources.Tables
+      .documents(spark, sf0001)
+      .where(org.apache.spark.sql.functions.col("text").rlike(TextAnalysis.RegexPattern))
+      .select("doc_id")
+      .orderBy("doc_id")
+      .collect()
+      .map(_.getLong(0))
+      .toSeq
+    assert(got == want && got.nonEmpty, "pruned search must equal the scan-and-filter form")
+    // a quantifier-popped pattern still answers correctly (the popped char
+    // keeps the gram set a strict under-approximation — never wrong, only
+    // more candidates)
+    val p    = "scan[a-z ]*fast"
+    val got2 = TextAnalysis.regexSearch(spark, sf0001, p).collect().map(_.getLong(0)).toSeq
+    val want2 = graft.sources.Tables
+      .documents(spark, sf0001)
+      .where(org.apache.spark.sql.functions.col("text").rlike(p))
+      .select("doc_id")
+      .orderBy("doc_id")
+      .collect()
+      .map(_.getLong(0))
+      .toSeq
+    assert(got2 == want2 && got2.nonEmpty)
+  }
 }
