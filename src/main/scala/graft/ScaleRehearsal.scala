@@ -820,7 +820,73 @@ object ScaleRehearsal {
     timed("u4 user sequences 10x events")(Retention.userEventSequences(spark, dstTenX).count())
   }
 
+  /** Round-13 rehearsal: the perceptual-dedup pair join (n17) on the 100×
+    * documents corpus — the synthetic rasters are the DEGENERATE case
+    * (tiny images ⇒ few distinct dHashes ⇒ hot band buckets growing
+    * linearly, candidate pairs quadratically), so this measures the
+    * documented worst case, not the photo-corpus typical case; the dHash
+    * ledger itself (m9, map-only) beside it; the bloom-manifest point
+    * lookup (z2) against its own full scan on 10× events at 64 files; and
+    * t18's pruned regex search at 100× docs (index build cold, query
+    * warm).
+    */
+  def round13Rehearsal(spark: SparkSession, src: String, dstDocs: String, reps: Int, dstTenX: String): Unit = {
+    import graft.operators.{Dedup, Multimodal, TextAnalysis}
+    import graft.sources.BloomManifest
+    ensureReplicatedDocs(spark, src, dstDocs, reps)
+    build(spark, src, dstTenX, 10)
+    val pm = new PhaseMetrics
+    spark.sparkContext.addSparkListener(pm)
+    def timed(label: String)(body: => Long): Unit = {
+      val (w0, _, d0) = pm.snapshot
+      val t0          = System.nanoTime()
+      val rows        = body
+      val secs        = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(200)
+      val (w1, _, d1) = pm.snapshot
+      println(
+        f"[round13] $label%-44s rows=$rows%-8d $secs%7.1f s  " +
+          f"shuffle=${(w1 - w0) / 1048576.0}%9.1f MiB  spill_disk=${(d1 - d0) / 1048576}%d MiB"
+      )
+    }
+    timed("m9 dHash ledger 1x")(Multimodal.imageDhashQuery(spark, src).count())
+    timed(s"m9 dHash ledger ${reps}x")(Multimodal.imageDhashQuery(spark, dstDocs).count())
+    timed("n17 dHash pairs 1x")(Dedup.imageDhashPairs(spark, src).count())
+    timed(s"n17 dHash pairs ${reps}x (degenerate hashes)")(Dedup.imageDhashPairs(spark, dstDocs).count())
+    timed("t18 regex search 1x (cold: trigram build)")(TextAnalysis.regexSearch(spark, src).count())
+    timed(s"t18 regex search ${reps}x cold: trigram build")(TextAnalysis.regexSearch(spark, dstDocs).count())
+    timed(s"t18 regex search ${reps}x warm over index")(TextAnalysis.regexSearch(spark, dstDocs).count())
+    // z2 at 10x events, 64 files: manifest build (cold), then probe+read
+    // vs the full scan over the same rewritten data
+    val layout = {
+      val t0 = System.nanoTime()
+      val l  = BloomManifest.eventsManifestCache(spark, dstTenX, nFiles = 64)
+      println(f"[round13] z2 manifest build 10x events / 64 files          ${(System.nanoTime() - t0) / 1e9}%7.1f s")
+      l
+    }
+    val probeKey = spark.read.parquet(s"$layout/data").select("event_id").head().getLong(0)
+    val nCand    = BloomManifest.candidateFiles(spark, s"$layout/manifest.parquet", probeKey).size
+    println(s"[round13] z2 candidate files for present key: $nCand of 64")
+    timed("z2 bloom-pruned point lookup 10x")(
+      BloomManifest.pointLookupBloomPruned(spark, dstTenX, probeKey, nFiles = 64).count()
+    )
+    timed("z2 full-scan point filter 10x (same data)")(
+      spark.read.parquet(s"$layout/data").where(org.apache.spark.sql.functions.col("event_id") === probeKey).count()
+    )
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("round13")) {
+      val spark = GraftSession.getOrCreate()
+      val src   = args.lift(1).getOrElse("/root/testdata/sf0.1")
+      val dst   = args.lift(2).getOrElse("/tmp/graft_docs100")
+      val tenX  = args.lift(4).getOrElse("/tmp/graft_sf1ish")
+      require(dst != src && !src.startsWith(dst), s"dst $dst would clobber src $src")
+      require(tenX != src && !src.startsWith(tenX), s"dst $tenX would clobber src $src")
+      round13Rehearsal(spark, src, dst, args.lift(3).map(_.toInt).getOrElse(100), tenX)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("lifecycle100")) {
       val spark = GraftSession.getOrCreate()
       val src   = args.lift(1).getOrElse("/root/testdata/sf0.1")

@@ -314,6 +314,9 @@ object SparkEntry {
     // round 13: corpus-grep — regex over the trigram index (required
     // literal runs prune candidates; the regex verifies candidates only)
     "t18_regex_search" -> ((s: SparkSession, d: String) => TextAnalysis.regexSearch(s, d)),
+    // round 13: SymSpell fuzzy term search — deletion-neighborhood
+    // candidates, levenshtein-verified, vocabulary-bounded throughout
+    "t19_fuzzy_term_search" -> ((s: SparkSession, d: String) => TextAnalysis.fuzzyTermSearch(s, d)),
     // round 10: Heaps-law vocabulary growth over doc_id-ordered deciles
     "d27_vocab_growth" -> (Profile.vocabGrowth _),
     // round 10: MaxScore-pruned BM25 over the postings layout — t6's
@@ -1745,6 +1748,15 @@ object SparkEntry {
     "t18_regex_search" ->
       ("SELECT doc_id FROM documents WHERE regexp_matches(text, '" +
         graft.operators.TextAnalysis.RegexPattern + "') ORDER BY doc_id"),
+    // t19: the oracle is the brute levenshtein scan over the vocabulary
+    // (both engines implement the standard edit distance — f1's parity);
+    // the engine's deletion-neighborhood pruning is exact-complete at
+    // distance 1 by the SymSpell argument
+    "t19_fuzzy_term_search" ->
+      ("WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents), " +
+        "v AS (SELECT token, COUNT(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY token) " +
+        "SELECT token, levenshtein(token, '" + graft.operators.TextAnalysis.FuzzyProbe + "')::BIGINT AS dist, df " +
+        "FROM v WHERE levenshtein(token, '" + graft.operators.TextAnalysis.FuzzyProbe + "') <= 1 ORDER BY token"),
     // t10 = t8 over the maintained (base + delta) trigram index — a doc's
     // gram rows never straddle segments, so maintenance is exact and t8's
     // oracle applies verbatim.

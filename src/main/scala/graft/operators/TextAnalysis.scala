@@ -1746,6 +1746,61 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Default t19 probe — a misspelling within edit distance 1 of TWO
+    * vocabulary terms (`slow`, `row`), so the result demonstrates real
+    * multi-match correction, not a lucky single hit.
+    */
+  val FuzzyProbe = "sow"
+
+  /** T19 — fuzzy term search by symmetric deletes (the SymSpell design):
+    * the query-side complement to f1's vocabulary-pair audit — given one
+    * possibly-misspelled probe, find every vocabulary term within edit
+    * distance 1 plus its document frequency. Candidate generation is the
+    * deletion-neighborhood intersection: for max distance 1, any two
+    * strings within one edit share a member of {self} ∪ {single-char
+    * deletions} (insertion: delete the inserted char; deletion: the probe's
+    * deletion IS the term; substitution: delete the differing position on
+    * both sides) — so probing the vocabulary's deletion variants with the
+    * probe's own ≤|probe|+1 variants is exact-complete, and `levenshtein`
+    * verifies the survivors (candidates may be distance 2 — e.g. two
+    * different single deletions — hence the verify).
+    *
+    * Scale: everything after the tokenize pass is VOCABULARY-bounded (the
+    * d11 argument — partial aggregation collapses the token stream before
+    * any shuffle), the variant explode is |vocab|·(len+1) rows, and the
+    * probe's variant list is a broadcast-literal IN — no join against the
+    * corpus at all. A production speller persists the variant index as a
+    * layout and serves many probes from it; the single-probe rung builds
+    * it inline, which is the same one narrow pass.
+    */
+  def fuzzyTermSearch(spark: SparkSession, dir: String, probe: String = FuzzyProbe): DataFrame = {
+    require(probe.nonEmpty && !probe.contains("'") && !probe.contains(" "), s"bad probe: $probe")
+    val vocab = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .distinct()
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"))
+    val variants = vocab.select(
+      col("token"),
+      col("df"),
+      explode(
+        array_union(
+          array(col("token")),
+          expr("transform(sequence(1, length(token)), i -> concat(substring(token, 1, i-1), substring(token, i+1, length(token))))")
+        )
+      ).as("v")
+    )
+    val probeVars = (probe +: probe.indices.map(i => probe.take(i) + probe.drop(i + 1))).distinct
+    variants
+      .where(col("v").isInCollection(probeVars))
+      .select("token", "df")
+      .distinct()
+      .where(levenshtein(col("token"), lit(probe)) <= 1)
+      .select(col("token"), levenshtein(col("token"), lit(probe)).cast("long").as("dist"), col("df"))
+      .orderBy("token")
+  }
+
   /** T10 — substring search over the MAINTAINED (base + delta) trigram
     * index: the daily batch (n5's id split) lands as its own g-clustered
     * segment; the base is never re-grammed or rewritten — the sealed+delta

@@ -122,8 +122,8 @@ object BloomManifest {
     * the exact predicate. Bit-identical to the full scan (no false
     * negatives); the scan reads ~1 file instead of all `nFiles`.
     */
-  def pointLookupBloomPruned(spark: SparkSession, dir: String, key: Long = 4242L): DataFrame = {
-    val layout = eventsManifestCache(spark, dir)
+  def pointLookupBloomPruned(spark: SparkSession, dir: String, key: Long = 4242L, nFiles: Int = 16): DataFrame = {
+    val layout = eventsManifestCache(spark, dir, nFiles)
     val cands  = candidateFiles(spark, s"$layout/manifest.parquet", key)
     val data =
       if (cands.isEmpty) spark.read.parquet(s"$layout/data").where(lit(false))

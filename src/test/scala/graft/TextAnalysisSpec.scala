@@ -924,4 +924,38 @@ class TextAnalysisSpec extends SparkSpec {
       .toSeq
     assert(got2 == want2 && got2.nonEmpty)
   }
+
+  test("t19: symmetric-delete fuzzy search == brute levenshtein scan; hand fixture covers all four edit kinds") {
+    import org.apache.spark.sql.functions.{col, countDistinct, explode, levenshtein, lit, split}
+    // real corpus: pruned == brute over the vocabulary, multi-match
+    val got = TextAnalysis.fuzzyTermSearch(spark, sf0001).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val vocab = graft.sources.Tables
+      .documents(spark, sf0001)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("token")
+      .agg(countDistinct("doc_id").as("df"))
+    val want = vocab
+      .where(levenshtein(col("token"), lit(TextAnalysis.FuzzyProbe)) <= 1)
+      .select(col("token"), levenshtein(col("token"), lit(TextAnalysis.FuzzyProbe)).cast("long").as("dist"), col("df"))
+      .orderBy("token")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got == want && got.size >= 2, s"expected a multi-match correction, got $got")
+
+    // hand fixture: exact match, deletion, insertion, substitution all
+    // found; distance-2 lookalikes excluded even when they share a variant
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_t19").toString
+    Seq(
+      (1L, "word"),   // exact (dist 0)
+      (2L, "wod"),    // probe deletes 'r' (dist 1)
+      (3L, "worde"),  // probe + insertion (dist 1)
+      (4L, "wird"),   // substitution (dist 1)
+      (5L, "wi"),     // dist 2 — must not appear
+      (6L, "wordes")  // dist 2 — shares no variant anyway
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fx = TextAnalysis.fuzzyTermSearch(spark, dir, "word").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(fx == Seq(("wird", 1L), ("wod", 1L), ("word", 0L), ("worde", 1L)), s"got $fx")
+  }
 }
