@@ -1726,16 +1726,40 @@ object TextAnalysis {
     * would silently degrade to the full scan; the operator `require`s
     * one instead (t8's degradation boundary, verbatim).
     */
+  /** Probe budget for [[regexSearch]] — at most this many grams hit the
+    * index, chosen RAREST-first by df (d32's discipline: a hot gram costs
+    * its whole posting list in I/O while adding almost no selectivity;
+    * the rare grams do the pruning). Candidates stay a superset — the
+    * regex verify is what's exact — so the cap never changes the answer.
+    */
+  val RegexProbeGrams: Int = 7
+
   def regexSearch(spark: SparkSession, dir: String, pattern: String = RegexPattern): DataFrame = {
     val grams = requiredLiteralRuns(pattern).filter(_.length >= 3).flatMap(_.sliding(3)).distinct
     require(grams.nonEmpty, s"regexSearch needs a literal run of >= 3 chars to prune with: $pattern")
     val layout = trigramLayoutCache(spark, dir)
-    val cand = spark.read
-      .parquet(s"$layout/trigrams.parquet")
-      .where(col("g").isInCollection(grams))
+    val tg     = spark.read.parquet(s"$layout/trigrams.parquet")
+    // rarest-K probe selection: one aggregation over ONLY the pattern's
+    // gram postings (pushed IN-list), driver pull bounded by |grams|. A
+    // pattern with <= K grams skips the df pass entirely. A required gram
+    // absent from the corpus drops out of the ranking — candidates widen,
+    // the verify still rejects.
+    val probes: Seq[String] =
+      if (grams.size <= RegexProbeGrams) grams
+      else
+        tg.where(col("g").isInCollection(grams))
+          .groupBy("g")
+          .agg(count(lit(1)).as("df"))
+          .orderBy(col("df"), col("g"))
+          .limit(RegexProbeGrams)
+          .collect()
+          .map(_.getString(0))
+          .toSeq
+    val cand = tg
+      .where(col("g").isInCollection(probes))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("ng"))
-      .where(col("ng") === grams.length)
+      .where(col("ng") === probes.length)
       .select("doc_id")
     Tables
       .documents(spark, dir)

@@ -923,6 +923,20 @@ class TextAnalysisSpec extends SparkSpec {
       .map(_.getLong(0))
       .toSeq
     assert(got2 == want2 && got2.nonEmpty)
+    // a pattern with more grams than the probe budget exercises the
+    // rarest-K selection path — still exactly the scan's answer
+    val p3 = "table [a-z]+ window"
+    assert(TextAnalysis.requiredLiteralRuns(p3).flatMap(_.sliding(3)).distinct.size > TextAnalysis.RegexProbeGrams)
+    val got3 = TextAnalysis.regexSearch(spark, sf0001, p3).collect().map(_.getLong(0)).toSeq
+    val want3 = graft.sources.Tables
+      .documents(spark, sf0001)
+      .where(org.apache.spark.sql.functions.col("text").rlike(p3))
+      .select("doc_id")
+      .orderBy("doc_id")
+      .collect()
+      .map(_.getLong(0))
+      .toSeq
+    assert(got3 == want3 && got3.nonEmpty)
   }
 
   test("t19: symmetric-delete fuzzy search == brute levenshtein scan; hand fixture covers all four edit kinds") {
