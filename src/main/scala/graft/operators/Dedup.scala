@@ -1671,50 +1671,71 @@ object Dedup {
     * brute-forces the pair join at oracle scale. No planted twin needed;
     * the production path IS the hash-checked path.
     *
-    * Scale: the only wide ops are the dHash output sort and the band-key
-    * self-join; nothing is ever all-pairs. The synthetic corpus is the
-    * adversarial case — its rasters are tiny (≤ 15×10), so upsampling to
-    * the 9×8 grid collapses many images to few distinct hashes and the
-    * band buckets run hot; real photo corpora give near-uniform dHashes
-    * and proportionally small buckets. A df-style bucket cap (drop buckets
-    * above k, the [[cappedShingles]] hygiene) is the documented production
-    * knob when a corpus degenerates — left off here so the rung stays
-    * exactly the oracle's semantics.
+    * TWO-LEVEL structure, and why: a 64-bit perceptual hash has far fewer
+    * distinct values than a corpus has images (identical and tiny rasters
+    * collapse), so the banded join runs over the DISTINCT HASHES — hash
+    * cardinality, never image cardinality — and image pairs are expanded
+    * from the verified hash pairs afterwards (broadcast of the tiny
+    * hash-pair set; identical-hash pairs come from one hash-keyed
+    * self-join). The naive image-level band join is quadratic in bucket
+    * OCCUPANCY with an 8-way duplicated candidate stream feeding a
+    * distinct — the round-13 rehearsal measured it wedged at 100× on the
+    * degenerate synthetic rasters (≤ 15×10 px upsampled to one of a few
+    * hundred grids), while this formulation's wide ops are all
+    * hash-cardinality. The OUTPUT is still every qualifying pair — on a
+    * corpus where near-everything collides, that answer itself is
+    * quadratic; production caps it by emitting exact-dup GROUPS (q8's
+    * shape) and keeping pair expansion for the cross-hash tail.
     */
   def imageDhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val h = graft.operators.Multimodal
       .imageDhash(graft.operators.Multimodal.syntheticMediaWhere(spark, dir, col("doc_id") % 4 === 0))
       .toDF()
-    // bands 0–3 slice hash_lo (bits 0–31), bands 4–7 slice hash_hi; the
-    // 32-bit halves never carry a sign bit, so >> & 255 is portable.
-    val bands = h.select(
-      col("media_id"),
+    // level 1: banded candidate join over DISTINCT hashes. Bands 0–3
+    // slice hash_lo (bits 0–31), bands 4–7 hash_hi; the 32-bit halves
+    // never carry a sign bit, so >> & 255 is portable.
+    val hu = h.select("hash_hi", "hash_lo").distinct()
+    val bands = hu.select(
       col("hash_hi"),
       col("hash_lo"),
       explode(array((0 until 8).map { k =>
         val src = if (k < 4) col("hash_lo") else col("hash_hi")
         struct(lit(k).as("band"), shiftright(src, (k % 4) * 8).bitwiseAND(lit(255L)).as("bv"))
       }: _*)).as("bk")
-    ).select(col("media_id"), col("hash_hi"), col("hash_lo"), col("bk.band").as("band"), col("bk.bv").as("bv"))
-    bands
+    ).select(col("hash_hi"), col("hash_lo"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+    val hashPairs = bands
       .as("a")
       .join(
         bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") && col("a.media_id") < col("b.media_id")
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          (struct(col("a.hash_hi"), col("a.hash_lo")) < struct(col("b.hash_hi"), col("b.hash_lo")))
       )
       .select(
-        col("a.media_id").as("media_a"),
-        col("b.media_id").as("media_b"),
         col("a.hash_hi").as("ha_hi"),
         col("a.hash_lo").as("ha_lo"),
         col("b.hash_hi").as("hb_hi"),
         col("b.hash_lo").as("hb_lo")
       )
-      .distinct()
+      .distinct() // hash-cardinality, not image-cardinality
       .withColumn("dist", (expr("bit_count(ha_hi ^ hb_hi)") + expr("bit_count(ha_lo ^ hb_lo)")).cast("long"))
       .where(col("dist") <= DhashHammingMax)
-      .select("media_a", "media_b", "dist")
-      .orderBy("media_a", "media_b")
+    // level 2a: identical-hash image pairs (dist 0) — one hash-keyed
+    // self-join, per-group output generated streamwise, no distinct
+    val same = h
+      .as("x")
+      .join(
+        h.as("y"),
+        col("x.hash_hi") === col("y.hash_hi") && col("x.hash_lo") === col("y.hash_lo") &&
+          col("x.media_id") < col("y.media_id")
+      )
+      .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"), lit(0L).as("dist"))
+    // level 2b: cross-hash expansion — every unordered image pair appears
+    // exactly once because its hash pair is stored once (struct-ordered)
+    val cross = hashPairs
+      .join(h.select(col("media_id").as("ia"), col("hash_hi").as("ha_hi"), col("hash_lo").as("ha_lo")), Seq("ha_hi", "ha_lo"))
+      .join(h.select(col("media_id").as("ib"), col("hash_hi").as("hb_hi"), col("hash_lo").as("hb_lo")), Seq("hb_hi", "hb_lo"))
+      .select(least(col("ia"), col("ib")).as("media_a"), greatest(col("ia"), col("ib")).as("media_b"), col("dist"))
+    same.unionByName(cross).orderBy("media_a", "media_b")
   }
 
   /** All-pairs brute force — O(n²), spec-level equivalence oracle ONLY (the
