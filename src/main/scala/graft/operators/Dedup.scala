@@ -1687,10 +1687,19 @@ object Dedup {
     * quadratic; production caps it by emitting exact-dup GROUPS (q8's
     * shape) and keeping pair expansion for the cross-hash tail.
     */
-  def imageDhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val h = graft.operators.Multimodal
-      .imageDhash(graft.operators.Multimodal.syntheticMediaWhere(spark, dir, col("doc_id") % 4 === 0))
-      .toDF()
+  def imageDhashPairs(spark: SparkSession, dir: String): DataFrame =
+    dhashPairsFromHashes(
+      graft.operators.Multimodal
+        .imageDhash(graft.operators.Multimodal.syntheticMediaWhere(spark, dir, col("doc_id") % 4 === 0))
+        .toDF()
+    )
+
+  /** The two-level pair core over any `(media_id, hash_hi, hash_lo)`
+    * ledger — shared by the batch surface above and the stream-maintained
+    * ledger ([[graft.streaming.DhashStream]]), one definition so the
+    * streamed catalog can never pair differently from the batch one.
+    */
+  private[graft] def dhashPairsFromHashes(h: DataFrame): DataFrame = {
     // level 1: banded candidate join over DISTINCT hashes. Bands 0–3
     // slice hash_lo (bits 0–31), bands 4–7 hash_hi; the 32-bit halves
     // never carry a sign bit, so >> & 255 is portable.

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import graft.operators.{Dedup, Multimodal}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+/** Streaming perceptual-hash catalog maintenance — the thirteenth
+  * maintained-artifact family: [[Multimodal.imageDhash]]'s ledger kept
+  * current as media payloads arrive, so image near-dup pairs (n17) are
+  * answerable continuously without ever re-decoding a byte. Each
+  * micro-batch's payloads are decoded and hashed ONCE (the expensive
+  * per-pixel step) and landed as that batch's own catalog segment; dHash
+  * rows are per-payload and disjoint across segments, so the union over
+  * `batch_id=` partitions is EXACTLY the batch recompute (the
+  * MediaCatalogStream contract, applied to the dedup front end), and the
+  * pair query runs [[Dedup.dhashPairsFromHashes]] — the same two-level
+  * core as batch n17 — over the unioned ledger.
+  *
+  * Idempotence follows the shared pattern: every segment write goes to a
+  * `batch_id=<id>/` partition with overwrite, so a checkpoint replay of
+  * batch N rewrites the same directory instead of duplicating hash rows.
+  */
+object DhashStream {
+
+  /** Watch `mediaDir` for new media-row parquet; maintain the dHash
+    * catalog segments under `catalogDir/batch_id=<id>/`.
+    */
+  def dhashStream(
+      spark: SparkSession,
+      mediaDir: String,
+      catalogDir: String,
+      checkpointDir: String,
+      sourceSchema: Option[StructType] = None
+  ): StreamingQuery = {
+    val schema = StreamSource.schemaFor(spark, mediaDir, sourceSchema)
+    spark.readStream
+      .schema(schema)
+      .parquet(mediaDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, catalogDir, batchId)
+      }
+      .start()
+  }
+
+  /** One micro-batch: hash the new payloads through the SAME
+    * [[Multimodal.imageDhash]] every batch surface uses, landed as this
+    * batch's own segment.
+    */
+  private[graft] def processBatch(batch: DataFrame, catalogDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    Multimodal
+      .imageDhash(batch.as[Multimodal.MediaRow])
+      .toDF()
+      .write
+      .mode("overwrite")
+      .parquet(s"$catalogDir/batch_id=$batchId")
+  }
+
+  /** The stream-maintained ledger (all segments unioned). */
+  private[graft] def ledger(spark: SparkSession, catalogDir: String): DataFrame =
+    spark.read.parquet(catalogDir).select("media_id", "hash_hi", "hash_lo")
+
+  /** N17 over the STREAM-MAINTAINED ledger — the same two-level pair core
+    * as the batch rung, no payload ever re-decoded.
+    */
+  def dhashPairsStreamed(spark: SparkSession, catalogDir: String): DataFrame =
+    Dedup.dhashPairsFromHashes(ledger(spark, catalogDir))
+}
