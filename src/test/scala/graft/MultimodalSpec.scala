@@ -133,6 +133,30 @@ class MultimodalSpec extends SparkSpec {
     assert(byId(3L) == byId(1L), "identical payloads collide exactly")
   }
 
+  test("m9: dHash is re-encoding-robust — the same raster as PGM and as PNG hash identically") {
+    import spark.implicits._
+    // what perceptual hashing is FOR: a re-encoded copy (different codec,
+    // different bytes, different payload length) collapses to the same
+    // key. PNG is lossless, so the decoded gray plane is bit-equal and the
+    // dHash must be too — through two entirely different decode paths
+    // (decodePnm vs javax.imageio).
+    val w = 12; val h = 9
+    val px  = Array.tabulate(w * h)(i => ((i * 37 + 5) % 256))
+    val pgm = s"P5 $w $h 255\n".getBytes("US-ASCII") ++ px.map(_.toByte)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    px.zipWithIndex.foreach { case (v, i) => img.getRaster.setSample(i % w, i / w, 0, v) }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image/pgm", w, h, 1, pgm),
+      Multimodal.MediaRow(2L, "image/png", w, h, 1, baos.toByteArray)
+    ).toDS()
+    val got = Multimodal.imageDhash(rows).collect().sortBy(_.media_id)
+    assert(got.length == 2, "both codecs must decode")
+    assert((got(0).hash_hi, got(0).hash_lo) == (got(1).hash_hi, got(1).hash_lo),
+      "PGM and PNG encodings of one raster must collide exactly")
+  }
+
   test("m9: dHash is resample-robust — a 2x nearest upscale of the same image hashes identically") {
     import spark.implicits._
     // the whole point of a perceptual hash: re-encoded/resampled copies
