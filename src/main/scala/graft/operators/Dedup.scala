@@ -1686,6 +1686,11 @@ object Dedup {
     * corpus where near-everything collides, that answer itself is
     * quadratic; production caps it by emitting exact-dup GROUPS (q8's
     * shape) and keeping pair expansion for the cross-hash tail.
+    *
+    * The batch rung re-derives the hash ledger once per plan subtree (the
+    * decode is the cheap map-only pass); the decode-ONCE path is the
+    * streamed catalog ([[graft.streaming.DhashStream]]), whose sealed
+    * segments feed this same pair core without re-touching a payload.
     */
   def imageDhashPairs(spark: SparkSession, dir: String): DataFrame =
     dhashPairsFromHashes(
