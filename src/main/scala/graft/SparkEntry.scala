@@ -117,6 +117,10 @@ object SparkEntry {
     "s11p_ann_ivf_filtered_planted" -> ((s: SparkSession, d: String) => Similarity.annIvfFilteredPlanted(s, d)),
     "s12p_ann_ivf_incremental_planted" -> ((s: SparkSession, d: String) => Similarity.annIvfIncrementalPlanted(s, d)),
     "s20p_ann_ivf_compacted_planted"   -> ((s: SparkSession, d: String) => Similarity.annIvfCompactedPlanted(s, d)),
+    // round 13: deletion on the ANN side — the best planted neighbor
+    // tombstoned, masked out of the probed scan (k=4 so the survivors are
+    // all planted and the oracle carries no quantizer state)
+    "s21p_ann_ivf_tombstoned_planted"  -> ((s: SparkSession, d: String) => Similarity.annIvfTombstonedPlanted(s, d)),
     "s13_knn_join"           -> ((s: SparkSession, d: String) => Similarity.knnJoin(s, d)),
     "s14_knn_join_ivf"       -> ((s: SparkSession, d: String) => Similarity.knnJoinIvf(s, d)),
     "s14p_knn_join_ivf_planted" -> ((s: SparkSession, d: String) => Similarity.knnJoinIvfPlanted(s, d)),
@@ -624,6 +628,7 @@ object SparkEntry {
     "s2p_ann_lsh_planted"              -> plantedTop5Oracle,
     "s4p_ann_ivf_planted"              -> plantedTop5Oracle,
     "s6p_ann_ivf_partitioned_planted"  -> plantedTop5Oracle,
+    "s21p_ann_ivf_tombstoned_planted"  -> plantedTombstonedTop4Oracle,
     "s9p_ann_ivf_quantized_planted"    -> plantedTop5Oracle,
     "s12p_ann_ivf_incremental_planted" -> plantedTop5Oracle,
     // s20p: the compacted GENERATION (s12p's pair folded) must answer the
@@ -1935,6 +1940,18 @@ object SparkEntry {
       "SELECT rnk, vec_id FROM (SELECT row_number() OVER (ORDER BY " +
       "list_cosine_similarity(a.embedding, q.qv) DESC, a.vec_id) AS rnk, a.vec_id " +
       "FROM allv a, q WHERE a.vec_id <> 2000000) t WHERE rnk <= 5 ORDER BY rnk"
+
+  /** [[plantedTop5Oracle]] minus the tombstoned best neighbor, at k=4 —
+    * the four survivors are all planted, so the brute force is
+    * probe-independent (see `Similarity.annIvfTombstonedPlanted`).
+    */
+  private val plantedTombstonedTop4Oracle: String =
+    "WITH allv AS (SELECT vec_id, embedding FROM embeddings UNION ALL " +
+      "SELECT vec_id, embedding FROM read_parquet('/root/repo/fixtures/annplant/embeddings.parquet/*.parquet')), " +
+      "q AS (SELECT embedding AS qv FROM allv WHERE vec_id = 2000000) " +
+      "SELECT rnk, vec_id FROM (SELECT row_number() OVER (ORDER BY " +
+      "list_cosine_similarity(a.embedding, q.qv) DESC, a.vec_id) AS rnk, a.vec_id " +
+      "FROM allv a, q WHERE a.vec_id <> 2000000 AND a.vec_id <> 2000001) t WHERE rnk <= 4 ORDER BY rnk"
 
   private val annTop10Oracle: String =
     "SELECT rnk, vec_id FROM (SELECT row_number() OVER (ORDER BY " +

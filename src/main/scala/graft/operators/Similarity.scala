@@ -793,6 +793,48 @@ object Similarity {
     probeSearchLayout(spark, layout, qv, PlantedQueryId, k, np)
   }
 
+  /** The planted neighbor [[annIvfTombstonedPlanted]] deletes — the BEST
+    * match (jitter 0.01, rank 1 in every s*p twin): if the mask leaks
+    * anywhere in the probe path, the deleted vector reclaims rank 1 and
+    * the driver hash breaks.
+    */
+  private[graft] val TombstonedPlantedId = 2000001L
+
+  /** S21P — ANN search WITH DELETION on the correctness board: the t17
+    * takedown story on the vector side, as a registered rung. The best
+    * planted neighbor is tombstoned and the probe masks it via
+    * [[probeSearchLayoutTombstoned]]'s broadcast anti join over the SAME
+    * planted layout s6p reads (no rebuilt index — erasure must work on
+    * sealed segments). k is 4, not 5, deliberately: the four survivors
+    * are all planted (probe-independent — they sit in the query's own
+    * cluster), so the DuckDB oracle can brute-force the union minus the
+    * deleted id with no quantizer state in the answer; at k=5 the fifth
+    * row would be a background vector whose presence depends on which
+    * clusters were probed. ANN deletion is simpler than BM25's (t17): no
+    * corpus statistic to correct — the mask alone is the whole semantics,
+    * which is why one rung suffices.
+    */
+  def annIvfTombstonedPlanted(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 4,
+      nClusters: Int = -1,
+      nProbe: Int = -1
+  ): DataFrame = {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val (nc, np) = resolveIvfKnobs(spark, nClusters, nProbe)
+    val layout   = ivfPlantedLayoutCache(spark, dir, nc)
+    val qv = spark.read
+      .parquet(annPlantFixture(spark))
+      .where(col("vec_id") === PlantedQueryId)
+      .select("embedding")
+      .head()
+      .getSeq[Float](0)
+    val ledger = Seq(TombstonedPlantedId).toDF("vec_id")
+    probeSearchLayoutTombstoned(spark, layout, ledger, qv, PlantedQueryId, k, np)
+  }
+
   /** Tombstoned probe search — the vector half of t17's deletion
     * lifecycle: a `(vec_id)` takedown ledger masks deleted vectors out of
     * the probed scan by broadcast anti join (the ledger is takedown-sized;

@@ -390,6 +390,17 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("s21p: tombstoning the best planted neighbor shifts ranks 2..5 up; the deleted id never appears") {
+    val want = Seq((1L, 2000002L), (2L, 2000003L), (3L, 2000004L), (4L, 2000005L))
+    val got = Similarity
+      .annIvfTombstonedPlanted(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq
+    assert(got == want, s"got $got")
+    assert(!got.exists(_._2 == Similarity.TombstonedPlantedId), "mask leaked the deleted vector")
+  }
+
   test("s14p planted kNN join: each planted vector's top-3 are other planted vectors, brute-force ranked") {
     import org.apache.spark.sql.functions._
     val got = Similarity.knnJoinIvfPlanted(spark, sf0001)
