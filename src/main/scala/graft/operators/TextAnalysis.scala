@@ -1675,14 +1675,17 @@ object TextAnalysis {
 
   /** Literal runs a regex match MUST contain as contiguous substrings,
     * extracted conservatively from the restricted subset (literals,
-    * character classes, `.`, `*`, `+`, `?`, `^`, `$` — no `\`, `|`, `(`,
-    * `{`, whose plans would need real alternation/group analysis; the
-    * operator `require`s them absent rather than planning wrong grams).
-    * Rules: a class or `.` breaks the current run; `*`/`?` make the
-    * preceding char optional, so it is popped AND the run breaks; `+`
-    * guarantees the preceding char at least once, so it stays but the
-    * run still breaks (chars after a quantifier are not contiguous with
-    * it); anchors just break.
+    * character classes, `.`, `*`, `+`, `?` — no `\`, `|`, `(`, `{`, whose
+    * plans would need real alternation/group analysis, and no `^`/`$`
+    * anchors, where Java regex and RE2 genuinely DISAGREE: Java's `$`
+    * without MULTILINE also matches just before a trailing line
+    * terminator, RE2's matches end-of-text only — a cross-engine hash
+    * hazard, so the operator `require`s them absent rather than planning
+    * a divergent pattern). Rules: a class or `.` breaks the current run;
+    * `*`/`?` make the preceding char optional, so it is popped AND the
+    * run breaks; `+` guarantees the preceding char at least once, so it
+    * stays but the run still breaks (chars after a quantifier are not
+    * contiguous with it).
     */
   private[graft] def requiredLiteralRuns(pattern: String): Seq[String] = {
     require(
@@ -1703,9 +1706,16 @@ object TextAnalysis {
         case '*' | '?' =>
           if (runs.last.nonEmpty) runs.last.setLength(runs.last.length - 1)
           break()
-        case '+'             => break()
-        case '.' | '^' | '$' => break()
-        case c               => runs.last += c
+        case '+' => break()
+        case '.' => break()
+        case '^' | '$' =>
+          // anchors are rejected OUTSIDE classes only ([^x] negation is
+          // fine — the '[' branch above consumes it before we get here)
+          require(
+            false,
+            s"regexSearch rejects anchors: Java regex and RE2 disagree on '$$' before a trailing newline: $pattern"
+          )
+        case c => runs.last += c
       }
       i += 1
     }

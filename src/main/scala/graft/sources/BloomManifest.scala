@@ -39,7 +39,10 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 object BloomManifest {
 
-  private[graft] val SchemeVersion = 1
+  // v2: bloom sizing derived from the rewritten data (one file-name-only
+  // pass) and clamped to Spark's bloom_filter_agg limits — the build
+  // recipe changed, so the key must too (cache-key provenance discipline)
+  private[graft] val SchemeVersion = 2
 
   /** Bits per expected item — ~10 bits/key ≈ 1% false-positive rate, the
     * standard skipping-index operating point (a false positive costs one
@@ -59,41 +62,56 @@ object BloomManifest {
       s"bloommanifest-v$SchemeVersion#f$nFiles#b$BitsPerItem"
     )
     LayoutCache.getOrBuild(spark, "graft_bloommanifest", key) { out =>
-      val e = Tables.events(spark, dir)
-      e.repartitionByRange(nFiles, col("ts"))
+      Tables.events(spark, dir)
+        .repartitionByRange(nFiles, col("ts"))
         .sortWithinPartitions("ts")
         .write.mode("overwrite").parquet(s"$out/data")
-      writeManifestFor(spark, s"$out/data", s"$out/manifest.parquet", e.count() / nFiles + 1)
+      writeManifestFor(spark, s"$out/data", s"$out/manifest.parquet")
     }
   }
 
   /** One (file, bloom) row per parquet file under `dataDir` — the shared
     * manifest writer (batch layout build above; per-segment incremental
-    * build in [[graft.streaming.ManifestStream]]). `expectedPerFile` sizes
-    * the blooms; the aggregation is Spark's own codegen'd
-    * `bloom_filter_agg`, grouped by `input_file_name` so each file's keys
-    * fold into its own filter without any shuffle wider than #files.
+    * build in [[graft.streaming.ManifestStream]]). Bloom sizing comes from
+    * ONE cheap file-name-only pass over the just-written data (rows ÷
+    * files) — the source table is never re-scanned for it — and is
+    * clamped to Spark's `bloom_filter_agg` limits
+    * (`spark.sql.optimizer.runtime.bloomFilter.maxNumItems`/`maxNumBits`,
+    * 4M/64M default): past the cap the fpp degrades gradually instead of
+    * the build throwing, and the real lever at that point is file sizing
+    * (a 1 GiB parquet file holds well under 4M typical event rows). The
+    * aggregation is Spark's own codegen'd `bloom_filter_agg`, grouped by
+    * `input_file_name` so each file's keys fold into its own filter
+    * without any shuffle wider than #files.
     */
-  private[graft] def writeManifestFor(
-      spark: SparkSession,
-      dataDir: String,
-      manifestOut: String,
-      expectedPerFile: Long
-  ): Unit = {
+  private[graft] def writeManifestFor(spark: SparkSession, dataDir: String, manifestOut: String): Unit = {
     SketchFunctions.register(spark)
-    val items = math.max(expectedPerFile, 64L)
-    spark.read
-      .parquet(dataDir)
-      .select(input_file_name().as("file"), col("event_id"))
+    val maxItems =
+      spark.conf.getOption("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").map(_.toLong).getOrElse(4000000L)
+    val maxBits =
+      spark.conf.getOption("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").map(_.toLong).getOrElse(67108864L)
+    val keyed = spark.read.parquet(dataDir).select(input_file_name().as("file"), col("event_id"))
+    val stats = keyed.agg(count(lit(1)).as("n"), countDistinct("file").as("nf")).head()
+    val expected = stats.getLong(0) / math.max(stats.getLong(1), 1L) + 1L
+    val items    = math.min(math.max(expected, 64L), maxItems)
+    val bits     = math.min(items * BitsPerItem, maxBits)
+    keyed
       .groupBy("file")
-      .agg(call_function("bloom_filter_agg", col("event_id"), lit(items), lit(items * BitsPerItem)).as("bloom"))
+      .agg(call_function("bloom_filter_agg", col("event_id"), lit(items), lit(bits)).as("bloom"))
       .write.mode("overwrite").parquet(manifestOut)
   }
 
   /** Distributed manifest probe: the data files whose bloom might contain
     * `key`. Returns only the surviving names (driver bound documented in
     * the object doc). An absent manifest (nothing ingested yet) yields no
-    * candidates — the deployment-ordering degrade, not an error.
+    * candidates — the deployment-ordering degrade, not an error. A
+    * candidate whose file no longer exists is dropped (bounded `exists`
+    * probes on an already-tiny list): a streamed segment replayed after a
+    * crash rewrites its data files under new names before its manifest
+    * segment catches up, and a reader in that window must skip the
+    * dangling old names rather than throw — the replayed rows reappear
+    * the moment the manifest rewrite lands (transient, converges;
+    * documented in [[graft.streaming.ManifestStream]]).
     */
   private[graft] def candidateFiles(spark: SparkSession, manifestDir: String, key: Long): Seq[String] = {
     import spark.implicits._
@@ -115,7 +133,15 @@ object BloomManifest {
       .collect()
       .toSeq
       .sorted
+      .filter(f => fs.exists(new org.apache.hadoop.fs.Path(f)))
   }
+
+  /** The point-filter projection both lookup surfaces share — one
+    * definition so the batch layout and the streamed index can never
+    * project differently.
+    */
+  private[graft] def pointSelect(df: DataFrame, key: Long): DataFrame =
+    df.filter(col("event_id") === key).select("event_id", "user_id", "event_type", "props")
 
   /** Z2 — the reference's PointFilter (`QueryOrchestration.cs:232`) served
     * through the manifest: probe blooms, read ONLY candidate files, apply
@@ -128,8 +154,6 @@ object BloomManifest {
     val data =
       if (cands.isEmpty) spark.read.parquet(s"$layout/data").where(lit(false))
       else spark.read.parquet(cands: _*)
-    data
-      .filter(col("event_id") === key)
-      .select("event_id", "user_id", "event_type", "props")
+    pointSelect(data, key)
   }
 }

@@ -61,9 +61,23 @@ object DhashStream {
       .parquet(s"$catalogDir/batch_id=$batchId")
   }
 
-  /** The stream-maintained ledger (all segments unioned). */
-  private[graft] def ledger(spark: SparkSession, catalogDir: String): DataFrame =
-    spark.read.parquet(catalogDir).select("media_id", "hash_hi", "hash_lo")
+  /** The stream-maintained ledger (all segments unioned). An absent or
+    * segment-less catalog directory degrades to an empty ledger — the
+    * deployment-ordering case (stream started, nothing landed) must answer
+    * "no pairs", not throw schema inference errors (the TakedownStream
+    * contract).
+    */
+  private[graft] def ledger(spark: SparkSession, catalogDir: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(catalogDir)
+    val fs   = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasSegments =
+      fs.exists(path) && fs.listStatus(path).exists(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+    if (hasSegments) spark.read.parquet(catalogDir).select("media_id", "hash_hi", "hash_lo")
+    else {
+      import spark.implicits._
+      spark.emptyDataset[(Long, Long, Long)].toDF("media_id", "hash_hi", "hash_lo")
+    }
+  }
 
   /** N17 over the STREAM-MAINTAINED ledger — the same two-level pair core
     * as the batch rung, no payload ever re-decoded.

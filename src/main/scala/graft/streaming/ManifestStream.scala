@@ -53,30 +53,39 @@ object ManifestStream {
     * through the same [[BloomManifest.writeManifestFor]] the batch layout
     * build uses (one definition — a streamed manifest can never diverge
     * from the batch-built one over the same files).
+    *
+    * The two writes are NOT atomic together: a crash between them leaves
+    * (on replay) a rewritten data segment whose new file names the old
+    * manifest segment doesn't list yet. Readers in that window skip the
+    * dangling old names ([[BloomManifest.candidateFiles]]'s existence
+    * guard) and transiently miss segment N's rows; the replayed manifest
+    * write converges the index — the same eventual-per-segment contract
+    * every two-artifact family (postings+stats, vectors+centroids)
+    * carries under mid-replay reads.
     */
   private[graft] def processBatch(batch: DataFrame, indexDir: String, batchId: Long): Unit = {
     val spark   = batch.sparkSession
     val dataDir = s"$indexDir/data/batch_id=$batchId"
     batch.write.mode("overwrite").parquet(dataDir)
-    val n = spark.read.parquet(dataDir).count()
-    BloomManifest.writeManifestFor(spark, dataDir, s"$indexDir/manifest/batch_id=$batchId", n)
+    BloomManifest.writeManifestFor(spark, dataDir, s"$indexDir/manifest/batch_id=$batchId")
   }
 
   /** Point lookup over the STREAM-MAINTAINED index: probe every segment's
     * manifest rows (one distributed pass over the unioned `batch_id=`
-    * partitions), read only surviving files, apply the exact predicate.
-    * Absent directories (no batch landed yet) degrade to an empty result —
-    * the key provably isn't in an empty index.
+    * partitions), read only surviving files, apply the exact predicate
+    * (the projection is [[BloomManifest.pointSelect]] — one definition
+    * with the batch layout's lookup). Absent directories (no batch landed
+    * yet) degrade to an empty result — the key provably isn't in an empty
+    * index.
     */
   def pointLookupStreamed(spark: SparkSession, indexDir: String, key: Long): DataFrame = {
     val cands = BloomManifest.candidateFiles(spark, s"$indexDir/manifest", key)
     if (cands.isEmpty) {
       import spark.implicits._
-      spark.emptyDataset[(Long, Long, String, String)].toDF("event_id", "user_id", "event_type", "props")
-    } else
-      spark.read
-        .parquet(cands: _*)
-        .filter(col("event_id") === key)
-        .select("event_id", "user_id", "event_type", "props")
+      BloomManifest.pointSelect(
+        spark.emptyDataset[(Long, Long, String, String)].toDF("event_id", "user_id", "event_type", "props"),
+        key
+      )
+    } else BloomManifest.pointSelect(spark.read.parquet(cands: _*), key)
   }
 }

@@ -105,6 +105,20 @@ class BloomManifestSpec extends SparkSpec {
     // segments, the answer is unchanged
     ManifestStream.processBatch(half1, s"$base/idx", 0L)
     assert(rows(ManifestStream.pointLookupStreamed(spark, s"$base/idx", k2)) == streamed)
+
+    // mid-replay window: a manifest entry whose data file is gone (the
+    // data segment was rewritten, its manifest not yet) is SKIPPED, never
+    // thrown on — k1's rows transiently disappear, the index still answers
+    val dataSeg = new java.io.File(s"$base/idx/data/batch_id=0")
+    dataSeg.listFiles().filter(_.getName.endsWith(".parquet")).foreach(f => assert(f.delete()))
+    assert(rows(ManifestStream.pointLookupStreamed(spark, s"$base/idx", k1)).isEmpty,
+      "dangling manifest entries must be skipped, not read")
+    // replaying the batch (data + manifest) restores the rows
+    ManifestStream.processBatch(half1, s"$base/idx", 0L)
+    assert(
+      rows(ManifestStream.pointLookupStreamed(spark, s"$base/idx", k1)) ==
+        rows(events.filter(col("event_id") === k1).select("event_id", "user_id", "event_type", "props"))
+    )
     assert(
       rows(ManifestStream.pointLookupStreamed(spark, s"$base/idx", k1)) ==
         rows(events.filter(col("event_id") === k1).select("event_id", "user_id", "event_type", "props"))

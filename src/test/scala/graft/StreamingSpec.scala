@@ -330,6 +330,8 @@ class StreamingSpec extends SparkSpec {
     // the PGM quarter only — the decodable rasters m9 hashes
     val media  = Multimodal.syntheticMediaWhere(spark, sf0001, col("doc_id") % 4 === 0).toDF()
     val catDir = s"$base/cat"
+    // pre-first-batch: an absent catalog answers "no pairs", never throws
+    assert(graft.streaming.DhashStream.dhashPairsStreamed(spark, catDir).collect().isEmpty)
     stage(media.where(col("media_id") < 250), "b1")
     val q = graft.streaming.DhashStream.dhashStream(spark, src.toString, catDir, s"$base/ckpt")
     val b0Seg = java.nio.file.Paths.get(s"$catDir/batch_id=0")

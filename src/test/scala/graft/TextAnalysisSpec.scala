@@ -888,12 +888,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.requiredLiteralRuns("[abc]def?g") == Seq("de", "g"))
     // '+' keeps its atom (guaranteed at least once) but still breaks the run
     assert(TextAnalysis.requiredLiteralRuns("x+yz") == Seq("x", "yz"))
-    // '.' and anchors break; class with leading ^ or ] handled
-    assert(TextAnalysis.requiredLiteralRuns("^abc.def$") == Seq("abc", "def"))
+    // '.' breaks; class with leading ^ (negation) or ] (literal member) handled
+    assert(TextAnalysis.requiredLiteralRuns("abc.def") == Seq("abc", "def"))
     assert(TextAnalysis.requiredLiteralRuns("a[^x]b[]x]c") == Seq("a", "b", "c"))
-    // out-of-subset metacharacters are rejected, not mis-planned
+    // out-of-subset metacharacters are rejected, not mis-planned — including
+    // the anchors, where Java regex and RE2 disagree on '$' before a
+    // trailing newline
     intercept[IllegalArgumentException](TextAnalysis.regexSearch(spark, sf0001, "a|b"))
     intercept[IllegalArgumentException](TextAnalysis.regexSearch(spark, sf0001, "(abc)+"))
+    intercept[IllegalArgumentException](TextAnalysis.regexSearch(spark, sf0001, "fast$"))
+    intercept[IllegalArgumentException](TextAnalysis.regexSearch(spark, sf0001, "^scan"))
     // no literal run long enough to probe the index with
     intercept[IllegalArgumentException](TextAnalysis.regexSearch(spark, sf0001, "ab[0-9]*"))
   }
