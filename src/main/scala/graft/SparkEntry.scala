@@ -263,6 +263,10 @@ object SparkEntry {
     // fully DuckDB-oracled because the hash is pure pixel arithmetic
     "m9_image_dhash"        -> (Multimodal.imageDhashQuery _),
     "n17_image_dhash_pairs" -> (Dedup.imageDhashPairs _),
+    // the linear production shape for the identical-hash mass (q8's
+    // exact-dedup form on the perceptual key); n17 keeps the cross-hash
+    // near-dup tail
+    "n18_image_dhash_groups" -> (Dedup.imageDhashGroups _),
     // round 8: semantic decontamination — nearest benchmark vector +
     // above-threshold count per training vector (integer-only output)
     "d22_decontaminate_semantic" -> ((s: SparkSession, d: String) => Curation.decontaminateSemantic(s, d)),
@@ -840,6 +844,16 @@ object SparkEntry {
         "FROM hashes a JOIN hashes b ON a.id < b.id " +
         s"WHERE bit_count(xor(a.hash_hi, b.hash_hi)) + bit_count(xor(a.hash_lo, b.hash_lo)) <= ${Dedup.DhashHammingMax} " +
         "ORDER BY media_a, media_b"),
+    // n18: one aggregation over the rebuilt hashes — group size + min-id
+    // representative per colliding dHash
+    "n18_image_dhash_groups" ->
+      (DhashGridCte +
+        ", hashes AS (SELECT id, " +
+        "SUM(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END)::BIGINT AS hash_hi, " +
+        "SUM(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END)::BIGINT AS hash_lo " +
+        "FROM bits GROUP BY id) " +
+        "SELECT hash_hi, hash_lo, COUNT(*)::BIGINT AS n_images, MIN(id) AS keeper " +
+        "FROM hashes GROUP BY hash_hi, hash_lo HAVING COUNT(*) >= 2 ORDER BY hash_hi, hash_lo"),
     // t12: integer proximity over per-term position lists — DuckDB's
     // (x, i) lambda is 1-based where Spark's is 0-based, which cancels
     // inside |x − y|; doc_id breaks ties so the ordering is total.

@@ -1699,6 +1699,27 @@ object Dedup {
         .toDF()
     )
 
+  /** N18 — exact perceptual-dup GROUPS: the production shape n17's doc
+    * promises for the identical-hash mass. Where the pair list is
+    * quadratic in group size (1.46B rows at the rehearsal's 100× — the
+    * honest answer, but not what a curation pipeline materializes), the
+    * group ledger is ONE hash-keyed aggregation: per colliding dHash the
+    * member count and the min-id representative to keep — q8's exact-dedup
+    * shape lifted to the perceptual key. Linear in images at any scale,
+    * fully oracled like the rest of the family (the hash is pixel
+    * arithmetic). Near-dup pairs across DISTINCT hashes remain n17's
+    * cross-hash tail, which is small whenever the corpus is degenerate
+    * enough for this ledger to matter.
+    */
+  def imageDhashGroups(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal
+      .imageDhash(graft.operators.Multimodal.syntheticMediaWhere(spark, dir, col("doc_id") % 4 === 0))
+      .toDF()
+      .groupBy("hash_hi", "hash_lo")
+      .agg(count(lit(1)).as("n_images"), min("media_id").as("keeper"))
+      .where(col("n_images") >= 2)
+      .orderBy("hash_hi", "hash_lo")
+
   /** The two-level pair core over any `(media_id, hash_hi, hash_lo)`
     * ledger — shared by the batch surface above and the stream-maintained
     * ledger ([[graft.streaming.DhashStream]]), one definition so the

@@ -677,6 +677,30 @@ class DedupSpec extends SparkSpec {
     assert(banded.exists(_._3 == 0L), "and exact perceptual dups")
   }
 
+  test("n18: group ledger reconciles with n17's dist-0 pairs — sum n(n-1)/2 == exact-dup pair count; keepers are minima") {
+    val groups = Dedup
+      .imageDhashGroups(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(groups.nonEmpty, "the synthetic corpus must contain perceptual-exact dup groups")
+    val pairSum = groups.map { case (_, _, n, _) => n * (n - 1) / 2 }.sum
+    val zeroPairs = Dedup
+      .imageDhashPairs(spark, sf0001)
+      .where(org.apache.spark.sql.functions.col("dist") === 0L)
+      .count()
+    assert(pairSum == zeroPairs, s"group arithmetic $pairSum must equal dist-0 pair count $zeroPairs")
+    // each keeper really is its group's minimum member
+    val h = graft.operators.Multimodal
+      .imageDhash(graft.operators.Multimodal.syntheticMediaWhere(
+        spark, sf0001, org.apache.spark.sql.functions.col("doc_id") % 4 === 0))
+      .collect()
+      .groupBy(r => (r.hash_hi, r.hash_lo))
+    groups.foreach { case (hi, lo, n, keeper) =>
+      val members = h((hi, lo)).map(_.media_id)
+      assert(members.length.toLong == n && members.min == keeper, s"group ($hi,$lo)")
+    }
+  }
+
   test("n17 pigeonhole: any 64-bit pair within Hamming 7 shares an 8-bit band (randomized)") {
     val rnd = new scala.util.Random(13)
     (0 until 2000).foreach { _ =>
