@@ -84,18 +84,17 @@ object BloomManifest {
     * `input_file_name` so each file's keys fold into its own filter
     * without any shuffle wider than #files.
     */
-  private[graft] def writeManifestFor(
-      spark: SparkSession,
-      dataDir: String,
-      manifestOut: String,
-      keyCol: String = "event_id"
-  ): Unit = {
+  private[graft] def writeManifestFor(spark: SparkSession, dataDir: String, manifestOut: String): Unit = {
     SketchFunctions.register(spark)
     val maxItems =
       spark.conf.getOption("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").map(_.toLong).getOrElse(4000000L)
     val maxBits =
       spark.conf.getOption("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").map(_.toLong).getOrElse(67108864L)
-    val keyed = spark.read.parquet(dataDir).select(input_file_name().as("file"), col(keyCol).as("k"))
+    // the key column stays hardcoded in step with the read path
+    // ([[pointSelect]]/the probe semantics are event_id-shaped): a manifest
+    // built on another key would be unreadable through this lookup surface,
+    // so offering the parameter would only invite a silently-wrong manifest
+    val keyed = spark.read.parquet(dataDir).select(input_file_name().as("file"), col("event_id").as("k"))
     val stats = keyed.agg(count(lit(1)).as("n"), countDistinct("file").as("nf")).head()
     val expected = stats.getLong(0) / math.max(stats.getLong(1), 1L) + 1L
     val items    = math.min(math.max(expected, 64L), maxItems)

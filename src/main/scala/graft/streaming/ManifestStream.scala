@@ -79,13 +79,22 @@ object ManifestStream {
     * index.
     */
   def pointLookupStreamed(spark: SparkSession, indexDir: String, key: Long): DataFrame = {
-    val cands = BloomManifest.candidateFiles(spark, s"$indexDir/manifest", key)
-    if (cands.isEmpty) {
+    def empty(): DataFrame = {
       import spark.implicits._
-      BloomManifest.pointSelect(
-        spark.emptyDataset[(Long, Long, String, String)].toDF("event_id", "user_id", "event_type", "props"),
-        key
-      )
-    } else BloomManifest.pointSelect(spark.read.parquet(cands: _*), key)
+      spark.emptyDataset[(Long, Long, String, String)].toDF("event_id", "user_id", "event_type", "props")
+    }
+    // candidateFiles' existence check is driver-side and a concurrent
+    // replay can delete a file between probe and read (TOCTOU):
+    // ignoreMissingFiles absorbs deletions DURING the scan, and one
+    // re-probe absorbs a deletion between the check and path resolution —
+    // the retry re-reads the manifest, which the replay rewrites last, so
+    // second-round candidates are the converged segment's files.
+    def attempt(): DataFrame = {
+      val cands = BloomManifest.candidateFiles(spark, s"$indexDir/manifest", key)
+      if (cands.isEmpty) empty()
+      else BloomManifest.pointSelect(spark.read.option("ignoreMissingFiles", "true").parquet(cands: _*), key)
+    }
+    try attempt()
+    catch { case _: org.apache.spark.sql.AnalysisException => attempt() }
   }
 }

@@ -119,9 +119,5 @@ class BloomManifestSpec extends SparkSpec {
       rows(ManifestStream.pointLookupStreamed(spark, s"$base/idx", k1)) ==
         rows(events.filter(col("event_id") === k1).select("event_id", "user_id", "event_type", "props"))
     )
-    assert(
-      rows(ManifestStream.pointLookupStreamed(spark, s"$base/idx", k1)) ==
-        rows(events.filter(col("event_id") === k1).select("event_id", "user_id", "event_type", "props"))
-    )
   }
 }
