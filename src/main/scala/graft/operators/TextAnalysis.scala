@@ -1651,21 +1651,45 @@ object TextAnalysis {
       pattern: String
   ): DataFrame = {
     require(pattern.length >= 3, "substring search needs a pattern of at least 3 chars")
-    val grams = pattern.sliding(3).toSeq.distinct
-    val cand = trigrams
+    verifyTrigramCandidates(
+      spark,
+      dir,
+      candidatesForGrams(trigrams, pattern.sliding(3).toSeq.distinct),
+      col("text").contains(pattern)
+    )
+  }
+
+  /** Docs carrying ALL of `grams` — the counted semi-intersection over
+    * gram-posting rows shared by every trigram-index consumer (t8/t10
+    * substring, t18 regex). Sound because [[trigramSegment]] stores
+    * DISTINCT grams per doc, so the count equals the match count.
+    */
+  private[graft] def candidatesForGrams(trigrams: DataFrame, grams: Seq[String]): DataFrame =
+    trigrams
       .where(col("g").isInCollection(grams))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("ng"))
       .where(col("ng") === grams.length)
       .select("doc_id")
+
+  /** The exact-verification tail shared by the trigram consumers: probe
+    * candidates out of a broadcast hash join, run the REAL predicate on
+    * candidates only — one definition so no index consumer can verify
+    * differently from another.
+    */
+  private[graft] def verifyTrigramCandidates(
+      spark: SparkSession,
+      dir: String,
+      cand: DataFrame,
+      verify: Column
+  ): DataFrame =
     Tables
       .documents(spark, dir)
       .select("doc_id", "text")
       .join(broadcast(cand), "doc_id")
-      .where(col("text").contains(pattern))
+      .where(verify)
       .select("doc_id")
       .orderBy("doc_id")
-  }
 
   /** Default t18 pattern — two required literal runs bridged by a
     * character class + quantifier, so neither t8 (single contiguous
@@ -1765,19 +1789,7 @@ object TextAnalysis {
           .collect()
           .map(_.getString(0))
           .toSeq
-    val cand = tg
-      .where(col("g").isInCollection(probes))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("ng"))
-      .where(col("ng") === probes.length)
-      .select("doc_id")
-    Tables
-      .documents(spark, dir)
-      .select("doc_id", "text")
-      .join(broadcast(cand), "doc_id")
-      .where(col("text").rlike(pattern))
-      .select("doc_id")
-      .orderBy("doc_id")
+    verifyTrigramCandidates(spark, dir, candidatesForGrams(tg, probes), col("text").rlike(pattern))
   }
 
   /** Default t19 probe — a misspelling within edit distance 1 of TWO

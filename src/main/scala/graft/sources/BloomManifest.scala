@@ -119,10 +119,13 @@ object BloomManifest {
     */
   private[graft] def candidateFiles(spark: SparkSession, manifestDir: String, key: Long): Seq[String] = {
     import spark.implicits._
-    val path = new org.apache.hadoop.fs.Path(manifestDir)
-    val fs   = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path) || (fs.getFileStatus(path).isDirectory && fs.listStatus(path).isEmpty))
-      return Seq.empty
+    // the shared committed-segment degrade test covers both manifest
+    // shapes: the batch layout's plain parquet dir and the streamed
+    // batch_id= segment dir — including the crash-mid-first-write case
+    // (only _temporary/, nothing committed), which must probe as empty
+    if (!graft.streaming.StreamSource.hasCommittedSegments(spark, manifestDir)) return Seq.empty
+    val fs = new org.apache.hadoop.fs.Path(manifestDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     spark.read
       .parquet(manifestDir)
       .select(col("file"), col("bloom"))

@@ -68,17 +68,8 @@ object DhashStream {
     * contract).
     */
   private[graft] def ledger(spark: SparkSession, catalogDir: String): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(catalogDir)
-    val fs   = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // a segment counts only once it holds a COMMITTED data file — a crash
-    // mid-first-write leaves batch_id=0/ with only _temporary/, which must
-    // degrade like the absent-directory case, not throw schema inference
-    val hasSegments =
-      fs.exists(path) && fs.listStatus(path).exists { s =>
-        s.isDirectory && s.getPath.getName.startsWith("batch_id=") &&
-        fs.listStatus(s.getPath).exists(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      }
-    if (hasSegments) spark.read.parquet(catalogDir).select("media_id", "hash_hi", "hash_lo")
+    if (StreamSource.hasCommittedSegments(spark, catalogDir))
+      spark.read.parquet(catalogDir).select("media_id", "hash_hi", "hash_lo")
     else {
       import spark.implicits._
       spark.emptyDataset[(Long, Long, Long)].toDF("media_id", "hash_hi", "hash_lo")

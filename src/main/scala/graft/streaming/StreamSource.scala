@@ -19,4 +19,27 @@ object StreamSource {
 
   def schemaFor(spark: SparkSession, dir: String, explicit: Option[StructType]): StructType =
     explicit.getOrElse(spark.read.parquet(dir).schema)
+
+  /** True iff `dir` holds at least one COMMITTED parquet data file —
+    * directly, or inside a first-level non-underscore child (a
+    * `batch_id=` segment). The ONE degrade test every maintained-artifact
+    * reader shares: an absent directory, an empty one, and the
+    * crash-mid-first-write case (only `_temporary/`, nothing committed)
+    * must all answer "empty artifact", never throw schema inference —
+    * three families each hand-rolled a different strictness of this check
+    * before it was factored here (round-13 review finding: the two weaker
+    * copies were crash-window bugs).
+    */
+  def hasCommittedSegments(spark: SparkSession, dir: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs   = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def committedIn(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.listStatus(p).exists(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    fs.exists(path) && {
+      val children = fs.listStatus(path)
+      committedIn(path) || children.exists(c =>
+        c.isDirectory && !c.getPath.getName.startsWith("_") && committedIn(c.getPath)
+      )
+    }
+  }
 }

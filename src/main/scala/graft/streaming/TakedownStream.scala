@@ -77,12 +77,9 @@ object TakedownStream {
     * failure.
     */
   private[graft] def ledger(spark: SparkSession, ledgerDir: String): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(ledgerDir)
-    val fs   = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasSegments =
-      fs.exists(path) && fs.listStatus(path).exists(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
     val raw =
-      if (hasSegments) spark.read.parquet(ledgerDir).select(col("doc_id").cast("long"), col("dl").cast("long"))
+      if (StreamSource.hasCommittedSegments(spark, ledgerDir))
+        spark.read.parquet(ledgerDir).select(col("doc_id").cast("long"), col("dl").cast("long"))
       else {
         import spark.implicits._
         spark.emptyDataset[(Long, Long)].toDF("doc_id", "dl")

@@ -314,6 +314,31 @@ class StreamingSpec extends SparkSpec {
     assert(rows(spark.read.parquet(catDir)) == streamed)
   }
 
+  test("hasCommittedSegments: absent/empty/_temporary-only dirs degrade; flat and segmented committed files count") {
+    import graft.streaming.StreamSource.hasCommittedSegments
+    val base = java.nio.file.Files.createTempDirectory("graft_segguard")
+    assert(!hasCommittedSegments(spark, s"$base/absent"))
+    java.nio.file.Files.createDirectories(base.resolve("empty"))
+    assert(!hasCommittedSegments(spark, s"$base/empty"))
+    // crash mid-first-write: only _temporary, at top level or inside a segment
+    java.nio.file.Files.createDirectories(base.resolve("crash1/_temporary"))
+    assert(!hasCommittedSegments(spark, s"$base/crash1"))
+    java.nio.file.Files.createDirectories(base.resolve("crash2/batch_id=0/_temporary"))
+    assert(!hasCommittedSegments(spark, s"$base/crash2"))
+    // committed data counts in both manifest shapes: flat parquet dir...
+    import spark.implicits._
+    Seq((1L, 2L)).toDF("a", "b").coalesce(1).write.mode("overwrite").parquet(s"$base/flat")
+    assert(hasCommittedSegments(spark, s"$base/flat"))
+    // ...and a batch_id= segment dir
+    Seq((1L, 2L)).toDF("a", "b").coalesce(1).write.mode("overwrite").parquet(s"$base/seg/batch_id=0")
+    assert(hasCommittedSegments(spark, s"$base/seg"))
+    // the three consumers degrade through it: takedown ledger, dHash
+    // catalog, manifest probe — all on the crash-shaped dir, none throw
+    assert(graft.streaming.TakedownStream.ledger(spark, s"$base/crash2").collect().isEmpty)
+    assert(graft.streaming.DhashStream.ledger(spark, s"$base/crash2").collect().isEmpty)
+    assert(graft.sources.BloomManifest.candidateFiles(spark, s"$base/crash2", 1L).isEmpty)
+  }
+
   test("streaming dHash catalog == batch m9; pairs over the streamed ledger == batch n17; sealed; idempotent") {
     import org.apache.spark.sql.functions._
     import graft.operators.{Dedup, Multimodal}
