@@ -51,6 +51,7 @@ object Layouts {
     "knn_graph"          -> (() => { Similarity.knnGraphLayoutCache(spark, dir, 3); () }),
     "knn_clusters"       -> (() => { Similarity.mutualKnnClusters(spark, dir); () }),
     "span_artifacts"     -> (() => { Dedup.spanArtifacts(spark, dir); () }),
+    "lss_table"          -> (() => { Dedup.longestSharedSubstring(spark, dir); () }),
     "gram_census"        -> (() => { Dedup.gramCensusCached(spark, dir, 2, 7, 3); () }),
     "bpe_merges"         -> (() => { Bpe.bpeMerges(spark, dir); () }),
     "bpe_incremental"    -> (() => { Bpe.bpeMergesIncremental(spark, dir); () }),

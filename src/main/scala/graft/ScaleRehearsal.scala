@@ -875,7 +875,63 @@ object ScaleRehearsal {
     )
   }
 
+  /** Round-14 rehearsal: the four new rungs at scale.
+    *
+    *   - n21 on the SAME degenerate 100× image corpus whose uncapped n17
+    *     expansion is 1.46B pairs — the cap's whole point: the capped
+    *     ledger must come back in seconds with hash-cardinality output.
+    *   - m10/n20 (audio hash + pairs) at 1× and 100× — the n17 shape on
+    *     the WAV quarter.
+    *   - n19 (longest shared substring) live computation at 1× and 10× —
+    *     the `cap×`-token generate + long-key candidate aggregation whose
+    *     cost the layout build absorbs in production; replicas are
+    *     near-dups of their base, so the 10× corpus exercises a dense
+    *     shared-substring structure, not a disjoint one.
+    */
+  def round14Rehearsal(spark: SparkSession, src: String, dstDocs: String, reps: Int, dstTenX: String): Unit = {
+    import graft.operators.{Dedup, Multimodal}
+    ensureReplicatedDocs(spark, src, dstDocs, reps)
+    build(spark, src, dstTenX, 10)
+    val pm = new PhaseMetrics
+    spark.sparkContext.addSparkListener(pm)
+    def timed(label: String)(body: => Long): Unit = {
+      val (w0, _, d0) = pm.snapshot
+      val t0          = System.nanoTime()
+      val rows        = body
+      val secs        = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(200)
+      val (w1, _, d1) = pm.snapshot
+      println(
+        f"[round14] $label%-44s rows=$rows%-10d $secs%7.1f s  " +
+          f"shuffle=${(w1 - w0) / 1048576.0}%9.1f MiB  spill_disk=${(d1 - d0) / 1048576}%d MiB"
+      )
+    }
+    timed("n21 capped pairs 1x")(Dedup.imageDhashPairsCapped(spark, src).count())
+    timed(s"n21 capped pairs ${reps}x (n17 here: 1.46B)")(Dedup.imageDhashPairsCapped(spark, dstDocs).count())
+    timed("m10 audio hash ledger 1x")(Multimodal.audioEnvelopeHashQuery(spark, src).count())
+    timed(s"m10 audio hash ledger ${reps}x")(Multimodal.audioEnvelopeHashQuery(spark, dstDocs).count())
+    timed("n20 audio pairs 1x")(Dedup.audioHashPairs(spark, src).count())
+    timed(s"n20 audio pairs ${reps}x")(Dedup.audioHashPairs(spark, dstDocs).count())
+    timed("n19 LSS live 1x")(
+      Dedup.longestSharedSubstringFrom(graft.sources.Tables.documents(spark, src), 16).count()
+    )
+    timed("n19 LSS live 10x")(
+      Dedup.longestSharedSubstringFrom(graft.sources.Tables.documents(spark, dstTenX), 16).count()
+    )
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("round14")) {
+      val spark = GraftSession.getOrCreate()
+      val src   = args.lift(1).getOrElse("/root/testdata/sf0.1")
+      val dst   = args.lift(2).getOrElse("/tmp/graft_docs100")
+      val tenX  = args.lift(4).getOrElse("/tmp/graft_sf1ish")
+      require(dst != src && !src.startsWith(dst), s"dst $dst would clobber src $src")
+      require(tenX != src && !src.startsWith(tenX), s"dst $tenX would clobber src $src")
+      round14Rehearsal(spark, src, dst, args.lift(3).map(_.toInt).getOrElse(100), tenX)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("round13")) {
       val spark = GraftSession.getOrCreate()
       val src   = args.lift(1).getOrElse("/root/testdata/sf0.1")

@@ -267,6 +267,19 @@ object SparkEntry {
     // exact-dedup form on the perceptual key); n17 keeps the cross-hash
     // near-dup tail
     "n18_image_dhash_groups" -> (Dedup.imageDhashGroups _),
+    // round 14: the cap n17's doc promises, enforced — expansion units
+    // past graft.dhash.pair_cap latent pairs degrade to group/xgroup
+    // ledger rows; n_pairs sums to the uncapped pair count
+    "n21_image_dhash_capped" -> (Dedup.imageDhashPairsCapped _),
+    // round 14: no-floor exact-substring dedup — per-doc longest
+    // cross-doc shared substring via all widths 1..16 of the span-key
+    // discipline (the suffix-array answer up to the disclosed cap)
+    "n19_longest_shared_substring" -> (Dedup.longestSharedSubstring _),
+    // round 14: audio perceptual dedup — temporal-envelope hash ledger
+    // over the real WAV decode (m10) and the banded-Hamming pair rung
+    // over it (n20); the image family's pair core reused verbatim
+    "m10_audio_envelope_hash" -> (Multimodal.audioEnvelopeHashQuery _),
+    "n20_audio_hash_pairs"    -> (Dedup.audioHashPairs _),
     // round 8: semantic decontamination — nearest benchmark vector +
     // above-threshold count per training vector (integer-only output)
     "d22_decontaminate_semantic" -> ((s: SparkSession, d: String) => Curation.decontaminateSemantic(s, d)),
@@ -574,6 +587,16 @@ object SparkEntry {
         "r AS (SELECT n, gram, df, row_number() OVER (PARTITION BY n ORDER BY df DESC, gram) AS rnk " +
         "FROM d WHERE df >= 3) " +
         "SELECT n, gram, df FROM r WHERE rnk <= 10 ORDER BY n, df DESC, gram"),
+    // n3: FULL brute-force SimHash oracle — possible since the shingle
+    // hash became the cross-engine md5-derived Dedup.shingleHash64
+    // (simhash scheme v2), so DuckDB rebuilds the signature bits exactly:
+    // per-shingle (hi, lo) 32-bit halves, per-bit majority vote, then an
+    // all-pairs Hamming join at dist ≤ 7. The engine's banded plan equals
+    // this all-pairs form by pigeonhole (8 disjoint 8-bit bands cover any
+    // ≤7-bit difference), and signatures stay as two halves on the oracle
+    // side because DuckDB's BIGINT `1 << 63` overflows where the engine's
+    // shiftleft wraps.
+    "n3_simhash_pairs" -> simhashOracle,
     // n3p: the deterministic sub-surface of SimHash — identical text ⇒
     // identical signature ⇒ Hamming 0 under ANY hash function, so the
     // planted pairs are exactly the fixture's text-equality pairs (5 rows,
@@ -854,6 +877,70 @@ object SparkEntry {
         "FROM bits GROUP BY id) " +
         "SELECT hash_hi, hash_lo, COUNT(*)::BIGINT AS n_images, MIN(id) AS keeper " +
         "FROM hashes GROUP BY hash_hi, hash_lo HAVING COUNT(*) >= 2 ORDER BY hash_hi, hash_lo"),
+    // m10: the envelope hash rebuilt relationally — m6's exact sample
+    // formula, nearest-resample slice map i·65 div n, per-slice Σ|v|
+    // densified over all 65 slices (empty slices are energy 0), adjacent
+    // difference bits packed into two 32-bit halves like m9's
+    "m10_audio_envelope_hash" ->
+      (AudioHashCte +
+        "SELECT id AS media_id, hi AS hash_hi, lo AS hash_lo FROM ahashes ORDER BY media_id"),
+    // n20: brute-force Hamming join over the rebuilt audio hashes — the
+    // n17 oracle shape verbatim (banding is pigeonhole-complete <= 7)
+    "n20_audio_hash_pairs" ->
+      (AudioHashCte +
+        "SELECT a.id AS media_a, b.id AS media_b, " +
+        "(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)))::BIGINT AS dist " +
+        "FROM ahashes a JOIN ahashes b ON a.id < b.id " +
+        s"WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= ${Dedup.DhashHammingMax} " +
+        "ORDER BY media_a, media_b"),
+    // n19: every width replayed by list slicing (the p3 discipline), the
+    // same DISTINCT / df>=2 / per-doc-argmax pipeline; max_by at a unique
+    // max key, min(fp) tie-break inside each (doc, len)
+    "n19_longest_shared_substring" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
+        "k AS (SELECT DISTINCT doc_id, L::BIGINT AS len, md5(array_to_string(w[p : p + L - 1], ' ')) AS fp " +
+        "FROM t, UNNEST(range(1, least(len(w), 16) + 1)) rl(L), UNNEST(range(1, len(w) + 1)) rp(p) " +
+        "WHERE p + L - 1 <= len(w)), " +
+        "sh AS (SELECT len, fp FROM k GROUP BY len, fp HAVING count(DISTINCT doc_id) >= 2), " +
+        "per AS (SELECT doc_id, k.len, min(k.fp) AS fp FROM k JOIN sh ON k.len = sh.len AND k.fp = sh.fp " +
+        "GROUP BY doc_id, k.len) " +
+        "SELECT doc_id, max(len)::BIGINT AS lss_len, max_by(fp, len) AS lss_fp " +
+        "FROM per GROUP BY doc_id ORDER BY doc_id"),
+    // n21: the cap rule replayed relationally over the rebuilt hash
+    // ledger — same grid CTE, per-hash occupancy, n·(n−1)/2 / n_a·n_b
+    // latent-pair arithmetic, expansion only under the cap. The knob's
+    // default (16) is inlined on both sides; retuning the session knob
+    // means re-deriving the oracle, which is why the default is the
+    // registered operating point.
+    "n21_image_dhash_capped" ->
+      (DhashGridCte +
+        ", hashes AS (SELECT id, " +
+        "SUM(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END)::BIGINT AS hash_hi, " +
+        "SUM(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END)::BIGINT AS hash_lo " +
+        "FROM bits GROUP BY id), " +
+        "counts AS (SELECT hash_hi, hash_lo, COUNT(*) AS n, MIN(id) AS keeper " +
+        "FROM hashes GROUP BY hash_hi, hash_lo), " +
+        "same_units AS (SELECT *, n * (n - 1) // 2 AS n_pairs FROM counts WHERE n >= 2), " +
+        "same_small AS (SELECT 'pair' AS kind, x.id AS media_a, y.id AS media_b, 0::BIGINT AS dist, 1::BIGINT AS n_pairs " +
+        "FROM same_units u JOIN hashes x ON u.hash_hi = x.hash_hi AND u.hash_lo = x.hash_lo " +
+        "JOIN hashes y ON u.hash_hi = y.hash_hi AND u.hash_lo = y.hash_lo AND x.id < y.id " +
+        "WHERE u.n_pairs <= 16), " +
+        "same_big AS (SELECT 'group' AS kind, keeper AS media_a, keeper AS media_b, 0::BIGINT AS dist, n_pairs::BIGINT AS n_pairs " +
+        "FROM same_units WHERE n_pairs > 16), " +
+        "cross_units AS (SELECT a.hash_hi AS ha_hi, a.hash_lo AS ha_lo, b.hash_hi AS hb_hi, b.hash_lo AS hb_lo, " +
+        "(bit_count(xor(a.hash_hi, b.hash_hi)) + bit_count(xor(a.hash_lo, b.hash_lo)))::BIGINT AS dist, " +
+        "a.n * b.n AS n_pairs, a.keeper AS ka, b.keeper AS kb " +
+        "FROM counts a JOIN counts b ON (a.hash_hi, a.hash_lo) < (b.hash_hi, b.hash_lo) " +
+        s"WHERE bit_count(xor(a.hash_hi, b.hash_hi)) + bit_count(xor(a.hash_lo, b.hash_lo)) BETWEEN 1 AND ${Dedup.DhashHammingMax}), " +
+        "cross_small AS (SELECT 'pair' AS kind, LEAST(x.id, y.id) AS media_a, GREATEST(x.id, y.id) AS media_b, u.dist, 1::BIGINT AS n_pairs " +
+        "FROM cross_units u JOIN hashes x ON u.ha_hi = x.hash_hi AND u.ha_lo = x.hash_lo " +
+        "JOIN hashes y ON u.hb_hi = y.hash_hi AND u.hb_lo = y.hash_lo WHERE u.n_pairs <= 16), " +
+        "cross_big AS (SELECT 'xgroup' AS kind, LEAST(ka, kb) AS media_a, GREATEST(ka, kb) AS media_b, dist, n_pairs::BIGINT AS n_pairs " +
+        "FROM cross_units WHERE n_pairs > 16) " +
+        "SELECT kind, media_a, media_b, dist, n_pairs FROM " +
+        "(SELECT * FROM same_small UNION ALL SELECT * FROM same_big " +
+        "UNION ALL SELECT * FROM cross_small UNION ALL SELECT * FROM cross_big) " +
+        "ORDER BY kind, media_a, media_b, dist"),
     // t12: integer proximity over per-term position lists — DuckDB's
     // (x, i) lambda is 1-based where Spark's is 0-based, which cancels
     // inside |x − y|; doc_id breaks ties so the ordering is total.
@@ -1835,8 +1922,9 @@ object SparkEntry {
         "GROUP BY l_suppkey ORDER BY l_suppkey"),
     // Still no-oracle (outputs depend on engine-internal hashing / plane
     // seeds / quantizer / sketch state), each with a planted oracle twin
-    // or an equivalence spec:
-    // n3_simhash_pairs (twin n3p), s2_ann_lsh (twin s2p),
+    // or an equivalence spec (n3 LEFT this list when the shingle hash
+    // became cross-engine — see simhashOracle):
+    // s2_ann_lsh (twin s2p),
     // s4_ann_ivf (twin s4p), s6_ann_ivf_partitioned (twin s6p; spec ≡ s4),
     // s9_ann_ivf_quantized (twin s9p; spec ≡ s6),
     // s11_ann_ivf_filtered (twin s11p),
@@ -1856,6 +1944,29 @@ object SparkEntry {
     * `w[s : s+7]` is 1-based INCLUSIVE (8 tokens), matching Spark's
     * `slice(toks, s+1, 8)`; the range stops differ by the same convention.
     */
+  /** Shared CTE prefix for the m10/n20 oracles: the WAV quarter's PCM
+    * samples rebuilt from m6's exact formula (v = ((i·7+id) mod 256) −
+    * 128), nearest-resampled into 65 time slices (k = i·65 div n),
+    * per-slice Σ|v| densified so EMPTY slices carry energy 0 (the `cells`
+    * cross join — a correlated LEFT JOIN over the lateral UNNEST is not
+    * supported, hence the subquery shape), then 64 adjacent-difference
+    * bits packed as two 32-bit BIGINT halves.
+    */
+  private val AudioHashCte: String =
+    "WITH d AS (SELECT doc_id AS id, LEAST(GREATEST(n_chars, 1), 64) AS n " +
+      "FROM documents WHERE doc_id % 4 = 1), " +
+      s"s AS (SELECT id, (i * ${Multimodal.AudioHashSlices} // n)::BIGINT AS k, " +
+      "ABS(((i * 7 + id) % 256) - 128) AS av FROM d, UNNEST(range(0, n)) AS t(i)), " +
+      "e AS (SELECT id, k, SUM(av) AS ek FROM s GROUP BY id, k), " +
+      s"cells AS (SELECT id, k FROM (SELECT id FROM d) dd, UNNEST(range(0, ${Multimodal.AudioHashSlices})) AS gk(k)), " +
+      "grid AS (SELECT cells.id, cells.k, COALESCE(e.ek, 0) AS ek FROM cells LEFT JOIN e ON e.id = cells.id AND e.k = cells.k), " +
+      "abits AS (SELECT g1.id, CASE WHEN g1.ek > g2.ek THEN 1 ELSE 0 END AS bit, g1.k AS k " +
+      "FROM grid g1 JOIN grid g2 ON g1.id = g2.id AND g2.k = g1.k + 1 WHERE g1.k < 64), " +
+      "ahashes AS (SELECT id, " +
+      "SUM(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END)::BIGINT AS hi, " +
+      "SUM(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END)::BIGINT AS lo " +
+      "FROM abits GROUP BY id) "
+
   /** Shared CTE prefix for the m9/n17 oracles: the PGM quarter's pixels
     * nearest-resized to the 9×8 dHash grid, reduced to the 64 horizontal
     * difference bits — all integer arithmetic over `documents` columns
@@ -2240,4 +2351,33 @@ object SparkEntry {
       "SELECT da AS doc_a, db AS doc_b, inter, ca.c + cb.c - inter AS un " +
       "FROM p JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id " +
       "WHERE 5 * inter >= 4 * (ca.c + cb.c - inter) ORDER BY doc_a, doc_b"
+
+  /** Brute-force SimHash oracle: rebuild every document's 64-bit signature
+    * from the cross-engine shingle hash (two 32-bit md5 halves via
+    * [[graft.operators.Dedup.shingleHash64Sql]] — the ONE place the
+    * hex-parse contract lives), majority-vote per bit, then an all-pairs
+    * Hamming join at dist ≤ 7. Equals the engine's banded plan by the
+    * 8×8-band pigeonhole. O(n²) on 5k docs = 12.5M xor+bit_count pairs —
+    * seconds in DuckDB, and exactly the brute-force/banded differential
+    * that makes this an oracle rather than a restatement.
+    */
+  private val simhashOracle: String = {
+    val (hi, lo) = graft.operators.Dedup.shingleHash64Sql("s")
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s " +
+      "FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)), " +
+      s"hs AS (SELECT doc_id, $hi AS hi, $lo AS lo FROM sh), " +
+      "votes AS (SELECT doc_id, i, " +
+      "SUM(CASE WHEN ((CASE WHEN i < 32 THEN lo ELSE hi END) >> (i % 32)) & 1 = 1 THEN 1 ELSE -1 END) AS v " +
+      "FROM hs, UNNEST(range(0, 64)) AS b(i) GROUP BY doc_id, i), " +
+      "sig AS (SELECT doc_id, " +
+      "SUM(CASE WHEN v > 0 AND i < 32 THEN (1::BIGINT << i) ELSE 0 END) AS sig_lo, " +
+      "SUM(CASE WHEN v > 0 AND i >= 32 THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS sig_hi " +
+      "FROM votes GROUP BY doc_id) " +
+      "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+      "CAST(bit_count(xor(a.sig_lo, b.sig_lo)) + bit_count(xor(a.sig_hi, b.sig_hi)) AS BIGINT) AS dist " +
+      "FROM sig a JOIN sig b ON a.doc_id < b.doc_id " +
+      "WHERE bit_count(xor(a.sig_lo, b.sig_lo)) + bit_count(xor(a.sig_hi, b.sig_hi)) <= 7 " +
+      "ORDER BY doc_a, doc_b"
+  }
 }

@@ -75,6 +75,37 @@ object Dedup {
   private def shingleN(spark: SparkSession): Int =
     graft.GraftConf.int(spark, "shingle.n", 3)
 
+  /** Cross-engine 64-bit shingle hash: the first 16 hex digits of
+    * `md5(s)`, assembled as two 32-bit halves — `hi` = hex digits 1-8,
+    * `lo` = digits 9-16 — into `(hi << 32) | lo` (signed wrap is
+    * intentional; the VALUE is just a 64-bit bit pattern, never
+    * arithmetic). This replaced `xxhash64` as the dedup payload hash
+    * (scheme v3): md5 is a published algorithm every engine computes
+    * byte-identically over UTF-8, so any derivation whose OUTPUT depends
+    * on hash bits — SimHash signatures above all — becomes directly
+    * checkable against a DuckDB oracle (`('0x' || substr(md5(s), 1, 8))
+    * ::BIGINT` on the other side), instead of riding an engine-private
+    * hash that forces planted-twin proxies. Uniformity is cryptographic
+    * (better than xxhash64's), so MinHash/SimHash statistics only
+    * improve; the cost — md5 is ~2-3× xxhash64 per byte — lands in the
+    * once-per-corpus-version ingest pass that builds the signature
+    * layouts, not in any query.
+    */
+  private[graft] def shingleHash64(s: Column): Column = {
+    val hex = md5(s)
+    val hi  = conv(substring(hex, 1, 8), 16, 10).cast("long")
+    val lo  = conv(substring(hex, 9, 8), 16, 10).cast("long")
+    shiftleft(hi, 32).bitwiseOR(lo)
+  }
+
+  /** The DuckDB rendering of [[shingleHash64]]'s two halves — the oracle
+    * side of the cross-engine contract, shared by every oracle that
+    * recomputes shingle-hash bits (n3's signature SQL). `col` must be a
+    * VARCHAR expression; yields `(hi_sql, lo_sql)`.
+    */
+  private[graft] def shingleHash64Sql(col: String): (String, String) =
+    (s"('0x' || substr(md5($col), 1, 8))::BIGINT", s"('0x' || substr(md5($col), 9, 8))::BIGINT")
+
   /** Exact duplicate groups: fingerprint → group → keep groups of size > 1.
     * The scale-correct form of Q8: the exchange carries (16-byte fp, id),
     * never document bodies.
@@ -488,6 +519,120 @@ object Dedup {
       .orderBy("doc_id", "start_pos")
   }
 
+  /** N19 — per-document LONGEST cross-document shared substring (token
+    * count + fingerprint), the no-fixed-floor exact-substring signal the
+    * suffix-array dedup literature wants (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better") that n7/n11 structurally
+    * cannot report: their fixed [[SpanTokens]]-token windows see nothing
+    * shorter and report longer repeats only at window granularity. Here a
+    * 5-token verbatim overlap is found AS length 5, because every width
+    * 1..`graft.lss.max_tokens` (default 16) is probed.
+    *
+    * Correctness identity (why this equals the sorted-suffix-array answer
+    * up to the cap): a document's longest shared substring has length ≥ L
+    * iff SOME width-L window fingerprint of it appears in ≥ 2 distinct
+    * documents — so max-L-with-a-shared-window IS the longest shared
+    * substring, exactly (md5 collisions aside), with the single disclosed
+    * saturation `lss_len = min(true, cap)`. A true suffix array computes
+    * unbounded lengths but needs corpus-resident suffix order; the capped
+    * window form is the shuffle-bounded discipline every span-family rung
+    * here rides.
+    *
+    * Scale shape: the generate phase emits (doc_id, width, prefix) for
+    * all widths — `cap ×` the n7 token stream — then ONE wide
+    * countDistinct on 16-byte long keys finds cross-doc candidates
+    * (within-doc self-repeats never count, n7's contract), an exact
+    * string recount over the candidate subset removes hash-collision
+    * false positives, and a per-doc argmax finishes. Nothing is pairwise,
+    * nothing driver-side. At a cap too large for the `cap×` stream, the
+    * production refinement is hierarchical doubling (probe widths
+    * 1,2,4,…,cap, then binary-refine the bracket — log passes of 1×
+    * volume each); the one-pass form is registered because one exchange
+    * beats log exchanges until `cap×` volume dominates. Ties at the max
+    * length break to the MIN fingerprint (deterministic, order-free).
+    * Docs sharing no token with any other document are absent (d16's
+    * absence convention). Like every span-family rung the computation is
+    * a once-per-corpus-version ingest artifact: the registered query
+    * reads the persisted per-doc table.
+    */
+  /** Bump when the LSS derivation changes; folds into the layout key with
+    * the cap operating point.
+    */
+  private[graft] val LssSchemeVersion = 1
+
+  def longestSharedSubstring(spark: SparkSession, dir: String): DataFrame = {
+    val cap = graft.GraftConf.int(spark, "lss.max_tokens", 16)
+    require(cap >= 1, s"graft.lss.max_tokens=$cap must be >= 1")
+    // Ingest-once materialization, the span-family contract (n7/n11/d16):
+    // the `cap×`-token candidate aggregation is the dominant cost and is a
+    // pure function of the corpus version, so it runs inside the layout
+    // build and every query is a read. Key carries scheme + cap.
+    val key = graft.sources.LayoutCache.contentKey(
+      spark,
+      s"$dir/documents.parquet",
+      s"lss-v$LssSchemeVersion#c$cap"
+    )
+    val layout = graft.sources.LayoutCache.getOrBuild(spark, "graft_lss", key) { out =>
+      longestSharedSubstringFrom(Tables.documents(spark, dir), cap)
+        .write.mode("overwrite").parquet(s"$out/lss.parquet")
+    }
+    spark.read.parquet(s"$layout/lss.parquet").orderBy("doc_id")
+  }
+
+  private[graft] def longestSharedSubstringFrom(docs: DataFrame, cap: Int): DataFrame = {
+    // Per-position width keys via TWO chained generators and only
+    // top-level (codegen'd) expressions — the nested
+    // transform/array_distinct lambda form computed the same stream ~6×
+    // slower because higher-order functions evaluate interpreted, and each
+    // generated row dragged the document's whole token array through the
+    // generate. Here explode #1 reduces the carried payload to one
+    // `cap`-token window string per position, and explode #2 emits
+    // (len, prefix) rows whose prefix is a codegen'd `substring_index`.
+    val prefixes = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 1)
+      .select(col("doc_id"), col("toks"), explode(expr("sequence(1, size(toks))")).as("p"))
+      .select(
+        col("doc_id"),
+        expr(s"concat_ws(' ', slice(toks, p, $cap))").as("win"),
+        expr(s"least($cap, size(toks) - p + 1)").as("tc")
+      )
+      .select(col("doc_id"), explode(expr("sequence(1, tc)")).as("len"), col("win"))
+      .select(
+        col("doc_id"),
+        col("len").cast("long").as("len"),
+        expr("substring_index(win, ' ', len)").as("s")
+      )
+    val keyed = prefixes.withColumn("xh", xxhash64(col("s")))
+    // Candidate detection on LONG keys (xxhash64 of the prefix), exactness
+    // restored by a RECOUNT over the candidate subset: df(len, xh) ≥
+    // df(len, s) for every s hashing to xh, so no truly-shared prefix can
+    // be missed, and the string-keyed recount — over the candidate rows
+    // only, ~30% of the stream here — kills any hash-collision false
+    // positive. The wide countDistinct therefore runs on 16-byte keys
+    // (the n1 longs-beat-strings lesson) at full volume and on strings
+    // only at candidate volume.
+    val candKeys = keyed
+      .groupBy("len", "xh")
+      .agg(countDistinct("doc_id").as("df"))
+      .where(col("df") >= 2)
+      .select("len", "xh")
+    val cand = keyed.join(broadcast(candKeys), Seq("len", "xh"))
+    val sharedExact = cand
+      .groupBy("len", "s")
+      .agg(countDistinct("doc_id").as("df"))
+      .where(col("df") >= 2)
+      .select("len", "s")
+    cand
+      .join(sharedExact, Seq("len", "s"), "left_semi")
+      .groupBy("doc_id", "len")
+      .agg(min(md5(col("s"))).as("fp")) // one row per (doc, len): the tie-broken fp
+      .groupBy("doc_id")
+      .agg(max(struct(col("len"), col("fp"))).as("m")) // argmax by len; fp already tie-broken
+      .select(col("doc_id"), col("m.len").as("lss_len"), col("m.fp").as("lss_fp"))
+      .orderBy("doc_id")
+  }
+
   /** N13 — frequent sub-span n-grams: the repeats n11 is blind to by
     * construction (its maximal segments start at the [[SpanTokens]]-token
     * window width; a 2–7-token catchphrase repeated across documents never
@@ -768,13 +913,19 @@ object Dedup {
     */
   private[graft] def minhashArtifacts(docs: DataFrame): (DataFrame, DataFrame) = {
     val (nHashes, nBands) = minhashShape(docs.sparkSession)
-    val sh      = shingles(docs).withColumn("h", xxhash64(col("s")))
+    val sh      = shingles(docs).withColumn("h", shingleHash64(col("s")))
     val rows    = nHashes / nBands
     val minCols = (0 until nHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"h$i"))
     // Verification payload = the shingle HASHES, not the strings: longs ride
     // the exchange at 8 bytes/shingle and IntersectionSize probes them
-    // allocation-free. Exactness is preserved up to xxhash64 collisions
-    // (~n²/2⁶⁴ per pair — noise beside the LSH miss probability).
+    // allocation-free. Exactness is preserved up to 64-bit hash collisions
+    // (~n²/2⁶⁴ per pair — noise beside the LSH miss probability). The
+    // payload hash is the cross-engine [[shingleHash64]] (scheme v3) so
+    // every downstream bit-derivation (n3's SimHash signatures) carries a
+    // DuckDB oracle; the 64 minhash permutations still seed-hash that
+    // FIXED-WIDTH long with engine xxhash64 — their job is candidate
+    // generation, whose output is exact-verified, so they need speed, not
+    // cross-engine reproducibility.
     val aggCols = minCols ++ Seq(collect_set(col("h")).as("ss"), count(lit(1)).as("c"))
     val perDoc  = sh.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
     // Band signature = hash of its `rows` member hashes; explode to
@@ -874,11 +1025,12 @@ object Dedup {
     * instead of re-shingling the whole corpus. Returns the layout path.
     */
   /** Bump whenever the persisted index layout or signature scheme changes
-    * (payload went string→xxhash64 at v2): the version is folded into the
-    * cache key so an index written under an older scheme can never be
-    * silently reused against newer signatures.
+    * (payload went string→xxhash64 at v2, xxhash64→[[shingleHash64]] at
+    * v3): the version is folded into the cache key so an index written
+    * under an older scheme can never be silently reused against newer
+    * signatures.
     */
-  private[graft] val MinhashSchemeVersion = 2
+  private[graft] val MinhashSchemeVersion = 3
 
   private[graft] def minhashIndexCache(spark: SparkSession, dir: String, batchStartId: Long): String = {
     // Key = scheme version + knob operating point + batch split + CONTENT
@@ -1012,17 +1164,22 @@ object Dedup {
     * cleanly (planted near-dups at distance ≤ 10, random background p1 ≈ 23,
     * median ≈ 32 — measured on this corpus). Band pigeonhole (8 bands × 8
     * bits) makes candidate generation complete: any pair within distance 7
-    * shares at least one full band. Output depends on the engine's xxhash64,
-    * so this op has no SQL oracle — see DedupSpec for its recall check
-    * against N1.
+    * shares at least one full band — so the banded output EQUALS the
+    * brute-force `dist ≤ 7` pair set, which is exactly what the DuckDB
+    * oracle computes: since scheme v2 the shingle hash is the cross-engine
+    * [[shingleHash64]], so the oracle rebuilds signatures bit-identically
+    * (two 32-bit halves, per-bit majority vote) and brute-forces the
+    * Hamming join. n3 was the board's last hash-opaque text rung; the
+    * planted twin n3p stays as the fixture-anchored recall witness.
     */
   /** Bump when the signature derivation or banding scheme changes; folds
     * into the simhash pair layout's cache key. The key deliberately
     * EXCLUDES the minhash h/b knobs: the signature depends only on the
     * per-doc shingle-hash sets (scheme + shingle width), so retuning the
-    * LSH banding must not rebuild simhash pairs.
+    * LSH banding must not rebuild simhash pairs. v2 = payload hash went
+    * xxhash64 → [[shingleHash64]] (the flip that gave n3 its oracle).
     */
-  private[graft] val SimhashSchemeVersion = 1
+  private[graft] val SimhashSchemeVersion = 2
 
   /** The registered n3 surface reads a PERSISTED pair table — the same
     * ingest-once materialization contract as n2's pair layout (pairs are
@@ -1048,19 +1205,20 @@ object Dedup {
 
   /** N3P — [[simhashPairs]]'s plan over corpus ∪ the committed
     * identical-text fixture (`fixtures/simdup`, ids ≥ 3,000,000), restricted
-    * to the planted pairs. n3 itself has no SQL oracle because its output
-    * rides the engine's xxhash64: which *near*-dup corpus pairs land within
-    * Hamming 7 depends on the hash function. The planted sub-surface does
-    * not — identical text ⇒ identical shingle set ⇒ identical signature ⇒
-    * distance 0 under ANY hash — so this twin carries a full DuckDB oracle
-    * (text-equality pairs over the fixture, hash-checked with rows > 0) and
-    * proves the whole production pipeline (shingle → signature → band
-    * pigeonhole → collision join → Hamming verify) emits real matches
-    * end-to-end. The planted-range restriction is the honest boundary of
-    * determinism: fixture vocabularies are disjoint from each other and
-    * from every corpus (DedupSpec measures cross distances ≥ 16 ≫ 7), so
-    * the planted pair set is exactly the 5 identical-text pairs.
-    * Persisted like n3, keyed on BOTH corpus and fixture content.
+    * to the planted pairs. Historically this twin existed because n3's
+    * output rode the engine's xxhash64 and had no SQL oracle; since scheme
+    * v2 the hash is the cross-engine [[shingleHash64]] and n3 carries a
+    * full brute-force DuckDB oracle, so the twin's remaining job is the
+    * fixture-anchored RECALL witness: identical text ⇒ identical shingle
+    * set ⇒ identical signature ⇒ distance 0 under ANY hash, proving the
+    * whole production pipeline (shingle → signature → band pigeonhole →
+    * collision join → Hamming verify) emits real matches end-to-end on
+    * pairs whose membership is hash-independent. The planted-range
+    * restriction is the honest boundary of that independence: fixture
+    * vocabularies are disjoint from each other and from every corpus
+    * (DedupSpec measures cross distances ≥ 16 ≫ 7), so the planted pair
+    * set is exactly the 5 identical-text pairs. Persisted like n3, keyed
+    * on BOTH corpus and fixture content.
     */
   def simhashPairsPlanted(spark: SparkSession, dir: String): DataFrame = {
     val fx    = s"${fixturesDir(spark)}/simdup/documents.parquet"
@@ -1075,7 +1233,7 @@ object Dedup {
         .documents(spark, dir)
         .select("doc_id", "text")
         .unionByName(spark.read.parquet(fx).select("doc_id", "text"))
-      val tok = shingles(docs).select(col("doc_id"), xxhash64(col("s")).as("h")).distinct()
+      val tok = shingles(docs).select(col("doc_id"), shingleHash64(col("s")).as("h")).distinct()
       simhashPairsFromHashes(tok)
         .where(col("doc_a") >= SimdupPlantedBase)
         .write.mode("overwrite").parquet(s"$out/pairs.parquet")
@@ -1085,10 +1243,10 @@ object Dedup {
 
   private[graft] def simhashPairsLive(spark: SparkSession, dir: String): DataFrame = {
     // The per-doc shingle-hash SETS the persisted minhash layout already
-    // stores (docsets.ss = collect_set(xxhash64(shingle))) are exactly
+    // stores (docsets.ss = collect_set(shingleHash64(shingle))) are exactly
     // simhash's input stream — exploding them back is bit-identical to
-    // re-shingling the corpus (both are distinct-per-doc xxhash64 values)
-    // and skips the dominant tokenize+shingle pass entirely. n3 therefore
+    // re-shingling the corpus (both are distinct-per-doc shingleHash64
+    // values) and skips the dominant tokenize+shingle pass entirely. n3
     // rides the same ingest-time artifact as n2/n5/n6/n9/c1/c2 instead of
     // being the one rung that re-reads text.
     val tok = minhashArtifactsCached(spark, dir)._1
@@ -1726,34 +1884,7 @@ object Dedup {
     * streamed catalog can never pair differently from the batch one.
     */
   private[graft] def dhashPairsFromHashes(h: DataFrame): DataFrame = {
-    // level 1: banded candidate join over DISTINCT hashes. Bands 0–3
-    // slice hash_lo (bits 0–31), bands 4–7 hash_hi; the 32-bit halves
-    // never carry a sign bit, so >> & 255 is portable.
-    val hu = h.select("hash_hi", "hash_lo").distinct()
-    val bands = hu.select(
-      col("hash_hi"),
-      col("hash_lo"),
-      explode(array((0 until 8).map { k =>
-        val src = if (k < 4) col("hash_lo") else col("hash_hi")
-        struct(lit(k).as("band"), shiftright(src, (k % 4) * 8).bitwiseAND(lit(255L)).as("bv"))
-      }: _*)).as("bk")
-    ).select(col("hash_hi"), col("hash_lo"), col("bk.band").as("band"), col("bk.bv").as("bv"))
-    val hashPairs = bands
-      .as("a")
-      .join(
-        bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          (struct(col("a.hash_hi"), col("a.hash_lo")) < struct(col("b.hash_hi"), col("b.hash_lo")))
-      )
-      .select(
-        col("a.hash_hi").as("ha_hi"),
-        col("a.hash_lo").as("ha_lo"),
-        col("b.hash_hi").as("hb_hi"),
-        col("b.hash_lo").as("hb_lo")
-      )
-      .distinct() // hash-cardinality, not image-cardinality
-      .withColumn("dist", (expr("bit_count(ha_hi ^ hb_hi)") + expr("bit_count(ha_lo ^ hb_lo)")).cast("long"))
-      .where(col("dist") <= DhashHammingMax)
+    val hashPairs = verifiedDhashHashPairs(h)
     // level 2a: identical-hash image pairs (dist 0) — one hash-keyed
     // self-join, per-group output generated streamwise, no distinct
     val same = h
@@ -1771,6 +1902,183 @@ object Dedup {
       .join(h.select(col("media_id").as("ib"), col("hash_hi").as("hb_hi"), col("hash_lo").as("hb_lo")), Seq("hb_hi", "hb_lo"))
       .select(least(col("ia"), col("ib")).as("media_a"), greatest(col("ia"), col("ib")).as("media_b"), col("dist"))
     same.unionByName(cross).orderBy("media_a", "media_b")
+  }
+
+  /** N20 — AUDIO near-dup pairs by perceptual hash: every decodable WAV's
+    * 64-bit temporal-envelope hash ([[Multimodal.audioEnvelopeHash]])
+    * through the SAME two-level banded-Hamming pair core as the image
+    * rung — [[dhashPairsFromHashes]] is generic over any
+    * `(media_id, hash_hi, hash_lo)` ledger, so the audio modality costs
+    * one hash definition, not a new join family. Closes the dedup
+    * ladder's last modality gap (text n1–n19, embeddings n4/n10, images
+    * m9/n17/n18/n21, audio here). Fully DuckDB-oracled: the hash is
+    * integer envelope arithmetic over the relationally-rebuildable PCM
+    * samples (m6's byte-exactness argument), so the oracle brute-forces
+    * the Hamming join over rebuilt hashes — no planted twin needed.
+    * Re-encoded or resampled copies of a recording collapse to nearby
+    * envelopes, hence nearby hashes; the synthetic corpus's dist-0 mass
+    * (ids 256 apart share the sample formula) plays the duplicate role
+    * the spec pins.
+    */
+  def audioHashPairs(spark: SparkSession, dir: String): DataFrame =
+    dhashPairsFromHashes(
+      graft.operators.Multimodal
+        .audioEnvelopeHash(graft.operators.Multimodal.syntheticMediaWhere(spark, dir, col("doc_id") % 4 === 1))
+        .toDF()
+    )
+
+  /** Level 1 of the two-level dHash pair core, shared by the uncapped
+    * ([[dhashPairsFromHashes]]) and capped ([[dhashPairsCappedFromHashes]])
+    * expansions: banded candidate join over DISTINCT hashes → exact-Hamming
+    * verified HASH pairs `(ha_hi, ha_lo, hb_hi, hb_lo, dist)`, dist in
+    * 1..[[DhashHammingMax]]. Bands 0–3 slice hash_lo (bits 0–31), bands
+    * 4–7 hash_hi; the 32-bit halves never carry a sign bit, so `>> & 255`
+    * is portable. Every wide op here is hash-cardinality, never
+    * image-cardinality.
+    */
+  private def verifiedDhashHashPairs(h: DataFrame): DataFrame = {
+    val hu = h.select("hash_hi", "hash_lo").distinct()
+    val bands = hu.select(
+      col("hash_hi"),
+      col("hash_lo"),
+      explode(array((0 until 8).map { k =>
+        val src = if (k < 4) col("hash_lo") else col("hash_hi")
+        struct(lit(k).as("band"), shiftright(src, (k % 4) * 8).bitwiseAND(lit(255L)).as("bv"))
+      }: _*)).as("bk")
+    ).select(col("hash_hi"), col("hash_lo"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+    bands
+      .as("a")
+      .join(
+        bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          (struct(col("a.hash_hi"), col("a.hash_lo")) < struct(col("b.hash_hi"), col("b.hash_lo")))
+      )
+      .select(
+        col("a.hash_hi").as("ha_hi"),
+        col("a.hash_lo").as("ha_lo"),
+        col("b.hash_hi").as("hb_hi"),
+        col("b.hash_lo").as("hb_lo")
+      )
+      .distinct() // hash-cardinality, not image-cardinality
+      .withColumn("dist", (expr("bit_count(ha_hi ^ hb_hi)") + expr("bit_count(ha_lo ^ hb_lo)")).cast("long"))
+      .where(col("dist") <= DhashHammingMax)
+  }
+
+  /** N21 — n17's pair rung with its documented adversarial cap ENFORCED:
+    * on a corpus where near-everything collides, the full pair LIST is
+    * quadratic in group occupancy (n17's honest answer — 1.46B rows at the
+    * round-13 100× rehearsal), and n17's doc has always said "production
+    * caps it by emitting groups for the identical-hash mass". This rung is
+    * that advice as behavior. Per expansion unit — an identical-hash group
+    * (n·(n−1)/2 latent pairs) or a verified cross-hash pair (n_a·n_b) —
+    * if the latent pair count exceeds the `graft.dhash.pair_cap` session
+    * knob (default 16), the unit degrades to ONE ledger row instead of
+    * expanding:
+    *
+    *   - `('pair',  media_a, media_b, dist, 1)`       — expanded pair
+    *   - `('group', keeper,  keeper,  0,    n(n−1)/2)` — capped same-hash mass
+    *   - `('xgroup', keeper_a, keeper_b, dist, n_a·n_b)` — capped cross-hash mass
+    *
+    * `n_pairs` sums to the SAME total as the uncapped pair count (spec
+    * invariant), so nothing is silently dropped — the quadratic mass is
+    * reported in group arithmetic, the tractable tail in full. Keepers are
+    * min-id representatives (n18's contract). No NULL columns — keeper
+    * doubles for both sides of a 'group' row — so cross-engine ordering
+    * never meets engine-specific NULL placement. Worst-case output is
+    * images + hash-pairs rows (linear + collision-bounded) at ANY
+    * duplication level: this is the rung a 100 TB image-dedup pipeline
+    * actually materializes. Fully DuckDB-oracled like the rest of the
+    * family: the cap rule is integer arithmetic over the rebuilt hash
+    * ledger.
+    */
+  def imageDhashPairsCapped(spark: SparkSession, dir: String): DataFrame =
+    dhashPairsCappedFromHashes(
+      graft.operators.Multimodal
+        .imageDhash(graft.operators.Multimodal.syntheticMediaWhere(spark, dir, col("doc_id") % 4 === 0))
+        .toDF(),
+      graft.GraftConf.int(spark, "dhash.pair_cap", 16).toLong
+    )
+
+  /** The capped two-level expansion behind [[imageDhashPairsCapped]] —
+    * same level-1 hash-pair core as n17, but every expansion join is
+    * pre-gated on the latent pair count, so the image-cardinality side of
+    * the plan is bounded by `cap × units + units` rows by construction
+    * (the degenerate all-collide corpus that wedges the uncapped
+    * expansion emits exactly one row per mass here — DedupSpec builds
+    * that corpus and asserts it).
+    */
+  private[graft] def dhashPairsCappedFromHashes(h: DataFrame, cap: Long): DataFrame = {
+    require(cap >= 0, s"graft.dhash.pair_cap=$cap must be >= 0")
+    // per-hash occupancy + representative: hash-cardinality, the only
+    // state the cap rule needs; broadcast-joined onto the hash-pair frame
+    val counts = h
+      .groupBy("hash_hi", "hash_lo")
+      .agg(count(lit(1)).as("n"), min("media_id").as("keeper"))
+    val sameUnits = counts
+      .where(col("n") >= 2)
+      // `div`, not `/`: Spark's `/` on longs is DOUBLE division, and the
+      // ledger column must stay BIGINT to hash against the oracle
+      .withColumn("n_pairs", expr("n * (n - 1) div 2"))
+    val sameSmallHashes = sameUnits.where(col("n_pairs") <= cap).select("hash_hi", "hash_lo")
+    val sameSmall = h
+      .join(broadcast(sameSmallHashes), Seq("hash_hi", "hash_lo"))
+      .as("x")
+      .join(
+        h.join(broadcast(sameSmallHashes), Seq("hash_hi", "hash_lo")).as("y"),
+        col("x.hash_hi") === col("y.hash_hi") && col("x.hash_lo") === col("y.hash_lo") &&
+          col("x.media_id") < col("y.media_id")
+      )
+      .select(
+        lit("pair").as("kind"),
+        col("x.media_id").as("media_a"),
+        col("y.media_id").as("media_b"),
+        lit(0L).as("dist"),
+        lit(1L).as("n_pairs")
+      )
+    val sameBig = sameUnits
+      .where(col("n_pairs") > cap)
+      .select(
+        lit("group").as("kind"),
+        col("keeper").as("media_a"),
+        col("keeper").as("media_b"),
+        lit(0L).as("dist"),
+        col("n_pairs")
+      )
+    val crossUnits = verifiedDhashHashPairs(h)
+      .join(
+        counts.select(col("hash_hi").as("ha_hi"), col("hash_lo").as("ha_lo"), col("n").as("na"), col("keeper").as("ka")),
+        Seq("ha_hi", "ha_lo")
+      )
+      .join(
+        counts.select(col("hash_hi").as("hb_hi"), col("hash_lo").as("hb_lo"), col("n").as("nb"), col("keeper").as("kb")),
+        Seq("hb_hi", "hb_lo")
+      )
+      .withColumn("n_pairs", col("na") * col("nb"))
+    val crossSmall = crossUnits
+      .where(col("n_pairs") <= cap)
+      .join(h.select(col("media_id").as("ia"), col("hash_hi").as("ha_hi"), col("hash_lo").as("ha_lo")), Seq("ha_hi", "ha_lo"))
+      .join(h.select(col("media_id").as("ib"), col("hash_hi").as("hb_hi"), col("hash_lo").as("hb_lo")), Seq("hb_hi", "hb_lo"))
+      .select(
+        lit("pair").as("kind"),
+        least(col("ia"), col("ib")).as("media_a"),
+        greatest(col("ia"), col("ib")).as("media_b"),
+        col("dist"),
+        lit(1L).as("n_pairs")
+      )
+    val crossBig = crossUnits
+      .where(col("n_pairs") > cap)
+      .select(
+        lit("xgroup").as("kind"),
+        least(col("ka"), col("kb")).as("media_a"),
+        greatest(col("ka"), col("kb")).as("media_b"),
+        col("dist"),
+        col("n_pairs")
+      )
+    sameSmall
+      .unionByName(sameBig)
+      .unionByName(crossSmall)
+      .unionByName(crossBig)
+      .orderBy("kind", "media_a", "media_b", "dist")
   }
 
   /** All-pairs brute force — O(n²), spec-level equivalence oracle ONLY (the

@@ -1238,6 +1238,75 @@ object Multimodal {
       .toDF()
       .orderBy("media_id", "frame_id")
 
+  final case class AudioHashRow(media_id: Long, hash_hi: Long, hash_lo: Long)
+
+  /** Time slices for [[audioEnvelopeHash]] — 65 slices yield 64
+    * adjacent-difference bits, the 1-D analogue of the dHash grid's 9
+    * columns per row.
+    */
+  val AudioHashSlices: Int = 65
+
+  /** M10 — perceptual AUDIO hash: the recording's integer amplitude
+    * envelope nearest-resampled into [[AudioHashSlices]] time slices
+    * (slice k of sample i = `i·65 div n`, the same integer index map as
+    * the dHash resize), per-slice energy `E_k = Σ|round(sample·128)|`,
+    * bit k = `E_k > E_{k+1}` — a temporal-envelope difference hash, the
+    * audio twin of [[imageDhash]] (Haitsma/Kalker-style band-difference
+    * fingerprinting with TIME slices standing in for spectral bands: a
+    * relational FFT would put floats in the oracle, while the envelope
+    * form keeps the whole derivation integer and therefore hash-checkable
+    * cross-engine). Amplitude comparisons (not values) make the hash
+    * invariant to uniform loudness scaling up to quantization, the same
+    * monotone-compare robustness the image dHash gets from pixel
+    * gradients. Packed as two 32-bit BIGINT halves so neither engine
+    * shifts into the sign bit (m9's convention).
+    *
+    * Like every m-family decoder this is per-row `mapPartitions` codec
+    * work over the REAL WAV parse ([[decodeWav]]); the 8-bit PCM decode
+    * round-trips losslessly through `round(·128)` (m6's argument), so
+    * the DuckDB oracle rebuilds every slice energy from the synthetic
+    * corpus's sample formula and checks RIFF parse + decode + resample +
+    * difference-pack end to end.
+    */
+  def audioEnvelopeHash(media: Dataset[MediaRow]): Dataset[AudioHashRow] = {
+    import media.sparkSession.implicits._
+    val slices = AudioHashSlices
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val decoded = r.format match {
+          case "audio/wav" => decodeWav(r.payload)
+          case _           => None
+        }
+        decoded.collect { case a if a.samples.nonEmpty =>
+          val n = a.samples.length
+          val e = new Array[Long](slices)
+          var i = 0
+          while (i < n) {
+            e((i.toLong * slices / n).toInt) += math.abs(math.round(a.samples(i) * 128f)).toLong
+            i += 1
+          }
+          var hi = 0L
+          var lo = 0L
+          var k  = 0
+          while (k < slices - 1) {
+            if (e(k) > e(k + 1)) { if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32) }
+            k += 1
+          }
+          AudioHashRow(r.media_id, hi, lo)
+        }
+      }
+    }
+  }
+
+  /** M10's registry surface: the envelope-hash ledger over the WAV
+    * quarter (`doc_id % 4 == 1`), predicate pushed before the typed map
+    * like m6's.
+    */
+  def audioEnvelopeHashQuery(spark: SparkSession, dir: String): DataFrame =
+    audioEnvelopeHash(syntheticMediaWhere(spark, dir, col("doc_id") % 4 === 1))
+      .toDF()
+      .orderBy("media_id")
+
   final case class HistogramRow(media_id: Long, bin: Long, n_px: Long)
 
   /** Intensity bins for [[imageHistogram]] — 16 equal-width bins over the

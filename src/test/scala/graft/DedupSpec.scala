@@ -103,7 +103,7 @@ class DedupSpec extends SparkSpec {
       .documents(spark, sf0001)
       .select("doc_id", "text")
       .unionByName(fx.select("doc_id", "text"))
-    val tok  = Dedup.shingles(union).select(col("doc_id"), xxhash64(col("s")).as("h")).distinct()
+    val tok  = Dedup.shingles(union).select(col("doc_id"), Dedup.shingleHash64(col("s")).as("h")).distinct()
     val sigs = Dedup.simhashSignaturesFromHashes(tok)
     val fxSigs = sigs.where(col("doc_id") >= 3000000L).as("a")
     val minCross = fxSigs
@@ -677,6 +677,64 @@ class DedupSpec extends SparkSpec {
     assert(banded.exists(_._3 == 0L), "and exact perceptual dups")
   }
 
+  test("n20: banded audio-hash pairs == brute force over the same envelope hashes; dist-0 mass present") {
+    val banded = Dedup
+      .audioHashPairs(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val h = graft.operators.Multimodal
+      .audioEnvelopeHash(graft.operators.Multimodal.syntheticMediaWhere(
+        spark, sf0001, org.apache.spark.sql.functions.col("doc_id") % 4 === 1))
+      .collect()
+      .map(r => (r.media_id, r.hash_hi, r.hash_lo))
+    val brute = (for {
+      a <- h; b <- h if a._1 < b._1
+      d = java.lang.Long.bitCount(a._2 ^ b._2) + java.lang.Long.bitCount(a._3 ^ b._3)
+      if d <= Dedup.DhashHammingMax
+    } yield (a._1, b._1, d.toLong)).toSet
+    assert(banded == brute, "band pigeonhole must be exact-complete at Hamming <= 7")
+    assert(banded.nonEmpty, "the synthetic corpus must contain audio near-dups")
+    assert(banded.exists(_._3 == 0L), "identical envelope patterns (ids 256 apart, same length) must collapse to dist 0")
+    // hash halves never carry a sign bit (the banding >> & 255 portability contract)
+    assert(h.forall(x => x._2 >= 0 && x._2 < (1L << 32) && x._3 >= 0 && x._3 < (1L << 32)))
+  }
+
+  test("m10: loudness-scaling invariance — doubling all amplitudes preserves the envelope hash bits") {
+    // the monotone-compare robustness claim, checked directly on the
+    // slice-energy definition: E_k > E_{k+1} is invariant under any
+    // strictly positive uniform gain (integer doubling here)
+    val h = graft.operators.Multimodal
+      .audioEnvelopeHash(graft.operators.Multimodal.syntheticMediaWhere(
+        spark, sf0001, org.apache.spark.sql.functions.col("doc_id") % 4 === 1))
+      .collect()
+    assert(h.nonEmpty)
+    // for a sample of ledger rows, recompute the hash from the decoded
+    // samples at 1x (replay pins the definition) and 2x gain (invariance)
+    val media = graft.operators.Multimodal
+      .syntheticMediaWhere(spark, sf0001, org.apache.spark.sql.functions.col("doc_id") % 4 === 1)
+      .collect()
+    val byId = h.map(r => r.media_id -> (r.hash_hi, r.hash_lo)).toMap
+    media.take(30).foreach { m =>
+      graft.operators.Multimodal.decodeWav(m.payload).foreach { a =>
+        val slices = graft.operators.Multimodal.AudioHashSlices
+        def hashOf(gain: Long): (Long, Long) = {
+          val e = new Array[Long](slices)
+          a.samples.zipWithIndex.foreach { case (s, i) =>
+            e((i.toLong * slices / a.samples.length).toInt) += gain * math.abs(math.round(s * 128f)).toLong
+          }
+          var hi = 0L; var lo = 0L
+          (0 until slices - 1).foreach { k =>
+            if (e(k) > e(k + 1)) { if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32) }
+          }
+          (hi, lo)
+        }
+        assert(hashOf(1L) == byId(m.media_id), s"spec replay must match the ledger for ${m.media_id}")
+        assert(hashOf(2L) == byId(m.media_id), s"2x gain must not move the hash for ${m.media_id}")
+      }
+    }
+  }
+
   test("n18: group ledger reconciles with n17's dist-0 pairs — sum n(n-1)/2 == exact-dup pair count; keepers are minima") {
     val groups = Dedup
       .imageDhashGroups(spark, sf0001)
@@ -699,6 +757,78 @@ class DedupSpec extends SparkSpec {
       val members = h((hi, lo)).map(_.media_id)
       assert(members.length.toLong == n && members.min == keeper, s"group ($hi,$lo)")
     }
+  }
+
+  test("n19: longest shared substring — exact length with no floor, internal repeats excluded, cap saturates") {
+    import spark.implicits._
+    val mk = (id: Long, text: String) => (id, text)
+    // doc 1/2 share EXACTLY the 5-token run "v w x y z" (6-token match
+    // impossible: different neighbors); doc 3 repeats a 7-token run only
+    // WITHIN itself (cross-doc df = 1 — must not count beyond the "q q"
+    // bigram it shares with nobody); docs 4/5 share a 20-token run that
+    // must SATURATE at the 16-token cap; doc 6 shares nothing.
+    val docs = Seq(
+      mk(1L, "a1 b1 v w x y z c1 d1"),
+      mk(2L, "a2 b2 c2 v w x y z d2"),
+      mk(3L, "p q r s t u p2 p q r s t u p3"),
+      mk(4L, "s1 " + (1 to 20).map(i => s"t$i").mkString(" ") + " e1"),
+      mk(5L, "s2 " + (1 to 20).map(i => s"t$i").mkString(" ") + " e2"),
+      mk(6L, "zz1 zz2 zz3")
+    ).toDF("doc_id", "text")
+    val got = Dedup.longestSharedSubstringFrom(docs, cap = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.get(1L).contains(5L) && got.get(2L).contains(5L), s"planted 5-token run: $got")
+    assert(!got.contains(3L), "a doc whose repeats are all internal shares nothing cross-doc")
+    assert(got.get(4L).contains(16L) && got.get(5L).contains(16L), s"20-token run saturates at the cap: $got")
+    assert(!got.contains(6L), "no shared token, no row")
+    // the shared max-length fingerprints agree across the sharing pair
+    val fps = Dedup.longestSharedSubstringFrom(docs, cap = 16)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(fps(1L) == fps(2L) && fps(4L) == fps(5L))
+    // and an uncapped-enough run reports its true length
+    val full = Dedup.longestSharedSubstringFrom(docs, cap = 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full.get(4L).contains(20L), s"cap 32 must recover the true 20: $full")
+  }
+
+  test("n21: capped expansion — degenerate all-collide mass degrades to ONE group row; n_pairs conserves the uncapped count") {
+    import spark.implicits._
+    // the adversarial corpus n17's doc warns about: 100 images on ONE
+    // hash (4950 latent pairs — today's uncapped expansion materializes
+    // every one), plus a 3-member hash within Hamming 1 of it (300
+    // latent cross pairs) and a 2-member hash far away (1 tractable pair)
+    val h = (
+      (0L until 100L).map(i => (i, 0L, 255L)) ++          // mass: hash (0, 255)
+        (100L until 103L).map(i => (i, 0L, 254L)) ++      // near mass: dist 1
+        Seq((200L, 4095L, 0L), (201L, 4095L, 0L))         // far small group
+    ).toDF("media_id", "hash_hi", "hash_lo")
+    val capped = Dedup.dhashPairsCappedFromHashes(h, cap = 16L).collect()
+    val byKind = capped.groupBy(_.getString(0))
+    // the 4950-pair mass is ONE 'group' row; the 300-pair cross mass ONE
+    // 'xgroup' row; expanded 'pair' rows are the 2-member group's 1 pair
+    // plus the near-mass group's 3 internal pairs
+    assert(byKind("group").map(r => (r.getLong(1), r.getLong(4))).toSeq == Seq((0L, 4950L)))
+    assert(byKind("xgroup").map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      == Seq((0L, 100L, 1L, 300L)))
+    assert(byKind("pair").length == 1 + 3, s"expanded pairs: ${byKind("pair").mkString(",")}")
+    // conservation: sum(n_pairs) == the uncapped rung's total pair count
+    val uncapped = Dedup.dhashPairsFromHashes(h).count()
+    assert(capped.map(_.getLong(4)).sum == uncapped,
+      s"capped ledger must account for every latent pair ($uncapped)")
+    // and the capped plan's output is bounded: rows <= images + hash-pair units
+    assert(capped.length.toLong <= 105L + 3L)
+  }
+
+  test("n21 on the real corpus: expanded pairs are exactly n17's pairs from small units; ledger rows cover the rest") {
+    val capped = Dedup.imageDhashPairsCapped(spark, sf0001).collect()
+    val pairs  = capped.filter(_.getString(0) == "pair").map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val n17    = Dedup.imageDhashPairs(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.subsetOf(n17), "every expanded pair must be an n17 pair")
+    assert(capped.exists(_.getString(0) == "group") && capped.exists(_.getString(0) == "xgroup"),
+      "the default cap must exercise both degrade shapes on the synthetic corpus")
+    val total = capped.map(_.getLong(4)).sum
+    assert(total == n17.size.toLong, s"n_pairs total $total must equal n17's ${n17.size}")
   }
 
   test("n17 pigeonhole: any 64-bit pair within Hamming 7 shares an 8-bit band (randomized)") {
