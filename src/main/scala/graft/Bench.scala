@@ -5,7 +5,8 @@ package graft
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`,
   * which it also writes to `SPARK_GRAFT_BENCH_OUT` (default
   * `BENCH_FULL.json`) so the full per-query record survives any stdout
-  * truncation.
+  * truncation; the FINAL stdout line is a tail-budget-sized digest of the
+  * same run (headline, environment sentinel, failures, slowest-10).
   *
   * Methodology mirrors the reference's stopwatch instrumentation
   * (`QueryOrchestration.cs:425-439`): one JVM-warmup action first, then an
@@ -45,6 +46,18 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).collect()
       catch { case scala.util.control.NonFatal(_) => () } // fatal JVM errors must abort, not mislead
     }
+
+    // In-band ENVIRONMENT SENTINEL: two fixed probes whose cost is
+    // independent of the corpus and the code under test, stamped into the
+    // record so a degraded host self-identifies. Two consecutive rounds
+    // (r12, r13) needed forensic adjudication of uniform 1.3× inflation
+    // across untouched queries; with the sentinel the comparison is
+    // mechanical: queries inflated while BOTH probes flat ⇒ code
+    // regression; single-thread flat but shuffle probe inflated ⇒
+    // co-tenant multicore contention (the r13 signature); both inflated ⇒
+    // throttled/steal-heavy host. Probes run after JVM warmup and BEFORE
+    // the layout phase, so they measure the host, not our cache state.
+    val sentinel = sentinelProbes(spark)
 
     // Layout pre-build: force every ingest-time derived layout in an
     // explicit, separately-timed phase (the reference's cold/warm split,
@@ -108,8 +121,10 @@ object Bench {
     // is "cold" and its total includes no build time either — builds live
     // exclusively in layout_phase_secs — but page/OS cache state differs.
     val mode = if (layouts.exists(_.built)) "cold" else "warm"
+    val sentinelJson =
+      f""""sentinel":{"single_thread_secs":${sentinel._1}%.3f,"shuffle_probe_secs":${sentinel._2}%.3f}"""
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","mode":"$mode","reps":$Reps,"queries":$qs,"spread":$spreadJson,"failed":${failed
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","mode":"$mode","reps":$Reps,$sentinelJson,"queries":$qs,"spread":$spreadJson,"failed":${failed
           .mkString("[", ",", "]")},"layout_phase_secs":$layoutPhaseSecs%.3f,"layouts":$layoutJson,"late_builds":$lateBuilds,"sf":"$sfDir"}"""
     println(json)
     // Also WRITE the line: stdout capture has twice truncated the per-query
@@ -118,11 +133,67 @@ object Bench {
     // sweep can keep multiple records side by side.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
-    // Sentinel-prefixed repeat as the FINAL stdout line: any tail-capture of
-    // >=1 line now yields the complete record (BENCH_r09.json recorded
-    // `parsed: null` because the capture truncated the bare line above).
-    println("BENCHJSON " + json)
+    // FINAL stdout line = a compact DIGEST that fits the driver's 2000-char
+    // tail budget whole. The full record above is ~20 KB for 222 queries,
+    // so any fixed-size tail capture slices it mid-line — exactly why
+    // BENCH_r12/r13.json carried `parsed: null` and a text fragment.
+    // Everything adjudication needs (headline total, mode, sentinel,
+    // failures, the 10 slowest queries) fits in ~700 bytes; the complete
+    // per-query map lives in the file written above, which is committed
+    // with each round.
+    val slowest = results
+      .filter(_._2 >= 0)
+      .sortBy(-_._2)
+      .take(10)
+      .map { case (k, med, _, _) => "\"" + k + "\":" + f"$med%.3f" }
+      .mkString("{", ",", "}")
+    val digest =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","mode":"$mode","reps":$Reps,"n_queries":${results.size},$sentinelJson,"failed":${failed
+          .mkString("[", ",", "]")},"layout_phase_secs":$layoutPhaseSecs%.3f,"slowest":$slowest,"full":"$outFile","sf":"$sfDir"}"""
+    println(digest)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
+  }
+
+  /** The two environment probes: (single-thread seconds, shuffle-probe
+    * seconds).
+    *
+    *   - Single-thread: 1.2e9 xorshift64 steps of pure JVM register
+    *     arithmetic — no allocation, no memory traffic, no Spark — so its
+    *     runtime tracks ONE core's effective clock (≈2 s on this class of
+    *     host, the "reference loop" BASELINE.md's r13 adjudication used
+    *     forensically). Result folds into a sink branch so the JIT cannot
+    *     eliminate the loop; a short warm pass runs first so tiering is
+    *     settled before timing.
+    *   - Shuffle probe: a fixed 16M-row range → hash repartition →
+    *     groupBy-count through the real shuffle machinery on all local
+    *     cores — corpus-independent by construction (range data), so it
+    *     moves only when scheduler/multicore throughput moves (the r13
+    *     degradation signature: this inflates, single-thread stays flat).
+    */
+  private def sentinelProbes(spark: org.apache.spark.sql.SparkSession): (Double, Double) = {
+    def xorshift(iters: Long): Long = {
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0L
+      while (i < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      x
+    }
+    val warmSink = xorshift(30000000L) // JIT warm pass, result consumed below
+    val t0 = System.nanoTime()
+    val r  = xorshift(1200000000L)
+    val st = (System.nanoTime() - t0) / 1e9
+    // sink: data-dependent branch the JIT cannot prove dead
+    if (r == 42L || warmSink == 42L) System.err.println("[bench] sentinel sink hit")
+    import org.apache.spark.sql.functions.col
+    val t1 = System.nanoTime()
+    spark
+      .range(16777216L)
+      .selectExpr("id % 97213 AS k")
+      .repartition(32, col("k"))
+      .groupBy("k")
+      .count()
+      .count()
+    val sh = (System.nanoTime() - t1) / 1e9
+    (st, sh)
   }
 }
