@@ -1716,6 +1716,17 @@ object TextAnalysis {
       !Seq('\\', '|', '(', ')', '{', '}').exists(pattern.contains(_)),
       s"regexSearch plans the restricted subset only (no \\ | ( ) { }): $pattern"
     )
+    // Fail fast on MALFORMED patterns inside the allowed alphabet (an
+    // unterminated class like 'abc[def', a dangling quantifier like
+    // '?abc'): without this, extraction silently succeeds and the failure
+    // surfaces later as an opaque PatternSyntaxException from the
+    // executor-side rlike — with a differently-shaped RE2 error on the
+    // oracle side. Compile once at plan time so the error carries the
+    // operator's own message and the offending pattern.
+    require(
+      scala.util.Try(java.util.regex.Pattern.compile(pattern)).isSuccess,
+      s"regexSearch pattern does not compile: $pattern"
+    )
     val runs = scala.collection.mutable.ArrayBuffer(new StringBuilder)
     def break(): Unit = if (runs.last.nonEmpty) runs += new StringBuilder
     var i = 0

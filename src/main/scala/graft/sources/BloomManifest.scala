@@ -41,8 +41,9 @@ object BloomManifest {
 
   // v2: bloom sizing derived from the rewritten data (one file-name-only
   // pass) and clamped to Spark's bloom_filter_agg limits — the build
-  // recipe changed, so the key must too (cache-key provenance discipline)
-  private[graft] val SchemeVersion = 2
+  // recipe changed, so the key must too (cache-key provenance discipline).
+  // v3: sizing switched mean→max rows-per-file (skew-proof fpp).
+  private[graft] val SchemeVersion = 3
 
   /** Bits per expected item — ~10 bits/key ≈ 1% false-positive rate, the
     * standard skipping-index operating point (a false positive costs one
@@ -73,8 +74,8 @@ object BloomManifest {
   /** One (file, bloom) row per parquet file under `dataDir` — the shared
     * manifest writer (batch layout build above; per-segment incremental
     * build in [[graft.streaming.ManifestStream]]). Bloom sizing comes from
-    * ONE cheap file-name-only pass over the just-written data (rows ÷
-    * files) — the source table is never re-scanned for it — and is
+    * ONE cheap file-name-only pass over the just-written data (max rows
+    * per file) — the source table is never re-scanned for it — and is
     * clamped to Spark's `bloom_filter_agg` limits
     * (`spark.sql.optimizer.runtime.bloomFilter.maxNumItems`/`maxNumBits`,
     * 4M/64M default): past the cap the fpp degrades gradually instead of
@@ -95,8 +96,15 @@ object BloomManifest {
     // built on another key would be unreadable through this lookup surface,
     // so offering the parameter would only invite a silently-wrong manifest
     val keyed = spark.read.parquet(dataDir).select(input_file_name().as("file"), col("event_id").as("k"))
-    val stats = keyed.agg(count(lit(1)).as("n"), countDistinct("file").as("nf")).head()
-    val expected = stats.getLong(0) / math.max(stats.getLong(1), 1L) + 1L
+    // Size every bloom for the LARGEST file, not the mean: bloom_filter_agg
+    // takes foldable size arguments, so one size must fit all files, and
+    // under file-size skew a mean-sized bloom undersizes the biggest files
+    // — their fpp degrades well past the ~1% operating point (extra file
+    // reads; answers stay correct, blooms never false-negative). Max-sizing
+    // only over-allocates the small files' blooms, and the manifest is
+    // ~10⁴× smaller than the data either way.
+    val stats    = keyed.groupBy("file").count().agg(coalesce(max("count"), lit(0L))).head()
+    val expected = stats.getLong(0) + 1L
     val items    = math.min(math.max(expected, 64L), maxItems)
     val bits     = math.min(items * BitsPerItem, maxBits)
     keyed
@@ -126,7 +134,15 @@ object BloomManifest {
     if (!graft.streaming.StreamSource.hasCommittedSegments(spark, manifestDir)) return Seq.empty
     val fs = new org.apache.hadoop.fs.Path(manifestDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // ignoreMissingFiles: a concurrent checkpoint replay overwriting a
+    // manifest batch_id= segment deletes listed manifest files MID-SCAN,
+    // which surfaces as a SparkException(FileNotFoundException) from the
+    // eager collect below — outside the caller's AnalysisException retry.
+    // Skipping the vanished manifest rows honors the documented window
+    // contract (skip, never throw): their replacement segment is read on
+    // the next probe.
     spark.read
+      .option("ignoreMissingFiles", "true")
       .parquet(manifestDir)
       .select(col("file"), col("bloom"))
       .as[(String, Array[Byte])]
