@@ -95,6 +95,23 @@ object RecallLedger {
     for (np <- Seq(1, 2, 4, 8, 16))
       row("s18 IVF×PQ (shortlist 50)", s"nprobe=$np",
         meanRecall(spark, exact, k, q => Similarity.annIvfPq(spark, dir, q, k, 16, np)))
+    // Lifecycle generations (round 14): the maintained index's COMPACTED
+    // fold and the TOMBSTONED mask graded on the real corpus — s20p/s21p
+    // prove planted-hit survival; these rows measure recall across probe
+    // widths so the ledger covers every generation a production index
+    // passes through (base → incremental → compacted → tombstoned).
+    for (np <- Seq(1, 2, 4, 8, 16))
+      row("s12→compacted generation (16 clusters)", s"nprobe=$np",
+        meanRecall(spark, exact, k, q => Similarity.annIvfCompactedCorpus(spark, dir, q, k, 16, np)))
+    // tombstoned: the reference ranking itself excludes the masked ids —
+    // recall is against brute force over SURVIVORS, the only honest
+    // baseline for a deletion generation
+    val survivors = embs.filter { case (id, _) => id % 10 != 3 }
+    require(qids.forall(survivors.contains), "sampled query ids must survive the mask")
+    val exactT = exactTopK(survivors, qids, k)
+    for (np <- Seq(1, 2, 4, 8, 16))
+      row("tombstoned base (mask id%10==3)", s"nprobe=$np",
+        meanRecall(spark, exactT, k, q => Similarity.annIvfTombstonedCorpus(spark, dir, q, k, 16, np)))
     spark.stop()
   }
 }

@@ -95,14 +95,22 @@ object Runner {
               fn(spark, dataDir).write.mode("overwrite").parquet(s"$out/$name.parquet")
               println(f"== $name: written to $out/$name.parquet in ${(System.nanoTime() - t0) / 1e9}%.3fs")
             case None =>
-              val df   = fn(spark, dataDir)
-              val t0   = System.nanoTime()
-              val rows = df.collect()
-              val cold = (System.nanoTime() - t0) / 1e9
-              val t1   = System.nanoTime()
-              fn(spark, dataDir).collect()
+              // Console mode mirrors the reference's take(5) harness but
+              // materializes full results to time execute+fetch honestly —
+              // cap the driver pull so a fat query (a pair table on a
+              // degenerate corpus) degrades to a counted, sampled report
+              // instead of an OOM. `output.dir` is the path for full
+              // results (distributed parquet write, no driver pull).
+              val ConsoleRowCap = 2000000
+              val df            = fn(spark, dataDir)
+              val t0            = System.nanoTime()
+              val rows          = df.limit(ConsoleRowCap + 1).collect()
+              val cold          = (System.nanoTime() - t0) / 1e9
+              val t1            = System.nanoTime()
+              fn(spark, dataDir).limit(ConsoleRowCap + 1).collect()
               val warm = (System.nanoTime() - t1) / 1e9
-              println(f"== $name: ${rows.length} rows, cold $cold%.3fs, warm $warm%.3fs")
+              val n    = if (rows.length > ConsoleRowCap) s">$ConsoleRowCap (capped; use output.dir)" else rows.length.toString
+              println(f"== $name: $n rows, cold $cold%.3fs, warm $warm%.3fs")
               rows.take(5).foreach(r => println(s"   $r"))
           }
       }

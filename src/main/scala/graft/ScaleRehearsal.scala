@@ -912,6 +912,8 @@ object ScaleRehearsal {
     timed(s"m10 audio hash ledger ${reps}x")(Multimodal.audioEnvelopeHashQuery(spark, dstDocs).count())
     timed("n20 audio pairs 1x")(Dedup.audioHashPairs(spark, src).count())
     timed(s"n20 audio pairs ${reps}x")(Dedup.audioHashPairs(spark, dstDocs).count())
+    timed("n22 capped audio pairs 1x")(Dedup.audioHashPairsCapped(spark, src).count())
+    timed(s"n22 capped audio pairs ${reps}x (n20: 939M)")(Dedup.audioHashPairsCapped(spark, dstDocs).count())
     timed("n19 LSS live 1x")(
       Dedup.longestSharedSubstringFrom(graft.sources.Tables.documents(spark, src), 16).count()
     )

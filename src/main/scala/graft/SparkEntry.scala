@@ -280,6 +280,9 @@ object SparkEntry {
     // over it (n20); the image family's pair core reused verbatim
     "m10_audio_envelope_hash" -> (Multimodal.audioEnvelopeHashQuery _),
     "n20_audio_hash_pairs"    -> (Dedup.audioHashPairs _),
+    // the shared capped core over the audio ledger (n20's 100× honest
+    // answer is 939M pairs; this is the hash-cardinality production form)
+    "n22_audio_hash_capped"   -> (Dedup.audioHashPairsCapped _),
     // round 8: semantic decontamination — nearest benchmark vector +
     // above-threshold count per training vector (integer-only output)
     "d22_decontaminate_semantic" -> ((s: SparkSession, d: String) => Curation.decontaminateSemantic(s, d)),
@@ -913,34 +916,16 @@ object SparkEntry {
     // means re-deriving the oracle, which is why the default is the
     // registered operating point.
     "n21_image_dhash_capped" ->
-      (DhashGridCte +
-        ", hashes AS (SELECT id, " +
+      cappedPairsOracleOver(DhashGridCte +
+        ", hs AS (SELECT id, " +
         "SUM(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END)::BIGINT AS hash_hi, " +
         "SUM(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END)::BIGINT AS hash_lo " +
-        "FROM bits GROUP BY id), " +
-        "counts AS (SELECT hash_hi, hash_lo, COUNT(*) AS n, MIN(id) AS keeper " +
-        "FROM hashes GROUP BY hash_hi, hash_lo), " +
-        "same_units AS (SELECT *, n * (n - 1) // 2 AS n_pairs FROM counts WHERE n >= 2), " +
-        "same_small AS (SELECT 'pair' AS kind, x.id AS media_a, y.id AS media_b, 0::BIGINT AS dist, 1::BIGINT AS n_pairs " +
-        "FROM same_units u JOIN hashes x ON u.hash_hi = x.hash_hi AND u.hash_lo = x.hash_lo " +
-        "JOIN hashes y ON u.hash_hi = y.hash_hi AND u.hash_lo = y.hash_lo AND x.id < y.id " +
-        "WHERE u.n_pairs <= 16), " +
-        "same_big AS (SELECT 'group' AS kind, keeper AS media_a, keeper AS media_b, 0::BIGINT AS dist, n_pairs::BIGINT AS n_pairs " +
-        "FROM same_units WHERE n_pairs > 16), " +
-        "cross_units AS (SELECT a.hash_hi AS ha_hi, a.hash_lo AS ha_lo, b.hash_hi AS hb_hi, b.hash_lo AS hb_lo, " +
-        "(bit_count(xor(a.hash_hi, b.hash_hi)) + bit_count(xor(a.hash_lo, b.hash_lo)))::BIGINT AS dist, " +
-        "a.n * b.n AS n_pairs, a.keeper AS ka, b.keeper AS kb " +
-        "FROM counts a JOIN counts b ON (a.hash_hi, a.hash_lo) < (b.hash_hi, b.hash_lo) " +
-        s"WHERE bit_count(xor(a.hash_hi, b.hash_hi)) + bit_count(xor(a.hash_lo, b.hash_lo)) BETWEEN 1 AND ${Dedup.DhashHammingMax}), " +
-        "cross_small AS (SELECT 'pair' AS kind, LEAST(x.id, y.id) AS media_a, GREATEST(x.id, y.id) AS media_b, u.dist, 1::BIGINT AS n_pairs " +
-        "FROM cross_units u JOIN hashes x ON u.ha_hi = x.hash_hi AND u.ha_lo = x.hash_lo " +
-        "JOIN hashes y ON u.hb_hi = y.hash_hi AND u.hb_lo = y.hash_lo WHERE u.n_pairs <= 16), " +
-        "cross_big AS (SELECT 'xgroup' AS kind, LEAST(ka, kb) AS media_a, GREATEST(ka, kb) AS media_b, dist, n_pairs::BIGINT AS n_pairs " +
-        "FROM cross_units WHERE n_pairs > 16) " +
-        "SELECT kind, media_a, media_b, dist, n_pairs FROM " +
-        "(SELECT * FROM same_small UNION ALL SELECT * FROM same_big " +
-        "UNION ALL SELECT * FROM cross_small UNION ALL SELECT * FROM cross_big) " +
-        "ORDER BY kind, media_a, media_b, dist"),
+        "FROM bits GROUP BY id) "),
+    // n22: the same cap rule over the rebuilt AUDIO hashes — one shared
+    // oracle builder because the engine side is one shared core
+    "n22_audio_hash_capped" ->
+      cappedPairsOracleOver(AudioHashCte +
+        ", hs AS (SELECT id, hi AS hash_hi, lo AS hash_lo FROM ahashes) "),
     // t12: integer proximity over per-term position lists — DuckDB's
     // (x, i) lambda is 1-based where Spark's is 0-based, which cancels
     // inside |x − y|; doc_id breaks ties so the ordering is total.
@@ -1944,6 +1929,41 @@ object SparkEntry {
     * `w[s : s+7]` is 1-based INCLUSIVE (8 tokens), matching Spark's
     * `slice(toks, s+1, 8)`; the range stops differ by the same convention.
     */
+  /** The n21/n22 cap rule replayed relationally over any rebuilt
+    * `(id, hash_hi, hash_lo)` hash relation — `ctePrefix` must end with a
+    * CTE named `hs` carrying exactly those columns. One builder because
+    * the engine side is ONE shared core
+    * ([[graft.operators.Dedup.dhashPairsCappedFromHashes]]): per-hash
+    * occupancy + min-id keeper, n·(n−1)/2 / n_a·n_b latent-pair
+    * arithmetic, expansion only at or under the cap (the knob's default,
+    * 16, inlined on both sides — the registered operating point).
+    */
+  private def cappedPairsOracleOver(ctePrefix: String): String =
+    ctePrefix +
+      ", counts AS (SELECT hash_hi, hash_lo, COUNT(*) AS n, MIN(id) AS keeper " +
+      "FROM hs GROUP BY hash_hi, hash_lo), " +
+      "same_units AS (SELECT *, n * (n - 1) // 2 AS n_pairs FROM counts WHERE n >= 2), " +
+      "same_small AS (SELECT 'pair' AS kind, x.id AS media_a, y.id AS media_b, 0::BIGINT AS dist, 1::BIGINT AS n_pairs " +
+      "FROM same_units u JOIN hs x ON u.hash_hi = x.hash_hi AND u.hash_lo = x.hash_lo " +
+      "JOIN hs y ON u.hash_hi = y.hash_hi AND u.hash_lo = y.hash_lo AND x.id < y.id " +
+      "WHERE u.n_pairs <= 16), " +
+      "same_big AS (SELECT 'group' AS kind, keeper AS media_a, keeper AS media_b, 0::BIGINT AS dist, n_pairs::BIGINT AS n_pairs " +
+      "FROM same_units WHERE n_pairs > 16), " +
+      "cross_units AS (SELECT a.hash_hi AS ha_hi, a.hash_lo AS ha_lo, b.hash_hi AS hb_hi, b.hash_lo AS hb_lo, " +
+      "(bit_count(xor(a.hash_hi, b.hash_hi)) + bit_count(xor(a.hash_lo, b.hash_lo)))::BIGINT AS dist, " +
+      "a.n * b.n AS n_pairs, a.keeper AS ka, b.keeper AS kb " +
+      "FROM counts a JOIN counts b ON (a.hash_hi, a.hash_lo) < (b.hash_hi, b.hash_lo) " +
+      s"WHERE bit_count(xor(a.hash_hi, b.hash_hi)) + bit_count(xor(a.hash_lo, b.hash_lo)) BETWEEN 1 AND ${Dedup.DhashHammingMax}), " +
+      "cross_small AS (SELECT 'pair' AS kind, LEAST(x.id, y.id) AS media_a, GREATEST(x.id, y.id) AS media_b, u.dist, 1::BIGINT AS n_pairs " +
+      "FROM cross_units u JOIN hs x ON u.ha_hi = x.hash_hi AND u.ha_lo = x.hash_lo " +
+      "JOIN hs y ON u.hb_hi = y.hash_hi AND u.hb_lo = y.hash_lo WHERE u.n_pairs <= 16), " +
+      "cross_big AS (SELECT 'xgroup' AS kind, LEAST(ka, kb) AS media_a, GREATEST(ka, kb) AS media_b, dist, n_pairs::BIGINT AS n_pairs " +
+      "FROM cross_units WHERE n_pairs > 16) " +
+      "SELECT kind, media_a, media_b, dist, n_pairs FROM " +
+      "(SELECT * FROM same_small UNION ALL SELECT * FROM same_big " +
+      "UNION ALL SELECT * FROM cross_small UNION ALL SELECT * FROM cross_big) " +
+      "ORDER BY kind, media_a, media_b, dist"
+
   /** Shared CTE prefix for the m10/n20 oracles: the WAV quarter's PCM
     * samples rebuilt from m6's exact formula (v = ((i·7+id) mod 256) −
     * 128), nearest-resampled into 65 time slices (k = i·65 div n),

@@ -1927,6 +1927,25 @@ object Dedup {
         .toDF()
     )
 
+  /** N22 — n20 with the expansion cap enforced: [[audioHashPairs]]'s
+    * ledger through [[dhashPairsCappedFromHashes]], the same
+    * `graft.dhash.pair_cap` knob and output contract as n21. The round-14
+    * rehearsal measured why this rung must exist: at 100× the audio
+    * quarter's hash masses make n20's honest pair list 939M rows (243 s,
+    * output-volume-bound, shuffle still 1.1 MiB), while the capped ledger
+    * is hash-cardinality at any duplication level. At test SF every unit
+    * is under the default cap, so n22 ≡ n20's pairs exactly (spec-pinned)
+    * — the degrade shapes are exercised by the shared core's all-collide
+    * fixture spec and the rehearsal row.
+    */
+  def audioHashPairsCapped(spark: SparkSession, dir: String): DataFrame =
+    dhashPairsCappedFromHashes(
+      graft.operators.Multimodal
+        .audioEnvelopeHash(graft.operators.Multimodal.syntheticMediaWhere(spark, dir, col("doc_id") % 4 === 1))
+        .toDF(),
+      graft.GraftConf.int(spark, "dhash.pair_cap", 16).toLong
+    )
+
   /** Level 1 of the two-level dHash pair core, shared by the uncapped
     * ([[dhashPairsFromHashes]]) and capped ([[dhashPairsCappedFromHashes]])
     * expansions: banded candidate join over DISTINCT hashes → exact-Hamming

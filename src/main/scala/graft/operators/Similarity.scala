@@ -751,6 +751,68 @@ object Similarity {
   /** Bump with any change to the compacted-generation scheme. */
   private[operators] val IvfCompactSchemeVersion = 1
 
+  /** Corpus-level COMPACTED generation — the s12 base+delta pair folded
+    * by [[compactVectorIndex]] under its own content-fingerprinted key,
+    * then probed like any base layout. Ledger/spec surface, not a
+    * registered query (the registered compacted rung is the planted
+    * s20p): this twin grades the generation handoff's RECALL on the real
+    * corpus across probe widths, which the planted oracle cannot —
+    * compaction is a physical fold against frozen centroids, so its
+    * answer must be bit-identical to the segmented pair's at every
+    * operating point (SimilaritySpec pins exactly that).
+    */
+  private[graft] def annIvfCompactedCorpus(
+      spark: SparkSession,
+      dir: String,
+      queryId: Long,
+      k: Int = 10,
+      nClusters: Int = -1,
+      nProbe: Int = -1
+  ): DataFrame = {
+    VectorFunctions.register(spark)
+    val (nc, np) = resolveIvfKnobs(spark, nClusters, nProbe)
+    val split = Tables
+      .embeddings(spark, dir)
+      .agg(expr("coalesce((max(vec_id) + 1) div 2, 0)").as("k"))
+      .head().getLong(0)
+    val base  = ivfBaseLayoutCache(spark, dir, nc, split)
+    val delta = ivfDeltaLayoutCache(spark, dir, nc, split)
+    val key = graft.sources.LayoutCache.contentKey(
+      spark,
+      s"$dir/embeddings.parquet",
+      s"ivfcompactc-v$IvfCompactSchemeVersion-base$IvfSchemeVersion#$nc#$split"
+    )
+    val layout = graft.sources.LayoutCache.getOrBuild(spark, "graft_ivfcompactc", key) { out =>
+      compactVectorIndex(spark, base, s"$delta/vectors.parquet", out)
+    }
+    val qv = Tables.embeddings(spark, dir).where(col("vec_id") === queryId).select("embedding").head().getSeq[Float](0)
+    probeSearchLayout(spark, layout, qv, queryId, k, np)
+  }
+
+  /** Corpus-level TOMBSTONED generation — the base layout probed under a
+    * takedown ledger masking `vec_id % 10 == 3` (t17's deletion rule on
+    * the vector side). Ledger/spec surface, not a registered query (the
+    * registered tombstoned rung is the planted s21p): this twin grades
+    * masked-probe RECALL against brute force over the SURVIVORS across
+    * probe widths, and lets the spec assert the mask never leaks a
+    * deleted id at any operating point.
+    */
+  private[graft] def annIvfTombstonedCorpus(
+      spark: SparkSession,
+      dir: String,
+      queryId: Long,
+      k: Int = 10,
+      nClusters: Int = -1,
+      nProbe: Int = -1
+  ): DataFrame = {
+    VectorFunctions.register(spark)
+    val (nc, np) = resolveIvfKnobs(spark, nClusters, nProbe)
+    val layout   = ivfLayoutCache(spark, dir, nc)
+    val qv = Tables.embeddings(spark, dir).where(col("vec_id") === queryId).select("embedding").head().getSeq[Float](0)
+    val ledger = Tables.embeddings(spark, dir).where(col("vec_id") % 10 === 3).select("vec_id")
+    probeSearchLayoutTombstoned(spark, layout, ledger, qv, queryId, k, np)
+  }
+
   /** s20p — the COMPACTED generation through the planted oracle: s12p's
     * base + planted-delta pair folded by [[compactVectorIndex]] under its
     * own content-fingerprinted key, then probed like any base layout.

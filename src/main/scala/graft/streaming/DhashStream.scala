@@ -8,7 +8,13 @@ import org.apache.spark.sql.types.StructType
 /** Streaming perceptual-hash catalog maintenance — the thirteenth
   * maintained-artifact family: [[Multimodal.imageDhash]]'s ledger kept
   * current as media payloads arrive, so image near-dup pairs (n17) are
-  * answerable continuously without ever re-decoding a byte. Each
+  * answerable continuously without ever re-decoding a byte — and, since
+  * round 14, the AUDIO twin ([[audioHashStream]]): the same
+  * segment/replay/degrade machinery with [[Multimodal.audioEnvelopeHash]]
+  * as the per-batch hasher, because both ledgers share the
+  * `(media_id, hash_hi, hash_lo)` shape and therefore the SAME pair
+  * query ([[dhashPairsStreamed]] serves n17 over an image catalog and
+  * n20 over an audio one). Each
   * micro-batch's payloads are decoded and hashed ONCE (the expensive
   * per-pixel step) and landed as that batch's own catalog segment; dHash
   * rows are per-payload and disjoint across segments, so the union over
@@ -32,7 +38,33 @@ object DhashStream {
       catalogDir: String,
       checkpointDir: String,
       sourceSchema: Option[StructType] = None
-  ): StreamingQuery = {
+  ): StreamingQuery =
+    hashStream(spark, mediaDir, catalogDir, checkpointDir, sourceSchema)(m =>
+      Multimodal.imageDhash(m).toDF()
+    )
+
+  /** The AUDIO catalog stream — [[Multimodal.audioEnvelopeHash]] per
+    * micro-batch, everything else identical (n20's continuous-maintenance
+    * story; the pair query over its catalog is [[dhashPairsStreamed]]).
+    */
+  def audioHashStream(
+      spark: SparkSession,
+      mediaDir: String,
+      catalogDir: String,
+      checkpointDir: String,
+      sourceSchema: Option[StructType] = None
+  ): StreamingQuery =
+    hashStream(spark, mediaDir, catalogDir, checkpointDir, sourceSchema)(m =>
+      Multimodal.audioEnvelopeHash(m).toDF()
+    )
+
+  private def hashStream(
+      spark: SparkSession,
+      mediaDir: String,
+      catalogDir: String,
+      checkpointDir: String,
+      sourceSchema: Option[StructType]
+  )(hash: org.apache.spark.sql.Dataset[Multimodal.MediaRow] => DataFrame): StreamingQuery = {
     val schema = StreamSource.schemaFor(spark, mediaDir, sourceSchema)
     spark.readStream
       .schema(schema)
@@ -41,21 +73,22 @@ object DhashStream {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, catalogDir, batchId)
+        processBatch(batch, catalogDir, batchId)(hash)
       }
       .start()
   }
 
-  /** One micro-batch: hash the new payloads through the SAME
-    * [[Multimodal.imageDhash]] every batch surface uses, landed as this
-    * batch's own segment.
+  /** One micro-batch: hash the new payloads through the SAME hasher every
+    * batch surface uses ([[Multimodal.imageDhash]] /
+    * [[Multimodal.audioEnvelopeHash]]), landed as this batch's own
+    * segment.
     */
-  private[graft] def processBatch(batch: DataFrame, catalogDir: String, batchId: Long): Unit = {
+  private[graft] def processBatch(batch: DataFrame, catalogDir: String, batchId: Long)(
+      hash: org.apache.spark.sql.Dataset[Multimodal.MediaRow] => DataFrame
+  ): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
-    Multimodal
-      .imageDhash(batch.as[Multimodal.MediaRow])
-      .toDF()
+    hash(batch.as[Multimodal.MediaRow])
       .write
       .mode("overwrite")
       .parquet(s"$catalogDir/batch_id=$batchId")

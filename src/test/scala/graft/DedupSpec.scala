@@ -735,6 +735,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("n22: capped audio pairs == n20 exactly when every unit is under the cap; conservation holds") {
+    // at test SF the audio masses are all small (groups of 2, cross
+    // products <= 4), so the capped rung must reproduce n20's pair set
+    // verbatim with kind='pair'/n_pairs=1 — the degrade shapes are pinned
+    // by the shared core's all-collide fixture test above
+    val capped = Dedup.audioHashPairsCapped(spark, sf0001).collect()
+    assert(capped.forall(r => r.getString(0) == "pair" && r.getLong(4) == 1L),
+      "every audio unit at sf0.001 sits under the default cap")
+    val pairs = capped.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val n20 = Dedup.audioHashPairs(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == n20, "capped == uncapped when nothing degrades")
+  }
+
   test("n18: group ledger reconciles with n17's dist-0 pairs — sum n(n-1)/2 == exact-dup pair count; keepers are minima") {
     val groups = Dedup
       .imageDhashGroups(spark, sf0001)

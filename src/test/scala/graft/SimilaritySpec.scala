@@ -487,6 +487,34 @@ class SimilaritySpec extends SparkSpec {
     assert(sq8 == ivf, s"SQ8 $sq8 vs IVF $ivf")
   }
 
+  test("compacted generation == segmented s12 at every probe width; tombstoned never leaks, full probe == survivor brute force") {
+    // compaction is a physical fold against frozen centroids — the
+    // compacted layout must answer EXACTLY like the base+delta pair at
+    // every operating point, not just the planted query (the recall
+    // ledger's generation rows ride this identity)
+    for (np <- Seq(1, 16); q <- Seq(0L, 7L)) {
+      val seg = Similarity.annIvfIncremental(spark, sf0001, q, 10, 16, np)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val comp = Similarity.annIvfCompactedCorpus(spark, sf0001, q, 10, 16, np)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(comp == seg, s"compacted != segmented at nprobe=$np q=$q")
+    }
+    // tombstoned: the mask must hold at every probe width, and at full
+    // probe the answer is brute force over the survivors
+    for (np <- Seq(1, 4, 16)) {
+      val got = Similarity.annIvfTombstonedCorpus(spark, sf0001, 0L, 10, 16, np).collect()
+      assert(got.forall(_.getLong(1) % 10 != 3), s"deleted id leaked at nprobe=$np")
+    }
+    val embs = graft.sources.Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val survivors = embs.filter { case (id, _) => id % 10 != 3 }
+    val exactT = graft.RecallLedger.exactTopK(survivors, Seq(0L), 10)(0L)
+    val full = Similarity.annIvfTombstonedCorpus(spark, sf0001, 0L, 10, 16, 16)
+      .collect().map(_.getLong(1)).toSet
+    assert(full == exactT, s"full-probe tombstoned != survivor brute force:\n$full\n$exactT")
+  }
+
   test("s12 incremental IVF: full probe == s1 brute force (maintenance loses and duplicates nothing)") {
     // with every cluster probed, the maintained base+delta index is
     // exhaustive — any vector dropped, duplicated, or mis-unioned during

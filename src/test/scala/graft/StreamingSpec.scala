@@ -385,7 +385,55 @@ class StreamingSpec extends SparkSpec {
     )
     // batch 0's segment is sealed; replay rewrites, never duplicates
     assert(firstParquetMtime(b0Seg) == mtime0, "batch-0 dHash segment was rewritten by batch 1")
-    graft.streaming.DhashStream.processBatch(media.where(col("media_id") < 250), catDir, 0L)
+    graft.streaming.DhashStream.processBatch(media.where(col("media_id") < 250), catDir, 0L)(m =>
+      Multimodal.imageDhash(m).toDF())
+    assert(hrows(graft.streaming.DhashStream.ledger(spark, catDir)) == streamed)
+  }
+
+  test("streaming audio-hash catalog == batch m10; pairs over the streamed ledger == batch n20; sealed; idempotent") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, Multimodal}
+    val base = java.nio.file.Files.createTempDirectory("graft_sahash")
+    val src  = base.resolve("src"); java.nio.file.Files.createDirectories(src)
+    val stagingDir = base.resolve("stage")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      df.coalesce(1).write.mode("overwrite").parquet(s"$stagingDir/$name")
+      java.nio.file.Files.move(
+        java.nio.file.Files.list(stagingDir.resolve(name)).filter(_.toString.endsWith(".parquet")).findFirst.get,
+        src.resolve(s"$name.parquet")
+      )
+    }
+    // the WAV quarter only — the decodable recordings m10 hashes
+    val media  = Multimodal.syntheticMediaWhere(spark, sf0001, col("doc_id") % 4 === 1).toDF()
+    val catDir = s"$base/cat"
+    assert(graft.streaming.DhashStream.dhashPairsStreamed(spark, catDir).collect().isEmpty)
+    stage(media.where(col("media_id") < 250), "b1")
+    val q = graft.streaming.DhashStream.audioHashStream(spark, src.toString, catDir, s"$base/ckpt")
+    val b0Seg = java.nio.file.Paths.get(s"$catDir/batch_id=0")
+    def firstParquetMtime(p: java.nio.file.Path): Long =
+      java.nio.file.Files.walk(p).filter(_.toString.endsWith(".parquet")).findFirst.get.toFile.lastModified()
+    val mtime0 =
+      try {
+        q.processAllAvailable()
+        firstParquetMtime(b0Seg)
+      } finally {
+        stage(media.where(col("media_id") >= 250), "b2")
+        q.processAllAvailable()
+        q.stop()
+      }
+    def hrows(df: org.apache.spark.sql.DataFrame) =
+      df.select("media_id", "hash_hi", "hash_lo").collect().map(_.toSeq).toSet
+    val streamed = hrows(graft.streaming.DhashStream.ledger(spark, catDir))
+    assert(streamed == hrows(Multimodal.audioEnvelopeHashQuery(spark, sf0001)) && streamed.nonEmpty)
+    // the SAME pair query serves the audio catalog (shared ledger shape)
+    def prows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(
+      prows(graft.streaming.DhashStream.dhashPairsStreamed(spark, catDir)) ==
+        prows(Dedup.audioHashPairs(spark, sf0001))
+    )
+    assert(firstParquetMtime(b0Seg) == mtime0, "batch-0 audio segment was rewritten by batch 1")
+    graft.streaming.DhashStream.processBatch(media.where(col("media_id") < 250), catDir, 0L)(m =>
+      Multimodal.audioEnvelopeHash(m).toDF())
     assert(hrows(graft.streaming.DhashStream.ledger(spark, catDir)) == streamed)
   }
 

@@ -1,0 +1,47 @@
+#!/usr/bin/env bash
+# Round-close gate — ONE documented entry point that emits every close
+# artifact the round's adjudication reads (VERDICT r13 item 8: the dual-SF
+# oracle gate and the 4 GiB pressure rerun used to be separate hand-run
+# steps; now one command produces all records side by side).
+#
+#   bash tools/close_gate.sh [outdir]        (default /tmp/close_gate)
+#
+# Emits under <outdir>:
+#   gate_sf0.01.txt    oracle_check over EVERY registered query at sf0.01
+#   gate_sf0.1.txt     same at sf0.1 (the dual-SF correctness gate)
+#   pressure.txt       the scale-rehearsal subset re-run at a 4 GiB heap
+#                      (SPARK_DRIVER_MEM=4g) — the memory-pressure record
+#                      SCALE.md's per-round pressure sections quote
+#   BENCH_FULL.json    full per-query bench record at sf0.1 (also the
+#                      repo-root copy Bench writes by default), with the
+#                      environment sentinel stamped in
+#
+# Exit status: nonzero if any oracle row fails; pressure/bench failures
+# surface in their logs (a degraded-host bench is evidence, not a gate
+# failure — the sentinel fields adjudicate it).
+set -u
+out="${1:-/tmp/close_gate}"
+mkdir -p "$out"
+cd "$(dirname "$0")/.."
+
+fail=0
+for sf in 0.01 0.1; do
+  echo "== verify + oracle @ sf$sf"
+  sbt -batch "runMain graft.Verify /root/testdata/sf$sf /tmp/close_verify_$sf" >"$out/verify_sf$sf.log" 2>&1
+  python3 tools/oracle_check.py "/tmp/close_verify_$sf" "/root/testdata/sf$sf" >"$out/gate_sf$sf.txt" 2>&1 \
+    || fail=1
+  tail -1 "$out/gate_sf$sf.txt"
+  grep -c '^ok' "$out/gate_sf$sf.txt" || true
+done
+
+echo "== pressure rerun (4 GiB heap, round14 rehearsal subset)"
+SPARK_DRIVER_MEM=4g sbt -batch 'runMain graft.ScaleRehearsal round14' 2>&1 \
+  | grep -E '\[round14\]|\[rehearsal\]|OutOfMemory' >"$out/pressure.txt" || true
+cat "$out/pressure.txt"
+
+echo "== bench @ sf0.1"
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_OUT="$out/BENCH_FULL.json" \
+  sbt -batch 'runMain graft.Bench' >"$out/bench.log" 2>&1 || true
+tail -c 2000 "$out/bench.log" | tail -2
+
+exit $fail
