@@ -275,6 +275,9 @@ object SparkEntry {
     // cross-doc shared substring via all widths 1..16 of the span-key
     // discipline (the suffix-array answer up to the disclosed cap)
     "n19_longest_shared_substring" -> (Dedup.longestSharedSubstring _),
+    // n19 with partner attribution — the smallest other doc carrying the
+    // winning span (the keep-list row; partner existence is guaranteed)
+    "n19b_lss_partners" -> (Dedup.longestSharedSubstringPartners _),
     // round 14: audio perceptual dedup — temporal-envelope hash ledger
     // over the real WAV decode (m10) and the banded-Hamming pair rung
     // over it (n20); the image family's pair core reused verbatim
@@ -909,6 +912,21 @@ object SparkEntry {
         "GROUP BY doc_id, k.len) " +
         "SELECT doc_id, max(len)::BIGINT AS lss_len, max_by(fp, len) AS lss_fp " +
         "FROM per GROUP BY doc_id ORDER BY doc_id"),
+    // n19b: the winning SPAN (min_by its md5 — the same order n19's
+    // min(fp) induces) joined back to the shared stream for the smallest
+    // other carrier
+    "n19b_lss_partners" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
+        "k AS (SELECT DISTINCT doc_id, L::BIGINT AS len, array_to_string(w[p : p + L - 1], ' ') AS s " +
+        "FROM t, UNNEST(range(1, least(len(w), 16) + 1)) rl(L), UNNEST(range(1, len(w) + 1)) rp(p) " +
+        "WHERE p + L - 1 <= len(w)), " +
+        "sh AS (SELECT len, s FROM k GROUP BY len, s HAVING count(DISTINCT doc_id) >= 2), " +
+        "kept AS (SELECT k.doc_id, k.len, k.s FROM k JOIN sh ON k.len = sh.len AND k.s = sh.s), " +
+        "per AS (SELECT doc_id, len, min_by(s, md5(s)) AS s FROM kept GROUP BY doc_id, len), " +
+        "win AS (SELECT doc_id, max(len)::BIGINT AS lss_len, max_by(s, len) AS s FROM per GROUP BY doc_id) " +
+        "SELECT w.doc_id AS doc_id, w.lss_len, md5(w.s) AS lss_fp, MIN(k2.doc_id) AS partner_id " +
+        "FROM win w JOIN kept k2 ON k2.len = w.lss_len AND k2.s = w.s AND k2.doc_id <> w.doc_id " +
+        "GROUP BY w.doc_id, w.lss_len, w.s ORDER BY 1"),
     // n21: the cap rule replayed relationally over the rebuilt hash
     // ledger — same grid CTE, per-hash occupancy, n·(n−1)/2 / n_a·n_b
     // latent-pair arithmetic, expansion only under the cap. The knob's

@@ -556,30 +556,51 @@ object Dedup {
     * reads the persisted per-doc table.
     */
   /** Bump when the LSS derivation changes; folds into the layout key with
-    * the cap operating point.
+    * the cap operating point. v2 = the layout gained the partner table
+    * (one build produces both per-doc artifacts).
     */
-  private[graft] val LssSchemeVersion = 1
+  private[graft] val LssSchemeVersion = 2
 
-  def longestSharedSubstring(spark: SparkSession, dir: String): DataFrame = {
+  def longestSharedSubstring(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${lssLayoutCache(spark, dir)}/lss.parquet").orderBy("doc_id")
+
+  /** N19B — n19 with PARTNER attribution: alongside each document's
+    * longest shared substring, the smallest OTHER doc_id that contains
+    * the same (tie-broken) span verbatim — the row a dedup keep-list
+    * actually acts on ("drop d, its 14-token run also lives in p"),
+    * where n19 alone only scores severity. Partner existence is
+    * guaranteed (shared ⇒ ≥ 2 distinct docs), so no NULL columns meet
+    * the cross-engine ordering. Same ingest layout, same oracle
+    * discipline (the partner join replayed relationally).
+    */
+  def longestSharedSubstringPartners(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${lssLayoutCache(spark, dir)}/partners.parquet").orderBy("doc_id")
+
+  /** Ingest-once materialization, the span-family contract (n7/n11/d16):
+    * the `cap×`-token candidate aggregation is the dominant cost and is a
+    * pure function of the corpus version, so it runs inside the layout
+    * build — producing BOTH per-doc tables from one shared candidate
+    * stream — and every query is a read. Key carries scheme + cap.
+    */
+  private def lssLayoutCache(spark: SparkSession, dir: String): String = {
     val cap = graft.GraftConf.int(spark, "lss.max_tokens", 16)
     require(cap >= 1, s"graft.lss.max_tokens=$cap must be >= 1")
-    // Ingest-once materialization, the span-family contract (n7/n11/d16):
-    // the `cap×`-token candidate aggregation is the dominant cost and is a
-    // pure function of the corpus version, so it runs inside the layout
-    // build and every query is a read. Key carries scheme + cap.
     val key = graft.sources.LayoutCache.contentKey(
       spark,
       s"$dir/documents.parquet",
       s"lss-v$LssSchemeVersion#c$cap"
     )
-    val layout = graft.sources.LayoutCache.getOrBuild(spark, "graft_lss", key) { out =>
-      longestSharedSubstringFrom(Tables.documents(spark, dir), cap)
-        .write.mode("overwrite").parquet(s"$out/lss.parquet")
+    graft.sources.LayoutCache.getOrBuild(spark, "graft_lss", key) { out =>
+      val (lss, partners) = longestSharedSubstringArtifacts(Tables.documents(spark, dir), cap)
+      lss.write.mode("overwrite").parquet(s"$out/lss.parquet")
+      partners.write.mode("overwrite").parquet(s"$out/partners.parquet")
     }
-    spark.read.parquet(s"$layout/lss.parquet").orderBy("doc_id")
   }
 
-  private[graft] def longestSharedSubstringFrom(docs: DataFrame, cap: Int): DataFrame = {
+  private[graft] def longestSharedSubstringFrom(docs: DataFrame, cap: Int): DataFrame =
+    longestSharedSubstringArtifacts(docs, cap)._1
+
+  private[graft] def longestSharedSubstringArtifacts(docs: DataFrame, cap: Int): (DataFrame, DataFrame) = {
     // Per-position width keys via TWO chained generators and only
     // top-level (codegen'd) expressions — the nested
     // transform/array_distinct lambda form computed the same stream ~6×
@@ -623,14 +644,33 @@ object Dedup {
       .agg(countDistinct("doc_id").as("df"))
       .where(col("df") >= 2)
       .select("len", "s")
-    cand
-      .join(sharedExact, Seq("len", "s"), "left_semi")
+    val kept = cand.join(sharedExact, Seq("len", "s"), "left_semi")
+    // one row per (doc, len): the tie-broken SPAN (min by its md5 — the
+    // same order min(md5(s)) induced before the partner table needed the
+    // span text itself), then the per-doc argmax by length
+    val win = kept
       .groupBy("doc_id", "len")
-      .agg(min(md5(col("s"))).as("fp")) // one row per (doc, len): the tie-broken fp
+      .agg(min_by(col("s"), md5(col("s"))).as("s"))
       .groupBy("doc_id")
-      .agg(max(struct(col("len"), col("fp"))).as("m")) // argmax by len; fp already tie-broken
-      .select(col("doc_id"), col("m.len").as("lss_len"), col("m.fp").as("lss_fp"))
+      .agg(max_by(struct(col("len"), col("s")), col("len")).as("m"))
+      .select(col("doc_id"), col("m.len").as("lss_len"), col("m.s").as("s"))
+    val lss = win
+      .select(col("doc_id"), col("lss_len"), md5(col("s")).as("lss_fp"))
       .orderBy("doc_id")
+    // partner = the smallest OTHER doc carrying the winning span: winners
+    // are one row per doc (broadcast-small), probed against the kept
+    // stream on (len, span) — no new wide aggregation
+    val partners = kept
+      .as("k")
+      .join(
+        broadcast(win.select(col("doc_id").as("w_doc"), col("lss_len"), col("s").as("w_s"))),
+        col("k.len") === col("lss_len") && col("k.s") === col("w_s") && col("k.doc_id") =!= col("w_doc")
+      )
+      .groupBy(col("w_doc"), col("lss_len"), col("w_s"))
+      .agg(min(col("k.doc_id")).as("partner_id"))
+      .select(col("w_doc").as("doc_id"), col("lss_len"), md5(col("w_s")).as("lss_fp"), col("partner_id"))
+      .orderBy("doc_id")
+    (lss, partners)
   }
 
   /** N13 — frequent sub-span n-grams: the repeats n11 is blind to by

@@ -16,8 +16,11 @@ for name, sql in sorted(oracle.items()):
     files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not files:
         print(f"FAIL {name}: no spark output"); fail += 1; continue
-    got = con.execute(f"SELECT * FROM read_parquet({files!r})").fetch_arrow_table()
-    want = con.execute(sql).fetch_arrow_table()
+    try:
+        got = con.execute(f"SELECT * FROM read_parquet({files!r})").fetch_arrow_table()
+        want = con.execute(sql).fetch_arrow_table()
+    except Exception as e:  # one malformed oracle must cost one row, not the gate
+        print(f"FAIL {name}: oracle error: {e}"); fail += 1; continue
     gcols, wcols = sorted(got.column_names), sorted(want.column_names)
     if gcols != wcols:
         print(f"FAIL {name}: cols {gcols} vs {wcols}"); fail += 1; continue
