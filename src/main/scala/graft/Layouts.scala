@@ -52,6 +52,8 @@ object Layouts {
     "knn_clusters"       -> (() => { Similarity.mutualKnnClusters(spark, dir); () }),
     "span_artifacts"     -> (() => { Dedup.spanArtifacts(spark, dir); () }),
     "lss_table"          -> (() => { Dedup.longestSharedSubstring(spark, dir); () }),
+    "image_hash_ledger"  -> (() => { Multimodal.imageDhashLedger(spark, dir); () }),
+    "audio_hash_ledger"  -> (() => { Multimodal.audioHashLedger(spark, dir); () }),
     "gram_census"        -> (() => { Dedup.gramCensusCached(spark, dir, 2, 7, 3); () }),
     "bpe_merges"         -> (() => { Bpe.bpeMerges(spark, dir); () }),
     "bpe_incremental"    -> (() => { Bpe.bpeMergesIncremental(spark, dir); () }),

@@ -930,6 +930,9 @@ object ScaleRehearsal {
       val tenX  = args.lift(4).getOrElse("/tmp/graft_sf1ish")
       require(dst != src && !src.startsWith(dst), s"dst $dst would clobber src $src")
       require(tenX != src && !src.startsWith(tenX), s"dst $tenX would clobber src $src")
+      // and not each other: same path would overwrite the 100x corpus
+      // with the 10x build and silently mislabel every "100x" row
+      require(dst != tenX, s"dst $dst and tenX dst must differ")
       round14Rehearsal(spark, src, dst, args.lift(3).map(_.toInt).getOrElse(100), tenX)
       spark.stop()
       return

@@ -286,6 +286,8 @@ object SparkEntry {
     // the shared capped core over the audio ledger (n20's 100× honest
     // answer is 939M pairs; this is the hash-cardinality production form)
     "n22_audio_hash_capped"   -> (Dedup.audioHashPairsCapped _),
+    // n18's group ledger on the audio key — per-modality symmetry
+    "n23_audio_hash_groups"   -> (Dedup.audioHashGroups _),
     // round 8: semantic decontamination — nearest benchmark vector +
     // above-threshold count per training vector (integer-only output)
     "d22_decontaminate_semantic" -> ((s: SparkSession, d: String) => Curation.decontaminateSemantic(s, d)),
@@ -899,6 +901,11 @@ object SparkEntry {
         "FROM ahashes a JOIN ahashes b ON a.id < b.id " +
         s"WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= ${Dedup.DhashHammingMax} " +
         "ORDER BY media_a, media_b"),
+    // n23: one aggregation over the rebuilt audio hashes (n18's shape)
+    "n23_audio_hash_groups" ->
+      (AudioHashCte +
+        "SELECT hi AS hash_hi, lo AS hash_lo, COUNT(*)::BIGINT AS n_recordings, MIN(id) AS keeper " +
+        "FROM ahashes GROUP BY hi, lo HAVING COUNT(*) >= 2 ORDER BY hash_hi, hash_lo"),
     // n19: every width replayed by list slicing (the p3 discipline), the
     // same DISTINCT / df>=2 / per-doc-argmax pipeline; max_by at a unique
     // max key, min(fp) tie-break inside each (doc, len)

@@ -633,12 +633,17 @@ object Dedup {
     // positive. The wide countDistinct therefore runs on 16-byte keys
     // (the n1 longs-beat-strings lesson) at full volume and on strings
     // only at candidate volume.
+    // No broadcast() hints on candKeys/win: both are small on ordinary
+    // corpora (AQE broadcasts them from runtime stats) but grow toward
+    // key/doc cardinality exactly on the duplication-heavy corpora this
+    // rung targets — a forced hint would turn the layout build's graceful
+    // shuffle-join degrade into a driver/broadcast-ceiling abort.
     val candKeys = keyed
       .groupBy("len", "xh")
       .agg(countDistinct("doc_id").as("df"))
       .where(col("df") >= 2)
       .select("len", "xh")
-    val cand = keyed.join(broadcast(candKeys), Seq("len", "xh"))
+    val cand = keyed.join(candKeys, Seq("len", "xh"))
     val sharedExact = cand
       .groupBy("len", "s")
       .agg(countDistinct("doc_id").as("df"))
@@ -658,12 +663,13 @@ object Dedup {
       .select(col("doc_id"), col("lss_len"), md5(col("s")).as("lss_fp"))
       .orderBy("doc_id")
     // partner = the smallest OTHER doc carrying the winning span: winners
-    // are one row per doc (broadcast-small), probed against the kept
-    // stream on (len, span) — no new wide aggregation
+    // are one row per sharing doc, probed against the kept stream on
+    // (len, span) — no new wide aggregation (join strategy left to AQE
+    // for the same reason as candKeys above)
     val partners = kept
       .as("k")
       .join(
-        broadcast(win.select(col("doc_id").as("w_doc"), col("lss_len"), col("s").as("w_s"))),
+        win.select(col("doc_id").as("w_doc"), col("lss_len"), col("s").as("w_s")),
         col("k.len") === col("lss_len") && col("k.s") === col("w_s") && col("k.doc_id") =!= col("w_doc")
       )
       .groupBy(col("w_doc"), col("lss_len"), col("w_s"))
@@ -1000,6 +1006,20 @@ object Dedup {
     * cached artifacts are bit-identical to the inline computation, which
     * DedupSpec pins.
     */
+  /** The signature-scheme tag a minhash artifact set is valid under —
+    * scheme version + the knob operating point. The batch layouts fold
+    * this into their cache KEYS (stale artifacts rebuild); the streaming
+    * index ([[graft.streaming.DedupStream]]) stamps it into a `_scheme`
+    * marker and REFUSES to append segments under a different tag, because
+    * a stream cannot rebuild its history (older batches' raw documents
+    * may be gone) and mixing hash schemes across segments silently loses
+    * cross-batch pairs.
+    */
+  private[graft] def minhashSchemeTag(spark: SparkSession): String = {
+    val (h, b) = minhashShape(spark)
+    s"mh-v$MinhashSchemeVersion#h$h#b$b#n${shingleN(spark)}"
+  }
+
   private[graft] def minhashArtifactsCached(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val (h, b) = minhashShape(spark)
     // knob values fold into the key: signatures built at one operating
@@ -1886,15 +1906,17 @@ object Dedup {
     * shape) and keeping pair expansion for the cross-hash tail.
     *
     * The batch rung re-derives the hash ledger once per plan subtree (the
-    * decode is the cheap map-only pass); the decode-ONCE path is the
-    * streamed catalog ([[graft.streaming.DhashStream]]), whose sealed
+    * decode is the dominant per-row cost), so since round 14 every batch
+    * rung reads the decode-once LEDGER LAYOUT
+    * ([[graft.operators.Multimodal.imageDhashLedger]] — one build per
+    * corpus version serves m9/n17/n18/n21, and the multi-scan capped plan
+    * no longer re-decodes per scan); the continuously-maintained twin is
+    * the streamed catalog ([[graft.streaming.DhashStream]]), whose sealed
     * segments feed this same pair core without re-touching a payload.
     */
   def imageDhashPairs(spark: SparkSession, dir: String): DataFrame =
     dhashPairsFromHashes(
-      graft.operators.Multimodal
-        .imageDhash(graft.operators.Multimodal.syntheticMediaWhere(spark, dir, col("doc_id") % 4 === 0))
-        .toDF()
+      graft.operators.Multimodal.imageDhashLedger(spark, dir)
     )
 
   /** N18 — exact perceptual-dup GROUPS: the production shape n17's doc
@@ -1910,9 +1932,7 @@ object Dedup {
     * enough for this ledger to matter.
     */
   def imageDhashGroups(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Multimodal
-      .imageDhash(graft.operators.Multimodal.syntheticMediaWhere(spark, dir, col("doc_id") % 4 === 0))
-      .toDF()
+    graft.operators.Multimodal.imageDhashLedger(spark, dir)
       .groupBy("hash_hi", "hash_lo")
       .agg(count(lit(1)).as("n_images"), min("media_id").as("keeper"))
       .where(col("n_images") >= 2)
@@ -1962,10 +1982,22 @@ object Dedup {
     */
   def audioHashPairs(spark: SparkSession, dir: String): DataFrame =
     dhashPairsFromHashes(
-      graft.operators.Multimodal
-        .audioEnvelopeHash(graft.operators.Multimodal.syntheticMediaWhere(spark, dir, col("doc_id") % 4 === 1))
-        .toDF()
+      graft.operators.Multimodal.audioHashLedger(spark, dir)
     )
+
+  /** N23 — exact perceptual-dup GROUPS on the AUDIO key: n18's one
+    * hash-keyed aggregation (member count + min-id keeper per colliding
+    * envelope hash) over the m10 ledger — completing the per-modality
+    * symmetry (images: m9 ledger / n17 pairs / n18 groups / n21 capped;
+    * audio: m10 / n20 / here / n22). Linear in recordings at any scale;
+    * fully oracled like the whole family.
+    */
+  def audioHashGroups(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.audioHashLedger(spark, dir)
+      .groupBy("hash_hi", "hash_lo")
+      .agg(count(lit(1)).as("n_recordings"), min("media_id").as("keeper"))
+      .where(col("n_recordings") >= 2)
+      .orderBy("hash_hi", "hash_lo")
 
   /** N22 — n20 with the expansion cap enforced: [[audioHashPairs]]'s
     * ledger through [[dhashPairsCappedFromHashes]], the same
@@ -1980,9 +2012,7 @@ object Dedup {
     */
   def audioHashPairsCapped(spark: SparkSession, dir: String): DataFrame =
     dhashPairsCappedFromHashes(
-      graft.operators.Multimodal
-        .audioEnvelopeHash(graft.operators.Multimodal.syntheticMediaWhere(spark, dir, col("doc_id") % 4 === 1))
-        .toDF(),
+      graft.operators.Multimodal.audioHashLedger(spark, dir),
       graft.GraftConf.int(spark, "dhash.pair_cap", 16).toLong
     )
 
@@ -2052,9 +2082,7 @@ object Dedup {
     */
   def imageDhashPairsCapped(spark: SparkSession, dir: String): DataFrame =
     dhashPairsCappedFromHashes(
-      graft.operators.Multimodal
-        .imageDhash(graft.operators.Multimodal.syntheticMediaWhere(spark, dir, col("doc_id") % 4 === 0))
-        .toDF(),
+      graft.operators.Multimodal.imageDhashLedger(spark, dir),
       graft.GraftConf.int(spark, "dhash.pair_cap", 16).toLong
     )
 

@@ -1299,13 +1299,56 @@ object Multimodal {
   }
 
   /** M10's registry surface: the envelope-hash ledger over the WAV
-    * quarter (`doc_id % 4 == 1`), predicate pushed before the typed map
-    * like m6's.
+    * quarter (`doc_id % 4 == 1`) — a read of the decode-once layout.
     */
   def audioEnvelopeHashQuery(spark: SparkSession, dir: String): DataFrame =
-    audioEnvelopeHash(syntheticMediaWhere(spark, dir, col("doc_id") % 4 === 1))
-      .toDF()
-      .orderBy("media_id")
+    audioHashLedger(spark, dir).orderBy("media_id")
+
+  /** Bump when either perceptual-hash derivation changes; folds into the
+    * corresponding ledger layout's cache key.
+    */
+  private[graft] val DhashLedgerSchemeVersion     = 1
+  private[graft] val AudioHashLedgerSchemeVersion = 1
+
+  /** Decode-once IMAGE hash ledger: `(media_id, hash_hi, hash_lo)` over
+    * the raster quarter, persisted per corpus version. The decode +
+    * resize + hash is the dominant per-row cost of the whole perceptual
+    * family, and the pair/group/capped rungs each scan the ledger several
+    * times (counts, banding, expansion sides) — without this layout every
+    * such scan re-decoded every payload. One build serves m9/n17/n18/n21;
+    * the stream-maintained catalog ([[graft.streaming.DhashStream]])
+    * remains the continuously-updated twin of the same table.
+    */
+  private[graft] def imageDhashLedger(spark: SparkSession, dir: String): DataFrame = {
+    val key = graft.sources.LayoutCache.contentKey(
+      spark,
+      s"$dir/documents.parquet",
+      s"dhashled-v$DhashLedgerSchemeVersion"
+    )
+    val layout = graft.sources.LayoutCache.getOrBuild(spark, "graft_dhashled", key) { out =>
+      imageDhash(syntheticMediaWhere(spark, dir, col("doc_id") % 4 === 0))
+        .toDF()
+        .write.mode("overwrite").parquet(s"$out/ledger.parquet")
+    }
+    spark.read.parquet(s"$layout/ledger.parquet")
+  }
+
+  /** Decode-once AUDIO hash ledger — [[imageDhashLedger]]'s twin over the
+    * WAV quarter, serving m10/n20/n22/n23.
+    */
+  private[graft] def audioHashLedger(spark: SparkSession, dir: String): DataFrame = {
+    val key = graft.sources.LayoutCache.contentKey(
+      spark,
+      s"$dir/documents.parquet",
+      s"ahashled-v$AudioHashLedgerSchemeVersion"
+    )
+    val layout = graft.sources.LayoutCache.getOrBuild(spark, "graft_ahashled", key) { out =>
+      audioEnvelopeHash(syntheticMediaWhere(spark, dir, col("doc_id") % 4 === 1))
+        .toDF()
+        .write.mode("overwrite").parquet(s"$out/ledger.parquet")
+    }
+    spark.read.parquet(s"$layout/ledger.parquet")
+  }
 
   final case class HistogramRow(media_id: Long, bin: Long, n_px: Long)
 
@@ -1418,9 +1461,7 @@ object Multimodal {
 
   /** M9's registry surface: the dHash ledger over the PGM quarter. */
   def imageDhashQuery(spark: SparkSession, dir: String): DataFrame =
-    imageDhash(syntheticMediaWhere(spark, dir, col("doc_id") % 4 === 0))
-      .toDF()
-      .orderBy("media_id")
+    imageDhashLedger(spark, dir).orderBy("media_id")
 
   /** Activity threshold for [[audioActivitySegments]], in the same
     * quantization units as [[AudioFrameSamples]]-sample `sum_abs`: with

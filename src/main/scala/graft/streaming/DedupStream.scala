@@ -62,8 +62,17 @@ object DedupStream {
       pairsDir: String,
       batchId: Long
   ): Unit = {
-    val spark               = batch.sparkSession
-    val (docSets, buckets)  = Dedup.minhashArtifacts(batch.select("doc_id", "text"))
+    val spark = batch.sparkSession
+    // Scheme guard: the batch layouts rebuild under a new signature scheme
+    // because the scheme tag is in their cache keys, but a checkpoint-
+    // resumed STREAM would happily append new-scheme segments onto an
+    // index whose older batch_id= segments carry the previous scheme's
+    // hashes — verifyPairs would then intersect disjoint hash spaces and
+    // silently report cross-batch near-dups as non-dups. The index
+    // carries a `_scheme` marker; a mismatch fails fast (re-bootstrap the
+    // index directory) instead of corrupting it.
+    assertOrStampScheme(spark, indexDir, Dedup.minhashSchemeTag(spark))
+    val (docSets, buckets) = Dedup.minhashArtifacts(batch.select("doc_id", "text"))
     // Persist FIRST, then join from what was read back: verification runs
     // against exactly the stored artifacts, and a replayed batch reuses the
     // overwrite path end-to-end.
@@ -95,5 +104,30 @@ object DedupStream {
       .write
       .mode("overwrite")
       .parquet(s"$pairsDir/batch_id=$batchId")
+  }
+
+  /** Stamp `indexDir/_scheme` with `tag` on first use; on every later
+    * batch require it to match. Idempotent under replay (equal tag
+    * rewrites nothing); a mismatch throws with both tags in the message.
+    */
+  private[graft] def assertOrStampScheme(spark: SparkSession, indexDir: String, tag: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(s"$indexDir/_scheme")
+    val fs   = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) {
+      val in = fs.open(path)
+      val stored =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      if (stored != tag)
+        throw new IllegalStateException(
+          s"minhash index at $indexDir was built under scheme '$stored' but this session produces '$tag'; " +
+            "a stream cannot rebuild its history — re-bootstrap the index directory (and its checkpoint) " +
+            "instead of mixing hash schemes across segments"
+        )
+    } else {
+      val out = fs.create(path, true)
+      try out.write(tag.getBytes("UTF-8"))
+      finally out.close()
+    }
   }
 }

@@ -735,6 +735,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("n23: audio group ledger reconciles with n20's dist-0 pairs; keepers are minima") {
+    val groups = Dedup.audioHashGroups(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(groups.nonEmpty, "the synthetic corpus must contain perceptual-exact audio dup groups")
+    val pairSum = groups.map { case (_, _, n, _) => n * (n - 1) / 2 }.sum
+    val zeroPairs = Dedup.audioHashPairs(spark, sf0001)
+      .where(org.apache.spark.sql.functions.col("dist") === 0L).count()
+    assert(pairSum == zeroPairs, s"group arithmetic $pairSum must equal dist-0 pair count $zeroPairs")
+    val byHash = graft.operators.Multimodal
+      .audioEnvelopeHash(graft.operators.Multimodal.syntheticMediaWhere(
+        spark, sf0001, org.apache.spark.sql.functions.col("doc_id") % 4 === 1))
+      .collect().groupBy(r => (r.hash_hi, r.hash_lo))
+    groups.foreach { case (hi, lo, n, keeper) =>
+      val members = byHash((hi, lo)).map(_.media_id)
+      assert(members.length.toLong == n && members.min == keeper, s"group ($hi,$lo)")
+    }
+  }
+
   test("n22: capped audio pairs == n20 exactly when every unit is under the cap; conservation holds") {
     // at test SF the audio masses are all small (groups of 2, cross
     // products <= 4), so the capped rung must reproduce n20's pair set

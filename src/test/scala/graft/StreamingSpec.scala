@@ -153,6 +153,30 @@ class StreamingSpec extends SparkSpec {
     assert(landed.exceptAll(batch).count() == 0)
   }
 
+  test("dedup index scheme guard: first batch stamps the tag; a mismatched index fails fast; equal tag is idempotent") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_scheme")
+    val tag  = graft.operators.Dedup.minhashSchemeTag(spark)
+    // first use stamps
+    graft.streaming.DedupStream.assertOrStampScheme(spark, s"$base/idx", tag)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/idx/_scheme")))
+    // equal tag: no-op (replay path)
+    graft.streaming.DedupStream.assertOrStampScheme(spark, s"$base/idx", tag)
+    // a batch against a FOREIGN-scheme index must refuse, not corrupt
+    // (rewrite through the Hadoop FS so its .crc sidecar stays coherent):
+    val mp  = new org.apache.hadoop.fs.Path(s"$base/idx/_scheme")
+    val mfs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = mfs.create(mp, true)
+    out.write("mh-v2#h64#b16#n3".getBytes("UTF-8")); out.close()
+    val docs = graft.sources.Tables.documents(spark, sf0001).where(col("doc_id") < 10)
+    val e = intercept[IllegalStateException] {
+      graft.streaming.DedupStream.processBatch(docs, s"$base/idx", s"$base/pairs", 1L)
+    }
+    assert(e.getMessage.contains("mh-v2") && e.getMessage.contains(tag))
+    // and nothing was appended to the foreign index
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/idx/docsets/batch_id=1")))
+  }
+
   test("streaming incremental dedup == batch n5 pairs; batch-1 artifacts never rewritten") {
     import org.apache.spark.sql.functions._
     val base = java.nio.file.Files.createTempDirectory("graft_sdedup")

@@ -27,7 +27,13 @@ cd "$(dirname "$0")/.."
 fail=0
 for sf in 0.01 0.1; do
   echo "== verify + oracle @ sf$sf"
-  sbt -batch "runMain graft.Verify /root/testdata/sf$sf /tmp/close_verify_$sf" >"$out/verify_sf$sf.log" 2>&1
+  # fresh outdir + checked exit status: a stale parquet from a previous
+  # run (Verify swallows per-query Throwables) or a mid-run JVM crash
+  # must surface as missing output / a red gate, never as a green compare
+  # against last round's results
+  rm -rf "/tmp/close_verify_$sf"
+  sbt -batch "runMain graft.Verify /root/testdata/sf$sf /tmp/close_verify_$sf" >"$out/verify_sf$sf.log" 2>&1 \
+    || fail=1
   python3 tools/oracle_check.py "/tmp/close_verify_$sf" "/root/testdata/sf$sf" >"$out/gate_sf$sf.txt" 2>&1 \
     || fail=1
   tail -1 "$out/gate_sf$sf.txt"
