@@ -922,7 +922,73 @@ object ScaleRehearsal {
     )
   }
 
+  /** Round-15 rehearsal: the band-walk occupancy cap on the NEAR-UNIQUE
+    * hash corpus the round-14 verdict flagged as the family's untested
+    * shape — `n` (default 10⁶) distinct uniform 64-bit hashes (xxhash64
+    * of the row id), where the synthetic image/audio corpora are
+    * degenerate (few distinct hashes) and real photo corpora live. The
+    * old single-level plan's candidate volume is computed ARITHMETICALLY
+    * from level-0 bucket occupancies (Σ occ·(occ−1)/2 — it is never
+    * executed: at 10⁶ hashes it is ~1.5×10¹⁰ candidate pairs); the
+    * walk's actual candidate volume, per-level occupancy profile, pair
+    * count, and the capped rung are measured live.
+    */
+  def bandWalkRehearsal(spark: SparkSession, n: Long): Unit = {
+    import graft.operators.Dedup
+    val v = xxhash64(col("id"))
+    val h = spark
+      .range(n)
+      .select(
+        col("id").as("media_id"),
+        shiftrightunsigned(v, 32).as("hash_hi"),
+        v.bitwiseAND(lit(0xffffffffL)).as("hash_lo")
+      )
+      .persist()
+    val hu = h.select("hash_hi", "hash_lo").distinct()
+    println(s"[round15] distinct hashes: ${hu.count()} of $n media")
+    val bands0 = hu.select(explode(array((0 until 8).map { k =>
+      val src = if (k < 4) col("hash_lo") else col("hash_hi")
+      concat_ws(":", lit(k), shiftright(src, (k % 4) * 8).bitwiseAND(lit(255L)))
+    }: _*)).as("b"))
+    val oldCand = bands0
+      .groupBy("b").agg(count(lit(1)).as("occ"))
+      .agg(sum(expr("occ * (occ - 1) div 2"))).head().getLong(0)
+    println(f"[round15] OLD single-level candidate volume (arithmetic): $oldCand%,d pairs")
+    def timed[A](label: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val a  = body
+      println(f"[round15] $label%-52s ${(System.nanoTime() - t0) / 1e9}%7.1f s")
+      a
+    }
+    val stats = scala.collection.mutable.ListBuffer.empty[Dedup.DhashBandLevelStats]
+    val (cands, residual) = timed("band walk (control flow, per-level occupancy)")(
+      Dedup.dhashBandWalk(h, Some(stats))
+    )
+    stats.foreach { s =>
+      println(
+        f"[round15]   level ${s.level}: rows_in=${s.rowsIn}%,d buckets=${s.nBuckets}%,d " +
+          f"hot=${s.nHot}%,d max_occ=${s.maxOcc}%,d"
+      )
+    }
+    val nCand = timed("walk candidate volume (executed)")(cands.count())
+    val nRes  = residual.count()
+    println(f"[round15] walk candidates: $nCand%,d (${oldCand.toDouble / math.max(1, nCand)}%.0fx below old plan); residual rows: $nRes%,d")
+    timed("n17-shape verified pairs (full rung)")(
+      println(s"[round15]   pairs=${Dedup.dhashPairsFromHashes(h).count()}")
+    )
+    timed("n21-shape capped ledger (full rung)")(
+      println(s"[round15]   rows=${Dedup.dhashPairsCappedFromHashes(h, 16L).count()}")
+    )
+    h.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("bandwalk")) {
+      val spark = GraftSession.getOrCreate()
+      bandWalkRehearsal(spark, args.lift(1).map(_.toLong).getOrElse(1000000L))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("round14")) {
       val spark = GraftSession.getOrCreate()
       val src   = args.lift(1).getOrElse("/root/testdata/sf0.1")

@@ -885,4 +885,100 @@ class DedupSpec extends SparkSpec {
       }
     }
   }
+
+  // ---- round-15 band-walk coverage: occupancy caps, refinement, degrade ----
+
+  private def withConf(kvs: (String, String)*)(body: => Unit): Unit = {
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally kvs.foreach { case (k, _) => spark.conf.unset(k) }
+  }
+
+  /** Brute-force media pairs at Hamming <= 7 over a (media_id, hi, lo) seq. */
+  private def bruteDhashPairs(rows: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] =
+    (for {
+      (a, ahi, alo) <- rows
+      (b, bhi, blo) <- rows
+      if a < b
+      d = java.lang.Long.bitCount(ahi ^ bhi) + java.lang.Long.bitCount(alo ^ blo)
+      if d <= Dedup.DhashHammingMax
+    } yield (a, b, d.toLong)).toSet
+
+  /** 300 near-unique hashes with 60 planted near partners (seeded). */
+  private def nearUniqueFixture: Seq[(Long, Long, Long)] = {
+    val rnd = new scala.util.Random(47)
+    val base = (0 until 300).map { i =>
+      val v = rnd.nextLong()
+      (i.toLong, (v >>> 32) & 0xffffffffL, v & 0xffffffffL)
+    }
+    val partners = (0 until 60).map { i =>
+      val (_, hi, lo) = base(i)
+      val v0 = (hi << 32) | lo
+      val v = (0 until (1 + rnd.nextInt(7))).foldLeft(v0)((v, _) => v ^ (1L << rnd.nextInt(64)))
+      (1000L + i, (v >>> 32) & 0xffffffffL, v & 0xffffffffL)
+    }
+    base ++ partners
+  }
+
+  test("band walk: near-unique fixture at default knobs matches brute force exactly") {
+    import spark.implicits._
+    val rows = nearUniqueFixture
+    val got = Dedup
+      .dhashPairsFromHashes(rows.toDF("media_id", "hash_hi", "hash_lo"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == bruteDhashPairs(rows), "default-knob pairs must equal brute force")
+  }
+
+  test("band walk: a tiny band_cap forces multi-level refinement and pairs are UNCHANGED") {
+    import spark.implicits._
+    val rows = nearUniqueFixture
+    withConf("graft.dhash.band_cap" -> "4") {
+      val stats = scala.collection.mutable.ListBuffer.empty[Dedup.DhashBandLevelStats]
+      val (_, _) = Dedup.dhashBandWalk(rows.toDF("media_id", "hash_hi", "hash_lo"), Some(stats))
+      assert(stats.head.nHot > 0, s"cap 4 must make level-0 buckets hot: $stats")
+      assert(stats.size > 1, s"hot buckets must descend at least one level: $stats")
+      val got = Dedup
+        .dhashPairsFromHashes(rows.toDF("media_id", "hash_hi", "hash_lo"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == bruteDhashPairs(rows), "refinement must not lose or invent pairs")
+    }
+  }
+
+  test("band walk: band_depth=1 residual fallback keeps the exact rung exact") {
+    import spark.implicits._
+    val rows = nearUniqueFixture
+    withConf("graft.dhash.band_cap" -> "4", "graft.dhash.band_depth" -> "1") {
+      val (_, residual) = Dedup.dhashBandWalk(rows.toDF("media_id", "hash_hi", "hash_lo"))
+      assert(!residual.isEmpty, "depth 1 at cap 4 must leave residual hot buckets")
+      val got = Dedup
+        .dhashPairsFromHashes(rows.toDF("media_id", "hash_hi", "hash_lo"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == bruteDhashPairs(rows), "residual join must preserve exactness")
+    }
+  }
+
+  test("n21 band degrade: residual hot buckets become explicit 'band' disclosure rows") {
+    import spark.implicits._
+    // 10 distinct hashes i<<8: bands over bits 8-15 split them (occ 1),
+    // every other band bucket holds all 10 — hot at cap 4. All 45 media
+    // pairs are true pairs (Hamming <= 4) but every witnessing bucket is
+    // hot, so at depth 1 the capped rung's only honest answer is the
+    // band-disclosure rows.
+    val rows = (0L until 10L).map(i => (i, (i << 8 >>> 32) & 0xffffffffL, (i << 8) & 0xffffffffL))
+    val h = rows.toDF("media_id", "hash_hi", "hash_lo")
+    withConf("graft.dhash.band_cap" -> "4", "graft.dhash.band_depth" -> "1") {
+      val out = Dedup.dhashPairsCappedFromHashes(h, cap = 16L).collect()
+      val band = out.filter(_.getString(0) == "band")
+      assert(band.nonEmpty, "hot buckets past max depth must surface as 'band' rows")
+      assert(band.forall(_.getLong(4) == 45L), s"each residual bucket holds all 10 hashes: ${band.mkString(",")}")
+      assert(band.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L), "keeper is the min media id")
+      assert(out.forall(r => Set("pair", "group", "xgroup", "band")(r.getString(0))))
+      // bounded: one row per residual bucket, never a quadratic expansion
+      assert(out.length <= 8, s"output must stay bucket-bounded: ${out.length}")
+    }
+    // at default knobs the same fixture expands fully and conserves n_pairs
+    val dflt = Dedup.dhashPairsCappedFromHashes(h, cap = 100L).collect()
+    assert(!dflt.exists(_.getString(0) == "band"), "no band rows at default knobs")
+    assert(dflt.map(_.getLong(4)).sum == 45L, "n_pairs conservation holds when no band rows")
+  }
 }
