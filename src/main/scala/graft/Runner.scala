@@ -96,22 +96,26 @@ object Runner {
               println(f"== $name: written to $out/$name.parquet in ${(System.nanoTime() - t0) / 1e9}%.3fs")
             case None =>
               // Console mode mirrors the reference's take(5) harness but
-              // materializes full results to time execute+fetch honestly —
-              // cap the driver pull so a fat query (a pair table on a
-              // degenerate corpus) degrades to a counted, sampled report
-              // instead of an OOM. `output.dir` is the path for full
-              // results (distributed parquet write, no driver pull).
-              val ConsoleRowCap = 2000000
-              val df            = fn(spark, dataDir)
-              val t0            = System.nanoTime()
-              val rows          = df.limit(ConsoleRowCap + 1).collect()
-              val cold          = (System.nanoTime() - t0) / 1e9
-              val t1            = System.nanoTime()
-              fn(spark, dataDir).limit(ConsoleRowCap + 1).collect()
-              val warm = (System.nanoTime() - t1) / 1e9
-              val n    = if (rows.length > ConsoleRowCap) s">$ConsoleRowCap (capped; use output.dir)" else rows.length.toString
-              println(f"== $name: $n rows, cold $cold%.3fs, warm $warm%.3fs")
-              rows.take(5).foreach(r => println(s"   $r"))
+              // must time FULL execution honestly: a `limit(N).collect()`
+              // pushes the limit into the plan (an orderBy becomes
+              // TakeOrderedAndProject, scans early-exit), so for sub-cap
+              // results it would time a cheaper plan than the query's
+              // real cost. Timed runs therefore go to the noop sink —
+              // every operator and column materializes, nothing is
+              // limit-pruned, and no rows cross to the driver (a pair
+              // table on a degenerate corpus can't OOM the console).
+              // The row count and 5-row preview are separate, untimed
+              // passes. `output.dir` is the path for full results.
+              val df = fn(spark, dataDir)
+              val t0 = System.nanoTime()
+              df.write.format("noop").mode("overwrite").save()
+              val cold = (System.nanoTime() - t0) / 1e9
+              val t1   = System.nanoTime()
+              fn(spark, dataDir).write.format("noop").mode("overwrite").save()
+              val warm  = (System.nanoTime() - t1) / 1e9
+              val nRows = fn(spark, dataDir).count()
+              println(f"== $name: $nRows rows, cold $cold%.3fs, warm $warm%.3fs (noop-sink timings: full materialization, no driver fetch)")
+              fn(spark, dataDir).take(5).foreach(r => println(s"   $r"))
           }
       }
     }

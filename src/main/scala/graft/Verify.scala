@@ -15,6 +15,19 @@ object Verify {
         sys.exit(2) // : Nothing — unifies the match without a dummy value
     }
     val spark = GraftSession.getOrCreate()
+    // The oracle SQL bakes in every knob's REGISTERED DEFAULT (n21/n22
+    // inline graft.dhash.pair_cap=16, n19 inlines lss.max_tokens=16 and
+    // the 3-token shingle width, ...), so a gate run under a retuned
+    // session knob produces false FAILs that look like code bugs with no
+    // hint that the knob diverged. Refuse to run with any semantic
+    // graft.* override set; path knobs don't affect results.
+    val nonSemantic = Set("graft.layout.dir", "graft.fixtures.dir")
+    val tuned = spark.conf.getAll.keys.filter(k => k.startsWith("graft.") && !nonSemantic(k)).toSeq.sorted
+    require(
+      tuned.isEmpty,
+      s"Verify is the registered-default gate; unset these graft.* knobs " +
+        s"(the oracle SQL inlines their defaults): ${tuned.mkString(", ")}"
+    )
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

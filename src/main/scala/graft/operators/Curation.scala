@@ -226,8 +226,9 @@ object Curation {
         expr("array_distinct(transform(sequence(0, length(needle) - 3), i -> substring(needle, i + 1, 3)))")
       ).as("g")
     )
+    val layout = TextAnalysis.trigramLayoutCache(spark, dir)
     val tri = spark.read
-      .parquet(s"${TextAnalysis.trigramLayoutCache(spark, dir)}/trigrams.parquet")
+      .parquet(s"$layout/trigrams.parquet")
       .where(col("doc_id") % 50 =!= 0)
     // Rarest-K gram selection (classic multi-pattern optimization): the
     // candidate join need not use EVERY gram of a needle — any subset
@@ -237,8 +238,16 @@ object Curation {
     // Σ df(rarest K): on real text rare trigrams have tiny df and the
     // batched join stays near-linear in the needle count. (Grams absent
     // from the corpus keep df = 0 — cheapest possible probes, correctly
-    // yielding zero candidates.)
-    val dfByGram = tri.groupBy("g").agg(count(lit(1)).as("df"))
+    // yielding zero candidates.) df comes from the layout's PERSISTED
+    // (g, df) table — the build pays the aggregation once per corpus
+    // version instead of every query re-scanning the full posting index
+    // (the r14 bench's only flagged regression). The persisted df counts
+    // ALL docs (including the bench split this query filters out of the
+    // postings); ranking by the slightly-larger corpus-wide df can only
+    // reorder WHICH grams probe, never the final answer — any probe
+    // subset yields a candidate superset and the contains verify is the
+    // truth source.
+    val dfByGram = spark.read.parquet(s"$layout/gramdf.parquet")
     val rarest = ngrams
       .join(dfByGram, Seq("g"), "left")
       .withColumn("df", coalesce(col("df"), lit(0L)))

@@ -120,7 +120,7 @@ object DedupStream {
         finally in.close()
       if (stored != tag)
         throw new IllegalStateException(
-          s"minhash index at $indexDir was built under scheme '$stored' but this session produces '$tag'; " +
+          s"maintained index at $indexDir was built under scheme '$stored' but this session produces '$tag'; " +
             "a stream cannot rebuild its history — re-bootstrap the index directory (and its checkpoint) " +
             "instead of mixing hash schemes across segments"
         )

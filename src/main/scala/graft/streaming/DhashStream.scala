@@ -39,9 +39,20 @@ object DhashStream {
       checkpointDir: String,
       sourceSchema: Option[StructType] = None
   ): StreamingQuery =
-    hashStream(spark, mediaDir, catalogDir, checkpointDir, sourceSchema)(m =>
+    hashStream(spark, mediaDir, catalogDir, checkpointDir, sourceSchema, dhashSchemeTag)(m =>
       Multimodal.imageDhash(m).toDF()
     )
+
+  /** Scheme tags stamped into the catalog dir (DedupStream's `_scheme`
+    * discipline): the batch ledgers rebuild via content-keyed cache
+    * directories when [[Multimodal.DhashLedgerSchemeVersion]] /
+    * [[Multimodal.AudioHashLedgerSchemeVersion]] bump, but a
+    * checkpoint-resumed STREAM would keep appending new-scheme segments
+    * onto old-scheme history and silently corrupt every cross-batch pair
+    * — so a version bump must fail fast against an existing catalog.
+    */
+  private[graft] def dhashSchemeTag: String     = s"dhash-ledger-v${Multimodal.DhashLedgerSchemeVersion}"
+  private[graft] def audioHashSchemeTag: String = s"audio-hash-ledger-v${Multimodal.AudioHashLedgerSchemeVersion}"
 
   /** The AUDIO catalog stream — [[Multimodal.audioEnvelopeHash]] per
     * micro-batch, everything else identical (n20's continuous-maintenance
@@ -54,7 +65,7 @@ object DhashStream {
       checkpointDir: String,
       sourceSchema: Option[StructType] = None
   ): StreamingQuery =
-    hashStream(spark, mediaDir, catalogDir, checkpointDir, sourceSchema)(m =>
+    hashStream(spark, mediaDir, catalogDir, checkpointDir, sourceSchema, audioHashSchemeTag)(m =>
       Multimodal.audioEnvelopeHash(m).toDF()
     )
 
@@ -63,7 +74,8 @@ object DhashStream {
       mediaDir: String,
       catalogDir: String,
       checkpointDir: String,
-      sourceSchema: Option[StructType]
+      sourceSchema: Option[StructType],
+      schemeTag: String
   )(hash: org.apache.spark.sql.Dataset[Multimodal.MediaRow] => DataFrame): StreamingQuery = {
     val schema = StreamSource.schemaFor(spark, mediaDir, sourceSchema)
     spark.readStream
@@ -73,7 +85,7 @@ object DhashStream {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, catalogDir, batchId)(hash)
+        processBatch(batch, catalogDir, batchId, schemeTag)(hash)
       }
       .start()
   }
@@ -83,11 +95,14 @@ object DhashStream {
     * [[Multimodal.audioEnvelopeHash]]), landed as this batch's own
     * segment.
     */
-  private[graft] def processBatch(batch: DataFrame, catalogDir: String, batchId: Long)(
+  private[graft] def processBatch(batch: DataFrame, catalogDir: String, batchId: Long, schemeTag: String)(
       hash: org.apache.spark.sql.Dataset[Multimodal.MediaRow] => DataFrame
   ): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
+    // a catalog built under an older ledger scheme cannot be appended to
+    // — fail fast per batch (DedupStream.assertOrStampScheme pattern)
+    DedupStream.assertOrStampScheme(spark, catalogDir, schemeTag)
     hash(batch.as[Multimodal.MediaRow])
       .write
       .mode("overwrite")

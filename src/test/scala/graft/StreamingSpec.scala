@@ -177,6 +177,40 @@ class StreamingSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/idx/docsets/batch_id=1")))
   }
 
+  test("perceptual-hash catalog scheme guard: a ledger-scheme bump refuses an old streamed catalog") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Multimodal
+    val base  = java.nio.file.Files.createTempDirectory("graft_dhscheme")
+    val media = Multimodal.syntheticMediaWhere(spark, sf0001, col("doc_id") % 4 === 0).toDF()
+      .where(col("media_id") < 10)
+    // first batch stamps the image-catalog tag
+    graft.streaming.DhashStream.processBatch(
+      media, s"$base/cat", 0L, graft.streaming.DhashStream.dhashSchemeTag)(m =>
+      Multimodal.imageDhash(m).toDF())
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/cat/_scheme")))
+    // replay (same tag): idempotent
+    graft.streaming.DhashStream.processBatch(
+      media, s"$base/cat", 0L, graft.streaming.DhashStream.dhashSchemeTag)(m =>
+      Multimodal.imageDhash(m).toDF())
+    // a future scheme bump (simulated foreign tag) must fail fast, not
+    // mix old- and new-scheme segments in one catalog
+    val e = intercept[IllegalStateException] {
+      graft.streaming.DhashStream.processBatch(
+        media, s"$base/cat", 1L, "dhash-ledger-v999")(m => Multimodal.imageDhash(m).toDF())
+    }
+    assert(e.getMessage.contains("dhash-ledger-v999") &&
+      e.getMessage.contains(graft.streaming.DhashStream.dhashSchemeTag))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/cat/batch_id=1")))
+    // the audio tag is a distinct scheme namespace: an audio stream can
+    // never silently append to an image catalog
+    val e2 = intercept[IllegalStateException] {
+      graft.streaming.DhashStream.processBatch(
+        media, s"$base/cat", 1L, graft.streaming.DhashStream.audioHashSchemeTag)(m =>
+        Multimodal.audioEnvelopeHash(m).toDF())
+    }
+    assert(e2.getMessage.contains("audio-hash-ledger"))
+  }
+
   test("streaming incremental dedup == batch n5 pairs; batch-1 artifacts never rewritten") {
     import org.apache.spark.sql.functions._
     val base = java.nio.file.Files.createTempDirectory("graft_sdedup")
@@ -409,7 +443,8 @@ class StreamingSpec extends SparkSpec {
     )
     // batch 0's segment is sealed; replay rewrites, never duplicates
     assert(firstParquetMtime(b0Seg) == mtime0, "batch-0 dHash segment was rewritten by batch 1")
-    graft.streaming.DhashStream.processBatch(media.where(col("media_id") < 250), catDir, 0L)(m =>
+    graft.streaming.DhashStream.processBatch(
+      media.where(col("media_id") < 250), catDir, 0L, graft.streaming.DhashStream.dhashSchemeTag)(m =>
       Multimodal.imageDhash(m).toDF())
     assert(hrows(graft.streaming.DhashStream.ledger(spark, catDir)) == streamed)
   }
@@ -456,7 +491,8 @@ class StreamingSpec extends SparkSpec {
         prows(Dedup.audioHashPairs(spark, sf0001))
     )
     assert(firstParquetMtime(b0Seg) == mtime0, "batch-0 audio segment was rewritten by batch 1")
-    graft.streaming.DhashStream.processBatch(media.where(col("media_id") < 250), catDir, 0L)(m =>
+    graft.streaming.DhashStream.processBatch(
+      media.where(col("media_id") < 250), catDir, 0L, graft.streaming.DhashStream.audioHashSchemeTag)(m =>
       Multimodal.audioEnvelopeHash(m).toDF())
     assert(hrows(graft.streaming.DhashStream.ledger(spark, catDir)) == streamed)
   }
