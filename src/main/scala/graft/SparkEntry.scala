@@ -288,6 +288,14 @@ object SparkEntry {
     "n22_audio_hash_capped"   -> (Dedup.audioHashPairsCapped _),
     // n18's group ledger on the audio key — per-modality symmetry
     "n23_audio_hash_groups"   -> (Dedup.audioHashGroups _),
+    // round 15: the VIDEO modality through the same machinery — keyframe
+    // fingerprints from the real ISO-BMFF sync-sample demux (m11), the
+    // per-bit-majority media simhash, and the shared pair/group/capped
+    // core over it (n24/n25/n26)
+    "m11_video_keyframe_hash"  -> (Multimodal.videoKeyframeHashQuery _),
+    "n24_video_simhash_pairs"  -> (Dedup.videoHashPairs _),
+    "n25_video_simhash_groups" -> (Dedup.videoHashGroups _),
+    "n26_video_simhash_capped" -> (Dedup.videoHashPairsCapped _),
     // round 8: semantic decontamination — nearest benchmark vector +
     // above-threshold count per training vector (integer-only output)
     "d22_decontaminate_semantic" -> ((s: SparkSession, d: String) => Curation.decontaminateSemantic(s, d)),
@@ -906,6 +914,26 @@ object SparkEntry {
       (AudioHashCte +
         "SELECT hi AS hash_hi, lo AS hash_lo, COUNT(*)::BIGINT AS n_recordings, MIN(id) AS keeper " +
         "FROM ahashes GROUP BY hi, lo HAVING COUNT(*) >= 2 ORDER BY hash_hi, hash_lo"),
+    // m11: every keyframe fingerprint rebuilt from the synthetic
+    // container's byte arithmetic + md5 — checks the ISO-BMFF sync-sample
+    // demux and the cross-engine hash end to end
+    "m11_video_keyframe_hash" ->
+      (VideoHashCte +
+        "SELECT id AS media_id, frame_no, hash_hi, hash_lo FROM kh ORDER BY media_id, frame_no"),
+    // n24: brute-force Hamming join over the rebuilt media simhashes —
+    // the n17/n20 oracle shape on the third modality
+    "n24_video_simhash_pairs" ->
+      (VideoHashCte +
+        "SELECT a.id AS media_a, b.id AS media_b, " +
+        "(bit_count(xor(a.hash_hi, b.hash_hi)) + bit_count(xor(a.hash_lo, b.hash_lo)))::BIGINT AS dist " +
+        "FROM vhashes a JOIN vhashes b ON a.id < b.id " +
+        s"WHERE bit_count(xor(a.hash_hi, b.hash_hi)) + bit_count(xor(a.hash_lo, b.hash_lo)) <= ${Dedup.DhashHammingMax} " +
+        "ORDER BY media_a, media_b"),
+    // n25: one aggregation over the rebuilt media simhashes (n18's shape)
+    "n25_video_simhash_groups" ->
+      (VideoHashCte +
+        "SELECT hash_hi, hash_lo, COUNT(*)::BIGINT AS n_videos, MIN(id) AS keeper " +
+        "FROM vhashes GROUP BY hash_hi, hash_lo HAVING COUNT(*) >= 2 ORDER BY hash_hi, hash_lo"),
     // n19: every width replayed by list slicing (the p3 discipline), the
     // same DISTINCT / df>=2 / per-doc-argmax pipeline; max_by at a unique
     // max key, min(fp) tie-break inside each (doc, len)
@@ -951,6 +979,11 @@ object SparkEntry {
     "n22_audio_hash_capped" ->
       cappedPairsOracleOver(AudioHashCte +
         ", hs AS (SELECT id, hi AS hash_hi, lo AS hash_lo FROM ahashes) "),
+    // n26: the same cap rule over the rebuilt VIDEO simhashes — third
+    // modality, same shared builder
+    "n26_video_simhash_capped" ->
+      cappedPairsOracleOver(VideoHashCte +
+        ", hs AS (SELECT id, hash_hi, hash_lo FROM vhashes) "),
     // t12: integer proximity over per-term position lists — DuckDB's
     // (x, i) lambda is 1-based where Spark's is 0-based, which cancels
     // inside |x − y|; doc_id breaks ties so the ordering is total.
@@ -2011,6 +2044,33 @@ object SparkEntry {
       "SUM(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END)::BIGINT AS hi, " +
       "SUM(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END)::BIGINT AS lo " +
       "FROM abits GROUP BY id) "
+
+  /** Shared CTE prefix for the m11/n24/n25/n26 oracles: the MP4 quarter's
+    * keyframes rebuilt from the synthetic container's arithmetic (sample
+    * i has (i mod 5)+1 bytes, each (i·13+id) mod 256, sync every 4th —
+    * the m4 contract), fingerprinted with md5 over the same lowercase-hex
+    * rendering the engine hashes (`lower(hex(payload))` ==
+    * `repeat(lpad(to_hex(byte), 2, '0'), len)`), halved via the n3
+    * cross-engine recipe, then the per-bit majority vote packed back into
+    * two 32-bit halves. The oracle therefore checks demux + keyframe
+    * extraction + fingerprint + simhash end to end.
+    */
+  private val VideoHashCte: String =
+    "WITH d AS (SELECT doc_id AS id, LEAST(n_chars, 50) AS samples FROM documents WHERE doc_id % 4 = 3), " +
+      "kf AS (SELECT id, (i + 1)::BIGINT AS frame_no, " +
+      "repeat(lpad(lower(to_hex((i * 13 + id) % 256)), 2, '0'), ((i % 5) + 1)::INTEGER) AS hx " +
+      "FROM d, UNNEST(range(0, samples)) AS t(i) WHERE i % 4 = 0), " +
+      "kh AS (SELECT id, frame_no, " +
+      "('0x' || substr(md5(hx), 1, 8))::BIGINT AS hash_hi, " +
+      "('0x' || substr(md5(hx), 9, 8))::BIGINT AS hash_lo FROM kf), " +
+      "vbits AS (SELECT id, k, CASE WHEN 2 * SUM(CASE WHEN k >= 32 " +
+      "THEN (hash_hi // (1::BIGINT << (k - 32))) % 2 " +
+      "ELSE (hash_lo // (1::BIGINT << k)) % 2 END) > COUNT(*) THEN 1 ELSE 0 END AS bit " +
+      "FROM kh, UNNEST(range(0, 64)) AS g(k) GROUP BY id, k), " +
+      "vhashes AS (SELECT id, " +
+      "SUM(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END)::BIGINT AS hash_hi, " +
+      "SUM(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END)::BIGINT AS hash_lo " +
+      "FROM vbits GROUP BY id) "
 
   /** Shared CTE prefix for the m9/n17 oracles: the PGM quarter's pixels
     * nearest-resized to the 9×8 dHash grid, reduced to the 64 horizontal

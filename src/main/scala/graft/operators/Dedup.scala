@@ -2016,6 +2016,44 @@ object Dedup {
       graft.GraftConf.int(spark, "dhash.pair_cap", 16).toLong
     )
 
+  /** N24 — VIDEO near-dup pairs: the media-level keyframe-simhash ledger
+    * ([[graft.operators.Multimodal.videoSimhashOf]] over the m11 keyframe
+    * fingerprints) through the SAME pair core as images (n17) and audio
+    * (n20) — the third modality costs one ledger definition, not a new
+    * join family. Two videos sharing most sync frames (re-encoded copies,
+    * truncations — the synthetic corpus's id+256 payload-formula twins
+    * and its length-truncated variants) land within the Hamming
+    * threshold; fully DuckDB-oracled end to end because keyframe
+    * extraction is the real ISO-BMFF demux over arithmetic payloads and
+    * both hash levels are md5/integer arithmetic.
+    */
+  def videoHashPairs(spark: SparkSession, dir: String): DataFrame =
+    dhashPairsFromHashes(
+      graft.operators.Multimodal.videoHashLedger(spark, dir)
+    )
+
+  /** N25 — exact video-dup GROUPS on the media simhash (n18/n23's one
+    * hash-keyed aggregation, video modality).
+    */
+  def videoHashGroups(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.videoHashLedger(spark, dir)
+      .groupBy("hash_hi", "hash_lo")
+      .agg(count(lit(1)).as("n_videos"), min("media_id").as("keeper"))
+      .where(col("n_videos") >= 2)
+      .orderBy("hash_hi", "hash_lo")
+
+  /** N26 — n24 with the expansion cap enforced: the same
+    * `graft.dhash.pair_cap` knob and pair/group/xgroup/band output
+    * contract as n21/n22, completing the per-modality symmetry
+    * (images m9/n17/n18/n21, audio m10/n20/n23/n22, video
+    * m11/n24/n25/here).
+    */
+  def videoHashPairsCapped(spark: SparkSession, dir: String): DataFrame =
+    dhashPairsCappedFromHashes(
+      graft.operators.Multimodal.videoHashLedger(spark, dir),
+      graft.GraftConf.int(spark, "dhash.pair_cap", 16).toLong
+    )
+
   /** Per-level band stats recorded by [[dhashBandWalk]] when profiling:
     * (level, n_buckets, n_hot_buckets, max_occupancy, rows_entering_level).
     */

@@ -1350,6 +1350,113 @@ object Multimodal {
     spark.read.parquet(s"$layout/ledger.parquet")
   }
 
+  /** Bump when the keyframe fingerprint or the media-level simhash
+    * derivation changes; folds into the video ledger layout's cache key.
+    */
+  private[graft] val VideoHashLedgerSchemeVersion = 1
+
+  /** M11 — per-KEYFRAME fingerprint table over the MP4 quarter: every
+    * sync (I-frame) sample resolved through the real stco/stsc/stsz/stss
+    * demux ([[mp4SyncFrames]] — no codec needed to LOCATE and EXTRACT
+    * keyframe payloads), fingerprinted with the cross-engine md5-derived
+    * 64-bit hash over the payload's lowercase hex (the n3 recipe —
+    * `Dedup.shingleHash64`'s two 32-bit halves, so the DuckDB oracle
+    * rebuilds every fingerprint from the synthetic corpus's
+    * (doc_id, n_chars) byte arithmetic and `md5()` agrees byte-for-byte).
+    * A keyframe fingerprint is an EXACT content hash, not a perceptual
+    * one — video near-dup lives one level up, in how many keyframes two
+    * videos SHARE ([[videoSimhashOf]]), which is how production video
+    * dedup works once frames are fingerprinted (codec-decoded perceptual
+    * frame hashes would slot into the same two-level shape; the codec
+    * step is this container's disclosed stub).
+    */
+  def videoKeyframeHash(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val frames = media
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          if (isMp4Signature(r.payload))
+            mp4SyncFrames(r.payload).iterator.map { case (no, bytes) => (r.media_id, no.toLong, bytes) }
+          else Iterator.empty
+        }
+      }
+      .toDF("media_id", "frame_no", "frame_payload")
+    val hx = lower(hex(col("frame_payload")))
+    frames.select(
+      col("media_id"),
+      col("frame_no"),
+      conv(substring(md5(hx), 1, 8), 16, 10).cast("long").as("hash_hi"),
+      conv(substring(md5(hx), 9, 8), 16, 10).cast("long").as("hash_lo")
+    )
+  }
+
+  /** Media-level video hash: per-bit MAJORITY vote across the video's
+    * keyframe fingerprints — simhash over keyframes, so two videos
+    * sharing most keyframes (re-encodes, truncations, re-containered
+    * copies) land within small Hamming distance and the SAME shared pair/
+    * group/capped core (n17's machinery) serves the video modality
+    * unchanged. All integer arithmetic (bit extract, 2·Σbit > n vote,
+    * shift-pack into 32-bit halves), so the DuckDB oracle replays it
+    * relationally over the rebuilt keyframe hashes. Wide ops are
+    * keyframe-cardinality ×64 (the vote explode) — linear in corpus
+    * frames at any scale, no pairwise anything.
+    */
+  private[graft] def videoSimhashOf(keyframes: DataFrame): DataFrame =
+    keyframes
+      .select(col("media_id"), col("hash_hi"), col("hash_lo"), explode(expr("sequence(0, 63)")).as("k"))
+      .withColumn(
+        "bit",
+        expr(
+          "(CASE WHEN k >= 32 THEN shiftright(hash_hi, CAST(k - 32 AS INT)) " +
+            "ELSE shiftright(hash_lo, CAST(k AS INT)) END) & CAST(1 AS BIGINT)"
+        )
+      )
+      .groupBy("media_id", "k")
+      .agg(sum("bit").as("s"), count(lit(1)).as("n"))
+      .withColumn("mbit", when(col("s") * 2 > col("n"), lit(1L)).otherwise(lit(0L)))
+      .groupBy("media_id")
+      .agg(
+        expr("sum(CASE WHEN k >= 32 THEN shiftleft(mbit, CAST(k - 32 AS INT)) ELSE CAST(0 AS BIGINT) END)")
+          .as("hash_hi"),
+        expr("sum(CASE WHEN k < 32 THEN shiftleft(mbit, CAST(k AS INT)) ELSE CAST(0 AS BIGINT) END)")
+          .as("hash_lo")
+      )
+
+  /** Decode-once VIDEO hash layout: keyframe fingerprints AND the derived
+    * media-level simhash persisted per corpus version (the m9/m10 ledger
+    * discipline) — one demux+hash build serves m11/n24/n25/n26, and the
+    * pair/group/capped rungs scan media-cardinality parquet instead of
+    * re-demuxing containers.
+    */
+  private def videoHashLayout(spark: SparkSession, dir: String): String = {
+    val key = graft.sources.LayoutCache.contentKey(
+      spark,
+      s"$dir/documents.parquet",
+      s"vhashled-v$VideoHashLedgerSchemeVersion"
+    )
+    graft.sources.LayoutCache.getOrBuild(spark, "graft_vhashled", key) { out =>
+      videoKeyframeHash(syntheticMediaWhere(spark, dir, col("doc_id") % 4 === 3))
+        .write.mode("overwrite").parquet(s"$out/keyframes.parquet")
+      videoSimhashOf(spark.read.parquet(s"$out/keyframes.parquet"))
+        .write.mode("overwrite").parquet(s"$out/media.parquet")
+    }
+  }
+
+  /** M11's registry surface: the keyframe fingerprint ledger. */
+  def videoKeyframeHashQuery(spark: SparkSession, dir: String): DataFrame =
+    videoKeyframeLedger(spark, dir).orderBy("media_id", "frame_no")
+
+  private[graft] def videoKeyframeLedger(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${videoHashLayout(spark, dir)}/keyframes.parquet")
+
+  /** The media-level `(media_id, hash_hi, hash_lo)` ledger n24/n25/n26
+    * pair/group/cap — same shape as the image and audio ledgers, so the
+    * shared core serves all three modalities.
+    */
+  private[graft] def videoHashLedger(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${videoHashLayout(spark, dir)}/media.parquet")
+
   final case class HistogramRow(media_id: Long, bin: Long, n_px: Long)
 
   /** Intensity bins for [[imageHistogram]] — 16 equal-width bins over the

@@ -69,6 +69,30 @@ object DhashStream {
       Multimodal.audioEnvelopeHash(m).toDF()
     )
 
+  /** The VIDEO catalog stream (15th maintained family) — keyframe
+    * fingerprints + per-bit-majority media simhash per micro-batch
+    * ([[Multimodal.videoKeyframeHash]] → [[Multimodal.videoSimhashOf]]).
+    * A video's simhash depends only on its OWN keyframes, so the
+    * per-batch hasher is self-contained and the segment-union contract
+    * (union over `batch_id=` partitions ≡ the batch recompute) holds
+    * exactly as for the image and audio catalogs; the pair query over
+    * the streamed catalog is [[dhashPairsStreamed]] unchanged (n24's
+    * continuous-maintenance story).
+    */
+  def videoHashStream(
+      spark: SparkSession,
+      mediaDir: String,
+      catalogDir: String,
+      checkpointDir: String,
+      sourceSchema: Option[StructType] = None
+  ): StreamingQuery =
+    hashStream(spark, mediaDir, catalogDir, checkpointDir, sourceSchema, videoHashSchemeTag)(m =>
+      Multimodal.videoSimhashOf(Multimodal.videoKeyframeHash(m))
+    )
+
+  private[graft] def videoHashSchemeTag: String =
+    s"video-hash-ledger-v${Multimodal.VideoHashLedgerSchemeVersion}"
+
   private def hashStream(
       spark: SparkSession,
       mediaDir: String,

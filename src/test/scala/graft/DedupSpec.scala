@@ -886,6 +886,56 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("m11/n24/n25/n26: video keyframe fingerprints, majority simhash, and the shared core on the third modality") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    // majority vote on a hand fixture: 3 keyframes, bitwise 2-of-3
+    val kf = Seq(
+      (1L, 1L, 12L, 10L), // hi 1100, lo 1010
+      (1L, 2L, 12L, 2L),  // hi 1100, lo 0010
+      (1L, 3L, 0L, 3L)    // hi 0000, lo 0011
+    ).toDF("media_id", "frame_no", "hash_hi", "hash_lo")
+    val mh = Multimodal.videoSimhashOf(kf).collect()
+    assert(mh.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 12L, 2L)),
+      s"strict per-bit majority: ${mh.mkString(",")}")
+    // keyframe ledger: one row per sync sample (every 4th of min(n_chars, 50))
+    val nchars = graft.sources.Tables.documents(spark, sf0001)
+      .where(col("doc_id") % 4 === 3)
+      .select("doc_id", "n_chars").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perMedia = Multimodal.videoKeyframeLedger(spark, sf0001)
+      .groupBy("media_id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    nchars.foreach { case (id, nc) =>
+      val samples  = math.min(nc, 50L)
+      val expected = if (samples <= 0) 0L else (samples + 3) / 4
+      assert(perMedia.getOrElse(id, 0L) == expected, s"media $id: samples=$samples")
+    }
+    // n24 == brute-force Hamming over the media ledger; twins (id, id+256)
+    // with equal keyframe sets collide at dist 0
+    val ledger = Multimodal.videoHashLedger(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = (for {
+      (a, ahi, alo) <- ledger
+      (b, bhi, blo) <- ledger
+      if a < b
+      d = java.lang.Long.bitCount(ahi ^ bhi) + java.lang.Long.bitCount(alo ^ blo)
+      if d <= Dedup.DhashHammingMax
+    } yield (a, b, d.toLong)).toSet
+    val pairs = Dedup.videoHashPairs(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == brute && pairs.nonEmpty)
+    assert(pairs.exists { case (a, b, d) => b == a + 256 && d == 0L },
+      "payload-formula twins must collide at dist 0")
+    // n25 groups are exactly the dist-0 connected masses' hash keys
+    val groups = Dedup.videoHashGroups(spark, sf0001).collect()
+    assert(groups.nonEmpty && groups.forall(_.getLong(2) >= 2))
+    // n26 at the default cap on this corpus: every unit under cap, so the
+    // capped ledger IS the pair list and n_pairs conserves the n24 count
+    val capped = Dedup.videoHashPairsCapped(spark, sf0001).collect()
+    assert(capped.map(_.getLong(4)).sum == pairs.size.toLong)
+    assert(capped.filter(_.getString(0) == "pair").map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      subsetOf pairs)
+  }
+
   // ---- round-15 band-walk coverage: occupancy caps, refinement, degrade ----
 
   private def withConf(kvs: (String, String)*)(body: => Unit): Unit = {

@@ -497,6 +497,54 @@ class StreamingSpec extends SparkSpec {
     assert(hrows(graft.streaming.DhashStream.ledger(spark, catDir)) == streamed)
   }
 
+  test("streaming video-hash catalog == batch simhash ledger; pairs over it == batch n24; sealed; idempotent") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, Multimodal}
+    val base = java.nio.file.Files.createTempDirectory("graft_svhash")
+    val src  = base.resolve("src"); java.nio.file.Files.createDirectories(src)
+    val stagingDir = base.resolve("stage")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      df.coalesce(1).write.mode("overwrite").parquet(s"$stagingDir/$name")
+      java.nio.file.Files.move(
+        java.nio.file.Files.list(stagingDir.resolve(name)).filter(_.toString.endsWith(".parquet")).findFirst.get,
+        src.resolve(s"$name.parquet")
+      )
+    }
+    // the MP4 quarter only — the containers m11 demuxes
+    val media  = Multimodal.syntheticMediaWhere(spark, sf0001, col("doc_id") % 4 === 3).toDF()
+    val catDir = s"$base/cat"
+    assert(graft.streaming.DhashStream.dhashPairsStreamed(spark, catDir).collect().isEmpty)
+    stage(media.where(col("media_id") < 250), "b1")
+    val q = graft.streaming.DhashStream.videoHashStream(spark, src.toString, catDir, s"$base/ckpt")
+    val b0Seg = java.nio.file.Paths.get(s"$catDir/batch_id=0")
+    def firstParquetMtime(p: java.nio.file.Path): Long =
+      java.nio.file.Files.walk(p).filter(_.toString.endsWith(".parquet")).findFirst.get.toFile.lastModified()
+    val mtime0 =
+      try {
+        q.processAllAvailable()
+        firstParquetMtime(b0Seg)
+      } finally {
+        stage(media.where(col("media_id") >= 250), "b2")
+        q.processAllAvailable()
+        q.stop()
+      }
+    def hrows(df: org.apache.spark.sql.DataFrame) =
+      df.select("media_id", "hash_hi", "hash_lo").collect().map(_.toSeq).toSet
+    val streamed = hrows(graft.streaming.DhashStream.ledger(spark, catDir))
+    assert(streamed == hrows(Multimodal.videoHashLedger(spark, sf0001)) && streamed.nonEmpty)
+    // the SAME pair query serves the video catalog (shared ledger shape)
+    def prows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(
+      prows(graft.streaming.DhashStream.dhashPairsStreamed(spark, catDir)) ==
+        prows(Dedup.videoHashPairs(spark, sf0001))
+    )
+    assert(firstParquetMtime(b0Seg) == mtime0, "batch-0 video segment was rewritten by batch 1")
+    graft.streaming.DhashStream.processBatch(
+      media.where(col("media_id") < 250), catDir, 0L, graft.streaming.DhashStream.videoHashSchemeTag)(m =>
+      Multimodal.videoSimhashOf(Multimodal.videoKeyframeHash(m)))
+    assert(hrows(graft.streaming.DhashStream.ledger(spark, catDir)) == streamed)
+  }
+
   test("streaming postings maintenance: bm25 over streamed segments == t4 corpus scan; sealed; idempotent") {
     import org.apache.spark.sql.functions._
     import graft.operators.TextAnalysis
