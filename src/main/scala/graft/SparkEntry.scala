@@ -1963,20 +1963,36 @@ object SparkEntry {
         "WHERE l_suppkey IN (SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey " +
         "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA') " +
         "GROUP BY l_suppkey ORDER BY l_suppkey"),
+    // round 15: the IVF/SQ8/PQ family flipped from rows-only to
+    // ARTIFACT-CONDITIONED full oracles — DuckDB reads the engine's
+    // exported centroids/codebooks and replays assignment, probe
+    // selection, coarse scoring, shortlist, and exact re-rank with the
+    // engine's float semantics reproduced bit-for-bit (see the builders
+    // above). The planted twins (s4p, s6p, ...) are RETAINED and now
+    // adjudicate only the training step, which the artifact conditions
+    // away.
+    "s4_ann_ivf"              -> (ivfReplayCtes("ivf16") + ivfRankTail("")),
+    "s6_ann_ivf_partitioned"  -> (ivfReplayCtes("ivf16") + ivfRankTail("")),
+    "s11_ann_ivf_filtered"    -> (ivfReplayCtes("ivf16") + ivfRankTail(" AND e.label = 1")),
+    "s12_ann_ivf_incremental" -> (ivfReplayCtes("ivfbase16") + ivfRankTail("")),
+    "s14_knn_join_ivf"        -> (ivfReplayCtes("ivf16") + knnIvfTail),
+    "s9_ann_ivf_quantized"    -> (ivfReplayCtes("ivf16") + sq8Tail),
+    "s17_ann_pq"              -> (pqBaseCtes + pqReplayTail("")),
+    "s18_ann_ivf_pq" ->
+      (ivfReplayCtes("ivf16") +
+        pqReplayTail("JOIN assign ia ON ia.vec_id = c.vec_id AND ia.cl IN (SELECT cl FROM probes) ")),
+    "s19_ann_ivf_pq_filtered" ->
+      (ivfReplayCtes("ivf16") +
+        pqReplayTail("JOIN assign ia ON ia.vec_id = c.vec_id AND ia.cl IN (SELECT cl FROM probes) " +
+          "JOIN emb ce ON ce.vec_id = c.vec_id AND ce.label = 1 ")),
     // Still no-oracle (outputs depend on engine-internal hashing / plane
-    // seeds / quantizer / sketch state), each with a planted oracle twin
-    // or an equivalence spec (n3 LEFT this list when the shingle hash
-    // became cross-engine — see simhashOracle):
-    // s2_ann_lsh (twin s2p),
-    // s4_ann_ivf (twin s4p), s6_ann_ivf_partitioned (twin s6p; spec ≡ s4),
-    // s9_ann_ivf_quantized (twin s9p; spec ≡ s6),
-    // s11_ann_ivf_filtered (twin s11p),
-    // s12_ann_ivf_incremental (twin s12p; spec ≡ s1 at full probe),
-    // s14_knn_join_ivf (twin s14p; spec ≡ s13 at nClusters=1),
-    // s17_ann_pq (twin s17p; ADC error is data-dependent on near-tied
-    // background cosines), s18_ann_ivf_pq (twin s18p; spec ≡ s17 at full
-    // probe), s19_ann_ivf_pq_filtered (twin s19p; spec ≡ filtered brute at
-    // full probe + corpus-wide shortlist),
+    // seeds / quantizer-TRAINING / sketch state), each with a planted
+    // oracle twin or an equivalence spec (n3 LEFT this list when the
+    // shingle hash became cross-engine; the IVF/SQ8/PQ query paths LEFT
+    // it in round 15 via oracle-over-artifact above — training itself
+    // remains twin-gated):
+    // s2_ann_lsh (twin s2p; the hyperplane seeds are engine state and the
+    // signatures are never persisted as a layout artifact),
     // dq3_profile_events_approx (spec-bounded within 5% of dq1's
     // exact profile), x3_approx_percentiles, x4_approx_top_users
     // (spec-pinned exact below sketch capacity), x5_approx_distinct_rollup
@@ -2021,6 +2037,152 @@ object SparkEntry {
       "(SELECT * FROM same_small UNION ALL SELECT * FROM same_big " +
       "UNION ALL SELECT * FROM cross_small UNION ALL SELECT * FROM cross_big) " +
       "ORDER BY kind, media_a, media_b, dist"
+
+  // ---- round-15: oracle-over-artifact for the ANN family ----------------
+  //
+  // The DuckDB oracle cannot recompute k-means training (engine-internal
+  // distributed float iteration — the planted twins still adjudicate that
+  // step), but it CAN read the engine's persisted training artifacts
+  // (IVF centroids, PQ codebooks — exported to a fixed path on every
+  // query run, `Similarity.OracleArtifactDir`) and replay EVERYTHING
+  // downstream relationally: cluster assignment, probe selection, coarse
+  // scoring, shortlist, exact re-rank. The replay reproduces the engine's
+  // float semantics bit-for-bit (verified primitive by primitive):
+  //   - CosineSimilarity / NearestCentroids score with FLOAT-rounded
+  //     products accumulated in DOUBLE in index order — DuckDB FLOAT*FLOAT
+  //     is float-rounded and list_sum folds sequentially, so
+  //     `CAST(a[i]*b[i] AS DOUBLE)` summed matches exactly;
+  //   - driver-side probe selection (cosLocal) uses DOUBLE products;
+  //   - ties break to the smallest cluster/codeword index (ROW_NUMBER
+  //     with the index as the secondary key).
+
+  private val AnnArtifactDir: String = graft.operators.Similarity.OracleArtifactDir
+
+  /** Float-product dot (CosineSimilarity/NearestCentroids semantics). */
+  private def fdot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] * $b[i] AS DOUBLE)))"
+
+  /** Double-product dot (cosLocal / probeIds / PQ-norm semantics). */
+  private def ddot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  /** The IVF query path over the exported centroids at the registered
+    * operating point (nClusters 16, nProbe 4, queryId 0): CTEs `emb`,
+    * `cent`, `q`, `vn`/`cn` (per-vector / per-centroid norm sums in BOTH
+    * precisions), `ac` (assignment cosines, float products), `assign`
+    * (argmax, smallest-cl tie), `qp`/`probes` (query-to-centroid cosines,
+    * DOUBLE products — the driver-side probeIds path).
+    */
+  private def ivfReplayCtes(centSub: String): String =
+    "WITH emb AS (SELECT vec_id, label, embedding FROM embeddings), " +
+      s"cent AS (SELECT cl, centroid FROM read_parquet('$AnnArtifactDir/$centSub/centroids.parquet/*.parquet')), " +
+      "q AS (SELECT embedding AS qe FROM emb WHERE vec_id = 0), " +
+      s"vn AS (SELECT vec_id, ${fdot("embedding", "embedding")} AS nx FROM emb), " +
+      s"cn AS (SELECT cl, ${fdot("centroid", "centroid")} AS ncf, ${ddot("centroid", "centroid")} AS ncd FROM cent), " +
+      "ac AS (SELECT e.vec_id, c.cl, CASE WHEN v.nx = 0 OR n.ncf = 0 THEN 0.0 ELSE " +
+      s"${fdot("e.embedding", "c.centroid")} / (sqrt(v.nx) * sqrt(n.ncf)) END AS cv " +
+      "FROM emb e CROSS JOIN cent c JOIN vn v ON v.vec_id = e.vec_id JOIN cn n ON n.cl = c.cl), " +
+      "assign AS (SELECT vec_id, cl FROM (SELECT vec_id, cl, " +
+      "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cv DESC, cl) AS rn FROM ac) WHERE rn = 1), " +
+      s"qp AS (SELECT c.cl, CASE WHEN ${ddot("q.qe", "q.qe")} = 0 OR n.ncd = 0 THEN 0.0 ELSE " +
+      s"${ddot("q.qe", "c.centroid")} / (sqrt(${ddot("q.qe", "q.qe")}) * sqrt(n.ncd)) END AS cv " +
+      "FROM cent c CROSS JOIN q JOIN cn n ON n.cl = c.cl), " +
+      "probes AS (SELECT cl FROM (SELECT cl, ROW_NUMBER() OVER (ORDER BY cv DESC, cl) AS rn FROM qp) WHERE rn <= 4) "
+
+  /** rankTopK's (rnk, vec_id) tail over float-product cosines of the
+    * probed candidates vs the query (`extraWhere` narrows the candidate
+    * set — s11's label filter).
+    */
+  private def ivfRankTail(extraWhere: String): String =
+    ", cand AS (SELECT e.vec_id, e.embedding, v.nx FROM emb e " +
+      "JOIN assign a ON a.vec_id = e.vec_id JOIN vn v ON v.vec_id = e.vec_id " +
+      s"WHERE a.cl IN (SELECT cl FROM probes) AND e.vec_id <> 0$extraWhere), " +
+      s"qn AS (SELECT ${fdot("qe", "qe")} AS nq FROM q), " +
+      "sc AS (SELECT c.vec_id, CASE WHEN c.nx = 0 OR qn.nq = 0 THEN 0.0 ELSE " +
+      s"${fdot("c.embedding", "q.qe")} / (sqrt(c.nx) * sqrt(qn.nq)) END AS cv " +
+      "FROM cand c CROSS JOIN q CROSS JOIN qn) " +
+      "SELECT rnk, vec_id FROM (SELECT ROW_NUMBER() OVER (ORDER BY cv DESC, vec_id)::BIGINT AS rnk, vec_id FROM sc) t " +
+      "WHERE rnk <= 10 ORDER BY rnk"
+
+  /** The PQ coarse pass + exact re-rank over the exported codebooks
+    * (M=8 subspaces × 8 dims, K=32 codewords, shortlist 200, k 10):
+    * code assignment replays pqAssignCol's L2 argmin (double products of
+    * float-exact values, smallest-j tie), the ADC table replays the
+    * driver's double subspace dots, the numerator folds table entries in
+    * subspace order, and the stored `norm` replays as the DOUBLE-product
+    * norm. `candJoin` restricts the coarse pass (s18/s19's IVF gate);
+    * the final tail is the exact float re-rank.
+    */
+  private def pqReplayTail(candJoin: String): String =
+    s", cb AS (SELECT s, j, cw FROM read_parquet('$AnnArtifactDir/pq/codebooks.parquet/*.parquet')), " +
+      "pdist AS (SELECT e.vec_id, cb.s, cb.j, " +
+      "list_sum(list_transform(range(1, 9), d -> " +
+      "(CAST(e.embedding[CAST(cb.s * 8 + d AS INTEGER)] AS DOUBLE) - CAST(cb.cw[d] AS DOUBLE)) * " +
+      "(CAST(e.embedding[CAST(cb.s * 8 + d AS INTEGER)] AS DOUBLE) - CAST(cb.cw[d] AS DOUBLE)))) AS l2 " +
+      "FROM emb e CROSS JOIN cb), " +
+      "codes AS (SELECT vec_id, s, j FROM (SELECT vec_id, s, j, " +
+      "ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY l2, j) AS rn FROM pdist) WHERE rn = 1), " +
+      s"nrm AS (SELECT vec_id, sqrt(${ddot("embedding", "embedding")}) AS nv FROM emb), " +
+      s"pqn AS (SELECT sqrt(${ddot("qe", "qe")}) AS nq FROM q), " +
+      "tbl AS (SELECT cb.s, cb.j, list_sum(list_transform(range(1, 9), d -> " +
+      "CAST(q.qe[CAST(cb.s * 8 + d AS INTEGER)] AS DOUBLE) * CAST(cb.cw[d] AS DOUBLE))) AS t " +
+      "FROM cb CROSS JOIN q), " +
+      "adc AS (SELECT c.vec_id, list_sum(array_agg(t.t ORDER BY c.s)) AS num " +
+      "FROM codes c JOIN tbl t ON t.s = c.s AND t.j = c.j " +
+      candJoin +
+      "GROUP BY c.vec_id), " +
+      "acands AS (SELECT a.vec_id, a.num / (n.nv * pqn.nq) AS av FROM adc a " +
+      "JOIN nrm n ON n.vec_id = a.vec_id CROSS JOIN pqn WHERE a.vec_id <> 0 AND n.nv > 0), " +
+      "short AS (SELECT vec_id FROM (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY av DESC, vec_id) AS rn FROM acands) WHERE rn <= 200), " +
+      s"rqn AS (SELECT ${fdot("qe", "qe")} AS nq FROM q), " +
+      "rsc AS (SELECT e.vec_id, CASE WHEN v.nx = 0 OR rqn.nq = 0 THEN 0.0 ELSE " +
+      s"${fdot("e.embedding", "q.qe")} / (sqrt(v.nx) * sqrt(rqn.nq)) END AS cv " +
+      "FROM short s JOIN emb e ON e.vec_id = s.vec_id JOIN vn v ON v.vec_id = e.vec_id CROSS JOIN q CROSS JOIN rqn) " +
+      "SELECT rnk, vec_id FROM (SELECT ROW_NUMBER() OVER (ORDER BY cv DESC, vec_id)::BIGINT AS rnk, vec_id FROM rsc) t " +
+      "WHERE rnk <= 10 ORDER BY rnk"
+
+  /** s17's CTE base when no IVF gate precedes the PQ pass. */
+  private def pqBaseCtes: String =
+    "WITH emb AS (SELECT vec_id, label, embedding FROM embeddings), " +
+      "q AS (SELECT embedding AS qe FROM emb WHERE vec_id = 0), " +
+      s"vn AS (SELECT vec_id, ${fdot("embedding", "embedding")} AS nx FROM emb) "
+
+  /** s14's tail: per-vector probes (NearestCentroids float semantics —
+    * the in-engine probeIdsCol, not the driver's double path), candidates
+    * from the replayed assignment, per-query top-3 by (cos desc, nbr id).
+    */
+  private val knnIvfTail: String =
+    ", probesv AS (SELECT vec_id, cl FROM (SELECT vec_id, cl, " +
+      "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cv DESC, cl) AS rn FROM ac) WHERE rn <= 4), " +
+      "ksc AS (SELECT p.vec_id, a.vec_id AS nbr_id, CASE WHEN vq.nx = 0 OR vb.nx = 0 THEN 0.0 ELSE " +
+      s"${fdot("eq.embedding", "en.embedding")} / (sqrt(vq.nx) * sqrt(vb.nx)) END AS cv " +
+      "FROM probesv p JOIN assign a ON a.cl = p.cl AND a.vec_id <> p.vec_id " +
+      "JOIN emb eq ON eq.vec_id = p.vec_id JOIN emb en ON en.vec_id = a.vec_id " +
+      "JOIN vn vq ON vq.vec_id = p.vec_id JOIN vn vb ON vb.vec_id = a.vec_id) " +
+      "SELECT vec_id, rnk, nbr_id FROM (SELECT vec_id, nbr_id, " +
+      "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cv DESC, nbr_id)::BIGINT AS rnk FROM ksc) t " +
+      "WHERE rnk <= 3 ORDER BY vec_id, rnk"
+
+  /** s9's tail: the SQ8 coarse pass replayed (q8 quantization from the
+    * layout's exact formula — integer codes, so float and double products
+    * coincide exactly), shortlist 50, exact float re-rank, k 10.
+    */
+  private val sq8Tail: String =
+    ", q8 AS (SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 127.0 / " +
+      "CAST(greatest(CAST(1e-30 AS FLOAT), list_max(list_transform(embedding, y -> abs(y)))) AS DOUBLE))) AS qc FROM emb), " +
+      "q8n AS (SELECT vec_id, list_sum(list_transform(qc, x -> x * x)) AS n8 FROM q8), " +
+      "qq AS (SELECT q8.qc AS qqc, q8n.n8 AS qn8 FROM q8 JOIN q8n ON q8.vec_id = q8n.vec_id WHERE q8.vec_id = 0), " +
+      "coarse AS (SELECT s.vec_id, CASE WHEN n.n8 = 0 OR qq.qn8 = 0 THEN 0.0 ELSE " +
+      "list_sum(list_transform(range(1, len(s.qc) + 1), i -> s.qc[i] * qq.qqc[i])) / (sqrt(n.n8) * sqrt(qq.qn8)) END AS av " +
+      "FROM q8 s JOIN q8n n ON n.vec_id = s.vec_id JOIN assign a ON a.vec_id = s.vec_id CROSS JOIN qq " +
+      "WHERE a.cl IN (SELECT cl FROM probes) AND s.vec_id <> 0), " +
+      "short AS (SELECT vec_id FROM (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY av DESC, vec_id) AS rn FROM coarse) WHERE rn <= 50), " +
+      s"qn AS (SELECT ${fdot("qe", "qe")} AS nq FROM q), " +
+      "sc AS (SELECT e.vec_id, CASE WHEN v.nx = 0 OR qn.nq = 0 THEN 0.0 ELSE " +
+      s"${fdot("e.embedding", "q.qe")} / (sqrt(v.nx) * sqrt(qn.nq)) END AS cv " +
+      "FROM short s JOIN emb e ON e.vec_id = s.vec_id JOIN vn v ON v.vec_id = e.vec_id CROSS JOIN q CROSS JOIN qn) " +
+      "SELECT rnk, vec_id FROM (SELECT ROW_NUMBER() OVER (ORDER BY cv DESC, vec_id)::BIGINT AS rnk, vec_id FROM sc) t " +
+      "WHERE rnk <= 10 ORDER BY rnk"
 
   /** Shared CTE prefix for the m10/n20 oracles: the WAV quarter's PCM
     * samples rebuilt from m6's exact formula (v = ((i·7+id) mod 256) −

@@ -384,6 +384,11 @@ object Similarity {
     VectorFunctions.register(spark)
     val (nc, np) = resolveIvfKnobs(spark, nClusters, nProbe)
     val e       = Tables.embeddings(spark, dir)
+    // resolve (and thereby oracle-export) the persisted layout: s4's own
+    // computation stays live-trained, and the deterministic trainer makes
+    // the layout's centroids the same artifact (the s4 ≡ s6 spec pins it),
+    // so the artifact-conditioned DuckDB replay adjudicates s4 too
+    ivfLayoutCache(spark, dir, nc)
     val refined = refinedCentroids(e, nc)
     val qv      = e.where(col("vec_id") === queryId).select("embedding").head().getSeq[Float](0)
     val probes  = probeIds(qv, refined, np)
@@ -443,10 +448,11 @@ object Similarity {
     * standard filtered-search caveat applies and is the knob's job:
     * selective filters thin each probed cluster, so widen
     * `graft.ann.nprobe` with filter selectivity (the spec demonstrates
-    * probe-widening recovering the filtered-brute answer). No SQL oracle
-    * (cluster assignment is engine-internal, like s4/s6/s9); the gate is
-    * the ≡ filtered-brute-force-over-probed-clusters equivalence spec
-    * plus the plan asserts.
+    * probe-widening recovering the filtered-brute answer). Fully
+    * DuckDB-oracled since round 15 by oracle-over-artifact: the exported
+    * centroids condition the replay (assignment, probes, filter,
+    * re-rank — [[OracleArtifactDir]]); the equivalence spec and plan
+    * asserts remain as the engine-side gates.
     */
   def annIvfFiltered(
       spark: SparkSession,
@@ -507,6 +513,45 @@ object Similarity {
       "greatest(cast(1e-30 as float), array_max(transform(embedding, y -> abs(y))))) as tinyint))"
   )
 
+  /** Fixed, host-stable directory the ANN family's TRAINED ARTIFACTS
+    * (IVF centroids, PQ codebooks) are exported to on every query run —
+    * the oracle-over-artifact mechanism (round 15): the DuckDB oracle
+    * cannot recompute k-means training (engine-internal float iteration),
+    * but it CAN read the persisted training output and replay everything
+    * downstream — assignment, probe selection, coarse scoring, shortlist,
+    * re-rank — relationally, which adjudicates the whole query path that
+    * can actually be wrong at query time. The path must be a literal in
+    * the static oracle SQL, hence a fixed tmpdir location rather than the
+    * content-keyed layout dirs; a `_src` marker makes re-export a no-op
+    * while the source layout is unchanged, so the per-query cost after
+    * the first export is one file read.
+    */
+  private[graft] val OracleArtifactDir: String =
+    s"${sys.props("java.io.tmpdir")}/graft_ann_oracle"
+
+  private def exportForOracle(srcDir: String, sub: String): Unit = synchronized {
+    import java.nio.file._
+    val src    = Paths.get(srcDir)
+    val dst    = Paths.get(OracleArtifactDir, sub)
+    val marker = dst.resolve("_src")
+    if (Files.exists(marker) && new String(Files.readAllBytes(marker), "UTF-8").trim == srcDir)
+      return
+    if (Files.exists(dst)) {
+      val it = Files.walk(dst).sorted(java.util.Comparator.reverseOrder[Path]()).iterator()
+      while (it.hasNext) Files.delete(it.next())
+    }
+    Files.createDirectories(dst)
+    val files = Files.walk(src).filter(p => Files.isRegularFile(p)).iterator()
+    while (files.hasNext) {
+      val p   = files.next()
+      val rel = src.relativize(p)
+      val t   = dst.resolve(rel.toString)
+      if (t.getParent != null) Files.createDirectories(t.getParent)
+      Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+    }
+    Files.write(marker, srcDir.getBytes("UTF-8"))
+  }
+
   private[operators] def ivfLayoutCache(spark: SparkSession, dir: String, nClusters: Int): String = {
     import spark.implicits._
     val key = graft.sources.LayoutCache.contentKey(
@@ -514,7 +559,7 @@ object Similarity {
       s"$dir/embeddings.parquet",
       s"ivf-v$IvfSchemeVersion#$nClusters"
     )
-    graft.sources.LayoutCache.getOrBuild(spark, "graft_ivf", key) { out =>
+    val layout = graft.sources.LayoutCache.getOrBuild(spark, "graft_ivf", key) { out =>
       val e       = Tables.embeddings(spark, dir)
       val refined = refinedCentroids(e, nClusters)
       // q8 stored here because s9's coarse pass reads it; the s12 segments
@@ -522,6 +567,8 @@ object Similarity {
       writeIvfSegment(e, refined, out, withQ8 = true)
       writeCentroids(spark, refined, out)
     }
+    exportForOracle(s"$layout/centroids.parquet", s"ivf$nClusters/centroids.parquet")
+    layout
   }
 
   /** Shared IVF segment write: assign and cluster-partition one vector
@@ -565,12 +612,14 @@ object Similarity {
       s"$dir/embeddings.parquet",
       s"ivfbase-v$IvfIncrSchemeVersion#$nClusters#$batchStartId"
     )
-    graft.sources.LayoutCache.getOrBuild(spark, "graft_ivfbase", key) { out =>
+    val layout = graft.sources.LayoutCache.getOrBuild(spark, "graft_ivfbase", key) { out =>
       val e       = Tables.embeddings(spark, dir).where(col("vec_id") < batchStartId)
       val refined = refinedCentroids(e, nClusters)
       writeIvfSegment(e, refined, out, withQ8 = false)
       writeCentroids(spark, refined, out)
     }
+    exportForOracle(s"$layout/centroids.parquet", s"ivfbase$nClusters/centroids.parquet")
+    layout
   }
 
   /** The DELTA segment: batch vectors (`vec_id ≥ batchStartId`) assigned to
@@ -617,8 +666,10 @@ object Similarity {
     * the base rebuild, amortized, not a per-batch cost. With ALL clusters
     * probed the maintained index returns exactly s1's brute-force answer
     * (nothing lost or duplicated in maintenance — the completeness
-    * invariant SimilaritySpec pins); no SQL oracle otherwise (cluster
-    * assignment is engine-internal, the s4/s6/s9/s11 family contract).
+    * invariant SimilaritySpec pins); fully DuckDB-oracled since round 15
+    * by oracle-over-artifact over the exported FROZEN base centroids
+    * (base + delta are both assigned to them, so one replay covers the
+    * union).
     */
   def annIvfIncremental(
       spark: SparkSession,
@@ -1000,8 +1051,11 @@ object Similarity {
     * proven in isolation (s6 ≡ s4; s8 ≡ s1); the spec pins the
     * composition ≡ s6 — quantization costs nothing on top of probe search
     * at this corpus's margins. Like s4/s6, output depends on the
-    * quantizer's cluster assignment → no SQL oracle; rows-only at the
-    * driver gate plus the equivalence spec.
+    * quantizer's cluster assignment, which the round-15
+    * oracle-over-artifact replay conditions on: the exported centroids
+    * adjudicate assignment/probes, the q8 codes replay from their exact
+    * formula (integer codes, so float and double products coincide), and
+    * shortlist + re-rank replay relationally — fully DuckDB-oracled.
     */
   def annIvfQuantized(
       spark: SparkSession,
@@ -1620,9 +1674,11 @@ object Similarity {
     * with nClusters=1 the output is IDENTICAL to the brute rung (the
     * completeness invariant, same shape as s12's all-probes gate). A
     * (query, neighbor) pair arises at most once — a neighbor lives in
-    * exactly one cluster — so no dedup step is needed. Like s4/s6/s9:
-    * cluster assignment is engine-internal → no SQL oracle; rows-only at
-    * the driver gate plus the equivalence + recall specs.
+    * exactly one cluster — so no dedup step is needed. Fully
+    * DuckDB-oracled since round 15 by oracle-over-artifact (per-vector
+    * probes and assignment replayed from the exported centroids with
+    * NearestCentroids' float semantics); the equivalence + recall specs
+    * remain as the engine-side gates.
     */
   def knnJoinIvf(
       spark: SparkSession,
@@ -1895,9 +1951,11 @@ object Similarity {
       s"$dir/embeddings.parquet",
       s"pq-v$PqSchemeVersion#$PqSubspaces#$PqCodewords"
     )
-    graft.sources.LayoutCache.getOrBuild(spark, "graft_pq", key) { out =>
+    val layout = graft.sources.LayoutCache.getOrBuild(spark, "graft_pq", key) { out =>
       buildPqLayout(spark, Tables.embeddings(spark, dir), out)
     }
+    exportForOracle(s"$layout/codebooks.parquet", "pq/codebooks.parquet")
+    layout
   }
 
   /** PQ layout over corpus ∪ the ANN planted fixture, keyed on BOTH
@@ -1939,9 +1997,14 @@ object Similarity {
     * data-dependent — on near-tied random background cosines it CAN
     * reorder the shortlist boundary (measured: recall@10 = 8/10 at
     * sf0.1's 2000 vectors) — so s17 carries specs (≡ s1 at shortlist ≥
-    * corpus, a recall floor at the default) rather than a false
-    * exactness oracle, and the planted twin [[annPqPlanted]] carries the
-    * full positive-match oracle where the geometry supports one.
+    * corpus, a recall floor at the default) rather than an
+    * exactness-vs-BRUTE oracle. Since round 15 it IS fully DuckDB-oracled
+    * the honest way — oracle-over-artifact: the replay reads the exported
+    * codebooks and reproduces the ADC pass itself (codes, table, fold,
+    * norm, shortlist, re-rank) bit-for-bit, adjudicating the query path
+    * without pretending ADC equals brute force; the planted twin
+    * [[annPqPlanted]] still carries the positive-match oracle for the
+    * training step.
     */
   def annPq(
       spark: SparkSession,
@@ -1977,11 +2040,12 @@ object Similarity {
     * runs on the shortlist. Beside s9 (IVF×SQ8) this completes the
     * composition matrix: per-query cost is nProbe/nClusters of the
     * CODE table (16 B/vector), touching float vectors only for the
-    * shortlist. No SQL oracle — both stages are engine-internal
-    * quantizer state (the s4/s9/s17 argument) — and the gate is the
-    * ≡ s17-at-full-probe spec: with every cluster probed the candidate
-    * set is the whole corpus, so the stack must reproduce the plain PQ
-    * rung bit-for-bit.
+    * shortlist. Fully DuckDB-oracled since round 15 by
+    * oracle-over-artifact: BOTH trained artifacts (centroids, codebooks)
+    * export, and the replay composes the IVF gate into the ADC pass.
+    * The ≡ s17-at-full-probe spec remains: with every cluster probed the
+    * candidate set is the whole corpus, so the stack must reproduce the
+    * plain PQ rung bit-for-bit.
     */
   def annIvfPq(
       spark: SparkSession,
@@ -2020,9 +2084,11 @@ object Similarity {
     * FILTERED-set, never a post-filter of the unfiltered top-k (the
     * classic filtered-ANN recall trap, provably absent via the planted
     * twin). Per-query cost: (nProbe/nClusters)·|codes| minus the filter's
-    * selectivity, floats only for the shortlist. No SQL oracle (quantizer
-    * state, the family contract); gates are the ≡-filtered-brute spec at
-    * degenerate knobs and [[annIvfPqFilteredPlanted]]'s full oracle.
+    * selectivity, floats only for the shortlist. Fully DuckDB-oracled
+    * since round 15 by oracle-over-artifact (the s18 replay with the
+    * label predicate composed before the ADC shortlist); the
+    * ≡-filtered-brute spec at degenerate knobs and
+    * [[annIvfPqFilteredPlanted]]'s oracle remain as the other gates.
     */
   def annIvfPqFiltered(
       spark: SparkSession,

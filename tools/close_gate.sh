@@ -45,6 +45,11 @@ SPARK_DRIVER_MEM=4g sbt -batch 'runMain graft.ScaleRehearsal round14' 2>&1 \
   | grep -E '\[round14\]|\[rehearsal\]|OutOfMemory' >"$out/pressure.txt" || true
 cat "$out/pressure.txt"
 
+echo "== pressure rerun (4 GiB heap, round15 band-walk @ 10^6 near-unique hashes)"
+SPARK_DRIVER_MEM=4g sbt -batch 'runMain graft.ScaleRehearsal bandwalk 1000000' 2>&1 \
+  | grep -E '\[round15\]|OutOfMemory' >"$out/pressure_bandwalk.txt" || true
+cat "$out/pressure_bandwalk.txt"
+
 echo "== bench @ sf0.1"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_OUT="$out/BENCH_FULL.json" \
   sbt -batch 'runMain graft.Bench' >"$out/bench.log" 2>&1 || true
