@@ -296,6 +296,12 @@ object SparkEntry {
     "n24_video_simhash_pairs"  -> (Dedup.videoHashPairs _),
     "n25_video_simhash_groups" -> (Dedup.videoHashGroups _),
     "n26_video_simhash_capped" -> (Dedup.videoHashPairsCapped _),
+    // round 15: the deletion lifecycle extended to the perceptual + LSS
+    // layouts — n17's pair read with the image tombstone set masked, and
+    // the LSS layout's masked read with exact recompute for documents
+    // whose stored partner was taken down
+    "n17t_image_dhash_takedown" -> (Dedup.imageDhashPairsTombstoned _),
+    "n19t_lss_takedown"         -> (Dedup.longestSharedSubstringTombstoned _),
     // round 8: semantic decontamination — nearest benchmark vector +
     // above-threshold count per training vector (integer-only output)
     "d22_decontaminate_semantic" -> ((s: SparkSession, d: String) => Curation.decontaminateSemantic(s, d)),
@@ -872,17 +878,11 @@ object SparkEntry {
     // (exact at oracle scale); the engine's banded candidate generation is
     // exact-complete below Hamming 8 by the pigeonhole argument, so both
     // sides emit the identical pair set.
-    "n17_image_dhash_pairs" ->
-      (DhashGridCte +
-        ", hashes AS (SELECT id, " +
-        "SUM(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END)::BIGINT AS hash_hi, " +
-        "SUM(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END)::BIGINT AS hash_lo " +
-        "FROM bits GROUP BY id) " +
-        "SELECT a.id AS media_a, b.id AS media_b, " +
-        "(bit_count(xor(a.hash_hi, b.hash_hi)) + bit_count(xor(a.hash_lo, b.hash_lo)))::BIGINT AS dist " +
-        "FROM hashes a JOIN hashes b ON a.id < b.id " +
-        s"WHERE bit_count(xor(a.hash_hi, b.hash_hi)) + bit_count(xor(a.hash_lo, b.hash_lo)) <= ${Dedup.DhashHammingMax} " +
-        "ORDER BY media_a, media_b"),
+    "n17_image_dhash_pairs" -> (DhashGridCte + DhashPairTail),
+    // n17t: the takedown-masked pair read — same tail, the grid CTE
+    // rebuilt over the surviving rasters only (media_id % 8 == 0 is the
+    // registered tombstone rule)
+    "n17t_image_dhash_takedown" -> (dhashGridCte(" AND doc_id % 8 <> 0") + DhashPairTail),
     // n18: one aggregation over the rebuilt hashes — group size + min-id
     // representative per colliding dHash
     "n18_image_dhash_groups" ->
@@ -937,16 +937,12 @@ object SparkEntry {
     // n19: every width replayed by list slicing (the p3 discipline), the
     // same DISTINCT / df>=2 / per-doc-argmax pipeline; max_by at a unique
     // max key, min(fp) tie-break inside each (doc, len)
-    "n19_longest_shared_substring" ->
-      ("WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
-        "k AS (SELECT DISTINCT doc_id, L::BIGINT AS len, md5(array_to_string(w[p : p + L - 1], ' ')) AS fp " +
-        "FROM t, UNNEST(range(1, least(len(w), 16) + 1)) rl(L), UNNEST(range(1, len(w) + 1)) rp(p) " +
-        "WHERE p + L - 1 <= len(w)), " +
-        "sh AS (SELECT len, fp FROM k GROUP BY len, fp HAVING count(DISTINCT doc_id) >= 2), " +
-        "per AS (SELECT doc_id, k.len, min(k.fp) AS fp FROM k JOIN sh ON k.len = sh.len AND k.fp = sh.fp " +
-        "GROUP BY doc_id, k.len) " +
-        "SELECT doc_id, max(len)::BIGINT AS lss_len, max_by(fp, len) AS lss_fp " +
-        "FROM per GROUP BY doc_id ORDER BY doc_id"),
+    "n19_longest_shared_substring" -> lssOracleSql(""),
+    // n19t: the takedown-masked LSS — the SAME pipeline over the
+    // surviving documents (doc_id % 10 == 3 is the registered tombstone
+    // rule, t17's), which is exactly what the engine's
+    // clean-rows + partner-died-recompute split must equal
+    "n19t_lss_takedown" -> lssOracleSql(" WHERE doc_id % 10 <> 3"),
     // n19b: the winning SPAN (min_by its md5 — the same order n19's
     // min(fp) induces) joined back to the shared stream for the smallest
     // other carrier
@@ -2239,9 +2235,40 @@ object SparkEntry {
     * difference bits — all integer arithmetic over `documents` columns
     * (px(i) = (i·31+id) mod 256; sy = r·h div 8, sx = c·w div 9).
     */
-  private val DhashGridCte: String =
+  private val DhashGridCte: String = dhashGridCte("")
+
+  /** The n19/n19t LSS oracle over an optionally-filtered document set. */
+  private def lssOracleSql(docWhere: String): String =
+    s"WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents$docWhere), " +
+      "k AS (SELECT DISTINCT doc_id, L::BIGINT AS len, md5(array_to_string(w[p : p + L - 1], ' ')) AS fp " +
+      "FROM t, UNNEST(range(1, least(len(w), 16) + 1)) rl(L), UNNEST(range(1, len(w) + 1)) rp(p) " +
+      "WHERE p + L - 1 <= len(w)), " +
+      "sh AS (SELECT len, fp FROM k GROUP BY len, fp HAVING count(DISTINCT doc_id) >= 2), " +
+      "per AS (SELECT doc_id, k.len, min(k.fp) AS fp FROM k JOIN sh ON k.len = sh.len AND k.fp = sh.fp " +
+      "GROUP BY doc_id, k.len) " +
+      "SELECT doc_id, max(len)::BIGINT AS lss_len, max_by(fp, len) AS lss_fp " +
+      "FROM per GROUP BY doc_id ORDER BY doc_id"
+
+  /** The n17/n17t pair select over a `bits` CTE (hash rebuild + brute
+    * Hamming join — exact at oracle scale).
+    */
+  private val DhashPairTail: String =
+    ", hashes AS (SELECT id, " +
+      "SUM(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END)::BIGINT AS hash_hi, " +
+      "SUM(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END)::BIGINT AS hash_lo " +
+      "FROM bits GROUP BY id) " +
+      "SELECT a.id AS media_a, b.id AS media_b, " +
+      "(bit_count(xor(a.hash_hi, b.hash_hi)) + bit_count(xor(a.hash_lo, b.hash_lo)))::BIGINT AS dist " +
+      "FROM hashes a JOIN hashes b ON a.id < b.id " +
+      s"WHERE bit_count(xor(a.hash_hi, b.hash_hi)) + bit_count(xor(a.hash_lo, b.hash_lo)) <= ${Dedup.DhashHammingMax} " +
+      "ORDER BY media_a, media_b"
+
+  /** [[DhashGridCte]] with an extra predicate on the raster set — the
+    * n17t takedown oracle rebuilds hashes for the SURVIVING rasters only.
+    */
+  private def dhashGridCte(extraWhere: String): String =
     "WITH d AS (SELECT doc_id AS id, (doc_id % 14 + 2)::BIGINT AS w, (doc_id % 10 + 1)::BIGINT AS h " +
-      "FROM documents WHERE doc_id % 4 = 0), " +
+      s"FROM documents WHERE doc_id % 4 = 0$extraWhere), " +
       "g AS (SELECT id, r, c, ((((r * h // 8) * w + (c * w // 9)) * 31 + id) % 256) AS px " +
       "FROM d, UNNEST(range(0, 8)) AS a(r), UNNEST(range(0, 9)) AS b(c)), " +
       "bits AS (SELECT g1.id, CASE WHEN g1.px > g2.px THEN 1 ELSE 0 END AS bit, " +

@@ -2054,6 +2054,95 @@ object Dedup {
       graft.GraftConf.int(spark, "dhash.pair_cap", 16).toLong
     )
 
+  // ---- takedown lifecycle for the perceptual + LSS layouts (round 15:
+  // the t17/s21p deletion discipline extended to the last layouts that
+  // had no tombstone path — a GDPR takedown against an image-dedup
+  // ledger now has somewhere to go) ----------------------------------
+
+  /** Takedown rule for the perceptual-hash ledgers: `media_id ≡ rem
+    * (mod 8)`. A fixed rule keeps the masked rungs DuckDB-oracleable
+    * (t17's discipline — production passes its own ledger into the same
+    * machinery); rem is chosen inside each modality's quarter so every
+    * ledger has real tombstone mass (images ≡0 mod 4 → rem 0 tombstones
+    * half the rasters; audio rem 1; video rem 3).
+    */
+  private[graft] def mediaTombstones(spark: SparkSession, dir: String, rem: Int): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .where(pmod(col("doc_id"), lit(8)) === rem)
+      .select(col("doc_id").as("media_id"))
+
+  /** A hash ledger with its takedown set masked: broadcast anti join
+    * (takedown sets are tiny next to the corpus — the ledger side never
+    * shuffles for it). Ledger rows are per-media independent, so the
+    * mask equals a from-scratch ledger over the surviving corpus exactly
+    * (unlike postings stats or LSS maxima there is nothing to correct),
+    * and masking BEFORE pairing removes every pair touching a tombstoned
+    * medium on either side.
+    */
+  private[graft] def maskedHashLedger(ledger: DataFrame, tombstones: DataFrame): DataFrame =
+    ledger.join(broadcast(tombstones.select("media_id")), Seq("media_id"), "left_anti")
+
+  /** The PURGE stage: physically rewrite a hash-ledger layout without the
+    * tombstoned media — after it runs, queries need no mask and the
+    * ledger's takedown set retires (t17's compactSegmentsPurged on the
+    * perceptual key). At 100 TB this rides the once-per-corpus-version
+    * ledger rebuild, so erasure costs no extra decode pass.
+    */
+  private[graft] def purgeHashLedger(ledger: DataFrame, tombstones: DataFrame, out: String): Unit =
+    maskedHashLedger(ledger, tombstones).write.mode("overwrite").parquet(out)
+
+  /** N17T — n17's pair rung WITH TAKEDOWN: the registered proof of the
+    * masked read (the s21p pattern on the perceptual key). Tombstoned
+    * images appear on neither side of any pair; the result equals a
+    * from-scratch pair pass over the surviving corpus (spec-pinned), and
+    * the DuckDB oracle rebuilds hashes for the surviving rasters only.
+    */
+  def imageDhashPairsTombstoned(spark: SparkSession, dir: String): DataFrame =
+    dhashPairsFromHashes(
+      maskedHashLedger(
+        graft.operators.Multimodal.imageDhashLedger(spark, dir),
+        mediaTombstones(spark, dir, 0)
+      )
+    )
+
+  /** N19T — the LSS layout WITH TAKEDOWN (t17's doc rule, `doc_id ≡ 3
+    * (mod 10)`). Unlike the per-media hash ledgers, LSS rows are NOT
+    * independent: a surviving document's stored maximum may have been
+    * witnessed only by a now-tombstoned partner, so a plain mask would
+    * keep a stale answer. The n19b partner attribution makes the
+    * affected set computable without touching the corpus: rows whose
+    * stored partner survives are still exact (killing other documents
+    * can never RAISE a maximum, and the stored witness still stands);
+    * rows whose partner died recompute exactly against the surviving
+    * corpus. Cost shape: layout-read only when no stored partner is
+    * tombstoned; one n19-core pass over the survivors otherwise — the
+    * documented next lever is a per-doc top-K partner ledger, which
+    * makes any < K concurrent takedowns free (the same
+    * store-a-little-more-at-ingest trade as t17's delete-time `dl`).
+    */
+  def longestSharedSubstringTombstoned(spark: SparkSession, dir: String): DataFrame = {
+    val cap    = graft.GraftConf.int(spark, "lss.max_tokens", 16)
+    val docs   = Tables.documents(spark, dir)
+    val ledger = docs.where(pmod(col("doc_id"), lit(10)) === 3).select("doc_id")
+    val lss    = longestSharedSubstring(spark, dir)
+    val affected = longestSharedSubstringPartners(spark, dir)
+      .join(broadcast(ledger.select(col("doc_id").as("partner_id"))), Seq("partner_id"))
+      .join(broadcast(ledger), Seq("doc_id"), "left_anti")
+      .select("doc_id")
+    val clean = lss.join(broadcast(ledger), Seq("doc_id"), "left_anti")
+    if (affected.isEmpty) clean.orderBy("doc_id")
+    else {
+      val survivors  = docs.join(broadcast(ledger), Seq("doc_id"), "left_anti")
+      val recomputed = longestSharedSubstringFrom(survivors, cap)
+        .join(broadcast(affected), Seq("doc_id"), "left_semi")
+      clean
+        .join(broadcast(affected), Seq("doc_id"), "left_anti")
+        .unionByName(recomputed)
+        .orderBy("doc_id")
+    }
+  }
+
   /** Per-level band stats recorded by [[dhashBandWalk]] when profiling:
     * (level, n_buckets, n_hot_buckets, max_occupancy, rows_entering_level).
     */

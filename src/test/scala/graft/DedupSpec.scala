@@ -936,6 +936,75 @@ class DedupSpec extends SparkSpec {
       subsetOf pairs)
   }
 
+  test("takedown masks every perceptual ledger: tombstoned media on neither pair side; equals from-scratch over survivors") {
+    import graft.operators.Multimodal
+    def pairSet3(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // image (rem 0): the registered n17t rung
+    val masked = pairSet3(Dedup.imageDhashPairsTombstoned(spark, sf0001))
+    val dead   = Dedup.mediaTombstones(spark, sf0001, 0).collect().map(_.getLong(0)).toSet
+    assert(dead.nonEmpty)
+    assert(masked.forall { case (a, b, _) => !dead(a) && !dead(b) })
+    val scratch = pairSet3(Dedup.dhashPairsFromHashes(
+      Multimodal.imageDhashLedger(spark, sf0001).where(!col("media_id").isin(dead.toSeq: _*))))
+    assert(masked == scratch && masked.nonEmpty)
+    // audio (rem 1) and video (rem 3): the same shared machinery
+    Seq(
+      (Multimodal.audioHashLedger(spark, sf0001), 1),
+      (Multimodal.videoHashLedger(spark, sf0001), 3)
+    ).foreach { case (ledger, rem) =>
+      val ts = Dedup.mediaTombstones(spark, sf0001, rem)
+      val deadIds = ts.collect().map(_.getLong(0)).toSet
+      assert(deadIds.nonEmpty, s"rem $rem must tombstone real media")
+      val m = pairSet3(Dedup.dhashPairsFromHashes(Dedup.maskedHashLedger(ledger, ts)))
+      assert(m.forall { case (a, b, _) => !deadIds(a) && !deadIds(b) })
+      assert(m == pairSet3(Dedup.dhashPairsFromHashes(
+        ledger.where(!col("media_id").isin(deadIds.toSeq: _*)))))
+    }
+    // purge: the physically-rewritten ledger needs no mask and answers
+    // identically; no tombstoned row survives in the layout
+    val out = java.nio.file.Files.createTempDirectory("graft_purge").toString + "/ledger.parquet"
+    Dedup.purgeHashLedger(Multimodal.imageDhashLedger(spark, sf0001),
+      Dedup.mediaTombstones(spark, sf0001, 0), out)
+    val purged = spark.read.parquet(out)
+    assert(purged.where(col("media_id").isin(dead.toSeq: _*)).isEmpty)
+    assert(pairSet3(Dedup.dhashPairsFromHashes(purged)) == masked)
+  }
+
+  test("n19t: a surviving doc whose ONLY partner was taken down recomputes; clean rows read the layout unchanged") {
+    import spark.implicits._
+    def mk(id: Long, text: String) = (id, text, "en", "t", text.length.toLong)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsstd").toString
+    // doc 1's best run (5 tokens) is shared ONLY with doc 13 (13 % 10 == 3
+    // -> tombstoned); 1 also shares a 3-token run with doc 2. Docs 21/22
+    // share 4 tokens and are untouched. Doc 43 (tombstoned) shares with 44.
+    Seq(
+      mk(1L, "p q r s t zz1 a b c"),
+      mk(13L, "p q r s t zz2"),
+      mk(2L, "a b c zz3"),
+      mk(21L, "w x y z zz4"),
+      mk(22L, "w x y z zz5"),
+      mk(43L, "m n o zz6"),
+      mk(44L, "m n o zz7")
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val before = Dedup.longestSharedSubstring(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(before(1L) == 5L && before(21L) == 4L && before(44L) == 3L)
+    val after = Dedup.longestSharedSubstringTombstoned(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!after.contains(13L) && !after.contains(43L), "tombstoned docs must vanish")
+    assert(after.get(1L).contains(3L), s"doc 1 must RECOMPUTE down to its surviving 3-token run: $after")
+    assert(after.get(2L).contains(3L))
+    assert(after.get(21L).contains(4L) && after.get(22L).contains(4L), "untouched rows read the layout")
+    assert(!after.contains(44L), "a doc whose only sharer died loses its row entirely")
+    // and the masked read equals a from-scratch build over the survivors
+    val scratch = Dedup.longestSharedSubstringFrom(
+      graft.sources.Tables.documents(spark, dir).where(col("doc_id") % 10 =!= 3), 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == scratch)
+  }
+
   // ---- round-15 band-walk coverage: occupancy caps, refinement, degrade ----
 
   private def withConf(kvs: (String, String)*)(body: => Unit): Unit = {
