@@ -54,6 +54,7 @@ object Layouts {
     "lss_table"          -> (() => { Dedup.longestSharedSubstring(spark, dir); () }),
     "image_hash_ledger"  -> (() => { Multimodal.imageDhashLedger(spark, dir); () }),
     "audio_hash_ledger"  -> (() => { Multimodal.audioHashLedger(spark, dir); () }),
+    "video_hash_ledger"  -> (() => { Multimodal.videoHashLedger(spark, dir); () }),
     "gram_census"        -> (() => { Dedup.gramCensusCached(spark, dir, 2, 7, 3); () }),
     "bpe_merges"         -> (() => { Bpe.bpeMerges(spark, dir); () }),
     "bpe_incremental"    -> (() => { Bpe.bpeMergesIncremental(spark, dir); () }),

@@ -1974,6 +1974,28 @@ object SparkEntry {
     "s14_knn_join_ivf"        -> (ivfReplayCtes("ivf16") + knnIvfTail),
     "s9_ann_ivf_quantized"    -> (ivfReplayCtes("ivf16") + sq8Tail),
     "s17_ann_pq"              -> (pqBaseCtes + pqReplayTail("")),
+    // s2: the LSH path replayed over the exported hyperplanes — signature
+    // bits from DOUBLE-product dots (zip_with promotes the float side
+    // before multiplying), 4×4-bit band buckets, candidate union, exact
+    // float-cosine re-rank
+    "s2_ann_lsh" ->
+      ("WITH emb AS (SELECT vec_id, embedding FROM embeddings), " +
+        s"pl AS (SELECT i, p FROM read_parquet('$AnnArtifactDir/lsh/planes.parquet/*.parquet')), " +
+        "sig AS (SELECT e.vec_id, SUM(CASE WHEN " +
+        "list_sum(list_transform(range(1, len(e.embedding) + 1), d -> CAST(e.embedding[d] AS DOUBLE) * pl.p[d])) >= 0 " +
+        "THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS sig FROM emb e CROSS JOIN pl GROUP BY e.vec_id), " +
+        "sbands AS (SELECT vec_id, b, (sig >> (4 * b)::INTEGER) & 15 AS bv FROM sig, UNNEST(range(0, 4)) t(b)), " +
+        "qb AS (SELECT b, bv FROM sbands WHERE vec_id = 0), " +
+        "cand AS (SELECT DISTINCT sbands.vec_id FROM sbands JOIN qb ON sbands.b = qb.b AND sbands.bv = qb.bv " +
+        "WHERE sbands.vec_id <> 0), " +
+        "q AS (SELECT embedding AS qe FROM emb WHERE vec_id = 0), " +
+        s"vn AS (SELECT vec_id, ${fdot("embedding", "embedding")} AS nx FROM emb), " +
+        s"qn AS (SELECT ${fdot("qe", "qe")} AS nq FROM q), " +
+        "sc AS (SELECT e.vec_id, CASE WHEN v.nx = 0 OR qn.nq = 0 THEN 0.0 ELSE " +
+        s"${fdot("e.embedding", "q.qe")} / (sqrt(v.nx) * sqrt(qn.nq)) END AS cv " +
+        "FROM cand c JOIN emb e ON e.vec_id = c.vec_id JOIN vn v ON v.vec_id = e.vec_id CROSS JOIN q CROSS JOIN qn) " +
+        "SELECT rnk, vec_id FROM (SELECT ROW_NUMBER() OVER (ORDER BY cv DESC, vec_id)::BIGINT AS rnk, vec_id FROM sc) t " +
+        "WHERE rnk <= 10 ORDER BY rnk"),
     "s18_ann_ivf_pq" ->
       (ivfReplayCtes("ivf16") +
         pqReplayTail("JOIN assign ia ON ia.vec_id = c.vec_id AND ia.cl IN (SELECT cl FROM probes) ")),
@@ -1981,14 +2003,11 @@ object SparkEntry {
       (ivfReplayCtes("ivf16") +
         pqReplayTail("JOIN assign ia ON ia.vec_id = c.vec_id AND ia.cl IN (SELECT cl FROM probes) " +
           "JOIN emb ce ON ce.vec_id = c.vec_id AND ce.label = 1 ")),
-    // Still no-oracle (outputs depend on engine-internal hashing / plane
-    // seeds / quantizer-TRAINING / sketch state), each with a planted
-    // oracle twin or an equivalence spec (n3 LEFT this list when the
-    // shingle hash became cross-engine; the IVF/SQ8/PQ query paths LEFT
-    // it in round 15 via oracle-over-artifact above — training itself
-    // remains twin-gated):
-    // s2_ann_lsh (twin s2p; the hyperplane seeds are engine state and the
-    // signatures are never persisted as a layout artifact),
+    // Still no-oracle (outputs depend on engine-internal sketch state),
+    // each with a bounded companion on the correctness board (n3 LEFT
+    // this list when the shingle hash became cross-engine; the IVF/SQ8/PQ
+    // query paths AND s2's LSH left it in round 15 via oracle-over-
+    // artifact above — quantizer TRAINING itself remains twin-gated):
     // dq3_profile_events_approx (spec-bounded within 5% of dq1's
     // exact profile), x3_approx_percentiles, x4_approx_top_users
     // (spec-pinned exact below sketch capacity), x5_approx_distinct_rollup

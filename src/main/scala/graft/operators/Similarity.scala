@@ -1133,7 +1133,41 @@ object Similarity {
     */
   def annLsh(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
     VectorFunctions.register(spark)
+    exportLshPlanes(spark)
     annLshOn(Tables.embeddings(spark, dir), queryId, k)
+  }
+
+  /** Version tag for the exported hyperplane artifact — bump with any
+    * change to [[planes]] (count, dim, seed, or generator).
+    */
+  private val LshPlanesTag = "planes-v1#16#64#seed42"
+
+  /** Export the deterministic LSH hyperplanes for the s2
+    * oracle-over-artifact replay (round 15): the planes are code-level
+    * constants (fixed-seed Gaussians), so unlike the IVF/PQ artifacts
+    * there is no training to condition away — but the DuckDB oracle still
+    * needs the VALUES, and reading them from an exported parquet keeps
+    * the mechanism identical to the centroid/codebook exports. Signature
+    * arithmetic replays exactly: Spark's zip_with promotes the float
+    * component to double before the multiply, so the oracle's
+    * DOUBLE-product dot is bit-identical.
+    */
+  private def exportLshPlanes(spark: SparkSession): Unit = synchronized {
+    import java.nio.file._
+    val dst    = Paths.get(OracleArtifactDir, "lsh")
+    val marker = dst.resolve("_src")
+    if (Files.exists(marker) && new String(Files.readAllBytes(marker), "UTF-8").trim == LshPlanesTag)
+      return
+    import spark.implicits._
+    planes().zipWithIndex
+      .map { case (p, i) => (i, p.toSeq) }
+      .toSeq
+      .toDF("i", "p")
+      .coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"$OracleArtifactDir/lsh/planes.parquet")
+    Files.createDirectories(dst)
+    Files.write(marker, LshPlanesTag.getBytes("UTF-8"))
   }
 
   /** [[annLsh]] core over an arbitrary embeddings frame (the planted twin
