@@ -52,6 +52,7 @@ object Layouts {
     "knn_clusters"       -> (() => { Similarity.mutualKnnClusters(spark, dir); () }),
     "span_artifacts"     -> (() => { Dedup.spanArtifacts(spark, dir); () }),
     "lss_table"          -> (() => { Dedup.longestSharedSubstring(spark, dir); () }),
+    "lss_tombstoned"     -> (() => { Dedup.longestSharedSubstringTombstoned(spark, dir); () }),
     "image_hash_ledger"  -> (() => { Multimodal.imageDhashLedger(spark, dir); () }),
     "audio_hash_ledger"  -> (() => { Multimodal.audioHashLedger(spark, dir); () }),
     "video_hash_ledger"  -> (() => { Multimodal.videoHashLedger(spark, dir); () }),
