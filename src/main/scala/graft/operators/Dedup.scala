@@ -2072,16 +2072,20 @@ object Dedup {
       .where(pmod(col("doc_id"), lit(8)) === rem)
       .select(col("doc_id").as("media_id"))
 
-  /** A hash ledger with its takedown set masked: broadcast anti join
-    * (takedown sets are tiny next to the corpus — the ledger side never
-    * shuffles for it). Ledger rows are per-media independent, so the
-    * mask equals a from-scratch ledger over the surviving corpus exactly
-    * (unlike postings stats or LSS maxima there is nothing to correct),
-    * and masking BEFORE pairing removes every pair touching a tombstoned
-    * medium on either side.
+  /** A hash ledger with its takedown set masked: an anti join with NO
+    * forced broadcast — production takedown sets are tiny and AQE will
+    * broadcast them from runtime stats, but the REGISTERED rule
+    * tombstones a fixed 1/8 of the corpus (so the rung stays
+    * oracleable), and a forced hint on a corpus-fraction set is exactly
+    * the broadcast-ceiling abort this round removed from the capped pair
+    * core (the n19 review's rule). Ledger rows are per-media
+    * independent, so the mask equals a from-scratch ledger over the
+    * surviving corpus exactly (unlike postings stats or LSS maxima there
+    * is nothing to correct), and masking BEFORE pairing removes every
+    * pair touching a tombstoned medium on either side.
     */
   private[graft] def maskedHashLedger(ledger: DataFrame, tombstones: DataFrame): DataFrame =
-    ledger.join(broadcast(tombstones.select("media_id")), Seq("media_id"), "left_anti")
+    ledger.join(tombstones.select("media_id"), Seq("media_id"), "left_anti")
 
   /** The PURGE stage: physically rewrite a hash-ledger layout without the
     * tombstoned media — after it runs, queries need no mask and the
@@ -2148,21 +2152,24 @@ object Dedup {
   }
 
   private def lssTombstonedCompute(spark: SparkSession, dir: String, cap: Int): DataFrame = {
+    // no forced broadcasts anywhere below: the registered rule tombstones
+    // a fixed 1/10 of the corpus, so AQE must be free to degrade these
+    // joins to shuffles (the maskedHashLedger argument)
     val docs   = Tables.documents(spark, dir)
     val ledger = docs.where(pmod(col("doc_id"), lit(10)) === 3).select("doc_id")
     val lss    = longestSharedSubstring(spark, dir)
     val affected = longestSharedSubstringPartners(spark, dir)
-      .join(broadcast(ledger.select(col("doc_id").as("partner_id"))), Seq("partner_id"))
-      .join(broadcast(ledger), Seq("doc_id"), "left_anti")
+      .join(ledger.select(col("doc_id").as("partner_id")), Seq("partner_id"))
+      .join(ledger, Seq("doc_id"), "left_anti")
       .select("doc_id")
-    val clean = lss.join(broadcast(ledger), Seq("doc_id"), "left_anti")
+    val clean = lss.join(ledger, Seq("doc_id"), "left_anti")
     if (affected.isEmpty) clean
     else {
-      val survivors  = docs.join(broadcast(ledger), Seq("doc_id"), "left_anti")
+      val survivors  = docs.join(ledger, Seq("doc_id"), "left_anti")
       val recomputed = longestSharedSubstringFrom(survivors, cap)
-        .join(broadcast(affected), Seq("doc_id"), "left_semi")
+        .join(affected, Seq("doc_id"), "left_semi")
       clean
-        .join(broadcast(affected), Seq("doc_id"), "left_anti")
+        .join(affected, Seq("doc_id"), "left_anti")
         .unionByName(recomputed)
     }
   }
@@ -2170,6 +2177,11 @@ object Dedup {
   /** Per-level band stats recorded by [[dhashBandWalk]] when profiling:
     * (level, n_buckets, n_hot_buckets, max_occupancy, rows_entering_level).
     */
+  /** Disk-persisted level frames of the most recent overflow-path band
+    * walk in this JVM — released at the start of the next walk.
+    */
+  private val walkPersists = scala.collection.mutable.ListBuffer.empty[DataFrame]
+
   private[graft] final case class DhashBandLevelStats(
       level: Int,
       nBuckets: Long,
@@ -2276,6 +2288,16 @@ object Dedup {
     if (probeMax <= cap && stats.isEmpty)
       return (selfJoin(b0), b0.where(lit(false)))
 
+    // release the PREVIOUS overflow walk's level frames before persisting
+    // new ones: a returned frame's lineage survives unpersist (recompute),
+    // so at most one walk's disk blocks are ever resident per JVM — a
+    // long-lived session issuing repeated overflow-path queries no longer
+    // accumulates dead block files
+    walkPersists.synchronized {
+      walkPersists.foreach(df => df.unpersist(blocking = false))
+      walkPersists.clear()
+    }
+
     var pending  = hu
     var level    = 0
     var residual: DataFrame = null
@@ -2290,6 +2312,7 @@ object Dedup {
       val b = pending
         .select(col("hash_hi"), col("hash_lo"), explode(bandKeys(level)).as("bucket"))
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      walkPersists.synchronized { walkPersists += b }
       val occ   = b.groupBy("bucket").agg(count(lit(1)).as("occ"))
       val small = b.join(occ.where(col("occ") <= cap).select("bucket"), "bucket")
       parts += selfJoin(small)
@@ -2320,6 +2343,19 @@ object Dedup {
     * has a quadratic TRUE answer, so the residual join is output-
     * correlated, not a plan accident). Every wide op is hash-cardinality.
     */
+  /** Verify-then-distinct over a candidate hash-pair stream: bit_count is
+    * codegen'd and map-side, so the dedup shuffle carries only VERIFIED
+    * pairs (output cardinality), not the full candidate stream — at the
+    * 10⁶-hash rehearsal that is ~10 rows instead of ~5×10⁸. ONE
+    * definition so the exact and capped rungs can never diverge on the
+    * Hamming bound or the verify/distinct ordering.
+    */
+  private def verifyHashPairs(cands: DataFrame): DataFrame =
+    cands
+      .withColumn("dist", (expr("bit_count(ha_hi ^ hb_hi)") + expr("bit_count(ha_lo ^ hb_lo)")).cast("long"))
+      .where(col("dist") <= DhashHammingMax && col("dist") >= 1L)
+      .distinct() // hash-cardinality, not image-cardinality
+
   private def verifiedDhashHashPairs(h: DataFrame): DataFrame = {
     val (cands, residual) = dhashBandWalk(h)
     val residualPairs = residual
@@ -2335,15 +2371,7 @@ object Dedup {
         col("b.hash_hi").as("hb_hi"),
         col("b.hash_lo").as("hb_lo")
       )
-    // verify BEFORE distinct: bit_count is codegen'd and map-side, so the
-    // dedup shuffle carries only VERIFIED pairs (output cardinality), not
-    // the full candidate stream — at the 10⁶-hash rehearsal that is ~10
-    // rows instead of ~5×10⁸
-    cands
-      .unionByName(residualPairs)
-      .withColumn("dist", (expr("bit_count(ha_hi ^ hb_hi)") + expr("bit_count(ha_lo ^ hb_lo)")).cast("long"))
-      .where(col("dist") <= DhashHammingMax && col("dist") >= 1L)
-      .distinct() // hash-cardinality, not image-cardinality
+    verifyHashPairs(cands.unionByName(residualPairs))
   }
 
   /** N21 — n17's pair rung with its documented adversarial cap ENFORCED:
@@ -2446,10 +2474,7 @@ object Dedup {
         col("n_pairs")
       )
     val (walkCands, walkResidual) = dhashBandWalk(h)
-    val verifiedPairs = walkCands
-      .withColumn("dist", (expr("bit_count(ha_hi ^ hb_hi)") + expr("bit_count(ha_lo ^ hb_lo)")).cast("long"))
-      .where(col("dist") <= DhashHammingMax && col("dist") >= 1L)
-      .distinct() // verify-then-distinct: the dedup shuffle is output-sized
+    val verifiedPairs = verifyHashPairs(walkCands)
     val crossUnits = verifiedPairs
       .join(
         counts.select(col("hash_hi").as("ha_hi"), col("hash_lo").as("ha_lo"), col("n").as("na"), col("keeper").as("ka")),

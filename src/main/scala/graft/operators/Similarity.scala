@@ -384,12 +384,20 @@ object Similarity {
     VectorFunctions.register(spark)
     val (nc, np) = resolveIvfKnobs(spark, nClusters, nProbe)
     val e       = Tables.embeddings(spark, dir)
-    // resolve (and thereby oracle-export) the persisted layout: s4's own
-    // computation stays live-trained, and the deterministic trainer makes
-    // the layout's centroids the same artifact (the s4 ≡ s6 spec pins it),
-    // so the artifact-conditioned DuckDB replay adjudicates s4 too
-    ivfLayoutCache(spark, dir, nc)
-    val refined = refinedCentroids(e, nc)
+    // the coarse quantizer comes from the persisted layout (one training
+    // per corpus version — the same centroids s6/s9 read, which is also
+    // what the artifact-conditioned DuckDB replay adjudicates); s4's
+    // identity vs s6 is WHERE assignment happens: here it is computed at
+    // query time over the raw embeddings scan, s6 reads the pre-assigned
+    // cluster-partitioned layout. Retraining live per call (the old
+    // shape) paid k-means twice per cold corpus and let an ulp-level
+    // training divergence false-FAIL the oracle on a near-tied
+    // assignment.
+    val refined = spark.read
+      .parquet(s"${ivfLayoutCache(spark, dir, nc)}/centroids.parquet")
+      .orderBy("cl")
+      .collect()
+      .map(_.getSeq[Float](1))
     val qv      = e.where(col("vec_id") === queryId).select("embedding").head().getSeq[Float](0)
     val probes  = probeIds(qv, refined, np)
     rankTopK(
@@ -529,27 +537,57 @@ object Similarity {
   private[graft] val OracleArtifactDir: String =
     s"${sys.props("java.io.tmpdir")}/graft_ann_oracle"
 
+  /** Export = copy into a CONTENT-KEYED version directory once, then
+    * atomically repoint a symlink at it. The fixed path the static oracle
+    * SQL reads is the symlink, so a concurrent DuckDB `read_parquet`
+    * never observes a half-written or deleted directory (the naive
+    * delete-then-copy had that window), and re-exporting an
+    * already-exported layout is a single readlink. Two processes
+    * exporting DIFFERENT corpora still race last-writer-wins on the
+    * symlink — overlapping ANN oracle gates across corpora is
+    * unsupported (the close gate is strictly sequential per SF) — but
+    * the version dirs themselves are immutable, so the loser's data is
+    * intact and one re-run repoints.
+    */
   private def exportForOracle(srcDir: String, sub: String): Unit = synchronized {
     import java.nio.file._
-    val src    = Paths.get(srcDir)
-    val dst    = Paths.get(OracleArtifactDir, sub)
-    val marker = dst.resolve("_src")
-    if (Files.exists(marker) && new String(Files.readAllBytes(marker), "UTF-8").trim == srcDir)
-      return
-    if (Files.exists(dst)) {
-      val it = Files.walk(dst).sorted(java.util.Comparator.reverseOrder[Path]()).iterator()
+    val src  = Paths.get(srcDir)
+    val link = Paths.get(OracleArtifactDir, sub)
+    // version key: the source layout path is already content-keyed by
+    // LayoutCache, so its md5 names the immutable export
+    val ver = java.security.MessageDigest
+      .getInstance("MD5").digest(srcDir.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val verDir = Paths.get(OracleArtifactDir, ".versions", s"${sub.replace('/', '_')}-$ver")
+    if (!Files.exists(verDir.resolve("_done"))) {
+      val tmp = Paths.get(verDir.toString + ".tmp")
+      if (Files.exists(tmp)) {
+        val it = Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[Path]()).iterator()
+        while (it.hasNext) Files.delete(it.next())
+      }
+      Files.createDirectories(tmp)
+      val files = Files.walk(src).filter(p => Files.isRegularFile(p)).iterator()
+      while (files.hasNext) {
+        val p   = files.next()
+        val t   = tmp.resolve(src.relativize(p).toString)
+        if (t.getParent != null) Files.createDirectories(t.getParent)
+        Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+      }
+      Files.write(tmp.resolve("_done"), srcDir.getBytes("UTF-8"))
+      try Files.move(tmp, verDir, StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: FileAlreadyExistsException => () } // concurrent exporter won
+    }
+    if (Files.isSymbolicLink(link) && Files.readSymbolicLink(link) == verDir) return
+    if (link.getParent != null) Files.createDirectories(link.getParent)
+    if (Files.exists(link, LinkOption.NOFOLLOW_LINKS) && !Files.isSymbolicLink(link)) {
+      // a plain directory from the pre-symlink export scheme
+      val it = Files.walk(link).sorted(java.util.Comparator.reverseOrder[Path]()).iterator()
       while (it.hasNext) Files.delete(it.next())
     }
-    Files.createDirectories(dst)
-    val files = Files.walk(src).filter(p => Files.isRegularFile(p)).iterator()
-    while (files.hasNext) {
-      val p   = files.next()
-      val rel = src.relativize(p)
-      val t   = dst.resolve(rel.toString)
-      if (t.getParent != null) Files.createDirectories(t.getParent)
-      Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
-    }
-    Files.write(marker, srcDir.getBytes("UTF-8"))
+    val tmpLink = link.resolveSibling(link.getFileName.toString + ".lnk")
+    Files.deleteIfExists(tmpLink)
+    Files.createSymbolicLink(tmpLink, verDir)
+    Files.move(tmpLink, link, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
   private[operators] def ivfLayoutCache(spark: SparkSession, dir: String, nClusters: Int): String = {
@@ -1154,10 +1192,14 @@ object Similarity {
     */
   private def exportLshPlanes(spark: SparkSession): Unit = synchronized {
     import java.nio.file._
-    val dst    = Paths.get(OracleArtifactDir, "lsh")
-    val marker = dst.resolve("_src")
-    if (Files.exists(marker) && new String(Files.readAllBytes(marker), "UTF-8").trim == LshPlanesTag)
-      return
+    val link = Paths.get(OracleArtifactDir, "lsh", "planes.parquet")
+    val done = link.resolve("_done") // resolves THROUGH the symlink
+    if (Files.isSymbolicLink(link) && Files.exists(done) &&
+      new String(Files.readAllBytes(done), "UTF-8").trim.endsWith(LshPlanesTag))
+      return // constant content at the current tag; once is enough
+    // stage into a private temp dir, then publish through the shared
+    // atomic versioned-symlink path (no concurrent-writer window)
+    val tmp = Files.createTempDirectory("graft_lsh_planes")
     import spark.implicits._
     planes().zipWithIndex
       .map { case (p, i) => (i, p.toSeq) }
@@ -1165,9 +1207,8 @@ object Similarity {
       .toDF("i", "p")
       .coalesce(1)
       .write.mode("overwrite")
-      .parquet(s"$OracleArtifactDir/lsh/planes.parquet")
-    Files.createDirectories(dst)
-    Files.write(marker, LshPlanesTag.getBytes("UTF-8"))
+      .parquet(s"$tmp/$LshPlanesTag")
+    exportForOracle(s"$tmp/$LshPlanesTag", "lsh/planes.parquet")
   }
 
   /** [[annLsh]] core over an arbitrary embeddings frame (the planted twin
