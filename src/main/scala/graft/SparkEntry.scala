@@ -302,6 +302,10 @@ object SparkEntry {
     // whose stored partner was taken down
     "n17t_image_dhash_takedown" -> (Dedup.imageDhashPairsTombstoned _),
     "n19t_lss_takedown"         -> (Dedup.longestSharedSubstringTombstoned _),
+    // round 15: margin-based bitext mining (Artetxe & Schwenk) — the
+    // CCMatrix-style parallel-pair harvest over the embedding space,
+    // mutual-nearest + ratio-margin across the label-parity "languages"
+    "b1_bitext_margin_pairs" -> ((s: SparkSession, d: String) => Similarity.bitextMarginPairs(s, d)),
     // round 8: semantic decontamination — nearest benchmark vector +
     // above-threshold count per training vector (integer-only output)
     "d22_decontaminate_semantic" -> ((s: SparkSession, d: String) => Curation.decontaminateSemantic(s, d)),
@@ -1974,6 +1978,27 @@ object SparkEntry {
     "s14_knn_join_ivf"        -> (ivfReplayCtes("ivf16") + knnIvfTail),
     "s9_ann_ivf_quantized"    -> (ivfReplayCtes("ivf16") + sq8Tail),
     "s17_ann_pq"              -> (pqBaseCtes + pqReplayTail("")),
+    // b1: the margin pipeline replayed end to end — float-exact cosines,
+    // ordered top-k folds (array_agg ORDER BY sliced then list_sum == the
+    // engine's sorted sequential aggregate), DOUBLE ratio arithmetic, the
+    // registered k=4 / threshold=1.05 operating point inlined
+    "b1_bitext_margin_pairs" ->
+      ("WITH emb AS (SELECT vec_id, label, embedding FROM embeddings), " +
+        "s AS (SELECT vec_id AS sid, embedding AS se FROM emb WHERE label % 2 = 0), " +
+        "t AS (SELECT vec_id AS tid, embedding AS te FROM emb WHERE label % 2 = 1), " +
+        s"sn AS (SELECT sid, ${fdot("se", "se")} AS nx FROM s), " +
+        s"tn AS (SELECT tid, ${fdot("te", "te")} AS nx FROM t), " +
+        "sc AS (SELECT s.sid, t.tid, CASE WHEN sn.nx = 0 OR tn.nx = 0 THEN 0.0 ELSE " +
+        s"${fdot("s.se", "t.te")} / (sqrt(sn.nx) * sqrt(tn.nx)) END AS cos " +
+        "FROM s CROSS JOIN t JOIN sn ON sn.sid = s.sid JOIN tn ON tn.tid = t.tid), " +
+        "pers AS (SELECT sid, (array_agg(tid ORDER BY cos DESC, tid))[1] AS nn_tid, " +
+        "(array_agg(cos ORDER BY cos DESC, tid))[1] AS nn_cos, " +
+        "list_sum((array_agg(cos ORDER BY cos DESC, tid))[1:4]) / 4.0 AS davg_s FROM sc GROUP BY sid), " +
+        "pert AS (SELECT tid, (array_agg(sid ORDER BY cos DESC, sid))[1] AS nn_sid, " +
+        "list_sum((array_agg(cos ORDER BY cos DESC, sid))[1:4]) / 4.0 AS davg_t FROM sc GROUP BY tid) " +
+        "SELECT p.sid AS src_id, p.nn_tid AS tgt_id FROM pers p JOIN pert q ON q.tid = p.nn_tid " +
+        "WHERE q.nn_sid = p.sid AND p.nn_cos / ((p.davg_s + q.davg_t) / 2.0) >= 1.05 " +
+        "ORDER BY src_id"),
     // s2: the LSH path replayed over the exported hyperplanes — signature
     // bits from DOUBLE-product dots (zip_with promotes the float side
     // before multiplying), 4×4-bit band buckets, candidate union, exact

@@ -1815,6 +1815,82 @@ object Similarity {
     }
   }
 
+  /** B1 — margin-based bitext mining (Artetxe & Schwenk, "Margin-based
+    * Parallel Corpus Mining with Multilingual Sentence Embeddings",
+    * ACL 2019 — the method behind CCMatrix/WikiMatrix-scale parallel-data
+    * harvesting, which is to multilingual training corpora what MinHash
+    * is to monolingual dedup): a candidate pair's raw cosine is
+    * normalized by how similar each side is to its own neighborhood,
+    * `margin(x, y) = cos(x, y) / ((avgKnn(x→T) + avgKnn(y→S)) / 2)`, so
+    * hub sentences (high cosine to EVERYTHING) stop producing false
+    * pairs — the reason raw-threshold mining does not survive real
+    * corpora. The corpus splits into "languages" by label parity (the
+    * deterministic stand-in for a language id — production passes its
+    * own language predicate); a pair is emitted when each side is the
+    * other's nearest cross-lingual neighbor (the paper's
+    * "intersection" criterion) and the ratio margin clears
+    * [[BitextMarginThreshold]].
+    *
+    * Scale shape: this registered rung is the EXACT scorer — a
+    * broadcast-side cross score of the two halves, the s13/s1 brute
+    * discipline, which is also what makes it fully DuckDB-oracleable
+    * (every cosine, ordered top-k fold, and ratio replays bit-for-bit:
+    * float-product cosines, DOUBLE ratio arithmetic, ordered-list sums).
+    * At 10⁹×10⁹ production swaps the scorer for the IVF-pruned neighbor
+    * lists (s14's join: n·nProbe/nClusters) and keeps the margin
+    * arithmetic unchanged — the same exact-rung/production-rung split as
+    * s13/s14, documented rather than duplicated because the margin math
+    * is the novel part and it is identical over either neighbor list.
+    */
+  def bitextMarginPairs(
+      spark: SparkSession,
+      dir: String,
+      k: Int = BitextMarginK,
+      threshold: Double = BitextMarginThreshold
+  ): DataFrame = {
+    VectorFunctions.register(spark)
+    val e   = Tables.embeddings(spark, dir)
+    val src = e.where(pmod(col("label"), lit(2)) === 0).select(col("vec_id").as("sid"), col("embedding").as("se"))
+    val tgt = e.where(pmod(col("label"), lit(2)) === 1).select(col("vec_id").as("tid"), col("embedding").as("te"))
+    val scored = src
+      .crossJoin(tgt)
+      .select(col("sid"), col("tid"), call_function("cosine_sim", col("se"), col("te")).as("cos"))
+    // ordered top-k fold per side: sort (cos desc, id), take k, sum in
+    // that order — the sequential fold DuckDB's
+    // list_sum(array_agg(ORDER BY)[1:k]) replays bit-for-bit
+    def sideStats(df: DataFrame, key: String, other: String): DataFrame = {
+      val cmp =
+        s"(a, b) -> CASE WHEN a.cos > b.cos THEN -1 WHEN a.cos < b.cos THEN 1 " +
+          s"WHEN a.$other < b.$other THEN -1 WHEN a.$other > b.$other THEN 1 ELSE 0 END"
+      df.groupBy(key)
+        .agg(collect_list(struct(col("cos"), col(other))).as("arr"))
+        .select(
+          col(key),
+          expr(s"element_at(array_sort(arr, $cmp), 1).$other").as(s"nn_$other"),
+          expr(s"element_at(array_sort(arr, $cmp), 1).cos").as(s"nn_cos_$key"),
+          expr(
+            s"aggregate(slice(array_sort(arr, $cmp), 1, $k), CAST(0.0 AS DOUBLE), (s, x) -> s + x.cos) / CAST($k AS DOUBLE)"
+          ).as(s"davg_$key")
+        )
+    }
+    val perSrc = sideStats(scored, "sid", "tid")
+    val perTgt = sideStats(scored, "tid", "sid")
+    perSrc
+      .join(perTgt, perSrc("nn_tid") === perTgt("tid"))
+      .where(col("nn_sid") === col("sid")) // mutual nearest (intersection criterion)
+      .withColumn("margin", col("nn_cos_sid") / ((col("davg_sid") + col("davg_tid")) / lit(2.0)))
+      .where(col("margin") >= threshold)
+      .select(col("sid").as("src_id"), col("tid").as("tgt_id"))
+      .orderBy("src_id")
+  }
+
+  /** b1's registered operating point: neighborhood width and ratio-margin
+    * threshold (the paper's 1.05–1.06 band). Inlined in the oracle SQL —
+    * the registered-default discipline every knob-coupled oracle follows.
+    */
+  val BitextMarginK         = 4
+  val BitextMarginThreshold = 1.05
+
   /** S15 — MUTUAL kNN pairs: edges (a, b) where each vector is in the
     * other's top-k — the standard symmetrization that turns a directed kNN
     * graph into the undirected graph clustering/community detection runs on
