@@ -306,6 +306,10 @@ object SparkEntry {
     // CCMatrix-style parallel-pair harvest over the embedding space,
     // mutual-nearest + ratio-margin across the label-parity "languages"
     "b1_bitext_margin_pairs" -> ((s: SparkSession, d: String) => Similarity.bitextMarginPairs(s, d)),
+    // round 16: the PRODUCTION bitext rung — the same margin arithmetic
+    // over IVF-pruned neighbor retrievals (the s13/s14 exact/production
+    // split applied to mining; b1 stays as the oracle comparator)
+    "b2_bitext_margin_ivf" -> ((s: SparkSession, d: String) => Similarity.bitextMarginPairsIvf(s, d)),
     // round 8: semantic decontamination — nearest benchmark vector +
     // above-threshold count per training vector (integer-only output)
     "d22_decontaminate_semantic" -> ((s: SparkSession, d: String) => Curation.decontaminateSemantic(s, d)),
@@ -1976,6 +1980,11 @@ object SparkEntry {
     "s11_ann_ivf_filtered"    -> (ivfReplayCtes("ivf16") + ivfRankTail(" AND e.label = 1")),
     "s12_ann_ivf_incremental" -> (ivfReplayCtes("ivfbase16") + ivfRankTail("")),
     "s14_knn_join_ivf"        -> (ivfReplayCtes("ivf16") + knnIvfTail),
+    // b2: the b1 margin pipeline over IVF-PRUNED retrievals — per-vector
+    // probes and assignment replayed from the exported centroids (the s14
+    // recipe), then the b1 fold/ratio SQL over the pruned candidate
+    // relation at the registered knobs (nprobe 4, k 4, threshold 1.05)
+    "b2_bitext_margin_ivf"    -> (ivfReplayCtes("ivf16") + bitextIvfTail),
     "s9_ann_ivf_quantized"    -> (ivfReplayCtes("ivf16") + sq8Tail),
     "s17_ann_pq"              -> (pqBaseCtes + pqReplayTail("")),
     // b1: the margin pipeline replayed end to end — float-exact cosines,

@@ -1855,26 +1855,8 @@ object Similarity {
     val scored = src
       .crossJoin(tgt)
       .select(col("sid"), col("tid"), call_function("cosine_sim", col("se"), col("te")).as("cos"))
-    // ordered top-k fold per side: sort (cos desc, id), take k, sum in
-    // that order — the sequential fold DuckDB's
-    // list_sum(array_agg(ORDER BY)[1:k]) replays bit-for-bit
-    def sideStats(df: DataFrame, key: String, other: String): DataFrame = {
-      val cmp =
-        s"(a, b) -> CASE WHEN a.cos > b.cos THEN -1 WHEN a.cos < b.cos THEN 1 " +
-          s"WHEN a.$other < b.$other THEN -1 WHEN a.$other > b.$other THEN 1 ELSE 0 END"
-      df.groupBy(key)
-        .agg(collect_list(struct(col("cos"), col(other))).as("arr"))
-        .select(
-          col(key),
-          expr(s"element_at(array_sort(arr, $cmp), 1).$other").as(s"nn_$other"),
-          expr(s"element_at(array_sort(arr, $cmp), 1).cos").as(s"nn_cos_$key"),
-          expr(
-            s"aggregate(slice(array_sort(arr, $cmp), 1, $k), CAST(0.0 AS DOUBLE), (s, x) -> s + x.cos) / CAST($k AS DOUBLE)"
-          ).as(s"davg_$key")
-        )
-    }
-    val perSrc = sideStats(scored, "sid", "tid")
-    val perTgt = sideStats(scored, "tid", "sid")
+    val perSrc = bitextSideStats(scored, "sid", "tid", k)
+    val perTgt = bitextSideStats(scored, "tid", "sid", k)
     perSrc
       .join(perTgt, perSrc("nn_tid") === perTgt("tid"))
       .where(col("nn_sid") === col("sid")) // mutual nearest (intersection criterion)
@@ -1890,6 +1872,99 @@ object Similarity {
     */
   val BitextMarginK         = 4
   val BitextMarginThreshold = 1.05
+
+  /** Per-side neighborhood statistics for the margin rule — ONE definition
+    * shared by the exact scorer ([[bitextMarginPairs]]) and the IVF-pruned
+    * production rung ([[bitextMarginPairsIvf]]), so the two rungs cannot
+    * diverge on the arithmetic that IS the method. Ordered top-k fold:
+    * sort (cos desc, id asc), take k, sum in that order — the sequential
+    * fold DuckDB's `list_sum(array_agg(ORDER BY)[1:k])` replays
+    * bit-for-bit.
+    */
+  private def bitextSideStats(df: DataFrame, key: String, other: String, k: Int): DataFrame = {
+    val cmp =
+      s"(a, b) -> CASE WHEN a.cos > b.cos THEN -1 WHEN a.cos < b.cos THEN 1 " +
+        s"WHEN a.$other < b.$other THEN -1 WHEN a.$other > b.$other THEN 1 ELSE 0 END"
+    df.groupBy(key)
+      .agg(collect_list(struct(col("cos"), col(other))).as("arr"))
+      .select(
+        col(key),
+        expr(s"element_at(array_sort(arr, $cmp), 1).$other").as(s"nn_$other"),
+        expr(s"element_at(array_sort(arr, $cmp), 1).cos").as(s"nn_cos_$key"),
+        expr(
+          s"aggregate(slice(array_sort(arr, $cmp), 1, $k), CAST(0.0 AS DOUBLE), (s, x) -> s + x.cos) / CAST($k AS DOUBLE)"
+        ).as(s"davg_$key")
+      )
+  }
+
+  /** B2 — the PRODUCTION bitext rung: identical margin arithmetic to
+    * [[bitextMarginPairs]] (the shared [[bitextSideStats]] fold and the
+    * same mutual-nearest + ratio-threshold tail), but each side's
+    * neighborhood comes from the IVF index instead of an all-pairs score —
+    * the s13/s14 exact-rung/production-rung split applied to mining.
+    * Forward retrieval: every source vector probes its nProbe nearest
+    * clusters ([[probeIdsCol]], the compiled in-engine scan) and scores
+    * only the TARGET-side vectors assigned there (an equi-join on the
+    * layout's partition column `cl` — partition pruning at scale, the s14
+    * shape); the backward retrieval mirrors it. The scored relation
+    * shrinks from |S|×|T| to n·(nProbe/nClusters)·avg-cluster-size, which
+    * is what makes CCMatrix-scale (10⁹×10⁹) mining feasible; the cost is
+    * the usual IVF recall trade measured in the RecallLedger (a true
+    * nearest neighbor in an unprobed cluster is invisible, so a pair can
+    * be missed — never invented: every emitted pair satisfied the margin
+    * rule on its pruned neighborhoods). At nProbe == nClusters every
+    * cluster is probed, both retrievals see the full opposite half, and
+    * the output is IDENTICAL to b1 bit-for-bit (BitextSpec pins it — the
+    * s14/s13 completeness discipline). Fully DuckDB-oracled by
+    * oracle-over-artifact: the exported centroids replay assignment and
+    * per-vector probes relationally, then the b1 margin SQL runs over the
+    * pruned candidate relation.
+    */
+  def bitextMarginPairsIvf(
+      spark: SparkSession,
+      dir: String,
+      k: Int = BitextMarginK,
+      threshold: Double = BitextMarginThreshold,
+      nClusters: Int = -1,
+      nProbe: Int = -1
+  ): DataFrame = {
+    VectorFunctions.register(spark)
+    val (nc, np) = resolveIvfKnobs(spark, nClusters, nProbe)
+    val layout   = ivfLayoutCache(spark, dir, nc)
+    val centroids = spark.read
+      .parquet(s"$layout/centroids.parquet")
+      .orderBy("cl")
+      .collect()
+      .map(_.getSeq[Float](1))
+    val v = spark.read
+      .parquet(s"$layout/vectors.parquet")
+      .select(col("cl"), col("vec_id"), col("label"), col("embedding"))
+    val src = v.where(pmod(col("label"), lit(2)) === 0)
+    val tgt = v.where(pmod(col("label"), lit(2)) === 1)
+    // one directed retrieval: queries explode to their nProbe probe
+    // clusters, candidates are the opposite half's members of those
+    // clusters (each candidate lives in exactly one cluster, so a
+    // (query, candidate) pair arises at most once — no dedup needed)
+    def retrieve(q: DataFrame, qid: String, n: DataFrame, nid: String): DataFrame = {
+      val queries = q
+        .select(col("vec_id"), col("embedding"), explode(probeIdsCol(centroids, np)).as("pcl"))
+        .select(col("vec_id").as(qid), col("embedding").as("qe"), col("pcl"))
+      val nbrs = n.select(col("cl").as("pcl"), col("vec_id").as(nid), col("embedding").as("ne"))
+      queries
+        .join(nbrs, "pcl")
+        .select(col(qid), col(nid), call_function("cosine_sim", col("qe"), col("ne")).as("cos"))
+        .where(col("cos").isNotNull)
+    }
+    val perSrc = bitextSideStats(retrieve(src, "sid", tgt, "tid"), "sid", "tid", k)
+    val perTgt = bitextSideStats(retrieve(tgt, "tid", src, "sid"), "tid", "sid", k)
+    perSrc
+      .join(perTgt, perSrc("nn_tid") === perTgt("tid"))
+      .where(col("nn_sid") === col("sid")) // mutual nearest (intersection criterion)
+      .withColumn("margin", col("nn_cos_sid") / ((col("davg_sid") + col("davg_tid")) / lit(2.0)))
+      .where(col("margin") >= threshold)
+      .select(col("sid").as("src_id"), col("tid").as("tgt_id"))
+      .orderBy("src_id")
+  }
 
   /** S15 — MUTUAL kNN pairs: edges (a, b) where each vector is in the
     * other's top-k — the standard symmetrization that turns a directed kNN
