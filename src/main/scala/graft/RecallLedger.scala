@@ -115,6 +115,25 @@ object RecallLedger {
     for (np <- Seq(1, 2, 4, 8, 16))
       row(s"tombstoned base (mask id%10==3, ${qidsT.size} queries)", s"nprobe=$np",
         meanRecall(spark, exactT, k, q => Similarity.annIvfTombstonedCorpus(spark, dir, q, k, 16, np)))
+    // b2 bitext mining (round 17): PAIR-set recall against b1's exact
+    // margin pairs — |b2 ∩ b1| / |b1| over (src, tgt) pairs, the honest
+    // metric for a mining rung (per-query top-k recall doesn't apply; the
+    // output is a pair set). nprobe == nclusters is the completeness pin
+    // BitextSpec also asserts (must print 1.000).
+    val b1pairs = Similarity
+      .bitextMarginPairs(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    for (np <- Seq(1, 2, 4, 8, 16)) {
+      val b2pairs = Similarity
+        .bitextMarginPairsIvf(spark, dir, nClusters = 16, nProbe = np)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      row(s"b2 bitext margin pairs (16 clusters, vs b1's ${b1pairs.size} pairs)", s"nprobe=$np",
+        (b2pairs & b1pairs).size.toDouble / b1pairs.size)
+    }
     spark.stop()
   }
 }

@@ -2002,9 +2002,9 @@ object SparkEntry {
         "FROM s CROSS JOIN t JOIN sn ON sn.sid = s.sid JOIN tn ON tn.tid = t.tid), " +
         "pers AS (SELECT sid, (array_agg(tid ORDER BY cos DESC, tid))[1] AS nn_tid, " +
         "(array_agg(cos ORDER BY cos DESC, tid))[1] AS nn_cos, " +
-        "list_sum((array_agg(cos ORDER BY cos DESC, tid))[1:4]) / 4.0 AS davg_s FROM sc GROUP BY sid), " +
+        "list_sum((array_agg(cos ORDER BY cos DESC, tid))[1:4]) / least(4, count(*)) AS davg_s FROM sc GROUP BY sid), " +
         "pert AS (SELECT tid, (array_agg(sid ORDER BY cos DESC, sid))[1] AS nn_sid, " +
-        "list_sum((array_agg(cos ORDER BY cos DESC, sid))[1:4]) / 4.0 AS davg_t FROM sc GROUP BY tid) " +
+        "list_sum((array_agg(cos ORDER BY cos DESC, sid))[1:4]) / least(4, count(*)) AS davg_t FROM sc GROUP BY tid) " +
         "SELECT p.sid AS src_id, p.nn_tid AS tgt_id FROM pers p JOIN pert q ON q.tid = p.nn_tid " +
         "WHERE q.nn_sid = p.sid AND p.nn_cos / ((p.davg_s + q.davg_t) / 2.0) >= 1.05 " +
         "ORDER BY src_id"),
@@ -2211,6 +2211,41 @@ object SparkEntry {
       "SELECT vec_id, rnk, nbr_id FROM (SELECT vec_id, nbr_id, " +
       "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cv DESC, nbr_id)::BIGINT AS rnk FROM ksc) t " +
       "WHERE rnk <= 3 ORDER BY vec_id, rnk"
+
+  /** b2's tail: the b1 margin pipeline over IVF-PRUNED retrievals. Per-
+    * vector probes replay probeIdsCol's float semantics from the exported
+    * centroids (the s14 `probesv` recipe, nprobe 4), assignment comes from
+    * the replayed `assign`, and each directed retrieval scores only the
+    * opposite half's members of the probed clusters — a (query, candidate)
+    * pair arises at most once because every candidate is assigned to
+    * exactly one cluster. The per-side fold is b1's ordered-aggregate
+    * slice with the `least(k, count)` divisor the shared bitextSideStats
+    * uses (a pruned neighborhood can hold fewer than k candidates; the
+    * constant-k divisor would deflate davg there), then the identical
+    * mutual-nearest + ratio-threshold tail at the registered knobs
+    * (k 4, threshold 1.05).
+    */
+  private val bitextIvfTail: String =
+    ", probesv AS (SELECT vec_id, cl FROM (SELECT vec_id, cl, " +
+      "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cv DESC, cl) AS rn FROM ac) WHERE rn <= 4), " +
+      "scf AS (SELECT p.vec_id AS sid, a.vec_id AS tid, CASE WHEN vq.nx = 0 OR vb.nx = 0 THEN 0.0 ELSE " +
+      s"${fdot("eq.embedding", "en.embedding")} / (sqrt(vq.nx) * sqrt(vb.nx)) END AS cos " +
+      "FROM probesv p JOIN emb eq ON eq.vec_id = p.vec_id AND eq.label % 2 = 0 " +
+      "JOIN assign a ON a.cl = p.cl JOIN emb en ON en.vec_id = a.vec_id AND en.label % 2 = 1 " +
+      "JOIN vn vq ON vq.vec_id = p.vec_id JOIN vn vb ON vb.vec_id = a.vec_id), " +
+      "scb AS (SELECT a.vec_id AS sid, p.vec_id AS tid, CASE WHEN vq.nx = 0 OR vb.nx = 0 THEN 0.0 ELSE " +
+      s"${fdot("eq.embedding", "en.embedding")} / (sqrt(vq.nx) * sqrt(vb.nx)) END AS cos " +
+      "FROM probesv p JOIN emb eq ON eq.vec_id = p.vec_id AND eq.label % 2 = 1 " +
+      "JOIN assign a ON a.cl = p.cl JOIN emb en ON en.vec_id = a.vec_id AND en.label % 2 = 0 " +
+      "JOIN vn vq ON vq.vec_id = p.vec_id JOIN vn vb ON vb.vec_id = a.vec_id), " +
+      "pers AS (SELECT sid, (array_agg(tid ORDER BY cos DESC, tid))[1] AS nn_tid, " +
+      "(array_agg(cos ORDER BY cos DESC, tid))[1] AS nn_cos, " +
+      "list_sum((array_agg(cos ORDER BY cos DESC, tid))[1:4]) / least(4, count(*)) AS davg_s FROM scf GROUP BY sid), " +
+      "pert AS (SELECT tid, (array_agg(sid ORDER BY cos DESC, sid))[1] AS nn_sid, " +
+      "list_sum((array_agg(cos ORDER BY cos DESC, sid))[1:4]) / least(4, count(*)) AS davg_t FROM scb GROUP BY tid) " +
+      "SELECT p.sid AS src_id, p.nn_tid AS tgt_id FROM pers p JOIN pert q2 ON q2.tid = p.nn_tid " +
+      "WHERE q2.nn_sid = p.sid AND p.nn_cos / ((p.davg_s + q2.davg_t) / 2.0) >= 1.05 " +
+      "ORDER BY src_id"
 
   /** s9's tail: the SQ8 coarse pass replayed (q8 quantization from the
     * layout's exact formula — integer codes, so float and double products

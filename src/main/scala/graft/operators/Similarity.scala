@@ -1852,9 +1852,13 @@ object Similarity {
     val e   = Tables.embeddings(spark, dir)
     val src = e.where(pmod(col("label"), lit(2)) === 0).select(col("vec_id").as("sid"), col("embedding").as("se"))
     val tgt = e.where(pmod(col("label"), lit(2)) === 1).select(col("vec_id").as("tid"), col("embedding").as("te"))
+    // same null-cosine convention as b2's retrieve (dimension-mismatch →
+    // null → dropped): both rungs must see identical neighborhoods for the
+    // nProbe==nClusters ≡ b1 identity to hold bit-for-bit
     val scored = src
       .crossJoin(tgt)
       .select(col("sid"), col("tid"), call_function("cosine_sim", col("se"), col("te")).as("cos"))
+      .where(col("cos").isNotNull)
     val perSrc = bitextSideStats(scored, "sid", "tid", k)
     val perTgt = bitextSideStats(scored, "tid", "sid", k)
     perSrc
@@ -1879,9 +1883,14 @@ object Similarity {
     * diverge on the arithmetic that IS the method. Ordered top-k fold:
     * sort (cos desc, id asc), take k, sum in that order — the sequential
     * fold DuckDB's `list_sum(array_agg(ORDER BY)[1:k])` replays
-    * bit-for-bit.
+    * bit-for-bit. The divisor is `least(k, |candidates|)`, not constant k:
+    * in b1 every side sees the full opposite half so the two coincide, but
+    * a b2 pruned neighborhood can hold fewer than k opposite-half vectors —
+    * dividing by constant k there would deflate davg and emit pairs that
+    * fail the margin rule over their actual neighbors (BitextSpec pins the
+    * corner; the oracle mirrors with `least(k, count(*))`).
     */
-  private def bitextSideStats(df: DataFrame, key: String, other: String, k: Int): DataFrame = {
+  private[graft] def bitextSideStats(df: DataFrame, key: String, other: String, k: Int): DataFrame = {
     val cmp =
       s"(a, b) -> CASE WHEN a.cos > b.cos THEN -1 WHEN a.cos < b.cos THEN 1 " +
         s"WHEN a.$other < b.$other THEN -1 WHEN a.$other > b.$other THEN 1 ELSE 0 END"
@@ -1892,7 +1901,7 @@ object Similarity {
         expr(s"element_at(array_sort(arr, $cmp), 1).$other").as(s"nn_$other"),
         expr(s"element_at(array_sort(arr, $cmp), 1).cos").as(s"nn_cos_$key"),
         expr(
-          s"aggregate(slice(array_sort(arr, $cmp), 1, $k), CAST(0.0 AS DOUBLE), (s, x) -> s + x.cos) / CAST($k AS DOUBLE)"
+          s"aggregate(slice(array_sort(arr, $cmp), 1, $k), CAST(0.0 AS DOUBLE), (s, x) -> s + x.cos) / CAST(least($k, size(arr)) AS DOUBLE)"
         ).as(s"davg_$key")
       )
   }
