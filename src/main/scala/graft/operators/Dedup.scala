@@ -1916,7 +1916,8 @@ object Dedup {
     */
   def imageDhashPairs(spark: SparkSession, dir: String): DataFrame =
     dhashPairsFromHashes(
-      graft.operators.Multimodal.imageDhashLedger(spark, dir)
+      graft.operators.Multimodal.imageDhashLedger(spark, dir),
+      Some(graft.operators.Multimodal.imageDhashBandBound(spark, dir))
     )
 
   /** N18 — exact perceptual-dup GROUPS: the production shape n17's doc
@@ -1943,8 +1944,8 @@ object Dedup {
     * ledger ([[graft.streaming.DhashStream]]), one definition so the
     * streamed catalog can never pair differently from the batch one.
     */
-  private[graft] def dhashPairsFromHashes(h: DataFrame): DataFrame = {
-    val hashPairs = verifiedDhashHashPairs(h)
+  private[graft] def dhashPairsFromHashes(h: DataFrame, probeBound: Option[Long] = None): DataFrame = {
+    val hashPairs = verifiedDhashHashPairs(h, probeBound)
     // level 2a: identical-hash image pairs (dist 0) — one hash-keyed
     // self-join, per-group output generated streamwise, no distinct
     val same = h
@@ -1982,7 +1983,8 @@ object Dedup {
     */
   def audioHashPairs(spark: SparkSession, dir: String): DataFrame =
     dhashPairsFromHashes(
-      graft.operators.Multimodal.audioHashLedger(spark, dir)
+      graft.operators.Multimodal.audioHashLedger(spark, dir),
+      Some(graft.operators.Multimodal.audioHashBandBound(spark, dir))
     )
 
   /** N23 — exact perceptual-dup GROUPS on the AUDIO key: n18's one
@@ -2013,7 +2015,8 @@ object Dedup {
   def audioHashPairsCapped(spark: SparkSession, dir: String): DataFrame =
     dhashPairsCappedFromHashes(
       graft.operators.Multimodal.audioHashLedger(spark, dir),
-      graft.GraftConf.int(spark, "dhash.pair_cap", 16).toLong
+      graft.GraftConf.int(spark, "dhash.pair_cap", 16).toLong,
+      Some(graft.operators.Multimodal.audioHashBandBound(spark, dir))
     )
 
   /** N24 — VIDEO near-dup pairs: the media-level keyframe-simhash ledger
@@ -2029,7 +2032,8 @@ object Dedup {
     */
   def videoHashPairs(spark: SparkSession, dir: String): DataFrame =
     dhashPairsFromHashes(
-      graft.operators.Multimodal.videoHashLedger(spark, dir)
+      graft.operators.Multimodal.videoHashLedger(spark, dir),
+      Some(graft.operators.Multimodal.videoHashBandBound(spark, dir))
     )
 
   /** N25 — exact video-dup GROUPS on the media simhash (n18/n23's one
@@ -2051,7 +2055,8 @@ object Dedup {
   def videoHashPairsCapped(spark: SparkSession, dir: String): DataFrame =
     dhashPairsCappedFromHashes(
       graft.operators.Multimodal.videoHashLedger(spark, dir),
-      graft.GraftConf.int(spark, "dhash.pair_cap", 16).toLong
+      graft.GraftConf.int(spark, "dhash.pair_cap", 16).toLong,
+      Some(graft.operators.Multimodal.videoHashBandBound(spark, dir))
     )
 
   // ---- takedown lifecycle for the perceptual + LSS layouts (round 15:
@@ -2068,7 +2073,7 @@ object Dedup {
     */
   private[graft] def mediaTombstones(spark: SparkSession, dir: String, rem: Int): DataFrame =
     Tables
-      .documents(spark, dir)
+      .cachedRead(spark, s"$dir/documents.parquet") // corpus dir is immutable; skip re-inference
       .where(pmod(col("doc_id"), lit(8)) === rem)
       .select(col("doc_id").as("media_id"))
 
@@ -2107,7 +2112,10 @@ object Dedup {
       maskedHashLedger(
         graft.operators.Multimodal.imageDhashLedger(spark, dir),
         mediaTombstones(spark, dir, 0)
-      )
+      ),
+      // masking only removes hashes, so the FULL ledger's persisted bound
+      // remains a sound upper bound for the surviving subset
+      Some(graft.operators.Multimodal.imageDhashBandBound(spark, dir))
     )
 
   /** N19T — the LSS layout WITH TAKEDOWN (t17's doc rule, `doc_id ≡ 3
@@ -2242,28 +2250,55 @@ object Dedup {
     * force-broadcast — AQE picks the join strategy from runtime stats
     * (the n19 review's rule, `Dedup.scala` LSS build).
     */
+  /** The 8 band-bucket keys of a hash at `level`: 8-bit windows of the
+    * 64-bit value at boundaries rotated by 3·level bits, chained onto the
+    * parent bucket via xxhash64 (collisions only merge buckets — spurious
+    * candidates are Hamming-verified away, never lost). Shared by the
+    * walk and the build-time occupancy stat so the persisted stat can
+    * never grade a different banding than the query path executes.
+    */
+  private def dhashBandKeys(level: Int): Column = {
+    val v = shiftleft(col("hash_hi"), 32).bitwiseOR(col("hash_lo"))
+    array((0 until 8).map { k =>
+      val off = (k * 8 + level * 3) % 64
+      val bv =
+        if (off == 0) v.bitwiseAND(lit(255L))
+        else shiftrightunsigned(v, off).bitwiseOR(shiftleft(v, 64 - off)).bitwiseAND(lit(255L))
+      xxhash64(lit(level), col("bucket"), lit(k), bv)
+    }: _*)
+  }
+
+  /** Max level-0 band-bucket occupancy over a ledger's DISTINCT hashes —
+    * the ONE number [[dhashBandWalk]]'s shape decision needs. Computed
+    * ONCE at ledger-build time and persisted beside the layout (r15
+    * review item: the per-query probe job was ~0.2 s × every dhash rung ×
+    * every call — pure waste on an immutable content-keyed layout). The
+    * stat is knob-independent (the cap comparison happens at query time)
+    * and subset-safe: masking a takedown set out of the ledger only
+    * LOWERS occupancies, so the stored value stays a sound upper bound
+    * for every masked read.
+    */
+  private[graft] def dhashLevel0MaxOccupancy(h: DataFrame): Long =
+    h.select("hash_hi", "hash_lo")
+      .distinct()
+      .withColumn("bucket", lit(0L))
+      .select(explode(dhashBandKeys(0)).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("occ"))
+      .agg(coalesce(max(col("occ")), lit(0L)))
+      .head()
+      .getLong(0)
+
   private[graft] def dhashBandWalk(
       h: DataFrame,
-      stats: Option[scala.collection.mutable.ListBuffer[DhashBandLevelStats]] = None
+      stats: Option[scala.collection.mutable.ListBuffer[DhashBandLevelStats]] = None,
+      probeBound: Option[Long] = None
   ): (DataFrame, DataFrame) = {
     val spark    = h.sparkSession
     val cap      = math.max(2L, graft.GraftConf.int(spark, "dhash.band_cap", 512).toLong)
     val maxDepth = math.min(9, math.max(1, graft.GraftConf.int(spark, "dhash.band_depth", 6)))
 
-    // the 8 band-bucket keys of a hash at `level`: 8-bit windows of the
-    // 64-bit value at boundaries rotated by 3·level bits, chained onto the
-    // parent bucket via xxhash64 (collisions only merge buckets — spurious
-    // candidates are Hamming-verified away, never lost)
-    def bandKeys(level: Int): Column = {
-      val v = shiftleft(col("hash_hi"), 32).bitwiseOR(col("hash_lo"))
-      array((0 until 8).map { k =>
-        val off = (k * 8 + level * 3) % 64
-        val bv =
-          if (off == 0) v.bitwiseAND(lit(255L))
-          else shiftrightunsigned(v, off).bitwiseOR(shiftleft(v, 64 - off)).bitwiseAND(lit(255L))
-        xxhash64(lit(level), col("bucket"), lit(k), bv)
-      }: _*)
-    }
+    def bandKeys(level: Int): Column = dhashBandKeys(level)
 
     def selfJoin(p: DataFrame): DataFrame =
       p.as("a")
@@ -2281,10 +2316,10 @@ object Dedup {
 
     val hu = h.select("hash_hi", "hash_lo").distinct().withColumn("bucket", lit(0L))
     val b0 = hu.select(col("hash_hi"), col("hash_lo"), explode(bandKeys(0)).as("bucket"))
-    val probeMax = b0
-      .groupBy("bucket").agg(count(lit(1)).as("occ"))
-      .agg(coalesce(max(col("occ")), lit(0L)))
-      .head().getLong(0)
+    // the shape decision: a caller holding a persisted build-time bound
+    // (the ledger layouts) pays ZERO jobs here; only ad-hoc ledgers (the
+    // streamed catalog, test fixtures) still run the live probe
+    val probeMax = probeBound.getOrElse(dhashLevel0MaxOccupancy(h))
     if (probeMax <= cap && stats.isEmpty)
       return (selfJoin(b0), b0.where(lit(false)))
 
@@ -2356,8 +2391,8 @@ object Dedup {
       .where(col("dist") <= DhashHammingMax && col("dist") >= 1L)
       .distinct() // hash-cardinality, not image-cardinality
 
-  private def verifiedDhashHashPairs(h: DataFrame): DataFrame = {
-    val (cands, residual) = dhashBandWalk(h)
+  private def verifiedDhashHashPairs(h: DataFrame, probeBound: Option[Long]): DataFrame = {
+    val (cands, residual) = dhashBandWalk(h, probeBound = probeBound)
     val residualPairs = residual
       .as("a")
       .join(
@@ -2404,7 +2439,8 @@ object Dedup {
   def imageDhashPairsCapped(spark: SparkSession, dir: String): DataFrame =
     dhashPairsCappedFromHashes(
       graft.operators.Multimodal.imageDhashLedger(spark, dir),
-      graft.GraftConf.int(spark, "dhash.pair_cap", 16).toLong
+      graft.GraftConf.int(spark, "dhash.pair_cap", 16).toLong,
+      Some(graft.operators.Multimodal.imageDhashBandBound(spark, dir))
     )
 
   /** The capped two-level expansion behind [[imageDhashPairsCapped]] —
@@ -2436,7 +2472,11 @@ object Dedup {
     * the join strategy from runtime stats instead of a driver-side
     * broadcast that aborts at the ceiling.
     */
-  private[graft] def dhashPairsCappedFromHashes(h: DataFrame, cap: Long): DataFrame = {
+  private[graft] def dhashPairsCappedFromHashes(
+      h: DataFrame,
+      cap: Long,
+      probeBound: Option[Long] = None
+  ): DataFrame = {
     require(cap >= 0, s"graft.dhash.pair_cap=$cap must be >= 0")
     // per-hash occupancy + representative: hash-cardinality, the only
     // state the cap rule needs
@@ -2473,7 +2513,7 @@ object Dedup {
         lit(0L).as("dist"),
         col("n_pairs")
       )
-    val (walkCands, walkResidual) = dhashBandWalk(h)
+    val (walkCands, walkResidual) = dhashBandWalk(h, probeBound = probeBound)
     val verifiedPairs = verifyHashPairs(walkCands)
     val crossUnits = verifiedPairs
       .join(

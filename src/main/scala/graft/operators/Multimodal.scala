@@ -1305,10 +1305,35 @@ object Multimodal {
     audioHashLedger(spark, dir).orderBy("media_id")
 
   /** Bump when either perceptual-hash derivation changes; folds into the
-    * corresponding ledger layout's cache key.
+    * corresponding ledger layout's cache key. v2: the layouts additionally
+    * persist `bandstat.parquet` (the level-0 max band occupancy) so the
+    * dhash rungs' query path pays no occupancy-probe job.
     */
-  private[graft] val DhashLedgerSchemeVersion     = 1
-  private[graft] val AudioHashLedgerSchemeVersion = 1
+  private[graft] val DhashLedgerSchemeVersion     = 2
+  private[graft] val AudioHashLedgerSchemeVersion = 2
+
+  /** Per-JVM cache of each ledger layout's persisted band-occupancy bound
+    * (layouts are content-keyed and immutable, so a cached value can
+    * never go stale). First read per layout is one 1-row parquet scan;
+    * every later dhash rung constructs its plan with ZERO driver-side
+    * jobs — the job-count assert in DedupSpec pins it.
+    */
+  private val bandBoundCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def bandBoundOf(spark: SparkSession, layout: String): Long =
+    bandBoundCache
+      .computeIfAbsent(layout, l => spark.read.parquet(s"$l/bandstat.parquet").head().getLong(0))
+      .longValue()
+
+  /** Write the build-time occupancy stat beside a freshly-built ledger —
+    * shared by all three modality builds so the stat derivation can never
+    * diverge from [[graft.operators.Dedup.dhashLevel0MaxOccupancy]].
+    */
+  private def writeBandStat(spark: SparkSession, ledgerPath: String, out: String): Unit = {
+    val bound = graft.operators.Dedup.dhashLevel0MaxOccupancy(spark.read.parquet(ledgerPath))
+    spark.range(1).select(lit(bound).as("max_occ")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$out/bandstat.parquet")
+  }
 
   /** Decode-once IMAGE hash ledger: `(media_id, hash_hi, hash_lo)` over
     * the raster quarter, persisted per corpus version. The decode +
@@ -1319,41 +1344,55 @@ object Multimodal {
     * the stream-maintained catalog ([[graft.streaming.DhashStream]])
     * remains the continuously-updated twin of the same table.
     */
-  private[graft] def imageDhashLedger(spark: SparkSession, dir: String): DataFrame = {
+  private def imageDhashLayout(spark: SparkSession, dir: String): String = {
     val key = graft.sources.LayoutCache.contentKey(
       spark,
       s"$dir/documents.parquet",
       s"dhashled-v$DhashLedgerSchemeVersion"
     )
-    val layout = graft.sources.LayoutCache.getOrBuild(spark, "graft_dhashled", key) { out =>
+    graft.sources.LayoutCache.getOrBuild(spark, "graft_dhashled", key) { out =>
       imageDhash(syntheticMediaWhere(spark, dir, col("doc_id") % 4 === 0))
         .toDF()
         .write.mode("overwrite").parquet(s"$out/ledger.parquet")
+      writeBandStat(spark, s"$out/ledger.parquet", out)
     }
-    spark.read.parquet(s"$layout/ledger.parquet")
   }
+
+  private[graft] def imageDhashLedger(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.cachedRead(spark, s"${imageDhashLayout(spark, dir)}/ledger.parquet")
+
+  /** The persisted level-0 occupancy bound for the image ledger. */
+  private[graft] def imageDhashBandBound(spark: SparkSession, dir: String): Long =
+    bandBoundOf(spark, imageDhashLayout(spark, dir))
 
   /** Decode-once AUDIO hash ledger — [[imageDhashLedger]]'s twin over the
     * WAV quarter, serving m10/n20/n22/n23.
     */
-  private[graft] def audioHashLedger(spark: SparkSession, dir: String): DataFrame = {
+  private def audioHashLayout(spark: SparkSession, dir: String): String = {
     val key = graft.sources.LayoutCache.contentKey(
       spark,
       s"$dir/documents.parquet",
       s"ahashled-v$AudioHashLedgerSchemeVersion"
     )
-    val layout = graft.sources.LayoutCache.getOrBuild(spark, "graft_ahashled", key) { out =>
+    graft.sources.LayoutCache.getOrBuild(spark, "graft_ahashled", key) { out =>
       audioEnvelopeHash(syntheticMediaWhere(spark, dir, col("doc_id") % 4 === 1))
         .toDF()
         .write.mode("overwrite").parquet(s"$out/ledger.parquet")
+      writeBandStat(spark, s"$out/ledger.parquet", out)
     }
-    spark.read.parquet(s"$layout/ledger.parquet")
   }
+
+  private[graft] def audioHashLedger(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.cachedRead(spark, s"${audioHashLayout(spark, dir)}/ledger.parquet")
+
+  /** The persisted level-0 occupancy bound for the audio ledger. */
+  private[graft] def audioHashBandBound(spark: SparkSession, dir: String): Long =
+    bandBoundOf(spark, audioHashLayout(spark, dir))
 
   /** Bump when the keyframe fingerprint or the media-level simhash
     * derivation changes; folds into the video ledger layout's cache key.
     */
-  private[graft] val VideoHashLedgerSchemeVersion = 1
+  private[graft] val VideoHashLedgerSchemeVersion = 2
 
   /** M11 — per-KEYFRAME fingerprint table over the MP4 quarter: every
     * sync (I-frame) sample resolved through the real stco/stsc/stsz/stss
@@ -1440,22 +1479,29 @@ object Multimodal {
         .write.mode("overwrite").parquet(s"$out/keyframes.parquet")
       videoSimhashOf(spark.read.parquet(s"$out/keyframes.parquet"))
         .write.mode("overwrite").parquet(s"$out/media.parquet")
+      // the stat grades the MEDIA-level ledger — the table the n24/n26
+      // pair core bands; keyframe fingerprints never enter a band walk
+      writeBandStat(spark, s"$out/media.parquet", out)
     }
   }
+
+  /** The persisted level-0 occupancy bound for the video media ledger. */
+  private[graft] def videoHashBandBound(spark: SparkSession, dir: String): Long =
+    bandBoundOf(spark, videoHashLayout(spark, dir))
 
   /** M11's registry surface: the keyframe fingerprint ledger. */
   def videoKeyframeHashQuery(spark: SparkSession, dir: String): DataFrame =
     videoKeyframeLedger(spark, dir).orderBy("media_id", "frame_no")
 
   private[graft] def videoKeyframeLedger(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"${videoHashLayout(spark, dir)}/keyframes.parquet")
+    graft.sources.Tables.cachedRead(spark, s"${videoHashLayout(spark, dir)}/keyframes.parquet")
 
   /** The media-level `(media_id, hash_hi, hash_lo)` ledger n24/n25/n26
     * pair/group/cap — same shape as the image and audio ledgers, so the
     * shared core serves all three modalities.
     */
   private[graft] def videoHashLedger(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"${videoHashLayout(spark, dir)}/media.parquet")
+    graft.sources.Tables.cachedRead(spark, s"${videoHashLayout(spark, dir)}/media.parquet")
 
   final case class HistogramRow(media_id: Long, bin: Long, n_px: Long)
 

@@ -21,6 +21,24 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Per-(session, path) cache of ANALYZED reads over immutable paths —
+    * every fresh `spark.read.parquet` pays a footer/schema-inference job
+    * at plan-construction time, which is pure waste when the path is a
+    * content-keyed layout or the fixed corpus dir (both immutable by
+    * contract). Keyed by session identity so a restarted session never
+    * reuses a dead session's plan; NEVER use this for paths that are
+    * rewritten in place (the file index inside the cached plan snapshots
+    * the listing at first analysis).
+    */
+  private val frameCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def cachedRead(spark: SparkSession, path: String): DataFrame =
+    frameCache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}:$path",
+      _ => spark.read.parquet(path)
+    )
+
   /** The `events` table (mirrors the reference's 7-column log table,
     * `QueryOrchestration.cs:418-419`). Its `ts` column is Parquet
     * TIMESTAMP(NANOS); under `spark.sql.legacy.parquet.nanosAsLong=true` it
