@@ -301,6 +301,8 @@ object SparkEntry {
     // the LSS layout's masked read with exact recompute for documents
     // whose stored partner was taken down
     "n17t_image_dhash_takedown" -> (Dedup.imageDhashPairsTombstoned _),
+    "n22t_audio_hash_takedown"  -> (Dedup.audioHashPairsTombstoned _),
+    "n24t_video_simhash_takedown" -> (Dedup.videoHashPairsTombstoned _),
     "n19t_lss_takedown"         -> (Dedup.longestSharedSubstringTombstoned _),
     // round 15: margin-based bitext mining (Artetxe & Schwenk) — the
     // CCMatrix-style parallel-pair harvest over the embedding space,
@@ -910,13 +912,10 @@ object SparkEntry {
         "SELECT id AS media_id, hi AS hash_hi, lo AS hash_lo FROM ahashes ORDER BY media_id"),
     // n20: brute-force Hamming join over the rebuilt audio hashes — the
     // n17 oracle shape verbatim (banding is pigeonhole-complete <= 7)
-    "n20_audio_hash_pairs" ->
-      (AudioHashCte +
-        "SELECT a.id AS media_a, b.id AS media_b, " +
-        "(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)))::BIGINT AS dist " +
-        "FROM ahashes a JOIN ahashes b ON a.id < b.id " +
-        s"WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= ${Dedup.DhashHammingMax} " +
-        "ORDER BY media_a, media_b"),
+    "n20_audio_hash_pairs" -> (AudioHashCte + AudioPairTail),
+    // n22t: the takedown-masked audio pair read — same tail, the envelope
+    // CTE limited to survivors (the n17t recipe on the audio key)
+    "n22t_audio_hash_takedown" -> (audioHashCte(" AND doc_id % 8 <> 1") + AudioPairTail),
     // n23: one aggregation over the rebuilt audio hashes (n18's shape)
     "n23_audio_hash_groups" ->
       (AudioHashCte +
@@ -930,13 +929,9 @@ object SparkEntry {
         "SELECT id AS media_id, frame_no, hash_hi, hash_lo FROM kh ORDER BY media_id, frame_no"),
     // n24: brute-force Hamming join over the rebuilt media simhashes —
     // the n17/n20 oracle shape on the third modality
-    "n24_video_simhash_pairs" ->
-      (VideoHashCte +
-        "SELECT a.id AS media_a, b.id AS media_b, " +
-        "(bit_count(xor(a.hash_hi, b.hash_hi)) + bit_count(xor(a.hash_lo, b.hash_lo)))::BIGINT AS dist " +
-        "FROM vhashes a JOIN vhashes b ON a.id < b.id " +
-        s"WHERE bit_count(xor(a.hash_hi, b.hash_hi)) + bit_count(xor(a.hash_lo, b.hash_lo)) <= ${Dedup.DhashHammingMax} " +
-        "ORDER BY media_a, media_b"),
+    "n24_video_simhash_pairs" -> (VideoHashCte + VideoPairTail),
+    // n24t: the takedown-masked video pair read — survivors-only demux
+    "n24t_video_simhash_takedown" -> (videoHashCte(" AND doc_id % 8 <> 3") + VideoPairTail),
     // n25: one aggregation over the rebuilt media simhashes (n18's shape)
     "n25_video_simhash_groups" ->
       (VideoHashCte +
@@ -2276,9 +2271,30 @@ object SparkEntry {
     * supported, hence the subquery shape), then 64 adjacent-difference
     * bits packed as two 32-bit BIGINT halves.
     */
-  private val AudioHashCte: String =
+  /** The n20/n22t pair select over the rebuilt `ahashes` CTE. */
+  private val AudioPairTail: String =
+    "SELECT a.id AS media_a, b.id AS media_b, " +
+      "(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)))::BIGINT AS dist " +
+      "FROM ahashes a JOIN ahashes b ON a.id < b.id " +
+      s"WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= ${Dedup.DhashHammingMax} " +
+      "ORDER BY media_a, media_b"
+
+  /** The n24/n24t pair select over the rebuilt `vhashes` CTE. */
+  private val VideoPairTail: String =
+    "SELECT a.id AS media_a, b.id AS media_b, " +
+      "(bit_count(xor(a.hash_hi, b.hash_hi)) + bit_count(xor(a.hash_lo, b.hash_lo)))::BIGINT AS dist " +
+      "FROM vhashes a JOIN vhashes b ON a.id < b.id " +
+      s"WHERE bit_count(xor(a.hash_hi, b.hash_hi)) + bit_count(xor(a.hash_lo, b.hash_lo)) <= ${Dedup.DhashHammingMax} " +
+      "ORDER BY media_a, media_b"
+
+  private val AudioHashCte: String = audioHashCte("")
+
+  /** The audio CTE with an extra survivor filter — n22t's takedown oracle
+    * rebuilds envelopes for surviving recordings only (the n17t recipe).
+    */
+  private def audioHashCte(extra: String): String =
     "WITH d AS (SELECT doc_id AS id, LEAST(GREATEST(n_chars, 1), 64) AS n " +
-      "FROM documents WHERE doc_id % 4 = 1), " +
+      s"FROM documents WHERE doc_id % 4 = 1$extra), " +
       s"s AS (SELECT id, (i * ${Multimodal.AudioHashSlices} // n)::BIGINT AS k, " +
       "ABS(((i * 7 + id) % 256) - 128) AS av FROM d, UNNEST(range(0, n)) AS t(i)), " +
       "e AS (SELECT id, k, SUM(av) AS ek FROM s GROUP BY id, k), " +
@@ -2301,8 +2317,13 @@ object SparkEntry {
     * two 32-bit halves. The oracle therefore checks demux + keyframe
     * extraction + fingerprint + simhash end to end.
     */
-  private val VideoHashCte: String =
-    "WITH d AS (SELECT doc_id AS id, LEAST(n_chars, 50) AS samples FROM documents WHERE doc_id % 4 = 3), " +
+  private val VideoHashCte: String = videoHashCte("")
+
+  /** The video CTE with an extra survivor filter — n24t's takedown oracle
+    * demuxes and fingerprints surviving containers only.
+    */
+  private def videoHashCte(extra: String): String =
+    s"WITH d AS (SELECT doc_id AS id, LEAST(n_chars, 50) AS samples FROM documents WHERE doc_id % 4 = 3$extra), " +
       "kf AS (SELECT id, (i + 1)::BIGINT AS frame_no, " +
       "repeat(lpad(lower(to_hex((i * 13 + id) % 256)), 2, '0'), ((i % 5) + 1)::INTEGER) AS hx " +
       "FROM d, UNNEST(range(0, samples)) AS t(i) WHERE i % 4 = 0), " +

@@ -2118,6 +2118,38 @@ object Dedup {
       Some(graft.operators.Multimodal.imageDhashBandBound(spark, dir))
     )
 
+  /** N22T — n20's AUDIO pair rung WITH TAKEDOWN (`media_id ≡ 1 (mod 8)` —
+    * inside the WAV quarter, so the ledger loses real mass): the n17t
+    * pattern on the audio key, proving [[maskedHashLedger]]'s
+    * modality-generic claim with a REGISTERED, DuckDB-oracled rung rather
+    * than a doc comment. Same exactness argument: ledger rows are
+    * per-media independent, so the mask equals a from-scratch pair pass
+    * over the surviving recordings (spec-pinned), and the oracle rebuilds
+    * envelopes for survivors only.
+    */
+  def audioHashPairsTombstoned(spark: SparkSession, dir: String): DataFrame =
+    dhashPairsFromHashes(
+      maskedHashLedger(
+        graft.operators.Multimodal.audioHashLedger(spark, dir),
+        mediaTombstones(spark, dir, 1)
+      ),
+      Some(graft.operators.Multimodal.audioHashBandBound(spark, dir))
+    )
+
+  /** N24T — n24's VIDEO pair rung WITH TAKEDOWN (`media_id ≡ 3 (mod 8)`,
+    * inside the MP4 quarter): completes the per-modality takedown
+    * symmetry (images n17t, audio n22t, video here) — every perceptual
+    * hash ledger now has a registered masked read plus the purge path.
+    */
+  def videoHashPairsTombstoned(spark: SparkSession, dir: String): DataFrame =
+    dhashPairsFromHashes(
+      maskedHashLedger(
+        graft.operators.Multimodal.videoHashLedger(spark, dir),
+        mediaTombstones(spark, dir, 3)
+      ),
+      Some(graft.operators.Multimodal.videoHashBandBound(spark, dir))
+    )
+
   /** N19T — the LSS layout WITH TAKEDOWN (t17's doc rule, `doc_id ≡ 3
     * (mod 10)`). Unlike the per-media hash ledgers, LSS rows are NOT
     * independent: a surviving document's stored maximum may have been

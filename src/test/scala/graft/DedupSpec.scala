@@ -971,6 +971,31 @@ class DedupSpec extends SparkSpec {
     assert(pairSet3(Dedup.dhashPairsFromHashes(purged)) == masked)
   }
 
+  test("registered audio/video takedown rungs equal the masked machinery; purge answers identically per modality") {
+    import graft.operators.Multimodal
+    def pairSet3(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val cases = Seq[(String, org.apache.spark.sql.DataFrame, Int, () => org.apache.spark.sql.DataFrame)](
+      ("audio", Multimodal.audioHashLedger(spark, sf0001), 1, () => Dedup.audioHashPairsTombstoned(spark, sf0001)),
+      ("video", Multimodal.videoHashLedger(spark, sf0001), 3, () => Dedup.videoHashPairsTombstoned(spark, sf0001))
+    )
+    for ((name, ledger, rem, rung) <- cases) {
+      val ts        = Dedup.mediaTombstones(spark, sf0001, rem)
+      val dead      = ts.collect().map(_.getLong(0)).toSet
+      val registered = pairSet3(rung())
+      assert(registered.nonEmpty, s"$name takedown rung must keep real pairs")
+      assert(registered.forall { case (a, b, _) => !dead(a) && !dead(b) }, name)
+      assert(registered == pairSet3(Dedup.dhashPairsFromHashes(Dedup.maskedHashLedger(ledger, ts))), name)
+      // purge: the physically-rewritten ledger needs no mask and answers
+      // identically; no tombstoned row survives in the layout
+      val out = java.nio.file.Files.createTempDirectory(s"graft_purge_$name").toString + "/ledger.parquet"
+      Dedup.purgeHashLedger(ledger, ts, out)
+      val purged = spark.read.parquet(out)
+      assert(purged.where(col("media_id").isin(dead.toSeq: _*)).isEmpty, name)
+      assert(pairSet3(Dedup.dhashPairsFromHashes(purged)) == registered, name)
+    }
+  }
+
   test("n19t: a surviving doc whose ONLY partner was taken down recomputes; clean rows read the layout unchanged") {
     import spark.implicits._
     def mk(id: Long, text: String) = (id, text, "en", "t", text.length.toLong)
