@@ -557,9 +557,11 @@ object Dedup {
     */
   /** Bump when the LSS derivation changes; folds into the layout key with
     * the cap operating point. v2 = the layout gained the partner table
-    * (one build produces both per-doc artifacts).
+    * (one build produces both per-doc artifacts). v3 = + the top-K span
+    * ledger (`topk.parquet`) that lets takedowns resolve from the layout
+    * alone (the store-a-little-more-at-ingest trade t17 makes with `dl`).
     */
-  private[graft] val LssSchemeVersion = 2
+  private[graft] val LssSchemeVersion = 3
 
   def longestSharedSubstring(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"${lssLayoutCache(spark, dir)}/lss.parquet").orderBy("doc_id")
@@ -585,22 +587,42 @@ object Dedup {
   private def lssLayoutCache(spark: SparkSession, dir: String): String = {
     val cap = graft.GraftConf.int(spark, "lss.max_tokens", 16)
     require(cap >= 1, s"graft.lss.max_tokens=$cap must be >= 1")
+    val pk = lssPartnerK(spark)
     val key = graft.sources.LayoutCache.contentKey(
       spark,
       s"$dir/documents.parquet",
-      s"lss-v$LssSchemeVersion#c$cap"
+      s"lss-v$LssSchemeVersion#c$cap#k$pk"
     )
     graft.sources.LayoutCache.getOrBuild(spark, "graft_lss", key) { out =>
-      val (lss, partners) = longestSharedSubstringArtifacts(Tables.documents(spark, dir), cap)
+      val (lss, partners, topk) = longestSharedSubstringArtifacts(Tables.documents(spark, dir), cap, pk)
       lss.write.mode("overwrite").parquet(s"$out/lss.parquet")
       partners.write.mode("overwrite").parquet(s"$out/partners.parquet")
+      topk.write.mode("overwrite").parquet(s"$out/topk.parquet")
     }
   }
+
+  /** Ledger depth of the top-K span table: how many (span, carriers)
+    * entries each document stores at ingest. Governs how much concurrent
+    * takedown mass resolves layout-only — see [[lssTakedownFromLedger]].
+    */
+  private[graft] def lssPartnerK(spark: SparkSession): Int = {
+    val k = graft.GraftConf.int(spark, "lss.partner_k", 4)
+    require(k >= 1, s"graft.lss.partner_k=$k must be >= 1")
+    k
+  }
+
+  /** The per-doc top-K span ledger persisted with the LSS layout. */
+  private[graft] def lssTopkLedger(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${lssLayoutCache(spark, dir)}/topk.parquet")
 
   private[graft] def longestSharedSubstringFrom(docs: DataFrame, cap: Int): DataFrame =
     longestSharedSubstringArtifacts(docs, cap)._1
 
-  private[graft] def longestSharedSubstringArtifacts(docs: DataFrame, cap: Int): (DataFrame, DataFrame) = {
+  private[graft] def longestSharedSubstringArtifacts(
+      docs: DataFrame,
+      cap: Int,
+      partnerK: Int = 4
+  ): (DataFrame, DataFrame, DataFrame) = {
     // Per-position width keys via TWO chained generators and only
     // top-level (codegen'd) expressions — the nested
     // transform/array_distinct lambda form computed the same stream ~6×
@@ -676,7 +698,54 @@ object Dedup {
       .agg(min(col("k.doc_id")).as("partner_id"))
       .select(col("w_doc").as("doc_id"), col("lss_len"), md5(col("w_s")).as("lss_fp"), col("partner_id"))
       .orderBy("doc_id")
-    (lss, partners)
+    // ---- the top-K span ledger (v3): per doc, its K best candidate
+    // spans in EXACTLY the priority order a from-scratch recompute would
+    // consider them — (len desc, fp asc), the same (max len, min md5)
+    // tie rule `win` applies — each with the smallest K other carriers
+    // and the true other-carrier count. This is sufficient state to
+    // answer ANY takedown from the layout: walking the entries in order,
+    // the first one with a surviving stored carrier is provably the
+    // from-scratch answer over survivors (every unstored span orders
+    // strictly after the K-th entry, so it can never beat a stored
+    // survivor), an entry with a COMPLETE all-dead carrier list is
+    // provably unusable (skip), and only a TRUNCATED all-stored-dead
+    // carrier list is undecidable (→ the overflow recompute). Both
+    // per-partition windows are bounded: the doc window by the doc's own
+    // span count, the carrier window by the span's df (streaming
+    // row_number, no per-group buffering).
+    val entries = kept
+      .select(col("doc_id"), col("len"), col("s"))
+      .distinct()
+      .withColumn("fp", md5(col("s")))
+    val dw = Window.partitionBy("doc_id").orderBy(col("len").desc, col("fp").asc)
+    val top = entries
+      .withColumn("rank", row_number().over(dw))
+      .withColumn("n_spans", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .where(col("rank") <= partnerK)
+    val spanKeys = top.select("len", "s").distinct()
+    val carrierRows = kept
+      .join(spanKeys, Seq("len", "s"), "left_semi")
+      .select("len", "s", "doc_id")
+      .distinct()
+    val cw = Window.partitionBy("len", "s").orderBy("doc_id")
+    val carrierAgg = carrierRows
+      .withColumn("crn", row_number().over(cw))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("len", "s")))
+      .where(col("crn") <= partnerK + 1) // K+1 smallest: self may be among them
+      .groupBy("len", "s")
+      .agg(sort_array(collect_list("doc_id")).as("cands"), max("df").as("df"))
+    val topk = top
+      .join(carrierAgg, Seq("len", "s"))
+      .select(
+        col("doc_id"),
+        col("rank"),
+        col("len"),
+        col("fp"),
+        expr(s"slice(filter(cands, c -> c != doc_id), 1, $partnerK)").as("others"),
+        (col("df") - lit(1L)).cast("long").as("n_others"),
+        col("n_spans").cast("long").as("n_spans")
+      )
+    (lss, partners, topk)
   }
 
   /** N13 — frequent sub-span n-grams: the repeats n11 is blind to by
@@ -2154,16 +2223,17 @@ object Dedup {
     * (mod 10)`). Unlike the per-media hash ledgers, LSS rows are NOT
     * independent: a surviving document's stored maximum may have been
     * witnessed only by a now-tombstoned partner, so a plain mask would
-    * keep a stale answer. The n19b partner attribution makes the
-    * affected set computable without touching the corpus: rows whose
-    * stored partner survives are still exact (killing other documents
-    * can never RAISE a maximum, and the stored witness still stands);
-    * rows whose partner died recompute exactly against the surviving
-    * corpus. Cost shape: layout-read only when no stored partner is
-    * tombstoned; one n19-core pass over the survivors otherwise — the
-    * documented next lever is a per-doc top-K partner ledger, which
-    * makes any < K concurrent takedowns free (the same
-    * store-a-little-more-at-ingest trade as t17's delete-time `dl`).
+    * keep a stale answer. Since v3 the layout stores the per-doc TOP-K
+    * span ledger ([[lssTakedownFromLedger]] — the
+    * store-a-little-more-at-ingest trade t17 makes with its delete-time
+    * `dl`), so a takedown resolves from ledger-cardinality joins alone:
+    * each affected doc walks its stored (len desc, fp asc) entries to
+    * the first one with a surviving carrier — provably the from-scratch
+    * answer over survivors. The n19-core survivors pass (the old cost
+    * shape, 13.5 s at sf0.1) now runs ONLY for the undecidable overflow
+    * (a doc whose all-stored carriers died on a TRUNCATED carrier list,
+    * or whose spans out-number the ledger depth `graft.lss.partner_k`)
+    * — LssTakedownSpec pins both the ledger-only path and the overflow.
     */
   def longestSharedSubstringTombstoned(spark: SparkSession, dir: String): DataFrame =
     spark.read
@@ -2191,26 +2261,84 @@ object Dedup {
     }
   }
 
+  /** Resolve a takedown against the top-K span ledger: returns (decided,
+    * recompute-doc-set). `decided` is EXACT — for each surviving doc the
+    * walk takes the first entry (in the stored (len desc, fp asc) order)
+    * with a surviving stored carrier, provided no earlier entry is
+    * undecidable. Entry classification:
+    *   - usable: ≥ 1 stored carrier survives — by the top-K ordering
+    *     argument this entry IS the from-scratch answer over survivors
+    *     when it is the first usable one;
+    *   - dead: the carrier list is COMPLETE (n_others ≤ K stored) and
+    *     every carrier is tombstoned — the span provably has no surviving
+    *     sharer, walk on;
+    *   - undecidable: all STORED carriers died but the list was truncated
+    *     (n_others > stored) — an unstored carrier may survive, so the
+    *     doc joins the recompute set (overflow path).
+    * A doc that exhausts its stored entries goes to recompute only if it
+    * has more spans than the ledger stored (`n_spans > stored entries`);
+    * otherwise it provably shares nothing with any survivor and is ABSENT
+    * (d16's convention — exactly what a from-scratch pass would emit).
+    * Cost shape: ledger-cardinality joins only (doc × K rows, K carriers
+    * each); the corpus is never touched unless recompute is non-empty.
+    */
+  private[graft] def lssTakedownFromLedger(
+      topk: DataFrame,
+      tombstones: DataFrame
+  ): (DataFrame, DataFrame) = {
+    val t = tombstones.select("doc_id")
+    val e = topk.join(t, Seq("doc_id"), "left_anti")
+    val survPerEntry = e
+      .select(col("doc_id"), col("rank"), explode(col("others")).as("other_id"))
+      .join(t.select(col("doc_id").as("other_id")), Seq("other_id"), "left_anti")
+      .groupBy("doc_id", "rank")
+      .agg(count(lit(1)).as("n_surv"))
+    val classified = e
+      .join(survPerEntry, Seq("doc_id", "rank"), "left")
+      .withColumn(
+        "status",
+        when(coalesce(col("n_surv"), lit(0L)) >= 1L, lit("usable"))
+          .when(size(col("others")).cast("long") < col("n_others"), lit("undecidable"))
+          .otherwise(lit("dead"))
+      )
+    val perDoc = classified
+      .groupBy("doc_id")
+      .agg(
+        min(when(col("status") === "usable", col("rank"))).as("fu"),
+        min(when(col("status") === "undecidable", col("rank"))).as("fd"),
+        max("n_spans").as("n_spans"),
+        count(lit(1)).as("n_stored")
+      )
+    val decided = perDoc
+      .where(col("fu").isNotNull && (col("fd").isNull || col("fd") > col("fu")))
+      .select(col("doc_id"), col("fu").as("rank"))
+      .join(classified.select("doc_id", "rank", "len", "fp"), Seq("doc_id", "rank"))
+      .select(col("doc_id"), col("len").as("lss_len"), col("fp").as("lss_fp"))
+    val recompute = perDoc
+      .where(
+        (col("fd").isNotNull && (col("fu").isNull || col("fd") < col("fu"))) ||
+          (col("fu").isNull && col("fd").isNull && col("n_spans") > col("n_stored"))
+      )
+      .select("doc_id")
+    (decided, recompute)
+  }
+
   private def lssTombstonedCompute(spark: SparkSession, dir: String, cap: Int): DataFrame = {
     // no forced broadcasts anywhere below: the registered rule tombstones
     // a fixed 1/10 of the corpus, so AQE must be free to degrade these
     // joins to shuffles (the maskedHashLedger argument)
     val docs   = Tables.documents(spark, dir)
     val ledger = docs.where(pmod(col("doc_id"), lit(10)) === 3).select("doc_id")
-    val lss    = longestSharedSubstring(spark, dir)
-    val affected = longestSharedSubstringPartners(spark, dir)
-      .join(ledger.select(col("doc_id").as("partner_id")), Seq("partner_id"))
-      .join(ledger, Seq("doc_id"), "left_anti")
-      .select("doc_id")
-    val clean = lss.join(ledger, Seq("doc_id"), "left_anti")
-    if (affected.isEmpty) clean
+    val (decided, recompute) = lssTakedownFromLedger(lssTopkLedger(spark, dir), ledger)
+    // the ONE driver-side action on the common path is this emptiness
+    // probe over ledger-cardinality data — the survivors pass (a full
+    // n19-core corpus recount) runs ONLY for the undecidable overflow
+    if (recompute.isEmpty) decided.orderBy("doc_id")
     else {
       val survivors  = docs.join(ledger, Seq("doc_id"), "left_anti")
       val recomputed = longestSharedSubstringFrom(survivors, cap)
-        .join(affected, Seq("doc_id"), "left_semi")
-      clean
-        .join(affected, Seq("doc_id"), "left_anti")
-        .unionByName(recomputed)
+        .join(recompute, Seq("doc_id"), "left_semi")
+      decided.unionByName(recomputed).orderBy("doc_id")
     }
   }
 
@@ -2218,7 +2346,17 @@ object Dedup {
     * (level, n_buckets, n_hot_buckets, max_occupancy, rows_entering_level).
     */
   /** Disk-persisted level frames of the most recent overflow-path band
-    * walk in this JVM — released at the start of the next walk.
+    * walk in this JVM — released at the start of the next walk. The ledger
+    * is deliberately JVM-global, not per-walk: the overflow path only
+    * triggers on a corpus whose level-0 occupancy exceeds the cap, and the
+    * registered rungs execute sequentially, so at most one overflow walk
+    * is ever live. If two overflow walks DO race (two sessions in one
+    * test JVM), the later one unpersists the earlier one's frames — which
+    * degrades the earlier walk to lineage recompute (the frames exist to
+    * stop plan re-explosion, not for correctness), never to a wrong
+    * answer; the cost of that corner is re-execution, and keying the
+    * ledger per walk would instead LEAK the loser's disk blocks until JVM
+    * exit, a worse failure mode for a long-lived session.
     */
   private val walkPersists = scala.collection.mutable.ListBuffer.empty[DataFrame]
 

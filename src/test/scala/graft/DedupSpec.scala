@@ -823,7 +823,7 @@ class DedupSpec extends SparkSpec {
     assert(full.get(4L).contains(20L), s"cap 32 must recover the true 20: $full")
     // n19b: partner attribution — each sharer names the other; rows,
     // lengths and fingerprints agree with n19's table exactly
-    val (lss, partners) = Dedup.longestSharedSubstringArtifacts(docs, cap = 16)
+    val (lss, partners, _) = Dedup.longestSharedSubstringArtifacts(docs, cap = 16)
     val p = partners.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getLong(3))).toMap
     assert(p(1L)._3 == 2L && p(2L)._3 == 1L, s"5-token sharers must name each other: $p")
     assert(p(4L)._3 == 5L && p(5L)._3 == 4L)
