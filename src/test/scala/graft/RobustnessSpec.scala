@@ -235,12 +235,16 @@ class RobustnessSpec extends SparkSpec {
     // s20p inherits s12p's exemption: its base layout (the fold input) is
     // trained on the corpus alone, so zero corpus rows is the same
     // train-on-nothing upstream failure.
+    // b2 retrieves through the ivf16 directory, whose quantizer trains on
+    // the corpus embeddings — zero rows to train on is the same upstream
+    // failure as s4/s14. (b1, the exact comparator, stays OUT: a cross
+    // join over zero rows degrades to an empty pair set.)
     val exempt = Set("p1_partitioned_time_count", "s4_ann_ivf",
       "s6_ann_ivf_partitioned", "s9_ann_ivf_quantized", "s11_ann_ivf_filtered",
       "s12_ann_ivf_incremental", "s12p_ann_ivf_incremental_planted",
       "s20p_ann_ivf_compacted_planted",
       "s14_knn_join_ivf", "s17_ann_pq", "s18_ann_ivf_pq",
-      "s19_ann_ivf_pq_filtered")
+      "s19_ann_ivf_pq_filtered", "b2_bitext_margin_ivf")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try { fn(spark, dir).collect(); None }
       catch { case e: Throwable => Some(name -> e.toString.takeWhile(_ != '\n')) }
