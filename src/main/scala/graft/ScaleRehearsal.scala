@@ -982,7 +982,71 @@ object ScaleRehearsal {
     h.unpersist()
   }
 
+  /** Round-17 rehearsal: the LSS v3 top-K span ledger trade, measured.
+    * The ledger exists so a takedown-set version costs ledger-cardinality
+    * joins instead of a full survivors recompute (the v2 cost shape paid
+    * per (corpus, takedown-set) version). Three numbers per corpus size:
+    *   - INGEST: the v3 layout build (lss + partners + topk written, the
+    *     real `lssLayoutCache` shape) — and at 1× also the v2-shape build
+    *     (lss + partners only), so the ledger's ingest overhead is an
+    *     isolated delta, not an inference;
+    *   - WALK: `lssTakedownFromLedger` under the registered t17 rule,
+    *     decided/overflow split printed — the per-version cost the ledger
+    *     reduces takedowns to;
+    *   - OLD SHAPE: the survivors recompute the v2 path paid for every
+    *     version, timed live for the ratio.
+    * Tombstones derive from the ledger's own doc_ids so the walk's plan
+    * touches ledger-cardinality data only (prod hands it a small list).
+    */
+  def lssTakedownRehearsal(spark: SparkSession, src: String, dstTenX: String): Unit = {
+    import graft.operators.Dedup
+    build(spark, src, dstTenX, 10)
+    def timed[A](label: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val a  = body
+      println(f"[round17] $label%-52s ${(System.nanoTime() - t0) / 1e9}%7.1f s")
+      a
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lss_rehearsal").toString
+    for ((label, dir) <- Seq("1x" -> src, "10x" -> dstTenX)) {
+      val docs = graft.sources.Tables.documents(spark, dir)
+      if (label == "1x") timed(s"$label ingest, v2 shape (lss+partners)") {
+        val (lss, partners, _) = Dedup.longestSharedSubstringArtifacts(docs, 16, 4)
+        lss.write.mode("overwrite").parquet(s"$tmp/v2_$label/lss.parquet")
+        partners.write.mode("overwrite").parquet(s"$tmp/v2_$label/partners.parquet")
+      }
+      timed(s"$label ingest, v3 shape (lss+partners+topk)") {
+        val (lss, partners, topk) = Dedup.longestSharedSubstringArtifacts(docs, 16, 4)
+        lss.write.mode("overwrite").parquet(s"$tmp/v3_$label/lss.parquet")
+        partners.write.mode("overwrite").parquet(s"$tmp/v3_$label/partners.parquet")
+        topk.write.mode("overwrite").parquet(s"$tmp/v3_$label/topk.parquet")
+      }
+      val topk = spark.read.parquet(s"$tmp/v3_$label/topk.parquet")
+      val tomb = topk.select("doc_id").distinct().where(pmod(col("doc_id"), lit(10)) === 3)
+      timed(s"$label takedown walk (ledger-cardinality)") {
+        val (decided, recompute) = Dedup.lssTakedownFromLedger(topk, tomb)
+        val d = decided.count()
+        val r = recompute.count()
+        println(f"[round17]   decided=$d%,d overflow_recompute=$r%,d")
+      }
+      timed(s"$label OLD shape: survivors recompute") {
+        Dedup
+          .longestSharedSubstringFrom(docs.where(pmod(col("doc_id"), lit(10)) =!= 3), 16)
+          .count()
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("lsstakedown")) {
+      val spark = GraftSession.getOrCreate()
+      val src   = args.lift(1).getOrElse("/root/testdata/sf0.1")
+      val tenX  = args.lift(2).getOrElse("/tmp/graft_sf1ish")
+      require(tenX != src && !src.startsWith(tenX), s"dst $tenX would clobber src $src")
+      lssTakedownRehearsal(spark, src, tenX)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("bandwalk")) {
       val spark = GraftSession.getOrCreate()
       bandWalkRehearsal(spark, args.lift(1).map(_.toLong).getOrElse(1000000L))
