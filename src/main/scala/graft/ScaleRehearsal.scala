@@ -1034,6 +1034,16 @@ object ScaleRehearsal {
           .longestSharedSubstringFrom(docs.where(pmod(col("doc_id"), lit(10)) =!= 3), 16)
           .count()
       }
+      // the overflow fix, measured against the OLD shape above on the
+      // same survivor corpus: a synthetic 2% target set (the registered
+      // rule's real overflow is 43 docs at 1x and empty at 10x — too
+      // small/absent to time), so the ratio is the conservative one
+      val survivors = docs.where(pmod(col("doc_id"), lit(10)) =!= 3)
+      timed(s"$label TARGETED recompute, 2%% synthetic target set") {
+        val targets = survivors.where(pmod(col("doc_id"), lit(50)) === 7).select("doc_id")
+        val n = Dedup.longestSharedSubstringTargeted(survivors, targets, 16).count()
+        println(f"[round17]   targeted rows=$n%,d")
+      }
     }
   }
 

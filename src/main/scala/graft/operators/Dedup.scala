@@ -618,20 +618,18 @@ object Dedup {
   private[graft] def longestSharedSubstringFrom(docs: DataFrame, cap: Int): DataFrame =
     longestSharedSubstringArtifacts(docs, cap)._1
 
-  private[graft] def longestSharedSubstringArtifacts(
-      docs: DataFrame,
-      cap: Int,
-      partnerK: Int = 4
-  ): (DataFrame, DataFrame, DataFrame) = {
-    // Per-position width keys via TWO chained generators and only
-    // top-level (codegen'd) expressions — the nested
-    // transform/array_distinct lambda form computed the same stream ~6×
-    // slower because higher-order functions evaluate interpreted, and each
-    // generated row dragged the document's whole token array through the
-    // generate. Here explode #1 reduces the carried payload to one
-    // `cap`-token window string per position, and explode #2 emits
-    // (len, prefix) rows whose prefix is a codegen'd `substring_index`.
-    val prefixes = docs
+  /** The (doc_id, len, s) candidate-prefix stream every LSS pass starts
+    * from. Per-position width keys via TWO chained generators and only
+    * top-level (codegen'd) expressions — the nested
+    * transform/array_distinct lambda form computed the same stream ~6×
+    * slower because higher-order functions evaluate interpreted, and each
+    * generated row dragged the document's whole token array through the
+    * generate. Here explode #1 reduces the carried payload to one
+    * `cap`-token window string per position, and explode #2 emits
+    * (len, prefix) rows whose prefix is a codegen'd `substring_index`.
+    */
+  private def lssPrefixStream(docs: DataFrame, cap: Int): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .where(size(col("toks")) >= 1)
       .select(col("doc_id"), col("toks"), explode(expr("sequence(1, size(toks))")).as("p"))
@@ -646,7 +644,62 @@ object Dedup {
         col("len").cast("long").as("len"),
         expr("substring_index(win, ' ', len)").as("s")
       )
-    val keyed = prefixes.withColumn("xh", xxhash64(col("s")))
+
+  /** The LSS answer for `targets` ONLY, computed against the full
+    * `survivors` corpus WITHOUT the full-corpus wide aggregation — the
+    * overflow path's cost fix. The full pass pays a corpus-volume
+    * countDistinct over every (len, prefix) group to find shared spans
+    * for every doc; here the recompute set is known (typically the
+    * handful of truncated-all-dead ledger docs), so the survivor prefix
+    * stream is SEMI-JOINED to the targets' span keys first — the wide
+    * work shrinks from corpus-cardinality groups to the carriers of the
+    * targets' own spans, and AQE broadcasts the (small) key set so the
+    * filter runs map-side before any shuffle. Sharedness over the
+    * filtered subset is min≠max on doc_id per exact (len, s) — partial-
+    * aggregable with no per-key distinct state, so one ubiquitous span
+    * (a stop-token every doc carries) costs two longs per partition,
+    * not a distinct-set explosion. Exactness: a target's kept rows here
+    * are exactly its kept rows in the full pass (its spans, carried by
+    * ≥2 distinct survivors — xxhash collisions only widen the candidate
+    * pull and are killed by the exact string recount), so the per-doc
+    * (max len, min md5) fold returns the identical row
+    * (LssTakedownSpec pins targeted ≡ full-filtered on the overflow
+    * corpus and at sf0.001).
+    */
+  private[graft] def longestSharedSubstringTargeted(
+      survivors: DataFrame,
+      targets: DataFrame,
+      cap: Int
+  ): DataFrame = {
+    val t     = targets.select("doc_id")
+    val keyed = lssPrefixStream(survivors, cap).withColumn("xh", xxhash64(col("s")))
+    val targetKeys = keyed
+      .join(t, Seq("doc_id"), "left_semi")
+      .select("len", "xh")
+      .distinct()
+    val cand = keyed.join(targetKeys, Seq("len", "xh"), "left_semi")
+    val sharedExact = cand
+      .groupBy("len", "s")
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .where(col("mn") =!= col("mx"))
+      .select("len", "s")
+    val kept = cand
+      .join(t, Seq("doc_id"), "left_semi")
+      .join(sharedExact, Seq("len", "s"), "left_semi")
+    kept
+      .groupBy("doc_id", "len")
+      .agg(min_by(col("s"), md5(col("s"))).as("s"))
+      .groupBy("doc_id")
+      .agg(max_by(struct(col("len"), col("s")), col("len")).as("m"))
+      .select(col("doc_id"), col("m.len").as("lss_len"), md5(col("m.s")).as("lss_fp"))
+  }
+
+  private[graft] def longestSharedSubstringArtifacts(
+      docs: DataFrame,
+      cap: Int,
+      partnerK: Int = 4
+  ): (DataFrame, DataFrame, DataFrame) = {
+    val keyed = lssPrefixStream(docs, cap).withColumn("xh", xxhash64(col("s")))
     // Candidate detection on LONG keys (xxhash64 of the prefix), exactness
     // restored by a RECOUNT over the candidate subset: df(len, xh) ≥
     // df(len, s) for every s hashing to xh, so no truly-shared prefix can
@@ -2229,11 +2282,15 @@ object Dedup {
     * `dl`), so a takedown resolves from ledger-cardinality joins alone:
     * each affected doc walks its stored (len desc, fp asc) entries to
     * the first one with a surviving carrier — provably the from-scratch
-    * answer over survivors. The n19-core survivors pass (the old cost
-    * shape, 13.5 s at sf0.1) now runs ONLY for the undecidable overflow
-    * (a doc whose all-stored carriers died on a TRUNCATED carrier list,
-    * or whose spans out-number the ledger depth `graft.lss.partner_k`)
-    * — LssTakedownSpec pins both the ledger-only path and the overflow.
+    * answer over survivors. Only the undecidable overflow (a doc whose
+    * all-stored carriers died on a TRUNCATED carrier list, or whose
+    * spans out-number the ledger depth `graft.lss.partner_k`) recomputes
+    * — and even that is the TARGETED pass
+    * ([[longestSharedSubstringTargeted]]: wide work over the overflow
+    * docs' span carriers only), not the full survivors aggregation the
+    * v2 path paid (13.5 s at sf0.1, hours at 100 TB) —
+    * LssTakedownSpec pins the ledger-only path, the overflow, and
+    * targeted ≡ full-filtered.
     */
   def longestSharedSubstringTombstoned(spark: SparkSession, dir: String): DataFrame =
     spark.read
@@ -2335,9 +2392,12 @@ object Dedup {
     // n19-core corpus recount) runs ONLY for the undecidable overflow
     if (recompute.isEmpty) decided.orderBy("doc_id")
     else {
+      // targeted, not the full survivors pass: the wide aggregation runs
+      // over the overflow docs' span carriers only (see
+      // longestSharedSubstringTargeted — at 100 TB the difference is a
+      // scan-plus-small-agg vs re-paying the whole ingest aggregation)
       val survivors  = docs.join(ledger, Seq("doc_id"), "left_anti")
-      val recomputed = longestSharedSubstringFrom(survivors, cap)
-        .join(recompute, Seq("doc_id"), "left_semi")
+      val recomputed = longestSharedSubstringTargeted(survivors, recompute, cap)
       decided.unionByName(recomputed).orderBy("doc_id")
     }
   }

@@ -157,6 +157,38 @@ class LssTakedownSpec extends SparkSpec {
     assert(got == scratch(docs, Set(21L)))
   }
 
+  test("targeted recompute equals the full pass filtered — overflow corpus") {
+    val docs      = df5Corpus
+    val dead      = Set(2L, 3L)
+    val survivors = docs.where(!col("doc_id").isInCollection(dead))
+    val got = Dedup
+      .longestSharedSubstringTargeted(survivors, tomb(1L), cap = 16)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val oracle = scratch(docs, dead)
+    assert(got.keySet == Set(1L), s"targeted must answer for the target set only: $got")
+    assert(got(1L) == oracle(1L), "and the answer must be the full pass's row exactly")
+    // a target sharing nothing with any survivor yields NO row (doc 6's
+    // only sharer is doc 7; kill 7 and target 6)
+    val s2 = docs.where(col("doc_id") =!= 7L)
+    assert(Dedup.longestSharedSubstringTargeted(s2, tomb(6L), 16).collect().isEmpty)
+  }
+
+  test("targeted recompute equals the full pass filtered — sf0.001 corpus slice") {
+    val docs      = graft.sources.Tables.documents(spark, sf0001)
+    val survivors = docs.where(pmod(col("doc_id"), lit(10)) =!= 3)
+    // an arbitrary ~2% target slice of the survivors
+    val targets = survivors.where(pmod(col("doc_id"), lit(50)) === 7).select("doc_id")
+    val got = Dedup
+      .longestSharedSubstringTargeted(survivors, targets, cap = 16)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val tset = targets.collect().map(_.getLong(0)).toSet
+    val full = Dedup
+      .longestSharedSubstringFrom(survivors, 16)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      .filter { case (k, _) => tset(k) }
+    assert(got == full, s"targeted (${got.size} rows) must equal full-filtered (${full.size} rows)")
+  }
+
   test("registered n19t equals from-scratch at sf0.001, ledger reads stay ledger-only") {
     val masked = Dedup.longestSharedSubstringTombstoned(spark, sf0001)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
