@@ -673,9 +673,12 @@ object Dedup {
   ): DataFrame = {
     val t     = targets.select("doc_id")
     val keyed = lssPrefixStream(survivors, cap).withColumn("xh", xxhash64(col("s")))
-    val targetKeys = keyed
-      .join(t, Seq("doc_id"), "left_semi")
-      .select("len", "xh")
+    // key derivation explodes the TARGET docs only — the semi join sits
+    // below the generator (a join won't push through a Generate, so
+    // joining `keyed` here would re-explode the whole corpus just to
+    // read off the targets' keys)
+    val targetKeys = lssPrefixStream(survivors.join(t, Seq("doc_id"), "left_semi"), cap)
+      .select(col("len"), xxhash64(col("s")).as("xh"))
       .distinct()
     val cand = keyed.join(targetKeys, Seq("len", "xh"), "left_semi")
     val sharedExact = cand
