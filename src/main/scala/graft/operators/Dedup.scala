@@ -628,7 +628,7 @@ object Dedup {
     * `cap`-token window string per position, and explode #2 emits
     * (len, prefix) rows whose prefix is a codegen'd `substring_index`.
     */
-  private def lssPrefixStream(docs: DataFrame, cap: Int): DataFrame =
+  private[graft] def lssPrefixStream(docs: DataFrame, cap: Int): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .where(size(col("toks")) >= 1)

@@ -1,0 +1,161 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+/** Streaming LSS maintenance — the sixteenth maintained-artifact family,
+  * and the one whose batch build is the most expensive text layout in the
+  * engine (the full corpus-wide shared-prefix aggregation, 43–51 s at
+  * sf0.1, 10× that at 10×): the per-doc longest-shared-substring table
+  * (n19's surface `(doc_id, lss_len, lss_fp)`) kept current as documents
+  * arrive, with NO document ever re-exploded after its own micro-batch.
+  *
+  * Shape per batch N:
+  *   1. the batch's docs are exploded ONCE into their (len, fp) span keys
+  *      (`Dedup.lssPrefixStream`, the same generator chain every batch
+  *      surface uses) and landed as this batch's SEALED key segment under
+  *      `keys/batch_id=N` — the TrigramStream sealed-segment discipline;
+  *   2. historical carriers of the batch's keys come from a NARROW
+  *      (doc_id, len, fp) scan of the prior segments joined to the batch
+  *      key set — never from re-reading document text;
+  *   3. sharedness per key is min≠max on doc_id over (historical carriers
+  *      ∪ batch rows) — partial-aggregable, no distinct-set state (a key
+  *      is a batch key, so it has ≥1 batch carrier; one more carrier
+  *      anywhere makes it shared);
+  *   4. snapshot N = the (max len, min fp) fold over prior snapshot rows ∪
+  *      the batch docs' shared keys ∪ historical carriers' candidate rows
+  *      — the ClusterStream snapshot-chain pattern. Adding documents can
+  *      never UNshare a span, so a prior row is a still-valid candidate
+  *      and the fold only ever improves it; an existing doc's candidates
+  *      can only change through keys carried by a NEW doc, and those are
+  *      exactly the batch keys (LssStreamSpec pins snapshot-final ≡ the
+  *      n19 full recompute, the improvement corner, the fp tie corner,
+  *      and idempotent replay).
+  *
+  * Span identity is the md5 FINGERPRINT, not the string: the registered
+  * n19 surface already reports `lss_fp = md5(span)` and tie-breaks on it,
+  * so keying the stream's segments by md5 introduces no failure mode the
+  * batch surface does not already accept (two distinct spans colliding on
+  * md5 would corrupt the batch output's own tie-break first). The batch
+  * path keeps its exact string recount because its xxhash64 candidate
+  * keys ARE collision-prone by design; the stream's keys are the 128-bit
+  * fingerprints themselves.
+  *
+  * Idempotence follows the shared pattern: the key segment and the
+  * snapshot land under `batch_id=<id>/` with overwrite, and batch N's
+  * inputs (segments < N, snapshot N−1, the replayed batch) are untouched
+  * by batch N's writes, so a checkpoint replay rewrites byte-identical
+  * outputs. A `graft.lss.max_tokens` change mid-stream would silently mix
+  * span caps across segments — the `_scheme` stamp fails that fast
+  * (DedupStream's discipline).
+  */
+object LssStream {
+
+  /** Watch `docsDir` for new document parquet; maintain key segments under
+    * `stateDir/keys/batch_id=<id>` and full LSS snapshots under
+    * `stateDir/lss/batch_id=<id>`.
+    */
+  def lssStream(
+      spark: SparkSession,
+      docsDir: String,
+      stateDir: String,
+      checkpointDir: String,
+      sourceSchema: Option[StructType] = None
+  ): StreamingQuery = {
+    val schema = StreamSource.schemaFor(spark, docsDir, sourceSchema)
+    spark.readStream
+      .schema(schema)
+      .parquet(docsDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, stateDir, batchId)
+      }
+      .start()
+  }
+
+  private[graft] def schemeTag(cap: Int): String =
+    s"lss-stream-v${Dedup.LssSchemeVersion}#c$cap"
+
+  /** One micro-batch. Exposed for the LssStreamSpec differential against
+    * the n19 full recompute.
+    */
+  private[graft] def processBatch(batch: DataFrame, stateDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val cap   = graft.GraftConf.int(spark, "lss.max_tokens", 16)
+    DedupStream.assertOrStampScheme(spark, stateDir, schemeTag(cap))
+    // the batch's only explode, sealed as its own key segment (fp-
+    // clustered: the only reader is an equi-join on fp, and neighboring
+    // fingerprints compress their (len, fp) runs)
+    val pfx = Dedup
+      .lssPrefixStream(batch, cap)
+      .select(col("doc_id"), col("len"), md5(col("s")).as("fp"))
+      .distinct()
+    pfx
+      .repartition(col("fp"))
+      .sortWithinPartitions("len", "fp")
+      .write.mode("overwrite").parquet(s"$stateDir/keys/batch_id=$batchId")
+    val keys = spark.read.parquet(s"$stateDir/keys/batch_id=$batchId")
+    // historical carriers of the batch's keys: 3-column scan, partition-
+    // pruned to segments < N, join strategy left to AQE (the batch key
+    // set is small for a small batch and corpus-sized for a bootstrap
+    // batch — a forced broadcast would be the maskedHashLedger mistake)
+    val batchKeys = keys.select("len", "fp").distinct()
+    val hist = spark.read
+      .parquet(s"$stateDir/keys")
+      .where(col("batch_id") < batchId)
+      .select("doc_id", "len", "fp")
+      .join(batchKeys, Seq("len", "fp"), "left_semi")
+    val shared = hist
+      .unionByName(keys.select("doc_id", "len", "fp"))
+      .groupBy("len", "fp")
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .where(col("mn") =!= col("mx"))
+      .select("len", "fp")
+    // candidates: the batch docs' shared keys, the historical carriers'
+    // rows of those keys, and every prior-snapshot row (still valid —
+    // sharedness is monotone under ingest)
+    val prior =
+      if (batchId == 0L) spark.emptyDataFrame.select(lit(0L).as("doc_id"), lit(0L).as("len"), lit("").as("fp")).limit(0)
+      else
+        spark.read
+          .parquet(s"$stateDir/lss/batch_id=${batchId - 1}")
+          .select(col("doc_id"), col("lss_len").as("len"), col("lss_fp").as("fp"))
+    val cand = keys
+      .select("doc_id", "len", "fp")
+      .unionByName(hist)
+      .join(shared, Seq("len", "fp"), "left_semi")
+      .unionByName(prior)
+    cand
+      .groupBy("doc_id", "len")
+      .agg(min(col("fp")).as("fp"))
+      .groupBy("doc_id")
+      .agg(max_by(struct(col("len"), col("fp")), col("len")).as("m"))
+      .select(col("doc_id"), col("m.len").as("lss_len"), col("m.fp").as("lss_fp"))
+      .write.mode("overwrite").parquet(s"$stateDir/lss/batch_id=$batchId")
+  }
+
+  /** The stream-maintained LSS table as of `batchId` (the latest committed
+    * snapshot when omitted) — row-identical to n19's batch table over the
+    * same documents.
+    */
+  def longestSharedSubstringStreamed(
+      spark: SparkSession,
+      stateDir: String,
+      batchId: Option[Long] = None
+  ): DataFrame = {
+    val id = batchId.getOrElse {
+      val p  = new org.apache.hadoop.fs.Path(s"$stateDir/lss")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p)
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("batch_id=") => n.stripPrefix("batch_id=").toLong }
+        .max
+    }
+    spark.read.parquet(s"$stateDir/lss/batch_id=$id").orderBy("doc_id")
+  }
+}
