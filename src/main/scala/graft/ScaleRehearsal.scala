@@ -1047,7 +1047,45 @@ object ScaleRehearsal {
     }
   }
 
+  /** Round-17 rehearsal #2: streaming LSS maintenance at 10× — one
+    * replica of the sf0.1 documents per micro-batch, so the measured
+    * question is the one that matters at 100 TB: what does the MARGINAL
+    * batch cost as history grows, vs re-paying the full rebuild per
+    * arrival (the lsstakedown rehearsal's 10× ingest row, 230–286 s)?
+    * Prints per-batch seconds (batch explode + narrow key-segment scan +
+    * snapshot fold) and closes with a row-count reconciliation against
+    * the snapshot chain's final state.
+    */
+  def lssStreamRehearsal(spark: SparkSession, src: String, dstTenX: String): Unit = {
+    build(spark, src, dstTenX, 10)
+    val docs = graft.sources.Tables.documents(spark, dstTenX)
+    val dir  = java.nio.file.Files.createTempDirectory("graft_lss_stream_rehearsal").toString
+    def timed[A](label: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val a  = body
+      println(f"[round17] $label%-52s ${(System.nanoTime() - t0) / 1e9}%7.1f s")
+      a
+    }
+    (0 until 10).foreach { i =>
+      val b = docs.where(expr(s"doc_id div $Stride") === i)
+      timed(s"stream batch $i (one sf0.1 replica)")(
+        graft.streaming.LssStream.processBatch(b, dir, i.toLong)
+      )
+    }
+    val n = graft.streaming.LssStream.longestSharedSubstringStreamed(spark, dir).count()
+    println(f"[round17] final streamed snapshot rows: $n%,d")
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("lssstream")) {
+      val spark = GraftSession.getOrCreate()
+      val src   = args.lift(1).getOrElse("/root/testdata/sf0.1")
+      val tenX  = args.lift(2).getOrElse("/tmp/graft_sf1ish")
+      require(tenX != src && !src.startsWith(tenX), s"dst $tenX would clobber src $src")
+      lssStreamRehearsal(spark, src, tenX)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("lsstakedown")) {
       val spark = GraftSession.getOrCreate()
       val src   = args.lift(1).getOrElse("/root/testdata/sf0.1")
