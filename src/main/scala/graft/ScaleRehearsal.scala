@@ -1010,16 +1010,17 @@ object ScaleRehearsal {
     val tmp = java.nio.file.Files.createTempDirectory("graft_lss_rehearsal").toString
     for ((label, dir) <- Seq("1x" -> src, "10x" -> dstTenX)) {
       val docs = graft.sources.Tables.documents(spark, dir)
-      if (label == "1x") timed(s"$label ingest, v2 shape (lss+partners)") {
-        val (lss, partners, _) = Dedup.longestSharedSubstringArtifacts(docs, 16, 4)
-        lss.write.mode("overwrite").parquet(s"$tmp/v2_$label/lss.parquet")
-        partners.write.mode("overwrite").parquet(s"$tmp/v2_$label/partners.parquet")
+      if (label == "1x") timed(s"$label standalone n19 fold (single-output pass)") {
+        Dedup
+          .longestSharedSubstringFrom(docs, 16)
+          .write.mode("overwrite").parquet(s"$tmp/v2_$label/lss.parquet")
       }
-      timed(s"$label ingest, v3 shape (lss+partners+topk)") {
-        val (lss, partners, topk) = Dedup.longestSharedSubstringArtifacts(docs, 16, 4)
-        lss.write.mode("overwrite").parquet(s"$tmp/v3_$label/lss.parquet")
-        partners.write.mode("overwrite").parquet(s"$tmp/v3_$label/partners.parquet")
+      timed(s"$label ingest, production shape (topk once + projections)") {
+        val (_, _, topk) = Dedup.longestSharedSubstringArtifacts(docs, 16, 4)
         topk.write.mode("overwrite").parquet(s"$tmp/v3_$label/topk.parquet")
+        val t = docs.sparkSession.read.parquet(s"$tmp/v3_$label/topk.parquet")
+        Dedup.lssFromTopk(t).write.mode("overwrite").parquet(s"$tmp/v3_$label/lss.parquet")
+        Dedup.lssPartnersFromTopk(t).write.mode("overwrite").parquet(s"$tmp/v3_$label/partners.parquet")
       }
       val topk = spark.read.parquet(s"$tmp/v3_$label/topk.parquet")
       val tomb = topk.select("doc_id").distinct().where(pmod(col("doc_id"), lit(10)) === 3)
