@@ -539,9 +539,10 @@ object Dedup {
     * here rides.
     *
     * Scale shape: the generate phase emits (doc_id, width, prefix) for
-    * all widths — `cap ×` the n7 token stream — then ONE wide
-    * countDistinct on 16-byte long keys finds cross-doc candidates
-    * (within-doc self-repeats never count, n7's contract), an exact
+    * all widths — `cap ×` the n7 token stream — then ONE wide min≠max
+    * aggregation on 16-byte long keys finds cross-doc candidates (two
+    * longs of partial-aggregable state per key, no distinct sets;
+    * within-doc self-repeats never count, n7's contract), an exact
     * string recount over the candidate subset removes hash-collision
     * false positives, and a per-doc argmax finishes. Nothing is pairwise,
     * nothing driver-side. At a cap too large for the `cap×` stream, the
@@ -560,6 +561,9 @@ object Dedup {
     * (one build produces both per-doc artifacts). v3 = + the top-K span
     * ledger (`topk.parquet`) that lets takedowns resolve from the layout
     * alone (the store-a-little-more-at-ingest trade t17 makes with `dl`).
+    * The single-pass build restructure (ledger written once, lss/partners
+    * projected from its rank-1 rows) left every artifact byte-identical,
+    * so it is NOT a version bump — existing v3 layouts stay valid.
     */
   private[graft] val LssSchemeVersion = 3
 
