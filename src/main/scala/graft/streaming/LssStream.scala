@@ -51,6 +51,16 @@ import org.apache.spark.sql.types.StructType
   * outputs. A `graft.lss.max_tokens` change mid-stream would silently mix
   * span caps across segments — the `_scheme` stamp fails that fast
   * (DedupStream's discipline).
+  *
+  * No compaction rung, deliberately (vs t16's postings compaction): the
+  * per-batch historical read is a narrow 3-column columnar scan whose
+  * cost is DATA-bound, not file-bound — merging segments would not
+  * shrink the bytes read, and every segment stays load-bearing forever
+  * (any old doc can be the carrier that shares a future doc's span), so
+  * there is no retire-the-tail story either. At daily batches the
+  * segment count stays in the thousands, far below scan-planning
+  * overhead territory; measured at 10 replica-sized batches the marginal
+  * batch cost is flat (14–22 s, `ScaleRehearsal lssstream`).
   */
 object LssStream {
 
