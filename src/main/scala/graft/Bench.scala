@@ -57,7 +57,39 @@ object Bench {
     // co-tenant multicore contention (the r13 signature); both inflated ⇒
     // throttled/steal-heavy host. Probes run after JVM warmup and BEFORE
     // the layout phase, so they measure the host, not our cache state.
-    val sentinel = sentinelProbes(spark)
+    //
+    // SENTINEL GATE (VERDICT r17 item 1): the r17 scoreboard carried a
+    // 325.7 s loaded-host record (shuffle probe 4.237 vs the 1.6–2.4 s
+    // quiet band across every committed record) that needed a full manual
+    // re-adjudication. Nothing *acted* on the out-of-band probe — the gate
+    // now does: if the pre-run probes are out of band, back off and
+    // re-probe up to `SPARK_GRAFT_SENTINEL_RETRIES` (default 4) times,
+    // waiting for the host to quiet down before spending ~2 min of bench.
+    // A post-run probe catches load that ARRIVED mid-bench (the r17
+    // signature was intra-run contention spikes). `degraded_host` is true
+    // iff pre (after retries) or post is out of band — downstream tooling
+    // (close_gate.sh) treats a degraded record as retryable, and
+    // adjudication never again has to infer host state from query deltas.
+    // Band thresholds are the committed-record envelope + headroom
+    // (BASELINE.md §sentinel): quiet shuffle probe has never exceeded
+    // 2.4 s, single-thread never 2.65 s, across 5 rounds of records.
+    val shuffleMax = sys.env.get("SPARK_GRAFT_SENTINEL_SHUFFLE_MAX").map(_.toDouble).getOrElse(2.6)
+    val singleMax  = sys.env.get("SPARK_GRAFT_SENTINEL_ST_MAX").map(_.toDouble).getOrElse(2.8)
+    def inBand(s: (Double, Double)): Boolean = s._1 <= singleMax && s._2 <= shuffleMax
+    val probeRetries = sys.env.get("SPARK_GRAFT_SENTINEL_RETRIES").map(_.toInt).getOrElse(4)
+    var sentinel         = sentinelProbes(spark)
+    var sentinelAttempts = 1
+    while (!inBand(sentinel) && sentinelAttempts <= probeRetries) {
+      val backoffSecs = 15L << (sentinelAttempts - 1) // 15, 30, 60, 120
+      System.err.println(
+        f"[bench] sentinel out of band (st=${sentinel._1}%.3f shuffle=${sentinel._2}%.3f; " +
+          f"band st<=$singleMax%.1f shuffle<=$shuffleMax%.1f) — backing off ${backoffSecs}s " +
+          s"(attempt $sentinelAttempts/$probeRetries)"
+      )
+      Thread.sleep(backoffSecs * 1000L)
+      sentinel = sentinelProbes(spark)
+      sentinelAttempts += 1
+    }
 
     // Layout pre-build: force every ingest-time derived layout in an
     // explicit, separately-timed phase (the reference's cold/warm split,
@@ -121,8 +153,15 @@ object Bench {
     // is "cold" and its total includes no build time either — builds live
     // exclusively in layout_phase_secs — but page/OS cache state differs.
     val mode = if (layouts.exists(_.built)) "cold" else "warm"
+    // Post-run probe: pre-run quiet does not prove the QUERY SECTION ran
+    // quiet (the r17 record's contention arrived mid-run). A record is
+    // degraded if the host was loaded on either side of the measurement.
+    val sentinelPost = sentinelProbes(spark)
+    val degradedHost = !inBand(sentinel) || !inBand(sentinelPost)
     val sentinelJson =
-      f""""sentinel":{"single_thread_secs":${sentinel._1}%.3f,"shuffle_probe_secs":${sentinel._2}%.3f}"""
+      f""""sentinel":{"single_thread_secs":${sentinel._1}%.3f,"shuffle_probe_secs":${sentinel._2}%.3f},""" +
+        f""""sentinel_post":{"single_thread_secs":${sentinelPost._1}%.3f,"shuffle_probe_secs":${sentinelPost._2}%.3f},""" +
+        f""""sentinel_attempts":$sentinelAttempts,"degraded_host":$degradedHost"""
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","mode":"$mode","reps":$Reps,$sentinelJson,"queries":$qs,"spread":$spreadJson,"failed":${failed
           .mkString("[", ",", "]")},"layout_phase_secs":$layoutPhaseSecs%.3f,"layouts":$layoutJson,"late_builds":$lateBuilds,"sf":"$sfDir"}"""

@@ -20,6 +20,20 @@ import org.apache.spark.sql.SparkSession
   */
 object FixtureGen {
   def main(args: Array[String]): Unit = {
+    // `--only <name>` regenerates a single fixture (committed parquet is
+    // content-keyed into layout caches, so rewriting byte-identical-value
+    // files with fresh metadata would churn every cache and the git tree)
+    if (args.length == 2 && args(0) == "--only") {
+      val spark = GraftSession.getOrCreate()
+      args(1) match {
+        case "bitextplant" => bitextPlant(spark, "fixtures/bitextplant")
+        case "annplant"    => annPlant(spark, "fixtures/annplant")
+        case "simdup"      => simDup(spark, "fixtures/simdup")
+        case other         => sys.error(s"unknown fixture: $other")
+      }
+      spark.stop()
+      return
+    }
     val out   = if (args.nonEmpty) args(0) else "fixtures/embdup"
     val spark = GraftSession.getOrCreate()
     import spark.implicits._
@@ -46,7 +60,47 @@ object FixtureGen {
     }
     annPlant(spark, s"$parent/annplant")
     simDup(spark, s"$parent/simdup")
+    bitextPlant(spark, s"$parent/bitextplant")
     spark.stop()
+  }
+
+  /** The BITEXT planted-positive fixture (`fixtures/bitextplant`) behind
+    * `b2p_bitext_planted` (VERDICT r17 item 4 — the last production index
+    * rung without a planted twin): three known "translated pairs" — a
+    * source-half vector (even label) and a target-half partner (odd label)
+    * at jitter 0.005 → pair cosine ≈ 0.99998, a decade above the testdata
+    * corpora's max background cosine (≈ 0.5 over random 64-dim Gaussians),
+    * so each side's cross-lingual nearest neighbor is its partner under
+    * ANY retrieval that surfaces the partner at all, and the ratio margin
+    * (nn_cos / davg with davg diluted by background top-4 cosines ≈ 0.4)
+    * lands ≈ 1.9 — far above the 1.05 threshold on BOTH the full
+    * neighborhood (the DuckDB oracle) and any IVF-pruned sub-neighborhood
+    * (pruning can only shrink davg's top-4, never raise it, so
+    * margin_pruned ≥ margin_full — the one-sided containment BitextSpec
+    * pins). Ids from 2,100,000: disjoint from every SF's vec_ids and the
+    * annplant (2,000,000..) / embdup (1,000,000..) ranges — and from
+    * ScaleRehearsal's +1e9-stride replicas, hence the exact id RANGE
+    * filters in the rung (the s14p discipline).
+    */
+  def bitextPlant(spark: SparkSession, out: String): Unit = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260816)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def jitter(v: Array[Float], s: Float): Array[Float] =
+      v.map(x => x + s * rnd.nextGaussian().toFloat)
+    val rows = (0 until 3).flatMap { p =>
+      val base = vec()
+      Seq(
+        (2100000L + 2 * p, base, 2 * p),              // source half (even label)
+        (2100001L + 2 * p, jitter(base, 0.005f), 2 * p + 1) // target half (odd label)
+      )
+    }
+    rows
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$out/embeddings.parquet")
   }
 
   /** The SimHash planted-positive fixture (`fixtures/simdup`) behind

@@ -45,6 +45,7 @@ object Layouts {
     "ivf_incremental"    -> (() => { Similarity.annIvfIncremental(spark, dir); () }),
     "ivf_planted"        -> (() => { Similarity.annIvfFilteredPlanted(spark, dir); () }),
     "ivf_planted_delta"  -> (() => { Similarity.annIvfIncrementalPlanted(spark, dir); () }),
+    "ivf_bitext_planted" -> (() => { Similarity.bitextMarginPairsIvfPlanted(spark, dir); () }),
     "sq8_vectors"        -> (() => { Similarity.annQuantized(spark, dir); () }),
     "pq_vectors"         -> (() => { Similarity.annPq(spark, dir); () }),
     "pq_planted"         -> (() => { Similarity.annPqPlanted(spark, dir); () }),

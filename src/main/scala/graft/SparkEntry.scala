@@ -312,6 +312,12 @@ object SparkEntry {
     // over IVF-pruned neighbor retrievals (the s13/s14 exact/production
     // split applied to mining; b1 stays as the oracle comparator)
     "b2_bitext_margin_ivf" -> ((s: SparkSession, d: String) => Similarity.bitextMarginPairsIvf(s, d)),
+    // round 18: b2's planted twin — three known translated pairs planted
+    // across the parity halves must come back through the REAL IVF path
+    // (live-trained layout over corpus ∪ fixture, per-vector probes, the
+    // shared margin fold) at the registered knobs; closes the planted
+    // matrix over every production index rung (VERDICT r17 item 4)
+    "b2p_bitext_planted" -> ((s: SparkSession, d: String) => Similarity.bitextMarginPairsIvfPlanted(s, d)),
     // round 8: semantic decontamination — nearest benchmark vector +
     // above-threshold count per training vector (integer-only output)
     "d22_decontaminate_semantic" -> ((s: SparkSession, d: String) => Curation.decontaminateSemantic(s, d)),
@@ -1980,6 +1986,17 @@ object SparkEntry {
     // recipe), then the b1 fold/ratio SQL over the pruned candidate
     // relation at the registered knobs (nprobe 4, k 4, threshold 1.05)
     "b2_bitext_margin_ivf"    -> (ivfReplayCtes("ivf16") + bitextIvfTail),
+    // b2p: b1's EXACT margin SQL over corpus ∪ the committed bitextplant
+    // fixture, restricted to the planted id range — sound against the
+    // IVF-pruned engine path by the containment argument in the rung's
+    // scaladoc (pruning only shrinks davg's top-4, so margin_pruned ≥
+    // margin_full ≈ 1.9 ≫ 1.05, and mutual-nearest at partner cosine
+    // ≈ 0.99998 survives any pruning that surfaces the partner, which the
+    // near-identical centroid ranking guarantees; BitextSpec pins both).
+    // Engine restricts QUERY sides to the planted range pre-join; the
+    // oracle mirrors by grouping only planted sids/tids while candidates
+    // stay the full opposite half.
+    "b2p_bitext_planted" -> bitextPlantedOracle,
     "s9_ann_ivf_quantized"    -> (ivfReplayCtes("ivf16") + sq8Tail),
     "s17_ann_pq"              -> (pqBaseCtes + pqReplayTail("")),
     // b1: the margin pipeline replayed end to end — float-exact cosines,
@@ -2241,6 +2258,37 @@ object SparkEntry {
       "SELECT p.sid AS src_id, p.nn_tid AS tgt_id FROM pers p JOIN pert q2 ON q2.tid = p.nn_tid " +
       "WHERE q2.nn_sid = p.sid AND p.nn_cos / ((p.davg_s + q2.davg_t) / 2.0) >= 1.05 " +
       "ORDER BY src_id"
+
+  /** b2p's oracle: the b1 exact margin pipeline (float-product cosines,
+    * ordered top-k folds, DOUBLE ratio arithmetic, registered k=4 /
+    * threshold=1.05) over corpus ∪ the committed bitextplant fixture,
+    * with per-side stats GROUPED only over the planted id range (the
+    * engine restricts its query sides identically) while each planted
+    * side's neighborhood remains the FULL opposite half — the oracle
+    * answers "what does exact mining say about the planted ids", which
+    * equals the pruned path's answer by the containment argument.
+    */
+  private val bitextPlantedOracle: String =
+    ("WITH emb AS (SELECT vec_id, label, embedding FROM embeddings UNION ALL " +
+      "SELECT vec_id, label, embedding FROM read_parquet('/root/repo/fixtures/bitextplant/embeddings.parquet/*.parquet')), " +
+      "s AS (SELECT vec_id AS sid, embedding AS se FROM emb WHERE label % 2 = 0), " +
+      "t AS (SELECT vec_id AS tid, embedding AS te FROM emb WHERE label % 2 = 1), " +
+      s"sn AS (SELECT sid, ${fdot("se", "se")} AS nx FROM s), " +
+      s"tn AS (SELECT tid, ${fdot("te", "te")} AS nx FROM t), " +
+      "sc AS (SELECT s.sid, t.tid, CASE WHEN sn.nx = 0 OR tn.nx = 0 THEN 0.0 ELSE " +
+      s"${fdot("s.se", "t.te")} / (sqrt(sn.nx) * sqrt(tn.nx)) END AS cos " +
+      "FROM s CROSS JOIN t JOIN sn ON sn.sid = s.sid JOIN tn ON tn.tid = t.tid " +
+      "WHERE s.sid BETWEEN 2100000 AND 2100005 OR t.tid BETWEEN 2100000 AND 2100005), " +
+      "pers AS (SELECT sid, (array_agg(tid ORDER BY cos DESC, tid))[1] AS nn_tid, " +
+      "(array_agg(cos ORDER BY cos DESC, tid))[1] AS nn_cos, " +
+      "list_sum((array_agg(cos ORDER BY cos DESC, tid))[1:4]) / least(4, count(*)) AS davg_s " +
+      "FROM sc WHERE sid BETWEEN 2100000 AND 2100005 GROUP BY sid), " +
+      "pert AS (SELECT tid, (array_agg(sid ORDER BY cos DESC, sid))[1] AS nn_sid, " +
+      "list_sum((array_agg(cos ORDER BY cos DESC, sid))[1:4]) / least(4, count(*)) AS davg_t " +
+      "FROM sc WHERE tid BETWEEN 2100000 AND 2100005 GROUP BY tid) " +
+      "SELECT p.sid AS src_id, p.nn_tid AS tgt_id FROM pers p JOIN pert q ON q.tid = p.nn_tid " +
+      "WHERE q.nn_sid = p.sid AND p.nn_cos / ((p.davg_s + q.davg_t) / 2.0) >= 1.05 " +
+      "ORDER BY src_id")
 
   /** s9's tail: the SQ8 coarse pass replayed (q8 quantization from the
     * layout's exact formula — integer codes, so float and double products

@@ -353,7 +353,7 @@ object Similarity {
   /** The nProbe cluster ids nearest the query vector (centroids are local —
     * driver-side coordination over C×dim floats, by design).
     */
-  private[operators] def probeIds(qv: Seq[Float], centroids: Array[Seq[Float]], nProbe: Int): Seq[Int] =
+  private[graft] def probeIds(qv: Seq[Float], centroids: Array[Seq[Float]], nProbe: Int): Seq[Int] =
     centroids.zipWithIndex
       .map { case (c, i) => (cosLocal(qv, c), i) }
       .sortBy { case (c, i) => (-c, i) }
@@ -1956,6 +1956,113 @@ object Similarity {
     // (query, candidate) pair arises at most once — no dedup needed)
     def retrieve(q: DataFrame, qid: String, n: DataFrame, nid: String): DataFrame = {
       val queries = q
+        .select(col("vec_id"), col("embedding"), explode(probeIdsCol(centroids, np)).as("pcl"))
+        .select(col("vec_id").as(qid), col("embedding").as("qe"), col("pcl"))
+      val nbrs = n.select(col("cl").as("pcl"), col("vec_id").as(nid), col("embedding").as("ne"))
+      queries
+        .join(nbrs, "pcl")
+        .select(col(qid), col(nid), call_function("cosine_sim", col("qe"), col("ne")).as("cos"))
+        .where(col("cos").isNotNull)
+    }
+    val perSrc = bitextSideStats(retrieve(src, "sid", tgt, "tid"), "sid", "tid", k)
+    val perTgt = bitextSideStats(retrieve(tgt, "tid", src, "sid"), "tid", "sid", k)
+    perSrc
+      .join(perTgt, perSrc("nn_tid") === perTgt("tid"))
+      .where(col("nn_sid") === col("sid")) // mutual nearest (intersection criterion)
+      .withColumn("margin", col("nn_cos_sid") / ((col("davg_sid") + col("davg_tid")) / lit(2.0)))
+      .where(col("margin") >= threshold)
+      .select(col("sid").as("src_id"), col("tid").as("tgt_id"))
+      .orderBy("src_id")
+  }
+
+  /** Planted-id range of `fixtures/bitextplant` ([[graft.FixtureGen
+    * .bitextPlant]]): three translated pairs, even-label source ↔
+    * odd-label target, pair cosine ≈ 0.99998. Disjoint from every SF's
+    * vec_ids, the other fixtures, and rehearsal +1e9-stride replicas —
+    * hence exact RANGE filters (the s14p discipline).
+    */
+  private[graft] val BitextPlantLo = 2100000L
+  private[graft] val BitextPlantHi = 2100005L
+
+  private def bitextPlantFixture(spark: SparkSession): String =
+    graft.GraftConf.string(spark, "fixtures.dir", "/root/repo/fixtures") + "/bitextplant/embeddings.parquet"
+
+  /** IVF layout over corpus ∪ the bitext planted fixture — the
+    * [[ivfPlantedLayoutCache]] recipe (live k-means over the union, keyed
+    * on BOTH contents so neither a regenerated corpus nor a regenerated
+    * fixture hits a stale layout) under its own cache name; no q8 copy
+    * (the bitext rungs never coarse-scan int8).
+    */
+  private[graft] def ivfBitextPlantedLayoutCache(
+      spark: SparkSession, dir: String, nClusters: Int): String = {
+    val fx    = bitextPlantFixture(spark)
+    val fxKey = graft.sources.LayoutCache.contentKey(spark, fx, "fx")
+    val key = graft.sources.LayoutCache.contentKey(
+      spark,
+      s"$dir/embeddings.parquet",
+      s"ivfbp-v$IvfSchemeVersion#$nClusters#$fxKey"
+    )
+    graft.sources.LayoutCache.getOrBuild(spark, "graft_ivfbp", key) { out =>
+      val e       = Tables.embeddings(spark, dir).unionByName(spark.read.parquet(fx))
+      val refined = refinedCentroids(e, nClusters)
+      writeIvfSegment(e, refined, out, withQ8 = false)
+      writeCentroids(spark, refined, out)
+    }
+  }
+
+  /** B2P — [[bitextMarginPairsIvf]]'s planted twin (VERDICT r17 item 4,
+    * closing the planted matrix): the corpus ∪ `fixtures/bitextplant`
+    * union carries three KNOWN translated pairs (partner cosine ≈ 0.99998,
+    * a decade above background), the IVF layout over the union is trained
+    * LIVE (the s4p discipline — this twin gates k-means training, which
+    * b2's oracle-over-artifact conditions away), and the real IVF
+    * retrieval + shared margin fold must emit exactly those pairs through
+    * the planted id range. Query sides are restricted to the planted
+    * RANGE before the probe join (the s14p shape — 6 query rows × probed
+    * clusters, not the whole mining run), candidates stay the full
+    * opposite half, so davg is diluted by real background neighbors
+    * exactly as in production.
+    *
+    * Why the exact-b1 oracle adjudicates this approximate path (the
+    * fixture scaladoc's containment argument, pinned in BitextSpec):
+    * (1) each planted side's TRUE cross-half nearest is its partner at
+    * cosine ≈ 1, so mutual-nearest holds on the full neighborhoods (the
+    * oracle) and on any pruned sub-neighborhood that surfaces the partner
+    * — and the partner is surfaced because near-identical embeddings rank
+    * the centroid list near-identically, putting the partner's ASSIGNED
+    * cluster (its own top-1 probe) inside the query's nProbe=4 probes;
+    * (2) pruning can only remove candidates, so the pruned top-k fold's
+    * davg ≤ the full davg, hence margin_pruned ≥ margin_full ≈ 1.9 ≫ 1.05
+    * — if the oracle emits, the engine must emit; the converse direction
+    * needs no margin argument because a non-partner pair already fails
+    * mutual-nearest on both sides. Fully DuckDB-oracled: b1's exact
+    * margin SQL over the same union, restricted to the planted src range.
+    */
+  def bitextMarginPairsIvfPlanted(
+      spark: SparkSession,
+      dir: String,
+      k: Int = BitextMarginK,
+      threshold: Double = BitextMarginThreshold,
+      nClusters: Int = -1,
+      nProbe: Int = -1
+  ): DataFrame = {
+    VectorFunctions.register(spark)
+    val (nc, np) = resolveIvfKnobs(spark, nClusters, nProbe)
+    val layout   = ivfBitextPlantedLayoutCache(spark, dir, nc)
+    val centroids = spark.read
+      .parquet(s"$layout/centroids.parquet")
+      .orderBy("cl")
+      .collect()
+      .map(_.getSeq[Float](1))
+    val v = spark.read
+      .parquet(s"$layout/vectors.parquet")
+      .select(col("cl"), col("vec_id"), col("label"), col("embedding"))
+    val planted = col("vec_id").between(BitextPlantLo, BitextPlantHi)
+    val src     = v.where(pmod(col("label"), lit(2)) === 0)
+    val tgt     = v.where(pmod(col("label"), lit(2)) === 1)
+    def retrieve(q: DataFrame, qid: String, n: DataFrame, nid: String): DataFrame = {
+      val queries = q
+        .where(planted)
         .select(col("vec_id"), col("embedding"), explode(probeIdsCol(centroids, np)).as("pcl"))
         .select(col("vec_id").as(qid), col("embedding").as("qe"), col("pcl"))
       val nbrs = n.select(col("cl").as("pcl"), col("vec_id").as(nid), col("embedding").as("ne"))

@@ -74,6 +74,73 @@ class BitextSpec extends SparkSpec {
     assert(math.abs(row.getDouble(3) - (0.9 + 0.5 + 0.4 + 0.3) / 4.0) < 1e-12)
   }
 
+  test("b2p emits exactly the three planted pairs through the real IVF path at default knobs") {
+    val got = pairs(Similarity.bitextMarginPairsIvfPlanted(spark, sf0001))
+    assert(got == Seq((2100000L, 2100001L), (2100002L, 2100003L), (2100004L, 2100005L)))
+  }
+
+  test("b2p's containment argument holds: planted margins clear the threshold with headroom on FULL neighborhoods") {
+    // the oracle-side direction of the containment argument (pruning only
+    // raises margin): compute each planted pair's EXACT full-neighborhood
+    // margin from the union and assert ≥ 1.5 — well above the 1.05
+    // registered threshold, so margin_pruned ≥ margin_full ≥ 1.5 can never
+    // sit near the decision boundary where float noise could split the
+    // engine and oracle verdicts
+    import graft.functions.VectorFunctions
+    VectorFunctions.register(spark)
+    val e = graft.sources.Tables
+      .embeddings(spark, sf0001)
+      .unionByName(spark.read.parquet("fixtures/bitextplant/embeddings.parquet"))
+    val src = e.where(pmod(col("label"), lit(2)) === 0).select(col("vec_id").as("sid"), col("embedding").as("se"))
+    val tgt = e.where(pmod(col("label"), lit(2)) === 1).select(col("vec_id").as("tid"), col("embedding").as("te"))
+    val scored = src
+      .crossJoin(tgt)
+      .select(col("sid"), col("tid"), call_function("cosine_sim", col("se"), col("te")).as("cos"))
+      .where(col("cos").isNotNull)
+    val perSrc = Similarity.bitextSideStats(
+      scored.where(col("sid").between(2100000L, 2100005L)), "sid", "tid", 4)
+    val perTgt = Similarity.bitextSideStats(
+      scored.where(col("tid").between(2100000L, 2100005L)), "tid", "sid", 4)
+    val margins = perSrc
+      .join(perTgt, perSrc("nn_tid") === perTgt("tid"))
+      .where(col("nn_sid") === col("sid"))
+      .select(col("sid"), (col("nn_cos_sid") / ((col("davg_sid") + col("davg_tid")) / lit(2.0))).as("m"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+      .toMap
+    assert(margins.keySet == Set(2100000L, 2100002L, 2100004L))
+    margins.foreach { case (sid, m) => assert(m >= 1.5, s"planted $sid margin $m too close to 1.05") }
+  }
+
+  test("b2p's probe containment holds: each planted side's partner cluster is among its probes") {
+    // the engine-side direction: the partner's ASSIGNED cluster must be
+    // inside the query's nProbe probes, else the pruned retrieval never
+    // scores the partner and mutual-nearest breaks. Near-identical
+    // embeddings rank centroids near-identically, so the partner's top-1
+    // assignment sits in the query's top-4 — assert it on the live layout.
+    import graft.functions.VectorFunctions
+    VectorFunctions.register(spark)
+    val layout = Similarity.ivfBitextPlantedLayoutCache(spark, sf0001, 16)
+    val cents = spark.read
+      .parquet(s"$layout/centroids.parquet")
+      .orderBy("cl")
+      .collect()
+      .map(_.getSeq[Float](1))
+    val rows = spark.read
+      .parquet(s"$layout/vectors.parquet")
+      .where(col("vec_id").between(2100000L, 2100005L))
+      .select("vec_id", "cl", "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2)))
+    assert(rows.length == 6)
+    val byId = rows.map(r => r._1 -> r).toMap
+    rows.foreach { case (id, _, emb) =>
+      val partner = if (id % 2 == 0) id + 1 else id - 1
+      val probes  = Similarity.probeIds(emb, cents, 4).toSet
+      assert(probes.contains(byId(partner)._2), s"$id probes $probes miss partner cluster ${byId(partner)._2}")
+    }
+  }
+
   test("b1 pairs are unique per source and land in both halves") {
     val got = Similarity.bitextMarginPairs(spark, sf0001).collect()
     val src = got.map(_.getLong(0))

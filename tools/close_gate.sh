@@ -55,9 +55,27 @@ SPARK_DRIVER_MEM=4g sbt -batch 'runMain graft.ScaleRehearsal bandwalk 500000' 2>
   | grep -E '\[round15\]|OutOfMemory' >"$out/pressure_bandwalk.txt" || true
 cat "$out/pressure_bandwalk.txt"
 
-echo "== bench @ sf0.1"
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_OUT="$out/BENCH_FULL.json" \
-  sbt -batch 'runMain graft.Bench' >"$out/bench.log" 2>&1 || true
+# Bench with the SENTINEL GATE (VERDICT r17 item 1): Bench itself now
+# backs off pre-run when its probes are out of the quiet band and stamps
+# `degraded_host` when either the pre- or post-run probe stayed loaded.
+# Here we ACT on that flag: a degraded record is retried (whole-bench,
+# with a cool-down) up to 2 more times; the FIRST non-degraded record
+# ships. If every attempt is degraded, the last record ships carrying its
+# own degraded_host=true self-flag — evidence, honestly labeled, never a
+# silently-inflated scoreboard number (the r17 325-vs-130 split).
+echo "== bench @ sf0.1 (sentinel-gated, up to 3 attempts)"
+for attempt in 1 2 3; do
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_OUT="$out/BENCH_FULL.json" \
+    sbt -batch 'runMain graft.Bench' >"$out/bench_attempt$attempt.log" 2>&1 || true
+  cp "$out/bench_attempt$attempt.log" "$out/bench.log"
+  degraded=$(python3 -c "
+import json,sys
+try: print(str(json.load(open('$out/BENCH_FULL.json')).get('degraded_host', True)).lower())
+except Exception: print('true')")
+  echo "bench attempt $attempt: degraded_host=$degraded"
+  [ "$degraded" = "false" ] && break
+  [ "$attempt" -lt 3 ] && { echo "degraded record — cooling down 120s before retry"; sleep 120; }
+done
 tail -c 2000 "$out/bench.log" | tail -2
 
 exit $fail
