@@ -129,6 +129,15 @@ object SparkEntry {
     "s19p_ann_ivf_pq_filtered_planted" -> ((s: SparkSession, d: String) => Similarity.annIvfPqFilteredPlanted(s, d)),
     "s15_mutual_knn_pairs"   -> ((s: SparkSession, d: String) => Similarity.mutualKnnPairs(s, d)),
     "s16_mutual_knn_clusters" -> ((s: SparkSession, d: String) => Similarity.mutualKnnClusters(s, d)),
+    // round 18: the kNN-graph takedown lifecycle (VERDICT r17 item 3 —
+    // the last persisted index without one). The edge layout stores a
+    // top-8 ledger; a takedown resolves each survivor's new top-k from
+    // the first k surviving stored entries (exact — the stored prefix IS
+    // the global ranking), with a targeted recompute for the ~3e-5
+    // measure that lost too many; mutual pairs and cluster membership
+    // over the rebuilt survivor graph, survivor-rebuild DuckDB oracles
+    "s15t_mutual_knn_takedown" -> ((s: SparkSession, d: String) => Similarity.mutualKnnPairsTombstoned(s, d)),
+    "s16t_knn_clusters_takedown" -> ((s: SparkSession, d: String) => Similarity.mutualKnnClustersTombstoned(s, d)),
     "c1_clean_corpus"   -> ((s: SparkSession, d: String) => Pipeline.cleanCorpus(s, d)),
     "c3_token_yield"    -> ((s: SparkSession, d: String) => Pipeline.tokenYield(s, d)),
     "d33_drop_reasons"  -> ((s: SparkSession, d: String) => Pipeline.dropReasons(s, d)),
@@ -779,6 +788,33 @@ object SparkEntry {
         "SELECT e1.va AS vec_id_a, e1.vb AS vec_id_b FROM e e1 " +
         "JOIN e e2 ON e1.va = e2.vb AND e1.vb = e2.va " +
         "WHERE e1.va < e1.vb ORDER BY vec_id_a, vec_id_b"),
+    // s15t/s16t: the SURVIVOR-REBUILD oracles — the same window CTEs
+    // computed from scratch over the surviving vectors only (vec_id % 10
+    // <> 3, the registered takedown rule), so a hash match proves the
+    // engine's ledger-walk + targeted-recompute path equals a full
+    // re-derivation over survivors: deleted vectors on neither side of
+    // any pair, vacated-slot pairs present, bridge-loss splits applied
+    "s15t_mutual_knn_takedown" ->
+      ("WITH sv AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 3), " +
+        "r AS (SELECT a.vec_id AS va, b.vec_id AS vb, row_number() OVER " +
+        "(PARTITION BY a.vec_id ORDER BY list_cosine_similarity(b.embedding, a.embedding) DESC, b.vec_id) AS rnk " +
+        "FROM sv a, sv b WHERE a.vec_id <> b.vec_id), " +
+        "e AS (SELECT va, vb FROM r WHERE rnk <= 3) " +
+        "SELECT e1.va AS vec_id_a, e1.vb AS vec_id_b FROM e e1 " +
+        "JOIN e e2 ON e1.va = e2.vb AND e1.vb = e2.va " +
+        "WHERE e1.va < e1.vb ORDER BY vec_id_a, vec_id_b"),
+    "s16t_knn_clusters_takedown" ->
+      ("WITH RECURSIVE sv AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 3), " +
+        "r AS (SELECT a.vec_id AS va, b.vec_id AS vb, row_number() OVER " +
+        "(PARTITION BY a.vec_id ORDER BY list_cosine_similarity(b.embedding, a.embedding) DESC, b.vec_id) AS rnk " +
+        "FROM sv a, sv b WHERE a.vec_id <> b.vec_id), " +
+        "e AS (SELECT va, vb FROM r WHERE rnk <= 3), " +
+        "m AS (SELECT e1.va, e1.vb FROM e e1 JOIN e e2 ON e1.va = e2.vb AND e1.vb = e2.va WHERE e1.va < e1.vb), " +
+        "edges AS (SELECT va AS s, vb AS d FROM m UNION SELECT vb, va FROM m), " +
+        "reach(id, rt) AS (SELECT DISTINCT s, s FROM edges " +
+        "UNION SELECT e.s, reach.rt FROM edges e JOIN reach ON e.d = reach.id) " +
+        "SELECT MIN(rt) AS cluster_id, id AS vec_id FROM reach GROUP BY id " +
+        "ORDER BY cluster_id, vec_id"),
     // s16: n6's recursive-reachability oracle over the mutual-kNN edges —
     // component per vector = MIN reachable id
     "s16_mutual_knn_clusters" ->

@@ -1711,9 +1711,21 @@ object Similarity {
     */
   def knnJoin(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     VectorFunctions.register(spark)
-    val e    = Tables.embeddings(spark, dir)
-    val nbrs = e.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb"))
-    val scored = e
+    knnJoinOver(Tables.embeddings(spark, dir), k)
+  }
+
+  /** The brute kNN-graph core over an arbitrary query/candidate relation —
+    * [[knnJoin]]'s body factored so the takedown paths can run the same
+    * scoring over survivor subsets ([[survivorKnnEdges]]'s targeted
+    * recompute, [[purgeKnnGraph]]'s survivor rebuild). Queries and
+    * candidates may differ: the targeted pass scores a HANDFUL of overflow
+    * docs against all survivors — the n19t shape, wide work proportional
+    * to the overflow set, never the corpus.
+    */
+  private def knnJoinOver(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val nbrs = candidates.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb"))
+    val scored = queries
+      .select("vec_id", "embedding")
       .crossJoin(broadcast(nbrs))
       .where(col("vec_id") =!= col("nbr_id"))
       .select(col("vec_id"), col("nbr_id"), expr("cosine_sim(embedding, nbr_emb)").as("cos"))
@@ -1726,6 +1738,8 @@ object Similarity {
       .select(col("vec_id"), (col("pos") + 1).cast("long").as("rnk"), col("nbr_id"))
       .orderBy("vec_id", "rnk")
   }
+
+  private def knnJoinOver(e: DataFrame, k: Int): DataFrame = knnJoinOver(e, e, k)
 
   /** The nProbe nearest cluster ids per row, computed IN-ENGINE — the
     * distributed twin of the driver-side [[probeIds]], same ordering
@@ -1791,8 +1805,25 @@ object Similarity {
       .orderBy("vec_id", "rnk")
   }
 
-  /** Bump with any change to the stored kNN-graph scheme. */
-  private[operators] val KnnGraphSchemeVersion = 1
+  /** Bump with any change to the stored kNN-graph scheme. v2: the layout
+    * stores a top-[[KnnGraphLedgerDepth]] edge LEDGER instead of exactly
+    * the query k — the LSS/t17 store-a-little-more-at-ingest trade, so a
+    * takedown resolves from the stored prefix (s15t/s16t) without
+    * re-scoring the corpus.
+    */
+  private[operators] val KnnGraphSchemeVersion = 2
+
+  /** Edge-ledger depth: the layout stores each vector's top-8 neighbors
+    * even though the registered queries read k=3. Why 8: the stored
+    * prefix IS the global neighbor ranking, so after a takedown each
+    * survivor's new top-k is the first k SURVIVING stored entries —
+    * exact whenever ≥ k of its 8 survive. Under the registered 1/10
+    * tombstone rule the chance a vector loses ≥ 6 of its top-8 is
+    * ~C(8,6)·10⁻⁶ ≈ 3e-5 (and those few recompute via the targeted
+    * pass), while the ledger costs 8/3× the k=3 table — rows of 24
+    * bytes, negligible beside the embeddings themselves.
+    */
+  private[graft] val KnnGraphLedgerDepth = 8
 
   /** The kNN GRAPH as a persisted layout — s13's directed top-k edge list
     * `(vec_id, rnk, nbr_id)` materialized once per corpus version, the
@@ -1805,13 +1836,14 @@ object Similarity {
     * approximate recall suffices, same output contract at full probe).
     */
   private[graft] def knnGraphLayoutCache(spark: SparkSession, dir: String, k: Int): String = {
+    val depth = math.max(k, KnnGraphLedgerDepth)
     val key = graft.sources.LayoutCache.contentKey(
       spark,
       s"$dir/embeddings.parquet",
-      s"knng-v$KnnGraphSchemeVersion#$k"
+      s"knng-v$KnnGraphSchemeVersion#$k#$depth"
     )
     graft.sources.LayoutCache.getOrBuild(spark, "graft_knng", key) { out =>
-      knnJoin(spark, dir, k).write.mode("overwrite").parquet(s"$out/edges.parquet")
+      knnJoin(spark, dir, depth).write.mode("overwrite").parquet(s"$out/edges.parquet")
     }
   }
 
@@ -2097,12 +2129,133 @@ object Similarity {
     val layout = knnGraphLayoutCache(spark, dir, k)
     val e = spark.read
       .parquet(s"$layout/edges.parquet")
+      .where(col("rnk") <= k) // the layout ledger is deeper than the query k (scheme v2)
       .select(col("vec_id").as("a"), col("nbr_id").as("b"))
+    mutualize(e)
+  }
+
+  /** Symmetrize a directed edge set into mutual pairs `(a < b)` — each
+    * qualifying pair emerges exactly once (the join matches (a,b) with its
+    * unique reverse, and `a < b` keeps one orientation).
+    */
+  private def mutualize(e: DataFrame): DataFrame = {
     val rev = e.select(col("b").as("a"), col("a").as("b"))
     e.join(rev, Seq("a", "b"))
       .where(col("a") < col("b"))
       .select(col("a").as("vec_id_a"), col("b").as("vec_id_b"))
       .orderBy("vec_id_a", "vec_id_b")
+  }
+
+  /** Takedown rule for the kNN-graph layout: `vec_id ≡ 3 (mod 10)` —
+    * t17's doc rule applied to the vector table. Fixed so the masked
+    * rungs stay DuckDB-oracleable; production passes its own tombstone
+    * relation into the same machinery.
+    */
+  private[graft] def knnTombstones(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .embeddings(spark, dir)
+      .where(pmod(col("vec_id"), lit(10)) === 3)
+      .select("vec_id")
+
+  /** The survivor kNN graph rebuilt from the stored edge ledger — the
+    * n19t/t17 deletion discipline applied to the kNN-graph layout, which
+    * (like LSS maxima, unlike the per-media hash ledgers) is NOT
+    * mask-exact: deleting a vector vacates top-k slots in its surviving
+    * neighbors' lists, so a plain anti-join both leaves stale edges
+    * conceptually ranked too low AND misses the new mutual pairs the
+    * vacancy creates. The ledger resolves it in ledger-cardinality work:
+    *
+    *   1. mask BOTH endpoints out of the stored top-[[KnnGraphLedgerDepth]]
+    *      ledger (anti joins, no forced broadcast — the n17t rule: the
+    *      registered tombstone set is a corpus fraction, AQE broadcasts
+    *      production-sized sets from runtime stats);
+    *   2. each survivor's new top-k is the FIRST k surviving stored
+    *      entries in stored-rank order — exact because the stored prefix
+    *      is the global ranking: any survivor outside the stored depth
+    *      ranks below every surviving entry inside it;
+    *   3. only vectors with FEWER than k surviving stored entries (lost
+    *      ≥ depth−k+1 of their top-depth — measure ~3e-5 under the
+    *      registered rule) fall to the TARGETED recompute: brute-score
+    *      just those queries against the survivors ([[knnJoinOver]] with
+    *      a tiny broadcast query side), never the whole corpus.
+    */
+  private[graft] def survivorKnnEdges(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    VectorFunctions.register(spark)
+    val layout = knnGraphLayoutCache(spark, dir, k)
+    val tomb   = knnTombstones(spark, dir)
+    val edges  = spark.read.parquet(s"$layout/edges.parquet")
+    val masked = edges
+      .join(tomb, Seq("vec_id"), "left_anti")
+      .join(tomb.select(col("vec_id").as("nbr_id")), Seq("nbr_id"), "left_anti")
+    val w      = org.apache.spark.sql.expressions.Window.partitionBy("vec_id").orderBy("rnk")
+    val ranked = masked.withColumn("srnk", row_number().over(w))
+    val fromLedger = ranked.where(col("srnk") <= k)
+    // overflow = surviving vectors with < k surviving stored entries —
+    // including those whose stored list died entirely (absent from
+    // `ranked`), hence the anti join against the survivor id set rather
+    // than a count filter alone
+    val survivors = Tables.embeddings(spark, dir).join(tomb, Seq("vec_id"), "left_anti")
+    val decided = ranked
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_surv"))
+      .where(col("n_surv") >= k)
+      .select("vec_id")
+    val overflow = survivors.select("vec_id").join(decided, Seq("vec_id"), "left_anti")
+    val recomputed = knnJoinOver(
+      survivors.join(overflow, Seq("vec_id")).select("vec_id", "embedding"),
+      survivors.select("vec_id", "embedding"),
+      k
+    )
+    fromLedger
+      .select(col("vec_id"), col("srnk").cast("long").as("rnk"), col("nbr_id"))
+      .unionByName(recomputed)
+  }
+
+  /** S15T — s15 WITH TAKEDOWN: mutual pairs over the survivor kNN graph
+    * ([[survivorKnnEdges]]). A tombstoned vector appears on neither side
+    * of any pair, AND pairs newly made mutual by vacated slots appear —
+    * the result equals a from-scratch mutual-kNN pass over the surviving
+    * corpus (the survivor-rebuild DuckDB oracle pins it; SimilaritySpec
+    * pins the ledger-walk ≡ rebuild identity engine-side).
+    */
+  def mutualKnnPairsTombstoned(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    mutualize(
+      survivorKnnEdges(spark, dir, k)
+        .select(col("vec_id").as("a"), col("nbr_id").as("b"))
+    )
+
+  /** S16T — s16 WITH TAKEDOWN: connected components over the survivor
+    * mutual-kNN edge set, labeled by min vec_id. A tombstoned vector
+    * vanishes from cluster MEMBERSHIP, and components split where it was
+    * the only bridge — both effects fall out of running the same star
+    * contraction over [[mutualKnnPairsTombstoned]]'s edges; the oracle is
+    * the survivor-rebuild recursive reachability.
+    */
+  def mutualKnnClustersTombstoned(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    Dedup
+      .clustersFromPairsStar(
+        mutualKnnPairsTombstoned(spark, dir, k)
+          .select(col("vec_id_a").as("doc_a"), col("vec_id_b").as("doc_b"))
+      )
+      .select(col("cluster_id"), col("doc_id").as("vec_id"))
+      .orderBy("cluster_id", "vec_id")
+
+  /** The PURGE stage for the kNN-graph layout: physically rewrite the
+    * edge ledger at FULL depth over the surviving corpus — after it runs,
+    * queries need no mask and the takedown set retires (t17's
+    * compactSegmentsPurged / [[graft.operators.Dedup.purgeHashLedger]]
+    * discipline). Full depth (not the masked prefix) so the purged
+    * generation absorbs the NEXT takedown from its own ledger; at 100 TB
+    * this rides the once-per-corpus-version graph rebuild.
+    */
+  private[graft] def purgeKnnGraph(spark: SparkSession, dir: String, out: String): Unit = {
+    VectorFunctions.register(spark)
+    val survivors = Tables
+      .embeddings(spark, dir)
+      .join(knnTombstones(spark, dir), Seq("vec_id"), "left_anti")
+      .select("vec_id", "embedding")
+    knnJoinOver(survivors, KnnGraphLedgerDepth)
+      .write.mode("overwrite").parquet(s"$out/edges.parquet")
   }
 
   /** Bump with any change to the kNN cluster derivation; chains with the

@@ -711,6 +711,69 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("s15t/s16t kNN-graph takedown: ledger walk == from-scratch survivor rebuild; purge retires the mask") {
+    import org.apache.spark.sql.functions._
+    // (1) the ledger-walk edge rebuild equals a from-scratch kNN pass over
+    // the surviving corpus — the exactness claim behind both rungs (first
+    // k surviving stored entries ARE the survivor top-k; overflow docs
+    // recompute). From-scratch comparator built independently here.
+    val surv = graft.sources.Tables
+      .embeddings(spark, sf0001)
+      .where(pmod(col("vec_id"), lit(10)) =!= 3)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var (n, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { n += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      n / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expectEdges = surv.flatMap { case (id, emb) =>
+      surv.filter(_._1 != id)
+        .map { case (nid, nemb) => (nid, cos(emb, nemb)) }
+        .sortBy { case (nid, c) => (-c, nid) }
+        .take(3)
+        .map { case (nid, _) => (id, nid) }
+    }.toSet
+    val gotEdges = Similarity.survivorKnnEdges(spark, sf0001, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(gotEdges == expectEdges,
+      s"missing ${(expectEdges -- gotEdges).take(5)}, extra ${(gotEdges -- expectEdges).take(5)}")
+    // (2) takedown semantics: tombstoned ids on neither side of any pair
+    // nor in any cluster; at least one pair NOT present in plain s15
+    // (vacated-slot pairs — the reason a plain mask is not enough)
+    val pairs = Similarity.mutualKnnPairsTombstoned(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b) => a % 10 != 3 && b % 10 != 3 })
+    val plain = Similarity.mutualKnnPairs(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((pairs.toSet -- plain).nonEmpty,
+      "expected at least one vacated-slot mutual pair absent from the full-corpus graph")
+    val clusters = Similarity.mutualKnnClustersTombstoned(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(clusters.forall { case (cid, v) => v % 10 != 3 && cid % 10 != 3 })
+    assert(clusters.map(_._2).toSet == pairs.flatMap(p => Seq(p._1, p._2)).toSet,
+      "cluster membership must be exactly the vectors touched by a survivor mutual pair")
+    // (3) purge: the physically rewritten full-depth ledger answers the
+    // masked rung's question with NO mask — pairs from the purged layout
+    // equal the takedown rung's output, and the ledger keeps full depth
+    val out = java.nio.file.Files.createTempDirectory("knn_purge").toString
+    Similarity.purgeKnnGraph(spark, sf0001, out)
+    val purged = spark.read.parquet(s"$out/edges.parquet")
+    val purgedPairs = {
+      val e = purged.where(col("rnk") <= 3).select(col("vec_id").as("a"), col("nbr_id").as("b"))
+      val rev = e.select(col("b").as("a"), col("a").as("b"))
+      e.join(rev, Seq("a", "b")).where(col("a") < col("b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(purgedPairs == pairs.toSet, "purged-layout pairs must equal the masked rung's output")
+    assert(purged.where(pmod(col("vec_id"), lit(10)) === 3 || pmod(col("nbr_id"), lit(10)) === 3).count() == 0,
+      "purged ledger must contain no tombstoned endpoint")
+    val depths = purged.groupBy("vec_id").count().select(max("count")).head().getLong(0)
+    assert(depths == Similarity.KnnGraphLedgerDepth,
+      s"purged ledger must keep full depth ${Similarity.KnnGraphLedgerDepth}, got $depths")
+  }
+
   test("s14 knn join at default clusters: bounded output, no self-pairs, useful recall") {
     val expected = knnAllPairsScala(sf0001, 3)
     val got = Similarity
