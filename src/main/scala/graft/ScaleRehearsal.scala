@@ -655,6 +655,63 @@ object ScaleRehearsal {
     )
   }
 
+  /** Measured b1/b2 bitext crossover (VERDICT r17 item 5): sf0.1's 2k
+    * vectors sit BELOW the crossover (2.27 vs 2.34 s — no measured
+    * separation), so the 10⁹×10⁹ feasibility claim rested on the
+    * candidate-volume arithmetic alone. This rehearsal measures the
+    * separation at the 10× embedding corpus (~20k vectors): b1's exact
+    * |S|×|T| scorer vs b2 at the registered (16/4) and the √n-scaled
+    * (64/8) knobs, with the SCORED-ROW counts of each path printed beside
+    * the wall times — the arithmetic, measured. The IVF layout build is
+    * timed apart (the bench cold/warm discipline), and b2's pair
+    * agreement vs b1 rides along so the speed row carries its recall
+    * cost.
+    */
+  def bitextRehearsal(spark: SparkSession, src: String, dst: String): Unit = {
+    import operators.Similarity
+    ensureReplicatedVecs(spark, src, dst, 10)
+    graft.functions.VectorFunctions.register(spark)
+    val pm = new PhaseMetrics
+    spark.sparkContext.addSparkListener(pm)
+    def timed[A](label: String)(body: => A): (A, Double) = {
+      val (w0, _, d0) = pm.snapshot
+      val t0          = System.nanoTime()
+      val r           = body
+      val secs        = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(200)
+      val (w1, _, d1) = pm.snapshot
+      println(
+        f"[bitext] $label%-52s $secs%8.1f s  shuffle=${(w1 - w0) / 1048576.0}%9.1f MiB  spill_disk=${(d1 - d0) / 1048576}%d MiB"
+      )
+      (r, secs)
+    }
+    val e  = graft.sources.Tables.embeddings(spark, dst)
+    val nS = e.where(pmod(col("label"), lit(2)) === 0).count()
+    val nT = e.where(pmod(col("label"), lit(2)) === 1).count()
+    println(s"[bitext] n=${nS + nT} |S|=$nS |T|=$nT exact_scored=${nS * nT}")
+    val (exact, b1Secs) = timed(s"b1 exact (|S|x|T| = ${nS * nT} scored)") {
+      Similarity.bitextMarginPairs(spark, dst).collect()
+    }
+    val exactSet = exact.map(r => (r.getLong(0), r.getLong(1))).toSet
+    Seq((16, 4), (64, 8)).foreach { case (nc, np) =>
+      // first counts call forces the layout build (timed apart from the
+      // query, the bench discipline); the repeat is the warm count
+      val ((fwd, bwd), _) = timed(s"ivf layout build + scored counts nc=$nc np=$np") {
+        Similarity.bitextIvfScoredCounts(spark, dst, nc, np)
+      }
+      val (got, b2Secs) = timed(s"b2 ivf warm nc=$nc np=$np") {
+        Similarity.bitextMarginPairsIvf(spark, dst, nClusters = nc, nProbe = np).collect()
+      }
+      val gotSet = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+      val agree  = (gotSet & exactSet).size
+      println(
+        f"[bitext] ROW nc=$nc np=$np: b1=$b1Secs%.2f s b2=$b2Secs%.2f s speedup=${b1Secs / b2Secs}%.1fx  " +
+          f"scored ${nS * nT} -> ${fwd + bwd} (${(nS * nT).toDouble / (fwd + bwd)}%.1fx fewer)  " +
+          f"pairs b1=${exactSet.size} b2=${gotSet.size} agree=$agree"
+      )
+    }
+  }
+
   /** Streaming-maintenance throughput rehearsal: [[graft.streaming.DedupStream]]'s
     * per-batch unit driven over the 10× documents corpus in `nBatches`
     * equal hash-slices, recording per-batch wall, discovered pairs, and
@@ -1023,7 +1080,14 @@ object ScaleRehearsal {
         Dedup.lssPartnersFromTopk(t).write.mode("overwrite").parquet(s"$tmp/v3_$label/partners.parquet")
       }
       val topk = spark.read.parquet(s"$tmp/v3_$label/topk.parquet")
-      val tomb = topk.select("doc_id").distinct().where(pmod(col("doc_id"), lit(10)) === 3)
+      // same rule as the OLD-shape row below (ADVICE r17: the walk used
+      // to tombstone only LEDGER-RESIDENT pmod-3 docs while the rebuild
+      // removed pmod-3 from the whole corpus — two slightly different
+      // takedown sets under one printed ratio). Deriving both from the
+      // corpus rule keeps the comparison apples-to-apples; the walk's
+      // plan stays ledger-cardinality either way because tombstones
+      // arrive as a small relation joined into the ledger.
+      val tomb = docs.where(pmod(col("doc_id"), lit(10)) === 3).select("doc_id")
       timed(s"$label takedown walk (ledger-cardinality)") {
         val (decided, recompute) = Dedup.lssTakedownFromLedger(topk, tomb)
         val d = decided.count()
@@ -1168,6 +1232,18 @@ object ScaleRehearsal {
         args.lift(2).getOrElse("/tmp/graft_stream_docs"),
         args.lift(3).map(_.toInt).getOrElse(10)
       )
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("bitext")) {
+      val spark = GraftSession.getOrCreate()
+      val src   = args.lift(1).getOrElse("/root/testdata/sf0.1")
+      // dedicated dst: ensureReplicatedVecs trusts an existing _built
+      // marker regardless of reps, so sharing a dir with a different-reps
+      // rehearsal would silently mislabel the corpus size
+      val dst = args.lift(2).getOrElse("/tmp/graft_vec10_bitext")
+      require(dst != src && !src.startsWith(dst), s"dst $dst would clobber src $src")
+      bitextRehearsal(spark, src, dst)
       spark.stop()
       return
     }

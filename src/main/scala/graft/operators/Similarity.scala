@@ -1921,19 +1921,37 @@ object Similarity {
     * dividing by constant k there would deflate davg and emit pairs that
     * fail the margin rule over their actual neighbors (BitextSpec pins the
     * corner; the oracle mirrors with `least(k, count(*))`).
+    *
+    * MEMORY SHAPE (round 18 — found by the crossover rehearsal, where the
+    * original fold OOMed b1 at the 10× corpus): the top-k cut runs as a
+    * row_number WINDOW over (cos desc, id asc) BEFORE any array forms, so
+    * per-key state is a sort-based spillable window, never a
+    * neighborhood-sized in-heap array (the old collect_list held each
+    * side's ENTIRE candidate list — 10⁴ boxed structs per key × 10⁴ keys
+    * at 10×, an ObjectHashAggregate heap bomb that no executor count
+    * fixes because it scales with corpus width, not partition count).
+    * Bit-exactness is preserved: the window's comparator is the fold's
+    * comparator, so the ≤k surviving rows are exactly the old sorted
+    * slice, the per-key array is now ≤k entries, and the divisor
+    * `least(k, |candidates|)` equals the count of surviving rows.
     */
   private[graft] def bitextSideStats(df: DataFrame, key: String, other: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key)
+      .orderBy(col("cos").desc, col(other).asc)
     val cmp =
       s"(a, b) -> CASE WHEN a.cos > b.cos THEN -1 WHEN a.cos < b.cos THEN 1 " +
         s"WHEN a.$other < b.$other THEN -1 WHEN a.$other > b.$other THEN 1 ELSE 0 END"
-    df.groupBy(key)
+    df.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .groupBy(key)
       .agg(collect_list(struct(col("cos"), col(other))).as("arr"))
       .select(
         col(key),
         expr(s"element_at(array_sort(arr, $cmp), 1).$other").as(s"nn_$other"),
         expr(s"element_at(array_sort(arr, $cmp), 1).cos").as(s"nn_cos_$key"),
         expr(
-          s"aggregate(slice(array_sort(arr, $cmp), 1, $k), CAST(0.0 AS DOUBLE), (s, x) -> s + x.cos) / CAST(least($k, size(arr)) AS DOUBLE)"
+          s"aggregate(array_sort(arr, $cmp), CAST(0.0 AS DOUBLE), (s, x) -> s + x.cos) / CAST(size(arr) AS DOUBLE)"
         ).as(s"davg_$key")
       )
   }
@@ -1970,8 +1988,29 @@ object Similarity {
       nProbe: Int = -1
   ): DataFrame = {
     VectorFunctions.register(spark)
-    val (nc, np) = resolveIvfKnobs(spark, nClusters, nProbe)
-    val layout   = ivfLayoutCache(spark, dir, nc)
+    val (nc, np)   = resolveIvfKnobs(spark, nClusters, nProbe)
+    val (fwd, bwd) = bitextIvfRetrievals(spark, dir, nc, np)
+    val perSrc     = bitextSideStats(fwd, "sid", "tid", k)
+    val perTgt     = bitextSideStats(bwd, "tid", "sid", k)
+    perSrc
+      .join(perTgt, perSrc("nn_tid") === perTgt("tid"))
+      .where(col("nn_sid") === col("sid")) // mutual nearest (intersection criterion)
+      .withColumn("margin", col("nn_cos_sid") / ((col("davg_sid") + col("davg_tid")) / lit(2.0)))
+      .where(col("margin") >= threshold)
+      .select(col("sid").as("src_id"), col("tid").as("tgt_id"))
+      .orderBy("src_id")
+  }
+
+  /** b2's two directed IVF-pruned retrievals `(sid, tid, cos)` — factored
+    * so the crossover rehearsal counts exactly the scored relation the
+    * rung times. One directed retrieval: queries explode to their nProbe
+    * probe clusters, candidates are the opposite half's members of those
+    * clusters (each candidate lives in exactly one cluster, so a
+    * (query, candidate) pair arises at most once — no dedup needed).
+    */
+  private def bitextIvfRetrievals(
+      spark: SparkSession, dir: String, nc: Int, np: Int): (DataFrame, DataFrame) = {
+    val layout = ivfLayoutCache(spark, dir, nc)
     val centroids = spark.read
       .parquet(s"$layout/centroids.parquet")
       .orderBy("cl")
@@ -1982,10 +2021,6 @@ object Similarity {
       .select(col("cl"), col("vec_id"), col("label"), col("embedding"))
     val src = v.where(pmod(col("label"), lit(2)) === 0)
     val tgt = v.where(pmod(col("label"), lit(2)) === 1)
-    // one directed retrieval: queries explode to their nProbe probe
-    // clusters, candidates are the opposite half's members of those
-    // clusters (each candidate lives in exactly one cluster, so a
-    // (query, candidate) pair arises at most once — no dedup needed)
     def retrieve(q: DataFrame, qid: String, n: DataFrame, nid: String): DataFrame = {
       val queries = q
         .select(col("vec_id"), col("embedding"), explode(probeIdsCol(centroids, np)).as("pcl"))
@@ -1996,15 +2031,19 @@ object Similarity {
         .select(col(qid), col(nid), call_function("cosine_sim", col("qe"), col("ne")).as("cos"))
         .where(col("cos").isNotNull)
     }
-    val perSrc = bitextSideStats(retrieve(src, "sid", tgt, "tid"), "sid", "tid", k)
-    val perTgt = bitextSideStats(retrieve(tgt, "tid", src, "sid"), "tid", "sid", k)
-    perSrc
-      .join(perTgt, perSrc("nn_tid") === perTgt("tid"))
-      .where(col("nn_sid") === col("sid")) // mutual nearest (intersection criterion)
-      .withColumn("margin", col("nn_cos_sid") / ((col("davg_sid") + col("davg_tid")) / lit(2.0)))
-      .where(col("margin") >= threshold)
-      .select(col("sid").as("src_id"), col("tid").as("tgt_id"))
-      .orderBy("src_id")
+    (retrieve(src, "sid", tgt, "tid"), retrieve(tgt, "tid", src, "sid"))
+  }
+
+  /** Scored-row counts of b2's forward/backward retrievals at the given
+    * knobs — the crossover rehearsal's candidate-volume evidence (the
+    * n·(nProbe/nClusters)·cluster arithmetic, measured).
+    */
+  private[graft] def bitextIvfScoredCounts(
+      spark: SparkSession, dir: String, nClusters: Int = -1, nProbe: Int = -1): (Long, Long) = {
+    VectorFunctions.register(spark)
+    val (nc, np)   = resolveIvfKnobs(spark, nClusters, nProbe)
+    val (fwd, bwd) = bitextIvfRetrievals(spark, dir, nc, np)
+    (fwd.count(), bwd.count())
   }
 
   /** Planted-id range of `fixtures/bitextplant` ([[graft.FixtureGen

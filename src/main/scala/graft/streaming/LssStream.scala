@@ -35,14 +35,20 @@ import org.apache.spark.sql.types.StructType
   *      n19 full recompute, the improvement corner, the fp tie corner,
   *      and idempotent replay).
   *
-  * Span identity is the md5 FINGERPRINT, not the string: the registered
-  * n19 surface already reports `lss_fp = md5(span)` and tie-breaks on it,
-  * so keying the stream's segments by md5 introduces no failure mode the
-  * batch surface does not already accept (two distinct spans colliding on
-  * md5 would corrupt the batch output's own tie-break first). The batch
-  * path keeps its exact string recount because its xxhash64 candidate
-  * keys ARE collision-prone by design; the stream's keys are the 128-bit
-  * fingerprints themselves.
+  * Span identity in the stored segments is the (md5, xxhash64) DUAL
+  * fingerprint — 192 independent bits (ADVICE r17: md5 alone is
+  * chosen-prefix-collision practical, and unlike the batch path — where a
+  * collision only perturbs the reported `lss_fp` tie-break because
+  * sharedness and lss_len are recomputed on exact strings — a streamed
+  * false "shared" verdict would persist in every subsequent snapshot,
+  * since sharedness is monotone and never re-derived. With the dual key a
+  * false share needs a simultaneous md5 AND xxhash64 collision on the
+  * same span pair; no known technique produces one, and the random
+  * chance is 2⁻¹⁹²). The snapshot SURFACE still reports and tie-breaks
+  * on `lss_fp = md5(span)` alone — the registered n19 contract — so the
+  * xxhash64 half rides only inside the segments and the sharedness
+  * grouping; the stream's residual exposure is now the same tie-break
+  * exposure the batch table accepts, not the wider poisoning channel.
   *
   * Idempotence follows the shared pattern: the key segment and the
   * snapshot land under `batch_id=<id>/` with overwrite, and batch N's
@@ -88,8 +94,13 @@ object LssStream {
       .start()
   }
 
+  /** Stream-local scheme component: bump with any change to the stored
+    * segment shape. v2 = the dual (md5, xxhash64) span key (ADVICE r17).
+    */
+  private[graft] val StreamSchemeVersion = 2
+
   private[graft] def schemeTag(cap: Int): String =
-    s"lss-stream-v${Dedup.LssSchemeVersion}#c$cap"
+    s"lss-stream-v${Dedup.LssSchemeVersion}.$StreamSchemeVersion#c$cap"
 
   /** One micro-batch. Exposed for the LssStreamSpec differential against
     * the n19 full recompute.
@@ -103,29 +114,31 @@ object LssStream {
     // fingerprints compress their (len, fp) runs)
     val pfx = Dedup
       .lssPrefixStream(batch, cap)
-      .select(col("doc_id"), col("len"), md5(col("s")).as("fp"))
+      .select(col("doc_id"), col("len"), md5(col("s")).as("fp"), xxhash64(col("s")).as("fp2"))
       .distinct()
     pfx
       .repartition(col("fp"))
       .sortWithinPartitions("len", "fp")
       .write.mode("overwrite").parquet(s"$stateDir/keys/batch_id=$batchId")
     val keys = spark.read.parquet(s"$stateDir/keys/batch_id=$batchId")
-    // historical carriers of the batch's keys: 3-column scan, partition-
+    // historical carriers of the batch's keys: 4-column scan, partition-
     // pruned to segments < N, join strategy left to AQE (the batch key
     // set is small for a small batch and corpus-sized for a bootstrap
-    // batch — a forced broadcast would be the maskedHashLedger mistake)
-    val batchKeys = keys.select("len", "fp").distinct()
+    // batch — a forced broadcast would be the maskedHashLedger mistake).
+    // Key identity everywhere below is the dual (len, fp, fp2) — see the
+    // object scaladoc's collision argument.
+    val batchKeys = keys.select("len", "fp", "fp2").distinct()
     val hist = spark.read
       .parquet(s"$stateDir/keys")
       .where(col("batch_id") < batchId)
-      .select("doc_id", "len", "fp")
-      .join(batchKeys, Seq("len", "fp"), "left_semi")
+      .select("doc_id", "len", "fp", "fp2")
+      .join(batchKeys, Seq("len", "fp", "fp2"), "left_semi")
     val shared = hist
-      .unionByName(keys.select("doc_id", "len", "fp"))
-      .groupBy("len", "fp")
+      .unionByName(keys.select("doc_id", "len", "fp", "fp2"))
+      .groupBy("len", "fp", "fp2")
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
       .where(col("mn") =!= col("mx"))
-      .select("len", "fp")
+      .select("len", "fp", "fp2")
     // candidates: the batch docs' shared keys, the historical carriers'
     // rows of those keys, and every prior-snapshot row (still valid —
     // sharedness is monotone under ingest)
@@ -135,10 +148,14 @@ object LssStream {
         spark.read
           .parquet(s"$stateDir/lss/batch_id=${batchId - 1}")
           .select(col("doc_id"), col("lss_len").as("len"), col("lss_fp").as("fp"))
+    // sharedness decided on the dual key; the fold below then drops fp2 —
+    // the snapshot surface stays (doc_id, lss_len, lss_fp=md5), n19's
+    // registered contract including the md5 tie-break
     val cand = keys
-      .select("doc_id", "len", "fp")
+      .select("doc_id", "len", "fp", "fp2")
       .unionByName(hist)
-      .join(shared, Seq("len", "fp"), "left_semi")
+      .join(shared, Seq("len", "fp", "fp2"), "left_semi")
+      .select("doc_id", "len", "fp")
       .unionByName(prior)
     cand
       .groupBy("doc_id", "len")
@@ -161,10 +178,22 @@ object LssStream {
     val id = batchId.getOrElse {
       val p  = new org.apache.hadoop.fs.Path(s"$stateDir/lss")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.listStatus(p)
-        .map(_.getPath.getName)
-        .collect { case n if n.startsWith("batch_id=") => n.stripPrefix("batch_id=").toLong }
-        .max
+      // COMMITTED = the directory carries Spark's _SUCCESS marker (ADVICE
+      // r17: a crash after the batch_id=N dir is created but before the
+      // write commits leaves a torn directory that a bare max() would
+      // select until the idempotent replay overwrites it — the doc
+      // promises committed, so readers skip markerless snapshots and fall
+      // back to the newest committed one)
+      val committed = fs
+        .listStatus(p)
+        .map(_.getPath)
+        .collect {
+          case d if d.getName.startsWith("batch_id=") &&
+            fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")) =>
+            d.getName.stripPrefix("batch_id=").toLong
+        }
+      require(committed.nonEmpty, s"no committed LSS snapshot under $stateDir/lss")
+      committed.max
     }
     spark.read.parquet(s"$stateDir/lss/batch_id=$id").orderBy("doc_id")
   }

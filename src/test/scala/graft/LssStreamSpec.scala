@@ -111,6 +111,28 @@ class LssStreamSpec extends SparkSpec {
     assert(snap(dir, 2L) == scratch(docs), "streamed != batch n19 at sf0.001")
   }
 
+  test("latest-snapshot read skips a torn (markerless) directory — committed means _SUCCESS") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lss_stream_torn").toString
+    LssStream.processBatch(docsDf(30L -> "a b c", 31L -> "a b c"), dir, 0L)
+    val committed = snap(dir, 0L)
+    assert(committed.nonEmpty)
+    // simulate a crash mid-snapshot-write: batch_id=1's dir exists (with a
+    // stray part file, no _SUCCESS) — the default read must NOT select it
+    val torn = new java.io.File(s"$dir/lss/batch_id=1")
+    assert(torn.mkdirs())
+    java.nio.file.Files.writeString(torn.toPath.resolve("part-TORN.parquet"), "not parquet")
+    val got = LssStream
+      .longestSharedSubstringStreamed(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got == committed, "default read selected the torn snapshot over the committed one")
+    // and after the idempotent replay commits batch 1, the default read moves forward
+    LssStream.processBatch(docsDf(32L -> "a b c"), dir, 1L)
+    val advanced = LssStream
+      .longestSharedSubstringStreamed(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(advanced.contains(32L), "default read must advance to the replayed committed snapshot")
+  }
+
   test("scheme guard: a cap change mid-stream fails fast") {
     val dir = java.nio.file.Files.createTempDirectory("graft_lss_stream_guard").toString
     LssStream.processBatch(docsDf(20L -> "a b x"), dir, 0L)
