@@ -2566,6 +2566,20 @@ object Dedup {
     val spark    = h.sparkSession
     val cap      = math.max(2L, graft.GraftConf.int(spark, "dhash.band_cap", 512).toLong)
     val maxDepth = math.min(9, math.max(1, graft.GraftConf.int(spark, "dhash.band_depth", 6)))
+    // Overflow-path task sizing (round 18 — the last open pressure corner):
+    // at 10⁶ near-unique hashes the capped candidate join expands ~2.6B
+    // rows; at the session's 32 shuffle partitions that is ~80M candidate
+    // rows per task, whose sort state OOMs a 4 GiB heap (measured — the
+    // walk itself finished, the join died). Repartitioning the capped
+    // frame by bucket into `graft.dhash.walk_partitions` (256) before the
+    // self-join shrinks per-task state — buckets are ≤cap rows each
+    // and hash-spread, so the split is even by construction. 512 (16×
+    // the session width) measured: 256 left the verify pass flaky at the
+    // 4 GiB boundary (one run passed at 68.6 s, the next OOMed — task
+    // sort state right at the edge); 512 clears it with headroom.
+    // Overflow path only: every real corpus takes the level-0 fast path,
+    // where 32 partitions avoid tiny-task overhead on a ~0.5 s rung.
+    val walkParts = math.max(32, graft.GraftConf.int(spark, "dhash.walk_partitions", 512))
 
     def bandKeys(level: Int): Column = dhashBandKeys(level)
 
@@ -2619,7 +2633,7 @@ object Dedup {
       walkPersists.synchronized { walkPersists += b }
       val occ   = b.groupBy("bucket").agg(count(lit(1)).as("occ"))
       val small = b.join(occ.where(col("occ") <= cap).select("bucket"), "bucket")
-      parts += selfJoin(small)
+      parts += selfJoin(small.repartition(walkParts, col("bucket")))
       val hot = b.join(occ.where(col("occ") > cap).select("bucket"), "bucket")
       stats.foreach { s =>
         val r = occ.agg(
@@ -2782,8 +2796,30 @@ object Dedup {
         lit(0L).as("dist"),
         col("n_pairs")
       )
-    val (walkCands, walkResidual) = dhashBandWalk(h, probeBound = probeBound)
-    val verifiedPairs = verifyHashPairs(walkCands)
+    // Overflow-path single-expansion rule (round 18, found at the 4 GiB
+    // 10⁶-hash pressure row): the verified-pair subtree feeds BOTH the
+    // crossSmall and crossBig branches below, so a lazy plan expands the
+    // multi-billion-row candidate stream TWICE — the second expansion ran
+    // concurrently with the first's retained join state and OOMed where
+    // the exact rung (one consumer) passed. When the walk takes the
+    // overflow path, materialize the verified pairs once (DISK_ONLY via
+    // the walk's own persist ledger — they are output-correlated, tens of
+    // rows, not candidate-correlated); the fast path stays fully lazy and
+    // zero-job (BandStatSpec's warm-ledger pin).
+    val spark2   = h.sparkSession
+    val walkCap  = math.max(2L, graft.GraftConf.int(spark2, "dhash.band_cap", 512).toLong)
+    val probeMax = probeBound.getOrElse(dhashLevel0MaxOccupancy(h))
+    val (walkCands, walkResidual) = dhashBandWalk(h, probeBound = Some(probeMax))
+    val verifiedPairs = {
+      val vp = verifyHashPairs(walkCands)
+      if (probeMax <= walkCap) vp
+      else {
+        val p = vp.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        walkPersists.synchronized { walkPersists += p }
+        p.count() // force the one expansion; both branches below read blocks
+        p
+      }
+    }
     val crossUnits = verifiedPairs
       .join(
         counts.select(col("hash_hi").as("ha_hi"), col("hash_lo").as("ha_lo"), col("n").as("na"), col("keeper").as("ka")),

@@ -45,13 +45,14 @@ SPARK_DRIVER_MEM=4g sbt -batch 'runMain graft.ScaleRehearsal round14' 2>&1 \
   | grep -E '\[round14\]|\[rehearsal\]|OutOfMemory' >"$out/pressure.txt" || true
 cat "$out/pressure.txt"
 
-# 5x10^5 at the 4 GiB heap: the 10^6 corpus's 2.6B-candidate join needs
-# ~half the full heap for its shuffle sorts (measured OOM at 4 GiB; the
-# honest per-heap ceiling is in SCALE.md) — the pressure run proves the
-# walk itself degrades gracefully, the full-size row lives in the 8 GiB
-# rehearsal record.
-echo "== pressure rerun (4 GiB heap, round15 band-walk @ 5*10^5 near-unique hashes)"
-SPARK_DRIVER_MEM=4g sbt -batch 'runMain graft.ScaleRehearsal bandwalk 500000' 2>&1 \
+# Full 10^6-hash row at the 4 GiB heap (round 18): the former ceiling —
+# the 2.6B-candidate join OOMed here until the overflow path widened its
+# candidate self-join to graft.dhash.walk_partitions (512) and the capped
+# rung materialized its verified pairs once instead of expanding the
+# candidate subtree per consumer branch. Walk + n17 exact + n21 capped
+# all complete clean now; an OOM line in this record is a regression.
+echo "== pressure rerun (4 GiB heap, round15 band-walk @ 10^6 near-unique hashes)"
+SPARK_DRIVER_MEM=4g sbt -batch 'runMain graft.ScaleRehearsal bandwalk 1000000' 2>&1 \
   | grep -E '\[round15\]|OutOfMemory' >"$out/pressure_bandwalk.txt" || true
 cat "$out/pressure_bandwalk.txt"
 
