@@ -2558,13 +2558,22 @@ object Dedup {
       .head()
       .getLong(0)
 
+  /** The band-walk occupancy cap — ONE read shared by [[dhashBandWalk]]'s
+    * fast-path branch and [[dhashPairsCappedFromHashes]]'s persist gate,
+    * whose overflow decisions must agree exactly (a desync either runs an
+    * eager job on the zero-job warm-ledger path or silently loses the
+    * single-expansion materialization on the overflow path).
+    */
+  private def dhashBandCap(spark: SparkSession): Long =
+    math.max(2L, graft.GraftConf.int(spark, "dhash.band_cap", 512).toLong)
+
   private[graft] def dhashBandWalk(
       h: DataFrame,
       stats: Option[scala.collection.mutable.ListBuffer[DhashBandLevelStats]] = None,
       probeBound: Option[Long] = None
   ): (DataFrame, DataFrame) = {
     val spark    = h.sparkSession
-    val cap      = math.max(2L, graft.GraftConf.int(spark, "dhash.band_cap", 512).toLong)
+    val cap      = dhashBandCap(spark)
     val maxDepth = math.min(9, math.max(1, graft.GraftConf.int(spark, "dhash.band_depth", 6)))
     // Overflow-path task sizing (round 18 — the last open pressure corner):
     // at 10⁶ near-unique hashes the capped candidate join expands ~2.6B
@@ -2806,8 +2815,7 @@ object Dedup {
     // the walk's own persist ledger — they are output-correlated, tens of
     // rows, not candidate-correlated); the fast path stays fully lazy and
     // zero-job (BandStatSpec's warm-ledger pin).
-    val spark2   = h.sparkSession
-    val walkCap  = math.max(2L, graft.GraftConf.int(spark2, "dhash.band_cap", 512).toLong)
+    val walkCap  = dhashBandCap(h.sparkSession)
     val probeMax = probeBound.getOrElse(dhashLevel0MaxOccupancy(h))
     val (walkCands, walkResidual) = dhashBandWalk(h, probeBound = Some(probeMax))
     val verifiedPairs = {

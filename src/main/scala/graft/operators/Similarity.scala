@@ -1720,15 +1720,22 @@ object Similarity {
     * recompute, [[purgeKnnGraph]]'s survivor rebuild). Queries and
     * candidates may differ: the targeted pass scores a HANDFUL of overflow
     * docs against all survivors — the n19t shape, wide work proportional
-    * to the overflow set, never the corpus.
+    * to the overflow set, never the corpus. The broadcast side is the
+    * QUERY side (round-18 review: broadcasting the candidate side ships
+    * the whole corpus through the driver even when the query set is
+    * empty — at 10¹⁰ vectors that aborts every takedown on the 8 GiB
+    * broadcast limit; the query set is the small relation by contract).
+    * Cosine is argument-symmetric bit-for-bit (IEEE products and the
+    * norm product commute exactly), so the orientation flip cannot move
+    * a single score.
     */
   private def knnJoinOver(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
-    val nbrs = candidates.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb"))
-    val scored = queries
-      .select("vec_id", "embedding")
-      .crossJoin(broadcast(nbrs))
-      .where(col("vec_id") =!= col("nbr_id"))
-      .select(col("vec_id"), col("nbr_id"), expr("cosine_sim(embedding, nbr_emb)").as("cos"))
+    val qs = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val scored = candidates
+      .select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb"))
+      .crossJoin(broadcast(qs))
+      .where(col("qid") =!= col("nbr_id"))
+      .select(col("qid").as("vec_id"), col("nbr_id"), expr("cosine_sim(qe, nbr_emb)").as("cos"))
       .where(col("cos").isNotNull) // dimension-mismatch degrades to null; unrankable
     val topk = graft.functions.TopK.topKIds(k)
     scored
@@ -1739,6 +1746,11 @@ object Similarity {
       .orderBy("vec_id", "rnk")
   }
 
+  /** Self-join form — the layout build and s13's disclosed quadratic brute
+    * rung: here the "query side" IS the corpus, so the broadcast is the
+    * documented whole-corpus one (paid once at ingest; [[knnJoinIvf]] is
+    * the sub-quadratic alternative).
+    */
   private def knnJoinOver(e: DataFrame, k: Int): DataFrame = knnJoinOver(e, e, k)
 
   /** The nProbe nearest cluster ids per row, computed IN-ENGINE — the
@@ -1837,10 +1849,14 @@ object Similarity {
     */
   private[graft] def knnGraphLayoutCache(spark: SparkSession, dir: String, k: Int): String = {
     val depth = math.max(k, KnnGraphLedgerDepth)
+    // key on DEPTH alone: the stored artifact depends only on depth, so
+    // readers at different query k (≤ depth) share one build of the most
+    // expensive layout in the family instead of storing byte-identical
+    // ledgers under distinct keys
     val key = graft.sources.LayoutCache.contentKey(
       spark,
       s"$dir/embeddings.parquet",
-      s"knng-v$KnnGraphSchemeVersion#$k#$depth"
+      s"knng-v$KnnGraphSchemeVersion#d$depth"
     )
     graft.sources.LayoutCache.getOrBuild(spark, "graft_knng", key) { out =>
       knnJoin(spark, dir, depth).write.mode("overwrite").parquet(s"$out/edges.parquet")
@@ -2009,8 +2025,16 @@ object Similarity {
     * (query, candidate) pair arises at most once — no dedup needed).
     */
   private def bitextIvfRetrievals(
-      spark: SparkSession, dir: String, nc: Int, np: Int): (DataFrame, DataFrame) = {
-    val layout = ivfLayoutCache(spark, dir, nc)
+      spark: SparkSession, dir: String, nc: Int, np: Int): (DataFrame, DataFrame) =
+    bitextIvfRetrievalsOver(spark, ivfLayoutCache(spark, dir, nc), np, lit(true))
+
+  /** The retrieval core over ANY IVF layout, query sides restricted by
+    * `queryFilter` — ONE definition so the production rung and the planted
+    * twin cannot diverge on the probe-join shape or the null-cosine
+    * convention the nProbe==nClusters ≡ b1 identity depends on.
+    */
+  private def bitextIvfRetrievalsOver(
+      spark: SparkSession, layout: String, np: Int, queryFilter: Column): (DataFrame, DataFrame) = {
     val centroids = spark.read
       .parquet(s"$layout/centroids.parquet")
       .orderBy("cl")
@@ -2023,6 +2047,7 @@ object Similarity {
     val tgt = v.where(pmod(col("label"), lit(2)) === 1)
     def retrieve(q: DataFrame, qid: String, n: DataFrame, nid: String): DataFrame = {
       val queries = q
+        .where(queryFilter)
         .select(col("vec_id"), col("embedding"), explode(probeIdsCol(centroids, np)).as("pcl"))
         .select(col("vec_id").as(qid), col("embedding").as("qe"), col("pcl"))
       val nbrs = n.select(col("cl").as("pcl"), col("vec_id").as(nid), col("embedding").as("ne"))
@@ -2119,31 +2144,14 @@ object Similarity {
   ): DataFrame = {
     VectorFunctions.register(spark)
     val (nc, np) = resolveIvfKnobs(spark, nClusters, nProbe)
-    val layout   = ivfBitextPlantedLayoutCache(spark, dir, nc)
-    val centroids = spark.read
-      .parquet(s"$layout/centroids.parquet")
-      .orderBy("cl")
-      .collect()
-      .map(_.getSeq[Float](1))
-    val v = spark.read
-      .parquet(s"$layout/vectors.parquet")
-      .select(col("cl"), col("vec_id"), col("label"), col("embedding"))
-    val planted = col("vec_id").between(BitextPlantLo, BitextPlantHi)
-    val src     = v.where(pmod(col("label"), lit(2)) === 0)
-    val tgt     = v.where(pmod(col("label"), lit(2)) === 1)
-    def retrieve(q: DataFrame, qid: String, n: DataFrame, nid: String): DataFrame = {
-      val queries = q
-        .where(planted)
-        .select(col("vec_id"), col("embedding"), explode(probeIdsCol(centroids, np)).as("pcl"))
-        .select(col("vec_id").as(qid), col("embedding").as("qe"), col("pcl"))
-      val nbrs = n.select(col("cl").as("pcl"), col("vec_id").as(nid), col("embedding").as("ne"))
-      queries
-        .join(nbrs, "pcl")
-        .select(col(qid), col(nid), call_function("cosine_sim", col("qe"), col("ne")).as("cos"))
-        .where(col("cos").isNotNull)
-    }
-    val perSrc = bitextSideStats(retrieve(src, "sid", tgt, "tid"), "sid", "tid", k)
-    val perTgt = bitextSideStats(retrieve(tgt, "tid", src, "sid"), "tid", "sid", k)
+    val (fwd, bwd) = bitextIvfRetrievalsOver(
+      spark,
+      ivfBitextPlantedLayoutCache(spark, dir, nc),
+      np,
+      col("vec_id").between(BitextPlantLo, BitextPlantHi)
+    )
+    val perSrc = bitextSideStats(fwd, "sid", "tid", k)
+    val perTgt = bitextSideStats(bwd, "tid", "sid", k)
     perSrc
       .join(perTgt, perSrc("nn_tid") === perTgt("tid"))
       .where(col("nn_sid") === col("sid")) // mutual nearest (intersection criterion)
@@ -2228,7 +2236,6 @@ object Similarity {
       .join(tomb.select(col("vec_id").as("nbr_id")), Seq("nbr_id"), "left_anti")
     val w      = org.apache.spark.sql.expressions.Window.partitionBy("vec_id").orderBy("rnk")
     val ranked = masked.withColumn("srnk", row_number().over(w))
-    val fromLedger = ranked.where(col("srnk") <= k)
     // overflow = surviving vectors with < k surviving stored entries —
     // including those whose stored list died entirely (absent from
     // `ranked`), hence the anti join against the survivor id set rather
@@ -2239,6 +2246,14 @@ object Similarity {
       .agg(count(lit(1)).as("n_surv"))
       .where(col("n_surv") >= k)
       .select("vec_id")
+    // ledger rows serve ONLY decided vectors: an overflow vector's 1..k-1
+    // surviving rows must NOT ride along, or the targeted recompute below
+    // re-emits those same edges and the duplicates multiply through the
+    // mutual join (caught in round-18 review — the spec's overflow corpus
+    // pins it)
+    val fromLedger = ranked
+      .join(decided, Seq("vec_id"), "left_semi")
+      .where(col("srnk") <= k)
     val overflow = survivors.select("vec_id").join(decided, Seq("vec_id"), "left_anti")
     val recomputed = knnJoinOver(
       survivors.join(overflow, Seq("vec_id")).select("vec_id", "embedding"),

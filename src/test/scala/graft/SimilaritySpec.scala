@@ -774,6 +774,61 @@ class SimilaritySpec extends SparkSpec {
       s"purged ledger must keep full depth ${Similarity.KnnGraphLedgerDepth}, got $depths")
   }
 
+  test("takedown OVERFLOW corner: a survivor losing 6 of its top-8 recomputes exactly once — no duplicate edges") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // synthetic corpus engineered so vec 0's top-8 holds SIX tombstoned
+    // vectors (ids ≡ 3 mod 10) and only two survivors — below k=3, the
+    // targeted-recompute branch. Before the round-18 review fix, vec 0's
+    // two surviving ledger rows ALSO rode along beside the recompute's
+    // full top-3, duplicating edges that then multiplied through the
+    // mutual join.
+    val rnd  = new scala.util.Random(7)
+    val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def near(s: Float) = base.map(x => x + s * rnd.nextGaussian().toFloat)
+    def far()          = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val rows =
+      Seq((0L, base, 0)) ++                                  // the query survivor
+        Seq(3L, 13L, 23L, 33L, 43L, 53L).zipWithIndex.map { // six tombstoned near-twins
+          case (id, i) => (id, near(0.01f * (i + 1)), 0)
+        } ++
+        Seq((1L, near(0.30f), 0), (2L, near(0.35f), 0)) ++  // two surviving near rows
+        (100L to 115L).map(id => (id, far(), 0))            // surviving background
+    val dir = java.nio.file.Files.createTempDirectory("knn_overflow").toString
+    rows.toDF("vec_id", "embedding", "label").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val edges = Similarity.survivorKnnEdges(spark, dir, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the corner actually fired: vec 0 has < 3 survivors in its stored top-8
+    val layout = Similarity.knnGraphLayoutCache(spark, dir, 3)
+    val storedSurvivors = spark.read.parquet(s"$layout/edges.parquet")
+      .where(col("vec_id") === 0L && pmod(col("nbr_id"), lit(10)) =!= 3)
+      .count()
+    assert(storedSurvivors < 3, s"fixture failed to trigger overflow (stored survivors=$storedSurvivors)")
+    // no duplicate (vec_id, nbr_id) edge anywhere
+    val dup = edges.groupBy(e => (e._1, e._3)).filter(_._2.size > 1).keys.toSeq
+    assert(dup.isEmpty, s"duplicate survivor edges: $dup")
+    // and every survivor (corpus big enough) has exactly k edges at distinct ranks
+    val byVec = edges.groupBy(_._1)
+    byVec.foreach { case (v, es) =>
+      assert(es.length == 3, s"vec $v has ${es.length} edges")
+      assert(es.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L), s"vec $v ranks ${es.map(_._2).toSeq}")
+    }
+    // vec 0's rebuilt top-3 equals brute force over survivors
+    val surv = rows.filter(_._1 % 10 != 3)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val n  = a.indices.map(i => a(i).toDouble * b(i)).sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      n / (na * nb)
+    }
+    val expect0 = surv.filter(_._1 != 0L)
+      .map { case (id, emb, _) => (id, cos(base, emb)) }
+      .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1)
+    val got0 = byVec(0L).sortBy(_._2).map(_._3).toSeq
+    assert(got0 == expect0, s"vec 0 rebuilt top-3 $got0 != brute $expect0")
+  }
+
   test("s14 knn join at default clusters: bounded output, no self-pairs, useful recall") {
     val expected = knnAllPairsScala(sf0001, 3)
     val got = Similarity

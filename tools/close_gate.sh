@@ -65,6 +65,10 @@ cat "$out/pressure_bandwalk.txt"
 # own degraded_host=true self-flag — evidence, honestly labeled, never a
 # silently-inflated scoreboard number (the r17 325-vs-130 split).
 echo "== bench @ sf0.1 (sentinel-gated, up to 3 attempts)"
+# a stale record from a previous close run must never satisfy the probe
+# when this run's bench crashes before writing (the verify section's
+# rm -rf discipline applied here)
+rm -f "$out/BENCH_FULL.json"
 for attempt in 1 2 3; do
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_OUT="$out/BENCH_FULL.json" \
     sbt -batch 'runMain graft.Bench' >"$out/bench_attempt$attempt.log" 2>&1 || true
