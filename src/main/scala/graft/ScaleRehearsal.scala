@@ -712,6 +712,56 @@ object ScaleRehearsal {
     }
   }
 
+  /** kNN-graph takedown at 10× (round 18): the claim under test is the
+    * s15t/s16t shape — takedown cost = two anti-joins + a window over the
+    * doc×8 edge LEDGER (+ a recompute proportional to the overflow set,
+    * normally empty), never the corpus-wide scoring pass. Three timed
+    * rows at the 10× embedding corpus: the ledger build (the once-per-
+    * corpus-version cost the walk amortizes), the survivor walk itself,
+    * and the from-scratch survivor REBUILD it replaces; plus the overflow
+    * row count (expected 0 — the ~3e-5 measure needs ≥6 of a vector's
+    * top-8 tombstoned).
+    */
+  def knnTakedownRehearsal(spark: SparkSession, src: String, dst: String): Unit = {
+    import operators.Similarity
+    ensureReplicatedVecs(spark, src, dst, 10)
+    graft.functions.VectorFunctions.register(spark)
+    def timed[A](label: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val a  = body
+      println(f"[knnt] $label%-52s ${(System.nanoTime() - t0) / 1e9}%7.1f s")
+      a
+    }
+    val n = graft.sources.Tables.embeddings(spark, dst).count()
+    println(s"[knnt] n_vectors=$n ledger_depth=${Similarity.KnnGraphLedgerDepth}")
+    timed("edge-ledger build (once per corpus version)") {
+      Similarity.knnGraphLayoutCache(spark, dst, 3)
+    }
+    val pairs = timed("takedown WALK (s15t: mask + ledger window + recompute)") {
+      Similarity.mutualKnnPairsTombstoned(spark, dst).count()
+    }
+    val clusters = timed("takedown clusters (s16t over the walked edges)") {
+      Similarity.mutualKnnClustersTombstoned(spark, dst).count()
+    }
+    timed("from-scratch survivor REBUILD (the shape the walk replaces)") {
+      val surv = graft.sources.Tables
+        .embeddings(spark, dst)
+        .join(Similarity.knnTombstones(spark, dst), Seq("vec_id"), "left_anti")
+        .select("vec_id", "embedding")
+      val nbrs = surv.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb"))
+      val topk = graft.functions.TopK.topKIds(3)
+      surv
+        .crossJoin(broadcast(nbrs))
+        .where(col("vec_id") =!= col("nbr_id"))
+        .select(col("vec_id"), col("nbr_id"), expr("cosine_sim(embedding, nbr_emb)").as("cos"))
+        .where(col("cos").isNotNull)
+        .groupBy("vec_id")
+        .agg(topk(col("nbr_id"), col("cos")).as("ids"))
+        .count()
+    }
+    println(s"[knnt] ROW pairs=$pairs clusters=$clusters")
+  }
+
   /** Streaming-maintenance throughput rehearsal: [[graft.streaming.DedupStream]]'s
     * per-batch unit driven over the 10× documents corpus in `nBatches`
     * equal hash-slices, recording per-batch wall, discovered pairs, and
@@ -1232,6 +1282,15 @@ object ScaleRehearsal {
         args.lift(2).getOrElse("/tmp/graft_stream_docs"),
         args.lift(3).map(_.toInt).getOrElse(10)
       )
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("knntakedown")) {
+      val spark = GraftSession.getOrCreate()
+      val src   = args.lift(1).getOrElse("/root/testdata/sf0.1")
+      val dst   = args.lift(2).getOrElse("/tmp/graft_vec10_bitext") // shares the bitext 10x vec corpus
+      require(dst != src && !src.startsWith(dst), s"dst $dst would clobber src $src")
+      knnTakedownRehearsal(spark, src, dst)
       spark.stop()
       return
     }
