@@ -1747,11 +1747,32 @@ object Similarity {
   }
 
   /** Self-join form — the layout build and s13's disclosed quadratic brute
-    * rung: here the "query side" IS the corpus, so the broadcast is the
-    * documented whole-corpus one (paid once at ingest; [[knnJoinIvf]] is
-    * the sub-quadratic alternative).
+    * rung. Orientation matters for the PARTIAL AGGREGATION, not just the
+    * broadcast: the grouping key must come from the STREAMED side, so each
+    * partition's partial TopK state holds only its slice of query ids and
+    * the shuffle carries n partials. The two-frame form above broadcasts
+    * the queries instead — correct there because its query set is small
+    * by contract, but applied to the self-join it puts ALL n keys in
+    * EVERY partition's partial state (n×partitions partial rows through
+    * the exchange — measured 2× on s13, 2.25 → 4.12 s, when round 18
+    * briefly unified the orientations).
     */
-  private def knnJoinOver(e: DataFrame, k: Int): DataFrame = knnJoinOver(e, e, k)
+  private def knnJoinOver(e: DataFrame, k: Int): DataFrame = {
+    val nbrs = e.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb"))
+    val scored = e
+      .select("vec_id", "embedding")
+      .crossJoin(broadcast(nbrs))
+      .where(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"), expr("cosine_sim(embedding, nbr_emb)").as("cos"))
+      .where(col("cos").isNotNull)
+    val topk = graft.functions.TopK.topKIds(k)
+    scored
+      .groupBy("vec_id")
+      .agg(topk(col("nbr_id"), col("cos")).as("ids"))
+      .select(col("vec_id"), posexplode(col("ids")).as(Seq("pos", "nbr_id")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rnk"), col("nbr_id"))
+      .orderBy("vec_id", "rnk")
+  }
 
   /** The nProbe nearest cluster ids per row, computed IN-ENGINE — the
     * distributed twin of the driver-side [[probeIds]], same ordering

