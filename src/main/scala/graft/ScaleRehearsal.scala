@@ -748,16 +748,9 @@ object ScaleRehearsal {
         .embeddings(spark, dst)
         .join(Similarity.knnTombstones(spark, dst), Seq("vec_id"), "left_anti")
         .select("vec_id", "embedding")
-      val nbrs = surv.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb"))
-      val topk = graft.functions.TopK.topKIds(3)
-      surv
-        .crossJoin(broadcast(nbrs))
-        .where(col("vec_id") =!= col("nbr_id"))
-        .select(col("vec_id"), col("nbr_id"), expr("cosine_sim(embedding, nbr_emb)").as("cos"))
-        .where(col("cos").isNotNull)
-        .groupBy("vec_id")
-        .agg(topk(col("nbr_id"), col("cos")).as("ids"))
-        .count()
+      // the real brute core, not a re-implementation — the timed row must
+      // measure exactly the shape s13/the layout build pays
+      Similarity.knnJoinOver(surv, 3).count()
     }
     println(s"[knnt] ROW pairs=$pairs clusters=$clusters")
   }

@@ -1757,7 +1757,7 @@ object Similarity {
     * the exchange — measured 2× on s13, 2.25 → 4.12 s, when round 18
     * briefly unified the orientations).
     */
-  private def knnJoinOver(e: DataFrame, k: Int): DataFrame = {
+  private[graft] def knnJoinOver(e: DataFrame, k: Int): DataFrame = {
     val nbrs = e.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb"))
     val scored = e
       .select("vec_id", "embedding")
