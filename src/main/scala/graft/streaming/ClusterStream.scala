@@ -81,5 +81,11 @@ object ClusterStream {
       .write
       .mode("overwrite")
       .parquet(s"$clustersDir/batch_id=$batchId")
+    // snapshot retention ([[SnapshotChain]]): batch N+1 and any replay of
+    // N read only snapshot N−1..N; superseded cluster snapshots retire.
+    // The PAIRS segments are untouched — they are sealed per-batch
+    // discoveries, not superseded tables.
+    SnapshotChain.retain(
+      spark, clustersDir, graft.GraftConf.int(spark, "stream.snapshot_keep", 4))
   }
 }

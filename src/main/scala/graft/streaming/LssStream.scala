@@ -164,6 +164,14 @@ object LssStream {
       .agg(max_by(struct(col("len"), col("fp")), col("len")).as("m"))
       .select(col("doc_id"), col("m.len").as("lss_len"), col("m.fp").as("lss_fp"))
       .write.mode("overwrite").parquet(s"$stateDir/lss/batch_id=$batchId")
+    // SNAPSHOT retention (round 18): batch N+1 and any replay of N read
+    // only snapshot N−1..N, so superseded snapshots retire once the chain
+    // exceeds the keep window — unbounded chains are both dead storage
+    // (one full table per batch) and an erasure liability (old snapshots
+    // retain taken-down rows). Key SEGMENTS are never touched — they stay
+    // load-bearing forever (object scaladoc's no-compaction rationale).
+    SnapshotChain.retain(
+      spark, s"$stateDir/lss", graft.GraftConf.int(spark, "stream.snapshot_keep", 4))
   }
 
   /** The stream-maintained LSS table as of `batchId` (the latest committed

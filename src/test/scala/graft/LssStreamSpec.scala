@@ -133,6 +133,32 @@ class LssStreamSpec extends SparkSpec {
     assert(advanced.contains(32L), "default read must advance to the replayed committed snapshot")
   }
 
+  test("snapshot retention: superseded snapshots retire past the keep window; replay and torn dirs survive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lss_stream_retain").toString
+    // 6 batches at the default keep=4: snapshots 0 and 1 must be gone,
+    // 2..5 present and committed
+    (0 until 6).foreach { i =>
+      LssStream.processBatch(docsDf((40L + i) -> s"a b c x$i"), dir, i.toLong)
+    }
+    def present: Set[Long] = new java.io.File(s"$dir/lss").listFiles()
+      .map(_.getName).collect { case n if n.startsWith("batch_id=") => n.stripPrefix("batch_id=").toLong }
+      .toSet
+    assert(present == Set(2L, 3L, 4L, 5L), s"retained $present")
+    // replay of the LAST batch still works (reads snapshot 4, which is kept)
+    LssStream.processBatch(docsDf(45L -> "a b c x5"), dir, 5L)
+    assert(snap(dir, 5L).keySet == (40L to 45L).toSet)
+    // a torn dir NEWER than the cutoff survives retention (in-flight write)
+    val torn = new java.io.File(s"$dir/lss/batch_id=7")
+    assert(torn.mkdirs())
+    LssStream.processBatch(docsDf(46L -> "a b c x6"), dir, 6L)
+    assert(present.contains(7L), "in-flight (markerless, newer-than-cutoff) dir must survive")
+    // ...and the latest-committed reader still skips it
+    assert(
+      LssStream.longestSharedSubstringStreamed(spark, dir)
+        .collect().map(_.getLong(0)).max == 46L
+    )
+  }
+
   test("scheme guard: a cap change mid-stream fails fast") {
     val dir = java.nio.file.Files.createTempDirectory("graft_lss_stream_guard").toString
     LssStream.processBatch(docsDf(20L -> "a b x"), dir, 0L)
