@@ -650,7 +650,7 @@ object SparkEntry {
     // hash-checked matches; fixture vocabularies are disjoint from every
     // corpus, DedupSpec pins the ≥20-bit separation margin).
     "n3p_simhash_pairs_planted" ->
-      ("WITH fx AS (SELECT doc_id, text FROM read_parquet('/root/repo/fixtures/simdup/documents.parquet/*.parquet')) " +
+      ("WITH fx AS (SELECT doc_id, text FROM read_parquet('" + graft.Fixtures.dir + "/simdup/documents.parquet/*.parquet')) " +
         "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(0 AS BIGINT) AS dist " +
         "FROM fx a JOIN fx b ON a.text = b.text AND a.doc_id < b.doc_id " +
         "ORDER BY doc_a, doc_b"),
@@ -660,7 +660,7 @@ object SparkEntry {
     // three decades above any float discrepancy at the 0.95 boundary).
     "n4p_embedding_dup_pairs_planted" ->
       ("WITH allv AS (SELECT vec_id, embedding FROM embeddings UNION ALL " +
-        "SELECT vec_id, embedding FROM read_parquet('/root/repo/fixtures/embdup/embeddings.parquet/*.parquet')) " +
+        "SELECT vec_id, embedding FROM read_parquet('" + graft.Fixtures.dir + "/embdup/embeddings.parquet/*.parquet')) " +
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM allv a JOIN allv b " +
         "ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95 " +
         "ORDER BY vec_a, vec_b"),
@@ -715,7 +715,7 @@ object SparkEntry {
     // probe join must surface and rank them exactly.
     "s14p_knn_join_ivf_planted" ->
       ("WITH allv AS (SELECT vec_id, embedding FROM embeddings UNION ALL " +
-        "SELECT vec_id, embedding FROM read_parquet('/root/repo/fixtures/annplant/embeddings.parquet/*.parquet')) " +
+        "SELECT vec_id, embedding FROM read_parquet('" + graft.Fixtures.dir + "/annplant/embeddings.parquet/*.parquet')) " +
         "SELECT vec_id, rnk, nbr_id FROM (SELECT a.vec_id, row_number() OVER " +
         "(PARTITION BY a.vec_id ORDER BY list_cosine_similarity(b.embedding, a.embedding) DESC, b.vec_id) AS rnk, " +
         "b.vec_id AS nbr_id FROM allv a JOIN allv b ON a.vec_id <> b.vec_id " +
@@ -725,7 +725,7 @@ object SparkEntry {
     // engine cannot match this oracle.
     "s11p_ann_ivf_filtered_planted" ->
       ("WITH allv AS (SELECT vec_id, embedding, label FROM embeddings UNION ALL " +
-        "SELECT vec_id, embedding, label FROM read_parquet('/root/repo/fixtures/annplant/embeddings.parquet/*.parquet')), " +
+        "SELECT vec_id, embedding, label FROM read_parquet('" + graft.Fixtures.dir + "/annplant/embeddings.parquet/*.parquet')), " +
         "q AS (SELECT embedding AS qv FROM allv WHERE vec_id = 2000000) " +
         "SELECT rnk, vec_id FROM (SELECT row_number() OVER (ORDER BY " +
         "list_cosine_similarity(a.embedding, q.qv) DESC, a.vec_id) AS rnk, a.vec_id " +
@@ -735,7 +735,7 @@ object SparkEntry {
     // (filter composed through the IVF×PQ stack instead of plain IVF).
     "s19p_ann_ivf_pq_filtered_planted" ->
       ("WITH allv AS (SELECT vec_id, embedding, label FROM embeddings UNION ALL " +
-        "SELECT vec_id, embedding, label FROM read_parquet('/root/repo/fixtures/annplant/embeddings.parquet/*.parquet')), " +
+        "SELECT vec_id, embedding, label FROM read_parquet('" + graft.Fixtures.dir + "/annplant/embeddings.parquet/*.parquet')), " +
         "q AS (SELECT embedding AS qv FROM allv WHERE vec_id = 2000000) " +
         "SELECT rnk, vec_id FROM (SELECT row_number() OVER (ORDER BY " +
         "list_cosine_similarity(a.embedding, q.qv) DESC, a.vec_id) AS rnk, a.vec_id " +
@@ -2306,7 +2306,7 @@ object SparkEntry {
     */
   private val bitextPlantedOracle: String =
     ("WITH emb AS (SELECT vec_id, label, embedding FROM embeddings UNION ALL " +
-      "SELECT vec_id, label, embedding FROM read_parquet('/root/repo/fixtures/bitextplant/embeddings.parquet/*.parquet')), " +
+      "SELECT vec_id, label, embedding FROM read_parquet('" + graft.Fixtures.dir + "/bitextplant/embeddings.parquet/*.parquet')), " +
       "s AS (SELECT vec_id AS sid, embedding AS se FROM emb WHERE label % 2 = 0), " +
       "t AS (SELECT vec_id AS tid, embedding AS te FROM emb WHERE label % 2 = 1), " +
       s"sn AS (SELECT sid, ${fdot("se", "se")} AS nx FROM s), " +
@@ -2547,7 +2547,7 @@ object SparkEntry {
   // identical, only the engine's index path differs.
   private val plantedTop5Oracle: String =
     "WITH allv AS (SELECT vec_id, embedding FROM embeddings UNION ALL " +
-      "SELECT vec_id, embedding FROM read_parquet('/root/repo/fixtures/annplant/embeddings.parquet/*.parquet')), " +
+      "SELECT vec_id, embedding FROM read_parquet('" + graft.Fixtures.dir + "/annplant/embeddings.parquet/*.parquet')), " +
       "q AS (SELECT embedding AS qv FROM allv WHERE vec_id = 2000000) " +
       "SELECT rnk, vec_id FROM (SELECT row_number() OVER (ORDER BY " +
       "list_cosine_similarity(a.embedding, q.qv) DESC, a.vec_id) AS rnk, a.vec_id " +
@@ -2559,7 +2559,7 @@ object SparkEntry {
     */
   private val plantedTombstonedTop4Oracle: String =
     "WITH allv AS (SELECT vec_id, embedding FROM embeddings UNION ALL " +
-      "SELECT vec_id, embedding FROM read_parquet('/root/repo/fixtures/annplant/embeddings.parquet/*.parquet')), " +
+      "SELECT vec_id, embedding FROM read_parquet('" + graft.Fixtures.dir + "/annplant/embeddings.parquet/*.parquet')), " +
       "q AS (SELECT embedding AS qv FROM allv WHERE vec_id = 2000000) " +
       "SELECT rnk, vec_id FROM (SELECT row_number() OVER (ORDER BY " +
       "list_cosine_similarity(a.embedding, q.qv) DESC, a.vec_id) AS rnk, a.vec_id " +

@@ -1972,10 +1972,11 @@ object Dedup {
   }
 
   /** Default location of the committed planted-positive fixture
-    * ([[graft.FixtureGen]]); override via `graft.fixtures.dir`.
+    * ([[graft.FixtureGen]]); override via the [[graft.Fixtures]] sysprop/env
+    * (JVM-level so the sparkless DuckDB oracle strings share the resolution).
     */
   private def fixturesDir(spark: SparkSession): String =
-    graft.GraftConf.string(spark, "fixtures.dir", "/root/repo/fixtures")
+    graft.Fixtures.dir
 
   /** N4P — [[embeddingDupPairs]] with the committed near-dup fixture
     * (`fixtures/embdup`, ids ≥ 1e6) unioned into the corpus. The testdata
@@ -2459,6 +2460,19 @@ object Dedup {
     */
   private val walkPersists = scala.collection.mutable.ListBuffer.empty[DataFrame]
 
+  /** The capped query's verified-pairs persist lives in its OWN ledger,
+    * not [[walkPersists]] (ADVICE r18): walkPersists is cleared at the
+    * start of EVERY subsequent band walk, so a verified-pairs frame parked
+    * there would lose its disk blocks as soon as any other dhash query ran
+    * in the same JVM — and a caller consuming the returned capped frame
+    * after that would recompute the multi-billion-row candidate expansion
+    * TWICE (once per crossSmall/crossBig branch), the exact
+    * double-expansion the persist exists to prevent. This ledger is
+    * released only when a NEW capped overflow query begins, so the frame
+    * stays consumable for the returned DataFrame's whole useful life.
+    */
+  private val cappedPersists = scala.collection.mutable.ListBuffer.empty[DataFrame]
+
   private[graft] final case class DhashBandLevelStats(
       level: Int,
       nBuckets: Long,
@@ -2580,7 +2594,7 @@ object Dedup {
     // rows; at the session's 32 shuffle partitions that is ~80M candidate
     // rows per task, whose sort state OOMs a 4 GiB heap (measured — the
     // walk itself finished, the join died). Repartitioning the capped
-    // frame by bucket into `graft.dhash.walk_partitions` (256) before the
+    // frame by bucket into `graft.dhash.walk_partitions` (512) before the
     // self-join shrinks per-task state — buckets are ≤cap rows each
     // and hash-spread, so the split is even by construction. 512 (16×
     // the session width) measured: 256 left the verify pass flaky at the
@@ -2822,8 +2836,14 @@ object Dedup {
       val vp = verifyHashPairs(walkCands)
       if (probeMax <= walkCap) vp
       else {
+        // release the PREVIOUS capped query's verified pairs (not the walk
+        // ledger — see cappedPersists scaladoc), then persist the new ones
+        cappedPersists.synchronized {
+          cappedPersists.foreach(df => df.unpersist(blocking = false))
+          cappedPersists.clear()
+        }
         val p = vp.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-        walkPersists.synchronized { walkPersists += p }
+        cappedPersists.synchronized { cappedPersists += p }
         p.count() // force the one expansion; both branches below read blocks
         p
       }

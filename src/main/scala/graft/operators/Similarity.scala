@@ -1253,7 +1253,7 @@ object Similarity {
   private[graft] val PlantedQueryId = 2000000L
 
   private def annPlantFixture(spark: SparkSession): String =
-    graft.GraftConf.string(spark, "fixtures.dir", "/root/repo/fixtures") + "/annplant/embeddings.parquet"
+    graft.Fixtures.dir + "/annplant/embeddings.parquet"
 
   /** S2P — [[annLsh]] with the committed graded-neighbor fixture
     * (`fixtures/annplant`) unioned into the corpus. Plain s2's top-10 is
@@ -2102,7 +2102,7 @@ object Similarity {
   private[graft] val BitextPlantHi = 2100005L
 
   private def bitextPlantFixture(spark: SparkSession): String =
-    graft.GraftConf.string(spark, "fixtures.dir", "/root/repo/fixtures") + "/bitextplant/embeddings.parquet"
+    graft.Fixtures.dir + "/bitextplant/embeddings.parquet"
 
   /** IVF layout over corpus ∪ the bitext planted fixture — the
     * [[ivfPlantedLayoutCache]] recipe (live k-means over the union, keyed

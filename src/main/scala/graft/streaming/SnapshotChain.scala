@@ -52,10 +52,21 @@ object SnapshotChain {
     val p  = new org.apache.hadoop.fs.Path(chainDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return Nil
-    val dirs = fs
+    // A name whose suffix does not parse (a stray `batch_id=copy` from
+    // manual ops) is NOT this chain's snapshot: skip it with a warning
+    // rather than let toLong throw inside processBatch and kill the
+    // stream (ADVICE r18). It is never deleted either — retention only
+    // reasons about ids it can order.
+    val (dirs, unparsed) = fs
       .listStatus(p)
       .map(_.getPath)
       .filter(_.getName.startsWith("batch_id="))
+      .partition(d => d.getName.stripPrefix("batch_id=").forall(_.isDigit) &&
+        d.getName.length > "batch_id=".length)
+    if (unparsed.nonEmpty)
+      System.err.println(
+        s"[SnapshotChain] skipping non-numeric snapshot dirs under $chainDir: " +
+          unparsed.map(_.getName).mkString(", "))
     def idOf(d: org.apache.hadoop.fs.Path): Long = d.getName.stripPrefix("batch_id=").toLong
     val committed = dirs
       .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))

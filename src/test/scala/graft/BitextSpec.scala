@@ -90,7 +90,7 @@ class BitextSpec extends SparkSpec {
     VectorFunctions.register(spark)
     val e = graft.sources.Tables
       .embeddings(spark, sf0001)
-      .unionByName(spark.read.parquet("fixtures/bitextplant/embeddings.parquet"))
+      .unionByName(spark.read.parquet(graft.Fixtures.dir + "/bitextplant/embeddings.parquet"))
     val src = e.where(pmod(col("label"), lit(2)) === 0).select(col("vec_id").as("sid"), col("embedding").as("se"))
     val tgt = e.where(pmod(col("label"), lit(2)) === 1).select(col("vec_id").as("tid"), col("embedding").as("te"))
     val scored = src

@@ -416,7 +416,7 @@ class SimilaritySpec extends SparkSpec {
       .embeddings(spark, sf0001)
       .select("vec_id", "embedding")
       .unionByName(
-        spark.read.parquet("fixtures/annplant/embeddings.parquet").select("vec_id", "embedding")
+        spark.read.parquet(graft.Fixtures.dir + "/annplant/embeddings.parquet").select("vec_id", "embedding")
       )
     graft.functions.VectorFunctions.register(spark)
     val brute = e.where(col("vec_id") >= 2000000L)
