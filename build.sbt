@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses the LAST stdout line of `sbt runMain graft.Bench`
+// as the bench digest (BENCH_r{N}.json's `parsed` field read null every
+// round): sbt's default logger [info]-prefixes the forked JVM's stdout and
+// appends its own `[success] Total time` epilogue after it. Pass the forked
+// process's output straight through and drop the success line, so the
+// digest JSON Bench prints last IS the literal last line of stdout.
+Global / showSuccess := false
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

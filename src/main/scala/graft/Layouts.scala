@@ -51,6 +51,7 @@ object Layouts {
     "pq_planted"         -> (() => { Similarity.annPqPlanted(spark, dir); () }),
     "knn_graph"          -> (() => { Similarity.knnGraphLayoutCache(spark, dir, 3); () }),
     "knn_clusters"       -> (() => { Similarity.mutualKnnClusters(spark, dir); () }),
+    "knn_tombstoned"     -> (() => { Similarity.knnTombstonedLayoutCache(spark, dir, 3); () }),
     "span_artifacts"     -> (() => { Dedup.spanArtifacts(spark, dir); () }),
     "lss_table"          -> (() => { Dedup.longestSharedSubstring(spark, dir); () }),
     "lss_tombstoned"     -> (() => { Dedup.longestSharedSubstringTombstoned(spark, dir); () }),

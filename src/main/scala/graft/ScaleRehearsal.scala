@@ -988,8 +988,22 @@ object ScaleRehearsal {
     *     near-dups of their base, so the 10× corpus exercises a dense
     *     shared-substring structure, not a disjoint one.
     */
+  /** Stamp the executor geometry (cores, max heap) into the pressure
+    * record the same way the bench stamps its host sentinel — VERDICT r18
+    * item 2: a pressure row is only evidence at a KNOWN geometry (the
+    * 10⁶-hash band walk is flaky at 128 MiB/core and clean at 512), so
+    * the record must carry the geometry it ran at, not leave it to be
+    * reconstructed from shell history.
+    */
+  private def geometryStamp(spark: SparkSession, tag: String): Unit =
+    println(
+      f"[$tag] geometry: cpus=${spark.sparkContext.defaultParallelism} " +
+        f"heap_gib=${Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)}%.1f"
+    )
+
   def round14Rehearsal(spark: SparkSession, src: String, dstDocs: String, reps: Int, dstTenX: String): Unit = {
     import graft.operators.{Dedup, Multimodal}
+    geometryStamp(spark, "round14")
     ensureReplicatedDocs(spark, src, dstDocs, reps)
     build(spark, src, dstTenX, 10)
     val pm = new PhaseMetrics
@@ -1035,6 +1049,7 @@ object ScaleRehearsal {
     */
   def bandWalkRehearsal(spark: SparkSession, n: Long): Unit = {
     import graft.operators.Dedup
+    geometryStamp(spark, "round15")
     val v = xxhash64(col("id"))
     val h = spark
       .range(n)

@@ -2286,33 +2286,73 @@ object Similarity {
       .unionByName(recomputed)
   }
 
+  /** Bump with any change to the survivor-walk derivation or the persisted
+    * takedown-serve artifact shape; chains with the kNN-graph scheme in the
+    * layout key.
+    */
+  private[operators] val KnnTdSchemeVersion = 1
+
+  /** The survivor mutual-pair set AND its contracted clusters persisted per
+    * (corpus, takedown-rule, k) version — n19t's `lsstd` discipline applied
+    * to the kNN family (VERDICT r18 item 1): the ledger walk + targeted
+    * overflow recompute + star contraction are real work that changes only
+    * when the corpus or the takedown set changes, so the query rungs read
+    * a content-keyed parquet and the recompute runs ONCE per version, not
+    * per query (r18 measured s16t at 3.9 s serving the mask + ledger
+    * window + contraction LIVE — the slowest recurring read on the board).
+    * Both artifacts land in ONE build because the clusters are a pure
+    * function of the pairs; splitting them would pay the survivor walk
+    * twice. At 100 TB this build rides the once-per-takedown-version
+    * maintenance pass, exactly like the LSS family's `lsstd`.
+    */
+  private[graft] def knnTombstonedLayoutCache(spark: SparkSession, dir: String, k: Int): String = {
+    val depth = math.max(k, KnnGraphLedgerDepth)
+    val key = graft.sources.LayoutCache.contentKey(
+      spark,
+      s"$dir/embeddings.parquet",
+      s"knntd-v$KnnTdSchemeVersion#knng-v$KnnGraphSchemeVersion#d$depth#k$k#mod10eq3"
+    )
+    graft.sources.LayoutCache.getOrBuild(spark, "graft_knntd", key) { out =>
+      mutualize(
+        survivorKnnEdges(spark, dir, k)
+          .select(col("vec_id").as("a"), col("nbr_id").as("b"))
+      ).write.mode("overwrite").parquet(s"$out/pairs.parquet")
+      Dedup
+        .clustersFromPairsStar(
+          spark.read
+            .parquet(s"$out/pairs.parquet")
+            .select(col("vec_id_a").as("doc_a"), col("vec_id_b").as("doc_b"))
+        )
+        .select(col("cluster_id"), col("doc_id").as("vec_id"))
+        .write.mode("overwrite").parquet(s"$out/clusters.parquet")
+    }
+  }
+
   /** S15T — s15 WITH TAKEDOWN: mutual pairs over the survivor kNN graph
     * ([[survivorKnnEdges]]). A tombstoned vector appears on neither side
     * of any pair, AND pairs newly made mutual by vacated slots appear —
     * the result equals a from-scratch mutual-kNN pass over the surviving
     * corpus (the survivor-rebuild DuckDB oracle pins it; SimilaritySpec
-    * pins the ledger-walk ≡ rebuild identity engine-side).
+    * pins the ledger-walk ≡ rebuild identity engine-side on the LIVE
+    * derivation). Serves from the persisted takedown artifact
+    * ([[knnTombstonedLayoutCache]]) — a parquet read, not a live walk.
     */
   def mutualKnnPairsTombstoned(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
-    mutualize(
-      survivorKnnEdges(spark, dir, k)
-        .select(col("vec_id").as("a"), col("nbr_id").as("b"))
-    )
+    spark.read
+      .parquet(s"${knnTombstonedLayoutCache(spark, dir, k)}/pairs.parquet")
+      .orderBy("vec_id_a", "vec_id_b")
 
   /** S16T — s16 WITH TAKEDOWN: connected components over the survivor
     * mutual-kNN edge set, labeled by min vec_id. A tombstoned vector
     * vanishes from cluster MEMBERSHIP, and components split where it was
     * the only bridge — both effects fall out of running the same star
-    * contraction over [[mutualKnnPairsTombstoned]]'s edges; the oracle is
-    * the survivor-rebuild recursive reachability.
+    * contraction over the survivor pairs at layout-build time; the oracle
+    * is the survivor-rebuild recursive reachability, and the query rung
+    * reads the persisted cluster table ([[knnTombstonedLayoutCache]]).
     */
   def mutualKnnClustersTombstoned(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
-    Dedup
-      .clustersFromPairsStar(
-        mutualKnnPairsTombstoned(spark, dir, k)
-          .select(col("vec_id_a").as("doc_a"), col("vec_id_b").as("doc_b"))
-      )
-      .select(col("cluster_id"), col("doc_id").as("vec_id"))
+    spark.read
+      .parquet(s"${knnTombstonedLayoutCache(spark, dir, k)}/clusters.parquet")
       .orderBy("cluster_id", "vec_id")
 
   /** The PURGE stage for the kNN-graph layout: physically rewrite the

@@ -744,6 +744,11 @@ class SimilaritySpec extends SparkSpec {
     val pairs = Similarity.mutualKnnPairsTombstoned(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(pairs.nonEmpty)
+    // the rung now serves from the persisted knntd layout — pin that the
+    // parquet artifact equals the live walk's mutualization exactly
+    val liveMutual = gotEdges.filter { case (a, b) => a < b && gotEdges.contains((b, a)) }
+    assert(pairs.toSet == liveMutual,
+      s"persisted takedown pairs diverge from live walk: ${(pairs.toSet -- liveMutual).take(5)} vs ${(liveMutual -- pairs.toSet).take(5)}")
     assert(pairs.forall { case (a, b) => a % 10 != 3 && b % 10 != 3 })
     val plain = Similarity.mutualKnnPairs(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
