@@ -18,6 +18,7 @@ run / fork := true
 // process's output straight through and drop the success line, so the
 // digest JSON Bench prints last IS the literal last line of stdout.
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess // consumed by the command engine, not a task
 outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -260,6 +260,50 @@ class StreamingSpec extends SparkSpec {
     assert(mtimeAfter == mtime0, "batch-0 index artifacts were rewritten by batch 1")
   }
 
+  test("dedup index compaction: stream == batch across the boundary; segment fan collapses to one; replay-safe cutoff") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_sdedup_cmp")
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val cuts = Seq(0L, 167L, 333L, Long.MaxValue)
+    def slice(i: Int) = docs.where(col("doc_id") >= cuts(i) && col("doc_id") < cuts(i + 1))
+    // drive two maintained indexes batch-by-batch through processBatch —
+    // one compacted after every batch, one never — and require identical
+    // pair reports from both, plus the exact-Jaccard full set at the end
+    for (i <- 0 until 3) {
+      graft.streaming.DedupStream.processBatch(slice(i), s"$base/idxC", s"$base/pairsC", i.toLong)
+      graft.streaming.DedupStream.processBatch(slice(i), s"$base/idxU", s"$base/pairsU", i.toLong)
+      graft.streaming.DedupStream.compactIndex(spark, s"$base/idxC")
+    }
+    def pairSet(dir: String) = spark.read.parquet(dir)
+      .select("doc_a", "doc_b", "inter", "un").collect().map(_.toSeq).toSet
+    assert(pairSet(s"$base/pairsC") == pairSet(s"$base/pairsU"),
+      "compacted-index stream diverged from the uncompacted twin")
+    assert(pairSet(s"$base/pairsC").map(r => (r(0), r(1))) ==
+      graft.operators.Dedup.ngramJaccardPairs(spark, sf0001)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // the segment fan is bounded: exactly ONE live segment remains (the
+    // newest — never folded, because it is the one a checkpoint replay
+    // rewrites) and the committed generation holds everything older
+    def fanIds(t: String) = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$base/idxC/$t"))
+        .iterator().asScala.map(_.getFileName.toString).filter(_.startsWith("batch_id=")).toSeq
+    }
+    assert(fanIds("docsets") == Seq("batch_id=2"), s"fan not compacted: ${fanIds("docsets")}")
+    assert(fanIds("buckets") == Seq("batch_id=2"))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/idxC/gen=2/docsets.parquet/_SUCCESS")))
+    // the logical table is unchanged by compaction: same rows both sides
+    def tbl(idx: String, t: String) = graft.streaming.DedupStream.indexTable(spark, s"$base/$idx", t)
+      .collect().map(_.toSeq).toSet
+    assert(tbl("idxC", "docsets") == tbl("idxU", "docsets"))
+    assert(tbl("idxC", "buckets") == tbl("idxU", "buckets"))
+    // a replay of the NEWEST batch after compaction is still idempotent
+    // (its segment was deliberately left out of the fold): same pair set
+    graft.streaming.DedupStream.processBatch(slice(2), s"$base/idxC", s"$base/pairsC", 2L)
+    assert(pairSet(s"$base/pairsC") == pairSet(s"$base/pairsU"))
+    assert(tbl("idxC", "docsets") == tbl("idxU", "docsets"))
+  }
+
   test("streaming vector-index maintenance == batch s12 delta; sealed segments never rewritten; idempotent replay") {
     import org.apache.spark.sql.functions._
     import graft.operators.Similarity
