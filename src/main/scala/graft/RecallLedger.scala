@@ -86,6 +86,13 @@ object RecallLedger {
     for (np <- Seq(1, 2, 4, 8, 16))
       row("s4/s6 IVF (16 clusters)", s"nprobe=$np",
         meanRecall(spark, exact, k, q => Similarity.annIvfPartitioned(spark, dir, q, k, 16, np)))
+    // The corpus-scaled AUTO operating point (nc ~ √n, np = nc/8 — what a
+    // 100 TB deployment sets via graft.ann.nclusters=auto): the recall
+    // floor at the scaled knobs is MEASURED here, next to the fixed rows,
+    // so scaling nc never silently trades recall for pruning.
+    val (ancL, anpL) = Similarity.autoIvfKnobs(embs.size.toLong)
+    row("s4/s6 IVF (auto √n-scaled)", s"nc=$ancL nprobe=$anpL",
+      meanRecall(spark, exact, k, q => Similarity.annIvfPartitioned(spark, dir, q, k, ancL, anpL)))
     for (np <- Seq(1, 2, 4, 8, 16))
       row("s9 IVF×SQ8 (shortlist 50)", s"nprobe=$np",
         meanRecall(spark, exact, k, q => Similarity.annIvfQuantized(spark, dir, q, k, 16, np)))
@@ -134,6 +141,13 @@ object RecallLedger {
       row(s"b2 bitext margin pairs (16 clusters, vs b1's ${b1pairs.size} pairs)", s"nprobe=$np",
         (b2pairs & b1pairs).size.toDouble / b1pairs.size)
     }
+    val b2auto = Similarity
+      .bitextMarginPairsIvf(spark, dir, nClusters = ancL, nProbe = anpL)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    row(s"b2 bitext margin pairs (auto √n-scaled, vs b1's ${b1pairs.size} pairs)",
+      s"nc=$ancL nprobe=$anpL", (b2auto & b1pairs).size.toDouble / b1pairs.size)
     spark.stop()
   }
 }

@@ -693,7 +693,11 @@ object ScaleRehearsal {
       Similarity.bitextMarginPairs(spark, dst).collect()
     }
     val exactSet = exact.map(r => (r.getLong(0), r.getLong(1))).toSet
-    Seq((16, 4), (64, 8)).foreach { case (nc, np) =>
+    // rows: the registered fixed point, the hand-scaled r18 point, and
+    // the AUTO point resolveIvfKnobs derives for this corpus size
+    // (graft.ann.nclusters=auto) — the default a 100 TB deployment runs
+    val autoPoint = Similarity.autoIvfKnobs(nS + nT)
+    (Seq((16, 4), (64, 8)) :+ autoPoint).distinct.foreach { case (nc, np) =>
       // first counts call forces the layout build (timed apart from the
       // query, the bench discipline); the repeat is the warm count
       val ((fwd, bwd), _) = timed(s"ivf layout build + scored counts nc=$nc np=$np") {

@@ -361,16 +361,58 @@ object Similarity {
       .map(_._2)
       .toIndexedSeq
 
+  /** Corpus-scaled IVF operating point (VERDICT r18 item 3): `nc ~ √n`
+    * bounded to [16, 4096] — the standard IVF sizing that balances the
+    * per-query coarse scan (nc centroid scores) against the fine scan
+    * (np·n/nc candidate scores); a FIXED nc at 100 TB degenerates to
+    * near-full scans (n/nc per cluster grows linearly while pruning stays
+    * constant). `np = nc/8` (floor 4) holds the probe FRACTION at the
+    * point the round-18 bitext rehearsal measured: nominal 16/4 pruning
+    * delivered only 2.0× effective (probe selection favors the largest
+    * clusters), while √n-scaled knobs at this fraction recovered ≈4× and
+    * kept pair agreement — and the RecallLedger re-grades recall@10 at
+    * the auto point so the floor is measured, not assumed.
+    */
+  private[graft] def autoIvfKnobs(n: Long): (Int, Int) = {
+    val nc = math.min(4096, math.max(16, math.ceil(math.sqrt(math.max(0L, n).toDouble)).toInt))
+    (nc, math.max(4, math.round(nc / 8.0).toInt))
+  }
+
+  /** Embedding-corpus cardinality memoized by CONTENT fingerprint — the
+    * auto operating point must not pay a count job per query call, and a
+    * regenerated corpus under the same path must re-count (the fingerprint
+    * changes) rather than serve a stale size.
+    */
+  private val vecCountCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def corpusVecCount(spark: SparkSession, dir: String): Long = {
+    val key = graft.sources.LayoutCache.contentKey(spark, s"$dir/embeddings.parquet", "veccount")
+    vecCountCache.getOrElseUpdate(key, Tables.embeddings(spark, dir).count())
+  }
+
   /** Resolved (nClusters, nProbe) from the `graft.ann.nclusters` /
     * `graft.ann.nprobe` session knobs — the IVF recall/cost operating
     * point. Probing more clusters than exist is a config error, not a
-    * silent full scan.
+    * silent full scan. `graft.ann.nclusters=auto` derives the point from
+    * corpus size ([[autoIvfKnobs]]) — the 100 TB default; the REGISTERED
+    * rungs stay at the compiled (16, 4) point because the cross-engine
+    * DuckDB replay pins that exact operating point in SQL (probe rank
+    * `rn <= 4`), and nc is already folded into every IVF layout key so an
+    * auto-scaled session can never share an artifact with a fixed-knob
+    * one.
     */
-  private def resolveIvfKnobs(spark: SparkSession, nClusters: Int, nProbe: Int): (Int, Int) = {
-    val nc = if (nClusters > 0) nClusters else graft.GraftConf.int(spark, "ann.nclusters", 16)
-    val np = if (nProbe > 0) nProbe else graft.GraftConf.int(spark, "ann.nprobe", 4)
-    require(np <= nc, s"graft.ann.nprobe=$np cannot exceed graft.ann.nclusters=$nc")
-    (nc, np)
+  private def resolveIvfKnobs(spark: SparkSession, dir: String, nClusters: Int, nProbe: Int): (Int, Int) = {
+    val ncConf = spark.conf.getOption("graft.ann.nclusters").map(_.trim)
+    if (nClusters <= 0 && ncConf.exists(_.equalsIgnoreCase("auto"))) {
+      val (anc, anp) = autoIvfKnobs(corpusVecCount(spark, dir))
+      val np         = if (nProbe > 0) nProbe else graft.GraftConf.int(spark, "ann.nprobe", anp)
+      require(np <= anc, s"graft.ann.nprobe=$np cannot exceed auto-scaled nclusters=$anc")
+      (anc, np)
+    } else {
+      val nc = if (nClusters > 0) nClusters else graft.GraftConf.int(spark, "ann.nclusters", 16)
+      val np = if (nProbe > 0) nProbe else graft.GraftConf.int(spark, "ann.nprobe", 4)
+      require(np <= nc, s"graft.ann.nprobe=$np cannot exceed graft.ann.nclusters=$nc")
+      (nc, np)
+    }
   }
 
   def annIvf(
@@ -382,7 +424,7 @@ object Similarity {
       nProbe: Int = -1     // -1 = the graft.ann.nprobe session knob (4 unset)
   ): DataFrame = {
     VectorFunctions.register(spark)
-    val (nc, np) = resolveIvfKnobs(spark, nClusters, nProbe)
+    val (nc, np) = resolveIvfKnobs(spark, dir, nClusters, nProbe)
     val e       = Tables.embeddings(spark, dir)
     // the coarse quantizer comes from the persisted layout (one training
     // per corpus version — the same centroids s6/s9 read, which is also
@@ -426,7 +468,7 @@ object Similarity {
       nProbe: Int = -1     // -1 = the graft.ann.nprobe session knob (4 unset)
   ): DataFrame = {
     VectorFunctions.register(spark)
-    val (nc, np) = resolveIvfKnobs(spark, nClusters, nProbe)
+    val (nc, np) = resolveIvfKnobs(spark, dir, nClusters, nProbe)
     val layout    = ivfLayoutCache(spark, dir, nc)
     val centroids = spark.read
       .parquet(s"$layout/centroids.parquet")
@@ -472,7 +514,7 @@ object Similarity {
       nProbe: Int = -1     // -1 = the graft.ann.nprobe session knob (4 unset)
   ): DataFrame = {
     VectorFunctions.register(spark)
-    val (nc, np) = resolveIvfKnobs(spark, nClusters, nProbe)
+    val (nc, np) = resolveIvfKnobs(spark, dir, nClusters, nProbe)
     val layout    = ivfLayoutCache(spark, dir, nc)
     val centroids = spark.read
       .parquet(s"$layout/centroids.parquet")
@@ -718,7 +760,7 @@ object Similarity {
       nProbe: Int = -1     // -1 = the graft.ann.nprobe session knob (4 unset)
   ): DataFrame = {
     VectorFunctions.register(spark)
-    val (nc, np) = resolveIvfKnobs(spark, nClusters, nProbe)
+    val (nc, np) = resolveIvfKnobs(spark, dir, nClusters, nProbe)
     val split = Tables
       .embeddings(spark, dir)
       .agg(expr("coalesce((max(vec_id) + 1) div 2, 0)").as("k"))
@@ -859,7 +901,7 @@ object Similarity {
       nProbe: Int = -1
   ): DataFrame = {
     VectorFunctions.register(spark)
-    val (nc, np) = resolveIvfKnobs(spark, nClusters, nProbe)
+    val (nc, np) = resolveIvfKnobs(spark, dir, nClusters, nProbe)
     val split = Tables
       .embeddings(spark, dir)
       .agg(expr("coalesce((max(vec_id) + 1) div 2, 0)").as("k"))
@@ -895,7 +937,7 @@ object Similarity {
       nProbe: Int = -1
   ): DataFrame = {
     VectorFunctions.register(spark)
-    val (nc, np) = resolveIvfKnobs(spark, nClusters, nProbe)
+    val (nc, np) = resolveIvfKnobs(spark, dir, nClusters, nProbe)
     val layout   = ivfLayoutCache(spark, dir, nc)
     val qv = Tables.embeddings(spark, dir).where(col("vec_id") === queryId).select("embedding").head().getSeq[Float](0)
     val ledger = Tables.embeddings(spark, dir).where(col("vec_id") % 10 === 3).select("vec_id")
@@ -918,7 +960,7 @@ object Similarity {
       nProbe: Int = -1     // -1 = the graft.ann.nprobe session knob (4 unset)
   ): DataFrame = {
     VectorFunctions.register(spark)
-    val (nc, np) = resolveIvfKnobs(spark, nClusters, nProbe)
+    val (nc, np) = resolveIvfKnobs(spark, dir, nClusters, nProbe)
     val base     = ivfLayoutCache(spark, dir, nc)
     val delta    = ivfPlantedDeltaLayoutCache(spark, dir, nc)
     // key carries BOTH inputs' provenance: the corpus fingerprint, the base
@@ -974,7 +1016,7 @@ object Similarity {
   ): DataFrame = {
     import spark.implicits._
     VectorFunctions.register(spark)
-    val (nc, np) = resolveIvfKnobs(spark, nClusters, nProbe)
+    val (nc, np) = resolveIvfKnobs(spark, dir, nClusters, nProbe)
     val layout   = ivfPlantedLayoutCache(spark, dir, nc)
     val qv = spark.read
       .parquet(annPlantFixture(spark))
@@ -1105,7 +1147,7 @@ object Similarity {
       shortlist: Int = QuantShortlist
   ): DataFrame = {
     VectorFunctions.register(spark)
-    val (nc, np)  = resolveIvfKnobs(spark, nClusters, nProbe)
+    val (nc, np)  = resolveIvfKnobs(spark, dir, nClusters, nProbe)
     val layout    = ivfLayoutCache(spark, dir, nc)
     val centroids = spark.read
       .parquet(s"$layout/centroids.parquet")
@@ -1317,7 +1359,7 @@ object Similarity {
       nProbe: Int = -1     // -1 = the graft.ann.nprobe session knob (4 unset)
   ): DataFrame = {
     VectorFunctions.register(spark)
-    val (nc, np) = resolveIvfKnobs(spark, nClusters, nProbe)
+    val (nc, np) = resolveIvfKnobs(spark, dir, nClusters, nProbe)
     val layout    = ivfPlantedLayoutCache(spark, dir, nc)
     val centroids = spark.read
       .parquet(s"$layout/centroids.parquet")
@@ -1356,7 +1398,7 @@ object Similarity {
       nProbe: Int = -1     // -1 = the graft.ann.nprobe session knob (4 unset)
   ): DataFrame = {
     VectorFunctions.register(spark)
-    val (nc, np) = resolveIvfKnobs(spark, nClusters, nProbe)
+    val (nc, np) = resolveIvfKnobs(spark, dir, nClusters, nProbe)
     val e = Tables
       .embeddings(spark, dir)
       .select("vec_id", "embedding")
@@ -1387,7 +1429,7 @@ object Similarity {
       nProbe: Int = -1     // -1 = the graft.ann.nprobe session knob (4 unset)
   ): DataFrame = {
     VectorFunctions.register(spark)
-    val (nc, np) = resolveIvfKnobs(spark, nClusters, nProbe)
+    val (nc, np) = resolveIvfKnobs(spark, dir, nClusters, nProbe)
     val layout    = ivfPlantedLayoutCache(spark, dir, nc)
     val centroids = spark.read
       .parquet(s"$layout/centroids.parquet")
@@ -1427,7 +1469,7 @@ object Similarity {
       shortlist: Int = QuantShortlist
   ): DataFrame = {
     VectorFunctions.register(spark)
-    val (nc, np)  = resolveIvfKnobs(spark, nClusters, nProbe)
+    val (nc, np)  = resolveIvfKnobs(spark, dir, nClusters, nProbe)
     val layout    = ivfPlantedLayoutCache(spark, dir, nc)
     val centroids = spark.read
       .parquet(s"$layout/centroids.parquet")
@@ -1519,7 +1561,7 @@ object Similarity {
       nProbe: Int = -1     // -1 = the graft.ann.nprobe session knob (4 unset)
   ): DataFrame = {
     VectorFunctions.register(spark)
-    val (nc, np) = resolveIvfKnobs(spark, nClusters, nProbe)
+    val (nc, np) = resolveIvfKnobs(spark, dir, nClusters, nProbe)
     val base  = ivfLayoutCache(spark, dir, nc)
     val delta = ivfPlantedDeltaLayoutCache(spark, dir, nc)
     val centroids = spark.read
@@ -1566,7 +1608,7 @@ object Similarity {
       nProbe: Int = -1     // -1 = the graft.ann.nprobe session knob (4 unset)
   ): DataFrame = {
     VectorFunctions.register(spark)
-    val (nc, np) = resolveIvfKnobs(spark, nClusters, nProbe)
+    val (nc, np) = resolveIvfKnobs(spark, dir, nClusters, nProbe)
     val layout   = ivfPlantedLayoutCache(spark, dir, nc)
     val centroids = spark.read
       .parquet(s"$layout/centroids.parquet")
@@ -1618,7 +1660,7 @@ object Similarity {
       shortlist: Int = PqShortlist
   ): DataFrame = {
     VectorFunctions.register(spark)
-    val (nc, np) = resolveIvfKnobs(spark, nClusters, nProbe)
+    val (nc, np) = resolveIvfKnobs(spark, dir, nClusters, nProbe)
     val ivf = ivfPlantedLayoutCache(spark, dir, nc)
     val centroids = spark.read
       .parquet(s"$ivf/centroids.parquet")
@@ -1810,7 +1852,7 @@ object Similarity {
       nProbe: Int = -1     // -1 = the graft.ann.nprobe session knob (4 unset)
   ): DataFrame = {
     VectorFunctions.register(spark)
-    val (nc, np) = resolveIvfKnobs(spark, nClusters, nProbe)
+    val (nc, np) = resolveIvfKnobs(spark, dir, nClusters, nProbe)
     val layout   = ivfLayoutCache(spark, dir, nc)
     val centroids = spark.read
       .parquet(s"$layout/centroids.parquet")
@@ -2025,7 +2067,7 @@ object Similarity {
       nProbe: Int = -1
   ): DataFrame = {
     VectorFunctions.register(spark)
-    val (nc, np)   = resolveIvfKnobs(spark, nClusters, nProbe)
+    val (nc, np)   = resolveIvfKnobs(spark, dir, nClusters, nProbe)
     val (fwd, bwd) = bitextIvfRetrievals(spark, dir, nc, np)
     val perSrc     = bitextSideStats(fwd, "sid", "tid", k)
     val perTgt     = bitextSideStats(bwd, "tid", "sid", k)
@@ -2087,7 +2129,7 @@ object Similarity {
   private[graft] def bitextIvfScoredCounts(
       spark: SparkSession, dir: String, nClusters: Int = -1, nProbe: Int = -1): (Long, Long) = {
     VectorFunctions.register(spark)
-    val (nc, np)   = resolveIvfKnobs(spark, nClusters, nProbe)
+    val (nc, np)   = resolveIvfKnobs(spark, dir, nClusters, nProbe)
     val (fwd, bwd) = bitextIvfRetrievals(spark, dir, nc, np)
     (fwd.count(), bwd.count())
   }
@@ -2164,7 +2206,7 @@ object Similarity {
       nProbe: Int = -1
   ): DataFrame = {
     VectorFunctions.register(spark)
-    val (nc, np) = resolveIvfKnobs(spark, nClusters, nProbe)
+    val (nc, np) = resolveIvfKnobs(spark, dir, nClusters, nProbe)
     val (fwd, bwd) = bitextIvfRetrievalsOver(
       spark,
       ivfBitextPlantedLayoutCache(spark, dir, nc),
@@ -2667,7 +2709,7 @@ object Similarity {
       shortlist: Int = PqShortlist
   ): DataFrame = {
     VectorFunctions.register(spark)
-    val (nc, np) = resolveIvfKnobs(spark, nClusters, nProbe)
+    val (nc, np) = resolveIvfKnobs(spark, dir, nClusters, nProbe)
     val ivf = ivfLayoutCache(spark, dir, nc)
     val centroids = spark.read
       .parquet(s"$ivf/centroids.parquet")
@@ -2711,7 +2753,7 @@ object Similarity {
       shortlist: Int = PqShortlist
   ): DataFrame = {
     VectorFunctions.register(spark)
-    val (nc, np) = resolveIvfKnobs(spark, nClusters, nProbe)
+    val (nc, np) = resolveIvfKnobs(spark, dir, nClusters, nProbe)
     val ivf = ivfLayoutCache(spark, dir, nc)
     val centroids = spark.read
       .parquet(s"$ivf/centroids.parquet")
@@ -2744,7 +2786,7 @@ object Similarity {
       shortlist: Int = PqShortlist
   ): DataFrame = {
     VectorFunctions.register(spark)
-    val (nc, np) = resolveIvfKnobs(spark, nClusters, nProbe)
+    val (nc, np) = resolveIvfKnobs(spark, dir, nClusters, nProbe)
     val ivf = ivfPlantedLayoutCache(spark, dir, nc)
     val centroids = spark.read
       .parquet(s"$ivf/centroids.parquet")

@@ -55,6 +55,24 @@ class SimilaritySpec extends SparkSpec {
     assert(all.map(_.getLong(0)).distinct.sorted.toSeq == (0L until 5L))
   }
 
+  test("graft.ann.nclusters=auto derives the bounded √n operating point and serves a fresh layout") {
+    // the derivation: nc = clamp(ceil(√n), 16, 4096), np = max(4, nc/8)
+    assert(Similarity.autoIvfKnobs(0L) == ((16, 4)))
+    assert(Similarity.autoIvfKnobs(100L) == ((16, 4)))
+    assert(Similarity.autoIvfKnobs(10000L) == ((100, 13)))
+    assert(Similarity.autoIvfKnobs(100000000000L) == ((4096, 512)))
+    // end-to-end: the auto point resolves from the conf, builds its own
+    // nc-keyed layout (cache can't collide with the fixed-knob artifacts),
+    // and still never invents neighbors
+    spark.conf.set("graft.ann.nclusters", "auto")
+    try {
+      val got = Similarity.annIvf(spark, sf0001, 0L, 5).collect()
+      assert(got.length == 5)
+      val exact = Similarity.annBruteForce(spark, sf0001, 0L, 50).collect().map(_.getLong(1)).toSet
+      assert(got.map(_.getLong(1)).forall(exact.contains), "auto-point IVF returned a non-neighbor")
+    } finally spark.conf.unset("graft.ann.nclusters")
+  }
+
   test("s4 ivf probe search approximates s1 and never invents neighbors") {
     val exact = Similarity.annBruteForce(spark, sf0001).collect().map(_.getLong(1)).toSet
     val ivf   = Similarity.annIvf(spark, sf0001).collect()
