@@ -366,16 +366,21 @@ object Similarity {
     * per-query coarse scan (nc centroid scores) against the fine scan
     * (np·n/nc candidate scores); a FIXED nc at 100 TB degenerates to
     * near-full scans (n/nc per cluster grows linearly while pruning stays
-    * constant). `np = nc/8` (floor 4) holds the probe FRACTION at the
-    * point the round-18 bitext rehearsal measured: nominal 16/4 pruning
-    * delivered only 2.0× effective (probe selection favors the largest
-    * clusters), while √n-scaled knobs at this fraction recovered ≈4× and
-    * kept pair agreement — and the RecallLedger re-grades recall@10 at
-    * the auto point so the floor is measured, not assumed.
+    * constant). `np = ceil(nc/4)` (floor 4) holds the probe FRACTION of
+    * the registered (16, 4) point, which is what holds the recall floor:
+    * the RecallLedger measured np = nc/8 at 0.505 recall@10 vs the
+    * registered point's 0.590 on the same corpus — scaling nc must not
+    * silently trade recall away, so the fraction stays and the ledger
+    * re-grades the auto point next to the fixed rows every run. Effective
+    * pruning at 1/4 nominal is barely below the r18-measured ceiling
+    * anyway (probe selection favors the LARGEST clusters, so nominal 8×
+    * delivered only 4.0× effective); deployments wanting deeper pruning
+    * lower `graft.ann.nprobe` explicitly and read the measured recall
+    * price off the ledger ladder.
     */
   private[graft] def autoIvfKnobs(n: Long): (Int, Int) = {
     val nc = math.min(4096, math.max(16, math.ceil(math.sqrt(math.max(0L, n).toDouble)).toInt))
-    (nc, math.max(4, math.round(nc / 8.0).toInt))
+    (nc, math.max(4, (nc + 3) / 4))
   }
 
   /** Embedding-corpus cardinality memoized by CONTENT fingerprint — the

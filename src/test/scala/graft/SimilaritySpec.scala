@@ -56,11 +56,11 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("graft.ann.nclusters=auto derives the bounded √n operating point and serves a fresh layout") {
-    // the derivation: nc = clamp(ceil(√n), 16, 4096), np = max(4, nc/8)
+    // the derivation: nc = clamp(ceil(√n), 16, 4096), np = max(4, ceil(nc/4))
     assert(Similarity.autoIvfKnobs(0L) == ((16, 4)))
     assert(Similarity.autoIvfKnobs(100L) == ((16, 4)))
-    assert(Similarity.autoIvfKnobs(10000L) == ((100, 13)))
-    assert(Similarity.autoIvfKnobs(100000000000L) == ((4096, 512)))
+    assert(Similarity.autoIvfKnobs(10000L) == ((100, 25)))
+    assert(Similarity.autoIvfKnobs(100000000000L) == ((4096, 1024)))
     // end-to-end: the auto point resolves from the conf, builds its own
     // nc-keyed layout (cache can't collide with the fixed-knob artifacts),
     // and still never invents neighbors
