@@ -716,6 +716,72 @@ object ScaleRehearsal {
     }
   }
 
+  /** Margin-robustness / pair-YIELD rehearsal at 10× (VERDICT r18 item 8):
+    * the r18 crossover corpus is margin-ADVERSARIAL by construction (every
+    * vector's davg saturates with its ±1% replica siblings, so b1 emits 0
+    * pairs — hub normalization working as designed), which demonstrates
+    * wall-time separation but not end-to-end pair YIELD at scale. This
+    * rehearsal plants K NON-hubby translated pairs into the same 10×
+    * corpus — fresh 64-dim gaussian bases (near-orthogonal to every
+    * replica family) with a 0.005-jittered partner on the opposite label
+    * parity, the bitextplant recipe at scale — and requires BOTH b1
+    * (exact) and b2 (IVF at the AUTO operating point) to mine exactly
+    * those K pairs out of 20k vectors: planted partners are mutual
+    * nearest across halves at cosine ≈ 0.99998 while their neighborhoods
+    * are background (davg ≈ 0.3–0.5), so margin ≈ 2 clears 1.05 with a
+    * decade of headroom, and every replica-family vector still yields
+    * nothing. A planted pair missing from b2 would be the auto point
+    * trading recall away; an extra pair would be hub leakage.
+    */
+  def bitextYieldRehearsal(spark: SparkSession, src: String, dst: String): Unit = {
+    import operators.Similarity
+    import spark.implicits._
+    ensureReplicatedVecs(spark, src, dst, 10)
+    graft.functions.VectorFunctions.register(spark)
+    val fs      = new org.apache.hadoop.fs.Path(dst).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val planted = new org.apache.hadoop.fs.Path(s"$dst/_planted")
+    val K       = 5
+    val baseId  = 4100000L
+    if (!fs.exists(planted)) {
+      val rnd = new scala.util.Random(20260817)
+      def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+      val rows = (0 until K).flatMap { p =>
+        val b = vec()
+        Seq(
+          (baseId + 2 * p, b, 2L * p),
+          (baseId + 2 * p + 1, b.map(x => x + 0.005f * rnd.nextGaussian().toFloat), 2L * p + 1)
+        )
+      }
+      rows.toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.mode("append").parquet(s"$dst/embeddings.parquet")
+      fs.create(planted).close()
+      println(s"[bitextyield] planted $K translated pairs at ids $baseId+")
+    }
+    def timed[A](label: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val a  = body
+      println(f"[bitextyield] $label%-48s ${(System.nanoTime() - t0) / 1e9}%7.1f s")
+      a
+    }
+    val expected = (0 until K).map(p => (baseId + 2 * p, baseId + 2 * p + 1)).toSet
+    def grade(name: String, got: Set[(Long, Long)]): Unit = {
+      val ok = got == expected
+      println(
+        s"[bitextyield] $name pairs=${got.size} planted_recovered=${(got & expected).size}/$K " +
+          s"extras=${(got -- expected).size} ${if (ok) "EXACT-YIELD" else s"DIVERGED ${got -- expected} missing ${expected -- got}"}"
+      )
+    }
+    grade("b1 exact", timed("b1 exact (1e8 scored, planted corpus)") {
+      Similarity.bitextMarginPairs(spark, dst).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    })
+    val (anc, anp) = Similarity.autoIvfKnobs(
+      graft.sources.Tables.embeddings(spark, dst).count())
+    grade(s"b2 ivf auto nc=$anc np=$anp", timed(s"b2 ivf auto nc=$anc np=$anp") {
+      Similarity.bitextMarginPairsIvf(spark, dst, nClusters = anc, nProbe = anp)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    })
+  }
+
   /** kNN-graph takedown at 10× (round 18): the claim under test is the
     * s15t/s16t shape — takedown cost = two anti-joins + a window over the
     * doc×8 edge LEDGER (+ a recompute proportional to the overflow set,
@@ -1303,6 +1369,15 @@ object ScaleRehearsal {
       val dst   = args.lift(2).getOrElse("/tmp/graft_vec10_bitext") // shares the bitext 10x vec corpus
       require(dst != src && !src.startsWith(dst), s"dst $dst would clobber src $src")
       knnTakedownRehearsal(spark, src, dst)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("bitextyield")) {
+      val spark = GraftSession.getOrCreate()
+      val src   = args.lift(1).getOrElse("/root/testdata/sf0.1")
+      val dst   = args.lift(2).getOrElse("/tmp/graft_vec10_yield") // own dir: the plant appends rows
+      require(dst != src && !src.startsWith(dst), s"dst $dst would clobber src $src")
+      bitextYieldRehearsal(spark, src, dst)
       spark.stop()
       return
     }
