@@ -807,10 +807,20 @@ object ScaleRehearsal {
     timed("edge-ledger build (once per corpus version)") {
       Similarity.knnGraphLayoutCache(spark, dst, 3)
     }
-    val pairs = timed("takedown WALK (s15t: mask + ledger window + recompute)") {
+    // since r19 the rungs serve from the persisted knntd layout: the first
+    // call PAYS the walk (mask + ledger window + recompute + contraction)
+    // as the layout build — the once-per-takedown-version cost — and the
+    // repeat rows are what every subsequent query pays (parquet reads)
+    val pairs = timed("takedown layout BUILD + first read (s15t cold)") {
       Similarity.mutualKnnPairsTombstoned(spark, dst).count()
     }
-    val clusters = timed("takedown clusters (s16t over the walked edges)") {
+    val clusters = timed("takedown clusters first read (s16t, shares the build)") {
+      Similarity.mutualKnnClustersTombstoned(spark, dst).count()
+    }
+    timed("s15t WARM (persisted serve — the per-query cost)") {
+      Similarity.mutualKnnPairsTombstoned(spark, dst).count()
+    }
+    timed("s16t WARM (persisted serve — the per-query cost)") {
       Similarity.mutualKnnClustersTombstoned(spark, dst).count()
     }
     timed("from-scratch survivor REBUILD (the shape the walk replaces)") {
