@@ -10,13 +10,20 @@ package graft
   * would let the engine read one fixture file while the oracle reads
   * another — the exact silent split ADVICE r18 flagged (engine resolved
   * `graft.fixtures.dir` from the spark conf, the b2p oracle hardcoded
-  * `/root/repo/fixtures`, BitextSpec read a cwd-relative path). One
-  * resolution consulted by engine, oracle, and specs closes every
-  * combination: override with `-Dgraft.fixtures.dir=...` or
-  * `GRAFT_FIXTURES_DIR=...` and both sides move together.
+  * `/root/repo/fixtures`, BitextSpec read a cwd-relative path). The old
+  * spark-conf knob is deliberately DEAD: `Verify` refuses a session that
+  * sets it rather than silently ignoring it.
+  *
+  * `dir` is a val, resolved ONCE at object init: the oracle strings are
+  * object-level vals that capture it at SparkEntry init, so a `def` here
+  * would let a post-init sysprop mutation move the engine but not the
+  * oracle — freezing both sides keeps them consistent by construction.
+  * Override at JVM LAUNCH: `-Dgraft.fixtures.dir=...` or
+  * `GRAFT_FIXTURES_DIR=...`; a programmatic `sys.props(...)` write after
+  * anything has touched this object is a consistent no-op on both sides.
   */
 object Fixtures {
-  def dir: String =
+  val dir: String =
     sys.props
       .get("graft.fixtures.dir")
       .orElse(sys.env.get("GRAFT_FIXTURES_DIR"))

@@ -86,7 +86,7 @@ object RecallLedger {
     for (np <- Seq(1, 2, 4, 8, 16))
       row("s4/s6 IVF (16 clusters)", s"nprobe=$np",
         meanRecall(spark, exact, k, q => Similarity.annIvfPartitioned(spark, dir, q, k, 16, np)))
-    // The corpus-scaled AUTO operating point (nc ~ √n, np = nc/8 — what a
+    // The corpus-scaled AUTO operating point (nc ~ √n, np = ceil(nc/4) — what a
     // 100 TB deployment sets via graft.ann.nclusters=auto): the recall
     // floor at the scaled knobs is MEASURED here, next to the fixed rows,
     // so scaling nc never silently trades recall for pruning.

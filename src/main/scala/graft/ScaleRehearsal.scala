@@ -736,20 +736,32 @@ object ScaleRehearsal {
   def bitextYieldRehearsal(spark: SparkSession, src: String, dst: String): Unit = {
     import operators.Similarity
     import spark.implicits._
-    ensureReplicatedVecs(spark, src, dst, 10)
     graft.functions.VectorFunctions.register(spark)
     val fs      = new org.apache.hadoop.fs.Path(dst).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val planted = new org.apache.hadoop.fs.Path(s"$dst/_planted")
     val K       = 5
     val baseId  = 4100000L
+    // `_planted` seals corpus+plant TOGETHER: if it is missing, the dir is
+    // either absent or possibly half-planted (a crash between the append
+    // and the marker would otherwise duplicate the planted vec_ids on the
+    // next run) — rebuild the whole corpus from scratch rather than trust
+    // partial state (the ensureReplicatedVecs delete-and-rebuild rule,
+    // applied at this rehearsal's outermost marker).
+    if (!fs.exists(planted) && fs.exists(new org.apache.hadoop.fs.Path(dst)))
+      fs.delete(new org.apache.hadoop.fs.Path(dst), true)
+    ensureReplicatedVecs(spark, src, dst, 10)
     if (!fs.exists(planted)) {
       val rnd = new scala.util.Random(20260817)
       def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+      // label stays Int — the corpus column is INT32, and a mixed
+      // int/long fan makes the read depend on which footer Spark samples
+      // for the schema (worked-by-luck on the first build, failed on the
+      // rebuild path)
       val rows = (0 until K).flatMap { p =>
         val b = vec()
         Seq(
-          (baseId + 2 * p, b, 2L * p),
-          (baseId + 2 * p + 1, b.map(x => x + 0.005f * rnd.nextGaussian().toFloat), 2L * p + 1)
+          (baseId + 2 * p, b, 2 * p),
+          (baseId + 2 * p + 1, b.map(x => x + 0.005f * rnd.nextGaussian().toFloat), 2 * p + 1)
         )
       }
       rows.toDF("vec_id", "embedding", "label")

@@ -21,7 +21,11 @@ object Verify {
     // session knob produces false FAILs that look like code bugs with no
     // hint that the knob diverged. Refuse to run with any semantic
     // graft.* override set; path knobs don't affect results.
-    val nonSemantic = Set("graft.layout.dir", "graft.fixtures.dir")
+    // graft.fixtures.dir is NOT exempt since r19: the engine no longer
+    // reads it (fixtures resolve through the JVM-level graft.Fixtures),
+    // so a session setting it believes in an override that does nothing —
+    // refuse loudly instead of gating against the wrong expectation.
+    val nonSemantic = Set("graft.layout.dir")
     val tuned = spark.conf.getAll.keys.filter(k => k.startsWith("graft.") && !nonSemantic(k)).toSeq.sorted
     require(
       tuned.isEmpty,

@@ -1442,7 +1442,7 @@ object Dedup {
     * on BOTH corpus and fixture content.
     */
   def simhashPairsPlanted(spark: SparkSession, dir: String): DataFrame = {
-    val fx    = s"${fixturesDir(spark)}/simdup/documents.parquet"
+    val fx    = s"${graft.Fixtures.dir}/simdup/documents.parquet"
     val fxKey = graft.sources.LayoutCache.contentKey(spark, fx, "fx")
     val key = graft.sources.LayoutCache.contentKey(
       spark,
@@ -1971,13 +1971,6 @@ object Dedup {
     spark.read.parquet(s"$layout/pairs.parquet").orderBy("vec_a", "vec_b")
   }
 
-  /** Default location of the committed planted-positive fixture
-    * ([[graft.FixtureGen]]); override via the [[graft.Fixtures]] sysprop/env
-    * (JVM-level so the sparkless DuckDB oracle strings share the resolution).
-    */
-  private def fixturesDir(spark: SparkSession): String =
-    graft.Fixtures.dir
-
   /** N4P — [[embeddingDupPairs]] with the committed near-dup fixture
     * (`fixtures/embdup`, ids ≥ 1e6) unioned into the corpus. The testdata
     * corpora contain no pair above the threshold at any SF, so plain n4's
@@ -1990,7 +1983,7 @@ object Dedup {
     val t   = graft.GraftConf.double(spark, "embdup.threshold", 0.95)
     val nb  = graft.GraftConf.int(spark, "embdup.bands", 8)
     val bb  = graft.GraftConf.int(spark, "embdup.band_bits", 8)
-    val fx  = s"${fixturesDir(spark)}/embdup/embeddings.parquet"
+    val fx  = s"${graft.Fixtures.dir}/embdup/embeddings.parquet"
     val fxKey = graft.sources.LayoutCache.contentKey(spark, fx, "fx")
     val key = graft.sources.LayoutCache.contentKey(
       spark,

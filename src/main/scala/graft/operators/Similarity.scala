@@ -383,16 +383,19 @@ object Similarity {
     (nc, math.max(4, (nc + 3) / 4))
   }
 
-  /** Embedding-corpus cardinality memoized by CONTENT fingerprint — the
-    * auto operating point must not pay a count job per query call, and a
-    * regenerated corpus under the same path must re-count (the fingerprint
-    * changes) rather than serve a stale size.
+  /** Embedding-corpus cardinality memoized PER PATH for the JVM's
+    * lifetime. Not fingerprint-keyed on purpose: a content fingerprint
+    * would re-list every file under the corpus on EVERY auto-mode query
+    * call (doubling the driver-side metadata I/O the layout lookup already
+    * pays — at 100 TB that is thousands of file statuses per query), and
+    * the count only feeds the nc HEURISTIC: a corpus regenerated under the
+    * same path within one JVM would reuse the previous size for knob
+    * selection, while every ARTIFACT stays correct regardless because the
+    * layouts themselves are content-keyed.
     */
   private val vecCountCache = scala.collection.concurrent.TrieMap.empty[String, Long]
-  private def corpusVecCount(spark: SparkSession, dir: String): Long = {
-    val key = graft.sources.LayoutCache.contentKey(spark, s"$dir/embeddings.parquet", "veccount")
-    vecCountCache.getOrElseUpdate(key, Tables.embeddings(spark, dir).count())
-  }
+  private def corpusVecCount(spark: SparkSession, dir: String): Long =
+    vecCountCache.getOrElseUpdate(dir, Tables.embeddings(spark, dir).count())
 
   /** Resolved (nClusters, nProbe) from the `graft.ann.nclusters` /
     * `graft.ann.nprobe` session knobs — the IVF recall/cost operating

@@ -150,8 +150,12 @@ object DedupStream {
     if (!fs.exists(p)) return None
     fs.listStatus(p)
       .map(_.getPath)
-      .filter(d => d.getName.startsWith("gen=") &&
-        d.getName.stripPrefix("gen=").nonEmpty && d.getName.stripPrefix("gen=").forall(_.isDigit))
+      .filter { d =>
+        val s = d.getName.stripPrefix("gen=")
+        // ≤ 18 digits: parseable as Long without overflow — a stray
+        // all-digit name longer than that must be skipped, not thrown on
+        d.getName.startsWith("gen=") && s.nonEmpty && s.length <= 18 && s.forall(_.isDigit)
+      }
       .filter(d => Seq("docsets", "buckets").forall(t =>
         fs.exists(new org.apache.hadoop.fs.Path(d, s"$t.parquet/_SUCCESS"))))
       .map(d => (d.getName.stripPrefix("gen=").toLong, d.toString))
@@ -196,14 +200,33 @@ object DedupStream {
       else
         fs.listStatus(p)
           .map(_.getPath)
-          .filter(d => d.getName.startsWith("batch_id=") &&
-            d.getName.stripPrefix("batch_id=").nonEmpty &&
-            d.getName.stripPrefix("batch_id=").forall(_.isDigit))
+          .filter { d =>
+            val s = d.getName.stripPrefix("batch_id=")
+            d.getName.startsWith("batch_id=") && s.nonEmpty && s.length <= 18 && s.forall(_.isDigit)
+          }
           .map(d => (d.getName.stripPrefix("batch_id=").toLong, d))
           .toSeq
     }
     val prevCut = latestGen(spark, indexDir).map(_._1).getOrElse(0L)
-    val live    = fanDirs("docsets").map(_._1).filter(_ >= prevCut)
+    // GC relative to the CURRENT committed cutoff runs even on the no-op
+    // path: a crash between a previous compaction's generation commit and
+    // its GC leaves folded fan segments + a superseded generation behind
+    // (readers already exclude them by filter), and on a low-traffic
+    // stream the next fold might be far away — reclaim them on every call
+    def gc(cutoff: Long): Unit = {
+      Seq("docsets", "buckets").foreach(t =>
+        fanDirs(t).filter(_._1 < cutoff).foreach(d => fs.delete(d._2, true)))
+      fs.listStatus(new org.apache.hadoop.fs.Path(indexDir))
+        .map(_.getPath)
+        .filter { d =>
+          val s = d.getName.stripPrefix("gen=")
+          d.getName.startsWith("gen=") && s.nonEmpty && s.length <= 18 &&
+            s.forall(_.isDigit) && s.toLong < cutoff
+        }
+        .foreach(d => fs.delete(d, true))
+    }
+    gc(prevCut)
+    val live = fanDirs("docsets").map(_._1).filter(_ >= prevCut)
     if (live.length <= 1) return 0L
     val cutoff = live.max
     Seq("docsets", "buckets").foreach { t =>
@@ -211,15 +234,7 @@ object DedupStream {
         .where(col("batch_id") < cutoff)
         .write.mode("overwrite").parquet(s"$indexDir/gen=$cutoff/$t.parquet")
     }
-    // GC (safe at any point after the generation committed)
-    Seq("docsets", "buckets").foreach(t => fanDirs(t).filter(_._1 < cutoff).foreach(d => fs.delete(d._2, true)))
-    fs.listStatus(new org.apache.hadoop.fs.Path(indexDir))
-      .map(_.getPath)
-      .filter(d => d.getName.startsWith("gen=") &&
-        d.getName.stripPrefix("gen=").forall(_.isDigit) &&
-        d.getName.stripPrefix("gen=").nonEmpty &&
-        d.getName.stripPrefix("gen=").toLong < cutoff)
-      .foreach(d => fs.delete(d, true))
+    gc(cutoff)
     cutoff
   }
 

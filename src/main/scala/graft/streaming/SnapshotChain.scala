@@ -42,6 +42,12 @@ import org.apache.spark.sql.SparkSession
   */
 object SnapshotChain {
 
+  /** Skipped-dir warnings already emitted (full paths) — a stray dir is
+    * never deleted, so without this a continuous stream would re-print
+    * the same warning once per micro-batch forever.
+    */
+  private val warnedUnparsed = scala.collection.mutable.Set.empty[String]
+
   /** Delete committed-and-superseded snapshots under `chainDir`, keeping
     * the newest `keep` committed ones (and every directory newer than the
     * cutoff, committed or not). Returns the deleted batch ids, oldest
@@ -52,21 +58,28 @@ object SnapshotChain {
     val p  = new org.apache.hadoop.fs.Path(chainDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return Nil
-    // A name whose suffix does not parse (a stray `batch_id=copy` from
-    // manual ops) is NOT this chain's snapshot: skip it with a warning
-    // rather than let toLong throw inside processBatch and kill the
-    // stream (ADVICE r18). It is never deleted either — retention only
-    // reasons about ids it can order.
+    // A name whose suffix does not parse as a Long (a stray
+    // `batch_id=copy` from manual ops — or an all-digit name too long for
+    // a Long, e.g. a pasted nanos timestamp) is NOT this chain's
+    // snapshot: skip it with a once-per-name warning rather than let
+    // toLong throw inside processBatch and kill the stream (ADVICE r18).
+    // It is never deleted either — retention only reasons about ids it
+    // can order.
     val (dirs, unparsed) = fs
       .listStatus(p)
       .map(_.getPath)
       .filter(_.getName.startsWith("batch_id="))
-      .partition(d => d.getName.stripPrefix("batch_id=").forall(_.isDigit) &&
-        d.getName.length > "batch_id=".length)
-    if (unparsed.nonEmpty)
+      .partition { d =>
+        val suffix = d.getName.stripPrefix("batch_id=")
+        suffix.nonEmpty && suffix.length <= 18 && suffix.forall(_.isDigit)
+      }
+    val newlyUnparsed = unparsed.map(_.toString).filterNot(warnedUnparsed.contains)
+    if (newlyUnparsed.nonEmpty) {
+      warnedUnparsed.synchronized { warnedUnparsed ++= newlyUnparsed }
       System.err.println(
         s"[SnapshotChain] skipping non-numeric snapshot dirs under $chainDir: " +
           unparsed.map(_.getName).mkString(", "))
+    }
     def idOf(d: org.apache.hadoop.fs.Path): Long = d.getName.stripPrefix("batch_id=").toLong
     val committed = dirs
       .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
