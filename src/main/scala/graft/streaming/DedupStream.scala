@@ -106,136 +106,36 @@ object DedupStream {
       .parquet(s"$pairsDir/batch_id=$batchId")
   }
 
-  /** One logical index table (`docsets` or `buckets`) as the union of the
-    * newest committed GENERATION (rows with `batch_id <` the generation's
-    * cutoff, folded by [[compactIndex]]) and the live `batch_id=` segment
-    * fan at or above the cutoff. Fan directories BELOW the cutoff are
-    * excluded by filter, not by trusting deletion — a crash between the
-    * generation commit and the fan GC leaves duplicate bytes on disk but
-    * never duplicate rows in a read (the SnapshotChain committed-marker
-    * discipline). `batch_id` is normalized to long on both sides (the fan
-    * side is a discovered partition column whose inferred type can differ
-    * from the generation's stored column).
+  /** One logical index table (`docsets` or `buckets`) — the
+    * [[SegmentFan.tableRead]] union of the newest committed generation
+    * and the live `batch_id=` fan at or above its cutoff (the shared
+    * crash-safety argument lives on [[SegmentFan]]).
     */
-  private[graft] def indexTable(spark: SparkSession, indexDir: String, table: String): DataFrame = {
-    val fs = new org.apache.hadoop.fs.Path(indexDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def read(p: String): Option[DataFrame] = {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      if (fs.exists(hp) && fs.listStatus(hp).nonEmpty) Some(spark.read.parquet(p)) else None
-    }
-    val gen = latestGen(spark, indexDir)
-    val fan = read(s"$indexDir/$table")
-      .map(_.withColumn("batch_id", col("batch_id").cast("long")))
-      .map(df => gen.fold(df) { case (cut, _) => df.where(col("batch_id") >= cut) })
-    val genRows = gen.flatMap { case (_, dir) => read(s"$dir/$table.parquet") }
-      .map(_.withColumn("batch_id", col("batch_id").cast("long")))
-    (fan, genRows) match {
-      case (Some(f), Some(g)) => f.unionByName(g)
-      case (Some(f), None)    => f
-      case (None, Some(g))    => g
-      case (None, None) =>
-        throw new IllegalStateException(s"maintained index at $indexDir has no segments and no generation")
-    }
-  }
+  private[graft] def indexTable(spark: SparkSession, indexDir: String, table: String): DataFrame =
+    SegmentFan.tableRead(spark, indexDir, IndexTables, table)
 
-  /** The newest COMMITTED generation under `indexDir`: `gen=<cutoff>`
-    * whose docsets AND buckets tables both carry `_SUCCESS` (half-written
-    * generations from a crashed compaction are invisible, exactly like a
-    * markerless snapshot in [[SnapshotChain]]). Returns (cutoff, dir).
-    */
-  private def latestGen(spark: SparkSession, indexDir: String): Option[(Long, String)] = {
-    val p  = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return None
-    fs.listStatus(p)
-      .map(_.getPath)
-      .filter { d =>
-        val s = d.getName.stripPrefix("gen=")
-        // ≤ 18 digits: parseable as Long without overflow — a stray
-        // all-digit name longer than that must be skipped, not thrown on
-        d.getName.startsWith("gen=") && s.nonEmpty && s.length <= 18 && s.forall(_.isDigit)
-      }
-      .filter(d => Seq("docsets", "buckets").forall(t =>
-        fs.exists(new org.apache.hadoop.fs.Path(d, s"$t.parquet/_SUCCESS"))))
-      .map(d => (d.getName.stripPrefix("gen=").toLong, d.toString))
-      .sortBy(_._1)
-      .lastOption
-  }
+  private val IndexTables = Seq("docsets", "buckets")
 
   /** COMPACT the maintained MinHash index's `batch_id=` segment fan into
     * one sealed GENERATION (VERDICT r18 item 4): the stream appends one
     * segment per micro-batch forever, and at daily cadence over years
     * every [[indexTable]] read pays the whole segment fan in listing and
     * small-file overhead — the exact problem the postings/positions/vector
-    * layouts solved in r12 (t16's fold). This applies the same LSM
-    * generation handoff to the dedup index, in place and crash-safe:
-    *
-    *   1. cutoff = the NEWEST fan id. Everything strictly older is folded;
-    *      the newest segment itself never is, because after a crash the
-    *      newest batch is the one a checkpoint replay rewrites — folding
-    *      it would double its rows when the replayed segment lands.
-    *   2. the previous generation ∪ folded fan rows (batch_id kept as a
-    *      DATA column — the incremental pairing rule orders on it) land at
-    *      `gen=<cutoff>/{docsets,buckets}.parquet`; the generation is
-    *      invisible until BOTH tables commit `_SUCCESS`.
-    *   3. folded fan dirs and superseded generations are deleted LAST —
-    *      pure GC, because readers already exclude them by cutoff filter.
-    *
-    * Row-set preservation is exact (a fold moves rows, touching neither
-    * keys nor payloads), so stream ≡ batch holds across the boundary —
-    * StreamingSpec pins a compacted run against an uncompacted twin and
-    * the exact-Jaccard batch oracle. Returns the new cutoff (0 = no-op:
-    * fewer than two live segments). Scheme-guarded like every batch: a
-    * session under a bumped signature scheme must re-bootstrap, not
-    * compact history it cannot reproduce.
+    * layouts solved in r12 (t16's fold). The fold itself is the shared
+    * [[SegmentFan.compact]] (newest segment excluded as the checkpoint-
+    * replay rewrite target; all-tables `_SUCCESS` commit; cutoff-filtered
+    * reads; GC on every call including the no-op path). batch_id rides
+    * along as a DATA column because the incremental pairing rule orders
+    * on it. Row-set preservation is exact (a fold moves rows), so
+    * stream ≡ batch holds across the boundary — StreamingSpec pins a
+    * compacted run against an uncompacted twin and the exact-Jaccard
+    * batch oracle. Returns the new cutoff (0 = no-op). Scheme-guarded
+    * like every batch: a session under a bumped signature scheme must
+    * re-bootstrap, not compact history it cannot reproduce.
     */
   def compactIndex(spark: SparkSession, indexDir: String): Long = {
     assertOrStampScheme(spark, indexDir, Dedup.minhashSchemeTag(spark))
-    val fs = new org.apache.hadoop.fs.Path(indexDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def fanDirs(table: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
-      val p = new org.apache.hadoop.fs.Path(s"$indexDir/$table")
-      if (!fs.exists(p)) Nil
-      else
-        fs.listStatus(p)
-          .map(_.getPath)
-          .filter { d =>
-            val s = d.getName.stripPrefix("batch_id=")
-            d.getName.startsWith("batch_id=") && s.nonEmpty && s.length <= 18 && s.forall(_.isDigit)
-          }
-          .map(d => (d.getName.stripPrefix("batch_id=").toLong, d))
-          .toSeq
-    }
-    val prevCut = latestGen(spark, indexDir).map(_._1).getOrElse(0L)
-    // GC relative to the CURRENT committed cutoff runs even on the no-op
-    // path: a crash between a previous compaction's generation commit and
-    // its GC leaves folded fan segments + a superseded generation behind
-    // (readers already exclude them by filter), and on a low-traffic
-    // stream the next fold might be far away — reclaim them on every call
-    def gc(cutoff: Long): Unit = {
-      Seq("docsets", "buckets").foreach(t =>
-        fanDirs(t).filter(_._1 < cutoff).foreach(d => fs.delete(d._2, true)))
-      fs.listStatus(new org.apache.hadoop.fs.Path(indexDir))
-        .map(_.getPath)
-        .filter { d =>
-          val s = d.getName.stripPrefix("gen=")
-          d.getName.startsWith("gen=") && s.nonEmpty && s.length <= 18 &&
-            s.forall(_.isDigit) && s.toLong < cutoff
-        }
-        .foreach(d => fs.delete(d, true))
-    }
-    gc(prevCut)
-    val live = fanDirs("docsets").map(_._1).filter(_ >= prevCut)
-    if (live.length <= 1) return 0L
-    val cutoff = live.max
-    Seq("docsets", "buckets").foreach { t =>
-      indexTable(spark, indexDir, t)
-        .where(col("batch_id") < cutoff)
-        .write.mode("overwrite").parquet(s"$indexDir/gen=$cutoff/$t.parquet")
-    }
-    gc(cutoff)
-    cutoff
+    SegmentFan.compact(spark, indexDir, IndexTables)
   }
 
   /** Stamp `indexDir/_scheme` with `tag` on first use; on every later

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.operators.Bpe
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.StructType
 
@@ -60,7 +61,7 @@ object TokenizerStream {
       .wordCounts(batch)
       .write
       .mode("overwrite")
-      .parquet(s"$countsDir/batch_id=$batchId")
+      .parquet(s"$countsDir/counts/batch_id=$batchId")
 
   /** Retrain the merge table from the STREAM-MAINTAINED counts: the summed
     * union across every streamed segment through the shared
@@ -73,7 +74,35 @@ object TokenizerStream {
       numMerges: Int = -1 // -1 = the graft.bpe.merges session knob
   ): DataFrame =
     Bpe
-      .trainFromCounts(spark, spark.read.parquet(countsDir).select("word", "freq"),
-        Bpe.resolveMergesKnob(spark, numMerges))
+      .trainFromCounts(
+        spark,
+        SegmentFan.tableRead(spark, countsDir, Seq("counts"), "counts").select("word", "freq"),
+        Bpe.resolveMergesKnob(spark, numMerges)
+      )
       .orderBy("merge_rank")
+
+  /** COMPACT the streamed count-segment fan into one sealed generation —
+    * the shared [[SegmentFan.compact]] with a RE-AGGREGATING fold: counts
+    * are additive longs, and [[Bpe.trainFromCounts]] itself re-groups by
+    * word summing freq, so pre-summing the folded rows is bit-identical
+    * by associativity of long addition (the v4 exactness argument, pinned
+    * across the boundary in StreamingSpec). Unlike the row-move folds,
+    * this one also bounds ROWS: vocab-per-batch × batches collapses to
+    * one vocab-sized table per generation. The folded rows carry the
+    * cutoff-1 batch_id (the newest id they cover) — nothing orders on it
+    * downstream, it exists for the generation read's cutoff filter shape.
+    */
+  def compactStreamedCounts(spark: SparkSession, countsDir: String): Long =
+    SegmentFan.compact(
+      spark,
+      countsDir,
+      Seq("counts"),
+      (_, df) => {
+        val cut = df.agg(max("batch_id")).head()
+        val id  = if (cut.isNullAt(0)) 0L else cut.getLong(0)
+        df.groupBy("word")
+          .agg(sum("freq").as("freq"))
+          .withColumn("batch_id", lit(id))
+      }
+    )
 }

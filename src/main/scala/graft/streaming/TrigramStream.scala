@@ -79,7 +79,24 @@ object TrigramStream {
     TextAnalysis.substringOverTrigrams(
       spark,
       dir,
-      spark.read.parquet(s"$indexDir/trigrams"),
+      SegmentFan.tableRead(spark, indexDir, Seq("trigrams"), "trigrams"),
       pattern
+    )
+
+  /** COMPACT the streamed trigram-segment fan into one sealed generation —
+    * the r12 postings discipline via the shared [[SegmentFan.compact]]
+    * (retention audit: this family was "foldable, not wired"). A pure row
+    * move, so the search stays exact by t10's own argument (a doc's gram
+    * rows live entirely inside one segment either way); the fold re-
+    * clusters by `g` so the generation keeps the IN-list row-group
+    * pushdown the per-batch segments had. Returns the new cutoff (0 =
+    * no-op).
+    */
+  def compactStreamedTrigrams(spark: SparkSession, indexDir: String): Long =
+    SegmentFan.compact(
+      spark,
+      indexDir,
+      Seq("trigrams"),
+      (_, df) => df.repartition(col("g")).sortWithinPartitions("g")
     )
 }

@@ -688,7 +688,7 @@ class StreamingSpec extends SparkSpec {
     val countsDir = s"$base/counts"
     stage(docs.where(col("doc_id") < 250), "b1")
     val q = graft.streaming.TokenizerStream.wordCountStream(spark, src.toString, countsDir, s"$base/ckpt")
-    val b0Seg = java.nio.file.Paths.get(s"$countsDir/batch_id=0")
+    val b0Seg = java.nio.file.Paths.get(s"$countsDir/counts/batch_id=0")
     def firstParquetMtime(p: java.nio.file.Path): Long =
       java.nio.file.Files.walk(p).filter(_.toString.endsWith(".parquet")).findFirst.get.toFile.lastModified()
     val mtime0 =
@@ -712,6 +712,20 @@ class StreamingSpec extends SparkSpec {
     // checkpoint-replay idempotence: same batch_id rewrites, never doubles
     graft.streaming.TokenizerStream.processBatch(docs.where(col("doc_id") < 250), countsDir, 0L)
     assert(table(graft.streaming.TokenizerStream.mergesFromStream(spark, countsDir)) == streamed)
+    // COMPACTION boundary (re-aggregating fold): batch 0 folds into the
+    // generation (summed rows — bit-identical retrain by long-addition
+    // associativity), batch 1 stays live, and a third batch lands beside
+    // the generation with the retrain still equal to the full one
+    assert(graft.streaming.TokenizerStream.compactStreamedCounts(spark, countsDir) == 1L)
+    def fanCount = java.nio.file.Files.list(java.nio.file.Paths.get(s"$countsDir/counts"))
+      .filter(_.getFileName.toString.startsWith("batch_id=")).count()
+    assert(fanCount == 1, s"fan not compacted: $fanCount segments")
+    assert(table(graft.streaming.TokenizerStream.mergesFromStream(spark, countsDir)) == streamed)
+    graft.streaming.TokenizerStream.processBatch(docs.where(col("doc_id") >= 250), countsDir, 2L)
+    assert(table(graft.streaming.TokenizerStream.mergesFromStream(spark, countsDir)) ==
+      table(graft.operators.Bpe.trainFromCounts(spark,
+        graft.operators.Bpe.wordCounts(docs.unionByName(docs.where(col("doc_id") >= 250))),
+        graft.operators.Bpe.resolveMergesKnob(spark, -1)).orderBy("merge_rank")))
   }
 
   test("streaming cluster maintenance: final snapshot == n6 full recompute; idempotent replay") {
@@ -842,6 +856,17 @@ class StreamingSpec extends SparkSpec {
     // checkpoint-replay idempotence — load-bearing here: a duplicated gram
     // row would inflate ng past the all-grams bar and DROP matches
     graft.streaming.TrigramStream.processBatch(docs.where(col("doc_id") < 250), indexDir, 0L)
+    assert(ids(graft.streaming.TrigramStream.substringSearchStreamed(spark, sf0001, indexDir)) == streamed)
+    // COMPACTION boundary (pure row-move fold): batch 0 folds into the
+    // generation, search answers are unchanged, exactly one live segment
+    // remains, and a later batch lands beside the generation still exact
+    assert(graft.streaming.TrigramStream.compactStreamedTrigrams(spark, indexDir) == 1L)
+    def fanCount = java.nio.file.Files.list(java.nio.file.Paths.get(s"$indexDir/trigrams"))
+      .filter(_.getFileName.toString.startsWith("batch_id=")).count()
+    assert(fanCount == 1, s"fan not compacted: $fanCount segments")
+    assert(ids(graft.streaming.TrigramStream.substringSearchStreamed(spark, sf0001, indexDir)) == streamed)
+    // replay of the NEWEST batch after compaction (deliberately unfolded)
+    graft.streaming.TrigramStream.processBatch(docs.where(col("doc_id") >= 250), indexDir, 1L)
     assert(ids(graft.streaming.TrigramStream.substringSearchStreamed(spark, sf0001, indexDir)) == streamed)
   }
 
