@@ -21,11 +21,24 @@ package graft
   * Override at JVM LAUNCH: `-Dgraft.fixtures.dir=...` or
   * `GRAFT_FIXTURES_DIR=...`; a programmatic `sys.props(...)` write after
   * anything has touched this object is a consistent no-op on both sides.
+  *
+  * The default is REPO-RELATIVE, not a compiled-in absolute path (ADVICE
+  * r19): `<working dir>/fixtures`, absolutized so the interpolated oracle
+  * SQL stays valid if the DuckDB process runs with a different cwd. The
+  * resolved path is logged once to stderr at init (stderr, never stdout —
+  * the bench digest contract requires the digest JSON to be the last
+  * stdout line) so a silent-no-op sysprop override is visible in any run
+  * log.
   */
 object Fixtures {
-  val dir: String =
-    sys.props
+  val dir: String = {
+    val resolved = sys.props
       .get("graft.fixtures.dir")
       .orElse(sys.env.get("GRAFT_FIXTURES_DIR"))
-      .getOrElse("/root/repo/fixtures")
+      .getOrElse(
+        new java.io.File(sys.props.getOrElse("user.dir", "."), "fixtures").getAbsolutePath
+      )
+    System.err.println(s"[graft] Fixtures.dir frozen at init: $resolved")
+    resolved
+  }
 }

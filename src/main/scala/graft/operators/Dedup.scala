@@ -2460,11 +2460,16 @@ object Dedup {
     * in the same JVM — and a caller consuming the returned capped frame
     * after that would recompute the multi-billion-row candidate expansion
     * TWICE (once per crossSmall/crossBig branch), the exact
-    * double-expansion the persist exists to prevent. This ledger is
-    * released only when a NEW capped overflow query begins, so the frame
-    * stays consumable for the returned DataFrame's whole useful life.
+    * double-expansion the persist exists to prevent. The ledger is a
+    * bounded FIFO of [[CappedPersistLedgerMax]] frames (ADVICE r19):
+    * starting a new capped query no longer evicts the PREVIOUS query's
+    * frame — a caller still consuming the previously returned DataFrame
+    * keeps its blocks — only the oldest frame beyond the cap is released.
+    * Blocks are DISK_ONLY and output-correlated (tens of rows), so the
+    * bounded ledger costs bounded disk, not memory.
     */
-  private val cappedPersists = scala.collection.mutable.ListBuffer.empty[DataFrame]
+  private val CappedPersistLedgerMax = 2
+  private val cappedPersists         = scala.collection.mutable.ListBuffer.empty[DataFrame]
 
   private[graft] final case class DhashBandLevelStats(
       level: Int,
@@ -2829,14 +2834,14 @@ object Dedup {
       val vp = verifyHashPairs(walkCands)
       if (probeMax <= walkCap) vp
       else {
-        // release the PREVIOUS capped query's verified pairs (not the walk
-        // ledger — see cappedPersists scaladoc), then persist the new ones
-        cappedPersists.synchronized {
-          cappedPersists.foreach(df => df.unpersist(blocking = false))
-          cappedPersists.clear()
-        }
+        // bounded-FIFO eviction (not clear-on-next-query — see
+        // cappedPersists scaladoc): release only frames beyond the cap
         val p = vp.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-        cappedPersists.synchronized { cappedPersists += p }
+        cappedPersists.synchronized {
+          cappedPersists += p
+          while (cappedPersists.length > CappedPersistLedgerMax)
+            cappedPersists.remove(0).unpersist(blocking = false)
+        }
         p.count() // force the one expansion; both branches below read blocks
         p
       }

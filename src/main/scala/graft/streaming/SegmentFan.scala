@@ -141,7 +141,13 @@ object SegmentFan {
         .foreach(d => fs.delete(d, true))
     }
     gc(prevCut)
-    val live = fanDirs(spark, root, tables.head).map(_._1).filter(_ >= prevCut)
+    // Cutoff over EVERY table's live ids, not tables.head alone (ADVICE
+    // r19): a checkpoint replay rewrites the batch with the GLOBAL newest
+    // id, and a crash mid-batch can leave that id present in whichever
+    // table processBatch happened to write first. Taking the max across
+    // all tables keeps the replay-target segment unfolded regardless of
+    // per-family write order — no head-written-first contract required.
+    val live = tables.flatMap(t => fanDirs(spark, root, t).map(_._1)).filter(_ >= prevCut).distinct
     if (live.length <= 1) return 0L
     val cutoff = live.max
     tables.foreach { t =>

@@ -63,6 +63,45 @@ object TokenizerStream {
       .mode("overwrite")
       .parquet(s"$countsDir/counts/batch_id=$batchId")
 
+  /** Pre-r20 deployments wrote segments at `countsDir/batch_id=N` (directly
+    * under the root); the [[SegmentFan]] layout moved them under
+    * `countsDir/counts/batch_id=N`. A read or compact that silently
+    * ignored the legacy dirs would drop historical counts from every
+    * retrain with no error (ADVICE r19) — so both entry points fold them
+    * in first: each legacy segment is RENAMED into the fan (a pure move —
+    * segment contents and ids are unchanged, so the summed-union retrain
+    * is bit-identical before and after). A collision (the same batch id
+    * present in both layouts) is ambiguous — a replay may have rewritten
+    * one but not the other — and throws rather than guessing which copy
+    * counts. Crash-safe: each rename is independent, and a re-run moves
+    * whatever remains.
+    */
+  private[graft] def foldLegacyCountSegments(spark: SparkSession, countsDir: String): Int = {
+    val fs = new org.apache.hadoop.fs.Path(countsDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(countsDir)
+    if (!fs.exists(root)) return 0
+    val legacy = fs
+      .listStatus(root)
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("batch_id=") && fs.getFileStatus(p).isDirectory)
+    if (legacy.isEmpty) return 0
+    val fanRoot = new org.apache.hadoop.fs.Path(root, "counts")
+    if (!fs.exists(fanRoot)) fs.mkdirs(fanRoot)
+    legacy.foreach { src =>
+      val dst = new org.apache.hadoop.fs.Path(fanRoot, src.getName)
+      if (fs.exists(dst))
+        throw new IllegalStateException(
+          s"tokenizer count segment ${src.getName} exists in BOTH the legacy layout ($src) " +
+            s"and the fan layout ($dst); cannot decide which copy is authoritative — " +
+            "delete the stale one manually before retraining"
+        )
+      if (!fs.rename(src, dst))
+        throw new IllegalStateException(s"failed to migrate legacy count segment $src -> $dst")
+    }
+    legacy.length
+  }
+
   /** Retrain the merge table from the STREAM-MAINTAINED counts: the summed
     * union across every streamed segment through the shared
     * [[Bpe.trainFromCounts]] induction — bit-equal to v1's full retrain
@@ -72,7 +111,8 @@ object TokenizerStream {
       spark: SparkSession,
       countsDir: String,
       numMerges: Int = -1 // -1 = the graft.bpe.merges session knob
-  ): DataFrame =
+  ): DataFrame = {
+    foldLegacyCountSegments(spark, countsDir)
     Bpe
       .trainFromCounts(
         spark,
@@ -80,6 +120,7 @@ object TokenizerStream {
         Bpe.resolveMergesKnob(spark, numMerges)
       )
       .orderBy("merge_rank")
+  }
 
   /** COMPACT the streamed count-segment fan into one sealed generation —
     * the shared [[SegmentFan.compact]] with a RE-AGGREGATING fold: counts
@@ -92,7 +133,8 @@ object TokenizerStream {
     * cutoff-1 batch_id (the newest id they cover) — nothing orders on it
     * downstream, it exists for the generation read's cutoff filter shape.
     */
-  def compactStreamedCounts(spark: SparkSession, countsDir: String): Long =
+  def compactStreamedCounts(spark: SparkSession, countsDir: String): Long = {
+    foldLegacyCountSegments(spark, countsDir)
     SegmentFan.compact(
       spark,
       countsDir,
@@ -105,4 +147,5 @@ object TokenizerStream {
           .withColumn("batch_id", lit(id))
       }
     )
+  }
 }

@@ -76,6 +76,49 @@ class SegmentFanSpec extends SparkSpec {
     assert(rows(root, "tbl") == before)
   }
 
+  test("cutoff spans EVERY table: a torn newest batch in a NON-head table is never folded, whatever the write order") {
+    import spark.implicits._
+    // crash mid-batch 2 in a family that writes table b BEFORE table a:
+    // b carries the replay-target segment (batch_id=2), a does not
+    val root = java.nio.file.Files.createTempDirectory("graft_sfan5").toString
+    val ts   = Seq("a", "b")
+    mkFan(root, "a", Seq(0L, 1L)); mkFan(root, "b", Seq(0L, 1L, 2L))
+    // cutoff must be the GLOBAL newest (2), not head table a's newest (1)
+    assert(SegmentFan.compact(spark, root, ts) == 2L)
+    // b's torn segment stays live for the checkpoint replay to rewrite
+    assert(new java.io.File(s"$root/b/batch_id=2").exists(), "replay-target segment was folded")
+    val expectedB = rows(root, "b", ts)
+    // the replay: batch 2 rewrites b's segment (overwrite, same rows) and
+    // lands a's missing one — no doubles anywhere
+    Seq((20L, "v2")).toDF("k", "v").write.mode("overwrite").parquet(s"$root/b/batch_id=2")
+    Seq((20L, "v2")).toDF("k", "v").write.mode("overwrite").parquet(s"$root/a/batch_id=2")
+    assert(rows(root, "b", ts) == expectedB, "replayed segment doubled rows")
+    assert(rows(root, "a", ts) == Set((0L, "v0", 0L), (10L, "v1", 1L), (20L, "v2", 2L)))
+  }
+
+  test("tokenizer legacy count layout (batch_id= directly under root) folds into the fan; a collision throws") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_sfan6").toString
+    // a pre-upgrade deployment: two legacy segments at root level
+    Seq(("alpha beta", 2L)).toDF("word", "freq")
+      .write.mode("overwrite").parquet(s"$root/batch_id=0")
+    Seq(("alpha beta", 3L)).toDF("word", "freq")
+      .write.mode("overwrite").parquet(s"$root/batch_id=1")
+    assert(graft.streaming.TokenizerStream.foldLegacyCountSegments(spark, root) == 2)
+    assert(!new java.io.File(s"$root/batch_id=0").exists())
+    assert(new java.io.File(s"$root/counts/batch_id=0").exists())
+    assert(new java.io.File(s"$root/counts/batch_id=1").exists())
+    // idempotent once migrated
+    assert(graft.streaming.TokenizerStream.foldLegacyCountSegments(spark, root) == 0)
+    // ambiguity (same id in both layouts) must throw, not guess
+    Seq(("alpha beta", 9L)).toDF("word", "freq")
+      .write.mode("overwrite").parquet(s"$root/batch_id=1")
+    val e = intercept[IllegalStateException] {
+      graft.streaming.TokenizerStream.foldLegacyCountSegments(spark, root)
+    }
+    assert(e.getMessage.contains("BOTH"))
+  }
+
   test("unparseable dir names (non-digits, >18-digit overflow) are skipped everywhere, never thrown on") {
     val root = java.nio.file.Files.createTempDirectory("graft_sfan4").toString
     mkFan(root, "tbl", Seq(0L, 1L))
