@@ -179,15 +179,121 @@ object Similarity {
     // decision below the cap — there is no separate "extra" scan.
     val n = e.count()
     require(n > 0, "quantizer training requires a non-empty embeddings input")
-    val train    = trainingSlice(e, sampleCap, n)
-    var cs       = kmeansParSeeds(train, nClusters)
-    var iter     = 0
-    var moved    = Double.MaxValue
+    val train = trainingSlice(e, sampleCap, n)
+    val cs    = lloydToEpsilon(train, kmeansParSeeds(train, nClusters), maxIters, eps)
+    balancedCentroids(train, cs, maxIters, eps)
+  }
+
+  /** Distributed Lloyd iterated until the largest centroid movement
+    * `1 − cos(old, new)` drops below epsilon or maxIters passes.
+    */
+  private def lloydToEpsilon(
+      train: DataFrame,
+      seeds: Array[Seq[Float]],
+      maxIters: Int,
+      eps: Double
+  ): Array[Seq[Float]] = {
+    var cs    = seeds
+    var iter  = 0
+    var moved = Double.MaxValue
     while (iter < maxIters && moved >= eps) {
       val next = lloydStep(train, cs)
       moved = cs.zip(next).map { case (a, b) => 1.0 - cosLocal(a, b) }.max
       cs = next
       iter += 1
+    }
+    cs
+  }
+
+  /** BALANCE pass over a converged quantizer (scheme v5): split each
+    * cluster whose occupancy exceeds `graft.ann.kmeans.balance_tau` ×
+    * mean, retiring an equal number of the SMALLEST clusters so k is
+    * unchanged, then re-Lloyd to epsilon; repeat up to
+    * `graft.ann.kmeans.balance` rounds or until no cluster overflows.
+    *
+    * Why: the r18/r19 crossover tables measured effective pruning stuck
+    * at ~nominal/2 at EVERY operating point — probe selection favors the
+    * largest clusters (queries are corpus-distributed, so probes land
+    * where the data is dense), and a probed cluster at 2× mean occupancy
+    * scans 2× the rows nominal pruning promises. Capping occupancy near
+    * the mean makes probed mass ≈ np/nc of the corpus, i.e. effective ≈
+    * nominal — recovered for every IVF query rather than re-paid per
+    * probe (VERDICT r19 item 1).
+    *
+    * The split seed is the oversized cluster's FARTHEST member (lowest
+    * cosine to its own centroid, ties to the smallest vec_id — no RNG,
+    * the [[kmeansParSeeds]] determinism discipline); the donor slot takes
+    * that member as its new centroid and the next Lloyd round separates
+    * the pair. A degenerate oversized cluster (all members identical)
+    * re-proposes its own centroid, which the changed-nothing check turns
+    * into termination. Costs per round, all on the ≤`sample`-row training
+    * slice: one sizing aggregation, one windowed farthest-member pass,
+    * one epsilon-bounded Lloyd rerun.
+    */
+  private def balancedCentroids(
+      train: DataFrame,
+      seeds: Array[Seq[Float]],
+      maxIters: Int,
+      eps: Double
+  ): Array[Seq[Float]] = {
+    val spark  = train.sparkSession
+    val rounds = graft.GraftConf.int(spark, "ann.kmeans.balance", 2)
+    val tau    = graft.GraftConf.double(spark, "ann.kmeans.balance_tau", 1.25)
+    require(rounds >= 0, s"graft.ann.kmeans.balance=$rounds must be >= 0")
+    require(tau >= 1.0, s"graft.ann.kmeans.balance_tau=$tau must be >= 1.0")
+    var cs    = seeds
+    var round = 0
+    var done  = rounds == 0 || cs.length < 2
+    while (!done && round < rounds) {
+      val sizes = Array.fill(cs.length)(0L)
+      train
+        .withColumn("cl", assignCol(cs))
+        .groupBy("cl")
+        .agg(count(lit(1)).as("n"))
+        .collect()
+        .foreach(r => sizes(r.getInt(0)) = r.getLong(1))
+      val mean = sizes.sum.toDouble / cs.length
+      val over = sizes.indices.filter(i => sizes(i) > tau * mean).sortBy(i => (-sizes(i), i))
+      // donors: the smallest clusters, strictly below mean (retiring a
+      // near-mean cluster would just create the next round's hole)
+      val donors = sizes.indices
+        .filterNot(over.contains)
+        .filter(i => sizes(i) < mean)
+        .sortBy(i => (sizes(i), i))
+      val splits = over.zip(donors)
+      if (splits.isEmpty) done = true
+      else {
+        val overSet  = splits.map(_._1)
+        val centsLit = typedLit(cs.map(_.toSeq).toSeq)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cl")
+          .orderBy(col("s").asc, col("vec_id").asc)
+        val far = train
+          .withColumn("cl", assignCol(cs))
+          .where(col("cl").isin(overSet: _*))
+          .withColumn(
+            "s",
+            call_function("cosine_sim", col("embedding"), element_at(centsLit, col("cl") + 1))
+          )
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select("cl", "embedding")
+          .collect()
+          .map(r => r.getInt(0) -> r.getSeq[Float](1))
+          .toMap
+        val next    = cs.clone()
+        var changed = false
+        splits.foreach { case (o, d) =>
+          far.get(o).foreach { v =>
+            if (v != next(d) && v != cs(o)) { next(d) = v; changed = true }
+          }
+        }
+        if (!changed) done = true
+        else {
+          cs = lloydToEpsilon(train, next, maxIters, eps)
+          round += 1
+        }
+      }
     }
     cs
   }
@@ -556,9 +662,12 @@ object Similarity {
     * formulation it replaced kept the largest); v4 replaced the
     * lowest-id-seed single-Lloyd trainer with k-means|| + iterate-to-
     * epsilon ([[refinedCentroids]]) — different centroids, so every stored
-    * assignment must rebuild.
+    * assignment must rebuild; v5 adds the occupancy-balance pass
+    * ([[balancedCentroids]]) — again different centroids, and the oracle
+    * replays assignment from the persisted set, so a stale-layout reuse
+    * across the trainer change would split engine from oracle.
     */
-  private[operators] val IvfSchemeVersion = 4
+  private[operators] val IvfSchemeVersion = 5
 
   /** Per-vector int8 scalar quantization `q[i] = round(127·x[i]/max|x|)` —
     * the per-vector scale cancels inside cosine, so approximate ordering
@@ -683,9 +792,11 @@ object Similarity {
     * v2 dropped the unread q8 column from the s12 segments; v3 tracks the
     * main scheme's switch to the compiled assignment scan (tie rule:
     * smallest index); v4 tracks the k-means|| trainer (frozen base
-    * centroids change, so base AND delta segments rebuild together).
+    * centroids change, so base AND delta segments rebuild together); v5
+    * tracks the balanced quantizer ([[balancedCentroids]]), same blast
+    * radius as v4.
     */
-  private[operators] val IvfIncrSchemeVersion = 4
+  private[operators] val IvfIncrSchemeVersion = 5
 
   /** The MAINTAINED coarse quantizer: an IVF layout trained and assigned on
     * the base slice `vec_id < batchStartId` only — the artifact a daily
@@ -2456,6 +2567,43 @@ object Similarity {
         .write.mode("overwrite").parquet(s"$out/clusters.parquet")
     }
     spark.read.parquet(s"$layout/clusters.parquet").orderBy("cluster_id", "vec_id")
+  }
+
+  /** S22 — SEMANTIC KEEP-LIST (the SemDeDup shape — Abbas et al.,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", 2023: cluster the embedding space, keep one
+    * representative per semantic-duplicate group): from every s16
+    * mutual-kNN component keep exactly its min-id representative, plus
+    * every vector no mutual pair touches — the embedding-space complement
+    * of n9's lexical keep-list, closing the curation ladder's last gap
+    * (lexical clusters have keep/quality-keep rungs; semantic clusters
+    * had only the cluster table). Output `(vec_id, cluster_size)` — n9's
+    * exact ledger shape, so a curation pipeline consumes either keep-list
+    * through one code path.
+    *
+    * The representative rule is min vec_id — deterministic and
+    * SQL-replayable, so the DuckDB oracle rebuilds the WHOLE chain
+    * (exact kNN → mutual edges → recursive reachability → min-id label →
+    * keep selection) and hash-checks the selection rule itself; swapping
+    * in a quality signal (n14's move) changes one join. Scale shape:
+    * everything corpus-sized is one left-anti join of 8-byte ids against
+    * the persisted cluster layout; the representative filter and size
+    * aggregate run over the CLUSTERED rows only (bounded by duplicate
+    * mass, not corpus size).
+    */
+  def semanticKeepList(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val clusters = mutualKnnClusters(spark, dir, k).select("cluster_id", "vec_id")
+    val sizes    = clusters.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    val reps = clusters
+      .where(col("vec_id") === col("cluster_id")) // star labels are component minima
+      .join(sizes, "cluster_id")
+      .select(col("vec_id"), col("cluster_size"))
+    val singletons = Tables
+      .embeddings(spark, dir)
+      .select("vec_id")
+      .join(clusters.select("vec_id"), Seq("vec_id"), "left_anti")
+      .withColumn("cluster_size", lit(1L))
+    reps.unionByName(singletons).orderBy("vec_id")
   }
 
   /** S7 — retrieve-then-enrich: [[annBatchTopK]]'s neighbor ids joined back

@@ -132,6 +132,58 @@ class KmeansSpec extends SparkSpec {
     assert(cs.length == 3)
   }
 
+  /** Occupancy-skew fixture for the v5 BALANCE pass, in a 2-D fan (every
+    * inter-blob cosine meaningful — no orthogonal ties): a heavy family
+    * of 200 vectors in two ±4° lobes around 0° that one centroid owns
+    * whole at k=3, plus small blobs at 50° and 90°. Deterministic jitter
+    * off-plane keeps the rows distinct.
+    */
+  private lazy val skewedDir: String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_km_skew").toString
+    def at(deg: Double, id: Long): (Long, Seq[Float]) = {
+      val r = math.toRadians(deg)
+      val v = Array.fill(16)(0.0f)
+      v(0) = math.cos(r).toFloat
+      v(1) = math.sin(r).toFloat
+      (2 until 16).foreach(d => v(d) = ((id * 31 + d * 7) % 13 - 6) * 0.002f)
+      (id, v.toSeq)
+    }
+    val rows =
+      (0 until 100).map(i => at(-4.0, i.toLong)) ++
+        (0 until 100).map(i => at(4.0, 100L + i)) ++
+        (0 until 30).map(i => at(50.0, 200L + i)) ++
+        (0 until 30).map(i => at(90.0, 230L + i))
+    rows.toDF("vec_id", "embedding").write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("balance pass splits the oversized cluster and holds the occupancy cap; balance=0 reproduces the skew") {
+    val e = graft.sources.Tables.embeddings(spark, skewedDir)
+    def sizes(cs: Array[Seq[Float]]): Seq[Long] = {
+      val m = e.withColumn("cl", Similarity.assignCol(cs))
+        .groupBy("cl").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      cs.indices.map(i => m.getOrElse(i, 0L))
+    }
+    val n    = 260.0
+    val mean = n / 3
+    // balance OFF: the two heavy lobes land in one centroid — measured
+    // max occupancy far above the tau threshold (the r19 crossover skew)
+    spark.conf.set("graft.ann.kmeans.balance", "0")
+    val raw =
+      try sizes(Similarity.refinedCentroids(e, 3))
+      finally spark.conf.unset("graft.ann.kmeans.balance")
+    assert(raw.sum == 260L)
+    assert(raw.max > 1.5 * mean, s"fixture must be skewed without balance; sizes $raw")
+    // balance ON (defaults): the heavy cluster splits into its lobes and
+    // every cluster sits under tau × mean — effective ≈ nominal pruning
+    val balanced = sizes(Similarity.refinedCentroids(e, 3))
+    assert(balanced.sum == 260L)
+    assert(balanced.max <= 1.25 * mean, s"balance pass left an oversized cluster; sizes $balanced")
+    // determinism: the balanced trainer is a pure function of the corpus
+    assert(Similarity.refinedCentroids(e, 3).toSeq == Similarity.refinedCentroids(e, 3).toSeq)
+  }
+
   test("weightedReduce: deterministic, spread-seeking, weight-respecting") {
     val cand = Array(
       Seq(1.0f, 0.0f, 0.0f),

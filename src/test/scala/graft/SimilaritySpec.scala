@@ -729,6 +729,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("s22 semantic keep-list: cluster minima + unclustered vectors; sizes partition the corpus; exactly one survivor per component") {
+    val clusters = Similarity.mutualKnnClusters(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))) // (cluster_id, vec_id)
+    val kept = Similarity.semanticKeepList(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap // vec_id -> cluster_size
+    val allVecs = graft.sources.Tables.embeddings(spark, sf0001)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val clustered = clusters.map(_._2).toSet
+    val minima    = clusters.groupBy(_._1).map { case (cid, ms) => ms.map(_._2).min }.toSet
+    assert(minima == clusters.map(_._1).toSet, "star labels must be component minima")
+    // keep-list = minima ∪ (corpus − clustered), nothing else
+    assert(kept.keySet == minima ++ (allVecs -- clustered))
+    // each representative carries its component size; singletons carry 1
+    val sizes = clusters.groupBy(_._1).map { case (cid, ms) => cid -> ms.length.toLong }
+    minima.foreach(m => assert(kept(m) == sizes(m), s"rep $m size ${kept(m)} != ${sizes(m)}"))
+    (allVecs -- clustered).foreach(v => assert(kept(v) == 1L))
+    // the sizes the keep-list reports partition the corpus exactly
+    assert(kept.values.sum == allVecs.size.toLong, "cluster sizes must partition the corpus")
+    assert(clusters.nonEmpty && (allVecs -- clustered).nonEmpty, "fixture must exercise both branches")
+  }
+
   test("s15t/s16t kNN-graph takedown: ledger walk == from-scratch survivor rebuild; purge retires the mask") {
     import org.apache.spark.sql.functions._
     // (1) the ledger-walk edge rebuild equals a from-scratch kNN pass over
