@@ -106,25 +106,69 @@ object Bench {
     // (name, median, min, max); a first-rep failure records (-1,-1,-1) and
     // skips the remaining reps — a broken operator costs one attempt, not
     // three, and still reads as failed.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).collect()
-        (System.nanoTime() - t0) / 1e9
-      }
-      val times =
-        try {
-          val first = once()
-          first +: (2 to Reps).map(_ => once())
-        } catch {
-          case scala.util.control.NonFatal(e) =>
-            System.err.println(s"[bench] $name failed: $e"); Seq.empty[Double]
+    def measureQueries(): Seq[(String, Double, Double, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).collect()
+          (System.nanoTime() - t0) / 1e9
         }
-      if (times.isEmpty) (name, -1.0, -1.0, -1.0)
-      else {
-        val sorted = times.sorted
-        (name, sorted(sorted.size / 2), sorted.head, sorted.last)
+        val times =
+          try {
+            val first = once()
+            first +: (2 to Reps).map(_ => once())
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[bench] $name failed: $e"); Seq.empty[Double]
+          }
+        if (times.isEmpty) (name, -1.0, -1.0, -1.0)
+        else {
+          val sorted = times.sorted
+          (name, sorted(sorted.size / 2), sorted.head, sorted.last)
+        }
       }
+    var results = measureQueries()
+    // A build event DURING the query section means a layout the pre-build
+    // phase missed — report it rather than let it hide in a query's time.
+    // Drained PER ATTEMPT so a whole-run retry below doesn't misattribute
+    // attempt 1's late builds to the kept measurement.
+    var lateBuildRows = graft.sources.LayoutCache.drainBuildLog()
+    // Post-run probe: pre-run quiet does not prove the QUERY SECTION ran
+    // quiet (the r17 record's contention arrived mid-run). WHOLE-RUN RETRY
+    // (VERDICT r19 item 5): the pre-run gate cannot see load that arrives
+    // mid-run, and close_gate's retry only covers close records — the bare
+    // `runMain graft.Bench` the driver invokes kept landing degraded. When
+    // the post-run probe is out of band, back off, re-gate the pre-probe,
+    // and re-measure the query section (layouts already warm) up to
+    // `SPARK_GRAFT_RUN_RETRIES` (default 1) times; the kept record is the
+    // last attempt, bracketed by ITS OWN probe pair.
+    var sentinelPost = sentinelProbes(spark)
+    val runRetries   = sys.env.get("SPARK_GRAFT_RUN_RETRIES").map(_.toInt).getOrElse(1)
+    var runAttempts  = 1
+    while (!inBand(sentinelPost) && runAttempts <= runRetries) {
+      System.err.println(
+        f"[bench] post-run sentinel out of band (st=${sentinelPost._1}%.3f " +
+          f"shuffle=${sentinelPost._2}%.3f) — mid-run load; retrying the query section " +
+          s"(attempt ${runAttempts + 1}/${runRetries + 1})"
+      )
+      Thread.sleep(60000L)
+      sentinel = sentinelProbes(spark)
+      var a = 1
+      while (!inBand(sentinel) && a <= probeRetries) {
+        val backoffSecs = 15L << (a - 1)
+        System.err.println(
+          f"[bench] retry pre-probe out of band (st=${sentinel._1}%.3f " +
+            f"shuffle=${sentinel._2}%.3f) — backing off ${backoffSecs}s"
+        )
+        Thread.sleep(backoffSecs * 1000L)
+        sentinel = sentinelProbes(spark)
+        a += 1
+        sentinelAttempts += 1
+      }
+      results = measureQueries()
+      lateBuildRows = graft.sources.LayoutCache.drainBuildLog()
+      sentinelPost = sentinelProbes(spark)
+      runAttempts += 1
     }
     val qs = results
       .map { case (k, med, _, _) => "\"" + k + "\":" + f"$med%.3f" }
@@ -136,10 +180,7 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, med, _, _) if med < 0 => "\"" + k + "\"" }
     val total  = results.map(_._2).filter(_ >= 0).sum
-    // A build event DURING the query section means a layout the pre-build
-    // phase missed — report it rather than let it hide in a query's time.
-    val lateBuilds = graft.sources.LayoutCache
-      .drainBuildLog()
+    val lateBuilds = lateBuildRows
       .map { case (n, s) => "\"" + n + "\":" + f"$s%.3f" }
       .mkString("{", ",", "}")
     val layoutJson = layouts
@@ -153,15 +194,13 @@ object Bench {
     // is "cold" and its total includes no build time either — builds live
     // exclusively in layout_phase_secs — but page/OS cache state differs.
     val mode = if (layouts.exists(_.built)) "cold" else "warm"
-    // Post-run probe: pre-run quiet does not prove the QUERY SECTION ran
-    // quiet (the r17 record's contention arrived mid-run). A record is
-    // degraded if the host was loaded on either side of the measurement.
-    val sentinelPost = sentinelProbes(spark)
+    // A record is degraded if the host was loaded on either side of the
+    // KEPT measurement (post-retry, both probes bracket the last attempt).
     val degradedHost = !inBand(sentinel) || !inBand(sentinelPost)
     val sentinelJson =
       f""""sentinel":{"single_thread_secs":${sentinel._1}%.3f,"shuffle_probe_secs":${sentinel._2}%.3f},""" +
         f""""sentinel_post":{"single_thread_secs":${sentinelPost._1}%.3f,"shuffle_probe_secs":${sentinelPost._2}%.3f},""" +
-        f""""sentinel_attempts":$sentinelAttempts,"degraded_host":$degradedHost"""
+        f""""sentinel_attempts":$sentinelAttempts,"run_attempts":$runAttempts,"degraded_host":$degradedHost"""
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","mode":"$mode","reps":$Reps,$sentinelJson,"queries":$qs,"spread":$spreadJson,"failed":${failed
           .mkString("[", ",", "]")},"layout_phase_secs":$layoutPhaseSecs%.3f,"layouts":$layoutJson,"late_builds":$lateBuilds,"sf":"$sfDir"}"""

@@ -129,6 +129,7 @@ object SparkEntry {
     "s19p_ann_ivf_pq_filtered_planted" -> ((s: SparkSession, d: String) => Similarity.annIvfPqFilteredPlanted(s, d)),
     "s15_mutual_knn_pairs"   -> ((s: SparkSession, d: String) => Similarity.mutualKnnPairs(s, d)),
     "s16_mutual_knn_clusters" -> ((s: SparkSession, d: String) => Similarity.mutualKnnClusters(s, d)),
+    "s22_semantic_keeplist" -> ((s: SparkSession, d: String) => Similarity.semanticKeepList(s, d)),
     // round 18: the kNN-graph takedown lifecycle (VERDICT r17 item 3 —
     // the last persisted index without one). The edge layout stores a
     // top-8 ledger; a takedown resolves each survivor's new top-k from
@@ -176,6 +177,7 @@ object SparkEntry {
     "f1_fuzzy_token_pairs"  -> ((s: SparkSession, d: String) => TextAnalysis.fuzzyTokenPairs(s, d)),
     "n7_shared_spans"       -> ((s: SparkSession, d: String) => Dedup.sharedSpans(s, d)),
     "n8_redact_shared_spans" -> ((s: SparkSession, d: String) => Dedup.redactSharedSpans(s, d)),
+    "d34_excise_shared_spans" -> ((s: SparkSession, d: String) => Dedup.exciseSharedSpans(s, d)),
     "d16_span_share"        -> ((s: SparkSession, d: String) => Dedup.spanShareStats(s, d)),
     "s7_ann_with_metadata"  -> ((s: SparkSession, d: String) => Similarity.annWithMetadata(s, d)),
     // multimodal metadata surface
@@ -828,6 +830,24 @@ object SparkEntry {
         "UNION SELECT e.s, reach.rt FROM edges e JOIN reach ON e.d = reach.id) " +
         "SELECT MIN(rt) AS cluster_id, id AS vec_id FROM reach GROUP BY id " +
         "ORDER BY cluster_id, vec_id"),
+    // s22 extends s16's reachability CTE with n9's keep selection: kept =
+    // component minima (vec_id = min reachable id) + vectors in no mutual
+    // pair — the whole SemDeDup chain (kNN → mutual → components → min-id
+    // representative) replayed relationally and hash-checked.
+    "s22_semantic_keeplist" ->
+      ("WITH RECURSIVE r AS (SELECT a.vec_id AS va, b.vec_id AS vb, row_number() OVER " +
+        "(PARTITION BY a.vec_id ORDER BY list_cosine_similarity(b.embedding, a.embedding) DESC, b.vec_id) AS rnk " +
+        "FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id), " +
+        "e AS (SELECT va, vb FROM r WHERE rnk <= 3), " +
+        "m AS (SELECT e1.va, e1.vb FROM e e1 JOIN e e2 ON e1.va = e2.vb AND e1.vb = e2.va WHERE e1.va < e1.vb), " +
+        "edges AS (SELECT va AS s, vb AS d FROM m UNION SELECT vb, va FROM m), " +
+        "reach(id, rt) AS (SELECT DISTINCT s, s FROM edges " +
+        "UNION SELECT e.s, reach.rt FROM edges e JOIN reach ON e.d = reach.id), " +
+        "cl AS (SELECT id, MIN(rt) AS cid FROM reach GROUP BY id), " +
+        "sz AS (SELECT cid, COUNT(*) AS c FROM cl GROUP BY cid) " +
+        "SELECT em.vec_id, COALESCE(sz.c, 1) AS cluster_size FROM embeddings em " +
+        "LEFT JOIN cl ON em.vec_id = cl.id LEFT JOIN sz ON cl.cid = sz.cid " +
+        "WHERE cl.id IS NULL OR cl.cid = em.vec_id ORDER BY vec_id"),
     "m1_payload_meta" ->
       "SELECT doc_id, octet_length(encode(text))::BIGINT AS payload_len FROM documents ORDER BY doc_id",
     // g1's oracle IS the single-partition window form the operator exists to
@@ -1206,6 +1226,30 @@ object SparkEntry {
         "FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.i = cov.pos) " +
         "SELECT doc_id, SUM(f)::BIGINT AS n_masked, md5(string_agg(t, ' ' ORDER BY i)) AS fp_redacted " +
         "FROM m GROUP BY doc_id ORDER BY doc_id"),
+    // d34: n8's positioned-span CTEs, but the mask excludes each span's
+    // KEEPER (min doc_id over its carriers — shared iff min <> max), and
+    // covered tokens are DROPPED rather than replaced: the survivors
+    // reassemble via string_agg ORDER BY position exactly like Spark's
+    // order-preserving zip_with/filter, so md5 agrees byte-for-byte. A
+    // fully-excised doc has no kept rows — the LEFT JOIN + COALESCE
+    // md5('') keeps its ledger row, matching Spark's all-flags-true doc.
+    "d34_excise_shared_spans" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
+        "sp AS (SELECT doc_id, s, md5(array_to_string(w[s : s + " + (Dedup.SpanTokens - 1) + "], ' ')) AS span_fp " +
+        "FROM toks, UNNEST(range(1, len(w) - " + (Dedup.SpanTokens - 2) + ")) t(s)), " +
+        "ks AS (SELECT span_fp, MIN(doc_id) AS keeper FROM sp GROUP BY span_fp HAVING MIN(doc_id) <> MAX(doc_id)), " +
+        "st AS (SELECT DISTINCT sp.doc_id, sp.s FROM sp JOIN ks USING (span_fp) WHERE sp.doc_id <> ks.keeper), " +
+        "cov AS (SELECT DISTINCT doc_id, s + j AS pos FROM st, UNNEST(range(0, " + Dedup.SpanTokens + ")) t(j)), " +
+        "tok AS (SELECT doc_id, i, w[i] AS t FROM toks, UNNEST(range(1, len(w) + 1)) g(i)), " +
+        "kept AS (SELECT tok.doc_id, tok.i, tok.t FROM tok LEFT JOIN cov " +
+        "ON tok.doc_id = cov.doc_id AND tok.i = cov.pos WHERE cov.pos IS NULL), " +
+        "ka AS (SELECT doc_id, COUNT(*)::BIGINT AS n_kept, " +
+        "md5(string_agg(t, ' ' ORDER BY i)) AS fp_trimmed FROM kept GROUP BY doc_id), " +
+        "tot AS (SELECT doc_id, COUNT(*)::BIGINT AS n_tokens FROM tok GROUP BY doc_id) " +
+        "SELECT tot.doc_id, n_tokens, COALESCE(n_kept, 0)::BIGINT AS n_kept, " +
+        "(n_tokens - COALESCE(n_kept, 0))::BIGINT AS n_dropped, " +
+        "COALESCE(fp_trimmed, md5('')) AS fp_trimmed " +
+        "FROM tot LEFT JOIN ka USING (doc_id) ORDER BY tot.doc_id"),
     // n11: the same positioned-span CTEs as n8, then classic gaps-and-
     // islands (s - row_number) to merge consecutive shared starts into one
     // maximal segment, fingerprinted by slicing the original token list.

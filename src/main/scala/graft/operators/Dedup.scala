@@ -337,6 +337,10 @@ object Dedup {
     *     output table; size ∝ DISTINCT duplicated spans, not corpus tokens.
     *   - `starts/`   (doc_id, s): positioned occurrences of shared spans —
     *     n8's mask set and n11's island input; size ∝ duplicated text.
+    *   - `exstarts/` (doc_id, s): the NON-KEEPER subset of `starts/` —
+    *     occurrences of shared spans in every doc EXCEPT the span's
+    *     smallest-id carrier; d34's excision mask (v2). Strictly smaller
+    *     than `starts/` (each span's keeper rows are absent).
     *   - `docstats/` (doc_id, n_spans, n_shared_spans): per-doc distinct
     *     span counts — d16's density input; one row per document.
     *
@@ -350,7 +354,7 @@ object Dedup {
     */
   private[graft] def spanArtifactsCached(spark: SparkSession, dir: String, span: Int): String = {
     val key = graft.sources.LayoutCache
-      .contentKey(spark, s"$dir/documents.parquet", s"spans:v1:w=$span")
+      .contentKey(spark, s"$dir/documents.parquet", s"spans:v2:w=$span")
     graft.sources.LayoutCache.getOrBuild(spark, "graft_spans", key) { out =>
       val sp = Tables
         .documents(spark, dir)
@@ -371,15 +375,24 @@ object Dedup {
       try {
         val dfAll = sp
           .groupBy("span_fp")
-          .agg(countDistinct("doc_id").as("n_docs"))
+          .agg(countDistinct("doc_id").as("n_docs"), min("doc_id").as("keeper"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val shared = dfAll.where(col("n_docs") >= 2)
-          shared.write.parquet(s"$out/shared")
+          shared.select("span_fp", "n_docs").write.parquet(s"$out/shared")
           sp.join(shared.select("span_fp"), "span_fp")
             .select("doc_id", "s")
             .write
             .parquet(s"$out/starts")
+          // d34's mask: shared-span occurrences MINUS each span's keeper
+          // (its smallest-id carrier, the n19b carrier rule) — the rows
+          // excision actually removes, precomputed where the positioned
+          // stream is already persisted
+          sp.join(shared.select("span_fp", "keeper"), "span_fp")
+            .where(col("doc_id") =!= col("keeper"))
+            .select("doc_id", "s")
+            .write
+            .parquet(s"$out/exstarts")
           // d16's distinct-per-doc census: n_spans counts DISTINCT spans in
           // the doc; a span is shared iff its corpus df (distinct docs) ≥ 2.
           sp.select("doc_id", "span_fp")
@@ -431,6 +444,110 @@ object Dedup {
       .agg(collect_set(col("s")).as("ss"))
     redactFrom(docs, starts, span)
   }
+
+  /** D34 — cross-document shared-span EXCISION keeping ONE carrier: the
+    * ExactSubstr REMOVAL transform (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better" — their dedup pipeline deletes
+    * all-but-one copy of every long enough duplicated substring) that
+    * n8's redaction deliberately is not: n8 masks EVERY occurrence of
+    * shared text (`[DUP]` in all carriers — the decontamination shape),
+    * while a training pipeline wants the text to SURVIVE exactly once.
+    * Every token covered by a [[SpanTokens]]-window shared by ≥ 2
+    * distinct documents is dropped from every carrier EXCEPT the span's
+    * smallest-id one (the n19b carrier rule — `others[0]` there is the
+    * smallest other carrier precisely because min-id is the family's
+    * keeper convention, and q8/n6 keep `min(doc_id)` too). The keeper
+    * keeps ALL its occurrences, including internal repeats — intra-doc
+    * repetition is d31's transform, deliberately not re-applied here.
+    * Emits d31's audit ledger: tokens in, kept, dropped, md5 of the
+    * excised text (md5('') for a fully-excised doc — a verbatim subset
+    * of a smaller-id doc keeps zero tokens, and the ledger must say so
+    * rather than drop the row).
+    *
+    * Scale shape: the mask is precomputed at ingest in the span-artifact
+    * layout (`exstarts/` — the positioned stream is persisted there
+    * anyway, and the keeper is one extra `min` in the df aggregate), so
+    * the query pays one layout read + the per-doc rebuild; the live twin
+    * recomputes it in one scan ([[exciseSharedSpansLive]]). Every
+    * exchange is keyed on span_fp (16-byte md5) or doc_id — never span
+    * text, never all-pairs; per-doc work is bounded by the doc's own
+    * span count.
+    */
+  def exciseSharedSpans(spark: SparkSession, dir: String,
+      span0: Int = -1 // -1 = the graft.span.tokens session knob
+  ): DataFrame = {
+    val span = resolveSpan(spark, span0)
+    val docs = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(col("doc_id").isNotNull)
+    val starts = spark.read
+      .parquet(s"${spanArtifactsCached(spark, dir, span)}/exstarts")
+      .groupBy("doc_id")
+      .agg(collect_set(col("s")).as("ss"))
+    exciseFrom(docs, starts, span)
+  }
+
+  /** Live (layout-free) form of [[exciseSharedSpans]]; spec-level
+    * equivalence oracle, and the entry point for planted-fixture specs
+    * (pass any (doc_id, text) frame).
+    */
+  private[graft] def exciseSharedSpansLive(docs0: DataFrame, span: Int): DataFrame = {
+    val docs = docs0
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(col("doc_id").isNotNull)
+    val sp = docs
+      .select(
+        col("doc_id"),
+        explode(
+          expr(
+            s"if(size(toks) >= $span, transform(sequence(1, size(toks) - ${span - 1}), " +
+              s"s -> struct(s AS s, md5(concat_ws(' ', slice(toks, s, $span))) AS span_fp)), array())"
+          )
+        ).as("p")
+      )
+      .select(col("doc_id"), col("p.s").as("s"), col("p.span_fp").as("span_fp"))
+    val keepers = sp
+      .groupBy("span_fp")
+      .agg(min("doc_id").as("keeper"), max("doc_id").as("d_max"))
+      .where(col("keeper") =!= col("d_max"))
+      .select("span_fp", "keeper")
+    val starts = sp
+      .join(keepers, "span_fp")
+      .where(col("doc_id") =!= col("keeper"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("s")).as("ss"))
+    exciseFrom(docs, starts, span)
+  }
+
+  /** Excised rebuild shared by the layout-backed and live paths: flag
+    * covered positions, drop them, fingerprint the survivors in original
+    * order (d31's ledger shape).
+    */
+  private def exciseFrom(docs: DataFrame, starts: DataFrame, span: Int): DataFrame =
+    docs
+      .join(starts, Seq("doc_id"), "left")
+      .withColumn(
+        "flags",
+        expr(
+          s"transform(sequence(1, size(toks)), " +
+            s"i -> coalesce(exists(ss, st -> i >= st AND i <= st + ${span - 1}), false))"
+        )
+      )
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        expr("size(filter(flags, f -> NOT f))").cast("long").as("n_kept"),
+        md5(
+          expr(
+            "concat_ws(' ', filter(zip_with(toks, flags, (t, f) -> if(f, cast(null as string), t)), " +
+              "x -> x IS NOT NULL))"
+          )
+        ).as("fp_trimmed")
+      )
+      .withColumn("n_dropped", (col("n_tokens") - col("n_kept")).cast("long"))
+      .select("doc_id", "n_tokens", "n_kept", "n_dropped", "fp_trimmed")
+      .orderBy("doc_id")
 
   /** Masked rebuild shared by the layout-backed and live redaction paths:
     * left-join per-doc shared starts onto (doc_id, toks), flag covered

@@ -58,15 +58,22 @@ import org.apache.spark.sql.types.StructType
   * span caps across segments — the `_scheme` stamp fails that fast
   * (DedupStream's discipline).
   *
-  * No compaction rung, deliberately (vs t16's postings compaction): the
-  * per-batch historical read is a narrow 3-column columnar scan whose
-  * cost is DATA-bound, not file-bound — merging segments would not
-  * shrink the bytes read, and every segment stays load-bearing forever
-  * (any old doc can be the carrier that shares a future doc's span), so
-  * there is no retire-the-tail story either. At daily batches the
-  * segment count stays in the thousands, far below scan-planning
-  * overhead territory; measured at 10 replica-sized batches the marginal
-  * batch cost is flat (14–22 s, `ScaleRehearsal lssstream`).
+  * ROW retention: none, deliberately — every key row stays load-bearing
+  * forever (any old doc can be the carrier that shares a FUTURE doc's
+  * span), so nothing is ever superseded or retired. FILE retention is a
+  * different question (VERDICT r19): one sealed segment per batch grows
+  * the listing + small-file fan without bound at daily cadence — the
+  * same growth `SegmentFan` already folds for the MinHash/trigram/
+  * tokenizer families — so [[compactKeySegments]] folds the key fan as
+  * a PURE ROW MOVE (identity row set, re-clustered by fp — the layout
+  * each segment already uses, since the only reader is an fp equi-join).
+  * The fold is sound for the incremental delta because the per-batch
+  * historical read filters on the `batch_id` DATA column (preserved by
+  * the fold), not on segment boundaries, and the replay-target newest
+  * segment is never folded ([[SegmentFan]]'s crash argument); the
+  * marginal batch cost stays DATA-bound either way (measured flat at
+  * 14–22 s over 10 replica-sized batches, `ScaleRehearsal lssstream`) —
+  * the fold bounds METADATA cost, not bytes read.
   */
 object LssStream {
 
@@ -128,8 +135,8 @@ object LssStream {
     // Key identity everywhere below is the dual (len, fp, fp2) — see the
     // object scaladoc's collision argument.
     val batchKeys = keys.select("len", "fp", "fp2").distinct()
-    val hist = spark.read
-      .parquet(s"$stateDir/keys")
+    val hist = SegmentFan
+      .tableRead(spark, stateDir, Seq("keys"), "keys")
       .where(col("batch_id") < batchId)
       .select("doc_id", "len", "fp", "fp2")
       .join(batchKeys, Seq("len", "fp", "fp2"), "left_semi")
@@ -168,10 +175,32 @@ object LssStream {
     // only snapshot N−1..N, so superseded snapshots retire once the chain
     // exceeds the keep window — unbounded chains are both dead storage
     // (one full table per batch) and an erasure liability (old snapshots
-    // retain taken-down rows). Key SEGMENTS are never touched — they stay
-    // load-bearing forever (object scaladoc's no-compaction rationale).
+    // retain taken-down rows). Key ROWS are never retired — they stay
+    // load-bearing forever (object scaladoc); [[compactKeySegments]] only
+    // moves them between files.
     SnapshotChain.retain(
       spark, s"$stateDir/lss", graft.GraftConf.int(spark, "stream.snapshot_keep", 4))
+  }
+
+  /** COMPACT the key-segment fan into one sealed generation — the shared
+    * [[SegmentFan.compact]] with the identity fold, re-clustered by fp
+    * (each sealed segment's own layout, so the generation reads exactly
+    * like a big segment). Bounds the file/listing fan without touching
+    * the no-row-retention rationale: the row set before and after is
+    * identical, `batch_id` rides along as a data column for the
+    * incremental read's `< batchId` filter, and the newest segment stays
+    * live as the checkpoint-replay rewrite target. Scheme-guarded like
+    * every batch. Returns the new cutoff (0 = no-op).
+    */
+  def compactKeySegments(spark: SparkSession, stateDir: String): Long = {
+    val cap = graft.GraftConf.int(spark, "lss.max_tokens", 16)
+    DedupStream.assertOrStampScheme(spark, stateDir, schemeTag(cap))
+    SegmentFan.compact(
+      spark,
+      stateDir,
+      Seq("keys"),
+      (_, df) => df.repartition(col("fp")).sortWithinPartitions("len", "fp")
+    )
   }
 
   /** The stream-maintained LSS table as of `batchId` (the latest committed

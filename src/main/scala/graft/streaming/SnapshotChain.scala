@@ -30,8 +30,9 @@ import org.apache.spark.sql.SparkSession
   * What retention deliberately does NOT touch: sealed KEY/pair SEGMENT
   * directories (`keys/batch_id=N`, postings segments, …). Those are
   * load-bearing forever — any old document can be the carrier that shares
-  * a future document's span — and their growth story is documented at
-  * each stream ([[LssStream]]'s no-compaction rationale). Only full-table
+  * a future document's span — and their FILE growth is bounded by each
+  * stream's own [[SegmentFan]] fold ([[LssStream.compactKeySegments]]'s
+  * pure row move), never by row deletion here. Only full-table
   * SNAPSHOTS, where batch N strictly supersedes batch N−1, are safe to
   * retire.
   *

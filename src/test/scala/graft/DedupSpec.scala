@@ -374,6 +374,8 @@ class DedupSpec extends SparkSpec {
       ("d16", Dedup.spanShareStats(spark, sf0001), Dedup.spanShareStatsLive(spark, sf0001)),
       ("n8", Dedup.redactSharedSpans(spark, sf0001), Dedup.redactSharedSpansLive(spark, sf0001)),
       ("n11", Dedup.maxSharedSegments(spark, sf0001), Dedup.maxSharedSegmentsLive(spark, sf0001)),
+      ("d34", Dedup.exciseSharedSpans(spark, sf0001),
+        Dedup.exciseSharedSpansLive(graft.sources.Tables.documents(spark, sf0001), Dedup.SpanTokens)),
       ("n13", Dedup.frequentNgrams(spark, sf0001), Dedup.frequentNgramsLive(spark, sf0001)),
       ("n3", Dedup.simhashPairs(spark, sf0001), Dedup.simhashPairsLive(spark, sf0001))
     )
@@ -456,6 +458,38 @@ class DedupSpec extends SparkSpec {
     assert(got(2L) == ((9L, md5hex((Seq("q1") ++ Seq.fill(9)(dup) ++ Seq("r1", "r2")).mkString(" ")))))
     assert(got(3L) == ((0L, md5hex(d3))))
     assert(got(4L) == ((0L, md5hex("short doc only"))))
+  }
+
+  test("d34 excision: shared spans drop everywhere EXCEPT the min-id carrier; a verbatim copy excises to empty; intra-doc repeats and short docs untouched") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_excise").toString
+    val run = (1 to 9).map(i => s"c$i").mkString(" ") // 9-token verbatim overlap across docs 1,2,3
+    val d5  = ((1 to 8).map(i => s"x$i") ++ (1 to 8).map(i => s"x$i")).mkString(" ")
+    Seq(
+      (1L, s"p1 p2 $run s1", "en", "t", 1L),  // keeper of the c-run spans (min id)
+      (2L, s"q1 $run r1 r2", "en", "t", 1L),  // loses the c-run, keeps its flanks
+      (3L, s"q1 $run r1 r2", "en", "t", 1L),  // verbatim copy of doc 2 → fully excised
+      (4L, "short doc only", "en", "t", 1L),  // shorter than the span width → untouched
+      (5L, d5, "en", "t", 1L)                 // intra-doc self-repeat only → never shared → untouched
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = Dedup
+      .exciseSharedSpans(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    // doc 1 is every c-span's smallest carrier: nothing excised
+    assert(got(1L) == ((12L, 12L, 0L, md5hex(s"p1 p2 $run s1"))))
+    // doc 2: c-run windows (keeper 1) cover tokens 2..10; the q1/r1/r2
+    // windows it shares with doc 3 keep doc 2 as THEIR keeper
+    assert(got(2L) == ((12L, 3L, 9L, md5hex("q1 r1 r2"))))
+    // doc 3: every window's keeper is a smaller doc → zero survivors, and
+    // the ledger row still exists with the empty-text fingerprint
+    assert(got(3L) == ((12L, 0L, 12L, md5hex(""))))
+    assert(got(4L) == ((3L, 3L, 0L, md5hex("short doc only"))))
+    assert(got(5L) == ((16L, 16L, 0L, md5hex(d5))))
   }
 
   test("n11 maximal segments: one row per repeat (not k windows), disjoint repeats split") {

@@ -159,6 +159,33 @@ class LssStreamSpec extends SparkSpec {
     )
   }
 
+  test("key-fan compaction: pure row move — compacted twin streams identically, fan bounded, post-fold batches and replay exact") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    def third(i: Int) = docs.where(pmod(col("doc_id"), lit(3)) === i)
+    val plain     = java.nio.file.Files.createTempDirectory("graft_lss_nofold").toString
+    val compacted = java.nio.file.Files.createTempDirectory("graft_lss_fold").toString
+    (0 until 3).foreach(i => LssStream.processBatch(third(i), plain, i.toLong))
+    LssStream.processBatch(third(0), compacted, 0L)
+    LssStream.processBatch(third(1), compacted, 1L)
+    // fold batch 0 (everything below the newest segment) into gen=1
+    assert(LssStream.compactKeySegments(spark, compacted) == 1L)
+    val fan = new java.io.File(s"$compacted/keys").listFiles()
+      .map(_.getName).count(_.startsWith("batch_id="))
+    assert(fan == 1, s"fan not bounded after fold: $fan segments")
+    // the row set is identical across the fold: the same keys stream on
+    LssStream.processBatch(third(2), compacted, 2L)
+    assert(snap(compacted, 2L) == snap(plain, 2L))
+    assert(snap(compacted, 2L) == scratch(docs))
+    // replay of the newest batch after the fold is still idempotent (its
+    // segment was never folded — the SegmentFan replay-target rule)
+    LssStream.processBatch(third(2), compacted, 2L)
+    assert(snap(compacted, 2L) == scratch(docs))
+    // compacting again folds up to the new newest and answers still hold
+    assert(LssStream.compactKeySegments(spark, compacted) == 2L)
+    LssStream.processBatch(third(2), compacted, 2L) // replay against gen=2
+    assert(snap(compacted, 2L) == scratch(docs))
+  }
+
   test("scheme guard: a cap change mid-stream fails fast") {
     val dir = java.nio.file.Files.createTempDirectory("graft_lss_stream_guard").toString
     LssStream.processBatch(docsDf(20L -> "a b x"), dir, 0L)
