@@ -708,9 +708,19 @@ object ScaleRehearsal {
       }
       val gotSet = got.map(r => (r.getLong(0), r.getLong(1))).toSet
       val agree  = (gotSet & exactSet).size
+      // PER-DIRECTION accounting (round 20): b2 must score the forward
+      // and backward kNN lists SEPARATELY (their probe sets differ), so
+      // its candidate volume is fwd+bwd, while b1 derives both directions
+      // from ONE |S|×|T| matrix — comparing fwd+bwd against that single
+      // matrix is what produced the r18/r19 "effective ≈ nominal/2"
+      // rows, which read as probe-selection bias toward big clusters but
+      // is pure double-counting: per direction the measured pruning
+      // tracks nominal to <1%, i.e. probed occupancy is already uniform.
       println(
         f"[bitext] ROW nc=$nc np=$np: b1=$b1Secs%.2f s b2=$b2Secs%.2f s speedup=${b1Secs / b2Secs}%.1fx  " +
-          f"scored ${nS * nT} -> ${fwd + bwd} (${(nS * nT).toDouble / (fwd + bwd)}%.1fx fewer)  " +
+          f"per-direction ${nS * nT} -> fwd=$fwd (${(nS * nT).toDouble / fwd}%.2fx) " +
+          f"bwd=$bwd (${(nS * nT).toDouble / bwd}%.2fx) vs nominal ${nc.toDouble / np}%.2fx; " +
+          f"bidirectional total ${fwd + bwd}  " +
           f"pairs b1=${exactSet.size} b2=${gotSet.size} agree=$agree"
       )
     }
