@@ -43,6 +43,7 @@ object Layouts {
     "embedding_pairs_planted" -> (() => { Dedup.embeddingDupPairsPlanted(spark, dir); () }),
     "ivf_vectors"        -> (() => { Similarity.annIvfPartitioned(spark, dir); () }),
     "ivf_incremental"    -> (() => { Similarity.annIvfIncremental(spark, dir); () }),
+    "ivf_compacted"      -> (() => { Similarity.annIvfCompactedPlanted(spark, dir); () }),
     "ivf_planted"        -> (() => { Similarity.annIvfFilteredPlanted(spark, dir); () }),
     "ivf_planted_delta"  -> (() => { Similarity.annIvfIncrementalPlanted(spark, dir); () }),
     "ivf_bitext_planted" -> (() => { Similarity.bitextMarginPairsIvfPlanted(spark, dir); () }),
@@ -67,6 +68,7 @@ object Layouts {
     "trigram_incremental" -> (() => { TextAnalysis.substringSearchIncremental(spark, dir); () }),
     "lm_scores"          -> (() => { TextAnalysis.lmScoreLayoutCache(spark, dir); () }),
     "postings_incremental" -> (() => { TextAnalysis.bm25RankIncremental(spark, dir); () }),
+    "postings_compacted" -> (() => { TextAnalysis.postingsCompactedLayoutCache(spark, dir); () }),
     "media_catalog_base" -> (() => { Multimodal.mediaDemuxIncremental(spark, dir); () }),
     "events_by_day"      -> (() => { Prep.dayPartitionedEventsCache(spark, dir); () }),
     "events_zorder"      -> (() => { Prep.zorderEventsCache(spark, dir); () }),
