@@ -193,7 +193,15 @@ object Bench {
     // i.e. the query section measured reused layouts only; anything else
     // is "cold" and its total includes no build time either — builds live
     // exclusively in layout_phase_secs — but page/OS cache state differs.
-    val mode = if (layouts.exists(_.built)) "cold" else "warm"
+    // A RETRIED query section is warm by construction — every query
+    // already ran a full set of reps, so page cache and JIT state are
+    // warmer than any first-pass cold record even if the layout phase
+    // built; keeping attempt 1's "cold" tag would invite exactly the
+    // cross-incompatible-run comparison the tag exists to prevent.
+    val mode =
+      if (runAttempts > 1) "warm"
+      else if (layouts.exists(_.built)) "cold"
+      else "warm"
     // A record is degraded if the host was loaded on either side of the
     // KEPT measurement (post-retry, both probes bracket the last attempt).
     val degradedHost = !inBand(sentinel) || !inBand(sentinelPost)

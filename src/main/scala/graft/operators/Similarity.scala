@@ -157,6 +157,26 @@ object Similarity {
     * in whatever cluster owns the low ids, which is what lifted the
     * low-nprobe recall curve (BASELINE.md ledger).
     */
+  /** Every knob that parameterizes the trained quantizer, rendered as a
+    * key component for EVERY persisted layout whose artifact embeds
+    * [[refinedCentroids]] output — [[graft.GraftConf]]'s discipline:
+    * knobs that parameterize a persisted layout fold into its cache key,
+    * so two settings can never silently share one artifact. Introduced
+    * with the v5 balance knobs, and it closes the same (pre-existing)
+    * gap for the older `kmeans.*` knobs, which also shape the stored
+    * centroids but rode outside the keys until now.
+    */
+  private def quantizerKnobKey(spark: SparkSession): String = {
+    val mi = graft.GraftConf.int(spark, "ann.kmeans.maxiters", 8)
+    val ep = graft.GraftConf.double(spark, "ann.kmeans.epsilon", 1e-4)
+    val r  = graft.GraftConf.int(spark, "ann.kmeans.rounds", 3)
+    val o  = graft.GraftConf.int(spark, "ann.kmeans.oversample", 2)
+    val sc = graft.GraftConf.int(spark, "ann.kmeans.sample", 1 << 20)
+    val b  = graft.GraftConf.int(spark, "ann.kmeans.balance", 2)
+    val t  = graft.GraftConf.double(spark, "ann.kmeans.balance_tau", 1.25)
+    s"km$mi;$ep;$r;$o;$sc;$b;$t"
+  }
+
   private[graft] def refinedCentroids(e: DataFrame, nClusters: Int): Array[Seq[Float]] = {
     val spark     = e.sparkSession
     val maxIters  = graft.GraftConf.int(spark, "ann.kmeans.maxiters", 8)
@@ -754,7 +774,7 @@ object Similarity {
     val key = graft.sources.LayoutCache.contentKey(
       spark,
       s"$dir/embeddings.parquet",
-      s"ivf-v$IvfSchemeVersion#$nClusters"
+      s"ivf-v$IvfSchemeVersion#$nClusters#${quantizerKnobKey(spark)}"
     )
     val layout = graft.sources.LayoutCache.getOrBuild(spark, "graft_ivf", key) { out =>
       val e       = Tables.embeddings(spark, dir)
@@ -809,7 +829,7 @@ object Similarity {
     val key = graft.sources.LayoutCache.contentKey(
       spark,
       s"$dir/embeddings.parquet",
-      s"ivfbase-v$IvfIncrSchemeVersion#$nClusters#$batchStartId"
+      s"ivfbase-v$IvfIncrSchemeVersion#$nClusters#$batchStartId#${quantizerKnobKey(spark)}"
     )
     val layout = graft.sources.LayoutCache.getOrBuild(spark, "graft_ivfbase", key) { out =>
       val e       = Tables.embeddings(spark, dir).where(col("vec_id") < batchStartId)
@@ -833,7 +853,7 @@ object Similarity {
     val key = graft.sources.LayoutCache.contentKey(
       spark,
       s"$dir/embeddings.parquet",
-      s"ivfdelta-v$IvfIncrSchemeVersion#$nClusters#$batchStartId"
+      s"ivfdelta-v$IvfIncrSchemeVersion#$nClusters#$batchStartId#${quantizerKnobKey(spark)}"
     )
     graft.sources.LayoutCache.getOrBuild(spark, "graft_ivfdelta", key) { out =>
       val base = ivfBaseLayoutCache(spark, dir, nClusters, batchStartId)
@@ -1030,7 +1050,7 @@ object Similarity {
     val key = graft.sources.LayoutCache.contentKey(
       spark,
       s"$dir/embeddings.parquet",
-      s"ivfcompactc-v$IvfCompactSchemeVersion-base$IvfSchemeVersion#$nc#$split"
+      s"ivfcompactc-v$IvfCompactSchemeVersion-base$IvfSchemeVersion#$nc#$split#${quantizerKnobKey(spark)}"
     )
     val layout = graft.sources.LayoutCache.getOrBuild(spark, "graft_ivfcompactc", key) { out =>
       compactVectorIndex(spark, base, s"$delta/vectors.parquet", out)
@@ -1091,7 +1111,7 @@ object Similarity {
     val key = graft.sources.LayoutCache.contentKey(
       spark,
       s"$dir/embeddings.parquet",
-      s"ivfcompact-v$IvfCompactSchemeVersion-base$IvfSchemeVersion#$nc#$fxKey"
+      s"ivfcompact-v$IvfCompactSchemeVersion-base$IvfSchemeVersion#$nc#$fxKey#${quantizerKnobKey(spark)}"
     )
     val layout = graft.sources.LayoutCache.getOrBuild(spark, "graft_ivfcompact", key) { out =>
       compactVectorIndex(spark, base, s"$delta/vectors.parquet", out)
@@ -1447,7 +1467,7 @@ object Similarity {
     val key = graft.sources.LayoutCache.contentKey(
       spark,
       s"$dir/embeddings.parquet",
-      s"ivfp-v$IvfSchemeVersion-q8#$nClusters#$fxKey"
+      s"ivfp-v$IvfSchemeVersion-q8#$nClusters#$fxKey#${quantizerKnobKey(spark)}"
     )
     graft.sources.LayoutCache.getOrBuild(spark, "graft_ivfp", key) { out =>
       val e       = Tables.embeddings(spark, dir).unionByName(spark.read.parquet(fx))
@@ -1643,7 +1663,7 @@ object Similarity {
     val key = graft.sources.LayoutCache.contentKey(
       spark,
       s"$dir/embeddings.parquet",
-      s"ivfpdelta-v$IvfSchemeVersion#$nClusters#$fxKey"
+      s"ivfpdelta-v$IvfSchemeVersion#$nClusters#$fxKey#${quantizerKnobKey(spark)}"
     )
     graft.sources.LayoutCache.getOrBuild(spark, "graft_ivfpdelta", key) { out =>
       val base = ivfLayoutCache(spark, dir, nClusters)
@@ -2278,7 +2298,7 @@ object Similarity {
     val key = graft.sources.LayoutCache.contentKey(
       spark,
       s"$dir/embeddings.parquet",
-      s"ivfbp-v$IvfSchemeVersion#$nClusters#$fxKey"
+      s"ivfbp-v$IvfSchemeVersion#$nClusters#$fxKey#${quantizerKnobKey(spark)}"
     )
     graft.sources.LayoutCache.getOrBuild(spark, "graft_ivfbp", key) { out =>
       val e       = Tables.embeddings(spark, dir).unionByName(spark.read.parquet(fx))

@@ -46,7 +46,7 @@ import org.apache.spark.sql.functions._
   */
 object SegmentFan {
 
-  private def parsedId(name: String, prefix: String): Option[Long] = {
+  private[streaming] def parsedId(name: String, prefix: String): Option[Long] = {
     val s = name.stripPrefix(prefix)
     if (name.startsWith(prefix) && s.nonEmpty && s.length <= 18 && s.forall(_.isDigit))
       Some(s.toLong)

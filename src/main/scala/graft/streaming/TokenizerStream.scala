@@ -70,33 +70,49 @@ object TokenizerStream {
     * retrain with no error (ADVICE r19) — so both entry points fold them
     * in first: each legacy segment is RENAMED into the fan (a pure move —
     * segment contents and ids are unchanged, so the summed-union retrain
-    * is bit-identical before and after). A collision (the same batch id
-    * present in both layouts) is ambiguous — a replay may have rewritten
-    * one but not the other — and throws rather than guessing which copy
-    * counts. Crash-safe: each rename is independent, and a re-run moves
-    * whatever remains.
+    * is bit-identical before and after).
+    *
+    * Only names [[SegmentFan.parsedId]] accepts migrate — an unparseable
+    * leftover (`batch_id=copy`, a pasted-nanos overflow name) is ignored
+    * by every fan reader, and moving it would convert a harmless stray
+    * into a partition-discovery breaker inside `counts/`.
+    *
+    * A COLLISION (the same id in both layouts) has one normal, system-
+    * produced cause: a pre-upgrade crash left batch N in the legacy
+    * layout, and the post-upgrade checkpoint replay rewrote batch N into
+    * the fan — two row-identical copies of the same idempotent write. So
+    * a collision resolves by COMPARING ROW SETS (vocab-sized, one cheap
+    * job): equal → the legacy copy is redundant and is deleted; unequal →
+    * genuinely ambiguous, throw. Concurrency: a rename that fails because
+    * another migrator moved the segment first (src gone, dst present) is
+    * that migrator's success, not an error. Crash-safe: each segment is
+    * handled independently and a re-run finishes whatever remains.
     */
   private[graft] def foldLegacyCountSegments(spark: SparkSession, countsDir: String): Int = {
-    val fs = new org.apache.hadoop.fs.Path(countsDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(countsDir)
+    val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0
     val legacy = fs
       .listStatus(root)
+      .filter(s => s.isDirectory && SegmentFan.parsedId(s.getPath.getName, "batch_id=").isDefined)
       .map(_.getPath)
-      .filter(p => p.getName.startsWith("batch_id=") && fs.getFileStatus(p).isDirectory)
     if (legacy.isEmpty) return 0
     val fanRoot = new org.apache.hadoop.fs.Path(root, "counts")
     if (!fs.exists(fanRoot)) fs.mkdirs(fanRoot)
     legacy.foreach { src =>
       val dst = new org.apache.hadoop.fs.Path(fanRoot, src.getName)
-      if (fs.exists(dst))
-        throw new IllegalStateException(
-          s"tokenizer count segment ${src.getName} exists in BOTH the legacy layout ($src) " +
-            s"and the fan layout ($dst); cannot decide which copy is authoritative — " +
-            "delete the stale one manually before retraining"
-        )
-      if (!fs.rename(src, dst))
+      if (fs.exists(dst)) {
+        val legacyRows = spark.read.parquet(src.toString).select("word", "freq")
+        val fanRows    = spark.read.parquet(dst.toString).select("word", "freq")
+        val equal = legacyRows.exceptAll(fanRows).isEmpty && fanRows.exceptAll(legacyRows).isEmpty
+        if (!equal)
+          throw new IllegalStateException(
+            s"tokenizer count segment ${src.getName} exists in BOTH the legacy layout ($src) " +
+              s"and the fan layout ($dst) WITH DIFFERENT ROWS; cannot decide which copy is " +
+              "authoritative — delete the stale one manually before retraining"
+          )
+        fs.delete(src, true) // replay-produced duplicate of the fan copy
+      } else if (!fs.rename(src, dst) && !(fs.exists(dst) && !fs.exists(src)))
         throw new IllegalStateException(s"failed to migrate legacy count segment $src -> $dst")
     }
     legacy.length

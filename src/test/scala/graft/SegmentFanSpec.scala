@@ -96,27 +96,38 @@ class SegmentFanSpec extends SparkSpec {
     assert(rows(root, "a", ts) == Set((0L, "v0", 0L), (10L, "v1", 1L), (20L, "v2", 2L)))
   }
 
-  test("tokenizer legacy count layout (batch_id= directly under root) folds into the fan; a collision throws") {
+  test("tokenizer legacy count layout folds into the fan; replay-identical collisions resolve, divergent ones throw, strays stay put") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_sfan6").toString
-    // a pre-upgrade deployment: two legacy segments at root level
+    // a pre-upgrade deployment: two legacy segments at root level, plus an
+    // unparseable stray that every fan reader ignores — it must NOT move
     Seq(("alpha beta", 2L)).toDF("word", "freq")
       .write.mode("overwrite").parquet(s"$root/batch_id=0")
     Seq(("alpha beta", 3L)).toDF("word", "freq")
       .write.mode("overwrite").parquet(s"$root/batch_id=1")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/batch_id=copy"))
     assert(graft.streaming.TokenizerStream.foldLegacyCountSegments(spark, root) == 2)
     assert(!new java.io.File(s"$root/batch_id=0").exists())
     assert(new java.io.File(s"$root/counts/batch_id=0").exists())
     assert(new java.io.File(s"$root/counts/batch_id=1").exists())
+    assert(new java.io.File(s"$root/batch_id=copy").exists(), "unparseable stray must not migrate")
+    assert(!new java.io.File(s"$root/counts/batch_id=copy").exists())
     // idempotent once migrated
     assert(graft.streaming.TokenizerStream.foldLegacyCountSegments(spark, root) == 0)
-    // ambiguity (same id in both layouts) must throw, not guess
+    // the NORMAL collision — a post-upgrade checkpoint replay rewrote the
+    // crashed batch into the fan, so both copies are row-identical — must
+    // resolve silently (legacy copy deleted), never brick the read path
+    Seq(("alpha beta", 3L)).toDF("word", "freq")
+      .write.mode("overwrite").parquet(s"$root/batch_id=1")
+    assert(graft.streaming.TokenizerStream.foldLegacyCountSegments(spark, root) == 1)
+    assert(!new java.io.File(s"$root/batch_id=1").exists(), "replay-identical legacy copy not reclaimed")
+    // a DIVERGENT collision is genuinely ambiguous and must throw
     Seq(("alpha beta", 9L)).toDF("word", "freq")
       .write.mode("overwrite").parquet(s"$root/batch_id=1")
     val e = intercept[IllegalStateException] {
       graft.streaming.TokenizerStream.foldLegacyCountSegments(spark, root)
     }
-    assert(e.getMessage.contains("BOTH"))
+    assert(e.getMessage.contains("DIFFERENT ROWS"))
   }
 
   test("unparseable dir names (non-digits, >18-digit overflow) are skipped everywhere, never thrown on") {
