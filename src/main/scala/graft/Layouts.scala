@@ -31,7 +31,7 @@ object Layouts {
     * enough — [[LayoutCache.getOrBuild]] writes eagerly — but cheap actions
     * (a `head()` for a batch boundary) are part of some entry points.
     */
-  private def forcers(spark: SparkSession, dir: String): Seq[(String, () => Unit)] = Seq(
+  private[graft] def forcers(spark: SparkSession, dir: String): Seq[(String, () => Unit)] = Seq(
     "minhash_signatures" -> (() => { Dedup.minhashArtifactsCached(spark, dir); () }),
     "minhash_pairs"      -> (() => { Dedup.minhashLshPairs(spark, dir); () }),
     "minhash_batch_index" -> (() => { Dedup.incrementalNearDupPairs(spark, dir); () }),
@@ -80,13 +80,57 @@ object Layouts {
   /** Force every layout for `dir`, attributing [[LayoutCache]] build events
     * to the forcer that triggered them. A reused layout reports
     * `built = false, buildSecs = 0`.
+    *
+    * Forcers run CONCURRENTLY on a small fixed pool
+    * (`graft.layout.build.parallelism`, default 6; 1 = the old sequential
+    * path): the families are independent Spark jobs (image/audio/video
+    * ledgers, postings vs IVF vs bucketed tables), and a serial build
+    * leaves the cluster idle during every small build's planning and tail
+    * (guide §2.6 — overlap independent jobs so the next job back-fills the
+    * current one's stragglers). Cross-family dependencies (lss_table →
+    * span_artifacts, ivf_delta → ivf_base, ...) need no ordering here:
+    * every entry point pulls its dependencies through
+    * [[LayoutCache.getOrBuild]], whose per-path in-JVM lock makes the
+    * loser of a race wait and reuse instead of double-building. Artifact
+    * bytes and cache keys are identical to the sequential build.
+    *
+    * Attribution is thread-keyed ([[LayoutCache.threadBuildEvents]]): each
+    * forcer's thread collects the builds IT performed (including
+    * transitive dependencies it won the race for). Job descriptions are
+    * thread-local in Spark, so the UI labels stay per-forcer.
     */
   def buildAll(spark: SparkSession, dir: String): Seq[LayoutReport] = {
-    LayoutCache.drainBuildLog() // start attribution from a clean slate
-    forcers(spark, dir).map { case (name, force) =>
-      force()
-      val events = LayoutCache.drainBuildLog()
-      LayoutReport(name, events.nonEmpty, events.map(_._2).sum, events.map(_._1))
+    val par = math.max(1, graft.GraftConf.int(spark, "layout.build.parallelism", 6))
+    val fcs = forcers(spark, dir)
+    if (par == 1) {
+      LayoutCache.drainBuildLog() // start attribution from a clean slate
+      fcs.map { case (name, force) =>
+        force()
+        val events = LayoutCache.drainBuildLog()
+        LayoutReport(name, events.nonEmpty, events.map(_._2).sum, events.map(_._1))
+      }
+    } else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+      try {
+        val tasks = fcs.map { case (name, force) =>
+          pool.submit(new java.util.concurrent.Callable[LayoutReport] {
+            override def call(): LayoutReport = {
+              val events = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+              LayoutCache.threadBuildEvents.set(events)
+              spark.sparkContext.setJobDescription(s"layout: $name")
+              try force()
+              finally {
+                spark.sparkContext.setJobDescription(null)
+                LayoutCache.threadBuildEvents.remove()
+              }
+              LayoutReport(name, events.nonEmpty, events.map(_._2).sum, events.map(_._1).toSeq)
+            }
+          })
+        }
+        val reports = tasks.map(_.get())
+        LayoutCache.drainBuildLog() // events are attributed above; keep late_builds clean
+        reports
+      } finally pool.shutdown()
     }
   }
 }

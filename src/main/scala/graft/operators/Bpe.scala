@@ -195,8 +195,7 @@ object Bpe {
   def bpeMerges(spark: SparkSession, dir: String,
       numMerges: Int = -1 // -1 = the graft.bpe.merges session knob (DefaultMerges unset)
   ): DataFrame =
-    spark.read
-      .parquet(s"${bpeLayoutCache(spark, dir, resolveMerges(spark, numMerges))}/merges.parquet")
+    Tables.cachedRead(spark, s"${bpeLayoutCache(spark, dir, resolveMerges(spark, numMerges))}/merges.parquet")
       .orderBy("merge_rank")
 
   /** -1 → the `graft.bpe.merges` session knob ([[DefaultMerges]] unset). */
@@ -215,8 +214,7 @@ object Bpe {
   def bpeTokenCount(spark: SparkSession, dir: String,
       numMerges: Int = -1 // -1 = the graft.bpe.merges session knob
   ): DataFrame = {
-    val perWord = spark.read
-      .parquet(s"${bpeLayoutCache(spark, dir, resolveMerges(spark, numMerges))}/vocab.parquet")
+    val perWord = Tables.cachedRead(spark, s"${bpeLayoutCache(spark, dir, resolveMerges(spark, numMerges))}/vocab.parquet")
     Tables
       .documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
@@ -246,8 +244,7 @@ object Bpe {
   def bpeEncode(spark: SparkSession, dir: String,
       numMerges: Int = -1 // -1 = the graft.bpe.merges session knob
   ): DataFrame = {
-    val perWord = spark.read
-      .parquet(s"${bpeLayoutCache(spark, dir, resolveMerges(spark, numMerges))}/vocab.parquet")
+    val perWord = Tables.cachedRead(spark, s"${bpeLayoutCache(spark, dir, resolveMerges(spark, numMerges))}/vocab.parquet")
       .select("word", "subs")
     Tables
       .documents(spark, dir)
@@ -296,7 +293,7 @@ object Bpe {
       s"bpei-v$BpeSchemeVersion#$numMerges#$k"
     )
     LayoutCache.getOrBuild(spark, "graft_bpei", key) { out =>
-      val base  = spark.read.parquet(s"${wordCountCache(spark, dir, k)}/words.parquet")
+      val base  = Tables.cachedRead(spark, s"${wordCountCache(spark, dir, k)}/words.parquet")
       val batch = wordCounts(all.where(col("doc_id") >= k))
       // additive count merge — bit-exact vs a full-corpus recount, which
       // is what makes the retrain ≡ v1 (BpeSpec pins the equality)
@@ -341,7 +338,6 @@ object Bpe {
   def bpeMergesIncremental(spark: SparkSession, dir: String,
       numMerges: Int = -1 // -1 = the graft.bpe.merges session knob
   ): DataFrame =
-    spark.read
-      .parquet(s"${bpeIncrementalCache(spark, dir, resolveMerges(spark, numMerges))}/merges.parquet")
+    Tables.cachedRead(spark, s"${bpeIncrementalCache(spark, dir, resolveMerges(spark, numMerges))}/merges.parquet")
       .orderBy("merge_rank")
 }

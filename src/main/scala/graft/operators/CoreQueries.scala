@@ -482,8 +482,7 @@ object CoreQueries {
     */
   def p1PartitionedTimeCount(spark: SparkSession, dir: String): DataFrame = {
     val layout = Prep.dayPartitionedEventsCache(spark, dir)
-    spark.read
-      .parquet(layout)
+    graft.sources.Tables.cachedRead(spark, layout)
       .where(
         col("day") >= lit(java.sql.Date.valueOf("2024-01-15")) &&
           col("ts") > expr("timestamp_ntz'2024-01-15 00:00:00'")
@@ -505,8 +504,7 @@ object CoreQueries {
     */
   def z1ZorderRange(spark: SparkSession, dir: String): DataFrame = {
     val layout = Prep.zorderEventsCache(spark, dir)
-    spark.read
-      .parquet(layout)
+    graft.sources.Tables.cachedRead(spark, layout)
       .where(
         col("user_id").between(lit(40), lit(90)) &&
           col("ts") >= expr("timestamp_ntz'2024-01-08 00:00:00'") &&

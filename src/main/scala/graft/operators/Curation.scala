@@ -227,8 +227,7 @@ object Curation {
       ).as("g")
     )
     val layout = TextAnalysis.trigramLayoutCache(spark, dir)
-    val tri = spark.read
-      .parquet(s"$layout/trigrams.parquet")
+    val tri = Tables.cachedRead(spark, s"$layout/trigrams.parquet")
       .where(col("doc_id") % 50 =!= 0)
     // Rarest-K gram selection (classic multi-pattern optimization): the
     // candidate join need not use EVERY gram of a needle — any subset
@@ -247,7 +246,7 @@ object Curation {
     // reorder WHICH grams probe, never the final answer — any probe
     // subset yields a candidate superset and the contains verify is the
     // truth source.
-    val dfByGram = spark.read.parquet(s"$layout/gramdf.parquet")
+    val dfByGram = Tables.cachedRead(spark, s"$layout/gramdf.parquet")
     val rarest = ngrams
       .join(dfByGram, Seq("g"), "left")
       .withColumn("df", coalesce(col("df"), lit(0L)))
@@ -694,8 +693,7 @@ object Curation {
     * LM score and are absent, the d21 contract.
     */
   def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
-    val scores = spark.read
-      .parquet(s"${TextAnalysis.lmScoreLayoutCache(spark, dir)}/scores.parquet")
+    val scores = Tables.cachedRead(spark, s"${TextAnalysis.lmScoreLayoutCache(spark, dir)}/scores.parquet")
     val cuts = scores.agg(
       expr("percentile(lm_q, 0.75)").as("c75"),
       expr("percentile(lm_q, 0.5)").as("c50"),

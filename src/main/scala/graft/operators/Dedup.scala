@@ -173,7 +173,7 @@ object Dedup {
       span: Int = -1 // -1 = the graft.span.tokens session knob (SpanTokens unset)
   ): DataFrame = {
     val w = resolveSpan(spark, span)
-    spark.read.parquet(s"${spanArtifactsCached(spark, dir, w)}/shared").orderBy("span_fp")
+    Tables.cachedRead(spark, s"${spanArtifactsCached(spark, dir, w)}/shared").orderBy("span_fp")
   }
 
   /** The live (layout-free) form of [[sharedSpans]] — the computation the
@@ -211,8 +211,7 @@ object Dedup {
       span0: Int = -1 // -1 = the graft.span.tokens session knob
   ): DataFrame = {
     val span = resolveSpan(spark, span0)
-    spark.read
-      .parquet(s"${spanArtifactsCached(spark, dir, span)}/docstats")
+    Tables.cachedRead(spark, s"${spanArtifactsCached(spark, dir, span)}/docstats")
       .withColumn("shared_ratio", col("n_shared_spans") / col("n_spans"))
       .orderBy("doc_id")
   }
@@ -424,8 +423,7 @@ object Dedup {
       .documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .where(col("doc_id").isNotNull)
-    val starts = spark.read
-      .parquet(s"${spanArtifactsCached(spark, dir, span)}/starts")
+    val starts = Tables.cachedRead(spark, s"${spanArtifactsCached(spark, dir, span)}/starts")
       .groupBy("doc_id")
       .agg(collect_set(col("s")).as("ss"))
     redactFrom(docs, starts, span)
@@ -481,8 +479,7 @@ object Dedup {
       .documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .where(col("doc_id").isNotNull)
-    val starts = spark.read
-      .parquet(s"${spanArtifactsCached(spark, dir, span)}/exstarts")
+    val starts = Tables.cachedRead(spark, s"${spanArtifactsCached(spark, dir, span)}/exstarts")
       .groupBy("doc_id")
       .agg(collect_set(col("s")).as("ss"))
     exciseFrom(docs, starts, span)
@@ -602,7 +599,7 @@ object Dedup {
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .where(col("doc_id").isNotNull)
     val hits =
-      spark.read.parquet(s"${spanArtifactsCached(spark, dir, span)}/starts")
+      Tables.cachedRead(spark, s"${spanArtifactsCached(spark, dir, span)}/starts")
     segmentsFrom(docs, hits, span)
   }
 
@@ -685,7 +682,7 @@ object Dedup {
   private[graft] val LssSchemeVersion = 3
 
   def longestSharedSubstring(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"${lssLayoutCache(spark, dir)}/lss.parquet").orderBy("doc_id")
+    Tables.cachedRead(spark, s"${lssLayoutCache(spark, dir)}/lss.parquet").orderBy("doc_id")
 
   /** N19B — n19 with PARTNER attribution: alongside each document's
     * longest shared substring, the smallest OTHER doc_id that contains
@@ -697,7 +694,7 @@ object Dedup {
     * discipline (the partner join replayed relationally).
     */
   def longestSharedSubstringPartners(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"${lssLayoutCache(spark, dir)}/partners.parquet").orderBy("doc_id")
+    Tables.cachedRead(spark, s"${lssLayoutCache(spark, dir)}/partners.parquet").orderBy("doc_id")
 
   /** Ingest-once materialization, the span-family contract (n7/n11/d16):
     * the `cap×`-token candidate aggregation is the dominant cost and is a
@@ -741,7 +738,7 @@ object Dedup {
 
   /** The per-doc top-K span ledger persisted with the LSS layout. */
   private[graft] def lssTopkLedger(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"${lssLayoutCache(spark, dir)}/topk.parquet")
+    Tables.cachedRead(spark, s"${lssLayoutCache(spark, dir)}/topk.parquet")
 
   /** The standalone one-output LSS fold — the recompute/differential
     * surface (targeted-overflow oracle side, specs, rehearsals). Kept
@@ -994,8 +991,7 @@ object Dedup {
     // persisted layout — survivors are few, the mining pass is the whole
     // cost, and k is a read-time knob (any k reuses one census).
     val lay = gramCensusCached(spark, dir, minN, maxN, minDf)
-    spark.read
-      .parquet(lay)
+    Tables.cachedRead(spark, lay)
       .withColumn("rnk", row_number().over(Window.partitionBy("n").orderBy(col("df").desc, col("gram"))))
       .where(col("rnk") <= k)
       .select(col("n"), col("gram"), col("df"))
@@ -1312,7 +1308,7 @@ object Dedup {
       docSets.write.mode("overwrite").parquet(s"$out/docsets.parquet")
       buckets.write.mode("overwrite").parquet(s"$out/buckets.parquet")
     }
-    (spark.read.parquet(s"$layout/docsets.parquet"), spark.read.parquet(s"$layout/buckets.parquet"))
+    (Tables.cachedRead(spark, s"$layout/docsets.parquet"), Tables.cachedRead(spark, s"$layout/buckets.parquet"))
   }
 
   /** Bump when the pair derivation (candidate generation or verification
@@ -1343,7 +1339,7 @@ object Dedup {
     val layout = graft.sources.LayoutCache.getOrBuild(spark, "graft_mhpairs", key) { out =>
       minhashLshPairsLive(spark, dir).write.mode("overwrite").parquet(s"$out/pairs.parquet")
     }
-    spark.read.parquet(s"$layout/pairs.parquet").orderBy("doc_a", "doc_b")
+    Tables.cachedRead(spark, s"$layout/pairs.parquet").orderBy("doc_a", "doc_b")
   }
 
   private[graft] def minhashLshPairsLive(spark: SparkSession, dir: String): DataFrame = {
@@ -1406,8 +1402,8 @@ object Dedup {
     // instead of throwing on the null scalar
     val k = all.agg(expr("coalesce((max(doc_id) + 1) div 2, 0)").as("k")).head().getLong(0)
     val layout        = minhashIndexCache(spark, dir, k)
-    val corpusSets    = spark.read.parquet(s"$layout/docsets.parquet")
-    val corpusBuckets = spark.read.parquet(s"$layout/buckets.parquet")
+    val corpusSets    = Tables.cachedRead(spark, s"$layout/docsets.parquet")
+    val corpusBuckets = Tables.cachedRead(spark, s"$layout/buckets.parquet")
     val (batchSets, batchBuckets) = minhashArtifacts(all.where(col("doc_id") >= k))
     // corpus ids < k ≤ batch ids, so cross pairs are (corpus, batch) —
     // already in doc_a < doc_b orientation; batch-internal pairs order as
@@ -1459,8 +1455,8 @@ object Dedup {
     )
     val priorLayout = graft.sources.LayoutCache.getOrBuild(spark, "graft_mhclusters_half", key) { out =>
       val idx           = minhashIndexCache(spark, dir, k)
-      val corpusSets    = spark.read.parquet(s"$idx/docsets.parquet")
-      val corpusBuckets = spark.read.parquet(s"$idx/buckets.parquet")
+      val corpusSets    = Tables.cachedRead(spark, s"$idx/docsets.parquet")
+      val corpusBuckets = Tables.cachedRead(spark, s"$idx/buckets.parquet")
       val cand = corpusBuckets
         .as("a")
         .join(
@@ -1485,14 +1481,13 @@ object Dedup {
       s"mhclusters-incr-v$ClustersSchemeVersion#p-v$MinhashPairsSchemeVersion#mh-v$MinhashSchemeVersion#h$h#b$b#n${shingleN(spark)}#$k"
     )
     val layout = graft.sources.LayoutCache.getOrBuild(spark, "graft_mhclusters_incr", incrKey) { out =>
-      val prior = spark.read
-        .parquet(s"$priorLayout/clusters.parquet")
+      val prior = Tables.cachedRead(spark, s"$priorLayout/clusters.parquet")
         .select(col("cluster_id").as("doc_a"), col("doc_id").as("doc_b"))
       val delta = incrementalNearDupPairs(spark, dir).select("doc_a", "doc_b")
       clustersFromPairsStar(prior.unionByName(delta))
         .write.mode("overwrite").parquet(s"$out/clusters.parquet")
     }
-    spark.read.parquet(s"$layout/clusters.parquet").orderBy("cluster_id", "doc_id")
+    Tables.cachedRead(spark, s"$layout/clusters.parquet").orderBy("cluster_id", "doc_id")
   }
 
   /** N3 — SimHash near-dup pairs: 64-bit signature over the *distinct
@@ -1533,7 +1528,7 @@ object Dedup {
     val layout = graft.sources.LayoutCache.getOrBuild(spark, "graft_shpairs", key) { out =>
       simhashPairsLive(spark, dir).write.mode("overwrite").parquet(s"$out/pairs.parquet")
     }
-    spark.read.parquet(s"$layout/pairs.parquet").orderBy("doc_a", "doc_b")
+    Tables.cachedRead(spark, s"$layout/pairs.parquet").orderBy("doc_a", "doc_b")
   }
 
   /** First doc_id of the simdup planted fixture — pairs at or above it are
@@ -1570,13 +1565,13 @@ object Dedup {
       val docs = Tables
         .documents(spark, dir)
         .select("doc_id", "text")
-        .unionByName(spark.read.parquet(fx).select("doc_id", "text"))
+        .unionByName(Tables.cachedRead(spark, fx).select("doc_id", "text"))
       val tok = shingles(docs).select(col("doc_id"), shingleHash64(col("s")).as("h")).distinct()
       simhashPairsFromHashes(tok)
         .where(col("doc_a") >= SimdupPlantedBase)
         .write.mode("overwrite").parquet(s"$out/pairs.parquet")
     }
-    spark.read.parquet(s"$layout/pairs.parquet").orderBy("doc_a", "doc_b")
+    Tables.cachedRead(spark, s"$layout/pairs.parquet").orderBy("doc_a", "doc_b")
   }
 
   private[graft] def simhashPairsLive(spark: SparkSession, dir: String): DataFrame = {
@@ -1669,7 +1664,7 @@ object Dedup {
       clustersFromPairsStar(minhashLshPairs(spark, dir))
         .write.mode("overwrite").parquet(s"$out/clusters.parquet")
     }
-    spark.read.parquet(s"$layout/clusters.parquet").orderBy("cluster_id", "doc_id")
+    Tables.cachedRead(spark, s"$layout/clusters.parquet").orderBy("cluster_id", "doc_id")
   }
 
   /** G2 — fixed-point PageRank over the near-duplicate pair graph: which
@@ -2085,7 +2080,7 @@ object Dedup {
       embeddingDupPairsOn(Tables.embeddings(spark, dir), threshold = t, nBands = nb, bandBits = bb)
         .write.mode("overwrite").parquet(s"$out/pairs.parquet")
     }
-    spark.read.parquet(s"$layout/pairs.parquet").orderBy("vec_a", "vec_b")
+    Tables.cachedRead(spark, s"$layout/pairs.parquet").orderBy("vec_a", "vec_b")
   }
 
   /** N4P — [[embeddingDupPairs]] with the committed near-dup fixture
@@ -2109,11 +2104,11 @@ object Dedup {
     )
     val layout = graft.sources.LayoutCache.getOrBuild(spark, "graft_embpairsp", key) { out =>
       VectorFunctions.register(spark)
-      val e = Tables.embeddings(spark, dir).unionByName(spark.read.parquet(fx))
+      val e = Tables.embeddings(spark, dir).unionByName(Tables.cachedRead(spark, fx))
       embeddingDupPairsOn(e, threshold = t, nBands = nb, bandBits = bb)
         .write.mode("overwrite").parquet(s"$out/pairs.parquet")
     }
-    spark.read.parquet(s"$layout/pairs.parquet").orderBy("vec_a", "vec_b")
+    Tables.cachedRead(spark, s"$layout/pairs.parquet").orderBy("vec_a", "vec_b")
   }
 
   /** LSH-bucketed pairwise dedup over any (vec_id, embedding) frame —
@@ -2443,8 +2438,7 @@ object Dedup {
     * targeted ≡ full-filtered.
     */
   def longestSharedSubstringTombstoned(spark: SparkSession, dir: String): DataFrame =
-    spark.read
-      .parquet(s"${lssTombstonedLayoutCache(spark, dir)}/lsstd.parquet")
+    Tables.cachedRead(spark, s"${lssTombstonedLayoutCache(spark, dir)}/lsstd.parquet")
       .orderBy("doc_id")
 
   /** The masked LSS persisted per (corpus, takedown-rule) version — the

@@ -1322,7 +1322,7 @@ object Multimodal {
 
   private def bandBoundOf(spark: SparkSession, layout: String): Long =
     bandBoundCache
-      .computeIfAbsent(layout, l => spark.read.parquet(s"$l/bandstat.parquet").head().getLong(0))
+      .computeIfAbsent(layout, l => Tables.cachedRead(spark, s"$l/bandstat.parquet").head().getLong(0))
       .longValue()
 
   /** Write the build-time occupancy stat beside a freshly-built ledger —
@@ -1330,7 +1330,7 @@ object Multimodal {
     * diverge from [[graft.operators.Dedup.dhashLevel0MaxOccupancy]].
     */
   private def writeBandStat(spark: SparkSession, ledgerPath: String, out: String): Unit = {
-    val bound = graft.operators.Dedup.dhashLevel0MaxOccupancy(spark.read.parquet(ledgerPath))
+    val bound = graft.operators.Dedup.dhashLevel0MaxOccupancy(Tables.cachedRead(spark, ledgerPath))
     spark.range(1).select(lit(bound).as("max_occ")).coalesce(1)
       .write.mode("overwrite").parquet(s"$out/bandstat.parquet")
   }
@@ -1775,7 +1775,7 @@ object Multimodal {
       .documents(spark, dir)
       .agg(expr("coalesce((max(doc_id) + 1) div 2, 0)").as("k"))
       .head().getLong(0)
-    val base  = spark.read.parquet(s"${mediaCatalogBaseCache(spark, dir, split)}/catalog.parquet")
+    val base  = Tables.cachedRead(spark, s"${mediaCatalogBaseCache(spark, dir, split)}/catalog.parquet")
     val delta = catalogRows(mediaDemux(syntheticMediaWhere(spark, dir, col("doc_id") >= split)))
     base.unionByName(delta).orderBy("doc_id")
   }

@@ -177,6 +177,42 @@ object Similarity {
     s"km$mi;$ep;$r;$o;$sc;$b;$t"
   }
 
+  /** Trained-quantizer centroids memoized per LAYOUT PATH for the JVM's
+    * lifetime — the serving state an ANN index holds resident. The path is
+    * content-keyed ([[graft.sources.LayoutCache]]), so one path names one
+    * immutable training output; a regenerated corpus or retuned knob mints
+    * a NEW path and misses the memo. (The degenerate stale case — a key
+    * swept and deterministically rebuilt in one JVM — reproduces the
+    * identical centroids, so even it cannot serve wrong data.) This cuts
+    * one collect-a-small-parquet Spark job from every IVF/SQ8 query
+    * invocation; the query's real work (assignment, probe scan, ranking)
+    * still computes from parquet every call.
+    */
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Seq[Float]]]
+
+  private def loadCentroids(spark: SparkSession, path: String): Array[Seq[Float]] =
+    centroidCache.getOrElseUpdate(
+      path,
+      Tables.cachedRead(spark, path).orderBy("cl").collect().map(_.getSeq[Float](1))
+    )
+
+  /** PQ codebooks memoized per layout path — same contract as
+    * [[centroidCache]] (immutable content-keyed path, small driver-side
+    * artifact, deterministic rebuild).
+    */
+  private val codebookCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Seq[Float]]]]
+
+  private def loadCodebooks(spark: SparkSession, path: String): Array[Array[Seq[Float]]] =
+    codebookCache.getOrElseUpdate(path, {
+      val cbRows = Tables.cachedRead(spark, path).collect()
+      val m   = cbRows.map(_.getInt(0)).max + 1
+      val arr = Array.ofDim[Seq[Float]](m, cbRows.map(_.getInt(1)).max + 1)
+      cbRows.foreach(r => arr(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2))
+      arr
+    })
+
   private[graft] def refinedCentroids(e: DataFrame, nClusters: Int): Array[Seq[Float]] = {
     val spark     = e.sparkSession
     val maxIters  = graft.GraftConf.int(spark, "ann.kmeans.maxiters", 8)
@@ -569,11 +605,7 @@ object Similarity {
     // shape) paid k-means twice per cold corpus and let an ulp-level
     // training divergence false-FAIL the oracle on a near-tied
     // assignment.
-    val refined = spark.read
-      .parquet(s"${ivfLayoutCache(spark, dir, nc)}/centroids.parquet")
-      .orderBy("cl")
-      .collect()
-      .map(_.getSeq[Float](1))
+    val refined = loadCentroids(spark, s"${ivfLayoutCache(spark, dir, nc)}/centroids.parquet")
     val qv      = e.where(col("vec_id") === queryId).select("embedding").head().getSeq[Float](0)
     val probes  = probeIds(qv, refined, np)
     rankTopK(
@@ -604,16 +636,11 @@ object Similarity {
     VectorFunctions.register(spark)
     val (nc, np) = resolveIvfKnobs(spark, dir, nClusters, nProbe)
     val layout    = ivfLayoutCache(spark, dir, nc)
-    val centroids = spark.read
-      .parquet(s"$layout/centroids.parquet")
-      .orderBy("cl")
-      .collect()
-      .map(_.getSeq[Float](1))
+    val centroids = loadCentroids(spark, s"$layout/centroids.parquet")
     val qv     = Tables.embeddings(spark, dir).where(col("vec_id") === queryId).select("embedding").head().getSeq[Float](0)
     val probes = probeIds(qv, centroids, np)
     rankTopK(
-      spark.read
-        .parquet(s"$layout/vectors.parquet")
+      Tables.cachedRead(spark, s"$layout/vectors.parquet")
         .where(col("cl").isin(probes: _*) && col("vec_id") =!= queryId)
         .select(col("vec_id"), call_function("cosine_sim", col("embedding"), typedLit(qv)).as("cos")),
       k
@@ -650,16 +677,11 @@ object Similarity {
     VectorFunctions.register(spark)
     val (nc, np) = resolveIvfKnobs(spark, dir, nClusters, nProbe)
     val layout    = ivfLayoutCache(spark, dir, nc)
-    val centroids = spark.read
-      .parquet(s"$layout/centroids.parquet")
-      .orderBy("cl")
-      .collect()
-      .map(_.getSeq[Float](1))
+    val centroids = loadCentroids(spark, s"$layout/centroids.parquet")
     val qv     = Tables.embeddings(spark, dir).where(col("vec_id") === queryId).select("embedding").head().getSeq[Float](0)
     val probes = probeIds(qv, centroids, np)
     rankTopK(
-      spark.read
-        .parquet(s"$layout/vectors.parquet")
+      Tables.cachedRead(spark, s"$layout/vectors.parquet")
         .where(col("cl").isin(probes: _*) && col("label") === label && col("vec_id") =!= queryId)
         .select(col("vec_id"), call_function("cosine_sim", col("embedding"), typedLit(qv)).as("cos")),
       k
@@ -857,11 +879,7 @@ object Similarity {
     )
     graft.sources.LayoutCache.getOrBuild(spark, "graft_ivfdelta", key) { out =>
       val base = ivfBaseLayoutCache(spark, dir, nClusters, batchStartId)
-      val centroids = spark.read
-        .parquet(s"$base/centroids.parquet")
-        .orderBy("cl")
-        .collect()
-        .map(_.getSeq[Float](1))
+      val centroids = loadCentroids(spark, s"$base/centroids.parquet")
       writeIvfSegment(
         Tables.embeddings(spark, dir).where(col("vec_id") >= batchStartId),
         centroids, out, withQ8 = false
@@ -906,18 +924,13 @@ object Similarity {
       .head().getLong(0)
     val base  = ivfBaseLayoutCache(spark, dir, nc, split)
     val delta = ivfDeltaLayoutCache(spark, dir, nc, split)
-    val centroids = spark.read
-      .parquet(s"$base/centroids.parquet")
-      .orderBy("cl")
-      .collect()
-      .map(_.getSeq[Float](1))
+    val centroids = loadCentroids(spark, s"$base/centroids.parquet")
     val qv     = Tables.embeddings(spark, dir).where(col("vec_id") === queryId).select("embedding").head().getSeq[Float](0)
     val probes = probeIds(qv, centroids, np)
-    val segs = spark.read
-      .parquet(s"$base/vectors.parquet")
+    val segs = Tables.cachedRead(spark, s"$base/vectors.parquet")
       .select("vec_id", "embedding", "cl")
       .unionByName(
-        spark.read.parquet(s"$delta/vectors.parquet").select("vec_id", "embedding", "cl")
+        Tables.cachedRead(spark, s"$delta/vectors.parquet").select("vec_id", "embedding", "cl")
       )
     rankTopK(
       segs
@@ -944,16 +957,11 @@ object Similarity {
       nProbe: Int
   ): DataFrame = {
     VectorFunctions.register(spark)
-    val centroids = spark.read
-      .parquet(s"$baseLayout/centroids.parquet")
-      .orderBy("cl")
-      .collect()
-      .map(_.getSeq[Float](1))
+    val centroids = loadCentroids(spark, s"$baseLayout/centroids.parquet")
     val probes = probeIds(qv, centroids, nProbe)
-    val segs = spark.read
-      .parquet(s"$baseLayout/vectors.parquet")
+    val segs = Tables.cachedRead(spark, s"$baseLayout/vectors.parquet")
       .select("vec_id", "embedding", "cl")
-      .unionByName(spark.read.parquet(deltaDir).select("vec_id", "embedding", "cl"))
+      .unionByName(Tables.cachedRead(spark, deltaDir).select("vec_id", "embedding", "cl"))
     rankTopK(
       segs
         .where(col("cl").isin(probes: _*) && col("vec_id") =!= queryId)
@@ -979,13 +987,11 @@ object Similarity {
       deltaVectorsDir: String,
       out: String
   ): Unit = {
-    spark.read
-      .parquet(s"$baseLayout/vectors.parquet")
+    Tables.cachedRead(spark, s"$baseLayout/vectors.parquet")
       .select("vec_id", "embedding", "cl")
-      .unionByName(spark.read.parquet(deltaVectorsDir).select("vec_id", "embedding", "cl"))
+      .unionByName(Tables.cachedRead(spark, deltaVectorsDir).select("vec_id", "embedding", "cl"))
       .write.mode("overwrite").partitionBy("cl").parquet(s"$out/vectors.parquet")
-    spark.read
-      .parquet(s"$baseLayout/centroids.parquet")
+    Tables.cachedRead(spark, s"$baseLayout/centroids.parquet")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$out/centroids.parquet")
   }
@@ -1003,15 +1009,10 @@ object Similarity {
       nProbe: Int
   ): DataFrame = {
     VectorFunctions.register(spark)
-    val centroids = spark.read
-      .parquet(s"$layout/centroids.parquet")
-      .orderBy("cl")
-      .collect()
-      .map(_.getSeq[Float](1))
+    val centroids = loadCentroids(spark, s"$layout/centroids.parquet")
     val probes = probeIds(qv, centroids, nProbe)
     rankTopK(
-      spark.read
-        .parquet(s"$layout/vectors.parquet")
+      Tables.cachedRead(spark, s"$layout/vectors.parquet")
         .where(col("cl").isin(probes: _*) && col("vec_id") =!= queryId)
         .select(col("vec_id"), call_function("cosine_sim", col("embedding"), typedLit(qv)).as("cos")),
       k
@@ -1116,8 +1117,7 @@ object Similarity {
     val layout = graft.sources.LayoutCache.getOrBuild(spark, "graft_ivfcompact", key) { out =>
       compactVectorIndex(spark, base, s"$delta/vectors.parquet", out)
     }
-    val qv = spark.read
-      .parquet(annPlantFixture(spark))
+    val qv = Tables.cachedRead(spark, annPlantFixture(spark))
       .where(col("vec_id") === PlantedQueryId)
       .select("embedding")
       .head()
@@ -1157,8 +1157,7 @@ object Similarity {
     VectorFunctions.register(spark)
     val (nc, np) = resolveIvfKnobs(spark, dir, nClusters, nProbe)
     val layout   = ivfPlantedLayoutCache(spark, dir, nc)
-    val qv = spark.read
-      .parquet(annPlantFixture(spark))
+    val qv = Tables.cachedRead(spark, annPlantFixture(spark))
       .where(col("vec_id") === PlantedQueryId)
       .select("embedding")
       .head()
@@ -1185,15 +1184,10 @@ object Similarity {
       nProbe: Int
   ): DataFrame = {
     VectorFunctions.register(spark)
-    val centroids = spark.read
-      .parquet(s"$layout/centroids.parquet")
-      .orderBy("cl")
-      .collect()
-      .map(_.getSeq[Float](1))
+    val centroids = loadCentroids(spark, s"$layout/centroids.parquet")
     val probes = probeIds(qv, centroids, nProbe)
     rankTopK(
-      spark.read
-        .parquet(s"$layout/vectors.parquet")
+      Tables.cachedRead(spark, s"$layout/vectors.parquet")
         .where(col("cl").isin(probes: _*) && col("vec_id") =!= queryId)
         .join(broadcast(ledger.select("vec_id")), Seq("vec_id"), "left_anti")
         .select(col("vec_id"), call_function("cosine_sim", col("embedding"), typedLit(qv)).as("cos")),
@@ -1216,14 +1210,12 @@ object Similarity {
       ledger: DataFrame,
       out: String
   ): Unit = {
-    spark.read
-      .parquet(s"$baseLayout/vectors.parquet")
+    Tables.cachedRead(spark, s"$baseLayout/vectors.parquet")
       .select("vec_id", "embedding", "cl")
-      .unionByName(spark.read.parquet(deltaVectorsDir).select("vec_id", "embedding", "cl"))
+      .unionByName(Tables.cachedRead(spark, deltaVectorsDir).select("vec_id", "embedding", "cl"))
       .join(broadcast(ledger.select("vec_id")), Seq("vec_id"), "left_anti")
       .write.mode("overwrite").partitionBy("cl").parquet(s"$out/vectors.parquet")
-    spark.read
-      .parquet(s"$baseLayout/centroids.parquet")
+    Tables.cachedRead(spark, s"$baseLayout/centroids.parquet")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$out/centroids.parquet")
   }
@@ -1288,24 +1280,18 @@ object Similarity {
     VectorFunctions.register(spark)
     val (nc, np)  = resolveIvfKnobs(spark, dir, nClusters, nProbe)
     val layout    = ivfLayoutCache(spark, dir, nc)
-    val centroids = spark.read
-      .parquet(s"$layout/centroids.parquet")
-      .orderBy("cl")
-      .collect()
-      .map(_.getSeq[Float](1))
+    val centroids = loadCentroids(spark, s"$layout/centroids.parquet")
     val qv     = Tables.embeddings(spark, dir).where(col("vec_id") === queryId).select("embedding").head().getSeq[Float](0)
     val probes = probeIds(qv, centroids, np)
     // the query's own stored signature — quantized by the SAME scheme that
     // wrote the layout, so coarse scores are self-consistent
-    val qv8 = spark.read
-      .parquet(s"$layout/vectors.parquet")
+    val qv8 = Tables.cachedRead(spark, s"$layout/vectors.parquet")
       .where(col("vec_id") === queryId)
       .select("q8")
       .head()
       .getSeq[Byte](0)
       .map(_.toFloat)
-    val short = spark.read
-      .parquet(s"$layout/vectors.parquet")
+    val short = Tables.cachedRead(spark, s"$layout/vectors.parquet")
       .where(col("cl").isin(probes: _*) && col("vec_id") =!= queryId)
       .select(
         col("vec_id"),
@@ -1316,8 +1302,7 @@ object Similarity {
       .limit(shortlist)
       .select("vec_id")
     rankTopK(
-      spark.read
-        .parquet(s"$layout/vectors.parquet")
+      Tables.cachedRead(spark, s"$layout/vectors.parquet")
         .where(col("cl").isin(probes: _*))
         .join(broadcast(short), "vec_id")
         .select(col("vec_id"), call_function("cosine_sim", col("embedding"), typedLit(qv)).as("cos")),
@@ -1450,7 +1435,7 @@ object Similarity {
     */
   def annLshPlanted(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     VectorFunctions.register(spark)
-    val e = Tables.embeddings(spark, dir).unionByName(spark.read.parquet(annPlantFixture(spark)))
+    val e = Tables.embeddings(spark, dir).unionByName(Tables.cachedRead(spark, annPlantFixture(spark)))
     annLshOn(e, PlantedQueryId, k)
   }
 
@@ -1470,7 +1455,7 @@ object Similarity {
       s"ivfp-v$IvfSchemeVersion-q8#$nClusters#$fxKey#${quantizerKnobKey(spark)}"
     )
     graft.sources.LayoutCache.getOrBuild(spark, "graft_ivfp", key) { out =>
-      val e       = Tables.embeddings(spark, dir).unionByName(spark.read.parquet(fx))
+      val e       = Tables.embeddings(spark, dir).unionByName(Tables.cachedRead(spark, fx))
       val refined = refinedCentroids(e, nClusters)
       writeIvfSegment(e, refined, out, withQ8 = true)
       writeCentroids(spark, refined, out)
@@ -1500,21 +1485,15 @@ object Similarity {
     VectorFunctions.register(spark)
     val (nc, np) = resolveIvfKnobs(spark, dir, nClusters, nProbe)
     val layout    = ivfPlantedLayoutCache(spark, dir, nc)
-    val centroids = spark.read
-      .parquet(s"$layout/centroids.parquet")
-      .orderBy("cl")
-      .collect()
-      .map(_.getSeq[Float](1))
-    val qv = spark.read
-      .parquet(annPlantFixture(spark))
+    val centroids = loadCentroids(spark, s"$layout/centroids.parquet")
+    val qv = Tables.cachedRead(spark, annPlantFixture(spark))
       .where(col("vec_id") === PlantedQueryId)
       .select("embedding")
       .head()
       .getSeq[Float](0)
     val probes = probeIds(qv, centroids, np)
     rankTopK(
-      spark.read
-        .parquet(s"$layout/vectors.parquet")
+      Tables.cachedRead(spark, s"$layout/vectors.parquet")
         .where(col("cl").isin(probes: _*) && col("label") === label && col("vec_id") =!= PlantedQueryId)
         .select(col("vec_id"), call_function("cosine_sim", col("embedding"), typedLit(qv)).as("cos")),
       k
@@ -1541,7 +1520,7 @@ object Similarity {
     val e = Tables
       .embeddings(spark, dir)
       .select("vec_id", "embedding")
-      .unionByName(spark.read.parquet(annPlantFixture(spark)).select("vec_id", "embedding"))
+      .unionByName(Tables.cachedRead(spark, annPlantFixture(spark)).select("vec_id", "embedding"))
     val refined = refinedCentroids(e, nc)
     val qv      = e.where(col("vec_id") === PlantedQueryId).select("embedding").head().getSeq[Float](0)
     val probes  = probeIds(qv, refined, np)
@@ -1570,21 +1549,15 @@ object Similarity {
     VectorFunctions.register(spark)
     val (nc, np) = resolveIvfKnobs(spark, dir, nClusters, nProbe)
     val layout    = ivfPlantedLayoutCache(spark, dir, nc)
-    val centroids = spark.read
-      .parquet(s"$layout/centroids.parquet")
-      .orderBy("cl")
-      .collect()
-      .map(_.getSeq[Float](1))
-    val qv = spark.read
-      .parquet(annPlantFixture(spark))
+    val centroids = loadCentroids(spark, s"$layout/centroids.parquet")
+    val qv = Tables.cachedRead(spark, annPlantFixture(spark))
       .where(col("vec_id") === PlantedQueryId)
       .select("embedding")
       .head()
       .getSeq[Float](0)
     val probes = probeIds(qv, centroids, np)
     rankTopK(
-      spark.read
-        .parquet(s"$layout/vectors.parquet")
+      Tables.cachedRead(spark, s"$layout/vectors.parquet")
         .where(col("cl").isin(probes: _*) && col("vec_id") =!= PlantedQueryId)
         .select(col("vec_id"), call_function("cosine_sim", col("embedding"), typedLit(qv)).as("cos")),
       k
@@ -1610,27 +1583,20 @@ object Similarity {
     VectorFunctions.register(spark)
     val (nc, np)  = resolveIvfKnobs(spark, dir, nClusters, nProbe)
     val layout    = ivfPlantedLayoutCache(spark, dir, nc)
-    val centroids = spark.read
-      .parquet(s"$layout/centroids.parquet")
-      .orderBy("cl")
-      .collect()
-      .map(_.getSeq[Float](1))
-    val qv = spark.read
-      .parquet(annPlantFixture(spark))
+    val centroids = loadCentroids(spark, s"$layout/centroids.parquet")
+    val qv = Tables.cachedRead(spark, annPlantFixture(spark))
       .where(col("vec_id") === PlantedQueryId)
       .select("embedding")
       .head()
       .getSeq[Float](0)
     val probes = probeIds(qv, centroids, np)
-    val qv8 = spark.read
-      .parquet(s"$layout/vectors.parquet")
+    val qv8 = Tables.cachedRead(spark, s"$layout/vectors.parquet")
       .where(col("vec_id") === PlantedQueryId)
       .select("q8")
       .head()
       .getSeq[Byte](0)
       .map(_.toFloat)
-    val short = spark.read
-      .parquet(s"$layout/vectors.parquet")
+    val short = Tables.cachedRead(spark, s"$layout/vectors.parquet")
       .where(col("cl").isin(probes: _*) && col("vec_id") =!= PlantedQueryId)
       .select(
         col("vec_id"),
@@ -1641,8 +1607,7 @@ object Similarity {
       .limit(shortlist)
       .select("vec_id")
     rankTopK(
-      spark.read
-        .parquet(s"$layout/vectors.parquet")
+      Tables.cachedRead(spark, s"$layout/vectors.parquet")
         .where(col("cl").isin(probes: _*))
         .join(broadcast(short), "vec_id")
         .select(col("vec_id"), call_function("cosine_sim", col("embedding"), typedLit(qv)).as("cos")),
@@ -1667,13 +1632,9 @@ object Similarity {
     )
     graft.sources.LayoutCache.getOrBuild(spark, "graft_ivfpdelta", key) { out =>
       val base = ivfLayoutCache(spark, dir, nClusters)
-      val centroids = spark.read
-        .parquet(s"$base/centroids.parquet")
-        .orderBy("cl")
-        .collect()
-        .map(_.getSeq[Float](1))
+      val centroids = loadCentroids(spark, s"$base/centroids.parquet")
       writeIvfSegment(
-        spark.read.parquet(fx).select("vec_id", "embedding"),
+        Tables.cachedRead(spark, fx).select("vec_id", "embedding"),
         centroids, out, withQ8 = false
       )
       writeCentroids(spark, centroids, out)
@@ -1703,23 +1664,17 @@ object Similarity {
     val (nc, np) = resolveIvfKnobs(spark, dir, nClusters, nProbe)
     val base  = ivfLayoutCache(spark, dir, nc)
     val delta = ivfPlantedDeltaLayoutCache(spark, dir, nc)
-    val centroids = spark.read
-      .parquet(s"$base/centroids.parquet")
-      .orderBy("cl")
-      .collect()
-      .map(_.getSeq[Float](1))
-    val qv = spark.read
-      .parquet(annPlantFixture(spark))
+    val centroids = loadCentroids(spark, s"$base/centroids.parquet")
+    val qv = Tables.cachedRead(spark, annPlantFixture(spark))
       .where(col("vec_id") === PlantedQueryId)
       .select("embedding")
       .head()
       .getSeq[Float](0)
     val probes = probeIds(qv, centroids, np)
-    val segs = spark.read
-      .parquet(s"$base/vectors.parquet")
+    val segs = Tables.cachedRead(spark, s"$base/vectors.parquet")
       .select("vec_id", "embedding", "cl")
       .unionByName(
-        spark.read.parquet(s"$delta/vectors.parquet").select("vec_id", "embedding", "cl")
+        Tables.cachedRead(spark, s"$delta/vectors.parquet").select("vec_id", "embedding", "cl")
       )
     rankTopK(
       segs
@@ -1749,13 +1704,8 @@ object Similarity {
     VectorFunctions.register(spark)
     val (nc, np) = resolveIvfKnobs(spark, dir, nClusters, nProbe)
     val layout   = ivfPlantedLayoutCache(spark, dir, nc)
-    val centroids = spark.read
-      .parquet(s"$layout/centroids.parquet")
-      .orderBy("cl")
-      .collect()
-      .map(_.getSeq[Float](1))
-    val v = spark.read
-      .parquet(s"$layout/vectors.parquet")
+    val centroids = loadCentroids(spark, s"$layout/centroids.parquet")
+    val v = Tables.cachedRead(spark, s"$layout/vectors.parquet")
       .select(col("cl"), col("vec_id"), col("embedding"))
     // the planted-query restriction lands BEFORE the probe join, so the
     // scored relation is 6 query rows × their probed clusters, not the
@@ -1801,19 +1751,14 @@ object Similarity {
     VectorFunctions.register(spark)
     val (nc, np) = resolveIvfKnobs(spark, dir, nClusters, nProbe)
     val ivf = ivfPlantedLayoutCache(spark, dir, nc)
-    val centroids = spark.read
-      .parquet(s"$ivf/centroids.parquet")
-      .orderBy("cl")
-      .collect()
-      .map(_.getSeq[Float](1))
+    val centroids = loadCentroids(spark, s"$ivf/centroids.parquet")
     val e = Tables
       .embeddings(spark, dir)
       .select("vec_id", "embedding")
-      .unionByName(spark.read.parquet(annPlantFixture(spark)).select("vec_id", "embedding"))
+      .unionByName(Tables.cachedRead(spark, annPlantFixture(spark)).select("vec_id", "embedding"))
     val qv     = e.where(col("vec_id") === PlantedQueryId).select("embedding").head().getSeq[Float](0)
     val probes = probeIds(qv, centroids, np)
-    val cand = spark.read
-      .parquet(s"$ivf/vectors.parquet")
+    val cand = Tables.cachedRead(spark, s"$ivf/vectors.parquet")
       .where(col("cl").isin(probes: _*))
       .select("vec_id")
     annPqOver(spark, e, pqPlantedLayoutCache(spark, dir), PlantedQueryId, k, shortlist, Some(cand))
@@ -1852,7 +1797,7 @@ object Similarity {
     VectorFunctions.register(spark)
     val e      = Tables.embeddings(spark, dir)
     val layout = sq8LayoutCache(spark, dir)
-    val quant  = spark.read.parquet(s"$layout/quant.parquet")
+    val quant  = Tables.cachedRead(spark, s"$layout/quant.parquet")
     val qv8    = quant.where(col("vec_id") === queryId).select(col("q8").as("qq8"))
     val short = quant
       .where(col("vec_id") =!= queryId)
@@ -1993,13 +1938,8 @@ object Similarity {
     VectorFunctions.register(spark)
     val (nc, np) = resolveIvfKnobs(spark, dir, nClusters, nProbe)
     val layout   = ivfLayoutCache(spark, dir, nc)
-    val centroids = spark.read
-      .parquet(s"$layout/centroids.parquet")
-      .orderBy("cl")
-      .collect()
-      .map(_.getSeq[Float](1))
-    val v = spark.read
-      .parquet(s"$layout/vectors.parquet")
+    val centroids = loadCentroids(spark, s"$layout/centroids.parquet")
+    val v = Tables.cachedRead(spark, s"$layout/vectors.parquet")
       .select(col("cl"), col("vec_id"), col("embedding"))
     // query side: np rows per vector, one per probed cluster
     val queries = v
@@ -2237,13 +2177,8 @@ object Similarity {
     */
   private def bitextIvfRetrievalsOver(
       spark: SparkSession, layout: String, np: Int, queryFilter: Column): (DataFrame, DataFrame) = {
-    val centroids = spark.read
-      .parquet(s"$layout/centroids.parquet")
-      .orderBy("cl")
-      .collect()
-      .map(_.getSeq[Float](1))
-    val v = spark.read
-      .parquet(s"$layout/vectors.parquet")
+    val centroids = loadCentroids(spark, s"$layout/centroids.parquet")
+    val v = Tables.cachedRead(spark, s"$layout/vectors.parquet")
       .select(col("cl"), col("vec_id"), col("label"), col("embedding"))
     val src = v.where(pmod(col("label"), lit(2)) === 0)
     val tgt = v.where(pmod(col("label"), lit(2)) === 1)
@@ -2301,7 +2236,7 @@ object Similarity {
       s"ivfbp-v$IvfSchemeVersion#$nClusters#$fxKey#${quantizerKnobKey(spark)}"
     )
     graft.sources.LayoutCache.getOrBuild(spark, "graft_ivfbp", key) { out =>
-      val e       = Tables.embeddings(spark, dir).unionByName(spark.read.parquet(fx))
+      val e       = Tables.embeddings(spark, dir).unionByName(Tables.cachedRead(spark, fx))
       val refined = refinedCentroids(e, nClusters)
       writeIvfSegment(e, refined, out, withQ8 = false)
       writeCentroids(spark, refined, out)
@@ -2376,8 +2311,7 @@ object Similarity {
     */
   def mutualKnnPairs(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val layout = knnGraphLayoutCache(spark, dir, k)
-    val e = spark.read
-      .parquet(s"$layout/edges.parquet")
+    val e = Tables.cachedRead(spark, s"$layout/edges.parquet")
       .where(col("rnk") <= k) // the layout ledger is deeper than the query k (scheme v2)
       .select(col("vec_id").as("a"), col("nbr_id").as("b"))
     mutualize(e)
@@ -2432,7 +2366,7 @@ object Similarity {
     VectorFunctions.register(spark)
     val layout = knnGraphLayoutCache(spark, dir, k)
     val tomb   = knnTombstones(spark, dir)
-    val edges  = spark.read.parquet(s"$layout/edges.parquet")
+    val edges  = Tables.cachedRead(spark, s"$layout/edges.parquet")
     val masked = edges
       .join(tomb, Seq("vec_id"), "left_anti")
       .join(tomb.select(col("vec_id").as("nbr_id")), Seq("nbr_id"), "left_anti")
@@ -2519,8 +2453,7 @@ object Similarity {
     * ([[knnTombstonedLayoutCache]]) — a parquet read, not a live walk.
     */
   def mutualKnnPairsTombstoned(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
-    spark.read
-      .parquet(s"${knnTombstonedLayoutCache(spark, dir, k)}/pairs.parquet")
+    Tables.cachedRead(spark, s"${knnTombstonedLayoutCache(spark, dir, k)}/pairs.parquet")
       .orderBy("vec_id_a", "vec_id_b")
 
   /** S16T — s16 WITH TAKEDOWN: connected components over the survivor
@@ -2532,8 +2465,7 @@ object Similarity {
     * reads the persisted cluster table ([[knnTombstonedLayoutCache]]).
     */
   def mutualKnnClustersTombstoned(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
-    spark.read
-      .parquet(s"${knnTombstonedLayoutCache(spark, dir, k)}/clusters.parquet")
+    Tables.cachedRead(spark, s"${knnTombstonedLayoutCache(spark, dir, k)}/clusters.parquet")
       .orderBy("cluster_id", "vec_id")
 
   /** The PURGE stage for the kNN-graph layout: physically rewrite the
@@ -2586,7 +2518,7 @@ object Similarity {
         .select(col("cluster_id"), col("doc_id").as("vec_id"))
         .write.mode("overwrite").parquet(s"$out/clusters.parquet")
     }
-    spark.read.parquet(s"$layout/clusters.parquet").orderBy("cluster_id", "vec_id")
+    Tables.cachedRead(spark, s"$layout/clusters.parquet").orderBy("cluster_id", "vec_id")
   }
 
   /** S22 — SEMANTIC KEEP-LIST (the SemDeDup shape — Abbas et al.,
@@ -2801,7 +2733,7 @@ object Similarity {
       val e = Tables
         .embeddings(spark, dir)
         .select("vec_id", "embedding")
-        .unionByName(spark.read.parquet(fx).select("vec_id", "embedding"))
+        .unionByName(Tables.cachedRead(spark, fx).select("vec_id", "embedding"))
       buildPqLayout(spark, e, out)
     }
   }
@@ -2856,7 +2788,7 @@ object Similarity {
     val e = Tables
       .embeddings(spark, dir)
       .select("vec_id", "embedding")
-      .unionByName(spark.read.parquet(annPlantFixture(spark)).select("vec_id", "embedding"))
+      .unionByName(Tables.cachedRead(spark, annPlantFixture(spark)).select("vec_id", "embedding"))
     annPqOver(spark, e, pqPlantedLayoutCache(spark, dir), PlantedQueryId, k, PqShortlist)
   }
 
@@ -2887,15 +2819,10 @@ object Similarity {
     VectorFunctions.register(spark)
     val (nc, np) = resolveIvfKnobs(spark, dir, nClusters, nProbe)
     val ivf = ivfLayoutCache(spark, dir, nc)
-    val centroids = spark.read
-      .parquet(s"$ivf/centroids.parquet")
-      .orderBy("cl")
-      .collect()
-      .map(_.getSeq[Float](1))
+    val centroids = loadCentroids(spark, s"$ivf/centroids.parquet")
     val qv = Tables.embeddings(spark, dir).where(col("vec_id") === queryId).select("embedding").head().getSeq[Float](0)
     val probes = probeIds(qv, centroids, np)
-    val cand = spark.read
-      .parquet(s"$ivf/vectors.parquet")
+    val cand = Tables.cachedRead(spark, s"$ivf/vectors.parquet")
       .where(col("cl").isin(probes: _*))
       .select("vec_id")
     annPqOver(spark, Tables.embeddings(spark, dir), pqLayoutCache(spark, dir), queryId, k, shortlist, Some(cand))
@@ -2931,15 +2858,10 @@ object Similarity {
     VectorFunctions.register(spark)
     val (nc, np) = resolveIvfKnobs(spark, dir, nClusters, nProbe)
     val ivf = ivfLayoutCache(spark, dir, nc)
-    val centroids = spark.read
-      .parquet(s"$ivf/centroids.parquet")
-      .orderBy("cl")
-      .collect()
-      .map(_.getSeq[Float](1))
+    val centroids = loadCentroids(spark, s"$ivf/centroids.parquet")
     val qv = Tables.embeddings(spark, dir).where(col("vec_id") === queryId).select("embedding").head().getSeq[Float](0)
     val probes = probeIds(qv, centroids, np)
-    val cand = spark.read
-      .parquet(s"$ivf/vectors.parquet")
+    val cand = Tables.cachedRead(spark, s"$ivf/vectors.parquet")
       .where(col("cl").isin(probes: _*) && col("label") === label && col("vec_id") =!= queryId)
       .select("vec_id")
     annPqOver(spark, Tables.embeddings(spark, dir), pqLayoutCache(spark, dir), queryId, k, shortlist, Some(cand))
@@ -2964,26 +2886,20 @@ object Similarity {
     VectorFunctions.register(spark)
     val (nc, np) = resolveIvfKnobs(spark, dir, nClusters, nProbe)
     val ivf = ivfPlantedLayoutCache(spark, dir, nc)
-    val centroids = spark.read
-      .parquet(s"$ivf/centroids.parquet")
-      .orderBy("cl")
-      .collect()
-      .map(_.getSeq[Float](1))
-    val qv = spark.read
-      .parquet(annPlantFixture(spark))
+    val centroids = loadCentroids(spark, s"$ivf/centroids.parquet")
+    val qv = Tables.cachedRead(spark, annPlantFixture(spark))
       .where(col("vec_id") === PlantedQueryId)
       .select("embedding")
       .head()
       .getSeq[Float](0)
     val probes = probeIds(qv, centroids, np)
-    val cand = spark.read
-      .parquet(s"$ivf/vectors.parquet")
+    val cand = Tables.cachedRead(spark, s"$ivf/vectors.parquet")
       .where(col("cl").isin(probes: _*) && col("label") === label && col("vec_id") =!= PlantedQueryId)
       .select("vec_id")
     val e = Tables
       .embeddings(spark, dir)
       .select("vec_id", "embedding")
-      .unionByName(spark.read.parquet(annPlantFixture(spark)).select("vec_id", "embedding"))
+      .unionByName(Tables.cachedRead(spark, annPlantFixture(spark)).select("vec_id", "embedding"))
     annPqOver(spark, e, pqPlantedLayoutCache(spark, dir), PlantedQueryId, k, shortlist, Some(cand))
   }
 
@@ -2997,18 +2913,12 @@ object Similarity {
       candidates: Option[DataFrame] = None
   ): DataFrame = {
     VectorFunctions.register(spark)
-    val allCodes = spark.read.parquet(s"$layout/pq.parquet")
+    val allCodes = Tables.cachedRead(spark, s"$layout/pq.parquet")
     val codes = candidates match {
       case Some(c) => allCodes.join(c, Seq("vec_id"), "left_semi")
       case None    => allCodes
     }
-    val cbRows = spark.read.parquet(s"$layout/codebooks.parquet").collect()
-    val cbs: Array[Array[Seq[Float]]] = {
-      val m = cbRows.map(_.getInt(0)).max + 1
-      val arr = Array.ofDim[Seq[Float]](m, cbRows.map(_.getInt(1)).max + 1)
-      cbRows.foreach(r => arr(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2))
-      arr
-    }
+    val cbs: Array[Array[Seq[Float]]] = loadCodebooks(spark, s"$layout/codebooks.parquet")
     val qv = e.where(col("vec_id") === queryId).select("embedding").head().getSeq[Float](0)
     val sub = qv.length / cbs.length
     val qnorm = math.sqrt(qv.map(v => v.toDouble * v).sum)

@@ -791,11 +791,11 @@ object TextAnalysis {
     val base  = postingsBaseLayoutCache(spark, dir, split)
     val delta = postingsDeltaLayoutCache(spark, dir, split)
     bm25OverSegments(
-      spark.read.parquet(s"$base/postings.parquet")
-        .unionByName(spark.read.parquet(s"$delta/postings.parquet"))
+      Tables.cachedRead(spark, s"$base/postings.parquet")
+        .unionByName(Tables.cachedRead(spark, s"$delta/postings.parquet"))
         .where(col("token").isInCollection(ts)),
-      spark.read.parquet(s"$base/stats.parquet")
-        .unionByName(spark.read.parquet(s"$delta/stats.parquet")),
+      Tables.cachedRead(spark, s"$base/stats.parquet")
+        .unionByName(Tables.cachedRead(spark, s"$delta/stats.parquet")),
       k
     )
   }
@@ -853,10 +853,9 @@ object TextAnalysis {
     val ts = terms.distinct
     require(ts.nonEmpty && ts.forall(t => t.nonEmpty && !t.contains("'") && !t.contains(" ")), s"terms must be non-empty, quote-free, space-free: $ts")
     val layout = postingsLayoutCache(spark, dir)
-    val p = spark.read
-      .parquet(s"$layout/postings.parquet")
+    val p = Tables.cachedRead(spark, s"$layout/postings.parquet")
       .where(col("token").isInCollection(ts))
-    val stats = spark.read.parquet(s"$layout/stats.parquet")
+    val stats = Tables.cachedRead(spark, s"$layout/stats.parquet")
     p.crossJoin(broadcast(stats))
       .withColumn("contrib", expr(Bm25ContribSql))
       .groupBy("doc_id")
@@ -898,8 +897,8 @@ object TextAnalysis {
     require(ts.nonEmpty && ts.forall(t => t.nonEmpty && !t.contains("'") && !t.contains(" ")), s"terms must be non-empty, quote-free, space-free: $ts")
     val compacted = postingsCompactedLayoutCache(spark, dir)
     bm25OverSegments(
-      spark.read.parquet(s"$compacted/postings.parquet").where(col("token").isInCollection(ts)),
-      spark.read.parquet(s"$compacted/stats.parquet"),
+      Tables.cachedRead(spark, s"$compacted/postings.parquet").where(col("token").isInCollection(ts)),
+      Tables.cachedRead(spark, s"$compacted/stats.parquet"),
       k
     )
   }
@@ -925,10 +924,10 @@ object TextAnalysis {
       val base  = postingsBaseLayoutCache(spark, dir, split)
       val delta = postingsDeltaLayoutCache(spark, dir, split)
       compactSegments(
-        spark.read.parquet(s"$base/postings.parquet")
-          .unionByName(spark.read.parquet(s"$delta/postings.parquet")),
-        spark.read.parquet(s"$base/stats.parquet")
-          .unionByName(spark.read.parquet(s"$delta/stats.parquet")),
+        Tables.cachedRead(spark, s"$base/postings.parquet")
+          .unionByName(Tables.cachedRead(spark, s"$delta/postings.parquet")),
+        Tables.cachedRead(spark, s"$base/stats.parquet")
+          .unionByName(Tables.cachedRead(spark, s"$delta/stats.parquet")),
         out
       )
     }
@@ -1008,12 +1007,12 @@ object TextAnalysis {
     val delta  = postingsDeltaLayoutCache(spark, dir, split)
     val ledger = tombstoneLedger(spark, dir)
     bm25OverSegments(
-      spark.read.parquet(s"$base/postings.parquet")
-        .unionByName(spark.read.parquet(s"$delta/postings.parquet"))
+      Tables.cachedRead(spark, s"$base/postings.parquet")
+        .unionByName(Tables.cachedRead(spark, s"$delta/postings.parquet"))
         .where(col("token").isInCollection(ts))
         .join(broadcast(ledger.select("doc_id")), Seq("doc_id"), "left_anti"),
-      spark.read.parquet(s"$base/stats.parquet")
-        .unionByName(spark.read.parquet(s"$delta/stats.parquet"))
+      Tables.cachedRead(spark, s"$base/stats.parquet")
+        .unionByName(Tables.cachedRead(spark, s"$delta/stats.parquet"))
         .unionByName(ledgerNegation(ledger)),
       k
     )
@@ -1117,8 +1116,7 @@ object TextAnalysis {
     * partial-aggregable avg.
     */
   def bigramLmScore(spark: SparkSession, dir: String): DataFrame =
-    spark.read
-      .parquet(s"${lmScoreLayoutCache(spark, dir)}/scores.parquet")
+    Tables.cachedRead(spark, s"${lmScoreLayoutCache(spark, dir)}/scores.parquet")
       .orderBy("doc_id")
 
   /** Bump with any change to the stored LM-score scheme.
@@ -1174,15 +1172,14 @@ object TextAnalysis {
   /** The frozen LM artifacts for `dir`'s corpus: (bigram counts, vocab). */
   private[graft] def lmModel(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val layout = lmScoreLayoutCache(spark, dir)
-    (spark.read.parquet(s"$layout/model.parquet"), spark.read.parquet(s"$layout/vocab.parquet"))
+    (Tables.cachedRead(spark, s"$layout/model.parquet"), Tables.cachedRead(spark, s"$layout/vocab.parquet"))
   }
 
   /** The frozen d21 gate cutoff: the corpus's exact 25th percentile of
     * `lm_q` (one collect of a one-row aggregate over the score layout).
     */
   private[graft] def lmCutoff(spark: SparkSession, dir: String): Double =
-    spark.read
-      .parquet(s"${lmScoreLayoutCache(spark, dir)}/scores.parquet")
+    Tables.cachedRead(spark, s"${lmScoreLayoutCache(spark, dir)}/scores.parquet")
       .agg(expr("percentile(lm_q, 0.25)").as("c"))
       .head()
       .getDouble(0)
@@ -1204,8 +1201,7 @@ object TextAnalysis {
     * interpolation fraction is 0, where both engines are integer-exact.
     */
   def lmQualityKeep(spark: SparkSession, dir: String): DataFrame = {
-    val scores = spark.read
-      .parquet(s"${lmScoreLayoutCache(spark, dir)}/scores.parquet")
+    val scores = Tables.cachedRead(spark, s"${lmScoreLayoutCache(spark, dir)}/scores.parquet")
     val cut = scores.agg(expr("percentile(lm_q, 0.25)").as("c"))
     scores
       .crossJoin(broadcast(cut))
@@ -1433,10 +1429,9 @@ object TextAnalysis {
     val ts = terms.distinct
     require(ts.nonEmpty && ts.forall(t => t.nonEmpty && !t.contains("'") && !t.contains(" ")), s"terms must be non-empty, quote-free, space-free: $ts")
     val layout = postingsLayoutCache(spark, dir)
-    val p = spark.read
-      .parquet(s"$layout/postings.parquet")
+    val p = Tables.cachedRead(spark, s"$layout/postings.parquet")
       .where(col("token").isInCollection(ts))
-    val stats = spark.read.parquet(s"$layout/stats.parquet")
+    val stats = Tables.cachedRead(spark, s"$layout/stats.parquet")
     val contribs = p
       .crossJoin(broadcast(stats))
       .withColumn("contrib", expr(Bm25ContribSql))
@@ -1657,7 +1652,7 @@ object TextAnalysis {
     */
   def substringSearch(spark: SparkSession, dir: String, pattern: String = SubstringPattern): DataFrame = {
     val layout = trigramLayoutCache(spark, dir)
-    substringOverTrigrams(spark, dir, spark.read.parquet(s"$layout/trigrams.parquet"), pattern)
+    substringOverTrigrams(spark, dir, Tables.cachedRead(spark, s"$layout/trigrams.parquet"), pattern)
   }
 
   /** The candidate-intersection + exact-verify tail shared by t8 and t10 —
@@ -1803,7 +1798,7 @@ object TextAnalysis {
     val grams = requiredLiteralRuns(pattern).filter(_.length >= 3).flatMap(_.sliding(3)).distinct
     require(grams.nonEmpty, s"regexSearch needs a literal run of >= 3 chars to prune with: $pattern")
     val layout = trigramLayoutCache(spark, dir)
-    val tg     = spark.read.parquet(s"$layout/trigrams.parquet")
+    val tg     = Tables.cachedRead(spark, s"$layout/trigrams.parquet")
     // rarest-K probe selection from the layout's persisted (g, df) table
     // (pushed IN-list over a gram-cardinality file — no posting I/O at
     // all), driver pull bounded by |grams|. A pattern with <= K grams
@@ -1813,8 +1808,7 @@ object TextAnalysis {
     val probes: Seq[String] =
       if (grams.size <= RegexProbeGrams) grams
       else
-        spark.read
-          .parquet(s"$layout/gramdf.parquet")
+        Tables.cachedRead(spark, s"$layout/gramdf.parquet")
           .where(col("g").isInCollection(grams))
           .orderBy(col("df"), col("g"))
           .limit(RegexProbeGrams)
@@ -2038,7 +2032,7 @@ object TextAnalysis {
     */
   def phraseSearchIndexed(spark: SparkSession, dir: String, phrase: Seq[String] = PhraseTerms): DataFrame = {
     val layout = positionsLayoutCache(spark, dir)
-    phraseOverPositions(spark.read.parquet(s"$layout/positions.parquet"), phrase)
+    phraseOverPositions(Tables.cachedRead(spark, s"$layout/positions.parquet"), phrase)
   }
 
   def substringSearchIncremental(spark: SparkSession, dir: String, pattern: String = SubstringPattern): DataFrame = {
@@ -2051,8 +2045,8 @@ object TextAnalysis {
     substringOverTrigrams(
       spark,
       dir,
-      spark.read.parquet(s"$base/trigrams.parquet")
-        .unionByName(spark.read.parquet(s"$delta/trigrams.parquet")),
+      Tables.cachedRead(spark, s"$base/trigrams.parquet")
+        .unionByName(Tables.cachedRead(spark, s"$delta/trigrams.parquet")),
       pattern
     )
   }

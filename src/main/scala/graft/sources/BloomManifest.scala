@@ -175,7 +175,7 @@ object BloomManifest {
     val layout = eventsManifestCache(spark, dir, nFiles)
     val cands  = candidateFiles(spark, s"$layout/manifest.parquet", key)
     val data =
-      if (cands.isEmpty) spark.read.parquet(s"$layout/data").where(lit(false))
+      if (cands.isEmpty) Tables.cachedRead(spark, s"$layout/data").where(lit(false))
       else spark.read.parquet(cands: _*)
     pointSelect(data, key)
   }

@@ -50,8 +50,29 @@ object LayoutCache {
   // are invisible.
   private val buildLog = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
 
-  private[graft] def recordBuild(name: String, secs: Double): Unit =
+  /** Per-thread side channel for [[graft.Layouts.buildAll]]'s CONCURRENT
+    * forcers: when a thread installs a buffer here, every build it performs
+    * (including transitive dependency builds on the same thread) is also
+    * appended to that buffer, giving per-forcer attribution without the
+    * drain-between-forcers protocol that only worked sequentially.
+    */
+  private[graft] val threadBuildEvents =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[(String, Double)]]
+
+  private[graft] def recordBuild(name: String, secs: Double): Unit = {
     buildLog.synchronized { buildLog += (name -> secs); () }
+    val te = threadBuildEvents.get()
+    if (te != null) { te += (name -> secs); () }
+  }
+
+  /** Per-layout-path in-JVM build locks: two threads forcing layouts that
+    * share a dependency (e.g. lss_table and lss_tombstoned both pulling
+    * span_artifacts) must not both run the build closure for one output
+    * directory — the loser waits, re-checks `_SUCCESS`, and reuses. Cross-
+    * process exclusion stays what it was (the grace-window discipline).
+    */
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Return and clear the build events recorded since the last drain. */
   def drainBuildLog(): Seq[(String, Double)] =
@@ -101,11 +122,23 @@ object LayoutCache {
       // best-effort: a filesystem that refuses setTimes degrades to FIFO
       Try(fs.setTimes(success, System.currentTimeMillis(), -1))
     } else {
-      val t0 = System.nanoTime()
-      build(out.toString)
-      if (markSuccess) fs.create(success).close()
-      recordBuild(s"${prefix}_$key", (System.nanoTime() - t0) / 1e9)
-      sweepPrefix(spark, prefix)
+      buildLocks.computeIfAbsent(out.toString, _ => new Object).synchronized {
+        // double-check under the lock: a concurrent forcer may have built
+        // this exact layout while we waited
+        if (fs.exists(success)) {
+          Try(fs.setTimes(success, System.currentTimeMillis(), -1))
+        } else {
+          val t0 = System.nanoTime()
+          build(out.toString)
+          if (markSuccess) fs.create(success).close()
+          recordBuild(s"${prefix}_$key", (System.nanoTime() - t0) / 1e9)
+          // a rebuild means any analyzed-plan cache entry under this dir
+          // (from a prior half-build or a swept-then-rebuilt key) snapshots
+          // a dead file listing — drop them before anyone reads the layout
+          Tables.invalidate(out.toString)
+          sweepPrefix(spark, prefix)
+        }
+      }
     }
     out.toString
   }
@@ -148,7 +181,10 @@ object LayoutCache {
     val stalePartial =
       partial.filter(st => now - st.getModificationTime > graceMs).map(_.getPath)
     val stale = staleComplete ++ stalePartial
-    stale.foreach(p => Try(fs.delete(p, true)))
+    stale.foreach { p =>
+      Try(fs.delete(p, true))
+      Tables.invalidate(p.toString) // cached plans over a deleted dir are dead
+    }
     stale.map(_.toString).toSeq
   }
 
