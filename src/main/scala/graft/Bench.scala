@@ -165,6 +165,13 @@ object Bench {
         a += 1
         sentinelAttempts += 1
       }
+      // the discarded attempt's late builds are a pre-build-gap signal the
+      // kept record would otherwise silently drop (ADVICE r20) — log them
+      if (lateBuildRows.nonEmpty)
+        System.err.println(
+          s"[bench] attempt $runAttempts late_builds (discarded with its measurements): " +
+            lateBuildRows.map { case (n, s) => f"$n=$s%.3f" }.mkString(", ")
+        )
       results = measureQueries()
       lateBuildRows = graft.sources.LayoutCache.drainBuildLog()
       sentinelPost = sentinelProbes(spark)

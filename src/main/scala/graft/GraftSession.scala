@@ -30,6 +30,19 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Let AQE rewrite a planned sort-merge join to a SHUFFLED HASH join
+      // at runtime when every post-shuffle partition of the build side is
+      // under this byte threshold (guide §3.1): the rewrite is
+      // runtime-size-informed — unlike preferSortMergeJoin=false it can
+      // never act on a bad estimate — and scale-adaptive by construction
+      // (the trigger is bytes-per-partition, not cluster geometry: a
+      // 100 TB join whose partitions exceed 128 MB keeps the spillable
+      // sort-merge). Locally this removes the two per-side sorts from
+      // every big-big equi-join (inverted-index self-joins, fact-fact
+      // joins); bucketed-layout joins have no shuffle stage, so their
+      // pinned zero-exchange sort-merge plans are untouched. Default 0
+      // (off) upstream; 128 MB is well inside a task's execution memory.
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "134217728")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

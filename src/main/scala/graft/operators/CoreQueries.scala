@@ -550,7 +550,18 @@ object CoreQueries {
     */
   def q22SaltedJoinCount(spark: SparkSession, dir: String): DataFrame =
     Skew
-      .saltedJoin(Tables.lineitem(spark, dir), Tables.orders(spark, dir), "l_orderkey", "o_orderkey")
+      .saltedJoin(
+        // project BOTH sides to what the query consumes before the salted
+        // exchange (guide §2.3): the old all-column salt hash forced the
+        // scan to read lineitem's 16 columns and replicated 9-column
+        // orders saltFactor×. (l_orderkey, l_linenumber) is the row's
+        // primary key, so the salt keeps per-row entropy inside a hot key.
+        Tables.lineitem(spark, dir).select("l_orderkey", "l_linenumber"),
+        Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority"),
+        "l_orderkey",
+        "o_orderkey",
+        saltCols = Seq("l_orderkey", "l_linenumber")
+      )
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("cnt"))
       .orderBy("o_orderpriority")

@@ -157,12 +157,11 @@ object SketchBounds {
     * so the companion's exact columns double-check dq3's count path too.
     */
   def dq3bProfileEventsBound(spark: SparkSession, dir: String): DataFrame = {
-    val exact  = Profile.profileEvents(spark, dir)
-    val approx = Profile
-      .profileEventsApprox(spark, dir)
-      .select(col("col_name"), col("n_distinct_approx"))
-    exact
-      .join(approx, "col_name")
+    // ONE pass computing exact + approx together (Profile.profileWithApprox):
+    // the old exact-join-approx shape scanned and aggregated events twice
+    // for aggregates that ride a single Expand. Same values, same schema.
+    Profile
+      .profileWithApprox(Tables.eventsRaw(spark, dir))
       .select(
         col("col_name"),
         col("n_rows"),

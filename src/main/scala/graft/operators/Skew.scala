@@ -32,20 +32,28 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Salted equi-join: `small` is replicated `saltFactor`×; `big` gets a
-    * deterministic per-row salt (hash of all columns mod factor — stable
-    * across retries, unlike `rand()`).
+    * deterministic per-row salt (hash of `saltCols` mod factor — stable
+    * across retries, unlike `rand()`). `saltCols` defaults to ALL columns,
+    * but hashing every column forces the scan to READ every column even
+    * when the query uses two of them (the hash defeats column pruning —
+    * guide §2.3); callers that know a narrow column set with per-row
+    * entropy within a key (a line number, an event id) should pass it.
+    * Salt VALUES never affect the join result — the replicated side
+    * carries every salt — only how a hot key's rows spread over reducers.
     */
   def saltedJoin(
       big: DataFrame,
       small: DataFrame,
       bigKey: String,
       smallKey: String,
-      saltFactor: Int = 8
+      saltFactor: Int = 8,
+      saltCols: Seq[String] = Nil
   ): DataFrame = {
     require(saltFactor > 0)
+    val hashCols = if (saltCols.nonEmpty) saltCols else big.columns.toSeq
     val saltedBig = big.withColumn(
       "__salt",
-      pmod(xxhash64(big.columns.map(col).toSeq: _*), lit(saltFactor)).cast("int")
+      pmod(xxhash64(hashCols.map(col): _*), lit(saltFactor)).cast("int")
     )
     val saltedSmall = small.withColumn(
       "__salt",

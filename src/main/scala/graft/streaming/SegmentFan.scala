@@ -132,7 +132,8 @@ object SegmentFan {
       shape: (String, DataFrame) => DataFrame = (_, df) => df
   ): Long = {
     val fs      = hadoopFs(spark, root)
-    val prevCut = latestGen(spark, root, tables).map(_._1).getOrElse(0L)
+    val prevGen = latestGen(spark, root, tables)
+    val prevCut = prevGen.map(_._1).getOrElse(0L)
     def gc(cutoff: Long): Unit = {
       tables.foreach(t => fanDirs(spark, root, t).filter(_._1 < cutoff).foreach(d => fs.delete(d._2, true)))
       fs.listStatus(new org.apache.hadoop.fs.Path(root))
@@ -149,6 +150,13 @@ object SegmentFan {
     // per-family write order — no head-written-first contract required.
     val live = tables.flatMap(t => fanDirs(spark, root, t).map(_._1)).filter(_ >= prevCut).distinct
     if (live.length <= 1) return 0L
+    // First-batch crash state (ADVICE r20): another table of the family may
+    // have ZERO segments (its write never landed) while this one already
+    // carries two — with no committed generation, folding now would make
+    // tableRead throw on the empty table where the pre-global-cutoff code
+    // no-op'd. Defer to the checkpoint replay that will land the missing
+    // segment; the next compact folds normally.
+    if (prevGen.isEmpty && tables.exists(t => fanDirs(spark, root, t).isEmpty)) return 0L
     val cutoff = live.max
     tables.foreach { t =>
       shape(t, tableRead(spark, root, tables, t).where(col("batch_id") < cutoff))

@@ -99,9 +99,33 @@ object TokenizerStream {
     if (legacy.isEmpty) return 0
     val fanRoot = new org.apache.hadoop.fs.Path(root, "counts")
     if (!fs.exists(fanRoot)) fs.mkdirs(fanRoot)
+    // A committed generation whose cutoff exceeds a legacy id means that id
+    // is ALREADY below tableRead's batch_id >= cutoff filter: renaming it
+    // into the fan would park it in the GC-eligible range where the next
+    // compact deletes it without ever folding its rows — silent loss. This
+    // state is unreachable through the shipped entry points (both fold
+    // before the first compact); reaching it means a dual-writer misconfig
+    // or a manual restore, which must fail loudly (ADVICE r20).
+    SegmentFan.latestGen(spark, countsDir, Seq("counts")).foreach { case (cutoff, _) =>
+      val below = legacy.flatMap(p => SegmentFan.parsedId(p.getName, "batch_id=")).filter(_ < cutoff)
+      if (below.nonEmpty)
+        throw new IllegalStateException(
+          s"legacy tokenizer count segments ${below.sorted.mkString(",")} are below the committed " +
+            s"generation cutoff $cutoff at $countsDir: folding them into the fan would GC them " +
+            "unfolded. Restore them as a NEW batch (or fold them into the generation) manually."
+        )
+    }
     legacy.foreach { src =>
       val dst = new org.apache.hadoop.fs.Path(fanRoot, src.getName)
       if (fs.exists(dst)) {
+        // A markerless legacy copy is a TORN WRITE (the pre-upgrade crash
+        // that produced this collision in the first place): its parquet may
+        // not even read, and the committed fan copy is authoritative — drop
+        // the legacy dir without comparing (ADVICE r20).
+        if (!fs.exists(new org.apache.hadoop.fs.Path(src, "_SUCCESS"))) {
+          fs.delete(src, true)
+          return foldLegacyCountSegments(spark, countsDir) + 1
+        }
         val legacyRows = spark.read.parquet(src.toString).select("word", "freq")
         val fanRows    = spark.read.parquet(dst.toString).select("word", "freq")
         val equal = legacyRows.exceptAll(fanRows).isEmpty && fanRows.exceptAll(legacyRows).isEmpty
