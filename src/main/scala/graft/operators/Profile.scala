@@ -134,40 +134,6 @@ object Profile {
   def profileEventsApprox(spark: SparkSession, dir: String): DataFrame =
     profileApprox(Tables.eventsRaw(spark, dir))
 
-  /** Exact AND approx per-column profile in ONE aggregation pass —
-    * dq3b's core. Its old shape ran [[profile]] and [[profileApprox]]
-    * separately and joined: two full scans + two aggregation jobs + a
-    * join, where one pass computes both (the HLL sketches are ordinary
-    * non-distinct aggregates that ride the same Expand the exact
-    * COUNT(DISTINCT)s already force — the plan gains nothing but the
-    * approx columns, the table is read ONCE). Values are identical by
-    * construction: same aggregates, same input.
-    */
-  def profileWithApprox(df: DataFrame): DataFrame = {
-    def strLit(s: String) = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
-    def ident(s: String)  = "`" + s.replace("`", "``") + "`"
-    val cols = df.columns.toSeq
-    val aggs = cols.flatMap { c =>
-      Seq(
-        count(col(ident(c))).as(s"__nn_$c"),
-        countDistinct(col(ident(c))).as(s"__nd_$c"),
-        approx_count_distinct(col(ident(c)), 0.02).as(s"__na_$c")
-      )
-    } :+ count(lit(1)).as("__n")
-    val wide = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols
-      .map(c => s"${strLit(c)}, ${ident(s"__nn_$c")}, ${ident(s"__nd_$c")}, ${ident(s"__na_$c")}")
-      .mkString(", ")
-    wide
-      .select(
-        expr(
-          s"stack(${cols.length}, $stackArgs) as (col_name, n_nonnull, n_distinct, n_distinct_approx)"
-        ),
-        col("__n").as("n_rows")
-      )
-      .select("col_name", "n_rows", "n_nonnull", "n_distinct", "n_distinct_approx")
-      .orderBy("col_name")
-  }
 
   /** D17 — log₂-bucketed document-size histogram per source `(source,
     * size_class, n_docs)`: the shape report behind length-based curation

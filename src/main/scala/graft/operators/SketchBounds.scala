@@ -157,11 +157,18 @@ object SketchBounds {
     * so the companion's exact columns double-check dq3's count path too.
     */
   def dq3bProfileEventsBound(spark: SparkSession, dir: String): DataFrame = {
-    // ONE pass computing exact + approx together (Profile.profileWithApprox):
-    // the old exact-join-approx shape scanned and aggregated events twice
-    // for aggregates that ride a single Expand. Same values, same schema.
-    Profile
-      .profileWithApprox(Tables.eventsRaw(spark, dir))
+    // Two separate aggregation passes JOINED, kept deliberately (r21
+    // optimization note): folding the HLL sketches into the exact pass
+    // ("one scan") was tried and measured 2.7 -> 9.2 s — the imperative
+    // HLL buffers push the whole Expand x7 aggregation off the codegen
+    // HashAggregate path into a sort-based fallback, which costs far more
+    // than the second scan of a column-pruned table ever did.
+    val exact  = Profile.profileEvents(spark, dir)
+    val approx = Profile
+      .profileEventsApprox(spark, dir)
+      .select(col("col_name"), col("n_distinct_approx"))
+    exact
+      .join(approx, "col_name")
       .select(
         col("col_name"),
         col("n_rows"),
