@@ -127,9 +127,29 @@ object Layouts {
             }
           })
         }
-        val reports = tasks.map(_.get())
+        // Collect EVERY forcer's outcome before failing (ADVICE r21): a
+        // bare `.get()` chain threw on the first failure while the rest
+        // kept running, losing their reports and attribution. The timeout
+        // is a hang backstop, not a pacing knob — a wedged forcer must
+        // surface as an error, not block the bench forever.
+        val outcomes = tasks.zip(fcs.map(_._1)).map { case (t, name) =>
+          name -> scala.util.Try(t.get(30, java.util.concurrent.TimeUnit.MINUTES))
+        }
         LayoutCache.drainBuildLog() // events are attributed above; keep late_builds clean
-        reports
+        val failures = outcomes.collect { case (name, scala.util.Failure(e)) => (name, e) }
+        if (failures.nonEmpty) {
+          pool.shutdownNow()
+          failures.foreach { case (name, e) =>
+            System.err.println(s"[layouts] forcer $name failed: $e")
+          }
+          val (firstName, firstErr) = failures.head
+          throw new RuntimeException(
+            s"layout build failed for ${failures.map(_._1).mkString(", ")} " +
+              s"(first: $firstName)",
+            firstErr
+          )
+        }
+        outcomes.map(_._2.get)
       } finally pool.shutdown()
     }
   }

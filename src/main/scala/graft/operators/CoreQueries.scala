@@ -141,8 +141,11 @@ object CoreQueries {
     * *rendering* does not.
     */
   def q10Rollup(spark: SparkSession, dir: String): DataFrame =
+    // fanOut (guide §2.5): the Expand(rollup) partial aggregation otherwise
+    // runs single-task on a one-row-group scan; decimal sums and counts are
+    // exact and associative, so partial-agg placement cannot move a bit.
     Tables
-      .lineitem(spark, dir)
+      .fanOut(Tables.lineitem(spark, dir), Seq(s"$dir/lineitem.parquet"), Seq(col("l_orderkey"), col("l_linenumber")))
       .rollup("l_returnflag", "l_linestatus")
       .agg(
         (sum(col("l_quantity").cast("decimal(12,2)")) * 100).cast("long").as("sum_qty_cents"),
@@ -185,8 +188,9 @@ object CoreQueries {
     * a union of re-scans). Measures in BIGINT minor units as in Q10/Q11.
     */
   def q19Cube(spark: SparkSession, dir: String): DataFrame =
+    // fanOut: same reasoning as q10 — Expand(cube) × decimal sums.
     Tables
-      .lineitem(spark, dir)
+      .fanOut(Tables.lineitem(spark, dir), Seq(s"$dir/lineitem.parquet"), Seq(col("l_orderkey"), col("l_linenumber")))
       .cube("l_returnflag", "l_linestatus")
       .agg(
         (sum(col("l_quantity").cast("decimal(12,2)")) * 100).cast("long").as("sum_qty_cents"),

@@ -54,6 +54,9 @@ object Profile {
     * but differ at ns.
     */
   def profileEvents(spark: SparkSession, dir: String): DataFrame =
+    // fanOut tried and REVERTED (r22): the fan shuffles every column
+    // (text included) to parallelize an aggregation whose single-task CPU
+    // is ~0.4 s — measured 0.53 -> 0.74 s. The scan-fused Expand wins here.
     profile(Tables.eventsRaw(spark, dir))
 
   /** DQ2 — [[profile]] of the `documents` table: the corpus-side twin of
@@ -132,6 +135,9 @@ object Profile {
     * — same ns-precision distinct semantics to bound against).
     */
   def profileEventsApprox(spark: SparkSession, dir: String): DataFrame =
+    // fanOut tried and REVERTED (r22): the imperative HLL partial pass
+    // measured ~13x MORE total CPU consuming shuffled rows than fused
+    // with the vectorized scan (20 vs 1.5 cpu-sec) — wall 1.35 -> 2.6 s.
     profileApprox(Tables.eventsRaw(spark, dir))
 
 
@@ -296,6 +302,9 @@ object Profile {
   }
 
   def sourceAffinity(spark: SparkSession, dir: String): DataFrame = {
+    // fanOut tried and REVERTED (r22): wall ~flat (1.39 -> 1.33 s) while
+    // total CPU doubled (2.0 -> 4.4 s) — the collect_set partial agg loses
+    // its scan fusion after the exchange, eating the shingle-pass win.
     val docs = Tables.documents(spark, dir)
     val perShingle = Dedup
       .shinglesKeyed(docs.select("source", "text"), "source")

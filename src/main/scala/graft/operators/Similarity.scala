@@ -177,35 +177,38 @@ object Similarity {
     s"km$mi;$ep;$r;$o;$sc;$b;$t"
   }
 
-  /** Trained-quantizer centroids memoized per LAYOUT PATH for the JVM's
-    * lifetime — the serving state an ANN index holds resident. The path is
-    * content-keyed ([[graft.sources.LayoutCache]]), so one path names one
-    * immutable training output; a regenerated corpus or retuned knob mints
-    * a NEW path and misses the memo. (The degenerate stale case — a key
-    * swept and deterministically rebuilt in one JVM — reproduces the
-    * identical centroids, so even it cannot serve wrong data.) This cuts
-    * one collect-a-small-parquet Spark job from every IVF/SQ8 query
-    * invocation; the query's real work (assignment, probe scan, ranking)
-    * still computes from parquet every call.
+  /** Trained-quantizer centroids memoized per (LISTING DIGEST, layout path)
+    * for the JVM's lifetime — the serving state an ANN index holds
+    * resident. The path is content-keyed ([[graft.sources.LayoutCache]]),
+    * so one path names one immutable training output; a regenerated corpus
+    * or retuned knob mints a NEW path and misses the memo. The digest in
+    * the key (ADVICE r21) closes the one path-reuse hole: a layout swept by
+    * retention and REBUILT under the identical content key reuses the same
+    * directory, and distributed float aggregation in the trainer can
+    * diverge at ulp level between builds — a bare-path memo would then
+    * serve centroids that disagree with the rebuilt `vectors.parquet`
+    * assignments. The digest walk costs ~1.4 ms against the ~150 ms
+    * collect job the memo removes; the query's real work (assignment,
+    * probe scan, ranking) still computes from parquet every call.
     */
   private val centroidCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Seq[Float]]]
 
   private def loadCentroids(spark: SparkSession, path: String): Array[Seq[Float]] =
     centroidCache.getOrElseUpdate(
-      path,
+      s"${Tables.listingDigest(spark, path)}:$path",
       Tables.cachedRead(spark, path).orderBy("cl").collect().map(_.getSeq[Float](1))
     )
 
-  /** PQ codebooks memoized per layout path — same contract as
-    * [[centroidCache]] (immutable content-keyed path, small driver-side
-    * artifact, deterministic rebuild).
+  /** PQ codebooks memoized per (listing digest, layout path) — same
+    * contract as [[centroidCache]] (immutable content-keyed path, small
+    * driver-side artifact, digest guard against same-key rebuilds).
     */
   private val codebookCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Seq[Float]]]]
 
   private def loadCodebooks(spark: SparkSession, path: String): Array[Array[Seq[Float]]] =
-    codebookCache.getOrElseUpdate(path, {
+    codebookCache.getOrElseUpdate(s"${Tables.listingDigest(spark, path)}:$path", {
       val cbRows = Tables.cachedRead(spark, path).collect()
       val m   = cbRows.map(_.getInt(0)).max + 1
       val arr = Array.ofDim[Seq[Float]](m, cbRows.map(_.getInt(1)).max + 1)
@@ -754,11 +757,26 @@ object Similarity {
     import java.nio.file._
     val src  = Paths.get(srcDir)
     val link = Paths.get(OracleArtifactDir, sub)
-    // version key: the source layout path is already content-keyed by
-    // LayoutCache, so its md5 names the immutable export
-    val ver = java.security.MessageDigest
-      .getInstance("MD5").digest(srcDir.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(16)
+    // version key: the source layout path (content-keyed by LayoutCache)
+    // PLUS its recursive listing (name, length, mtime) — the path alone
+    // left one hole (ADVICE r21): a layout swept by retention and rebuilt
+    // under the identical content key reuses the same directory, and a
+    // rebuild at a different parallelism can diverge at ulp level, so a
+    // path-only version would silently no-op the re-export and leave the
+    // oracle reading the PREVIOUS build's centroids while the query reads
+    // the new ones. The export path is java.nio-local by construction
+    // (the copy below), so the listing walk is too.
+    val lister = Files.walk(src).filter(p => Files.isRegularFile(p)).sorted().iterator()
+    val lmd    = java.security.MessageDigest.getInstance("MD5")
+    lmd.update(srcDir.getBytes("UTF-8"))
+    while (lister.hasNext) {
+      val p = lister.next()
+      lmd.update(
+        s"${src.relativize(p)}#${Files.size(p)}#${Files.getLastModifiedTime(p).toMillis}"
+          .getBytes("UTF-8")
+      )
+    }
+    val ver = lmd.digest().map("%02x".format(_)).mkString.take(16)
     val verDir = Paths.get(OracleArtifactDir, ".versions", s"${sub.replace('/', '_')}-$ver")
     if (!Files.exists(verDir.resolve("_done"))) {
       val tmp = Paths.get(verDir.toString + ".tmp")
@@ -1837,7 +1855,16 @@ object Similarity {
     */
   def knnJoin(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     VectorFunctions.register(spark)
-    knnJoinOver(Tables.embeddings(spark, dir), k)
+    // Fan the STREAMED side (guide §2.5): the corpus arrives as one row
+    // group, so the n² cosine scoring otherwise runs in ONE task. Hash on
+    // vec_id keeps each query's TopK state single-owner, and each
+    // streamed row still meets the broadcast in the same iteration order,
+    // so per-key score sequences — and the TopK result — are unchanged.
+    knnJoinOver(
+      Tables.embeddings(spark, dir),
+      k,
+      fanStreamed = Tables.fanOut(_, Seq(s"$dir/embeddings.parquet"), Seq(col("vec_id")))
+    )
   }
 
   /** The brute kNN-graph core over an arbitrary query/candidate relation —
@@ -1883,10 +1910,13 @@ object Similarity {
     * the exchange — measured 2× on s13, 2.25 → 4.12 s, when round 18
     * briefly unified the orientations).
     */
-  private[graft] def knnJoinOver(e: DataFrame, k: Int): DataFrame = {
+  private[graft] def knnJoinOver(
+      e: DataFrame,
+      k: Int,
+      fanStreamed: DataFrame => DataFrame = identity
+  ): DataFrame = {
     val nbrs = e.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb"))
-    val scored = e
-      .select("vec_id", "embedding")
+    val scored = fanStreamed(e.select("vec_id", "embedding"))
       .crossJoin(broadcast(nbrs))
       .where(col("vec_id") =!= col("nbr_id"))
       .select(col("vec_id"), col("nbr_id"), expr("cosine_sim(embedding, nbr_emb)").as("cos"))
@@ -2039,8 +2069,18 @@ object Similarity {
       threshold: Double = BitextMarginThreshold
   ): DataFrame = {
     VectorFunctions.register(spark)
-    val e   = Tables.embeddings(spark, dir)
-    val src = e.where(pmod(col("label"), lit(2)) === 0).select(col("vec_id").as("sid"), col("embedding").as("se"))
+    val e = Tables.embeddings(spark, dir)
+    // fanOut (guide §2.5): both halves arrive as one row group, so the
+    // |S|x|T| scoring pass otherwise runs in ONE task per side-stats
+    // branch. Hashing the streamed half on sid spreads the cross product;
+    // per-pair cosine values and the downstream (cos desc, id asc) window
+    // folds are placement-independent, so the emitted pairs are unchanged.
+    val src = Tables.fanOut(
+      e.where(pmod(col("label"), lit(2)) === 0)
+        .select(col("vec_id").as("sid"), col("embedding").as("se")),
+      Seq(s"$dir/embeddings.parquet"),
+      Seq(col("sid"))
+    )
     val tgt = e.where(pmod(col("label"), lit(2)) === 1).select(col("vec_id").as("tid"), col("embedding").as("te"))
     // same null-cosine convention as b2's retrieve (dimension-mismatch →
     // null → dropped): both rungs must see identical neighborhoods for the

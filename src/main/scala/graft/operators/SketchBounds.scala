@@ -51,21 +51,31 @@ object SketchBounds {
     * exists to avoid — which is exactly why this is the gate-time
     * companion, not the production rung.
     */
-  def x5bApproxDistinctRollupBound(spark: SparkSession, dir: String): DataFrame =
-    Tables
+  def x5bApproxDistinctRollupBound(spark: SparkSession, dir: String): DataFrame = {
+    // Two passes JOINED instead of one mixed aggregation (r22, the dq3b
+    // lesson applied): one imperative HLL beside the exact
+    // COUNT(DISTINCT) pushed the whole Expand(rollup) aggregation off the
+    // codegen HashAggregate path into the sort-based fallback. Split, the
+    // exact rollup stays codegen and the HLL pass is a plain single-agg
+    // scan; the join is 3 rows. Output identical (same oracle row).
+    val exact = Tables
       .events(spark, dir)
       .rollup("event_type")
-      .agg(
-        countDistinct(col("user_id")).as("exact_users"),
-        approx_count_distinct(col("user_id"), 0.02).as("approx")
-      )
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    val approx = Tables
+      .events(spark, dir)
+      .rollup("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx"))
+    exact
+      .join(approx, exact("event_type") <=> approx("event_type"))
       .select(
-        col("event_type"),
+        exact("event_type"),
         col("exact_users"),
         (abs(col("approx") - col("exact_users")) <=
           greatest(lit(1L), (col("exact_users") * 0.05).cast("long"))).as("within_bound")
       )
       .orderBy(asc_nulls_first("event_type"))
+  }
 
   /** X3B — x3's approx percentiles vs the 2% RANK-error gate: per group,
     * the exact p50/p90 (x2's definition, shared with DuckDB's

@@ -59,8 +59,18 @@ object Skew {
       "__salt",
       explode(array((0 until saltFactor).map(lit): _*))
     )
+    // Pin a SHUFFLE hash join (r22): the planner otherwise broadcasts the
+    // replicated side — a saltFactor-times-inflated driver-side hash build
+    // (measured ~0.8 s of q22's wall at sf0.1), and a contradiction of the
+    // technique: salting exists precisely for the scale where the small
+    // side can NOT be broadcast (if it fits in a broadcast, you broadcast
+    // and never salt). The hint keeps the demo a real shuffle join at any
+    // scale; join output is unchanged (inner equi-join).
     saltedBig
-      .join(saltedSmall, saltedBig(bigKey) === saltedSmall(smallKey) && saltedBig("__salt") === saltedSmall("__salt"))
+      .join(
+        saltedSmall.hint("shuffle_hash"),
+        saltedBig(bigKey) === saltedSmall(smallKey) && saltedBig("__salt") === saltedSmall("__salt")
+      )
       .drop("__salt")
   }
 }

@@ -207,7 +207,15 @@ object TextAnalysis {
     * spec proves the redaction itself.
     */
   def redactPiiQuery(spark: SparkSession, dir: String): DataFrame =
-    redactPii(Tables.documents(spark, dir))
+    // fanOut (guide §2.5): the regex pipeline is per-row CPU serialized on
+    // a one-row-group scan otherwise; per-row outputs cannot move.
+    redactPii(
+      Tables.fanOut(
+        Tables.documents(spark, dir),
+        Seq(s"$dir/documents.parquet"),
+        Seq(col("doc_id"))
+      )
+    )
 
   /** D14 — repetition metrics: the Gopher-style boilerplate signals a quality
     * filter thresholds on. Per document: bigram counts with the duplicated
@@ -257,8 +265,15 @@ object TextAnalysis {
   def trimRepeatedNgrams(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = TrimGramTokens
+    // fanOut: tokenization + gram explosion are the CPU; everything
+    // downstream is keyed per doc_id, which is exactly the fan key, so
+    // each document's rows stay whole and in document order.
     val base = Tables
-      .documents(spark, dir)
+      .fanOut(
+        Tables.documents(spark, dir),
+        Seq(s"$dir/documents.parquet"),
+        Seq(col("doc_id"))
+      )
       .select(col("doc_id"), toks.as("w"))
     val tokensE = base.select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tok")))
     val grams = base
@@ -306,6 +321,9 @@ object TextAnalysis {
   }
 
   def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    // fanOut tried and REVERTED (r22): wall flat (0.88 s) while total CPU
+    // rose 0.7 -> 4.4 s — the token-mode partial aggregation loses its
+    // scan-fused vectorized path after the exchange. Not worth it.
     val base = Tables
       .documents(spark, dir)
       .select(col("doc_id"), toks.as("w"))

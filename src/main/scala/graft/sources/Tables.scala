@@ -46,7 +46,7 @@ object Tables {
   private val frameCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]()
 
-  private def listingDigest(spark: SparkSession, path: String): String = {
+  private[graft] def listingDigest(spark: SparkSession, path: String): String = {
     val p  = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -76,6 +76,72 @@ object Tables {
       val df = spark.read.parquet(path)
       if (digest != null) frameCache.put(key, (digest, df))
       df
+    }
+  }
+
+  /** Scale-adaptive FAN-OUT for CPU-heavy operators whose input is too
+    * small to parallelize at the scan (guide §2.2/§2.5: a single-task
+    * stage is the ultimate straggler). Parquet splits cannot subdivide a
+    * row group, so a small input — often ONE row group — serializes every
+    * downstream map-side computation (shingling, cosine scoring, regex
+    * extraction, Expand aggregation) onto one core no matter how many the
+    * cluster has. When the listed input bytes are under
+    * `graft.fanout.small.bytes` (default 256 MiB), repartition to
+    * `defaultParallelism` before the expensive computation; at or above
+    * the threshold the input already carries ≥2 scan splits at the default
+    * 128 MB `maxPartitionBytes` and grows with the corpus, so the extra
+    * exchange vanishes exactly where it would start to cost — a 100 TB
+    * table never pays it, a 2 MB one pays a trivially cheap shuffle to buy
+    * the whole cluster. `keys` chooses HASH partitioning (each group's
+    * rows land whole in one partition — partial aggregation state stays
+    * single-owner). `keys` is REQUIRED non-empty: a key-less round-robin
+    * repartition local-sorts the full row (`sortBeforeRepartition`, the
+    * retry-determinism guard) — measured 3-18x the aggregation's own CPU —
+    * so every fan site names a high-cardinality key instead (any id
+    * column; the hash spreads uniformly and needs no sort). Results are
+    * unaffected by construction where applied:
+    * per-row transforms are partition-independent, and the call sites keep
+    * exact aggregation (counts, min/max, distinct, integer/decimal sums)
+    * or per-row float scores whose VALUES don't depend on placement —
+    * never float accumulation whose result could move at ulp level.
+    */
+  def fanOut(df: DataFrame, sourcePaths: Seq[String], keys: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    require(keys.nonEmpty, "fanOut requires hash keys (round-robin would local-sort the full row)")
+    val spark = df.sparkSession
+    val smallBytes =
+      graft.GraftConf.int(spark, "fanout.small.bytes", 268435456).toLong
+    val bytes = sourcePaths.map(listedBytes(spark, _)).sum
+    if (bytes >= smallBytes) df
+    else df.repartition(spark.sparkContext.defaultParallelism, keys: _*)
+  }
+
+  /** Total listed bytes under `path`, memoized per (session, path, listing
+    * digest) — the byte count feeding [[fanOut]]'s size gate. A missing
+    * path reads as "large" (Long.MaxValue/16): the caller's plan then
+    * stays un-fanned and the downstream read reports Spark's canonical
+    * error instead of a listing one here.
+    */
+  private val bytesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  private def listedBytes(spark: SparkSession, path: String): Long = {
+    val key = s"${System.identityHashCode(spark)}:$path"
+    val digest =
+      try listingDigest(spark, path)
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (digest == null) return Long.MaxValue / 16
+    val hit = bytesCache.get(key)
+    if (hit != null && hit._1 == digest) hit._2
+    else {
+      val p  = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def sz(q: org.apache.hadoop.fs.Path): Long = {
+        val st = fs.getFileStatus(q)
+        if (st.isDirectory) fs.listStatus(q).map(c => sz(c.getPath)).sum else st.getLen
+      }
+      val b = sz(p)
+      bytesCache.put(key, (digest, b))
+      b
     }
   }
 

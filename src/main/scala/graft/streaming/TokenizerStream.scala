@@ -118,24 +118,40 @@ object TokenizerStream {
     legacy.foreach { src =>
       val dst = new org.apache.hadoop.fs.Path(fanRoot, src.getName)
       if (fs.exists(dst)) {
-        // A markerless legacy copy is a TORN WRITE (the pre-upgrade crash
-        // that produced this collision in the first place): its parquet may
-        // not even read, and the committed fan copy is authoritative — drop
-        // the legacy dir without comparing (ADVICE r20).
-        if (!fs.exists(new org.apache.hadoop.fs.Path(src, "_SUCCESS"))) {
-          fs.delete(src, true)
-          return foldLegacyCountSegments(spark, countsDir) + 1
+        // On a collision, ALWAYS try the row comparison first (ADVICE r21):
+        // inferring a torn write purely from a missing `_SUCCESS` deletes
+        // valid data when success markers are disabled
+        // (mapreduce.fileoutputcommitter.marksuccessfuljobs=false) or lost
+        // in a manual restore. Only a legacy copy whose parquet actually
+        // FAILS TO READ is treated as the pre-upgrade torn write and
+        // dropped in favor of the committed fan copy; a readable copy that
+        // diverges still fails loudly regardless of markers.
+        val legacyRead = scala.util.Try {
+          val legacyRows = spark.read.parquet(src.toString).select("word", "freq")
+          val fanRows    = spark.read.parquet(dst.toString).select("word", "freq")
+          legacyRows.exceptAll(fanRows).isEmpty && fanRows.exceptAll(legacyRows).isEmpty
         }
-        val legacyRows = spark.read.parquet(src.toString).select("word", "freq")
-        val fanRows    = spark.read.parquet(dst.toString).select("word", "freq")
-        val equal = legacyRows.exceptAll(fanRows).isEmpty && fanRows.exceptAll(legacyRows).isEmpty
-        if (!equal)
-          throw new IllegalStateException(
-            s"tokenizer count segment ${src.getName} exists in BOTH the legacy layout ($src) " +
-              s"and the fan layout ($dst) WITH DIFFERENT ROWS; cannot decide which copy is " +
-              "authoritative — delete the stale one manually before retraining"
-          )
-        fs.delete(src, true) // replay-produced duplicate of the fan copy
+        legacyRead match {
+          case scala.util.Success(true) =>
+            fs.delete(src, true) // replay-produced duplicate of the fan copy
+          case scala.util.Success(false) =>
+            throw new IllegalStateException(
+              s"tokenizer count segment ${src.getName} exists in BOTH the legacy layout ($src) " +
+                s"and the fan layout ($dst) WITH DIFFERENT ROWS; cannot decide which copy is " +
+                "authoritative — delete the stale one manually before retraining"
+            )
+          case scala.util.Failure(_)
+              if !fs.exists(new org.apache.hadoop.fs.Path(src, "_SUCCESS")) =>
+            // unreadable AND markerless: the torn write the collision came from
+            fs.delete(src, true)
+            return foldLegacyCountSegments(spark, countsDir) + 1
+          case scala.util.Failure(e) =>
+            throw new IllegalStateException(
+              s"tokenizer count segment ${src.getName} carries _SUCCESS but failed to read " +
+                s"during the legacy/fan comparison at $src — refusing to guess",
+              e
+            )
+        }
       } else if (!fs.rename(src, dst) && !(fs.exists(dst) && !fs.exists(src)))
         throw new IllegalStateException(s"failed to migrate legacy count segment $src -> $dst")
     }
