@@ -167,9 +167,17 @@ object CoreQueries {
     * engines, where decimal rendering does not.
     */
   def q11PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    // fanOut after the filter (guide §2.5, same shape as q19/q10): the
+    // decimal partial agg otherwise runs on the scan's single row-group
+    // partition; decimal sums and counts are exact and associative.
     Tables
-      .lineitem(spark, dir)
-      .where(col("l_shipdate") <= expr("timestamp_ntz'1999-06-30 00:00:00'"))
+      .fanOut(
+        Tables
+          .lineitem(spark, dir)
+          .where(col("l_shipdate") <= expr("timestamp_ntz'1999-06-30 00:00:00'")),
+        Seq(s"$dir/lineitem.parquet"),
+        Seq(col("l_orderkey"), col("l_linenumber"))
+      )
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         (sum(col("l_quantity").cast("decimal(12,2)")) * 100).cast("long").as("sum_qty_cents"),
@@ -533,8 +541,15 @@ object CoreQueries {
     * correct either way). Revenue in BIGINT 1e-4 units per the decimal rule.
     */
   def q21PartBrandRevenue(spark: SparkSession, dir: String): DataFrame =
+    // fanOut the probe side (guide §2.5): the broadcast-hash probe and the
+    // decimal partial agg otherwise run on the scan's single row-group
+    // partition. Join output and decimal sums are placement-independent.
     Tables
-      .lineitem(spark, dir)
+      .fanOut(
+        Tables.lineitem(spark, dir),
+        Seq(s"$dir/lineitem.parquet"),
+        Seq(col("l_orderkey"), col("l_linenumber"))
+      )
       .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
       .agg(

@@ -1154,8 +1154,19 @@ object Dedup {
     * doc), which is why both consumers stay DuckDB-oracle-checkable.
     */
   private def shinglePairCounts(spark: SparkSession, dir: String, maxDf: Long): DataFrame = {
-    val sh = cappedShingles(Tables.documents(spark, dir), maxDf = maxDf)
-      .withColumn("h", xxhash64(col("s")))
+    // fanOut (guide §2.5): the shingle explosion + per-doc distinct is the
+    // rung's serial CPU behind a one-row-group scan; hashing on doc_id
+    // keeps each doc's shingles co-located so the partial distinct stays
+    // as effective as the scan-fused form. Distinct hashes, counts and the
+    // pair intersection are set-functions — placement cannot move a row.
+    val sh = cappedShingles(
+      Tables.fanOut(
+        Tables.documents(spark, dir),
+        Seq(s"$dir/documents.parquet"),
+        Seq(col("doc_id"))
+      ),
+      maxDf = maxDf
+    ).withColumn("h", xxhash64(col("s")))
     // Flat distinct + count join rather than collect_set + explode: the
     // array form holds every doc's full hash set in ObjectHashAggregate
     // state at once (~2 GiB at the 10× rehearsal — measured OOM at a

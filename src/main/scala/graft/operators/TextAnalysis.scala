@@ -106,6 +106,10 @@ object TextAnalysis {
     val bpe   = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
     val punct = "[^A-Za-z0-9 ]"
     val stops = langMarkers.toMap.apply("en")
+    // fanOut tried and REVERTED (r22): wall flat (0.69 -> 0.71 s) while
+    // total CPU rose 0.24 -> 9.9 s consuming shuffled rows — unlike d13,
+    // this projection's regex work runs dramatically cheaper fused with
+    // the vectorized scan.
     Tables
       .documents(spark, dir)
       .select(
