@@ -91,6 +91,7 @@ object Bench {
       sentinelAttempts += 1
     }
 
+    var membwPre = membwLast
     // Layout pre-build: force every ingest-time derived layout in an
     // explicit, separately-timed phase (the reference's cold/warm split,
     // QueryOrchestration.cs:425-439, applied at the layout level). Without
@@ -172,6 +173,7 @@ object Bench {
           s"[bench] attempt $runAttempts late_builds (discarded with its measurements): " +
             lateBuildRows.map { case (n, s) => f"$n=$s%.3f" }.mkString(", ")
         )
+      membwPre = membwLast // the retry's own pre-probe pair brackets the kept attempt
       results = measureQueries()
       lateBuildRows = graft.sources.LayoutCache.drainBuildLog()
       sentinelPost = sentinelProbes(spark)
@@ -213,8 +215,8 @@ object Bench {
     // KEPT measurement (post-retry, both probes bracket the last attempt).
     val degradedHost = !inBand(sentinel) || !inBand(sentinelPost)
     val sentinelJson =
-      f""""sentinel":{"single_thread_secs":${sentinel._1}%.3f,"shuffle_probe_secs":${sentinel._2}%.3f},""" +
-        f""""sentinel_post":{"single_thread_secs":${sentinelPost._1}%.3f,"shuffle_probe_secs":${sentinelPost._2}%.3f},""" +
+      f""""sentinel":{"single_thread_secs":${sentinel._1}%.3f,"shuffle_probe_secs":${sentinel._2}%.3f,"membw_probe_secs":$membwPre%.3f},""" +
+        f""""sentinel_post":{"single_thread_secs":${sentinelPost._1}%.3f,"shuffle_probe_secs":${sentinelPost._2}%.3f,"membw_probe_secs":$membwLast%.3f},""" +
         f""""sentinel_attempts":$sentinelAttempts,"run_attempts":$runAttempts,"degraded_host":$degradedHost"""
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","mode":"$mode","reps":$Reps,$sentinelJson,"queries":$qs,"spread":$spreadJson,"failed":${failed
@@ -248,6 +250,17 @@ object Bench {
     if (failed.nonEmpty) sys.exit(1)
   }
 
+  // 32M longs = 256 MiB, touched every probe call; allocated once so the
+  // probe measures traversal bandwidth, not allocation. Initialized with a
+  // cheap pattern so the pages are faulted in before the first timing.
+  private lazy val membwArr: Array[Long] = {
+    val a = new Array[Long](1 << 25)
+    var i = 0
+    while (i < a.length) { a(i) = i.toLong * 0x9E3779B97F4A7C15L; i += 1 }
+    a
+  }
+  @volatile private var membwLast: Double = -1.0
+
   /** The two environment probes: (single-thread seconds, shuffle-probe
     * seconds).
     *
@@ -270,6 +283,27 @@ object Bench {
       var i = 0L
       while (i < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
       x
+    }
+    // Third probe, RECORDED but NOT gated (no committed-record envelope to
+    // band it against yet — this round establishes the baseline): a fixed
+    // 256 MiB sequential long-array sweep, 4 passes ≈ 1 GiB of memory
+    // traffic on one thread. Motivation (r22 adjudication of the r21
+    // driver record): co-tenant MEMORY-BANDWIDTH pressure inflated exactly
+    // the text/media-scan queries 4-11x while BOTH existing probes read
+    // quiet — register arithmetic sees no memory, and the shuffle probe's
+    // working set mostly sits in cache. This sweep moves when bandwidth
+    // does, so that signature self-identifies in the record.
+    membwLast = {
+      val t = System.nanoTime()
+      var pass = 0
+      var sink = 0L
+      while (pass < 4) {
+        var i = 0
+        while (i < membwArr.length) { sink += membwArr(i); i += 1 }
+        pass += 1
+      }
+      if (sink == 42L) System.err.println("[bench] membw sink hit")
+      (System.nanoTime() - t) / 1e9
     }
     val warmSink = xorshift(30000000L) // JIT warm pass, result consumed below
     val t0 = System.nanoTime()

@@ -302,14 +302,26 @@ object Profile {
   }
 
   def sourceAffinity(spark: SparkSession, dir: String): DataFrame = {
-    // fanOut tried and REVERTED (r22): wall ~flat (1.39 -> 1.33 s) while
-    // total CPU doubled (2.0 -> 4.4 s) — the collect_set partial agg loses
-    // its scan fusion after the exchange, eating the shingle-pass win.
-    val docs = Tables.documents(spark, dir)
+    // r22 shape: fan the shingle pass + DISTINCT-FIRST aggregation. A
+    // plain fan was tried and reverted (wall flat, CPU 2.0 -> 4.4 s: the
+    // collect_set partial agg loses scan fusion after the exchange); the
+    // keeper splits the work so each piece stays on its fast path — the
+    // shingle explosion runs fanned, a codegen HashAggregate dedups
+    // (source, shingle) pairs map-side, and the imperative collect_set
+    // only ever sees the deduped pairs. sort_array(collect_set(source))
+    // over raw rows == sort_array(collect_list(source)) over distinct
+    // pairs, bit for bit.
+    val docs = Tables.fanOut(
+      Tables.documents(spark, dir),
+      Seq(s"$dir/documents.parquet"),
+      Seq(col("doc_id"))
+    )
     val perShingle = Dedup
       .shinglesKeyed(docs.select("source", "text"), "source")
+      .select("source", "s")
+      .distinct()
       .groupBy("s")
-      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .agg(sort_array(collect_list(col("source"))).as("srcs"))
     val sizes = perShingle
       .select(explode(col("srcs")).as("source"))
       .groupBy("source")
